@@ -1,0 +1,218 @@
+"""Analysis chain: char filters → tokenizer → token filters.
+
+Re-implements the reference's default ``standard`` analyzer
+(StandardTokenizer = UAX#29 word break, + lowercase, + empty stopword set,
+max_token_length=255; registered at
+``server/src/main/java/org/elasticsearch/indices/analysis/AnalysisModule.java:253-254``,
+built in ``server/.../index/analysis/StandardAnalyzerProvider.java:21-27``)
+and the ``html_strip`` char filter
+(``modules/analysis-common/.../HtmlStripCharFilterFactory.java:24-40``)
+as vectorized pandas/Arrow UDFs — no per-row Python UDFs are registered
+with Spark; all batch work is Arrow-transferred and regex/C-speed inside.
+
+UAX#29 coverage (documented approximation):
+- alphanumeric runs; letters and digits join directly (WB8/9/10);
+- MidLetter/MidNumLet (' ’ . · :) join letter runs (WB6/7), MidNum/MidNumLet
+  (, . ') join digit runs (WB11/12) — so ``don't``, ``3.14``, ``1,000``,
+  ``example.com``, ``foo:bar`` are single tokens, matching Lucene;
+- ExtendNumLet ``_`` glues clusters (WB13a/b): ``foo_bar`` is one token;
+- Han + Hiragana emit one token per ideograph, Katakana/Hangul as runs
+  (matching StandardTokenizer's IDEOGRAPHIC/HIRAGANA/KATAKANA/HANGUL types);
+- tokens longer than 255 chars are split at the 255 boundary.
+Known divergences from ICU-exact UAX#29 (combining marks mid-word,
+regional indicators, Turkish dotted-I lowercasing) are accepted and
+pinned by golden tests generated from THIS implementation.
+
+The ``regex_simple`` analyzer (``[a-z0-9]+`` over lowercased text) exists so
+query results can be mirrored exactly in ANSI SQL
+(``regexp_extract_all(lower(text), '[a-z0-9]+')`` in DuckDB) for the
+correctness oracle.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StringType, StructField, StructType
+
+MAX_TOKEN_LENGTH = 255
+
+# --- character classes -------------------------------------------------------
+_HAN = (
+    "⺀-⻿々〇〡-〩〸-〻"
+    "㐀-䶿一-鿿豈-﫿"
+)
+_HIRA = "ぁ-ゖゝ-ゟ"
+_KATA = "ァ-ヺー-ヿㇰ-ㇿｦ-ﾝ"
+_HANGUL = "가-힣ᄀ-ᇿ㄰-㆏"
+_CJK = _HAN + _HIRA + _KATA + _HANGUL
+
+# letters excluding CJK classes handled separately; digits = Unicode Nd
+_L = rf"(?:(?![{_CJK}])[^\W\d_])"
+_D = r"\d"
+# MidLetter ∪ MidNumLet (joins letter runs): ' ’ ‘ . · ‧ : ״
+_ML = "['’‘.··‧:״]"
+# MidNum ∪ MidNumLet (joins digit runs): , . ' ’
+_MN = "[,.'’․]"
+
+_LPART = rf"{_L}+(?:{_ML}{_L}+)*"
+_NPART = rf"{_D}+(?:{_MN}{_D}+)*"
+_WORD = rf"_*(?:{_LPART}|{_NPART})(?:_*(?:{_LPART}|{_NPART}))*_*"
+
+TOKEN_RE = re.compile(rf"(?:{_WORD})|[{_HAN}]|[{_HIRA}]|[{_KATA}]+|[{_HANGUL}]+")
+
+# --- html_strip char filter ---------------------------------------------------
+_BLOCK_TAGS = (
+    "p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|table|tr|td|th|blockquote|pre|hr|"
+    "section|article|header|footer|nav|aside|form|figure|figcaption|dl|dt|dd|title"
+)
+_RE_SCRIPT = re.compile(r"(?is)<(script|style)\b.*?(?:</\1\s*>|$)")
+_RE_COMMENT = re.compile(r"(?s)<!--.*?(?:-->|$)")
+_RE_BLOCK = re.compile(rf"(?is)</?(?:{_BLOCK_TAGS})\b[^<>]*/?\s*>")
+_RE_TAG = re.compile(r"(?s)<[/!?]?[a-zA-Z][^<>]*>")
+
+
+def html_strip(raw: bytes | str | None) -> str:
+    """html → text, the ``html_strip`` char filter.
+
+    Deterministic approximation of Lucene's HTMLStripCharFilter: drops
+    script/style/comments, turns block-level tags into newlines, removes
+    inline tags, decodes entities, and tolerates broken markup. This function
+    IS the byte-identity invariant: the pages generator stores
+    ``text = html_strip(html)`` and tests assert the UDF output equals the
+    stored column byte-for-byte per url.
+    """
+    if raw is None:
+        return ""
+    s = raw.decode("utf-8", errors="replace") if isinstance(raw, (bytes, bytearray)) else raw
+    s = _RE_SCRIPT.sub("", s)
+    s = _RE_COMMENT.sub("", s)
+    s = _RE_BLOCK.sub("\n", s)
+    s = _RE_TAG.sub("", s)
+    s = _htmlmod.unescape(s)
+    return s
+
+
+def _split_long(tok: str) -> Iterator[str]:
+    if len(tok) <= MAX_TOKEN_LENGTH:
+        yield tok
+    else:
+        for i in range(0, len(tok), MAX_TOKEN_LENGTH):
+            yield tok[i : i + MAX_TOKEN_LENGTH]
+
+
+def standard_tokenize(text: str) -> list[str]:
+    """text → lowercased token list (standard analyzer: tokenize, then
+    lowercase each token — same order as the reference chain)."""
+    if not text:
+        return []
+    out: list[str] = []
+    for m in TOKEN_RE.finditer(text):
+        for t in _split_long(m.group(0)):
+            out.append(t.lower())
+    return out
+
+
+_SIMPLE_RE = re.compile(r"[a-z0-9]+")
+
+
+def regex_simple_tokenize(text: str) -> list[str]:
+    """SQL-mirrorable analyzer: lowercase then ``[a-z0-9]+`` runs."""
+    if not text:
+        return []
+    return _SIMPLE_RE.findall(text.lower())
+
+
+ANALYZERS = {
+    "standard": standard_tokenize,
+    "regex_simple": regex_simple_tokenize,
+}
+
+
+def analyze(text: str, analyzer: str = "standard") -> list[str]:
+    return ANALYZERS[analyzer](text)
+
+
+def analyze_detail(text: str, analyzer: str = "standard") -> list[dict]:
+    """``_analyze``-shaped introspection: per-token
+    {token, start_offset, end_offset, position}, mirroring
+    ``TransportAnalyzeAction.simpleAnalyze``
+    (``server/.../analyze/TransportAnalyzeAction.java:236-240``)."""
+    if analyzer == "regex_simple":
+        toks = []
+        low = (text or "").lower()
+        for pos, m in enumerate(_SIMPLE_RE.finditer(low)):
+            toks.append(
+                {"token": m.group(0), "start_offset": m.start(), "end_offset": m.end(), "position": pos}
+            )
+        return toks
+    toks = []
+    pos = 0
+    for m in TOKEN_RE.finditer(text or ""):
+        off = m.start()
+        for t in _split_long(m.group(0)):
+            toks.append(
+                {
+                    "token": t.lower(),
+                    "start_offset": off,
+                    "end_offset": off + len(t),
+                    "position": pos,
+                }
+            )
+            off += len(t)
+            pos += 1
+    return toks
+
+
+# --- Spark UDF surface (Arrow-batched) ---------------------------------------
+
+def _tokenize_series(s: pd.Series, analyzer: str) -> pd.Series:
+    fn = ANALYZERS[analyzer]
+    return s.map(lambda x: fn(x) if x is not None else [])
+
+
+def tokens_udf(analyzer: str = "standard"):
+    """pandas UDF: string column → array<string> of analyzed tokens."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        return _tokenize_series(s, analyzer)
+
+    return _udf
+
+
+@F.pandas_udf(StringType())
+def html_strip_udf(s: pd.Series) -> pd.Series:
+    """pandas UDF: html (binary or string) column → extracted text."""
+    return s.map(html_strip)
+
+
+ANALYZE_DETAIL_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("token", StringType()),
+            StructField("start_offset", IntegerType()),
+            StructField("end_offset", IntegerType()),
+            StructField("position", IntegerType()),
+        ]
+    )
+)
+
+
+def analyze_detail_udf(analyzer: str = "standard"):
+    @F.pandas_udf(ANALYZE_DETAIL_SCHEMA)
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: [
+                (d["token"], d["start_offset"], d["end_offset"], d["position"])
+                for d in analyze_detail(x, analyzer)
+            ]
+            if x is not None
+            else []
+        )
+
+    return _udf

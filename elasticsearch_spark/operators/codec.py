@@ -1,0 +1,95 @@
+"""Postings compression: delta + variable-byte (VByte), numpy-vectorized.
+
+Plays the role of Lucene's postings formats (delta-encoded docIDs in FOR
+blocks + VByte tails; codec selection pinned at
+``server/src/main/java/org/elasticsearch/index/codec/CodecService.java:29-43``).
+We use VByte for both docID deltas and term frequencies; blocks are ≤128
+entries (Lucene's block size), each block carrying its absolute
+``first_doc_id`` so blocks are independently decodable (the skip-list
+property block-max WAND needs).
+
+Everything here is whole-array numpy — encode/decode of a segment's full
+postings happens in a handful of vectorized calls, no per-value Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+_MAX_VBYTE = 10  # 64-bit worst case
+
+
+def vbyte_encode(vals: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode uint64 array → (byte stream, per-value byte lengths).
+
+    Layout per value: little-endian base-128 groups, high bit = continuation
+    (set on every byte except the last).
+    """
+    v = np.asarray(vals, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    # bytes needed per value: 1 + floor(log2(max(v,1)) / 7)
+    safe = np.maximum(v, 1)
+    nbytes = (np.floor(np.log2(safe.astype(np.float64))).astype(np.int64) // 7) + 1
+    # float64 log2 is exact enough only below 2^53; correct upward errors
+    big = v >= np.uint64(1) << np.uint64(49)
+    if big.any():
+        idx = np.nonzero(big)[0]
+        for i in idx:
+            x, c = int(v[i]), 1
+            while x >= 0x80:
+                x >>= 7
+                c += 1
+            nbytes[i] = c
+    cols = np.arange(_MAX_VBYTE, dtype=np.uint64)
+    mat = (v[:, None] >> (cols * np.uint64(7))) & np.uint64(0x7F)
+    cont = cols[None, :].astype(np.int64) < (nbytes[:, None] - 1)
+    mat = mat | np.where(cont, np.uint64(0x80), np.uint64(0))
+    keep = cols[None, :].astype(np.int64) < nbytes[:, None]
+    stream = mat[keep].astype(np.uint8)
+    return stream.tobytes(), nbytes
+
+
+def vbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
+    """Decode a VByte stream → uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else np.asarray(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    # group id per byte = number of completed values before it
+    gid = np.zeros(len(b), dtype=np.int64)
+    gid[1:] = np.cumsum(is_last[:-1])
+    starts = np.nonzero(np.r_[True, is_last[:-1]])[0]
+    pos = np.arange(len(b), dtype=np.int64) - starts[gid]
+    contrib = (b.astype(np.uint64) & np.uint64(0x7F)) << (pos.astype(np.uint64) * np.uint64(7))
+    return np.add.reduceat(contrib, starts)
+
+
+def delta_encode(sorted_ids: np.ndarray, base: int) -> np.ndarray:
+    """Strictly-increasing int64 ids → gaps (first gap relative to base)."""
+    ids = np.asarray(sorted_ids, dtype=np.int64)
+    out = np.empty(len(ids), dtype=np.uint64)
+    if len(ids):
+        out[0] = np.uint64(ids[0] - base)
+        out[1:] = np.diff(ids).astype(np.uint64)
+    return out
+
+
+def delta_decode(gaps: np.ndarray, base: int) -> np.ndarray:
+    g = np.asarray(gaps, dtype=np.uint64).astype(np.int64)
+    return base + np.cumsum(g)
+
+
+def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, base: int) -> tuple[bytes, bytes]:
+    """One postings block → (encoded docID gaps, encoded tfs)."""
+    ids_buf, _ = vbyte_encode(delta_encode(doc_ids, base))
+    tf_buf, _ = vbyte_encode(np.asarray(tfs, dtype=np.uint64))
+    return ids_buf, tf_buf
+
+
+def decode_block(ids_buf: bytes, tf_buf: bytes, base: int) -> tuple[np.ndarray, np.ndarray]:
+    ids = delta_decode(vbyte_decode(ids_buf), base)
+    tfs = vbyte_decode(tf_buf).astype(np.int64)
+    return ids, tfs

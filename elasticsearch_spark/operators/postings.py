@@ -1,0 +1,308 @@
+"""Per-partition inverted-index segment build.
+
+The Spark re-expression of the reference's bulk-ingest → engine → refresh
+pipeline (SURVEY.md §3.2): one shuffle routes documents to their shard
+(``shard = pmod(xxhash64(url), P)`` — the analog of
+``server/.../cluster/routing/IndexRouting.java:113`` murmur3 routing), then
+each partition builds a complete immutable segment (sorted postings +
+docs/norms + lineage manifest) with numpy-vectorized tokenize/sort/encode —
+exactly Lucene's "one DWPT per thread writes one segment" model, which is
+what makes indexing embarrassingly parallel and linearly scalable: there is
+NO global groupBy(term) in the build path, so term skew ("the" in 60% of
+docs) never concentrates on one task.
+
+Latest-by-url dedup (the engine's versioned upsert,
+``server/.../index/engine/InternalEngine.java:1373``) happens inside the
+segment build for free because routing co-locates all versions of a url.
+
+doc_id = (pid << 40) | row_number (dense per partition, like Lucene's
+per-segment docIDs with a segment base), deterministic given P.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import analysis
+from ..functions.smallfloat import byte4_to_int, int_to_byte4
+from ..sources import index_store as store
+from .codec import BLOCK_SIZE, vbyte_encode
+
+DOCID_PARTITION_SHIFT = 40
+
+POSTINGS_FIELDS = [
+    ("term", pa.string()),
+    ("seg_id", pa.int32()),
+    ("block_id", pa.int32()),
+    ("first_doc_id", pa.int64()),
+    ("last_doc_id", pa.int64()),
+    ("n", pa.int32()),
+    ("max_tf", pa.int32()),
+    ("min_ql", pa.int32()),
+    ("sum_tf", pa.int64()),
+    ("ids_bytes", pa.binary()),
+    ("tf_bytes", pa.binary()),
+]
+POSTINGS_PA_SCHEMA = pa.schema(POSTINGS_FIELDS)
+
+METRICS_SCHEMA = (
+    "pid int, status string, input_rows long, n_docs long, sum_dl long, "
+    "n_terms long, n_blocks long, postings_bytes long, lineage string"
+)
+
+
+def lineage_hash(urls: pd.Series, ts: pd.Series) -> str:
+    """Deterministic content hash of a partition's input (url, warc_ts)."""
+    h = hashlib.md5()
+    order = np.lexsort((ts.to_numpy(), urls.to_numpy()))
+    u = urls.to_numpy()[order]
+    t = ts.astype("int64").to_numpy()[order]
+    h.update("\x00".join(map(str, u)).encode())
+    h.update(t.tobytes())
+    return h.hexdigest()
+
+
+def tokenize_docs(texts: list[str], analyzer: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """texts → (flat token array, flat doc index array, doc lengths)."""
+    fn = analysis.ANALYZERS[analyzer]
+    tok_lists = [fn(t) if t else [] for t in texts]
+    dls = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists]) if len(tok_lists) else np.zeros(0, dtype=object)
+    doc_idx = np.repeat(np.arange(len(tok_lists), dtype=np.int64), dls)
+    return flat, doc_idx, dls
+
+
+def build_segment_frames(
+    pdf: pd.DataFrame, pid: int, analyzer: str
+) -> tuple[pd.DataFrame, pa.Table, dict]:
+    """Build one segment from a partition's pages. Pure function (testable
+    without Spark). Returns (docs_pdf, postings_arrow_table, stats)."""
+    # 1) latest-by-url dedup (engine upsert semantics), stable
+    pdf = pdf.sort_values(["url", "warc_ts"], kind="mergesort")
+    pdf = pdf.drop_duplicates("url", keep="last")
+    # 2) deterministic dense doc ids within the partition
+    pdf = pdf.sort_values("url", kind="mergesort").reset_index(drop=True)
+    n_docs = len(pdf)
+    base = pid << DOCID_PARTITION_SHIFT
+    doc_ids = base + np.arange(n_docs, dtype=np.int64)
+
+    # 3) analysis chain
+    flat, doc_idx, dls = tokenize_docs(pdf["text"].tolist(), analyzer)
+    norms = int_to_byte4(dls)
+    ql = byte4_to_int(norms)  # quantized lengths (what BM25 sees)
+
+    docs_pdf = pd.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "url": pdf["url"].to_numpy(),
+            "warc_ts": pdf["warc_ts"].to_numpy(),
+            "lang": pdf["lang"].to_numpy(),
+            "text": pdf["text"].to_numpy(),
+            "dl": dls,
+            "norm": norms.astype(np.int32),
+            "seg_id": np.int32(pid),
+        }
+    )
+
+    if len(flat) == 0:
+        empty = pa.table({k: pa.array([], type=t) for k, t in POSTINGS_FIELDS})
+        return docs_pdf, empty, {"n_docs": n_docs, "sum_dl": 0, "n_terms": 0, "n_blocks": 0}
+
+    # 4) tf per (term, doc): factorize, lexsort, run-length
+    codes, uniques = pd.factorize(flat, sort=True)
+    order = np.lexsort((doc_idx, codes))
+    c_s, d_s = codes[order], doc_idx[order]
+    newpair = np.r_[True, (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])]
+    starts = np.nonzero(newpair)[0]
+    tfs = np.diff(np.r_[starts, len(c_s)]).astype(np.int64)
+    p_code = c_s[starts]
+    p_doc = d_s[starts]  # already ascending within each term
+
+    # 5) block split: ≤BLOCK_SIZE postings per block, blocks never span terms
+    newterm = np.r_[True, p_code[1:] != p_code[:-1]]
+    term_start_idx = np.nonzero(newterm)[0]
+    run_pos = np.arange(len(p_code)) - np.repeat(term_start_idx, np.diff(np.r_[term_start_idx, len(p_code)]))
+    is_block_start = newterm | (run_pos % BLOCK_SIZE == 0)
+    block_starts = np.nonzero(is_block_start)[0]
+    block_sizes = np.diff(np.r_[block_starts, len(p_code)])
+    block_of = np.repeat(np.arange(len(block_starts)), block_sizes)
+
+    # 6) whole-segment delta + VByte encode, then slice per block
+    p_docid = doc_ids[p_doc]
+    gaps = np.empty(len(p_docid), dtype=np.uint64)
+    gaps[0] = 0
+    gaps[1:] = (p_docid[1:] - p_docid[:-1]).astype(np.uint64)
+    gaps[block_starts] = 0  # first entry in a block is relative to first_doc_id
+    ids_stream, ids_len = vbyte_encode(gaps)
+    tf_stream, tf_len = vbyte_encode(tfs.astype(np.uint64))
+    ids_off = np.r_[0, np.cumsum(ids_len)]
+    tf_off = np.r_[0, np.cumsum(tf_len)]
+
+    block_ends = block_starts + block_sizes
+    ids_bytes = [ids_stream[ids_off[s] : ids_off[e]] for s, e in zip(block_starts, block_ends)]
+    tf_bytes = [tf_stream[tf_off[s] : tf_off[e]] for s, e in zip(block_starts, block_ends)]
+
+    # 7) per-block stats for WAND upper bounds: max tf, min quantized dl
+    p_ql = ql[p_doc]
+    max_tf = np.maximum.reduceat(tfs, block_starts)
+    min_ql = np.minimum.reduceat(p_ql, block_starts)
+    sum_tf = np.add.reduceat(tfs, block_starts)
+    first_doc = p_docid[block_starts]
+    last_doc = p_docid[block_ends - 1]
+    b_code = p_code[block_starts]
+    # block_id within term
+    term_of_block = np.r_[True, b_code[1:] != b_code[:-1]]
+    tb_start = np.nonzero(term_of_block)[0]
+    block_id = np.arange(len(b_code)) - np.repeat(tb_start, np.diff(np.r_[tb_start, len(b_code)]))
+
+    postings = pa.table(
+        {
+            "term": pa.array(uniques[b_code], type=pa.string()),
+            "seg_id": pa.array(np.full(len(b_code), pid, dtype=np.int32)),
+            "block_id": pa.array(block_id.astype(np.int32)),
+            "first_doc_id": pa.array(first_doc),
+            "last_doc_id": pa.array(last_doc),
+            "n": pa.array(block_sizes.astype(np.int32)),
+            "max_tf": pa.array(max_tf.astype(np.int32)),
+            "min_ql": pa.array(min_ql.astype(np.int32)),
+            "sum_tf": pa.array(sum_tf.astype(np.int64)),
+            "ids_bytes": pa.array(ids_bytes, type=pa.binary()),
+            "tf_bytes": pa.array(tf_bytes, type=pa.binary()),
+        },
+        schema=POSTINGS_PA_SCHEMA,
+    )
+    stats = {
+        "n_docs": int(n_docs),
+        "sum_dl": int(dls.sum()),
+        "n_terms": int(len(uniques)),
+        "n_blocks": int(len(b_code)),
+    }
+    return docs_pdf, postings, stats
+
+
+def _write_segment(index_dir: str, pid: int, docs_pdf: pd.DataFrame, postings: pa.Table) -> int:
+    d = store.seg_dir(index_dir, pid)
+    os.makedirs(d, exist_ok=True)
+    docs_tbl = pa.Table.from_pandas(docs_pdf, preserve_index=False)
+    # Spark cannot read TIMESTAMP(NANOS) parquet — store microseconds
+    for i, f in enumerate(docs_tbl.schema):
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+            docs_tbl = docs_tbl.set_column(
+                i, pa.field(f.name, pa.timestamp("us")), docs_tbl.column(i).cast(pa.timestamp("us"))
+            )
+    for name, final in (("docs.parquet", docs_tbl), ("postings.parquet", postings)):
+        tmp = os.path.join(d, f".{name}.tmp")
+        pq.write_table(final, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(d, name))
+    return int(postings.nbytes)
+
+
+def segment_builder(index_dir: str, analyzer: str):
+    """applyInPandas function: one partition's pages → segment files on the
+    segment store + manifest; returns a one-row metrics frame."""
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        lin = lineage_hash(pdf["url"], pdf["warc_ts"])
+        existing = store.read_manifest(index_dir, pid)
+        if (
+            existing
+            and existing.get("lineage") == lin
+            and existing.get("status") == "complete"
+            and os.path.exists(os.path.join(store.seg_dir(index_dir, pid), "postings.parquet"))
+        ):
+            return pd.DataFrame(
+                [
+                    {
+                        "pid": pid,
+                        "status": "skipped",
+                        "input_rows": len(pdf),
+                        "n_docs": existing["n_docs"],
+                        "sum_dl": existing["sum_dl"],
+                        "n_terms": existing["n_terms"],
+                        "n_blocks": existing["n_blocks"],
+                        "postings_bytes": existing["postings_bytes"],
+                        "lineage": lin,
+                    }
+                ]
+            )
+        docs_pdf, postings, stats = build_segment_frames(pdf, pid, analyzer)
+        nbytes = _write_segment(index_dir, pid, docs_pdf, postings)
+        manifest = {
+            "pid": pid,
+            "lineage": lin,
+            "input_rows": len(pdf),
+            "status": "complete",
+            "postings_bytes": nbytes,
+            **stats,
+        }
+        store.write_manifest(index_dir, pid, manifest)
+        return pd.DataFrame([{"pid": pid, "status": "built", "input_rows": len(pdf), "postings_bytes": nbytes, "lineage": lin, **stats}])
+
+    return fn
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_dir: str,
+    num_partitions: int | None = None,
+    analyzer: str = "standard",
+) -> dict:
+    """Full index build: route → per-partition segment build → stats tables.
+
+    One shuffle total. Scale notes: num_partitions is the shard count — size
+    it so a segment's text fits an executor (e.g. 100 TB / 2 GB ≈ 50k
+    partitions); everything downstream (stats aggregation) is partial/final
+    aggregation over the compact postings, orders of magnitude smaller than
+    the input.
+    """
+    num_partitions = num_partitions or max(spark.sparkContext.defaultParallelism, 8)
+    os.makedirs(index_dir, exist_ok=True)
+
+    cols = [c for c in pages.columns if c != "html"]  # html never shuffles; text is the extracted source
+    routed = pages.select(*cols).withColumn(
+        "pid", F.pmod(F.xxhash64("url"), F.lit(num_partitions)).cast("int")
+    )
+    metrics = (
+        routed.groupBy("pid")
+        .applyInPandas(segment_builder(index_dir, analyzer), METRICS_SCHEMA)
+        .collect()
+    )
+
+    meta = store.IndexMeta(analyzer=analyzer, num_partitions=num_partitions)
+    meta.doc_count = sum(r["n_docs"] for r in metrics)
+    meta.sum_dl = sum(r["sum_dl"] for r in metrics)
+
+    # dfs-phase stats table: global (term, df, cf) — partial/final agg over
+    # compact postings blocks (SURVEY §3.1 DFS variant / DfsPhase.java:31-81)
+    postings = spark.read.parquet(store.postings_glob(index_dir))
+    ts_path = store.term_stats_path(index_dir)
+    os.makedirs(os.path.dirname(ts_path), exist_ok=True)
+    (
+        postings.groupBy("term")
+        .agg(F.sum("n").cast("long").alias("df"), F.sum("sum_tf").cast("long").alias("cf"))
+        .repartition(max(1, num_partitions // 8), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(ts_path)
+    )
+    meta.save(index_dir)
+    return {
+        "doc_count": meta.doc_count,
+        "sum_dl": meta.sum_dl,
+        "avgdl": meta.avgdl,
+        "partitions": num_partitions,
+        "built": sum(1 for r in metrics if r["status"] == "built"),
+        "skipped": sum(1 for r in metrics if r["status"] == "skipped"),
+        "n_blocks": sum(r["n_blocks"] for r in metrics),
+        "postings_bytes": sum(r["postings_bytes"] for r in metrics),
+    }

@@ -1,0 +1,306 @@
+"""Top-k BM25 retrieval over the segment store.
+
+Two physical strategies, both returning identical results (tested):
+
+- ``naive``: decode every postings block of the query terms, score, and
+  aggregate — the correctness reference.
+- ``wand``: block-max WAND pruning (the reference's top-k path once
+  ``track_total_hits`` (10000) is passed —
+  ``server/.../search/query/TopDocsCollectorContext.java:211-216``; the
+  block-max skipping itself lives in Lucene 9.1). Our formulation is
+  region-at-a-time: doc-id space is cut at block boundaries into regions;
+  each region's upper bound is the sum of the covering blocks' per-block
+  score caps (idf·(k1+1)·maxtf/(maxtf+k1·(1−b+b·min_ql/avgdl))); regions are
+  processed in descending upper-bound order with a bounded top-k heap and
+  the scan STOPS at the first region whose bound can't beat the current
+  k-th score. Everything inside a region is fully scored, so the stop is
+  exact — rank-identical to naive.
+
+Distribution model (SURVEY §3.1): per-segment scoring runs as one Spark
+task via cogroup-applyInPandas (postings ⋈ norms on segment id) — the
+"per-shard query phase"; each task emits ≤k candidates; the global
+``orderBy(score desc, doc_id asc).limit(k)`` is the coordinator's k-way
+merge (``SearchPhaseController.java:186-205``) with the reference's
+deterministic tie-break. df/avgdl are read from the build-time stats
+tables and shipped as broadcast locals — the dfs-phase determinism
+mechanism (``DfsPhase.java:31-81``): scores never depend on partitioning.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import bm25
+from ..sources import index_store as store
+from .codec import decode_block
+
+CAND_SCHEMA = "doc_id long, score double, n_terms_matched int"
+
+
+def _term_weights(spark: SparkSession, index_dir: str, terms: list[str], meta: store.IndexMeta) -> dict[str, tuple[float, int]]:
+    """term -> (idf·(k1+1) weight, df). Tiny lookup (|terms| rows) against the
+    build-time stats table; unseen terms get df=0 and drop out."""
+    rows = (
+        spark.read.parquet(store.term_stats_path(index_dir))
+        .where(F.col("term").isin(terms))
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        w = float(bm25.idf(np.float64(r["df"]), meta.doc_count) * (meta.k1 + 1.0))
+        out[r["term"]] = (w, int(r["df"]))
+    return out
+
+
+def _score_segment_arrays(
+    post: pd.DataFrame,
+    weights: dict[str, tuple[float, int]],
+    norm_doc_ids: np.ndarray,
+    norm_ql: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+    allowed: np.ndarray | None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode + score all blocks in `post` → (doc_ids, scores, per-doc term counts)."""
+    all_docs, all_scores = [], []
+    for term, grp in post.groupby("term", sort=False):
+        w = weights[term][0]
+        ids_list, tf_list = [], []
+        for fd, ib, tb in zip(grp["first_doc_id"], grp["ids_bytes"], grp["tf_bytes"]):
+            ids, tfs = decode_block(ib, tb, int(fd))
+            ids_list.append(ids)
+            tf_list.append(tfs)
+        ids = np.concatenate(ids_list)
+        tfs = np.concatenate(tf_list)
+        pos = np.searchsorted(norm_doc_ids, ids)
+        ql = norm_ql[pos]
+        s = w * bm25.tf_norm(tfs, ql, avgdl, k1, b)
+        all_docs.append(ids)
+        all_scores.append(s)
+    docs = np.concatenate(all_docs)
+    scores = np.concatenate(all_scores)
+    if allowed is not None:
+        pos = np.searchsorted(allowed, docs)
+        ok = (pos < len(allowed)) & (allowed[np.minimum(pos, len(allowed) - 1)] == docs)
+        docs, scores = docs[ok], scores[ok]
+    if len(docs) == 0:
+        return docs, scores, np.zeros(0, dtype=np.int64)
+    uniq, inv, counts = np.unique(docs, return_inverse=True, return_counts=True)
+    summed = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(summed, inv, scores)
+    return uniq, summed, counts
+
+
+def _topk_from_arrays(docs, scores, counts, k, msm) -> pd.DataFrame:
+    if msm > 1:
+        keep = counts >= msm
+        docs, scores, counts = docs[keep], scores[keep], counts[keep]
+    if len(docs) > k:
+        # bounded selection: score desc, doc_id asc tie-break
+        idx = np.lexsort((docs, -scores))[:k]
+    else:
+        idx = np.lexsort((docs, -scores))
+    return pd.DataFrame(
+        {"doc_id": docs[idx], "score": scores[idx], "n_terms_matched": counts[idx].astype(np.int32)}
+    )
+
+
+def segment_scorer(
+    weights: dict[str, tuple[float, int]],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+    msm: int,
+    mode: str,
+):
+    """cogroup-applyInPandas fn: (postings of one segment, norms of one
+    segment) → ≤k candidate rows."""
+
+    def fn(post: pd.DataFrame, norms: pd.DataFrame) -> pd.DataFrame:
+        if len(post) == 0 or len(norms) == 0:
+            return pd.DataFrame({"doc_id": [], "score": [], "n_terms_matched": []}).astype(
+                {"doc_id": "int64", "score": "float64", "n_terms_matched": "int32"}
+            )
+        nsort = np.argsort(norms["doc_id"].to_numpy(), kind="mergesort")
+        norm_doc_ids = norms["doc_id"].to_numpy()[nsort]
+        norm_ql = norms["ql"].to_numpy()[nsort]
+        allowed = None
+        if "allowed" in norms.columns:
+            al = norms["allowed"].to_numpy()[nsort]
+            allowed = norm_doc_ids[al.astype(bool)]
+        if mode == "wand" and msm <= 1:
+            return _wand_segment(post, weights, norm_doc_ids, norm_ql, avgdl, k1, b, k, allowed)
+        docs, scores, counts = _score_segment_arrays(
+            post, weights, norm_doc_ids, norm_ql, avgdl, k1, b, allowed
+        )
+        return _topk_from_arrays(docs, scores, counts, k, msm)
+
+    return fn
+
+
+def _wand_segment(post, weights, norm_doc_ids, norm_ql, avgdl, k1, b, k, allowed) -> pd.DataFrame:
+    """Region-at-a-time block-max WAND within one segment."""
+    terms = post["term"].to_numpy()
+    first = post["first_doc_id"].to_numpy()
+    last = post["last_doc_id"].to_numpy()
+    w = np.array([weights[t][0] for t in terms], dtype=np.float64)
+    max_tf = post["max_tf"].to_numpy().astype(np.float64)
+    min_ql = post["min_ql"].to_numpy().astype(np.float64)
+    ub = w * (max_tf / (max_tf + k1 * (1.0 - b + b * min_ql / avgdl)))
+
+    # regions: cut doc space at block starts; a block [first,last] covers
+    # regions [idx(first), idx_of_region_containing(last)]
+    bounds = np.unique(first)
+    r_of_first = np.searchsorted(bounds, first)
+    r_of_last = np.searchsorted(bounds, last, side="right") - 1
+    n_regions = len(bounds)
+    ub_region = np.zeros(n_regions + 1, dtype=np.float64)
+    np.add.at(ub_region, r_of_first, ub)
+    np.subtract.at(ub_region, r_of_last + 1, ub)
+    ub_region = np.cumsum(ub_region[:-1])
+
+    region_order = np.argsort(-ub_region, kind="mergesort")
+
+    # lazily decoded per-block postings, scored once
+    n_blocks = len(post)
+    b_ids: list[np.ndarray | None] = [None] * n_blocks
+    b_scores: list[np.ndarray | None] = [None] * n_blocks
+    ids_bytes = post["ids_bytes"].to_numpy()
+    tf_bytes = post["tf_bytes"].to_numpy()
+
+    # blocks grouped by covering region via interval list
+    blocks_by_region: list[list[int]] = [[] for _ in range(n_regions)]
+    for i in range(n_blocks):
+        for r in range(r_of_first[i], r_of_last[i] + 1):
+            blocks_by_region[r].append(i)
+
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+    out_docs, out_scores, out_counts = [], [], []
+
+    for r in region_order:
+        theta = heap[0][0] if len(heap) >= k else -np.inf
+        if ub_region[r] <= theta and len(heap) >= k:
+            break  # exact stop: no remaining region can beat the k-th score
+        lo = bounds[r]
+        hi = bounds[r + 1] if r + 1 < n_regions else np.iinfo(np.int64).max
+        docs_acc, score_acc = [], []
+        for i in blocks_by_region[r]:
+            if b_ids[i] is None:
+                ids, tfs = decode_block(ids_bytes[i], tf_bytes[i], int(first[i]))
+                pos = np.searchsorted(norm_doc_ids, ids)
+                ql = norm_ql[pos]
+                b_ids[i] = ids
+                b_scores[i] = w[i] * bm25.tf_norm(tfs, ql, avgdl, k1, b)
+            ids, sc = b_ids[i], b_scores[i]
+            s0, s1 = np.searchsorted(ids, lo), np.searchsorted(ids, hi)
+            docs_acc.append(ids[s0:s1])
+            score_acc.append(sc[s0:s1])
+        if not docs_acc:
+            continue
+        docs = np.concatenate(docs_acc)
+        scores = np.concatenate(score_acc)
+        if allowed is not None and len(docs):
+            pos = np.searchsorted(allowed, docs)
+            ok = (pos < len(allowed)) & (allowed[np.minimum(pos, len(allowed) - 1)] == docs)
+            docs, scores = docs[ok], scores[ok]
+        if len(docs) == 0:
+            continue
+        uniq, inv, counts = np.unique(docs, return_inverse=True, return_counts=True)
+        summed = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(summed, inv, scores)
+        for d, s, c in zip(uniq, summed, counts):
+            item = (float(s), -int(d), int(c))
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+
+    for s, nd, c in heap:
+        out_docs.append(-nd)
+        out_scores.append(s)
+        out_counts.append(c)
+    return pd.DataFrame(
+        {
+            "doc_id": np.array(out_docs, dtype=np.int64),
+            "score": np.array(out_scores, dtype=np.float64),
+            "n_terms_matched": np.array(out_counts, dtype=np.int32),
+        }
+    )
+
+
+def search_topk(
+    spark: SparkSession,
+    index_dir: str,
+    query_terms: list[str],
+    k: int = 10,
+    operator: str = "or",
+    minimum_should_match: int | None = None,
+    mode: str = "wand",
+    doc_filter=None,
+    fetch: bool = True,
+) -> DataFrame:
+    """Multi-term BM25 top-k over the index (query-then-fetch lifecycle).
+
+    doc_filter: optional fn(docs_df) -> Column — the bool.filter context,
+    evaluated on the docs table (unscored, like the reference's filter
+    clauses), restricting which docs may match.
+    """
+    meta = store.IndexMeta.load(index_dir)
+    terms = list(dict.fromkeys(query_terms))
+    weights = _term_weights(spark, index_dir, terms, meta)
+    live = [t for t in terms if t in weights]
+    msm = len(live) if operator == "and" else int(minimum_should_match or 1)
+    empty = spark.createDataFrame([], CAND_SCHEMA)
+    if not live or (operator == "and" and len(live) < len(terms)):
+        cands = empty
+    else:
+        postings = (
+            spark.read.parquet(store.postings_glob(index_dir))
+            .where(F.col("term").isin(live))
+            .select(
+                "term", "seg_id", "first_doc_id", "last_doc_id", "n",
+                "max_tf", "min_ql", "ids_bytes", "tf_bytes",
+            )
+        )
+        docs = spark.read.parquet(store.docs_glob(index_dir))
+        seg_map = {int(c): cur for c, cur in ((int(x), meta.current_seg(int(x))) for x in meta.seg_map)} if meta.seg_map else {}
+        cur_seg = F.col("seg_id")
+        if seg_map:
+            mapping = F.create_map(*[F.lit(x) for kv in seg_map.items() for x in kv])
+            cur_seg = F.coalesce(mapping[F.col("seg_id")], F.col("seg_id"))
+        norm_cols = [
+            cur_seg.alias("cseg"),
+            F.col("doc_id"),
+            F.expr(f"({bm25.sql_quantized_dl_expr('dl')})").cast("long").alias("ql"),
+        ]
+        if doc_filter is not None:
+            # bool.filter context: evaluated on the docs table, unscored
+            norm_cols.append(doc_filter(docs).cast("boolean").alias("allowed"))
+        norms = docs.select(*norm_cols)
+        postings = postings.withColumn("cseg", cur_seg if not seg_map else F.coalesce(mapping[F.col("seg_id")], F.col("seg_id")))
+        # can_match analog (CanMatchPreFilterSearchPhase.java:66): only ship
+        # norms of segments that actually contain a query term — for tail
+        # queries this prunes most of the docs-table scan
+        live_segs = [r["cseg"] for r in postings.select("cseg").distinct().collect()]
+        norms = norms.where(F.col("cseg").isin(live_segs))
+        fn = segment_scorer(weights, meta.avgdl, meta.k1, meta.b, k, msm, mode)
+        cands = (
+            postings.groupBy("cseg")
+            .cogroup(norms.groupBy("cseg"))
+            .applyInPandas(lambda pl, nr: fn(pl, nr), CAND_SCHEMA)
+        )
+    top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if not fetch:
+        return top
+    # fetch phase: ship the tiny global top-k back to the wide store and
+    # broadcast-join (the second round-trip of query_then_fetch,
+    # FetchSearchPhase.java / FetchPhase.java:62)
+    docs = spark.read.parquet(store.docs_glob(index_dir)).select("doc_id", "url", "lang", "warc_ts")
+    return docs.join(F.broadcast(top), "doc_id").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -1,0 +1,135 @@
+"""Index storage layout, lineage manifests, and checkpoint-resume.
+
+Plays the role of the reference's shard/segment/translog persistence
+(segments: ``server/.../index/engine/InternalEngine.java:1800`` refresh;
+translog + seqno checkpoints: ``server/.../index/translog/Translog.java:90-102``,
+``server/.../index/seqno/LocalCheckpointTracker.java:99-133``), re-expressed
+as: immutable Parquet segment files + per-partition JSON lineage manifests.
+A manifest is written only after its segment files are fully written
+(write-temp-then-rename), so a manifest's existence IS the commit point —
+the resume path skips any partition whose manifest matches the input
+lineage hash. In production the same layout is an Iceberg table whose
+snapshot commit replaces the manifest-of-manifests; this sandbox has no
+Iceberg runtime so plain Parquet directories stand in.
+
+Layout:
+    <index_dir>/
+      index_meta.json            {analyzer, num_partitions, doc_count, sum_dl,
+                                  avgdl, k1, b, seg_map}
+      segments/seg=<id>/docs.parquet       doc_id,url,warc_ts,lang,text,dl,norm,seg_id
+      segments/seg=<id>/postings.parquet   term,seg_id,block_id,first_doc_id,
+                                           last_doc_id,n,max_tf,min_ql,sum_tf,
+                                           ids_bytes,tf_bytes
+      stats/term_stats.parquet   term, df, cf   (the dfs-phase broadcast table)
+      manifests/part-<pid>.json  {pid, lineage, input_rows, n_docs, sum_dl,
+                                  n_terms, n_blocks, status, files}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+
+def seg_dir(index_dir: str, seg: int) -> str:
+    return os.path.join(index_dir, "segments", f"seg={seg}")
+
+
+def manifest_path(index_dir: str, pid: int) -> str:
+    return os.path.join(index_dir, "manifests", f"part-{pid}.json")
+
+
+def read_manifest(index_dir: str, pid: int) -> dict | None:
+    p = manifest_path(index_dir, pid)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
+
+
+def write_manifest(index_dir: str, pid: int, manifest: dict) -> None:
+    os.makedirs(os.path.join(index_dir, "manifests"), exist_ok=True)
+    p = manifest_path(index_dir, pid)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, p)  # atomic commit point
+
+
+def all_manifests(index_dir: str) -> list[dict]:
+    d = os.path.join(index_dir, "manifests")
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if name.startswith("part-") and name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+@dataclass
+class IndexMeta:
+    analyzer: str
+    num_partitions: int
+    doc_count: int = 0
+    sum_dl: int = 0
+    k1: float = 1.2
+    b: float = 0.75
+    # container seg -> current (post-merge) segment id; identity at build
+    seg_map: dict = field(default_factory=dict)
+
+    @property
+    def avgdl(self) -> float:
+        return float(self.sum_dl) / self.doc_count if self.doc_count else 1.0
+
+    def save(self, index_dir: str) -> None:
+        p = os.path.join(index_dir, "index_meta.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "analyzer": self.analyzer,
+                    "num_partitions": self.num_partitions,
+                    "doc_count": self.doc_count,
+                    "sum_dl": self.sum_dl,
+                    "k1": self.k1,
+                    "b": self.b,
+                    "seg_map": self.seg_map,
+                },
+                f,
+            )
+        os.replace(tmp, p)
+
+    @classmethod
+    def load(cls, index_dir: str) -> "IndexMeta":
+        with open(os.path.join(index_dir, "index_meta.json")) as f:
+            d = json.load(f)
+        return cls(
+            analyzer=d["analyzer"],
+            num_partitions=d["num_partitions"],
+            doc_count=d["doc_count"],
+            sum_dl=d["sum_dl"],
+            k1=d["k1"],
+            b=d["b"],
+            seg_map={str(k): int(v) for k, v in d.get("seg_map", {}).items()},
+        )
+
+    def current_seg(self, container_seg: int) -> int:
+        return int(self.seg_map.get(str(container_seg), container_seg))
+
+
+def postings_glob(index_dir: str) -> str:
+    return os.path.join(index_dir, "segments", "seg=*", "postings.parquet")
+
+
+def docs_glob(index_dir: str) -> str:
+    return os.path.join(index_dir, "segments", "seg=*", "docs.parquet")
+
+
+def term_stats_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "stats", "term_stats.parquet")

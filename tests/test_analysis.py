@@ -1,0 +1,95 @@
+import numpy as np
+
+from elasticsearch_spark.functions.analysis import (
+    MAX_TOKEN_LENGTH,
+    analyze_detail,
+    html_strip,
+    regex_simple_tokenize,
+    standard_tokenize,
+)
+from elasticsearch_spark.sources.pages import pages_pdf
+
+
+def test_uax29_word_joins():
+    toks = standard_tokenize("The quick fox visits example.com, don't stop at 3.14 or 1,000!")
+    assert "example.com" in toks
+    assert "don't" in toks
+    assert "3.14" in toks
+    assert "1,000" in toks
+    assert "the" in toks  # lowercased
+
+
+def test_letters_digits_join_directly():
+    assert standard_tokenize("abc123 x2y") == ["abc123", "x2y"]
+
+
+def test_midletter_not_between_digits_and_letters():
+    # comma joins digits only; trailing mid chars are dropped
+    assert standard_tokenize("a,b 5,6 end.") == ["a", "b", "5,6", "end"]
+
+
+def test_extendnumlet_underscore():
+    assert standard_tokenize("foo_bar _lead trail_") == ["foo_bar", "_lead", "trail_"]
+    assert standard_tokenize("___") == []
+
+
+def test_cjk_segmentation():
+    assert standard_tokenize("例子") == ["例", "子"]  # Han: one token per ideograph
+    assert standard_tokenize("する") == ["す", "る"]  # Hiragana: per char
+    assert standard_tokenize("カタカナ") == ["カタカナ"]  # Katakana: runs
+    assert standard_tokenize("한국어") == ["한국어"]  # Hangul: runs
+
+
+def test_max_token_length_split():
+    long = "x" * 300
+    toks = standard_tokenize(long)
+    assert toks == ["x" * MAX_TOKEN_LENGTH, "x" * (300 - MAX_TOKEN_LENGTH)]
+
+
+def test_unicode_lowercase():
+    assert standard_tokenize("Zürich CAFÉ") == ["zürich", "café"]
+
+
+def test_analyze_detail_offsets_positions():
+    d = analyze_detail("Hello, wörld 42")
+    assert [t["token"] for t in d] == ["hello", "wörld", "42"]
+    assert [t["position"] for t in d] == [0, 1, 2]
+    assert d[0]["start_offset"] == 0 and d[0]["end_offset"] == 5
+    assert d[1]["start_offset"] == 7 and d[1]["end_offset"] == 12
+
+
+def test_html_strip_basics():
+    html = (
+        b"<html><head><title>T</title><script>if(x<1){}</script></head>"
+        b"<body><h1>Head</h1><p>hello &amp; world</p><b>bold <i>it</i></b>"
+        b"<!-- comment --> <br>tail</body></html>"
+    )
+    text = html_strip(html)
+    assert "hello & world" in text
+    assert "script" not in text and "if(x" not in text
+    assert "comment" not in text
+    assert "bold it" in text
+    assert "\ntail" in text  # <br> is a block tag → newline
+
+
+def test_html_strip_broken_markup():
+    assert "abc" in html_strip("<p>abc<b unterminated")
+    assert html_strip(None) == ""
+
+
+def test_pages_text_byte_identity():
+    """The input_hint invariant: stored text == html_strip(html) per url."""
+    pdf = pages_pdf(100)
+    for h, t in zip(pdf.html, pdf.text):
+        assert html_strip(h) == t
+
+
+def test_regex_simple_matches_sql_semantics():
+    assert regex_simple_tokenize("Hello, World-42 foo") == ["hello", "world", "42", "foo"]
+
+
+def test_determinism():
+    pdf1, pdf2 = pages_pdf(50), pages_pdf(50)
+    assert pdf1.equals(pdf2)
+    assert (pdf1.url.iloc[99:0:-1] != "").all() if len(pdf1) > 99 else True
+    assert np.array_equal(pdf1.dtypes.index, pdf2.dtypes.index)

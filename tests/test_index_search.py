@@ -1,0 +1,120 @@
+"""End-to-end north-star gate: build → BM25 top-k rank-identity vs the
+independent oracle (FIXTURES.md G2), for naive and block-max WAND paths,
+plus engine semantics (dedup-by-url, zero-hit terms, msm, filters) and
+checkpoint-resume."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.operators.topk import search_topk
+from elasticsearch_spark.sources import index_store as store
+from elasticsearch_spark.sources.pages import query_set
+from tests.conftest import assert_rank_identical
+
+
+def run(spark, index_dir, url_of, terms, op="or", mode="wand", k=10, msm=None, doc_filter=None):
+    res = search_topk(
+        spark, index_dir, terms, k=k, operator=op, minimum_should_match=msm, mode=mode,
+        doc_filter=doc_filter, fetch=False,
+    ).collect()
+    return [(url_of[r.doc_id], r.score) for r in res]
+
+
+@pytest.mark.parametrize("mode", ["naive", "wand"])
+def test_disjunctive_rank_identity(spark, index_dir, oracle, url_of, doc_id_of, mode):
+    for q in [q for q in query_set(40) if q.kind == "disjunctive"][:8]:
+        terms = [t.lower() for t in q.terms]
+        got = run(spark, index_dir, url_of, terms, "or", mode)
+        exp = oracle.topk(terms, 10, "or", tiebreak=doc_id_of)
+        assert_rank_identical(got, exp)
+
+
+@pytest.mark.parametrize("mode", ["naive", "wand"])
+def test_conjunctive_rank_identity(spark, index_dir, oracle, url_of, doc_id_of, mode):
+    for q in [q for q in query_set(100) if q.kind == "conjunctive"][:8]:
+        terms = [t.lower() for t in q.terms]
+        got = run(spark, index_dir, url_of, terms, "and", mode)
+        exp = oracle.topk(terms, 10, "and", tiebreak=doc_id_of)
+        assert_rank_identical(got, exp)
+
+
+def test_hot_term_queries(spark, index_dir, oracle, url_of, doc_id_of):
+    # stopword-scale terms: WAND must prune yet stay exact
+    for terms in (["the", "w00001"], ["the", "of", "and"], ["the"]):
+        got = run(spark, index_dir, url_of, terms, "or", "wand")
+        exp = oracle.topk(terms, 10, "or", tiebreak=doc_id_of)
+        assert_rank_identical(got, exp)
+
+
+def test_zero_hit_and_partial_oov(spark, index_dir, oracle, url_of, doc_id_of):
+    assert run(spark, index_dir, url_of, ["zzoovnothere"], "or", "wand") == []
+    # OOV term in AND → zero hits (MatchQueryParser zero_terms handling)
+    assert run(spark, index_dir, url_of, ["the", "zzoovnothere"], "and", "wand") == []
+    # OOV term in OR → scored on remaining terms
+    got = run(spark, index_dir, url_of, ["w00005", "zzoovnothere"], "or", "wand")
+    exp = oracle.topk(["w00005"], 10, "or", tiebreak=doc_id_of)
+    assert_rank_identical(got, exp)
+
+
+def test_minimum_should_match(spark, index_dir, oracle, url_of, doc_id_of):
+    terms = ["w00001", "w00002", "w00003"]
+    got = run(spark, index_dir, url_of, terms, "or", "naive", msm=2)
+    exp = oracle.topk(terms, 10, "or", msm=2, tiebreak=doc_id_of)
+    assert_rank_identical(got, exp)
+
+
+def test_filtered_query(spark, index_dir, oracle, url_of, doc_id_of):
+    got = run(
+        spark, index_dir, url_of, ["w00001", "w00010"], "or", "wand",
+        doc_filter=lambda d: F.col("lang") == "en",
+    )
+    exp = oracle.topk(["w00001", "w00010"], 10, "or", url_pred=lambda u: oracle.lang[u] == "en", tiebreak=doc_id_of)
+    assert_rank_identical(got, exp)
+
+
+def test_dedup_latest_by_url(spark, index_dir, oracle):
+    # generator emits 1% duplicate urls; engine keeps exactly one per url
+    docs = spark.read.parquet(index_dir + "/segments/seg=*/docs.parquet")
+    n = docs.count()
+    assert n == docs.select("url").distinct().count()
+    assert n == oracle.n
+
+
+def test_doc_ids_deterministic_and_dense(spark, index_dir):
+    docs = spark.read.parquet(index_dir + "/segments/seg=*/docs.parquet").select("seg_id", "doc_id").toPandas()
+    for seg, grp in docs.groupby("seg_id"):
+        ids = np.sort(grp.doc_id.to_numpy())
+        base = int(seg) << 40
+        assert np.array_equal(ids, base + np.arange(len(ids)))
+
+
+def test_resume_skips_complete_partitions(spark, tmp_path):
+    from elasticsearch_spark.operators.postings import build_index
+    from elasticsearch_spark.sources.pages import pages_df
+
+    d = str(tmp_path / "idx")
+    pages = pages_df(spark, 120, n_parts=3)
+    r1 = build_index(spark, pages, d, num_partitions=4)
+    assert r1["built"] == 4 and r1["skipped"] == 0
+    r2 = build_index(spark, pages, d, num_partitions=4)
+    assert r2["built"] == 0 and r2["skipped"] == 4
+    assert r2["doc_count"] == r1["doc_count"] and r2["n_blocks"] == r1["n_blocks"]
+    # damage one partition's manifest → only that one rebuilds
+    os.remove(store.manifest_path(d, 2))
+    r3 = build_index(spark, pages, d, num_partitions=4)
+    assert r3["built"] == 1 and r3["skipped"] == 3
+    assert r3["doc_count"] == r1["doc_count"]
+
+
+def test_wand_equals_naive_on_many_queries(spark, index_dir, url_of):
+    for q in query_set(30):
+        terms = [t.lower() for t in q.terms]
+        op = "and" if q.kind == "conjunctive" else "or"
+        a = run(spark, index_dir, url_of, terms, op, "naive")
+        b = run(spark, index_dir, url_of, terms, op, "wand")
+        assert [x[0] for x in a] == [x[0] for x in b]
+        np.testing.assert_allclose([x[1] for x in a], [x[1] for x in b], rtol=1e-12)
