@@ -1,38 +1,57 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship — full engine path (analyzer → postings/segment
+  build → block-max WAND BM25 top-k → fetch) over the sf0.001 documents table.
+- ``queries()`` / ``oracle_sql()``: the operator registry
+  (elasticsearch_spark/registry.py), each Spark DataFrame implementation
+  paired with an equivalent DuckDB-runnable ANSI-SQL oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from elasticsearch_spark import registry  # noqa: E402
+
+
+def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id, text, lang, …) → pages(url, warc_ts, text, lang)
+    shape the index build expects; url = zero-padded doc_id so lexicographic
+    url order == numeric doc order (deterministic internal doc ids)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.format_string("doc%012d", F.col("doc_id")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.col("text"),
+        F.col("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Build the inverted index over sf0.001 documents, run a disjunctive
+    BM25 top-10 with block-max WAND, fetch the source rows."""
+    from elasticsearch_spark.operators.postings import build_index
+    from elasticsearch_spark.operators.topk import search_topk
+
+    sf_dir = "/root/testdata/sf0.001"
+    index_dir = "/tmp/es_spark_entry_index"
+    build_index(spark, _docs_as_pages(spark, sf_dir), index_dir, num_partitions=4,
+                analyzer="regex_simple")
+    hits = search_topk(spark, index_dir, ["spark", "merge", "vector"], k=10, mode="wand")
+    return hits.select(
+        F.col("url"), F.col("lang"), F.round("score", 4).alias("score")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(registry.ORACLES)

@@ -1,0 +1,118 @@
+"""Benchmark harness (driver-run per round; also the scaling-evidence tool).
+
+Phases:
+- ``index_build``: full indexing pipeline (generate pages → route →
+  per-partition tokenize/postings/encode → segment files + stats tables)
+  over a deterministic Common-Crawl-style pages table scaled by sf.
+- ``wand_queries``: BM25 top-10 latency over the built index for a slice of
+  the reference query set (disjunctive + conjunctive, block-max WAND).
+- registry headline queries at $SPARK_GRAFT_SF_DIR (fulltext scoring, aggs,
+  dedup, similarity).
+
+Prints ONE JSON line:
+  {"metric": "bench_total", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>, "index_docs_per_sec": ..., ...}
+
+Scaling evidence (north rule): run twice on identical input,
+  SPARK_GRAFT_CPUS=8 python bench.py   vs   SPARK_GRAFT_CPUS=32 python bench.py
+and compare index_docs_per_sec (see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from elasticsearch_spark import registry  # noqa: E402
+from elasticsearch_spark.operators.postings import build_index  # noqa: E402
+from elasticsearch_spark.operators.topk import search_topk  # noqa: E402
+from elasticsearch_spark.session import get_spark  # noqa: E402
+from elasticsearch_spark.sources.pages import pages_df, query_set  # noqa: E402
+
+REGISTRY_BENCH = [
+    "match_or_bm25",
+    "match_and_bm25",
+    "agg_terms",
+    "agg_date_histogram",
+    "agg_significant_terms",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", str(max(20_000, int(1_000_000 * sf)))))
+    spark = get_spark(
+        app_name=f"bench-c{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+
+    # --- phase 1: index build throughput -----------------------------------
+    # input table is materialized once (same parquet bytes at every
+    # parallelism level — the "index an existing table" semantics the north
+    # rule measures); generation time is NOT in the build timing
+    pages_path = f"/tmp/es_bench_pages_n{n_pages}"
+    if not os.path.exists(pages_path + "/_SUCCESS"):
+        pages_df(spark, n_pages, n_parts=64).write.mode("overwrite").parquet(pages_path)
+    index_dir = f"/tmp/es_bench_index_c{cpus}_n{n_pages}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    pages = spark.read.parquet(pages_path)
+    t0 = time.perf_counter()
+    info = build_index(spark, pages, index_dir, num_partitions=cpus * 2)
+    t_build = time.perf_counter() - t0
+    timings["index_build"] = round(t_build, 3)
+    docs_per_sec = info["doc_count"] / t_build
+
+    # --- phase 2: WAND top-10 latency over the index -----------------------
+    from elasticsearch_spark.operators.topk import IndexReader
+
+    reader = IndexReader(spark, index_dir)
+    qs = [q for q in query_set() if q.kind in ("disjunctive", "conjunctive")][:10]
+    t0 = time.perf_counter()
+    for q in qs:
+        op = "and" if q.kind == "conjunctive" else "or"
+        search_topk(
+            spark, index_dir, list(q.terms), k=10, operator=op, mode="wand",
+            fetch=False, reader=reader,
+        ).collect()
+    timings["wand_queries_x10"] = round(time.perf_counter() - t0, 3)
+    reader.close()
+
+    # --- phase 3: registry headline queries at sf_dir ----------------------
+    for name in REGISTRY_BENCH:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = time.perf_counter() - t_all
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "index_pages": n_pages,
+                "index_docs": info["doc_count"],
+                "index_docs_per_sec": round(docs_per_sec, 1),
+                "index_postings_mb": round(info["postings_bytes"] / 1e6, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

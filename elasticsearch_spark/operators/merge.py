@@ -1,0 +1,236 @@
+"""Tiered segment merge (compaction) + salted global term-stats rebuild.
+
+The Spark re-expression of the reference's background merge
+(``server/src/main/java/org/elasticsearch/index/MergePolicyConfig.java:108-113``:
+≤10 segments per tier, 5 GB max merged segment, 2 MB floor;
+``server/.../index/EsTieredMergePolicy.java:24-33``). Semantics: segments
+are immutable sorted runs; a merge selects a size-tier of segments and
+sort-merges their postings on (term, docID) into one new segment —
+docID spaces of distinct segments are disjoint by construction
+(``doc_id = pid << 40 | row``), so the merge is a concat-in-docID-order
+per term followed by a re-block + re-encode, exactly Lucene's merge of
+postings iterators.
+
+Execution model: one Spark task per merge group (``mapInPandas`` over a
+group-spec frame) — each task reads the group's segment files from shared
+storage, merges in numpy, writes the new segment, and commits a merge
+manifest. At 100 TB scale this is the standard compaction-job shape: the
+work is embarrassingly parallel across groups and each group is bounded by
+``max_merged_bytes``.
+
+Hot-term skew (north rule): the global term-stats rebuild aggregates
+postings blocks with an EXPLICIT two-phase salted aggregation —
+``groupBy(term, salt = pmod(seg_id, S))`` partial sums, then
+``groupBy(term)`` final — so a stopword-scale term ("the" in 60% of docs)
+never funnels all its block rows through one reducer. (The analog of the
+reference spreading a hot routing key via ``routing_partition_size``,
+``server/.../cluster/routing/IndexRouting.java:217-227``.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import index_store as store
+from .codec import decode_block
+from .postings import encode_postings_blocks
+
+# reference defaults, scaled for sandbox testing via parameters
+SEGMENTS_PER_TIER = 10
+MAX_MERGED_BYTES = 5 * 2**30
+FLOOR_BYTES = 2 * 2**20
+
+MERGED_SEG_BASE = 1 << 20  # merged segment ids live above build pids
+
+
+def _seg_sizes(index_dir: str) -> dict[int, int]:
+    """segment id -> postings file size in bytes, from the store."""
+    root = os.path.join(index_dir, "segments")
+    out = {}
+    if not os.path.isdir(root):
+        return out
+    for name in os.listdir(root):
+        if name.startswith("seg="):
+            p = os.path.join(root, name, "postings.parquet")
+            if os.path.exists(p):
+                out[int(name.split("=", 1)[1])] = os.path.getsize(p)
+    return out
+
+
+def plan_merges(
+    index_dir: str,
+    segments_per_tier: int = SEGMENTS_PER_TIER,
+    max_merged_bytes: int = MAX_MERGED_BYTES,
+    floor_bytes: int = FLOOR_BYTES,
+) -> list[list[int]]:
+    """Tiered merge selection: sort segments by size ascending (sizes below
+    ``floor_bytes`` count as the floor, like the reference's floorSegmentMB);
+    greedily group up to ``segments_per_tier`` adjacent segments whose
+    combined size stays under ``max_merged_bytes``. Groups of one are not
+    merged."""
+    sizes = _seg_sizes(index_dir)
+    order = sorted(sizes, key=lambda s: (max(sizes[s], floor_bytes), s))
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_bytes = 0
+    for seg in order:
+        sz = max(sizes[seg], floor_bytes)
+        if cur and (len(cur) >= segments_per_tier or cur_bytes + sz > max_merged_bytes):
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(seg)
+        cur_bytes += sz
+    if cur:
+        groups.append(cur)
+    return [g for g in groups if len(g) > 1]
+
+
+def merge_group_local(index_dir: str, segs: list[int], new_seg: int) -> dict:
+    """Sort-merge one group of segments into ``seg=<new_seg>``. Pure local
+    function (one Spark task; also unit-testable). Returns the merge
+    manifest dict."""
+    # docs: concat, keep sorted by doc_id (disjoint per-segment ranges)
+    docs_tables = [pq.read_table(os.path.join(store.seg_dir(index_dir, s), "docs.parquet")) for s in sorted(segs)]
+    docs = pa.concat_tables(docs_tables)
+    d_sort = pa.compute.sort_indices(docs["doc_id"])
+    docs = docs.take(d_sort)
+    seg_col = pa.array(np.full(docs.num_rows, new_seg, dtype=np.int32))
+    docs = docs.set_column(docs.schema.get_field_index("seg_id"), "seg_id", seg_col)
+
+    # ql lookup for min_ql block stats
+    doc_ids_sorted = docs["doc_id"].to_numpy()
+    from ..functions.smallfloat import byte4_to_int
+
+    ql_sorted = byte4_to_int(docs["norm"].to_numpy())
+
+    # postings: decode all blocks → flat (term, doc_id, tf), lexsort, re-encode
+    post_tables = [pq.read_table(os.path.join(store.seg_dir(index_dir, s), "postings.parquet")) for s in sorted(segs)]
+    post = pa.concat_tables(post_tables)
+    terms = post["term"].to_numpy(zero_copy_only=False)
+    firsts = post["first_doc_id"].to_numpy()
+    ids_b = post["ids_bytes"].to_numpy(zero_copy_only=False)
+    tf_b = post["tf_bytes"].to_numpy(zero_copy_only=False)
+    ns = post["n"].to_numpy()
+
+    flat_ids = np.empty(int(ns.sum()), dtype=np.int64)
+    flat_tfs = np.empty(int(ns.sum()), dtype=np.int64)
+    off = 0
+    for i in range(len(terms)):
+        ids, tfs = decode_block(ids_b[i], tf_b[i], int(firsts[i]))
+        flat_ids[off : off + len(ids)] = ids
+        flat_tfs[off : off + len(ids)] = tfs
+        off += len(ids)
+    flat_terms = np.repeat(terms, ns)
+
+    codes, uniques = pd.factorize(flat_terms, sort=True)
+    order = np.lexsort((flat_ids, codes))
+    p_code, p_docid, p_tfs = codes[order], flat_ids[order], flat_tfs[order]
+    pos = np.searchsorted(doc_ids_sorted, p_docid)
+    p_ql = ql_sorted[pos]
+
+    merged = encode_postings_blocks(np.asarray(uniques, dtype=object), p_code, p_docid, p_tfs, p_ql, new_seg)
+
+    d = store.seg_dir(index_dir, new_seg)
+    os.makedirs(d, exist_ok=True)
+    for name, tbl in (("docs.parquet", docs), ("postings.parquet", merged)):
+        tmp = os.path.join(d, f".{name}.tmp")
+        pq.write_table(tbl, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(d, name))
+
+    manifest = {
+        "new_seg": new_seg,
+        "merged_from": sorted(int(s) for s in segs),
+        "n_docs": int(docs.num_rows),
+        "n_blocks": int(merged.num_rows),
+        "postings_bytes": int(merged.nbytes),
+        "status": "complete",
+    }
+    mdir = os.path.join(index_dir, "manifests")
+    os.makedirs(mdir, exist_ok=True)
+    mp = os.path.join(mdir, f"merge-{new_seg}.json")
+    with open(mp + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.replace(mp + ".tmp", mp)  # commit point: manifest rename
+
+    # only after commit: drop the source segment dirs (crash before this
+    # leaves both copies; cleanup resolves by manifest)
+    for s in segs:
+        shutil.rmtree(store.seg_dir(index_dir, s), ignore_errors=True)
+    return manifest
+
+
+def rebuild_term_stats(spark: SparkSession, index_dir: str, num_salts: int = 16) -> None:
+    """Global (term, df, cf) rebuild with explicit two-phase salted
+    aggregation (hot-term skew handling, north rule)."""
+    postings = spark.read.parquet(store.postings_glob(index_dir))
+    partial = (
+        postings.groupBy("term", F.pmod(F.col("seg_id").cast("long"), F.lit(num_salts)).alias("salt"))
+        .agg(F.sum("n").cast("long").alias("pdf"), F.sum("sum_tf").cast("long").alias("pcf"))
+    )
+    final = partial.groupBy("term").agg(
+        F.sum("pdf").cast("long").alias("df"), F.sum("pcf").cast("long").alias("cf")
+    )
+    ts_path = store.term_stats_path(index_dir)
+    tmp_path = ts_path + ".tmp"
+    final.repartition(8, "term").sortWithinPartitions("term").write.mode("overwrite").parquet(tmp_path)
+    if os.path.exists(ts_path):
+        shutil.rmtree(ts_path)
+    os.replace(tmp_path, ts_path)
+
+
+def merge_index(
+    spark: SparkSession,
+    index_dir: str,
+    segments_per_tier: int = SEGMENTS_PER_TIER,
+    max_merged_bytes: int = MAX_MERGED_BYTES,
+    floor_bytes: int = FLOOR_BYTES,
+) -> dict:
+    """Run one round of tiered compaction: plan groups → one Spark task per
+    group → salted stats rebuild. Scores are unchanged by construction
+    (df/avgdl are global, docIDs survive the merge verbatim)."""
+    groups = plan_merges(index_dir, segments_per_tier, max_merged_bytes, floor_bytes)
+    if not groups:
+        return {"merges": 0, "segments_after": len(_seg_sizes(index_dir))}
+    existing_merged = [
+        int(n.split("=", 1)[1])
+        for n in os.listdir(os.path.join(index_dir, "segments"))
+        if n.startswith("seg=") and int(n.split("=", 1)[1]) >= MERGED_SEG_BASE
+    ]
+    next_id = max(existing_merged, default=MERGED_SEG_BASE - 1) + 1
+    specs = pd.DataFrame(
+        {
+            "gid": range(len(groups)),
+            "new_seg": [next_id + i for i in range(len(groups))],
+            "segs": [json.dumps(g) for g in groups],
+        }
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                m = merge_group_local(index_dir, json.loads(row["segs"]), int(row["new_seg"]))
+                out.append({"new_seg": m["new_seg"], "n_docs": m["n_docs"], "n_blocks": m["n_blocks"]})
+            yield pd.DataFrame(out)
+
+    res = (
+        spark.createDataFrame(specs)
+        .repartition(len(groups), "gid")
+        .mapInPandas(run, "new_seg int, n_docs long, n_blocks long")
+        .collect()
+    )
+    rebuild_term_stats(spark, index_dir)
+    return {
+        "merges": len(res),
+        "merged_docs": sum(r["n_docs"] for r in res),
+        "segments_after": len(_seg_sizes(index_dir)),
+    }

@@ -80,6 +80,72 @@ def tokenize_docs(texts: list[str], analyzer: str) -> tuple[np.ndarray, np.ndarr
     return flat, doc_idx, dls
 
 
+def encode_postings_blocks(
+    uniques: np.ndarray,
+    p_code: np.ndarray,
+    p_docid: np.ndarray,
+    tfs: np.ndarray,
+    p_ql: np.ndarray,
+    seg_id: int,
+) -> pa.Table:
+    """Flat postings (term-code, docID, tf, quantized-dl), lexsorted by
+    (term, docID) → encoded block table: ≤BLOCK_SIZE postings per block,
+    blocks never span terms, whole-stream delta+VByte encode sliced per
+    block, per-block WAND stats (max_tf, min_ql). Shared by the initial
+    segment build and the sort-merge compaction (both produce the identical
+    layout, like Lucene segments regardless of provenance)."""
+    # block split
+    newterm = np.r_[True, p_code[1:] != p_code[:-1]]
+    term_start_idx = np.nonzero(newterm)[0]
+    run_pos = np.arange(len(p_code)) - np.repeat(term_start_idx, np.diff(np.r_[term_start_idx, len(p_code)]))
+    is_block_start = newterm | (run_pos % BLOCK_SIZE == 0)
+    block_starts = np.nonzero(is_block_start)[0]
+    block_sizes = np.diff(np.r_[block_starts, len(p_code)])
+
+    # whole-segment delta + VByte encode, then slice per block
+    gaps = np.empty(len(p_docid), dtype=np.uint64)
+    gaps[0] = 0
+    gaps[1:] = (p_docid[1:] - p_docid[:-1]).astype(np.uint64)
+    gaps[block_starts] = 0  # first entry in a block is relative to first_doc_id
+    ids_stream, ids_len = vbyte_encode(gaps)
+    tf_stream, tf_len = vbyte_encode(tfs.astype(np.uint64))
+    ids_off = np.r_[0, np.cumsum(ids_len)]
+    tf_off = np.r_[0, np.cumsum(tf_len)]
+
+    block_ends = block_starts + block_sizes
+    ids_bytes = [ids_stream[ids_off[s] : ids_off[e]] for s, e in zip(block_starts, block_ends)]
+    tf_bytes = [tf_stream[tf_off[s] : tf_off[e]] for s, e in zip(block_starts, block_ends)]
+
+    # per-block stats for WAND upper bounds: max tf, min quantized dl
+    max_tf = np.maximum.reduceat(tfs, block_starts)
+    min_ql = np.minimum.reduceat(p_ql, block_starts)
+    sum_tf = np.add.reduceat(tfs, block_starts)
+    first_doc = p_docid[block_starts]
+    last_doc = p_docid[block_ends - 1]
+    b_code = p_code[block_starts]
+    # block_id within term
+    term_of_block = np.r_[True, b_code[1:] != b_code[:-1]]
+    tb_start = np.nonzero(term_of_block)[0]
+    block_id = np.arange(len(b_code)) - np.repeat(tb_start, np.diff(np.r_[tb_start, len(b_code)]))
+
+    return pa.table(
+        {
+            "term": pa.array(np.asarray(uniques, dtype=object)[b_code], type=pa.string()),
+            "seg_id": pa.array(np.full(len(b_code), seg_id, dtype=np.int32)),
+            "block_id": pa.array(block_id.astype(np.int32)),
+            "first_doc_id": pa.array(first_doc.astype(np.int64)),
+            "last_doc_id": pa.array(last_doc.astype(np.int64)),
+            "n": pa.array(block_sizes.astype(np.int32)),
+            "max_tf": pa.array(max_tf.astype(np.int32)),
+            "min_ql": pa.array(min_ql.astype(np.int32)),
+            "sum_tf": pa.array(sum_tf.astype(np.int64)),
+            "ids_bytes": pa.array(ids_bytes, type=pa.binary()),
+            "tf_bytes": pa.array(tf_bytes, type=pa.binary()),
+        },
+        schema=POSTINGS_PA_SCHEMA,
+    )
+
+
 def build_segment_frames(
     pdf: pd.DataFrame, pid: int, analyzer: str
 ) -> tuple[pd.DataFrame, pa.Table, dict]:
@@ -126,64 +192,12 @@ def build_segment_frames(
     p_code = c_s[starts]
     p_doc = d_s[starts]  # already ascending within each term
 
-    # 5) block split: ≤BLOCK_SIZE postings per block, blocks never span terms
-    newterm = np.r_[True, p_code[1:] != p_code[:-1]]
-    term_start_idx = np.nonzero(newterm)[0]
-    run_pos = np.arange(len(p_code)) - np.repeat(term_start_idx, np.diff(np.r_[term_start_idx, len(p_code)]))
-    is_block_start = newterm | (run_pos % BLOCK_SIZE == 0)
-    block_starts = np.nonzero(is_block_start)[0]
-    block_sizes = np.diff(np.r_[block_starts, len(p_code)])
-    block_of = np.repeat(np.arange(len(block_starts)), block_sizes)
-
-    # 6) whole-segment delta + VByte encode, then slice per block
-    p_docid = doc_ids[p_doc]
-    gaps = np.empty(len(p_docid), dtype=np.uint64)
-    gaps[0] = 0
-    gaps[1:] = (p_docid[1:] - p_docid[:-1]).astype(np.uint64)
-    gaps[block_starts] = 0  # first entry in a block is relative to first_doc_id
-    ids_stream, ids_len = vbyte_encode(gaps)
-    tf_stream, tf_len = vbyte_encode(tfs.astype(np.uint64))
-    ids_off = np.r_[0, np.cumsum(ids_len)]
-    tf_off = np.r_[0, np.cumsum(tf_len)]
-
-    block_ends = block_starts + block_sizes
-    ids_bytes = [ids_stream[ids_off[s] : ids_off[e]] for s, e in zip(block_starts, block_ends)]
-    tf_bytes = [tf_stream[tf_off[s] : tf_off[e]] for s, e in zip(block_starts, block_ends)]
-
-    # 7) per-block stats for WAND upper bounds: max tf, min quantized dl
-    p_ql = ql[p_doc]
-    max_tf = np.maximum.reduceat(tfs, block_starts)
-    min_ql = np.minimum.reduceat(p_ql, block_starts)
-    sum_tf = np.add.reduceat(tfs, block_starts)
-    first_doc = p_docid[block_starts]
-    last_doc = p_docid[block_ends - 1]
-    b_code = p_code[block_starts]
-    # block_id within term
-    term_of_block = np.r_[True, b_code[1:] != b_code[:-1]]
-    tb_start = np.nonzero(term_of_block)[0]
-    block_id = np.arange(len(b_code)) - np.repeat(tb_start, np.diff(np.r_[tb_start, len(b_code)]))
-
-    postings = pa.table(
-        {
-            "term": pa.array(uniques[b_code], type=pa.string()),
-            "seg_id": pa.array(np.full(len(b_code), pid, dtype=np.int32)),
-            "block_id": pa.array(block_id.astype(np.int32)),
-            "first_doc_id": pa.array(first_doc),
-            "last_doc_id": pa.array(last_doc),
-            "n": pa.array(block_sizes.astype(np.int32)),
-            "max_tf": pa.array(max_tf.astype(np.int32)),
-            "min_ql": pa.array(min_ql.astype(np.int32)),
-            "sum_tf": pa.array(sum_tf.astype(np.int64)),
-            "ids_bytes": pa.array(ids_bytes, type=pa.binary()),
-            "tf_bytes": pa.array(tf_bytes, type=pa.binary()),
-        },
-        schema=POSTINGS_PA_SCHEMA,
-    )
+    postings = encode_postings_blocks(uniques, p_code, doc_ids[p_doc], tfs, ql[p_doc], pid)
     stats = {
         "n_docs": int(n_docs),
         "sum_dl": int(dls.sum()),
         "n_terms": int(len(uniques)),
-        "n_blocks": int(len(b_code)),
+        "n_blocks": int(postings.num_rows),
     }
     return docs_pdf, postings, stats
 
@@ -213,11 +227,14 @@ def segment_builder(index_dir: str, analyzer: str):
         pid = int(key[0])
         lin = lineage_hash(pdf["url"], pdf["warc_ts"])
         existing = store.read_manifest(index_dir, pid)
+        seg_present = os.path.exists(
+            os.path.join(store.seg_dir(index_dir, pid), "postings.parquet")
+        ) or pid in store.merged_away_segs(index_dir)
         if (
             existing
             and existing.get("lineage") == lin
             and existing.get("status") == "complete"
-            and os.path.exists(os.path.join(store.seg_dir(index_dir, pid), "postings.parquet"))
+            and seg_present
         ):
             return pd.DataFrame(
                 [

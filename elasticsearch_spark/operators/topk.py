@@ -235,6 +235,42 @@ def _wand_segment(post, weights, norm_doc_ids, norm_ql, avgdl, k1, b, k, allowed
     )
 
 
+class IndexReader:
+    """Open index handle: caches the postings/docs frames and term-stats in
+    memory across queries — the Spark analog of ES keeping segment readers
+    open (and the OS page cache warm) between searches. At serving scale the
+    cache level is ``MEMORY_AND_DISK`` per executor; the frames stay
+    partitioned by segment so the per-query cogroup shuffles only cached
+    compact blocks, never the raw corpus."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.meta = store.IndexMeta.load(index_dir)
+        self.postings = spark.read.parquet(store.postings_glob(index_dir)).select(
+            "term", "seg_id", "first_doc_id", "last_doc_id", "n",
+            "max_tf", "min_ql", "ids_bytes", "tf_bytes",
+        ).persist()
+        self.docs = spark.read.parquet(store.docs_glob(index_dir)).persist()
+        # term stats are small (|vocab| rows of (term, df, cf)) — collected to
+        # a local dict once, the broadcast-stats analog of DfsPhase
+        ts = spark.read.parquet(store.term_stats_path(index_dir)).collect()
+        self._stats = {r["term"]: (int(r["df"]), int(r["cf"])) for r in ts}
+
+    def term_weights(self, terms: list[str]) -> dict[str, tuple[float, int]]:
+        out = {}
+        for t in terms:
+            if t in self._stats:
+                df = self._stats[t][0]
+                w = float(bm25.idf(np.float64(df), self.meta.doc_count) * (self.meta.k1 + 1.0))
+                out[t] = (w, df)
+        return out
+
+    def close(self) -> None:
+        self.postings.unpersist()
+        self.docs.unpersist()
+
+
 def search_topk(
     spark: SparkSession,
     index_dir: str,
@@ -245,6 +281,7 @@ def search_topk(
     mode: str = "wand",
     doc_filter=None,
     fetch: bool = True,
+    reader: IndexReader | None = None,
 ) -> DataFrame:
     """Multi-term BM25 top-k over the index (query-then-fetch lifecycle).
 
@@ -252,24 +289,27 @@ def search_topk(
     evaluated on the docs table (unscored, like the reference's filter
     clauses), restricting which docs may match.
     """
-    meta = store.IndexMeta.load(index_dir)
+    meta = reader.meta if reader else store.IndexMeta.load(index_dir)
     terms = list(dict.fromkeys(query_terms))
-    weights = _term_weights(spark, index_dir, terms, meta)
+    weights = (
+        reader.term_weights(terms) if reader else _term_weights(spark, index_dir, terms, meta)
+    )
     live = [t for t in terms if t in weights]
     msm = len(live) if operator == "and" else int(minimum_should_match or 1)
     empty = spark.createDataFrame([], CAND_SCHEMA)
     if not live or (operator == "and" and len(live) < len(terms)):
         cands = empty
     else:
-        postings = (
-            spark.read.parquet(store.postings_glob(index_dir))
-            .where(F.col("term").isin(live))
-            .select(
+        base_postings = (
+            reader.postings
+            if reader
+            else spark.read.parquet(store.postings_glob(index_dir)).select(
                 "term", "seg_id", "first_doc_id", "last_doc_id", "n",
                 "max_tf", "min_ql", "ids_bytes", "tf_bytes",
             )
         )
-        docs = spark.read.parquet(store.docs_glob(index_dir))
+        postings = base_postings.where(F.col("term").isin(live))
+        docs = reader.docs if reader else spark.read.parquet(store.docs_glob(index_dir))
         seg_map = {int(c): cur for c, cur in ((int(x), meta.current_seg(int(x))) for x in meta.seg_map)} if meta.seg_map else {}
         cur_seg = F.col("seg_id")
         if seg_map:
@@ -302,5 +342,7 @@ def search_topk(
     # fetch phase: ship the tiny global top-k back to the wide store and
     # broadcast-join (the second round-trip of query_then_fetch,
     # FetchSearchPhase.java / FetchPhase.java:62)
-    docs = spark.read.parquet(store.docs_glob(index_dir)).select("doc_id", "url", "lang", "warc_ts")
+    docs = (reader.docs if reader else spark.read.parquet(store.docs_glob(index_dir))).select(
+        "doc_id", "url", "lang", "warc_ts"
+    )
     return docs.join(F.broadcast(top), "doc_id").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -1,0 +1,854 @@
+"""Query/operator registry: the driver-facing catalog of engine capabilities.
+
+Each entry pairs a Spark DataFrame implementation with an equivalent ANSI-SQL
+oracle (run by DuckDB over the same parquet tables) — the correctness gate.
+Entries mirror the reference's operator surface (SURVEY.md §2): query DSL
+(match/term/bool/range/prefix/fuzzy/phrase — ``server/src/main/java/org/
+elasticsearch/index/query/*QueryBuilder.java``), aggregations (``server/.../
+search/aggregations/``), and the training-data-pipeline extensions (dedup,
+similarity search, text analysis).
+
+Conventions:
+- every computed column is aliased identically in Spark and SQL;
+- doubles that pass through floating aggregation are ``round(x, 4)`` on both
+  sides so value-hashes match despite summation-order noise;
+- deterministic tie-breaks everywhere (score DESC, doc_id ASC — the
+  reference's ``SearchPhaseController.java:202-205`` ordering).
+
+The fulltext entries here use the ``regex_simple`` analyzer
+(``[a-z0-9]+`` over lowercased text) because it is exactly mirrorable in
+DuckDB SQL; the ``standard`` UAX#29 analyzer is exercised by the pytest
+golden suite instead (tests/test_analysis.py, tests/test_index_search.py).
+
+Scale notes: every query is a declarative DataFrame plan — Catalyst pushes
+filters/projections into the parquet scan; the only wide operations are the
+groupBys that the semantics require; small sides (per-term df stats, the
+1-row collection-stats frame, top-k candidate sets) are broadcast.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+# doc length BM25 sees = SmallFloat-quantized token count (keep top 4
+# significant bits; exact below 8) — portable to DuckDB
+_QDL = (
+    "case when dl < 8 then dl else "
+    "(dl >> (cast(floor(log2(dl)) as int) - 3)) << (cast(floor(log2(dl)) as int) - 3) end"
+)
+
+_TOK_SPARK = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+_TOK_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).withColumn("toks", F.expr(_TOK_SPARK))
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFrame:
+    """Per-doc BM25 sum + matched-term count for `terms` (pure DataFrame ops;
+    the minimum end-to-end slice of SURVEY §7). Returns doc_id, score, matched.
+
+    Plan shape at scale: one explode→groupBy for tf (shuffle on (doc_id,term)
+    — co-partitioned with dl's groupBy(doc_id) downstream), df-stats and the
+    1-row collection stats broadcast onto the term matches (DfsPhase
+    semantics, ``server/.../search/dfs/DfsPhase.java:31-81``)."""
+    toks = _tokenized(spark, sf_dir).select("doc_id", "toks")
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl")).withColumn(
+        "qdl", F.expr(_QDL).cast("double")
+    )
+    coll = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    q = tf.where(F.col("term").isin(terms))
+    dfstats = q.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        q.join(F.broadcast(dfstats), "term")
+        .join(dl.select("doc_id", "qdl"), "doc_id")
+        .crossJoin(F.broadcast(coll))
+        .withColumn("idf", F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (K1 + 1.0)
+            * F.col("tf")
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("qdl") / F.col("avgdl"))),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("s").alias("score_raw"), F.count("*").cast("int").alias("matched")
+    )
+
+
+def _bm25_sql(terms: list[str], extra_pred: str = "", msm: int | None = 1, k: int = 10) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    msm_clause = f"HAVING count(*) >= {msm}" if msm else ""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, source, n_chars, {_TOK_SQL} AS toks FROM documents
+),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+qdl AS (SELECT doc_id, ({_QDL})::DOUBLE AS qdl FROM dl),
+coll AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term IN ({tl}) GROUP BY 1, 2
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (coll.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * ({K1} + 1.0) * tf.tf
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * qdl.qdl / coll.avgdl))) AS score_raw,
+         count(*)::INT AS matched
+  FROM tf JOIN dfs USING (term) JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN coll
+  GROUP BY tf.doc_id {msm_clause}
+)
+SELECT s.doc_id, round(s.score_raw, 4) AS score, s.matched
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+WHERE 1=1 {extra_pred}
+ORDER BY s.score_raw DESC, s.doc_id ASC LIMIT {k}
+"""
+
+
+# --------------------------------------------------------------------------
+# fulltext query DSL
+# --------------------------------------------------------------------------
+
+_OR_TERMS = ["spark", "merge", "vector"]
+_AND_TERMS = ["data", "query", "stream"]
+_MSM_TERMS = ["join", "window", "sort", "hash"]
+_FILTER_TERMS = ["table", "scan"]
+
+
+def q_match_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`match` with operator OR (MatchQueryBuilder.java, default): BM25 sum
+    over matching terms, top-10 (score DESC, doc_id ASC)."""
+    s = _bm25_scores(spark, sf_dir, _OR_TERMS)
+    return (
+        s.orderBy(F.desc("score_raw"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("score_raw", 4).alias("score"), "matched")
+    )
+
+
+def q_match_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`match` operator AND: all terms must match (MatchQueryParser.java:110)."""
+    s = _bm25_scores(spark, sf_dir, _AND_TERMS).where(F.col("matched") == len(_AND_TERMS))
+    return (
+        s.orderBy(F.desc("score_raw"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("score_raw", 4).alias("score"), "matched")
+    )
+
+
+def q_match_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`match` with minimum_should_match=3 of 4 (MatchQueryBuilder msm)."""
+    s = _bm25_scores(spark, sf_dir, _MSM_TERMS).where(F.col("matched") >= 3)
+    return (
+        s.orderBy(F.desc("score_raw"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("score_raw", 4).alias("score"), "matched")
+    )
+
+
+def q_bool_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool{must: match OR, filter: lang='en' AND n_chars range} — scored must
+    clause + unscored filter context (BoolQueryBuilder.java:47-65)."""
+    s = _bm25_scores(spark, sf_dir, _FILTER_TERMS)
+    d = _docs(spark, sf_dir).where((F.col("lang") == "en") & F.col("n_chars").between(100, 400))
+    return (
+        s.join(d.select("doc_id"), "doc_id")
+        .orderBy(F.desc("score_raw"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("score_raw", 4).alias("score"), "matched")
+    )
+
+
+def q_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase (MatchPhraseQueryBuilder.java): adjacent-position token
+    subsequence, here via token-stream containment."""
+    t = _tokenized(spark, sf_dir)
+    hit = t.where(
+        F.concat(F.lit(" "), F.array_join("toks", " "), F.lit(" ")).contains(" group order ")
+    )
+    return hit.select("doc_id", "lang").orderBy("doc_id")
+
+
+def q_term_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term query (TermQueryBuilder.java) as a filter + per-lang doc counts."""
+    t = _tokenized(spark, sf_dir)
+    return (
+        t.where(F.array_contains("toks", "vector"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("lang"))
+    )
+
+
+def q_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prefix query (PrefixQueryBuilder.java): term-dictionary expansion —
+    terms starting with 's', returning per-term df."""
+    t = _tokenized(spark, sf_dir)
+    return (
+        t.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+        .where(F.col("term").startswith("s"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+    )
+
+
+def q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzy query (FuzzyQueryBuilder.java): Levenshtein ≤ 1 expansion over
+    the term dictionary, then df per matched term."""
+    t = _tokenized(spark, sf_dir)
+    terms = t.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+    return (
+        terms.where(F.levenshtein(F.col("term"), F.lit("spark")) <= 1)
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+    )
+
+
+def q_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range query (RangeQueryBuilder.java) + term filter on events."""
+    e = _events(spark, sf_dir)
+    return (
+        e.where((F.col("event_type") == "purchase") & F.col("value").between(10.0, 500.0))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("hits"), F.round(F.sum("value"), 4).alias("total"))
+        .orderBy("day")
+    )
+
+
+def q_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ids query (IdsQueryBuilder.java): point lookups by doc key."""
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id").isin([3, 7, 11, 13]))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def q_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wildcard query (WildcardQueryBuilder.java): source LIKE 'src1%'."""
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("source").like("src1%"))
+        .groupBy("source")
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# aggregations
+# --------------------------------------------------------------------------
+
+def a_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms agg (GlobalOrdinalsStringTermsAggregator.java): top-N groups."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("lang"))
+        .limit(10)
+    )
+
+
+def a_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_histogram (DateHistogramAggregator.java:58): daily buckets with a
+    sum sub-agg."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("doc_count"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("day")
+    )
+
+
+def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram (NumericHistogramAggregator.java): interval=100 on n_chars."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy((F.floor(F.col("n_chars") / 100) * 100).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy("bucket")
+    )
+
+
+def a_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats agg (StatsAggregator.java) per event_type."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("value").alias("cnt"),
+            F.round(F.min("value"), 4).alias("min_v"),
+            F.round(F.max("value"), 4).alias("max_v"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+            F.round(F.avg("value"), 4).alias("avg_v"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def a_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extended_stats (ExtendedStatsAggregator.java): variance/stddev."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.var_pop("n_chars"), 4).alias("var_p"),
+            F.round(F.stddev_pop("n_chars"), 4).alias("std_p"),
+        )
+        .orderBy("lang")
+    )
+
+
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentiles agg (TDigestState.java — here exact, the test-mode path)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def a_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cardinality agg (CardinalityAggregator.java) — exact variant for the
+    oracle; the HLL++ approx path is `a_cardinality_approx` (rows-only)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"))
+        .orderBy("event_type")
+    )
+
+
+def a_cardinality_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ cardinality (HyperLogLogPlusPlus.java:40-68) — same sketch family
+    as approx_count_distinct; no SQL oracle (sketch-dependent)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("users"))
+        .orderBy("event_type")
+    )
+
+
+def a_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top_hits agg (TopHitsAggregator.java:54): top-3 docs per lang by
+    n_chars DESC, doc_id ASC."""
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("lang", "rank", "doc_id", "n_chars")
+        .orderBy("lang", "rank")
+    )
+
+
+def a_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """field collapse (CollapseBuilder.java:35): best doc per source key."""
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source")
+    )
+
+
+def a_value_count_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_count + missing aggs (ValueCountAggregator / MissingAggregator)."""
+    e = _events(spark, sf_dir)
+    return e.agg(
+        F.count("props").alias("value_count"),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).cast("long").alias("missing"),
+    )
+
+
+def a_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weighted_avg agg (WeightedAvgAggregator.java): sum(v*w)/sum(w)."""
+    e = _events(spark, sf_dir).withColumn("w", (F.col("user_id") % 5 + 1).cast("double"))
+    return (
+        e.groupBy("event_type")
+        .agg(F.round(F.sum(F.col("value") * F.col("w")) / F.sum("w"), 4).alias("wavg"))
+        .orderBy("event_type")
+    )
+
+
+def a_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """composite agg (CompositeAggregator.java:66): multi-source group-by with
+    keyset pagination `after: (lang='en', source='src12')`, page size 15."""
+    d = _docs(spark, sf_dir)
+    after_l, after_s = "en", "src12"
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.count("*").alias("doc_count"))
+        .where(
+            (F.col("lang") > after_l)
+            | ((F.col("lang") == after_l) & (F.col("source") > after_s))
+        )
+        .orderBy("lang", "source")
+        .limit(15)
+    )
+
+
+def a_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filters agg (FiltersAggregator.java:50): one bucket per predicate."""
+    e = _events(spark, sf_dir)
+    return e.agg(
+        F.sum(F.when(F.col("value") < 10, 1).otherwise(0)).cast("long").alias("small"),
+        F.sum(F.when((F.col("value") >= 10) & (F.col("value") < 100), 1).otherwise(0))
+        .cast("long")
+        .alias("mid"),
+        F.sum(F.when(F.col("value") >= 100, 1).otherwise(0)).cast("long").alias("large"),
+    )
+
+
+def a_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range agg (RangeAggregator.java:69): overlapping ranges — a doc lands
+    in every range containing it (explode over matching ranges)."""
+    d = _docs(spark, sf_dir)
+    ranges = F.array(
+        F.struct(F.lit("0-200").alias("r"), F.lit(0).alias("lo"), F.lit(200).alias("hi")),
+        F.struct(F.lit("100-400").alias("r"), F.lit(100).alias("lo"), F.lit(400).alias("hi")),
+        F.struct(F.lit("300-inf").alias("r"), F.lit(300).alias("lo"), F.lit(10**9).alias("hi")),
+    )
+    return (
+        d.select("n_chars", F.explode(ranges).alias("rg"))
+        .where((F.col("n_chars") >= F.col("rg.lo")) & (F.col("n_chars") < F.col("rg.hi")))
+        .groupBy(F.col("rg.r").alias("bucket"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy("bucket")
+    )
+
+
+def a_pipeline_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline aggs cumulative_sum + derivative (pipeline/*.java) over daily
+    signup counts — window functions over the bucket frame."""
+    daily = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == "signup")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("doc_count"))
+    )
+    w = Window.orderBy("day")
+    return (
+        daily.withColumn(
+            "cumsum", F.sum("doc_count").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("deriv", F.col("doc_count") - F.lag("doc_count", 1).over(w))
+        .orderBy("day")
+    )
+
+
+def a_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms (SignificantTermsAggregatorFactory.java), JLH
+    heuristic: (fg% - bg%) * (fg% / bg%), foreground = lang='de' docs."""
+    t = _tokenized(spark, sf_dir).select(
+        "doc_id", (F.col("lang") == "de").alias("fg"), F.explode(F.array_distinct("toks")).alias("term")
+    )
+    counts = t.groupBy("term").agg(
+        F.sum(F.when(F.col("fg"), 1).otherwise(0)).cast("double").alias("fg_count"),
+        F.count("*").cast("double").alias("bg_count"),
+    )
+    tot = t.agg(
+        F.sum(F.when(F.col("fg"), 1).otherwise(0)).cast("double").alias("fg_tot"),
+        F.count("*").cast("double").alias("bg_tot"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("fg_pct", F.col("fg_count") / F.col("fg_tot"))
+        .withColumn("bg_pct", F.col("bg_count") / F.col("bg_tot"))
+        .where(F.col("fg_count") > 0)
+        .withColumn("jlh", F.round((F.col("fg_pct") - F.col("bg_pct")) * F.col("fg_pct") / F.col("bg_pct"), 4))
+        .select("term", F.col("fg_count").cast("long").alias("fg_n"), F.col("bg_count").cast("long").alias("bg_n"), "jlh")
+        .orderBy(F.desc("jlh"), F.asc("term"))
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline: dedup / similarity / text analysis
+# --------------------------------------------------------------------------
+
+def d_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact dedup: md5-hash groupBy, keep min doc_id as representative."""
+    d = _docs(spark, sf_dir).withColumn("h", F.md5(F.lower(F.col("text"))))
+    return (
+        d.groupBy("h")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_dups"))
+        .where(F.col("n_dups") > 1)
+        .select("rep_doc_id", "n_dups")
+        .orderBy("rep_doc_id")
+    )
+
+
+def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup: 3-token shingles, pairwise Jaccard ≥ 0.5 via
+    shingle-inverted-index self-join (the scalable shape: candidates only
+    for pairs sharing ≥1 shingle, not O(n²))."""
+    t = _tokenized(spark, sf_dir).select("doc_id", "toks").where(F.size("toks") >= 3)
+    sh = t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(toks)-3),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn("jaccard", F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4))
+        .where(F.col("jaccard") >= 0.5)
+        .select("a", "b", "jaccard")
+        .orderBy("a", "b")
+    )
+
+
+def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """brute-force cosine top-k (the ANN baseline): query = vec_id 0's
+    embedding, top-10 neighbors by cosine DESC, vec_id ASC."""
+    e = _emb(spark, sf_dir).withColumn("v", F.col("embedding").cast("array<double>"))
+    q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    nrm = "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) * sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))"
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_raw", F.expr(f"({dot}) / ({nrm})"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text quality signals per doc: token count, distinct terms, type-token
+    ratio, stopword ratio — the quality-scoring stage of a data pipeline."""
+    t = _tokenized(spark, sf_dir)
+    stop = ["a", "the"]
+    return (
+        t.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+            F.round(F.size(F.array_distinct("toks")) / F.size("toks"), 4).alias("ttr"),
+            F.round(
+                F.size(F.filter("toks", lambda x: x.isin(stop))) / F.size("toks"), 4
+            ).alias("stop_ratio"),
+        )
+        .where(F.col("doc_id") < 50)
+        .orderBy("doc_id")
+    )
+
+
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """document fingerprint (the `fingerprint` ingest processor,
+    ``modules/ingest-common/.../FingerprintProcessor.java`` analog): md5 of
+    the sorted distinct token set; groups identical-vocabulary docs."""
+    t = _tokenized(spark, sf_dir)
+    return (
+        t.select(
+            "doc_id",
+            F.md5(F.array_join(F.array_sort(F.array_distinct("toks")), " ")).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("rep_doc_id"))
+        .where(F.col("n_docs") > 1)
+        .select("fp", "n_docs", "rep_doc_id")
+        .orderBy("rep_doc_id")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "match_or_bm25": _bm25_sql(_OR_TERMS),
+    "match_and_bm25": _bm25_sql(_AND_TERMS, msm=len(_AND_TERMS)),
+    "match_msm_bm25": _bm25_sql(_MSM_TERMS, msm=3),
+    "bool_filtered_bm25": _bm25_sql(
+        _FILTER_TERMS, extra_pred="AND d.lang = 'en' AND d.n_chars BETWEEN 100 AND 400"
+    ),
+    "match_phrase": f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, ' ' || array_to_string({_TOK_SQL}, ' ') || ' ' AS ts FROM documents
+) WHERE ts LIKE '% group order %' ORDER BY doc_id
+""",
+    "term_query_agg": f"""
+SELECT lang, count(*)::BIGINT AS doc_count FROM (
+  SELECT doc_id, lang, {_TOK_SQL} AS toks FROM documents
+) WHERE list_contains(toks, 'vector')
+GROUP BY lang ORDER BY doc_count DESC, lang ASC
+""",
+    "prefix_query": f"""
+SELECT term, count(*)::BIGINT AS df FROM (
+  SELECT DISTINCT doc_id, unnest(list_distinct({_TOK_SQL})) AS term FROM documents
+) WHERE term LIKE 's%' GROUP BY term ORDER BY df DESC, term ASC
+""",
+    "fuzzy_query": f"""
+SELECT term, count(*)::BIGINT AS df FROM (
+  SELECT DISTINCT doc_id, unnest(list_distinct({_TOK_SQL})) AS term FROM documents
+) WHERE levenshtein(term, 'spark') <= 1 GROUP BY term ORDER BY df DESC, term ASC
+""",
+    "range_query_events": """
+SELECT cast(ts AS DATE) AS day, count(*)::BIGINT AS hits, round(sum(value), 4) AS total
+FROM events WHERE event_type = 'purchase' AND value BETWEEN 10.0 AND 500.0
+GROUP BY 1 ORDER BY day
+""",
+    "ids_query": """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id IN (3, 7, 11, 13) ORDER BY doc_id
+""",
+    "wildcard_query": """
+SELECT source, count(*)::BIGINT AS doc_count FROM documents
+WHERE source LIKE 'src1%' GROUP BY source ORDER BY source
+""",
+    "agg_terms": """
+SELECT lang, count(*)::BIGINT AS doc_count FROM documents
+GROUP BY lang ORDER BY doc_count DESC, lang ASC LIMIT 10
+""",
+    "agg_date_histogram": """
+SELECT cast(ts AS DATE) AS day, count(*)::BIGINT AS doc_count,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1 ORDER BY day
+""",
+    "agg_histogram": """
+SELECT (floor(n_chars / 100) * 100)::BIGINT AS bucket, count(*)::BIGINT AS doc_count
+FROM documents GROUP BY 1 ORDER BY bucket
+""",
+    "agg_stats": """
+SELECT event_type, count(value)::BIGINT AS cnt, round(min(value), 4) AS min_v,
+       round(max(value), 4) AS max_v, round(sum(value), 4) AS sum_v,
+       round(avg(value), 4) AS avg_v
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    "agg_extended_stats": """
+SELECT lang, count(*)::BIGINT AS cnt, round(var_pop(n_chars), 4) AS var_p,
+       round(stddev_pop(n_chars), 4) AS std_p
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    "agg_percentiles": """
+SELECT event_type, round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    "agg_cardinality": """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS users
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    "agg_top_hits": """
+SELECT lang, rank, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC)::INT AS rank
+  FROM documents
+) WHERE rank <= 3 ORDER BY lang, rank
+""",
+    "agg_collapse": """
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn = 1 ORDER BY source
+""",
+    "agg_value_count_missing": """
+SELECT count(props)::BIGINT AS value_count,
+       sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT AS missing
+FROM events
+""",
+    "agg_weighted_avg": """
+SELECT event_type,
+       round(sum(value * ((user_id % 5 + 1)::DOUBLE)) / sum((user_id % 5 + 1)::DOUBLE), 4) AS wavg
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    "agg_composite": """
+SELECT lang, source, count(*)::BIGINT AS doc_count FROM documents
+GROUP BY lang, source
+HAVING (lang > 'en') OR (lang = 'en' AND source > 'src12')
+ORDER BY lang, source LIMIT 15
+""",
+    "agg_filters": """
+SELECT sum(CASE WHEN value < 10 THEN 1 ELSE 0 END)::BIGINT AS small,
+       sum(CASE WHEN value >= 10 AND value < 100 THEN 1 ELSE 0 END)::BIGINT AS mid,
+       sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END)::BIGINT AS large
+FROM events
+""",
+    "agg_range": """
+WITH rg AS (
+  SELECT * FROM (VALUES ('0-200', 0, 200), ('100-400', 100, 400),
+                        ('300-inf', 300, 1000000000)) AS t(bucket, lo, hi)
+)
+SELECT rg.bucket, count(*)::BIGINT AS doc_count
+FROM documents d JOIN rg ON d.n_chars >= rg.lo AND d.n_chars < rg.hi
+GROUP BY rg.bucket ORDER BY rg.bucket
+""",
+    "agg_pipeline_cumsum": """
+WITH daily AS (
+  SELECT cast(ts AS DATE) AS day, count(*)::BIGINT AS doc_count
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+)
+SELECT day, doc_count,
+       sum(doc_count) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT AS cumsum,
+       (doc_count - lag(doc_count, 1) OVER (ORDER BY day))::BIGINT AS deriv
+FROM daily ORDER BY day
+""",
+    "agg_significant_terms": f"""
+WITH t AS (
+  SELECT doc_id, lang = 'de' AS fg, unnest(list_distinct({_TOK_SQL})) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term, sum(CASE WHEN fg THEN 1 ELSE 0 END)::DOUBLE AS fg_count,
+         count(*)::DOUBLE AS bg_count
+  FROM t GROUP BY term
+),
+tot AS (
+  SELECT sum(CASE WHEN fg THEN 1 ELSE 0 END)::DOUBLE AS fg_tot, count(*)::DOUBLE AS bg_tot
+  FROM t
+)
+SELECT term, fg_count::BIGINT AS fg_n, bg_count::BIGINT AS bg_n,
+       round((fg_count / fg_tot - bg_count / bg_tot) * (fg_count / fg_tot) / (bg_count / bg_tot), 4) AS jlh
+FROM counts CROSS JOIN tot WHERE fg_count > 0
+ORDER BY jlh DESC, term ASC LIMIT 15
+""",
+    "dedup_exact": """
+SELECT rep_doc_id, n_dups FROM (
+  SELECT md5(lower(text)) AS h, min(doc_id) AS rep_doc_id, count(*)::BIGINT AS n_dups
+  FROM documents GROUP BY 1
+) WHERE n_dups > 1 ORDER BY rep_doc_id
+""",
+    "dedup_ngram_jaccard": f"""
+WITH t AS (
+  SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+  WHERE len({_TOK_SQL}) >= 3
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM t
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(common / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
+FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.doc_id
+WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.5
+ORDER BY a, b
+""",
+    "sim_cosine_topk": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label, round(
+    list_dot_product(embedding::DOUBLE[], qv) /
+    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+     sqrt(list_dot_product(qv, qv))), 4) AS cosine
+FROM embeddings CROSS JOIN q WHERE vec_id != 0
+ORDER BY list_dot_product(embedding::DOUBLE[], qv) /
+         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+          sqrt(list_dot_product(qv, qv))) DESC, vec_id ASC
+LIMIT 10
+""",
+    "text_token_stats": f"""
+SELECT doc_id, len(toks)::BIGINT AS n_tokens, len(list_distinct(toks))::BIGINT AS n_distinct,
+       round(len(list_distinct(toks)) / len(toks), 4) AS ttr,
+       round(len(list_filter(toks, x -> x IN ('a', 'the'))) / len(toks), 4) AS stop_ratio
+FROM (SELECT doc_id, {_TOK_SQL} AS toks FROM documents)
+WHERE doc_id < 50 ORDER BY doc_id
+""",
+    "text_fingerprint": f"""
+SELECT fp, n_docs, rep_doc_id FROM (
+  SELECT md5(array_to_string(list_sort(list_distinct({_TOK_SQL})), ' ')) AS fp,
+         count(*)::BIGINT AS n_docs, min(doc_id) AS rep_doc_id
+  FROM documents GROUP BY 1
+) WHERE n_docs > 1 ORDER BY rep_doc_id
+""",
+}
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "match_or_bm25": q_match_or,
+    "match_and_bm25": q_match_and,
+    "match_msm_bm25": q_match_msm,
+    "bool_filtered_bm25": q_bool_filtered,
+    "match_phrase": q_match_phrase,
+    "term_query_agg": q_term_agg,
+    "prefix_query": q_prefix,
+    "fuzzy_query": q_fuzzy,
+    "range_query_events": q_range_events,
+    "ids_query": q_ids,
+    "wildcard_query": q_wildcard,
+    "agg_terms": a_terms,
+    "agg_date_histogram": a_date_histogram,
+    "agg_histogram": a_histogram,
+    "agg_stats": a_stats,
+    "agg_extended_stats": a_extended_stats,
+    "agg_percentiles": a_percentiles,
+    "agg_cardinality": a_cardinality,
+    "agg_cardinality_approx": a_cardinality_approx,
+    "agg_top_hits": a_top_hits,
+    "agg_collapse": a_collapse,
+    "agg_value_count_missing": a_value_count_missing,
+    "agg_weighted_avg": a_weighted_avg,
+    "agg_composite": a_composite,
+    "agg_filters": a_filters,
+    "agg_range": a_range,
+    "agg_pipeline_cumsum": a_pipeline_cumsum,
+    "agg_significant_terms": a_significant_terms,
+    "dedup_exact": d_dedup_exact,
+    "dedup_ngram_jaccard": d_ngram_jaccard,
+    "sim_cosine_topk": s_cosine_topk,
+    "text_token_stats": t_token_stats,
+    "text_fingerprint": t_fingerprint,
+}

@@ -60,6 +60,24 @@ def write_manifest(index_dir: str, pid: int, manifest: dict) -> None:
     os.replace(tmp, p)  # atomic commit point
 
 
+def merged_away_segs(index_dir: str) -> set[int]:
+    """Segments consumed by a committed merge (their files are gone but their
+    docs live on in the merged segment) — the resume path must treat these
+    build partitions as complete."""
+    d = os.path.join(index_dir, "manifests")
+    out: set[int] = set()
+    if not os.path.isdir(d):
+        return out
+    for name in os.listdir(d):
+        if name.startswith("merge-") and name.endswith(".json"):
+            try:
+                with open(os.path.join(d, name)) as f:
+                    out.update(json.load(f).get("merged_from", []))
+            except (json.JSONDecodeError, OSError):
+                continue
+    return out
+
+
 def all_manifests(index_dir: str) -> list[dict]:
     d = os.path.join(index_dir, "manifests")
     if not os.path.isdir(d):
