@@ -1,0 +1,130 @@
+"""Text analysis for training-data curation: language ID, quality scoring,
+token counting, document fingerprinting.
+
+All computed with native Spark Column expressions (JVM-side, pushdown- and
+codegen-friendly) — no Python in the scan path. Each function returns
+columns to attach with ``df.select``/``withColumn``, so they compose into
+one pass over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker stopwords per language (tiny, high-frequency function words) — the
+# classic stopword-profile heuristic; CJK detected by script range instead
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "that", "you", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "pour"],
+    "es": ["el", "los", "las", "es", "una", "que", "por", "con"],
+}
+
+_TOKS = "regexp_extract_all(lower({c}), '[\\\\p{{L}}0-9]+', 0)"
+
+
+def tokens_col(text_col: str) -> Column:
+    return F.expr(_TOKS.format(c=text_col))
+
+
+def token_count(text_col: str) -> Column:
+    """Whitespace-free token count (analyzer tokens, not split-on-space)."""
+    return F.size(tokens_col(text_col)).cast("long")
+
+
+def bpe_ish_token_count(text_col: str) -> Column:
+    """BPE-style subword count estimate: word-piece regex (letter runs,
+    digit runs, punctuation singletons) — the standard pre-tokenizer shape,
+    a good proxy for LLM token budgets without a vocab file."""
+    return F.size(
+        F.expr(
+            f"regexp_extract_all({text_col}, "
+            "\"[\\\\p{L}]+|[0-9]+|[^\\\\s\\\\p{L}0-9]\", 0)"
+        )
+    ).cast("long")
+
+
+def lang_id(text_col: str) -> Column:
+    """Heuristic language ID: CJK by script-character ratio, otherwise the
+    best stopword-marker profile; 'unk' when no profile hits."""
+    toks = tokens_col(text_col)
+    cjk = F.size(F.expr(f"regexp_extract_all({text_col}, '[\\\\u4e00-\\\\u9fff]', 0)"))
+    n = F.greatest(F.size(toks), F.lit(1))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        + F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    # pick argmax by chained when()
+    best = F.lit("unk")
+    best_score = F.lit(0)
+    for lang, s in scores.items():
+        is_better = s > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return F.when(cjk / F.greatest(F.length(F.col(text_col)), F.lit(1)) > 0.3, F.lit("zh")).otherwise(
+        F.when(best_score > 0, best).otherwise(F.lit("unk"))
+    )
+
+
+def quality_signals(text_col: str) -> list[Column]:
+    """Gopher/C4-style quality columns: length, mean word length, alpha
+    ratio, punctuation density, stopword ratio, type-token ratio, max-line
+    fraction — the standard pre-training filter features."""
+    toks = tokens_col(text_col)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    n_chars = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    stop_all = [m for ms in _LANG_MARKERS.values() for m in ms]
+    return [
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x) / n_tok
+        ).alias("mean_word_len"),
+        (
+            F.length(F.expr(f"regexp_replace({text_col}, '[^\\\\p{{L}}]', '')")) / n_chars
+        ).alias("alpha_ratio"),
+        (
+            F.length(F.expr(f"regexp_replace({text_col}, \"[^.,;:!?'\\\"]\", '')")) / n_chars
+        ).alias("punct_ratio"),
+        (F.size(F.filter(toks, lambda t: t.isin(stop_all))) / n_tok).alias("stop_ratio"),
+        (F.size(F.array_distinct(toks)) / n_tok).alias("type_token_ratio"),
+    ]
+
+
+def quality_score(text_col: str) -> Column:
+    """Composite [0,1] quality score from the signal columns (monotone
+    heuristics with saturations, tuned to the usual web-text thresholds)."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    length_ok = F.least(n_tok / 50.0, F.lit(1.0))  # saturate at 50 tokens
+    ttr = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    diversity = F.least(ttr * 2.0, F.lit(1.0))
+    stop_all = [m for ms in _LANG_MARKERS.values() for m in ms]
+    stop_r = F.size(F.filter(toks, lambda t: t.isin(stop_all))) / F.greatest(n_tok, F.lit(1))
+    naturalness = F.least(stop_r * 8.0, F.lit(1.0))  # natural text has stopwords
+    return ((length_ok + diversity + naturalness) / 3.0).alias("quality")
+
+
+def rolling_fingerprint(text_col: str, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: xxhash each `window`-token
+    shingle, keep the minimum — robust to small edits (same min shingle
+    survives), used for cheap near-dup bucketing."""
+    toks = tokens_col(text_col)
+    sh = F.expr(
+        f"transform(sequence(0, greatest(size({_TOKS.format(c=text_col)}) - {window}, 0)),"
+        f" i -> xxhash64(concat_ws(' ', slice({_TOKS.format(c=text_col)}, i + 1, {window}))))"
+    )
+    return F.array_min(sh).alias("fingerprint")
+
+
+def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass curation annotation: lang, token counts, quality, fingerprint."""
+    return df.select(
+        "*",
+        lang_id(text_col).alias("lang_pred"),
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_subwords"),
+        quality_score(text_col),
+        rolling_fingerprint(text_col),
+    )

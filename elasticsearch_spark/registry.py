@@ -694,6 +694,57 @@ def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via random-hyperplane LSH + exact rerank (operators/
+    similarity.py) — rows-only check (approximate by design; recall vs the
+    exact baseline is asserted in tests/test_similarity.py)."""
+    from .operators import similarity
+
+    e = _emb(spark, sf_dir)
+    qvec = e.where(F.col("vec_id") == 0).first()["embedding"]
+    corpus = e.where(F.col("vec_id") != 0)
+    p = similarity.pick_n_planes(corpus.count())
+    idx = similarity.build_lsh_index(corpus, "vec_id", "embedding", n_planes=p)
+    return similarity.lsh_topk(idx, [float(x) for x in qvec], k=10, n_planes=p).withColumnRenamed(
+        "__key", "vec_id"
+    )
+
+
+def agg_compiler_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES aggs body through the compiler (plans/aggs.py): terms bucket with
+    avg/max sub-metrics, count-desc order."""
+    from .plans import aggs as A
+
+    out = A.aggregate(_events(spark, sf_dir), {
+        "types": {"terms": {"field": "event_type", "size": 10},
+                  "aggs": {"avg_v": {"avg": {"field": "value"}},
+                           "max_v": {"max": {"field": "value"}}}}
+    })["types"]
+    return out.select(
+        "key", "doc_count", F.round("avg_v", 4).alias("avg_v"), F.round("max_v", 4).alias("max_v")
+    )
+
+
+def agg_compiler_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES aggs body through the compiler: date_histogram + sum sub-agg +
+    moving_fn(window 3) + bucket_script ratio pipeline."""
+    from .plans import aggs as A
+
+    out = A.aggregate(_events(spark, sf_dir), {
+        "daily": {"date_histogram": {"field": "ts", "calendar_interval": "1d"}, "aggs": {
+            "sv": {"sum": {"field": "value"}},
+            "mavg": {"moving_fn": {"buckets_path": "_count", "window": 3,
+                                   "script": "MovingFunctions.unweightedAvg"}},
+            "ratio": {"bucket_script": {"buckets_path": {"s": "sv", "c": "doc_count"},
+                                        "script": "params.s / params.c"}},
+        }}
+    })["daily"]
+    return out.select(
+        F.to_date("key").alias("day"), "doc_count", F.round("sv", 4).alias("sv"),
+        F.round("mavg", 4).alias("mavg"), F.round("ratio", 4).alias("ratio"),
+    ).orderBy("day")
+
+
 def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text quality signals per doc: token count, distinct terms, type-token
     ratio, stopword ratio — the quality-scoring stage of a data pipeline."""
@@ -710,6 +761,32 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stop_ratio"),
         )
         .where(F.col("doc_id") < 50)
+        .orderBy("doc_id")
+    )
+
+
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (functions/textstats.py): stopword-marker
+    profiles + CJK script ratio."""
+    from .functions import textstats
+
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", textstats.lang_id("text").alias("lang_pred"))
+        .orderBy("doc_id")
+    )
+
+
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length saturation + type-token diversity +
+    stopword naturalness)."""
+    from .functions import textstats
+
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", F.round(textstats.quality_score("text"), 4).alias("quality"))
         .orderBy("doc_id")
     )
 
@@ -987,12 +1064,74 @@ ORDER BY list_dot_product(embedding::DOUBLE[], qv) /
           sqrt(list_dot_product(qv, qv))) DESC, vec_id ASC
 LIMIT 10
 """,
+    "agg_compiler_terms": """
+SELECT event_type AS key, count(*)::BIGINT AS doc_count,
+       round(avg(value), 4) AS avg_v, round(max(value), 4) AS max_v
+FROM events GROUP BY event_type ORDER BY doc_count DESC, key ASC LIMIT 10
+""",
+    "agg_compiler_pipeline": """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS k, count(*)::BIGINT AS doc_count, sum(value) AS sv
+  FROM events GROUP BY 1
+)
+SELECT cast(k AS DATE) AS day, doc_count, round(sv, 4) AS sv,
+       round(avg(doc_count) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg,
+       round(sv / doc_count, 4) AS ratio
+FROM daily ORDER BY day
+""",
     "text_token_stats": f"""
 SELECT doc_id, len(toks)::BIGINT AS n_tokens, len(list_distinct(toks))::BIGINT AS n_distinct,
        round(len(list_distinct(toks)) / len(toks), 4) AS ttr,
        round(len(list_filter(toks, x -> x IN ('a', 'the'))) / len(toks), 4) AS stop_ratio
 FROM (SELECT doc_id, {_TOK_SQL} AS toks FROM documents)
 WHERE doc_id < 50 ORDER BY doc_id
+""",
+    "text_lang_id": """
+WITH t AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[\\p{L}0-9]+') AS toks
+  FROM documents WHERE doc_id < 100
+),
+s AS (
+  SELECT doc_id, text, toks,
+    len(list_intersect(toks, ['the','and','of','to','is','that','you','with']))
+      + len(list_filter(toks, x -> x IN ('the','and','of','to','is','that','you','with'))) AS s_en,
+    len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit']))
+      + len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS s_de,
+    len(list_intersect(toks, ['le','la','les','et','est','une','que','pour']))
+      + len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','que','pour'))) AS s_fr,
+    len(list_intersect(toks, ['el','los','las','es','una','que','por','con']))
+      + len(list_filter(toks, x -> x IN ('el','los','las','es','una','que','por','con'))) AS s_es,
+    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk,
+    greatest(length(text), 1) AS nc
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN cjk / nc > 0.3 THEN 'zh'
+       WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unk'
+       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
+FROM s ORDER BY doc_id
+""",
+    "text_quality_score": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[\\p{L}0-9]+') AS toks
+  FROM documents WHERE doc_id < 100
+),
+s AS (
+  SELECT doc_id, len(toks) AS n,
+    len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1) AS ttr,
+    len(list_filter(toks, x -> x IN (
+      'the','and','of','to','is','that','you','with',
+      'der','die','das','und','ist','nicht','ein','mit',
+      'le','la','les','et','est','une','que','pour',
+      'el','los','las','es','una','que','por','con')))::DOUBLE
+      / greatest(len(toks), 1) AS stop_r
+  FROM t
+)
+SELECT doc_id,
+  round((least(n / 50.0, 1.0) + least(ttr * 2.0, 1.0) + least(stop_r * 8.0, 1.0)) / 3.0, 4) AS quality
+FROM s ORDER BY doc_id
 """,
     "text_fingerprint": f"""
 SELECT fp, n_docs, rep_doc_id FROM (
@@ -1043,6 +1182,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": d_simhash,
     "dedup_embedding_lsh": d_embedding_lsh,
     "sim_cosine_topk": s_cosine_topk,
+    "sim_ann_lsh_topk": s_ann_lsh_topk,
+    "agg_compiler_terms": agg_compiler_terms,
+    "agg_compiler_pipeline": agg_compiler_pipeline,
     "text_token_stats": t_token_stats,
+    "text_lang_id": t_lang_id,
+    "text_quality_score": t_quality_score,
     "text_fingerprint": t_fingerprint,
 }

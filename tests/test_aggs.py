@@ -1,0 +1,150 @@
+"""Aggregation compiler tests (plans/aggs.py) — ES aggs body semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.plans import aggs
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = []
+    for i in range(60):
+        rows.append((
+            i,
+            ["a", "b", "c"][i % 3],
+            float(i),
+            dt.datetime(2024, 1, 1 + i % 5, i % 24),
+            None if i % 10 == 0 else f"g{i % 4}",
+        ))
+    return spark.createDataFrame(rows, "id long, cat string, v double, ts timestamp, grp string").cache()
+
+
+def rowmap(df, key="key"):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+def test_terms_with_stats_subagg(spark, frame):
+    out = aggs.aggregate(frame, {
+        "cats": {"terms": {"field": "cat", "size": 2},
+                 "aggs": {"vstats": {"stats": {"field": "v"}}}}
+    })["cats"]
+    got = rowmap(out)
+    assert set(got) == {"a", "b"}  # tie on count → key asc
+    assert got["a"]["doc_count"] == 20
+    assert got["a"]["vstats.min"] == 0.0 and got["a"]["vstats.max"] == 57.0
+
+
+def test_histogram_and_missing(spark, frame):
+    out = aggs.aggregate(frame, {"h": {"histogram": {"field": "v", "interval": 20}}})["h"]
+    got = rowmap(out)
+    assert got[0.0]["doc_count"] == 20 and got[40.0]["doc_count"] == 20
+    miss = aggs.aggregate(frame, {"m": {"missing": {"field": "grp"}}})["m"]
+    got = rowmap(miss)
+    assert got[True]["doc_count"] == 6
+
+
+def test_date_histogram_with_pipeline(spark, frame):
+    out = aggs.aggregate(frame, {
+        "daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "1d"},
+            "aggs": {
+                "avg_v": {"avg": {"field": "v"}},
+                "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+                "deriv": {"derivative": {"buckets_path": "_count"}},
+            },
+        }
+    })["daily"]
+    rows = out.orderBy("key").collect()
+    assert len(rows) == 5
+    assert rows[0]["deriv"] is None
+    assert rows[-1]["cum"] == 60
+
+
+def test_range_overlapping(spark, frame):
+    out = aggs.aggregate(frame, {
+        "r": {"range": {"field": "v", "ranges": [
+            {"to": 30}, {"from": 20, "to": 50}, {"from": 45},
+        ]}}
+    })["r"]
+    got = rowmap(out)
+    assert got["*-30"]["doc_count"] == 30
+    assert got["20-50"]["doc_count"] == 30
+    assert got["45-*"]["doc_count"] == 15
+
+
+def test_filters_and_global(spark, frame):
+    out = aggs.aggregate(frame, {
+        "f": {"filters": {"filters": {
+            "low": {"range": {"v": {"lt": 10}}},
+            "cat_a": {"term": {"cat": "a"}},
+        }}, "aggs": {"mv": {"max": {"field": "v"}}}}
+    })["f"]
+    got = rowmap(out)
+    assert got["low"]["doc_count"] == 10 and got["cat_a"]["mv"] == 57.0
+    g = aggs.aggregate(frame, {"g": {"global": {}, "aggs": {"n": {"value_count": {"field": "id"}}}}})["g"]
+    assert g.collect()[0]["n"] == 60
+
+
+def test_top_hits_subagg(spark, frame):
+    out = aggs.aggregate(frame, {
+        "per_cat": {"terms": {"field": "cat"},
+                    "aggs": {"top": {"top_hits": {"size": 2, "sort": [{"v": {"order": "desc"}}]}}}}
+    })["per_cat"]
+    rows = out.collect()
+    assert len(rows) == 6  # 3 cats × 2 hits
+    best_a = [r for r in rows if r["key"] == "a" and r["_rank"] == 1][0]
+    assert best_a["v"] == 57.0
+
+
+def test_bucket_script_and_selector(spark, frame):
+    out = aggs.aggregate(frame, {
+        "cats": {"terms": {"field": "cat"}, "aggs": {
+            "sv": {"sum": {"field": "v"}},
+            "ratio": {"bucket_script": {
+                "buckets_path": {"s": "sv", "c": "doc_count"},
+                "script": "params.s / params.c"}},
+            "keep": {"bucket_selector": {
+                "buckets_path": {"c": "doc_count"},
+                "script": "params.c >= 20"}},
+        }}
+    })["cats"]
+    rows = out.collect()
+    assert all(r["ratio"] == pytest.approx(r["sv"] / r["doc_count"]) for r in rows)
+    assert all(r["doc_count"] >= 20 for r in rows)
+
+
+def test_moving_fn_and_serial_diff(spark, frame):
+    out = aggs.aggregate(frame, {
+        "daily": {"date_histogram": {"field": "ts", "calendar_interval": "1d"}, "aggs": {
+            "mavg": {"moving_fn": {"buckets_path": "_count", "window": 2,
+                                   "script": "MovingFunctions.unweightedAvg"}},
+            "sd": {"serial_diff": {"buckets_path": "_count", "lag": 2}},
+        }}
+    })["daily"]
+    rows = out.orderBy("key").collect()
+    assert rows[1]["mavg"] == pytest.approx((rows[0]["doc_count"] + rows[1]["doc_count"]) / 2)
+    assert rows[2]["sd"] == rows[2]["doc_count"] - rows[0]["doc_count"]
+
+
+def test_rare_terms_adjacency_cardinality(spark, frame):
+    rare = aggs.aggregate(frame, {"r": {"rare_terms": {"field": "grp", "max_doc_count": 14}}})["r"]
+    assert {r["key"] for r in rare.collect()} == {None, "g0", "g2"}  # 6, 12, 12 docs
+    adj = aggs.aggregate(frame, {"adj": {"adjacency_matrix": {"filters": {
+        "low": {"range": {"v": {"lt": 30}}}, "a": {"term": {"cat": "a"}}}}}})["adj"]
+    got = rowmap(adj)
+    assert got["low"]["doc_count"] == 30 and got["low&a"]["doc_count"] == 10
+    card = aggs.aggregate(frame, {"c": {"cardinality": {"field": "grp", "precision_threshold": 40000}}})["c"]
+    assert card.collect()[0]["c"] == 4
+
+
+def test_mad_and_weighted_avg(spark, frame):
+    mad = aggs.aggregate(frame, {"mad": {"median_absolute_deviation": {"field": "v"}}})["mad"]
+    assert mad.collect()[0]["mad"] == pytest.approx(15.0)
+    wa = aggs.aggregate(frame, {"w": {"weighted_avg": {"value": {"field": "v"}, "weight": {"field": "id"}}}})["w"]
+    exp = sum(i * i for i in range(60)) / sum(range(60))
+    assert wa.collect()[0]["w"] == pytest.approx(exp)

@@ -1,0 +1,66 @@
+"""ANN similarity search: brute-force exactness + LSH recall vs baseline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from elasticsearch_spark.operators import similarity
+
+N, DIM = 400, 32
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.Generator(np.random.Philox(key=[5, 6]))
+    # clustered vectors so near neighbors genuinely exist
+    centers = rng.normal(size=(8, DIM)) * 3
+    rows = []
+    for i in range(N):
+        c = centers[i % 8]
+        rows.append((i, [float(x) for x in c + rng.normal(size=DIM)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec():
+    rng = np.random.Generator(np.random.Philox(key=[5, 6]))
+    centers = rng.normal(size=(8, DIM)) * 3
+    return centers[3] + 0.1
+
+
+def test_brute_force_matches_numpy(spark, vec_df, qvec):
+    got = similarity.brute_force_topk(vec_df, "vec_id", "embedding", qvec, k=10).collect()
+    pdf = vec_df.toPandas()
+    m = np.stack(pdf["embedding"].to_numpy())
+    cos = (m @ qvec) / (np.linalg.norm(m, axis=1) * np.linalg.norm(qvec))
+    order = np.lexsort((pdf["vec_id"].to_numpy(), -cos))[:10]
+    exp = list(pdf["vec_id"].to_numpy()[order])
+    assert [r["vec_id"] for r in got] == exp
+    np.testing.assert_allclose([r["cosine"] for r in got], sorted(cos, reverse=True)[:10], rtol=1e-9)
+
+
+def test_lsh_recall_at_10(spark, vec_df, qvec):
+    idx = similarity.build_lsh_index(vec_df, "vec_id", "embedding", n_tables=8, n_planes=10).cache()
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(vec_df, "vec_id", "embedding", qvec, k=10).collect()}
+    ann = {r["__key"] for r in similarity.lsh_topk(idx, qvec, k=10, n_tables=8, n_planes=10).collect()}
+    recall = len(exact & ann) / 10
+    assert recall >= 0.7, recall
+
+
+def test_lsh_candidates_bounded(spark, vec_df, qvec):
+    """The probe must touch a small fraction of the corpus (it's ANN, not a
+    scan): candidate set << N."""
+    idx = similarity.build_lsh_index(vec_df, "vec_id", "embedding", n_tables=4, n_planes=12).cache()
+    from pyspark.sql import functions as F
+
+    planes = similarity._planes(4, 12, DIM)
+    probes = []
+    qv = np.asarray(qvec)
+    for t in range(4):
+        dots = planes[t] @ qv
+        sig = sum((1 << i) for i, d in enumerate(dots) if d >= 0)
+        probes.append((t, sig))
+    probe_df = idx.sparkSession.createDataFrame(probes, "tbl int, bucket long")
+    n_cand = idx.join(F.broadcast(probe_df), ["tbl", "bucket"]).dropDuplicates(["__key"]).count()
+    assert n_cand < N // 2

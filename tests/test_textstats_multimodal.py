@@ -1,0 +1,99 @@
+"""Text-analysis functions + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.functions import textstats
+from elasticsearch_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def texts(spark):
+    rows = [
+        (1, "The cat and the dog ran to the house with you, and that is that."),
+        (2, "Der Hund und die Katze sind nicht mit der Maus, und das ist ein Haus."),
+        (3, "Le chat et le chien est une bête, et que la maison est pour les amis."),
+        (4, "中文文本处理是一个很好的例子，中文没有空格。"),
+        (5, "xk qz vw 123 999 $$$"),
+        (6, "word " * 100),
+    ]
+    return spark.createDataFrame(rows, "id long, text string").cache()
+
+
+def test_lang_id(spark, texts):
+    got = {r["id"]: r["lang"] for r in texts.select("id", textstats.lang_id("text").alias("lang")).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr" and got[4] == "zh"
+    assert got[5] == "unk"
+
+
+def test_token_counts(spark, texts):
+    row = texts.where(F.col("id") == 1).select(
+        textstats.token_count("text").alias("n"),
+        textstats.bpe_ish_token_count("text").alias("bpe"),
+    ).collect()[0]
+    assert row["n"] == 15
+    assert row["bpe"] > row["n"]  # punctuation counted as subword pieces
+
+
+def test_quality_score_ordering(spark, texts):
+    got = {r["id"]: r["quality"] for r in texts.select("id", textstats.quality_score("text")).collect()}
+    assert got[1] > got[5]  # natural English beats gibberish
+    assert got[1] > got[6]  # repetition (low TTR) penalized
+
+
+def test_rolling_fingerprint_edit_robust(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    edited = base.replace("kappa", "kappa2", 1)  # one token changed
+    df = spark.createDataFrame([(1, base), (2, edited)], "id long, text string")
+    fps = {r["id"]: r["fingerprint"] for r in df.select("id", textstats.rolling_fingerprint("text")).collect()}
+    assert fps[1] == fps[2]  # min shingle unaffected by a single edit
+
+
+def test_annotate_one_pass(spark, texts):
+    out = textstats.annotate(texts)
+    assert {"lang_pred", "n_tokens", "n_subwords", "quality", "fingerprint"} <= set(out.columns)
+    assert out.count() == 6
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNG\r\n\x1a\n" + b"\x00" * 100, (64, 48, None, None, "png")),
+        (2, "image", b"\xff\xd8\xff\xe0" + bytes(range(256)), (32, 32, None, None, "jpeg")),
+        (3, "video", b"\x1aE\xdf\xa3" + b"\x01" * 50, (640, 480, None, 95, "vp9")),
+        (4, "audio", b"OggS" + b"\x02" * 80, (None, None, 44100, None, "opus")),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_byte_features(spark, media):
+    got = {r["media_id"]: r for r in multimodal.byte_features(media).collect()}
+    assert got[1]["sniffed"] == "png" and got[2]["sniffed"] == "jpeg"
+    assert got[3]["sniffed"] == "matroska" and got[4]["sniffed"] == "ogg"
+    assert got[1]["entropy"] < got[2]["entropy"]  # zeros vs uniform bytes
+    assert got[2]["entropy"] == pytest.approx(4.0, abs=0.01)  # 16 uniform bins
+    assert len(got[1]["hist"]) == 16
+    # deterministic content hash
+    again = {r["media_id"]: r["content_hash"] for r in multimodal.byte_features(media).collect()}
+    assert all(got[k]["content_hash"] == again[k] for k in got)
+
+
+def test_decode_stub_raises_without_codec(spark, media):
+    if multimodal._HAS_PIL:
+        pytest.skip("codec present")
+    with pytest.raises(Exception) as ei:
+        multimodal.decode_image_features(media.where(F.col("kind") == "image")).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_decode_fake_pipeline(spark, media):
+    out = multimodal.decode_image_features(media.where(F.col("kind") == "image"), fake=True).collect()
+    assert len(out) == 2
+    assert all(len(r["thumb"]) == 64 for r in out)
+
+
+def test_frame_sampling_plan(spark, media):
+    frames = multimodal.sample_frames(media.where(F.col("kind") == "video"), every_n=10, fake=True).collect()
+    assert [r["frame_idx"] for r in frames] == list(range(0, 95, 10))
