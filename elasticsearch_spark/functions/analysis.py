@@ -132,6 +132,127 @@ ANALYZERS = {
     "regex_simple": regex_simple_tokenize,
 }
 
+# --- token filters (the AC/ factory layer, applied tokenizer-output-side) ---
+
+# Lucene's _english_ stop set (StopAnalyzer/EnglishAnalyzer default; wired
+# through S/index/analysis/StopTokenFilterFactory.java:22)
+ENGLISH_STOP = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+
+def _filter_stop(toks: list[str], stopwords=ENGLISH_STOP, **_) -> list[str]:
+    return [t for t in toks if t not in stopwords]
+
+
+def _filter_asciifolding(toks: list[str], **_) -> list[str]:
+    import unicodedata
+
+    return [
+        unicodedata.normalize("NFKD", t).encode("ascii", "ignore").decode("ascii") or t
+        for t in toks
+    ]
+
+
+def _filter_shingle(toks: list[str], min_size=2, max_size=2, output_unigrams=True, **_) -> list[str]:
+    out = list(toks) if output_unigrams else []
+    for size in range(min_size, max_size + 1):
+        out.extend(" ".join(toks[i : i + size]) for i in range(len(toks) - size + 1))
+    return out
+
+
+def _filter_ngram(toks: list[str], min_gram=1, max_gram=2, **_) -> list[str]:
+    out = []
+    for t in toks:
+        for n in range(min_gram, max_gram + 1):
+            out.extend(t[i : i + n] for i in range(len(t) - n + 1))
+    return out
+
+
+def _filter_edge_ngram(toks: list[str], min_gram=1, max_gram=10, **_) -> list[str]:
+    out = []
+    for t in toks:
+        out.extend(t[:n] for n in range(min_gram, min(max_gram, len(t)) + 1))
+    return out
+
+
+def _filter_stemmer_minimal_english(toks: list[str], **_) -> list[str]:
+    """Minimal english s-stemmer (the reference's `minimal_english` stemmer
+    option, kstem/porter are heavier variants of the same hook)."""
+    out = []
+    for t in toks:
+        if len(t) > 3 and t.endswith("s") and not t.endswith(("ss", "us", "is")):
+            if t.endswith("ies") and len(t) > 4:
+                out.append(t[:-3] + "y")
+            elif t.endswith("es") and t[-3] in "sxz":
+                out.append(t[:-2])
+            else:
+                out.append(t[:-1])
+        else:
+            out.append(t)
+    return out
+
+
+def _filter_length(toks: list[str], min=1, max=255, **_) -> list[str]:  # noqa: A002
+    return [t for t in toks if min <= len(t) <= max]
+
+
+def _filter_unique(toks: list[str], **_) -> list[str]:
+    return list(dict.fromkeys(toks))
+
+
+def _filter_truncate(toks: list[str], length=10, **_) -> list[str]:
+    return [t[:length] for t in toks]
+
+
+def _filter_reverse(toks: list[str], **_) -> list[str]:
+    return [t[::-1] for t in toks]
+
+
+TOKEN_FILTERS = {
+    "stop": _filter_stop,
+    "asciifolding": _filter_asciifolding,
+    "shingle": _filter_shingle,
+    "ngram": _filter_ngram,
+    "edge_ngram": _filter_edge_ngram,
+    "stemmer": _filter_stemmer_minimal_english,
+    "length": _filter_length,
+    "unique": _filter_unique,
+    "truncate": _filter_truncate,
+    "reverse": _filter_reverse,
+}
+
+
+# configs of registered custom analyzers — shipped to executors so a chain
+# registered on the driver can be re-materialized inside a task (executors
+# import this module fresh from the --py-files zip)
+ANALYZER_CONFIGS: dict[str, tuple[str, list]] = {}
+
+
+def register_analyzer(name: str, tokenizer: str = "standard", filters: list | None = None) -> None:
+    """Register a custom analyzer chain (the CustomAnalyzer /
+    AnalysisRegistry model, ``S/index/analysis/AnalysisRegistry.java:646``):
+    tokenizer name + ordered token-filter list; each filter is a name or
+    (name, params) pair."""
+    ANALYZER_CONFIGS[name] = (tokenizer, list(filters or []))
+    base = ANALYZERS[tokenizer]
+    specs = []
+    for fspec in filters or []:
+        if isinstance(fspec, str):
+            specs.append((TOKEN_FILTERS[fspec], {}))
+        else:
+            fname, params = fspec
+            specs.append((TOKEN_FILTERS[fname], params))
+
+    def fn(text: str) -> list[str]:
+        toks = base(text)
+        for ff, params in specs:
+            toks = ff(toks, **params)
+        return toks
+
+    ANALYZERS[name] = fn
+
 
 def analyze(text: str, analyzer: str = "standard") -> list[str]:
     return ANALYZERS[analyzer](text)

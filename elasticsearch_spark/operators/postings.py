@@ -222,8 +222,13 @@ def _write_segment(index_dir: str, pid: int, docs_pdf: pd.DataFrame, postings: p
 def segment_builder(index_dir: str, analyzer: str):
     """applyInPandas function: one partition's pages → segment files on the
     segment store + manifest; returns a one-row metrics frame."""
+    # custom analyzer chains are driver-registered; ship the config so the
+    # executor-side module can re-materialize the chain
+    analyzer_config = analysis.ANALYZER_CONFIGS.get(analyzer)
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if analyzer not in analysis.ANALYZERS and analyzer_config is not None:
+            analysis.register_analyzer(analyzer, analyzer_config[0], analyzer_config[1])
         pid = int(key[0])
         lin = lineage_hash(pdf["url"], pdf["warc_ts"])
         existing = store.read_manifest(index_dir, pid)

@@ -210,6 +210,71 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
             out = out.unionByName(fr)
         return out.where(F.col("doc_count") > 0).orderBy("key")
 
+    if kind == "significant_terms":
+        # fg = this frame (the query context), bg = background_df or fg
+        f = body["field"]
+        bg_df = body.get("_background_df")
+        bg_df = bg_df if bg_df is not None else df
+        fg_counts = df.groupBy(F.col(f).alias("key")).agg(F.count("*").cast("double").alias("fg_count"))
+        bg_counts = bg_df.groupBy(F.col(f).alias("key")).agg(F.count("*").cast("double").alias("bg_count"))
+        fg_tot = df.count()
+        bg_tot = bg_df.count()
+        size = body.get("size", 10)
+        return (
+            fg_counts.join(bg_counts, "key")
+            .withColumn("fg_pct", F.col("fg_count") / float(fg_tot))
+            .withColumn("bg_pct", F.col("bg_count") / float(bg_tot))
+            .withColumn("score", (F.col("fg_pct") - F.col("bg_pct")) * F.col("fg_pct") / F.col("bg_pct"))
+            .where(F.col("score") > 0)
+            .select("key", F.col("fg_count").cast("long").alias("doc_count"),
+                    F.col("bg_count").cast("long").alias("bg_count"), "score")
+            .orderBy(F.desc("score"), F.asc("key"))
+            .limit(size)
+        )
+
+    if kind == "composite":
+        key_cols = []
+        names = []
+        for src in body["sources"]:
+            (nm, s), = src.items()
+            c, _ = _bucket_col(s)
+            key_cols.append((c if hasattr(c, "alias") else F.col(c)).alias(nm))
+            names.append(nm)
+        grouped = _apply_metric_subaggs(df.groupBy(*key_cols), sub)
+        if "after" in body:
+            after = body["after"]
+            pred = F.lit(False)
+            for i in range(1, len(names) + 1):
+                eq = F.lit(True)
+                for j in range(i - 1):
+                    eq = eq & (F.col(names[j]) == F.lit(after[names[j]]))
+                pred = pred | (eq & (F.col(names[i - 1]) > F.lit(after[names[i - 1]])))
+            grouped = grouped.where(pred)
+        return grouped.orderBy(*[F.col(n).asc() for n in names]).limit(body.get("size", 10))
+
+    if kind == "auto_date_histogram":
+        f = body["field"]
+        target = body.get("buckets", 10)
+        lo, hi = df.agg(F.min(f), F.max(f)).collect()[0]
+        span_s = max((hi - lo).total_seconds(), 1)
+        ladder = [("minute", 60), ("hour", 3600), ("day", 86400),
+                  ("week", 604800), ("month", 2629800), ("year", 31557600)]
+        unit = next((u for u, s in ladder if span_s / s <= target), "year")
+        return (
+            _apply_metric_subaggs(df.groupBy(F.date_trunc(unit, F.col(f)).alias("key")), sub)
+            .withColumn("interval", F.lit(unit))
+            .orderBy("key")
+        )
+
+    if kind == "nested":
+        path = body["path"]
+        child = df.select("*", F.explode(path).alias("__child")).select("__child.*")
+        out = None
+        for sname, sspec in (sub or {}).items():
+            frame = compile_agg(child, sname, sspec)
+            out = frame if out is None else out
+        return out if out is not None else child.agg(F.count("*").alias("doc_count"))
+
     # ---- keyed bucket sources (terms/histogram/date_histogram/missing) ----
     key_col, (bkind, bbody) = _bucket_col(body_spec)
 

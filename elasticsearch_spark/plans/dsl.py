@@ -121,6 +121,12 @@ class Node:
     def predicate(self, ctx: SearchContext) -> Column:
         raise NotImplementedError(f"{type(self).__name__} cannot run in filter context")
 
+    def filter_keys(self, ctx: SearchContext) -> DataFrame:
+        """DataFrame[__key] of docs passing this node as a filter — the
+        semi-join form of the filter context (used by bool.filter/must_not
+        for nodes whose predicate needs its own plan, e.g. nested)."""
+        return ctx.df.where(self.predicate(ctx)).select(F.col(ctx.key).alias("__key"))
+
     def frame(self, ctx: SearchContext) -> DataFrame:
         """DataFrame[__key, _score]; default = constant_score(predicate)."""
         return (
@@ -316,6 +322,153 @@ class MultiMatchQ(Node):
 
 
 @dataclass
+class MatchBoolPrefixQ(Node):
+    """match_bool_prefix (MatchBoolPrefixQueryBuilder.java): all terms as
+    bool-should term matches, last term as prefix (constant-score 1)."""
+
+    fld: str
+    query: str = ""
+    boost: float = 1.0
+
+    def frame(self, ctx):
+        terms = ctx.analyze(self.query)
+        if not terms:
+            return ctx.df.limit(0).select(F.col(ctx.key).alias("__key"), F.lit(0.0).alias("_score"))
+        *full, last = terms
+        frames = []
+        if full:
+            frames.append(_bm25_frame(ctx, list(dict.fromkeys(full)), self.boost).select("__key", "_score"))
+        prefix_hit = (
+            ctx.df.where(F.exists(ctx.toks_col(), lambda t: t.startswith(last)))
+            .select(F.col(ctx.key).alias("__key"))
+            .withColumn("_score", F.lit(1.0 * self.boost))
+        )
+        frames.append(prefix_hit)
+        return _sum_frames(frames, min_should=1).select("__key", F.col("_s_should").alias("_score"))
+
+
+@dataclass
+class CombinedFieldsQ(Node):
+    """combined_fields (CombinedFieldsQueryBuilder.java): term-centric
+    BM25F — term freqs and doc lengths merged across fields BEFORE scoring
+    (one virtual combined field), unlike multi_match's per-field scores."""
+
+    flds: list = field(default_factory=list)
+    query: str = ""
+    operator: str = "or"
+    boost: float = 1.0
+
+    def frame(self, ctx):
+        combined = F.concat(*[
+            F.expr(f"regexp_extract_all(lower({f_}), '{ctx.analyzer_regex}', 0)") for f_ in self.flds
+        ])
+        virt = ctx.df.withColumn("__combined_text", F.array_join(combined, " "))
+        sub = SearchContext(virt, ctx.key, text_col="__combined_text", analyzer_regex=ctx.analyzer_regex)
+        return MatchQ("__combined_text", self.query, operator=self.operator, boost=self.boost).frame(sub)
+
+
+@dataclass
+class DistanceFeatureQ(Node):
+    """distance_feature (DistanceFeatureQueryBuilder.java):
+    score = boost * pivot / (pivot + |field - origin|)."""
+
+    fld: str
+    origin: float = 0.0
+    pivot: float = 1.0
+    boost: float = 1.0
+
+    def frame(self, ctx):
+        dist = F.abs(F.col(self.fld).cast("double") - float(self.origin))
+        return (
+            ctx.df.where(F.col(self.fld).isNotNull())
+            .select(
+                F.col(ctx.key).alias("__key"),
+                (self.boost * self.pivot / (self.pivot + dist)).alias("_score"),
+            )
+        )
+
+
+@dataclass
+class MoreLikeThisQ(Node):
+    """more_like_this (MoreLikeThisQueryBuilder.java): extract the top
+    tf-idf terms from the liked docs, run them as a disjunction, exclude
+    the liked docs (include=false default)."""
+
+    like_ids: list = field(default_factory=list)
+    max_query_terms: int = 25
+    min_doc_freq: int = 1
+    boost: float = 1.0
+
+    def frame(self, ctx):
+        liked_tf = ctx.tf().join(
+            ctx.df.where(F.col(ctx.key).isin(self.like_ids)).select(F.col(ctx.key).alias("__key")),
+            "__key",
+        )
+        dfstats = ctx.tf().groupBy("term").agg(F.countDistinct("__key").alias("df"))
+        coll = ctx.coll()
+        top_terms = [
+            r["term"]
+            for r in liked_tf.groupBy("term")
+            .agg(F.sum("tf").alias("ltf"))
+            .join(dfstats, "term")
+            .where(F.col("df") >= self.min_doc_freq)
+            .crossJoin(F.broadcast(coll))
+            .withColumn("tfidf", F.col("ltf") * F.log(F.col("n_docs") / (F.col("df") + 1.0)))
+            .orderBy(F.desc("tfidf"), F.asc("term"))
+            .limit(self.max_query_terms)
+            .collect()
+        ]
+        if not top_terms:
+            return ctx.df.limit(0).select(F.col(ctx.key).alias("__key"), F.lit(0.0).alias("_score"))
+        fr = _bm25_frame(ctx, top_terms, self.boost).select("__key", "_score")
+        return fr.where(~F.col("__key").isin(self.like_ids))
+
+
+@dataclass
+class ScriptQ(Node):
+    """script query (ScriptQueryBuilder.java): per-doc boolean predicate —
+    here a Spark SQL expression (the Painless-context analog)."""
+
+    source: str = ""
+
+    def predicate(self, ctx):
+        return F.expr(self.source).cast("boolean")
+
+
+@dataclass
+class NestedQ(Node):
+    """nested (NestedQueryBuilder.java): query sub-documents in an
+    array<struct> column; join back to parents with score_mode. The
+    reference's hidden-doc block join is unnecessary — explode + groupBy is
+    co-partitioned by construction."""
+
+    path: str = ""
+    query: Node = None
+    score_mode: str = "avg"
+
+    def filter_keys(self, ctx):
+        # filter context: any child matches → distinct parent keys
+        child = ctx.df.select(F.col(ctx.key).alias("__key"), F.explode(self.path).alias("__c"))
+        flat = child.select("__key", F.col("__c.*"))
+        sub = SearchContext(flat, "__key", text_col=ctx.text_col)
+        return flat.where(self.query.predicate(sub)).select("__key").distinct()
+
+    def frame(self, ctx):
+        child = ctx.df.select(F.col(ctx.key).alias("__pkey"), F.explode(self.path).alias("__c"))
+        flat = child.select("__pkey", F.col("__c.*"))
+        sub = SearchContext(flat, "__pkey", text_col=ctx.text_col)
+        child_scores = self.query.frame(sub)  # __key == __pkey values
+        agg = {
+            "avg": F.avg("_score"), "max": F.max("_score"), "sum": F.sum("_score"),
+            "min": F.min("_score"), "none": F.lit(0.0),
+        }[self.score_mode]
+        return (
+            child_scores.groupBy("__key")
+            .agg(agg.alias("_score"))
+        )
+
+
+@dataclass
 class BoolQ(Node):
     """bool (BoolQueryBuilder.java:47-65): must=AND scored, filter=AND
     unscored, should=OR scored (minimum_should_match), must_not=NOT."""
@@ -371,14 +524,10 @@ class BoolQ(Node):
         else:  # filter/must_not only: constant score (BoolQueryBuilder pure-filter)
             out = ctx.df.select(F.col(ctx.key).alias("__key")).withColumn("_score", F.lit(0.0))
 
-        for c in self.filter:  # unscored, cacheable context
-            keys = ctx.df.where(c.predicate(ctx)).select(F.col(ctx.key).alias("__key"))
-            out = out.join(keys, "__key", "left_semi")
+        for c in self.filter:  # unscored, cacheable context (semi-join form)
+            out = out.join(c.filter_keys(ctx), "__key", "left_semi")
         for c in self.must_not:
-            keys = ctx.df.where(F.coalesce(c.predicate(ctx), F.lit(False))).select(
-                F.col(ctx.key).alias("__key")
-            )
-            out = out.join(keys, "__key", "left_anti")
+            out = out.join(c.filter_keys(ctx), "__key", "left_anti")
         return out.withColumn("_score", F.col("_score") * self.boost)
 
 
@@ -553,6 +702,84 @@ class FunctionScoreQ(Node):
         return joined.select("__key", new.alias("_score"))
 
 
+def parse_query_string(s: str, default_field: str = "text") -> Node:
+    """Lucene query-string syntax subset (QueryStringQueryParser.java):
+    AND/OR/NOT, parentheses, field:value, "quoted phrases", wildcard*
+    prefixes, [lo TO hi] ranges. Default operator OR."""
+    import re as _re
+
+    toks = _re.findall(r'\(|\)|\[|\]|"[^"]*"|AND|OR|NOT|[^\s()\[\]]+', s)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or() -> Node:
+        left = [parse_and()]
+        while peek() == "OR":
+            take()
+            left.append(parse_and())
+        return left[0] if len(left) == 1 else BoolQ(should=left, minimum_should_match=1)
+
+    def parse_and() -> Node:
+        left = [parse_unary()]
+        while peek() == "AND":
+            take()
+            left.append(parse_unary())
+        return left[0] if len(left) == 1 else BoolQ(must=left)
+
+    def parse_unary() -> Node:
+        if peek() == "NOT":
+            take()
+            inner = parse_unary()
+            return BoolQ(must=[MatchAll()], must_not=[inner])
+        return parse_clause()
+
+    def parse_clause() -> Node:
+        t = take()
+        if t == "(":
+            inner = parse_or()
+            assert take() == ")", "unbalanced parens"
+            return inner
+        fld = default_field
+        if ":" in t and not t.startswith('"'):
+            fld, _, t = t.partition(":")
+            if t == "" and peek() == "[":
+                t = take()  # field:[lo TO hi] — bracket was its own token
+        if t == "[":  # [lo TO hi]
+            lo = take()
+            assert take() == "TO"
+            hi = take()
+            assert take() == "]"
+
+            def num(x):
+                try:
+                    return float(x)
+                except ValueError:
+                    return x
+
+            return RangeQ(fld, gte=None if lo == "*" else num(lo), lte=None if hi == "*" else num(hi))
+        if t.startswith('"'):
+            return MatchPhraseQ(fld, query=t.strip('"'))
+        if t.endswith("*"):
+            if fld == default_field:
+                return MatchBoolPrefixQ(fld, query=t[:-1])
+            return PrefixQ(fld, value=t[:-1])
+        if fld != default_field:
+            return TermQ(fld, value=t)
+        return MatchQ(fld, query=t)
+
+    node = parse_or()
+    assert pos == len(toks), f"trailing input at {toks[pos:]}"
+    return node
+
+
 def parse(q: dict) -> Node:
     """JSON DSL dict → AST (the RestSearchAction / SearchSourceBuilder parse
     step, ``server/.../rest/action/search/RestSearchAction.java:57``)."""
@@ -638,7 +865,61 @@ def parse(q: dict) -> Node:
             score_mode=body.get("score_mode", "multiply"),
             boost_mode=body.get("boost_mode", "multiply"),
         )
+    if kind == "match_bool_prefix":
+        (fld, spec), = body.items()
+        return MatchBoolPrefixQ(fld, query=spec["query"] if isinstance(spec, dict) else spec)
+    if kind == "combined_fields":
+        return CombinedFieldsQ(
+            flds=body["fields"], query=body["query"], operator=body.get("operator", "or")
+        )
+    if kind == "distance_feature":
+        return DistanceFeatureQ(
+            body["field"], origin=float(body["origin"]), pivot=float(body["pivot"]),
+            boost=body.get("boost", 1.0),
+        )
+    if kind == "more_like_this":
+        like = body.get("like", [])
+        ids = [x["_id"] if isinstance(x, dict) else x for x in (like if isinstance(like, list) else [like])]
+        return MoreLikeThisQ(
+            like_ids=ids, max_query_terms=body.get("max_query_terms", 25),
+            min_doc_freq=body.get("min_doc_freq", 1),
+        )
+    if kind == "script":
+        return ScriptQ(source=body["script"]["source"] if isinstance(body.get("script"), dict) else body["source"])
+    if kind == "wrapper":
+        import base64
+        import json as _json
+
+        raw = body["query"]
+        try:
+            decoded = base64.b64decode(raw).decode()
+        except Exception:  # noqa: BLE001 — plain JSON accepted too
+            decoded = raw
+        return parse(_json.loads(decoded))
+    if kind == "nested":
+        return NestedQ(
+            path=body["path"], query=parse(body["query"]),
+            score_mode=body.get("score_mode", "avg"),
+        )
+    if kind in ("query_string", "simple_query_string"):
+        return parse_query_string(body["query"], body.get("default_field", "text"))
     raise ValueError(f"unsupported query kind: {kind}")
+
+
+def _sort_cols(sort_spec, key: str) -> list[Column]:
+    """ES sort list → Spark order columns (FieldSortBuilder semantics:
+    missing last by default, deterministic key tie-break appended)."""
+    order = []
+    for s in sort_spec:
+        if s == "_score":
+            order.append(F.desc("_score"))
+            continue
+        (sf, sd), = s.items() if isinstance(s, dict) else ((s, "asc"),)
+        d = sd.get("order", "asc") if isinstance(sd, dict) else sd
+        c = F.col("_score") if sf == "_score" else F.col(sf)
+        order.append(c.desc_nulls_last() if d == "desc" else c.asc_nulls_last())
+    order.append(F.asc(key))
+    return order
 
 
 def search(
@@ -648,21 +929,71 @@ def search(
     key: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Run a DSL search body: {"query": ..., "size": k, "from": n} →
-    DataFrame[key, _score, <source cols>] in rank order (score DESC, key
-    ASC), the query_then_fetch lifecycle over an arbitrary corpus frame."""
+    """Run a DSL search body over an arbitrary corpus frame — the
+    query_then_fetch lifecycle. Supported body keys: query, size, from,
+    sort (field sorts, FieldSortBuilder), search_after (keyset pagination,
+    SearchAfterBuilder.java:97), rescore (top-window re-rank,
+    QueryRescorer.java:66), _source (column projection)."""
     ctx = SearchContext(df, key, text_col=text_col)
     node = parse(body.get("query", {"match_all": {}}))
     fr = node.frame(ctx)
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
-    top = (
-        fr.orderBy(F.desc("_score"), F.asc("__key"))
-        .limit(from_ + size)
-        .withColumnRenamed("__key", key)
-    )
-    fetched = top.join(df, key).orderBy(F.desc("_score"), F.asc(key))
+
+    fetched = fr.withColumnRenamed("__key", key).join(df, key)
+
+    # rescore: combine primary score with a secondary query over the top
+    # window only (narrower, costlier query — the reference's use case)
+    if "rescore" in body:
+        rs = body["rescore"]
+        window = int(rs.get("window_size", 10))
+        rq = rs["query"]
+        qw = float(rq.get("query_weight", 1.0))
+        rqw = float(rq.get("rescore_query_weight", 1.0))
+        top_w = (
+            fetched.orderBy(F.desc("_score"), F.asc(key)).limit(window)
+        )
+        sec = parse(rq["rescore_query"]).frame(SearchContext(df, key, text_col=text_col))
+        sec = sec.withColumnRenamed("__key", key).withColumnRenamed("_score", "_rescore")
+        fetched = (
+            top_w.join(sec, key, "left")
+            .withColumn(
+                "_score",
+                qw * F.col("_score") + rqw * F.coalesce(F.col("_rescore"), F.lit(0.0)),
+            )
+            .drop("_rescore")
+        )
+
+    sort_spec = body.get("sort", [{"_score": {"order": "desc"}}])
+    order = _sort_cols(sort_spec, key)
+
+    # search_after: keyset pagination — strictly-after predicate on the
+    # sort tuple (lexicographic comparison chain)
+    if "search_after" in body:
+        vals = body["search_after"]
+        cols = []
+        descs = []
+        for s in sort_spec:
+            (sf, sd), = s.items() if isinstance(s, dict) else ((s, "asc"),)
+            d = sd.get("order", "asc") if isinstance(sd, dict) else sd
+            cols.append(F.col("_score") if sf == "_score" else F.col(sf))
+            descs.append(d == "desc")
+        cols.append(F.col(key))
+        descs.append(False)
+        pred = F.lit(False)
+        for i in range(len(vals), 0, -1):
+            eq = F.lit(True)
+            for j in range(i - 1):
+                eq = eq & (cols[j] == F.lit(vals[j]))
+            strict = (cols[i - 1] < F.lit(vals[i - 1])) if descs[i - 1] else (cols[i - 1] > F.lit(vals[i - 1]))
+            pred = pred | (eq & strict)
+        fetched = fetched.where(pred)
+
+    out = fetched.orderBy(*order).limit(from_ + size)
+    if "_source" in body:
+        keep = [key, "_score"] + [c for c in body["_source"] if c in df.columns]
+        out = out.select(*dict.fromkeys(keep))
     if from_:
-        rows = fetched.collect()[from_:]
-        return spark.createDataFrame(rows, fetched.schema)
-    return fetched
+        rows = out.collect()[from_:]
+        return spark.createDataFrame(rows, out.schema)
+    return out

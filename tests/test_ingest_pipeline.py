@@ -1,0 +1,100 @@
+"""Ingest-pipeline processor tests (sources/ingest_pipeline.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from elasticsearch_spark.sources.ingest_pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def logs(spark):
+    rows = [
+        (1, "  HELLO World  ", "2024-03-05T10:20:30", "a=1 b=2", "alice,30,paris",
+         "2024-03-05 10:20:30 ERROR disk full", "10kb", ["X", "Y"]),
+        (2, "foo BAR baz", "2024-03-06T11:00:00", "k=v x=y", "bob,25,rome",
+         "2024-03-06 11:00:00 INFO all good", "2mb", ["z"]),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id long, msg string, ts_str string, kvs string, csvline string, "
+        "logline string, sz string, arr array<string>",
+    )
+
+
+def test_string_processors(spark, logs):
+    out = run_pipeline(logs, [
+        {"trim": {"field": "msg"}},
+        {"lowercase": {"field": "msg"}},
+        {"gsub": {"field": "msg", "pattern": "world", "replacement": "earth"}},
+        {"split": {"field": "msg", "separator": " ", "target_field": "words"}},
+        {"join": {"field": "words", "separator": "-", "target_field": "joined"}},
+    ])
+    r = out.where("id = 1").collect()[0]
+    assert r["msg"] == "hello earth"
+    assert r["words"] == ["hello", "earth"]
+    assert r["joined"] == "hello-earth"
+
+
+def test_date_convert_csv_kv(spark, logs):
+    out = run_pipeline(logs, [
+        {"date": {"field": "ts_str", "formats": ["yyyy-MM-dd'T'HH:mm:ss"], "target_field": "ts"}},
+        {"csv": {"field": "csvline", "target_fields": ["name", "age", "city"]}},
+        {"convert": {"field": "age", "type": "integer"}},
+        {"kv": {"field": "kvs", "field_split": " ", "value_split": "=", "target_field": "kv"}},
+    ])
+    r = out.where("id = 1").collect()[0]
+    assert r["ts"] == dt.datetime(2024, 3, 5, 10, 20, 30)
+    assert r["name"] == "alice" and r["age"] == 30
+    assert r["kv"]["a"] == "1" and r["kv"]["b"] == "2"
+
+
+def test_grok_and_dissect(spark, logs):
+    out = run_pipeline(logs, [
+        {"grok": {"field": "logline",
+                  "patterns": ["%{TIMESTAMP_ISO8601:when} %{LOGLEVEL:level} %{GREEDYDATA:what}"]}},
+    ])
+    r = out.where("id = 1").collect()[0]
+    assert r["level"] == "ERROR" and r["what"] == "disk full"
+    out2 = run_pipeline(logs, [
+        {"dissect": {"field": "csvline", "pattern": "%{nm},%{ag},%{ct}"}},
+    ])
+    r2 = out2.where("id = 2").collect()[0]
+    assert (r2["nm"], r2["ag"], r2["ct"]) == ("bob", "25", "rome")
+
+
+def test_bytes_fingerprint_script_foreach(spark, logs):
+    out = run_pipeline(logs, [
+        {"bytes": {"field": "sz", "target_field": "sz_bytes"}},
+        {"fingerprint": {"fields": ["id", "msg"]}},
+        {"script": {"source": "id * 10", "target_field": "id10"}},
+        {"foreach": {"field": "arr", "processor": {"lowercase": {}}}},
+    ])
+    rs = {r["id"]: r for r in out.collect()}
+    assert rs[1]["sz_bytes"] == 10240 and rs[2]["sz_bytes"] == 2 * 1048576
+    assert rs[1]["fingerprint"] != rs[2]["fingerprint"]
+    assert rs[1]["id10"] == 10
+    assert rs[1]["arr"] == ["x", "y"]
+
+
+def test_conditional_set_and_drop(spark, logs):
+    out = run_pipeline(logs, [
+        {"set": {"field": "flag", "value": "big", "if": "id > 1"}},
+    ])
+    rs = {r["id"]: r["flag"] for r in out.collect()}
+    assert rs[1] is None and rs[2] == "big"
+    out2 = run_pipeline(logs, [{"drop": {"if": "id = 1"}}])
+    assert [r["id"] for r in out2.collect()] == [2]
+
+
+def test_rename_remove_append(spark, logs):
+    out = run_pipeline(logs, [
+        {"rename": {"field": "msg", "target_field": "message"}},
+        {"append": {"field": "arr", "value": ["W"]}},
+        {"remove": {"field": ["kvs", "csvline"]}},
+    ])
+    assert "message" in out.columns and "msg" not in out.columns
+    assert "kvs" not in out.columns
+    assert out.where("id = 2").collect()[0]["arr"] == ["z", "W"]

@@ -1,0 +1,69 @@
+"""Token-filter chain tests (functions/analysis.py custom analyzers)."""
+
+from __future__ import annotations
+
+from elasticsearch_spark.functions import analysis
+
+
+def test_stop_filter():
+    analysis.register_analyzer("std_stop", filters=["stop"])
+    got = analysis.analyze("the quick fox and the dog", "std_stop")
+    assert got == ["quick", "fox", "dog"]
+
+
+def test_asciifolding():
+    analysis.register_analyzer("fold", filters=["asciifolding"])
+    assert analysis.analyze("Zürich café naïve", "fold") == ["zurich", "cafe", "naive"]
+
+
+def test_shingle():
+    analysis.register_analyzer("sh", filters=[("shingle", {"min_size": 2, "max_size": 3})])
+    got = analysis.analyze("a b c", "sh")
+    assert got == ["a", "b", "c", "a b", "b c", "a b c"]
+
+
+def test_ngram_and_edge():
+    analysis.register_analyzer("ng", filters=[("ngram", {"min_gram": 2, "max_gram": 2})])
+    assert analysis.analyze("abc", "ng") == ["ab", "bc"]
+    analysis.register_analyzer("eg", filters=[("edge_ngram", {"min_gram": 1, "max_gram": 3})])
+    assert analysis.analyze("spark", "eg") == ["s", "sp", "spa"]
+
+
+def test_stemmer_minimal():
+    analysis.register_analyzer("stem", filters=["stemmer"])
+    assert analysis.analyze("dogs berries boxes class bus", "stem") == [
+        "dog", "berry", "box", "class", "bus"
+    ]
+
+
+def test_chained_filters():
+    analysis.register_analyzer(
+        "chain", filters=["stop", "asciifolding", ("length", {"min": 3}), "unique"]
+    )
+    got = analysis.analyze("the Café café is on fire fire", "chain")
+    assert got == ["cafe", "fire"]
+
+
+def test_truncate_reverse():
+    analysis.register_analyzer("tr", filters=[("truncate", {"length": 3}), "reverse"])
+    assert analysis.analyze("spark", "tr") == ["aps"]
+
+
+def test_custom_analyzer_in_index_build(spark, tmp_path):
+    """A registered chain drives the full index build + search path."""
+    from elasticsearch_spark.operators.postings import build_index
+    from elasticsearch_spark.operators.topk import search_topk
+
+    analysis.register_analyzer("stop_stem", filters=["stop", "stemmer"])
+    rows = [
+        ("u1", "the dogs and the cats", "en"),
+        ("u2", "a dog sat on the mat", "en"),
+        ("u3", "birds fly south", "en"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, lang string").withColumn(
+        "warc_ts", __import__("pyspark.sql.functions", fromlist=["F"]).lit("2024-01-01").cast("timestamp")
+    )
+    idx = str(tmp_path / "idx")
+    build_index(spark, df, idx, num_partitions=2, analyzer="stop_stem")
+    hits = search_topk(spark, idx, ["dog"], k=10, fetch=True).collect()
+    assert {r["url"] for r in hits} == {"u1", "u2"}  # both stem to "dog"; stopwords gone
