@@ -29,6 +29,7 @@ mechanism (``DfsPhase.java:31-81``): scores never depend on partitioning.
 from __future__ import annotations
 
 import heapq
+import os
 
 import numpy as np
 import pandas as pd
@@ -271,6 +272,63 @@ class IndexReader:
         self.docs.unpersist()
 
 
+def _segment_task_scorer(
+    index_dir: str,
+    weights: dict[str, tuple[float, int]],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+    msm: int,
+    mode: str,
+):
+    """mapInPandas fn over a seg-id frame: each task reads ITS segment's
+    postings (parquet predicate+column pushdown on the term-sorted file)
+    and norms directly from the store — the per-shard query phase with
+    ZERO shuffle (the reference's one-collector-per-shard model,
+    ``QueryPhase.java:98``). Tail terms cost ~nothing per non-matching
+    segment: the term filter prunes on row-group stats."""
+    import pyarrow.parquet as pq
+
+    from ..functions.smallfloat import byte4_to_int
+
+    live = list(weights)
+
+    def fn(batches):
+        for pdf in batches:
+            outs = []
+            for seg in pdf["seg"]:
+                d = store.seg_dir(index_dir, int(seg))
+                post = pq.read_table(
+                    os.path.join(d, "postings.parquet"),
+                    columns=["term", "first_doc_id", "last_doc_id", "n",
+                             "max_tf", "min_ql", "ids_bytes", "tf_bytes"],
+                    filters=[("term", "in", live)],
+                ).to_pandas()
+                if len(post) == 0:
+                    continue
+                docs = pq.read_table(
+                    os.path.join(d, "docs.parquet"), columns=["doc_id", "norm"]
+                )
+                norm_doc_ids = docs["doc_id"].to_numpy()
+                order = np.argsort(norm_doc_ids, kind="mergesort")
+                norm_doc_ids = norm_doc_ids[order]
+                norm_ql = byte4_to_int(docs["norm"].to_numpy())[order]
+                if mode == "wand" and msm <= 1:
+                    outs.append(
+                        _wand_segment(post, weights, norm_doc_ids, norm_ql, avgdl, k1, b, k, None)
+                    )
+                else:
+                    docs_a, scores_a, counts_a = _score_segment_arrays(
+                        post, weights, norm_doc_ids, norm_ql, avgdl, k1, b, None
+                    )
+                    outs.append(_topk_from_arrays(docs_a, scores_a, counts_a, k, msm))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return fn
+
+
 def search_topk(
     spark: SparkSession,
     index_dir: str,
@@ -299,6 +357,18 @@ def search_topk(
     empty = spark.createDataFrame([], CAND_SCHEMA)
     if not live or (operator == "and" and len(live) < len(terms)):
         cands = empty
+    elif doc_filter is None:
+        # file-direct per-segment query phase (default): one task per
+        # segment, zero shuffle — each task reads its own postings (term
+        # filter pushed to parquet row groups) and norms from the store
+        segs = store.list_segs(index_dir)
+        fn = _segment_task_scorer(index_dir, weights, meta.avgdl, meta.k1, meta.b, k, msm, mode)
+        n_tasks = max(1, min(len(segs), spark.sparkContext.defaultParallelism))
+        cands = (
+            spark.createDataFrame([(s,) for s in segs], "seg int")
+            .repartition(n_tasks)
+            .mapInPandas(fn, CAND_SCHEMA)
+        )
     else:
         base_postings = (
             reader.postings

@@ -301,6 +301,24 @@ def q_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregations
 # --------------------------------------------------------------------------
 
+def q_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms lookup (TermsQueryBuilder.java terms-lookup mode): the term set
+    comes from another table — a broadcast semi-join (the Spark form of
+    fetching the lookup doc and rewriting to a terms query)."""
+    e = _events(spark, sf_dir)
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    return (
+        e.join(F.broadcast(cust), "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("hits"))
+        .orderBy("event_type")
+    )
+
+
 def a_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """terms agg (GlobalOrdinalsStringTermsAggregator.java): top-N groups."""
     return (
@@ -850,6 +868,11 @@ WHERE doc_id IN (3, 7, 11, 13) ORDER BY doc_id
 SELECT source, count(*)::BIGINT AS doc_count FROM documents
 WHERE source LIKE 'src1%' GROUP BY source ORDER BY source
 """,
+    "terms_lookup": """
+SELECT event_type, count(*)::BIGINT AS hits FROM events
+WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY event_type ORDER BY event_type
+""",
     "agg_terms": """
 SELECT lang, count(*)::BIGINT AS doc_count FROM documents
 GROUP BY lang ORDER BY doc_count DESC, lang ASC LIMIT 10
@@ -1155,6 +1178,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_query_events": q_range_events,
     "ids_query": q_ids,
     "wildcard_query": q_wildcard,
+    "terms_lookup": q_terms_lookup,
     "agg_terms": a_terms,
     "agg_date_histogram": a_date_histogram,
     "agg_histogram": a_histogram,

@@ -141,6 +141,18 @@ class IndexMeta:
         return int(self.seg_map.get(str(container_seg), container_seg))
 
 
+def list_segs(index_dir: str) -> list[int]:
+    """Current segment ids (post-merge survivors) from the store layout."""
+    root = os.path.join(index_dir, "segments")
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        int(n.split("=", 1)[1])
+        for n in os.listdir(root)
+        if n.startswith("seg=") and os.path.exists(os.path.join(root, n, "postings.parquet"))
+    )
+
+
 def postings_glob(index_dir: str) -> str:
     return os.path.join(index_dir, "segments", "seg=*", "postings.parquet")
 
