@@ -41,7 +41,9 @@ REGISTRY_BENCH = [
     "agg_date_histogram",
     "agg_significant_terms",
     "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
     "sim_cosine_topk",
+    "sim_ann_lsh_topk",
 ]
 
 
@@ -93,6 +95,18 @@ def main() -> None:
     timings["wand_queries_x10"] = round(time.perf_counter() - t0, 3)
     reader.close()
 
+    # --- phase 2b: tiered segment merge (compaction) -----------------------
+    from elasticsearch_spark.operators.merge import merge_index
+
+    t0 = time.perf_counter()
+    merge_info = merge_index(spark, index_dir, segments_per_tier=8)
+    timings["segment_merge"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    for q in qs[:3]:
+        op = "and" if q.kind == "conjunctive" else "or"
+        search_topk(spark, index_dir, list(q.terms), k=10, operator=op, mode="wand", fetch=False).collect()
+    timings["wand_after_merge_x3"] = round(time.perf_counter() - t0, 3)
+
     # --- phase 3: registry headline queries at sf_dir ----------------------
     # each query runs twice; the warm (steady-state serving) timing is
     # reported — cold JVM/codegen noise is not the thing being measured
@@ -117,6 +131,8 @@ def main() -> None:
                 "index_docs": info["doc_count"],
                 "index_docs_per_sec": round(docs_per_sec, 1),
                 "index_postings_mb": round(info["postings_bytes"] / 1e6, 2),
+                "merges": merge_info.get("merges", 0),
+                "segments_after_merge": merge_info.get("segments_after", 0),
             }
         )
     )

@@ -41,7 +41,6 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import index_store as store
-from .codec import decode_block
 from .postings import encode_postings_blocks
 
 # reference defaults, scaled for sandbox testing via parameters
@@ -121,15 +120,21 @@ def merge_group_local(index_dir: str, segs: list[int], new_seg: int) -> dict:
     tf_b = post["tf_bytes"].to_numpy(zero_copy_only=False)
     ns = post["n"].to_numpy()
 
-    flat_ids = np.empty(int(ns.sum()), dtype=np.int64)
-    flat_tfs = np.empty(int(ns.sum()), dtype=np.int64)
-    off = 0
-    for i in range(len(terms)):
-        ids, tfs = decode_block(ids_b[i], tf_b[i], int(firsts[i]))
-        flat_ids[off : off + len(ids)] = ids
-        flat_tfs[off : off + len(ids)] = tfs
-        off += len(ids)
+    # whole-table vectorized decode: VByte is self-delimiting, so ALL block
+    # byte-strings concatenate into one stream decoded in a single numpy
+    # pass; per-block docIDs are reconstructed with a segmented cumsum
+    # (gap[block_start] is 0 by the codec's layout, base = first_doc_id)
+    from .codec import vbyte_decode
+
+    n_total = int(ns.sum())
+    starts = np.r_[0, np.cumsum(ns)[:-1]]
+    gaps = vbyte_decode(b"".join(ids_b)).astype(np.int64)
+    flat_tfs = vbyte_decode(b"".join(tf_b)).astype(np.int64)
+    csum = np.cumsum(gaps)
+    base_correction = firsts - (csum[starts] - gaps[starts])
+    flat_ids = csum + np.repeat(base_correction, ns)
     flat_terms = np.repeat(terms, ns)
+    assert len(flat_ids) == n_total
 
     codes, uniques = pd.factorize(flat_terms, sort=True)
     order = np.lexsort((flat_ids, codes))

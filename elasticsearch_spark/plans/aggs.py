@@ -210,6 +210,16 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
             out = out.unionByName(fr)
         return out.where(F.col("doc_count") > 0).orderBy("key")
 
+    if kind == "scripted_metric":
+        # ScriptedMetricAggregator.java contexts → Spark's partial/final agg:
+        # map_script = per-row expression, reduce_script = aggregate
+        # expression over `states` (the mapped values); combine (partial
+        # per-partition agg) is what Catalyst inserts automatically.
+        mapped = df.withColumn("__state", F.expr(body["map_script"]))
+        return mapped.agg(
+            F.expr(body["reduce_script"].replace("states", "__state")).alias(name)
+        )
+
     if kind == "significant_terms":
         # fg = this frame (the query context), bg = background_df or fg
         f = body["field"]

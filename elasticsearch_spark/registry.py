@@ -554,6 +554,63 @@ def a_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# index-backed engine paths (postings build → WAND → fetch), oracle-gated:
+# the engine's BM25 formula with SmallFloat norms is exactly mirrored in SQL
+# --------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) the inverted index over the
+    documents table; url = zero-padded doc_id so internal doc-id order ==
+    numeric doc_id order (deterministic tie-breaks vs the oracle)."""
+    import os
+
+    from .operators.postings import build_index
+
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    tag = sf_dir.strip("/").replace("/", "_")
+    index_dir = f"/tmp/es_registry_index_{tag}"
+    pages = _docs(spark, sf_dir).select(
+        F.format_string("doc%012d", F.col("doc_id")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        "text",
+        "lang",
+    )
+    build_index(spark, pages, index_dir, num_partitions=4, analyzer="regex_simple")
+    _INDEX_CACHE[sf_dir] = index_dir  # resume path makes the re-call a no-op
+    return index_dir
+
+
+def q_index_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path: postings/segments on disk → block-max WAND top-10 →
+    fetch; oracle = the BM25 formula in SQL (rank- and score-identical)."""
+    from .operators.topk import search_topk
+
+    idx = _index_for(spark, sf_dir)
+    hits = search_topk(spark, idx, _OR_TERMS, k=10, operator="or", mode="wand", fetch=True)
+    return hits.select(
+        F.expr("cast(substring(url, 4, 12) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed match_phrase: conjunctive WAND candidates → positional
+    verify at fetch (operators/phrase.py)."""
+    from .operators.phrase import search_phrase
+
+    idx = _index_for(spark, sf_dir)
+    hits = search_phrase(spark, idx, "group order", k=10)
+    return hits.select(
+        F.expr("cast(substring(url, 4, 12) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+# --------------------------------------------------------------------------
 # query DSL compiler end-to-end (plans/dsl.py): parsed JSON bodies through
 # the bool/dis_max/function_score/boosting combinators
 # --------------------------------------------------------------------------
@@ -981,6 +1038,21 @@ SELECT term, fg_count::BIGINT AS fg_n, bg_count::BIGINT AS bg_n,
 FROM counts CROSS JOIN tot WHERE fg_count > 0
 ORDER BY jlh DESC, term ASC LIMIT 15
 """,
+    "bm25_index_wand": _bm25_cte(_OR_TERMS, msm=1) + """
+SELECT doc_id, round(score_raw, 4) AS score FROM scored
+ORDER BY score_raw DESC, doc_id ASC LIMIT 10
+""",
+    "phrase_index": _bm25_cte(["group", "order"], msm=2) + """,
+ph AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ' ' || array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') || ' ' AS ts
+    FROM documents
+  ) WHERE ts LIKE '% group order %'
+)
+SELECT s.doc_id, round(s.score_raw, 4) AS score
+FROM scored s JOIN ph ON s.doc_id = ph.doc_id
+ORDER BY s.score_raw DESC, s.doc_id ASC LIMIT 10
+""",
     "dsl_bool_full": _bm25_cte(["spark", "join"], msm=1) + """
 SELECT s.doc_id,
        round(s.score_raw + CASE WHEN d.source = 'src7' THEN 0.7 ELSE 0 END, 4) AS score
@@ -1196,6 +1268,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_range": a_range,
     "agg_pipeline_cumsum": a_pipeline_cumsum,
     "agg_significant_terms": a_significant_terms,
+    "bm25_index_wand": q_index_wand_topk,
+    "phrase_index": q_index_phrase,
     "dsl_bool_full": dsl_bool_full,
     "dsl_dismax": dsl_dismax,
     "dsl_function_score": dsl_function_score,

@@ -185,3 +185,11 @@ def test_nested_agg(spark):
         "by_who": {"terms": {"field": "who"}, "aggs": {"avg_stars": {"avg": {"field": "stars"}}}}}}})["n"]
     got = {r["key"]: r for r in out.collect()}
     assert got["ann"]["doc_count"] == 2 and got["ann"]["avg_stars"] == 3.0
+
+
+def test_scripted_metric(spark, frame):
+    out = aggs.aggregate(frame, {"sm": {"scripted_metric": {
+        "map_script": "CASE WHEN cat = 'a' THEN v * 2 ELSE 0 END",
+        "reduce_script": "sum(states)"}}})["sm"]
+    exp = sum(i * 2 for i in range(60) if i % 3 == 0)
+    assert out.collect()[0]["sm"] == exp

@@ -1,0 +1,60 @@
+"""Index-backed phrase search + highlight fetch sub-phase."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.operators.phrase import highlight, search_phrase
+from elasticsearch_spark.operators.postings import build_index
+from elasticsearch_spark.sources.pages import pages_pdf
+
+
+@pytest.fixture(scope="module")
+def phrase_index(spark, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("phrase") / "idx")
+    rows = [
+        ("u1", "the quick brown fox jumps", "en"),
+        ("u2", "brown quick the fox", "en"),              # terms, wrong order
+        ("u3", "a quick brown dog and a quick brown fox", "en"),
+        ("u4", "quick stuff then brown things", "en"),     # gap of 2
+        ("u5", "irrelevant words only here", "en"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, lang string").withColumn(
+        "warc_ts", F.lit("2024-01-01").cast("timestamp")
+    )
+    build_index(spark, df, idx, num_partitions=2)
+    return idx
+
+
+def test_phrase_exact_adjacency(spark, phrase_index):
+    got = {r["url"] for r in search_phrase(spark, phrase_index, "quick brown").collect()}
+    assert got == {"u1", "u3"}
+
+
+def test_phrase_ranking_by_bm25_and_tie(spark, phrase_index):
+    rows = search_phrase(spark, phrase_index, "quick brown").collect()
+    # u3 has tf 2 for both terms → higher BM25 than u1
+    assert rows[0]["url"] == "u3"
+
+
+def test_phrase_slop(spark, phrase_index):
+    got = {r["url"] for r in search_phrase(spark, phrase_index, "quick brown", slop=2).collect()}
+    assert got == {"u1", "u3", "u4"}  # u4: one token between, within slop
+    assert "u2" not in got  # out of order never matches ordered sloppy phrase
+
+
+def test_phrase_no_match(spark, phrase_index):
+    assert search_phrase(spark, phrase_index, "fox jumps high").count() == 0
+
+
+def test_highlight_fragment(spark):
+    df = spark.createDataFrame(
+        [(1, "x " * 50 + "the quick brown fox ran away " + "y " * 50)],
+        "id long, text string",
+    )
+    out = highlight(df, ["quick", "fox"], fragment_size=60).collect()[0]["highlight"]
+    assert "<em>quick</em>" in out and "<em>fox</em>" in out
+    assert len(out) <= 60 + 2 * len("<em></em>")
+    # fragment is centered near the first match, not the document head
+    assert out.count("x") < 20
