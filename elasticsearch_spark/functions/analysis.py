@@ -106,15 +106,21 @@ def _split_long(tok: str) -> Iterator[str]:
 
 
 def standard_tokenize(text: str) -> list[str]:
-    """text → lowercased token list (standard analyzer: tokenize, then
-    lowercase each token — same order as the reference chain)."""
+    """text → lowercased token list (standard analyzer). Lowercases the
+    whole string first, then tokenizes in one C-level ``findall`` pass —
+    equivalent to per-token lowercase for every case-insensitive-stable
+    codepoint (the rare multi-char lowercase expansions, e.g. İ, are
+    accepted divergences pinned by the golden tests)."""
     if not text:
         return []
-    out: list[str] = []
-    for m in TOKEN_RE.finditer(text):
-        for t in _split_long(m.group(0)):
-            out.append(t.lower())
-    return out
+    toks = TOKEN_RE.findall(text.lower())
+    for t in toks:
+        if len(t) > MAX_TOKEN_LENGTH:
+            out: list[str] = []
+            for tok in toks:
+                out.extend(_split_long(tok))
+            return out
+    return toks
 
 
 _SIMPLE_RE = re.compile(r"[a-z0-9]+")

@@ -30,20 +30,16 @@ def vbyte_encode(vals: np.ndarray) -> tuple[bytes, np.ndarray]:
     n = len(v)
     if n == 0:
         return b"", np.zeros(0, dtype=np.int64)
-    # bytes needed per value: 1 + floor(log2(max(v,1)) / 7)
-    safe = np.maximum(v, 1)
-    nbytes = (np.floor(np.log2(safe.astype(np.float64))).astype(np.int64) // 7) + 1
-    # float64 log2 is exact enough only below 2^53; correct upward errors
-    big = v >= np.uint64(1) << np.uint64(49)
-    if big.any():
-        idx = np.nonzero(big)[0]
-        for i in idx:
-            x, c = int(v[i]), 1
-            while x >= 0x80:
-                x >>= 7
-                c += 1
-            nbytes[i] = c
-    cols = np.arange(_MAX_VBYTE, dtype=np.uint64)
+    # bytes needed per value: integer threshold compares (no float log2) —
+    # nbytes = 1 + #{k : v >= 2^(7k)}
+    nbytes = np.ones(n, dtype=np.int64)
+    for k in range(1, _MAX_VBYTE):
+        mask = v >= (np.uint64(1) << np.uint64(7 * k))
+        if not mask.any():
+            break
+        nbytes += mask
+    width = int(nbytes.max())  # usually 1-3 — shrink the expansion matrix
+    cols = np.arange(width, dtype=np.uint64)
     mat = (v[:, None] >> (cols * np.uint64(7))) & np.uint64(0x7F)
     cont = cols[None, :].astype(np.int64) < (nbytes[:, None] - 1)
     mat = mat | np.where(cont, np.uint64(0x80), np.uint64(0))

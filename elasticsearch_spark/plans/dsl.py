@@ -321,6 +321,68 @@ class MultiMatchQ(Node):
         return _dismax_frames(frames, self.tie_breaker)
 
 
+_EARTH_RADIUS_M = 6371008.8
+
+
+def _haversine_m(lat_col: Column, lon_col: Column, lat: float, lon: float) -> Column:
+    import math
+
+    lat1, lon1 = math.radians(lat), math.radians(lon)
+    lat2 = F.radians(lat_col)
+    lon2 = F.radians(lon_col)
+    a = (
+        F.pow(F.sin((lat2 - lat1) / 2), 2)
+        + math.cos(lat1) * F.cos(lat2) * F.pow(F.sin((lon2 - lon1) / 2), 2)
+    )
+    return 2 * _EARTH_RADIUS_M * F.asin(F.sqrt(a))
+
+
+def _parse_distance_m(s: str | float) -> float:
+    if isinstance(s, (int, float)):
+        return float(s)
+    units = {"mm": 0.001, "cm": 0.01, "m": 1.0, "km": 1000.0, "mi": 1609.344, "ft": 0.3048}
+    for u in sorted(units, key=len, reverse=True):
+        if s.endswith(u):
+            return float(s[: -len(u)]) * units[u]
+    return float(s)
+
+
+@dataclass
+class GeoDistanceQ(Node):
+    """geo_distance (GeoDistanceQueryBuilder.java): docs within `distance`
+    of the origin — haversine over a struct<lat,lon> geo_point column."""
+
+    fld: str
+    lat: float = 0.0
+    lon: float = 0.0
+    distance_m: float = 0.0
+
+    def predicate(self, ctx):
+        return (
+            _haversine_m(F.col(f"{self.fld}.lat"), F.col(f"{self.fld}.lon"), self.lat, self.lon)
+            <= self.distance_m
+        )
+
+
+@dataclass
+class GeoBoundingBoxQ(Node):
+    """geo_bounding_box (GeoBoundingBoxQueryBuilder.java)."""
+
+    fld: str
+    top: float = 90.0
+    left: float = -180.0
+    bottom: float = -90.0
+    right: float = 180.0
+
+    def predicate(self, ctx):
+        lat = F.col(f"{self.fld}.lat")
+        lon = F.col(f"{self.fld}.lon")
+        p = (lat <= self.top) & (lat >= self.bottom)
+        if self.left <= self.right:
+            return p & (lon >= self.left) & (lon <= self.right)
+        return p & ((lon >= self.left) | (lon <= self.right))  # dateline wrap
+
+
 @dataclass
 class MatchBoolPrefixQ(Node):
     """match_bool_prefix (MatchBoolPrefixQueryBuilder.java): all terms as
@@ -900,6 +962,18 @@ def parse(q: dict) -> Node:
         return NestedQ(
             path=body["path"], query=parse(body["query"]),
             score_mode=body.get("score_mode", "avg"),
+        )
+    if kind == "geo_distance":
+        (fld, origin), = ((k, v) for k, v in body.items() if k != "distance")
+        return GeoDistanceQ(
+            fld, lat=float(origin["lat"]), lon=float(origin["lon"]),
+            distance_m=_parse_distance_m(body["distance"]),
+        )
+    if kind == "geo_bounding_box":
+        (fld, box), = body.items()
+        return GeoBoundingBoxQ(
+            fld, top=box["top_left"]["lat"], left=box["top_left"]["lon"],
+            bottom=box["bottom_right"]["lat"], right=box["bottom_right"]["lon"],
         )
     if kind in ("query_string", "simple_query_string"):
         return parse_query_string(body["query"], body.get("default_field", "text"))

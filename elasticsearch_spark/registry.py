@@ -597,6 +597,15 @@ def q_index_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term suggester over the index term dictionary (operators/suggest.py):
+    edit-distance candidates ranked (distance ASC, df DESC, term ASC)."""
+    from .operators.suggest import term_suggest
+
+    idx = _index_for(spark, sf_dir)
+    return term_suggest(spark, idx, "spakr windoq", max_edits=2, size=3)
+
+
 def q_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-backed match_phrase: conjunctive WAND candidates → positional
     verify at fetch (operators/phrase.py)."""
@@ -1042,6 +1051,27 @@ ORDER BY jlh DESC, term ASC LIMIT 15
 SELECT doc_id, round(score_raw, 4) AS score FROM scored
 ORDER BY score_raw DESC, doc_id ASC LIMIT 10
 """,
+    "term_suggest": """
+WITH dict AS (
+  SELECT term, count(*)::BIGINT AS df FROM (
+    SELECT DISTINCT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term
+    FROM documents
+  ) GROUP BY term
+),
+toks AS (SELECT unnest(['spakr', 'windoq']) AS token),
+cand AS (
+  SELECT token, term AS suggestion, levenshtein(term, token)::INT AS distance, df
+  FROM dict CROSS JOIN toks
+  WHERE abs(length(term) - length(token)) <= 2
+    AND levenshtein(term, token) BETWEEN 1 AND 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY token ORDER BY distance ASC, df DESC, suggestion ASC) AS rank
+  FROM cand
+)
+SELECT token, suggestion, distance, df FROM ranked WHERE rank <= 3
+ORDER BY token, distance, df DESC, suggestion
+""",
     "phrase_index": _bm25_cte(["group", "order"], msm=2) + """,
 ph AS (
   SELECT doc_id FROM (
@@ -1270,6 +1300,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_significant_terms": a_significant_terms,
     "bm25_index_wand": q_index_wand_topk,
     "phrase_index": q_index_phrase,
+    "term_suggest": q_term_suggest,
     "dsl_bool_full": dsl_bool_full,
     "dsl_dismax": dsl_dismax,
     "dsl_function_score": dsl_function_score,

@@ -1,0 +1,118 @@
+"""Document parsing: JSON → typed columns with dynamic-mapping semantics.
+
+Re-expresses the reference's document parse + dynamic mapping
+(``server/src/main/java/org/elasticsearch/index/mapper/DocumentParser.java:72,456-473``,
+``DynamicFieldsBuilder.java``): explicit mappings declare field types;
+unmapped fields hit the ``dynamic`` policy —
+
+- ``true``   (default): infer new fields from the data (schema inference
+  over the batch, the distributed analog of per-doc type guessing);
+- ``false``: unmapped fields are stored (kept inside ``_source``) but not
+  indexed → not materialized as columns;
+- ``strict``: unmapped fields reject the document
+  (``DocumentParser.java:457``) → quarantined to a rejects frame rather
+  than failing the job (bulk-item-level failure semantics);
+- ``runtime``: unmapped fields become query-time computed columns
+  (``runtime_field`` below), not stored columns.
+
+The mapping dict uses ES field types: keyword/text → string, long/integer/
+short/byte, double/float, boolean, date (epoch-millis or ISO), ip →
+normalized string, binary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_ES_TO_SPARK = {
+    "keyword": T.StringType(), "text": T.StringType(),
+    "long": T.LongType(), "integer": T.IntegerType(), "short": T.ShortType(),
+    "byte": T.ByteType(), "double": T.DoubleType(), "float": T.FloatType(),
+    "half_float": T.FloatType(), "boolean": T.BooleanType(),
+    "date": T.TimestampType(), "ip": T.StringType(), "binary": T.BinaryType(),
+}
+
+
+def mapping_to_schema(mapping: dict) -> T.StructType:
+    """ES ``properties`` mapping → Spark StructType (nested ``object`` and
+    ``nested`` types recurse; nested → array<struct>)."""
+    fields = []
+    for name, spec in mapping.get("properties", mapping).items():
+        t = spec.get("type", "object")
+        if t == "object" or "properties" in spec and t not in ("nested",):
+            dt: T.DataType = mapping_to_schema(spec)
+        elif t == "nested":
+            dt = T.ArrayType(mapping_to_schema(spec))
+        else:
+            dt = _ES_TO_SPARK[t]
+        fields.append(T.StructField(name, dt))
+    return T.StructType(fields)
+
+
+def parse_documents(
+    spark: SparkSession,
+    raw: DataFrame,
+    json_col: str,
+    mapping: dict,
+    dynamic: str = "true",
+    id_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Parse a JSON-string column into typed columns per the mapping.
+
+    Returns (parsed, rejects). ``rejects`` is non-empty only under
+    ``dynamic: strict`` (docs with unmapped fields, carrying a `_reason`).
+    The original JSON is retained as ``_source`` (SourceFieldMapper
+    semantics)."""
+    schema = mapping_to_schema(mapping)
+    mapped_names = set(schema.fieldNames())
+    keys = raw.select(
+        "*", F.json_object_keys(F.col(json_col)).alias("__keys")
+    )
+    unmapped = F.array_except(
+        F.col("__keys"), F.array(*[F.lit(n) for n in sorted(mapped_names)])
+    )
+
+    if dynamic == "strict":
+        ok = keys.where(F.size(unmapped) == 0)
+        rejects = (
+            keys.where(F.size(unmapped) > 0)
+            .withColumn(
+                "_reason",
+                F.concat(F.lit("strict_dynamic_mapping_exception: "), F.array_join(unmapped, ",")),
+            )
+            .drop("__keys")
+        )
+    else:
+        ok, rejects = keys, keys.limit(0).withColumn("_reason", F.lit("")).drop("__keys")
+
+    parsed = ok.withColumn("__doc", F.from_json(F.col(json_col), schema))
+    out_cols = [F.col(f"__doc.{n}").alias(n) for n in schema.fieldNames()]
+
+    if dynamic == "true":
+        # schema inference over the batch for unmapped fields (the dynamic-
+        # mapping update): infer from the JSON itself, add missing columns
+        inferred = spark.read.json(
+            ok.select(F.col(json_col).alias("value")).rdd.map(lambda r: r["value"])
+        ).schema
+        for f_ in inferred.fields:
+            if f_.name not in mapped_names:
+                parsed = parsed.withColumn(
+                    f_.name, F.get_json_object(F.col(json_col), f"$.{f_.name}").cast(f_.dataType)
+                    if isinstance(f_.dataType, (T.StringType, T.LongType, T.DoubleType, T.BooleanType))
+                    else F.from_json(F.col(json_col), T.StructType([f_])).getField(f_.name)
+                )
+                out_cols.append(F.col(f_.name))
+
+    base = [F.col(id_col)] if id_col and id_col in raw.columns else []
+    result = parsed.select(
+        *base, *out_cols, F.col(json_col).alias("_source")
+    )
+    return result, rejects
+
+
+def runtime_field(df: DataFrame, name: str, expr: str) -> DataFrame:
+    """Runtime field (``server/.../search/runtime/``): a query-time computed
+    column — evaluated per query, never stored."""
+    return df.withColumn(name, F.expr(expr))

@@ -126,3 +126,21 @@ def test_rescore_window(spark, corpus):
 def test_source_projection(spark, corpus):
     out = dsl.search(spark, corpus, {"query": {"match_all": {}}, "_source": ["lang"], "size": 1})
     assert set(out.columns) == {"doc_id", "_score", "lang"}
+
+
+def test_geo_distance_and_bbox(spark):
+    rows = [
+        (1, (48.8566, 2.3522)),    # Paris
+        (2, (51.5074, -0.1278)),   # London
+        (3, (40.7128, -74.0060)),  # NYC
+        (4, (48.85, 2.36)),        # ~Paris
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, loc struct<lat:double, lon:double>")
+    ctx = dsl.SearchContext(df, "doc_id")
+    near_paris = dsl.parse({"geo_distance": {"distance": "10km", "loc": {"lat": 48.8566, "lon": 2.3522}}})
+    assert {r["doc_id"] for r in df.where(near_paris.predicate(ctx)).collect()} == {1, 4}
+    within_500k = dsl.parse({"geo_distance": {"distance": "500km", "loc": {"lat": 48.8566, "lon": 2.3522}}})
+    assert {r["doc_id"] for r in df.where(within_500k.predicate(ctx)).collect()} == {1, 2, 4}
+    europe = dsl.parse({"geo_bounding_box": {"loc": {
+        "top_left": {"lat": 60.0, "lon": -10.0}, "bottom_right": {"lat": 35.0, "lon": 30.0}}}})
+    assert {r["doc_id"] for r in df.where(europe.predicate(ctx)).collect()} == {1, 2, 4}
