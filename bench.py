@@ -52,6 +52,11 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", str(max(20_000, int(1_000_000 * sf)))))
+    # scaling runs MUST pin the partition count so both parallelism levels
+    # run the identical job (same segments, same shuffle) — only the core
+    # count varies; default follows cpus for the per-round bench
+    index_parts = int(os.environ.get("SPARK_GRAFT_INDEX_PARTS", str(cpus * 2)))
+    scaling_only = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "") == "1"
     spark = get_spark(
         app_name=f"bench-c{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
     )
@@ -70,7 +75,7 @@ def main() -> None:
     shutil.rmtree(index_dir, ignore_errors=True)
     pages = spark.read.parquet(pages_path)
     t0 = time.perf_counter()
-    info = build_index(spark, pages, index_dir, num_partitions=cpus * 2)
+    info = build_index(spark, pages, index_dir, num_partitions=index_parts)
     t_build = time.perf_counter() - t0
     timings["index_build"] = round(t_build, 3)
     docs_per_sec = info["doc_count"] / t_build
@@ -96,21 +101,23 @@ def main() -> None:
     reader.close()
 
     # --- phase 2b: tiered segment merge (compaction) -----------------------
-    from elasticsearch_spark.operators.merge import merge_index
+    merge_info = {}
+    if not scaling_only:
+        from elasticsearch_spark.operators.merge import merge_index
 
-    t0 = time.perf_counter()
-    merge_info = merge_index(spark, index_dir, segments_per_tier=8)
-    timings["segment_merge"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    for q in qs[:3]:
-        op = "and" if q.kind == "conjunctive" else "or"
-        search_topk(spark, index_dir, list(q.terms), k=10, operator=op, mode="wand", fetch=False).collect()
-    timings["wand_after_merge_x3"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        merge_info = merge_index(spark, index_dir, segments_per_tier=8)
+        timings["segment_merge"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        for q in qs[:3]:
+            op = "and" if q.kind == "conjunctive" else "or"
+            search_topk(spark, index_dir, list(q.terms), k=10, operator=op, mode="wand", fetch=False).collect()
+        timings["wand_after_merge_x3"] = round(time.perf_counter() - t0, 3)
 
     # --- phase 3: registry headline queries at sf_dir ----------------------
     # each query runs twice; the warm (steady-state serving) timing is
     # reported — cold JVM/codegen noise is not the thing being measured
-    for name in REGISTRY_BENCH:
+    for name in REGISTRY_BENCH if not scaling_only else []:
         fn = registry.QUERIES[name]
         fn(spark, sf_dir).collect()
         t0 = time.perf_counter()

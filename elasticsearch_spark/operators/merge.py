@@ -102,6 +102,20 @@ def merge_group_local(index_dir: str, segs: list[int], new_seg: int) -> dict:
     docs = pa.concat_tables(docs_tables)
     d_sort = pa.compute.sort_indices(docs["doc_id"])
     docs = docs.take(d_sort)
+
+    # expunge deletes (the reference's merge purging masked docs): drop
+    # tombstoned rows here; the caller clears those tombstones after commit
+    from .ops import read_tombstones
+
+    tomb = read_tombstones(index_dir)
+    expunged: list[int] = []
+    if len(tomb):
+        ids = docs["doc_id"].to_numpy()
+        pos = np.searchsorted(tomb, ids)
+        dead = (pos < len(tomb)) & (tomb[np.minimum(pos, len(tomb) - 1)] == ids)
+        if dead.any():
+            expunged = [int(x) for x in ids[dead]]
+            docs = docs.filter(pa.array(~dead))
     seg_col = pa.array(np.full(docs.num_rows, new_seg, dtype=np.int32))
     docs = docs.set_column(docs.schema.get_field_index("seg_id"), "seg_id", seg_col)
 
@@ -136,13 +150,23 @@ def merge_group_local(index_dir: str, segs: list[int], new_seg: int) -> dict:
     flat_terms = np.repeat(terms, ns)
     assert len(flat_ids) == n_total
 
-    codes, uniques = pd.factorize(flat_terms, sort=True)
-    order = np.lexsort((flat_ids, codes))
-    p_code, p_docid, p_tfs = codes[order], flat_ids[order], flat_tfs[order]
-    pos = np.searchsorted(doc_ids_sorted, p_docid)
-    p_ql = ql_sorted[pos]
+    if expunged:
+        exp = np.sort(np.array(expunged, dtype=np.int64))
+        pos = np.searchsorted(exp, flat_ids)
+        keep = ~((pos < len(exp)) & (exp[np.minimum(pos, len(exp) - 1)] == flat_ids))
+        flat_terms, flat_ids, flat_tfs = flat_terms[keep], flat_ids[keep], flat_tfs[keep]
 
-    merged = encode_postings_blocks(np.asarray(uniques, dtype=object), p_code, p_docid, p_tfs, p_ql, new_seg)
+    if len(flat_ids) == 0:
+        from .postings import POSTINGS_FIELDS
+
+        merged = pa.table({kname: pa.array([], type=t) for kname, t in POSTINGS_FIELDS})
+    else:
+        codes, uniques = pd.factorize(flat_terms, sort=True)
+        order = np.lexsort((flat_ids, codes))
+        p_code, p_docid, p_tfs = codes[order], flat_ids[order], flat_tfs[order]
+        pos = np.searchsorted(doc_ids_sorted, p_docid)
+        p_ql = ql_sorted[pos]
+        merged = encode_postings_blocks(np.asarray(uniques, dtype=object), p_code, p_docid, p_tfs, p_ql, new_seg)
 
     d = store.seg_dir(index_dir, new_seg)
     os.makedirs(d, exist_ok=True)
@@ -234,6 +258,27 @@ def merge_index(
         .collect()
     )
     rebuild_term_stats(spark, index_dir)
+
+    # clear tombstones expunged by the merge (ids no longer in any segment)
+    # and refresh collection stats — deletes stop counting after a merge,
+    # exactly the reference's behavior
+    from .ops import _write_tombstones, read_tombstones, tombstones_path
+
+    tomb = read_tombstones(index_dir)
+    docs = spark.read.parquet(store.docs_glob(index_dir))
+    if len(tomb):
+        tomb_df = spark.createDataFrame([(int(x),) for x in tomb], "doc_id long")
+        still = [r["doc_id"] for r in docs.join(tomb_df, "doc_id", "left_semi").collect()]
+        if len(still) != len(tomb):
+            if still:
+                _write_tombstones(index_dir, np.array(still, dtype=np.int64))
+            else:
+                os.remove(tombstones_path(index_dir))
+    meta = store.IndexMeta.load(index_dir)
+    agg = docs.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
+    meta.doc_count = int(agg["n"])
+    meta.sum_dl = int(agg["s"] or 0)
+    meta.save(index_dir)
     return {
         "merges": len(res),
         "merged_docs": sum(r["n_docs"] for r in res),

@@ -1,0 +1,139 @@
+"""Bulk op types: index / create / update / delete against a live index.
+
+The reference's engine op lifecycle (``server/src/main/java/org/
+elasticsearch/index/engine/InternalEngine.java:920,1252,1373``): an
+index/update of an existing ``_id`` is executed as delete+add — the old
+doc version stays physically present in its segment, masked by a liveDocs
+bitmap, until a merge expunges it (``MergePolicyConfig`` deletes-pct
+tier). Document frequencies and counts keep including masked docs until
+the merge — scores drift slightly exactly as they do in the reference.
+
+Spark re-expression:
+- new/changed docs build a NEW segment generation (op-batch-namespaced
+  pids — segments stay immutable);
+- superseded/deleted doc_ids append to a global ``tombstones.parquet``
+  (the liveDocs bitmap analog, atomic replace);
+- the query phase filters tombstoned ids inside each segment task
+  (sorted-array searchsorted — O(log n) per posting batch);
+- ``merge_index`` expunges: merged segments drop tombstoned docs and their
+  postings, then those tombstones are cleared.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import index_store as store
+from .postings import METRICS_SCHEMA, segment_builder
+
+OPS_SEG_BASE = 1 << 16  # op-batch segments live above initial pids, below merged
+
+
+def tombstones_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "tombstones.parquet")
+
+
+def read_tombstones(index_dir: str) -> np.ndarray:
+    p = tombstones_path(index_dir)
+    if not os.path.exists(p):
+        return np.zeros(0, dtype=np.int64)
+    return np.sort(pq.read_table(p)["doc_id"].to_numpy())
+
+
+def _write_tombstones(index_dir: str, doc_ids: np.ndarray) -> None:
+    p = tombstones_path(index_dir)
+    tmp = p + ".tmp"
+    pq.write_table(pa.table({"doc_id": pa.array(np.unique(doc_ids), type=pa.int64())}), tmp)
+    os.replace(tmp, p)
+
+
+def apply_ops(
+    spark: SparkSession,
+    index_dir: str,
+    ops: DataFrame,
+    num_partitions: int = 8,
+) -> dict:
+    """Apply a bulk op batch to an existing index.
+
+    ops(url string, op string in (index|create|update|delete),
+        text string?, lang string?, warc_ts timestamp?).
+
+    index/update: delete+add (create: add only if url absent). delete:
+    tombstone. Returns counts {indexed, created, updated, deleted,
+    create_conflicts}."""
+    meta = store.IndexMeta.load(index_dir)
+    docs = spark.read.parquet(store.docs_glob(index_dir)).select("doc_id", "url")
+    tomb = read_tombstones(index_dir)
+    if len(tomb):
+        tomb_df = spark.createDataFrame([(int(x),) for x in tomb], "doc_id long")
+        docs = docs.join(tomb_df, "doc_id", "left_anti")
+    existing = docs.join(F.broadcast(ops.select("url").distinct()), "url")
+    existing_rows = existing.collect()  # ops batch ≤ bulk size — small
+    existing_ids = {r["url"]: r["doc_id"] for r in existing_rows}
+
+    op_rows = ops.collect()
+    new_tombs: list[int] = []
+    to_index = []
+    counts = {"indexed": 0, "created": 0, "updated": 0, "deleted": 0, "create_conflicts": 0}
+    for r in op_rows:
+        op = r["op"]
+        if op == "delete":
+            if r["url"] in existing_ids:
+                new_tombs.append(existing_ids[r["url"]])
+                counts["deleted"] += 1
+            continue
+        if op == "create" and r["url"] in existing_ids:
+            counts["create_conflicts"] += 1  # version_conflict_engine_exception
+            continue
+        if r["url"] in existing_ids:
+            new_tombs.append(existing_ids[r["url"]])
+            counts["updated"] += 1
+        elif op == "create":
+            counts["created"] += 1
+        else:
+            counts["indexed"] += 1
+        to_index.append((r["url"], r["warc_ts"], r["text"], r["lang"]))
+
+    if to_index:
+        # next op-batch generation: pids above every existing op segment
+        existing_segs = [s for s in store.list_segs(index_dir) if s >= OPS_SEG_BASE]
+        gen = (max(existing_segs) // OPS_SEG_BASE + 1) if existing_segs else 1
+        base = gen * OPS_SEG_BASE
+        batch = spark.createDataFrame(
+            to_index, "url string, warc_ts timestamp, text string, lang string"
+        ).withColumn(
+            "pid", (F.lit(base) + F.pmod(F.xxhash64("url"), F.lit(num_partitions))).cast("int")
+        )
+        batch.groupBy("pid").applyInPandas(
+            segment_builder(index_dir, meta.analyzer), METRICS_SCHEMA
+        ).collect()
+
+    if new_tombs:
+        _write_tombstones(index_dir, np.r_[tomb, np.array(new_tombs, dtype=np.int64)])
+
+    # stats/meta refresh: df/doc_count keep counting masked docs (reference
+    # semantics — cleaned up by merge), but must include the NEW docs
+    from .merge import rebuild_term_stats
+
+    rebuild_term_stats(spark, index_dir)
+    manifests = [m for m in store.all_manifests(index_dir) if "pid" in m]
+    meta.doc_count = sum(m["n_docs"] for m in manifests)
+    meta.sum_dl = sum(m["sum_dl"] for m in manifests)
+    meta.save(index_dir)
+    return counts
+
+
+def live_docs(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Docs minus tombstones (the liveDocs view used by fetch/tests)."""
+    docs = spark.read.parquet(store.docs_glob(index_dir))
+    tomb = read_tombstones(index_dir)
+    if not len(tomb):
+        return docs
+    tomb_df = spark.createDataFrame([(int(x),) for x in tomb], "doc_id long")
+    return docs.join(tomb_df, "doc_id", "left_anti")

