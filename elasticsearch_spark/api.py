@@ -1,0 +1,218 @@
+"""Engine facade: the ES-client-shaped surface over the whole stack.
+
+One object ties the layers together the way the reference's REST API does
+(``server/src/main/java/org/elasticsearch/rest/action/``): index lifecycle
+(create with mappings/analyzer → bulk → refresh-equivalent commit), the
+search body (query DSL + aggs + sort + pagination + highlight), document
+ops, analysis introspection, suggesters, and maintenance (merge, reindex,
+delete_by_query). A user of the reference maps calls 1:1:
+
+    es = Engine(spark, root="/data/indices")
+    es.create_index("pages", mappings={...}, analyzer="standard")
+    es.bulk("pages", docs_df)                    # POST /pages/_bulk
+    es.search("pages", {"query": {...}, "aggs": {...}})   # POST /pages/_search
+    es.count("pages", {"term": {"lang": "en"}})  # GET /pages/_count
+    es.analyze("text to split")                   # GET /_analyze
+    es.suggest("pages", "spakr")                  # term suggester
+    es.explain("pages", ["spark"], "url1")        # GET /pages/_explain
+    es.delete_by_query("pages", {"term": ...})    # POST /_delete_by_query
+    es.forcemerge("pages")                        # POST /_forcemerge
+
+Fulltext queries in ``search`` run against the INDEX (postings + WAND);
+everything else in the body (filters, aggs, sort) runs on the live docs
+view — the same split as the reference's query-then-fetch.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import analysis
+from .operators import ops as ops_mod
+from .operators.merge import merge_index
+from .operators.phrase import highlight as highlight_fn
+from .operators.postings import build_index
+from .operators.suggest import explain as explain_fn
+from .operators.suggest import term_suggest
+from .operators.topk import search_topk
+from .plans import aggs as aggs_mod
+from .plans import dsl
+from .sources import index_store as store
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, root: str = "/tmp/es_spark_indices"):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, index: str) -> str:
+        return os.path.join(self.root, index)
+
+    # ---- index lifecycle --------------------------------------------------
+
+    def create_index(
+        self,
+        index: str,
+        analyzer: str = "standard",
+        analyzer_filters: list | None = None,
+        num_partitions: int = 8,
+    ) -> None:
+        """PUT /{index} — registers settings; the physical build happens on
+        the first bulk (segments are created per bulk batch)."""
+        if analyzer_filters:
+            analysis.register_analyzer(index + "__analyzer", analyzer, analyzer_filters)
+            analyzer = index + "__analyzer"
+        d = self._dir(index)
+        os.makedirs(d, exist_ok=True)
+        meta = store.IndexMeta(analyzer=analyzer, num_partitions=num_partitions)
+        meta.save(d)
+
+    def delete_index(self, index: str) -> None:
+        shutil.rmtree(self._dir(index), ignore_errors=True)
+
+    def indices(self) -> list[str]:
+        return sorted(
+            n for n in os.listdir(self.root)
+            if os.path.exists(os.path.join(self.root, n, "index_meta.json"))
+        )
+
+    def bulk(self, index: str, docs: DataFrame, num_partitions: int | None = None) -> dict:
+        """POST /{index}/_bulk with implicit op=index. `docs` needs columns
+        url, text (+ optional warc_ts, lang). First bulk builds the index;
+        later bulks are op batches (delete+add upserts)."""
+        d = self._dir(index)
+        meta = store.IndexMeta.load(d)
+        cols = docs.columns
+        if "warc_ts" not in cols:
+            docs = docs.withColumn("warc_ts", F.current_timestamp())
+        if "lang" not in cols:
+            docs = docs.withColumn("lang", F.lit("unk"))
+        if not store.list_segs(d):
+            return build_index(
+                self.spark, docs, d,
+                num_partitions=num_partitions or meta.num_partitions,
+                analyzer=meta.analyzer,
+            )
+        ops_df = docs.select("url", F.lit("index").alias("op"), "text", "lang", "warc_ts")
+        return ops_mod.apply_ops(self.spark, d, ops_df, num_partitions=num_partitions or meta.num_partitions)
+
+    def delete(self, index: str, urls: list[str]) -> dict:
+        """DELETE /{index}/_doc/{id} (bulk form)."""
+        ops_df = self.spark.createDataFrame(
+            [(u, "delete", None, None, None) for u in urls],
+            "url string, op string, text string, lang string, warc_ts timestamp",
+        )
+        return ops_mod.apply_ops(self.spark, self._dir(index), ops_df)
+
+    def forcemerge(self, index: str, **kw) -> dict:
+        """POST /{index}/_forcemerge — tiered compaction + delete expunge."""
+        return merge_index(self.spark, self._dir(index), **kw)
+
+    # ---- search -----------------------------------------------------------
+
+    def _docs_view(self, index: str) -> DataFrame:
+        return ops_mod.live_docs(self.spark, self._dir(index))
+
+    def search(self, index: str, body: dict) -> dict:
+        """POST /{index}/_search: full search body. Returns
+        {"hits": DataFrame, "aggregations": {name: DataFrame}}.
+
+        `match`-family queries at the TOP level of the body run through the
+        inverted index (postings + block-max WAND); compound/filter bodies
+        run through the DSL compiler over the live docs view."""
+        d = self._dir(index)
+        q = body.get("query", {"match_all": {}})
+        size = int(body.get("size", 10))
+        (kind, spec), = q.items()
+
+        hits: DataFrame
+        if kind == "match" and "sort" not in body and "search_after" not in body:
+            (fld, mspec), = spec.items()
+            text = mspec["query"] if isinstance(mspec, dict) else mspec
+            op = mspec.get("operator", "or") if isinstance(mspec, dict) else "or"
+            meta = store.IndexMeta.load(d)
+            terms = analysis.analyze(text, meta.analyzer)
+            hits = search_topk(self.spark, d, terms, k=size, operator=op, mode="wand")
+            if body.get("highlight"):
+                docs_text = self._docs_view(index).select("url", "text")
+                hits = highlight_fn(hits.join(docs_text, "url"), terms).drop("text")
+        else:
+            docs = self._docs_view(index)
+            hits = dsl.search(self.spark, docs, body, key="url", text_col="text")
+
+        out = {"hits": hits}
+        if "aggs" in body:
+            base = self._docs_view(index)
+            if kind != "match_all":
+                node = dsl.parse(q)
+                ctx = dsl.SearchContext(base, "url", text_col="text")
+                try:
+                    base = base.where(node.predicate(ctx))
+                except NotImplementedError:
+                    keyed = node.frame(ctx).select("__key")
+                    base = base.join(keyed.withColumnRenamed("__key", "url"), "url", "left_semi")
+            out["aggregations"] = aggs_mod.aggregate(base, body["aggs"])
+        return out
+
+    def count(self, index: str, query: dict | None = None) -> int:
+        """GET /{index}/_count."""
+        docs = self._docs_view(index)
+        if not query:
+            return docs.count()
+        node = dsl.parse(query)
+        ctx = dsl.SearchContext(docs, "url", text_col="text")
+        try:
+            return docs.where(node.predicate(ctx)).count()
+        except NotImplementedError:
+            return node.frame(ctx).count()
+
+    # ---- introspection / helpers -----------------------------------------
+
+    def analyze(self, text: str, analyzer: str = "standard") -> list[dict]:
+        """GET /_analyze (detail form)."""
+        return analysis.analyze_detail(text, analyzer)
+
+    def suggest(self, index: str, text: str, **kw) -> DataFrame:
+        return term_suggest(self.spark, self._dir(index), text, **kw)
+
+    def explain(self, index: str, terms: list[str], url: str) -> DataFrame:
+        return explain_fn(self.spark, self._dir(index), terms, url)
+
+    def delete_by_query(self, index: str, query: dict) -> dict:
+        """POST /{index}/_delete_by_query: resolve matching urls, tombstone."""
+        docs = self._docs_view(index)
+        node = dsl.parse(query)
+        ctx = dsl.SearchContext(docs, "url", text_col="text")
+        try:
+            urls = [r["url"] for r in docs.where(node.predicate(ctx)).select("url").collect()]
+        except NotImplementedError:
+            urls = [r["__key"] for r in node.frame(ctx).select("__key").collect()]
+        return self.delete(index, urls) if urls else {"deleted": 0}
+
+    def update_by_query(self, index: str, query: dict, script_expr: str) -> dict:
+        """POST /{index}/_update_by_query with a SQL-expression script over
+        `text` (scan + rewrite + reindex-as-update)."""
+        docs = self._docs_view(index)
+        node = dsl.parse(query)
+        ctx = dsl.SearchContext(docs, "url", text_col="text")
+        matched = docs.where(node.predicate(ctx))
+        updated = matched.select(
+            "url", F.lit("update").alias("op"),
+            F.expr(script_expr).alias("text"), "lang", "warc_ts",
+        )
+        return ops_mod.apply_ops(self.spark, self._dir(index), updated)
+
+    def reindex(self, source: str, dest: str, query: dict | None = None) -> dict:
+        """POST /_reindex: scan the source's live docs (optionally filtered),
+        bulk into dest."""
+        docs = self._docs_view(source).select("url", "warc_ts", "text", "lang")
+        if query:
+            node = dsl.parse(query)
+            ctx = dsl.SearchContext(docs, "url", text_col="text")
+            docs = docs.where(node.predicate(ctx))
+        return self.bulk(dest, docs)

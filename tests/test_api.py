@@ -1,0 +1,105 @@
+"""Engine facade end-to-end: the ES-client-shaped lifecycle."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.api import Engine
+
+ROOT = "/tmp/es_spark_api_test"
+
+
+@pytest.fixture(scope="module")
+def es(spark):
+    shutil.rmtree(ROOT, ignore_errors=True)
+    eng = Engine(spark, root=ROOT)
+    eng.create_index("pages", num_partitions=3)
+    docs = spark.createDataFrame(
+        [
+            ("u1", "spark makes distributed computing simple", "en"),
+            ("u2", "the lazy dog sleeps in the sun", "en"),
+            ("u3", "spark streaming handles realtime data", "en"),
+            ("u4", "dogs and cats live together", "de"),
+            ("u5", "computing platforms compared in detail", "en"),
+        ],
+        "url string, text string, lang string",
+    ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+    eng.bulk("pages", docs)
+    return eng
+
+
+def test_index_lifecycle(es):
+    assert es.indices() == ["pages"]
+    assert es.count("pages") == 5
+
+
+def test_search_match_through_index(es):
+    res = es.search("pages", {"query": {"match": {"text": "spark computing"}}, "size": 5})
+    hits = res["hits"].collect()
+    assert {r["url"] for r in hits} == {"u1", "u3", "u5"}
+    assert hits[0]["url"] == "u1"  # matches both terms
+
+
+def test_search_with_aggs_and_filter(es):
+    res = es.search("pages", {
+        "query": {"term": {"lang": "en"}},
+        "aggs": {"by_lang": {"terms": {"field": "lang"}}},
+    })
+    aggs = res["aggregations"]["by_lang"].collect()
+    assert len(aggs) == 1 and aggs[0]["key"] == "en" and aggs[0]["doc_count"] == 4
+
+
+def test_search_highlight(es):
+    res = es.search("pages", {"query": {"match": {"text": "spark"}}, "highlight": True, "size": 3})
+    hits = res["hits"].collect()
+    assert any("<em>spark</em>" in (r["highlight"] or "") for r in hits)
+
+
+def test_count_with_query(es):
+    assert es.count("pages", {"term": {"lang": "de"}}) == 1
+    assert es.count("pages", {"match": {"text": "dog"}}) == 1  # analyzed: 'dogs' ≠ 'dog'
+
+
+def test_suggest_and_explain(es):
+    sugg = es.suggest("pages", "spork").collect()
+    assert sugg and sugg[0]["suggestion"] == "spark"
+    ex = es.explain("pages", ["spark", "computing"], "u1").collect()
+    assert {r["term"] for r in ex} == {"spark", "computing"}
+
+
+def test_incremental_bulk_and_delete(es, spark):
+    es.bulk("pages", spark.createDataFrame(
+        [("u6", "a brand new walrus page", "en")], "url string, text string, lang string"
+    ).withColumn("warc_ts", F.lit("2024-02-01").cast("timestamp")))
+    assert es.count("pages") == 6
+    assert es.count("pages", {"match": {"text": "walrus"}}) == 1
+    es.delete("pages", ["u2"])
+    assert es.count("pages") == 5
+
+
+def test_delete_by_query_and_forcemerge(es):
+    out = es.delete_by_query("pages", {"term": {"lang": "de"}})
+    assert out["deleted"] == 1
+    assert es.count("pages") == 4
+    info = es.forcemerge("pages", segments_per_tier=10, floor_bytes=1)
+    assert info["merges"] >= 1
+    assert es.count("pages") == 4  # expunge does not change live counts
+
+
+def test_update_by_query(es):
+    es.update_by_query(
+        "pages", {"match": {"text": "walrus"}}, "concat(text, ' extended')"
+    )
+    assert es.count("pages", {"match": {"text": "extended"}}) == 1
+    assert es.count("pages") == 4
+
+
+def test_reindex(es):
+    es.create_index("pages_en")
+    es.reindex("pages", "pages_en", query={"term": {"lang": "en"}})
+    assert es.count("pages_en") == es.count("pages", {"term": {"lang": "en"}})
+    res = es.search("pages_en", {"query": {"match": {"text": "spark"}}, "size": 5})
+    assert res["hits"].count() >= 2
