@@ -216,7 +216,40 @@ def _filter_reverse(toks: list[str], **_) -> list[str]:
     return [t[::-1] for t in toks]
 
 
+def _filter_synonym(toks: list[str], synonyms: dict | list | None = None, expand: bool = True, **_) -> list[str]:
+    """synonym filter (AC/SynonymTokenFilterFactory.java, graph-lite):
+    `synonyms` as {"term": ["syn1", ...]} or Solr-style ["a, b => c", "x, y"].
+    expand=True emits the original token plus its synonyms at the same
+    position (flattened — no position graph, matching how our postings
+    treat multi-token positions today)."""
+    table: dict[str, list[str]] = {}
+    if isinstance(synonyms, dict):
+        table = {k: list(v) for k, v in synonyms.items()}
+    else:
+        for rule in synonyms or []:
+            if "=>" in rule:
+                lhs, rhs = rule.split("=>")
+                tgts = [t.strip() for t in rhs.split(",") if t.strip()]
+                for src in (t.strip() for t in lhs.split(",")):
+                    if src:
+                        table[src] = tgts
+            else:
+                group = [t.strip() for t in rule.split(",") if t.strip()]
+                for src in group:
+                    table[src] = [t for t in group if t != src]
+    out: list[str] = []
+    for t in toks:
+        if t in table:
+            if expand:
+                out.append(t)
+            out.extend(table[t])
+        else:
+            out.append(t)
+    return out
+
+
 TOKEN_FILTERS = {
+    "synonym": _filter_synonym,
     "stop": _filter_stop,
     "asciifolding": _filter_asciifolding,
     "shingle": _filter_shingle,

@@ -150,11 +150,28 @@ def merge_group_local(index_dir: str, segs: list[int], new_seg: int) -> dict:
     flat_terms = np.repeat(terms, ns)
     assert len(flat_ids) == n_total
 
+    # positions (if every source segment carries them): decode the whole
+    # occurrence stream once; re-gathered after the postings reorder below
+    from .postings import decode_positions
+
+    flat_pos_all = None
+    occ_off_all = None
+    if "pos_bytes" in post.column_names:
+        pos_b = post["pos_bytes"].to_numpy(zero_copy_only=False)
+        stream = b"".join(x for x in pos_b if x is not None)
+        flat_pos_all, occ_off_all = decode_positions(stream, flat_tfs)
+        if len(flat_pos_all) != int(flat_tfs.sum()):
+            flat_pos_all = None  # mixed/absent positions → merged without
+
+    orig_tfs = flat_tfs
     if expunged:
         exp = np.sort(np.array(expunged, dtype=np.int64))
         pos = np.searchsorted(exp, flat_ids)
         keep = ~((pos < len(exp)) & (exp[np.minimum(pos, len(exp) - 1)] == flat_ids))
+        sel = np.nonzero(keep)[0]
         flat_terms, flat_ids, flat_tfs = flat_terms[keep], flat_ids[keep], flat_tfs[keep]
+    else:
+        sel = np.arange(len(flat_ids))
 
     if len(flat_ids) == 0:
         from .postings import POSTINGS_FIELDS
@@ -166,7 +183,23 @@ def merge_group_local(index_dir: str, segs: list[int], new_seg: int) -> dict:
         p_code, p_docid, p_tfs = codes[order], flat_ids[order], flat_tfs[order]
         pos = np.searchsorted(doc_ids_sorted, p_docid)
         p_ql = ql_sorted[pos]
-        merged = encode_postings_blocks(np.asarray(uniques, dtype=object), p_code, p_docid, p_tfs, p_ql, new_seg)
+        flat_pos_new = None
+        if flat_pos_all is not None:
+            # gather the occurrence stream into the new posting order
+            final_idx = sel[order]  # source posting per output posting
+            lengths = orig_tfs[final_idx]
+            out_total = int(lengths.sum())
+            out_starts = np.r_[0, np.cumsum(lengths)[:-1]]
+            gather = (
+                np.repeat(occ_off_all[final_idx], lengths)
+                + np.arange(out_total)
+                - np.repeat(out_starts, lengths)
+            )
+            flat_pos_new = flat_pos_all[gather]
+        merged = encode_postings_blocks(
+            np.asarray(uniques, dtype=object), p_code, p_docid, p_tfs, p_ql, new_seg,
+            flat_pos=flat_pos_new,
+        )
 
     d = store.seg_dir(index_dir, new_seg)
     os.makedirs(d, exist_ok=True)

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ..functions import analysis
 from ..functions.smallfloat import byte4_to_int, int_to_byte4
 from ..sources import index_store as store
-from .codec import BLOCK_SIZE, vbyte_encode
+from .codec import BLOCK_SIZE, vbyte_decode, vbyte_encode
 
 DOCID_PARTITION_SHIFT = 40
 
@@ -50,6 +50,11 @@ POSTINGS_FIELDS = [
     ("sum_tf", pa.int64()),
     ("ids_bytes", pa.binary()),
     ("tf_bytes", pa.binary()),
+    # positions: per posting, delta-encoded within-doc token positions
+    # (VByte; counts = tf, so the stream is self-describing given tf_bytes)
+    # — DOCS_AND_FREQS_AND_POSITIONS, the text-field default
+    # (S/index/mapper/TextFieldMapper.java:101)
+    ("pos_bytes", pa.binary()),
 ]
 POSTINGS_PA_SCHEMA = pa.schema(POSTINGS_FIELDS)
 
@@ -80,6 +85,35 @@ def tokenize_docs(texts: list[str], analyzer: str) -> tuple[np.ndarray, np.ndarr
     return flat, doc_idx, dls
 
 
+def encode_positions(flat_pos: np.ndarray, tfs: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Occurrence-level positions (sorted per posting, postings
+    concatenated) → (VByte stream of within-posting deltas, per-OCCURRENCE
+    byte lengths). First occurrence of each posting is absolute."""
+    occ_starts = np.r_[0, np.cumsum(tfs)[:-1]].astype(np.int64)
+    gaps = np.empty(len(flat_pos), dtype=np.uint64)
+    if len(flat_pos):
+        gaps[0] = flat_pos[0]
+        gaps[1:] = (flat_pos[1:] - flat_pos[:-1]).astype(np.uint64)
+        gaps[occ_starts] = flat_pos[occ_starts].astype(np.uint64)
+    return vbyte_encode(gaps)
+
+
+def decode_positions(pos_buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """VByte positions stream + per-posting tfs → (flat absolute positions,
+    occurrence offsets per posting)."""
+    gaps = vbyte_decode(pos_buf).astype(np.int64)
+    t = np.asarray(tfs, dtype=np.int64)
+    occ_off = np.r_[0, np.cumsum(t)]
+    if len(gaps) == 0:
+        return gaps, occ_off
+    starts = occ_off[:-1]
+    csum = np.cumsum(gaps)
+    # abs[i] = csum[i] - (csum[start_of_its_posting] - gaps[start]) — the
+    # first occurrence of each posting is stored absolute (delta vs 0)
+    corr = csum[starts] - gaps[starts]
+    return csum - np.repeat(corr, t), occ_off
+
+
 def encode_postings_blocks(
     uniques: np.ndarray,
     p_code: np.ndarray,
@@ -87,6 +121,7 @@ def encode_postings_blocks(
     tfs: np.ndarray,
     p_ql: np.ndarray,
     seg_id: int,
+    flat_pos: np.ndarray | None = None,
 ) -> pa.Table:
     """Flat postings (term-code, docID, tf, quantized-dl), lexsorted by
     (term, docID) → encoded block table: ≤BLOCK_SIZE postings per block,
@@ -116,6 +151,17 @@ def encode_postings_blocks(
     ids_bytes = [ids_stream[ids_off[s] : ids_off[e]] for s, e in zip(block_starts, block_ends)]
     tf_bytes = [tf_stream[tf_off[s] : tf_off[e]] for s, e in zip(block_starts, block_ends)]
 
+    if flat_pos is not None:
+        pos_stream, pos_len = encode_positions(flat_pos, tfs)
+        occ_off = np.r_[0, np.cumsum(tfs)].astype(np.int64)
+        pos_byte_off = np.r_[0, np.cumsum(pos_len)]
+        pos_bytes = [
+            pos_stream[pos_byte_off[occ_off[s]] : pos_byte_off[occ_off[e]]]
+            for s, e in zip(block_starts, block_ends)
+        ]
+    else:
+        pos_bytes = [b""] * len(block_starts)
+
     # per-block stats for WAND upper bounds: max tf, min quantized dl
     max_tf = np.maximum.reduceat(tfs, block_starts)
     min_ql = np.minimum.reduceat(p_ql, block_starts)
@@ -141,6 +187,7 @@ def encode_postings_blocks(
             "sum_tf": pa.array(sum_tf.astype(np.int64)),
             "ids_bytes": pa.array(ids_bytes, type=pa.binary()),
             "tf_bytes": pa.array(tf_bytes, type=pa.binary()),
+            "pos_bytes": pa.array(pos_bytes, type=pa.binary()),
         },
         schema=POSTINGS_PA_SCHEMA,
     )
@@ -182,9 +229,14 @@ def build_segment_frames(
         empty = pa.table({k: pa.array([], type=t) for k, t in POSTINGS_FIELDS})
         return docs_pdf, empty, {"n_docs": n_docs, "sum_dl": 0, "n_terms": 0, "n_blocks": 0}
 
-    # 4) tf per (term, doc): factorize, lexsort, run-length
+    # 4) tf per (term, doc): factorize, lexsort, run-length; occurrence
+    # positions ride along (lexsort is stable → within a (term, doc) run
+    # occurrences keep ascending in-doc position order)
     codes, uniques = pd.factorize(flat, sort=True)
     order = np.lexsort((doc_idx, codes))
+    doc_starts = np.r_[0, np.cumsum(dls)[:-1]]
+    pos_in_doc = np.arange(len(flat), dtype=np.int64) - np.repeat(doc_starts, dls)
+    flat_pos = pos_in_doc[order]
     c_s, d_s = codes[order], doc_idx[order]
     newpair = np.r_[True, (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])]
     starts = np.nonzero(newpair)[0]
@@ -192,7 +244,9 @@ def build_segment_frames(
     p_code = c_s[starts]
     p_doc = d_s[starts]  # already ascending within each term
 
-    postings = encode_postings_blocks(uniques, p_code, doc_ids[p_doc], tfs, ql[p_doc], pid)
+    postings = encode_postings_blocks(
+        uniques, p_code, doc_ids[p_doc], tfs, ql[p_doc], pid, flat_pos=flat_pos
+    )
     stats = {
         "n_docs": int(n_docs),
         "sum_dl": int(dls.sum()),

@@ -65,3 +65,18 @@ def test_compression_is_compact():
     gaps = delta_encode(ids, 0)
     buf, _ = vbyte_encode(gaps)
     assert len(buf) == 1000
+
+
+def test_positions_roundtrip():
+    import numpy as np
+
+    from elasticsearch_spark.operators.postings import decode_positions, encode_positions
+
+    rng = np.random.default_rng(7)
+    tfs = rng.integers(1, 6, size=50)
+    # per-posting ascending positions
+    flat = np.concatenate([np.sort(rng.choice(500, size=t, replace=False)) for t in tfs]).astype(np.int64)
+    stream, lens = encode_positions(flat, tfs)
+    got, occ_off = decode_positions(stream, tfs)
+    np.testing.assert_array_equal(got, flat)
+    assert occ_off[-1] == tfs.sum()

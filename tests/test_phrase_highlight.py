@@ -58,3 +58,47 @@ def test_highlight_fragment(spark):
     assert len(out) <= 60 + 2 * len("<em></em>")
     # fragment is centered near the first match, not the document head
     assert out.count("x") < 20
+
+
+def test_positions_are_stored_and_used(spark, phrase_index):
+    """The index carries positions; the verify path decodes them (no
+    fallback) and they match the analyzed text."""
+    import numpy as np
+
+    from elasticsearch_spark.functions.analysis import standard_tokenize
+    from elasticsearch_spark.operators.phrase import _index_positions
+    from elasticsearch_spark.sources import index_store as store
+
+    docs = {r["doc_id"]: r for r in spark.read.parquet(store.docs_glob(phrase_index)).collect()}
+    pos_map = _index_positions(phrase_index, ["quick", "brown"], set(docs))
+    assert pos_map["quick"] and pos_map["brown"]
+    for term in ("quick", "brown"):
+        for d, got in pos_map[term].items():
+            toks = standard_tokenize(docs[d]["text"])
+            exp = [i for i, t in enumerate(toks) if t == term]
+            assert list(got) == exp, (term, d)
+
+
+def test_phrase_after_merge_keeps_positions(spark, phrase_index):
+    from elasticsearch_spark.operators.merge import merge_index
+    from elasticsearch_spark.operators.phrase import search_phrase
+
+    before = {r["url"] for r in search_phrase(spark, phrase_index, "quick brown").collect()}
+    merge_index(spark, phrase_index, segments_per_tier=4, floor_bytes=1)
+    after = {r["url"] for r in search_phrase(spark, phrase_index, "quick brown").collect()}
+    assert after == before == {"u1", "u3"}
+
+
+def test_intervals_ordered_and_unordered(spark, phrase_index):
+    from elasticsearch_spark.operators.phrase import search_intervals
+
+    # ordered 'quick brown' within any distance: u1, u3 (adjacent); u4 has
+    # 'quick ... brown' with 2 tokens between → still ordered
+    got = {r["url"] for r in search_intervals(spark, phrase_index, "quick brown", ordered=True).collect()}
+    assert got == {"u1", "u3", "u4"}
+    # max_gaps=1 excludes u4 (gap 2)
+    got = {r["url"] for r in search_intervals(spark, phrase_index, "quick brown", ordered=True, max_gaps=1).collect()}
+    assert got == {"u1", "u3"}
+    # unordered picks up u2 ('brown quick')
+    got = {r["url"] for r in search_intervals(spark, phrase_index, "quick brown", ordered=False).collect()}
+    assert got == {"u1", "u2", "u3", "u4"}

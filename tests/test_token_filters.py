@@ -67,3 +67,32 @@ def test_custom_analyzer_in_index_build(spark, tmp_path):
     build_index(spark, df, idx, num_partitions=2, analyzer="stop_stem")
     hits = search_topk(spark, idx, ["dog"], k=10, fetch=True).collect()
     assert {r["url"] for r in hits} == {"u1", "u2"}  # both stem to "dog"; stopwords gone
+
+
+def test_synonym_expand_group():
+    analysis.register_analyzer("syn", filters=[("synonym", {"synonyms": ["car, auto, vehicle"]})])
+    assert analysis.analyze("the car drives", "syn") == ["the", "car", "auto", "vehicle", "drives"]
+
+
+def test_synonym_directed_rule():
+    analysis.register_analyzer("syn2", filters=[("synonym", {"synonyms": ["usa, united states => america"], "expand": False})])
+    assert analysis.analyze("usa today", "syn2") == ["america", "today"]
+
+
+def test_synonym_dict_form_search_time(spark, tmp_path):
+    """Index with standard; search with a synonym-expanded query analyzer —
+    the search_analyzer pattern (TextFieldMapper.java:342)."""
+    from elasticsearch_spark.operators.postings import build_index
+    from elasticsearch_spark.operators.topk import search_topk
+    from elasticsearch_spark.functions.analysis import analyze
+    from pyspark.sql import functions as F
+
+    rows = [("u1", "my auto is fast", "en"), ("u2", "my bicycle is slow", "en")]
+    df = spark.createDataFrame(rows, "url string, text string, lang string").withColumn(
+        "warc_ts", F.lit("2024-01-01").cast("timestamp"))
+    idx = str(tmp_path / "syn_idx")
+    build_index(spark, df, idx, num_partitions=2)
+    analysis.register_analyzer("qsyn", filters=[("synonym", {"synonyms": {"car": ["auto"]}})])
+    terms = analyze("fast car", "qsyn")  # → fast, car, auto
+    hits = {r["url"] for r in search_topk(spark, idx, terms, k=10).collect()}
+    assert hits == {"u1"}
