@@ -147,7 +147,11 @@ def merge_group_local(index_dir: str, segs: list[int], new_seg: int) -> dict:
     csum = np.cumsum(gaps)
     base_correction = firsts - (csum[starts] - gaps[starts])
     flat_ids = csum + np.repeat(base_correction, ns)
-    flat_terms = np.repeat(terms, ns)
+    # term codes WITHOUT hashing millions of strings: the dictionary is the
+    # block-level term column (~1000× smaller) — unique it, map rows by
+    # binary search, expand to postings by repeat
+    global_terms = np.unique(terms)
+    flat_codes = np.repeat(np.searchsorted(global_terms, terms), ns)
     assert len(flat_ids) == n_total
 
     # positions (if every source segment carries them): decode the whole
@@ -169,7 +173,7 @@ def merge_group_local(index_dir: str, segs: list[int], new_seg: int) -> dict:
         pos = np.searchsorted(exp, flat_ids)
         keep = ~((pos < len(exp)) & (exp[np.minimum(pos, len(exp) - 1)] == flat_ids))
         sel = np.nonzero(keep)[0]
-        flat_terms, flat_ids, flat_tfs = flat_terms[keep], flat_ids[keep], flat_tfs[keep]
+        flat_codes, flat_ids, flat_tfs = flat_codes[keep], flat_ids[keep], flat_tfs[keep]
     else:
         sel = np.arange(len(flat_ids))
 
@@ -178,7 +182,7 @@ def merge_group_local(index_dir: str, segs: list[int], new_seg: int) -> dict:
 
         merged = pa.table({kname: pa.array([], type=t) for kname, t in POSTINGS_FIELDS})
     else:
-        codes, uniques = pd.factorize(flat_terms, sort=True)
+        codes, uniques = flat_codes, global_terms
         order = np.lexsort((flat_ids, codes))
         p_code, p_docid, p_tfs = codes[order], flat_ids[order], flat_tfs[order]
         pos = np.searchsorted(doc_ids_sorted, p_docid)
