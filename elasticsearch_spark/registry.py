@@ -508,6 +508,60 @@ def a_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top_metrics agg (x-pack analytics TopMetricsAggregationBuilder
+    surface): per bucket, the value of one field at the max of a sort
+    field — window row_number over (value DESC, id ASC)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("user_id").alias("top_user"), F.round("value", 4).alias("top_value"))
+        .orderBy("event_type")
+    )
+
+
+def a_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rate agg (RateAggregationBuilder semantics): per day-bucket event
+    rate per hour = doc_count / 24."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.round(F.count("*") / 24.0, 4).alias("per_hour"))
+        .orderBy("day")
+    )
+
+
+def a_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (the transform/continuous-pivot style operator a
+    training-data pipeline needs): per user, events split into sessions at
+    >30-minute gaps; emits per-user session counts and mean session length."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(F.count("*").alias("n_events"))
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+        )
+        .where(F.col("user_id") < 30)
+        .orderBy("user_id")
+    )
+
+
 def a_pipeline_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipeline aggs cumulative_sum + derivative (pipeline/*.java) over daily
     signup counts — window functions over the bucket frame."""
@@ -1018,6 +1072,41 @@ SELECT rg.bucket, count(*)::BIGINT AS doc_count
 FROM documents d JOIN rg ON d.n_chars >= rg.lo AND d.n_chars < rg.hi
 GROUP BY rg.bucket ORDER BY rg.bucket
 """,
+    "agg_top_metrics": """
+SELECT event_type, top_user, top_value FROM (
+  SELECT event_type, user_id AS top_user, round(value, 4) AS top_value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY event_type
+""",
+    "agg_rate": """
+SELECT cast(ts AS DATE) AS day, round(count(*) / 24.0, 4) AS per_hour
+FROM events GROUP BY 1 ORDER BY day
+""",
+    "agg_sessionize": """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+m AS (
+  SELECT user_id, event_id,
+         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess,
+         ts
+  FROM g
+),
+s AS (
+  SELECT user_id, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM m
+),
+per_sess AS (
+  SELECT user_id, sess_id, count(*)::BIGINT AS n_events FROM s GROUP BY 1, 2
+)
+SELECT user_id, count(*)::BIGINT AS n_sessions,
+       round(avg(n_events), 4) AS avg_events_per_session
+FROM per_sess WHERE user_id < 30 GROUP BY user_id ORDER BY user_id
+""",
     "agg_pipeline_cumsum": """
 WITH daily AS (
   SELECT cast(ts AS DATE) AS day, count(*)::BIGINT AS doc_count
@@ -1296,6 +1385,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_composite": a_composite,
     "agg_filters": a_filters,
     "agg_range": a_range,
+    "agg_top_metrics": a_top_metrics,
+    "agg_rate": a_rate,
+    "agg_sessionize": a_sessionize,
     "agg_pipeline_cumsum": a_pipeline_cumsum,
     "agg_significant_terms": a_significant_terms,
     "bm25_index_wand": q_index_wand_topk,
