@@ -69,7 +69,11 @@ class Engine:
             analyzer = index + "__analyzer"
         d = self._dir(index)
         os.makedirs(d, exist_ok=True)
-        meta = store.IndexMeta(analyzer=analyzer, num_partitions=num_partitions)
+        cfg = analysis.ANALYZER_CONFIGS.get(analyzer)
+        meta = store.IndexMeta(
+            analyzer=analyzer, num_partitions=num_partitions,
+            analyzer_config=list(cfg) if cfg else None,
+        )
         meta.save(d)
 
     def delete_index(self, index: str) -> None:

@@ -52,16 +52,12 @@ MERGED_SEG_BASE = 1 << 20  # merged segment ids live above build pids
 
 
 def _seg_sizes(index_dir: str) -> dict[int, int]:
-    """segment id -> postings file size in bytes, from the store."""
-    root = os.path.join(index_dir, "segments")
+    """segment id -> postings file size in bytes, live segments only."""
     out = {}
-    if not os.path.isdir(root):
-        return out
-    for name in os.listdir(root):
-        if name.startswith("seg="):
-            p = os.path.join(root, name, "postings.parquet")
-            if os.path.exists(p):
-                out[int(name.split("=", 1)[1])] = os.path.getsize(p)
+    for s in store.list_segs(index_dir):
+        p = os.path.join(store.seg_dir(index_dir, s), "postings.parquet")
+        if os.path.exists(p):
+            out[s] = os.path.getsize(p)
     return out
 
 
@@ -227,17 +223,20 @@ def merge_group_local(index_dir: str, segs: list[int], new_seg: int) -> dict:
         json.dump(manifest, f)
     os.replace(mp + ".tmp", mp)  # commit point: manifest rename
 
-    # only after commit: drop the source segment dirs (crash before this
-    # leaves both copies; cleanup resolves by manifest)
+    # only after commit: drop the source segment dirs. A crash before this
+    # leaves both copies on disk, but readers consult merge manifests
+    # (store.list_segs excludes merged_from) and store.reconcile reclaims
+    # the dirs on the next merge round. Failed deletes raise — a swallowed
+    # failure here used to silently double-count.
     for s in segs:
-        shutil.rmtree(store.seg_dir(index_dir, s), ignore_errors=True)
+        shutil.rmtree(store.seg_dir(index_dir, s))
     return manifest
 
 
 def rebuild_term_stats(spark: SparkSession, index_dir: str, num_salts: int = 16) -> None:
     """Global (term, df, cf) rebuild with explicit two-phase salted
     aggregation (hot-term skew handling, north rule)."""
-    postings = spark.read.parquet(store.postings_glob(index_dir))
+    postings = spark.read.parquet(*store.postings_glob(index_dir))
     partial = (
         postings.groupBy("term", F.pmod(F.col("seg_id").cast("long"), F.lit(num_salts)).alias("salt"))
         .agg(F.sum("n").cast("long").alias("pdf"), F.sum("sum_tf").cast("long").alias("pcf"))
@@ -263,6 +262,7 @@ def merge_index(
     """Run one round of tiered compaction: plan groups → one Spark task per
     group → salted stats rebuild. Scores are unchanged by construction
     (df/avgdl are global, docIDs survive the merge verbatim)."""
+    store.reconcile(index_dir)  # reclaim crash-leftover merged-away dirs
     groups = plan_merges(index_dir, segments_per_tier, max_merged_bytes, floor_bytes)
     if not groups:
         return {"merges": 0, "segments_after": len(_seg_sizes(index_dir))}
@@ -302,7 +302,7 @@ def merge_index(
     from .ops import _write_tombstones, read_tombstones, tombstones_path
 
     tomb = read_tombstones(index_dir)
-    docs = spark.read.parquet(store.docs_glob(index_dir))
+    docs = spark.read.parquet(*store.docs_glob(index_dir))
     if len(tomb):
         tomb_df = spark.createDataFrame([(int(x),) for x in tomb], "doc_id long")
         still = [r["doc_id"] for r in docs.join(tomb_df, "doc_id", "left_semi").collect()]

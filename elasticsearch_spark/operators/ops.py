@@ -68,7 +68,7 @@ def apply_ops(
     tombstone. Returns counts {indexed, created, updated, deleted,
     create_conflicts}."""
     meta = store.IndexMeta.load(index_dir)
-    docs = spark.read.parquet(store.docs_glob(index_dir)).select("doc_id", "url")
+    docs = spark.read.parquet(*store.docs_glob(index_dir)).select("doc_id", "url")
     tomb = read_tombstones(index_dir)
     if len(tomb):
         tomb_df = spark.createDataFrame([(int(x),) for x in tomb], "doc_id long")
@@ -122,16 +122,24 @@ def apply_ops(
     from .merge import rebuild_term_stats
 
     rebuild_term_stats(spark, index_dir)
-    manifests = [m for m in store.all_manifests(index_dir) if "pid" in m]
-    meta.doc_count = sum(m["n_docs"] for m in manifests)
-    meta.sum_dl = sum(m["sum_dl"] for m in manifests)
+    # doc_count/sum_dl from the LIVE segment docs tables (masked/tombstoned
+    # docs still count until a merge expunges them — reference semantics),
+    # not from build manifests: manifests of merged-away segments survive
+    # for resume and would resurrect counts a merge already corrected.
+    agg = (
+        spark.read.parquet(*store.docs_glob(index_dir))
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    meta.doc_count = int(agg["n"])
+    meta.sum_dl = int(agg["s"] or 0)
     meta.save(index_dir)
     return counts
 
 
 def live_docs(spark: SparkSession, index_dir: str) -> DataFrame:
     """Docs minus tombstones (the liveDocs view used by fetch/tests)."""
-    docs = spark.read.parquet(store.docs_glob(index_dir))
+    docs = spark.read.parquet(*store.docs_glob(index_dir))
     tomb = read_tombstones(index_dir)
     if not len(tomb):
         return docs

@@ -1,35 +1,442 @@
-"""Phrase search over the index + highlighting (fetch sub-phases).
+"""Positional queries over the index (phrase / phrase_prefix / intervals)
++ highlighting (fetch sub-phase).
 
-match_phrase against the inverted index (MatchPhraseQueryBuilder.java
-semantics, v1): the candidate set is the CONJUNCTION of the phrase's terms
-(resolved via the postings index — block-max WAND-capable), then the fetch
-phase verifies positional adjacency on the candidates' analyzed token
-streams. Since candidates ≪ corpus (every phrase term must co-occur), the
-verify step touches only the top conjunctive matches — the same
-narrow-then-verify shape the reference uses (positions live in the
-postings there; here they are re-derived at fetch, trading index size for
-a cheap verify join).
+match_phrase (``server/.../index/query/MatchPhraseQueryBuilder.java``),
+match_phrase_prefix (``MatchPhrasePrefixQueryBuilder.java``) and intervals
+(``IntervalQueryBuilder.java``) against the DOCS_AND_FREQS_AND_POSITIONS
+postings. Execution is FULLY DISTRIBUTED: doc ids are segment-local
+(``doc_id = pid << 40 | row``), so every occurrence of a document lives in
+exactly one segment — the positional verify runs inside the per-segment
+scorer task (``mapInPandas`` over a seg-id frame, zero shuffle, no driver
+filesystem access), and the coordinator merge is the same ≤k-rows-per-task
+``orderBy(score, doc_id).limit(k)`` as the WAND query phase.
 
-Slop support (`slop=n`): tokens may be up to n positions apart out of
-order budget, matching Lucene's sloppy phrase semantics approximately
-(min-window containment), exact for slop=0.
+The ordered verify is a VECTORIZED GREEDY CHAIN over sorted position
+lists (the standard two-pointer sweep, O(total occurrences · n_terms)):
+occurrences are keyed ``dense_doc << 32 | position``; for each occurrence
+of the first term, each later term advances to its smallest key strictly
+greater than the current chain key within the same doc (`searchsorted`).
+The greedy chain yields the minimal window end for every start, so
+``width - (n-1) <= slop`` is exact — no ``itertools.product`` blow-up on
+docs that repeat phrase terms many times.
 
-Highlighting = the `highlight` fetch sub-phase
+Scoring: verified docs are ranked by the BM25 sum of the query terms
+(global df via the build-time stats table — DfsPhase determinism), ties
+broken by doc_id ASC, matching ``SearchPhaseController.java:202-205``.
+
+Slop semantics: ordered, total internal gap ≤ slop (exact for slop=0;
+Lucene's transposition-cost sloppy matching is intentionally not
+reproduced — ordered-sloppy is the documented subset).
+
+Highlighting = the ``highlight`` fetch sub-phase
 (``server/.../search/fetch/subphase/highlight/``): regexp-tagged fragments
-around the first match, `<em>`-wrapped, as native Column expressions.
+around the first match, ``<em>``-wrapped, as native Column expressions.
 """
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
 from ..functions import analysis
+from ..functions import bm25
 from ..sources import index_store as store
-from .topk import search_topk
+from .topk import CAND_SCHEMA, _term_weights
 
+_POS_BITS = 32
+_POS_MASK = (1 << _POS_BITS) - 1
+
+
+# --------------------------------------------------------------------------
+# in-task decode helpers (run inside the per-segment scorer)
+# --------------------------------------------------------------------------
+
+def _decode_term(post: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """All blocks of ONE term in one segment → (doc_ids, tfs, flat_pos,
+    occ_off). Blocks concatenate cleanly: the VByte positions stream stores
+    each posting's first occurrence absolute, so per-posting offsets are
+    all that's needed to slice it."""
+    from .codec import decode_block
+    from .postings import decode_positions
+
+    ids_l, tfs_l = [], []
+    for fd, ib, tb in zip(post["first_doc_id"], post["ids_bytes"], post["tf_bytes"]):
+        ids, tfs = decode_block(ib, tb, int(fd))
+        ids_l.append(ids)
+        tfs_l.append(tfs)
+    ids = np.concatenate(ids_l)
+    tfs = np.concatenate(tfs_l)
+    stream = b"".join(x for x in post["pos_bytes"] if x)
+    if not stream:
+        raise LookupError("index has no positions")
+    flat_pos, occ_off = decode_positions(stream, tfs)
+    return ids, tfs, flat_pos, occ_off
+
+
+def _occ_keys(
+    ids: np.ndarray, tfs: np.ndarray, flat_pos: np.ndarray, occ_off: np.ndarray,
+    cand: np.ndarray,
+) -> np.ndarray:
+    """Occurrence keys ``dense_doc << 32 | pos`` restricted to candidate
+    docs (cand sorted ascending). Output is sorted (docs ascending,
+    positions ascending within doc)."""
+    pos_idx = np.searchsorted(cand, ids)
+    sel = (pos_idx < len(cand)) & (cand[np.minimum(pos_idx, len(cand) - 1)] == ids)
+    if not sel.any():
+        return np.zeros(0, dtype=np.int64)
+    sel_i = np.nonzero(sel)[0]
+    lens = tfs[sel_i]
+    total = int(lens.sum())
+    out_starts = np.r_[0, np.cumsum(lens)[:-1]]
+    gather = (
+        np.repeat(occ_off[sel_i], lens) + np.arange(total) - np.repeat(out_starts, lens)
+    )
+    occ_pos = flat_pos[gather]
+    occ_dense = np.repeat(pos_idx[sel_i], lens)
+    return (occ_dense.astype(np.int64) << _POS_BITS) | occ_pos.astype(np.int64)
+
+
+def _ordered_chain_verified(key_lists: list[np.ndarray], max_total_gap: int) -> np.ndarray:
+    """Dense doc indices with an ordered occurrence chain of total internal
+    gap ≤ max_total_gap (< 0 = unbounded). Vectorized greedy sweep."""
+    n = len(key_lists)
+    cur = key_lists[0]
+    if len(cur) == 0:
+        return np.zeros(0, dtype=np.int64)
+    start_doc = cur >> _POS_BITS
+    alive = np.ones(len(cur), dtype=bool)
+    for keys in key_lists[1:]:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=np.int64)
+        idx = np.searchsorted(keys, cur, side="right")
+        ok = idx < len(keys)
+        nxt = keys[np.minimum(idx, len(keys) - 1)]
+        ok &= (nxt >> _POS_BITS) == start_doc
+        alive &= ok
+        cur = np.where(ok, nxt, cur)
+    width = (cur & _POS_MASK) - (key_lists[0] & _POS_MASK)
+    match = alive & ((max_total_gap < 0) | (width - (n - 1) <= max_total_gap))
+    return np.unique(start_doc[match])
+
+
+def _unordered_window_verified(
+    key_lists: list[np.ndarray], max_gaps: int, thresholds: list[int] | None = None
+) -> np.ndarray:
+    """Dense doc indices containing a window with ≥ thresholds[i]
+    occurrences of list i and width - (n_required-1) ≤ max_gaps (< 0 =
+    unbounded). A duplicated query term is ONE list with threshold =
+    multiplicity (distinct occurrences required; positions of distinct
+    terms never collide — one token is one term). Per-doc two-pointer
+    sweep over the merged occurrence sequence."""
+    nl = len(key_lists)
+    thr = np.array(thresholds if thresholds is not None else [1] * nl, dtype=np.int64)
+    n_required = int(thr.sum())
+    ev_keys = np.concatenate(key_lists)
+    ev_list = np.concatenate([np.full(len(kk), i, dtype=np.int32) for i, kk in enumerate(key_lists)])
+    order = np.argsort(ev_keys, kind="mergesort")
+    ev_keys, ev_list = ev_keys[order], ev_list[order]
+    docs = ev_keys >> _POS_BITS
+    out = []
+    for d in np.unique(docs):
+        m = docs == d
+        pos = (ev_keys[m] & _POS_MASK).astype(np.int64)
+        lab = ev_list[m]
+        have = np.zeros(nl, dtype=np.int64)
+        lo = 0
+        satisfied = 0
+        hit = False
+        for hi in range(len(pos)):
+            have[lab[hi]] += 1
+            if have[lab[hi]] == thr[lab[hi]]:
+                satisfied += 1
+            while satisfied == nl:
+                width = pos[hi] - pos[lo]
+                if max_gaps < 0 or width - (n_required - 1) <= max_gaps:
+                    hit = True
+                    break
+                if have[lab[lo]] == thr[lab[lo]]:
+                    satisfied -= 1
+                have[lab[lo]] -= 1
+                lo += 1
+            if hit:
+                break
+        if hit:
+            out.append(int(d))
+    return np.array(out, dtype=np.int64)
+
+
+def _segment_positional_scorer(
+    index_dir: str,
+    weights: dict[str, tuple[float, int]],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+    terms: list[str],
+    expansions: list[str],
+    ordered: bool,
+    max_total_gap: int,
+):
+    """mapInPandas fn over a seg-id frame: per segment, decode the query
+    terms' postings WITH positions (parquet term-filter pushdown), verify
+    positionally, score verified docs by the BM25 term sum, emit ≤k rows.
+
+    ``expansions`` non-empty = phrase_prefix: the LAST slot's occurrence
+    list is the union of the expansion terms' occurrences (Lucene's
+    MultiPhraseQuery position union), and matched expansions contribute
+    their own BM25 terms to the score."""
+    import pyarrow.parquet as pq
+
+    from ..functions.smallfloat import byte4_to_int
+
+    slot_terms: list[list[str]] = [[t] for t in terms] + ([expansions] if expansions else [])
+    fetch_terms = sorted({t for st in slot_terms for t in st})
+
+    def fn(batches):
+        from .ops import read_tombstones
+
+        tomb = read_tombstones(index_dir)
+        for pdf in batches:
+            outs = []
+            for seg in pdf["seg"]:
+                d = store.seg_dir(index_dir, int(seg))
+                post = pq.read_table(
+                    os.path.join(d, "postings.parquet"),
+                    columns=["term", "first_doc_id", "ids_bytes", "tf_bytes", "pos_bytes"],
+                    filters=[("term", "in", fetch_terms)],
+                ).to_pandas()
+                if len(post) == 0:
+                    continue
+                present = set(post["term"])
+                if any(not (set(st) & present) for st in slot_terms):
+                    continue  # conjunction can't match in this segment
+                decoded = {t: _decode_term(post[post["term"] == t]) for t in present}
+
+                # candidate docs: in every slot (union of the slot's terms)
+                cand = None
+                for st in slot_terms:
+                    slot_ids = np.unique(np.concatenate(
+                        [decoded[t][0] for t in st if t in decoded]
+                    ))
+                    cand = slot_ids if cand is None else np.intersect1d(cand, slot_ids, assume_unique=True)
+                    if len(cand) == 0:
+                        break
+                if cand is None or len(cand) == 0:
+                    continue
+                if len(tomb):
+                    pos = np.searchsorted(tomb, cand)
+                    dead = (pos < len(tomb)) & (tomb[np.minimum(pos, len(tomb) - 1)] == cand)
+                    cand = cand[~dead]
+                    if len(cand) == 0:
+                        continue
+
+                key_lists = []
+                for st in slot_terms:
+                    ks = [
+                        _occ_keys(*decoded[t], cand) for t in st if t in decoded
+                    ]
+                    ks = [x for x in ks if len(x)]
+                    if not ks:
+                        key_lists.append(np.zeros(0, dtype=np.int64))
+                    elif len(ks) == 1:
+                        key_lists.append(ks[0])
+                    else:
+                        key_lists.append(np.sort(np.concatenate(ks)))
+                if ordered:
+                    v_dense = _ordered_chain_verified(key_lists, max_total_gap)
+                else:
+                    # duplicate query terms → one list with threshold =
+                    # multiplicity (intervals slots are single terms)
+                    mult: dict[str, int] = {}
+                    for st in slot_terms:
+                        mult[st[0]] = mult.get(st[0], 0) + 1
+                    uniq_lists, thrs = [], []
+                    seen: set[str] = set()
+                    for i, st in enumerate(slot_terms):
+                        if st[0] in seen:
+                            continue
+                        seen.add(st[0])
+                        uniq_lists.append(key_lists[i])
+                        thrs.append(mult[st[0]])
+                    v_dense = _unordered_window_verified(uniq_lists, max_total_gap, thrs)
+                if len(v_dense) == 0:
+                    continue
+                verified = cand[v_dense]
+
+                # score verified docs: BM25 sum over every matched query /
+                # expansion term (weights are GLOBAL df stats)
+                docs_t = pq.read_table(
+                    os.path.join(d, "docs.parquet"), columns=["doc_id", "norm"]
+                )
+                nd = docs_t["doc_id"].to_numpy()
+                order = np.argsort(nd, kind="mergesort")
+                nd = nd[order]
+                nq = byte4_to_int(docs_t["norm"].to_numpy())[order]
+                ql = nq[np.searchsorted(nd, verified)].astype(np.float64)
+                scores = np.zeros(len(verified), dtype=np.float64)
+                for t in dict.fromkeys(t for st in slot_terms for t in st):
+                    if t not in decoded or t not in weights:
+                        continue
+                    ids, tfs = decoded[t][0], decoded[t][1]
+                    p = np.searchsorted(ids, verified)
+                    ok = (p < len(ids)) & (ids[np.minimum(p, len(ids) - 1)] == verified)
+                    tf_v = np.where(ok, tfs[np.minimum(p, len(ids) - 1)], 0).astype(np.float64)
+                    scores += weights[t][0] * bm25.tf_norm(tf_v, ql, avgdl, k1, b)
+                idx = np.lexsort((verified, -scores))[:k]
+                outs.append(pd.DataFrame({
+                    "doc_id": verified[idx],
+                    "score": scores[idx],
+                    "n_terms_matched": np.full(len(idx), len(slot_terms), dtype=np.int32),
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return fn
+
+
+def _positional_topk(
+    spark: SparkSession,
+    index_dir: str,
+    meta: store.IndexMeta,
+    terms: list[str],
+    expansions: list[str],
+    k: int,
+    ordered: bool,
+    max_total_gap: int,
+    weights: dict[str, tuple[float, int]],
+) -> DataFrame:
+    """Distributed positional query phase + fetch: one task per segment,
+    ≤k rows per task to the coordinator merge, broadcast fetch join."""
+    segs = store.list_segs(index_dir)
+    empty = spark.createDataFrame([], "doc_id long, url string, score double")
+    if not segs:
+        return empty
+    fn = _segment_positional_scorer(
+        index_dir, weights, meta.avgdl, meta.k1, meta.b, k,
+        terms, expansions, ordered, max_total_gap,
+    )
+    n_tasks = max(1, min(len(segs), spark.sparkContext.defaultParallelism))
+    cands = (
+        spark.createDataFrame([(s,) for s in segs], "seg int")
+        .repartition(n_tasks)
+        .mapInPandas(fn, CAND_SCHEMA)
+    )
+    top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    docs = spark.read.parquet(*store.docs_glob(index_dir)).select("doc_id", "url")
+    return (
+        docs.join(F.broadcast(top), "doc_id")
+        .select("doc_id", "url", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# public query surface
+# --------------------------------------------------------------------------
+
+def search_phrase(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str,
+    k: int = 10,
+    slop: int = 0,
+    candidate_factor: int = 20,  # kept for API compat; unused (exact path)
+) -> DataFrame:
+    """match_phrase over the positional index: per-segment conjunction +
+    position-chain verify + BM25 top-k (score DESC, doc_id ASC). Exact —
+    every verified doc competes, not a candidate sample. Position-less
+    legacy indexes fall back to re-analyzing candidates' stored text."""
+    meta = store.IndexMeta.load(index_dir)
+    terms = analysis.analyze(phrase, meta.analyzer)
+    empty = spark.createDataFrame([], "doc_id long, url string, score double")
+    if not terms:
+        return empty
+    weights = _term_weights(spark, index_dir, terms, meta)
+    if any(t not in weights for t in terms):
+        return empty  # conjunction with a zero-df term matches nothing
+    try:
+        return _positional_topk(
+            spark, index_dir, meta, terms, [], k, True, slop, weights
+        )
+    except LookupError:
+        return _phrase_fallback(spark, index_dir, meta, terms, k, slop)
+
+
+def search_phrase_prefix(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str,
+    k: int = 10,
+    slop: int = 0,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """match_phrase_prefix (``MatchPhrasePrefixQueryBuilder.java``): the
+    last analyzed token is a PREFIX expanded against the global term
+    dictionary (first ``max_expansions`` in term order — the reference's
+    expansion cap), and the phrase chain must end at one of the expansions'
+    positions (MultiPhraseQuery position union). Scored as the BM25 sum of
+    the fixed terms plus every matched expansion term."""
+    meta = store.IndexMeta.load(index_dir)
+    terms = analysis.analyze(phrase, meta.analyzer)
+    empty = spark.createDataFrame([], "doc_id long, url string, score double")
+    if not terms:
+        return empty
+    fixed, prefix = terms[:-1], terms[-1]
+    # prefix expansion over the GLOBAL term dictionary (the stats table is
+    # term-sorted parquet — range predicate pushes to row groups); capped
+    # in term order so every segment task sees the same deterministic set
+    exp_rows = (
+        spark.read.parquet(store.term_stats_path(index_dir))
+        .where(F.col("term").startswith(prefix))
+        .orderBy("term")
+        .limit(max_expansions)
+        .collect()
+    )
+    expansions = [r["term"] for r in exp_rows]
+    if not expansions:
+        return empty
+    weights = _term_weights(spark, index_dir, list(dict.fromkeys(fixed)) + expansions, meta)
+    if any(t not in weights for t in fixed):
+        return empty
+    return _positional_topk(
+        spark, index_dir, meta, fixed, expansions, k, True, slop, weights
+    )
+
+
+def search_intervals(
+    spark: SparkSession,
+    index_dir: str,
+    text: str,
+    ordered: bool = True,
+    max_gaps: int = -1,
+    k: int = 10,
+    candidate_factor: int = 20,  # kept for API compat; unused (exact path)
+) -> DataFrame:
+    """intervals query (``IntervalQueryBuilder.java`` match source):
+    an interval containing all terms, in order when ``ordered``, total
+    internal gap ≤ max_gaps (-1 = unbounded). Distributed per-segment
+    verify, BM25-ranked like phrase."""
+    meta = store.IndexMeta.load(index_dir)
+    terms = analysis.analyze(text, meta.analyzer)
+    empty = spark.createDataFrame([], "doc_id long, url string, score double")
+    if not terms:
+        return empty
+    weights = _term_weights(spark, index_dir, terms, meta)
+    if any(t not in weights for t in terms):
+        return empty
+    return _positional_topk(
+        spark, index_dir, meta, terms, [], k, ordered, max_gaps, weights
+    )
+
+
+# --------------------------------------------------------------------------
+# legacy fallback (position-less index): re-analyze candidates' stored text
+# --------------------------------------------------------------------------
 
 def _phrase_verify_udf(terms: list[str], analyzer: str, slop: int):
     config = analysis.ANALYZER_CONFIGS.get(analyzer)
@@ -42,34 +449,43 @@ def _phrase_verify_udf(terms: list[str], analyzer: str, slop: int):
 
         def check(text: str) -> bool:
             toks = fn(text) if text else []
-            if slop == 0:
-                n = len(terms)
-                return any(toks[i : i + n] == terms for i in range(len(toks) - n + 1))
-            # sloppy: a window of width len(terms)+slop containing all terms
-            # in order with gaps ≤ slop total
-            positions = {t: [i for i, x in enumerate(toks) if x == t] for t in terms}
-            if any(not v for v in positions.values()):
+            pos = {t: np.array([i for i, x in enumerate(toks) if x == t], dtype=np.int64) for t in set(terms)}
+            keys = [pos[t] for t in terms]
+            if any(len(p) == 0 for p in keys):
                 return False
-            import itertools
-
-            for combo in itertools.product(*[positions[t] for t in terms]):
-                if all(combo[j + 1] > combo[j] for j in range(len(combo) - 1)) and (
-                    combo[-1] - combo[0] - (len(terms) - 1) <= slop
-                ):
-                    return True
-            return False
+            return len(_ordered_chain_verified(keys, slop)) > 0
 
         return texts.map(check)
 
     return verify
 
 
-def _index_positions(index_dir: str, terms: list[str], cand_ids: set[int]) -> dict[str, dict[int, "np.ndarray"]]:
-    """Per term: {doc_id: ascending positions} for candidate docs, decoded
-    straight from the postings blocks (DOCS_AND_FREQS_AND_POSITIONS)."""
-    import os
+def _phrase_fallback(spark, index_dir, meta, terms, k, slop) -> DataFrame:
+    from .topk import search_topk
 
-    import numpy as np
+    cands = search_topk(
+        spark, index_dir, terms, k=k * 20, operator="and", fetch=False
+    )
+    docs = spark.read.parquet(*store.docs_glob(index_dir)).select("doc_id", "url", "text")
+    verified = (
+        docs.join(F.broadcast(cands), "doc_id")
+        .where(_phrase_verify_udf(terms, meta.analyzer, slop)(F.col("text")))
+    )
+    return (
+        verified.select("doc_id", "url", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# test/introspection helper (NOT on the query path)
+# --------------------------------------------------------------------------
+
+def _index_positions(index_dir: str, terms: list[str], cand_ids: set[int]) -> dict[str, dict[int, np.ndarray]]:
+    """Per term: {doc_id: ascending positions} for candidate docs, decoded
+    straight from the postings blocks. Local introspection used by tests —
+    the query path decodes positions inside the segment tasks instead."""
     import pyarrow.parquet as pq
 
     from .codec import vbyte_decode
@@ -100,142 +516,9 @@ def _index_positions(index_dir: str, terms: list[str], cand_ids: set[int]) -> di
     return out
 
 
-def _verify_by_positions(tpos: list, slop: int) -> bool:
-    """Ordered phrase check over per-term position arrays."""
-    import numpy as np
-
-    if any(p is None or len(p) == 0 for p in tpos):
-        return False
-    if slop == 0:
-        starts = np.asarray(tpos[0])
-        for i, arr in enumerate(tpos[1:], start=1):
-            starts = starts[np.isin(starts + i, arr)]
-            if len(starts) == 0:
-                return False
-        return True
-    import itertools
-
-    for combo in itertools.product(*[list(p) for p in tpos]):
-        if all(combo[j + 1] > combo[j] for j in range(len(combo) - 1)) and (
-            combo[-1] - combo[0] - (len(tpos) - 1) <= slop
-        ):
-            return True
-    return False
-
-
-def search_phrase(
-    spark: SparkSession,
-    index_dir: str,
-    phrase: str,
-    k: int = 10,
-    slop: int = 0,
-    candidate_factor: int = 20,
-) -> DataFrame:
-    """match_phrase over the index: conjunctive candidates → positional
-    verify → top-k by BM25 (score DESC, doc_id ASC). The verify reads the
-    postings' POSITIONS when the index carries them (the text-field
-    default layout); legacy position-less indexes fall back to re-analyzing
-    the stored text of the candidates."""
-    meta = store.IndexMeta.load(index_dir)
-    terms = analysis.analyze(phrase, meta.analyzer)
-    if not terms:
-        return spark.createDataFrame([], "doc_id long, url string, score double")
-    cands = search_topk(
-        spark, index_dir, terms, k=k * candidate_factor, operator="and", fetch=False
-    )
-    cand_rows = cands.collect()
-    if not cand_rows:
-        return spark.createDataFrame([], "doc_id long, url string, score double")
-    cand_ids = {int(r["doc_id"]) for r in cand_rows}
-
-    try:
-        pos_map = _index_positions(index_dir, terms, cand_ids)
-        ok_ids = [
-            d for d in cand_ids
-            if _verify_by_positions([pos_map[t].get(d) for t in terms], slop)
-        ]
-        score_of = {int(r["doc_id"]): r["score"] for r in cand_rows}
-        top = sorted(ok_ids, key=lambda d: (-score_of[d], d))[:k]
-        docs = spark.read.parquet(store.docs_glob(index_dir)).select("doc_id", "url")
-        hit_df = spark.createDataFrame(
-            [(d, float(score_of[d])) for d in top], "doc_id long, score double"
-        )
-        return (
-            docs.join(F.broadcast(hit_df), "doc_id")
-            .select("doc_id", "url", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-        )
-    except LookupError:
-        docs = spark.read.parquet(store.docs_glob(index_dir)).select("doc_id", "url", "text")
-        verified = (
-            docs.join(F.broadcast(cands), "doc_id")
-            .where(_phrase_verify_udf(terms, meta.analyzer, slop)(F.col("text")))
-        )
-        return (
-            verified.select("doc_id", "url", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
-
-
-def _verify_intervals(tpos: list, ordered: bool, max_gaps: int) -> bool:
-    """intervals query semantics (IntervalQueryBuilder.java match source):
-    an interval containing all terms, in order when `ordered`, with total
-    internal gap ≤ max_gaps (-1 = unbounded)."""
-    import itertools
-
-    if any(p is None or len(p) == 0 for p in tpos):
-        return False
-    n = len(tpos)
-    for combo in itertools.product(*[list(p) for p in tpos]):
-        if len(set(combo)) < n:
-            continue
-        if ordered and not all(combo[j + 1] > combo[j] for j in range(n - 1)):
-            continue
-        width = max(combo) - min(combo)
-        if max_gaps < 0 or width - (n - 1) <= max_gaps:
-            return True
-    return False
-
-
-def search_intervals(
-    spark: SparkSession,
-    index_dir: str,
-    text: str,
-    ordered: bool = True,
-    max_gaps: int = -1,
-    k: int = 10,
-    candidate_factor: int = 20,
-) -> DataFrame:
-    """intervals query (ordered/unordered proximity algebra) over the
-    positional index: conjunctive candidates → interval verify → top-k."""
-    meta = store.IndexMeta.load(index_dir)
-    terms = analysis.analyze(text, meta.analyzer)
-    if not terms:
-        return spark.createDataFrame([], "doc_id long, url string, score double")
-    cands = search_topk(
-        spark, index_dir, terms, k=k * candidate_factor, operator="and", fetch=False
-    ).collect()
-    if not cands:
-        return spark.createDataFrame([], "doc_id long, url string, score double")
-    cand_ids = {int(r["doc_id"]) for r in cands}
-    pos_map = _index_positions(index_dir, terms, cand_ids)
-    score_of = {int(r["doc_id"]): r["score"] for r in cands}
-    ok = [
-        d for d in cand_ids
-        if _verify_intervals([pos_map[t].get(d) for t in terms], ordered, max_gaps)
-    ]
-    top = sorted(ok, key=lambda d: (-score_of[d], d))[:k]
-    docs = spark.read.parquet(store.docs_glob(index_dir)).select("doc_id", "url")
-    hit_df = spark.createDataFrame(
-        [(d, float(score_of[d])) for d in top], "doc_id long, score double"
-    )
-    return (
-        docs.join(F.broadcast(hit_df), "doc_id")
-        .select("doc_id", "url", "score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-    )
-
+# --------------------------------------------------------------------------
+# highlight fetch sub-phase
+# --------------------------------------------------------------------------
 
 def highlight(
     df: DataFrame,

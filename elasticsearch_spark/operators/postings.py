@@ -359,13 +359,17 @@ def build_index(
         .collect()
     )
 
-    meta = store.IndexMeta(analyzer=analyzer, num_partitions=num_partitions)
+    cfg = analysis.ANALYZER_CONFIGS.get(analyzer)
+    meta = store.IndexMeta(
+        analyzer=analyzer, num_partitions=num_partitions,
+        analyzer_config=list(cfg) if cfg else None,
+    )
     meta.doc_count = sum(r["n_docs"] for r in metrics)
     meta.sum_dl = sum(r["sum_dl"] for r in metrics)
 
     # dfs-phase stats table: global (term, df, cf) — partial/final agg over
     # compact postings blocks (SURVEY §3.1 DFS variant / DfsPhase.java:31-81)
-    postings = spark.read.parquet(store.postings_glob(index_dir))
+    postings = spark.read.parquet(*store.postings_glob(index_dir))
     ts_path = store.term_stats_path(index_dir)
     os.makedirs(os.path.dirname(ts_path), exist_ok=True)
     (

@@ -91,7 +91,7 @@ def explain(
     quantized dl, avgdl, and the BM25 contribution (sums to the hit's
     score; the `_explain` API shape)."""
     meta = store.IndexMeta.load(index_dir)
-    docs = spark.read.parquet(store.docs_glob(index_dir))
+    docs = spark.read.parquet(*store.docs_glob(index_dir))
     row = docs.where(F.col("url") == url).select("doc_id", "text", "dl").first()
     if row is None:
         return spark.createDataFrame(

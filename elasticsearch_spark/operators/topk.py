@@ -254,11 +254,11 @@ class IndexReader:
         self.spark = spark
         self.index_dir = index_dir
         self.meta = store.IndexMeta.load(index_dir)
-        self.postings = spark.read.parquet(store.postings_glob(index_dir)).select(
+        self.postings = spark.read.parquet(*store.postings_glob(index_dir)).select(
             "term", "seg_id", "first_doc_id", "last_doc_id", "n",
             "max_tf", "min_ql", "ids_bytes", "tf_bytes",
         ).persist()
-        self.docs = spark.read.parquet(store.docs_glob(index_dir)).persist()
+        self.docs = spark.read.parquet(*store.docs_glob(index_dir)).persist()
         # term stats are small (|vocab| rows of (term, df, cf)) — collected to
         # a local dict once, the broadcast-stats analog of DfsPhase
         ts = spark.read.parquet(store.term_stats_path(index_dir)).collect()
@@ -390,13 +390,13 @@ def search_topk(
         base_postings = (
             reader.postings
             if reader
-            else spark.read.parquet(store.postings_glob(index_dir)).select(
+            else spark.read.parquet(*store.postings_glob(index_dir)).select(
                 "term", "seg_id", "first_doc_id", "last_doc_id", "n",
                 "max_tf", "min_ql", "ids_bytes", "tf_bytes",
             )
         )
         postings = base_postings.where(F.col("term").isin(live))
-        docs = reader.docs if reader else spark.read.parquet(store.docs_glob(index_dir))
+        docs = reader.docs if reader else spark.read.parquet(*store.docs_glob(index_dir))
         from .ops import read_tombstones
 
         _tomb = read_tombstones(index_dir)
@@ -438,7 +438,7 @@ def search_topk(
     # fetch phase: ship the tiny global top-k back to the wide store and
     # broadcast-join (the second round-trip of query_then_fetch,
     # FetchSearchPhase.java / FetchPhase.java:62)
-    docs = (reader.docs if reader else spark.read.parquet(store.docs_glob(index_dir))).select(
+    docs = (reader.docs if reader else spark.read.parquet(*store.docs_glob(index_dir))).select(
         "doc_id", "url", "lang", "warc_ts"
     )
     return docs.join(F.broadcast(top), "doc_id").orderBy(F.desc("score"), F.asc("doc_id"))

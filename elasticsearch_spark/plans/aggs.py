@@ -312,10 +312,11 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         (ok, od), = order_spec.items()
         oc = F.col("doc_count") if ok == "_count" else (F.col("key") if ok == "_key" else F.col(ok))
         oc = oc.desc() if od == "desc" else oc.asc()
-        grouped = grouped.orderBy(oc, F.col("key").asc()).limit(size)
+        # min_doc_count prunes BEFORE the size window (the reference drops
+        # sub-threshold buckets before applying size, TermsAggregator.java)
         if "min_doc_count" in bbody:
             grouped = grouped.where(F.col("doc_count") >= bbody["min_doc_count"])
-        return grouped
+        return grouped.orderBy(oc, F.col("key").asc()).limit(size)
     return grouped.orderBy("key")
 
 

@@ -695,7 +695,7 @@ class FunctionScoreQ(Node):
     boost_mode: str = "multiply"
 
     def _fn_col(self, ctx: SearchContext, spec: dict, joined: DataFrame) -> Column:
-        if "weight" in spec and len(spec) <= 2:
+        if "weight" in spec and set(spec) <= {"weight", "filter"}:
             v = F.lit(float(spec["weight"]))
         elif "field_value_factor" in spec:
             fv = spec["field_value_factor"]
@@ -731,7 +731,7 @@ class FunctionScoreQ(Node):
                 v = F.greatest((s - d) / s, F.lit(0.0))
         else:
             raise ValueError(f"unsupported function_score function: {spec}")
-        if "weight" in spec and len(spec) > 2:
+        if "weight" in spec and not set(spec) <= {"weight", "filter"}:
             v = v * float(spec["weight"])
         if "filter" in spec:
             v = F.when(parse(spec["filter"]).predicate(ctx), v).otherwise(F.lit(None))

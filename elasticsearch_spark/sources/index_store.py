@@ -100,6 +100,11 @@ class IndexMeta:
     b: float = 0.75
     # container seg -> current (post-merge) segment id; identity at build
     seg_map: dict = field(default_factory=dict)
+    # custom analyzer chain (tokenizer, filters), persisted so a fresh
+    # driver process can re-register the chain by NAME alone — an
+    # in-memory-only registration would KeyError (or silently tokenize
+    # queries differently from the indexed postings) after driver restart
+    analyzer_config: list | None = None
 
     @property
     def avgdl(self) -> float:
@@ -118,6 +123,7 @@ class IndexMeta:
                     "k1": self.k1,
                     "b": self.b,
                     "seg_map": self.seg_map,
+                    "analyzer_config": self.analyzer_config,
                 },
                 f,
             )
@@ -127,7 +133,7 @@ class IndexMeta:
     def load(cls, index_dir: str) -> "IndexMeta":
         with open(os.path.join(index_dir, "index_meta.json")) as f:
             d = json.load(f)
-        return cls(
+        meta = cls(
             analyzer=d["analyzer"],
             num_partitions=d["num_partitions"],
             doc_count=d["doc_count"],
@@ -135,30 +141,72 @@ class IndexMeta:
             k1=d["k1"],
             b=d["b"],
             seg_map={str(k): int(v) for k, v in d.get("seg_map", {}).items()},
+            analyzer_config=d.get("analyzer_config"),
         )
+        if meta.analyzer_config is not None:
+            from ..functions import analysis
+
+            if meta.analyzer not in analysis.ANALYZERS:
+                tok, filters = meta.analyzer_config
+                analysis.register_analyzer(
+                    meta.analyzer, tok, [tuple(f) if isinstance(f, list) else f for f in filters]
+                )
+        return meta
 
     def current_seg(self, container_seg: int) -> int:
         return int(self.seg_map.get(str(container_seg), container_seg))
 
 
 def list_segs(index_dir: str) -> list[int]:
-    """Current segment ids (post-merge survivors) from the store layout."""
+    """Current segment ids (post-merge survivors) from the store layout.
+
+    A segment listed in a committed merge manifest's ``merged_from`` is
+    dead even if its files still exist on disk (crash between manifest
+    rename and source-dir delete): its docs live on in the merged segment,
+    so including it would double-count hits and inflate df/doc_count.
+    ``reconcile`` reclaims the space; this read path is correct either way.
+    """
     root = os.path.join(index_dir, "segments")
     if not os.path.isdir(root):
         return []
+    dead = merged_away_segs(index_dir)
     return sorted(
-        int(n.split("=", 1)[1])
+        s
         for n in os.listdir(root)
-        if n.startswith("seg=") and os.path.exists(os.path.join(root, n, "postings.parquet"))
+        if n.startswith("seg=")
+        and os.path.exists(os.path.join(root, n, "postings.parquet"))
+        and (s := int(n.split("=", 1)[1])) not in dead
     )
 
 
-def postings_glob(index_dir: str) -> str:
-    return os.path.join(index_dir, "segments", "seg=*", "postings.parquet")
+def reconcile(index_dir: str) -> list[int]:
+    """Delete on-disk segment dirs already consumed by a committed merge
+    (crash-leftovers). Returns the reclaimed segment ids. Failures raise —
+    a silently-surviving dir would be re-reclaimed next call anyway, but
+    the caller should know."""
+    import shutil
+
+    root = os.path.join(index_dir, "segments")
+    reclaimed = []
+    if not os.path.isdir(root):
+        return reclaimed
+    for s in merged_away_segs(index_dir):
+        d = seg_dir(index_dir, s)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+            reclaimed.append(s)
+    return reclaimed
 
 
-def docs_glob(index_dir: str) -> str:
-    return os.path.join(index_dir, "segments", "seg=*", "docs.parquet")
+def postings_glob(index_dir: str) -> list[str]:
+    """Explicit postings file list for the CURRENT (manifest-reconciled)
+    segments — not a filesystem glob, which would double-read segments a
+    crashed merge left behind."""
+    return [os.path.join(seg_dir(index_dir, s), "postings.parquet") for s in list_segs(index_dir)]
+
+
+def docs_glob(index_dir: str) -> list[str]:
+    return [os.path.join(seg_dir(index_dir, s), "docs.parquet") for s in list_segs(index_dir)]
 
 
 def term_stats_path(index_dir: str) -> str:

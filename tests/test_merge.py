@@ -55,7 +55,7 @@ def test_merge_preserves_topk(spark, merge_env):
 
 
 def test_merge_doc_count_preserved(spark, merge_env):
-    docs = spark.read.parquet(store.docs_glob(MERGE_DIR))
+    docs = spark.read.parquet(*store.docs_glob(MERGE_DIR))
     meta = store.IndexMeta.load(MERGE_DIR)
     assert docs.count() == meta.doc_count
     assert docs.select("doc_id").distinct().count() == meta.doc_count

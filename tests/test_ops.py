@@ -77,7 +77,7 @@ def test_merge_expunges_tombstones(spark, ops_index):
     n_live = live_docs(spark, ops_index).count()
     merge_index(spark, ops_index, segments_per_tier=10, floor_bytes=1)
     assert len(read_tombstones(ops_index)) == 0  # expunged
-    docs = spark.read.parquet(store.docs_glob(ops_index))
+    docs = spark.read.parquet(*store.docs_glob(ops_index))
     assert docs.count() == n_live  # dead versions physically gone
     meta = store.IndexMeta.load(ops_index)
     assert meta.doc_count == n_live

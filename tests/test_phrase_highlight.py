@@ -69,7 +69,7 @@ def test_positions_are_stored_and_used(spark, phrase_index):
     from elasticsearch_spark.operators.phrase import _index_positions
     from elasticsearch_spark.sources import index_store as store
 
-    docs = {r["doc_id"]: r for r in spark.read.parquet(store.docs_glob(phrase_index)).collect()}
+    docs = {r["doc_id"]: r for r in spark.read.parquet(*store.docs_glob(phrase_index)).collect()}
     pos_map = _index_positions(phrase_index, ["quick", "brown"], set(docs))
     assert pos_map["quick"] and pos_map["brown"]
     for term in ("quick", "brown"):

@@ -54,7 +54,7 @@ def test_stale_lineage_triggers_rebuild(spark, built):
     assert info3["built"] >= 1  # the partition that received row 300
     assert info3["built"] + info3["skipped"] == N_PARTS
     meta = store.IndexMeta.load(RESUME_DIR)
-    docs = spark.read.parquet(store.docs_glob(RESUME_DIR))
+    docs = spark.read.parquet(*store.docs_glob(RESUME_DIR))
     assert docs.count() == meta.doc_count
 
 

@@ -39,7 +39,7 @@ def test_stream_ingest_builds_searchable_index(spark, stream_dirs):
     )
     q.awaitTermination(300)
     meta = store.IndexMeta.load(idx)
-    docs = spark.read.parquet(store.docs_glob(idx))
+    docs = spark.read.parquet(*store.docs_glob(idx))
     assert meta.doc_count == docs.count()
     assert meta.doc_count > 150  # both batches landed (minus url dups)
     # multiple batches → multiple segment namespaces
