@@ -188,15 +188,21 @@ class Engine:
         return explain_fn(self.spark, self._dir(index), terms, url)
 
     def delete_by_query(self, index: str, query: dict) -> dict:
-        """POST /{index}/_delete_by_query: resolve matching urls, tombstone."""
+        """POST /{index}/_delete_by_query: DISTRIBUTED tombstone write — the
+        matching doc_ids go straight from the executors into a tombstone
+        batch (no driver collect; a broad delete at 100 TB never funnels
+        ids through one process). doc_count/df keep counting masked docs
+        until a merge expunges them — reference semantics."""
         docs = self._docs_view(index)
         node = dsl.parse(query)
         ctx = dsl.SearchContext(docs, "url", text_col="text")
         try:
-            urls = [r["url"] for r in docs.where(node.predicate(ctx)).select("url").collect()]
+            matched = docs.where(node.predicate(ctx))
         except NotImplementedError:
-            urls = [r["__key"] for r in node.frame(ctx).select("__key").collect()]
-        return self.delete(index, urls) if urls else {"deleted": 0}
+            keyed = node.frame(ctx).select("__key").withColumnRenamed("__key", "url")
+            matched = docs.join(keyed, "url", "left_semi")
+        n = ops_mod.append_tombstones(self.spark, self._dir(index), matched.select("doc_id"))
+        return {"deleted": n}
 
     def update_by_query(self, index: str, query: dict, script_expr: str) -> dict:
         """POST /{index}/_update_by_query with a SQL-expression script over

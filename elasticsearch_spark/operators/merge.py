@@ -233,6 +233,29 @@ def merge_group_local(index_dir: str, segs: list[int], new_seg: int) -> dict:
     return manifest
 
 
+def _folded_segs_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "stats", "folded_segs.json")
+
+
+def _read_folded_segs(index_dir: str) -> set[int]:
+    p = _folded_segs_path(index_dir)
+    if not os.path.exists(p):
+        return set()
+    try:
+        with open(p) as f:
+            return set(json.load(f))
+    except (json.JSONDecodeError, OSError):
+        return set()
+
+
+def _write_folded_segs(index_dir: str, segs: set[int]) -> None:
+    p = _folded_segs_path(index_dir)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p + ".tmp", "w") as f:
+        json.dump(sorted(segs), f)
+    os.replace(p + ".tmp", p)
+
+
 def rebuild_term_stats(spark: SparkSession, index_dir: str, num_salts: int = 16) -> None:
     """Global (term, df, cf) rebuild with explicit two-phase salted
     aggregation (hot-term skew handling, north rule)."""
@@ -250,6 +273,48 @@ def rebuild_term_stats(spark: SparkSession, index_dir: str, num_salts: int = 16)
     if os.path.exists(ts_path):
         shutil.rmtree(ts_path)
     os.replace(tmp_path, ts_path)
+    _write_folded_segs(index_dir, set(store.list_segs(index_dir)))
+
+
+def merge_term_stats(spark: SparkSession, index_dir: str, new_segs: list[int]) -> None:
+    """INCREMENTAL (term, df, cf) update: fold only the NEW segments'
+    postings partials into the existing stats table — per-batch cost is
+    O(|vocab| + |new postings|), independent of total index size (a full
+    ``rebuild_term_stats`` per streaming micro-batch is O(index), i.e.
+    O(n²) over a day of streaming). Idempotent under micro-batch REPLAY
+    (Structured Streaming may re-run a batch after a crash): segments
+    already folded — tracked in ``stats/folded_segs.json``, committed
+    after the stats write — are skipped."""
+    folded = _read_folded_segs(index_dir)
+    todo = [
+        s for s in new_segs
+        if s not in folded
+        and os.path.exists(os.path.join(store.seg_dir(index_dir, s), "postings.parquet"))
+    ]
+    if not todo:
+        return
+    paths = [os.path.join(store.seg_dir(index_dir, s), "postings.parquet") for s in todo]
+    new = (
+        spark.read.parquet(*paths)
+        .groupBy("term")
+        .agg(F.sum("n").cast("long").alias("df"), F.sum("sum_tf").cast("long").alias("cf"))
+    )
+    ts_path = store.term_stats_path(index_dir)
+    if os.path.exists(ts_path):
+        old = spark.read.parquet(ts_path)
+        merged = (
+            old.unionByName(new)
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf"))
+        )
+    else:
+        merged = new
+    tmp_path = ts_path + ".tmp"
+    merged.repartition(8, "term").sortWithinPartitions("term").write.mode("overwrite").parquet(tmp_path)
+    if os.path.exists(ts_path):
+        shutil.rmtree(ts_path)
+    os.replace(tmp_path, ts_path)
+    _write_folded_segs(index_dir, folded | set(todo))
 
 
 def merge_index(
@@ -299,7 +364,7 @@ def merge_index(
     # clear tombstones expunged by the merge (ids no longer in any segment)
     # and refresh collection stats — deletes stop counting after a merge,
     # exactly the reference's behavior
-    from .ops import _write_tombstones, read_tombstones, tombstones_path
+    from .ops import _write_tombstones, clear_tombstones, read_tombstones
 
     tomb = read_tombstones(index_dir)
     docs = spark.read.parquet(*store.docs_glob(index_dir))
@@ -310,7 +375,7 @@ def merge_index(
             if still:
                 _write_tombstones(index_dir, np.array(still, dtype=np.int64))
             else:
-                os.remove(tombstones_path(index_dir))
+                clear_tombstones(index_dir)
     meta = store.IndexMeta.load(index_dir)
     agg = docs.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
     meta.doc_count = int(agg["n"])

@@ -36,21 +36,78 @@ OPS_SEG_BASE = 1 << 16  # op-batch segments live above initial pids, below merge
 
 
 def tombstones_path(index_dir: str) -> str:
+    """Compact single-file tombstone set (rewritten whole on small batches
+    and after merges)."""
     return os.path.join(index_dir, "tombstones.parquet")
 
 
+def tombstones_dir(index_dir: str) -> str:
+    """Distributed-append tombstone batches: ``delete_by_query`` writes its
+    matching doc_ids here as Spark parquet output — no driver collect, so a
+    broad delete at 100 TB never funnels ids through one process. Readers
+    union this dir with the compact file; merges fold both back into the
+    compact file."""
+    return os.path.join(index_dir, "tombstones")
+
+
 def read_tombstones(index_dir: str) -> np.ndarray:
+    parts = []
     p = tombstones_path(index_dir)
-    if not os.path.exists(p):
+    if os.path.exists(p):
+        parts.append(pq.read_table(p)["doc_id"].to_numpy())
+    d = tombstones_dir(index_dir)
+    if os.path.isdir(d):
+        # pyarrow dataset read skips _temporary/_SUCCESS ('_'/'.' prefixes)
+        t = pq.read_table(d)
+        if t.num_rows:
+            parts.append(t["doc_id"].to_numpy())
+    if not parts:
         return np.zeros(0, dtype=np.int64)
-    return np.sort(pq.read_table(p)["doc_id"].to_numpy())
+    return np.unique(np.concatenate(parts))
 
 
 def _write_tombstones(index_dir: str, doc_ids: np.ndarray) -> None:
+    """REWRITE the full tombstone set as the compact file (clears any
+    distributed-append batches — callers pass the complete surviving set)."""
+    import shutil
+
     p = tombstones_path(index_dir)
     tmp = p + ".tmp"
     pq.write_table(pa.table({"doc_id": pa.array(np.unique(doc_ids), type=pa.int64())}), tmp)
     os.replace(tmp, p)
+    d = tombstones_dir(index_dir)
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+
+
+def clear_tombstones(index_dir: str) -> None:
+    import shutil
+
+    p = tombstones_path(index_dir)
+    if os.path.exists(p):
+        os.remove(p)
+    d = tombstones_dir(index_dir)
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+
+
+def append_tombstones(spark: SparkSession, index_dir: str, ids: DataFrame) -> int:
+    """Distributed tombstone append: write the matching ``doc_id`` column
+    straight from the executors into a new batch under ``tombstones/``.
+    Returns the number of NEW tombstones (ids not already dead)."""
+    existing = read_tombstones(index_dir)
+    ids = ids.select(F.col("doc_id").cast("long")).distinct()
+    if len(existing):
+        ex_df = spark.createDataFrame([(int(x),) for x in existing], "doc_id long")
+        ids = ids.join(F.broadcast(ex_df) if len(existing) < 100_000 else ex_df, "doc_id", "left_anti")
+    ids = ids.persist()
+    try:
+        n = ids.count()
+        if n:
+            ids.write.mode("append").parquet(tombstones_dir(index_dir))
+    finally:
+        ids.unpersist()
+    return int(n)
 
 
 def apply_ops(
@@ -110,18 +167,23 @@ def apply_ops(
         ).withColumn(
             "pid", (F.lit(base) + F.pmod(F.xxhash64("url"), F.lit(num_partitions))).cast("int")
         )
-        batch.groupBy("pid").applyInPandas(
+        metrics = batch.groupBy("pid").applyInPandas(
             segment_builder(index_dir, meta.analyzer), METRICS_SCHEMA
         ).collect()
+        new_segs = [int(r["pid"]) for r in metrics]
+    else:
+        new_segs = []
 
     if new_tombs:
         _write_tombstones(index_dir, np.r_[tomb, np.array(new_tombs, dtype=np.int64)])
 
     # stats/meta refresh: df/doc_count keep counting masked docs (reference
-    # semantics — cleaned up by merge), but must include the NEW docs
-    from .merge import rebuild_term_stats
+    # semantics — cleaned up by merge), but must include the NEW docs.
+    # Incremental fold of just the new segments — O(vocab + batch), not
+    # O(total index) per op batch.
+    from .merge import merge_term_stats
 
-    rebuild_term_stats(spark, index_dir)
+    merge_term_stats(spark, index_dir, new_segs)
     # doc_count/sum_dl from the LIVE segment docs tables (masked/tombstoned
     # docs still count until a merge expunges them — reference semantics),
     # not from build manifests: manifests of merged-away segments survive

@@ -380,6 +380,11 @@ def build_index(
         .write.mode("overwrite")
         .parquet(ts_path)
     )
+    # record which segments are folded into the stats table (the
+    # incremental merge_term_stats path consults this for idempotence)
+    from .merge import _write_folded_segs
+
+    _write_folded_segs(index_dir, set(store.list_segs(index_dir)))
     meta.save(index_dir)
     return {
         "doc_count": meta.doc_count,

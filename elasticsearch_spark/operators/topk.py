@@ -259,16 +259,27 @@ class IndexReader:
             "max_tf", "min_ql", "ids_bytes", "tf_bytes",
         ).persist()
         self.docs = spark.read.parquet(*store.docs_glob(index_dir)).persist()
-        # term stats are small (|vocab| rows of (term, df, cf)) — collected to
-        # a local dict once, the broadcast-stats analog of DfsPhase
-        ts = spark.read.parquet(store.term_stats_path(index_dir)).collect()
-        self._stats = {r["term"]: (int(r["df"]), int(r["cf"])) for r in ts}
+        # term stats: LAZY per-term lookup with a cache — at web scale the
+        # term dictionary is 10^8-10^9 rows, so the reader never collects
+        # the whole table; each query pulls only its own terms (term IN
+        # (...) pushes to the term-sorted parquet row groups), exactly the
+        # DfsPhase's per-query stats round-trip, and hot terms amortize to
+        # zero via the cache
+        self._stats_df = spark.read.parquet(store.term_stats_path(index_dir))
+        self._stats: dict[str, tuple[int, int] | None] = {}
 
     def term_weights(self, terms: list[str]) -> dict[str, tuple[float, int]]:
+        missing = [t for t in terms if t not in self._stats]
+        if missing:
+            rows = self._stats_df.where(F.col("term").isin(missing)).collect()
+            found = {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+            for t in missing:
+                self._stats[t] = found.get(t)  # None = zero-df, cached too
         out = {}
         for t in terms:
-            if t in self._stats:
-                df = self._stats[t][0]
+            st = self._stats.get(t)
+            if st is not None:
+                df = st[0]
                 w = float(bm25.idf(np.float64(df), self.meta.doc_count) * (self.meta.k1 + 1.0))
                 out[t] = (w, df)
         return out

@@ -299,6 +299,29 @@ class MatchPhraseQ(Node):
 
 
 @dataclass
+class MatchPhrasePrefixQ(Node):
+    """match_phrase_prefix (MatchPhrasePrefixQueryBuilder.java): the fixed
+    terms must be position-adjacent and the LAST analyzed token matches as
+    a PREFIX of the following token (the autocomplete-on-phrase query).
+    Positional semantics over the token stream (not bool_prefix)."""
+
+    fld: str
+    query: str = ""
+    boost: float = 1.0
+
+    def predicate(self, ctx):
+        import re as _re
+
+        terms = ctx.analyze(self.query)
+        if not terms:
+            return F.lit(False)
+        *fixed, prefix = terms
+        pat = " " + "".join(_re.escape(t) + " " for t in fixed) + _re.escape(prefix) + "[^ ]*"
+        stream = F.concat(F.lit(" "), F.array_join(ctx.toks_col(), " "), F.lit(" "))
+        return stream.rlike(pat)
+
+
+@dataclass
 class MultiMatchQ(Node):
     """multi_match (MultiMatchQueryBuilder.java): best_fields = dis_max of
     per-field matches, most_fields = sum."""
@@ -729,6 +752,21 @@ class FunctionScoreQ(Node):
             else:
                 s = scale / (1.0 - decay)
                 v = F.greatest((s - d) / s, F.lit(0.0))
+        elif "random_score" in spec:
+            # RandomScoreFunctionBuilder.java: deterministic per-doc
+            # pseudo-random in [0,1) from hash(seed, doc key) — same
+            # reproducibility contract as ES's seeded random_score
+            rs = spec["random_score"] or {}
+            seed = int(rs.get("seed", 0))
+            fld_c = F.col(rs.get("field", ctx.key))
+            h = F.xxhash64(F.lit(seed), fld_c)
+            v = F.pmod(h, F.lit(1 << 31)).cast("double") / float(1 << 31)
+        elif "script_score" in spec:
+            # ScriptScoreFunctionBuilder.java: SQL-expression Painless
+            # analog over doc fields + `_score` (the query score column)
+            sc = spec["script_score"]
+            src = sc["script"]["source"] if isinstance(sc.get("script"), dict) else sc["script"]
+            v = F.expr(src).cast("double")
         else:
             raise ValueError(f"unsupported function_score function: {spec}")
         if "weight" in spec and not set(spec) <= {"weight", "filter"}:
@@ -891,6 +929,9 @@ def parse(q: dict) -> Node:
     if kind == "match_phrase":
         (fld, spec), = body.items()
         return MatchPhraseQ(fld, query=spec["query"] if isinstance(spec, dict) else spec)
+    if kind == "match_phrase_prefix":
+        (fld, spec), = body.items()
+        return MatchPhrasePrefixQ(fld, query=spec["query"] if isinstance(spec, dict) else spec)
     if kind == "multi_match":
         return MultiMatchQ(
             flds=body["fields"], query=body["query"],
@@ -1063,11 +1104,14 @@ def search(
             pred = pred | (eq & strict)
         fetched = fetched.where(pred)
 
-    out = fetched.orderBy(*order).limit(from_ + size)
+    # from/size pagination stays IN-PLAN (no driver collect): ordered
+    # offset+limit compiles to a single coordinator-side window — the
+    # from+size ≤ 10k ES window bound keeps it tiny
+    out = fetched.orderBy(*order)
+    if from_:
+        out = out.offset(from_)
+    out = out.limit(size)
     if "_source" in body:
         keep = [key, "_score"] + [c for c in body["_source"] if c in df.columns]
         out = out.select(*dict.fromkeys(keep))
-    if from_:
-        rows = out.collect()[from_:]
-        return spark.createDataFrame(rows, out.schema)
     return out

@@ -38,14 +38,23 @@ from ..operators.postings import METRICS_SCHEMA, segment_builder
 from ..sources import index_store as store
 
 
-def _rebuild_meta_and_stats(spark: SparkSession, index_dir: str, analyzer: str, num_partitions: int) -> None:
+def _update_meta_and_stats(
+    spark: SparkSession, index_dir: str, analyzer: str, num_partitions: int,
+    new_segs: list[int],
+) -> None:
+    """Per-batch commit: INCREMENTAL term-stats fold of just this batch's
+    segments (merge_term_stats is O(|vocab| + |batch|), independent of
+    index size — a full rebuild per batch would be O(n²) over a long
+    stream) + meta counts from the build manifests (cheap JSON listing)."""
     manifests = [m for m in store.all_manifests(index_dir) if "pid" in m]
+    dead = store.merged_away_segs(index_dir)
+    live = [m for m in manifests if m["pid"] not in dead]
     meta = store.IndexMeta(analyzer=analyzer, num_partitions=num_partitions)
-    meta.doc_count = sum(m["n_docs"] for m in manifests)
-    meta.sum_dl = sum(m["sum_dl"] for m in manifests)
-    from ..operators.merge import rebuild_term_stats
+    meta.doc_count = sum(m["n_docs"] for m in live)
+    meta.sum_dl = sum(m["sum_dl"] for m in live)
+    from ..operators.merge import merge_term_stats
 
-    rebuild_term_stats(spark, index_dir)
+    merge_term_stats(spark, index_dir, new_segs)
     meta.save(index_dir)
 
 
@@ -73,10 +82,13 @@ def start_indexing_stream(
                 + F.pmod(F.xxhash64("url"), F.lit(num_partitions))
             ).cast("int"),
         )
-        routed.groupBy("pid").applyInPandas(
+        metrics = routed.groupBy("pid").applyInPandas(
             segment_builder(index_dir, analyzer), METRICS_SCHEMA
         ).collect()
-        _rebuild_meta_and_stats(spark, index_dir, analyzer, num_partitions)
+        _update_meta_and_stats(
+            spark, index_dir, analyzer, num_partitions,
+            new_segs=[int(r["pid"]) for r in metrics],
+        )
 
     writer = (
         pages_stream.writeStream.foreachBatch(process_batch)

@@ -41,6 +41,62 @@ def test_match_bool_prefix(spark, corpus):
     assert got == {1, 2, 3, 5}
 
 
+def test_match_phrase_prefix_positional(spark, corpus):
+    # 'quick' must be immediately followed by a token starting with 'f':
+    # doc 1 'quick brown fox' → no (brown between); doc 2 'quick slow fox'
+    # → no; nothing matches
+    out = run(spark, corpus, {"match_phrase_prefix": {"text": "quick f"}})
+    assert out.count() == 0
+    # 'brown f' → doc 1 ('brown fox' adjacent)
+    out = run(spark, corpus, {"match_phrase_prefix": {"text": "brown f"}})
+    assert {r["doc_id"] for r in out.collect()} == {1}
+    # single prefix token: 'qui' → quick/quince docs (1, 2, 5)
+    out = run(spark, corpus, {"match_phrase_prefix": {"text": "qui"}})
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 5}
+
+
+def test_function_score_random_and_script(spark, corpus):
+    # random_score: deterministic for a fixed seed, in [0,1)
+    body = {"function_score": {"query": {"match_all": {}}, "functions": [
+        {"random_score": {"seed": 42, "field": "doc_id"}}], "boost_mode": "replace"}}
+    a = {r["doc_id"]: r["_score"] for r in run(spark, corpus, body).collect()}
+    b = {r["doc_id"]: r["_score"] for r in run(spark, corpus, body).collect()}
+    assert a == b and all(0.0 <= v < 1.0 for v in a.values())
+    # different seed → different values
+    body2 = {"function_score": {"query": {"match_all": {}}, "functions": [
+        {"random_score": {"seed": 7, "field": "doc_id"}}], "boost_mode": "replace"}}
+    c = {r["doc_id"]: r["_score"] for r in run(spark, corpus, body2).collect()}
+    assert a != c
+    # script_score: SQL expression over fields
+    out = run(spark, corpus, {"function_score": {"query": {"match_all": {}}, "functions": [
+        {"script_score": {"script": {"source": "n * 2.0"}}}], "boost_mode": "replace"}})
+    s = {r["doc_id"]: r["_score"] for r in out.collect()}
+    assert s[3] == 60.0 and s[5] == 100.0
+
+
+def test_function_score_weight_combines_with_function(spark, corpus):
+    """weight alongside a scoring function multiplies it (the two-key spec
+    used to silently drop the function)."""
+    out = run(spark, corpus, {"function_score": {"query": {"match_all": {}}, "functions": [
+        {"field_value_factor": {"field": "n", "factor": 1.0}, "weight": 0.5}],
+        "boost_mode": "replace"}})
+    s = {r["doc_id"]: r["_score"] for r in out.collect()}
+    assert s[3] == 15.0 and s[1] == 5.0  # n * 0.5, NOT bare weight
+    # weight + gauss decay also combines
+    out2 = run(spark, corpus, {"function_score": {"query": {"match_all": {}}, "functions": [
+        {"gauss": {"n": {"origin": 30, "scale": 20}}, "weight": 2.0}], "boost_mode": "replace"}})
+    s2 = {r["doc_id"]: r["_score"] for r in out2.collect()}
+    assert s2[3] == pytest.approx(2.0)  # at origin: decay 1.0 × weight 2
+
+
+def test_pagination_from_offset(spark, corpus):
+    full = [r["doc_id"] for r in run(spark, corpus, {"match_all": {}}, sort=[{"n": "asc"}]).collect()]
+    page = [r["doc_id"] for r in dsl.search(
+        spark, corpus, {"query": {"match_all": {}}, "sort": [{"n": "asc"}], "from": 2, "size": 2}
+    ).collect()]
+    assert page == full[2:4]
+
+
 def test_combined_fields_merges_tf(spark, corpus):
     out = run(spark, corpus, {"combined_fields": {"query": "dog", "fields": ["text", "title"]}})
     got = [r["doc_id"] for r in out.collect()]

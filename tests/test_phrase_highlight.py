@@ -89,6 +89,33 @@ def test_phrase_after_merge_keeps_positions(spark, phrase_index):
     assert after == before == {"u1", "u3"}
 
 
+def test_phrase_prefix_positional(spark, phrase_index):
+    """match_phrase_prefix: fixed terms adjacent, last token expanded as a
+    prefix against the term dictionary (positional semantics, not
+    bool_prefix)."""
+    from elasticsearch_spark.operators.phrase import search_phrase_prefix
+
+    # 'quick b' → 'quick brown' (u1, u3); u4 'quick stuff then brown' has
+    # no adjacency; u2 is out of order
+    got = {r["url"] for r in search_phrase_prefix(spark, phrase_index, "quick b").collect()}
+    assert got == {"u1", "u3"}
+    # slop lets u4's 'quick stuff then brown' match (2 tokens between)
+    got = {r["url"] for r in search_phrase_prefix(spark, phrase_index, "quick b", slop=2).collect()}
+    assert got == {"u1", "u3", "u4"}
+    # single prefix token degenerates to prefix match
+    got = {r["url"] for r in search_phrase_prefix(spark, phrase_index, "jum").collect()}
+    assert got == {"u1"}
+    # max_expansions caps the expansion set deterministically (term order)
+    got = {r["url"] for r in search_phrase_prefix(spark, phrase_index, "quick b", max_expansions=1).collect()}
+    assert got == {"u1", "u3"}  # only expansion 'brown' (term order)
+
+
+def test_phrase_prefix_no_expansions(spark, phrase_index):
+    from elasticsearch_spark.operators.phrase import search_phrase_prefix
+
+    assert search_phrase_prefix(spark, phrase_index, "quick zzz").count() == 0
+
+
 def test_intervals_ordered_and_unordered(spark, phrase_index):
     from elasticsearch_spark.operators.phrase import search_intervals
 

@@ -66,6 +66,37 @@ def test_stream_restart_is_exactly_once(spark, stream_dirs):
     assert store.IndexMeta.load(idx).doc_count == before
 
 
+def test_incremental_stats_match_full_rebuild(spark, stream_dirs):
+    """Per-batch stats are folded INCREMENTALLY (merge_term_stats over just
+    the new segments): the folded table must equal a full rebuild, and
+    re-folding already-folded segments (micro-batch replay) is a no-op."""
+    import os
+
+    from elasticsearch_spark.operators.merge import (
+        _read_folded_segs,
+        merge_term_stats,
+        rebuild_term_stats,
+    )
+
+    idx = f"{STREAM_DIR}/index"
+    # the streaming fixture folded every segment incrementally
+    assert _read_folded_segs(idx) == set(store.list_segs(idx))
+    inc = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(store.term_stats_path(idx)).collect()
+    }
+    rebuild_term_stats(spark, idx)
+    full = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(store.term_stats_path(idx)).collect()
+    }
+    assert inc == full
+    # replay idempotence: folding the same segments again changes nothing
+    mtime = os.path.getmtime(store.term_stats_path(idx))
+    merge_term_stats(spark, idx, store.list_segs(idx))
+    assert os.path.getmtime(store.term_stats_path(idx)) == mtime
+
+
 def test_windowed_event_counts_plan(spark):
     """The watermarked windowed agg compiles and produces correct results
     when run over a bounded frame (batch semantics of the same plan)."""
