@@ -33,9 +33,13 @@ SEED = 42
 
 
 def _perm_params(n_perm: int, seed: int = SEED) -> tuple[np.ndarray, np.ndarray]:
+    """Permutation-hash coefficients sized so (a*h + b) NEVER overflows
+    uint64 with a 32-bit shingle universe: a < 2^31, h < 2^32 → a*h < 2^63;
+    + b < 2^61 stays < 2^64. Pure native-width numpy — no Python-object
+    bigint math in the per-doc hot loop."""
     rng = np.random.Generator(np.random.Philox(key=[seed, 7]))
-    a = rng.integers(1, MERSENNE, size=n_perm, dtype=np.int64)
-    b = rng.integers(0, MERSENNE, size=n_perm, dtype=np.int64)
+    a = rng.integers(1, 1 << 31, size=n_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE, size=n_perm, dtype=np.uint64)
     return a, b
 
 
@@ -56,25 +60,42 @@ def shingle_df(df: DataFrame, key: str, toks_col: str, k: int = 3) -> DataFrame:
     )
 
 
-def minhash_signatures(shingles: DataFrame, n_perm: int = 128) -> DataFrame:
+def minhash_signatures(
+    shingles: DataFrame, n_perm: int = 128, max_shingles_per_doc: int = 8192
+) -> DataFrame:
     """(key, shingle-hash) → (key, signature array<long>[n_perm]).
 
-    The permutation minima are computed in one vectorized numpy pass per
-    Arrow batch (perms × shingles matrix per doc, no per-row Python)."""
+    Pure-uint64 numpy kernel: shingle hashes are folded to a 32-bit
+    universe (the exact-Jaccard VERIFY stays 64-bit; the sketch only
+    drives candidate recall, where a ~2^-32 collision rate is noise), so
+    (a*h + b) % p runs natively — no Python-object bigint math.
+
+    Pathological giant docs are capped at ``max_shingles_per_doc``
+    (deterministic bottom-k by hash value — a content-only sketch), so no
+    per-doc collect_list ever materializes a multi-MB array."""
     a, b = _perm_params(n_perm)
+    p = np.uint64(MERSENNE)
+    mask32 = np.uint64(0xFFFFFFFF)
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(sh_list: pd.Series) -> pd.Series:
         out = []
         for arr in sh_list:
-            h = np.asarray(arr, dtype=np.int64).astype(object)  # exact modmul
-            # (a*h + b) mod p with Python ints to avoid 64-bit overflow UB:
-            # do it in two float-free steps via numpy object math
-            vals = (a.astype(object)[:, None] * h[None, :] + b.astype(object)[:, None]) % MERSENNE
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64) & mask32
+            vals = (a[:, None] * h[None, :] + b[:, None]) % p
             out.append(np.min(vals, axis=1).astype(np.int64))
         return pd.Series(out)
 
-    grouped = shingles.groupBy("__key").agg(F.collect_list("sh").alias("shs"))
+    from pyspark.sql import Window
+
+    capped = (
+        shingles.withColumn(
+            "__rk", F.row_number().over(Window.partitionBy("__key").orderBy("sh"))
+        )
+        .where(F.col("__rk") <= max_shingles_per_doc)
+        .drop("__rk")
+    )
+    grouped = capped.groupBy("__key").agg(F.collect_list("sh").alias("shs"))
     return grouped.select("__key", sig_udf("shs").alias("sig"))
 
 

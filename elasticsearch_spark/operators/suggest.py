@@ -70,6 +70,82 @@ def term_suggest(
     )
 
 
+def build_completion_index(
+    spark: SparkSession,
+    index_dir: str,
+    suggestions: DataFrame,
+    input_col: str = "suggestion",
+    weight_col: str | None = None,
+) -> None:
+    """Materialize a completion-suggester table (the ``completion`` field
+    mapping, ``server/.../search/suggest/completion/CompletionFieldMapper
+    .java``): (suggestion, weight) sorted by suggestion so a prefix probe
+    is a range scan over parquet row-group stats — the FST-prefix-walk
+    analog. weight defaults to 1 (ES's default when no weight supplied)."""
+    import os
+
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    out = (
+        suggestions.select(F.col(input_col).alias("suggestion"), w.alias("weight"))
+        .groupBy("suggestion")
+        .agg(F.max("weight").alias("weight"))
+        .repartition(1)
+        .sortWithinPartitions("suggestion")
+    )
+    path = os.path.join(index_dir, "completion")
+    out.write.mode("overwrite").parquet(path)
+
+
+def completion_suggest(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    size: int = 5,
+    fuzziness: int = 0,
+) -> DataFrame:
+    """Completion suggester (``server/.../search/suggest/completion/
+    CompletionSuggestionBuilder.java:46``): search-as-you-type prefix →
+    top-``size`` suggestions by (weight DESC, suggestion ASC — the
+    reference's sortedWeight comparator with a deterministic tie-break).
+
+    Source table: the dedicated completion table when built
+    (``build_completion_index``), else the live TERM DICTIONARY with df as
+    the weight (the stats table doubles as the suggestion FST, the same
+    reuse as the term suggester).
+
+    Exact prefix (default) compiles to a RANGE predicate on the
+    suggestion-sorted parquet — row-group pruning makes the probe
+    O(matching range), the scan analog of an FST prefix walk. fuzziness>0
+    (FuzzyOptions, Levenshtein over the typed prefix) relaxes the probe to
+    an edit-distance filter on the prefix-length head of each entry; the
+    first character must still match (ES's default
+    ``prefix_length=1``-style transposition guard), preserving a 1-char
+    range prune."""
+    import os
+
+    comp_path = os.path.join(index_dir, "completion")
+    if os.path.isdir(comp_path):
+        src = spark.read.parquet(comp_path)
+    else:
+        src = (
+            spark.read.parquet(store.term_stats_path(index_dir))
+            .select(F.col("term").alias("suggestion"), F.col("df").cast("long").alias("weight"))
+        )
+    if fuzziness <= 0:
+        hit = src.where(F.col("suggestion").startswith(prefix))
+    else:
+        head = F.substring("suggestion", 1, len(prefix))
+        hit = src.where(
+            F.col("suggestion").startswith(prefix[:1])
+            & (F.levenshtein(head, F.lit(prefix)) <= fuzziness)
+        )
+    return (
+        hit.orderBy(F.desc("weight"), F.asc("suggestion"))
+        .limit(size)
+        .select("suggestion", "weight")
+    )
+
+
 def phrase_suggest(
     spark: SparkSession, index_dir: str, text: str, max_edits: int = 2
 ) -> str:

@@ -67,8 +67,30 @@ def _metric_cols(name: str, spec: dict) -> list:
         return [F.approx_count_distinct(c, 0.01).alias(name)]
     if kind == "percentiles":
         pcts = body.get("percents", [1, 5, 25, 50, 75, 95, 99])
+        # approximate mode (the reference's TDigestState sketch,
+        # ``server/.../metrics/TDigestState.java:22-28``): Spark's
+        # approx_percentile (Greenwald-Khanna) stands in — same
+        # mergeable-sketch contract, different error model (rank-error
+        # bound vs t-digest's quantile-edge compression); accuracy maps
+        # from t-digest compression. Exact mode is the oracle-checked
+        # default.
+        td = body.get("tdigest") or {}
+        if body.get("approximate") or "compression" in td:
+            acc = int(td.get("compression", 100)) * 100
+            return [
+                F.expr(f"approx_percentile({f}, {p / 100.0}, {acc})").alias(f"{name}.{p}")
+                for p in pcts
+            ]
         return [
             F.expr(f"percentile({f}, {p / 100.0})").alias(f"{name}.{p}") for p in pcts
+        ]
+    if kind == "percentile_ranks":
+        # PercentileRanksAggregationBuilder.java: for each given value v,
+        # the percentage of observed values ≤ v
+        vals = body["values"]
+        return [
+            (100.0 * F.avg((F.col(f) <= F.lit(v)).cast("double"))).alias(f"{name}.{v}")
+            for v in vals
         ]
     if kind == "median_absolute_deviation":
         # needs a first pass for the median — top-level only (compile_agg)
@@ -116,7 +138,7 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
     (kind, body), = body_spec.items()
 
     if kind in ("avg", "sum", "min", "max", "value_count", "stats", "extended_stats",
-                "cardinality", "percentiles", "weighted_avg"):
+                "cardinality", "percentiles", "percentile_ranks", "weighted_avg"):
         return df.agg(*_metric_cols(name, body_spec))
 
     if kind == "median_absolute_deviation":
@@ -166,6 +188,114 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         return _apply_metric_subaggs(
             ex.groupBy(F.col("__r.key").alias("key")), sub
         ).orderBy("key")
+
+    if kind == "date_range":
+        # DateRangeAggregationBuilder.java: ranges of timestamps; from
+        # inclusive, to exclusive; bucket key defaults to "from-to"
+        f = body["field"]
+        rs = []
+        for r in body["ranges"]:
+            lo = r.get("from")
+            hi = r.get("to")
+            label = r.get("key", f"{lo or '*'}-{hi or '*'}")
+            rs.append((label, lo, hi))
+        ranges = F.array(*[
+            F.struct(
+                F.lit(k).alias("key"),
+                (F.lit(lo).cast("timestamp") if lo else F.lit(None).cast("timestamp")).alias("lo"),
+                (F.lit(hi).cast("timestamp") if hi else F.lit(None).cast("timestamp")).alias("hi"),
+            )
+            for k, lo, hi in rs
+        ])
+        ex = df.withColumn("__r", F.explode(ranges)).where(
+            (F.col("__r.lo").isNull() | (F.col(f) >= F.col("__r.lo")))
+            & (F.col("__r.hi").isNull() | (F.col(f) < F.col("__r.hi")))
+        )
+        return _apply_metric_subaggs(
+            ex.groupBy(F.col("__r.key").alias("key")), sub
+        ).orderBy("key")
+
+    if kind == "ip_range":
+        # IpRangeAggregationBuilder.java: from/to IPs or CIDR masks over an
+        # IPv4 string column, numerically compared (v4 subset; the
+        # reference widens v4 into the v6 16-byte space)
+        f = body["field"]
+
+        def ip_num_expr(col_expr: str):
+            return F.expr(
+                f"aggregate(transform(split({col_expr}, '\\\\.'),"
+                " x -> cast(x as bigint)), 0L, (acc, x) -> acc * 256 + x)"
+            )
+
+        def ip_to_long(s: str) -> int:
+            a, b, c, d = (int(x) for x in s.split("."))
+            return (a << 24) | (b << 16) | (c << 8) | d
+
+        rs = []
+        for r in body["ranges"]:
+            if "mask" in r:
+                base, bits = r["mask"].split("/")
+                lo = ip_to_long(base) & (~((1 << (32 - int(bits))) - 1) & 0xFFFFFFFF)
+                hi = lo + (1 << (32 - int(bits)))
+                label = r.get("key", r["mask"])
+            else:
+                lo = ip_to_long(r["from"]) if "from" in r else None
+                hi = ip_to_long(r["to"]) if "to" in r else None
+                label = r.get("key", f"{r.get('from', '*')}-{r.get('to', '*')}")
+            rs.append((label, lo, hi))
+        ranges = F.array(*[
+            F.struct(
+                F.lit(k).alias("key"),
+                F.lit(lo).cast("long").alias("lo"),
+                F.lit(hi).cast("long").alias("hi"),
+            )
+            for k, lo, hi in rs
+        ])
+        ex = (
+            df.withColumn("__ip", ip_num_expr(f))
+            .withColumn("__r", F.explode(ranges))
+            .where(
+                (F.col("__r.lo").isNull() | (F.col("__ip") >= F.col("__r.lo")))
+                & (F.col("__r.hi").isNull() | (F.col("__ip") < F.col("__r.hi")))
+            )
+        )
+        return _apply_metric_subaggs(
+            ex.groupBy(F.col("__r.key").alias("key")), sub
+        ).orderBy("key")
+
+    if kind == "significant_text":
+        # SignificantTextAggregationBuilder.java: significant_terms over the
+        # ANALYZED token stream of a free-text field — per-token fg/bg DOC
+        # frequencies (distinct per doc), JLH score, top-N
+        f = body["field"]
+        bg_df = body.get("_background_df")
+        bg_df = bg_df if bg_df is not None else df
+        tok = body.get("_token_expr", f"regexp_extract_all(lower({f}), '[a-z0-9]+', 0)")
+        size = body.get("size", 10)
+        min_doc = body.get("min_doc_count", 3)
+
+        def tokens(frame: DataFrame) -> DataFrame:
+            return frame.select(
+                F.explode(F.array_distinct(F.expr(tok))).alias("key")
+            )
+
+        fg_counts = tokens(df).groupBy("key").agg(F.count("*").cast("double").alias("fg_count"))
+        bg_counts = tokens(bg_df).groupBy("key").agg(F.count("*").cast("double").alias("bg_count"))
+        fg_tot = df.count()
+        bg_tot = bg_df.count()
+        return (
+            fg_counts.join(bg_counts, "key")
+            .where(F.col("fg_count") >= min_doc)
+            .withColumn("fg_pct", F.col("fg_count") / float(fg_tot))
+            .withColumn("bg_pct", F.col("bg_count") / float(bg_tot))
+            .withColumn("score", (F.col("fg_pct") - F.col("bg_pct")) * F.col("fg_pct") / F.col("bg_pct"))
+            .where(F.col("score") > 0)
+            .select("key", F.col("fg_count").cast("long").alias("doc_count"),
+                    F.col("bg_count").cast("long").alias("bg_count"),
+                    F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("key"))
+            .limit(size)
+        )
 
     if kind == "top_hits":
         raise ValueError("top_hits must be nested under a bucket agg")
@@ -274,12 +404,47 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
 
     if kind == "nested":
         path = body["path"]
-        child = df.select("*", F.explode(path).alias("__child")).select("__child.*")
+        parent_key = df.columns[0]
+        ex = df.select("*", F.explode(path).alias("__child"))
+        child_cols = ex.select("__child.*").columns
+        # flat view: child struct fields promoted to top level (child scope
+        # wins a name clash, as inside the reference's nested context),
+        # parent columns retained for reverse_nested
+        flat = ex.select(
+            *[F.col(c) for c in df.columns if c not in child_cols],
+            *[F.col(f"__child.{c}").alias(c) for c in child_cols],
+        )
+
+        def strip(fname: str) -> str:
+            return fname.split(".", 1)[1] if fname.startswith(path + ".") else fname
+
+        # bucket-with-reverse_nested shape: one child bucket agg whose
+        # sub-aggs include reverse_nested {} (InternalReverseNested.java) —
+        # parent-scope metrics computed over DISTINCT parents per bucket
+        if sub and len(sub) == 1:
+            (sname, sspec), = sub.items()
+            (skind, sbody), = ((k, v) for k, v in sspec.items() if k != "aggs")
+            ssub = sspec.get("aggs", {})
+            rn = {n: s for n, s in ssub.items() if "reverse_nested" in s}
+            if skind == "terms" and rn:
+                child_sub = {n: s for n, s in ssub.items() if n not in rn}
+                key_col = F.col(strip(sbody["field"])).alias("key")
+                grouped = _apply_metric_subaggs(flat.groupBy(key_col), child_sub)
+                keyed = flat.withColumn("key", F.col(strip(sbody["field"])))
+                for rn_name, rn_spec in rn.items():
+                    parents = keyed.dropDuplicates(["key", parent_key])
+                    rn_cols = [F.count("*").alias(f"{rn_name}.doc_count")]
+                    for mn, ms in (rn_spec.get("aggs") or {}).items():
+                        rn_cols.extend(_metric_cols(mn, ms))
+                    grouped = grouped.join(parents.groupBy("key").agg(*rn_cols), "key")
+                size = sbody.get("size", 10)
+                return grouped.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
+
         out = None
         for sname, sspec in (sub or {}).items():
-            frame = compile_agg(child, sname, sspec)
+            frame = compile_agg(flat, sname, sspec)
             out = frame if out is None else out
-        return out if out is not None else child.agg(F.count("*").alias("doc_count"))
+        return out if out is not None else flat.agg(F.count("*").alias("doc_count"))
 
     # ---- keyed bucket sources (terms/histogram/date_histogram/missing) ----
     key_col, (bkind, bbody) = _bucket_col(body_spec)

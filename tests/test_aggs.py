@@ -187,6 +187,97 @@ def test_nested_agg(spark):
     assert got["ann"]["doc_count"] == 2 and got["ann"]["avg_stars"] == 3.0
 
 
+def test_percentile_ranks(spark, frame):
+    out = aggs.aggregate(frame, {"pr": {"percentile_ranks": {"field": "v", "values": [29.5, 59.0]}}})["pr"]
+    row = out.collect()[0]
+    assert row["pr.29.5"] == pytest.approx(50.0)  # 30 of 60 values ≤ 29.5
+    assert row["pr.59.0"] == pytest.approx(100.0)
+
+
+def test_percentiles_approximate_mode(spark, frame):
+    out = aggs.aggregate(frame, {"p": {"percentiles": {
+        "field": "v", "percents": [50], "tdigest": {"compression": 100}}}})["p"]
+    assert out.collect()[0]["p.50"] == pytest.approx(29.5, abs=1.0)
+
+
+def test_date_range_agg(spark, frame):
+    out = aggs.aggregate(frame, {"dr": {"date_range": {"field": "ts", "ranges": [
+        {"to": "2024-01-03", "key": "early"},
+        {"from": "2024-01-03", "key": "late"},
+    ]}}})["dr"]
+    got = rowmap(out)
+    # days 1,2 → 24 docs (i%5 in {0,1}); days 3,4,5 → 36
+    assert got["early"]["doc_count"] == 24 and got["late"]["doc_count"] == 36
+
+
+def test_ip_range_agg(spark, frame):
+    df = frame.withColumn("ip", F.format_string("10.0.%d.%d", F.col("id") % 2, F.col("id")))
+    out = aggs.aggregate(df, {"ips": {"ip_range": {"field": "ip", "ranges": [
+        {"mask": "10.0.0.0/24", "key": "even"},
+        {"from": "10.0.1.0", "to": "10.0.2.0", "key": "odd"},
+    ]}}})["ips"]
+    got = rowmap(out)
+    assert got["even"]["doc_count"] == 30 and got["odd"]["doc_count"] == 30
+
+
+def test_significant_text(spark, frame):
+    txt = frame.withColumn(
+        "body",
+        F.when(F.col("cat") == "a", F.lit("quantum flux and common words"))
+        .otherwise(F.lit("plain common words here")),
+    )
+    fg = txt.where(F.col("cat") == "a")
+    out = aggs.compile_agg(fg, "st", {"significant_text": {
+        "field": "body", "_background_df": txt, "size": 3, "min_doc_count": 2}})
+    keys = [r["key"] for r in out.collect()]
+    assert "quantum" in keys and "flux" in keys
+    assert "common" not in keys  # equally frequent in bg → no lift
+
+
+def test_reverse_nested(spark):
+    rows = [
+        (1, 100.0, [{"who": "ann", "stars": 5}, {"who": "bob", "stars": 3}, {"who": "ann", "stars": 1}]),
+        (2, 50.0, [{"who": "ann", "stars": 1}]),
+        (3, 10.0, [{"who": "bob", "stars": 4}]),
+    ]
+    df = spark.createDataFrame(rows, "id long, price double, comments array<struct<who:string, stars:int>>")
+    out = aggs.aggregate(df, {"n": {"nested": {"path": "comments"}, "aggs": {
+        "by_who": {"terms": {"field": "who"}, "aggs": {
+            "avg_stars": {"avg": {"field": "stars"}},
+            "back": {"reverse_nested": {}, "aggs": {"avg_price": {"avg": {"field": "price"}}}},
+        }}}}})["n"]
+    got = rowmap(out)
+    # ann: 3 comments across parents 1,2 → rn doc_count 2, avg price 75
+    assert got["ann"]["doc_count"] == 3
+    assert got["ann"]["back.doc_count"] == 2
+    assert got["ann"]["avg_price"] == pytest.approx(75.0)
+    # bob: comments in parents 1,3
+    assert got["bob"]["back.doc_count"] == 2
+    assert got["bob"]["avg_price"] == pytest.approx(55.0)
+    assert got["bob"]["avg_stars"] == pytest.approx(3.5)
+
+
+def test_completion_suggester(spark, tmp_path):
+    from elasticsearch_spark.operators.suggest import (
+        build_completion_index,
+        completion_suggest,
+    )
+
+    idx = str(tmp_path / "cidx")
+    sugg = spark.createDataFrame(
+        [("spark sql", 10), ("spark streaming", 7), ("spark core", 7),
+         ("sparse vectors", 3), ("postgres", 1)],
+        "suggestion string, weight int",
+    )
+    build_completion_index(spark, idx, sugg, weight_col="weight")
+    got = [(r["suggestion"], r["weight"]) for r in completion_suggest(spark, idx, "spark", size=3).collect()]
+    # weight DESC, suggestion ASC tie-break
+    assert got == [("spark sql", 10), ("spark core", 7), ("spark streaming", 7)]
+    # fuzzy prefix: 'spakr' (transposition) still reaches spark* entries
+    fz = {r["suggestion"] for r in completion_suggest(spark, idx, "spakr", size=5, fuzziness=2).collect()}
+    assert "spark sql" in fz and "postgres" not in fz
+
+
 def test_scripted_metric(spark, frame):
     out = aggs.aggregate(frame, {"sm": {"scripted_metric": {
         "map_script": "CASE WHEN cat = 'a' THEN v * 2 ELSE 0 END",
