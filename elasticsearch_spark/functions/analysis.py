@@ -16,12 +16,17 @@ UAX#29 coverage (documented approximation):
   (, . ') join digit runs (WB11/12) — so ``don't``, ``3.14``, ``1,000``,
   ``example.com``, ``foo:bar`` are single tokens, matching Lucene;
 - ExtendNumLet ``_`` glues clusters (WB13a/b): ``foo_bar`` is one token;
+- combining marks (Mn/Mc/Me — UAX#29 Extend, WB4) join the preceding
+  letter/digit, so Devanagari/Hebrew/Arabic/Tamil words with matras,
+  niqqud, harakat, or viramas tokenize whole;
 - Han + Hiragana emit one token per ideograph, Katakana/Hangul as runs
   (matching StandardTokenizer's IDEOGRAPHIC/HIRAGANA/KATAKANA/HANGUL types);
 - tokens longer than 255 chars are split at the 255 boundary.
-Known divergences from ICU-exact UAX#29 (combining marks mid-word,
-regional indicators, Turkish dotted-I lowercasing) are accepted and
-pinned by golden tests generated from THIS implementation.
+Remaining divergences from ICU-exact UAX#29 (regional indicators,
+Turkish dotted-I lowercasing, WB7a-c Hebrew single-quote rules) are
+documented; conformance is pinned by a SPEC-DERIVED adversarial golden
+set (tests/goldens/uax29_spec_goldens.json — expected tokens hand-derived
+from the UAX#29 rules, NOT from this implementation).
 
 The ``regex_simple`` analyzer (``[a-z0-9]+`` over lowercased text) exists so
 query results can be mirrored exactly in ANSI SQL
@@ -51,19 +56,48 @@ _KATA = "ァ-ヺー-ヿㇰ-ㇿｦ-ﾝ"
 _HANGUL = "가-힣ᄀ-ᇿ㄰-㆏"
 _CJK = _HAN + _HIRA + _KATA + _HANGUL
 
-# letters excluding CJK classes handled separately; digits = Unicode Nd
-_L = rf"(?:(?![{_CJK}])[^\W\d_])"
-_D = r"\d"
-# MidLetter ∪ MidNumLet (joins letter runs): ' ’ ‘ . · ‧ : ״
+def _mark_char_class() -> str:
+    """Regex character-class ranges for Unicode marks (categories Mn/Mc/Me
+    — UAX#29 'Extend'). Python ``re`` has no ``\\p{M}``, so the class is
+    generated once from unicodedata (the same data the JVM's \\p{M}
+    reads). WB4: Extend characters never break a word — a combining mark
+    glues to whatever precedes it, so Devanagari/Hebrew/Tamil words with
+    matras, niqqud, or viramas stay ONE token (they used to split at
+    every mark)."""
+    import unicodedata
+
+    ranges: list[tuple[int, int]] = []
+    start = prev = None
+    for cp in range(0x0300, 0xE0200):  # marks live in [U+0300, U+E01EF]
+        if unicodedata.category(chr(cp)).startswith("M"):
+            if prev is not None and cp == prev + 1:
+                prev = cp
+            else:
+                if start is not None:
+                    ranges.append((start, prev))
+                start = prev = cp
+    if start is not None:
+        ranges.append((start, prev))
+    return "".join(
+        re.escape(chr(a)) if a == b else f"{re.escape(chr(a))}-{re.escape(chr(b))}"
+        for a, b in ranges
+    )
+
+
+_M = f"[{_mark_char_class()}]"
+
+# letters excluding CJK classes handled separately; digits = Unicode Nd.
+# Each letter/digit may carry combining marks (WB4 Extend — see above).
+_L = rf"(?:(?![{_CJK}])[^\W\d_]){_M}*"
+_D = rf"\d{_M}*"
 _ML = "['’‘.··‧:״]"
-# MidNum ∪ MidNumLet (joins digit runs): , . ' ’
 _MN = "[,.'’․]"
 
-_LPART = rf"{_L}+(?:{_ML}{_L}+)*"
-_NPART = rf"{_D}+(?:{_MN}{_D}+)*"
+_LPART = rf"(?:{_L})+(?:{_ML}(?:{_L})+)*"
+_NPART = rf"(?:{_D})+(?:{_MN}(?:{_D})+)*"
 _WORD = rf"_*(?:{_LPART}|{_NPART})(?:_*(?:{_LPART}|{_NPART}))*_*"
 
-TOKEN_RE = re.compile(rf"(?:{_WORD})|[{_HAN}]|[{_HIRA}]|[{_KATA}]+|[{_HANGUL}]+")
+TOKEN_RE = re.compile(rf"(?:{_WORD})|[{_HAN}]{_M}*|[{_HIRA}]{_M}*|(?:[{_KATA}]{_M}*)+|(?:[{_HANGUL}]{_M}*)+")
 
 # --- html_strip char filter ---------------------------------------------------
 _BLOCK_TAGS = (

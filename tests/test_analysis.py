@@ -84,6 +84,35 @@ def test_pages_text_byte_identity():
         assert html_strip(h) == t
 
 
+def test_uax29_spec_goldens():
+    """Adversarial word-break cases with expected tokens HAND-DERIVED from
+    the UAX#29 spec (rule cited per case in the golden file) — not
+    generated from the implementation under test."""
+    import json
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), "goldens", "uax29_spec_goldens.json")
+    with open(p, encoding="utf-8") as f:
+        cases = json.load(f)["cases"]
+    assert len(cases) >= 20
+    for c in cases:
+        got = standard_tokenize(c["input"])
+        assert got == c["expected"], (c["rule"], c["input"], got, c["expected"])
+
+
+def test_combining_marks_join_word(spark=None):
+    """WB4: Extend (Mn/Mc/Me) glues to the preceding char — decomposed
+    forms tokenize as single words, same count as precomposed."""
+    import unicodedata
+
+    nfc = "café résumé"
+    nfd = unicodedata.normalize("NFD", nfc)
+    assert len(standard_tokenize(nfd)) == len(standard_tokenize(nfc)) == 2
+    # marked and unmarked forms are DIFFERENT tokens (no normalization —
+    # Lucene's StandardTokenizer does not normalize either)
+    assert standard_tokenize(nfd) != standard_tokenize(nfc)
+
+
 def test_regex_simple_matches_sql_semantics():
     assert regex_simple_tokenize("Hello, World-42 foo") == ["hello", "world", "42", "foo"]
 
