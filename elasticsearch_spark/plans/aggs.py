@@ -316,6 +316,23 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         sampled = df.orderBy(df.columns[0]).limit(sz)
         return _apply_metric_subaggs(sampled.groupBy(), sub)
 
+    if kind == "diversified_sampler":
+        # DiversifiedAggregationBuilder.java: like sampler, but at most
+        # max_docs_per_value per distinct `field` value (de-biasing the
+        # sample) — a per-value window rank then the shard_size cap
+        f = body["field"]
+        max_per = body.get("max_docs_per_value", 1)
+        sz = body.get("shard_size", 100)
+        w = Window.partitionBy(f).orderBy(df.columns[0])
+        sampled = (
+            df.withColumn("__dr", F.row_number().over(w))
+            .where(F.col("__dr") <= max_per)
+            .drop("__dr")
+            .orderBy(df.columns[0])
+            .limit(sz)
+        )
+        return _apply_metric_subaggs(sampled.groupBy(), sub)
+
     if kind == "adjacency_matrix":
         from . import dsl
 
@@ -542,13 +559,62 @@ _PIPELINE_KINDS = {
     "bucket_script", "bucket_selector", "bucket_sort",
 }
 
+# sibling pipelines: aggregate ANOTHER agg's bucket frame into one row
+# (the reference's `*_bucket` family, ``server/.../search/aggregations/
+# pipeline/AvgBucketPipelineAggregationBuilder.java`` et al.) — pure
+# coordinator-side post-reduce, so a plain agg over the (tiny) bucket frame
+_SIBLING_KINDS = {
+    "avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
+    "stats_bucket", "extended_stats_bucket", "percentiles_bucket",
+}
+
+
+def apply_sibling(frames: dict[str, DataFrame], name: str, spec: dict) -> DataFrame:
+    """`*_bucket` sibling pipeline: buckets_path "agg>metric" (or "agg>_count")
+    → one-row aggregate over that agg's bucket frame."""
+    (kind, body), = spec.items()
+    src_name, _, metric = body["buckets_path"].partition(">")
+    frame = frames[src_name]
+    col = F.col("doc_count" if metric in ("", "_count") else metric)
+    if kind == "avg_bucket":
+        return frame.agg(F.avg(col).alias(name))
+    if kind == "sum_bucket":
+        return frame.agg(F.sum(col).alias(name))
+    if kind == "min_bucket":
+        return frame.agg(F.min(col).alias(name))
+    if kind == "max_bucket":
+        return frame.agg(F.max(col).alias(name))
+    if kind == "stats_bucket":
+        return frame.agg(
+            F.count(col).alias(f"{name}.count"), F.min(col).alias(f"{name}.min"),
+            F.max(col).alias(f"{name}.max"), F.sum(col).alias(f"{name}.sum"),
+            F.avg(col).alias(f"{name}.avg"),
+        )
+    if kind == "extended_stats_bucket":
+        return frame.agg(
+            F.count(col).alias(f"{name}.count"), F.avg(col).alias(f"{name}.avg"),
+            F.var_pop(col).alias(f"{name}.variance"),
+            F.stddev_pop(col).alias(f"{name}.std_deviation"),
+        )
+    if kind == "percentiles_bucket":
+        pcts = body.get("percents", [1, 5, 25, 50, 75, 95, 99])
+        c = "doc_count" if metric in ("", "_count") else metric
+        return frame.agg(*[
+            F.expr(f"percentile(`{c}`, {p / 100.0})").alias(f"{name}.{p}") for p in pcts
+        ])
+    raise ValueError(f"unsupported sibling pipeline agg: {kind}")
+
 
 def aggregate(df: DataFrame, aggs: dict) -> dict[str, DataFrame]:
     """Run an ES ``aggs`` body → {agg name: bucket/metric frame}. Pipeline
     sub-aggs nested under a bucket agg are applied to that bucket frame in
-    declaration order (the coordinator post-reduce step)."""
+    declaration order; sibling `*_bucket` pipelines aggregate a previously
+    declared agg's frame (the coordinator post-reduce step)."""
     out: dict[str, DataFrame] = {}
     for name, spec in aggs.items():
+        if next(iter(k for k in spec if k != "aggs")) in _SIBLING_KINDS:
+            out[name] = apply_sibling(out, name, spec)
+            continue
         sub = spec.get("aggs", {})
         pipes = {n: s for n, s in sub.items() if next(iter(s)) in _PIPELINE_KINDS}
         plain_sub = {n: s for n, s in sub.items() if n not in pipes}

@@ -324,15 +324,62 @@ class MatchPhrasePrefixQ(Node):
 @dataclass
 class MultiMatchQ(Node):
     """multi_match (MultiMatchQueryBuilder.java): best_fields = dis_max of
-    per-field matches, most_fields = sum."""
+    per-field matches, most_fields = sum, cross_fields = term-centric
+    blended scoring (BlendedTermQuery: per term the document frequency is
+    blended to the MAX across fields, each field scores with its own
+    length norm against the blended idf, and the term takes its best
+    field's score — then terms sum)."""
 
     flds: list = field(default_factory=list)
     query: str = ""
     mm_type: str = "best_fields"
     tie_breaker: float = 0.0
+    operator: str = "or"
     boost: float = 1.0
 
+    def _cross_fields_frame(self, ctx):
+        terms = list(dict.fromkeys(ctx.analyze(self.query)))
+        if not terms:
+            return ctx.df.limit(0).select(
+                F.col(ctx.key).alias("__key"), F.lit(0.0).alias("_score")
+            )
+        parts = []
+        for f_ in self.flds:
+            sub = SearchContext(ctx.df, ctx.key, text_col=f_, analyzer_regex=ctx.analyzer_regex)
+            q = sub.tf().where(F.col("term").isin(terms))
+            dfs = q.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+            parts.append(
+                q.join(F.broadcast(dfs), "term")
+                .join(sub.dl().select("__key", "qdl"), "__key")
+                .crossJoin(F.broadcast(sub.coll()))
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        # blended df: max across fields per term (BlendedTermQuery.java)
+        bdf = u.groupBy("term").agg(
+            F.max("df").alias("bdf"), F.max("n_docs").alias("nd")
+        )
+        scored = (
+            u.join(F.broadcast(bdf), "term")
+            .withColumn("idf", F.log(1.0 + (F.col("nd") - F.col("bdf") + 0.5) / (F.col("bdf") + 0.5)))
+            .withColumn(
+                "s",
+                F.col("idf") * (K1 + 1.0) * F.col("tf")
+                / (F.col("tf") + K1 * (1.0 - B + B * F.col("qdl") / F.col("avgdl"))),
+            )
+        )
+        per_term = scored.groupBy("__key", "term").agg(F.max("s").alias("ts"))
+        out = per_term.groupBy("__key").agg(
+            (F.sum("ts") * self.boost).alias("_score"),
+            F.count("*").cast("int").alias("_matched"),
+        )
+        need = len(terms) if self.operator == "and" else 1
+        return out.where(F.col("_matched") >= need).select("__key", "_score")
+
     def frame(self, ctx):
+        if self.mm_type == "cross_fields":
+            return self._cross_fields_frame(ctx)
         frames = []
         for f_ in self.flds:
             sub = SearchContext(ctx.df, ctx.key, text_col=f_, analyzer_regex=ctx.analyzer_regex)
@@ -937,6 +984,7 @@ def parse(q: dict) -> Node:
             flds=body["fields"], query=body["query"],
             mm_type=body.get("type", "best_fields"),
             tie_breaker=body.get("tie_breaker", 0.0),
+            operator=body.get("operator", "or"),
         )
     if kind == "bool":
         def lst(x):
@@ -1078,6 +1126,24 @@ def search(
             )
             .drop("_rescore")
         )
+
+    # terminate_after (SearchSourceBuilder.terminateAfter): stop collecting
+    # after N docs PER SHARD — per-partition head with early stop, zero
+    # shuffle (each task stops reading its Arrow batches once satisfied)
+    if "terminate_after" in body:
+        n_term = int(body["terminate_after"])
+        schema = fetched.schema
+
+        def _head_fn(batches):
+            left = n_term
+            for pdf in batches:
+                if left <= 0:
+                    break
+                take = pdf.head(left)
+                left -= len(take)
+                yield take
+
+        fetched = fetched.mapInPandas(_head_fn, schema)
 
     sort_spec = body.get("sort", [{"_score": {"order": "desc"}}])
     order = _sort_cols(sort_spec, key)

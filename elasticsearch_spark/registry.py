@@ -1094,6 +1094,68 @@ def dsl_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percolator (modules/percolator/.../PercolateQueryBuilder.java):
+    stored queries compiled once to predicate columns, one scan over the
+    docs frame, (query_id, doc_id) matches."""
+    from .operators.percolate import percolate
+
+    stored = [
+        ("p_lang_range", {"bool": {"filter": [
+            {"term": {"lang": "en"}},
+            {"range": {"n_chars": {"gte": 100, "lte": 400}}}]}}),
+        ("p_match_spark", {"match": {"text": "spark"}}),
+        ("p_src_wild", {"wildcard": {"source": {"value": "src1*"}}}),
+    ]
+    return percolate(_docs(spark, sf_dir), stored, key="doc_id").orderBy("query_id", "doc_id")
+
+
+def q_cross_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match cross_fields (MultiMatchQueryBuilder.java →
+    BlendedTermQuery): term-centric blended-df scoring across text+source."""
+    return _dsl_search(spark, sf_dir, {
+        "query": {"multi_match": {
+            "query": "spark src3", "fields": ["text", "source"],
+            "type": "cross_fields",
+        }},
+        "size": 10,
+    })
+
+
+def a_sibling_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sibling `*_bucket` pipelines (pipeline/AvgBucketPipelineAggregation
+    Builder.java et al.): aggregate a terms frame coordinator-side."""
+    from .plans import aggs as aggs_mod
+
+    out = aggs_mod.aggregate(_events(spark, sf_dir), {
+        "et": {"terms": {"field": "event_type", "size": 10},
+               "aggs": {"sv": {"sum": {"field": "value"}}}},
+        "avg_cnt": {"avg_bucket": {"buckets_path": "et>_count"}},
+        "max_sv": {"max_bucket": {"buckets_path": "et>sv"}},
+        "sum_cnt": {"sum_bucket": {"buckets_path": "et>_count"}},
+    })
+    return (
+        out["avg_cnt"].crossJoin(out["max_sv"]).crossJoin(out["sum_cnt"])
+        .select(
+            F.round("avg_cnt", 4).alias("avg_cnt"),
+            F.round("max_sv", 4).alias("max_sv"),
+            F.col("sum_cnt").cast("long").alias("sum_cnt"),
+        )
+    )
+
+
+def a_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diversified_sampler (DiversifiedAggregationBuilder.java): ≤
+    max_docs_per_value docs per lang, then metric sub-aggs."""
+    from .plans import aggs as aggs_mod
+
+    return aggs_mod.compile_agg(_docs(spark, sf_dir), "ds", {
+        "diversified_sampler": {"field": "lang", "max_docs_per_value": 5, "shard_size": 100},
+        "aggs": {"n": {"value_count": {"field": "doc_id"}},
+                 "avg_chars": {"avg": {"field": "n_chars"}}},
+    }).select("doc_count", "n", F.round("avg_chars", 4).alias("avg_chars"))
+
+
 ORACLES: dict[str, str] = {
     "match_or_bm25": _bm25_sql(_OR_TERMS),
     "match_and_bm25": _bm25_sql(_AND_TERMS, msm=len(_AND_TERMS)),
@@ -1616,6 +1678,78 @@ SELECT s.doc_id, round(s.score_raw * ln(1.0 + d.n_chars) * 0.5, 4) AS score
 FROM scored s JOIN documents d ON s.doc_id = d.doc_id
 ORDER BY s.score_raw * ln(1.0 + d.n_chars) * 0.5 DESC, s.doc_id ASC LIMIT 10
 """,
+    "percolate_queries": f"""
+SELECT query_id, doc_id FROM (
+  SELECT 'p_lang_range' AS query_id, doc_id FROM documents
+  WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400
+  UNION ALL
+  SELECT 'p_match_spark', doc_id FROM documents
+  WHERE list_contains({_TOK_SQL}, 'spark')
+  UNION ALL
+  SELECT 'p_src_wild', doc_id FROM documents WHERE source LIKE 'src1%'
+) ORDER BY query_id, doc_id
+""",
+    "multi_match_cross_fields": f"""
+WITH t1 AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents)
+  WHERE term IN ('spark', 'src3') GROUP BY 1, 2
+),
+d1 AS (SELECT doc_id, len({_TOK_SQL})::BIGINT AS dl FROM documents),
+q1 AS (SELECT doc_id, ({_QDL})::DOUBLE AS qdl FROM d1),
+c1 AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d1),
+f1 AS (SELECT term, count(*)::DOUBLE AS df FROM t1 GROUP BY 1),
+u1 AS (
+  SELECT t1.doc_id, t1.term, t1.tf, f1.df, q1.qdl, c1.avgdl, c1.n_docs
+  FROM t1 JOIN f1 USING (term) JOIN q1 ON t1.doc_id = q1.doc_id CROSS JOIN c1
+),
+t2 AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(source), '[a-z0-9]+')) AS term FROM documents)
+  WHERE term IN ('spark', 'src3') GROUP BY 1, 2
+),
+d2 AS (SELECT doc_id, len(regexp_extract_all(lower(source), '[a-z0-9]+'))::BIGINT AS dl FROM documents),
+q2 AS (SELECT doc_id, ({_QDL})::DOUBLE AS qdl FROM d2),
+c2 AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM d2),
+f2 AS (SELECT term, count(*)::DOUBLE AS df FROM t2 GROUP BY 1),
+u2 AS (
+  SELECT t2.doc_id, t2.term, t2.tf, f2.df, q2.qdl, c2.avgdl, c2.n_docs
+  FROM t2 JOIN f2 USING (term) JOIN q2 ON t2.doc_id = q2.doc_id CROSS JOIN c2
+),
+u AS (SELECT * FROM u1 UNION ALL SELECT * FROM u2),
+b AS (SELECT term, max(df) AS bdf, max(n_docs) AS nd FROM u GROUP BY 1),
+s AS (
+  SELECT u.doc_id, u.term,
+         ln(1.0 + (b.nd - b.bdf + 0.5) / (b.bdf + 0.5)) * ({K1} + 1.0) * u.tf
+         / (u.tf + {K1} * (1.0 - {B} + {B} * u.qdl / u.avgdl)) AS sc
+  FROM u JOIN b USING (term)
+),
+pt AS (SELECT doc_id, term, max(sc) AS ts FROM s GROUP BY 1, 2),
+fin AS (SELECT doc_id, sum(ts) AS score_raw FROM pt GROUP BY 1)
+SELECT doc_id, round(score_raw, 4) AS score FROM fin
+ORDER BY score_raw DESC, doc_id ASC LIMIT 10
+""",
+    "agg_sibling_buckets": """
+WITH b AS (
+  SELECT event_type, count(*)::BIGINT AS c, sum(value) AS sv
+  FROM events GROUP BY 1
+)
+SELECT round(avg(c), 4) AS avg_cnt, round(max(sv), 4) AS max_sv,
+       sum(c)::BIGINT AS sum_cnt
+FROM b
+""",
+    "agg_diversified_sampler": """
+WITH s AS (
+  SELECT doc_id, n_chars FROM (
+    SELECT doc_id, n_chars,
+           row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn <= 5
+)
+SELECT count(*)::BIGINT AS doc_count, count(doc_id)::BIGINT AS n,
+       round(avg(n_chars), 4) AS avg_chars
+FROM s
+""",
 }
 
 
@@ -1681,4 +1815,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_significant_text": a_significant_text,
     "agg_percentile_ranks": a_percentile_ranks,
     "dsl_script_score": dsl_script_score,
+    "percolate_queries": q_percolate,
+    "multi_match_cross_fields": q_cross_fields,
+    "agg_sibling_buckets": a_sibling_buckets,
+    "agg_diversified_sampler": a_diversified_sampler,
 }

