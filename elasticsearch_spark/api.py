@@ -145,6 +145,28 @@ class Engine:
             if body.get("highlight"):
                 docs_text = self._docs_view(index).select("url", "text")
                 hits = highlight_fn(hits.join(docs_text, "url"), terms).drop("text")
+        elif kind in ("match_phrase", "match_phrase_prefix", "intervals") and "sort" not in body:
+            # positional queries run against the index (per-segment
+            # position-chain verify), not the docs-frame DSL path
+            from .operators.phrase import (
+                search_intervals,
+                search_phrase,
+                search_phrase_prefix,
+            )
+
+            if kind == "intervals":
+                (fld, ispec), = spec.items()
+                m = ispec["match"]
+                hits = search_intervals(
+                    self.spark, d, m["query"], ordered=m.get("ordered", False),
+                    max_gaps=m.get("max_gaps", -1), k=size,
+                )
+            else:
+                (fld, mspec), = spec.items()
+                text = mspec["query"] if isinstance(mspec, dict) else mspec
+                slop = mspec.get("slop", 0) if isinstance(mspec, dict) else 0
+                fn = search_phrase if kind == "match_phrase" else search_phrase_prefix
+                hits = fn(self.spark, d, text, k=size, slop=slop)
         else:
             docs = self._docs_view(index)
             hits = dsl.search(self.spark, docs, body, key="url", text_col="text")
@@ -162,6 +184,35 @@ class Engine:
                     base = base.join(keyed.withColumnRenamed("__key", "url"), "url", "left_semi")
             out["aggregations"] = aggs_mod.aggregate(base, body["aggs"])
         return out
+
+    def msearch(self, searches: list[tuple[str, dict]]) -> list[dict]:
+        """POST /_msearch: a batch of (index, body) searches. Each returns
+        lazily-evaluated frames, so Spark can schedule them concurrently."""
+        return [self.search(ix, body) for ix, body in searches]
+
+    def search_multi(self, indices: list[str], body: dict) -> DataFrame:
+        """Cross-index / cross-cluster search (the `remote:index` pattern,
+        ``server/.../action/search/TransportSearchAction.java`` CCS path):
+        the per-index live-doc views union into one corpus with an
+        ``_index`` column; scoring uses GLOBAL df over the union — the
+        reference's ccs_minimize_roundtrips=false merged-stats semantics.
+        Hits are keyed by (_index, url) so the same url in two indices
+        stays two hits."""
+        frames = [
+            self._docs_view(ix).withColumn("_index", F.lit(ix))
+            for ix in indices
+        ]
+        u = frames[0]
+        for fr in frames[1:]:
+            u = u.unionByName(fr, allowMissingColumns=True)
+        u = u.withColumn("_ccs_key", F.concat_ws(":", "_index", "url"))
+        return dsl.search(self.spark, u, body, key="_ccs_key", text_col="text")
+
+    def percolate(self, index: str, stored_queries) -> DataFrame:
+        """Percolator over the live docs view (operators/percolate.py)."""
+        from .operators.percolate import percolate as percolate_fn
+
+        return percolate_fn(self._docs_view(index), stored_queries, key="url")
 
     def count(self, index: str, query: dict | None = None) -> int:
         """GET /{index}/_count."""

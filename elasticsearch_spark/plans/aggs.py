@@ -354,11 +354,19 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         return out.where(F.col("doc_count") > 0).orderBy("key")
 
     if kind == "scripted_metric":
-        # ScriptedMetricAggregator.java contexts → Spark's partial/final agg:
-        # map_script = per-row expression, reduce_script = aggregate
-        # expression over `states` (the mapped values); combine (partial
-        # per-partition agg) is what Catalyst inserts automatically.
+        # ScriptedMetricAggregator.java contexts → Spark's partial/final
+        # agg: map_script = per-row expression, combine_script = explicit
+        # per-shard partial (aggregate over `states` within a partition),
+        # reduce_script = final aggregate over the per-shard partials.
+        # Without combine_script, Catalyst's own map-side combine stands in.
         mapped = df.withColumn("__state", F.expr(body["map_script"]))
+        if "combine_script" in body:
+            per_part = mapped.groupBy(F.spark_partition_id().alias("__pid")).agg(
+                F.expr(body["combine_script"].replace("states", "__state")).alias("__partial")
+            )
+            return per_part.agg(
+                F.expr(body["reduce_script"].replace("states", "__partial")).alias(name)
+            )
         return mapped.agg(
             F.expr(body["reduce_script"].replace("states", "__state")).alias(name)
         )

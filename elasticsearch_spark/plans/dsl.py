@@ -1071,7 +1071,10 @@ def parse(q: dict) -> Node:
 
 def _sort_cols(sort_spec, key: str) -> list[Column]:
     """ES sort list → Spark order columns (FieldSortBuilder semantics:
-    missing last by default, deterministic key tie-break appended)."""
+    missing last by default, deterministic key tie-break appended).
+    Also `_geo_distance` (GeoDistanceSortBuilder.java: haversine to an
+    origin over a struct<lat,lon> column) and `_script`
+    (ScriptSortBuilder.java: SQL-expression sort key)."""
     order = []
     for s in sort_spec:
         if s == "_score":
@@ -1079,7 +1082,17 @@ def _sort_cols(sort_spec, key: str) -> list[Column]:
             continue
         (sf, sd), = s.items() if isinstance(s, dict) else ((s, "asc"),)
         d = sd.get("order", "asc") if isinstance(sd, dict) else sd
-        c = F.col("_score") if sf == "_score" else F.col(sf)
+        if sf == "_geo_distance":
+            (fld, origin), = ((k, v) for k, v in sd.items() if k not in ("order", "unit"))
+            c = _haversine_m(
+                F.col(f"{fld}.lat"), F.col(f"{fld}.lon"),
+                float(origin["lat"]), float(origin["lon"]),
+            )
+        elif sf == "_script":
+            src = sd["script"]["source"] if isinstance(sd.get("script"), dict) else sd["script"]
+            c = F.expr(src)
+        else:
+            c = F.col("_score") if sf == "_score" else F.col(sf)
         order.append(c.desc_nulls_last() if d == "desc" else c.asc_nulls_last())
     order.append(F.asc(key))
     return order

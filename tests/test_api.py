@@ -103,3 +103,52 @@ def test_reindex(es):
     assert es.count("pages_en") == es.count("pages", {"term": {"lang": "en"}})
     res = es.search("pages_en", {"query": {"match": {"text": "spark"}}, "size": 5})
     assert res["hits"].count() >= 2
+
+
+def test_search_phrase_through_index(es):
+    res = es.search("pages", {"query": {"match_phrase": {"text": "distributed computing"}}, "size": 5})
+    assert {r["url"] for r in res["hits"].collect()} == {"u1"}
+    res2 = es.search("pages", {"query": {"match_phrase_prefix": {"text": "distributed comp"}}, "size": 5})
+    assert {r["url"] for r in res2["hits"].collect()} == {"u1"}
+    res3 = es.search("pages", {"query": {"intervals": {"text": {"match": {
+        "query": "computing spark", "ordered": False}}}}, "size": 5})
+    assert "u1" in {r["url"] for r in res3["hits"].collect()}
+
+
+def test_msearch_and_cross_index(es):
+    outs = es.msearch([
+        ("pages", {"query": {"match": {"text": "spark"}}, "size": 3}),
+        ("pages_en", {"query": {"match": {"text": "spark"}}, "size": 3}),
+    ])
+    assert len(outs) == 2 and all(o["hits"].count() >= 2 for o in outs)
+    multi = es.search_multi(["pages", "pages_en"], {
+        "query": {"match": {"text": "spark"}}, "size": 20})
+    rows = multi.collect()
+    # same docs appear once per index, tagged
+    assert {r["_index"] for r in rows} == {"pages", "pages_en"}
+
+
+def test_engine_percolate(es):
+    stored = [
+        ("alert_spark", {"match": {"text": "spark"}}),
+        ("alert_de", {"term": {"lang": "de"}}),
+    ]
+    got = {(r["query_id"], r["url"]) for r in es.percolate("pages", stored).collect()}
+    assert ("alert_spark", "u1") in got and ("alert_spark", "u3") in got
+    assert not any(q == "alert_de" for q, _ in got)  # u4 was deleted
+
+
+def test_geo_and_script_sort(es, spark):
+    from elasticsearch_spark.plans import dsl
+
+    df = spark.createDataFrame(
+        [(1, 10.0, {"lat": 48.8, "lon": 2.3}), (2, 5.0, {"lat": 40.7, "lon": -74.0}),
+         (3, 20.0, {"lat": 48.9, "lon": 2.4})],
+        "id long, v double, loc struct<lat:double,lon:double>",
+    )
+    near_paris = dsl.search(spark, df, {"query": {"match_all": {}}, "sort": [
+        {"_geo_distance": {"loc": {"lat": 48.85, "lon": 2.35}, "order": "asc"}}]}, key="id")
+    assert [r["id"] for r in near_paris.collect()] == [1, 3, 2]
+    by_script = dsl.search(spark, df, {"query": {"match_all": {}}, "sort": [
+        {"_script": {"script": {"source": "v * -1.0"}, "order": "asc"}}]}, key="id")
+    assert [r["id"] for r in by_script.collect()] == [3, 1, 2]
