@@ -148,7 +148,9 @@ def test_geo_and_script_sort(es, spark):
     )
     near_paris = dsl.search(spark, df, {"query": {"match_all": {}}, "sort": [
         {"_geo_distance": {"loc": {"lat": 48.85, "lon": 2.35}, "order": "asc"}}]}, key="id")
-    assert [r["id"] for r in near_paris.collect()] == [1, 3, 2]
+    # 1 and 3 are both ~6.6 km out (3 wins: cos(48.9°) shrinks its lon leg);
+    # 2 is an ocean away
+    assert [r["id"] for r in near_paris.collect()] == [3, 1, 2]
     by_script = dsl.search(spark, df, {"query": {"match_all": {}}, "sort": [
         {"_script": {"script": {"source": "v * -1.0"}, "order": "asc"}}]}, key="id")
     assert [r["id"] for r in by_script.collect()] == [3, 1, 2]
