@@ -282,6 +282,93 @@ def _filter_synonym(toks: list[str], synonyms: dict | list | None = None, expand
     return out
 
 
+def _filter_lowercase(toks: list[str], **_) -> list[str]:
+    return [t.lower() for t in toks]
+
+
+def _filter_uppercase(toks: list[str], **_) -> list[str]:
+    return [t.upper() for t in toks]
+
+
+def _filter_trim(toks: list[str], **_) -> list[str]:
+    return [t.strip() for t in toks]
+
+
+def _filter_apostrophe(toks: list[str], **_) -> list[str]:
+    """apostrophe filter (AC/ApostropheFilterFactory.java): strip the
+    apostrophe and everything after it (Turkish possessives)."""
+    out = []
+    for t in toks:
+        for ch in ("'", "’"):
+            i = t.find(ch)
+            if i >= 0:
+                t = t[:i]
+                break
+        if t:
+            out.append(t)
+    return out
+
+
+def _filter_decimal_digit(toks: list[str], **_) -> list[str]:
+    """decimal_digit (AC/DecimalDigitFilterFactory.java): fold Unicode
+    decimal digits (Arabic-Indic, Devanagari, …) to ASCII 0-9."""
+    import unicodedata
+
+    def fold(t: str) -> str:
+        return "".join(
+            str(unicodedata.decimal(c)) if unicodedata.category(c) == "Nd" else c
+            for c in t
+        )
+
+    return [fold(t) for t in toks]
+
+
+_WD_SPLIT = re.compile(r"[^0-9A-Za-z]+")
+_WD_CASE = re.compile(r"(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])")
+
+
+def _filter_word_delimiter(
+    toks: list[str],
+    generate_word_parts: bool = True,
+    generate_number_parts: bool = True,
+    catenate_all: bool = False,
+    preserve_original: bool = False,
+    **_,
+) -> list[str]:
+    """word_delimiter (AC/WordDelimiterTokenFilterFactory.java, graph-lite):
+    split on intra-word punctuation and case/letter-digit transitions
+    ('PowerShot-500' → power, shot, 500); catenate_all adds the joined run,
+    preserve_original keeps the input token."""
+    out: list[str] = []
+    for t in toks:
+        parts: list[str] = []
+        for chunk in _WD_SPLIT.split(t):
+            if chunk:
+                parts.extend(p for p in _WD_CASE.split(chunk) if p)
+        emitted = [
+            p.lower() for p in parts
+            if (p.isdigit() and generate_number_parts) or (not p.isdigit() and generate_word_parts)
+        ]
+        if preserve_original and (len(parts) > 1 or (parts and parts[0] != t)):
+            out.append(t.lower())
+        out.extend(emitted)
+        if catenate_all and len(parts) > 1:
+            out.append("".join(parts).lower())
+    return out
+
+
+def _filter_keyword_repeat_stem(toks: list[str], **_) -> list[str]:
+    """keyword_repeat + stemmer composition: emit the original and the
+    stemmed form when they differ (the common exact+stemmed recall trick)."""
+    out = []
+    for t in toks:
+        s = _filter_stemmer_minimal_english([t])[0]
+        out.append(t)
+        if s != t:
+            out.append(s)
+    return out
+
+
 TOKEN_FILTERS = {
     "synonym": _filter_synonym,
     "stop": _filter_stop,
@@ -294,6 +381,14 @@ TOKEN_FILTERS = {
     "unique": _filter_unique,
     "truncate": _filter_truncate,
     "reverse": _filter_reverse,
+    "lowercase": _filter_lowercase,
+    "uppercase": _filter_uppercase,
+    "trim": _filter_trim,
+    "apostrophe": _filter_apostrophe,
+    "decimal_digit": _filter_decimal_digit,
+    "word_delimiter": _filter_word_delimiter,
+    "word_delimiter_graph": _filter_word_delimiter,
+    "keyword_repeat_stem": _filter_keyword_repeat_stem,
 }
 
 

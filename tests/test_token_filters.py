@@ -96,3 +96,32 @@ def test_synonym_dict_form_search_time(spark, tmp_path):
     terms = analyze("fast car", "qsyn")  # → fast, car, auto
     hits = {r["url"] for r in search_topk(spark, idx, terms, k=10).collect()}
     assert hits == {"u1"}
+
+
+def test_word_delimiter_splits():
+    from elasticsearch_spark.functions.analysis import _filter_word_delimiter
+
+    assert _filter_word_delimiter(["PowerShot-500"]) == ["power", "shot", "500"]
+    assert _filter_word_delimiter(["wi-fi"]) == ["wi", "fi"]
+    assert _filter_word_delimiter(["PowerShot"], catenate_all=True) == ["power", "shot", "powershot"]
+    assert _filter_word_delimiter(["O'Neil"], preserve_original=True) == ["o'neil", "o", "neil"]
+    assert _filter_word_delimiter(["plain"]) == ["plain"]
+
+
+def test_misc_filters():
+    from elasticsearch_spark.functions.analysis import (
+        _filter_apostrophe,
+        _filter_decimal_digit,
+        _filter_trim,
+        _filter_uppercase,
+    )
+
+    assert _filter_apostrophe(["türkiye'den", "plain"]) == ["türkiye", "plain"]
+    assert _filter_decimal_digit(["٤٢x", "abc"]) == ["42x", "abc"]
+    assert _filter_trim([" pad "]) == ["pad"]
+    assert _filter_uppercase(["up"]) == ["UP"]
+
+
+def test_keyword_repeat_stem_chain():
+    analysis.register_analyzer("krs", filters=["keyword_repeat_stem"])
+    assert analysis.analyze("dogs run", "krs") == ["dogs", "dog", "run"]
