@@ -115,6 +115,20 @@ def test_search_phrase_through_index(es):
     assert "u1" in {r["url"] for r in res3["hits"].collect()}
 
 
+def test_span_near_through_index(es):
+    body = {"query": {"span_near": {
+        "clauses": [{"span_term": {"text": "distributed"}},
+                    {"span_term": {"text": "computing"}}],
+        "slop": 0, "in_order": True}}, "size": 5}
+    assert {r["url"] for r in es.search("pages", body)["hits"].collect()} == {"u1"}
+    # unordered with slop finds the reversed pair too
+    body2 = {"query": {"span_near": {
+        "clauses": [{"span_term": {"text": "computing"}},
+                    {"span_term": {"text": "distributed"}}],
+        "slop": 1, "in_order": False}}, "size": 5}
+    assert {r["url"] for r in es.search("pages", body2)["hits"].collect()} == {"u1"}
+
+
 def test_msearch_and_cross_index(es):
     outs = es.msearch([
         ("pages", {"query": {"match": {"text": "spark"}}, "size": 3}),
