@@ -99,6 +99,17 @@ _WORD = rf"_*(?:{_LPART}|{_NPART})(?:_*(?:{_LPART}|{_NPART}))*_*"
 
 TOKEN_RE = re.compile(rf"(?:{_WORD})|[{_HAN}]{_M}*|[{_HIRA}]{_M}*|(?:[{_KATA}]{_M}*)+|(?:[{_HANGUL}]{_M}*)+")
 
+# fast path: the mark-aware pattern costs ~2x on mark-free text (the
+# overwhelming case — NFC web text precomposes Latin diacritics), and both
+# patterns are provably identical when no mark codepoint is present, so a
+# single C-speed containment scan picks the cheap one
+_L0 = rf"(?:(?![{_CJK}])[^\W\d_])"
+_LPART0 = rf"{_L0}+(?:{_ML}{_L0}+)*"
+_NPART0 = rf"\d+(?:{_MN}\d+)*"
+_WORD0 = rf"_*(?:{_LPART0}|{_NPART0})(?:_*(?:{_LPART0}|{_NPART0}))*_*"
+TOKEN_RE_NOMARK = re.compile(rf"(?:{_WORD0})|[{_HAN}]|[{_HIRA}]|[{_KATA}]+|[{_HANGUL}]+")
+_HAS_MARK = re.compile(_M)
+
 # --- html_strip char filter ---------------------------------------------------
 _BLOCK_TAGS = (
     "p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|table|tr|td|th|blockquote|pre|hr|"
@@ -147,7 +158,13 @@ def standard_tokenize(text: str) -> list[str]:
     accepted divergences pinned by the golden tests)."""
     if not text:
         return []
-    toks = TOKEN_RE.findall(text.lower())
+    low = text.lower()
+    # isascii() is a free C check that skips the (comparatively slow)
+    # mark-class scan for the dominant ASCII case
+    if low.isascii() or not _HAS_MARK.search(low):
+        toks = TOKEN_RE_NOMARK.findall(low)
+    else:
+        toks = TOKEN_RE.findall(low)
     for t in toks:
         if len(t) > MAX_TOKEN_LENGTH:
             out: list[str] = []
