@@ -27,6 +27,7 @@ only what the plan needs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -294,6 +295,90 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
                     F.col("bg_count").cast("long").alias("bg_count"),
                     F.round("score", 6).alias("score"))
             .orderBy(F.desc("score"), F.asc("key"))
+            .limit(size)
+        )
+
+    if kind == "geo_bounds":
+        # GeoBoundsAggregator.java: bounding box of a struct<lat,lon> field
+        f = body["field"]
+        return df.agg(
+            F.max(f"{f}.lat").alias(f"{name}.top"),
+            F.min(f"{f}.lat").alias(f"{name}.bottom"),
+            F.min(f"{f}.lon").alias(f"{name}.left"),
+            F.max(f"{f}.lon").alias(f"{name}.right"),
+        )
+
+    if kind == "geo_centroid":
+        # GeoCentroidAggregator.java: arithmetic centroid + count
+        f = body["field"]
+        return df.agg(
+            F.avg(f"{f}.lat").alias(f"{name}.lat"),
+            F.avg(f"{f}.lon").alias(f"{name}.lon"),
+            F.count(f"{f}.lat").alias(f"{name}.count"),
+        )
+
+    if kind == "geotile_grid":
+        # GeoTileGridAggregationBuilder.java: web-mercator z/x/y tiles
+        import math
+
+        f = body["field"]
+        z = int(body.get("precision", 7))
+        size = body.get("size", 10)
+        n = 1 << z
+        lat = F.radians(F.col(f"{f}.lat"))
+        x = F.floor((F.col(f"{f}.lon") + 180.0) / 360.0 * n).cast("long")
+        y = F.floor(
+            (1.0 - F.log(F.tan(lat) + 1.0 / F.cos(lat)) / math.pi) / 2.0 * n
+        ).cast("long")
+        key = F.concat_ws("/", F.lit(z), x, y)
+        return (
+            _apply_metric_subaggs(df.groupBy(key.alias("key")), sub)
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(size)
+        )
+
+    if kind == "geohash_grid":
+        # GeoHashGridAggregationBuilder.java: base32 geohash cells —
+        # numpy-vectorized bit interleave inside one Arrow batch UDF
+        import numpy as np
+        from pyspark.sql.types import StringType
+
+        f = body["field"]
+        prec = int(body.get("precision", 5))
+        size = body.get("size", 10)
+
+        @F.pandas_udf(StringType())
+        def gh(lat: pd.Series, lon: pd.Series) -> pd.Series:
+            nbits = 5 * prec
+            lat_bits = (nbits) // 2
+            lon_bits = nbits - lat_bits
+            la = ((lat.to_numpy() + 90.0) / 180.0 * (1 << lat_bits)).astype(np.int64)
+            lo = ((lon.to_numpy() + 180.0) / 360.0 * (1 << lon_bits)).astype(np.int64)
+            la = np.clip(la, 0, (1 << lat_bits) - 1)
+            lo = np.clip(lo, 0, (1 << lon_bits) - 1)
+            # interleave: even bit positions (from MSB) take lon, odd take lat
+            code = np.zeros(len(la), dtype=np.int64)
+            li, oi = lat_bits, lon_bits
+            for b in range(nbits):
+                if b % 2 == 0:
+                    oi -= 1
+                    bit = (lo >> oi) & 1
+                else:
+                    li -= 1
+                    bit = (la >> li) & 1
+                code = (code << 1) | bit
+            b32 = np.frombuffer(b"0123456789bcdefghjkmnpqrstuvwxyz", dtype=np.uint8)
+            chars = np.zeros((len(code), prec), dtype=np.uint8)
+            c = code.copy()
+            for i in range(prec - 1, -1, -1):
+                chars[:, i] = b32[c & 31]
+                c >>= 5
+            return pd.Series([bytes(r).decode() for r in chars])
+
+        key = gh(F.col(f"{f}.lat"), F.col(f"{f}.lon"))
+        return (
+            _apply_metric_subaggs(df.groupBy(key.alias("key")), sub)
+            .orderBy(F.desc("doc_count"), F.asc("key"))
             .limit(size)
         )
 

@@ -454,6 +454,61 @@ class GeoBoundingBoxQ(Node):
 
 
 @dataclass
+class GeoPolygonQ(Node):
+    """geo_polygon (GeoPolygonQueryBuilder.java): point-in-polygon by ray
+    casting — the polygon is a query-time literal, so the crossing test
+    unrolls to a pure Column expression (one term per edge, JVM codegen)."""
+
+    fld: str
+    points: list = field(default_factory=list)  # [(lat, lon), ...]
+
+    def predicate(self, ctx):
+        y = F.col(f"{self.fld}.lat")
+        x = F.col(f"{self.fld}.lon")
+        n = len(self.points)
+        crossings = F.lit(0)
+        for i in range(n):
+            yi, xi = float(self.points[i][0]), float(self.points[i][1])
+            yj, xj = float(self.points[(i + 1) % n][0]), float(self.points[(i + 1) % n][1])
+            if yi == yj:
+                continue  # horizontal edge never crosses a horizontal ray
+            cond = ((F.lit(yi) > y) != (F.lit(yj) > y)) & (
+                x < (xj - xi) * (y - yi) / (yj - yi) + xi
+            )
+            crossings = crossings + F.when(cond, 1).otherwise(0)
+        return F.pmod(crossings, F.lit(2)) == 1
+
+
+@dataclass
+class RankFeatureQ(Node):
+    """rank_feature (RankFeatureQueryBuilder.java): score a numeric feature
+    column via saturation (default), log, or sigmoid — additive relevance
+    signals."""
+
+    fld: str
+    saturation_pivot: float | None = None
+    log_scaling: float | None = None
+    sigmoid_pivot: float | None = None
+    sigmoid_exp: float | None = None
+    boost: float = 1.0
+
+    def frame(self, ctx):
+        x = F.col(self.fld).cast("double")
+        if self.log_scaling is not None:
+            s = F.log(F.lit(self.log_scaling) + x)
+        elif self.sigmoid_pivot is not None:
+            e = self.sigmoid_exp or 1.0
+            s = F.pow(x, e) / (F.pow(x, e) + F.lit(float(self.sigmoid_pivot) ** e))
+        else:
+            pivot = self.saturation_pivot or 1.0
+            s = x / (x + F.lit(float(pivot)))
+        return (
+            ctx.df.where(x > 0)
+            .select(F.col(ctx.key).alias("__key"), (s * self.boost).alias("_score"))
+        )
+
+
+@dataclass
 class MatchBoolPrefixQ(Node):
     """match_bool_prefix (MatchBoolPrefixQueryBuilder.java): all terms as
     bool-should term matches, last term as prefix (constant-score 1)."""
@@ -1064,6 +1119,26 @@ def parse(q: dict) -> Node:
             fld, top=box["top_left"]["lat"], left=box["top_left"]["lon"],
             bottom=box["bottom_right"]["lat"], right=box["bottom_right"]["lon"],
         )
+    if kind == "geo_polygon":
+        (fld, spec2), = body.items()
+        pts = [
+            (p["lat"], p["lon"]) if isinstance(p, dict) else tuple(p)
+            for p in spec2["points"]
+        ]
+        return GeoPolygonQ(fld, points=pts)
+    if kind == "rank_feature":
+        fld = body["field"]
+        sat = body.get("saturation") or {}
+        logb = body.get("log") or {}
+        sig = body.get("sigmoid") or {}
+        return RankFeatureQ(
+            fld,
+            saturation_pivot=sat.get("pivot"),
+            log_scaling=logb.get("scaling_factor"),
+            sigmoid_pivot=sig.get("pivot"),
+            sigmoid_exp=sig.get("exponent"),
+            boost=body.get("boost", 1.0),
+        )
     if kind in ("query_string", "simple_query_string"):
         return parse_query_string(body["query"], body.get("default_field", "text"))
     raise ValueError(f"unsupported query kind: {kind}")
@@ -1111,10 +1186,45 @@ def search(
     SearchAfterBuilder.java:97), rescore (top-window re-rank,
     QueryRescorer.java:66), _source (column projection)."""
     ctx = SearchContext(df, key, text_col=text_col)
-    node = parse(body.get("query", {"match_all": {}}))
-    fr = node.frame(ctx)
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
+
+    # knn (SearchSourceBuilder.knnSearch, ES 8.x top-level knn): exact
+    # cosine top-k over a vector column (JVM zip_with/aggregate — the
+    # brute-force scorer; the ANN path lives in operators/similarity.py).
+    # With a `query` present, scores ADD (the reference's hybrid combine).
+    knn_fr = None
+    if "knn" in body:
+        kn = body["knn"]
+        vcol = F.col(kn["field"]).cast("array<double>")
+        qv = F.array(*[F.lit(float(x)) for x in kn["query_vector"]])
+        dot = F.aggregate(
+            F.zip_with(vcol, qv, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        nrm = F.sqrt(F.aggregate(vcol, F.lit(0.0), lambda acc, x: acc + x * x)) * F.sqrt(
+            F.aggregate(qv, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        k_knn = int(kn.get("k", size))
+        knn_fr = (
+            df.select(F.col(key).alias("__key"), (dot / nrm).alias("_score"))
+            .orderBy(F.desc("_score"), F.asc("__key"))
+            .limit(k_knn)
+        )
+
+    if "query" in body or knn_fr is None:
+        node = parse(body.get("query", {"match_all": {}}))
+        fr = node.frame(ctx)
+        if knn_fr is not None:
+            fr = (
+                fr.withColumnRenamed("_score", "_qs")
+                .join(knn_fr.withColumnRenamed("_score", "_ks"), "__key", "full")
+                .select(
+                    "__key",
+                    (F.coalesce(F.col("_qs"), F.lit(0.0)) + F.coalesce(F.col("_ks"), F.lit(0.0))).alias("_score"),
+                )
+            )
+    else:
+        fr = knn_fr
 
     fetched = fr.withColumnRenamed("__key", key).join(df, key)
 

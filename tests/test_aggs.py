@@ -257,6 +257,37 @@ def test_reverse_nested(spark):
     assert got["bob"]["avg_stars"] == pytest.approx(3.5)
 
 
+@pytest.fixture(scope="module")
+def geo_frame(spark):
+    rows = [
+        (1, {"lat": 48.85, "lon": 2.35}),   # Paris
+        (2, {"lat": 48.86, "lon": 2.34}),   # Paris-ish
+        (3, {"lat": 40.71, "lon": -74.0}),  # NYC
+        (4, {"lat": -33.87, "lon": 151.2}), # Sydney
+    ]
+    return spark.createDataFrame(rows, "id long, loc struct<lat:double,lon:double>").cache()
+
+
+def test_geo_bounds_and_centroid(spark, geo_frame):
+    b = aggs.compile_agg(geo_frame, "vp", {"geo_bounds": {"field": "loc"}}).collect()[0]
+    assert b["vp.top"] == 48.86 and b["vp.bottom"] == -33.87
+    assert b["vp.left"] == -74.0 and b["vp.right"] == 151.2
+    c = aggs.compile_agg(geo_frame, "c", {"geo_centroid": {"field": "loc"}}).collect()[0]
+    assert c["c.count"] == 4 and c["c.lat"] == pytest.approx((48.85 + 48.86 + 40.71 - 33.87) / 4)
+
+
+def test_geotile_and_geohash_grid(spark, geo_frame):
+    t = aggs.compile_agg(geo_frame, "g", {"geotile_grid": {"field": "loc", "precision": 6}})
+    got = {r["key"]: r["doc_count"] for r in t.collect()}
+    assert sum(got.values()) == 4 and max(got.values()) == 2  # both Paris points share a tile
+    assert all(k.startswith("6/") for k in got)
+    h = aggs.compile_agg(geo_frame, "h", {"geohash_grid": {"field": "loc", "precision": 3}})
+    goth = {r["key"]: r["doc_count"] for r in h.collect()}
+    assert sum(goth.values()) == 4 and max(goth.values()) == 2
+    # known geohash prefixes: Paris u09, NYC dr5, Sydney r3g
+    assert {"u09", "dr5", "r3g"} == set(goth)
+
+
 def test_completion_suggester(spark, tmp_path):
     from elasticsearch_spark.operators.suggest import (
         build_completion_index,

@@ -89,6 +89,46 @@ def test_function_score_weight_combines_with_function(spark, corpus):
     assert s2[3] == pytest.approx(2.0)  # at origin: decay 1.0 × weight 2
 
 
+def test_geo_polygon_and_rank_feature(spark):
+    df = spark.createDataFrame(
+        [(1, {"lat": 48.85, "lon": 2.35}, 5.0), (2, {"lat": 40.71, "lon": -74.0}, 20.0),
+         (3, {"lat": 50.1, "lon": 8.7}, 0.0)],
+        "id long, loc struct<lat:double,lon:double>, pagerank double",
+    )
+    # triangle around western Europe
+    body = {"query": {"bool": {"filter": [
+        {"geo_polygon": {"loc": {"points": [
+            {"lat": 55, "lon": -5}, {"lat": 55, "lon": 15}, {"lat": 40, "lon": 5}]}}},
+    ]}}, "size": 10}
+    out = dsl.search(spark, df, body, key="id")
+    assert {r["id"] for r in out.collect()} == {1, 3}
+    # rank_feature saturation: x/(x+pivot); zero-feature docs excluded
+    rf = dsl.search(spark, df, {"query": {"rank_feature": {"field": "pagerank",
+        "saturation": {"pivot": 10}}}, "size": 10}, key="id")
+    s = {r["id"]: r["_score"] for r in rf.collect()}
+    assert s[2] == pytest.approx(20 / 30) and s[1] == pytest.approx(5 / 15) and 3 not in s
+    # log variant
+    rf2 = dsl.search(spark, df, {"query": {"rank_feature": {"field": "pagerank",
+        "log": {"scaling_factor": 1}}}, "size": 10}, key="id")
+    import math
+    assert {r["id"]: r["_score"] for r in rf2.collect()}[2] == pytest.approx(math.log(21))
+
+
+def test_knn_body(spark):
+    rows = [(i, [float(i), 1.0, 0.0]) for i in range(5)] + [(99, [100.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    out = dsl.search(spark, df, {"knn": {"field": "emb", "query_vector": [1.0, 0.01, 0.0], "k": 2}},
+                     key="id")
+    ids = [r["id"] for r in out.collect()]
+    assert ids[0] == 99 or ids[0] in (4, 99)  # highest cosine to near-x-axis query
+    assert len(ids) == 2
+    # hybrid: knn + query scores add
+    out2 = dsl.search(spark, df, {
+        "knn": {"field": "emb", "query_vector": [1.0, 0.01, 0.0], "k": 3},
+        "query": {"term": {"id": 0}}, "size": 10}, key="id")
+    assert out2.count() >= 3
+
+
 def test_pagination_from_offset(spark, corpus):
     full = [r["doc_id"] for r in run(spark, corpus, {"match_all": {}}, sort=[{"n": "asc"}]).collect()]
     page = [r["doc_id"] for r in dsl.search(
