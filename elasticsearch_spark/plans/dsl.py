@@ -1185,6 +1185,13 @@ def search(
     sort (field sorts, FieldSortBuilder), search_after (keyset pagination,
     SearchAfterBuilder.java:97), rescore (top-window re-rank,
     QueryRescorer.java:66), _source (column projection)."""
+    # runtime fields (RuntimeField.java / `runtime_mappings`): query-time
+    # computed columns — SQL-expression Painless analog, visible to the
+    # query, sort, and _source of THIS search only
+    for rname, rspec in (body.get("runtime_mappings") or {}).items():
+        src = rspec["script"]["source"] if isinstance(rspec.get("script"), dict) else rspec["script"]
+        df = df.withColumn(rname, F.expr(src))
+
     ctx = SearchContext(df, key, text_col=text_col)
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
@@ -1267,6 +1274,20 @@ def search(
                 yield take
 
         fetched = fetched.mapInPandas(_head_fn, schema)
+
+    # field collapse (CollapseBuilder.java): keep the best hit per collapse
+    # key — window rank over the sort order within each group
+    if "collapse" in body:
+        cfield = body["collapse"]["field"]
+        from pyspark.sql import Window as _W
+
+        c_order = _sort_cols(body.get("sort", [{"_score": {"order": "desc"}}]), key)
+        w = _W.partitionBy(cfield).orderBy(*c_order)
+        fetched = (
+            fetched.withColumn("__crank", F.row_number().over(w))
+            .where(F.col("__crank") == 1)
+            .drop("__crank")
+        )
 
     sort_spec = body.get("sort", [{"_score": {"order": "desc"}}])
     order = _sort_cols(sort_spec, key)

@@ -114,6 +114,22 @@ def test_geo_polygon_and_rank_feature(spark):
     assert {r["id"]: r["_score"] for r in rf2.collect()}[2] == pytest.approx(math.log(21))
 
 
+def test_runtime_mappings_and_collapse(spark, corpus):
+    out = dsl.search(spark, corpus, {
+        "runtime_mappings": {"n2": {"script": {"source": "n * 2"}}},
+        "query": {"range": {"n2": {"gte": 60}}},
+        "size": 10,
+    })
+    assert {r["doc_id"] for r in out.collect()} == {3, 4, 5}
+    # collapse on lang: best (first by sort) doc per lang
+    out2 = dsl.search(spark, corpus, {
+        "query": {"match_all": {}}, "sort": [{"n": "desc"}],
+        "collapse": {"field": "lang"}, "size": 10,
+    })
+    rows = {r["lang"]: r["doc_id"] for r in out2.collect()}
+    assert rows == {"en": 5, "fr": 4, "de": 3}
+
+
 def test_knn_body(spark):
     rows = [(i, [float(i), 1.0, 0.0]) for i in range(5)] + [(99, [100.0, 1.0, 0.0])]
     df = spark.createDataFrame(rows, "id long, emb array<double>")
