@@ -184,9 +184,20 @@ def regex_simple_tokenize(text: str) -> list[str]:
     return _SIMPLE_RE.findall(text.lower())
 
 
+def english_analyze(text: str) -> list[str]:
+    """The `english` language analyzer preset (AC/CommonAnalysisPlugin
+    registers per-language analyzers; english = standard tokenizer +
+    lowercase + english stop set + english stemmer — the most-used of the
+    ~40 language presets)."""
+    toks = standard_tokenize(text)
+    toks = _filter_stop(toks)
+    return _filter_stemmer_minimal_english(toks)
+
+
 ANALYZERS = {
     "standard": standard_tokenize,
     "regex_simple": regex_simple_tokenize,
+    "english": english_analyze,
 }
 
 # --- token filters (the AC/ factory layer, applied tokenizer-output-side) ---

@@ -321,11 +321,10 @@ def _positional_topk(
         terms, expansions, ordered, max_total_gap,
     )
     n_tasks = max(1, min(len(segs), spark.sparkContext.defaultParallelism))
-    cands = (
-        spark.createDataFrame([(s,) for s in segs], "seg int")
-        .repartition(n_tasks)
-        .mapInPandas(fn, CAND_SCHEMA)
-    )
+    # explicit-slice parallelize: same task layout as repartition(), minus
+    # one Exchange stage per query
+    seg_rdd = spark.sparkContext.parallelize([(int(s),) for s in segs], n_tasks)
+    cands = spark.createDataFrame(seg_rdd, "seg int").mapInPandas(fn, CAND_SCHEMA)
     top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     docs = spark.read.parquet(*store.docs_glob(index_dir)).select("doc_id", "url")
     return (

