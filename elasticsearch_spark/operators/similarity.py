@@ -80,28 +80,34 @@ def build_lsh_index(
     if n_planes is None:
         n_planes = pick_n_planes(df.count())
     planes = _planes(n_tables, n_planes, dim, seed)
+    # One scan, one Arrow batch per partition: signatures for ALL L tables
+    # come from a single numpy matmul sign(V @ P^T) with the bit-pack done
+    # in uint64 — (rows x L*P flops) vectorized, vs the old shape of L
+    # unioned selects each evaluating P interpreted higher-order-function
+    # dot products per row (which also cost seconds of driver plan-build).
+    pmat = planes.reshape(n_tables * n_planes, dim).T.copy()  # (dim, L*P)
+    weights = (1 << np.arange(n_planes, dtype=np.uint64))
+
+    import pandas as pd
+
+    def _buckets_fn(vs):
+        V = np.asarray(list(vs), dtype=np.float64)  # (n, dim)
+        signs = (V @ pmat) >= 0  # (n, L*P)
+        b = (
+            signs.reshape(len(vs), n_tables, n_planes).astype(np.uint64) * weights
+        ).sum(axis=2).astype(np.int64)  # (n, L)
+        return pd.Series(list(b))
+
+    # annotate explicitly: `from __future__ import annotations` stringifies
+    # inline hints, which pandas_udf's eval-type inference can't read
+    _buckets_fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    _buckets = F.pandas_udf(_buckets_fn, "array<long>")
+
     base = df.select(F.col(key).alias("__key"), F.col(vec_col).cast("array<double>").alias("__v"))
-    tables = []
-    for t in range(n_tables):
-        sel = base
-        for i, row in enumerate(planes[t]):
-            sel = sel.withColumn(f"__pl{i}", F.array(*[F.lit(float(x)) for x in row]))
-        dots = [
-            F.expr(
-                f"aggregate(zip_with(__pl{i}, __v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-            )
-            for i in range(n_planes)
-        ]
-        bucket = F.lit(0).cast("long")
-        for i, d in enumerate(dots):
-            bucket = bucket + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        tables.append(sel.select(F.lit(t).alias("tbl"), bucket.alias("bucket"), "__key", "__v"))
-    out = tables[0]
-    for t in tables[1:]:
-        out = out.unionByName(t)
-    return out
+    return (
+        base.select(F.posexplode(_buckets("__v")).alias("tbl", "bucket"), "__key", "__v")
+        .select("tbl", "bucket", "__key", "__v")
+    )
 
 
 def lsh_topk(
