@@ -382,6 +382,168 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
             .limit(size)
         )
 
+    if kind == "multi_terms":
+        # MultiTermsAggregationBuilder.java: buckets keyed by the TUPLE of
+        # several fields; key_as_string joins the parts with "|"; ordered by
+        # doc_count desc like terms. One groupBy on the composite key —
+        # Catalyst still map-side combines, so scale = terms agg.
+        fields = [t["field"] for t in body["terms"]]
+        size = body.get("size", 10)
+        grouped = _apply_metric_subaggs(df.groupBy(*[F.col(x) for x in fields]), sub)
+        metric_names = [c for c in grouped.columns if c not in fields]
+        return (
+            grouped.withColumn(
+                "key", F.concat_ws("|", *[F.col(x).cast("string") for x in fields])
+            )
+            .select("key", *metric_names)
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(size)
+        )
+
+    if kind == "ip_prefix":
+        # IpPrefixAggregationBuilder.java: bucket IPv4 addresses by their
+        # /prefix_length network (v4 subset, numeric mask then re-format)
+        f = body["field"]
+        plen = int(body["prefix_length"])
+        mask = (~((1 << (32 - plen)) - 1)) & 0xFFFFFFFF
+        ipnum = F.expr(
+            f"aggregate(transform(split({f}, '\\\\.'), x -> cast(x as bigint)),"
+            " 0L, (acc, x) -> acc * 256 + x)"
+        )
+        net = ipnum.bitwiseAND(F.lit(mask))
+        key = F.concat_ws(
+            ".",
+            F.shiftright(net, 24).bitwiseAND(F.lit(255)).cast("string"),
+            F.shiftright(net, 16).bitwiseAND(F.lit(255)).cast("string"),
+            F.shiftright(net, 8).bitwiseAND(F.lit(255)).cast("string"),
+            net.bitwiseAND(F.lit(255)).cast("string"),
+        )
+        return _apply_metric_subaggs(df.groupBy(key.alias("key")), sub).orderBy("key")
+
+    if kind == "string_stats":
+        # StringStatsAggregationBuilder.java (analytics module): count /
+        # min_length / max_length / avg_length over the values, plus the
+        # Shannon entropy of the CHARACTER distribution across all values.
+        # Two tiny aggregates cross-joined — the char histogram is a
+        # groupBy(char) (bounded by the alphabet, so the shuffle is O(|Σ|)).
+        f = body["field"]
+        base = df.agg(
+            F.count(f).alias("count"),
+            F.min(F.length(f)).alias("min_length"),
+            F.max(F.length(f)).alias("max_length"),
+            F.avg(F.length(f)).alias("avg_length"),
+        )
+        chars = df.select(F.explode(F.split(F.col(f), "")).alias("ch")).where(
+            F.col("ch") != ""
+        )
+        dist = chars.groupBy("ch").agg(F.count("*").cast("double").alias("n"))
+        tot = chars.count()
+        ent = dist.agg(
+            (-F.sum((F.col("n") / float(tot)) * F.log2(F.col("n") / float(tot)))).alias(
+                "entropy"
+            )
+        )
+        return base.crossJoin(ent)
+
+    if kind == "boxplot":
+        # BoxplotAggregationBuilder.java (analytics module): min/max/q1/q2/q3
+        # plus the 1.5·IQR whisker fences snapped to actual observations.
+        # Quartiles are one exact-percentile pass (3 doubles to the driver),
+        # the whiskers a second conditional aggregate — both full-scan
+        # aggregates, no shuffle beyond the partial/final combine.
+        f = body["field"]
+        q = df.agg(
+            F.expr(f"percentile({f}, 0.25)").alias("q1"),
+            F.expr(f"percentile({f}, 0.5)").alias("q2"),
+            F.expr(f"percentile({f}, 0.75)").alias("q3"),
+        ).collect()[0]
+        iqr = q["q3"] - q["q1"]
+        lo, hi = q["q1"] - 1.5 * iqr, q["q3"] + 1.5 * iqr
+        c = F.col(f)
+        return df.agg(
+            F.min(c).alias("min"),
+            F.max(c).alias("max"),
+            F.lit(q["q1"]).alias("q1"),
+            F.lit(q["q2"]).alias("q2"),
+            F.lit(q["q3"]).alias("q3"),
+            F.min(F.when(c >= lo, c)).alias("lower"),
+            F.max(F.when(c <= hi, c)).alias("upper"),
+        )
+
+    if kind == "matrix_stats":
+        # MatrixStatsAggregationBuilder.java (aggs-matrix-stats module):
+        # per-field moments + pairwise covariance/correlation. All raw
+        # moments come from ONE aggregate pass; skewness/kurtosis derive
+        # from E[x],E[x²],E[x³],E[x⁴] (population form), so the plan is a
+        # single partial/final agg regardless of field count.
+        fields = body["fields"]
+        cols = []
+        for x in fields:
+            c = F.col(x).cast("double")
+            cols += [
+                F.count(c).alias(f"n_{x}"), F.avg(c).alias(f"m1_{x}"),
+                F.avg(c * c).alias(f"m2_{x}"), F.avg(c * c * c).alias(f"m3_{x}"),
+                F.avg(c * c * c * c).alias(f"m4_{x}"),
+            ]
+        for x in fields:
+            for y in fields:
+                cols += [
+                    F.covar_pop(F.col(x).cast("double"), F.col(y).cast("double")).alias(f"cov_{x}_{y}"),
+                    F.corr(F.col(x).cast("double"), F.col(y).cast("double")).alias(f"cor_{x}_{y}"),
+                ]
+        row = df.agg(*cols)
+        pair_frames = []
+        for x in fields:
+            var = F.col(f"m2_{x}") - F.col(f"m1_{x}") * F.col(f"m1_{x}")
+            skew = (
+                F.col(f"m3_{x}") - 3 * F.col(f"m1_{x}") * F.col(f"m2_{x}")
+                + 2 * F.col(f"m1_{x}") ** 3
+            ) / var ** 1.5
+            kurt = (
+                F.col(f"m4_{x}") - 4 * F.col(f"m1_{x}") * F.col(f"m3_{x}")
+                + 6 * F.col(f"m1_{x}") ** 2 * F.col(f"m2_{x}")
+                - 3 * F.col(f"m1_{x}") ** 4
+            ) / var ** 2
+            for y in fields:
+                pair_frames.append(row.select(
+                    F.lit(x).alias("field_x"), F.lit(y).alias("field_y"),
+                    F.col(f"n_{x}").alias("count"),
+                    F.round(F.col(f"m1_{x}"), 4).alias("mean_x"),
+                    F.round(var, 4).alias("variance_x"),
+                    F.round(skew, 4).alias("skewness_x"),
+                    F.round(kurt, 4).alias("kurtosis_x"),
+                    F.round(F.col(f"cov_{x}_{y}"), 4).alias("covariance"),
+                    F.round(F.col(f"cor_{x}_{y}"), 4).alias("correlation"),
+                ))
+        out = pair_frames[0]
+        for fr in pair_frames[1:]:
+            out = out.unionByName(fr)
+        return out.orderBy("field_x", "field_y")
+
+    if kind == "variable_width_histogram":
+        # VariableWidthHistogramAggregationBuilder.java: ~N buckets whose
+        # widths adapt to the data. The reference clusters shard-locally in
+        # collection order (inherently approximate); here the deterministic
+        # analog is equal-frequency (ntile) clustering over a total order —
+        # key = bucket centroid, min/max = bounds. NOTE: ntile is a global
+        # sort window; at 100 TB swap the tile assignment for
+        # approx_percentile boundaries (same output contract, sketch-based).
+        f = body["field"]
+        n = int(body.get("buckets", 10))
+        w = Window.orderBy(F.col(f).asc(), F.col(df.columns[0]).asc())
+        tiled = df.withColumn("__t", F.ntile(n).over(w))
+        return (
+            tiled.groupBy("__t")
+            .agg(
+                F.round(F.avg(f), 4).alias("key"),
+                F.min(f).alias("min"),
+                F.max(f).alias("max"),
+                F.count("*").alias("doc_count"),
+            )
+            .orderBy("__t")
+            .drop("__t")
+        )
+
     if kind == "top_hits":
         raise ValueError("top_hits must be nested under a bucket agg")
 
@@ -634,6 +796,41 @@ def apply_pipeline(buckets: DataFrame, name: str, spec: dict) -> DataFrame:
         for var, col in body["buckets_path"].items():
             expr = expr.replace(f"params.{var}", f"`{col}`")
         return buckets.where(F.expr(expr))
+    if kind == "normalize":
+        # NormalizePipelineAggregationBuilder.java (analytics module): six
+        # rescaling methods over the bucket frame — whole-frame window
+        # aggregates (the frame is coordinator-small by construction)
+        method = body["method"]
+        wf = Window.partitionBy()
+        mn, mx = F.min(src).over(wf), F.max(src).over(wf)
+        mean, sm = F.avg(src).over(wf), F.sum(src).over(wf)
+        std = F.stddev_pop(src).over(wf)
+        exprs = {
+            "rescale_0_1": (src - mn) / (mx - mn),
+            "rescale_0_100": 100.0 * (src - mn) / (mx - mn),
+            "percent_of_sum": 100.0 * src / sm,
+            "mean": (src - mean) / (mx - mn),
+            "z-score": (src - mean) / std,
+            "softmax": F.exp(src) / F.sum(F.exp(src)).over(wf),
+        }
+        return buckets.withColumn(name, F.round(exprs[method], 6))
+
+    if kind == "moving_percentiles":
+        # MovingPercentilesPipelineAggregationBuilder.java: exact percentile
+        # over a sliding window of trailing buckets (the reference slides a
+        # merged t-digest; the frame is coordinator-small so exact is free)
+        window = int(body.get("window", 5))
+        pcts = body.get("percents", [50.0])
+        frame = w.rowsBetween(-(window - 1), 0)
+        out = buckets
+        colname = "doc_count" if path in ("_count",) else path
+        for p in pcts:
+            out = out.withColumn(
+                f"{name}.{p}",
+                F.expr(f"percentile(`{colname}`, {p / 100.0})").over(frame),
+            )
+        return out
+
     if kind == "bucket_sort":
         order = []
         for s in body.get("sort", []):
@@ -650,6 +847,7 @@ def apply_pipeline(buckets: DataFrame, name: str, spec: dict) -> DataFrame:
 _PIPELINE_KINDS = {
     "cumulative_sum", "derivative", "serial_diff", "moving_fn",
     "bucket_script", "bucket_selector", "bucket_sort",
+    "normalize", "moving_percentiles",
 }
 
 # sibling pipelines: aggregate ANOTHER agg's bucket frame into one row

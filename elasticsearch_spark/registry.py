@@ -1156,6 +1156,124 @@ def a_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     }).select("doc_count", "n", F.round("avg_chars", 4).alias("avg_chars"))
 
 
+def a_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_terms (MultiTermsAggregationBuilder.java): buckets keyed by the
+    (lang, source) tuple, count-desc, with an avg sub-metric."""
+    from .plans import aggs as aggs_mod
+
+    return aggs_mod.compile_agg(_docs(spark, sf_dir), "mt", {
+        "multi_terms": {"terms": [{"field": "lang"}, {"field": "source"}], "size": 10},
+        "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}},
+    }).select("key", "doc_count", F.round("avg_chars", 4).alias("avg_chars"))
+
+
+def a_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ip_prefix (IpPrefixAggregationBuilder.java): /20 network buckets over
+    an IPv4 column (derived deterministically from user_id — the testdata
+    has no IP column; the same derivation runs in the oracle)."""
+    from .plans import aggs as aggs_mod
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ip",
+        F.expr(
+            "concat('10.', cast(shiftright(user_id, 16) & 255 as string), '.',"
+            " cast(shiftright(user_id, 8) & 255 as string), '.',"
+            " cast(user_id & 255 as string))"
+        ),
+    )
+    return aggs_mod.compile_agg(ev, "nets", {
+        "ip_prefix": {"field": "ip", "prefix_length": 20},
+        "aggs": {"sv": {"sum": {"field": "value"}}},
+    }).select("key", "doc_count", F.round("sv", 4).alias("sv"))
+
+
+def a_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """string_stats (StringStatsAggregationBuilder.java, analytics module):
+    length stats + Shannon entropy of the char distribution over text."""
+    from .plans import aggs as aggs_mod
+
+    out = aggs_mod.compile_agg(_docs(spark, sf_dir), "ss", {"string_stats": {"field": "text"}})
+    return out.select(
+        F.col("count").cast("long").alias("count"),
+        F.col("min_length").cast("long").alias("min_length"),
+        F.col("max_length").cast("long").alias("max_length"),
+        F.round("avg_length", 4).alias("avg_length"),
+        F.round("entropy", 4).alias("entropy"),
+    )
+
+
+def a_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """boxplot (BoxplotAggregationBuilder.java, analytics module): exact
+    quartiles + 1.5·IQR whisker fences snapped to observations."""
+    from .plans import aggs as aggs_mod
+
+    out = aggs_mod.compile_agg(_events(spark, sf_dir), "bp", {"boxplot": {"field": "value"}})
+    return out.select(*[F.round(c, 4).alias(c) for c in
+                        ["min", "max", "q1", "q2", "q3", "lower", "upper"]])
+
+
+def a_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """matrix_stats (MatrixStatsAggregationBuilder.java, aggs-matrix-stats
+    module): per-field moments + pairwise covariance/correlation over
+    lineitem numerics, one aggregate pass."""
+    from .plans import aggs as aggs_mod
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return aggs_mod.compile_agg(li, "ms", {
+        "matrix_stats": {"fields": ["l_quantity", "l_discount"]}
+    })
+
+
+def a_variable_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """variable_width_histogram (VariableWidthHistogramAggregationBuilder
+    .java): 6 equal-frequency clusters over value — key = centroid."""
+    from .plans import aggs as aggs_mod
+
+    out = aggs_mod.compile_agg(_events(spark, sf_dir), "vw", {
+        "variable_width_histogram": {"field": "value", "buckets": 6}
+    })
+    return out.select("key", F.round("min", 4).alias("min"),
+                      F.round("max", 4).alias("max"), "doc_count")
+
+
+def a_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize pipeline (NormalizePipelineAggregationBuilder.java):
+    percent_of_sum + z-score over daily doc counts."""
+    from .plans import aggs as aggs_mod
+
+    out = aggs_mod.aggregate(_events(spark, sf_dir), {
+        "daily": {"date_histogram": {"field": "ts", "calendar_interval": "1d"},
+                  "aggs": {
+                      "pct": {"normalize": {"buckets_path": "_count",
+                                            "method": "percent_of_sum"}},
+                      "z": {"normalize": {"buckets_path": "_count",
+                                          "method": "z-score"}},
+                  }},
+    })["daily"]
+    return out.select(F.to_date("key").alias("day"), "doc_count", "pct", "z").orderBy("day")
+
+
+def a_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """moving_percentiles pipeline (MovingPercentilesPipelineAggregation
+    Builder.java): trailing-7-bucket median of the daily value sum."""
+    from .plans import aggs as aggs_mod
+
+    out = aggs_mod.aggregate(_events(spark, sf_dir), {
+        "daily": {"date_histogram": {"field": "ts", "calendar_interval": "1d"},
+                  "aggs": {
+                      "sv": {"sum": {"field": "value"}},
+                      "mp": {"moving_percentiles": {"buckets_path": "sv",
+                                                    "window": 7,
+                                                    "percents": [50]}},
+                  }},
+    })["daily"]
+    return out.select(
+        F.to_date("key").alias("day"),
+        F.round("sv", 4).alias("sv"),
+        F.round(F.col("`mp.50`"), 4).alias("mp_50"),
+    ).orderBy("day")
+
+
 ORACLES: dict[str, str] = {
     "match_or_bm25": _bm25_sql(_OR_TERMS),
     "match_and_bm25": _bm25_sql(_AND_TERMS, msm=len(_AND_TERMS)),
@@ -1750,6 +1868,100 @@ SELECT count(*)::BIGINT AS doc_count, count(doc_id)::BIGINT AS n,
        round(avg(n_chars), 4) AS avg_chars
 FROM s
 """,
+    "agg_multi_terms": """
+SELECT lang || '|' || source AS key, count(*)::BIGINT AS doc_count,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang, source
+ORDER BY doc_count DESC, key ASC LIMIT 10
+""",
+    "agg_ip_prefix": """
+SELECT concat('10.', ((user_id >> 16) & 255)::VARCHAR, '.',
+              (((user_id >> 8) & 255) & 240)::VARCHAR, '.0') AS key,
+       count(*)::BIGINT AS doc_count, round(sum(value), 4) AS sv
+FROM events GROUP BY 1 ORDER BY key
+""",
+    "agg_string_stats": """
+WITH ch AS (SELECT unnest(string_split(text, '')) AS c FROM documents),
+d AS (SELECT c, count(*)::DOUBLE AS n FROM ch WHERE c <> '' GROUP BY c),
+t AS (SELECT sum(n) AS s FROM d),
+e AS (SELECT round(-sum((n / s) * log2(n / s)), 4) AS entropy FROM d, t),
+b AS (SELECT count(text)::BIGINT AS count, min(length(text))::BIGINT AS min_length,
+             max(length(text))::BIGINT AS max_length,
+             round(avg(length(text)), 4) AS avg_length
+      FROM documents)
+SELECT b.*, e.entropy FROM b, e
+""",
+    "agg_boxplot": """
+WITH q AS (SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.50) AS q2,
+                  quantile_cont(value, 0.75) AS q3 FROM events)
+SELECT round(min(value), 4) AS "min", round(max(value), 4) AS "max",
+       round(min(q1), 4) AS q1, round(min(q2), 4) AS q2, round(min(q3), 4) AS q3,
+       round(min(CASE WHEN value >= q1 - 1.5 * (q3 - q1) THEN value END), 4) AS lower,
+       round(max(CASE WHEN value <= q3 + 1.5 * (q3 - q1) THEN value END), 4) AS upper
+FROM events, q
+""",
+    "agg_matrix_stats": """
+WITH m AS (
+  SELECT count(l_quantity)::BIGINT AS n_q, avg(l_quantity) AS m1_q,
+         avg(l_quantity * l_quantity) AS m2_q,
+         avg(l_quantity * l_quantity * l_quantity) AS m3_q,
+         avg(l_quantity * l_quantity * l_quantity * l_quantity) AS m4_q,
+         count(l_discount)::BIGINT AS n_d, avg(l_discount) AS m1_d,
+         avg(l_discount * l_discount) AS m2_d,
+         avg(l_discount * l_discount * l_discount) AS m3_d,
+         avg(l_discount * l_discount * l_discount * l_discount) AS m4_d,
+         covar_pop(l_quantity, l_quantity) AS cov_qq,
+         covar_pop(l_quantity, l_discount) AS cov_qd,
+         covar_pop(l_discount, l_discount) AS cov_dd,
+         corr(l_quantity, l_quantity) AS cor_qq,
+         corr(l_quantity, l_discount) AS cor_qd,
+         corr(l_discount, l_discount) AS cor_dd
+  FROM lineitem
+)
+SELECT * FROM (
+  SELECT 'l_discount' AS field_x, 'l_discount' AS field_y, n_d AS count,
+         round(m1_d, 4) AS mean_x, round(m2_d - m1_d * m1_d, 4) AS variance_x,
+         round((m3_d - 3 * m1_d * m2_d + 2 * power(m1_d, 3)) / power(m2_d - m1_d * m1_d, 1.5), 4) AS skewness_x,
+         round((m4_d - 4 * m1_d * m3_d + 6 * power(m1_d, 2) * m2_d - 3 * power(m1_d, 4)) / power(m2_d - m1_d * m1_d, 2), 4) AS kurtosis_x,
+         round(cov_dd, 4) AS covariance, round(cor_dd, 4) AS correlation FROM m
+  UNION ALL
+  SELECT 'l_discount', 'l_quantity', n_d, round(m1_d, 4), round(m2_d - m1_d * m1_d, 4),
+         round((m3_d - 3 * m1_d * m2_d + 2 * power(m1_d, 3)) / power(m2_d - m1_d * m1_d, 1.5), 4),
+         round((m4_d - 4 * m1_d * m3_d + 6 * power(m1_d, 2) * m2_d - 3 * power(m1_d, 4)) / power(m2_d - m1_d * m1_d, 2), 4),
+         round(cov_qd, 4), round(cor_qd, 4) FROM m
+  UNION ALL
+  SELECT 'l_quantity', 'l_discount', n_q, round(m1_q, 4), round(m2_q - m1_q * m1_q, 4),
+         round((m3_q - 3 * m1_q * m2_q + 2 * power(m1_q, 3)) / power(m2_q - m1_q * m1_q, 1.5), 4),
+         round((m4_q - 4 * m1_q * m3_q + 6 * power(m1_q, 2) * m2_q - 3 * power(m1_q, 4)) / power(m2_q - m1_q * m1_q, 2), 4),
+         round(cov_qd, 4), round(cor_qd, 4) FROM m
+  UNION ALL
+  SELECT 'l_quantity', 'l_quantity', n_q, round(m1_q, 4), round(m2_q - m1_q * m1_q, 4),
+         round((m3_q - 3 * m1_q * m2_q + 2 * power(m1_q, 3)) / power(m2_q - m1_q * m1_q, 1.5), 4),
+         round((m4_q - 4 * m1_q * m3_q + 6 * power(m1_q, 2) * m2_q - 3 * power(m1_q, 4)) / power(m2_q - m1_q * m1_q, 2), 4),
+         round(cov_qq, 4), round(cor_qq, 4) FROM m
+) ORDER BY field_x, field_y
+""",
+    "agg_variable_width_histogram": """
+WITH t AS (SELECT value, event_id, ntile(6) OVER (ORDER BY value, event_id) AS tt FROM events)
+SELECT round(avg(value), 4) AS key, round(min(value), 4) AS "min",
+       round(max(value), 4) AS "max", count(*)::BIGINT AS doc_count
+FROM t GROUP BY tt ORDER BY tt
+""",
+    "agg_normalize": """
+WITH b AS (SELECT cast(ts AS DATE) AS day, count(*)::BIGINT AS doc_count
+           FROM events GROUP BY 1)
+SELECT day, doc_count,
+       round(100.0 * doc_count / sum(doc_count) OVER (), 6) AS pct,
+       round((doc_count - avg(doc_count) OVER ()) / stddev_pop(doc_count) OVER (), 6) AS z
+FROM b ORDER BY day
+""",
+    "agg_moving_percentiles": """
+WITH b AS (SELECT cast(ts AS DATE) AS day, sum(value) AS sv
+           FROM events GROUP BY 1)
+SELECT day, round(sv, 4) AS sv,
+       round(quantile_cont(sv, 0.5) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mp_50
+FROM b ORDER BY day
+""",
 }
 
 
@@ -1819,4 +2031,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_match_cross_fields": q_cross_fields,
     "agg_sibling_buckets": a_sibling_buckets,
     "agg_diversified_sampler": a_diversified_sampler,
+    "agg_multi_terms": a_multi_terms,
+    "agg_ip_prefix": a_ip_prefix,
+    "agg_string_stats": a_string_stats,
+    "agg_boxplot": a_boxplot,
+    "agg_matrix_stats": a_matrix_stats,
+    "agg_variable_width_histogram": a_variable_width_histogram,
+    "agg_normalize": a_normalize,
+    "agg_moving_percentiles": a_moving_percentiles,
 }

@@ -337,3 +337,98 @@ def test_scripted_metric(spark, frame):
         "reduce_script": "sum(states)"}}})["sm"]
     exp = sum(i * 2 for i in range(60) if i % 3 == 0)
     assert out.collect()[0]["sm"] == exp
+
+
+def test_multi_terms(spark, frame):
+    out = aggs.compile_agg(frame, "mt", {
+        "multi_terms": {"terms": [{"field": "cat"}, {"field": "grp"}], "size": 5},
+        "aggs": {"avg_v": {"avg": {"field": "v"}}},
+    })
+    rows = out.collect()
+    assert rows[0]["key"].count("|") == 1
+    assert [r["doc_count"] for r in rows] == sorted(
+        [r["doc_count"] for r in rows], reverse=True
+    )
+
+
+def test_ip_prefix(spark):
+    df = spark.createDataFrame(
+        [("10.1.17.4",), ("10.1.18.200",), ("10.1.32.1",)], "ip string"
+    )
+    out = aggs.compile_agg(df, "nets", {"ip_prefix": {"field": "ip", "prefix_length": 20}})
+    got = rowmap(out)
+    # /20 keeps the top 4 bits of octet 3: 17,18 → 16; 32 → 32
+    assert got == {
+        "10.1.16.0": {"key": "10.1.16.0", "doc_count": 2},
+        "10.1.32.0": {"key": "10.1.32.0", "doc_count": 1},
+    }
+
+
+def test_string_stats_entropy(spark):
+    df = spark.createDataFrame([("aabb",), ("ab",)], "s string")
+    out = aggs.compile_agg(df, "ss", {"string_stats": {"field": "s"}}).collect()[0]
+    # chars: a×3, b×3 → uniform over 2 symbols → entropy exactly 1 bit
+    assert out["count"] == 2 and out["min_length"] == 2 and out["max_length"] == 4
+    assert abs(out["entropy"] - 1.0) < 1e-9
+
+
+def test_boxplot_whiskers(spark):
+    vals = [float(x) for x in [1, 2, 3, 4, 5, 6, 7, 8, 100]]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = aggs.compile_agg(df, "bp", {"boxplot": {"field": "v"}}).collect()[0]
+    assert out["min"] == 1.0 and out["max"] == 100.0
+    assert out["q2"] == 5.0
+    # 100 is outside the 1.5·IQR fence → upper whisker snaps to 8
+    assert out["upper"] == 8.0 and out["lower"] == 1.0
+
+
+def test_matrix_stats_correlation(spark):
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i + 1.0) for i in range(10)], "x double, y double"
+    )
+    out = aggs.compile_agg(df, "ms", {"matrix_stats": {"fields": ["x", "y"]}})
+    got = {(r["field_x"], r["field_y"]): r.asDict() for r in out.collect()}
+    assert got[("x", "y")]["correlation"] == 1.0  # exactly linear
+    assert got[("x", "x")]["variance_x"] == got[("x", "y")]["covariance"] / 2.0
+    assert abs(got[("x", "x")]["skewness_x"]) < 1e-6  # symmetric
+
+
+def test_variable_width_histogram(spark, frame):
+    out = aggs.compile_agg(frame, "vw", {
+        "variable_width_histogram": {"field": "v", "buckets": 4}
+    }).collect()
+    assert len(out) == 4
+    assert sum(r["doc_count"] for r in out) == 60
+    # buckets ordered and non-overlapping
+    for a, b in zip(out, out[1:]):
+        assert a["max"] <= b["min"]
+
+
+def test_normalize_methods(spark, frame):
+    out = aggs.aggregate(frame, {
+        "cats": {"terms": {"field": "cat", "size": 3},
+                 "aggs": {"pct": {"normalize": {"buckets_path": "_count",
+                                                "method": "percent_of_sum"}},
+                          "sm": {"normalize": {"buckets_path": "_count",
+                                               "method": "softmax"}}}},
+    })["cats"]
+    rows = out.collect()
+    assert abs(sum(r["pct"] for r in rows) - 100.0) < 1e-6
+    assert abs(sum(r["sm"] for r in rows) - 1.0) < 1e-4
+
+
+def test_moving_percentiles(spark, frame):
+    out = aggs.aggregate(frame, {
+        "daily": {"date_histogram": {"field": "ts", "calendar_interval": "1d"},
+                  "aggs": {"sv": {"sum": {"field": "v"}},
+                           "mp": {"moving_percentiles": {"buckets_path": "sv",
+                                                         "window": 3,
+                                                         "percents": [50]}}}},
+    })["daily"]
+    rows = out.orderBy("key").collect()
+    svs = [r["sv"] for r in rows]
+    import statistics
+
+    for i, r in enumerate(rows):
+        window = svs[max(0, i - 2): i + 1]
+        assert abs(r["mp.50"] - statistics.median(window)) < 1e-9
