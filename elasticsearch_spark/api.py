@@ -145,26 +145,15 @@ class Engine:
             if body.get("highlight"):
                 docs_text = self._docs_view(index).select("url", "text")
                 hits = highlight_fn(hits.join(docs_text, "url"), terms).drop("text")
-        elif kind == "span_near" and "sort" not in body:
-            # span_near over span_term clauses (SpanNearQueryBuilder.java,
-            # deprecated in the reference in favor of intervals — same
-            # mapping here): ordered/unordered proximity via the positional
-            # index. span_term values are used verbatim (not re-analyzed),
-            # matching the reference's span_term semantics.
-            from .operators.phrase import search_intervals
+        elif kind.startswith("span_") and "sort" not in body:
+            # full span family (SpanNearQueryBuilder.java et al.): the
+            # span-algebra evaluator over the positional index
+            # (operators/spans.py). span_term values are used verbatim
+            # (not re-analyzed), matching the reference's span_term
+            # semantics.
+            from .operators.spans import search_spans
 
-            clause_terms = []
-            for c in spec["clauses"]:
-                (ck, cb), = c.items()
-                if ck != "span_term":
-                    raise ValueError(f"span_near supports span_term clauses, got {ck}")
-                (fld, v), = cb.items()
-                clause_terms.append(v["value"] if isinstance(v, dict) else v)
-            hits = search_intervals(
-                self.spark, d, " ".join(clause_terms),
-                ordered=spec.get("in_order", True),
-                max_gaps=int(spec.get("slop", 0)), k=size,
-            )
+            hits = search_spans(self.spark, d, q, k=size)
         elif kind in ("match_phrase", "match_phrase_prefix", "intervals") and "sort" not in body:
             # positional queries run against the index (per-segment
             # position-chain verify), not the docs-frame DSL path

@@ -1156,6 +1156,31 @@ def a_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     }).select("doc_count", "n", F.round("avg_chars", 4).alias("avg_chars"))
 
 
+def q_span_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span algebra over the positional index (operators/spans.py):
+    span_not(include=span_term('order'), exclude=span_near(group→order,
+    slop 0)) — 'order' occurrences NOT immediately preceded by 'group',
+    BM25-scored on the include term (SpanNotQueryBuilder.java)."""
+    from .operators.spans import search_spans
+
+    idx = _index_for(spark, sf_dir)
+    body = {"span_not": {
+        "include": {"span_or": {"clauses": [
+            {"span_term": {"text": "order"}},
+            {"span_term": {"text": "join"}},
+        ]}},
+        "exclude": {"span_near": {"clauses": [
+            {"span_term": {"text": "group"}},
+            {"span_term": {"text": "order"}},
+        ], "slop": 0, "in_order": True}},
+    }}
+    hits = search_spans(spark, idx, body, k=10)
+    return hits.select(
+        F.expr("cast(substring(url, 4, 12) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def a_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multi_terms (MultiTermsAggregationBuilder.java): buckets keyed by the
     (lang, source) tuple, count-desc, with an avg sub-metric."""
@@ -1868,6 +1893,20 @@ SELECT count(*)::BIGINT AS doc_count, count(doc_id)::BIGINT AS n,
        round(avg(n_chars), 4) AS avg_chars
 FROM s
 """,
+    "span_query": _bm25_cte(["order", "join"], msm=1) + """,
+sp AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           list_filter(range(1, len(toks) + 1), i -> toks[i] = 'order') AS po,
+           list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS pj,
+           list_filter(range(1, len(toks) + 1), i -> toks[i] = 'group') AS pg
+    FROM tok
+  ) WHERE len(list_filter(po, p -> NOT list_contains(pg, p - 1))) + len(pj) > 0
+)
+SELECT s.doc_id, round(s.score_raw, 4) AS score
+FROM scored s JOIN sp USING (doc_id)
+ORDER BY s.score_raw DESC, s.doc_id ASC LIMIT 10
+""",
     "agg_multi_terms": """
 SELECT lang || '|' || source AS key, count(*)::BIGINT AS doc_count,
        round(avg(n_chars), 4) AS avg_chars
@@ -2031,6 +2070,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_match_cross_fields": q_cross_fields,
     "agg_sibling_buckets": a_sibling_buckets,
     "agg_diversified_sampler": a_diversified_sampler,
+    "span_query": q_span_query,
     "agg_multi_terms": a_multi_terms,
     "agg_ip_prefix": a_ip_prefix,
     "agg_string_stats": a_string_stats,
