@@ -44,6 +44,41 @@ from .plans import dsl
 from .sources import index_store as store
 
 
+def render_template(source: str, params: dict) -> str:
+    """Mustache-subset renderer for search templates (the reference's
+    ``modules/lang-mustache``): ``{{var}}`` substitution (strings inserted
+    JSON-escaped, non-strings as JSON), conditional sections
+    ``{{#var}}…{{/var}}`` / inverted ``{{^var}}…{{/var}}`` (kept when the
+    param is truthy / falsy), and ``{{#toJson}}var{{/toJson}}``."""
+    import json
+    import re
+
+    s = re.sub(
+        r"\{\{#toJson\}\}\s*(\w+)\s*\{\{/toJson\}\}",
+        lambda m: json.dumps(params.get(m.group(1))),
+        source,
+    )
+    prev = None
+    while prev != s:
+        prev = s
+        s = re.sub(
+            r"\{\{#(\w+)\}\}(.*?)\{\{/\1\}\}",
+            lambda m: m.group(2) if params.get(m.group(1)) else "",
+            s, flags=re.S,
+        )
+        s = re.sub(
+            r"\{\{\^(\w+)\}\}(.*?)\{\{/\1\}\}",
+            lambda m: "" if params.get(m.group(1)) else m.group(2),
+            s, flags=re.S,
+        )
+
+    def var(m):
+        v = params.get(m.group(1), "")
+        return json.dumps(v)[1:-1] if isinstance(v, str) else json.dumps(v)
+
+    return re.sub(r"\{\{(\w+)\}\}", var, s)
+
+
 class Engine:
     def __init__(self, spark: SparkSession, root: str = "/tmp/es_spark_indices"):
         self.spark = spark
@@ -243,6 +278,128 @@ class Engine:
 
     def suggest(self, index: str, text: str, **kw) -> DataFrame:
         return term_suggest(self.spark, self._dir(index), text, **kw)
+
+    def suggest_phrase(self, index: str, text: str, **kw) -> DataFrame:
+        """Phrase suggester with bigram-LM rescoring (PhraseSuggester.java);
+        builds the bigram table on first use."""
+        from .operators.suggest import build_bigram_lm, phrase_suggest
+
+        d = self._dir(index)
+        if not os.path.isdir(os.path.join(d, "lm_bigrams")):
+            build_bigram_lm(self.spark, d)
+        return phrase_suggest(self.spark, d, text, **kw)
+
+    def search_template(self, index: str, body: dict) -> dict:
+        """POST /{index}/_search/template (``server/.../script/mustache``
+        module): render the mustache source with params, then search."""
+        import json
+
+        src = body.get("source") or body.get("template")
+        if isinstance(src, dict):
+            src = json.dumps(src)
+        rendered = render_template(src, body.get("params") or {})
+        return self.search(index, json.loads(rendered))
+
+    def render_search_template(self, body: dict) -> dict:
+        """POST /_render/template: the rendered body without executing."""
+        import json
+
+        src = body.get("source") or body.get("template")
+        if isinstance(src, dict):
+            src = json.dumps(src)
+        return json.loads(render_template(src, body.get("params") or {}))
+
+    def field_caps(self, index: str) -> dict:
+        """GET /{index}/_field_caps: per-field type + searchable/aggregatable
+        (TransportFieldCapabilitiesAction.java) from the live docs schema."""
+        docs = self._docs_view(index)
+        out = {}
+        for f in docs.schema.fields:
+            t = f.dataType.simpleString()
+            es_type = {
+                "string": "keyword", "bigint": "long", "int": "integer",
+                "double": "double", "float": "float", "timestamp": "date",
+                "boolean": "boolean", "binary": "binary",
+            }.get(t, t)
+            if f.name == "text":
+                es_type = "text"
+            out[f.name] = {
+                "type": es_type,
+                "searchable": True,
+                "aggregatable": es_type != "text",
+            }
+        return out
+
+    def mget(self, index: str, ids: list[str]) -> DataFrame:
+        """POST /{index}/_mget: fetch docs by url id, input order preserved
+        via a broadcast position join."""
+        pos = self.spark.createDataFrame(
+            [(u, i) for i, u in enumerate(ids)], "url string, __ord int"
+        )
+        return (
+            self._docs_view(index)
+            .join(F.broadcast(pos), "url")
+            .orderBy("__ord")
+            .drop("__ord")
+        )
+
+    def validate_query(self, index: str, query: dict) -> dict:
+        """GET /{index}/_validate/query: compile the DSL without executing
+        (ValidateQueryAction) — reports the parse/compile error if any."""
+        docs = self._docs_view(index)
+        try:
+            node = dsl.parse(query)
+            ctx = dsl.SearchContext(docs, "url", text_col="text")
+            try:
+                _ = docs.where(node.predicate(ctx)).schema  # force analysis
+            except NotImplementedError:
+                node.frame(ctx)
+            return {"valid": True, "error": None}
+        except Exception as e:  # noqa: BLE001 — the API reports, not raises
+            return {"valid": False, "error": f"{type(e).__name__}: {e}"}
+
+    def rank_eval(self, index: str, requests: list[dict], metric: dict) -> dict:
+        """POST /{index}/_rank_eval (``server/.../index/rankeval/``):
+        precision/recall@k, MRR, (n)DCG over rated search results."""
+        import math
+
+        (mkind, mspec), = metric.items()
+        k = int(mspec.get("k", 10))
+        thr = int(mspec.get("relevant_rating_threshold", 1))
+        details = {}
+        for req in requests:
+            ratings = {r["_id"]: int(r["rating"]) for r in req["ratings"]}
+            body = dict(req["request"])
+            body["size"] = k
+            hits = [r["url"] for r in self.search(index, body)["hits"].collect()[:k]]
+            rel = [ratings.get(u, 0) for u in hits]
+            if mkind == "precision":
+                n_rel = sum(1 for r in rel if r >= thr)
+                score = n_rel / len(hits) if hits else 0.0
+            elif mkind == "recall":
+                total_rel = sum(1 for v in ratings.values() if v >= thr)
+                n_rel = sum(1 for r in rel if r >= thr)
+                score = n_rel / total_rel if total_rel else 0.0
+            elif mkind == "mean_reciprocal_rank":
+                score = next(
+                    (1.0 / (i + 1) for i, r in enumerate(rel) if r >= thr), 0.0
+                )
+            elif mkind == "dcg":
+                dcg = sum((2 ** r - 1) / math.log2(i + 2) for i, r in enumerate(rel))
+                if mspec.get("normalize"):
+                    ideal = sorted(ratings.values(), reverse=True)[:k]
+                    idcg = sum((2 ** r - 1) / math.log2(i + 2) for i, r in enumerate(ideal))
+                    score = dcg / idcg if idcg else 0.0
+                else:
+                    score = dcg
+            else:
+                raise ValueError(f"unsupported rank_eval metric: {mkind}")
+            details[req.get("id", req["request"].get("query", ""))] = round(score, 6)
+        vals = list(details.values())
+        return {
+            "metric_score": round(sum(vals) / len(vals), 6) if vals else 0.0,
+            "details": details,
+        }
 
     def explain(self, index: str, terms: list[str], url: str) -> DataFrame:
         return explain_fn(self.spark, self._dir(index), terms, url)

@@ -146,18 +146,171 @@ def completion_suggest(
     )
 
 
+def build_bigram_lm(spark: SparkSession, index_dir: str) -> None:
+    """Materialize the bigram language model the phrase suggester rescores
+    with (the reference's shingle-field analog; ``server/.../search/
+    suggest/phrase/PhraseSuggestionBuilder.java``): (w1, w2, n) counts over
+    the live docs' analyzed token stream. One explode→groupBy shuffle —
+    the same agg shape as the postings build; written w1-sorted so a
+    suggest-time probe is a term-filtered parquet read."""
+    import os
+
+    meta = store.IndexMeta.load(index_dir)
+    docs = spark.read.parquet(*store.docs_glob(index_dir)).select("text")
+    toks = docs.select(analysis.tokens_udf(meta.analyzer)("text").alias("t"))
+    big = (
+        toks.where(F.size("t") >= 2)
+        .select(F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] as w1, t[i] as w2))"
+        )).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    path = os.path.join(index_dir, "lm_bigrams")
+    big.repartition(4, "w1").sortWithinPartitions("w1", "w2").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
 def phrase_suggest(
-    spark: SparkSession, index_dir: str, text: str, max_edits: int = 2
-) -> str:
-    """Phrase correction: each token replaced by its best dictionary
-    candidate (kept verbatim when in-dictionary)."""
+    spark: SparkSession,
+    index_dir: str,
+    text: str,
+    size: int = 3,
+    max_edits: int = 2,
+    num_candidates: int = 3,
+    confidence: float = 1.0,
+    real_word_error_likelihood: float = 0.95,
+    smoothing: str = "stupid_backoff",
+    discount: float = 0.4,
+    alpha: float = 0.5,
+    max_combos: int = 64,
+) -> DataFrame:
+    """Phrase suggester WITH language-model rescoring (``server/.../search/
+    suggest/phrase/PhraseSuggester.java``; scorers ``StupidBackoffScorer
+    .java`` / ``LaplaceScorer.java``; generator ``DirectCandidateGenerator
+    .java``).
+
+    - **Candidates** per analyzed token: the term dictionary within
+      ``max_edits``, top ``num_candidates`` by (distance ASC, df DESC,
+      term ASC), plus the verbatim token when in-dictionary.
+    - **Channel**: ``real_word_error_likelihood`` for the verbatim token;
+      ``(1 − rwel)·2^(1−d)`` for a distance-``d`` correction (the
+      exponential edit-distance discounting shape).
+    - **LM**: bigram stupid backoff ``P(w₂|w₁) = c₁₂/c₁`` else
+      ``discount·c₂/N`` (or laplace ``(c₁₂+α)/(c₁+α·V)``); first token
+      scores ``c/N``. Unseen unigrams floor at ``0.5/N``.
+    - Phrase score = Σ log(channel·LM); candidates ranked (score DESC,
+      suggestion ASC); only suggestions scoring above ``confidence`` ×
+      the input phrase's own score survive (the reference's confidence
+      gate).
+
+    The candidate LATTICE (≤ ``max_combos`` phrases) is scored driver-side
+    over counts fetched by ONE term-filtered read each of the stats and
+    bigram tables (parquet predicate pushdown) — the per-shard rescore
+    analog; nothing scales with corpus size.
+
+    Returns a DataFrame (suggestion, score) — score is the log score
+    rounded to 6 digits."""
+    import itertools
+    import math
+    import os
+
     meta = store.IndexMeta.load(index_dir)
     tokens = analysis.analyze(text, meta.analyzer)
-    best = {
-        r["token"]: r["suggestion"]
-        for r in term_suggest(spark, index_dir, text, max_edits=max_edits, size=1).collect()
+    empty = spark.createDataFrame([], "suggestion string, score double")
+    if not tokens:
+        return empty
+
+    cand_rows = term_suggest(
+        spark, index_dir, text, max_edits=max_edits, size=num_candidates,
+        suggest_mode="always",
+    ).collect()
+    per_tok: dict[str, list[tuple[str, int]]] = {}
+    for r in cand_rows:
+        per_tok.setdefault(r["token"], []).append((r["suggestion"], int(r["distance"])))
+
+    stats = spark.read.parquet(store.term_stats_path(index_dir))
+    all_terms = sorted({t for t in tokens} | {s for v in per_tok.values() for s, _ in v})
+    uni = {
+        r["term"]: (float(r["cf"]), float(r["df"]))
+        for r in stats.where(F.col("term").isin(all_terms)).collect()
     }
-    return " ".join(best.get(t, t) for t in tokens)
+    cands: list[list[tuple[str, int]]] = []
+    for t in tokens:
+        lst = list(per_tok.get(t, []))
+        if t in uni:
+            lst.append((t, 0))
+        if not lst:
+            lst = [(t, 0)]  # OOV with no candidates: keep verbatim
+        # deterministic: distance ASC, cf DESC, term ASC
+        lst.sort(key=lambda x: (x[1], -uni.get(x[0], (0.0, 0.0))[0], x[0]))
+        cands.append(lst)
+    # cap the lattice: trim the widest list until the product fits
+    while math.prod(len(c) for c in cands) > max_combos:
+        widest = max(range(len(cands)), key=lambda i: len(cands[i]))
+        cands[widest] = cands[widest][:-1]
+
+    pairs = set()
+    for a, b in zip(cands, cands[1:]):
+        pairs |= {(x[0], y[0]) for x in a for y in b}
+    bi: dict[tuple[str, str], float] = {}
+    lm_path = os.path.join(index_dir, "lm_bigrams")
+    if pairs and os.path.isdir(lm_path):
+        w1s = sorted({p[0] for p in pairs})
+        rows = (
+            spark.read.parquet(lm_path)
+            .where(F.col("w1").isin(w1s))
+            .collect()
+        )
+        bi = {(r["w1"], r["w2"]): float(r["n"]) for r in rows if (r["w1"], r["w2"]) in pairs}
+
+    n_total = float(max(meta.sum_dl, 1))
+    vocab = float(max(len(uni), 1))
+
+    def uni_p(w: str) -> float:
+        c = uni.get(w, (0.0, 0.0))[0]
+        return max(c, 0.5) / n_total
+
+    def lm_p(w1: str, w2: str) -> float:
+        c1 = uni.get(w1, (0.0, 0.0))[0]
+        c12 = bi.get((w1, w2), 0.0)
+        if smoothing == "laplace":
+            return (c12 + alpha) / (c1 + alpha * vocab)
+        if c12 > 0 and c1 > 0:
+            return c12 / c1
+        return discount * uni_p(w2)
+
+    rwel = real_word_error_likelihood
+
+    def channel(d: int) -> float:
+        return rwel if d == 0 else (1.0 - rwel) * (2.0 ** (1 - d))
+
+    def score(phrase: list[tuple[str, int]]) -> float:
+        s = math.log(channel(phrase[0][1])) + math.log(uni_p(phrase[0][0]))
+        for (w1, _), (w2, d2) in zip(phrase, phrase[1:]):
+            s += math.log(channel(d2)) + math.log(lm_p(w1, w2))
+        return s
+
+    # confidence gates in REAL space (score > confidence × input-score);
+    # in log space that is s > log(confidence) + input_s
+    input_score = score([(t, 0) for t in tokens])
+    gate = (math.log(confidence) + input_score) if confidence > 0 else float("-inf")
+    scored: dict[str, float] = {}
+    for combo in itertools.product(*cands):
+        phrase = " ".join(w for w, _ in combo)
+        s = score(list(combo))
+        if phrase not in scored or s > scored[phrase]:
+            scored[phrase] = s
+    out = [
+        (p, round(s, 6)) for p, s in scored.items()
+        if p != " ".join(tokens) and s > gate
+    ]
+    out.sort(key=lambda x: (-x[1], x[0]))
+    if not out:
+        return empty
+    return spark.createDataFrame(out[:size], "suggestion string, score double")
 
 
 def explain(

@@ -1181,6 +1181,20 @@ def q_span_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase suggester WITH bigram-LM rescoring (PhraseSuggester.java +
+    StupidBackoffScorer.java): per-token dictionary candidates, channel ×
+    stupid-backoff LM lattice scoring over the corpus bigram table."""
+    import os
+
+    from .operators.suggest import build_bigram_lm, phrase_suggest
+
+    idx = _index_for(spark, sf_dir)
+    if not os.path.isdir(os.path.join(idx, "lm_bigrams")):
+        build_bigram_lm(spark, idx)
+    return phrase_suggest(spark, idx, "sirt hasj", size=3, confidence=0.0)
+
+
 def a_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multi_terms (MultiTermsAggregationBuilder.java): buckets keyed by the
     (lang, source) tuple, count-desc, with an avg sub-metric."""
@@ -1907,6 +1921,36 @@ SELECT s.doc_id, round(s.score_raw, 4) AS score
 FROM scored s JOIN sp USING (doc_id)
 ORDER BY s.score_raw DESC, s.doc_id ASC LIMIT 10
 """,
+    "phrase_suggest_lm": f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+uni AS (SELECT term, count(*)::DOUBLE AS c, count(DISTINCT doc_id)::DOUBLE AS df FROM (
+  SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY term),
+tot AS (SELECT sum(len(toks))::DOUBLE AS n FROM tok),
+big AS (SELECT w1, w2, count(*)::DOUBLE AS c12 FROM (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM tok, unnest(range(1, len(toks))) AS u(i)
+) GROUP BY 1, 2),
+c1 AS (SELECT term, c, d FROM (
+  SELECT term, c, levenshtein(term, 'sirt') AS d,
+         row_number() OVER (ORDER BY levenshtein(term, 'sirt'), df DESC, term) AS rn
+  FROM uni WHERE levenshtein(term, 'sirt') BETWEEN 1 AND 2 AND abs(len(term) - 4) <= 2
+) WHERE rn <= 3),
+c2 AS (SELECT term, c, d FROM (
+  SELECT term, c, levenshtein(term, 'hasj') AS d,
+         row_number() OVER (ORDER BY levenshtein(term, 'hasj'), df DESC, term) AS rn
+  FROM uni WHERE levenshtein(term, 'hasj') BETWEEN 1 AND 2 AND abs(len(term) - 4) <= 2
+) WHERE rn <= 3),
+combos AS (
+  SELECT c1.term || ' ' || c2.term AS suggestion,
+         ln(0.05 * power(2, 1 - c1.d)) + ln(greatest(c1.c, 0.5) / tot.n)
+         + ln(0.05 * power(2, 1 - c2.d))
+         + ln(CASE WHEN coalesce(b.c12, 0) > 0 THEN b.c12 / c1.c
+                   ELSE 0.4 * greatest(c2.c, 0.5) / tot.n END) AS s
+  FROM c1 CROSS JOIN c2 CROSS JOIN tot
+  LEFT JOIN big b ON b.w1 = c1.term AND b.w2 = c2.term
+)
+SELECT suggestion, round(s, 6) AS score FROM combos
+ORDER BY s DESC, suggestion LIMIT 3
+""",
     "agg_multi_terms": """
 SELECT lang || '|' || source AS key, count(*)::BIGINT AS doc_count,
        round(avg(n_chars), 4) AS avg_chars
@@ -2071,6 +2115,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_sibling_buckets": a_sibling_buckets,
     "agg_diversified_sampler": a_diversified_sampler,
     "span_query": q_span_query,
+    "phrase_suggest_lm": q_phrase_suggest,
     "agg_multi_terms": a_multi_terms,
     "agg_ip_prefix": a_ip_prefix,
     "agg_string_stats": a_string_stats,

@@ -168,3 +168,47 @@ def test_geo_and_script_sort(es, spark):
     by_script = dsl.search(spark, df, {"query": {"match_all": {}}, "sort": [
         {"_script": {"script": {"source": "v * -1.0"}, "order": "asc"}}]}, key="id")
     assert [r["id"] for r in by_script.collect()] == [3, 1, 2]
+
+
+def test_search_template(es):
+    out = es.search_template("pages", {
+        "source": '{"query": {"match": {"text": "{{q}}"}}, "size": {{size}}'
+                  '{{#with_aggs}}, "aggs": {"langs": {"terms": {"field": "lang"}}}{{/with_aggs}}}',
+        "params": {"q": "spark", "size": 3, "with_aggs": True},
+    })
+    assert {r["url"] for r in out["hits"].collect()} == {"u1", "u3"}
+    assert "langs" in out["aggregations"]
+    rendered = es.render_search_template({
+        "source": '{"query": {"term": {"lang": "{{lang}}"}}{{^lang}}, "size": 1{{/lang}}}',
+        "params": {"lang": "de"},
+    })
+    assert rendered == {"query": {"term": {"lang": "de"}}}
+
+
+def test_field_caps_and_mget(es):
+    caps = es.field_caps("pages")
+    assert caps["text"]["type"] == "text" and not caps["text"]["aggregatable"]
+    assert caps["lang"] == {"type": "keyword", "searchable": True, "aggregatable": True}
+    got = es.mget("pages", ["u3", "u1", "zzz"])
+    assert [r["url"] for r in got.collect()] == ["u3", "u1"]
+
+
+def test_validate_query(es):
+    assert es.validate_query("pages", {"term": {"lang": "en"}})["valid"]
+    bad = es.validate_query("pages", {"range": {"nope_field": {"gte": 1}}})
+    assert not bad["valid"] and "nope_field" in bad["error"]
+
+
+def test_rank_eval(es):
+    requests = [{
+        "id": "q1",
+        "request": {"query": {"match": {"text": "spark computing"}}},
+        "ratings": [{"_id": "u1", "rating": 3}, {"_id": "u3", "rating": 1},
+                    {"_id": "u5", "rating": 0}],
+    }]
+    prec = es.rank_eval("pages", requests, {"precision": {"k": 3}})
+    assert prec["details"]["q1"] == pytest.approx(2 / 3)
+    mrr = es.rank_eval("pages", requests, {"mean_reciprocal_rank": {"k": 3}})
+    assert mrr["metric_score"] == 1.0  # u1 ranks first
+    ndcg = es.rank_eval("pages", requests, {"dcg": {"k": 3, "normalize": True}})
+    assert 0.9 < ndcg["metric_score"] <= 1.0

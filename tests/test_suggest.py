@@ -43,8 +43,43 @@ def test_term_suggest_always_mode(spark, sug_index):
     assert "spark" not in sugg  # distance 0 excluded
 
 
-def test_phrase_suggest(spark, sug_index):
-    assert phrase_suggest(spark, sug_index, "spork computing") == "spark computing"
+def test_phrase_suggest_lm(spark, sug_index):
+    from elasticsearch_spark.operators.suggest import build_bigram_lm
+
+    build_bigram_lm(spark, sug_index)
+    out = phrase_suggest(spark, sug_index, "spork computing", confidence=0.0).collect()
+    assert out[0]["suggestion"] == "spark computing"
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_phrase_suggest_bigram_context_wins(spark, tmp_path_factory):
+    """The bigram LM overrides raw df: 'steam' is more frequent, but only
+    'stream' follows 'data' in the corpus."""
+    from elasticsearch_spark.operators.suggest import build_bigram_lm
+
+    spark_ = spark
+    idx = str(tmp_path_factory.mktemp("lm") / "idx")
+    rows = [
+        ("u1", "data stream processing", "en"),
+        ("u2", "data stream engine", "en"),
+        ("u3", "water steam turbine", "en"),
+        ("u4", "hot steam engine", "en"),
+        ("u5", "dry steam plant", "en"),
+    ]
+    df = spark_.createDataFrame(rows, "url string, text string, lang string").withColumn(
+        "warc_ts", F.lit("2024-01-01").cast("timestamp")
+    )
+    from elasticsearch_spark.operators.postings import build_index
+
+    build_index(spark_, df, idx, num_partitions=2)
+    build_bigram_lm(spark_, idx)
+    # term-level: steam (df 3) outranks stream (df 2) for 'stram'
+    ts = term_suggest(spark_, idx, "stram", size=2).collect()
+    assert ts[0]["suggestion"] == "steam"
+    # phrase-level: the (data → stream) bigram flips the choice
+    out = phrase_suggest(spark_, idx, "data stram", confidence=0.0).collect()
+    assert out[0]["suggestion"] == "data stream"
 
 
 def test_explain_sums_to_score(spark, sug_index):
