@@ -187,17 +187,157 @@ def regex_simple_tokenize(text: str) -> list[str]:
 def english_analyze(text: str) -> list[str]:
     """The `english` language analyzer preset (AC/CommonAnalysisPlugin
     registers per-language analyzers; english = standard tokenizer +
-    lowercase + english stop set + english stemmer — the most-used of the
-    ~40 language presets)."""
+    possessive-english + lowercase + english stop set + english stemmer —
+    the most-used of the ~40 language presets). The stemmer is Porter1
+    standing in for Lucene's porter2 (documented approximation)."""
     toks = standard_tokenize(text)
+    toks = [t[:-2] if t.endswith("'s") else t for t in toks]  # possessive_english
     toks = _filter_stop(toks)
-    return _filter_stemmer_minimal_english(toks)
+    return [porter_stem(t) for t in toks]
+
+
+def whitespace_tokenize(text: str) -> list[str]:
+    """whitespace tokenizer (WhitespaceTokenizer): split on whitespace,
+    case preserved."""
+    return text.split() if text else []
+
+
+def keyword_tokenize(text: str) -> list[str]:
+    """keyword tokenizer: the whole input as a single token."""
+    return [text] if text else []
+
+
+_LETTER_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+def letter_tokenize(text: str) -> list[str]:
+    """letter tokenizer (LetterTokenizer): maximal letter runs."""
+    return _LETTER_RE.findall(text) if text else []
+
+
+def lowercase_tokenize(text: str) -> list[str]:
+    """lowercase tokenizer = letter tokenizer + lowercase."""
+    return _LETTER_RE.findall(text.lower()) if text else []
+
+
+def make_pattern_tokenizer(pattern: str = r"\W+", group: int = -1):
+    """pattern tokenizer (PatternTokenizer): the pattern SPLITS by default
+    (group=-1); group ≥ 0 instead EMITS that capture group's matches."""
+    rx = re.compile(pattern)
+    if group >= 0:
+        def fn(text: str) -> list[str]:
+            return [m.group(group) for m in rx.finditer(text)] if text else []
+    else:
+        def fn(text: str) -> list[str]:
+            return [t for t in rx.split(text) if t] if text else []
+    return fn
+
+
+def make_char_group_tokenizer(tokenize_on_chars: list[str]):
+    """char_group tokenizer: split on the configured char classes
+    (whitespace/letter/digit/punctuation/symbol or literal chars)."""
+    classes = {"whitespace": r"\s", "letter": r"[^\W\d_]",
+               "digit": r"\d", "punctuation": r"[!-/:-@\[-`{-~]",
+               "symbol": r"[\$\+<=>\^`\|~]"}
+    parts = [classes.get(c, re.escape(c)) for c in tokenize_on_chars]
+    rx = re.compile("(?:" + "|".join(parts) + ")+")
+    return lambda text: [t for t in rx.split(text) if t] if text else []
+
+
+def make_path_hierarchy_tokenizer(delimiter: str = "/", replacement: str | None = None):
+    """path_hierarchy tokenizer: /a/b/c → [/a, /a/b, /a/b/c]."""
+    rep = replacement if replacement is not None else delimiter
+
+    def fn(text: str) -> list[str]:
+        if not text:
+            return []
+        parts = text.split(delimiter)
+        out, acc = [], ""
+        for i, p in enumerate(parts):
+            if i == 0 and p == "":
+                acc = ""
+                continue
+            acc = acc + rep + p if (acc or text.startswith(delimiter)) else p
+            out.append(acc)
+        return out
+
+    return fn
+
+
+_URL_EMAIL_RE = re.compile(
+    r"(?:[a-z0-9.+-]+://[^\s<>]+|[\w.+-]+@[\w-]+(?:\.[\w-]+)+)", re.IGNORECASE
+)
+
+
+def uax_url_email_tokenize(text: str) -> list[str]:
+    """uax_url_email tokenizer (UAX29URLEmailTokenizer): like standard but
+    URLs and e-mail addresses survive as single tokens."""
+    if not text:
+        return []
+    out: list[str] = []
+    last = 0
+    for m in _URL_EMAIL_RE.finditer(text):
+        out.extend(standard_tokenize(text[last:m.start()]))
+        out.append(m.group(0).lower())
+        last = m.end()
+    out.extend(standard_tokenize(text[last:]))
+    return out
+
+
+TOKENIZERS = {
+    "standard": standard_tokenize,
+    "regex_simple": regex_simple_tokenize,
+    "whitespace": whitespace_tokenize,
+    "keyword": keyword_tokenize,
+    "letter": letter_tokenize,
+    "lowercase": lowercase_tokenize,
+    "uax_url_email": uax_url_email_tokenize,
+}
+
+TOKENIZER_FACTORIES = {
+    "pattern": make_pattern_tokenizer,
+    "char_group": make_char_group_tokenizer,
+    "path_hierarchy": make_path_hierarchy_tokenizer,
+}
+
+
+# --- char filters (applied to the raw string BEFORE the tokenizer) ---------
+
+def make_mapping_char_filter(mappings: list[str]):
+    """mapping char filter: ["a=>b", ...] literal replacements in order."""
+    pairs = [m.split("=>", 1) for m in mappings]
+    pairs = [(a.strip(), b.strip()) for a, b in pairs]
+
+    def fn(text: str) -> str:
+        for a, b in pairs:
+            text = text.replace(a, b)
+        return text
+
+    return fn
+
+
+def make_pattern_replace_char_filter(pattern: str, replacement: str = ""):
+    rx = re.compile(pattern)
+    return lambda text: rx.sub(replacement, text)
+
+
+CHAR_FILTER_FACTORIES = {
+    "mapping": lambda **kw: make_mapping_char_filter(kw["mappings"]),
+    "pattern_replace": lambda **kw: make_pattern_replace_char_filter(
+        kw["pattern"], kw.get("replacement", "")
+    ),
+    "html_strip": lambda **kw: html_strip,
+}
 
 
 ANALYZERS = {
     "standard": standard_tokenize,
     "regex_simple": regex_simple_tokenize,
     "english": english_analyze,
+    "whitespace": whitespace_tokenize,
+    "keyword": keyword_tokenize,
+    "simple": lowercase_tokenize,
+    "stop": lambda text: _filter_stop(lowercase_tokenize(text)),
 }
 
 # --- token filters (the AC/ factory layer, applied tokenizer-output-side) ---
@@ -243,6 +383,136 @@ def _filter_edge_ngram(toks: list[str], min_gram=1, max_gram=10, **_) -> list[st
     for t in toks:
         out.extend(t[:n] for n in range(min_gram, min(max_gram, len(t)) + 1))
     return out
+
+
+_P_VOWEL = "aeiou"
+
+
+def _p_is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _P_VOWEL:
+        return False
+    if c == "y":
+        return i == 0 or not _p_is_cons(w, i - 1)
+    return True
+
+
+def _p_measure(w: str) -> int:
+    """Porter's m: the number of VC sequences in the [C](VC)^m[V] form."""
+    m, i, n = 0, 0, len(w)
+    while i < n and _p_is_cons(w, i):
+        i += 1
+    while i < n:
+        while i < n and not _p_is_cons(w, i):
+            i += 1
+        if i >= n:
+            break
+        m += 1
+        while i < n and _p_is_cons(w, i):
+            i += 1
+    return m
+
+
+def _p_has_vowel(w: str) -> bool:
+    return any(not _p_is_cons(w, i) for i in range(len(w)))
+
+
+def _p_cvc(w: str) -> bool:
+    return (
+        len(w) >= 3
+        and _p_is_cons(w, len(w) - 1)
+        and not _p_is_cons(w, len(w) - 2)
+        and _p_is_cons(w, len(w) - 3)
+        and w[-1] not in "wxy"
+    )
+
+
+def porter_stem(w: str) -> str:
+    """The Porter stemming algorithm (Porter 1980, "An algorithm for suffix
+    stripping") — the reference's `porter`/`english` stemmer option
+    (``S/index/analysis/StemmerTokenFilterFactory.java``; Lucene
+    PorterStemFilter). Pure-python transcription of the published
+    algorithm's five steps."""
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if _p_measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif (w.endswith("ed") and _p_has_vowel(w[:-2])) or (
+        w.endswith("ing") and _p_has_vowel(w[:-3])
+    ):
+        w = w[:-2] if w.endswith("ed") else w[:-3]
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif (
+            len(w) >= 2
+            and w[-1] == w[-2]
+            and _p_is_cons(w, len(w) - 1)
+            and w[-1] not in "lsz"
+        ):
+            w = w[:-1]
+        elif _p_measure(w) == 1 and _p_cvc(w):
+            w += "e"
+    # step 1c
+    if w.endswith("y") and _p_has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in (
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+        ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+        ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+        ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ):
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _p_measure(stem) > 0:
+                w = stem + rep
+            break
+    # step 3
+    for suf, rep in (
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ):
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _p_measure(stem) > 0:
+                w = stem + rep
+            break
+    # step 4
+    for suf in (
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    ):
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if suf == "ion" and (not stem or stem[-1] not in "st"):
+                break
+            if _p_measure(stem) > 1:
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _p_measure(stem)
+        if m > 1 or (m == 1 and not _p_cvc(stem)):
+            w = stem
+    # step 5b
+    if len(w) >= 2 and w.endswith("ll") and _p_measure(w) > 1:
+        w = w[:-1]
+    return w
+
+
+def _filter_porter(toks: list[str], **_) -> list[str]:
+    return [porter_stem(t) for t in toks]
 
 
 def _filter_stemmer_minimal_english(toks: list[str], **_) -> list[str]:
@@ -397,6 +667,17 @@ def _filter_keyword_repeat_stem(toks: list[str], **_) -> list[str]:
     return out
 
 
+def _filter_stemmer(toks: list[str], language: str = "minimal_english", name: str | None = None, **_) -> list[str]:
+    """stemmer token filter with the reference's language dispatch
+    (StemmerTokenFilterFactory.java): `porter` → Porter1; `english` →
+    Porter1 stands in for Lucene's porter2 (documented approximation);
+    `minimal_english` → the s-stemmer."""
+    lang = name or language
+    if lang in ("porter", "english", "light_english"):
+        return _filter_porter(toks)
+    return _filter_stemmer_minimal_english(toks)
+
+
 TOKEN_FILTERS = {
     "synonym": _filter_synonym,
     "stop": _filter_stop,
@@ -404,7 +685,8 @@ TOKEN_FILTERS = {
     "shingle": _filter_shingle,
     "ngram": _filter_ngram,
     "edge_ngram": _filter_edge_ngram,
-    "stemmer": _filter_stemmer_minimal_english,
+    "stemmer": _filter_stemmer,
+    "porter_stem": _filter_porter,
     "length": _filter_length,
     "unique": _filter_unique,
     "truncate": _filter_truncate,
@@ -423,16 +705,36 @@ TOKEN_FILTERS = {
 # configs of registered custom analyzers — shipped to executors so a chain
 # registered on the driver can be re-materialized inside a task (executors
 # import this module fresh from the --py-files zip)
-ANALYZER_CONFIGS: dict[str, tuple[str, list]] = {}
+ANALYZER_CONFIGS: dict[str, tuple] = {}
 
 
-def register_analyzer(name: str, tokenizer: str = "standard", filters: list | None = None) -> None:
+def register_analyzer(
+    name: str,
+    tokenizer="standard",
+    filters: list | None = None,
+    char_filters: list | None = None,
+) -> None:
     """Register a custom analyzer chain (the CustomAnalyzer /
     AnalysisRegistry model, ``S/index/analysis/AnalysisRegistry.java:646``):
-    tokenizer name + ordered token-filter list; each filter is a name or
-    (name, params) pair."""
-    ANALYZER_CONFIGS[name] = (tokenizer, list(filters or []))
-    base = ANALYZERS[tokenizer]
+    char filters (raw-string stage) → tokenizer → ordered token filters.
+    The tokenizer is a name or a (name, params) pair for the parameterized
+    tokenizers (pattern / char_group / path_hierarchy); filters and char
+    filters likewise name or (name, params)."""
+    ANALYZER_CONFIGS[name] = (tokenizer, list(filters or []), list(char_filters or []))
+    if isinstance(tokenizer, (list, tuple)):
+        tk_name, tk_params = tokenizer
+        base = TOKENIZER_FACTORIES[tk_name](**tk_params)
+    elif tokenizer in TOKENIZERS:
+        base = TOKENIZERS[tokenizer]
+    else:
+        base = ANALYZERS[tokenizer]
+    cf_fns = []
+    for cf in char_filters or []:
+        if isinstance(cf, str):
+            cf_fns.append(CHAR_FILTER_FACTORIES[cf]())
+        else:
+            cf_name, params = cf
+            cf_fns.append(CHAR_FILTER_FACTORIES[cf_name](**params))
     specs = []
     for fspec in filters or []:
         if isinstance(fspec, str):
@@ -442,6 +744,8 @@ def register_analyzer(name: str, tokenizer: str = "standard", filters: list | No
             specs.append((TOKEN_FILTERS[fname], params))
 
     def fn(text: str) -> list[str]:
+        for cf in cf_fns:
+            text = cf(text)
         toks = base(text)
         for ff, params in specs:
             toks = ff(toks, **params)

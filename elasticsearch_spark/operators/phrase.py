@@ -443,7 +443,7 @@ def _phrase_verify_udf(terms: list[str], analyzer: str, slop: int):
     @F.pandas_udf(BooleanType())
     def verify(texts: pd.Series) -> pd.Series:
         if analyzer not in analysis.ANALYZERS and config is not None:
-            analysis.register_analyzer(analyzer, config[0], config[1])
+            analysis.register_analyzer(analyzer, *config)
         fn = analysis.ANALYZERS[analyzer]
 
         def check(text: str) -> bool:

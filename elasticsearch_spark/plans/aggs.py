@@ -142,6 +142,36 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
                 "cardinality", "percentiles", "percentile_ranks", "weighted_avg"):
         return df.agg(*_metric_cols(name, body_spec))
 
+    if kind == "percentiles" and body.get("method") == "tdigest":
+        # REAL t-digest (TDigestState.java): per-partition merging digests
+        # (mapInPandas, sorted build), ≤ ~2δ centroids per partition to the
+        # coordinator, mean-order re-cluster merge, interpolated quantiles —
+        # the reference's per-shard-collect → coordinator-reduce contract.
+        # At 100 TB the driver sees partitions × O(δ) centroids, not rows.
+        import numpy as np
+
+        from ..functions import tdigest as td
+
+        f = body["field"]
+        comp = float((body.get("tdigest") or {}).get("compression", 100))
+        pcts = body.get("percents", [1, 5, 25, 50, 75, 95, 99])
+
+        def digest_parts(it):
+            for pdf in it:
+                m, w = td.from_values(pdf[f].to_numpy(), comp)
+                yield pd.DataFrame({"m": [m.tolist()], "w": [w.tolist()]})
+
+        parts = (
+            df.select(f)
+            .mapInPandas(digest_parts, "m array<double>, w array<double>")
+            .collect()
+        )
+        digests = [(np.array(r["m"]), np.array(r["w"])) for r in parts]
+        M, W = td.merge(digests, comp)
+        row = tuple(float(td.quantile(M, W, p / 100.0)) for p in pcts)
+        schema = ", ".join(f"`{name}.{p}` double" for p in pcts)
+        return df.sparkSession.createDataFrame([row], schema)
+
     if kind == "median_absolute_deviation":
         f = body["field"]
         med = df.agg(F.expr(f"percentile({f}, 0.5)").alias("m")).collect()[0]["m"]

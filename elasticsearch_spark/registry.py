@@ -1195,6 +1195,18 @@ def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_suggest(spark, idx, "sirt hasj", size=3, confidence=0.0)
 
 
+def a_percentiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentiles via the REAL merging t-digest sketch (TDigestState.java,
+    functions/tdigest.py) — rows-only check (approximate by design; error
+    bounds + merge-associativity asserted in tests/test_aggs.py)."""
+    from .plans import aggs as aggs_mod
+
+    return aggs_mod.compile_agg(_events(spark, sf_dir), "ps", {
+        "percentiles": {"field": "value", "method": "tdigest",
+                        "percents": [1, 25, 50, 75, 95, 99]}
+    })
+
+
 def a_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multi_terms (MultiTermsAggregationBuilder.java): buckets keyed by the
     (lang, source) tuple, count-desc, with an avg sub-metric."""
@@ -2116,6 +2128,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_diversified_sampler": a_diversified_sampler,
     "span_query": q_span_query,
     "phrase_suggest_lm": q_phrase_suggest,
+    "agg_percentiles_tdigest": a_percentiles_tdigest,
     "agg_multi_terms": a_multi_terms,
     "agg_ip_prefix": a_ip_prefix,
     "agg_string_stats": a_string_stats,

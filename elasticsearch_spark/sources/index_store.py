@@ -147,9 +147,12 @@ class IndexMeta:
             from ..functions import analysis
 
             if meta.analyzer not in analysis.ANALYZERS:
-                tok, filters = meta.analyzer_config
+                cfg = list(meta.analyzer_config) + [[]]  # legacy 2-elem configs
+                tok, filters, char_filters = cfg[0], cfg[1], cfg[2]
                 analysis.register_analyzer(
-                    meta.analyzer, tok, [tuple(f) if isinstance(f, list) else f for f in filters]
+                    meta.analyzer, tok,
+                    [tuple(f) if isinstance(f, list) else f for f in filters],
+                    [tuple(c) if isinstance(c, list) else c for c in char_filters],
                 )
         return meta
 

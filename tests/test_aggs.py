@@ -432,3 +432,41 @@ def test_moving_percentiles(spark, frame):
     for i, r in enumerate(rows):
         window = svs[max(0, i - 2): i + 1]
         assert abs(r["mp.50"] - statistics.median(window)) < 1e-9
+
+
+def test_tdigest_accuracy_and_determinism(spark):
+    import numpy as np
+
+    from elasticsearch_spark.functions import tdigest as td
+
+    rng = np.random.Generator(np.random.Philox(7))
+    vals = rng.lognormal(0.0, 1.0, 50_000)
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double").repartition(8)
+    spec = {"percentiles": {"field": "v", "method": "tdigest",
+                            "percents": [1, 50, 95, 99, 99.9]}}
+    out1 = aggs.compile_agg(df, "ps", spec).collect()[0].asDict()
+    out2 = aggs.compile_agg(df, "ps", spec).collect()[0].asDict()
+    assert out1 == out2  # deterministic for a fixed partitioning
+    exact = {p: float(np.percentile(vals, p)) for p in [1, 50, 95, 99, 99.9]}
+    for p in [1, 50, 95, 99, 99.9]:
+        got = out1[f"ps.{p}"]
+        assert abs(got - exact[p]) / exact[p] < 0.02, (p, got, exact[p])
+    # digest is actually compressed: centroid count ≲ 2·compression
+    m, w = td.from_values(vals, 100.0)
+    assert len(m) < 250
+    assert abs(w.sum() - len(vals)) < 1e-6
+
+
+def test_tdigest_merge_equals_single(spark):
+    import numpy as np
+
+    from elasticsearch_spark.functions import tdigest as td
+
+    rng = np.random.Generator(np.random.Philox(9))
+    vals = rng.normal(100.0, 15.0, 20_000)
+    parts = np.array_split(vals, 7)
+    merged = td.merge([td.from_values(p, 100.0) for p in parts], 100.0)
+    for q in [0.01, 0.25, 0.5, 0.75, 0.99]:
+        got = td.quantile(merged[0], merged[1], q)
+        exact = float(np.quantile(vals, q))
+        assert abs(got - exact) < 0.5, (q, got, exact)

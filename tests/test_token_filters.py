@@ -125,3 +125,82 @@ def test_misc_filters():
 def test_keyword_repeat_stem_chain():
     analysis.register_analyzer("krs", filters=["keyword_repeat_stem"])
     assert analysis.analyze("dogs run", "krs") == ["dogs", "dog", "run"]
+
+
+# ---- new tokenizers / char filters / porter stemmer -----------------------
+
+def test_porter_stemmer_vocabulary():
+    from elasticsearch_spark.functions.analysis import porter_stem
+
+    cases = {
+        "caresses": "caress", "ponies": "poni", "relational": "relat",
+        "conditional": "condit", "vietnamization": "vietnam",
+        "adjustable": "adjust", "replacement": "replac", "hopping": "hop",
+        "filing": "file", "electriciti": "electr", "happy": "happi",
+        "sky": "sky", "rate": "rate",
+    }
+    for w, exp in cases.items():
+        assert porter_stem(w) == exp, (w, porter_stem(w), exp)
+
+
+def test_english_preset_porter():
+    from elasticsearch_spark.functions.analysis import analyze
+
+    assert analyze("The manager's relational databases are running", "english") == [
+        "manag", "relat", "databas", "run"
+    ]
+
+
+def test_new_tokenizers():
+    from elasticsearch_spark.functions import analysis as A
+
+    assert A.whitespace_tokenize("Foo  Bar-baz") == ["Foo", "Bar-baz"]
+    assert A.keyword_tokenize("One Two") == ["One Two"]
+    assert A.letter_tokenize("ab12cd ef") == ["ab", "cd", "ef"]
+    assert A.lowercase_tokenize("AB cd") == ["ab", "cd"]
+    assert A.uax_url_email_tokenize("see https://x.io/a?b=1 or mail a.b@c.de now") == [
+        "see", "https://x.io/a?b=1", "or", "mail", "a.b@c.de", "now"
+    ]
+
+
+def test_parameterized_tokenizers_and_char_filters():
+    from elasticsearch_spark.functions import analysis as A
+
+    A.register_analyzer("csv", ("pattern", {"pattern": ","}), ["trim", "lowercase"])
+    assert A.analyze("A, B ,C", "csv") == ["a", "b", "c"]
+    A.register_analyzer("cg", ("char_group", {"tokenize_on_chars": ["whitespace", "-"]}))
+    assert A.analyze("one-two three", "cg") == ["one", "two", "three"]
+    A.register_analyzer("ph", ("path_hierarchy", {}))
+    assert A.analyze("/a/b/c", "ph") == ["/a", "/a/b", "/a/b/c"]
+    A.register_analyzer(
+        "subst", "standard", [],
+        [("pattern_replace", {"pattern": r"\d+", "replacement": "N"}),
+         ("mapping", {"mappings": ["ph=>f"]})],
+    )
+    assert A.analyze("phase 42 phones", "subst") == ["fase", "n", "fones"]
+
+
+def test_analyzer_config_roundtrip_with_char_filters(spark, tmp_path):
+    """Custom chain with char filters + parameterized tokenizer survives
+    IndexMeta persistence (driver-restart semantics)."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.functions import analysis as A
+    from elasticsearch_spark.operators.postings import build_index
+    from elasticsearch_spark.sources import index_store as store
+
+    idx = str(tmp_path / "idx")
+    A.register_analyzer(
+        "round", "whitespace", ["lowercase"],
+        [("pattern_replace", {"pattern": "-", "replacement": " "})],
+    )
+    df = spark.createDataFrame(
+        [("u1", "Alpha-Beta gamma", "en")], "url string, text string, lang string"
+    ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+    build_index(spark, df, idx, num_partitions=1, analyzer="round")
+    # simulate restart: drop the registration, reload meta
+    del A.ANALYZERS["round"]
+    del A.ANALYZER_CONFIGS["round"]
+    meta = store.IndexMeta.load(idx)
+    assert meta.analyzer == "round"
+    assert A.analyze("Alpha-Beta gamma", "round") == ["alpha", "beta", "gamma"]
