@@ -96,9 +96,11 @@ class Engine:
         analyzer: str = "standard",
         analyzer_filters: list | None = None,
         num_partitions: int = 8,
+        index_sort: tuple | None = None,
     ) -> None:
-        """PUT /{index} — registers settings; the physical build happens on
-        the first bulk (segments are created per bulk batch)."""
+        """PUT /{index} — registers settings (including ``index.sort``);
+        the physical build happens on the first bulk (segments are created
+        per bulk batch)."""
         if analyzer_filters:
             analysis.register_analyzer(index + "__analyzer", analyzer, analyzer_filters)
             analyzer = index + "__analyzer"
@@ -108,6 +110,7 @@ class Engine:
         meta = store.IndexMeta(
             analyzer=analyzer, num_partitions=num_partitions,
             analyzer_config=list(cfg) if cfg else None,
+            index_sort=list(index_sort) if index_sort else None,
         )
         meta.save(d)
 
@@ -136,6 +139,7 @@ class Engine:
                 self.spark, docs, d,
                 num_partitions=num_partitions or meta.num_partitions,
                 analyzer=meta.analyzer,
+                index_sort=tuple(meta.index_sort) if meta.index_sort else None,
             )
         ops_df = docs.select("url", F.lit("index").alias("op"), "text", "lang", "warc_ts")
         return ops_mod.apply_ops(self.spark, d, ops_df, num_partitions=num_partitions or meta.num_partitions)
@@ -170,6 +174,30 @@ class Engine:
         (kind, spec), = q.items()
 
         hits: DataFrame
+        meta_sort = None
+        try:
+            meta_sort = store.IndexMeta.load(d).index_sort
+        except FileNotFoundError:
+            pass
+        if (
+            kind == "match_all"
+            and meta_sort
+            and body.get("sort")
+            and "search_after" not in body
+            and len(body["sort"]) == 1
+        ):
+            (sf_, sd_), = body["sort"][0].items()
+            sdir = sd_.get("order", "asc") if isinstance(sd_, dict) else sd_
+            if [sf_, sdir] == list(meta_sort):
+                # index-sorted early termination (sorted_scan): each segment
+                # reads only its first k live rows
+                from .operators.topk import sorted_scan
+
+                hits = sorted_scan(self.spark, d, k=size)
+                out = {"hits": hits}
+                if "aggs" in body:
+                    out["aggregations"] = aggs_mod.aggregate(self._docs_view(index), body["aggs"])
+                return out
         if kind == "match" and "sort" not in body and "search_after" not in body:
             (fld, mspec), = spec.items()
             text = mspec["query"] if isinstance(mspec, dict) else mspec

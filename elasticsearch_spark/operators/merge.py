@@ -93,10 +93,22 @@ def merge_group_local(index_dir: str, segs: list[int], new_seg: int) -> dict:
     """Sort-merge one group of segments into ``seg=<new_seg>``. Pure local
     function (one Spark task; also unit-testable). Returns the merge
     manifest dict."""
-    # docs: concat, keep sorted by doc_id (disjoint per-segment ranges)
+    # docs: concat, keep sorted by doc_id (disjoint per-segment ranges) —
+    # except under index sorting (IndexSortConfig.java), where the merged
+    # docs file must be re-sorted on the sort field so sorted_scan's
+    # early termination stays valid on merged segments (doc ids are
+    # untouched; only the row order changes)
     docs_tables = [pq.read_table(os.path.join(store.seg_dir(index_dir, s), "docs.parquet")) for s in sorted(segs)]
     docs = pa.concat_tables(docs_tables)
-    d_sort = pa.compute.sort_indices(docs["doc_id"])
+    isort = store.IndexMeta.load(index_dir).index_sort
+    if isort:
+        sfield, sorder = isort
+        d_sort = pa.compute.sort_indices(
+            docs, sort_keys=[(sfield, "descending" if sorder == "desc" else "ascending"),
+                             ("doc_id", "ascending")]
+        )
+    else:
+        d_sort = pa.compute.sort_indices(docs["doc_id"])
     docs = docs.take(d_sort)
 
     # expunge deletes (the reference's merge purging masked docs): drop
@@ -115,11 +127,14 @@ def merge_group_local(index_dir: str, segs: list[int], new_seg: int) -> dict:
     seg_col = pa.array(np.full(docs.num_rows, new_seg, dtype=np.int32))
     docs = docs.set_column(docs.schema.get_field_index("seg_id"), "seg_id", seg_col)
 
-    # ql lookup for min_ql block stats
-    doc_ids_sorted = docs["doc_id"].to_numpy()
+    # ql lookup for min_ql block stats — docs rows may be index-sort
+    # ordered, so sort the lookup arrays by doc_id explicitly
     from ..functions.smallfloat import byte4_to_int
 
-    ql_sorted = byte4_to_int(docs["norm"].to_numpy())
+    doc_ids_sorted = docs["doc_id"].to_numpy()
+    _id_order = np.argsort(doc_ids_sorted, kind="mergesort")
+    doc_ids_sorted = doc_ids_sorted[_id_order]
+    ql_sorted = byte4_to_int(docs["norm"].to_numpy())[_id_order]
 
     # postings: decode all blocks → flat (term, doc_id, tf), lexsort, re-encode
     post_tables = [pq.read_table(os.path.join(store.seg_dir(index_dir, s), "postings.parquet")) for s in sorted(segs)]

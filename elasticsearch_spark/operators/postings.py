@@ -194,15 +194,28 @@ def encode_postings_blocks(
 
 
 def build_segment_frames(
-    pdf: pd.DataFrame, pid: int, analyzer: str
+    pdf: pd.DataFrame, pid: int, analyzer: str, index_sort: tuple | None = None
 ) -> tuple[pd.DataFrame, pa.Table, dict]:
     """Build one segment from a partition's pages. Pure function (testable
-    without Spark). Returns (docs_pdf, postings_arrow_table, stats)."""
+    without Spark). Returns (docs_pdf, postings_arrow_table, stats).
+
+    ``index_sort=(field, "asc"|"desc")`` is Lucene index sorting
+    (``S/index/IndexSortConfig.java``): doc ids — and therefore the
+    docs.parquet row order — follow the sort field within the segment, so
+    a query sorting on that field early-terminates after k live rows per
+    segment (``sorted_scan`` in operators/topk.py)."""
     # 1) latest-by-url dedup (engine upsert semantics), stable
     pdf = pdf.sort_values(["url", "warc_ts"], kind="mergesort")
     pdf = pdf.drop_duplicates("url", keep="last")
-    # 2) deterministic dense doc ids within the partition
-    pdf = pdf.sort_values("url", kind="mergesort").reset_index(drop=True)
+    # 2) deterministic dense doc ids within the partition (index sort when
+    #    configured, url order otherwise)
+    if index_sort:
+        sfield, sorder = index_sort
+        pdf = pdf.sort_values(
+            [sfield, "url"], ascending=[sorder != "desc", True], kind="mergesort"
+        ).reset_index(drop=True)
+    else:
+        pdf = pdf.sort_values("url", kind="mergesort").reset_index(drop=True)
     n_docs = len(pdf)
     base = pid << DOCID_PARTITION_SHIFT
     doc_ids = base + np.arange(n_docs, dtype=np.int64)
@@ -273,7 +286,7 @@ def _write_segment(index_dir: str, pid: int, docs_pdf: pd.DataFrame, postings: p
     return int(postings.nbytes)
 
 
-def segment_builder(index_dir: str, analyzer: str):
+def segment_builder(index_dir: str, analyzer: str, index_sort: tuple | None = None):
     """applyInPandas function: one partition's pages → segment files on the
     segment store + manifest; returns a one-row metrics frame."""
     # custom analyzer chains are driver-registered; ship the config so the
@@ -282,7 +295,7 @@ def segment_builder(index_dir: str, analyzer: str):
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         if analyzer not in analysis.ANALYZERS and analyzer_config is not None:
-            analysis.register_analyzer(analyzer, analyzer_config[0], analyzer_config[1])
+            analysis.register_analyzer(analyzer, *analyzer_config)
         pid = int(key[0])
         lin = lineage_hash(pdf["url"], pdf["warc_ts"])
         existing = store.read_manifest(index_dir, pid)
@@ -310,7 +323,7 @@ def segment_builder(index_dir: str, analyzer: str):
                     }
                 ]
             )
-        docs_pdf, postings, stats = build_segment_frames(pdf, pid, analyzer)
+        docs_pdf, postings, stats = build_segment_frames(pdf, pid, analyzer, index_sort)
         nbytes = _write_segment(index_dir, pid, docs_pdf, postings)
         manifest = {
             "pid": pid,
@@ -332,6 +345,7 @@ def build_index(
     index_dir: str,
     num_partitions: int | None = None,
     analyzer: str = "standard",
+    index_sort: tuple | None = None,
 ) -> dict:
     """Full index build: route → per-partition segment build → stats tables.
 
@@ -355,7 +369,7 @@ def build_index(
     )
     metrics = (
         routed.groupBy("pid")
-        .applyInPandas(segment_builder(index_dir, analyzer), METRICS_SCHEMA)
+        .applyInPandas(segment_builder(index_dir, analyzer, index_sort), METRICS_SCHEMA)
         .collect()
     )
 
@@ -363,6 +377,7 @@ def build_index(
     meta = store.IndexMeta(
         analyzer=analyzer, num_partitions=num_partitions,
         analyzer_config=list(cfg) if cfg else None,
+        index_sort=list(index_sort) if index_sort else None,
     )
     meta.doc_count = sum(r["n_docs"] for r in metrics)
     meta.sum_dl = sum(r["sum_dl"] for r in metrics)

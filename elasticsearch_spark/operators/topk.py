@@ -454,3 +454,61 @@ def search_topk(
         "doc_id", "url", "lang", "warc_ts"
     )
     return docs.join(F.broadcast(top), "doc_id").orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+def sorted_scan(
+    spark: SparkSession,
+    index_dir: str,
+    k: int = 10,
+    columns: tuple = ("doc_id", "url", "warc_ts", "lang"),
+) -> DataFrame:
+    """Early-terminated sorted fetch over an index built with
+    ``index_sort`` (Lucene index sorting, ``S/index/IndexSortConfig.java``
+    + the sorted-query early-termination of ``CollectorManager``/
+    ``TopFieldCollector``): each segment's docs.parquet is WRITTEN in
+    index-sort order, so a segment task streams the file batch-by-batch
+    (pyarrow ``iter_batches``) and STOPS after k live rows — at 100 TB a
+    "latest-k" query reads O(k) rows per segment instead of scanning and
+    sorting the table. The coordinator merge is an orderBy over ≤
+    k·segments rows."""
+    import pyarrow.parquet as pq_mod
+
+    meta = store.IndexMeta.load(index_dir)
+    if not meta.index_sort:
+        raise ValueError("index was not built with index_sort")
+    sfield, sorder = meta.index_sort
+    segs = store.list_segs(index_dir)
+    out_cols = list(dict.fromkeys(list(columns) + [sfield]))
+    schema_parts = []
+    for c in out_cols:
+        t = {"doc_id": "long", "url": "string", "warc_ts": "timestamp",
+             "lang": "string", "dl": "long", "text": "string"}.get(c, "string")
+        schema_parts.append(f"`{c}` {t}")
+    out_schema = ", ".join(schema_parts)
+
+    def fn(batches):
+        from .ops import read_tombstones
+
+        tomb = read_tombstones(index_dir)
+        for pdf in batches:
+            for seg in pdf["seg"]:
+                d = store.seg_dir(index_dir, int(seg))
+                pf = pq_mod.ParquetFile(os.path.join(d, "docs.parquet"))
+                taken = []
+                n_live = 0
+                for batch in pf.iter_batches(batch_size=max(k, 128), columns=out_cols):
+                    part = batch.to_pandas()
+                    if len(tomb):
+                        part = part[~part["doc_id"].isin(tomb)]
+                    taken.append(part)
+                    n_live += len(part)
+                    if n_live >= k:
+                        break  # early termination: later row groups unread
+                if taken:
+                    yield pd.concat(taken, ignore_index=True).head(k)
+
+    segs_df = spark.createDataFrame([(int(s),) for s in segs], "seg int")
+    n_tasks = max(1, min(len(segs), spark.sparkContext.defaultParallelism))
+    per_seg = segs_df.repartition(n_tasks).mapInPandas(fn, out_schema)
+    order = F.col(sfield).desc() if sorder == "desc" else F.col(sfield).asc()
+    return per_seg.orderBy(order, F.asc("doc_id")).limit(k)

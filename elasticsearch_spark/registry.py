@@ -1207,6 +1207,37 @@ def a_percentiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+def q_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index sorting + early-terminated sorted query (IndexSortConfig.java;
+    operators/topk.py:sorted_scan): latest-10 by warc_ts over an index
+    built with index.sort = (warc_ts, desc) — each segment task reads only
+    its first k live rows of the sort-ordered docs file."""
+    import os
+
+    from .operators.postings import build_index
+    from .operators.topk import sorted_scan
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx = f"/tmp/es_registry_sorted_{tag}"
+    pages = _docs(spark, sf_dir).select(
+        F.format_string("doc%012d", F.col("doc_id")).alias("url"),
+        F.expr(
+            "timestamp '2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, 0, cast(doc_id * 7 % 997 as int), 0)"
+        ).alias("warc_ts"),
+        "text",
+        "lang",
+    )
+    if not os.path.exists(os.path.join(idx, "index_meta.json")):
+        build_index(spark, pages, idx, num_partitions=4,
+                    analyzer="regex_simple", index_sort=("warc_ts", "desc"))
+    out = sorted_scan(spark, idx, k=10)
+    return out.select(
+        F.expr("cast(substring(url, 4, 12) as bigint)").alias("doc_id"),
+        F.col("warc_ts").alias("ts"),
+    )
+
+
 def a_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multi_terms (MultiTermsAggregationBuilder.java): buckets keyed by the
     (lang, source) tuple, count-desc, with an avg sub-metric."""
@@ -1963,6 +1994,11 @@ combos AS (
 SELECT suggestion, round(s, 6) AS score FROM combos
 ORDER BY s DESC, suggestion LIMIT 3
 """,
+    "sorted_scan_latest": """
+SELECT doc_id,
+       timestamp '2024-01-01 00:00:00' + (doc_id * 7 % 997) * INTERVAL 1 MINUTE AS ts
+FROM documents ORDER BY ts DESC, doc_id ASC LIMIT 10
+""",
     "agg_multi_terms": """
 SELECT lang || '|' || source AS key, count(*)::BIGINT AS doc_count,
        round(avg(n_chars), 4) AS avg_chars
@@ -2129,6 +2165,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_query": q_span_query,
     "phrase_suggest_lm": q_phrase_suggest,
     "agg_percentiles_tdigest": a_percentiles_tdigest,
+    "sorted_scan_latest": q_sorted_scan,
     "agg_multi_terms": a_multi_terms,
     "agg_ip_prefix": a_ip_prefix,
     "agg_string_stats": a_string_stats,

@@ -105,6 +105,10 @@ class IndexMeta:
     # in-memory-only registration would KeyError (or silently tokenize
     # queries differently from the indexed postings) after driver restart
     analyzer_config: list | None = None
+    # Lucene index sorting (IndexSortConfig.java): [field, "asc"|"desc"] —
+    # segment doc order follows this field; queries sorting on it
+    # early-terminate (operators/topk.py:sorted_scan)
+    index_sort: list | None = None
 
     @property
     def avgdl(self) -> float:
@@ -124,6 +128,7 @@ class IndexMeta:
                     "b": self.b,
                     "seg_map": self.seg_map,
                     "analyzer_config": self.analyzer_config,
+                    "index_sort": self.index_sort,
                 },
                 f,
             )
@@ -142,6 +147,7 @@ class IndexMeta:
             b=d["b"],
             seg_map={str(k): int(v) for k, v in d.get("seg_map", {}).items()},
             analyzer_config=d.get("analyzer_config"),
+            index_sort=d.get("index_sort"),
         )
         if meta.analyzer_config is not None:
             from ..functions import analysis
