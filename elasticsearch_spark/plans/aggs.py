@@ -27,6 +27,8 @@ only what the plan needs.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -101,6 +103,60 @@ def _metric_cols(name: str, spec: dict) -> list:
         wf = body["weight"]["field"]
         return [(F.sum(F.col(vf) * F.col(wf)) / F.sum(F.col(wf))).alias(name)]
     raise ValueError(f"unsupported metric agg: {kind}")
+
+
+def _sig_score(heuristic: str, fg_count, fg_tot: float, bg_count, bg_tot: float):
+    """Significance heuristic score column (the reference's heuristic
+    family, ``server/.../bucket/terms/heuristic/``): jlh (JLHScore.java),
+    chi_square (ChiSquare.java), gnd (GND.java), mutual_information
+    (MutualInformation.java), percentage (PercentageScore.java). The Nxy
+    contingency is the background-is-superset form of
+    NXYSignificanceHeuristic.computeNxys: subset=(fg), superset=(bg)."""
+    N11 = fg_count
+    N_1 = F.lit(float(fg_tot))
+    N1_ = bg_count
+    N = F.lit(float(bg_tot))
+    N01 = N_1 - N11
+    N10 = N1_ - N11
+    N00 = N - N1_ - N01
+    N0_ = N - N1_
+    N_0 = N - N_1
+    if heuristic == "jlh":
+        fg_pct = N11 / N_1
+        bg_pct = N1_ / N
+        return (fg_pct - bg_pct) * fg_pct / bg_pct
+    if heuristic == "percentage":
+        return F.when(N1_ > 0, N11 / N1_).otherwise(F.lit(0.0))
+    if heuristic == "chi_square":
+        return (
+            N * (N11 * N00 - N01 * N10) ** 2 / (N_1 * N1_ * N0_ * N_0)
+        )
+    if heuristic == "gnd":
+        fx, fy, fxy = N1_, N_1, N11
+        raw = (
+            F.greatest(F.log(fx), F.log(fy)) - F.log(fxy)
+        ) / (F.log(N) - F.least(F.log(fx), F.log(fy)))
+        return (
+            F.when(fxy <= 0, F.lit(0.0))
+            .when((fx == fy) & (fx == fxy), F.lit(1.0))
+            .otherwise(F.exp(-raw))
+        )
+    if heuristic == "mutual_information":
+        def mi_term(nxy, nx_, n_y):
+            return F.when(
+                (nxy > 0) & (nx_ > 0) & (n_y > 0),
+                nxy / N * F.log(N * nxy / (nx_ * n_y)),
+            ).otherwise(F.lit(0.0))
+
+        ln2 = math.log(2.0)
+        return (
+            mi_term(N00, N0_, N_0) + mi_term(N01, N0_, N_1)
+            + mi_term(N10, N1_, N_0) + mi_term(N11, N1_, N_1)
+        ) / ln2
+    raise ValueError(f"unsupported significance heuristic: {heuristic}")
+
+
+_SIG_HEURISTICS = ("jlh", "chi_square", "gnd", "mutual_information", "percentage")
 
 
 def _bucket_col(spec: dict):
@@ -314,12 +370,12 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         bg_counts = tokens(bg_df).groupBy("key").agg(F.count("*").cast("double").alias("bg_count"))
         fg_tot = df.count()
         bg_tot = bg_df.count()
+        heuristic = next((h for h in _SIG_HEURISTICS if h in body), "jlh")
         return (
             fg_counts.join(bg_counts, "key")
             .where(F.col("fg_count") >= min_doc)
-            .withColumn("fg_pct", F.col("fg_count") / float(fg_tot))
-            .withColumn("bg_pct", F.col("bg_count") / float(bg_tot))
-            .withColumn("score", (F.col("fg_pct") - F.col("bg_pct")) * F.col("fg_pct") / F.col("bg_pct"))
+            .withColumn("score", _sig_score(
+                heuristic, F.col("fg_count"), fg_tot, F.col("bg_count"), bg_tot))
             .where(F.col("score") > 0)
             .select("key", F.col("fg_count").cast("long").alias("doc_count"),
                     F.col("bg_count").cast("long").alias("bg_count"),
@@ -658,11 +714,24 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         fg_tot = df.count()
         bg_tot = bg_df.count()
         size = body.get("size", 10)
-        return (
+        heuristic = next((h for h in _SIG_HEURISTICS if h in body), "jlh")
+        inc_neg = True
+        if heuristic in body and isinstance(body[heuristic], dict):
+            inc_neg = body[heuristic].get("include_negatives", True)
+        out = (
             fg_counts.join(bg_counts, "key")
-            .withColumn("fg_pct", F.col("fg_count") / float(fg_tot))
-            .withColumn("bg_pct", F.col("bg_count") / float(bg_tot))
-            .withColumn("score", (F.col("fg_pct") - F.col("bg_pct")) * F.col("fg_pct") / F.col("bg_pct"))
+            .withColumn("score", _sig_score(
+                heuristic, F.col("fg_count"), fg_tot, F.col("bg_count"), bg_tot))
+        )
+        if not inc_neg:
+            # drop terms rarer in the subset than in the rest of the
+            # background (NXYSignificanceHeuristic includeNegatives=false)
+            out = out.where(
+                F.col("fg_count") / float(fg_tot)
+                >= (F.col("bg_count") - F.col("fg_count")) / float(max(bg_tot - fg_tot, 1))
+            )
+        return (
+            out
             .where(F.col("score") > 0)
             .select("key", F.col("fg_count").cast("long").alias("doc_count"),
                     F.col("bg_count").cast("long").alias("bg_count"), "score")

@@ -1238,6 +1238,22 @@ def q_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_significant_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms with the chi_square heuristic (ChiSquare.java,
+    background-is-superset Nxy contingency): fg = source='src1' docs,
+    keyed by lang."""
+    from .plans import aggs as aggs_mod
+
+    docs = _docs(spark, sf_dir)
+    fg = docs.where(F.col("source") == "src1")
+    out = aggs_mod.compile_agg(fg, "sig", {
+        "significant_terms": {"field": "lang", "size": 10,
+                              "chi_square": {"include_negatives": True},
+                              "_background_df": docs},
+    })
+    return out.select("key", "doc_count", "bg_count", F.round("score", 4).alias("score"))
+
+
 def a_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multi_terms (MultiTermsAggregationBuilder.java): buckets keyed by the
     (lang, source) tuple, count-desc, with an avg sub-metric."""
@@ -1999,6 +2015,26 @@ SELECT doc_id,
        timestamp '2024-01-01 00:00:00' + (doc_id * 7 % 997) * INTERVAL 1 MINUTE AS ts
 FROM documents ORDER BY ts DESC, doc_id ASC LIMIT 10
 """,
+    "agg_significant_chi_square": """
+WITH counts AS (
+  SELECT lang AS key,
+         sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::DOUBLE AS n11,
+         count(*)::DOUBLE AS n1_
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::DOUBLE AS n_1,
+         count(*)::DOUBLE AS n FROM documents
+),
+sc AS (
+  SELECT key, n11::BIGINT AS doc_count, n1_::BIGINT AS bg_count,
+         n * power(n11 * (n - n1_ - (n_1 - n11)) - (n_1 - n11) * (n1_ - n11), 2)
+           / (n_1 * n1_ * (n - n1_) * (n - n_1)) AS score
+  FROM counts CROSS JOIN tot WHERE n11 > 0
+)
+SELECT key, doc_count, bg_count, round(score, 4) AS score FROM sc
+WHERE score > 0 ORDER BY score DESC, key ASC LIMIT 10
+""",
     "agg_multi_terms": """
 SELECT lang || '|' || source AS key, count(*)::BIGINT AS doc_count,
        round(avg(n_chars), 4) AS avg_chars
@@ -2166,6 +2202,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_suggest_lm": q_phrase_suggest,
     "agg_percentiles_tdigest": a_percentiles_tdigest,
     "sorted_scan_latest": q_sorted_scan,
+    "agg_significant_chi_square": a_significant_chi_square,
     "agg_multi_terms": a_multi_terms,
     "agg_ip_prefix": a_ip_prefix,
     "agg_string_stats": a_string_stats,

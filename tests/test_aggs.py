@@ -470,3 +470,49 @@ def test_tdigest_merge_equals_single(spark):
         got = td.quantile(merged[0], merged[1], q)
         exact = float(np.quantile(vals, q))
         assert abs(got - exact) < 0.5, (q, got, exact)
+
+
+def test_significance_heuristics(spark):
+    """All five heuristics on a hand-computable 2×2 contingency:
+    fg = 10 docs (8 contain 'x'); bg = 100 docs (20 contain 'x')."""
+    import math
+
+    rows = []
+    for i in range(100):
+        in_fg = i < 10
+        has_x = (i < 8) or (10 <= i < 22)  # fg: 8 of 10; bg total: 20
+        rows.append((i, in_fg, "x" if has_x else "y"))
+    df = spark.createDataFrame(rows, "id long, fg boolean, term string")
+    fg = df.where("fg")
+
+    def score(heuristic, params=None):
+        out = aggs.compile_agg(fg, "s", {
+            "significant_terms": {"field": "term", "size": 10,
+                                  heuristic: params or {},
+                                  "_background_df": df},
+        }).collect()
+        return {r["key"]: r["score"] for r in out}
+
+    n11, n_1, n1_, n = 8.0, 10.0, 20.0, 100.0
+    n01, n10 = n_1 - n11, n1_ - n11
+    n00, n0_, n_0 = n - n1_ - n01, n - n1_, n - n_1
+    # chi_square (ChiSquare.java)
+    exp_chi = n * (n11 * n00 - n01 * n10) ** 2 / (n_1 * n1_ * n0_ * n_0)
+    assert score("chi_square")["x"] == pytest.approx(exp_chi, rel=1e-9)
+    # gnd (GND.java)
+    exp_gnd = math.exp(
+        -(max(math.log(n1_), math.log(n_1)) - math.log(n11))
+        / (math.log(n) - min(math.log(n1_), math.log(n_1)))
+    )
+    assert score("gnd")["x"] == pytest.approx(exp_gnd, rel=1e-9)
+    # mutual_information (MutualInformation.java)
+    def mi_t(nxy, nx_, n_y):
+        return 0.0 if nxy <= 0 else nxy / n * math.log(n * nxy / (nx_ * n_y))
+    exp_mi = (mi_t(n00, n0_, n_0) + mi_t(n01, n0_, n_1)
+              + mi_t(n10, n1_, n_0) + mi_t(n11, n1_, n_1)) / math.log(2)
+    assert score("mutual_information")["x"] == pytest.approx(exp_mi, rel=1e-9)
+    # percentage (PercentageScore.java)
+    assert score("percentage")["x"] == pytest.approx(n11 / n1_, rel=1e-9)
+    # include_negatives=False drops under-represented terms ('y': 2/10 < bg)
+    got = score("chi_square", {"include_negatives": False})
+    assert "y" not in got
