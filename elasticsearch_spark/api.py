@@ -117,6 +117,148 @@ class Engine:
     def delete_index(self, index: str) -> None:
         shutil.rmtree(self._dir(index), ignore_errors=True)
 
+    # ---- aliases / rollover / snapshots -----------------------------------
+
+    def _aliases_path(self) -> str:
+        return os.path.join(self.root, "_aliases.json")
+
+    def _load_aliases(self) -> dict:
+        import json
+
+        p = self._aliases_path()
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    def _save_aliases(self, aliases: dict) -> None:
+        import json
+
+        tmp = self._aliases_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(aliases, f)
+        os.replace(tmp, self._aliases_path())
+
+    def update_aliases(self, actions: list[dict]) -> dict:
+        """POST /_aliases (``TransportIndicesAliasesAction``): add / remove
+        {alias, index}; an alias maps to a LIST of indices (search fans out
+        via search_multi), with at most one ``is_write_index``."""
+        aliases = self._load_aliases()
+        for act in actions:
+            (verb, spec), = act.items()
+            a, idx = spec["alias"], spec["index"]
+            entry = aliases.setdefault(a, {"indices": [], "write_index": None})
+            if verb == "add":
+                if idx not in entry["indices"]:
+                    entry["indices"].append(idx)
+                if spec.get("is_write_index"):
+                    entry["write_index"] = idx
+            elif verb == "remove":
+                entry["indices"] = [i for i in entry["indices"] if i != idx]
+                if entry["write_index"] == idx:
+                    entry["write_index"] = None
+                if not entry["indices"]:
+                    aliases.pop(a, None)
+            else:
+                raise ValueError(f"unsupported alias action: {verb}")
+        self._save_aliases(aliases)
+        return {"acknowledged": True}
+
+    def get_aliases(self) -> dict:
+        return self._load_aliases()
+
+    def resolve(self, name: str) -> list[str]:
+        """Alias or concrete index name → concrete indices."""
+        aliases = self._load_aliases()
+        if name in aliases:
+            return list(aliases[name]["indices"])
+        return [name]
+
+    def _write_index(self, name: str) -> str:
+        aliases = self._load_aliases()
+        if name in aliases:
+            w = aliases[name]["write_index"] or (
+                aliases[name]["indices"][-1] if aliases[name]["indices"] else None
+            )
+            if w is None:
+                raise ValueError(f"alias {name} has no write index")
+            return w
+        return name
+
+    def rollover(
+        self,
+        alias: str,
+        max_docs: int | None = None,
+        conditions_met: bool | None = None,
+        **create_kw,
+    ) -> dict:
+        """POST /{alias}/_rollover (``TransportRolloverAction``): when the
+        write index exceeds ``max_docs`` (or ``conditions_met`` is forced),
+        create ``<alias>-NNNNNN`` as the new write index behind the alias."""
+        cur = self._write_index(alias)
+        n_docs = self.count(cur)
+        rolled = conditions_met if conditions_met is not None else (
+            max_docs is not None and n_docs >= max_docs
+        )
+        if not rolled:
+            return {"rolled_over": False, "old_index": cur, "new_index": cur}
+        base, _, suffix = cur.rpartition("-")
+        nxt = (
+            f"{base}-{int(suffix) + 1:06d}" if suffix.isdigit() and base
+            else f"{cur}-000002"
+        )
+        meta = store.IndexMeta.load(self._dir(cur))
+        self.create_index(
+            nxt, analyzer=meta.analyzer,
+            num_partitions=meta.num_partitions, **create_kw,
+        )
+        self.update_aliases([
+            {"add": {"alias": alias, "index": nxt, "is_write_index": True}},
+            {"add": {"alias": alias, "index": cur}},
+        ])
+        return {"rolled_over": True, "old_index": cur, "new_index": nxt}
+
+    def snapshot(self, index: str, repo_dir: str, snapshot: str) -> dict:
+        """PUT /_snapshot/{repo}/{snap} (``SnapshotsService``): segments are
+        immutable files, so a snapshot is a manifest + hard-linked copy —
+        incremental by construction (same-inode files shared across
+        snapshots, the reference's incremental-segment-reuse semantics)."""
+        import json
+
+        src = self._dir(index)
+        dst = os.path.join(repo_dir, snapshot, index)
+        if os.path.exists(dst):
+            raise ValueError(f"snapshot {snapshot} already exists for {index}")
+        n_files = 0
+        for dirpath, _, files in os.walk(src):
+            rel = os.path.relpath(dirpath, src)
+            os.makedirs(os.path.join(dst, rel), exist_ok=True)
+            for fname in files:
+                s = os.path.join(dirpath, fname)
+                d = os.path.join(dst, rel, fname)
+                try:
+                    os.link(s, d)  # hard link: incremental, O(1) space
+                except OSError:
+                    shutil.copy2(s, d)
+                n_files += 1
+        with open(os.path.join(repo_dir, snapshot, f"{index}.snapshot.json"), "w") as f:
+            json.dump({"index": index, "files": n_files, "state": "SUCCESS"}, f)
+        return {"snapshot": snapshot, "index": index, "files": n_files, "state": "SUCCESS"}
+
+    def restore(self, repo_dir: str, snapshot: str, index: str,
+                rename_to: str | None = None) -> dict:
+        """POST /_snapshot/{repo}/{snap}/_restore: materialize the snapshot
+        as a (possibly renamed) index."""
+        src = os.path.join(repo_dir, snapshot, index)
+        if not os.path.isdir(src):
+            raise ValueError(f"no snapshot {snapshot} for {index}")
+        target = rename_to or index
+        dst = self._dir(target)
+        if os.path.exists(os.path.join(dst, "index_meta.json")):
+            raise ValueError(f"index {target} already exists")
+        shutil.copytree(src, dst, dirs_exist_ok=True)
+        return {"restored": target, "snapshot": snapshot}
+
     def indices(self) -> list[str]:
         return sorted(
             n for n in os.listdir(self.root)
@@ -126,7 +268,9 @@ class Engine:
     def bulk(self, index: str, docs: DataFrame, num_partitions: int | None = None) -> dict:
         """POST /{index}/_bulk with implicit op=index. `docs` needs columns
         url, text (+ optional warc_ts, lang). First bulk builds the index;
-        later bulks are op batches (delete+add upserts)."""
+        later bulks are op batches (delete+add upserts). An alias routes to
+        its write index (is_write_index semantics)."""
+        index = self._write_index(index)
         d = self._dir(index)
         meta = store.IndexMeta.load(d)
         cols = docs.columns
@@ -167,7 +311,14 @@ class Engine:
 
         `match`-family queries at the TOP level of the body run through the
         inverted index (postings + block-max WAND); compound/filter bodies
-        run through the DSL compiler over the live docs view."""
+        run through the DSL compiler over the live docs view.
+
+        ``index`` may be an alias: multi-index aliases fan out through
+        ``search_multi`` (cross-index semantics)."""
+        concrete = self.resolve(index)
+        if len(concrete) > 1:
+            return {"hits": self.search_multi(concrete, body)}
+        index = concrete[0]
         d = self._dir(index)
         q = body.get("query", {"match_all": {}})
         size = int(body.get("size", 10))
@@ -287,8 +438,11 @@ class Engine:
         return percolate_fn(self._docs_view(index), stored_queries, key="url")
 
     def count(self, index: str, query: dict | None = None) -> int:
-        """GET /{index}/_count."""
-        docs = self._docs_view(index)
+        """GET /{index}/_count (alias-aware: sums over the alias's indices)."""
+        concrete = self.resolve(index)
+        if len(concrete) > 1:
+            return sum(self.count(i, query) for i in concrete)
+        docs = self._docs_view(concrete[0])
         if not query:
             return docs.count()
         node = dsl.parse(query)

@@ -212,3 +212,43 @@ def test_rank_eval(es):
     assert mrr["metric_score"] == 1.0  # u1 ranks first
     ndcg = es.rank_eval("pages", requests, {"dcg": {"k": 3, "normalize": True}})
     assert 0.9 < ndcg["metric_score"] <= 1.0
+
+
+def test_aliases_rollover_snapshot(spark, tmp_path):
+    """Aliases (TransportIndicesAliasesAction), rollover
+    (TransportRolloverAction), snapshot/restore (SnapshotsService)."""
+    root = str(tmp_path / "lifecycle")
+    eng = Engine(spark, root=root)
+    eng.create_index("logs-000001", num_partitions=2)
+    docs = spark.createDataFrame(
+        [(f"u{i}", f"log line {i} with spark", "en") for i in range(6)],
+        "url string, text string, lang string",
+    ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+    eng.update_aliases([{"add": {"alias": "logs", "index": "logs-000001",
+                                 "is_write_index": True}}])
+    eng.bulk("logs", docs)  # routes to the write index
+    assert eng.count("logs") == 6
+
+    # rollover: condition not met → no-op; met → new write index
+    assert not eng.rollover("logs", max_docs=100)["rolled_over"]
+    out = eng.rollover("logs", max_docs=5)
+    assert out["rolled_over"] and out["new_index"] == "logs-000002"
+    docs2 = spark.createDataFrame(
+        [(f"v{i}", f"newer log {i} spark", "en") for i in range(3)],
+        "url string, text string, lang string",
+    ).withColumn("warc_ts", F.lit("2024-02-01").cast("timestamp"))
+    eng.bulk("logs", docs2)  # lands in logs-000002
+    assert eng.count("logs-000002") == 3 and eng.count("logs") == 9
+    # alias search fans out across both indices
+    hits = eng.search("logs", {"query": {"match": {"text": "spark"}}, "size": 20})["hits"]
+    assert hits.count() == 9
+
+    # snapshot is hard-linked (incremental) and restores under a new name
+    repo = str(tmp_path / "repo")
+    snap = eng.snapshot("logs-000001", repo, "snap1")
+    assert snap["state"] == "SUCCESS" and snap["files"] > 0
+    eng.delete("logs-000001", ["u0"])
+    assert eng.count("logs-000001") == 5
+    res = eng.restore(repo, "snap1", "logs-000001", rename_to="logs-restored")
+    assert res["restored"] == "logs-restored"
+    assert eng.count("logs-restored") == 6  # pre-delete state
