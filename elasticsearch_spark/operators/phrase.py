@@ -526,11 +526,25 @@ def highlight(
     fragment_size: int = 100,
     pre_tag: str = "<em>",
     post_tag: str = "</em>",
+    number_of_fragments: int = 1,
 ) -> DataFrame:
-    """Add a `highlight` column: a fragment of ±fragment_size/2 chars
-    around the first matching term, matches wrapped in tags. Pure Column
-    expressions (unified-highlighter-lite)."""
+    """Add a `highlight` column: fragments of ±fragment_size/2 chars around
+    matching terms, matches wrapped in tags. Pure Column expressions
+    (unified-highlighter-lite; ``server/.../fetch/subphase/highlight/``).
+    ``number_of_fragments > 1`` emits an ARRAY of up to N fragments (one
+    per match region, regex scan order — the reference's default scoring
+    of fragments by match count is approximated by document order)."""
     pat = "|".join(sorted((t for t in terms), key=len, reverse=True))
+    if number_of_fragments > 1:
+        half = fragment_size // 2
+        ctx = f"(?i)[^\\n]{{0,{half}}}(?:{pat})[^\\n]{{0,{half}}}"
+        frags = F.expr(
+            f"slice(regexp_extract_all({text_col}, '{ctx}', 0), 1, {number_of_fragments})"
+        )
+        tagged_arr = F.transform(
+            frags, lambda fr: F.regexp_replace(fr, f"(?i)({pat})", f"{pre_tag}$1{post_tag}")
+        )
+        return df.withColumn("highlight", tagged_arr)
     first_pos = F.expr(
         f"locate(regexp_extract(lower({text_col}), '(?i)({pat})', 1), lower({text_col}))"
     )

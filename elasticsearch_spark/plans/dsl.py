@@ -611,15 +611,67 @@ class MoreLikeThisQ(Node):
         return fr.where(~F.col("__key").isin(self.like_ids))
 
 
+_VEC_FN_RE = None
+
+
+def expand_script(src: str, params: dict | None) -> str:
+    """Painless-analog preprocessing: the dense_vector script functions
+    (``cosineSimilarity`` / ``dotProduct`` / ``l1norm`` / ``l2norm`` over
+    ``params.<name>`` and a vector field — the reference's
+    ``ScoreScriptUtils`` in the vectors module) compile to JVM-side
+    higher-order-function expressions; remaining scalar ``params.X``
+    references fold in as literals."""
+    import re
+
+    global _VEC_FN_RE
+    if _VEC_FN_RE is None:
+        _VEC_FN_RE = re.compile(
+            r"(cosineSimilarity|dotProduct|l1norm|l2norm)"
+            r"\(\s*params\.(\w+)\s*,\s*'([\w.]+)'\s*\)"
+        )
+    params = params or {}
+
+    def repl(m):
+        fn, pname, fld = m.groups()
+        vec = params[pname]
+        arr = "array(" + ", ".join(repr(float(x)) for x in vec) + ")"
+        vf = f"cast({fld} as array<double>)"
+        dot = f"aggregate(zip_with({arr}, {vf}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        if fn == "dotProduct":
+            return f"({dot})"
+        if fn == "cosineSimilarity":
+            na = f"sqrt(aggregate({arr}, 0D, (acc, x) -> acc + x * x))"
+            nb = f"sqrt(aggregate({vf}, 0D, (acc, x) -> acc + x * x))"
+            return f"(({dot}) / ({na} * {nb}))"
+        if fn == "l2norm":
+            return (
+                f"sqrt(aggregate(zip_with({arr}, {vf}, (x, y) -> (x - y) * (x - y)),"
+                " 0D, (acc, x) -> acc + x))"
+            )
+        return (
+            f"aggregate(zip_with({arr}, {vf}, (x, y) -> abs(x - y)),"
+            " 0D, (acc, x) -> acc + x)"
+        )
+
+    out = _VEC_FN_RE.sub(repl, src)
+    return re.sub(
+        r"params\.(\w+)",
+        lambda m: repr(params[m.group(1)]) if m.group(1) in params else m.group(0),
+        out,
+    )
+
+
 @dataclass
 class ScriptQ(Node):
     """script query (ScriptQueryBuilder.java): per-doc boolean predicate —
-    here a Spark SQL expression (the Painless-context analog)."""
+    here a Spark SQL expression (the Painless-context analog); vector
+    functions + params expand via ``expand_script``."""
 
     source: str = ""
+    params: dict | None = None
 
     def predicate(self, ctx):
-        return F.expr(self.source).cast("boolean")
+        return F.expr(expand_script(self.source, self.params)).cast("boolean")
 
 
 @dataclass
@@ -867,8 +919,12 @@ class FunctionScoreQ(Node):
             # ScriptScoreFunctionBuilder.java: SQL-expression Painless
             # analog over doc fields + `_score` (the query score column)
             sc = spec["script_score"]
-            src = sc["script"]["source"] if isinstance(sc.get("script"), dict) else sc["script"]
-            v = F.expr(src).cast("double")
+            if isinstance(sc.get("script"), dict):
+                src = sc["script"]["source"]
+                sparams = sc["script"].get("params")
+            else:
+                src, sparams = sc["script"], None
+            v = F.expr(expand_script(src, sparams)).cast("double")
         else:
             raise ValueError(f"unsupported function_score function: {spec}")
         if "weight" in spec and not set(spec) <= {"weight", "filter"}:
@@ -1091,7 +1147,10 @@ def parse(q: dict) -> Node:
             min_doc_freq=body.get("min_doc_freq", 1),
         )
     if kind == "script":
-        return ScriptQ(source=body["script"]["source"] if isinstance(body.get("script"), dict) else body["source"])
+        if isinstance(body.get("script"), dict):
+            return ScriptQ(source=body["script"]["source"],
+                           params=body["script"].get("params"))
+        return ScriptQ(source=body["source"], params=body.get("params"))
     if kind == "wrapper":
         import base64
         import json as _json

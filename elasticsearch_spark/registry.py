@@ -1094,6 +1094,29 @@ def dsl_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+def dsl_vector_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """script_score with the dense_vector script functions (the vectors
+    module's ScoreScriptUtils): cosineSimilarity(params.qv, 'embedding')
+    + 1.0 compiled to JVM higher-order functions (dsl.expand_script) —
+    the ES 7.x exact-kNN idiom."""
+    from .plans import dsl
+
+    e = _emb(spark, sf_dir)
+    qvec = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = dsl.search(spark, e.where(F.col("vec_id") != 0), {
+        "query": {"function_score": {
+            "query": {"match_all": {}},
+            "functions": [{"script_score": {"script": {
+                "source": "cosineSimilarity(params.qv, 'embedding') + 1.0",
+                "params": {"qv": qvec},
+            }}}],
+            "boost_mode": "replace",
+        }},
+        "size": 10,
+    }, key="vec_id")
+    return out.select("vec_id", F.round("_score", 4).alias("score"))
+
+
 def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percolator (modules/percolator/.../PercolateQueryBuilder.java):
     stored queries compiled once to predicate columns, one scan over the
@@ -2015,6 +2038,19 @@ SELECT doc_id,
        timestamp '2024-01-01 00:00:00' + (doc_id * 7 % 997) * INTERVAL 1 MINUTE AS ts
 FROM documents ORDER BY ts DESC, doc_id ASC LIMIT 10
 """,
+    "dsl_vector_script_score": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(1.0 +
+    list_dot_product(embedding::DOUBLE[], qv) /
+    (sqrt(list_dot_product(qv, qv)) *
+     sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS score
+FROM embeddings CROSS JOIN q WHERE vec_id != 0
+ORDER BY list_dot_product(embedding::DOUBLE[], qv) /
+         (sqrt(list_dot_product(qv, qv)) *
+          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) DESC,
+         vec_id ASC
+LIMIT 10
+""",
     "agg_significant_chi_square": """
 WITH counts AS (
   SELECT lang AS key,
@@ -2203,6 +2239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_percentiles_tdigest": a_percentiles_tdigest,
     "sorted_scan_latest": q_sorted_scan,
     "agg_significant_chi_square": a_significant_chi_square,
+    "dsl_vector_script_score": dsl_vector_script,
     "agg_multi_terms": a_multi_terms,
     "agg_ip_prefix": a_ip_prefix,
     "agg_string_stats": a_string_stats,

@@ -282,3 +282,19 @@ def test_geo_distance_and_bbox(spark):
     europe = dsl.parse({"geo_bounding_box": {"loc": {
         "top_left": {"lat": 60.0, "lon": -10.0}, "bottom_right": {"lat": 35.0, "lon": 30.0}}}})
     assert {r["doc_id"] for r in df.where(europe.predicate(ctx)).collect()} == {1, 2, 4}
+
+
+def test_expand_script_vector_functions(spark):
+    from elasticsearch_spark.plans.dsl import expand_script
+
+    out = expand_script(
+        "cosineSimilarity(params.qv, 'emb') + params.boost",
+        {"qv": [1.0, 0.0], "boost": 2.5},
+    )
+    assert "zip_with" in out and "params" not in out and "2.5" in out
+    df = spark.createDataFrame([([3.0, 4.0],)], "emb array<double>")
+    got = df.selectExpr(
+        expand_script("dotProduct(params.qv, 'emb')", {"qv": [1.0, 1.0]}) + " as d",
+        expand_script("l2norm(params.qv, 'emb')", {"qv": [0.0, 0.0]}) + " as l2",
+    ).collect()[0]
+    assert got["d"] == 7.0 and got["l2"] == 5.0

@@ -129,3 +129,16 @@ def test_intervals_ordered_and_unordered(spark, phrase_index):
     # unordered picks up u2 ('brown quick')
     got = {r["url"] for r in search_intervals(spark, phrase_index, "quick brown", ordered=False).collect()}
     assert got == {"u1", "u2", "u3", "u4"}
+
+
+def test_highlight_multiple_fragments(spark):
+    from elasticsearch_spark.operators.phrase import highlight
+
+    df = spark.createDataFrame(
+        [("spark here first\nand then spark again later\nno match line",)],
+        "text string",
+    )
+    out = highlight(df, ["spark"], fragment_size=30, number_of_fragments=3).collect()[0]
+    frags = out["highlight"]
+    assert isinstance(frags, list) and len(frags) == 2
+    assert all("<em>spark</em>" in fr for fr in frags)
