@@ -3,6 +3,7 @@ searchable after each refresh; watermarked windowed aggregation."""
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pytest
@@ -111,3 +112,54 @@ def test_windowed_event_counts_plan(spark):
     out = ingest.windowed_event_counts(df, window="1 hour", watermark="2 hours")
     got = {(r["window_start"].hour, r["doc_count"]) for r in out.collect()}
     assert got == {(0, 2), (1, 2), (2, 2)}
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: gap-split within a batch,
+    event-time timeout closes idle sessions when the watermark advances."""
+    import datetime as dt
+    import time
+
+    from elasticsearch_spark.streaming.sessionize import sessionize_stream
+
+    src = str(tmp_path / "events_src")
+    os.makedirs(src, exist_ok=True)
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(1)\
+            .write.mode("overwrite").parquet(f"{src}/__tmp_{name}")
+        import glob as g
+        import shutil as sh
+        for f in g.glob(f"{src}/__tmp_{name}/*.parquet"):
+            sh.move(f, f"{src}/{name}.parquet")
+        sh.rmtree(f"{src}/__tmp_{name}")
+
+    # batch 1: user 1 has two sessions split by a >30min gap already
+    write_batch("b1", [
+        (1, base), (1, base + dt.timedelta(minutes=5)),
+        (1, base + dt.timedelta(minutes=50)),  # new session (gap 45m)
+        (2, base + dt.timedelta(minutes=1)),
+    ])
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    out = sessionize_stream(stream, gap="30 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("sessions")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = spark.sql("select * from sessions").collect()
+        # the first user-1 session closed by the in-batch gap split
+        assert {(r["user_id"], r["n_events"]) for r in got1} == {(1, 2)}
+        # batch 2: far-future event advances the watermark past end+gap
+        write_batch("b2", [(9, base + dt.timedelta(hours=6))])
+        q.processAllAvailable()
+        # one more batch so the new watermark triggers the timeouts
+        write_batch("b3", [(9, base + dt.timedelta(hours=7))])
+        q.processAllAvailable()
+        got2 = spark.sql("select * from sessions").collect()
+        sessions = {(r["user_id"], r["n_events"]) for r in got2}
+        assert (1, 1) in sessions and (2, 1) in sessions  # idle sessions closed
+    finally:
+        q.stop()
