@@ -406,6 +406,17 @@ class Engine:
                     keyed = node.frame(ctx).select("__key")
                     base = base.join(keyed.withColumnRenamed("__key", "url"), "url", "left_semi")
             out["aggregations"] = aggs_mod.aggregate(base, body["aggs"])
+        if "track_total_hits" in body:
+            # SearchContext.java:61-63 — default caps counting at 10k
+            # ("gte" relation); true = exact; int = custom cap. Computed
+            # only on request (an extra count action).
+            tth = body["track_total_hits"]
+            cap = None if tth is True else int(tth) if not isinstance(tth, bool) else 10_000
+            n = self.count(index, None if kind == "match_all" else q)
+            out["total"] = {
+                "value": n if cap is None else min(n, cap),
+                "relation": "eq" if (cap is None or n <= cap) else "gte",
+            }
         return out
 
     def msearch(self, searches: list[tuple[str, dict]]) -> list[dict]:

@@ -20,6 +20,8 @@ seeded numpy constant folded into the plan as literals.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -135,6 +137,94 @@ def lsh_topk(
                 probes.append((t, sig ^ (1 << int(i))))
     probe_df = index_df.sparkSession.createDataFrame(probes, "tbl int, bucket long")
     cands = index_df.join(F.broadcast(probe_df), ["tbl", "bucket"]).dropDuplicates(["__key"])
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        cands.withColumn("__q", q)
+        .withColumn("cosine", _cos_cols("__v", "__q"))
+        .select(F.col("__key"), "cosine")
+        .orderBy(F.desc("cosine"), F.asc("__key"))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + nprobe search — the
+# second scale path beside hyperplane LSH (FAISS IVF-Flat shape, public
+# algorithm). Centroids train on a bounded driver-side sample; assignment
+# and rerank are Arrow-batched matmuls; the index is written
+# partitionBy("list_id") so a probe reads only nprobe partitions.
+# --------------------------------------------------------------------------
+
+def train_centroids(
+    sample: np.ndarray, n_lists: int, iters: int = 10, seed: int = SEED
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on a sample (numpy; k-means++-lite
+    seeding from a seeded permutation). Sample is bounded (≤ ~10k rows) so
+    training cost is independent of corpus size."""
+    rng = np.random.Generator(np.random.Philox(key=[seed, 29]))
+    idx = rng.permutation(len(sample))[:n_lists]
+    cents = sample[np.sort(idx)].astype(np.float64).copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_lists):
+            m = assign == c
+            if m.any():
+                cents[c] = sample[m].mean(axis=0)
+    return cents
+
+
+def build_ivf_index(
+    df: DataFrame,
+    key: str,
+    vec_col: str,
+    n_lists: int | None = None,
+    sample_size: int = 10_000,
+    seed: int = SEED,
+):
+    """Returns (index_df, centroids): index_df = (list_id, key, vec) with
+    every vector assigned to its nearest centroid. At 10^12 rows: train on
+    the bounded sample, assign in one Arrow-matmul scan, write the index
+    ``partitionBy("list_id")`` — a probe then scans nprobe/n_lists of the
+    data (partition pruning), the IVF contract."""
+    import pandas as pd
+
+    n = df.count()
+    if n_lists is None:
+        n_lists = max(4, int(math.isqrt(n)))
+    frac = min(1.0, sample_size / max(n, 1))
+    sample_rows = (
+        df.sample(fraction=frac, seed=seed).limit(sample_size).select(vec_col).collect()
+    )
+    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    cents = train_centroids(sample, n_lists, seed=seed)
+    cT = cents.T.copy()
+    c_sq = (cents ** 2).sum(axis=1)
+
+    def _assign_fn(vs):
+        V = np.asarray(list(vs), dtype=np.float64)
+        # nearest centroid by L2: argmin(|c|^2 - 2 c·v) (|v|^2 constant per row)
+        d = c_sq[None, :] - 2.0 * (V @ cT)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    _assign_fn.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    assign_udf = F.pandas_udf(_assign_fn, "int")
+    base = df.select(F.col(key).alias("__key"), F.col(vec_col).cast("array<double>").alias("__v"))
+    return base.select(assign_udf("__v").alias("list_id"), "__key", "__v"), cents
+
+
+def ivf_topk(
+    index_df: DataFrame,
+    centroids: np.ndarray,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the nprobe nearest lists, exact cosine rerank inside them."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    probes = [int(x) for x in np.argsort(d, kind="mergesort")[:nprobe]]
+    cands = index_df.where(F.col("list_id").isin(probes))
     q = F.array(*[F.lit(float(x)) for x in qv])
     return (
         cands.withColumn("__q", q)

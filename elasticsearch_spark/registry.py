@@ -848,6 +848,21 @@ def s_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via IVF-Flat (k-means coarse quantizer + nprobe probe,
+    operators/similarity.py) — rows-only check (approximate by design;
+    recall vs the exact baseline asserted in tests/test_similarity.py)."""
+    from .operators import similarity
+
+    e = _emb(spark, sf_dir)
+    qvec = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = e.where(F.col("vec_id") != 0)
+    idx, cents = similarity.build_ivf_index(corpus, "vec_id", "embedding", n_lists=16)
+    return similarity.ivf_topk(idx, cents, qvec, k=10, nprobe=6).withColumnRenamed(
+        "__key", "vec_id"
+    )
+
+
 def agg_compiler_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES aggs body through the compiler (plans/aggs.py): terms bucket with
     avg/max sub-metrics, count-desc order."""
@@ -2215,6 +2230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": d_embedding_lsh,
     "sim_cosine_topk": s_cosine_topk,
     "sim_ann_lsh_topk": s_ann_lsh_topk,
+    "sim_ann_ivf_topk": s_ann_ivf_topk,
     "agg_compiler_terms": agg_compiler_terms,
     "agg_compiler_pipeline": agg_compiler_pipeline,
     "text_token_stats": t_token_stats,

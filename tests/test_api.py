@@ -252,3 +252,12 @@ def test_aliases_rollover_snapshot(spark, tmp_path):
     res = eng.restore(repo, "snap1", "logs-000001", rename_to="logs-restored")
     assert res["restored"] == "logs-restored"
     assert eng.count("logs-restored") == 6  # pre-delete state
+
+
+def test_track_total_hits(es):
+    out = es.search("pages", {"query": {"match": {"text": "spark"}}, "size": 1,
+                              "track_total_hits": True})
+    assert out["total"] == {"value": 2, "relation": "eq"}
+    out2 = es.search("pages", {"query": {"match_all": {}}, "size": 1,
+                               "track_total_hits": 3})
+    assert out2["total"] == {"value": 3, "relation": "gte"}

@@ -64,3 +64,38 @@ def test_lsh_candidates_bounded(spark, vec_df, qvec):
     probe_df = idx.sparkSession.createDataFrame(probes, "tbl int, bucket long")
     n_cand = idx.join(F.broadcast(probe_df), ["tbl", "bucket"]).dropDuplicates(["__key"]).count()
     assert n_cand < N // 2
+
+
+def test_ivf_recall_and_partition_prune(spark):
+    """IVF-Flat ANN: recall@10 vs the exact baseline, probe bounded by
+    nprobe lists."""
+    import numpy as np
+
+    from elasticsearch_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_topk,
+        train_centroids,
+    )
+
+    rng = np.random.Generator(np.random.Philox(3))
+    vecs = rng.normal(size=(400, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(400)],
+        "vid long, emb array<double>",
+    )
+    qv = [float(x) for x in vecs[0]]
+    idx, cents = build_ivf_index(df, "vid", "emb", n_lists=16)
+    assert cents.shape == (16, 16)
+    exact = [r["vid"] for r in brute_force_topk(df, "vid", "emb", qv, k=10).collect()]
+    got = [r["__key"] for r in ivf_topk(idx, cents, qv, k=10, nprobe=6).collect()]
+    recall = len(set(exact) & set(got)) / 10
+    assert recall >= 0.6, recall
+    assert got[0] == 0  # the query vector itself is always found
+    # candidate set is bounded by the probed lists, not the corpus
+    n_cands = idx.where("list_id in (0,1)").count()
+    assert 0 < n_cands < 400
+    # deterministic training
+    c2 = train_centroids(vecs[:100], 8)
+    c3 = train_centroids(vecs[:100], 8)
+    assert np.allclose(c2, c3)
