@@ -150,14 +150,24 @@ def minhash_lsh_pairs(
     return out
 
 
-def simhash_fingerprints(df: DataFrame, key: str, toks_col: str) -> DataFrame:
+def simhash_fingerprints(
+    df: DataFrame, key: str, toks_col: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash over term frequencies: bit_i = sign of
-    Σ_t tf(t)·(±1 per bit of xxhash64(t))."""
+    Σ_t tf(t)·(±1 per bit of hash(t)). ``hash_fn``: ``xxhash64`` (default,
+    JVM-native) or ``md5_60`` (first 60 bits of md5 — bit-identical in any
+    engine with a standard md5, which is what makes the DuckDB oracle for
+    ``dedup_simhash`` possible)."""
+    th = (
+        F.xxhash64("term")
+        if hash_fn == "xxhash64"
+        else F.expr("cast(conv(substring(md5(term), 1, 15), 16, 10) as bigint)")
+    )
     tf = (
         df.select(F.col(key).alias("__key"), F.explode(toks_col).alias("term"))
         .groupBy("__key", "term")
         .agg(F.count("*").alias("tf"))
-        .select("__key", "tf", F.xxhash64("term").alias("th"))
+        .select("__key", "tf", th.alias("th"))
     )
 
     # per bit: sum(tf * (bit set ? +1 : -1)) > 0 → bit set. Vectorized as 64
@@ -178,11 +188,14 @@ def simhash_fingerprints(df: DataFrame, key: str, toks_col: str) -> DataFrame:
     return votes.select("__key", fp.alias("simhash"))
 
 
-def simhash_pairs(df: DataFrame, key: str, toks_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    df: DataFrame, key: str, toks_col: str, max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming via the 4-chunk
     pigeonhole: ≤3 differing bits ⇒ at least one 16-bit chunk equal, so
     candidates come from 4 chunk-equality bucket joins, never O(n²)."""
-    fps = simhash_fingerprints(df, key, toks_col).persist()
+    fps = simhash_fingerprints(df, key, toks_col, hash_fn=hash_fn).persist()
     chunks = fps.select(
         "__key",
         "simhash",

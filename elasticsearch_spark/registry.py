@@ -798,12 +798,43 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup (hamming ≤ 3 via 4×16-bit chunk pigeonhole) —
-    rows-only check (the 64-bit fingerprint is not SQL-mirrorable)."""
+    """SimHash near-dup (hamming ≤ 3 via 4×16-bit chunk pigeonhole), md5_60
+    hash mode — the DuckDB oracle recomputes the identical fingerprints
+    from standard md5 and checks ALL-PAIRS hamming (the pigeonhole is
+    provably exact at ≤3 bits, so the two must agree row-for-row)."""
     from .operators import dedup
 
     t = _tokenized(spark, sf_dir).select("doc_id", "toks")
-    return dedup.simhash_pairs(t, "doc_id", "toks", max_hamming=3).orderBy("a", "b")
+    return dedup.simhash_pairs(
+        t, "doc_id", "toks", max_hamming=3, hash_fn="md5_60"
+    ).orderBy("a", "b")
+
+
+def _simhash_sql() -> str:
+    th = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5(term), {d}, 1)) - 1) * {1 << (4 * (15 - d))}"
+        for d in range(1, 16)
+    )
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
+        for i in range(60)
+    )
+    fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60))
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, ({th})::BIGINT AS th FROM tf),
+votes AS (SELECT doc_id,
+       {votes}
+       FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, ({fp})::BIGINT AS sh FROM votes)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.sh, y.sh))::INT AS hamming
+FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.sh, y.sh)) <= 3
+ORDER BY a, b
+"""
 
 
 def d_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2053,6 +2084,7 @@ SELECT doc_id,
        timestamp '2024-01-01 00:00:00' + (doc_id * 7 % 997) * INTERVAL 1 MINUTE AS ts
 FROM documents ORDER BY ts DESC, doc_id ASC LIMIT 10
 """,
+    "dedup_simhash": _simhash_sql(),
     "dsl_vector_script_score": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, round(1.0 +
