@@ -482,6 +482,33 @@ class Engine:
             build_bigram_lm(self.spark, d)
         return phrase_suggest(self.spark, d, text, **kw)
 
+    def sql(self, query: str) -> DataFrame:
+        """POST /_sql (x-pack SQL): standard SQL over the live docs view,
+        with the fulltext extensions MATCH(field,'q') / QUERY('qs') /
+        SCORE() translated through the DSL (plans/essql.py). FROM resolves
+        aliases; multi-index aliases union with an ``_index`` tag."""
+        import re
+
+        from .plans.essql import es_sql
+
+        m = re.search(r"\bFROM\s+([\w\-.]+)", query, re.I)
+        if not m:
+            raise ValueError("ES SQL statement needs a FROM <index>")
+        name = m.group(1)
+        concrete = self.resolve(name)
+        if len(concrete) == 1:
+            df = self._docs_view(concrete[0])
+        else:
+            parts = [
+                self._docs_view(i).withColumn("_index", F.lit(i)) for i in concrete
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        safe = re.sub(r"\W", "_", name)
+        query = re.sub(rf"\bFROM\s+{re.escape(name)}", f"FROM {safe}", query, count=1)
+        return es_sql(self.spark, {safe: df}, query, key="url")
+
     def search_template(self, index: str, body: dict) -> dict:
         """POST /{index}/_search/template (``server/.../script/mustache``
         module): render the mustache source with params, then search."""

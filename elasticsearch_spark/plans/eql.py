@@ -1,0 +1,139 @@
+"""EQL — Event Query Language (the reference's ``x-pack/plugin/eql``).
+
+Subset grammar (the shapes that cover the overwhelming share of real EQL
+usage — threat-hunting style event correlation):
+
+- simple query:      ``<category> where <condition>``
+- sequence:          ``sequence [by f1[, f2]] [with maxspan=<n><unit>]
+                       [cat1 where c1] [cat2 where c2] ...``
+- pipes:             ``| head N`` · ``| tail N`` · ``| unique field``
+
+Conditions are EQL boolean expressions; ``==`` / ``!=`` / ``and`` / ``or``
+/ ``not`` translate directly to Spark SQL (EQL's Painless-free predicate
+subset IS a SQL expression).
+
+Sequence semantics (documented subset): for every step-1 event, the GREEDY
+MINIMAL chain — each later step binds to its category's earliest event
+strictly after the previous step, same ``by`` key, and the whole chain
+must fit in ``maxspan``. One output row per matched leading event
+(overlapping chains allowed — the reference's state machine additionally
+consumes events; the greedy-minimal subset is deterministic and
+SQL-mirrorable, which is what the DuckDB oracle checks).
+
+Execution: each step is a filtered scan; step i+1 is an as-of-style join
+on the ``by`` key (shuffle co-partitioned by key — the one join key EQL
+guarantees) + ``min_by`` aggregation for the earliest successor. No
+window over the global timeline, no driver loops — survives 10^12 events
+per category as long as per-key fan-out is bounded (skewed keys fall to
+AQE skew handling like any other join).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SEQ_RE = re.compile(
+    r"^sequence(?:\s+by\s+(?P<by>[\w,\s]+?))?(?:\s+with\s+maxspan=(?P<span>\d+)(?P<unit>ms|s|m|h|d))?\s*(?P<steps>(\[.*\])+)\s*$",
+    re.S,
+)
+_STEP_RE = re.compile(r"\[\s*([\w*]+)\s+where\s+(.*?)\s*\]", re.S)
+_SIMPLE_RE = re.compile(r"^\s*([\w*]+)\s+where\s+(.*?)\s*$", re.S)
+
+_UNIT_S = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _cond_to_sql(cond: str) -> str:
+    """EQL condition → Spark SQL boolean expression."""
+    out = re.sub(r"==", "=", cond)
+    out = re.sub(r'"([^"]*)"', r"'\1'", out)
+    return out
+
+
+def _split_pipes(q: str) -> tuple[str, list[tuple[str, str]]]:
+    parts = [p.strip() for p in q.split("|")]
+    pipes = []
+    for p in parts[1:]:
+        kw, _, arg = p.partition(" ")
+        pipes.append((kw.strip(), arg.strip()))
+    return parts[0], pipes
+
+
+def eql_search(
+    df: DataFrame,
+    query: str,
+    category_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Run an EQL query over an events frame.
+
+    Simple queries return matching event rows. Sequences return one row
+    per matched chain: the ``by`` keys plus ``t1..tN`` (per-step
+    timestamps, ordered)."""
+    body, pipes = _split_pipes(query)
+
+    def apply_pipes(out: DataFrame, order_cols: list) -> DataFrame:
+        for kw, arg in pipes:
+            if kw == "head":
+                out = out.orderBy(*order_cols).limit(int(arg))
+            elif kw == "tail":
+                n = int(arg)
+                out = out.orderBy(*[c.desc() for c in
+                                    [F.col(x) if isinstance(x, str) else x for x in order_cols]]).limit(n)
+            elif kw == "unique":
+                out = out.dropDuplicates([arg])
+            else:
+                raise ValueError(f"unsupported EQL pipe: {kw}")
+        return out
+
+    m = _SEQ_RE.match(body.strip())
+    if not m:
+        sm = _SIMPLE_RE.match(body.strip())
+        if not sm:
+            raise ValueError(f"cannot parse EQL query: {query!r}")
+        cat, cond = sm.groups()
+        out = df
+        if cat != "*" and cat != "any":
+            out = out.where(F.col(category_col) == cat)
+        out = out.where(F.expr(_cond_to_sql(cond)))
+        # EQL result order: timestamp, then the tiebreaker id field
+        tie = id_col or ("event_id" if "event_id" in df.columns else None)
+        order = [F.col(ts_col).asc()] + ([F.col(tie).asc()] if tie else [])
+        return apply_pipes(out, order)
+
+    by = [b.strip() for b in (m.group("by") or "").split(",") if b.strip()]
+    span_s = (
+        int(m.group("span")) * _UNIT_S[m.group("unit")] if m.group("span") else None
+    )
+    steps = _STEP_RE.findall(m.group("steps"))
+    if len(steps) < 2:
+        raise ValueError("sequence needs at least two steps")
+    if not by:
+        raise ValueError("sequence requires `by` in this subset")
+
+    def step_frame(i: int, cat: str, cond: str) -> DataFrame:
+        out = df
+        if cat not in ("*", "any"):
+            out = out.where(F.col(category_col) == cat)
+        if cond and cond.strip() not in ("true",):
+            out = out.where(F.expr(_cond_to_sql(cond)))
+        cols = [F.col(b) for b in by] + [F.col(ts_col).alias(f"t{i + 1}")]
+        return out.select(*cols)
+
+    cur = step_frame(0, *steps[0])
+    for i, (cat, cond) in enumerate(steps[1:], start=1):
+        nxt = step_frame(i, cat, cond)
+        prev_t = f"t{i}"
+        this_t = f"t{i + 1}"
+        joined = cur.join(nxt, by).where(F.col(this_t) > F.col(prev_t))
+        chain_cols = by + [f"t{j + 1}" for j in range(i)]
+        # earliest successor per chain (greedy minimal chain)
+        cur = joined.groupBy(*chain_cols).agg(F.min(this_t).alias(this_t))
+    if span_s is not None:
+        last = f"t{len(steps)}"
+        cur = cur.where(F.expr(f"timestampdiff(SECOND, t1, {last})") <= span_s)
+    order = [F.col(b).asc() for b in by] + [F.col("t1").asc()]
+    return apply_pipes(cur.orderBy(*order), order)

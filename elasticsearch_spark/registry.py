@@ -1323,6 +1323,54 @@ def a_significant_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("key", "doc_count", "bg_count", F.round("score", 4).alias("score"))
 
 
+def a_rollup_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup (x-pack/plugin/rollup): hourly×type pre-aggregation with
+    mergeable partials, then a DAILY search over the rolled table — the
+    oracle is the same aggregation run directly on the raw events (the
+    rollup exactness invariant for nested intervals)."""
+    from .plans.rollup import build_rollup, rollup_search
+
+    rolled = build_rollup(_events(spark, sf_dir), {
+        "groups": {"date_histogram": {"field": "ts", "calendar_interval": "1h"},
+                   "terms": {"fields": ["event_type"]}},
+        "metrics": [{"field": "value", "metrics": ["min", "max", "sum", "avg"]}],
+    })
+    out = rollup_search(rolled, {
+        "daily": {"date_histogram": {"field": "ts", "calendar_interval": "1d"},
+                  "aggs": {"sv": {"sum": {"field": "value"}},
+                           "mx": {"max": {"field": "value"}},
+                           "av": {"avg": {"field": "value"}}}},
+    })
+    return out.select(
+        F.to_date("key").alias("day"), "doc_count",
+        F.round("sv", 4).alias("sv"), F.round("mx", 4).alias("mx"),
+        F.round("av", 4).alias("av"),
+    )
+
+
+def q_es_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES SQL (x-pack/plugin/sql): standard SQL tail + the fulltext
+    extensions — MATCH() compiled to the BM25 frame, SCORE() projected."""
+    from .plans.essql import es_sql
+
+    return es_sql(spark, {"documents_v": _docs(spark, sf_dir)},
+                  "SELECT doc_id, round(SCORE(), 4) AS score FROM documents_v "
+                  "WHERE MATCH(text, 'spark merge vector') AND lang = 'en' "
+                  "ORDER BY SCORE() DESC, doc_id LIMIT 10")
+
+
+def q_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL sequence (x-pack/plugin/eql): view → purchase per user within
+    2h (greedy minimal chain, as-of join on the by key) + head pipe."""
+    from .plans.eql import eql_search
+
+    return eql_search(
+        _events(spark, sf_dir),
+        "sequence by user_id with maxspan=2h"
+        " [view where true] [purchase where true] | head 50",
+    )
+
+
 def a_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multi_terms (MultiTermsAggregationBuilder.java): buckets keyed by the
     (lang, source) tuple, count-desc, with an avg sub-metric."""
@@ -2084,6 +2132,31 @@ SELECT doc_id,
        timestamp '2024-01-01 00:00:00' + (doc_id * 7 % 997) * INTERVAL 1 MINUTE AS ts
 FROM documents ORDER BY ts DESC, doc_id ASC LIMIT 10
 """,
+    "agg_rollup_search": """
+SELECT cast(ts AS DATE) AS day, count(*)::BIGINT AS doc_count,
+       round(sum(value), 4) AS sv, round(max(value), 4) AS mx,
+       round(avg(value), 4) AS av
+FROM events GROUP BY 1 ORDER BY day
+""",
+    "es_sql_match": _bm25_cte(["spark", "merge", "vector"], msm=1) + """
+SELECT s.doc_id, round(s.score_raw, 4) AS score
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+WHERE d.lang = 'en'
+ORDER BY s.score_raw DESC, s.doc_id ASC LIMIT 10
+""",
+    "eql_sequence": """
+WITH s1 AS (SELECT user_id, ts AS t1 FROM events WHERE event_type = 'view'),
+ch AS (
+  SELECT s1.user_id, s1.t1,
+         (SELECT min(e.ts) FROM events e
+          WHERE e.user_id = s1.user_id AND e.event_type = 'purchase'
+            AND e.ts > s1.t1) AS t2
+  FROM s1
+)
+SELECT user_id, t1, t2 FROM ch
+WHERE t2 IS NOT NULL AND epoch(t2) - epoch(t1) <= 7200
+ORDER BY user_id, t1 LIMIT 50
+""",
     "dedup_simhash": _simhash_sql(),
     "dsl_vector_script_score": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
@@ -2288,6 +2361,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sorted_scan_latest": q_sorted_scan,
     "agg_significant_chi_square": a_significant_chi_square,
     "dsl_vector_script_score": dsl_vector_script,
+    "eql_sequence": q_eql_sequence,
+    "es_sql_match": q_es_sql,
+    "agg_rollup_search": a_rollup_search,
     "agg_multi_terms": a_multi_terms,
     "agg_ip_prefix": a_ip_prefix,
     "agg_string_stats": a_string_stats,

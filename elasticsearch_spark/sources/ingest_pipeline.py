@@ -177,6 +177,23 @@ def _apply_one(df: DataFrame, spec: dict) -> DataFrame:
         units = "CASE lower(regexp_extract({c}, '([kmgt]?b)$', 1)) WHEN 'b' THEN 1 WHEN 'kb' THEN 1024 WHEN 'mb' THEN 1048576 WHEN 'gb' THEN 1073741824 WHEN 'tb' THEN 1099511627776 END"
         num = "cast(regexp_extract({c}, '^([0-9.]+)', 1) as double)"
         return put(tgt, F.expr(f"cast({num.format(c=f)} * {units.format(c=f)} as long)"))
+    if kind == "enrich":
+        # x-pack enrich processor (EnrichProcessorFactory): lookup against
+        # a policy table — the dim side is broadcast (small by contract),
+        # so the join adds no shuffle to the ingest plan. The policy frame
+        # arrives as `_lookup_df` (the executed enrich index); matched
+        # enrich fields land under target_field.<col>.
+        lookup = body["_lookup_df"]
+        match_field = body["match_field"]
+        enrich_fields = body.get("enrich_fields") or [
+            c for c in lookup.columns if c != match_field
+        ]
+        tgt2 = body.get("target_field", "enriched")
+        dim = lookup.select(
+            F.col(match_field).alias(f),
+            *[F.col(c).alias(f"{tgt2}.{c}") for c in enrich_fields],
+        )
+        return df.join(F.broadcast(dim), f, "left")
     if kind == "drop":
         return df.where(~F.expr(cond)) if cond else df.limit(0)
     if kind == "script":

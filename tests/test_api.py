@@ -261,3 +261,20 @@ def test_track_total_hits(es):
     out2 = es.search("pages", {"query": {"match_all": {}}, "size": 1,
                                "track_total_hits": 3})
     assert out2["total"] == {"value": 3, "relation": "gte"}
+
+
+def test_es_sql(es):
+    out = es.sql(
+        "SELECT url, SCORE() AS s FROM pages "
+        "WHERE MATCH(text, 'spark computing') AND lang = 'en' "
+        "ORDER BY SCORE() DESC, url LIMIT 3"
+    ).collect()
+    assert [r["url"] for r in out][0] == "u1"  # matches both terms
+    assert {r["url"] for r in out} == {"u1", "u3", "u5"}
+    assert out[0]["s"] > out[-1]["s"]
+    # plain SQL (no fulltext extension) passes straight through
+    plain = es.sql("SELECT lang, count(*) AS n FROM pages GROUP BY lang ORDER BY n DESC").collect()
+    assert plain[0]["lang"] == "en" and plain[0]["n"] == 4
+    # QUERY() uses query_string syntax
+    qs = es.sql("SELECT url FROM pages WHERE QUERY('spark AND streaming') ORDER BY url").collect()
+    assert [r["url"] for r in qs] == ["u3"]

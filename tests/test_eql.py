@@ -1,0 +1,70 @@
+"""EQL subset (plans/eql.py): simple queries, sequences, pipes."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.plans.eql import eql_search
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1: login → access → exfil within 30 min (full chain)
+        (1, 1, "login", base, 0.0),
+        (2, 1, "access", base + dt.timedelta(minutes=10), 5.0),
+        (3, 1, "exfil", base + dt.timedelta(minutes=25), 9.0),
+        # user 2: login → access but exfil far outside maxspan
+        (4, 2, "login", base, 0.0),
+        (5, 2, "access", base + dt.timedelta(minutes=5), 1.0),
+        (6, 2, "exfil", base + dt.timedelta(hours=5), 2.0),
+        # user 3: events out of order (access before login) → no chain
+        (7, 3, "access", base, 1.0),
+        (8, 3, "login", base + dt.timedelta(minutes=1), 0.0),
+        # user 1 second login → earliest later access binds greedily
+        (9, 1, "login", base + dt.timedelta(minutes=5), 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    ).cache()
+
+
+def test_simple_query_and_pipes(events):
+    out = eql_search(events, 'login where value == 0.0 | head 2').collect()
+    assert [r["event_id"] for r in out] == [1, 4]
+    out2 = eql_search(events, "access where value > 0 | unique user_id").collect()
+    assert len(out2) == 3
+    out3 = eql_search(events, "* where value >= 9.0").collect()
+    assert [r["event_id"] for r in out3] == [3]
+
+
+def test_sequence_with_maxspan(events):
+    q = ("sequence by user_id with maxspan=30m "
+         "[login where true] [access where true] [exfil where true]")
+    rows = eql_search(events, q).collect()
+    # only user 1's chain fits in 30 minutes; the second login (10:05)
+    # greedily binds access@10:10 and exfil@10:25 → two leading events
+    assert {r["user_id"] for r in rows} == {1}
+    assert len(rows) == 2
+    for r in rows:
+        assert r["t1"] < r["t2"] < r["t3"]
+
+
+def test_sequence_without_span_and_order(events):
+    q = "sequence by user_id [login where true] [access where true]"
+    rows = eql_search(events, q).collect()
+    # user 2 qualifies now; user 3 never (access precedes login)
+    assert {r["user_id"] for r in rows} == {1, 2}
+
+
+def test_sequence_greedy_minimal(events):
+    q = "sequence by user_id [login where true] [exfil where true]"
+    rows = eql_search(events, q, ).collect()
+    u1 = [r for r in rows if r["user_id"] == 1]
+    # both user-1 logins chain to the SAME earliest exfil (greedy minimal)
+    assert len(u1) == 2
+    assert all(r["t2"] == u1[0]["t2"] for r in u1)
