@@ -509,6 +509,87 @@ class Engine:
         query = re.sub(rf"\bFROM\s+{re.escape(name)}", f"FROM {safe}", query, count=1)
         return es_sql(self.spark, {safe: df}, query, key="url")
 
+    def transform(self, source: str, dest_path: str, pivot: dict) -> dict:
+        """x-pack transform (batch pivot, ``x-pack/plugin/transform``):
+        group_by sources × aggregations materialized to a destination
+        table — one partial/final aggregation plus the write. (Continuous
+        mode = the same plan under streaming/ingest.py's micro-batching.)"""
+        docs = self._docs_view(source)
+        keys = []
+        for name, gspec in pivot["group_by"].items():
+            c, _ = aggs_mod._bucket_col(gspec)
+            keys.append((c if hasattr(c, "alias") else F.col(c)).alias(name))
+        grouped = aggs_mod._apply_metric_subaggs(
+            docs.groupBy(*keys), pivot.get("aggregations")
+        )
+        grouped.write.mode("overwrite").parquet(dest_path)
+        n = self.spark.read.parquet(dest_path).count()
+        return {"dest": dest_path, "docs_written": n}
+
+    def graph_explore(
+        self,
+        index: str,
+        seed_terms: list[str],
+        hops: int = 1,
+        size: int = 10,
+        min_doc_count: int = 3,
+    ) -> dict:
+        """Graph explore (``x-pack/plugin/graph`` ``TransportGraphExploreAction``):
+        wander the term-co-occurrence graph from seed terms. Each hop:
+        docs containing any frontier term (semi join on the token stream)
+        → co-occurring terms ranked by shared-doc count → next frontier.
+        Returns {"vertices": [(term, hop, doc_count)], "connections":
+        [(source, target, doc_count)]}. All joins are doc_id-keyed over
+        the exploded token frame — co-partitioned aggregations, no
+        all-pairs term join."""
+        meta = store.IndexMeta.load(self._dir(index))
+        docs = self._docs_view(index)
+        toks = docs.select(
+            "url", F.explode(
+                F.array_distinct(analysis.tokens_udf(meta.analyzer)("text"))
+            ).alias("term"),
+        ).cache()
+        vertices = [(t, 0, None) for t in seed_terms]
+        connections = []
+        frontier = list(seed_terms)
+        seen = set(seed_terms)
+        for hop in range(1, hops + 1):
+            fdf = self.spark.createDataFrame([(t,) for t in frontier], "term string")
+            # docs touching the frontier, tagged with WHICH frontier term
+            touched = toks.join(F.broadcast(fdf), "term").select(
+                "url", F.col("term").alias("src")
+            )
+            co = (
+                toks.join(touched, "url")
+                .where(F.col("term") != F.col("src"))
+                .groupBy("src", "term")
+                .agg(F.countDistinct("url").alias("doc_count"))
+                .where(F.col("doc_count") >= min_doc_count)
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("src").orderBy(
+                F.desc("doc_count"), F.asc("term")
+            )
+            top = (
+                co.withColumn("__r", F.row_number().over(w))
+                .where(F.col("__r") <= size)
+                .drop("__r")
+                .collect()
+            )
+            nxt = []
+            for r in top:
+                connections.append((r["src"], r["term"], int(r["doc_count"])))
+                if r["term"] not in seen:
+                    seen.add(r["term"])
+                    vertices.append((r["term"], hop, int(r["doc_count"])))
+                    nxt.append(r["term"])
+            frontier = nxt
+            if not frontier:
+                break
+        toks.unpersist()
+        return {"vertices": vertices, "connections": connections}
+
     def search_template(self, index: str, body: dict) -> dict:
         """POST /{index}/_search/template (``server/.../script/mustache``
         module): render the mustache source with params, then search."""

@@ -1348,6 +1348,24 @@ def a_rollup_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_explore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph explore (x-pack/plugin/graph): one hop of the term
+    co-occurrence walk from seed 'spark' — doc-keyed joins over the
+    exploded token stream, shared-doc-count ranked."""
+    t = _tokenized(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("term")
+    )
+    seed_docs = t.where(F.col("term") == "spark").select("doc_id").distinct()
+    co = (
+        t.join(seed_docs, "doc_id")
+        .where(F.col("term") != "spark")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("doc_count"))
+        .where(F.col("doc_count") >= 3)
+    )
+    return co.orderBy(F.desc("doc_count"), F.asc("term")).limit(10)
+
+
 def q_es_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES SQL (x-pack/plugin/sql): standard SQL tail + the fulltext
     extensions — MATCH() compiled to the BM25 frame, SCORE() projected."""
@@ -2132,6 +2150,16 @@ SELECT doc_id,
        timestamp '2024-01-01 00:00:00' + (doc_id * 7 % 997) * INTERVAL 1 MINUTE AS ts
 FROM documents ORDER BY ts DESC, doc_id ASC LIMIT 10
 """,
+    "graph_explore": f"""
+WITH t AS (SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS term FROM documents),
+d AS (SELECT DISTINCT doc_id FROM t WHERE term = 'spark'),
+co AS (
+  SELECT term, count(DISTINCT t.doc_id)::BIGINT AS doc_count
+  FROM t JOIN d USING (doc_id) WHERE term <> 'spark' GROUP BY term
+)
+SELECT term, doc_count FROM co WHERE doc_count >= 3
+ORDER BY doc_count DESC, term ASC LIMIT 10
+""",
     "agg_rollup_search": """
 SELECT cast(ts AS DATE) AS day, count(*)::BIGINT AS doc_count,
        round(sum(value), 4) AS sv, round(max(value), 4) AS mx,
@@ -2364,6 +2392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eql_sequence": q_eql_sequence,
     "es_sql_match": q_es_sql,
     "agg_rollup_search": a_rollup_search,
+    "graph_explore": q_graph_explore,
     "agg_multi_terms": a_multi_terms,
     "agg_ip_prefix": a_ip_prefix,
     "agg_string_stats": a_string_stats,

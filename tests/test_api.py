@@ -278,3 +278,23 @@ def test_es_sql(es):
     # QUERY() uses query_string syntax
     qs = es.sql("SELECT url FROM pages WHERE QUERY('spark AND streaming') ORDER BY url").collect()
     assert [r["url"] for r in qs] == ["u3"]
+
+
+def test_transform_pivot(es, tmp_path):
+    dest = str(tmp_path / "pivot_out")
+    out = es.transform("pages", dest, {
+        "group_by": {"language": {"terms": {"field": "lang"}}},
+        "aggregations": {"n": {"value_count": {"field": "url"}}},
+    })
+    assert out["docs_written"] == 2  # en, de
+    pivoted = {r["language"]: r.asDict() for r in es.spark.read.parquet(dest).collect()}
+    assert pivoted["en"]["n"] == 4 and pivoted["de"]["n"] == 1
+
+
+def test_graph_explore(es):
+    out = es.graph_explore("pages", ["spark"], hops=1, size=5, min_doc_count=1)
+    verts = {v[0] for v in out["vertices"]}
+    assert "spark" in verts and "computing" in verts  # co-occurs in u1
+    assert all(c[0] == "spark" for c in out["connections"])
+    counts = {c[1]: c[2] for c in out["connections"]}
+    assert counts["makes"] == 1
