@@ -6,9 +6,12 @@
   ranked like the reference: exact-match terms are skipped unless
   ``suggest_mode='always'``; candidates sorted by (edit distance ASC,
   doc frequency DESC, term ASC).
-- **phrase suggester** (lite): per-token best correction joined back into
-  the phrase (the reference's candidate-generator layer without the
-  language-model rescoring).
+- **phrase suggester**: per-token dictionary candidates (the
+  DirectCandidateGenerator layer) rescored by channel × bigram language
+  model (stupid backoff / laplace over the corpus bigram table —
+  ``build_bigram_lm``), with the reference's confidence gate.
+- **completion suggester**: prefix range probe over the suggestion-sorted
+  table (+ fuzzy prefix, category contexts).
 - **explain** (``server/.../action/explain/TransportExplainAction.java``):
   per-(query-term, doc) score breakdown — tf, df, idf, quantized dl, and
   the BM25 contribution, reproducing exactly what the scorer computes.
@@ -76,6 +79,7 @@ def build_completion_index(
     suggestions: DataFrame,
     input_col: str = "suggestion",
     weight_col: str | None = None,
+    contexts_col: str | None = None,
 ) -> None:
     """Materialize a completion-suggester table (the ``completion`` field
     mapping, ``server/.../search/suggest/completion/CompletionFieldMapper
@@ -85,9 +89,16 @@ def build_completion_index(
     import os
 
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    # contexts (CategoryContextMapping): one row per (suggestion, context)
+    # so a context-filtered probe is still a sorted range scan
+    ctx = (
+        F.col(contexts_col).cast("string") if contexts_col else F.lit(None).cast("string")
+    )
     out = (
-        suggestions.select(F.col(input_col).alias("suggestion"), w.alias("weight"))
-        .groupBy("suggestion")
+        suggestions.select(
+            F.col(input_col).alias("suggestion"), w.alias("weight"), ctx.alias("context")
+        )
+        .groupBy("suggestion", "context")
         .agg(F.max("weight").alias("weight"))
         .repartition(1)
         .sortWithinPartitions("suggestion")
@@ -102,6 +113,7 @@ def completion_suggest(
     prefix: str,
     size: int = 5,
     fuzziness: int = 0,
+    contexts: list[str] | None = None,
 ) -> DataFrame:
     """Completion suggester (``server/.../search/suggest/completion/
     CompletionSuggestionBuilder.java:46``): search-as-you-type prefix →
@@ -126,6 +138,13 @@ def completion_suggest(
     comp_path = os.path.join(index_dir, "completion")
     if os.path.isdir(comp_path):
         src = spark.read.parquet(comp_path)
+        if contexts:
+            # CategoryQueryContext filter: only suggestions carrying one of
+            # the requested contexts compete (reference context boosting's
+            # filter-only subset)
+            src = src.where(F.col("context").isin(list(contexts)))
+        if "context" in src.columns:
+            src = src.groupBy("suggestion").agg(F.max("weight").alias("weight"))
     else:
         src = (
             spark.read.parquet(store.term_stats_path(index_dir))

@@ -1271,8 +1271,14 @@ def search(
             F.aggregate(qv, F.lit(0.0), lambda acc, x: acc + x * x)
         )
         k_knn = int(kn.get("k", size))
+        base_knn = df
+        if "filter" in kn:
+            # KnnSearchBuilder filter: PRE-filter — candidates are scored
+            # only among docs passing the filter (not post-filtered top-k)
+            fnode = parse(kn["filter"])
+            base_knn = df.where(fnode.predicate(ctx))
         knn_fr = (
-            df.select(F.col(key).alias("__key"), (dot / nrm).alias("_score"))
+            base_knn.select(F.col(key).alias("__key"), (dot / nrm).alias("_score"))
             .orderBy(F.desc("_score"), F.asc("__key"))
             .limit(k_knn)
         )

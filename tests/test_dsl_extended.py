@@ -298,3 +298,17 @@ def test_expand_script_vector_functions(spark):
         expand_script("l2norm(params.qv, 'emb')", {"qv": [0.0, 0.0]}) + " as l2",
     ).collect()[0]
     assert got["d"] == 7.0 and got["l2"] == 5.0
+
+
+def test_knn_prefilter(spark):
+    from elasticsearch_spark.plans import dsl
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [0.99, 0.1], "b"), (3, [0.9, 0.2], "a")],
+        "id long, emb array<double>, grp string",
+    )
+    body = {"knn": {"field": "emb", "query_vector": [1.0, 0.0], "k": 2,
+                    "filter": {"term": {"grp": "a"}}}, "size": 2}
+    out = dsl.search(spark, df, body, key="id").collect()
+    # pre-filter: id 2 (best cosine overall) is excluded by grp != 'a'
+    assert [r["id"] for r in out] == [1, 3]

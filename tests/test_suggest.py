@@ -91,3 +91,26 @@ def test_explain_sums_to_score(spark, sug_index):
     ex = explain(spark, sug_index, terms, "u1").collect()
     assert {r["term"] for r in ex} == {"spark", "computing"}
     assert sum(r["contribution"] for r in ex) == pytest.approx(hits["u1"], rel=1e-9)
+
+
+def test_completion_contexts(spark, tmp_path_factory):
+    from elasticsearch_spark.operators.suggest import (
+        build_completion_index,
+        completion_suggest,
+    )
+
+    idx = str(tmp_path_factory.mktemp("comp") / "idx")
+    import os
+
+    os.makedirs(idx, exist_ok=True)
+    sugg = spark.createDataFrame(
+        [("spark summit", 10, "event"), ("spark streaming", 8, "tech"),
+         ("spark sql", 9, "tech"), ("spartan race", 20, "event")],
+        "s string, w long, cat string",
+    )
+    build_completion_index(spark, idx, sugg, input_col="s", weight_col="w",
+                           contexts_col="cat")
+    out = completion_suggest(spark, idx, "spar", size=3).collect()
+    assert [r["suggestion"] for r in out] == ["spartan race", "spark summit", "spark sql"]
+    tech = completion_suggest(spark, idx, "spar", size=3, contexts=["tech"]).collect()
+    assert [r["suggestion"] for r in tech] == ["spark sql", "spark streaming"]
