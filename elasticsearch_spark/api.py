@@ -395,6 +395,13 @@ class Engine:
             hits = dsl.search(self.spark, docs, body, key="url", text_col="text")
 
         out = {"hits": hits}
+        if kind == "nested" and "inner_hits" in spec:
+            # InnerHitsPhase: the matching sub-docs per parent hit
+            node = dsl.parse(q)
+            ih_ctx = dsl.SearchContext(self._docs_view(index), "url", text_col="text")
+            out["inner_hits"] = node.inner_hits_frame(
+                ih_ctx, size=int((spec["inner_hits"] or {}).get("size", 3))
+            )
         if "aggs" in body:
             base = self._docs_view(index)
             if kind != "match_all":

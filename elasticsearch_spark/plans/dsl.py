@@ -706,6 +706,27 @@ class NestedQ(Node):
             .agg(agg.alias("_score"))
         )
 
+    def inner_hits_frame(self, ctx, size: int = 3):
+        """inner_hits (``S/search/fetch/subphase/InnerHitsPhase.java``): the
+        MATCHING nested sub-docs per parent, top-``size`` by child order —
+        a window over the exploded child frame, no extra multi-search."""
+        from pyspark.sql import Window
+
+        child = ctx.df.select(
+            F.col(ctx.key).alias("__key"),
+            F.posexplode(self.path).alias("__offset", "__c"),
+        )
+        flat = child.select("__key", "__offset", F.col("__c.*"))
+        sub = SearchContext(flat, "__key", text_col=ctx.text_col)
+        matched = flat.where(self.query.predicate(sub))
+        w = Window.partitionBy("__key").orderBy(F.asc("__offset"))
+        return (
+            matched.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= size)
+            .drop("__r")
+            .orderBy("__key", "__offset")
+        )
+
 
 @dataclass
 class BoolQ(Node):

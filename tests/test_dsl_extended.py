@@ -312,3 +312,20 @@ def test_knn_prefilter(spark):
     out = dsl.search(spark, df, body, key="id").collect()
     # pre-filter: id 2 (best cosine overall) is excluded by grp != 'a'
     assert [r["id"] for r in out] == [1, 3]
+
+
+def test_nested_inner_hits(spark):
+    from elasticsearch_spark.plans import dsl
+
+    df = spark.createDataFrame(
+        [
+            (1, [{"sku": "a", "qty": 5}, {"sku": "b", "qty": 1}, {"sku": "c", "qty": 7}]),
+            (2, [{"sku": "d", "qty": 0}]),
+        ],
+        "id long, items array<struct<sku string, qty long>>",
+    )
+    node = dsl.parse({"nested": {"path": "items",
+                                 "query": {"range": {"qty": {"gte": 2}}}}})
+    ctx = dsl.SearchContext(df, "id")
+    hits = node.inner_hits_frame(ctx, size=2).collect()
+    assert [(r["__key"], r["sku"]) for r in hits] == [(1, "a"), (1, "c")]
