@@ -729,6 +729,90 @@ class NestedQ(Node):
 
 
 @dataclass
+class HasChildQ(Node):
+    """has_child (``modules/parent-join`` HasChildQueryBuilder): parents
+    whose children (same-index rows with ``join_field`` = child type and
+    ``parent_field`` pointing at the parent key) match the inner query.
+    A self-join keyed on the parent id — co-partitioned on one shuffle key,
+    the Spark analog of the reference's same-shard parent/child contract.
+    score_mode none/sum/avg/max/min aggregates child scores per parent;
+    min_children/max_children bound the matching-child count."""
+
+    child_type: str = ""
+    query: Node = None
+    join_field: str = "join_type"
+    parent_field: str = "parent_id"
+    score_mode: str = "none"
+    min_children: int = 1
+    max_children: int | None = None
+
+    def _child_hits(self, ctx):
+        children = ctx.df.where(F.col(self.join_field) == self.child_type)
+        sub = SearchContext(children, ctx.key, text_col=ctx.text_col)
+        try:
+            hits = children.where(self.query.predicate(sub)).select(
+                F.col(self.parent_field).alias("__key"), F.lit(1.0).alias("_cs")
+            )
+        except NotImplementedError:
+            fr = self.query.frame(sub)
+            hits = (
+                children.select(F.col(ctx.key).alias("__ck"), self.parent_field)
+                .join(fr.withColumnRenamed("__key", "__ck"), "__ck")
+                .select(F.col(self.parent_field).alias("__key"), F.col("_score").alias("_cs"))
+            )
+        return hits
+
+    def frame(self, ctx):
+        agg = {
+            "none": F.lit(0.0), "sum": F.sum("_cs"), "avg": F.avg("_cs"),
+            "max": F.max("_cs"), "min": F.min("_cs"),
+        }[self.score_mode]
+        out = (
+            self._child_hits(ctx)
+            .groupBy("__key")
+            .agg(agg.alias("_score"), F.count("*").alias("__nc"))
+            .where(F.col("__nc") >= self.min_children)
+        )
+        if self.max_children is not None:
+            out = out.where(F.col("__nc") <= self.max_children)
+        return out.drop("__nc")
+
+    def filter_keys(self, ctx):
+        return self.frame(ctx).select("__key")
+
+
+@dataclass
+class HasParentQ(Node):
+    """has_parent (HasParentQueryBuilder): children whose PARENT row
+    matches the inner query; with score=True the parent's score propagates
+    to every child."""
+
+    parent_type: str = ""
+    query: Node = None
+    join_field: str = "join_type"
+    parent_field: str = "parent_id"
+    score: bool = False
+
+    def frame(self, ctx):
+        parents = ctx.df.where(F.col(self.join_field) == self.parent_type)
+        sub = SearchContext(parents, ctx.key, text_col=ctx.text_col)
+        try:
+            phits = parents.where(self.query.predicate(sub)).select(
+                F.col(ctx.key).alias("__pk"), F.lit(1.0).alias("_ps")
+            )
+        except NotImplementedError:
+            phits = self.query.frame(sub).select(
+                F.col("__key").alias("__pk"), F.col("_score").alias("_ps")
+            )
+        children = ctx.df.where(F.col(self.parent_field).isNotNull())
+        out = children.select(
+            F.col(ctx.key).alias("__key"), F.col(self.parent_field).alias("__pk")
+        ).join(phits, "__pk")
+        sc = F.col("_ps") if self.score else F.lit(0.0)
+        return out.select("__key", sc.alias("_score"))
+
+
+@dataclass
 class BoolQ(Node):
     """bool (BoolQueryBuilder.java:47-65): must=AND scored, filter=AND
     unscored, should=OR scored (minimum_should_match), must_not=NOT."""
@@ -1186,6 +1270,22 @@ def parse(q: dict) -> Node:
         return NestedQ(
             path=body["path"], query=parse(body["query"]),
             score_mode=body.get("score_mode", "avg"),
+        )
+    if kind == "has_child":
+        return HasChildQ(
+            child_type=body["type"], query=parse(body["query"]),
+            join_field=body.get("join_field", "join_type"),
+            parent_field=body.get("parent_field", "parent_id"),
+            score_mode=body.get("score_mode", "none"),
+            min_children=int(body.get("min_children", 1)),
+            max_children=body.get("max_children"),
+        )
+    if kind == "has_parent":
+        return HasParentQ(
+            parent_type=body["parent_type"], query=parse(body["query"]),
+            join_field=body.get("join_field", "join_type"),
+            parent_field=body.get("parent_field", "parent_id"),
+            score=bool(body.get("score", False)),
         )
     if kind == "geo_distance":
         (fld, origin), = ((k, v) for k, v in body.items() if k != "distance")

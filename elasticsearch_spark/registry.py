@@ -1366,6 +1366,36 @@ def q_graph_explore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return co.orderBy(F.desc("doc_count"), F.asc("term")).limit(10)
 
 
+def q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """has_child (modules/parent-join HasChildQueryBuilder): orders with
+    ≥2 high-quantity lineitem children, score_mode=sum (≡ matching-child
+    count in filter context) — parent/child as a join field over one
+    frame, self-join keyed on the parent id."""
+    from .plans import dsl
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fam = orders.select(
+        F.col("o_orderkey").alias("id"), F.lit("order").alias("join_type"),
+        F.lit(None).cast("long").alias("parent_id"),
+        F.lit(None).cast("double").alias("l_quantity"),
+    ).unionByName(li.select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("id"),
+        F.lit("line").alias("join_type"),
+        F.col("l_orderkey").alias("parent_id"),
+        F.col("l_quantity"),
+    ))
+    node = dsl.parse({"has_child": {"type": "line",
+                                    "query": {"range": {"l_quantity": {"gte": 45}}},
+                                    "score_mode": "sum", "min_children": 2}})
+    ctx = dsl.SearchContext(fam, "id")
+    return (
+        node.frame(ctx)
+        .select(F.col("__key").alias("id"), F.col("_score").alias("score"))
+        .orderBy("id").limit(20)
+    )
+
+
 def q_es_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES SQL (x-pack/plugin/sql): standard SQL tail + the fulltext
     extensions — MATCH() compiled to the BM25 frame, SCORE() projected."""
@@ -2150,6 +2180,11 @@ SELECT doc_id,
        timestamp '2024-01-01 00:00:00' + (doc_id * 7 % 997) * INTERVAL 1 MINUTE AS ts
 FROM documents ORDER BY ts DESC, doc_id ASC LIMIT 10
 """,
+    "has_child_query": """
+SELECT l_orderkey AS id, count(*)::DOUBLE AS score FROM lineitem
+WHERE l_quantity >= 45 GROUP BY 1 HAVING count(*) >= 2
+ORDER BY id LIMIT 20
+""",
     "graph_explore": f"""
 WITH t AS (SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS term FROM documents),
 d AS (SELECT DISTINCT doc_id FROM t WHERE term = 'spark'),
@@ -2393,6 +2428,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "es_sql_match": q_es_sql,
     "agg_rollup_search": a_rollup_search,
     "graph_explore": q_graph_explore,
+    "has_child_query": q_has_child,
     "agg_multi_terms": a_multi_terms,
     "agg_ip_prefix": a_ip_prefix,
     "agg_string_stats": a_string_stats,

@@ -329,3 +329,41 @@ def test_nested_inner_hits(spark):
     ctx = dsl.SearchContext(df, "id")
     hits = node.inner_hits_frame(ctx, size=2).collect()
     assert [(r["__key"], r["sku"]) for r in hits] == [(1, "a"), (1, "c")]
+
+
+def test_has_child_has_parent(spark):
+    from elasticsearch_spark.plans import dsl
+
+    # a parent/child join field: questions with answers (the classic)
+    df = spark.createDataFrame(
+        [
+            (1, "question", None, "how to use spark", 0),
+            (2, "answer", 1, "use a dataframe", 10),
+            (3, "answer", 1, "rdd is legacy", 2),
+            (4, "question", None, "what is duckdb", 0),
+            (5, "answer", 4, "a fast engine", 7),
+            (6, "question", None, "unanswered one", 0),
+        ],
+        "id long, join_type string, parent_id long, text string, votes long",
+    )
+    ctx = dsl.SearchContext(df, "id")
+
+    # has_child: questions with >=2 answers
+    node = dsl.parse({"has_child": {"type": "answer",
+                                    "query": {"match_all": {}},
+                                    "min_children": 2}})
+    assert {r["__key"] for r in node.frame(ctx).collect()} == {1}
+    # has_child with a filter on the child
+    node2 = dsl.parse({"has_child": {"type": "answer",
+                                     "query": {"range": {"votes": {"gte": 5}}}}})
+    assert {r["__key"] for r in node2.frame(ctx).collect()} == {1, 4}
+    # has_parent: answers whose question mentions spark
+    node3 = dsl.parse({"has_parent": {"parent_type": "question",
+                                      "query": {"term": {"text": "how to use spark"}}}})
+    assert {r["__key"] for r in node3.frame(ctx).collect()} == {2, 3}
+    # score_mode sum over child scores (filter-context children score 1.0)
+    node4 = dsl.parse({"has_child": {"type": "answer",
+                                     "query": {"match_all": {}},
+                                     "score_mode": "sum"}})
+    got = {r["__key"]: r["_score"] for r in node4.frame(ctx).collect()}
+    assert got[1] == 2.0 and got[4] == 1.0
