@@ -185,6 +185,19 @@ class Engine:
             return w
         return name
 
+    def create_data_stream(self, name: str, **create_kw) -> dict:
+        """PUT /_data_stream/{name} (``cluster/metadata/DataStream.java``):
+        an append-only, timestamp-keyed stream = a write alias over
+        generation-numbered backing indices (``.ds-<name>-NNNNNN``);
+        ``rollover(name)`` advances the generation. Reads fan out over all
+        generations; writes go to the newest."""
+        backing = f".ds-{name}-000001"
+        self.create_index(backing, **create_kw)
+        self.update_aliases([
+            {"add": {"alias": name, "index": backing, "is_write_index": True}}
+        ])
+        return {"acknowledged": True, "backing_index": backing}
+
     def rollover(
         self,
         alias: str,
@@ -607,6 +620,10 @@ class Engine:
             src = json.dumps(src)
         rendered = render_template(src, body.get("params") or {})
         return self.search(index, json.loads(rendered))
+
+    def msearch_template(self, searches: list[tuple[str, dict]]) -> list[dict]:
+        """POST /_msearch/template: batched templated searches."""
+        return [self.search_template(ix, body) for ix, body in searches]
 
     def render_search_template(self, body: dict) -> dict:
         """POST /_render/template: the rendered body without executing."""

@@ -304,3 +304,33 @@ def test_graph_explore(es):
     assert all(c[0] == "spark" for c in out["connections"])
     counts = {c[1]: c[2] for c in out["connections"]}
     assert counts["makes"] == 1
+
+
+def test_data_stream(spark, tmp_path):
+    root = str(tmp_path / "ds")
+    eng = Engine(spark, root=root)
+    out = eng.create_data_stream("metrics", num_partitions=2)
+    assert out["backing_index"] == ".ds-metrics-000001"
+    docs = spark.createDataFrame(
+        [(f"m{i}", f"metric sample {i}", "en") for i in range(4)],
+        "url string, text string, lang string",
+    ).withColumn("warc_ts", F.lit("2024-05-01").cast("timestamp"))
+    eng.bulk("metrics", docs)
+    assert eng.count("metrics") == 4
+    roll = eng.rollover("metrics", max_docs=3)
+    assert roll["rolled_over"] and roll["new_index"] == ".ds-metrics-000002"
+    eng.bulk("metrics", spark.createDataFrame(
+        [("m9", "newer sample", "en")], "url string, text string, lang string"
+    ).withColumn("warc_ts", F.lit("2024-05-02").cast("timestamp")))
+    assert eng.count("metrics") == 5
+    assert eng.count(".ds-metrics-000002") == 1
+
+
+def test_msearch_template(es):
+    outs = es.msearch_template([
+        ("pages", {"source": '{"query": {"match": {"text": "{{q}}"}}, "size": 2}',
+                   "params": {"q": "spark"}}),
+        ("pages", {"source": '{"query": {"term": {"lang": "{{l}}"}}, "size": 5}',
+                   "params": {"l": "en"}}),
+    ])
+    assert len(outs) == 2 and all(o["hits"].count() >= 1 for o in outs)
