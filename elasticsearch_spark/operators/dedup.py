@@ -299,3 +299,68 @@ def exact_dedup(df: DataFrame, key: str, content_col: str) -> DataFrame:
         .agg(F.min(key).alias("rep"), F.count("*").alias("n_dups"))
         .where(F.col("n_dups") > 1)
     )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 20
+) -> DataFrame:
+    """Near-dup pairs → clusters: iterative min-label propagation
+    (the alternating-star style algorithm; converges in O(component
+    diameter) rounds — near-dup components are shallow, typically 2-5).
+    Returns (id, component) with component = the MINIMUM member id —
+    deterministic canonical labels. Each round is one groupBy over the
+    undirected edge list; the loop runs driver-side but every iteration
+    is a distributed job (no per-row driver work). Each round's labels
+    are EAGERLY checkpointed (localCheckpoint; a reliable checkpoint dir
+    on a real cluster) — without lineage truncation the iterative plan
+    grows exponentially and kills the driver."""
+    edges = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .unionByName(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("x").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # candidate label per node = min(own, neighbours' labels)
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "y"), "y")
+            .groupBy(F.col("x").alias("id"))
+            .agg(F.min("component").alias("nc"))
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select("id", F.least("component", F.coalesce("nc", "component")).alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def keep_canonical(
+    df: DataFrame, pairs: DataFrame, key: str, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """The dedup SELECTION step: drop every non-canonical member of each
+    near-dup component (canonical = minimum key — deterministic). Docs in
+    no component always survive. One anti-join against the non-canonical
+    id set."""
+    comp = connected_components(pairs, a_col, b_col)
+    losers = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(key)
+    )
+    return df.join(losers, key, "left_anti")

@@ -783,6 +783,19 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → CLUSTERS (operators/dedup.py:connected_components,
+    iterative min-label propagation with per-round lineage checkpoints):
+    component = min member id, only multi-member components returned —
+    the selection step a dedup pipeline actually needs (pairs alone don't
+    dedup). Oracle = transitive closure via a recursive CTE."""
+    from .operators import dedup
+
+    pairs = d_ngram_jaccard(spark, sf_dir).select("a", "b")
+    comp = dedup.connected_components(pairs)
+    return comp.orderBy("id")
+
+
 def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (operators/dedup.py): 128 perms, 32 bands × 4
     rows, candidates only from band-bucket joins, exact-Jaccard verified at
@@ -1824,6 +1837,36 @@ FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.do
 WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.5
 ORDER BY a, b
 """,
+    "dedup_clusters": f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+  WHERE len({_TOK_SQL}) >= 3
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM t
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT a, b FROM cand JOIN sizes sa ON cand.a = sa.doc_id
+  JOIN sizes sb ON cand.b = sb.doc_id
+  WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.5
+),
+edges AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
+reach(id, r) AS (
+  SELECT x, x FROM edges
+  UNION
+  SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.id
+)
+SELECT id, min(r)::BIGINT AS component FROM reach GROUP BY id ORDER BY id
+""",
     "dedup_minhash_lsh": f"""
 WITH t AS (
   SELECT doc_id, {_TOK_SQL} AS toks FROM documents
@@ -2393,6 +2436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsl_boosting": dsl_boosting,
     "dedup_exact": d_dedup_exact,
     "dedup_ngram_jaccard": d_ngram_jaccard,
+    "dedup_clusters": d_dedup_clusters,
     "dedup_minhash_lsh": d_minhash_lsh,
     "dedup_simhash": d_simhash,
     "dedup_embedding_lsh": d_embedding_lsh,

@@ -91,3 +91,28 @@ def test_embedding_near_dup(spark):
     assert found[(100, 101)] > 0.99
     # random 32-dim pairs essentially never reach cosine 0.95
     assert all(k == (100, 101) for k in found)
+
+
+def test_connected_components_and_canonical(spark):
+    from elasticsearch_spark.operators.dedup import connected_components, keep_canonical
+
+    # components: {1,2,3,4} (chain), {7,9}, singletons 5, 6 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 9)], "a long, b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+    docs = spark.createDataFrame([(i, f"d{i}") for i in [1, 2, 3, 4, 5, 6, 7, 9]],
+                                 "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in keep_canonical(docs, pairs, "doc_id").collect())
+    assert kept == [1, 5, 6, 7]  # one canonical per component + singletons
+
+
+def test_connected_components_long_chain(spark):
+    from elasticsearch_spark.operators.dedup import connected_components
+
+    # a 12-node path needs multiple propagation rounds
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], "a long, b long")
+    comp = connected_components(pairs).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == 13
