@@ -350,6 +350,86 @@ ENGLISH_STOP = frozenset(
 )
 
 
+GERMAN_STOP = frozenset(
+    "aber alle als also am an auch auf aus bei bin bis bist da damit dann der "
+    "den des dem die das dass daß du er es ein eine einem einen einer eines "
+    "für hatte hatten hier ich ihr ihre im in ist ja kann kein können mich "
+    "mir mit nach nicht noch nun nur oder sehr sich sie sind so um und uns "
+    "unser von vor war waren was weiter wie wieder wir wird zu zum zur".split()
+)
+
+FRENCH_STOP = frozenset(
+    "au aux avec ce ces dans de des du elle en et eux il ils je la le les "
+    "leur lui ma mais me même mes moi mon ne nos notre nous on ou par pas "
+    "pour qu que qui sa se ses son sur ta te tes toi ton tu un une vos "
+    "votre vous est été être sont".split()
+)
+
+
+def german_light_stem(w: str) -> str:
+    """Lucene GermanLightStemmer (public algorithm): umlaut/ß folding +
+    recursive plural/case-suffix stripping (nd/e/n/s/es/en/ern/er/em)."""
+    w = (
+        w.replace("ä", "a").replace("ö", "o").replace("ü", "u").replace("ß", "ss")
+        .replace("ae", "a").replace("oe", "o").replace("ue", "u")
+    )
+    while len(w) > 4:
+        if len(w) > 5 and (w.endswith("em") or w.endswith("er") or w.endswith("nd")):
+            w = w[:-2]
+            continue
+        if w.endswith(("e", "s", "n")) and (len(w) > 4):
+            w = w[:-1]
+            continue
+        break
+    return w
+
+
+def french_light_stem(w: str) -> str:
+    """Lucene FrenchMinimalStemmer-style suffix strip (public): plural s/x,
+    feminine e, common -tion/-ment endings left intact (minimal variant)."""
+    if len(w) > 5 and w.endswith("aux"):
+        return w[:-3] + "al"
+    if len(w) > 3 and w.endswith(("x", "s")):
+        w = w[:-1]
+    if len(w) > 8 and w.endswith("issement"):
+        return w[:-6]
+    if len(w) > 4 and w.endswith("e") and not w.endswith("ée"):
+        w = w[:-1]
+    if len(w) > 4 and w[-1] == w[-2]:
+        w = w[:-1]
+    return w
+
+
+_FR_ELISION = ("l'", "d'", "j'", "t'", "m'", "n'", "s'", "qu'", "c'",
+               "l’", "d’", "j’", "t’", "m’", "n’", "s’", "qu’", "c’")
+
+
+def german_analyze(text: str) -> list[str]:
+    """`german` analyzer preset: standard + lowercase + german stop +
+    german light stemmer (AC/CommonAnalysisPlugin german registration;
+    light variant is the documented approximation of snowball german2)."""
+    toks = standard_tokenize(text)
+    return [german_light_stem(t) for t in toks if t not in GERMAN_STOP]
+
+
+def french_analyze(text: str) -> list[str]:
+    """`french` analyzer preset: elision char handling + standard +
+    lowercase + french stop + minimal french stemmer."""
+    toks = []
+    for t in standard_tokenize(text):
+        for pre in _FR_ELISION:
+            if t.startswith(pre):
+                t = t[len(pre):]
+                break
+        if t and t not in FRENCH_STOP:
+            toks.append(french_light_stem(t))
+    return toks
+
+
+ANALYZERS["german"] = german_analyze
+ANALYZERS["french"] = french_analyze
+
+
 def _filter_stop(toks: list[str], stopwords=ENGLISH_STOP, **_) -> list[str]:
     return [t for t in toks if t not in stopwords]
 
@@ -675,6 +755,10 @@ def _filter_stemmer(toks: list[str], language: str = "minimal_english", name: st
     lang = name or language
     if lang in ("porter", "english", "light_english"):
         return _filter_porter(toks)
+    if lang in ("german", "german2", "light_german"):
+        return [german_light_stem(t) for t in toks]
+    if lang in ("french", "light_french", "minimal_french"):
+        return [french_light_stem(t) for t in toks]
     return _filter_stemmer_minimal_english(toks)
 
 

@@ -204,3 +204,21 @@ def test_analyzer_config_roundtrip_with_char_filters(spark, tmp_path):
     meta = store.IndexMeta.load(idx)
     assert meta.analyzer == "round"
     assert A.analyze("Alpha-Beta gamma", "round") == ["alpha", "beta", "gamma"]
+
+
+def test_language_presets_german_french():
+    from elasticsearch_spark.functions.analysis import analyze
+
+    # german: stopwords out, umlaut folding + light suffix strip
+    assert analyze("Die Häuser und die Kinder", "german") == ["haus", "kind"]
+    # french: elision + stop + plural/feminine strip
+    assert analyze("L'avion et les chevaux", "french") == ["avion", "cheval"]
+
+
+def test_stemmer_language_dispatch():
+    from elasticsearch_spark.functions import analysis as A
+
+    A.register_analyzer("de_chain", "standard", [("stemmer", {"language": "light_german"})])
+    assert A.analyze("häuser", "de_chain") == ["haus"]
+    A.register_analyzer("fr_chain", "standard", [("stemmer", {"language": "minimal_french"})])
+    assert A.analyze("chevaux", "fr_chain") == ["cheval"]
