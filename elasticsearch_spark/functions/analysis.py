@@ -747,6 +747,46 @@ def _filter_keyword_repeat_stem(toks: list[str], **_) -> list[str]:
     return out
 
 
+_CJK_SINGLE = re.compile(rf"^[{_HAN}]$")
+
+
+def _filter_cjk_bigram(toks: list[str], output_unigrams: bool = False, **_) -> list[str]:
+    """cjk_bigram token filter (AC/CJKBigramFilterFactory; Lucene
+    CJKBigramFilter): runs of single-ideograph tokens (what the standard
+    tokenizer emits for Han) re-emit as overlapping bigrams — the standard
+    CJK search recall trick. ``output_unigrams`` also keeps the singles."""
+    out: list[str] = []
+    run: list[str] = []
+
+    def flush():
+        if len(run) == 1:
+            out.append(run[0])
+        else:
+            if output_unigrams:
+                out.extend(run)
+            out.extend(run[i] + run[i + 1] for i in range(len(run) - 1))
+        run.clear()
+
+    for t in toks:
+        if _CJK_SINGLE.match(t):
+            run.append(t)
+        else:
+            if run:
+                flush()
+            out.append(t)
+    if run:
+        flush()
+    return out
+
+
+def cjk_analyze(text: str) -> list[str]:
+    """`cjk` analyzer preset: standard tokenizer + cjk_bigram."""
+    return _filter_cjk_bigram(standard_tokenize(text))
+
+
+ANALYZERS["cjk"] = cjk_analyze
+
+
 def _filter_stemmer(toks: list[str], language: str = "minimal_english", name: str | None = None, **_) -> list[str]:
     """stemmer token filter with the reference's language dispatch
     (StemmerTokenFilterFactory.java): `porter` → Porter1; `english` →
@@ -771,6 +811,7 @@ TOKEN_FILTERS = {
     "edge_ngram": _filter_edge_ngram,
     "stemmer": _filter_stemmer,
     "porter_stem": _filter_porter,
+    "cjk_bigram": _filter_cjk_bigram,
     "length": _filter_length,
     "unique": _filter_unique,
     "truncate": _filter_truncate,

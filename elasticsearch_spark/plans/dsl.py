@@ -1306,6 +1306,30 @@ def parse(q: dict) -> Node:
             for p in spec2["points"]
         ]
         return GeoPolygonQ(fld, points=pts)
+    if kind == "geo_shape":
+        # GeoShapeQueryBuilder over POINT fields: the query geometry
+        # (GeoJSON envelope / polygon / circle) reduces to the
+        # corresponding point predicate — relation=intersects (the default;
+        # within ≡ intersects for points). GeoJSON coordinates are
+        # [lon, lat].
+        (fld, spec2), = body.items()
+        if spec2.get("relation", "intersects") not in ("intersects", "within"):
+            raise ValueError("geo_shape over points supports intersects/within")
+        shp = spec2["shape"]
+        stype = shp["type"].lower()
+        if stype == "envelope":
+            (l1, t1), (r1, b1) = shp["coordinates"]
+            return GeoBoundingBoxQ(fld, top=t1, left=l1, bottom=b1, right=r1)
+        if stype == "polygon":
+            ring = shp["coordinates"][0]
+            return GeoPolygonQ(fld, points=[(lat, lon) for lon, lat in ring])
+        if stype == "circle":
+            lon, lat = shp["coordinates"]
+            return GeoDistanceQ(
+                fld, lat=float(lat), lon=float(lon),
+                distance_m=_parse_distance_m(shp["radius"]),
+            )
+        raise ValueError(f"unsupported geo_shape geometry: {stype}")
     if kind == "rank_feature":
         fld = body["field"]
         sat = body.get("saturation") or {}

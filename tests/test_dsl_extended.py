@@ -367,3 +367,25 @@ def test_has_child_has_parent(spark):
                                      "score_mode": "sum"}})
     got = {r["__key"]: r["_score"] for r in node4.frame(ctx).collect()}
     assert got[1] == 2.0 and got[4] == 1.0
+
+
+def test_geo_shape_over_points(spark):
+    from elasticsearch_spark.plans import dsl
+
+    df = spark.createDataFrame(
+        [(1, {"lat": 52.5, "lon": 13.4}),   # Berlin
+         (2, {"lat": 48.9, "lon": 2.35}),   # Paris
+         (3, {"lat": 40.7, "lon": -74.0})], # NYC
+        "id long, location struct<lat double, lon double>",
+    )
+    ctx = dsl.SearchContext(df, "id")
+    env = dsl.parse({"geo_shape": {"location": {"shape": {
+        "type": "envelope", "coordinates": [[0.0, 55.0], [15.0, 45.0]]}}}})
+    assert {r["id"] for r in df.where(env.predicate(ctx)).collect()} == {1, 2}
+    circ = dsl.parse({"geo_shape": {"location": {"shape": {
+        "type": "circle", "coordinates": [13.0, 52.0], "radius": "100km"}}}})
+    assert {r["id"] for r in df.where(circ.predicate(ctx)).collect()} == {1}
+    poly = dsl.parse({"geo_shape": {"location": {"shape": {
+        "type": "polygon",
+        "coordinates": [[[0.0, 45.0], [5.0, 55.0], [10.0, 45.0], [0.0, 45.0]]]}}}})
+    assert {r["id"] for r in df.where(poly.predicate(ctx)).collect()} == {2}

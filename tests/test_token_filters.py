@@ -222,3 +222,14 @@ def test_stemmer_language_dispatch():
     assert A.analyze("häuser", "de_chain") == ["haus"]
     A.register_analyzer("fr_chain", "standard", [("stemmer", {"language": "minimal_french"})])
     assert A.analyze("chevaux", "fr_chain") == ["cheval"]
+
+
+def test_cjk_bigram():
+    from elasticsearch_spark.functions.analysis import analyze
+
+    # Han runs become overlapping bigrams; Latin words untouched
+    assert analyze("搜索引擎 search", "cjk") == ["搜索", "索引", "引擎", "search"]
+    from elasticsearch_spark.functions.analysis import _filter_cjk_bigram
+
+    assert _filter_cjk_bigram(["中"]) == ["中"]  # lone ideograph stays
+    assert _filter_cjk_bigram(["中", "文"], output_unigrams=True) == ["中", "文", "中文"]
