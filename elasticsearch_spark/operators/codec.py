@@ -38,14 +38,23 @@ def vbyte_encode(vals: np.ndarray) -> tuple[bytes, np.ndarray]:
         if not mask.any():
             break
         nbytes += mask
-    width = int(nbytes.max())  # usually 1-3 — shrink the expansion matrix
-    cols = np.arange(width, dtype=np.uint64)
-    mat = (v[:, None] >> (cols * np.uint64(7))) & np.uint64(0x7F)
-    cont = cols[None, :].astype(np.int64) < (nbytes[:, None] - 1)
-    mat = mat | np.where(cont, np.uint64(0x80), np.uint64(0))
-    keep = cols[None, :].astype(np.int64) < nbytes[:, None]
-    stream = mat[keep].astype(np.uint8)
-    return stream.tobytes(), nbytes
+    width = int(nbytes.max())  # usually 1-3
+    if width == 1:
+        # all values < 128 (the dominant tf/position-delta case): the
+        # stream IS the values — 4× over the general path
+        return v.astype(np.uint8).tobytes(), nbytes
+    # scatter per byte-position: `width` passes of 1-D ops, no (n × width)
+    # temporaries and no giant boolean gather
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
+    for k in range(width):
+        sel = nbytes > k
+        idx = starts[sel] + k
+        byte = ((v[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[sel] - 1) > k
+        out[idx] = byte | (cont.astype(np.uint8) << 7)
+    return out.tobytes(), nbytes
 
 
 def vbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
@@ -54,11 +63,11 @@ def vbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
     if len(b) == 0:
         return np.zeros(0, dtype=np.uint64)
     is_last = (b & 0x80) == 0
-    # group id per byte = number of completed values before it
-    gid = np.zeros(len(b), dtype=np.int64)
-    gid[1:] = np.cumsum(is_last[:-1])
     starts = np.nonzero(np.r_[True, is_last[:-1]])[0]
-    pos = np.arange(len(b), dtype=np.int64) - starts[gid]
+    # in-group byte position via repeat(starts, group lens) — cheaper than
+    # the full-length cumsum the gid formulation needed
+    lens = np.diff(np.r_[starts, len(b)])
+    pos = np.arange(len(b), dtype=np.int64) - np.repeat(starts, lens)
     contrib = (b.astype(np.uint64) & np.uint64(0x7F)) << (pos.astype(np.uint64) * np.uint64(7))
     return np.add.reduceat(contrib, starts)
 
