@@ -161,8 +161,11 @@ class Leaf(Node):
 @dataclass
 class TermQ(Leaf):
     value: object = None
+    case_insensitive: bool = False  # the 7.10+ flag on term-level queries
 
     def predicate(self, ctx):  # TermQueryBuilder.java
+        if self.case_insensitive and isinstance(self.value, str):
+            return F.lower(F.col(self.fld)) == F.lit(self.value.lower())
         return F.col(self.fld) == F.lit(self.value)
 
 
@@ -222,25 +225,36 @@ class IdsQ(Node):
 @dataclass
 class PrefixQ(Leaf):
     value: str = ""
+    case_insensitive: bool = False
 
     def predicate(self, ctx):  # PrefixQueryBuilder.java
+        if self.case_insensitive:
+            return F.lower(F.col(self.fld)).startswith(self.value.lower())
         return F.col(self.fld).startswith(self.value)
 
 
 @dataclass
 class WildcardQ(Leaf):
     value: str = ""
+    case_insensitive: bool = False
 
     def predicate(self, ctx):  # WildcardQueryBuilder.java: * → %, ? → _
-        return F.col(self.fld).like(self.value.replace("*", "%").replace("?", "_"))
+        pat = self.value.replace("*", "%").replace("?", "_")
+        if self.case_insensitive:
+            return F.lower(F.col(self.fld)).like(pat.lower())
+        return F.col(self.fld).like(pat)
 
 
 @dataclass
 class RegexpQ(Leaf):
     value: str = ""
+    case_insensitive: bool = False
 
     def predicate(self, ctx):  # RegexpQueryBuilder.java (anchored, like Lucene)
-        return F.col(self.fld).rlike(f"^(?:{self.value})$")
+        rx = f"^(?:{self.value})$"
+        if self.case_insensitive:
+            rx = "(?i)" + rx
+        return F.col(self.fld).rlike(rx)
 
 
 @dataclass
@@ -1154,7 +1168,11 @@ def parse(q: dict) -> Node:
     if kind == "term":
         (fld, spec), = body.items()
         v = spec["value"] if isinstance(spec, dict) else spec
-        return TermQ(fld, value=v, boost=spec.get("boost", 1.0) if isinstance(spec, dict) else 1.0)
+        return TermQ(
+            fld, value=v,
+            boost=spec.get("boost", 1.0) if isinstance(spec, dict) else 1.0,
+            case_insensitive=bool(spec.get("case_insensitive", False)) if isinstance(spec, dict) else False,
+        )
     if kind == "terms":
         (fld, vals), = ((k, v) for k, v in body.items() if k != "boost")
         return TermsQ(fld, values=list(vals), boost=body.get("boost", 1.0))
@@ -1170,13 +1188,19 @@ def parse(q: dict) -> Node:
         return IdsQ(values=body["values"])
     if kind == "prefix":
         (fld, spec), = body.items()
-        return PrefixQ(fld, value=spec["value"] if isinstance(spec, dict) else spec)
+        ci = bool(spec.get("case_insensitive", False)) if isinstance(spec, dict) else False
+        return PrefixQ(fld, value=spec["value"] if isinstance(spec, dict) else spec,
+                       case_insensitive=ci)
     if kind == "wildcard":
         (fld, spec), = body.items()
-        return WildcardQ(fld, value=spec["value"] if isinstance(spec, dict) else spec)
+        ci = bool(spec.get("case_insensitive", False)) if isinstance(spec, dict) else False
+        return WildcardQ(fld, value=spec["value"] if isinstance(spec, dict) else spec,
+                         case_insensitive=ci)
     if kind == "regexp":
         (fld, spec), = body.items()
-        return RegexpQ(fld, value=spec["value"] if isinstance(spec, dict) else spec)
+        ci = bool(spec.get("case_insensitive", False)) if isinstance(spec, dict) else False
+        return RegexpQ(fld, value=spec["value"] if isinstance(spec, dict) else spec,
+                       case_insensitive=ci)
     if kind == "fuzzy":
         (fld, spec), = body.items()
         return FuzzyQ(fld, value=spec["value"], fuzziness=int(spec.get("fuzziness", 2)))

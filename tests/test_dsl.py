@@ -170,3 +170,21 @@ def test_search_pagination(spark, corpus):
 def test_parse_unknown_raises(spark):
     with pytest.raises(ValueError):
         dsl.parse({"frobnicate": {}})
+
+
+def test_case_insensitive_flags(spark):
+    from elasticsearch_spark.plans import dsl
+
+    df = spark.createDataFrame(
+        [(1, "Alpha"), (2, "ALPHA"), (3, "beta")], "id long, tag string"
+    )
+    ctx = dsl.SearchContext(df, "id")
+
+    def ids(body):
+        return {r["id"] for r in df.where(dsl.parse(body).predicate(ctx)).collect()}
+
+    assert ids({"term": {"tag": {"value": "alpha"}}}) == set()
+    assert ids({"term": {"tag": {"value": "alpha", "case_insensitive": True}}}) == {1, 2}
+    assert ids({"prefix": {"tag": {"value": "al", "case_insensitive": True}}}) == {1, 2}
+    assert ids({"wildcard": {"tag": {"value": "A*A", "case_insensitive": True}}}) == {1, 2}
+    assert ids({"regexp": {"tag": {"value": "al.+", "case_insensitive": True}}}) == {1, 2}
