@@ -221,6 +221,9 @@ class Engine:
             else f"{cur}-000002"
         )
         meta = store.IndexMeta.load(self._dir(cur))
+        create_kw.setdefault(
+            "index_sort", tuple(meta.index_sort) if meta.index_sort else None
+        )
         self.create_index(
             nxt, analyzer=meta.analyzer,
             num_partitions=meta.num_partitions, **create_kw,
@@ -350,8 +353,12 @@ class Engine:
             and "search_after" not in body
             and len(body["sort"]) == 1
         ):
-            (sf_, sd_), = body["sort"][0].items()
-            sdir = sd_.get("order", "asc") if isinstance(sd_, dict) else sd_
+            s0 = body["sort"][0]
+            if isinstance(s0, dict):
+                (sf_, sd_), = s0.items()
+                sdir = sd_.get("order", "asc") if isinstance(sd_, dict) else sd_
+            else:
+                sf_, sdir = s0, "asc"
             if [sf_, sdir] == list(meta_sort):
                 # index-sorted early termination (sorted_scan): each segment
                 # reads only its first k live rows

@@ -57,25 +57,43 @@ def compress(means: np.ndarray, weights: np.ndarray, compression: float = 100.0)
 
 
 def from_values(values: np.ndarray, compression: float = 100.0):
-    """Build a digest from raw values (one partition's batch)."""
+    """Build a digest from raw values (one partition's batch).
+    Returns (means, weights, min, max) — the observed extremes ride along
+    (the reference TDigestState tracks them) so quantile() can interpolate
+    the TAILS against real bounds instead of clamping to centroid means."""
     v = np.asarray(values, dtype=np.float64)
     v = v[~np.isnan(v)]
-    return compress(v, np.ones(len(v)), compression)
+    if len(v) == 0:
+        return np.zeros(0), np.zeros(0), float("nan"), float("nan")
+    m, w = compress(v, np.ones(len(v)), compression)
+    return m, w, float(v.min()), float(v.max())
 
 
 def merge(digests, compression: float = 100.0):
-    """Merge per-partition digests: concatenate centroids, re-cluster."""
-    ms = [d[0] for d in digests if len(d[0])]
-    ws = [d[1] for d in digests if len(d[0])]
-    if not ms:
-        return np.zeros(0), np.zeros(0)
-    return compress(np.concatenate(ms), np.concatenate(ws), compression)
+    """Merge per-partition digests: concatenate centroids, re-cluster;
+    extremes propagate as min-of-mins / max-of-maxes."""
+    live = [d for d in digests if len(d[0])]
+    if not live:
+        return np.zeros(0), np.zeros(0), float("nan"), float("nan")
+    m, w = compress(
+        np.concatenate([d[0] for d in live]),
+        np.concatenate([d[1] for d in live]),
+        compression,
+    )
+    return m, w, min(d[2] for d in live), max(d[3] for d in live)
 
 
-def quantile(means: np.ndarray, weights: np.ndarray, q: float) -> float:
-    """Estimate the q-quantile (0..1) by linear interpolation between
-    centroid means, treating each centroid's mass as centered at its
-    mean (the reference AbstractTDigest.quantile interpolation)."""
+def quantile(
+    means: np.ndarray,
+    weights: np.ndarray,
+    q: float,
+    vmin: float | None = None,
+    vmax: float | None = None,
+) -> float:
+    """Estimate the q-quantile (0..1): linear interpolation between
+    centroid CENTERS in the interior, and against the true min/max in the
+    tails (the reference AbstractTDigest.quantile shape) — the tail fix
+    that makes p99.9 behave like a t-digest instead of a centroid clamp."""
     n = len(means)
     if n == 0:
         return float("nan")
@@ -83,11 +101,17 @@ def quantile(means: np.ndarray, weights: np.ndarray, q: float) -> float:
         return float(means[0])
     total = float(weights.sum())
     idx = q * total
-    # cumulative weight at each centroid CENTER
     cum = np.cumsum(weights) - weights / 2.0
     if idx <= cum[0]:
+        if vmin is not None and weights[0] > 0:
+            frac = idx / max(cum[0], 1e-12)
+            return float(vmin + max(frac, 0.0) * (means[0] - vmin))
         return float(means[0])
     if idx >= cum[-1]:
+        if vmax is not None and weights[-1] > 0:
+            span = total - cum[-1]
+            frac = (idx - cum[-1]) / max(span, 1e-12)
+            return float(means[-1] + min(frac, 1.0) * (vmax - means[-1]))
         return float(means[-1])
     hi = int(np.searchsorted(cum, idx))
     lo = hi - 1

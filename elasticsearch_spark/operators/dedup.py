@@ -348,6 +348,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter) — raise max_iter; "
+            "returning split components would silently under-dedup"
+        )
     edges.unpersist()
     return labels
 

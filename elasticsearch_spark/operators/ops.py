@@ -168,7 +168,8 @@ def apply_ops(
             "pid", (F.lit(base) + F.pmod(F.xxhash64("url"), F.lit(num_partitions))).cast("int")
         )
         metrics = batch.groupBy("pid").applyInPandas(
-            segment_builder(index_dir, meta.analyzer), METRICS_SCHEMA
+            segment_builder(index_dir, meta.analyzer,
+                        tuple(meta.index_sort) if meta.index_sort else None), METRICS_SCHEMA
         ).collect()
         new_segs = [int(r["pid"]) for r in metrics]
     else:

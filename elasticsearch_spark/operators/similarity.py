@@ -163,9 +163,13 @@ def train_centroids(
     training cost is independent of corpus size."""
     rng = np.random.Generator(np.random.Philox(key=[seed, 29]))
     idx = rng.permutation(len(sample))[:n_lists]
-    cents = sample[np.sort(idx)].astype(np.float64).copy()
+    sample = np.asarray(sample, dtype=np.float64)
+    cents = sample[np.sort(idx)].copy()
+    s_sq = (sample ** 2).sum(axis=1)  # constant per row; argmin-invariant
     for _ in range(iters):
-        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # argmin over |s-c|^2 = |c|^2 - 2 s·c (+|s|^2): one matmul,
+        # O(sample × n_lists) memory — never the (sample × k × dim) cube
+        d = (cents ** 2).sum(axis=1)[None, :] - 2.0 * (sample @ cents.T)
         assign = d.argmin(axis=1)
         for c in range(n_lists):
             m = assign == c

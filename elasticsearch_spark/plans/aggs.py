@@ -195,7 +195,9 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
     (kind, body), = body_spec.items()
 
     if kind in ("avg", "sum", "min", "max", "value_count", "stats", "extended_stats",
-                "cardinality", "percentiles", "percentile_ranks", "weighted_avg"):
+                "cardinality", "percentiles", "percentile_ranks", "weighted_avg") and not (
+        kind == "percentiles" and body.get("method") == "tdigest"
+    ):
         return df.agg(*_metric_cols(name, body_spec))
 
     if kind == "percentiles" and body.get("method") == "tdigest":
@@ -214,17 +216,23 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
 
         def digest_parts(it):
             for pdf in it:
-                m, w = td.from_values(pdf[f].to_numpy(), comp)
-                yield pd.DataFrame({"m": [m.tolist()], "w": [w.tolist()]})
+                m, w, mn, mx = td.from_values(pdf[f].to_numpy(), comp)
+                yield pd.DataFrame({"m": [m.tolist()], "w": [w.tolist()],
+                                    "mn": [mn], "mx": [mx]})
 
         parts = (
             df.select(f)
-            .mapInPandas(digest_parts, "m array<double>, w array<double>")
+            .mapInPandas(
+                digest_parts,
+                "m array<double>, w array<double>, mn double, mx double",
+            )
             .collect()
         )
-        digests = [(np.array(r["m"]), np.array(r["w"])) for r in parts]
-        M, W = td.merge(digests, comp)
-        row = tuple(float(td.quantile(M, W, p / 100.0)) for p in pcts)
+        digests = [
+            (np.array(r["m"]), np.array(r["w"]), r["mn"], r["mx"]) for r in parts
+        ]
+        M, W, MN, MX = td.merge(digests, comp)
+        row = tuple(float(td.quantile(M, W, p / 100.0, MN, MX)) for p in pcts)
         schema = ", ".join(f"`{name}.{p}` double" for p in pcts)
         return df.sparkSession.createDataFrame([row], schema)
 

@@ -75,14 +75,12 @@ def eql_search(
     timestamps, ordered)."""
     body, pipes = _split_pipes(query)
 
-    def apply_pipes(out: DataFrame, order_cols: list) -> DataFrame:
+    def apply_pipes(out: DataFrame, order_names: list[str]) -> DataFrame:
         for kw, arg in pipes:
             if kw == "head":
-                out = out.orderBy(*order_cols).limit(int(arg))
+                out = out.orderBy(*[F.col(n_).asc() for n_ in order_names]).limit(int(arg))
             elif kw == "tail":
-                n = int(arg)
-                out = out.orderBy(*[c.desc() for c in
-                                    [F.col(x) if isinstance(x, str) else x for x in order_cols]]).limit(n)
+                out = out.orderBy(*[F.col(n_).desc() for n_ in order_names]).limit(int(arg))
             elif kw == "unique":
                 out = out.dropDuplicates([arg])
             else:
@@ -101,8 +99,8 @@ def eql_search(
         out = out.where(F.expr(_cond_to_sql(cond)))
         # EQL result order: timestamp, then the tiebreaker id field
         tie = id_col or ("event_id" if "event_id" in df.columns else None)
-        order = [F.col(ts_col).asc()] + ([F.col(tie).asc()] if tie else [])
-        return apply_pipes(out, order)
+        names = [ts_col] + ([tie] if tie else [])
+        return apply_pipes(out.orderBy(*[F.col(n_).asc() for n_ in names]), names)
 
     by = [b.strip() for b in (m.group("by") or "").split(",") if b.strip()]
     span_s = (
@@ -133,7 +131,10 @@ def eql_search(
         # earliest successor per chain (greedy minimal chain)
         cur = joined.groupBy(*chain_cols).agg(F.min(this_t).alias(this_t))
     if span_s is not None:
+        # microsecond arithmetic: whole-second timestampdiff would admit
+        # chains up to 999 ms past a sub-second maxspan
         last = f"t{len(steps)}"
-        cur = cur.where(F.expr(f"timestampdiff(SECOND, t1, {last})") <= span_s)
-    order = [F.col(b).asc() for b in by] + [F.col("t1").asc()]
-    return apply_pipes(cur.orderBy(*order), order)
+        span_us = int(span_s * 1_000_000)
+        cur = cur.where(F.expr(f"timestampdiff(MICROSECOND, t1, {last})") <= span_us)
+    names = by + ["t1"]
+    return apply_pipes(cur.orderBy(*[F.col(n_).asc() for n_ in names]), names)

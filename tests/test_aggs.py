@@ -447,14 +447,26 @@ def test_tdigest_accuracy_and_determinism(spark):
     out1 = aggs.compile_agg(df, "ps", spec).collect()[0].asDict()
     out2 = aggs.compile_agg(df, "ps", spec).collect()[0].asDict()
     assert out1 == out2  # deterministic for a fixed partitioning
-    exact = {p: float(np.percentile(vals, p)) for p in [1, 50, 95, 99, 99.9]}
+    # t-digest's contract is bounded RANK error (tails tighter than mid —
+    # the k1 scale function's property); value error is unbounded on heavy
+    # tails, so assert the rank of each estimate against the empirical CDF
+    svals = np.sort(vals)
     for p in [1, 50, 95, 99, 99.9]:
         got = out1[f"ps.{p}"]
-        assert abs(got - exact[p]) / exact[p] < 0.02, (p, got, exact[p])
+        rank = 100.0 * np.searchsorted(svals, got) / len(svals)
+        tol = 0.15 if p in (1, 99, 99.9) else 0.5
+        assert abs(rank - p) < tol, (p, got, rank)
+    # the SKETCH must actually run (guards the dispatch: method=tdigest must
+    # not fall through to the exact-percentile metric path)
+    spark_exact = aggs.compile_agg(df, "ps", {
+        "percentiles": {"field": "v", "percents": [1, 50, 95, 99, 99.9]}
+    }).collect()[0].asDict()
+    assert any(out1[f"ps.{p}"] != spark_exact[f"ps.{p}"] for p in [1, 50, 95, 99, 99.9])
     # digest is actually compressed: centroid count ≲ 2·compression
-    m, w = td.from_values(vals, 100.0)
+    m, w, mn, mx = td.from_values(vals, 100.0)
     assert len(m) < 250
     assert abs(w.sum() - len(vals)) < 1e-6
+    assert mn == vals.min() and mx == vals.max()
 
 
 def test_tdigest_merge_equals_single(spark):
@@ -467,7 +479,7 @@ def test_tdigest_merge_equals_single(spark):
     parts = np.array_split(vals, 7)
     merged = td.merge([td.from_values(p, 100.0) for p in parts], 100.0)
     for q in [0.01, 0.25, 0.5, 0.75, 0.99]:
-        got = td.quantile(merged[0], merged[1], q)
+        got = td.quantile(merged[0], merged[1], q, merged[2], merged[3])
         exact = float(np.quantile(vals, q))
         assert abs(got - exact) < 0.5, (q, got, exact)
 

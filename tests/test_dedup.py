@@ -116,3 +116,11 @@ def test_connected_components_long_chain(spark):
     comp = connected_components(pairs).collect()
     assert {r["component"] for r in comp} == {0}
     assert len(comp) == 13
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from elasticsearch_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(25)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=5)

@@ -68,3 +68,23 @@ def test_sequence_greedy_minimal(events):
     # both user-1 logins chain to the SAME earliest exfil (greedy minimal)
     assert len(u1) == 2
     assert all(r["t2"] == u1[0]["t2"] for r in u1)
+
+
+def test_tail_pipe_and_ms_maxspan(events, spark):
+    import datetime as dt
+
+    out = eql_search(events, "login where value == 0.0 | tail 2").collect()
+    # tail = last 2 by (ts, event_id) descending
+    assert {r["event_id"] for r in out} == {9, 8}
+    base = dt.datetime(2024, 1, 1)
+    fine = spark.createDataFrame(
+        [(1, 10, "a", base, 0.0),
+         (2, 10, "b", base + dt.timedelta(milliseconds=900), 0.0),
+         (3, 11, "a", base, 0.0),
+         (4, 11, "b", base + dt.timedelta(milliseconds=300), 0.0)],
+        "event_id long, user_id long, event_type string, ts timestamp, value double",
+    )
+    q = "sequence by user_id with maxspan=500ms [a where true] [b where true]"
+    rows = eql_search(fine, q).collect()
+    # 900ms chain must NOT match a 500ms window; 300ms chain must
+    assert {r["user_id"] for r in rows} == {11}

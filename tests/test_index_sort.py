@@ -77,3 +77,22 @@ def test_sorted_scan_after_merge_and_delete(es, spark):
         assert ts == sorted(ts, reverse=True), p
     hits = es.search("pages", body)["hits"].collect()
     assert [r["url"] for r in hits] == _expected_latest(5)[1:]
+
+
+def test_second_bulk_keeps_sort_order(es, spark):
+    """Op-batch segments (bulk #2+) must honour index.sort too —
+    sorted_scan reads only each segment's first k rows."""
+    newest = dt.datetime(2024, 6, 1)
+    extra = spark.createDataFrame(
+        [("unew1", "brand new spark doc", "en", newest),
+         ("unew2", "even newer doc", "en", newest + dt.timedelta(hours=1))],
+        "url string, text string, lang string, warc_ts timestamp",
+    )
+    es.bulk("pages", extra)
+    body = {"query": {"match_all": {}}, "sort": [{"warc_ts": "desc"}], "size": 2}
+    hits = es.search("pages", body)["hits"].collect()
+    assert [r["url"] for r in hits] == ["unew2", "unew1"]
+    # string-form sort entries take the fast path without crashing
+    asc = es.search("pages", {"query": {"match_all": {}}, "sort": ["warc_ts"],
+                              "size": 1})["hits"].collect()
+    assert len(asc) == 1
