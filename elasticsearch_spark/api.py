@@ -662,6 +662,52 @@ class Engine:
             }
         return out
 
+    def terms_enum(
+        self,
+        index: str,
+        field: str = "text",
+        string: str = "",
+        size: int = 10,
+        case_insensitive: bool = False,
+        search_after: str | None = None,
+    ) -> dict:
+        """POST /{index}/_terms_enum (TransportTermsEnumAction.java):
+        enumerate up to ``size`` index terms for ``field`` starting with
+        ``string``, ascending. For the analyzed text field the source is
+        the term DICTIONARY (stats/term_stats.parquet) — a pruned parquet
+        scan of the vocab table, never the postings; other fields enumerate
+        distinct doc-values. Like the reference, terms from
+        deleted-but-unmerged docs may still appear. Alias-aware: per-index
+        frames union, dedup, and re-cut to size."""
+        frames = []
+        for concrete in self.resolve(index):
+            if field == "text":
+                src = self.spark.read.parquet(
+                    store.term_stats_path(self._dir(concrete))
+                ).select(F.col("term").alias("t"))
+            else:
+                src = self._docs_view(concrete).select(
+                    F.col(field).cast("string").alias("t")
+                ).where(F.col("t").isNotNull())
+            if string:
+                if case_insensitive:
+                    src = src.where(F.lower("t").startswith(string.lower()))
+                else:
+                    src = src.where(F.col("t").startswith(string))
+            if search_after is not None:
+                src = src.where(F.col("t") > search_after)
+            # per-index pre-cut keeps the cross-index union ≤ n_indices·(size+1);
+            # the +1 lookahead is what decides the `complete` flag
+            frames.append(src.distinct().orderBy("t").limit(size + 1))
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.union(fr)
+        rows = out.distinct().orderBy("t").limit(size + 1).collect()
+        return {
+            "terms": [r["t"] for r in rows[:size]],
+            "complete": len(rows) <= size,
+        }
+
     def mget(self, index: str, ids: list[str]) -> DataFrame:
         """POST /{index}/_mget: fetch docs by url id, input order preserved
         via a broadcast position join."""

@@ -660,6 +660,19 @@ def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_suggest(spark, idx, "spakr windoq", max_edits=2, size=3)
 
 
+def q_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_terms_enum over the index term dictionary: ascending prefix page
+    (TransportTermsEnumAction.java) — a pruned scan of the vocab table."""
+    import os
+
+    from .api import Engine
+
+    idx = _index_for(spark, sf_dir)
+    es = Engine(spark, root=os.path.dirname(idx))
+    res = es.terms_enum(os.path.basename(idx), field="text", string="s", size=20)
+    return spark.createDataFrame([(t,) for t in res["terms"]], "term string")
+
+
 def q_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-backed match_phrase: conjunctive WAND candidates → positional
     verify at fetch (operators/phrase.py)."""
@@ -1764,6 +1777,12 @@ ranked AS (
 SELECT token, suggestion, distance, df FROM ranked WHERE rank <= 3
 ORDER BY token, distance, df DESC, suggestion
 """,
+    "terms_enum": """
+SELECT term FROM (
+  SELECT DISTINCT unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term
+  FROM documents
+) WHERE term LIKE 's%' ORDER BY term ASC LIMIT 20
+""",
     "phrase_index": _bm25_cte(["group", "order"], msm=2) + """,
 ph AS (
   SELECT doc_id FROM (
@@ -2430,6 +2449,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_index_wand": q_index_wand_topk,
     "phrase_index": q_index_phrase,
     "term_suggest": q_term_suggest,
+    "terms_enum": q_terms_enum,
     "dsl_bool_full": dsl_bool_full,
     "dsl_dismax": dsl_dismax,
     "dsl_function_score": dsl_function_score,

@@ -193,6 +193,31 @@ def test_field_caps_and_mget(es):
     assert [r["url"] for r in got.collect()] == ["u3", "u1"]
 
 
+def test_terms_enum(es):
+    # text field: term-dictionary prefix enumeration, sorted ascending
+    got = es.terms_enum("pages", field="text", string="s", size=100)
+    assert got["terms"] == sorted(got["terms"])
+    assert all(t.startswith("s") for t in got["terms"])
+    assert {"spark", "streaming", "simple"} <= set(got["terms"])
+    # size cutoff flips the complete flag
+    cut = es.terms_enum("pages", field="text", string="s", size=2)
+    assert len(cut["terms"]) == 2 and not cut["complete"]
+    assert es.terms_enum("pages", field="text", string="spark")["complete"]
+    # search_after resumes past the cursor
+    after = es.terms_enum("pages", field="text", string="s",
+                          size=2, search_after=cut["terms"][-1])
+    assert after["terms"][0] > cut["terms"][-1]
+    # keyword-style field: distinct LIVE doc values, sorted (the u4/"de"
+    # doc was deleted by an earlier module test — must not reappear)
+    langs = es.terms_enum("pages", field="lang", string="")
+    assert "en" in langs["terms"] and "de" not in langs["terms"]
+    assert langs["terms"] == sorted(langs["terms"]) and langs["complete"]
+    # case_insensitive prefix
+    ci = es.terms_enum("pages", field="lang", string="EN", case_insensitive=True)
+    assert "en" in ci["terms"] and all(t.lower().startswith("en") for t in ci["terms"])
+    assert es.terms_enum("pages", field="lang", string="EN")["terms"] == []
+
+
 def test_validate_query(es):
     assert es.validate_query("pages", {"term": {"lang": "en"}})["valid"]
     bad = es.validate_query("pages", {"range": {"nope_field": {"gte": 1}}})
