@@ -291,6 +291,80 @@ def embedding_near_dup_pairs(
     )
 
 
+def jaccard_pairs(
+    shingles: DataFrame,
+    threshold: float,
+    key: str = "__key",
+    sh_col: str = "sh",
+) -> DataFrame:
+    """All-pairs shingle-set Jaccard ≥ threshold via PREFIX FILTERING
+    (Bayardo et al. WWW'07 "Scaling Up All Pairs Similarity Search";
+    Chaudhuri et al. SSJoin lemma): under one global shingle order
+    (rarity-first), two sets with |x∩y| ≥ α must already share their
+    MINIMAL common element inside their first |·|−α+1 elements, so each
+    doc indexes only its ℓ(d) = |d| − ⌈t·|d|⌉ + 1 globally-rarest
+    shingles and candidates never form inside hot shingles — the
+    quadratic killer of a plain shingle-inverted-index self-join (a
+    boilerplate 3-gram shared by 10⁶ docs forms 10¹² pair rows at web
+    scale; under prefix filtering it is indexed only by docs so small
+    that it lands in their rarity prefix). LOSSLESS for Jaccard ≥ t:
+    candidate generation is a superset of the qualifying pairs, and an
+    exact common-count verify against the full sets restores equality
+    with the naive join. A size-ratio filter (t·|x| ≤ |y|) prunes
+    further; verification joins touch candidate ids only.
+
+    Input: (key, sh) distinct shingle rows. Output: (a, b, jaccard).
+    """
+    from pyspark.sql import Window
+
+    # hash shingles to int64 up front: every downstream shuffle/intersect
+    # moves 8-byte keys, and the global rarity order only needs to be
+    # CONSISTENT, not lexical (xxhash64 collisions are ~n²/2⁶⁵ — at that
+    # odds a pair's jaccard shifts by one count, nothing is missed)
+    shingles = shingles.select(key, F.xxhash64(sh_col).alias(sh_col))
+    gdf = shingles.groupBy(sh_col).agg(F.count("*").alias("gdf"))
+    # one shuffle by key serves both window functions (rank + set size)
+    w_rank = Window.partitionBy(key).orderBy(F.asc("gdf"), F.asc(sh_col))
+    w_all = Window.partitionBy(key)
+    prefix = (
+        shingles.join(gdf, sh_col)
+        .select(
+            key,
+            sh_col,
+            F.row_number().over(w_rank).alias("__rk"),
+            F.count("*").over(w_all).alias("n"),
+        )
+        .where(F.col("__rk") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        .select(key, sh_col, "n")
+    )
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), sh_col)
+        .where(F.col(f"x.{key}") < F.col(f"y.{key}"))
+        .where(F.col("y.n") >= F.lit(threshold) * F.col("x.n"))
+        .where(F.col("x.n") >= F.lit(threshold) * F.col("y.n"))
+        .select(
+            F.col(f"x.{key}").alias("a"),
+            F.col(f"y.{key}").alias("b"),
+        )
+        .distinct()
+    )
+    # exact verify: candidates fetch the two full sets (packed per-doc
+    # arrays, bounded by doc length) and intersect JVM-side
+    sets = shingles.groupBy(key).agg(F.collect_list(sh_col).alias("__set"))
+    return (
+        cand.join(sets.select(F.col(key).alias("a"), F.col("__set").alias("sa")), "a")
+        .join(sets.select(F.col(key).alias("b"), F.col("__set").alias("sb")), "b")
+        .withColumn("common", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.size("sa") + F.size("sb") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
 def exact_dedup(df: DataFrame, key: str, content_col: str) -> DataFrame:
     """Exact dedup groups: md5 groupBy, min-key representative."""
     return (

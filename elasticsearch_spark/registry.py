@@ -764,8 +764,11 @@ def d_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup: 3-token shingles, pairwise Jaccard ≥ 0.5 via
-    shingle-inverted-index self-join (the scalable shape: candidates only
-    for pairs sharing ≥1 shingle, not O(n²))."""
+    prefix-filtered all-pairs (operators/dedup.py:jaccard_pairs — lossless
+    rarity-prefix candidate generation + exact verify; hot shingles never
+    form candidate pairs, unlike a plain inverted-index self-join)."""
+    from .operators.dedup import jaccard_pairs
+
     t = _tokenized(spark, sf_dir).select("doc_id", "toks").where(F.size("toks") >= 3)
     sh = t.select(
         "doc_id",
@@ -778,20 +781,9 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    pairs = (
-        sh.alias("x")
-        .join(sh.alias("y"), "shingle")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .agg(F.count("*").alias("common"))
-    )
     return (
-        pairs.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
-        .withColumn("jaccard", F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4))
-        .where(F.col("jaccard") >= 0.5)
-        .select("a", "b", "jaccard")
+        jaccard_pairs(sh, 0.5, key="doc_id", sh_col="shingle")
+        .withColumn("jaccard", F.round("jaccard", 4))
         .orderBy("a", "b")
     )
 

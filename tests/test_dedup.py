@@ -124,3 +124,53 @@ def test_connected_components_nonconvergence_raises(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(25)], "a long, b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=5)
+
+
+def test_jaccard_pairs_prefix_filter_lossless(spark):
+    """jaccard_pairs (prefix filtering) must return EXACTLY the pairs a
+    naive shingle-inverted-index self-join returns, across thresholds —
+    the SSJoin-lemma losslessness, on adversarial data: one ultra-hot
+    shingle shared by every doc plus random rare tails."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(40):
+        # every doc starts with the same hot trigram; tail random
+        words = ["hot", "hot", "hot"] + list(rng.choice(vocab, size=rng.integers(3, 12)))
+        rows.append((d, words))
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    sh = df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(toks)-3),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    naive = (
+        sh.alias("x").join(sh.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("common"))
+        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+        .withColumn("j", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+    )
+    n_at_loosest = None
+    for t in (0.3, 0.5, 0.8):
+        want = {
+            (r["a"], r["b"], round(r["j"], 6))
+            for r in naive.where(F.col("j") >= t).collect()
+        }
+        got = {
+            (r["a"], r["b"], round(r["jaccard"], 6))
+            for r in dedup.jaccard_pairs(sh, t, key="doc_id", sh_col="shingle").collect()
+        }
+        assert got == want, (t, got ^ want)
+        if n_at_loosest is None:
+            n_at_loosest = len(want)
+    assert n_at_loosest > 0  # the comparison must actually exercise pairs
