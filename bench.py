@@ -98,6 +98,21 @@ def main() -> None:
     for q in qs:
         run_wand(q)
     timings["wand_queries_x10"] = round(time.perf_counter() - t0, 3)
+
+    # same 10 queries as ONE batched msearch wave (result-identical;
+    # amortizes the per-query job scheduling + per-segment reads)
+    from elasticsearch_spark.operators.topk import msearch_topk
+
+    batch = {
+        f"q{i}": {
+            "terms": list(q.terms),
+            "operator": "and" if q.kind == "conjunctive" else "or",
+        }
+        for i, q in enumerate(qs)
+    }
+    t0 = time.perf_counter()
+    msearch_topk(spark, index_dir, batch, k=10, mode="wand", reader=reader).collect()
+    timings["wand_msearch_x10"] = round(time.perf_counter() - t0, 3)
     reader.close()
 
     # --- phase 2b: tiered segment merge (compaction) -----------------------

@@ -456,6 +456,144 @@ def search_topk(
     return docs.join(F.broadcast(top), "doc_id").orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+MCAND_SCHEMA = "qid string, doc_id long, score double, n_terms_matched int"
+
+
+def _segment_task_mscorer(
+    index_dir: str,
+    per_q: dict[str, tuple[list, int, str]],
+    weights: dict[str, tuple[float, int]],
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+):
+    """Batched variant of _segment_task_scorer: each segment task reads the
+    UNION of every query's terms from its postings file ONCE (one parquet
+    probe, one norms read, one tombstone mask), then runs the WAND / scored
+    loop per query on the in-memory slice. per_q: qid -> (live_terms, msm,
+    mode)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.smallfloat import byte4_to_int
+
+    live = sorted({t for terms, _, _ in per_q.values() for t in terms})
+
+    def fn(batches):
+        from .ops import read_tombstones
+
+        tomb = read_tombstones(index_dir)
+        for pdf in batches:
+            outs = []
+            for seg in pdf["seg"]:
+                d = store.seg_dir(index_dir, int(seg))
+                post = pq.read_table(
+                    os.path.join(d, "postings.parquet"),
+                    columns=["term", "first_doc_id", "last_doc_id", "n",
+                             "max_tf", "min_ql", "ids_bytes", "tf_bytes"],
+                    filters=[("term", "in", live)],
+                ).to_pandas()
+                if len(post) == 0:
+                    continue
+                docs = pq.read_table(
+                    os.path.join(d, "docs.parquet"), columns=["doc_id", "norm"]
+                )
+                norm_doc_ids = docs["doc_id"].to_numpy()
+                order = np.argsort(norm_doc_ids, kind="mergesort")
+                norm_doc_ids = norm_doc_ids[order]
+                norm_ql = byte4_to_int(docs["norm"].to_numpy())[order]
+                allowed = None
+                if len(tomb):
+                    pos = np.searchsorted(tomb, norm_doc_ids)
+                    dead = (pos < len(tomb)) & (tomb[np.minimum(pos, len(tomb) - 1)] == norm_doc_ids)
+                    if dead.any():
+                        allowed = norm_doc_ids[~dead]
+                for qid, (terms, msm, mode) in per_q.items():
+                    post_q = post[post["term"].isin(terms)]
+                    if len(post_q) == 0:
+                        continue
+                    if mode == "wand" and msm <= 1:
+                        r = _wand_segment(
+                            post_q, weights, norm_doc_ids, norm_ql, avgdl, k1, b, k, allowed
+                        )
+                    else:
+                        docs_a, scores_a, counts_a = _score_segment_arrays(
+                            post_q, weights, norm_doc_ids, norm_ql, avgdl, k1, b, allowed
+                        )
+                        r = _topk_from_arrays(docs_a, scores_a, counts_a, k, msm)
+                    if len(r):
+                        r.insert(0, "qid", qid)
+                        outs.append(r)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return fn
+
+
+def msearch_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[str, dict] | list[list[str]],
+    k: int = 10,
+    mode: str = "wand",
+    reader: IndexReader | None = None,
+    fetch: bool = False,
+) -> DataFrame:
+    """Batched _msearch at the postings layer: M top-k queries in ONE
+    segment-task wave (one Spark job, not M) — per-query results identical
+    to M search_topk calls, but scheduling overhead and the per-segment
+    postings/norms/tombstone reads are amortized across the batch (the
+    reference coordinates _msearch as one round the same way,
+    ``TransportMultiSearchAction.java``).
+
+    queries: {qid: {"terms": [...], "operator": "or"|"and",
+    "minimum_should_match": int?}} or a plain list of term-lists
+    (qids q0..qN-1). Returns (qid, doc_id, score, n_terms_matched) rows,
+    per-qid top-k, plus fetch columns when fetch=True.
+    """
+    if isinstance(queries, list):
+        queries = {f"q{i}": {"terms": t} for i, t in enumerate(queries)}
+    meta = reader.meta if reader else store.IndexMeta.load(index_dir)
+    all_terms = list(dict.fromkeys(t for q in queries.values() for t in q["terms"]))
+    weights = (
+        reader.term_weights(all_terms)
+        if reader
+        else _term_weights(spark, index_dir, all_terms, meta)
+    )
+    per_q: dict[str, tuple[list, int, str]] = {}
+    for qid, q in queries.items():
+        terms = list(dict.fromkeys(q["terms"]))
+        live = [t for t in terms if t in weights]
+        op = q.get("operator", "or")
+        if not live or (op == "and" and len(live) < len(terms)):
+            continue  # conjunctive query with a vocabulary miss: no hits
+        msm = len(live) if op == "and" else int(q.get("minimum_should_match") or 1)
+        per_q[qid] = (live, msm, mode)
+    if not per_q:
+        return spark.createDataFrame([], MCAND_SCHEMA)
+    segs = store.list_segs(index_dir)
+    fn = _segment_task_mscorer(index_dir, per_q, weights, meta.avgdl, meta.k1, meta.b, k)
+    n_tasks = max(1, min(len(segs), spark.sparkContext.defaultParallelism))
+    seg_rdd = spark.sparkContext.parallelize([(int(s),) for s in segs], n_tasks)
+    cands = spark.createDataFrame(seg_rdd, "seg int").mapInPandas(fn, MCAND_SCHEMA)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    top = (
+        cands.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+    if not fetch:
+        return top
+    docs = (reader.docs if reader else spark.read.parquet(*store.docs_glob(index_dir))).select(
+        "doc_id", "url", "lang", "warc_ts"
+    )
+    return docs.join(F.broadcast(top), "doc_id").orderBy(
+        "qid", F.desc("score"), F.asc("doc_id")
+    )
+
+
 def sorted_scan(
     spark: SparkSession,
     index_dir: str,

@@ -660,6 +660,32 @@ def q_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_suggest(spark, idx, "spakr windoq", max_edits=2, size=3)
 
 
+def q_msearch_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched _msearch at the postings layer (operators/topk.py:
+    msearch_topk): one segment-task wave answers both queries — per-query
+    results identical to separate search_topk calls."""
+    from .operators.topk import msearch_topk
+
+    idx = _index_for(spark, sf_dir)
+    out = msearch_topk(
+        spark,
+        idx,
+        {
+            "mq0": {"terms": _OR_TERMS, "operator": "or"},
+            "mq1": {"terms": _AND_TERMS, "operator": "and"},
+        },
+        k=10,
+        mode="wand",
+        fetch=True,
+    )
+    return out.select(
+        "qid",
+        F.expr("cast(substring(url, 4, 12) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+        F.col("n_terms_matched").alias("matched"),
+    )
+
+
 def q_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """_terms_enum over the index term dictionary: ascending prefix page
     (TransportTermsEnumAction.java) — a pruned scan of the vocab table."""
@@ -1769,6 +1795,12 @@ ranked AS (
 SELECT token, suggestion, distance, df FROM ranked WHERE rank <= 3
 ORDER BY token, distance, df DESC, suggestion
 """,
+    "msearch_wand": f"""
+SELECT 'mq0' AS qid, * FROM ({_bm25_sql(_OR_TERMS)})
+UNION ALL
+SELECT 'mq1' AS qid, * FROM ({_bm25_sql(_AND_TERMS, msm=len(_AND_TERMS))})
+ORDER BY qid, score DESC, doc_id
+""",
     "terms_enum": """
 SELECT term FROM (
   SELECT DISTINCT unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term
@@ -2442,6 +2474,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_index": q_index_phrase,
     "term_suggest": q_term_suggest,
     "terms_enum": q_terms_enum,
+    "msearch_wand": q_msearch_wand,
     "dsl_bool_full": dsl_bool_full,
     "dsl_dismax": dsl_dismax,
     "dsl_function_score": dsl_function_score,

@@ -118,3 +118,45 @@ def test_wand_equals_naive_on_many_queries(spark, index_dir, url_of):
         b = run(spark, index_dir, url_of, terms, op, "wand")
         assert [x[0] for x in a] == [x[0] for x in b]
         np.testing.assert_allclose([x[1] for x in a], [x[1] for x in b], rtol=1e-12)
+
+
+def test_msearch_batch_equals_individual(spark, index_dir):
+    """msearch_topk (one segment-task wave for M queries) must be
+    result-identical to M individual search_topk calls — docs, scores,
+    match counts, per-query."""
+    from elasticsearch_spark.operators.topk import msearch_topk
+
+    batch = {}
+    want = {}
+    for i, q in enumerate(query_set(12)):
+        if q.kind not in ("disjunctive", "conjunctive"):
+            continue
+        qid = f"q{i}"
+        op = "and" if q.kind == "conjunctive" else "or"
+        terms = [t.lower() for t in q.terms]
+        batch[qid] = {"terms": terms, "operator": op}
+        want[qid] = [
+            (r.doc_id, round(r.score, 10), r.n_terms_matched)
+            for r in search_topk(
+                spark, index_dir, terms, k=10, operator=op, mode="wand", fetch=False
+            ).collect()
+        ]
+    assert len(batch) >= 5
+    got: dict[str, list] = {qid: [] for qid in batch}
+    rows = msearch_topk(spark, index_dir, batch, k=10, mode="wand").collect()
+    for r in sorted(rows, key=lambda r: (r.qid, -r.score, r.doc_id)):
+        got[r.qid].append((r.doc_id, round(r.score, 10), r.n_terms_matched))
+    # queries whose conjunctive terms miss the vocab return no rows — same
+    # as search_topk returning empty
+    for qid in batch:
+        assert got.get(qid, []) == want[qid], qid
+
+
+def test_msearch_list_form_and_fetch(spark, index_dir, url_of):
+    from elasticsearch_spark.operators.topk import msearch_topk
+
+    qs = [q for q in query_set(6) if q.kind == "disjunctive"][:2]
+    lists = [[t.lower() for t in q.terms] for q in qs]
+    out = msearch_topk(spark, index_dir, lists, k=3, fetch=True).collect()
+    assert {r.qid for r in out} <= {"q0", "q1"}
+    assert all(r.url == url_of[r.doc_id] for r in out)
