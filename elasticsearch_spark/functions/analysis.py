@@ -802,7 +802,175 @@ def _filter_stemmer(toks: list[str], language: str = "minimal_english", name: st
     return _filter_stemmer_minimal_english(toks)
 
 
+def _soundex(word: str) -> str:
+    """American Soundex (the classic 4-char letter+digit code)."""
+    w = [c for c in word.upper() if "A" <= c <= "Z"]
+    if not w:
+        return ""
+    codes = {
+        **dict.fromkeys("BFPV", "1"), **dict.fromkeys("CGJKQSXZ", "2"),
+        **dict.fromkeys("DT", "3"), "L": "4", **dict.fromkeys("MN", "5"), "R": "6",
+    }
+    out = w[0]
+    prev = codes.get(w[0], "")
+    for c in w[1:]:
+        d = codes.get(c, "")
+        if d and d != prev:
+            out += d
+            if len(out) == 4:
+                break
+        # H/W are transparent to the adjacency rule; vowels reset it
+        if c not in "HW":
+            prev = d
+    return (out + "000")[:4]
+
+
+_METAPHONE_VOWELS = "AEIOU"
+
+
+def _metaphone(word: str) -> str:  # noqa: C901
+    """Lawrence Philips' original Metaphone (1990), the `metaphone`
+    encoder of the reference's phonetic plugin
+    (``plugins/analysis-phonetic/.../PhoneticTokenFilterFactory.java`` →
+    commons-codec ``Metaphone``). Unbounded length (the plugin default
+    trims to 4; parameterized here)."""
+    w = "".join(c for c in word.upper() if "A" <= c <= "Z")
+    if not w:
+        return ""
+    # initial-letter exceptions
+    if w[:2] in ("AE", "GN", "KN", "PN", "WR"):
+        w = w[1:]
+    elif w[:1] == "X":
+        w = "S" + w[1:]
+    elif w[:2] == "WH":
+        w = "W" + w[2:]
+    out = []
+    i, n = 0, len(w)
+    while i < n:
+        c = w[i]
+        if c in _METAPHONE_VOWELS:
+            if i == 0:
+                out.append(c)
+            i += 1
+            continue
+        if i > 0 and c == w[i - 1] and c != "C":  # drop doubled letters
+            i += 1
+            continue
+        nxt = w[i + 1] if i + 1 < n else ""
+        nxt2 = w[i + 2] if i + 2 < n else ""
+        if c == "B":
+            if not (i == n - 1 and i > 0 and w[i - 1] == "M"):
+                out.append("B")
+        elif c == "C":
+            if i > 0 and w[i - 1] == "S" and nxt in "IEY":
+                pass  # silent in -SCI-/-SCE-/-SCY-
+            elif nxt == "I" and nxt2 == "A":
+                out.append("X")
+            elif nxt == "H":
+                out.append("K" if i > 0 and w[i - 1] == "S" else "X")
+                i += 1
+            elif nxt in "IEY":
+                out.append("S")
+            else:
+                out.append("K")
+        elif c == "D":
+            if nxt == "G" and nxt2 in "EIY":
+                out.append("J")
+                i += 2
+            else:
+                out.append("T")
+        elif c == "G":
+            if nxt == "H":
+                if i + 2 < n and w[i + 2] in _METAPHONE_VOWELS:
+                    out.append("K")  # GH before vowel → K
+                    i += 1
+                # else silent (light/night)
+                else:
+                    i += 1
+            elif nxt == "N":
+                pass  # silent GN / GNED
+            elif nxt in "EIY":
+                out.append("J")
+            else:
+                out.append("K")
+        elif c == "H":
+            prev = w[i - 1] if i > 0 else ""
+            if prev in _METAPHONE_VOWELS and nxt not in _METAPHONE_VOWELS:
+                pass  # silent after vowel with no following vowel
+            elif prev in "CSPTG":
+                pass  # part of a digraph already handled
+            else:
+                out.append("H")
+        elif c in "FJLMNR":
+            out.append(c)
+        elif c == "K":
+            if not (i > 0 and w[i - 1] == "C"):
+                out.append("K")
+        elif c == "P":
+            if nxt == "H":
+                out.append("F")
+                i += 1
+            else:
+                out.append("P")
+        elif c == "Q":
+            out.append("K")
+        elif c == "S":
+            if nxt == "H":
+                out.append("X")
+                i += 1
+            elif nxt == "I" and nxt2 in "OA":
+                out.append("X")
+            else:
+                out.append("S")
+        elif c == "T":
+            if nxt == "H":
+                out.append("0")  # theta
+                i += 1
+            elif nxt == "I" and nxt2 in "OA":
+                out.append("X")
+            else:
+                out.append("T")
+        elif c == "V":
+            out.append("F")
+        elif c == "W":
+            if nxt in _METAPHONE_VOWELS:
+                out.append("W")
+        elif c == "X":
+            out.append("KS")
+        elif c == "Y":
+            if nxt in _METAPHONE_VOWELS:
+                out.append("Y")
+        elif c == "Z":
+            out.append("S")
+        i += 1
+    return "".join(out)
+
+
+def _filter_phonetic(
+    toks: list[str], encoder: str = "metaphone", replace: bool = True,
+    max_code_len: int = 4, **_,
+) -> list[str]:
+    """phonetic token filter (``plugins/analysis-phonetic``): soundex /
+    metaphone encoding; ``replace=False`` keeps the original token next to
+    its code (the plugin's inject mode)."""
+    enc = _soundex if encoder == "soundex" else _metaphone
+    out: list[str] = []
+    for t in toks:
+        code = enc(t)
+        if encoder == "metaphone":
+            code = code[:max_code_len]
+        if not code:
+            out.append(t)
+            continue
+        if replace:
+            out.append(code)
+        else:
+            out.extend((t, code))
+    return out
+
+
 TOKEN_FILTERS = {
+    "phonetic": _filter_phonetic,
     "synonym": _filter_synonym,
     "stop": _filter_stop,
     "asciifolding": _filter_asciifolding,
@@ -864,6 +1032,11 @@ def register_analyzer(
     for fspec in filters or []:
         if isinstance(fspec, str):
             specs.append((TOKEN_FILTERS[fspec], {}))
+        elif isinstance(fspec, dict):
+            # ES inline-definition form: {"type": name, ...params}
+            params = dict(fspec)
+            fname = params.pop("type")
+            specs.append((TOKEN_FILTERS[fname], params))
         else:
             fname, params = fspec
             specs.append((TOKEN_FILTERS[fname], params))

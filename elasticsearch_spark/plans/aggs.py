@@ -102,7 +102,32 @@ def _metric_cols(name: str, spec: dict) -> list:
         vf = body["value"]["field"]
         wf = body["weight"]["field"]
         return [(F.sum(F.col(vf) * F.col(wf)) / F.sum(F.col(wf))).alias(name)]
+    if kind == "geo_line":
+        return [_geo_line_col(body).alias(name)]
     raise ValueError(f"unsupported metric agg: {kind}")
+
+
+def _geo_line_col(body: dict):
+    """geo_line metric (``x-pack/.../spatial/search/aggregations/
+    GeoLineAggregationBuilder.java``): the group's points ordered by the
+    sort field, truncated to ``size`` (ref default 10000), as an array of
+    [lon, lat] pairs. One aggregate expression — collect_list inside the
+    group, sort/slice/project applied to the aggregated value — so it
+    composes under any bucket agg exactly like avg/sum."""
+    pt = body.get("point", {})
+    lon = pt.get("lon_field") or body.get("lon_field")
+    lat = pt.get("lat_field") or body.get("lat_field")
+    if lon is None:  # geo_point struct field {lon, lat}
+        pf = pt["field"]
+        lon, lat = f"{pf}.lon", f"{pf}.lat"
+    sf = body["sort"]["field"] if isinstance(body.get("sort"), dict) else body["sort"]
+    size = int(body.get("size", 10000))
+    pts = F.array_sort(
+        F.collect_list(F.struct(F.col(sf).alias("s"), F.col(lon).alias("x"), F.col(lat).alias("y")))
+    )
+    if str(body.get("sort_order", "asc")).lower() == "desc":
+        pts = F.reverse(pts)
+    return F.transform(F.slice(pts, 1, size), lambda p: F.array(p["x"], p["y"]))
 
 
 def _sig_score(heuristic: str, fg_count, fg_tot: float, bg_count, bg_tot: float):
@@ -413,8 +438,6 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
 
     if kind == "geotile_grid":
         # GeoTileGridAggregationBuilder.java: web-mercator z/x/y tiles
-        import math
-
         f = body["field"]
         z = int(body.get("precision", 7))
         size = body.get("size", 10)
@@ -712,6 +735,127 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
             F.expr(body["reduce_script"].replace("states", "__state")).alias(name)
         )
 
+    if kind == "geo_line":
+        return df.agg(_geo_line_col(body).alias(name))
+
+    if kind == "t_test":
+        # TTestAggregationBuilder.java (x-pack analytics): paired /
+        # homoscedastic / heteroscedastic (Welch) two-sample t-test. The
+        # per-side moments (n, mean, sample variance) are ONE distributed
+        # aggregate pass; the t statistic and the two-sided p-value (via
+        # the regularized incomplete beta, functions/stats.py) are
+        # coordinator-side scalar math — the reference's shard-collect →
+        # coordinator-reduce shape.
+        from ..functions.stats import t_two_sided_p
+
+        ttype = body.get("type", "heteroscedastic")
+        a_spec, b_spec = body["a"], body["b"]
+        spark = df.sparkSession
+
+        if ttype == "paired":
+            d = F.col(a_spec["field"]) - F.col(b_spec["field"])
+            r = df.agg(
+                F.count(d).alias("n"), F.avg(d).alias("m"), F.var_samp(d).alias("v")
+            ).collect()[0]
+            n = int(r["n"])
+            t = float(r["m"]) / math.sqrt(float(r["v"]) / n)
+            dof = float(n - 1)
+            na = nb = n
+        else:
+            def _moments(side):
+                from . import dsl
+
+                sdf = df
+                if side.get("filter"):
+                    ctx = dsl.SearchContext(df, df.columns[0])
+                    sdf = df.where(dsl.parse(side["filter"]).predicate(ctx))
+                c = F.col(side["field"])
+                return sdf.agg(
+                    F.count(c).alias("n"), F.avg(c).alias("m"), F.var_samp(c).alias("v")
+                ).collect()[0]
+
+            ra, rb = _moments(a_spec), _moments(b_spec)
+            na, nb = int(ra["n"]), int(rb["n"])
+            ma, mb = float(ra["m"]), float(rb["m"])
+            va, vb = float(ra["v"]), float(rb["v"])
+            if ttype == "homoscedastic":
+                sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+                t = (ma - mb) / math.sqrt(sp2 * (1.0 / na + 1.0 / nb))
+                dof = float(na + nb - 2)
+            else:  # heteroscedastic: Welch's t + Welch–Satterthwaite dof
+                se2a, se2b = va / na, vb / nb
+                t = (ma - mb) / math.sqrt(se2a + se2b)
+                dof = (se2a + se2b) ** 2 / (
+                    se2a**2 / (na - 1) + se2b**2 / (nb - 1)
+                )
+        p = t_two_sided_p(t, dof)
+        return spark.createDataFrame(
+            [(na, nb, float(t), float(dof), float(p))],
+            "n_a long, n_b long, t_stat double, dof double, p_value double",
+        )
+
+    if kind in ("children", "parent"):
+        # modules/parent-join Children/ParentAggregationBuilder: both doc
+        # levels live in ONE frame (join field = doc type, parent pointer
+        # column), the reference's same-shard parent/child contract.
+        # ``children`` switches a parent-level context to the child docs,
+        # inheriting parent attributes (null on child rows → coalesced
+        # from the joined parent row) so bucket/metric sub-aggs can mix
+        # levels; ``parent`` switches child context to the DISTINCT parent
+        # docs that have a matching child.
+        jf = body.get("join_field", "join_type")
+        pf = body.get("parent_field", "parent_id")
+        child_t = body["type"]
+        key = df.columns[0]
+        children = df.where(F.col(jf) == child_t)
+        parents = df.where((F.col(jf) != child_t) | F.col(jf).isNull())
+        if kind == "parent":
+            scope = parents.join(
+                children.select(F.col(pf).alias(key)).distinct(), key, "left_semi"
+            )
+        else:
+            attrs = [c for c in df.columns if c not in (key, jf, pf)]
+            p = parents.select(
+                F.col(key).alias("__pk"),
+                *[F.col(c).alias(f"__p_{c}") for c in attrs],
+            )
+            j = children.join(p, children[pf] == F.col("__pk"), "inner")
+            scope = j.select(
+                F.col(key), F.col(jf), F.col(pf),
+                *[F.coalesce(F.col(c), F.col(f"__p_{c}")).alias(c) for c in attrs],
+            )
+        if sub:
+            out = None
+            for sname, sspec in sub.items():
+                frame = compile_agg(scope, sname, sspec)
+                out = frame if out is None else out
+            return out
+        return scope.agg(F.count("*").alias("doc_count"))
+
+    if kind == "categorize_text":
+        # CategorizeTextAggregationBuilder.java (semi-structured log
+        # grouping). Documented-subset category key: the message's token
+        # sequence with numeric-bearing tokens dropped (the reference's
+        # ml-categorization dictionary weighting reduces to this on
+        # machine-generated text where variable parts are numbers/ids).
+        f = body["field"]
+        size = body.get("size", 10)
+        min_doc = body.get("min_doc_count", 1)
+        toks = F.split(F.lower(F.col(f)), r"[^\p{L}\p{N}]+")
+        toks = F.filter(toks, lambda t: (t != "") & ~t.rlike("[0-9]"))
+        key = F.array_join(toks, " ")
+        grouped = _apply_metric_subaggs(
+            df.where(key != "").groupBy(key.alias("key")), sub
+        )
+        return (
+            grouped.where(F.col("doc_count") >= min_doc)
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(size)
+        )
+
+    if kind == "frequent_item_sets":
+        return _frequent_item_sets(df, body)
+
     if kind == "significant_terms":
         # fg = this frame (the query context), bg = background_df or fg
         f = body["field"]
@@ -862,6 +1006,104 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
             grouped = grouped.where(F.col("doc_count") >= bbody["min_doc_count"])
         return grouped.orderBy(oc, F.col("key").asc()).limit(size)
     return grouped.orderBy("key")
+
+
+def _frequent_item_sets(df: DataFrame, body: dict) -> DataFrame:
+    """frequent_item_sets agg (``x-pack/plugin/ml/.../FrequentItemSets``,
+    `FrequentItemSetsAggregationBuilder.java`): CLOSED frequent itemsets
+    over per-document transactions. Distributed apriori: level-k candidate
+    counting is a k-way self-join of the (frequent-1-item-pruned)
+    transaction table — every join keyed on the doc id, so candidates only
+    form within a document, never all-pairs across the corpus; level-k
+    candidates are semi-join-pruned by the frequent (k-1)-sets (the apriori
+    lemma). Closedness = anti-join against equal-count supersets (the
+    post-threshold set frames are tiny → broadcast nested-loop is free).
+    ``max_set_size`` (default 3) bounds the level loop — the reference's
+    eclat miner is similarly depth-bounded in practice by support decay."""
+    fields = [f["field"] if isinstance(f, dict) else f for f in body["fields"]]
+    min_sup = float(body.get("minimum_support", 0.1))
+    min_size = int(body.get("minimum_set_size", 1))
+    size = int(body.get("size", 10))
+    max_k = int(body.get("max_set_size", 3))
+    key = df.columns[0]
+
+    items = F.array(
+        *[F.concat_ws("=", F.lit(f), F.col(f).cast("string")) for f in fields]
+    )
+    tx = (
+        df.select(F.col(key).alias("__tid"), F.explode(items).alias("item"))
+        .where(~F.col("item").rlike("=$"))  # null values produce "field="
+        .distinct()
+    )
+    n_tx = df.count()
+    thr = max(1, math.ceil(min_sup * n_tx))
+
+    l1 = (
+        tx.groupBy("item").agg(F.count("*").alias("doc_count"))
+        .where(F.col("doc_count") >= thr)
+    )
+    tx1 = tx.join(l1.select("item"), "item", "left_semi")
+
+    levels: list[DataFrame] = [
+        l1.select(F.array("item").alias("items"), "doc_count", F.lit(1).alias("set_size"))
+    ]
+    # per-doc frequent-item sets as candidate base for level joins
+    prev_occ = tx1.select("__tid", F.array("item").alias("items"))
+    prev_sets = levels[0].select("items")
+    for k in range(2, max_k + 1):
+        grown = (
+            prev_occ.alias("a")
+            .join(tx1.alias("b"), "__tid")
+            .where(F.element_at(F.col("a.items"), -1) < F.col("b.item"))
+            .select(
+                "__tid", F.concat(F.col("a.items"), F.array(F.col("b.item"))).alias("items")
+            )
+        )
+        # apriori prune: the (k-1)-prefix-dropping subset must be frequent —
+        # checking the suffix (k-1)-set (items[1:]) against the previous level
+        grown = grown.join(
+            prev_sets.select(F.col("items").alias("__sub")),
+            F.slice(F.col("items"), 2, k - 1) == F.col("__sub"),
+            "left_semi",
+        ) if k > 2 else grown
+        lk = (
+            grown.groupBy("items").agg(F.count("*").alias("doc_count"))
+            .where(F.col("doc_count") >= thr)
+        )
+        if lk.limit(1).count() == 0:
+            break
+        levels.append(lk.select("items", "doc_count", F.lit(k).alias("set_size")))
+        prev_occ = grown.join(lk.select("items"), "items", "left_semi")
+        prev_sets = lk.select("items")
+
+    # closedness: drop any set having an equal-count strict superset one
+    # level up (transitively sufficient level-by-level)
+    closed = [levels[-1]]
+    for k in range(len(levels) - 2, -1, -1):
+        sup = levels[k + 1].select(
+            F.col("items").alias("__sup_items"), F.col("doc_count").alias("__sup_dc")
+        )
+        kept = levels[k].alias("s").join(
+            sup,
+            (F.size(F.array_except(F.col("s.items"), F.col("__sup_items"))) == 0)
+            & (F.col("s.doc_count") == F.col("__sup_dc")),
+            "left_anti",
+        )
+        closed.append(kept)
+    out = closed[0]
+    for fr in closed[1:]:
+        out = out.unionByName(fr)
+    return (
+        out.where(F.col("set_size") >= min_size)
+        .select(
+            F.array_join("items", ",").alias("key"),
+            "set_size",
+            "doc_count",
+            (F.col("doc_count") / F.lit(float(n_tx))).alias("support"),
+        )
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )
 
 
 def apply_pipeline(buckets: DataFrame, name: str, spec: dict) -> DataFrame:

@@ -937,6 +937,45 @@ class DisMaxQ(Node):
 
 
 @dataclass
+class PinnedQ(Node):
+    """pinned query (``x-pack/plugin/search-business-rules/.../
+    PinnedQueryBuilder.java``): the listed ids rank first, in list order,
+    above every organic hit. The reference scores pin i as
+    MAX_ORGANIC_SCORE + (n - i); here organic scores are capped below the
+    pin floor the same way (pins descend from PIN_BASE, organic is left
+    untouched — BM25 scores are far below the base)."""
+
+    ids: list = field(default_factory=list)
+    organic: Node = None
+
+    PIN_BASE = 1.0e12  # far above any BM25/function score
+
+    def frame(self, ctx):
+        organic = self.organic.frame(ctx)
+        id_col = F.col(ctx.key)
+        pin_rank = F.array_position(
+            F.lit([str(i) for i in self.ids]), id_col.cast("string")
+        )
+        pinned = (
+            ctx.df.where(pin_rank > 0)
+            .select(
+                id_col.alias("__key"),
+                (F.lit(self.PIN_BASE) + F.lit(float(len(self.ids))) - pin_rank.cast("double")).alias("_score"),
+            )
+        )
+        rest = organic.join(
+            pinned.select("__key"), "__key", "left_anti"
+        ).where(F.col("_score") < self.PIN_BASE)
+        return pinned.unionByName(rest)
+
+    def predicate(self, ctx):
+        id_col = F.col(ctx.key)
+        return id_col.cast("string").isin([str(i) for i in self.ids]) | F.coalesce(
+            self.organic.predicate(ctx), F.lit(False)
+        )
+
+
+@dataclass
 class ConstantScoreQ(Node):
     filter_q: Node = None
     boost: float = 1.0
@@ -1244,6 +1283,8 @@ def parse(q: dict) -> Node:
         )
     if kind == "constant_score":
         return ConstantScoreQ(filter_q=parse(body["filter"]), boost=body.get("boost", 1.0))
+    if kind == "pinned":
+        return PinnedQ(ids=list(body.get("ids", [])), organic=parse(body["organic"]))
     if kind == "boosting":
         return BoostingQ(
             positive=parse(body["positive"]), negative=parse(body["negative"]),

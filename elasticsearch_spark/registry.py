@@ -533,6 +533,150 @@ def a_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t_test agg (x-pack analytics TTestAggregationBuilder): Welch's
+    unpaired heteroscedastic t between returned (R) and non-returned (N)
+    lineitem extended prices — per-side moments in one distributed pass,
+    t statistic + Welch–Satterthwaite dof reduced coordinator-side
+    (p-value via functions/stats.py, excluded here: no SQL analog)."""
+    from .plans.aggs import aggregate
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = aggregate(li, {"tt": {"t_test": {
+        "a": {"field": "l_extendedprice", "filter": {"term": {"l_returnflag": "R"}}},
+        "b": {"field": "l_extendedprice", "filter": {"term": {"l_returnflag": "N"}}},
+        "type": "heteroscedastic"}}})["tt"]
+    return out.select(
+        "n_a", "n_b", F.round("t_stat", 6).alias("t_stat"), F.round("dof", 4).alias("dof")
+    )
+
+
+def a_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """categorize_text agg (CategorizeTextAggregationBuilder): log-style
+    messages grouped by their digit-free token pattern."""
+    from .plans.aggs import aggregate
+
+    msgs = _events(spark, sf_dir).select(
+        "event_id",
+        F.concat(
+            F.lit("event "), F.col("event_type"), F.lit(" user "),
+            F.col("user_id").cast("string"), F.lit(" took "),
+            F.col("value").cast("string"), F.lit(" ms"),
+        ).alias("msg"),
+    )
+    return aggregate(msgs, {"cat": {"categorize_text": {"field": "msg", "size": 6}}})["cat"]
+
+
+def a_geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_line metric agg (x-pack spatial GeoLineAggregationBuilder)
+    under a terms bucket: per user, the ts-ordered track of (lon, lat)
+    points — one collect_list aggregate per group, sort/slice applied to
+    the aggregated array. Exploded to (user, seq, lon, lat) rows for the
+    oracle compare."""
+    from .plans.aggs import aggregate
+
+    pts = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id") < 5)
+        .select(
+            "user_id", "ts", "event_id",
+            (F.col("value") % 360 - 180).alias("lon"),
+            (F.col("value") % 170 - 85).alias("lat"),
+        )
+    )
+    lines = aggregate(pts, {"l": {
+        "terms": {"field": "user_id", "size": 5, "order": {"_key": "asc"}},
+        "aggs": {"line": {"geo_line": {
+            "lon_field": "lon", "lat_field": "lat",
+            "sort": {"field": "event_id"}, "size": 8}}},
+    }})["l"]
+    return lines.select(
+        F.col("key").alias("user_id"),
+        F.posexplode("line").alias("seq", "pt"),
+    ).select(
+        "user_id", "seq",
+        F.round(F.col("pt")[0], 4).alias("lon"),
+        F.round(F.col("pt")[1], 4).alias("lat"),
+    ).orderBy("user_id", "seq")
+
+
+def a_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frequent_item_sets agg (x-pack ml FrequentItemSetsAggregationBuilder):
+    closed frequent (status, priority) pairs over order transactions —
+    doc-id-keyed apriori joins, never all-pairs across the corpus."""
+    from .plans.aggs import aggregate
+
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    out = aggregate(ords, {"fis": {"frequent_item_sets": {
+        "fields": ["o_orderstatus", "o_orderpriority"],
+        "minimum_support": 0.02, "minimum_set_size": 2, "size": 10}}})["fis"]
+    return out.select("key", "set_size", "doc_count", F.round("support", 6).alias("support"))
+
+
+def _parent_join_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders (parent) + lineitem (child) as ONE join-field frame — the
+    modules/parent-join same-shard layout used by has_child and the
+    children/parent aggs."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fam_o = orders.select(
+        F.col("o_orderkey").alias("id"), F.lit("order").alias("join_type"),
+        F.lit(None).cast("long").alias("parent_id"),
+        F.col("o_orderpriority"), F.lit(None).cast("double").alias("l_quantity"),
+    )
+    fam_l = li.select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("id"),
+        F.lit("line").alias("join_type"), F.col("l_orderkey").alias("parent_id"),
+        F.lit(None).cast("string").alias("o_orderpriority"), F.col("l_quantity"),
+    )
+    return fam_o.unionByName(fam_l)
+
+
+def a_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """children agg (modules/parent-join ChildrenAggregationBuilder):
+    switch parent context to child docs with inherited parent attributes,
+    then terms on the parent's priority × avg child quantity."""
+    from .plans.aggs import aggregate
+
+    fam = _parent_join_family(spark, sf_dir)
+    out = aggregate(fam, {"c": {"children": {"type": "line"}, "aggs": {
+        "pri": {"terms": {"field": "o_orderpriority", "size": 5},
+                "aggs": {"avg_qty": {"avg": {"field": "l_quantity"}}}}}}})["c"]
+    return out.select("key", "doc_count", F.round("avg_qty", 6).alias("avg_qty"))
+
+
+def a_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parent agg (ParentAggregationBuilder): child context → the DISTINCT
+    parent docs having a matching child."""
+    from .plans.aggs import aggregate
+
+    fam = _parent_join_family(spark, sf_dir)
+    return aggregate(fam, {"p": {"parent": {"type": "line"}}})["p"]
+
+
+def dsl_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pinned query (x-pack search-business-rules PinnedQueryBuilder):
+    listed part ids first in list order, then organic constant_score
+    hits."""
+    from .plans import dsl
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    node = dsl.parse({"pinned": {
+        "ids": [42, 7, 199],
+        "organic": {"constant_score": {
+            "filter": {"range": {"p_retailprice": {"gte": 998.5}}}, "boost": 1.5}},
+    }})
+    ctx = dsl.SearchContext(part, "p_partkey")
+    return (
+        node.frame(ctx)
+        .select(F.col("__key").alias("p_partkey"), F.round("_score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("p_partkey"))
+        .limit(20)
+    )
+
+
 def a_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (the transform/continuous-pivot style operator a
     training-data pipeline needs): per user, events split into sessions at
@@ -2434,6 +2578,66 @@ SELECT day, round(sv, 4) AS sv,
        round(quantile_cont(sv, 0.5) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mp_50
 FROM b ORDER BY day
 """,
+    "agg_t_test": """
+WITH a AS (SELECT count(*) AS n, avg(l_extendedprice) AS m, var_samp(l_extendedprice) AS v
+           FROM lineitem WHERE l_returnflag = 'R'),
+     b AS (SELECT count(*) AS n, avg(l_extendedprice) AS m, var_samp(l_extendedprice) AS v
+           FROM lineitem WHERE l_returnflag = 'N')
+SELECT a.n::BIGINT AS n_a, b.n::BIGINT AS n_b,
+       round((a.m - b.m) / sqrt(a.v/a.n + b.v/b.n), 6) AS t_stat,
+       round(pow(a.v/a.n + b.v/b.n, 2)
+             / (pow(a.v/a.n, 2)/(a.n-1) + pow(b.v/b.n, 2)/(b.n-1)), 4) AS dof
+FROM a, b
+""",
+    "agg_categorize_text": """
+SELECT ('event ' || event_type || ' user took ms') AS key,
+       count(*)::BIGINT AS doc_count
+FROM events GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 6
+""",
+    "agg_geo_line": """
+WITH p AS (
+  SELECT user_id, value % 360 - 180 AS lon, value % 170 - 85 AS lat,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS seq
+  FROM events WHERE user_id < 5)
+SELECT user_id, seq::INT AS seq, round(lon, 4) AS lon, round(lat, 4) AS lat
+FROM p WHERE seq < 8 ORDER BY user_id, seq
+""",
+    "agg_frequent_item_sets": """
+WITH tx AS (
+  SELECT o_orderkey AS tid, 'o_orderstatus=' || o_orderstatus AS item FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'o_orderpriority=' || o_orderpriority FROM orders
+), n AS (SELECT count(*) AS c FROM orders),
+l1 AS (SELECT item FROM tx GROUP BY 1
+       HAVING count(*) >= ceil(0.02 * (SELECT c FROM n))),
+pairs AS (
+  SELECT a.item AS i1, b.item AS i2, count(*) AS dc
+  FROM tx a JOIN tx b ON a.tid = b.tid AND a.item < b.item
+  WHERE a.item IN (SELECT item FROM l1) AND b.item IN (SELECT item FROM l1)
+  GROUP BY 1, 2 HAVING count(*) >= ceil(0.02 * (SELECT c FROM n)))
+SELECT i1 || ',' || i2 AS key, 2::INT AS set_size, dc::BIGINT AS doc_count,
+       round(dc / (SELECT c FROM n)::DOUBLE, 6) AS support
+FROM pairs ORDER BY doc_count DESC, key LIMIT 10
+""",
+    "agg_children": """
+SELECT o_orderpriority AS key, count(*)::BIGINT AS doc_count,
+       round(avg(l_quantity), 6) AS avg_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 5
+""",
+    "agg_parent": """
+SELECT count(DISTINCT o_orderkey)::BIGINT AS doc_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+""",
+    "dsl_pinned": """
+WITH pin(pk, rk) AS (VALUES (42, 1), (7, 2), (199, 3)),
+live AS (SELECT pk, rk FROM pin JOIN part ON pk = p_partkey),
+org AS (SELECT p_partkey, 1.5 AS score FROM part
+        WHERE p_retailprice >= 998.5 AND p_partkey NOT IN (SELECT pk FROM live))
+SELECT pk AS p_partkey, round(1e12 + 3 - rk, 4) AS score FROM live
+UNION ALL SELECT p_partkey, score FROM org
+ORDER BY score DESC, p_partkey LIMIT 20
+""",
 }
 
 
@@ -2467,6 +2671,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_range": a_range,
     "agg_top_metrics": a_top_metrics,
     "agg_rate": a_rate,
+    "agg_t_test": a_t_test,
+    "agg_categorize_text": a_categorize_text,
+    "agg_geo_line": a_geo_line,
+    "agg_frequent_item_sets": a_frequent_item_sets,
+    "agg_children": a_children,
+    "agg_parent": a_parent,
+    "dsl_pinned": dsl_pinned,
     "agg_sessionize": a_sessionize,
     "agg_pipeline_cumsum": a_pipeline_cumsum,
     "agg_significant_terms": a_significant_terms,

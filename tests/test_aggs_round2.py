@@ -1,0 +1,256 @@
+"""Round-2 agg/query surface: t_test, children/parent, categorize_text,
+geo_line, frequent_item_sets, pinned query, phonetic token filter."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.plans.aggs import aggregate
+
+
+# ---------------------------------------------------------------------------
+# t_test
+# ---------------------------------------------------------------------------
+
+def _welch(a, b):
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    t = (ma - mb) / math.sqrt(va / na + vb / nb)
+    dof = (va / na + vb / nb) ** 2 / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+    )
+    return t, dof
+
+
+def test_t_test_heteroscedastic(spark):
+    a = [3.1, 2.9, 3.4, 3.0, 3.3, 2.8, 3.2]
+    b = [2.5, 2.7, 2.2, 2.6, 2.4, 2.8]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = aggregate(df, {"tt": {"t_test": {
+        "a": {"field": "v", "filter": {"term": {"grp": "a"}}},
+        "b": {"field": "v", "filter": {"term": {"grp": "b"}}},
+        "type": "heteroscedastic"}}})["tt"].collect()[0]
+    t, dof = _welch(a, b)
+    assert out["n_a"] == len(a) and out["n_b"] == len(b)
+    assert abs(out["t_stat"] - t) < 1e-10
+    assert abs(out["dof"] - dof) < 1e-9
+    assert 0.0 < out["p_value"] < 0.001  # clearly separated means
+
+
+def test_t_test_paired_and_pooled(spark):
+    pairs = [(3.0, 2.4), (3.2, 2.6), (2.9, 2.5), (3.4, 2.7), (3.1, 2.9)]
+    df = spark.createDataFrame(pairs, "x double, y double")
+    out = aggregate(df, {"tt": {"t_test": {
+        "a": {"field": "x"}, "b": {"field": "y"}, "type": "paired"}}})["tt"].collect()[0]
+    d = [x - y for x, y in pairs]
+    md = sum(d) / len(d)
+    vd = sum((v - md) ** 2 for v in d) / (len(d) - 1)
+    t = md / math.sqrt(vd / len(d))
+    assert abs(out["t_stat"] - t) < 1e-10
+    assert out["dof"] == len(d) - 1
+
+    out2 = aggregate(df.selectExpr("x as v", "'a' as grp").union(
+        df.selectExpr("y as v", "'b' as grp")
+    ), {"tt": {"t_test": {
+        "a": {"field": "v", "filter": {"term": {"grp": "a"}}},
+        "b": {"field": "v", "filter": {"term": {"grp": "b"}}},
+        "type": "homoscedastic"}}})["tt"].collect()[0]
+    assert out2["dof"] == 2 * len(pairs) - 2
+
+
+def test_t_p_value_reference_points():
+    # hand-checked Student-t tail values (standard tables)
+    from elasticsearch_spark.functions.stats import t_two_sided_p
+
+    assert abs(t_two_sided_p(2.086, 20) - 0.05) < 2e-3   # t_{0.975,20} ≈ 2.086
+    assert abs(t_two_sided_p(1.96, 1e6) - 0.05) < 1e-3   # → normal limit
+    assert abs(t_two_sided_p(0.0, 5) - 1.0) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# children / parent
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def family(spark):
+    rows = [
+        # (id, join_type, parent_id, color, qty)
+        (1, "order", None, "red", None),
+        (2, "order", None, "blue", None),
+        (3, "order", None, "red", None),
+        (101, "line", 1, None, 10.0),
+        (102, "line", 1, None, 20.0),
+        (201, "line", 2, None, 30.0),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, join_type string, parent_id long, color string, qty double"
+    )
+
+
+def test_children_agg_inherits_parent_attrs(family):
+    out = aggregate(family, {"c": {"children": {"type": "line"}, "aggs": {
+        "by_color": {"terms": {"field": "color", "size": 10},
+                     "aggs": {"aq": {"avg": {"field": "qty"}}}}}}})["c"].collect()
+    got = {r["key"]: (r["doc_count"], r["aq"]) for r in out}
+    assert got == {"red": (2, 15.0), "blue": (1, 30.0)}
+
+
+def test_parent_agg_distinct_parents(family):
+    out = aggregate(family, {"p": {"parent": {"type": "line"}}})["p"].collect()
+    assert out[0]["doc_count"] == 2  # order 3 has no children
+
+
+# ---------------------------------------------------------------------------
+# categorize_text
+# ---------------------------------------------------------------------------
+
+def test_categorize_text_groups_by_digitless_pattern(spark):
+    msgs = [
+        "Connection refused to host 10.0.0.1 port 8080",
+        "Connection refused to host 10.0.0.2 port 9090",
+        "Connection refused to host db7 port 5432",
+        "User 4312 logged in",
+        "User 99 logged in",
+        "startup complete",
+    ]
+    df = spark.createDataFrame([(i, m) for i, m in enumerate(msgs)], "id long, msg string")
+    out = aggregate(df, {"cat": {"categorize_text": {"field": "msg", "size": 10}}})["cat"].collect()
+    got = {r["key"]: r["doc_count"] for r in out}
+    assert got["connection refused to host port"] == 3
+    assert got["user logged in"] == 2
+    assert got["startup complete"] == 1
+
+
+# ---------------------------------------------------------------------------
+# geo_line
+# ---------------------------------------------------------------------------
+
+def test_geo_line_orders_by_sort_field_and_truncates(spark):
+    rows = [
+        ("t1", 3, 30.0, 3.0), ("t1", 1, 10.0, 1.0), ("t1", 2, 20.0, 2.0),
+        ("t2", 1, -5.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "track string, ts int, lon double, lat double")
+    out = aggregate(df, {"l": {
+        "terms": {"field": "track", "size": 10, "order": {"_key": "asc"}},
+        "aggs": {"line": {"geo_line": {
+            "lon_field": "lon", "lat_field": "lat", "sort": {"field": "ts"}}}},
+    }})["l"].collect()
+    by = {r["key"]: r["line"] for r in out}
+    assert by["t1"] == [[10.0, 1.0], [20.0, 2.0], [30.0, 3.0]]
+    assert by["t2"] == [[-5.0, 5.0]]
+
+    trunc = aggregate(df.where(F.col("track") == "t1"), {"l": {"geo_line": {
+        "lon_field": "lon", "lat_field": "lat", "sort": {"field": "ts"},
+        "size": 2, "sort_order": "desc"}}})["l"].collect()[0]["l"]
+    assert trunc == [[30.0, 3.0], [20.0, 2.0]]
+
+
+# ---------------------------------------------------------------------------
+# frequent_item_sets
+# ---------------------------------------------------------------------------
+
+def test_frequent_item_sets_closed_sets_and_triples(spark):
+    # a,b always co-occur (so {a} and {b} are NOT closed; {a,b} is);
+    # c appears alone once as well (so {c} IS closed).
+    tx = [
+        (1, "a", "b", "c"), (2, "a", "b", "c"), (3, "a", "b", "c"),
+        (4, "a", "b", None), (5, None, None, "c"),
+    ]
+    df = spark.createDataFrame(tx, "id long, f1 string, f2 string, f3 string")
+    out = aggregate(df, {"fis": {"frequent_item_sets": {
+        "fields": ["f1", "f2", "f3"], "minimum_support": 0.2,
+        "minimum_set_size": 1, "size": 20}}})["fis"].collect()
+    got = {r["key"]: (r["set_size"], r["doc_count"]) for r in out}
+    # closed sets only
+    assert "f1=a" not in got and "f2=b" not in got      # absorbed by {a,b}
+    assert got["f1=a,f2=b"] == (2, 4)
+    assert got["f3=c"] == (1, 4)                          # c alone in tx 5
+    assert got["f1=a,f2=b,f3=c"] == (3, 3)                # triple level works
+    # {a,c} and {b,c} (count 3) are absorbed by the equal-count triple
+    assert "f1=a,f3=c" not in got and "f2=b,f3=c" not in got
+
+
+def test_frequent_item_sets_support_threshold(spark):
+    tx = [(1, "x"), (2, "x"), (3, "x"), (4, "y")]
+    df = spark.createDataFrame(tx, "id long, f string")
+    out = aggregate(df, {"fis": {"frequent_item_sets": {
+        "fields": ["f"], "minimum_support": 0.5, "size": 10}}})["fis"].collect()
+    assert [r["key"] for r in out] == ["f=x"]
+    assert abs(out[0]["support"] - 0.75) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# pinned query
+# ---------------------------------------------------------------------------
+
+def test_pinned_query_order_and_organic(spark):
+    from elasticsearch_spark.plans import dsl
+
+    df = spark.createDataFrame(
+        [(i, 100.0 + i) for i in range(1, 8)], "id long, price double"
+    )
+    node = dsl.parse({"pinned": {
+        "ids": [5, 2, 999],  # 999 doesn't exist → skipped
+        "organic": {"constant_score": {
+            "filter": {"range": {"price": {"gte": 105.0}}}, "boost": 2.0}},
+    }})
+    ctx = dsl.SearchContext(df, "id")
+    rows = node.frame(ctx).orderBy(F.desc("_score"), F.asc("__key")).collect()
+    ids = [r["__key"] for r in rows]
+    assert ids[:2] == [5, 2]                       # pins first, list order
+    assert set(ids[2:]) == {6, 7}                  # organic minus pinned-5
+    assert rows[0]["_score"] > rows[1]["_score"] > rows[2]["_score"]
+    # predicate form: pins OR organic
+    assert df.where(node.predicate(ctx)).count() == 4  # {5,2} ∪ {5,6,7}
+
+
+# ---------------------------------------------------------------------------
+# phonetic token filter
+# ---------------------------------------------------------------------------
+
+def test_soundex_published_values():
+    from elasticsearch_spark.functions.analysis import _soundex
+
+    # the canonical published Soundex examples
+    for w, code in [
+        ("Robert", "R163"), ("Rupert", "R163"), ("Ashcraft", "A261"),
+        ("Ashcroft", "A261"), ("Tymczak", "T522"), ("Pfister", "P236"),
+        ("Honeyman", "H555"), ("Jackson", "J250"),
+    ]:
+        assert _soundex(w) == code, w
+
+
+def test_metaphone_examples():
+    from elasticsearch_spark.functions.analysis import _metaphone
+
+    for w, code in [
+        ("metaphone", "MTFN"), ("Knight", "NT"), ("Philip", "FLP"),
+        ("science", "SNS"), ("school", "SKL"), ("phone", "FN"),
+        ("Wright", "RT"), ("Xavier", "SFR"), ("quick", "KK"),
+    ]:
+        assert _metaphone(w) == code, (w, _metaphone(w))
+
+
+def test_phonetic_filter_modes(spark):
+    from elasticsearch_spark.functions.analysis import _filter_phonetic
+
+    assert _filter_phonetic(["smith", "smyth"], encoder="soundex") == ["S530", "S530"]
+    # inject mode keeps originals
+    assert _filter_phonetic(["smith"], encoder="metaphone", replace=False) == ["smith", "SM0"]
+
+
+def test_phonetic_analyzer_end_to_end(spark):
+    from elasticsearch_spark.functions import analysis
+
+    analysis.register_analyzer(
+        "sounds", tokenizer="standard",
+        filters=[{"type": "phonetic", "encoder": "soundex"}],
+    )
+    assert analysis.analyze("Smith Smyth", "sounds") == ["S530", "S530"]
