@@ -33,6 +33,8 @@ native Spark expression; no Python UDFs in this path).
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -58,12 +60,24 @@ class SearchContext:
     key: str
     text_col: str = "text"
     analyzer_regex: str = "[a-z0-9]+"
+    # shingle > 1 = a search_as_you_type shingle subfield view over
+    # text_col (SearchAsYouTypeFieldMapper.java's _2gram/_3gram): tokens
+    # become space-joined n-grams of the base token stream
+    shingle: int = 1
     _tf: DataFrame | None = field(default=None, repr=False)
     _dl: DataFrame | None = field(default=None, repr=False)
     _coll: DataFrame | None = field(default=None, repr=False)
 
     def toks_col(self) -> Column:
-        return F.expr(f"regexp_extract_all(lower({self.text_col}), '{self.analyzer_regex}', 0)")
+        b = f"regexp_extract_all(lower({self.text_col}), '{self.analyzer_regex}', 0)"
+        if self.shingle <= 1:
+            return F.expr(b)
+        n = self.shingle
+        return F.expr(
+            f"CASE WHEN size({b}) < {n} THEN array() "
+            f"ELSE transform(sequence(1, size({b}) - {n - 1}), "
+            f"i -> concat_ws(' ', slice({b}, i, {n}))) END"
+        )
 
     def tf(self) -> DataFrame:
         if self._tf is None:
@@ -91,7 +105,11 @@ class SearchContext:
     def analyze(self, text: str) -> list[str]:
         import re
 
-        return re.findall(self.analyzer_regex, text.lower())
+        toks = re.findall(self.analyzer_regex, text.lower())
+        if self.shingle > 1:
+            n = self.shingle
+            return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        return toks
 
 
 def _bm25_frame(ctx: SearchContext, terms: list[str], boost: float = 1.0) -> DataFrame:
@@ -394,11 +412,29 @@ class MultiMatchQ(Node):
     def frame(self, ctx):
         if self.mm_type == "cross_fields":
             return self._cross_fields_frame(ctx)
+        # phrase / phrase_prefix / bool_prefix delegate to the per-field
+        # node family (MultiMatchQueryBuilder.java type switch); phrase
+        # kinds combine best-field (dis_max), bool_prefix combines by sum
+        # (the search_as_you_type query shape over field + its shingle
+        # subfields).
+        node_cls = {
+            "phrase": MatchPhraseQ,
+            "phrase_prefix": MatchPhrasePrefixQ,
+            "bool_prefix": MatchBoolPrefixQ,
+        }.get(self.mm_type, MatchQ)
         frames = []
         for f_ in self.flds:
-            sub = SearchContext(ctx.df, ctx.key, text_col=f_, analyzer_regex=ctx.analyzer_regex)
-            frames.append(MatchQ(f_, self.query, boost=self.boost).frame(sub))
-        if self.mm_type == "most_fields":
+            # `title._2gram` / `title._3gram` = search_as_you_type shingle
+            # subfields over the base column (derived at query time — same
+            # semantics as the mapper's materialized subfields)
+            m = re.match(r"^(.*)\._(\d+)gram$", f_)
+            base, sh = (m.group(1), int(m.group(2))) if m else (f_, 1)
+            sub = SearchContext(
+                ctx.df, ctx.key, text_col=base,
+                analyzer_regex=ctx.analyzer_regex, shingle=sh,
+            )
+            frames.append(node_cls(f_, self.query, boost=self.boost).frame(sub))
+        if self.mm_type in ("most_fields", "bool_prefix"):
             return _sum_frames(frames, min_should=1).select(
                 "__key", F.col("_s_should").alias("_score")
             )

@@ -254,3 +254,62 @@ def test_phonetic_analyzer_end_to_end(spark):
         filters=[{"type": "phonetic", "encoder": "soundex"}],
     )
     assert analysis.analyze("Smith Smyth", "sounds") == ["S530", "S530"]
+
+
+# ---------------------------------------------------------------------------
+# multi_match phrase / phrase_prefix / bool_prefix + search_as_you_type
+# ---------------------------------------------------------------------------
+
+def test_multi_match_bool_prefix_shingle_subfields(spark):
+    from elasticsearch_spark.plans import dsl
+
+    docs = [
+        (1, "quick brown fox jumps"),
+        (2, "brown quick dog"),
+        (3, "quick brownie recipe"),
+        (4, "nothing relevant here"),
+    ]
+    df = spark.createDataFrame(docs, "id long, title string")
+    # search_as_you_type query shape: bool_prefix over base + shingle subfields
+    node = dsl.parse({"multi_match": {
+        "query": "quick brown fo",
+        "type": "bool_prefix",
+        "fields": ["title", "title._2gram", "title._3gram"],
+    }})
+    ctx = dsl.SearchContext(df, "id", text_col="title")
+    rows = {r["__key"]: r["_score"] for r in node.frame(ctx).collect()}
+    # doc 1 matches the base terms AND the 2gram "quick brown" AND the
+    # 3gram prefix "quick brown fo..." -> highest score
+    assert max(rows, key=rows.get) == 1
+    assert 4 not in rows
+    # doc 3 ("quick brownie") matches base quick + prefix bro... on 2gram
+    assert 3 in rows and rows[1] > rows[3]
+
+
+def test_shingle_context_tokens(spark):
+    from elasticsearch_spark.plans.dsl import SearchContext
+
+    df = spark.createDataFrame([(1, "a b c d")], "id long, title string")
+    ctx2 = SearchContext(df, "id", text_col="title", shingle=2)
+    toks = df.select(ctx2.toks_col().alias("t")).collect()[0]["t"]
+    assert toks == ["a b", "b c", "c d"]
+    assert ctx2.analyze("a b c") == ["a b", "b c"]
+    # shorter than the shingle size -> empty
+    ctx3 = SearchContext(df, "id", text_col="title", shingle=5)
+    assert df.select(ctx3.toks_col().alias("t")).collect()[0]["t"] == []
+
+
+def test_multi_match_phrase_types(spark):
+    from elasticsearch_spark.plans import dsl
+
+    df = spark.createDataFrame(
+        [(1, "big data engine", "x"), (2, "data big engine", "big data here")],
+        "id long, a string, b string",
+    )
+    ph = dsl.parse({"multi_match": {"query": "big data", "type": "phrase",
+                                    "fields": ["a", "b"]}})
+    ctx = dsl.SearchContext(df, "id", text_col="a")
+    assert {r["__key"] for r in ph.frame(ctx).collect()} == {1, 2}
+    pp = dsl.parse({"multi_match": {"query": "big dat", "type": "phrase_prefix",
+                                    "fields": ["a", "b"]}})
+    assert {r["__key"] for r in pp.frame(ctx).collect()} == {1, 2}
