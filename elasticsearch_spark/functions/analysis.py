@@ -161,7 +161,28 @@ def standard_tokenize(text: str) -> list[str]:
     low = text.lower()
     # isascii() is a free C check that skips the (comparatively slow)
     # mark-class scan for the dominant ASCII case
-    if low.isascii() or not _HAS_MARK.search(low):
+    if low.isascii():
+        # ASCII fast path, exactly equivalent to TOKEN_RE_NOMARK: coarse
+        # translate+split keeps word chars AND the ASCII MidLetter/MidNum
+        # joiners (' . : ,); per coarse token, edge punctuation is
+        # stripped (matches can't start/end with a joiner) and the
+        # C-speed isalnum() test accepts the overwhelming pure-alnum
+        # case; only tokens with interior joiners/underscore mixtures
+        # (rare in prose) fall back to the regex on the short fragment.
+        out0: list[str] = []
+        for t in low.translate(_ASCII_COARSE_TO_SPACE).split():
+            t2 = t.strip(_ASCII_EDGE_PUNCT)
+            if not t2:
+                continue
+            if t2.isalnum():
+                out0.append(t2)
+            elif _ASCII_JOINERS.isdisjoint(t2):
+                if t2.strip("_"):  # at least one alnum required
+                    out0.append(t2)
+            else:
+                out0.extend(TOKEN_RE_NOMARK.findall(t2))
+        toks = out0
+    elif not _HAS_MARK.search(low):
         toks = TOKEN_RE_NOMARK.findall(low)
     else:
         toks = TOKEN_RE.findall(low)
@@ -173,6 +194,16 @@ def standard_tokenize(text: str) -> list[str]:
             return out
     return toks
 
+
+# ASCII fast-path tables (input already lowercased, so A-Z cannot appear):
+# keep word chars and the ASCII subset of the UAX#29 MidLetter/MidNumLet/
+# MidNum joiners (_ML/_MN above); everything else is a definite break
+_ASCII_EDGE_PUNCT = "'.:,"
+_ASCII_JOINERS = frozenset(_ASCII_EDGE_PUNCT)
+_ASCII_COARSE_TO_SPACE = {
+    i: " " for i in range(128)
+    if chr(i) not in "abcdefghijklmnopqrstuvwxyz0123456789_'.:,"
+}
 
 _SIMPLE_RE = re.compile(r"[a-z0-9]+")
 
