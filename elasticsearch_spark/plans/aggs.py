@@ -825,10 +825,20 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
                 *[F.coalesce(F.col(c), F.col(f"__p_{c}")).alias(c) for c in attrs],
             )
         if sub:
-            out = None
-            for sname, sspec in sub.items():
-                frame = compile_agg(scope, sname, sspec)
-                out = frame if out is None else out
+            frames = [compile_agg(scope, sname, sspec) for sname, sspec in sub.items()]
+            out = frames[0]
+            for fr in frames[1:]:
+                # combine sibling sub-aggs: bucketed frames share the
+                # bucket key, global metrics are single-row (cross join)
+                if "key" in out.columns and "key" in fr.columns:
+                    out = out.join(fr, "key", "outer")
+                elif "key" not in out.columns and "key" not in fr.columns:
+                    out = out.crossJoin(fr)
+                else:
+                    raise ValueError(
+                        f"{kind} agg: mixed bucket/metric sibling sub-aggs "
+                        "are not combinable into one frame"
+                    )
             return out
         return scope.agg(F.count("*").alias("doc_count"))
 
