@@ -36,8 +36,12 @@ def percolate(
     key: str = "doc_id",
     text_col: str = "text",
     chunk_size: int = 200,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(query_id, doc key) pairs for every stored query matching each doc.
+    """(query_id, doc key [, keep_cols...]) pairs for every stored query
+    matching each doc. ``keep_cols`` ride through the projection (needed
+    by streaming callers, where a post-hoc join back to the stream would
+    be a stream-stream join).
 
     stored_queries: [(query_id, query_dict)] or a DataFrame(query_id,
     query_json) — the stored-query side is small by design (alerting
@@ -62,12 +66,15 @@ def percolate(
             F.when(F.coalesce(dsl.parse(q).predicate(ctx), F.lit(False)), F.lit(qid))
             for qid, q in chunk
         ]))
+        extra = [F.col(c) for c in (keep_cols or [])]
         part = (
-            docs.select(F.col(key), hit_ids.alias("__qids"))
+            docs.select(F.col(key), *extra, hit_ids.alias("__qids"))
             .where(F.size("__qids") > 0)
-            .select(F.explode("__qids").alias("query_id"), F.col(key))
+            .select(F.explode("__qids").alias("query_id"), F.col(key), *extra)
         )
         out = part if out is None else out.unionByName(part)
     if out is None:
-        return docs.limit(0).select(F.lit("").alias("query_id"), F.col(key))
+        return docs.limit(0).select(
+            F.lit("").alias("query_id"), F.col(key), *[F.col(c) for c in (keep_cols or [])]
+        )
     return out
