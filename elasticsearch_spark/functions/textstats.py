@@ -118,6 +118,77 @@ def rolling_fingerprint(text_col: str, window: int = 8) -> Column:
     return F.array_min(sh).alias("fingerprint")
 
 
+# PII patterns: restricted to syntax that behaves identically under Java
+# regex (Spark) and RE2 (DuckDB oracle) — no lookaround, no backrefs.
+# Redaction order matters: SSN before phone (the loose phone pattern would
+# otherwise eat SSNs partially), email before ipv4 (domains with digits).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d().-]{7,14}\d", "<PHONE>"),
+]
+
+
+def pii_signals(text_col: str) -> list[Column]:
+    """Per-category PII match counts (email / SSN-shaped / IPv4 / intl
+    phone) as native regexp_extract_all sizes — one codegen'd scan, the
+    detection half of a training-data scrubbing pass."""
+    return [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def redact_pii(text_col: str) -> Column:
+    """Redacted text: each PII category replaced by its placeholder, in
+    dependency order. Chained native regexp_replace — no UDF."""
+    col = F.col(text_col)
+    for _, pat, tag in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, tag)
+    return col.alias("redacted")
+
+
+def repetition_signals(text_col: str, max_tokens: int = 2000) -> list[Column]:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+
+    - ``dup_line_frac``: 1 − distinct/total over non-empty lines,
+    - ``dup_line_char_frac``: fraction of line characters living in lines
+      that occur more than once,
+    - ``top_bigram_frac``: fraction of token bigrams taken by the single
+      most frequent bigram (tokens capped at ``max_tokens`` so the
+      distinct×n lambda work stays bounded per doc).
+
+    All higher-order-function Column expressions — per-doc, no shuffle."""
+    lines = f"filter(transform(split({text_col}, '\\n'), x -> trim(x)), x -> x != '')"
+    toks = f"slice({_TOKS.format(c=text_col)}, 1, {max_tokens})"
+    # sequence(1, 0) counts DOWN in Spark — guard docs with < 2 tokens
+    bg = (
+        f"CASE WHEN size({toks}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - 1),"
+        f" i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) END"
+    )
+    return [
+        F.expr(
+            f"CASE WHEN size({lines}) = 0 THEN 0.0 "
+            f"ELSE 1.0 - size(array_distinct({lines})) / size({lines}) END"
+        ).cast("double").alias("dup_line_frac"),
+        F.expr(
+            f"aggregate(array_distinct({lines}), 0L, (acc, l) -> acc + "
+            f"  CASE WHEN size(filter({lines}, x -> x = l)) > 1 "
+            f"       THEN size(filter({lines}, x -> x = l)) * length(l) ELSE 0L END)"
+            f" / greatest(aggregate({lines}, 0L, (acc, l) -> acc + length(l)), 1)"
+        ).cast("double").alias("dup_line_char_frac"),
+        F.expr(
+            f"CASE WHEN size({bg}) = 0 THEN 0.0 ELSE "
+            f"array_max(transform(array_distinct({bg}),"
+            f" b -> size(filter({bg}, x -> x = b)))) / size({bg}) END"
+        ).cast("double").alias("top_bigram_frac"),
+    ]
+
+
 def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass curation annotation: lang, token counts, quality, fingerprint."""
     return df.select(

@@ -1181,6 +1181,67 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_text_col():
+    """Deterministic PII-bearing text derived from (text, doc_id) — the
+    synthetic corpus carries no PII, so both the Spark query and the DuckDB
+    oracle synthesize the identical augmented column."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1555"),
+        F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+    )
+
+
+def t_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass for training-data curation: per-category match
+    counts (email / SSN / IPv4 / intl phone) + md5 of the redacted text —
+    all chained native regexp expressions, one codegen'd scan."""
+    from .functions import textstats
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", _pii_text_col().alias("t"))
+    )
+    return docs.select(
+        "doc_id",
+        *textstats.pii_signals("t"),
+        F.md5(textstats.redact_pii("t")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate-line fraction,
+    duplicate-line char fraction, top-bigram fraction) — repetition is the
+    strongest single low-quality indicator for web text. Lines synthesized
+    deterministically (the corpus is single-line)."""
+    from .functions import textstats
+
+    t = F.concat(
+        F.col("text"), F.lit("\nrepeat line\n"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("repeat line"))
+        .otherwise(F.concat(F.lit("unique "), F.col("doc_id").cast("string"))),
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 60)
+        .select("doc_id", t.alias("t"))
+    )
+    return (
+        docs.select("doc_id", *textstats.repetition_signals("t"))
+        .select(
+            "doc_id",
+            F.round("dup_line_frac", 4).alias("dup_line_frac"),
+            F.round("dup_line_char_frac", 4).alias("dup_line_char_frac"),
+            F.round("top_bigram_frac", 4).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # round-2 additions: positional queries, completion suggester, range/nested/
 # significance agg variants (VERDICT r01 items 2, 4, 6, 7, 8)
@@ -2167,6 +2228,60 @@ SELECT doc_id,
   round((least(n / 50.0, 1.0) + least(ttr * 2.0, 1.0) + least(stop_r * 8.0, 1.0)) / 3.0, 4) AS quality
 FROM s ORDER BY doc_id
 """,
+    "text_pii_scan": r"""
+WITH t AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id || '@example.com or +1555'
+         || lpad(doc_id::VARCHAR, 7, '0')
+         || ' from 10.0.' || (doc_id % 256) || '.7'
+         || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS t
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn,
+  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+  len(regexp_extract_all(t, '\+\d[\d().-]{7,14}\d'))::BIGINT AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\+\d[\d().-]{7,14}\d', '<PHONE>', 'g')) AS redacted_md5
+FROM t ORDER BY doc_id
+""",
+    "text_repetition": r"""
+WITH d AS (
+  SELECT doc_id,
+    text || chr(10) || 'repeat line' || chr(10)
+         || CASE WHEN doc_id % 3 = 0 THEN 'repeat line'
+                 ELSE 'unique ' || doc_id END AS t
+  FROM documents WHERE doc_id < 60
+),
+lines AS (
+  SELECT doc_id, trim(l) AS l
+  FROM d, UNNEST(string_split(t, chr(10))) AS s(l)
+  WHERE trim(l) <> ''
+),
+lc AS (SELECT doc_id, l, count(*) AS c FROM lines GROUP BY 1, 2),
+la AS (
+  SELECT doc_id,
+    1.0 - count(*)::DOUBLE / greatest(sum(c), 1) AS dup_line_frac,
+    sum(CASE WHEN c > 1 THEN c * length(l) ELSE 0 END)::DOUBLE
+      / greatest(sum(c * length(l)), 1) AS dup_line_char_frac
+  FROM lc GROUP BY 1
+),
+tok AS (SELECT doc_id, regexp_extract_all(lower(t), '[\p{L}0-9]+') AS toks FROM d),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS b
+  FROM tok, UNNEST(range(1, len(toks))) AS u(i)
+),
+bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+ba AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac FROM bgc GROUP BY 1)
+SELECT la.doc_id, round(dup_line_frac, 4) AS dup_line_frac,
+       round(dup_line_char_frac, 4) AS dup_line_char_frac,
+       round(coalesce(top_bigram_frac, 0.0), 4) AS top_bigram_frac
+FROM la LEFT JOIN ba ON la.doc_id = ba.doc_id ORDER BY la.doc_id
+""",
     "text_fingerprint": f"""
 SELECT fp, n_docs, rep_doc_id FROM (
   SELECT md5(array_to_string(list_sort(list_distinct({_TOK_SQL})), ' ')) AS fp,
@@ -2705,6 +2820,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": t_lang_id,
     "text_quality_score": t_quality_score,
     "text_fingerprint": t_fingerprint,
+    "text_pii_scan": t_pii_scan,
+    "text_repetition": t_repetition,
     "intervals_query": q_index_intervals,
     "match_phrase_prefix": q_index_phrase_prefix,
     "completion_suggest": q_completion_suggest,
