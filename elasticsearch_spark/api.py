@@ -782,6 +782,57 @@ class Engine:
     def explain(self, index: str, terms: list[str], url: str) -> DataFrame:
         return explain_fn(self.spark, self._dir(index), terms, url)
 
+    def termvectors(self, index: str, url: str, term_statistics: bool = False) -> DataFrame:
+        """GET /{index}/_termvectors/{id} (``server/src/main/java/org/
+        elasticsearch/action/termvectors/TermVectorsRequest.java``): per-term
+        term_freq + ordered positions for one document, re-analyzed from the
+        stored field with the index analyzer (``TermVectorsService.java``
+        does the same when vectors aren't stored). With term_statistics,
+        joins corpus df/cf from the dfs-phase stats table — a term-filtered
+        broadcast-sized read, never the full term dictionary."""
+        d = self._dir(index)
+        meta = store.IndexMeta.load(d)
+        doc = (
+            self._docs_view(index)
+            .where(F.col("url") == url)
+            .select("url", analysis.tokens_udf(meta.analyzer)("text").alias("toks"))
+        )
+        tv = (
+            doc.select(F.posexplode("toks").alias("pos", "term"))
+            .groupBy("term")
+            .agg(
+                F.count("*").cast("bigint").alias("term_freq"),
+                F.array_sort(F.collect_list("pos")).alias("positions"),
+            )
+        )
+        if term_statistics:
+            stats = self.spark.read.parquet(store.term_stats_path(d))
+            tv = tv.join(
+                F.broadcast(stats.join(tv.select("term"), "term", "left_semi")),
+                "term",
+                "left",
+            )
+        return tv.orderBy("term")
+
+    def stats(self, index: str) -> dict:
+        """GET /{index}/_stats (docs + store + segments subset): live doc
+        count, segment count, and on-disk store bytes — metadata plus one
+        aggregate over the live-docs view (tombstone-masked, like _count)."""
+        d = self._dir(index)
+        meta = store.IndexMeta.load(d)
+        live = self._docs_view(index).count()
+        segs = store.list_segs(d)
+        store_bytes = 0
+        for base, _, files in os.walk(d):
+            store_bytes += sum(
+                os.path.getsize(os.path.join(base, fn)) for fn in files
+            )
+        return {
+            "docs": {"count": live, "deleted": meta.doc_count - live},
+            "segments": {"count": len(segs)},
+            "store": {"size_in_bytes": store_bytes},
+        }
+
     def delete_by_query(self, index: str, query: dict) -> dict:
         """POST /{index}/_delete_by_query: DISTRIBUTED tombstone write — the
         matching doc_ids go straight from the executors into a tombstone

@@ -1,0 +1,57 @@
+"""Reciprocal rank fusion — hybrid ranking across retrievers.
+
+Re-expresses the reference's RRF ranker (``x-pack/plugin/rank-rrf/src/main/
+java/org/elasticsearch/xpack/rank/rrf/RRFRankBuilder.java``; the `rrf`
+retriever in the search body): each retriever contributes
+``1 / (rank_constant + rank)`` for its top ``rank_window_size`` hits, scores
+are summed per document, and the fused list is ordered by
+(rrf_score DESC, id ASC).
+
+Plan shape at scale: each input frame is already a top-k retriever result
+(coordinator-small by construction — BM25 WAND top-k, knn top-k), so the
+per-retriever rank window is a sort over ≤ window rows, and the fusion is a
+union + one tiny groupBy. Nothing here touches the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rrf_fuse(
+    frames: list[DataFrame],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    rank_constant: int = 60,
+    rank_window_size: int = 100,
+    k: int = 10,
+) -> DataFrame:
+    """Fuse ranked retriever results. Each frame needs (id_col, score_col);
+    scores are rounded to 6 dp before ranking so float summation noise
+    cannot flip a rank, with id ASC as the deterministic tie-break (the
+    reference's shard-doc tie-break, ``RRFRankShardContext.java``)."""
+    ranked = []
+    for f in frames:
+        w = Window.orderBy(F.round(F.col(score_col), 6).desc(), F.col(id_col).asc())
+        ranked.append(
+            f.select(id_col, score_col)
+            .withColumn("__rank", F.row_number().over(w))
+            .where(F.col("__rank") <= rank_window_size)
+            .select(
+                id_col,
+                (1.0 / (F.lit(rank_constant) + F.col("__rank"))).alias("__rrf"),
+            )
+        )
+    allr = ranked[0]
+    for r in ranked[1:]:
+        allr = allr.unionByName(r)
+    return (
+        allr.groupBy(id_col)
+        .agg(
+            F.round(F.sum("__rrf"), 6).alias("rrf_score"),
+            F.count("*").cast("int").alias("matched_rankers"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -383,6 +383,57 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
             ex.groupBy(F.col("__r.key").alias("key")), sub
         ).orderBy("key")
 
+    if kind == "geo_distance":
+        # GeoDistanceAggregationBuilder.java: bucket docs by arc distance
+        # from an origin point; from inclusive / to exclusive, distances in
+        # `unit` (default m). Same explode-ranges shape as `range` with a
+        # computed haversine column — one narrow projection + one groupBy.
+        origin = body["origin"]
+        olat, olon = float(origin["lat"]), float(origin["lon"])
+        unit_m = {"m": 1.0, "km": 1000.0, "mi": 1609.344, "ft": 0.3048}[
+            body.get("unit", "m")
+        ]
+        if "lat_field" in body:
+            lat_c, lon_c = F.col(body["lat_field"]), F.col(body["lon_field"])
+        else:
+            f = body["field"]
+            lat_c, lon_c = F.col(f"{f}.lat"), F.col(f"{f}.lon")
+        lat1, lon1 = math.radians(olat), math.radians(olon)
+        lat2, lon2 = F.radians(lat_c), F.radians(lon_c)
+        h = (
+            F.pow(F.sin((lat2 - F.lit(lat1)) / 2), 2)
+            + math.cos(lat1) * F.cos(lat2) * F.pow(F.sin((lon2 - F.lit(lon1)) / 2), 2)
+        )
+        dist = 2.0 * 6371008.8 * F.asin(F.sqrt(h)) / F.lit(unit_m)
+        rs = []
+        for r in body["ranges"]:
+            lo = float(r["from"]) if "from" in r else None
+            hi = float(r["to"]) if "to" in r else None
+            label = r.get(
+                "key",
+                f"{'*' if lo is None else f'{lo:.1f}'}-{'*' if hi is None else f'{hi:.1f}'}",
+            )
+            rs.append((label, lo, hi))
+        ranges = F.array(*[
+            F.struct(
+                F.lit(k).alias("key"),
+                F.lit(lo).cast("double").alias("lo"),
+                F.lit(hi).cast("double").alias("hi"),
+            )
+            for k, lo, hi in rs
+        ])
+        ex = (
+            df.withColumn("__d", dist)
+            .withColumn("__r", F.explode(ranges))
+            .where(
+                (F.col("__r.lo").isNull() | (F.col("__d") >= F.col("__r.lo")))
+                & (F.col("__r.hi").isNull() | (F.col("__d") < F.col("__r.hi")))
+            )
+        )
+        return _apply_metric_subaggs(
+            ex.groupBy(F.col("__r.key").alias("key")), sub
+        ).orderBy("key")
+
     if kind == "significant_text":
         # SignificantTextAggregationBuilder.java: significant_terms over the
         # ANALYZED token stream of a free-text field — per-token fg/bg DOC
@@ -1116,6 +1167,38 @@ def _frequent_item_sets(df: DataFrame, body: dict) -> DataFrame:
     )
 
 
+def apply_cumulative_cardinality(
+    df: DataFrame, parent_spec: dict, frame: DataFrame, name: str, body: dict
+) -> DataFrame:
+    """CumulativeCardinalityPipelineAggregationBuilder.java (x-pack
+    analytics): per bucket, the number of DISTINCT values seen in this or
+    any earlier bucket. The reference merges per-bucket HLL sketches
+    cumulatively on the coordinator; the exact distributed equivalent is:
+    each value contributes at its FIRST bucket (one groupBy over the raw
+    rows), the first-appearance histogram is cumulative-summed over the
+    coordinator-small bucket frame, then joined back onto the parent
+    buckets. No per-bucket distinct scans — one extra shuffle total,
+    independent of bucket count."""
+    path = body["buckets_path"]
+    card_spec = parent_spec.get("aggs", {}).get(path, {})
+    vfield = card_spec["cardinality"]["field"]
+    parent_wo = {k: v for k, v in parent_spec.items() if k != "aggs"}
+    key_col, _ = _bucket_col(parent_wo)
+    first = (
+        df.where(F.col(vfield).isNotNull())
+        .groupBy(vfield)
+        .agg(F.min(key_col).alias("key"))
+    )
+    news = first.groupBy("key").agg(F.count("*").alias("__new"))
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        frame.join(news, "key", "left")
+        .fillna({"__new": 0})
+        .withColumn(name, F.sum("__new").over(w))
+        .drop("__new")
+    )
+
+
 def apply_pipeline(buckets: DataFrame, name: str, spec: dict) -> DataFrame:
     """Pipeline agg over a bucket frame (window functions; the reference
     computes these coordinator-side post-reduce)."""
@@ -1267,11 +1350,21 @@ def aggregate(df: DataFrame, aggs: dict) -> dict[str, DataFrame]:
             continue
         sub = spec.get("aggs", {})
         pipes = {n: s for n, s in sub.items() if next(iter(s)) in _PIPELINE_KINDS}
-        plain_sub = {n: s for n, s in sub.items() if n not in pipes}
+        raw_pipes = {
+            n: s for n, s in sub.items() if next(iter(s)) == "cumulative_cardinality"
+        }
+        plain_sub = {
+            n: s for n, s in sub.items() if n not in pipes and n not in raw_pipes
+        }
         spec2 = {k: v for k, v in spec.items() if k != "aggs"}
         if plain_sub:
             spec2["aggs"] = plain_sub
         frame = compile_agg(df, name, spec2)
+        for pname, pspec in raw_pipes.items():
+            frame = apply_cumulative_cardinality(
+                df, {**spec2, "aggs": plain_sub}, frame, pname,
+                pspec["cumulative_cardinality"],
+            )
         for pname, pspec in pipes.items():
             frame = apply_pipeline(frame, pname, pspec)
         out[name] = frame

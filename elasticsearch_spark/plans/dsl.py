@@ -1505,9 +1505,7 @@ def search(
     # cosine top-k over a vector column (JVM zip_with/aggregate — the
     # brute-force scorer; the ANN path lives in operators/similarity.py).
     # With a `query` present, scores ADD (the reference's hybrid combine).
-    knn_fr = None
-    if "knn" in body:
-        kn = body["knn"]
+    def _knn_frame(kn: dict) -> DataFrame:
         vcol = F.col(kn["field"]).cast("array<double>")
         qv = F.array(*[F.lit(float(x)) for x in kn["query_vector"]])
         dot = F.aggregate(
@@ -1523,13 +1521,45 @@ def search(
             # only among docs passing the filter (not post-filtered top-k)
             fnode = parse(kn["filter"])
             base_knn = df.where(fnode.predicate(ctx))
-        knn_fr = (
+        return (
             base_knn.select(F.col(key).alias("__key"), (dot / nrm).alias("_score"))
             .orderBy(F.desc("_score"), F.asc("__key"))
             .limit(k_knn)
         )
 
-    if "query" in body or knn_fr is None:
+    # retriever: {rrf: ...} (x-pack rank-rrf RRFRankBuilder.java / the ES 8.x
+    # retriever tree): run each sub-retriever to its own ranked (key, score)
+    # frame — all coordinator-small top-k results — and fuse by reciprocal
+    # rank. The fused frame re-enters the normal fetch path below.
+    retr_fr = None
+    if "retriever" in body:
+        rrf_spec = body["retriever"]["rrf"]
+        from ..operators.rank import rrf_fuse
+
+        frames = []
+        for r in rrf_spec.get("retrievers", []):
+            (rk, rbody), = r.items()
+            if rk == "standard":
+                frames.append(parse(rbody["query"]).frame(ctx).select("__key", "_score"))
+            elif rk == "knn":
+                frames.append(_knn_frame(rbody).select("__key", "_score"))
+            else:
+                raise ValueError(f"unsupported retriever: {rk}")
+        fused = rrf_fuse(
+            frames, id_col="__key", score_col="_score",
+            rank_constant=int(rrf_spec.get("rank_constant", 60)),
+            rank_window_size=int(rrf_spec.get("rank_window_size", 100)),
+            k=size + from_,
+        )
+        retr_fr = fused.select("__key", F.col("rrf_score").alias("_score"))
+
+    knn_fr = None
+    if retr_fr is None and "knn" in body:
+        knn_fr = _knn_frame(body["knn"])
+
+    if retr_fr is not None:
+        fr = retr_fr
+    elif "query" in body or knn_fr is None:
         node = parse(body.get("query", {"match_all": {}}))
         fr = node.frame(ctx)
         if knn_fr is not None:

@@ -1786,8 +1786,197 @@ def a_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 + knn via reciprocal rank fusion (x-pack rank-rrf
+    ``RRFRankBuilder.java``; the `rrf` retriever): retriever 1 = match-OR
+    BM25 over documents, retriever 2 = exact cosine knn over the id-aligned
+    embeddings table (query = vec_id 0), fused with rank_constant=60,
+    rank_window_size=50, top-10. Both retriever frames are top-k-small
+    before fusion — the fusion never touches the corpus."""
+    from .operators.rank import rrf_fuse
+
+    bm = _bm25_scores(spark, sf_dir, _OR_TERMS).select(
+        "doc_id", F.col("score_raw").alias("score")
+    )
+    e = _emb(spark, sf_dir).withColumn("v", F.col("embedding").cast("array<double>"))
+    q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    nrm = (
+        "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"
+        " * sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))"
+    )
+    knn = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(f"({dot}) / ({nrm})").alias("score"),
+        )
+    )
+    return rrf_fuse(
+        [bm, knn], id_col="doc_id", score_col="score",
+        rank_constant=60, rank_window_size=50, k=10,
+    )
+
+
+def q_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_termvectors API (``server/src/main/java/org/elasticsearch/action/
+    termvectors/TermVectorsRequest.java``): per-term stats for ONE document —
+    term_freq, ordered positions, plus corpus doc_freq (term_statistics=true).
+    The reference re-analyzes the stored field when vectors aren't indexed
+    (``TermVectorsService.java``); here the positions come from one
+    posexplode of the analyzed doc, and doc_freq from the same distinct-term
+    frame every BM25 oracle uses — the per-doc side is one row's tokens, the
+    stats side is a broadcast-sized term-filtered join."""
+    toks = _tokenized(spark, sf_dir).select("doc_id", "toks")
+    one = toks.where(F.col("doc_id") == 42).select(
+        F.posexplode("toks").alias("pos", "term")
+    )
+    tv = one.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("term_freq"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("pos")), lambda x: x.cast("string")),
+            ",",
+        ).alias("positions"),
+    )
+    dfs = (
+        toks.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("doc_freq"))
+    )
+    return tv.join(dfs, "term").orderBy("term")
+
+
+def a_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_distance agg (GeoDistanceAggregationBuilder.java): distance-ring
+    buckets from an origin (haversine, km) with a doc_count + avg sub-agg;
+    lat/lon derived deterministically from events.value (same convention as
+    the geo_line oracle)."""
+    from .plans.aggs import aggregate
+
+    pts = _events(spark, sf_dir).select(
+        "event_id", "value",
+        (F.col("value") % 360 - 180).alias("lon"),
+        (F.col("value") % 170 - 85).alias("lat"),
+    )
+    out = aggregate(pts, {"rings": {
+        "geo_distance": {
+            "origin": {"lat": 0.0, "lon": 0.0},
+            "lat_field": "lat", "lon_field": "lon", "unit": "km",
+            "ranges": [{"to": 11000}, {"from": 11000, "to": 13000}, {"from": 13000}],
+        },
+        "aggs": {"avg_value": {"avg": {"field": "value"}}},
+    }})["rings"]
+    return out.select(
+        "key", "doc_count", F.round("avg_value", 4).alias("avg_value")
+    ).orderBy("key")
+
+
+def a_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cumulative_cardinality pipeline (x-pack analytics
+    ``CumulativeCardinalityPipelineAggregationBuilder.java``): running count
+    of distinct users ever seen, attached to a daily date_histogram. Exact
+    distributed equivalent of the reference's cumulative HLL merge: one
+    groupBy(user) for first-seen day + a window cumsum over the small
+    bucket frame."""
+    from .plans.aggs import aggregate
+
+    ev = _events(spark, sf_dir)
+    out = aggregate(ev, {"per_day": {
+        "date_histogram": {"field": "ts", "calendar_interval": "1d"},
+        "aggs": {
+            "users": {"cardinality": {"field": "user_id", "precision_threshold": 40000}},
+            "total_users": {"cumulative_cardinality": {"buckets_path": "users"}},
+        },
+    }})["per_day"]
+    return out.select(
+        F.col("key").cast("date").alias("day"),
+        "doc_count",
+        F.col("users").cast("bigint").alias("users"),
+        F.col("total_users").cast("bigint").alias("total_users"),
+    ).orderBy("day")
+
+
 ORACLES: dict[str, str] = {
     "match_or_bm25": _bm25_sql(_OR_TERMS),
+    "rrf_hybrid": _bm25_cte(_OR_TERMS, msm=1) + """,
+bmr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY round(score_raw, 6) DESC, doc_id ASC) AS rnk
+  FROM scored
+),
+qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT vec_id AS doc_id,
+         list_dot_product(embedding::DOUBLE[], qv) /
+         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+          sqrt(list_dot_product(qv, qv))) AS s
+  FROM embeddings CROSS JOIN qv
+),
+cosr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY round(s, 6) DESC, doc_id ASC) AS rnk
+  FROM cos
+),
+u AS (
+  SELECT doc_id, 1.0 / (60 + rnk) AS c FROM bmr WHERE rnk <= 50
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rnk) AS c FROM cosr WHERE rnk <= 50
+)
+SELECT doc_id, round(sum(c), 6) AS rrf_score, count(*)::INT AS matched_rankers
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+""",
+    "termvectors": f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+one AS (
+  SELECT unnest(toks) AS term, generate_subscripts(toks, 1) - 1 AS pos
+  FROM tok WHERE doc_id = 42
+),
+tv AS (
+  SELECT term, count(*)::BIGINT AS term_freq,
+         string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
+  FROM one GROUP BY term
+),
+dfs AS (
+  SELECT term, count(*)::BIGINT AS doc_freq
+  FROM (SELECT DISTINCT doc_id, unnest(list_distinct(toks)) AS term FROM tok)
+  GROUP BY term
+)
+SELECT tv.term, term_freq, positions, doc_freq
+FROM tv JOIN dfs USING (term) ORDER BY tv.term
+""",
+    "agg_geo_distance": """
+WITH pts AS (
+  SELECT event_id, value, value % 360 - 180 AS lon, value % 170 - 85 AS lat
+  FROM events
+),
+d AS (
+  SELECT value,
+         2.0 * 6371008.8 * asin(sqrt(
+           pow(sin(radians(lat) / 2), 2) +
+           cos(radians(lat)) * pow(sin(radians(lon) / 2), 2)
+         )) / 1000.0 AS dist
+  FROM pts
+),
+r AS (
+  SELECT CASE WHEN dist < 11000 THEN '*-11000.0'
+              WHEN dist < 13000 THEN '11000.0-13000.0'
+              ELSE '13000.0-*' END AS key, value
+  FROM d
+)
+SELECT key, count(*)::BIGINT AS doc_count, round(avg(value), 4) AS avg_value
+FROM r GROUP BY key ORDER BY key
+""",
+    "agg_cumulative_cardinality": """
+WITH b AS (
+  SELECT cast(ts AS DATE) AS day, count(*)::BIGINT AS doc_count,
+         count(DISTINCT user_id)::BIGINT AS users
+  FROM events GROUP BY 1
+),
+f AS (SELECT user_id, min(cast(ts AS DATE)) AS day FROM events GROUP BY 1),
+n AS (SELECT day, count(*)::BIGINT AS nn FROM f GROUP BY 1)
+SELECT b.day, b.doc_count, b.users,
+       (sum(coalesce(n.nn, 0)) OVER (ORDER BY b.day))::BIGINT AS total_users
+FROM b LEFT JOIN n USING (day) ORDER BY b.day
+""",
     "match_and_bm25": _bm25_sql(_AND_TERMS, msm=len(_AND_TERMS)),
     "match_msm_bm25": _bm25_sql(_MSM_TERMS, msm=3),
     "bool_filtered_bm25": _bm25_sql(
@@ -2854,4 +3043,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_variable_width_histogram": a_variable_width_histogram,
     "agg_normalize": a_normalize,
     "agg_moving_percentiles": a_moving_percentiles,
+    "rrf_hybrid": q_rrf_hybrid,
+    "termvectors": q_termvectors,
+    "agg_geo_distance": a_geo_distance,
+    "agg_cumulative_cardinality": a_cumulative_cardinality,
 }

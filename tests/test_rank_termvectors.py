@@ -1,0 +1,143 @@
+"""RRF fusion, retriever search body, _termvectors, _stats, geo_distance
+agg, cumulative_cardinality pipeline."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.api import Engine
+from elasticsearch_spark.operators.rank import rrf_fuse
+from elasticsearch_spark.plans import dsl
+from elasticsearch_spark.plans.aggs import aggregate
+
+ROOT = "/tmp/es_spark_rank_test"
+
+
+@pytest.fixture(scope="module")
+def es(spark):
+    shutil.rmtree(ROOT, ignore_errors=True)
+    eng = Engine(spark, root=ROOT)
+    eng.create_index("pages", num_partitions=2)
+    docs = spark.createDataFrame(
+        [
+            ("u1", "spark spark spark distributed computing", "en"),
+            ("u2", "the lazy dog sleeps in the sun", "en"),
+            ("u3", "spark streaming handles realtime data", "en"),
+            ("u4", "dogs and cats live together", "de"),
+            ("u5", "computing platforms compared in detail", "en"),
+        ],
+        "url string, text string, lang string",
+    ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+    eng.bulk("pages", docs)
+    return eng
+
+
+def test_rrf_fuse_math(spark):
+    # ranker A ranks d1, d2; ranker B ranks d2, d1 → d1: 1/61+1/62, d2 same
+    a = spark.createDataFrame([("d1", 2.0), ("d2", 1.0)], "id string, score double")
+    b = spark.createDataFrame([("d2", 9.0), ("d1", 3.0)], "id string, score double")
+    out = rrf_fuse([a, b], id_col="id", score_col="score", k=5).collect()
+    expect = round(1 / 61 + 1 / 62, 6)
+    assert {r.id: r.rrf_score for r in out} == {"d1": expect, "d2": expect}
+    assert all(r.matched_rankers == 2 for r in out)
+    # tie → id ASC
+    assert [r.id for r in out] == ["d1", "d2"]
+
+
+def test_rrf_window_excludes_deep_ranks(spark):
+    a = spark.createDataFrame(
+        [(f"d{i}", float(100 - i)) for i in range(10)], "id string, score double"
+    )
+    out = rrf_fuse([a], id_col="id", score_col="score", rank_window_size=3, k=10)
+    assert out.count() == 3
+
+
+def test_retriever_rrf_search_body(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark rules", [1.0, 0.0]),
+            (2, "nothing here", [0.9, 0.1]),
+            (3, "spark spark spark", [0.0, 1.0]),
+        ],
+        "doc_id long, text string, vec array<double>",
+    )
+    body = {
+        "retriever": {"rrf": {
+            "retrievers": [
+                {"standard": {"query": {"match": {"text": "spark"}}}},
+                {"knn": {"field": "vec", "query_vector": [1.0, 0.0], "k": 2}},
+            ],
+            "rank_constant": 60, "rank_window_size": 10,
+        }},
+        "size": 3,
+    }
+    hits = dsl.search(spark, df, body).collect()
+    got = {r.doc_id: r._score for r in hits}
+    # doc1: bm25 rank 2 (tf 1 < tf 3) + knn rank 1 → 1/62 + 1/61
+    assert got[1] == round(1 / 62 + 1 / 61, 6)
+    # doc3: bm25 rank 1, knn rank >2 (outside k=2 window)
+    assert got[3] == round(1 / 61, 6)
+    # doc2: no bm25 match, knn rank 2
+    assert got[2] == round(1 / 62, 6)
+
+
+def test_termvectors(es):
+    tv = es.termvectors("pages", "u1").collect()
+    by_term = {r.term: r for r in tv}
+    assert by_term["spark"].term_freq == 3
+    assert by_term["spark"].positions == [0, 1, 2]
+    assert by_term["computing"].positions == [4]
+
+
+def test_termvectors_term_statistics(es):
+    tv = es.termvectors("pages", "u3", term_statistics=True).collect()
+    by_term = {r.term: r for r in tv}
+    # "spark" appears in u1 (tf 3) and u3 (tf 1) → df 2, cf 4
+    assert by_term["spark"].df == 2
+    assert by_term["spark"].cf == 4
+    assert by_term["streaming"].df == 1
+
+
+def test_stats(es):
+    st = es.stats("pages")
+    assert st["docs"]["count"] == 5
+    assert st["segments"]["count"] >= 1
+    assert st["store"]["size_in_bytes"] > 0
+
+
+def test_geo_distance_agg(spark):
+    # one point ~111 km north of origin, one ~1113 km, one antipodal-ish
+    df = spark.createDataFrame(
+        [(1, 1.0, 0.0), (2, 10.0, 0.0), (3, 80.0, 170.0)],
+        "id long, lat double, lon double",
+    )
+    out = aggregate(df, {"rings": {"geo_distance": {
+        "origin": {"lat": 0.0, "lon": 0.0},
+        "lat_field": "lat", "lon_field": "lon", "unit": "km",
+        "ranges": [{"to": 500}, {"from": 500, "to": 5000}, {"from": 5000}],
+    }}})["rings"].collect()
+    counts = {r.key: r.doc_count for r in out}
+    assert counts == {"*-500.0": 1, "500.0-5000.0": 1, "5000.0-*": 1}
+
+
+def test_cumulative_cardinality(spark):
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 10:00:00", 1), ("2024-01-01 11:00:00", 2),
+            ("2024-01-02 10:00:00", 1), ("2024-01-02 11:00:00", 3),
+            ("2024-01-03 10:00:00", 3),
+        ],
+        "ts string, user_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = aggregate(df, {"per_day": {
+        "date_histogram": {"field": "ts", "calendar_interval": "1d"},
+        "aggs": {
+            "users": {"cardinality": {"field": "user_id", "precision_threshold": 40000}},
+            "total": {"cumulative_cardinality": {"buckets_path": "users"}},
+        },
+    }})["per_day"].orderBy("key").collect()
+    assert [r.total for r in out] == [2, 3, 3]
+    assert [r.users for r in out] == [2, 2, 1]
