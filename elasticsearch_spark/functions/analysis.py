@@ -818,6 +818,23 @@ def cjk_analyze(text: str) -> list[str]:
 ANALYZERS["cjk"] = cjk_analyze
 
 
+def fingerprint_analyze(text: str) -> list[str]:
+    """fingerprint analyzer (FingerprintAnalyzerProvider.java): standard
+    tokenizer → lowercase → asciifolding → fingerprint filter — one
+    normalized, sorted, deduped token (OpenRefine-style clustering key)."""
+    return _filter_fingerprint(_filter_asciifolding(standard_tokenize(text)))
+
+
+def pattern_analyze(text: str) -> list[str]:
+    """pattern analyzer (PatternAnalyzerProvider.java defaults): split on
+    \\W+ and lowercase."""
+    return [t.lower() for t in re.split(r"\W+", text) if t]
+
+
+ANALYZERS["fingerprint"] = fingerprint_analyze
+ANALYZERS["pattern"] = pattern_analyze
+
+
 def _filter_stemmer(toks: list[str], language: str = "minimal_english", name: str | None = None, **_) -> list[str]:
     """stemmer token filter with the reference's language dispatch
     (StemmerTokenFilterFactory.java): `porter` → Porter1; `english` →
@@ -1000,6 +1017,100 @@ def _filter_phonetic(
     return out
 
 
+def _filter_limit(toks: list[str], max_token_count=1, consume_all_tokens=False, **_) -> list[str]:
+    """limit token-count filter (LimitTokenCountFilterFactory.java): keep the
+    first max_token_count tokens (default 1, the reference's default)."""
+    return toks[: int(max_token_count)]
+
+
+def _filter_fingerprint(toks: list[str], separator=" ", max_output_size=255, **_) -> list[str]:
+    """fingerprint token filter (FingerprintTokenFilterFactory.java /
+    Lucene FingerprintFilter): sort + dedupe the stream and concatenate into
+    ONE token; if the result exceeds max_output_size the filter emits
+    nothing (Lucene's overflow contract)."""
+    joined = separator.join(sorted(set(toks)))
+    return [joined] if joined and len(joined) <= int(max_output_size) else []
+
+
+def _filter_common_grams(
+    toks: list[str], common_words=None, query_mode=False, **_
+) -> list[str]:
+    """common_grams filter (CommonGramsTokenFilterFactory.java): for each
+    adjacent pair where either member is a common word, emit the combined
+    bigram "w1_w2" alongside the unigrams; query_mode
+    (CommonGramsQueryFilter) keeps a common-word unigram only when it forms
+    no bigram (bag-of-tokens rendering of Lucene's same-position graph)."""
+    common = set(common_words or [])
+    out: list[str] = []
+    in_bigram = [False] * len(toks)
+    for i, t in enumerate(toks):
+        if i > 0 and (toks[i - 1] in common or t in common):
+            out.append(f"{toks[i - 1]}_{t}")
+            in_bigram[i - 1] = in_bigram[i] = True
+    if query_mode:
+        unis = [t for i, t in enumerate(toks) if not (t in common and in_bigram[i])]
+    else:
+        unis = list(toks)
+    return unis + out
+
+
+def _filter_min_hash(
+    toks: list[str], bucket_count=512, hash_set_size=1, with_rotation=True, **_
+) -> list[str]:
+    """min_hash token filter (MinHashTokenFilterFactory.java / Lucene
+    MinHashFilter): hash every input token (normally shingles), keep the
+    minimum hash per bucket, and emit the surviving hashes as hex tokens —
+    the per-document MinHash signature used for LSH dedup at index time.
+    Documented subset: md5-derived 64-bit hashes stand in for Lucene's
+    128-bit murmur; hash_count folded into bucket_count; with_rotation
+    fills empty buckets from the next non-empty bucket circularly (the
+    reference's default when hash_set_size == 1)."""
+    import hashlib
+
+    bucket_count = int(bucket_count)
+    mins: list[int | None] = [None] * bucket_count
+    for t in toks:
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        b = h % bucket_count
+        if mins[b] is None or h < mins[b]:
+            mins[b] = h
+    if with_rotation and any(m is not None for m in mins):
+        filled = list(mins)
+        for i in range(bucket_count):
+            if filled[i] is None:
+                j = (i + 1) % bucket_count
+                while mins[j] is None:
+                    j = (j + 1) % bucket_count
+                filled[i] = mins[j]
+        mins = filled
+    return [f"{m:016x}" for m in mins if m is not None]
+
+
+def _filter_keyword_marker(toks: list[str], keywords=None, **_) -> list[str]:
+    """keyword_marker (KeywordMarkerTokenFilterFactory.java): marks tokens
+    as keywords so downstream stemmers skip them. The marking itself is
+    threaded through the chain by register_analyzer (the protected set);
+    standalone application is the identity."""
+    return toks
+
+
+def _parse_override_rules(rules) -> dict[str, str]:
+    out = {}
+    for r in rules or []:
+        lhs, _, rhs = r.partition("=>")
+        out[lhs.strip()] = rhs.strip()
+    return out
+
+
+def _filter_stemmer_override(toks: list[str], rules=None, **_) -> list[str]:
+    """stemmer_override (StemmerOverrideTokenFilterFactory.java): dictionary
+    stems ("running => run") applied before algorithmic stemmers; overridden
+    outputs are keyword-protected from later stemming (chain-threaded by
+    register_analyzer, like keyword_marker)."""
+    m = _parse_override_rules(rules)
+    return [m.get(t, t) for t in toks]
+
+
 TOKEN_FILTERS = {
     "phonetic": _filter_phonetic,
     "synonym": _filter_synonym,
@@ -1023,7 +1134,17 @@ TOKEN_FILTERS = {
     "word_delimiter": _filter_word_delimiter,
     "word_delimiter_graph": _filter_word_delimiter,
     "keyword_repeat_stem": _filter_keyword_repeat_stem,
+    "limit": _filter_limit,
+    "fingerprint": _filter_fingerprint,
+    "common_grams": _filter_common_grams,
+    "min_hash": _filter_min_hash,
+    "keyword_marker": _filter_keyword_marker,
+    "stemmer_override": _filter_stemmer_override,
 }
+
+# stemming filters that honor the keyword-protected set threaded through a
+# custom chain by keyword_marker / stemmer_override
+_STEMMER_FILTERS = (_filter_stemmer, _filter_porter, _filter_stemmer_minimal_english)
 
 
 # configs of registered custom analyzers — shipped to executors so a chain
@@ -1076,7 +1197,23 @@ def register_analyzer(
         for cf in cf_fns:
             text = cf(text)
         toks = base(text)
+        # keyword protection (KeywordAttribute analog): keyword_marker and
+        # stemmer_override outputs are skipped by downstream stemmers
+        protected: set[str] = set()
         for ff, params in specs:
+            if ff is _filter_keyword_marker:
+                protected |= set(params.get("keywords") or [])
+                continue
+            if ff is _filter_stemmer_override:
+                rules = _parse_override_rules(params.get("rules"))
+                toks = [rules.get(t, t) for t in toks]
+                protected |= set(rules.values())
+                continue
+            if protected and ff in _STEMMER_FILTERS:
+                toks = [
+                    t if t in protected else ff([t], **params)[0] for t in toks
+                ]
+                continue
             toks = ff(toks, **params)
         return toks
 
@@ -1126,11 +1263,25 @@ def _tokenize_series(s: pd.Series, analyzer: str) -> pd.Series:
 
 
 def tokens_udf(analyzer: str = "standard"):
-    """pandas UDF: string column → array<string> of analyzed tokens."""
+    """pandas UDF: string column → array<string> of analyzed tokens.
+
+    Custom chains registered on the driver travel to executors in the UDF
+    closure: the resolved analyzer FUNCTION is captured at definition time
+    (cloudpickle ships the chain closure by value), with the
+    (tokenizer, filters, char_filters) config as a re-registration fallback.
+    Looking the name up inside the task would fail — the executor's fresh
+    module import knows only the built-in ANALYZERS."""
+    cfg = ANALYZER_CONFIGS.get(analyzer)
+    fn0 = ANALYZERS.get(analyzer)
 
     @F.pandas_udf(ArrayType(StringType()))
     def _udf(s: pd.Series) -> pd.Series:
-        return _tokenize_series(s, analyzer)
+        fn = fn0
+        if fn is None:
+            if analyzer not in ANALYZERS and cfg is not None:
+                register_analyzer(analyzer, *cfg)
+            fn = ANALYZERS[analyzer]
+        return s.map(lambda x: fn(x) if x is not None else [])
 
     return _udf
 

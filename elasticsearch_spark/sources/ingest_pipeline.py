@@ -203,6 +203,87 @@ def _apply_one(df: DataFrame, spec: dict) -> DataFrame:
         (ik, ib), = inner.items()
         lam = {"lowercase": "x -> lower(x)", "uppercase": "x -> upper(x)", "trim": "x -> trim(x)"}[ik]
         return put(f, F.expr(f"transform({f}, {lam})"))
+    if kind == "uri_parts":
+        # UriPartsProcessor (ingest-common): decompose a URI into
+        # scheme/domain/port/path/query/fragment/extension columns —
+        # pure regexp_extract, stays in whole-stage codegen
+        tgt2 = body.get("target_field", "url")
+        c = F.col(f)
+        parts = {
+            "scheme": r"^([a-zA-Z][a-zA-Z0-9+.-]*):",
+            "domain": r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)",
+            "port": r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]+:([0-9]+)",
+            "path": r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)",
+            "query": r"\?([^#]*)",
+            "fragment": r"#(.*)$",
+        }
+        out = df
+        for pname, rx in parts.items():
+            out = out.withColumn(f"{tgt2}.{pname}", F.regexp_extract(c, rx, 1))
+        out = out.withColumn(
+            f"{tgt2}.extension",
+            F.regexp_extract(F.col(f"`{tgt2}.path`"), r"\.([^./]+)$", 1),
+        )
+        return out
+    if kind == "user_agent":
+        # UserAgentProcessor (ingest-user-agent module): parse a UA string
+        # into name/version/os/device. The reference ships regexes.yaml
+        # (uap-core); here a codegen-friendly subset covers the dominant
+        # browser families — documented approximation, same output shape.
+        tgt2 = body.get("target_field", "user_agent")
+        c = F.col(f)
+        name = (
+            F.when(c.rlike(r"Edg(e|A|iOS)?/"), F.lit("Edge"))
+            .when(c.rlike(r"OPR/|Opera"), F.lit("Opera"))
+            .when(c.rlike(r"Chrome/"), F.lit("Chrome"))
+            .when(c.rlike(r"Firefox/"), F.lit("Firefox"))
+            .when(c.rlike(r"Safari/") & c.rlike(r"Version/"), F.lit("Safari"))
+            .when(c.rlike(r"MSIE |Trident/"), F.lit("IE"))
+            .otherwise(F.lit("Other"))
+        )
+        version = F.coalesce(
+            *[
+                F.nullif(F.regexp_extract(c, rx, 1), F.lit(""))
+                for rx in (
+                    r"Edg(?:e|A|iOS)?/([0-9.]+)", r"OPR/([0-9.]+)",
+                    r"Chrome/([0-9.]+)", r"Firefox/([0-9.]+)",
+                    r"Version/([0-9.]+)", r"MSIE ([0-9.]+)", r"rv:([0-9.]+)",
+                )
+            ],
+            F.lit(""),
+        )
+        os_name = (
+            F.when(c.rlike(r"Windows NT"), F.lit("Windows"))
+            .when(c.rlike(r"Android"), F.lit("Android"))
+            .when(c.rlike(r"iPhone|iPad|iOS"), F.lit("iOS"))
+            .when(c.rlike(r"Mac OS X"), F.lit("Mac OS X"))
+            .when(c.rlike(r"Linux"), F.lit("Linux"))
+            .otherwise(F.lit("Other"))
+        )
+        device = (
+            F.when(c.rlike(r"iPad|Tablet"), F.lit("Tablet"))
+            .when(c.rlike(r"Mobile|iPhone|Android"), F.lit("Phone"))
+            .otherwise(F.lit("Desktop"))
+        )
+        return (
+            df.withColumn(f"{tgt2}.name", name)
+            .withColumn(f"{tgt2}.version", version)
+            .withColumn(f"{tgt2}.os", os_name)
+            .withColumn(f"{tgt2}.device", device)
+        )
+    if kind == "dot_expander":
+        # DotExpanderProcessor: turn a literal "a.b" column into a struct
+        # a{b} (merging with an existing struct a if present)
+        leaf = f.split(".")[-1]
+        root = f[: -len(leaf) - 1]
+        entry = F.struct(F.col(f"`{f}`").alias(leaf))
+        if root in df.columns:
+            entry = F.struct(F.col(f"{root}.*"), F.col(f"`{f}`").alias(leaf))
+        return df.withColumn(root, entry).drop(F.col(f"`{f}`"))
+    if kind == "pipeline":
+        # PipelineProcessor: invoke another (named) pipeline inline —
+        # composition of processor lists
+        return run_pipeline(df, body["processors"])
     raise ValueError(f"unsupported processor: {kind}")
 
 

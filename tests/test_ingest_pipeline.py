@@ -98,3 +98,48 @@ def test_rename_remove_append(spark, logs):
     assert "message" in out.columns and "msg" not in out.columns
     assert "kvs" not in out.columns
     assert out.where("id = 2").collect()[0]["arr"] == ["z", "W"]
+
+
+def test_uri_parts_processor(spark):
+    df = spark.createDataFrame(
+        [("https://user@www.example.com:8080/a/b.html?x=1#frag",)], "u string"
+    )
+    out = run_pipeline(df, [{"uri_parts": {"field": "u", "target_field": "url"}}])
+    r = out.collect()[0]
+    assert r["url.scheme"] == "https"
+    assert r["url.domain"] == "www.example.com"
+    assert r["url.port"] == "8080"
+    assert r["url.path"] == "/a/b.html"
+    assert r["url.query"] == "x=1"
+    assert r["url.fragment"] == "frag"
+    assert r["url.extension"] == "html"
+
+
+def test_user_agent_processor(spark):
+    uas = [
+        ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",),
+        ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",),
+        ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Mobile/15E148 Safari/604.1",),
+        ("Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0",),
+    ]
+    df = spark.createDataFrame(uas, "ua string")
+    out = run_pipeline(df, [{"user_agent": {"field": "ua"}}]).collect()
+    got = [(r["user_agent.name"], r["user_agent.os"], r["user_agent.device"]) for r in out]
+    assert got == [
+        ("Chrome", "Windows", "Desktop"),
+        ("Safari", "Mac OS X", "Desktop"),
+        ("Safari", "iOS", "Phone"),
+        ("Firefox", "Linux", "Desktop"),
+    ]
+    assert out[0]["user_agent.version"].startswith("120.")
+
+
+def test_dot_expander_and_pipeline_processor(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, `a.b` string")
+    out = run_pipeline(df, [{"pipeline": {"processors": [
+        {"dot_expander": {"field": "a.b"}},
+        {"set": {"field": "tag", "value": "t"}},
+    ]}}])
+    r = out.collect()[0]
+    assert r.a.b == "x" and r.tag == "t"
+    assert "a.b" not in out.columns

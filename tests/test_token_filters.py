@@ -233,3 +233,77 @@ def test_cjk_bigram():
 
     assert _filter_cjk_bigram(["中"]) == ["中"]  # lone ideograph stays
     assert _filter_cjk_bigram(["中", "文"], output_unigrams=True) == ["中", "文", "中文"]
+
+
+def test_limit_filter():
+    analysis.register_analyzer("lim", filters=[("limit", {"max_token_count": 2})])
+    assert analysis.analyze("a b c d", "lim") == ["a", "b"]
+    analysis.register_analyzer("lim1", filters=["limit"])
+    assert analysis.analyze("a b c", "lim1") == ["a"]  # reference default = 1
+
+
+def test_fingerprint_filter_and_analyzer():
+    analysis.register_analyzer("fp", filters=["fingerprint"])
+    assert analysis.analyze("b a c a b", "fp") == ["a b c"]
+    # overflow emits nothing (Lucene FingerprintFilter contract)
+    analysis.register_analyzer("fp_small", filters=[("fingerprint", {"max_output_size": 3})])
+    assert analysis.analyze("aa bb cc", "fp_small") == []
+    # built-in analyzer: lowercase + asciifolding + fingerprint
+    assert analysis.analyze("Zürich and zurich AND", "fingerprint") == ["and zurich"]
+
+
+def test_pattern_analyzer():
+    assert analysis.analyze("Foo-Bar_baz 42!", "pattern") == ["foo", "bar_baz", "42"]
+
+
+def test_common_grams():
+    analysis.register_analyzer(
+        "cg", filters=[("common_grams", {"common_words": ["the", "of"]})]
+    )
+    got = analysis.analyze("queen of england", "cg")
+    assert got == ["queen", "of", "england", "queen_of", "of_england"]
+    analysis.register_analyzer(
+        "cgq",
+        filters=[("common_grams", {"common_words": ["the", "of"], "query_mode": True})],
+    )
+    got_q = analysis.analyze("queen of england", "cgq")
+    # query_mode drops the common unigram absorbed into bigrams
+    assert got_q == ["queen", "england", "queen_of", "of_england"]
+
+
+def test_min_hash_filter():
+    analysis.register_analyzer(
+        "mh",
+        filters=[
+            ("shingle", {"min_size": 3, "max_size": 3, "output_unigrams": False}),
+            ("min_hash", {"bucket_count": 8}),
+        ],
+    )
+    a = analysis.analyze("the quick brown fox jumps over the lazy dog", "mh")
+    assert len(a) == 8  # with_rotation fills every bucket
+    assert all(len(t) == 16 and int(t, 16) >= 0 for t in a)
+    # deterministic + similar docs share most buckets
+    b = analysis.analyze("the quick brown fox jumps over the lazy cat", "mh")
+    assert a == analysis.analyze("the quick brown fox jumps over the lazy dog", "mh")
+    assert sum(x == y for x, y in zip(a, b)) >= 4
+
+
+def test_keyword_marker_protects_stemming():
+    analysis.register_analyzer(
+        "km",
+        filters=[("keyword_marker", {"keywords": ["running"]}), ("stemmer", {"language": "porter"})],
+    )
+    got = analysis.analyze("running jumping", "km")
+    assert got == ["running", "jump"]
+
+
+def test_stemmer_override():
+    analysis.register_analyzer(
+        "so",
+        filters=[
+            ("stemmer_override", {"rules": ["running => sprint"]}),
+            ("stemmer", {"language": "porter"}),
+        ],
+    )
+    # "running" maps to "sprint" and is protected; "jumping" still stems
+    assert analysis.analyze("running jumping", "so") == ["sprint", "jump"]
