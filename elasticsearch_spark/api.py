@@ -433,6 +433,16 @@ class Engine:
                     keyed = node.frame(ctx).select("__key")
                     base = base.join(keyed.withColumnRenamed("__key", "url"), "url", "left_semi")
             out["aggregations"] = aggs_mod.aggregate(base, body["aggs"])
+        if body.get("profile"):
+            # SearchProfileResults analog: the Spark physical plan for the
+            # hits frame (the honest profile of THIS engine — scan pushdown,
+            # codegen spans, exchange placement)
+            try:
+                qe = hits._jdf.queryExecution()
+                mode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+                out["profile"] = {"hits_plan": qe.explainString(mode)}
+            except Exception as e:  # pragma: no cover - connect-mode fallback
+                out["profile"] = {"hits_plan": f"unavailable: {e}"}
         if "track_total_hits" in body:
             # SearchContext.java:61-63 — default caps counting at 10k
             # ("gte" relation); true = exact; int = custom cap. Computed

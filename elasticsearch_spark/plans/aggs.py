@@ -1216,7 +1216,10 @@ def apply_pipeline(buckets: DataFrame, name: str, spec: dict) -> DataFrame:
     if kind == "serial_diff":
         lag = body.get("lag", 1)
         return buckets.withColumn(name, src - F.lag(src, lag).over(w))
-    if kind == "moving_fn":
+    if kind in ("moving_fn", "moving_avg"):
+        # moving_avg is the reference's deprecated precursor of moving_fn
+        # (MovAvgPipelineAggregationBuilder.java → MovFnPipelineAggregation
+        # Builder.java); simple model = unweighted average
         window = body.get("window", 5)
         fn = body.get("script", "MovingFunctions.unweightedAvg")
         frame = w.rowsBetween(-(window - 1), 0)
@@ -1287,7 +1290,7 @@ def apply_pipeline(buckets: DataFrame, name: str, spec: dict) -> DataFrame:
 
 
 _PIPELINE_KINDS = {
-    "cumulative_sum", "derivative", "serial_diff", "moving_fn",
+    "cumulative_sum", "derivative", "serial_diff", "moving_fn", "moving_avg",
     "bucket_script", "bucket_selector", "bucket_sort",
     "normalize", "moving_percentiles",
 }

@@ -530,6 +530,57 @@ class GeoPolygonQ(Node):
 
 
 @dataclass
+class SparseVectorQ(Node):
+    """sparse_vector query (x-pack ``SparseVectorQueryBuilder.java`` / the
+    ELSER weighted-tokens query): score = Σ_t query_weight(t) · stored_weight
+    (t, doc). Over a text field the stored weight is the analyzed term
+    frequency (the rank_features analog the tables here support); over a
+    map<string,float> column it reads the stored weights directly. Per-doc
+    work is a handful of JVM higher-order-function lambdas over the token
+    array — whole-stage-codegen, no shuffle until the final top-k."""
+
+    fld: str
+    query_vector: dict = field(default_factory=dict)
+    boost: float = 1.0
+
+    def frame(self, ctx):
+        from pyspark.sql.types import MapType
+
+        is_map = isinstance(ctx.df.schema[self.fld].dataType, MapType) \
+            if self.fld in ctx.df.columns else False
+        s = None
+        if is_map:
+            m = F.col(self.fld)
+            for t, w in self.query_vector.items():
+                c = F.coalesce(m.getItem(t), F.lit(0.0)) * F.lit(float(w))
+                s = c if s is None else s + c
+        else:
+            toks = ctx.toks_col()
+
+            def _eq(term):
+                # single-arg lambda (a two-arg lambda would be bound to
+                # pyspark's (element, index) filter form)
+                return lambda x: x == term
+
+            for t, w in self.query_vector.items():
+                c = F.size(F.filter(toks, _eq(t))).cast("double") * F.lit(float(w))
+                s = c if s is None else s + c
+        if s is None:
+            return ctx.df.limit(0).select(
+                F.col(ctx.key).alias("__key"), F.lit(0.0).alias("_score")
+            )
+        return (
+            ctx.df.select(
+                F.col(ctx.key).alias("__key"), (s * self.boost).alias("_score")
+            )
+            .where(F.col("_score") > 0)
+        )
+
+    def predicate(self, ctx):
+        raise NotImplementedError
+
+
+@dataclass
 class RankFeatureQ(Node):
     """rank_feature (RankFeatureQueryBuilder.java): score a numeric feature
     column via saturation (default), log, or sigmoid — additive relevance
@@ -1431,6 +1482,12 @@ def parse(q: dict) -> Node:
                 distance_m=_parse_distance_m(shp["radius"]),
             )
         raise ValueError(f"unsupported geo_shape geometry: {stype}")
+    if kind == "sparse_vector":
+        return SparseVectorQ(
+            body["field"],
+            query_vector=dict(body.get("query_vector") or {}),
+            boost=body.get("boost", 1.0),
+        )
     if kind == "rank_feature":
         fld = body["field"]
         sat = body.get("saturation") or {}
@@ -1663,6 +1720,28 @@ def search(
         out = out.offset(from_)
     out = out.limit(size)
     if "_source" in body:
-        keep = [key, "_score"] + [c for c in body["_source"] if c in df.columns]
-        out = out.select(*dict.fromkeys(keep))
+        # FetchSourceContext.java: list form = includes; dict form =
+        # includes/excludes with * wildcards; false = metadata only.
+        # Column pruning here reaches the parquet scan (ReadSchema).
+        src = body["_source"]
+
+        def _match(col: str, pats: list[str]) -> bool:
+            return any(
+                re.fullmatch(re.escape(p).replace(r"\*", ".*"), col) for p in pats
+            )
+
+        if src is False:
+            keep = [key, "_score"]
+        elif isinstance(src, dict):
+            inc = src.get("includes") or ["*"]
+            exc = src.get("excludes") or []
+            keep = [key, "_score"] + [
+                c for c in df.columns
+                if _match(c, inc) and not _match(c, exc)
+            ]
+        else:
+            keep = [key, "_score"] + [
+                c for c in df.columns if _match(c, list(src))
+            ]
+        out = out.select(*dict.fromkeys(k for k in keep if k in out.columns))
     return out

@@ -916,6 +916,18 @@ def dsl_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+def dsl_sparse_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sparse_vector query (x-pack ``SparseVectorQueryBuilder.java``, the
+    ELSER weighted-tokens query): score = Σ query_weight(t) · tf(t, doc)
+    over the analyzed text (the rank_features-on-text analog)."""
+    return _dsl_search(spark, sf_dir, {
+        "query": {"sparse_vector": {"field": "text", "query_vector": {
+            "spark": 2.0, "merge": 1.0, "vector": 0.5,
+        }}},
+        "size": 10,
+    })
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline: dedup / similarity / text analysis
 # --------------------------------------------------------------------------
@@ -1964,6 +1976,18 @@ r AS (
 )
 SELECT key, count(*)::BIGINT AS doc_count, round(avg(value), 4) AS avg_value
 FROM r GROUP BY key ORDER BY key
+""",
+    "dsl_sparse_vector": f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term IN ('spark', 'merge', 'vector') GROUP BY 1, 2
+),
+w AS (SELECT * FROM (VALUES ('spark', 2.0), ('merge', 1.0), ('vector', 0.5)) AS t(term, w)),
+s AS (SELECT doc_id, sum(tf * w) AS score_raw FROM tf JOIN w USING (term) GROUP BY doc_id)
+SELECT doc_id, round(score_raw, 4) AS score FROM s WHERE score_raw > 0
+ORDER BY score_raw DESC, doc_id LIMIT 10
 """,
     "agg_cumulative_cardinality": """
 WITH b AS (
@@ -3047,4 +3071,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "termvectors": q_termvectors,
     "agg_geo_distance": a_geo_distance,
     "agg_cumulative_cardinality": a_cumulative_cardinality,
+    "dsl_sparse_vector": dsl_sparse_vector,
 }

@@ -141,3 +141,56 @@ def test_cumulative_cardinality(spark):
     }})["per_day"].orderBy("key").collect()
     assert [r.total for r in out] == [2, 3, 3]
     assert [r.users for r in out] == [2, 2, 1]
+
+
+def test_sparse_vector_query(spark):
+    df = spark.createDataFrame(
+        [(1, "spark spark merge"), (2, "merge only"), (3, "nothing relevant")],
+        "doc_id long, text string",
+    )
+    hits = dsl.search(spark, df, {"query": {"sparse_vector": {
+        "field": "text", "query_vector": {"spark": 2.0, "merge": 1.0},
+    }}, "size": 10}).collect()
+    got = {r.doc_id: r._score for r in hits}
+    assert got == {1: 5.0, 2: 1.0}
+
+
+def test_sparse_vector_map_column(spark):
+    df = spark.createDataFrame(
+        [(1, {"spark": 1.5, "x": 0.2}), (2, {"y": 3.0})],
+        "doc_id long, feats map<string,double>",
+    )
+    hits = dsl.search(spark, df, {"query": {"sparse_vector": {
+        "field": "feats", "query_vector": {"spark": 2.0},
+    }}, "size": 10}).collect()
+    assert {r.doc_id: r._score for r in hits} == {1: 3.0}
+
+
+def test_moving_avg_alias(spark):
+    df = spark.createDataFrame(
+        [(float(i), float(i)) for i in range(1, 6)], "n_chars double, v double"
+    )
+    out = aggregate(df, {"h": {
+        "histogram": {"field": "n_chars", "interval": 1},
+        "aggs": {"s": {"sum": {"field": "v"}},
+                 "ma": {"moving_avg": {"buckets_path": "s", "window": 2}}},
+    }})["h"].orderBy("key").collect()
+    assert [r.ma for r in out] == [1.0, 1.5, 2.5, 3.5, 4.5]
+
+
+def test_source_filtering_includes_excludes(spark):
+    df = spark.createDataFrame(
+        [(1, "spark", "en", "s1")], "doc_id long, text string, lang string, source string"
+    )
+    out = dsl.search(spark, df, {"query": {"match_all": {}},
+                                 "_source": {"includes": ["*"], "excludes": ["text"]}})
+    assert set(out.columns) == {"doc_id", "_score", "lang", "source"}
+    out2 = dsl.search(spark, df, {"query": {"match_all": {}}, "_source": ["la*"]})
+    assert set(out2.columns) == {"doc_id", "_score", "lang"}
+    out3 = dsl.search(spark, df, {"query": {"match_all": {}}, "_source": False})
+    assert set(out3.columns) == {"doc_id", "_score"}
+
+
+def test_profile_returns_spark_plan(es):
+    res = es.search("pages", {"query": {"match": {"text": "spark"}}, "profile": True})
+    assert "Physical Plan" in res["profile"]["hits_plan"]
