@@ -1,0 +1,153 @@
+"""Training-data sampling / mixing / packing operators.
+
+The corpus-shaping steps every large-scale LLM data pipeline runs after
+dedup and quality filtering (the Dolma / RedPajama / C4 recipe layer):
+
+- ``domain_cap``: cap documents per source/domain (domain balancing) with a
+  deterministic priority, so one hot domain can't dominate the mix.
+- ``source_mix``: per-source sampling rates (up/down-weighting a mixture),
+  deterministic in the document key — re-runs pick the same documents.
+- ``pack_sequences``: concatenate-and-chunk documents into fixed-token-budget
+  training sequences (GPT-style packing): every document gets (seq_id,
+  offset) coordinates in the packed stream.
+
+Scale notes (100 TB):
+- domain_cap is two-phase lossless: each partition first keeps only its own
+  best ``cap`` rows per source (mapPartitions-free — one groupBy-limit shaped
+  window over partition-local data via repartition-by-source is NOT needed);
+  the global top-cap is a subset of the union of per-partition top-caps, so
+  the final window sort runs over ≤ cap·P rows per source instead of the
+  full corpus. Hot domains stop being a skew problem before the shuffle.
+- source_mix is a pure filter — no shuffle, full codegen, pushdown-friendly.
+- pack_sequences with scope="partition" assigns sequence ids namespaced by
+  partition (zero global coordination — the production path); scope="global"
+  orders by the key for a fully deterministic single stream (costs a global
+  sort — the oracle/test path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    cap: int,
+    partition_parallelism: int | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain, by deterministic priority
+    (md5 of the key — stable across runs and cluster sizes; ties broken by
+    the key itself).
+
+    Two-phase: a per-partition pre-truncation bounds every partition's
+    contribution to ``cap`` rows per domain (the global winners are
+    necessarily inside that union), then one window rank finishes. The
+    shuffled volume per domain is ≤ cap × partitions, independent of how
+    hot the domain is."""
+    pr = F.md5(F.col(key_col).cast("string")).alias("__pri")
+    local_w = Window.partitionBy(F.spark_partition_id(), domain_col).orderBy(
+        "__pri", key_col
+    )
+    pre = (
+        df.withColumn("__pri", pr)
+        .withColumn("__lr", F.row_number().over(local_w))
+        .where(F.col("__lr") <= cap)
+        .drop("__lr")
+    )
+    w = Window.partitionBy(domain_col).orderBy("__pri", key_col)
+    return (
+        pre.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= cap)
+        .drop("__r", "__pri")
+    )
+
+
+def source_mix(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    modulus: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-source sampling: keep a row iff
+    ``hash(key) % modulus < rate·modulus`` for its source's rate — the same
+    rows survive on every run and at every cluster size. Pure filter: no
+    shuffle, whole-stage codegen. The hash is ``xxhash64``; tests/oracles
+    can pass ``hash_expr`` via the key column being an integer id (then
+    ``key % modulus`` is used verbatim for cross-engine reproducibility)."""
+    from pyspark.sql.types import IntegralType
+
+    is_int = isinstance(df.schema[key_col].dataType, IntegralType)
+    h = (
+        F.pmod(F.col(key_col), F.lit(modulus))
+        if is_int
+        else F.pmod(F.xxhash64(F.col(key_col)), F.lit(modulus))
+    )
+    rate_col = F.lit(default_rate)
+    for src, r in rates.items():
+        rate_col = F.when(F.col(domain_col) == src, F.lit(float(r))).otherwise(rate_col)
+    return df.where(h < rate_col * modulus)
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    budget: int,
+    scope: str = "global",
+) -> DataFrame:
+    """Concatenate-and-chunk packing (the GPT-style training-sequence
+    layout): documents are laid out in ``key_col`` order into one token
+    stream and cut every ``budget`` tokens. Returns the input columns plus
+    ``seq_id`` (which training sequence the document STARTS in) and
+    ``seq_offset`` (token offset within that sequence).
+
+    scope="global": one deterministic stream (global sort by key).
+    scope="partition": per-partition streams, seq ids namespaced by
+    partition id — no global coordination, the 100 TB path."""
+    t = F.col(tokens_col).cast("long")
+    if scope == "global":
+        w = Window.orderBy(key_col)
+        out = df.withColumn(
+            "__cum_before",
+            F.coalesce(
+                F.sum(t).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+            ),
+        )
+        return (
+            out.withColumn("seq_id", (F.col("__cum_before") / budget).cast("long"))
+            .withColumn(
+                "seq_offset", F.col("__cum_before") - F.col("seq_id") * budget
+            )
+            .drop("__cum_before")
+        )
+    if scope == "partition":
+        w = Window.partitionBy(F.spark_partition_id()).orderBy(key_col)
+        out = (
+            df.withColumn("__pid", F.spark_partition_id().cast("long"))
+            .withColumn(
+                "__cum_before",
+                F.coalesce(
+                    F.sum(t).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0),
+                ),
+            )
+        )
+        # seq ids are (partition id, local seq) packed into one long —
+        # distinct across partitions without any global pass
+        return (
+            out.withColumn(
+                "seq_id",
+                F.col("__pid") * F.lit(1 << 40)
+                + (F.col("__cum_before") / budget).cast("long"),
+            )
+            .withColumn(
+                "seq_offset", F.pmod(F.col("__cum_before"), F.lit(budget))
+            )
+            .drop("__cum_before", "__pid")
+        )
+    raise ValueError(f"unsupported scope: {scope}")

@@ -1908,6 +1908,41 @@ def a_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def t_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing (training-data mixing layer): keep ≤ 20 docs per
+    source by deterministic md5 priority — two-phase lossless window
+    (per-partition pre-truncation bounds shuffle volume per hot domain)."""
+    from .operators.sampling import domain_cap
+
+    out = domain_cap(_docs(spark, sf_dir), "source", "doc_id", cap=20)
+    return out.select("doc_id", "source").orderBy("source", "doc_id")
+
+
+def t_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source sampling mixture (up/down-weighting): keep
+    doc iff key % 10000 < rate·10000 — a pure codegen filter, rerun-stable."""
+    from .operators.sampling import source_mix
+
+    out = source_mix(
+        _docs(spark, sf_dir), "source", "doc_id",
+        rates={"src1": 0.25, "src3": 0.5}, default_rate=0.9, modulus=100,
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style): documents laid out in
+    doc_id order into 256-token training sequences; each doc gets (seq_id,
+    seq_offset) coordinates. Token count = analyzed token count."""
+    from .operators.sampling import pack_sequences
+
+    d = _tokenized(spark, sf_dir).select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    out = pack_sequences(d, "doc_id", "n_tokens", budget=256, scope="global")
+    return out.select("doc_id", "n_tokens", "seq_id", "seq_offset").orderBy("doc_id")
+
+
 ORACLES: dict[str, str] = {
     "match_or_bm25": _bm25_sql(_OR_TERMS),
     "rrf_hybrid": _bm25_cte(_OR_TERMS, msm=1) + """,
@@ -1988,6 +2023,34 @@ w AS (SELECT * FROM (VALUES ('spark', 2.0), ('merge', 1.0), ('vector', 0.5)) AS 
 s AS (SELECT doc_id, sum(tf * w) AS score_raw FROM tf JOIN w USING (term) GROUP BY doc_id)
 SELECT doc_id, round(score_raw, 4) AS score FROM s WHERE score_raw > 0
 ORDER BY score_raw DESC, doc_id LIMIT 10
+""",
+    "sample_domain_cap": """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rn <= 20 ORDER BY source, doc_id
+""",
+    "sample_source_mix": """
+SELECT doc_id, source FROM documents
+WHERE (doc_id % 100) <
+      (CASE source WHEN 'src1' THEN 0.25 WHEN 'src3' THEN 0.5 ELSE 0.9 END) * 100
+ORDER BY doc_id
+""",
+    "sample_pack_sequences": f"""
+WITH d AS (
+  SELECT doc_id, len({_TOK_SQL})::BIGINT AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM d
+)
+SELECT doc_id, n_tokens, (cum_before // 256)::BIGINT AS seq_id,
+       (cum_before % 256)::BIGINT AS seq_offset
+FROM c ORDER BY doc_id
 """,
     "agg_cumulative_cardinality": """
 WITH b AS (
@@ -3072,4 +3135,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_geo_distance": a_geo_distance,
     "agg_cumulative_cardinality": a_cumulative_cardinality,
     "dsl_sparse_vector": dsl_sparse_vector,
+    "sample_domain_cap": t_domain_cap,
+    "sample_source_mix": t_source_mix,
+    "sample_pack_sequences": t_pack_sequences,
 }
