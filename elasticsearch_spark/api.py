@@ -519,6 +519,32 @@ class Engine:
             build_bigram_lm(self.spark, d)
         return phrase_suggest(self.spark, d, text, **kw)
 
+    def esql(self, query: str) -> DataFrame:
+        """POST /_query (x-pack ES|QL): the piped query language over the
+        live docs view (plans/esql.py). FROM resolves aliases; multi-index
+        targets union with an ``_index`` tag."""
+        import re
+
+        from .plans.esql import esql as esql_run
+
+        m = re.match(r"\s*FROM\s+([\w\-.*]+)", query, re.I)
+        tables = {}
+        if m:
+            name = m.group(1)
+            concrete = self.resolve(name)
+            if len(concrete) == 1:
+                tables[name] = self._docs_view(concrete[0])
+            else:
+                parts = [
+                    self._docs_view(i).withColumn("_index", F.lit(i))
+                    for i in concrete
+                ]
+                v = parts[0]
+                for p in parts[1:]:
+                    v = v.unionByName(p)
+                tables[name] = v
+        return esql_run(self.spark, query, tables)
+
     def sql(self, query: str) -> DataFrame:
         """POST /_sql (x-pack SQL): standard SQL over the live docs view,
         with the fulltext extensions MATCH(field,'q') / QUERY('qs') /

@@ -1,0 +1,229 @@
+"""ES|QL → DataFrame plan compiler (x-pack/plugin/esql).
+
+The reference's piped query language (``x-pack/plugin/esql/src/main/java/org/
+elasticsearch/xpack/esql/parser/EsqlBaseParser.g4``; compute engine under
+``esql/src/main/java/.../planner/``) re-expressed as a compiler from the
+pipe-command string to a Spark DataFrame plan. ES|QL's source→pipe→sink
+execution model IS Spark's narrow/wide stage model, so every command maps to
+a declarative DataFrame transformation and Catalyst provides the physical
+planning the reference hand-builds (Lucene pushdown ≙ parquet
+pushdown/pruning, node-level reduce ≙ partial aggregation).
+
+Supported commands (documented subset):
+  FROM <index>            source (resolved by the caller-supplied tables map)
+  ROW a = 1, b = "x"      literal one-row source
+  | WHERE <expr>          filter (ES|QL `==` → SQL `=`, LIKE wildcards *?)
+  | EVAL n = expr, ...    computed columns
+  | KEEP c1, c2*          projection (wildcards)
+  | DROP c1, ...          column removal
+  | RENAME old AS new     rename
+  | SORT c [ASC|DESC] [NULLS FIRST|LAST], ...
+  | LIMIT n
+  | STATS [n =] fn(x), .. [BY k1, k2]   grouped/global aggregation
+  | DISSECT col "%{a} %{b}"             pattern extraction
+  | GROK col "..."                      regex extraction (grok syntax)
+  | MV_EXPAND col                       explode a multivalue column
+
+Function mapping: COUNT_DISTINCT→count(distinct), MEDIAN→percentile(·,0.5),
+PERCENTILE(x,p)→percentile(x,p/100), TO_UPPER/TO_LOWER/TO_STRING/TO_LONG/
+TO_INT/TO_DOUBLE→upper/lower/casts, DATE_TRUNC(1 unit, c)→date_trunc,
+MV_COUNT→size, MV_MIN/MV_MAX→array_min/array_max; everything else passes
+through to Spark SQL verbatim (the dialects agree on the arithmetic,
+comparison, string, and date core).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on `sep` at paren/quote depth 0."""
+    out, buf, depth, i = [], [], 0, 0
+    in_q: str | None = None
+    while i < len(s):
+        c = s[i]
+        if in_q:
+            buf.append(c)
+            if c == in_q and (i == 0 or s[i - 1] != "\\"):
+                in_q = None
+        elif c in "\"'":
+            in_q = c
+            buf.append(c)
+        elif c in "([":
+            depth += 1
+            buf.append(c)
+        elif c in ")]":
+            depth -= 1
+            buf.append(c)
+        elif depth == 0 and s[i : i + len(sep)] == sep:
+            out.append("".join(buf))
+            buf = []
+            i += len(sep)
+            continue
+        else:
+            buf.append(c)
+        i += 1
+    out.append("".join(buf))
+    return out
+
+
+_FN_SIMPLE = {
+    "to_upper": "upper", "to_lower": "lower", "mv_count": "size",
+    "mv_min": "array_min", "mv_max": "array_max",
+}
+
+
+def _xlate(expr: str) -> str:
+    """ES|QL expression → Spark SQL expression (textual, dialect-bridging)."""
+    e = expr
+    # == is ES|QL equality; Spark SQL accepts == too, but normalize anyway
+    e = re.sub(r"(?<![=!<>])==", "=", e)
+    # LIKE "a*b?" → LIKE 'a%b_' (ES|QL wildcard dialect)
+    def like_sub(m: re.Match) -> str:
+        pat = m.group(2)[1:-1].replace("%", r"\%").replace("_", r"\_")
+        pat = pat.replace("*", "%").replace("?", "_")
+        return f"{m.group(1)} LIKE '{pat}'"
+
+    e = re.sub(r"(\S+)\s+LIKE\s+(\"[^\"]*\"|'[^']*')", like_sub, e, flags=re.I)
+    # double-quoted strings → single-quoted SQL literals
+    e = re.sub(r'"((?:[^"\\]|\\.)*)"', lambda m: "'" + m.group(1).replace("'", "''") + "'", e)
+    # COUNT_DISTINCT(x) → count(distinct x)
+    e = re.sub(r"\bcount_distinct\s*\(", "count(distinct ", e, flags=re.I)
+    # PERCENTILE(x, 95) → percentile(x, 0.95) — BEFORE the MEDIAN rewrite so
+    # median's emitted percentile(·, 0.5) isn't rescaled again
+    def pct_sub(m: re.Match) -> str:
+        arg, p = m.group(1), float(m.group(2))
+        return f"percentile({arg}, {p / 100.0})"
+
+    e = re.sub(r"\bpercentile\s*\(([^,()]+),\s*([0-9.]+)\s*\)", pct_sub, e, flags=re.I)
+    # MEDIAN(x) → percentile(x, 0.5)
+    e = re.sub(r"\bmedian\s*\(([^()]*)\)", r"percentile(\1, 0.5)", e, flags=re.I)
+    # DATE_TRUNC(1 day, c) / DATE_TRUNC(1 hour, c) → date_trunc('day', c)
+    e = re.sub(
+        r"\bdate_trunc\s*\(\s*\d+\s+(\w+)s?\s*,\s*([^()]+)\)",
+        lambda m: f"date_trunc('{m.group(1).lower()}', {m.group(2)})", e, flags=re.I,
+    )
+    # TO_LONG/TO_INT/TO_DOUBLE(c) → cast(c as ...)
+    for fn, t in (("to_long", "bigint"), ("to_int", "int"), ("to_double", "double"),
+                  ("to_string", "string")):
+        e = re.sub(rf"\b{fn}\s*\(([^()]*)\)", rf"cast(\1 as {t})", e, flags=re.I)
+    for fn, repl in _FN_SIMPLE.items():
+        e = re.sub(rf"\b{fn}\s*\(", repl + "(", e, flags=re.I)
+    return e
+
+
+def esql(
+    spark: SparkSession,
+    query: str,
+    tables: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Compile and run an ES|QL query. `tables` maps FROM names to frames."""
+    stages = [s.strip() for s in _split_top(query, "|")]
+    df: DataFrame | None = None
+    for i, st in enumerate(stages):
+        m = re.match(r"(\w+)\s*(.*)", st, flags=re.S)
+        if not m:
+            raise ValueError(f"bad ES|QL stage: {st!r}")
+        cmd, rest = m.group(1).upper(), m.group(2).strip()
+        if i == 0:
+            if cmd == "FROM":
+                name = rest.split()[0]
+                if not tables or name not in tables:
+                    raise ValueError(f"unknown index in FROM: {name}")
+                df = tables[name]
+            elif cmd == "ROW":
+                cols = []
+                for item in _split_top(rest, ","):
+                    lhs, _, rhs = item.partition("=")
+                    cols.append(F.expr(_xlate(rhs.strip())).alias(lhs.strip()))
+                df = spark.range(1).select(*cols)
+            else:
+                raise ValueError(f"ES|QL must start with FROM or ROW, got {cmd}")
+            continue
+        assert df is not None
+        if cmd == "WHERE":
+            df = df.where(F.expr(_xlate(rest)))
+        elif cmd == "EVAL":
+            for item in _split_top(rest, ","):
+                lhs, _, rhs = item.partition("=")
+                df = df.withColumn(lhs.strip(), F.expr(_xlate(rhs.strip())))
+        elif cmd == "KEEP":
+            pats = [p.strip() for p in rest.split(",")]
+            keep = [
+                c for c in df.columns
+                if any(re.fullmatch(re.escape(p).replace(r"\*", ".*"), c) for p in pats)
+            ]
+            df = df.select(*keep)
+        elif cmd == "DROP":
+            df = df.drop(*[p.strip() for p in rest.split(",")])
+        elif cmd == "RENAME":
+            for item in _split_top(rest, ","):
+                parts = re.split(r"\s+AS\s+", item, flags=re.I)
+                df = df.withColumnRenamed(parts[0].strip(), parts[1].strip())
+        elif cmd == "SORT":
+            order = []
+            for item in _split_top(rest, ","):
+                toks = item.split()
+                c = F.col(toks[0])
+                desc = any(t.upper() == "DESC" for t in toks[1:])
+                c = c.desc() if desc else c.asc()
+                up = " ".join(t.upper() for t in toks[1:])
+                if "NULLS FIRST" in up:
+                    c = F.col(toks[0]).desc_nulls_first() if desc else F.col(toks[0]).asc_nulls_first()
+                elif "NULLS LAST" in up:
+                    c = F.col(toks[0]).desc_nulls_last() if desc else F.col(toks[0]).asc_nulls_last()
+                order.append(c)
+            df = df.orderBy(*order)
+        elif cmd == "LIMIT":
+            df = df.limit(int(rest))
+        elif cmd == "STATS":
+            by_split = re.split(r"\bBY\b", rest, flags=re.I)
+            aggs_part = by_split[0].strip()
+            keys = [k.strip() for k in by_split[1].split(",")] if len(by_split) > 1 else []
+            aggcols = []
+            for item in _split_top(aggs_part, ","):
+                item = item.strip()
+                eq = _split_top(item, "=")
+                if len(eq) == 2:
+                    alias, expr = eq[0].strip(), eq[1].strip()
+                else:
+                    expr = item
+                    alias = re.sub(r"\W+", "_", item).strip("_").lower()
+                aggcols.append(F.expr(_xlate(expr)).alias(alias))
+            key_cols = []
+            for k in keys:
+                kk = _split_top(k, "=")
+                if len(kk) == 2:  # BY day = DATE_TRUNC(1 day, ts)
+                    key_cols.append(F.expr(_xlate(kk[1].strip())).alias(kk[0].strip()))
+                else:
+                    key_cols.append(F.expr(_xlate(k)))
+            grouped = df.groupBy(*key_cols) if keys else df.groupBy()
+            df = grouped.agg(*aggcols)
+        elif cmd == "DISSECT":
+            col, pat = rest.split(None, 1)
+            pat = pat.strip().strip('"')
+            from ..sources.ingest_pipeline import _dissect_to_regex
+
+            rx, fields = _dissect_to_regex(pat)
+            for k, fld in enumerate(fields, start=1):
+                df = df.withColumn(fld, F.regexp_extract(F.col(col), rx, k))
+        elif cmd == "GROK":
+            col, pat = rest.split(None, 1)
+            pat = pat.strip().strip('"')
+            from ..sources.ingest_pipeline import _grok_to_regex
+
+            rx, fields = _grok_to_regex(pat)
+            for k, fld in enumerate(fields, start=1):
+                df = df.withColumn(fld, F.regexp_extract(F.col(col), rx, k))
+        elif cmd == "MV_EXPAND":
+            col = rest.strip()
+            others = [c for c in df.columns if c != col]
+            df = df.select(*others, F.explode(F.col(col)).alias(col))
+        else:
+            raise ValueError(f"unsupported ES|QL command: {cmd}")
+    assert df is not None
+    return df

@@ -1943,6 +1943,29 @@ def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "seq_id", "seq_offset").orderBy("doc_id")
 
 
+def q_esql_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL pipe query (x-pack/plugin/esql, ``EsqlBaseParser.g4``) through
+    the plans/esql.py compiler: WHERE (with == and LIKE wildcards) → EVAL →
+    STATS … BY → SORT → LIMIT over the events table."""
+    from .plans.esql import esql
+
+    ev = _events(spark, sf_dir)
+    out = esql(spark, """
+FROM events
+| WHERE event_type LIKE "c*" AND value >= 10
+| EVAL day = DATE_TRUNC(1 day, ts), v2 = value * 2
+| STATS n = COUNT(*), total = SUM(v2), users = COUNT_DISTINCT(user_id) BY day, event_type
+| SORT day ASC, event_type ASC
+| LIMIT 50
+""", {"events": ev})
+    return out.select(
+        F.col("day").cast("date").alias("day"), "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("total", 4).alias("total"),
+        F.col("users").cast("bigint").alias("users"),
+    )
+
+
 ORACLES: dict[str, str] = {
     "match_or_bm25": _bm25_sql(_OR_TERMS),
     "rrf_hybrid": _bm25_cte(_OR_TERMS, msm=1) + """,
@@ -2023,6 +2046,14 @@ w AS (SELECT * FROM (VALUES ('spark', 2.0), ('merge', 1.0), ('vector', 0.5)) AS 
 s AS (SELECT doc_id, sum(tf * w) AS score_raw FROM tf JOIN w USING (term) GROUP BY doc_id)
 SELECT doc_id, round(score_raw, 4) AS score FROM s WHERE score_raw > 0
 ORDER BY score_raw DESC, doc_id LIMIT 10
+""",
+    "esql_stats": """
+SELECT cast(ts AS DATE) AS day, event_type, count(*)::BIGINT AS n,
+       round(sum(value * 2), 4) AS total,
+       count(DISTINCT user_id)::BIGINT AS users
+FROM events
+WHERE event_type LIKE 'c%' AND value >= 10
+GROUP BY 1, 2 ORDER BY day, event_type LIMIT 50
 """,
     "sample_domain_cap": """
 WITH r AS (
@@ -3138,4 +3169,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_domain_cap": t_domain_cap,
     "sample_source_mix": t_source_mix,
     "sample_pack_sequences": t_pack_sequences,
+    "esql_stats": q_esql_stats,
 }

@@ -1,0 +1,118 @@
+"""ES|QL pipe-language compiler (plans/esql.py) + Engine._query surface."""
+
+from __future__ import annotations
+
+import pytest
+
+from elasticsearch_spark.plans.esql import _xlate, esql
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    return spark.createDataFrame(
+        [
+            (1, "click", 10.0, "u1", ["a", "b"]),
+            (2, "click", 20.0, "u2", ["c"]),
+            (3, "view", 5.0, "u1", []),
+            (4, "checkout", 40.0, "u3", ["d", "e"]),
+        ],
+        "id long, event_type string, value double, user string, tags array<string>",
+    )
+
+
+def test_xlate_dialect_bridges():
+    assert _xlate("a == 3") == "a = 3"
+    assert _xlate('name LIKE "f*o?"') == "name LIKE 'f%o_'"
+    assert _xlate('x == "it\'s"') == "x = 'it''s'"
+    assert _xlate("COUNT_DISTINCT(u)") == "count(distinct u)"
+    assert _xlate("MEDIAN(v)") == "percentile(v, 0.5)"
+    assert _xlate("PERCENTILE(v, 95)") == "percentile(v, 0.95)"
+    assert _xlate("DATE_TRUNC(1 day, ts)") == "date_trunc('day', ts)"
+    assert _xlate("TO_LONG(x)") == "cast(x as bigint)"
+    assert _xlate("TO_UPPER(s)") == "upper(s)"
+
+
+def test_where_eval_keep_sort_limit(ev, spark):
+    out = esql(spark, """
+FROM events
+| WHERE event_type LIKE "c*" AND value >= 10
+| EVAL v2 = value * 2, tag = TO_UPPER(event_type)
+| KEEP id, v2, tag
+| SORT v2 DESC
+| LIMIT 2
+""", {"events": ev})
+    rows = out.collect()
+    assert [r.id for r in rows] == [4, 2]
+    assert rows[0].v2 == 80.0 and rows[0].tag == "CHECKOUT"
+    assert set(out.columns) == {"id", "v2", "tag"}
+
+
+def test_stats_by(ev, spark):
+    out = esql(spark, """
+FROM events
+| STATS n = COUNT(*), total = SUM(value), users = COUNT_DISTINCT(user) BY event_type
+| SORT event_type ASC
+""", {"events": ev})
+    rows = {r.event_type: (r.n, r.total, r.users) for r in out.collect()}
+    assert rows == {"checkout": (1, 40.0, 1), "click": (2, 30.0, 2), "view": (1, 5.0, 1)}
+
+
+def test_stats_global_and_median(ev, spark):
+    out = esql(spark, """
+FROM events
+| STATS m = MEDIAN(value), p = PERCENTILE(value, 100)
+""", {"events": ev})
+    r = out.collect()[0]
+    assert r.m == 15.0 and r.p == 40.0
+
+
+def test_row_rename_drop(spark):
+    out = esql(spark, """
+ROW a = 1, b = "x"
+| RENAME b AS label
+| EVAL c = a + 1
+| DROP a
+""", {})
+    r = out.collect()[0]
+    assert r.label == "x" and r.c == 2
+    assert set(out.columns) == {"label", "c"}
+
+
+def test_mv_expand_and_mv_count(ev, spark):
+    out = esql(spark, """
+FROM events
+| EVAL n_tags = MV_COUNT(tags)
+| WHERE n_tags > 0
+| MV_EXPAND tags
+| KEEP id, tags, n_tags
+| SORT id ASC, tags ASC
+""", {"events": ev})
+    rows = [(r.id, r.tags) for r in out.collect()]
+    assert rows == [(1, "a"), (1, "b"), (2, "c"), (4, "d"), (4, "e")]
+
+
+def test_dissect(spark):
+    df = spark.createDataFrame([("2024-01-01 GET /index.html",)], "line string")
+    out = esql(spark, """
+FROM logs
+| DISSECT line "%{date} %{verb} %{path}"
+| KEEP verb, path
+""", {"logs": df})
+    r = out.collect()[0]
+    assert r.verb == "GET" and r.path == "/index.html"
+
+
+def test_engine_esql(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.api import Engine
+
+    eng = Engine(spark, root=str(tmp_path))
+    eng.create_index("pages", num_partitions=2)
+    docs = spark.createDataFrame(
+        [("u1", "alpha beta", "en"), ("u2", "gamma", "de")],
+        "url string, text string, lang string",
+    ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+    eng.bulk("pages", docs)
+    out = eng.esql('FROM pages | WHERE lang == "en" | KEEP url, lang')
+    assert [r.url for r in out.collect()] == ["u1"]
