@@ -90,6 +90,54 @@ class Engine:
 
     # ---- index lifecycle --------------------------------------------------
 
+    # ---- index templates ---------------------------------------------------
+
+    def put_index_template(
+        self,
+        name: str,
+        index_patterns: list[str],
+        priority: int = 0,
+        settings: dict | None = None,
+    ) -> dict:
+        """PUT /_index_template/{name} (``server/.../cluster/metadata/
+        ComposableIndexTemplate.java``): glob patterns → create_index
+        settings (analyzer / analyzer_filters / num_partitions /
+        index_sort). Highest-priority matching template applies at
+        create_index / first write of a data-stream generation."""
+        import json
+
+        path = os.path.join(self.root, "_index_templates.json")
+        all_t = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                all_t = json.load(f)
+        all_t[name] = {
+            "index_patterns": list(index_patterns),
+            "priority": int(priority),
+            "settings": settings or {},
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(all_t, f)
+        os.replace(tmp, path)
+        return {"acknowledged": True}
+
+    def _match_template(self, index: str) -> dict | None:
+        import fnmatch
+        import json
+
+        path = os.path.join(self.root, "_index_templates.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            all_t = json.load(f)
+        best = None
+        for t in all_t.values():
+            if any(fnmatch.fnmatch(index, p) for p in t["index_patterns"]):
+                if best is None or t["priority"] > best["priority"]:
+                    best = t
+        return best
+
     def create_index(
         self,
         index: str,
@@ -100,7 +148,19 @@ class Engine:
     ) -> None:
         """PUT /{index} — registers settings (including ``index.sort``);
         the physical build happens on the first bulk (segments are created
-        per bulk batch)."""
+        per bulk batch). A matching index template supplies defaults for
+        any setting not given explicitly."""
+        tmpl = self._match_template(index)
+        if tmpl:
+            s = tmpl["settings"]
+            if analyzer == "standard" and "analyzer" in s:
+                analyzer = s["analyzer"]
+            if analyzer_filters is None and "analyzer_filters" in s:
+                analyzer_filters = s["analyzer_filters"]
+            if num_partitions == 8 and "num_partitions" in s:
+                num_partitions = int(s["num_partitions"])
+            if index_sort is None and "index_sort" in s:
+                index_sort = tuple(s["index_sort"])
         if analyzer_filters:
             analysis.register_analyzer(index + "__analyzer", analyzer, analyzer_filters)
             analyzer = index + "__analyzer"

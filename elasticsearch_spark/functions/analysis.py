@@ -1147,6 +1147,48 @@ TOKEN_FILTERS = {
 _STEMMER_FILTERS = (_filter_stemmer, _filter_porter, _filter_stemmer_minimal_english)
 
 
+# --- normalizers (keyword-field normalization; no tokenization) -------------
+# CustomNormalizerProvider.java: char filters + a non-splitting subset of
+# token filters applied to the WHOLE keyword value
+
+NORMALIZERS: dict = {
+    "lowercase": lambda v: v.lower(),
+}
+
+
+def register_normalizer(
+    name: str, filters: list | None = None, char_filters: list | None = None
+) -> None:
+    cf_fns = []
+    for cf in char_filters or []:
+        if isinstance(cf, str):
+            cf_fns.append(CHAR_FILTER_FACTORIES[cf]())
+        else:
+            cf_name, params = cf
+            cf_fns.append(CHAR_FILTER_FACTORIES[cf_name](**params))
+    specs = []
+    for fspec in filters or []:
+        if isinstance(fspec, str):
+            specs.append((TOKEN_FILTERS[fspec], {}))
+        else:
+            fname, params = fspec
+            specs.append((TOKEN_FILTERS[fname], params))
+
+    def fn(value: str) -> str:
+        for cf in cf_fns:
+            value = cf(value)
+        toks = [value]
+        for ff, params in specs:
+            toks = ff(toks, **params)
+        return toks[0] if toks else ""
+
+    NORMALIZERS[name] = fn
+
+
+def normalize(value: str, normalizer: str = "lowercase") -> str:
+    return NORMALIZERS[normalizer](value)
+
+
 # configs of registered custom analyzers — shipped to executors so a chain
 # registered on the driver can be re-materialized inside a task (executors
 # import this module fresh from the --py-files zip)

@@ -80,6 +80,21 @@ _FN_SIMPLE = {
 def _xlate(expr: str) -> str:
     """ES|QL expression → Spark SQL expression (textual, dialect-bridging)."""
     e = expr
+    # MATCH(field, "q terms") in WHERE (ES|QL fulltext, 8.18 MatchFunction):
+    # filter-context semantics — any analyzed query term present in the
+    # field's token stream (the score-less match; scored search runs
+    # through the engine's WAND path, not ES|QL)
+    def match_sub(m: re.Match) -> str:
+        fld, q = m.group(1).strip(), m.group(2)[1:-1]
+        terms = re.findall(r"[a-z0-9]+", q.lower())
+        arr = ", ".join(f"'{t}'" for t in terms)
+        return (
+            f"arrays_overlap(regexp_extract_all(lower({fld}), '[a-z0-9]+', 0),"
+            f" array({arr}))"
+        )
+
+    e = re.sub(r"\bmatch\s*\(([^,()]+),\s*(\"[^\"]*\"|'[^']*')\s*\)",
+               match_sub, e, flags=re.I)
     # == is ES|QL equality; Spark SQL accepts == too, but normalize anyway
     e = re.sub(r"(?<![=!<>])==", "=", e)
     # LIKE "a*b?" → LIKE 'a%b_' (ES|QL wildcard dialect)
@@ -219,6 +234,31 @@ def esql(
             rx, fields = _grok_to_regex(pat)
             for k, fld in enumerate(fields, start=1):
                 df = df.withColumn(fld, F.regexp_extract(F.col(col), rx, k))
+        elif cmd == "ENRICH":
+            # ENRICH policy ON key [WITH f1, f2] — broadcast lookup join
+            # (EnrichLookupService: the dim side is small by contract)
+            em = re.match(
+                r"([\w\-.]+)\s+ON\s+(\w+)(?:\s+WITH\s+(.*))?$", rest, flags=re.I | re.S
+            )
+            if not em or not tables or em.group(1) not in tables:
+                raise ValueError(f"unknown enrich policy: {rest!r}")
+            dim = tables[em.group(1)]
+            key_c = em.group(2)
+            with_cols = (
+                [c.strip() for c in em.group(3).split(",")]
+                if em.group(3)
+                else [c for c in dim.columns if c != key_c]
+            )
+            df = df.join(
+                F.broadcast(dim.select(key_c, *with_cols)), key_c, "left"
+            )
+        elif cmd == "LOOKUP":
+            # LOOKUP JOIN <lookup_index> ON <key> (ES 8.18 lookup joins):
+            # left join against a lookup-mode index — broadcast when small
+            lm = re.match(r"JOIN\s+([\w\-.]+)\s+ON\s+(\w+)$", rest, flags=re.I)
+            if not lm or not tables or lm.group(1) not in tables:
+                raise ValueError(f"unknown lookup index: {rest!r}")
+            df = df.join(F.broadcast(tables[lm.group(1)]), lm.group(2), "left")
         elif cmd == "MV_EXPAND":
             col = rest.strip()
             others = [c for c in df.columns if c != col]

@@ -359,3 +359,27 @@ def test_msearch_template(es):
                    "params": {"l": "en"}}),
     ])
     assert len(outs) == 2 and all(o["hits"].count() >= 1 for o in outs)
+
+
+def test_index_templates(spark, tmp_path):
+    eng = Engine(spark, root=str(tmp_path))
+    eng.put_index_template(
+        "logs_t", ["logs-*"], priority=10,
+        settings={"analyzer": "whitespace", "num_partitions": 2},
+    )
+    eng.put_index_template(
+        "catchall", ["*"], priority=1, settings={"num_partitions": 5},
+    )
+    eng.create_index("logs-2024")
+    from elasticsearch_spark.sources import index_store as store
+    meta = store.IndexMeta.load(eng._dir("logs-2024"))
+    assert meta.analyzer == "whitespace"
+    assert meta.num_partitions == 2
+    # non-matching name falls to the catch-all
+    eng.create_index("other")
+    meta2 = store.IndexMeta.load(eng._dir("other"))
+    assert meta2.analyzer == "standard" and meta2.num_partitions == 5
+    # explicit args always win over template defaults
+    eng.create_index("logs-explicit", num_partitions=3)
+    meta3 = store.IndexMeta.load(eng._dir("logs-explicit"))
+    assert meta3.num_partitions == 3

@@ -116,3 +116,35 @@ def test_engine_esql(spark, tmp_path):
     eng.bulk("pages", docs)
     out = eng.esql('FROM pages | WHERE lang == "en" | KEEP url, lang')
     assert [r.url for r in out.collect()] == ["u1"]
+
+
+def test_enrich_and_lookup_join(ev, spark):
+    users = spark.createDataFrame(
+        [("u1", "alice", "admin"), ("u2", "bob", "dev")],
+        "user string, name string, role string",
+    )
+    out = esql(spark, """
+FROM events
+| ENRICH users ON user WITH name
+| KEEP id, name
+| SORT id ASC
+""", {"events": ev, "users": users})
+    assert [(r.id, r.name) for r in out.collect()] == [
+        (1, "alice"), (2, "bob"), (3, "alice"), (4, None)]
+    out2 = esql(spark, """
+FROM events
+| LOOKUP JOIN users ON user
+| WHERE role == "dev"
+| KEEP id, role
+""", {"events": ev, "users": users})
+    assert [(r.id, r.role) for r in out2.collect()] == [(2, "dev")]
+
+
+def test_match_function_in_where(spark):
+    df = spark.createDataFrame(
+        [(1, "spark is fast"), (2, "nothing here"), (3, "Merge SORT")],
+        "id long, text string",
+    )
+    out = esql(spark, 'FROM d | WHERE MATCH(text, "spark merge") | KEEP id | SORT id ASC',
+               {"d": df})
+    assert [r.id for r in out.collect()] == [1, 3]

@@ -307,3 +307,9 @@ def test_stemmer_override():
     )
     # "running" maps to "sprint" and is protected; "jumping" still stems
     assert analysis.analyze("running jumping", "so") == ["sprint", "jump"]
+
+
+def test_normalizer():
+    analysis.register_normalizer("kw_norm", filters=["lowercase", "asciifolding"])
+    assert analysis.normalize("Zürich-Stadt", "kw_norm") == "zurich-stadt"
+    assert analysis.normalize("ABC", "lowercase") == "abc"
