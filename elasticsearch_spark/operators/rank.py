@@ -19,6 +19,52 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def linear_fuse(
+    frames: list[DataFrame],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    weights: list[float] | None = None,
+    normalizer: str = "minmax",
+    rank_window_size: int = 100,
+    k: int = 10,
+) -> DataFrame:
+    """Linear retriever (x-pack ``LinearRetrieverBuilder.java``): fused
+    score = Σ weight_i · normalize_i(score_i) over each retriever's top
+    window. Normalizers: "minmax" ((s−min)/(max−min) over the window),
+    "l2_norm" (s/‖s‖₂), "none". Same coordinator-small shape as rrf_fuse."""
+    weights = weights or [1.0] * len(frames)
+    parts = []
+    for f, w in zip(frames, weights):
+        rw = Window.orderBy(F.round(F.col(score_col), 6).desc(), F.col(id_col).asc())
+        top = (
+            f.select(id_col, score_col)
+            .withColumn("__rank", F.row_number().over(rw))
+            .where(F.col("__rank") <= rank_window_size)
+        )
+        wf = Window.partitionBy()
+        s = F.col(score_col)
+        if normalizer == "minmax":
+            mn, mx = F.min(s).over(wf), F.max(s).over(wf)
+            norm = F.when(mx > mn, (s - mn) / (mx - mn)).otherwise(F.lit(1.0))
+        elif normalizer == "l2_norm":
+            norm = s / F.sqrt(F.sum(s * s).over(wf))
+        else:
+            norm = s
+        parts.append(top.select(id_col, (F.lit(float(w)) * norm).alias("__c")))
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    return (
+        allr.groupBy(id_col)
+        .agg(
+            F.round(F.sum("__c"), 6).alias("linear_score"),
+            F.count("*").cast("int").alias("matched_rankers"),
+        )
+        .orderBy(F.desc("linear_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def rrf_fuse(
     frames: list[DataFrame],
     id_col: str = "doc_id",

@@ -1590,25 +1590,42 @@ def search(
     # rank. The fused frame re-enters the normal fetch path below.
     retr_fr = None
     if "retriever" in body:
-        rrf_spec = body["retriever"]["rrf"]
-        from ..operators.rank import rrf_fuse
+        (rmode, rspec), = body["retriever"].items()
+        from ..operators.rank import linear_fuse, rrf_fuse
 
-        frames = []
-        for r in rrf_spec.get("retrievers", []):
-            (rk, rbody), = r.items()
+        frames, weights = [], []
+        for r in rspec.get("retrievers", []):
+            if rmode == "linear" and "retriever" in r:
+                # linear retriever wraps entries as {retriever: {...}, weight}
+                weights.append(float(r.get("weight", 1.0)))
+                (rk, rbody), = r["retriever"].items()
+            else:
+                weights.append(float(r.get("weight", 1.0)) if isinstance(r, dict) and "weight" in r else 1.0)
+                (rk, rbody), = ((k2, v2) for k2, v2 in r.items() if k2 != "weight")
             if rk == "standard":
                 frames.append(parse(rbody["query"]).frame(ctx).select("__key", "_score"))
             elif rk == "knn":
                 frames.append(_knn_frame(rbody).select("__key", "_score"))
             else:
                 raise ValueError(f"unsupported retriever: {rk}")
-        fused = rrf_fuse(
-            frames, id_col="__key", score_col="_score",
-            rank_constant=int(rrf_spec.get("rank_constant", 60)),
-            rank_window_size=int(rrf_spec.get("rank_window_size", 100)),
-            k=size + from_,
-        )
-        retr_fr = fused.select("__key", F.col("rrf_score").alias("_score"))
+        if rmode == "rrf":
+            fused = rrf_fuse(
+                frames, id_col="__key", score_col="_score",
+                rank_constant=int(rspec.get("rank_constant", 60)),
+                rank_window_size=int(rspec.get("rank_window_size", 100)),
+                k=size + from_,
+            )
+            retr_fr = fused.select("__key", F.col("rrf_score").alias("_score"))
+        elif rmode == "linear":
+            fused = linear_fuse(
+                frames, id_col="__key", score_col="_score", weights=weights,
+                normalizer=rspec.get("normalizer", "minmax"),
+                rank_window_size=int(rspec.get("rank_window_size", 100)),
+                k=size + from_,
+            )
+            retr_fr = fused.select("__key", F.col("linear_score").alias("_score"))
+        else:
+            raise ValueError(f"unsupported retriever mode: {rmode}")
 
     knn_fr = None
     if retr_fr is None and "knn" in body:
@@ -1719,6 +1736,15 @@ def search(
     if from_:
         out = out.offset(from_)
     out = out.limit(size)
+    # script_fields (SearchSourceBuilder.scriptField / ScriptFieldsPhase):
+    # per-hit computed fields — fetch-phase withColumns over the (already
+    # top-k-small) result frame, sharing the Painless-analog script expansion
+    for sf_name, sf_spec in (body.get("script_fields") or {}).items():
+        script = sf_spec.get("script", sf_spec)
+        src = script["source"] if isinstance(script, dict) else script
+        params = script.get("params") if isinstance(script, dict) else None
+        out = out.withColumn(sf_name, F.expr(expand_script(src, params)))
+
     if "_source" in body:
         # FetchSourceContext.java: list form = includes; dict form =
         # includes/excludes with * wildcards; false = metadata only.
@@ -1730,17 +1756,18 @@ def search(
                 re.fullmatch(re.escape(p).replace(r"\*", ".*"), col) for p in pats
             )
 
+        script_cols = list(body.get("script_fields") or {})
         if src is False:
-            keep = [key, "_score"]
+            keep = [key, "_score"] + script_cols
         elif isinstance(src, dict):
             inc = src.get("includes") or ["*"]
             exc = src.get("excludes") or []
-            keep = [key, "_score"] + [
+            keep = [key, "_score"] + script_cols + [
                 c for c in df.columns
                 if _match(c, inc) and not _match(c, exc)
             ]
         else:
-            keep = [key, "_score"] + [
+            keep = [key, "_score"] + script_cols + [
                 c for c in df.columns if _match(c, list(src))
             ]
         out = out.select(*dict.fromkeys(k for k in keep if k in out.columns))

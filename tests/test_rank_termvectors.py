@@ -194,3 +194,41 @@ def test_source_filtering_includes_excludes(spark):
 def test_profile_returns_spark_plan(es):
     res = es.search("pages", {"query": {"match": {"text": "spark"}}, "profile": True})
     assert "Physical Plan" in res["profile"]["hits_plan"]
+
+
+def test_linear_retriever_minmax(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark", [1.0, 0.0]),
+            (2, "spark", [0.8, 0.2]),
+            (3, "nothing", [0.0, 1.0]),
+        ],
+        "doc_id long, text string, vec array<double>",
+    )
+    body = {
+        "retriever": {"linear": {
+            "retrievers": [
+                {"retriever": {"standard": {"query": {"match": {"text": "spark"}}}}, "weight": 2.0},
+                {"retriever": {"knn": {"field": "vec", "query_vector": [1.0, 0.0], "k": 3}}, "weight": 1.0},
+            ],
+            "normalizer": "minmax",
+        }},
+        "size": 3,
+    }
+    hits = dsl.search(spark, df, body).collect()
+    got = {r.doc_id: r._score for r in hits}
+    # bm25 minmax: doc1=1, doc2=0; knn cosines: doc1=1, doc2=0.8/√0.68,
+    # doc3=0 → minmax keeps them (range is [0,1] already)
+    assert got[1] == 3.0
+    assert got[2] == round(0.8 / (0.68 ** 0.5), 6)
+    assert got[3] == 0.0
+
+
+def test_script_fields(spark):
+    df = spark.createDataFrame([(1, "a b c", 3)], "doc_id long, text string, n long")
+    out = dsl.search(spark, df, {
+        "query": {"match_all": {}},
+        "script_fields": {"n2": {"script": {"source": "n * 2"}}},
+        "_source": ["text"],
+    }).collect()[0]
+    assert out.n2 == 6 and out.text == "a b c"
