@@ -325,10 +325,92 @@ TOKENIZERS = {
     "uax_url_email": uax_url_email_tokenize,
 }
 
+_TOKEN_CHAR_CLASSES = {
+    "letter": lambda c: c.isalpha(),
+    "digit": lambda c: c.isdigit(),
+    "whitespace": lambda c: c.isspace(),
+    "punctuation": lambda c: not (c.isalnum() or c.isspace()),
+    "symbol": lambda c: not (c.isalnum() or c.isspace()),
+}
+
+
+def _char_runs(text: str, token_chars: list[str]) -> list[str]:
+    """Split text into maximal runs of characters in the allowed classes
+    (NGramTokenizer.isTokenChar); empty token_chars = keep everything."""
+    if not token_chars:
+        return [text] if text else []
+    preds = [_TOKEN_CHAR_CLASSES[t] for t in token_chars]
+    runs, buf = [], []
+    for c in text:
+        if any(p(c) for p in preds):
+            buf.append(c)
+        elif buf:
+            runs.append("".join(buf))
+            buf = []
+    if buf:
+        runs.append("".join(buf))
+    return runs
+
+
+def make_ngram_tokenizer(min_gram: int = 1, max_gram: int = 2, token_chars: list | None = None):
+    """ngram tokenizer (NGramTokenizerFactory.java): sliding n-grams over
+    character runs of the allowed classes (default: the whole text)."""
+    tc = list(token_chars or [])
+
+    def fn(text: str) -> list[str]:
+        out = []
+        for run in _char_runs(text.lower(), tc):
+            for n in range(min_gram, max_gram + 1):
+                out.extend(run[i : i + n] for i in range(len(run) - n + 1))
+        return out
+
+    return fn
+
+
+def make_edge_ngram_tokenizer(min_gram: int = 1, max_gram: int = 2, token_chars: list | None = None):
+    """edge_ngram tokenizer (EdgeNGramTokenizerFactory.java): prefixes of
+    each character run, min_gram..max_gram."""
+    tc = list(token_chars or [])
+
+    def fn(text: str) -> list[str]:
+        out = []
+        for run in _char_runs(text.lower(), tc):
+            out.extend(run[:n] for n in range(min_gram, min(max_gram, len(run)) + 1))
+        return out
+
+    return fn
+
+
+def make_simple_pattern_tokenizer(pattern: str = ""):
+    """simple_pattern tokenizer: regex MATCHES are the tokens (the
+    restricted-syntax Lucene SimplePatternTokenizer; full `re` accepted
+    here — a superset, documented)."""
+    rx = re.compile(pattern)
+
+    def fn(text: str) -> list[str]:
+        return [m for m in rx.findall(text.lower()) if m]
+
+    return fn
+
+
+def make_simple_pattern_split_tokenizer(pattern: str = ""):
+    """simple_pattern_split tokenizer: regex matches are the SEPARATORS."""
+    rx = re.compile(pattern)
+
+    def fn(text: str) -> list[str]:
+        return [t for t in rx.split(text.lower()) if t]
+
+    return fn
+
+
 TOKENIZER_FACTORIES = {
     "pattern": make_pattern_tokenizer,
     "char_group": make_char_group_tokenizer,
     "path_hierarchy": make_path_hierarchy_tokenizer,
+    "ngram": make_ngram_tokenizer,
+    "edge_ngram": make_edge_ngram_tokenizer,
+    "simple_pattern": make_simple_pattern_tokenizer,
+    "simple_pattern_split": make_simple_pattern_split_tokenizer,
 }
 
 

@@ -313,3 +313,18 @@ def test_normalizer():
     analysis.register_normalizer("kw_norm", filters=["lowercase", "asciifolding"])
     assert analysis.normalize("Zürich-Stadt", "kw_norm") == "zurich-stadt"
     assert analysis.normalize("ABC", "lowercase") == "abc"
+
+
+def test_ngram_edge_ngram_tokenizers():
+    analysis.register_analyzer("ngt", tokenizer=("ngram", {"min_gram": 2, "max_gram": 3, "token_chars": ["letter"]}))
+    got = analysis.analyze("ab cd1", "ngt")
+    assert got == ["ab", "cd"]  # runs: "ab", "cd" (digit breaks the run)
+    analysis.register_analyzer("egt", tokenizer=("edge_ngram", {"min_gram": 1, "max_gram": 3, "token_chars": ["letter", "digit"]}))
+    assert analysis.analyze("Spark 42", "egt") == ["s", "sp", "spa", "4", "42"]
+
+
+def test_simple_pattern_tokenizers():
+    analysis.register_analyzer("spt", tokenizer=("simple_pattern", {"pattern": "[0-9]{3}"}))
+    assert analysis.analyze("fd-786-335-514-x", "spt") == ["786", "335", "514"]
+    analysis.register_analyzer("spst", tokenizer=("simple_pattern_split", {"pattern": "_"}))
+    assert analysis.analyze("an_underscored_phrase", "spst") == ["an", "underscored", "phrase"]
