@@ -141,26 +141,26 @@ class Engine:
     def create_index(
         self,
         index: str,
-        analyzer: str = "standard",
+        analyzer: str | None = None,
         analyzer_filters: list | None = None,
-        num_partitions: int = 8,
+        num_partitions: int | None = None,
         index_sort: tuple | None = None,
     ) -> None:
         """PUT /{index} — registers settings (including ``index.sort``);
         the physical build happens on the first bulk (segments are created
-        per bulk batch). A matching index template supplies defaults for
-        any setting not given explicitly."""
+        per bulk batch). Settings not given explicitly (left None) come
+        from the highest-priority matching index template, then the
+        engine defaults — an explicitly passed value always wins."""
         tmpl = self._match_template(index)
-        if tmpl:
-            s = tmpl["settings"]
-            if analyzer == "standard" and "analyzer" in s:
-                analyzer = s["analyzer"]
-            if analyzer_filters is None and "analyzer_filters" in s:
-                analyzer_filters = s["analyzer_filters"]
-            if num_partitions == 8 and "num_partitions" in s:
-                num_partitions = int(s["num_partitions"])
-            if index_sort is None and "index_sort" in s:
-                index_sort = tuple(s["index_sort"])
+        s = tmpl["settings"] if tmpl else {}
+        if analyzer is None:
+            analyzer = s.get("analyzer", "standard")
+        if analyzer_filters is None:
+            analyzer_filters = s.get("analyzer_filters")
+        if num_partitions is None:
+            num_partitions = int(s.get("num_partitions", 8))
+        if index_sort is None and "index_sort" in s:
+            index_sort = tuple(s["index_sort"])
         if analyzer_filters:
             analysis.register_analyzer(index + "__analyzer", analyzer, analyzer_filters)
             analyzer = index + "__analyzer"
@@ -587,10 +587,13 @@ class Engine:
 
         from .plans.esql import esql as esql_run
 
-        m = re.match(r"\s*FROM\s+([\w\-.*]+)", query, re.I)
+        # every index-like name the pipe references resolves to a live view:
+        # FROM plus any ENRICH <policy> ON / LOOKUP JOIN <index> ON targets
+        names = re.findall(r"\bFROM\s+([\w\-.*]+)", query, re.I)
+        names += re.findall(r"\bENRICH\s+([\w\-.*]+)\s+ON\b", query, re.I)
+        names += re.findall(r"\bLOOKUP\s+JOIN\s+([\w\-.*]+)\s+ON\b", query, re.I)
         tables = {}
-        if m:
-            name = m.group(1)
+        for name in dict.fromkeys(names):
             concrete = self.resolve(name)
             if len(concrete) == 1:
                 tables[name] = self._docs_view(concrete[0])

@@ -19,6 +19,41 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _fuse(
+    parts: list[DataFrame],
+    id_col: str,
+    out_col: str,
+    k: int,
+) -> DataFrame:
+    """Shared fusion tail: union the per-retriever contribution frames
+    (id_col, __c), sum per document, and order by (score DESC, id ASC) —
+    the single place the tie-break and rounding conventions live."""
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    return (
+        allr.groupBy(id_col)
+        .agg(
+            F.round(F.sum("__c"), 6).alias(out_col),
+            F.count("*").cast("int").alias("matched_rankers"),
+        )
+        .orderBy(F.desc(out_col), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _rank_window(f: DataFrame, id_col: str, score_col: str, window: int) -> DataFrame:
+    """Per-retriever top window: scores rounded to 6 dp before ranking so
+    float summation noise cannot flip a rank, id ASC tie-break (the
+    reference's shard-doc tie-break, ``RRFRankShardContext.java``)."""
+    w = Window.orderBy(F.round(F.col(score_col), 6).desc(), F.col(id_col).asc())
+    return (
+        f.select(id_col, score_col)
+        .withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= window)
+    )
+
+
 def linear_fuse(
     frames: list[DataFrame],
     id_col: str = "doc_id",
@@ -35,12 +70,7 @@ def linear_fuse(
     weights = weights or [1.0] * len(frames)
     parts = []
     for f, w in zip(frames, weights):
-        rw = Window.orderBy(F.round(F.col(score_col), 6).desc(), F.col(id_col).asc())
-        top = (
-            f.select(id_col, score_col)
-            .withColumn("__rank", F.row_number().over(rw))
-            .where(F.col("__rank") <= rank_window_size)
-        )
+        top = _rank_window(f, id_col, score_col, rank_window_size)
         wf = Window.partitionBy()
         s = F.col(score_col)
         if normalizer == "minmax":
@@ -51,18 +81,7 @@ def linear_fuse(
         else:
             norm = s
         parts.append(top.select(id_col, (F.lit(float(w)) * norm).alias("__c")))
-    allr = parts[0]
-    for p in parts[1:]:
-        allr = allr.unionByName(p)
-    return (
-        allr.groupBy(id_col)
-        .agg(
-            F.round(F.sum("__c"), 6).alias("linear_score"),
-            F.count("*").cast("int").alias("matched_rankers"),
-        )
-        .orderBy(F.desc("linear_score"), F.asc(id_col))
-        .limit(k)
-    )
+    return _fuse(parts, id_col, "linear_score", k)
 
 
 def rrf_fuse(
@@ -73,31 +92,12 @@ def rrf_fuse(
     rank_window_size: int = 100,
     k: int = 10,
 ) -> DataFrame:
-    """Fuse ranked retriever results. Each frame needs (id_col, score_col);
-    scores are rounded to 6 dp before ranking so float summation noise
-    cannot flip a rank, with id ASC as the deterministic tie-break (the
-    reference's shard-doc tie-break, ``RRFRankShardContext.java``)."""
-    ranked = []
-    for f in frames:
-        w = Window.orderBy(F.round(F.col(score_col), 6).desc(), F.col(id_col).asc())
-        ranked.append(
-            f.select(id_col, score_col)
-            .withColumn("__rank", F.row_number().over(w))
-            .where(F.col("__rank") <= rank_window_size)
-            .select(
-                id_col,
-                (1.0 / (F.lit(rank_constant) + F.col("__rank"))).alias("__rrf"),
-            )
+    """Fuse ranked retriever results by reciprocal rank: each retriever
+    contributes 1/(rank_constant + rank) for its top window."""
+    parts = [
+        _rank_window(f, id_col, score_col, rank_window_size).select(
+            id_col, (1.0 / (F.lit(rank_constant) + F.col("__rank"))).alias("__c")
         )
-    allr = ranked[0]
-    for r in ranked[1:]:
-        allr = allr.unionByName(r)
-    return (
-        allr.groupBy(id_col)
-        .agg(
-            F.round(F.sum("__rrf"), 6).alias("rrf_score"),
-            F.count("*").cast("int").alias("matched_rankers"),
-        )
-        .orderBy(F.desc("rrf_score"), F.asc(id_col))
-        .limit(k)
-    )
+        for f in frames
+    ]
+    return _fuse(parts, id_col, "rrf_score", k)

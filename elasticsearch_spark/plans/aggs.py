@@ -390,9 +390,17 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         # computed haversine column — one narrow projection + one groupBy.
         origin = body["origin"]
         olat, olon = float(origin["lat"]), float(origin["lon"])
-        unit_m = {"m": 1.0, "km": 1000.0, "mi": 1609.344, "ft": 0.3048}[
-            body.get("unit", "m")
-        ]
+        units = {
+            "m": 1.0, "km": 1000.0, "mi": 1609.344, "ft": 0.3048,
+            "yd": 0.9144, "in": 0.0254, "cm": 0.01, "mm": 0.001,
+            "nmi": 1852.0,  # DistanceUnit.java's full unit set
+        }
+        unit = body.get("unit", "m")
+        if unit not in units:
+            raise ValueError(
+                f"geo_distance: unsupported unit {unit!r} (supported: {sorted(units)})"
+            )
+        unit_m = units[unit]
         if "lat_field" in body:
             lat_c, lon_c = F.col(body["lat_field"]), F.col(body["lon_field"])
         else:

@@ -77,15 +77,56 @@ _FN_SIMPLE = {
 }
 
 
+_LIT_RE = re.compile(r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'')
+
+
+def _rewrite_call(e: str, name: str, fn) -> str:
+    """Rewrite every `name(...)` call with BALANCED-paren argument capture:
+    fn receives the list of top-level argument strings and returns the
+    replacement text. Handles nested calls the paren-free regexes can't."""
+    out, i = [], 0
+    pat = re.compile(rf"\b{name}\s*\(", flags=re.I)
+    while True:
+        m = pat.search(e, i)
+        if not m:
+            out.append(e[i:])
+            return "".join(out)
+        out.append(e[i : m.start()])
+        depth, j = 1, m.end()
+        while j < len(e) and depth:
+            if e[j] == "(":
+                depth += 1
+            elif e[j] == ")":
+                depth -= 1
+            j += 1
+        args = [a.strip() for a in _split_top(e[m.end() : j - 1], ",")]
+        out.append(fn(args))
+        i = j
+
+
 def _xlate(expr: str) -> str:
-    """ES|QL expression → Spark SQL expression (textual, dialect-bridging)."""
-    e = expr
-    # MATCH(field, "q terms") in WHERE (ES|QL fulltext, 8.18 MatchFunction):
+    """ES|QL expression → Spark SQL expression (textual, dialect-bridging).
+
+    String literals are extracted to placeholders FIRST so no dialect
+    rewrite (==, function names, wildcards) can corrupt literal content;
+    they are substituted back single-quoted at the end."""
+    lits: list[str] = []
+
+    def stash(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    e = _LIT_RE.sub(stash, expr)
+
+    def lit_content(tok: str) -> str | None:
+        m = re.fullmatch(r"\x00(\d+)\x00", tok.strip())
+        return lits[int(m.group(1))][1:-1] if m else None
+
+    # MATCH(field, "q terms") (ES|QL fulltext, 8.18 MatchFunction):
     # filter-context semantics — any analyzed query term present in the
-    # field's token stream (the score-less match; scored search runs
-    # through the engine's WAND path, not ES|QL)
-    def match_sub(m: re.Match) -> str:
-        fld, q = m.group(1).strip(), m.group(2)[1:-1]
+    # field's token stream (scored search runs through the WAND path)
+    def match_fn(args: list[str]) -> str:
+        fld, q = args[0], lit_content(args[1]) or ""
         terms = re.findall(r"[a-z0-9]+", q.lower())
         arr = ", ".join(f"'{t}'" for t in terms)
         return (
@@ -93,42 +134,53 @@ def _xlate(expr: str) -> str:
             f" array({arr}))"
         )
 
-    e = re.sub(r"\bmatch\s*\(([^,()]+),\s*(\"[^\"]*\"|'[^']*')\s*\)",
-               match_sub, e, flags=re.I)
-    # == is ES|QL equality; Spark SQL accepts == too, but normalize anyway
+    e = _rewrite_call(e, "match", match_fn)
+    # == is ES|QL equality
     e = re.sub(r"(?<![=!<>])==", "=", e)
-    # LIKE "a*b?" → LIKE 'a%b_' (ES|QL wildcard dialect)
+    # LIKE <literal>: translate ES|QL wildcards * ? → SQL % _ in the literal
     def like_sub(m: re.Match) -> str:
-        pat = m.group(2)[1:-1].replace("%", r"\%").replace("_", r"\_")
-        pat = pat.replace("*", "%").replace("?", "_")
-        return f"{m.group(1)} LIKE '{pat}'"
+        idx = int(m.group(2))
+        pat = lits[idx][1:-1].replace("%", r"\%").replace("_", r"\_")
+        lits[idx] = '"' + pat.replace("*", "%").replace("?", "_") + '"'
+        return m.group(0)
 
-    e = re.sub(r"(\S+)\s+LIKE\s+(\"[^\"]*\"|'[^']*')", like_sub, e, flags=re.I)
-    # double-quoted strings → single-quoted SQL literals
-    e = re.sub(r'"((?:[^"\\]|\\.)*)"', lambda m: "'" + m.group(1).replace("'", "''") + "'", e)
+    e = re.sub(r"(\S+)\s+LIKE\s+\x00(\d+)\x00", like_sub, e, flags=re.I)
     # COUNT_DISTINCT(x) → count(distinct x)
-    e = re.sub(r"\bcount_distinct\s*\(", "count(distinct ", e, flags=re.I)
-    # PERCENTILE(x, 95) → percentile(x, 0.95) — BEFORE the MEDIAN rewrite so
-    # median's emitted percentile(·, 0.5) isn't rescaled again
-    def pct_sub(m: re.Match) -> str:
-        arg, p = m.group(1), float(m.group(2))
-        return f"percentile({arg}, {p / 100.0})"
-
-    e = re.sub(r"\bpercentile\s*\(([^,()]+),\s*([0-9.]+)\s*\)", pct_sub, e, flags=re.I)
-    # MEDIAN(x) → percentile(x, 0.5)
-    e = re.sub(r"\bmedian\s*\(([^()]*)\)", r"percentile(\1, 0.5)", e, flags=re.I)
-    # DATE_TRUNC(1 day, c) / DATE_TRUNC(1 hour, c) → date_trunc('day', c)
-    e = re.sub(
-        r"\bdate_trunc\s*\(\s*\d+\s+(\w+)s?\s*,\s*([^()]+)\)",
-        lambda m: f"date_trunc('{m.group(1).lower()}', {m.group(2)})", e, flags=re.I,
+    e = _rewrite_call(e, "count_distinct", lambda a: f"count(distinct {', '.join(a)})")
+    # PERCENTILE(x, 95) → percentile(x, 0.95) — before MEDIAN so median's
+    # emitted percentile(·, 0.5) isn't rescaled again
+    e = _rewrite_call(
+        e, "percentile", lambda a: f"percentile({a[0]}, {float(a[1]) / 100.0})"
     )
-    # TO_LONG/TO_INT/TO_DOUBLE(c) → cast(c as ...)
+    e = _rewrite_call(e, "median", lambda a: f"percentile({a[0]}, 0.5)")
+
+    # DATE_TRUNC(1 day, c) → date_trunc('day', c); plural units normalize
+    # ('3 hours' → 'hour'); a quantity > 1 is a span Spark's date_trunc
+    # can't express — reject loudly instead of returning NULL buckets
+    def dt_fn(args: list[str]) -> str:
+        im = re.fullmatch(r"(\d+)\s+([a-zA-Z]+)", args[0].strip())
+        if not im:
+            return f"date_trunc({', '.join(args)})"
+        qty, unit = int(im.group(1)), im.group(2).lower().rstrip("s")
+        if qty != 1:
+            raise ValueError(
+                f"DATE_TRUNC({args[0]}, …): only 1-unit intervals are supported"
+            )
+        return f"date_trunc('{unit}', {args[1]})"
+
+    e = _rewrite_call(e, "date_trunc", dt_fn)
+    # TO_LONG/TO_INT/TO_DOUBLE/TO_STRING(c) → cast(c as ...)
     for fn, t in (("to_long", "bigint"), ("to_int", "int"), ("to_double", "double"),
                   ("to_string", "string")):
-        e = re.sub(rf"\b{fn}\s*\(([^()]*)\)", rf"cast(\1 as {t})", e, flags=re.I)
+        e = _rewrite_call(e, fn, lambda a, t=t: f"cast({a[0]} as {t})")
     for fn, repl in _FN_SIMPLE.items():
         e = re.sub(rf"\b{fn}\s*\(", repl + "(", e, flags=re.I)
-    return e
+    # substitute literals back, single-quoted
+    def unstash(m: re.Match) -> str:
+        body = lits[int(m.group(1))][1:-1]
+        return "'" + body.replace("'", "''") + "'"
+
+    return re.sub(r"\x00(\d+)\x00", unstash, e)
 
 
 def esql(
@@ -249,7 +301,10 @@ def esql(
                 if em.group(3)
                 else [c for c in dim.columns if c != key_c]
             )
-            df = df.join(
+            # name clashes: the enriched field shadows the input's (the
+            # reference's override behavior)
+            clash = [c for c in with_cols if c in df.columns]
+            df = df.drop(*clash).join(
                 F.broadcast(dim.select(key_c, *with_cols)), key_c, "left"
             )
         elif cmd == "LOOKUP":
@@ -258,7 +313,11 @@ def esql(
             lm = re.match(r"JOIN\s+([\w\-.]+)\s+ON\s+(\w+)$", rest, flags=re.I)
             if not lm or not tables or lm.group(1) not in tables:
                 raise ValueError(f"unknown lookup index: {rest!r}")
-            df = df.join(F.broadcast(tables[lm.group(1)]), lm.group(2), "left")
+            dim = tables[lm.group(1)]
+            key_c = lm.group(2)
+            # lookup-side fields shadow same-named input fields
+            clash = [c for c in dim.columns if c != key_c and c in df.columns]
+            df = df.drop(*clash).join(F.broadcast(dim), key_c, "left")
         elif cmd == "MV_EXPAND":
             col = rest.strip()
             others = [c for c in df.columns if c != col]

@@ -272,14 +272,22 @@ def _apply_one(df: DataFrame, spec: dict) -> DataFrame:
             .withColumn(f"{tgt2}.device", device)
         )
     if kind == "dot_expander":
-        # DotExpanderProcessor: turn a literal "a.b" column into a struct
-        # a{b} (merging with an existing struct a if present)
-        leaf = f.split(".")[-1]
-        root = f[: -len(leaf) - 1]
-        entry = F.struct(F.col(f"`{f}`").alias(leaf))
+        # DotExpanderProcessor: turn a literal "a.b.c" column into nested
+        # structs a{b{c}}; merges new fields into an existing top-level
+        # struct (a same-named existing sub-field is not deep-merged —
+        # documented subset of the reference's recursive merge)
+        if "." not in f:
+            raise ValueError(f"dot_expander field has no dot: {f!r}")
+        parts = f.split(".")
+        root = parts[0]
+        inner: Column = F.col(f"`{f}`")
+        for p in reversed(parts[2:]):
+            inner = F.struct(inner.alias(p))
         if root in df.columns:
-            entry = F.struct(F.col(f"{root}.*"), F.col(f"`{f}`").alias(leaf))
-        return df.withColumn(root, entry).drop(F.col(f"`{f}`"))
+            new_root = F.struct(F.col(f"{root}.*"), inner.alias(parts[1]))
+        else:
+            new_root = F.struct(inner.alias(parts[1]))
+        return df.withColumn(root, new_root).drop(F.col(f"`{f}`"))
     if kind == "pipeline":
         # PipelineProcessor: invoke another (named) pipeline inline —
         # composition of processor lists

@@ -148,3 +148,41 @@ def test_match_function_in_where(spark):
     out = esql(spark, 'FROM d | WHERE MATCH(text, "spark merge") | KEEP id | SORT id ASC',
                {"d": df})
     assert [r.id for r in out.collect()] == [1, 3]
+
+
+def test_xlate_literal_protection_and_plural_units():
+    # rewrites must not touch string literals
+    assert _xlate('msg == "a==b"') == "msg = 'a==b'"
+    assert _xlate('msg == "median(x)"') == "msg = 'median(x)'"
+    # nested calls in function rewrites
+    assert _xlate("PERCENTILE(ABS(v), 95)") == "percentile(ABS(v), 0.95)"
+    assert _xlate("MEDIAN(ABS(v))") == "percentile(ABS(v), 0.5)"
+    # plural units normalize; multi-unit spans are rejected loudly
+    assert _xlate("DATE_TRUNC(1 hours, ts)") == "date_trunc('hour', ts)"
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        _xlate("DATE_TRUNC(3 hours, ts)")
+
+
+def test_engine_esql_enrich(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.api import Engine
+
+    eng = Engine(spark, root=str(tmp_path))
+    for idx, rows in (
+        ("pages", [("u1", "alpha beta", "en"), ("u2", "gamma", "de")]),
+        ("langs", [("l-en", "en English", "en"), ("l-de", "de German", "de")]),
+    ):
+        eng.create_index(idx, num_partitions=1)
+        docs = spark.createDataFrame(
+            rows, "url string, text string, lang string"
+        ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+        eng.bulk(idx, docs)
+    out = eng.esql(
+        'FROM pages | LOOKUP JOIN langs ON lang | KEEP url, lang | SORT lang ASC'
+    )
+    rows = out.collect()
+    assert [r.lang for r in rows] == ["de", "en"]
+    # lookup-side fields shadow the input's same-named fields
+    assert [r.url for r in rows] == ["l-de", "l-en"]

@@ -143,3 +143,11 @@ def test_dot_expander_and_pipeline_processor(spark):
     r = out.collect()[0]
     assert r.a.b == "x" and r.tag == "t"
     assert "a.b" not in out.columns
+
+
+def test_dot_expander_multi_level_and_no_dot(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, `a.b.c` string")
+    out = run_pipeline(df, [{"dot_expander": {"field": "a.b.c"}}])
+    assert out.collect()[0].a.b.c == "x"
+    with pytest.raises(ValueError):
+        run_pipeline(df, [{"dot_expander": {"field": "id"}}])
