@@ -913,6 +913,86 @@ class Engine:
             )
         return tv.orderBy("term")
 
+    def get(self, index: str, url: str) -> dict | None:
+        """GET /{index}/_doc/{id}: one document from the live view (the
+        realtime get; tombstone-masked like every read)."""
+        rows = self.mget(index, [url]).collect()
+        return rows[0].asDict(recursive=True) if rows else None
+
+    def update(self, index: str, url: str, doc: dict | None = None,
+               script_expr: str | None = None) -> dict:
+        """POST /{index}/_update/{id}: partial-doc merge or scripted update —
+        one-row op batch through the bulk op lifecycle (UpdateHelper.java:
+        fetch, merge, reindex-as-update)."""
+        cur = self.get(index, url)
+        if cur is None:
+            raise KeyError(f"document not found: {url}")
+        if doc:
+            cur.update(doc)
+        row = {k: cur.get(k) for k in ("url", "text", "lang", "warc_ts")}
+        updated = self.spark.createDataFrame(
+            [tuple(row.values())], "url string, text string, lang string, warc_ts timestamp"
+        ).select("url", F.lit("update").alias("op"), "text", "lang", "warc_ts")
+        if script_expr:
+            updated = updated.withColumn("text", F.expr(script_expr))
+        return ops_mod.apply_ops(self.spark, self._dir(index), updated)
+
+    def simulate_pipeline(self, processors: list[dict], docs: list[dict]) -> list[dict]:
+        """POST /_ingest/pipeline/_simulate: run a processor chain over
+        literal documents and return the transformed docs."""
+        from .sources.ingest_pipeline import run_pipeline
+
+        df = self.spark.createDataFrame(docs)
+        out = run_pipeline(df, processors)
+        return [r.asDict(recursive=True) for r in out.collect()]
+
+    def cat_indices(self) -> list[dict]:
+        """GET /_cat/indices: one row per index — docs.count, docs.deleted,
+        store.size, segments.count (driver-side metadata + one count per
+        index; same sources as _stats)."""
+        out = []
+        for idx in self.indices():
+            st = self.stats(idx)
+            out.append({
+                "index": idx,
+                "docs.count": st["docs"]["count"],
+                "docs.deleted": st["docs"]["deleted"],
+                "store.size": st["store"]["size_in_bytes"],
+                "segments.count": st["segments"]["count"],
+            })
+        return out
+
+    def mtermvectors(self, index: str, urls: list[str],
+                     term_statistics: bool = False) -> DataFrame:
+        """POST /{index}/_mtermvectors: termvectors for several documents in
+        ONE pass — the per-doc posexplode/groupBy runs over all requested
+        docs together (no per-id jobs), keyed by url."""
+        d = self._dir(index)
+        meta = store.IndexMeta.load(d)
+        docs = (
+            self._docs_view(index)
+            .where(F.col("url").isin(urls))
+            .select("url", analysis.tokens_udf(meta.analyzer)("text").alias("toks"))
+        )
+        tv = (
+            docs.select("url", F.posexplode("toks").alias("pos", "term"))
+            .groupBy("url", "term")
+            .agg(
+                F.count("*").cast("bigint").alias("term_freq"),
+                F.array_sort(F.collect_list("pos")).alias("positions"),
+            )
+        )
+        if term_statistics:
+            stats = self.spark.read.parquet(store.term_stats_path(d))
+            tv = tv.join(
+                F.broadcast(
+                    stats.join(tv.select("term").distinct(), "term", "left_semi")
+                ),
+                "term",
+                "left",
+            )
+        return tv.orderBy("url", "term")
+
     def stats(self, index: str) -> dict:
         """GET /{index}/_stats (docs + store + segments subset): live doc
         count, segment count, and on-disk store bytes — metadata plus one

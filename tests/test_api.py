@@ -383,3 +383,34 @@ def test_index_templates(spark, tmp_path):
     eng.create_index("logs-explicit", num_partitions=3)
     meta3 = store.IndexMeta.load(eng._dir("logs-explicit"))
     assert meta3.num_partitions == 3
+
+
+def test_get_update_cat_simulate_mtermvectors(es, spark):
+    # fresh docs so earlier mutating tests (delete/update_by_query) can't
+    # interfere with this one's expectations
+    es.bulk("pages", spark.createDataFrame(
+        [("x1", "grizzly bears eat honey honey", "en"),
+         ("x2", "polar bears eat seals", "en")],
+        "url string, text string, lang string",
+    ).withColumn("warc_ts", F.lit("2024-03-01").cast("timestamp")))
+    # get
+    doc = es.get("pages", "x1")
+    assert doc["text"].startswith("grizzly bears")
+    assert es.get("pages", "nope") is None
+    # cat_indices
+    cats = {c["index"]: c for c in es.cat_indices()}
+    assert cats["pages"]["docs.count"] >= 2
+    # simulate pipeline
+    out = es.simulate_pipeline(
+        [{"uppercase": {"field": "v"}}], [{"v": "abc"}, {"v": "x"}]
+    )
+    assert [d["v"] for d in out] == ["ABC", "X"]
+    # mtermvectors: one pass over two docs
+    tv = es.mtermvectors("pages", ["x1", "x2"], term_statistics=True)
+    rows = {(r.url, r.term): r for r in tv.collect()}
+    assert rows[("x1", "honey")].term_freq == 2
+    assert rows[("x1", "honey")].positions == [3, 4]
+    assert rows[("x1", "bears")].df >= 2 and rows[("x2", "bears")].df >= 2
+    # update (partial doc merge)
+    es.update("pages", "x2", doc={"text": "polar bears nap"})
+    assert es.get("pages", "x2")["text"] == "polar bears nap"
