@@ -140,6 +140,21 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = time.perf_counter() - t_all
+
+    # measurement-hygiene telemetry: this VM shares a host, and noisy
+    # neighbors show up as memory-bandwidth collapse (tools/membw_probe.py).
+    # Report the probe alongside the timings so a slow run is attributable:
+    # healthy < ~2 s; the recorded reference numbers in BENCH/BASELINE.md
+    # were measured at probe < 1 s.
+    import numpy as _np
+
+    _a = _np.zeros(200_000_000 // 8)
+    _t0 = time.perf_counter()
+    for _ in range(5):
+        _a = _a + 1.0
+    membw_probe_s = round(time.perf_counter() - _t0, 2)
+    del _a
+
     print(
         json.dumps(
             {
@@ -147,6 +162,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "membw_probe_s": membw_probe_s,
                 "sf": sf,
                 "cpus": cpus,
                 "index_pages": n_pages,
