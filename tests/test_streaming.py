@@ -163,3 +163,31 @@ def test_stateful_sessionize_stream(spark, tmp_path):
         assert (1, 1) in sessions and (2, 1) in sessions  # idle sessions closed
     finally:
         q.stop()
+
+
+def test_transform_continuous(spark, tmp_path):
+    from elasticsearch_spark.streaming.transform import transform_continuous
+
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "dest")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user string, value double"
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], schema
+    ).write.mode("append").parquet(src)
+    pivot = {
+        "group_by": {"user": {"terms": {"field": "user"}}},
+        "aggregations": {"total": {"sum": {"field": "value"}}},
+    }
+    r1 = transform_continuous(spark, src, schema, dest, pivot, ckpt)
+    got = {r.user: r.total for r in spark.read.parquet(dest).collect()}
+    assert got == {"a": 3.0, "b": 10.0}
+    assert r1["buckets"] == 2
+    # second wave of files: the SAME checkpoint folds only the new docs
+    # into the state store, and the dest reflects the full pivot
+    spark.createDataFrame([("a", 4.0), ("c", 7.0)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    transform_continuous(spark, src, schema, dest, pivot, ckpt)
+    got2 = {r.user: r.total for r in spark.read.parquet(dest).collect()}
+    assert got2 == {"a": 7.0, "b": 10.0, "c": 7.0}
