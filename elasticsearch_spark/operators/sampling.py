@@ -93,6 +93,47 @@ def source_mix(
     return df.where(h < rate_col * modulus)
 
 
+def flag_contaminated(
+    docs: DataFrame,
+    probes: DataFrame,
+    doc_key: str = "doc_id",
+    text_col: str = "text",
+    probe_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / LLaMA recipe):
+    flag a training document when any word n-gram of an evaluation probe
+    appears verbatim in it. Both sides tokenize with the same [a-z0-9]+
+    analyzer, n-grams are md5-hashed, and the flagging is one distinct
+    semi-join — docs explode to (doc, gram-hash) once, probes form the
+    (small) broadcast side. Returns the distinct contaminated doc keys.
+
+    Scale shape: the doc side is |corpus| × (tokens − n + 1) hashed rows but
+    never materialized wide (project-explode-hash in one codegen stage);
+    the probe gram set is benchmark-sized (thousands) → broadcast
+    semi-join, no shuffle of the corpus."""
+    tok = "regexp_extract_all(lower({c}), '[a-z0-9]+', 0)"
+
+    def grams(frame: DataFrame, key_cols: list[str], col: str) -> DataFrame:
+        t = F.expr(tok.format(c=col))
+        g = F.expr(
+            f"transform(sequence(0, size({tok.format(c=col)}) - {n}),"
+            f" i -> md5(array_join(slice({tok.format(c=col)}, i + 1, {n}), ' ')))"
+        )
+        return (
+            frame.where(F.size(t) >= n)
+            .select(*key_cols, F.explode(g).alias("__g"))
+        )
+
+    doc_grams = grams(docs, [doc_key], text_col)
+    probe_grams = grams(probes, [], probe_text_col).distinct()
+    return (
+        doc_grams.join(F.broadcast(probe_grams), "__g", "left_semi")
+        .select(doc_key)
+        .distinct()
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     key_col: str,

@@ -1966,6 +1966,17 @@ FROM events
     )
 
 
+def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any verbatim word
+    8-gram with the probe set (docs 0-4 standing in for an eval benchmark)
+    are flagged — one explode + broadcast semi-join, never an all-pairs."""
+    from .operators.sampling import flag_contaminated
+
+    docs = _docs(spark, sf_dir)
+    probes = docs.where(F.col("doc_id") < 5).select("text")
+    return flag_contaminated(docs, probes, n=8).orderBy("doc_id")
+
+
 ORACLES: dict[str, str] = {
     "match_or_bm25": _bm25_sql(_OR_TERMS),
     "rrf_hybrid": _bm25_cte(_OR_TERMS, msm=1) + """,
@@ -2054,6 +2065,16 @@ SELECT cast(ts AS DATE) AS day, event_type, count(*)::BIGINT AS n,
 FROM events
 WHERE event_type LIKE 'c%' AND value >= 10
 GROUP BY 1, 2 ORDER BY day, event_type LIMIT 50
+""",
+    "sample_decontaminate": f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+dg AS (
+  SELECT doc_id, unnest(list_transform(range(len(toks) - 7),
+         i -> md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')))) AS g
+  FROM tok WHERE len(toks) >= 8
+),
+pg AS (SELECT DISTINCT g FROM dg WHERE doc_id < 5)
+SELECT DISTINCT doc_id FROM dg JOIN pg USING (g) ORDER BY doc_id
 """,
     "sample_domain_cap": """
 WITH r AS (
@@ -3170,4 +3191,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_source_mix": t_source_mix,
     "sample_pack_sequences": t_pack_sequences,
     "esql_stats": q_esql_stats,
+    "sample_decontaminate": t_decontaminate,
 }

@@ -81,3 +81,25 @@ def test_pack_sequences_partition_scope_ids_distinct(spark):
     # offsets stay within budget, and (seq_id, seq_offset) is unique per doc
     assert all(0 <= r.seq_offset < 256 for r in rows)
     assert len({(r.seq_id, r.seq_offset) for r in rows}) == 40
+
+
+def test_flag_contaminated(spark):
+    from elasticsearch_spark.operators.sampling import flag_contaminated
+
+    probe_sent = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro text then {probe_sent} and more trailing words"),
+            (2, "completely unrelated content about databases and spark"),
+            (3, "the quick brown fox stops here"),  # only a 4-gram overlap
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([(probe_sent,)], "text string")
+    flagged = [r.doc_id for r in flag_contaminated(docs, probes, n=8).collect()]
+    assert flagged == [1]
+    # lowering n to 4 catches the partial overlap too
+    flagged4 = sorted(
+        r.doc_id for r in flag_contaminated(docs, probes, n=4).collect()
+    )
+    assert flagged4 == [1, 3]
