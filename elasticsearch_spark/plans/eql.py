@@ -87,6 +87,14 @@ def eql_search(
                 raise ValueError(f"unsupported EQL pipe: {kw}")
         return out
 
+    # `until [cat where cond]` (Sequence.java until-clause): an until event
+    # between a chain's first and last step discards the in-flight sequence
+    until_step = None
+    um = re.search(r"\buntil\s+(\[[^\]]*\])\s*$", body)
+    if um:
+        (until_step,) = _STEP_RE.findall(um.group(1))
+        body = body[: um.start()].rstrip()
+
     m = _SEQ_RE.match(body.strip())
     if not m:
         sm = _SIMPLE_RE.match(body.strip())
@@ -136,5 +144,22 @@ def eql_search(
         last = f"t{len(steps)}"
         span_us = int(span_s * 1_000_000)
         cur = cur.where(F.expr(f"timestampdiff(MICROSECOND, t1, {last})") <= span_us)
+    if until_step is not None:
+        ucat, ucond = until_step
+        u = df
+        if ucat not in ("*", "any"):
+            u = u.where(F.col(category_col) == ucat)
+        if ucond and ucond.strip() not in ("true",):
+            u = u.where(F.expr(_cond_to_sql(ucond)))
+        u = u.select(*[F.col(b) for b in by], F.col(ts_col).alias("__tu"))
+        last = f"t{len(steps)}"
+        # chains are keyed by (by, t1) — greedy-min made t1 unique per chain
+        bad = (
+            cur.join(u, by)
+            .where((F.col("__tu") > F.col("t1")) & (F.col("__tu") < F.col(last)))
+            .select(*by, "t1")
+            .distinct()
+        )
+        cur = cur.join(bad, by + ["t1"], "left_anti")
     names = by + ["t1"]
     return apply_pipes(cur.orderBy(*[F.col(n_).asc() for n_ in names]), names)

@@ -88,3 +88,35 @@ def test_tail_pipe_and_ms_maxspan(events, spark):
     rows = eql_search(fine, q).collect()
     # 900ms chain must NOT match a 500ms window; 300ms chain must
     assert {r["user_id"] for r in rows} == {11}
+
+
+def test_sequence_until(spark):
+    import datetime as dt2
+
+    base = dt2.datetime(2024, 2, 1, 9, 0, 0)
+    rows = [
+        # user 1: login → exfil, NO logout between → chain survives
+        (1, 1, "login", base),
+        (2, 1, "exfil", base + dt2.timedelta(minutes=20)),
+        # user 2: login → logout → exfil: until kills the chain
+        (3, 2, "login", base),
+        (4, 2, "logout", base + dt2.timedelta(minutes=5)),
+        (5, 2, "exfil", base + dt2.timedelta(minutes=20)),
+        # user 3: logout AFTER the chain completes → unaffected
+        (6, 3, "login", base),
+        (7, 3, "exfil", base + dt2.timedelta(minutes=10)),
+        (8, 3, "logout", base + dt2.timedelta(minutes=30)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = eql_search(
+        ev,
+        "sequence by user_id [login where true] [exfil where true] until [logout where true]",
+    ).collect()
+    assert sorted(r.user_id for r in out) == [1, 3]
+    # without until, user 2's chain matches too
+    out2 = eql_search(
+        ev, "sequence by user_id [login where true] [exfil where true]"
+    ).collect()
+    assert sorted(r.user_id for r in out2) == [1, 2, 3]
