@@ -83,7 +83,23 @@ class Engine:
     def __init__(self, spark: SparkSession, root: str = "/tmp/es_spark_indices"):
         self.spark = spark
         self.root = root
+        self._pits: dict[str, tuple[str, list[int]]] = {}
         os.makedirs(root, exist_ok=True)
+
+    # ---- point-in-time readers ---------------------------------------------
+
+    def open_pit(self, index: str, keep_alive: str = "1m") -> dict:
+        """POST /{index}/_pit: pin the CURRENT segment set. Segments are
+        immutable, so a search carrying this id sees exactly the documents
+        visible now, regardless of concurrent bulks/merges (the reference's
+        PointInTimeBuilder contract). keep_alive is accepted for API parity;
+        expiry is the caller's concern in this embedded engine."""
+        pid = f"pit~{index}~{len(self._pits)}"
+        self._pits[pid] = (index, store.list_segs(self._dir(index)))
+        return {"id": pid, "keep_alive": keep_alive}
+
+    def close_pit(self, pit_id: str) -> dict:
+        return {"succeeded": self._pits.pop(pit_id, None) is not None}
 
     def _dir(self, index: str) -> str:
         return os.path.join(self.root, index)
@@ -391,6 +407,11 @@ class Engine:
 
         ``index`` may be an alias: multi-index aliases fan out through
         ``search_multi`` (cross-index semantics)."""
+        pit_segs = None
+        if "pit" in body:
+            # a PIT id names both the index and the pinned segment set —
+            # the reference's search-with-pit drops the URL index the same way
+            index, pit_segs = self._pits[body["pit"]["id"]]
         concrete = self.resolve(index)
         if len(concrete) > 1:
             return {"hits": self.search_multi(concrete, body)}
@@ -435,7 +456,10 @@ class Engine:
             op = mspec.get("operator", "or") if isinstance(mspec, dict) else "or"
             meta = store.IndexMeta.load(d)
             terms = analysis.analyze(text, meta.analyzer)
-            hits = search_topk(self.spark, d, terms, k=size, operator=op, mode="wand")
+            hits = search_topk(
+                self.spark, d, terms, k=size, operator=op, mode="wand",
+                pit_segs=pit_segs,
+            )
             if body.get("highlight"):
                 docs_text = self._docs_view(index).select("url", "text")
                 hits = highlight_fn(hits.join(docs_text, "url"), terms).drop("text")

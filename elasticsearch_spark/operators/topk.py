@@ -368,13 +368,18 @@ def search_topk(
     doc_filter=None,
     fetch: bool = True,
     reader: IndexReader | None = None,
+    pit_segs: list[int] | None = None,
 ) -> DataFrame:
     """Multi-term BM25 top-k over the index (query-then-fetch lifecycle).
 
     doc_filter: optional fn(docs_df) -> Column — the bool.filter context,
     evaluated on the docs table (unscored, like the reference's filter
     clauses), restricting which docs may match.
-    """
+
+    pit_segs: optional pinned segment list (a point-in-time reader —
+    segments are immutable, so pinning the set at open time gives
+    repeatable reads across concurrent bulks, the reference's PIT
+    contract)."""
     meta = reader.meta if reader else store.IndexMeta.load(index_dir)
     terms = list(dict.fromkeys(query_terms))
     weights = (
@@ -389,7 +394,7 @@ def search_topk(
         # file-direct per-segment query phase (default): one task per
         # segment, zero shuffle — each task reads its own postings (term
         # filter pushed to parquet row groups) and norms from the store
-        segs = store.list_segs(index_dir)
+        segs = pit_segs if pit_segs is not None else store.list_segs(index_dir)
         fn = _segment_task_scorer(index_dir, weights, meta.avgdl, meta.k1, meta.b, k, msm, mode)
         n_tasks = max(1, min(len(segs), spark.sparkContext.defaultParallelism))
         # parallelize with an explicit slice count instead of

@@ -414,3 +414,26 @@ def test_get_update_cat_simulate_mtermvectors(es, spark):
     # update (partial doc merge)
     es.update("pages", "x2", doc={"text": "polar bears nap"})
     assert es.get("pages", "x2")["text"] == "polar bears nap"
+
+
+def test_point_in_time_pins_segments(spark, tmp_path):
+    eng = Engine(spark, root=str(tmp_path))
+    eng.create_index("pit_idx", num_partitions=1)
+    eng.bulk("pit_idx", spark.createDataFrame(
+        [("p1", "alpha target words", "en")],
+        "url string, text string, lang string",
+    ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp")))
+    pit = eng.open_pit("pit_idx")
+    # a doc indexed AFTER the PIT opened is invisible to PIT searches
+    eng.bulk("pit_idx", spark.createDataFrame(
+        [("p2", "another target document", "en")],
+        "url string, text string, lang string",
+    ).withColumn("warc_ts", F.lit("2024-01-02").cast("timestamp")))
+    live = eng.search("pit_idx", {"query": {"match": {"text": "target"}}, "size": 10})
+    assert live["hits"].count() == 2
+    pinned = eng.search("pit_idx", {
+        "query": {"match": {"text": "target"}}, "size": 10,
+        "pit": {"id": pit["id"]},
+    })
+    assert [r.url for r in pinned["hits"].collect()] == ["p1"]
+    assert eng.close_pit(pit["id"])["succeeded"] is True
