@@ -91,9 +91,12 @@ class Engine:
     def open_pit(self, index: str, keep_alive: str = "1m") -> dict:
         """POST /{index}/_pit: pin the CURRENT segment set. Segments are
         immutable, so a search carrying this id sees exactly the documents
-        visible now, regardless of concurrent bulks/merges (the reference's
-        PointInTimeBuilder contract). keep_alive is accepted for API parity;
-        expiry is the caller's concern in this embedded engine."""
+        visible now regardless of concurrent bulks (the reference's
+        PointInTimeBuilder contract). A forcemerge that expunges pinned
+        segments invalidates the PIT — this embedded engine does not
+        refcount segment files the way the reference's store does.
+        keep_alive is accepted for API parity; expiry is the caller's
+        concern."""
         pid = f"pit~{index}~{len(self._pits)}"
         self._pits[pid] = (index, store.list_segs(self._dir(index)))
         return {"id": pid, "keep_alive": keep_alive}
