@@ -279,9 +279,20 @@ class RegexpQ(Leaf):
 class FuzzyQ(Leaf):
     value: str = ""
     fuzziness: int = 2
+    prefix_length: int = 0
+    transpositions: bool = True  # accepted for parity; levenshtein ≥ OSA
 
     def predicate(self, ctx):  # FuzzyQueryBuilder.java
-        return F.levenshtein(F.col(self.fld), F.lit(self.value)) <= self.fuzziness
+        pred = F.levenshtein(F.col(self.fld), F.lit(self.value)) <= self.fuzziness
+        if self.prefix_length > 0:
+            # FuzzyQuery prefixLength: candidates must share the initial
+            # prefix verbatim — the cheap guard the reference uses to prune
+            # the automaton expansion
+            pred = pred & (
+                F.substring(F.col(self.fld), 1, self.prefix_length)
+                == self.value[: self.prefix_length]
+            )
+        return pred
 
 
 @dataclass
@@ -1329,7 +1340,11 @@ def parse(q: dict) -> Node:
                        case_insensitive=ci)
     if kind == "fuzzy":
         (fld, spec), = body.items()
-        return FuzzyQ(fld, value=spec["value"], fuzziness=int(spec.get("fuzziness", 2)))
+        return FuzzyQ(
+            fld, value=spec["value"], fuzziness=int(spec.get("fuzziness", 2)),
+            prefix_length=int(spec.get("prefix_length", 0)),
+            transpositions=bool(spec.get("transpositions", True)),
+        )
     if kind == "match":
         (fld, spec), = body.items()
         if isinstance(spec, str):

@@ -188,3 +188,20 @@ def test_case_insensitive_flags(spark):
     assert ids({"prefix": {"tag": {"value": "al", "case_insensitive": True}}}) == {1, 2}
     assert ids({"wildcard": {"tag": {"value": "A*A", "case_insensitive": True}}}) == {1, 2}
     assert ids({"regexp": {"tag": {"value": "al.+", "case_insensitive": True}}}) == {1, 2}
+
+
+def test_fuzzy_prefix_length(spark):
+    from elasticsearch_spark.plans import dsl
+
+    df = spark.createDataFrame(
+        [(1, "spark"), (2, "stark"), (3, "sharp"), (4, "qpark")],
+        "doc_id long, word string",
+    )
+    # fuzziness 1, no prefix guard: spark/stark/qpark all within 1 edit
+    out = dsl.search(spark, df, {"query": {"fuzzy": {"word": {
+        "value": "spark", "fuzziness": 1}}}, "size": 10})
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2, 4]
+    # prefix_length=1 requires the first char to match verbatim → drops qpark
+    out2 = dsl.search(spark, df, {"query": {"fuzzy": {"word": {
+        "value": "spark", "fuzziness": 1, "prefix_length": 1}}}, "size": 10})
+    assert sorted(r.doc_id for r in out2.collect()) == [1, 2]
