@@ -28,6 +28,7 @@ only what the plan needs.
 from __future__ import annotations
 
 import math
+import re
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -199,7 +200,31 @@ def _bucket_col(spec: dict):
         unit = {"1d": "day", "day": "day", "1h": "hour", "hour": "hour",
                 "month": "month", "1M": "month", "week": "week", "year": "year",
                 "minute": "minute", "1m": "minute"}[iv]
-        return F.date_trunc(unit, F.col(f)).alias("key"), ("date_histogram", body)
+        c = F.col(f)
+        tz = body.get("time_zone")
+        if tz:
+            # DateHistogramAggregationBuilder time_zone: bucket boundaries
+            # are local-time midnights — shift in, truncate, shift back
+            key = F.to_utc_timestamp(
+                F.date_trunc(unit, F.from_utc_timestamp(c, tz)), tz
+            )
+        else:
+            key = F.date_trunc(unit, c)
+        off = body.get("offset")
+        if off:
+            # offset like "+6h"/"-30m": buckets start offset past the
+            # rounded boundary (docs before it fall into the prior bucket)
+            m_off = re.fullmatch(r"([+-]?)(\d+)([smhd])", str(off))
+            sec = int(m_off.group(2)) * {"s": 1, "m": 60, "h": 3600, "d": 86400}[m_off.group(3)]
+            if m_off.group(1) == "-":
+                sec = -sec
+            shifted = F.from_unixtime(F.unix_timestamp(c) - sec).cast("timestamp")
+            base = (
+                F.to_utc_timestamp(F.date_trunc(unit, F.from_utc_timestamp(shifted, tz)), tz)
+                if tz else F.date_trunc(unit, shifted)
+            )
+            key = F.from_unixtime(F.unix_timestamp(base) + sec).cast("timestamp")
+        return key.alias("key"), ("date_histogram", body)
     if kind == "missing":
         return F.col(f).isNull().alias("key"), ("missing", body)
     raise ValueError(f"unsupported bucket agg: {kind}")

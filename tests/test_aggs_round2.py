@@ -313,3 +313,30 @@ def test_multi_match_phrase_types(spark):
     pp = dsl.parse({"multi_match": {"query": "big dat", "type": "phrase_prefix",
                                     "fields": ["a", "b"]}})
     assert {r["__key"] for r in pp.frame(ctx).collect()} == {1, 2}
+
+
+def test_date_histogram_time_zone_and_offset(spark):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.plans.aggs import aggregate
+
+    # 2024-01-01 23:30 UTC = 2024-01-02 00:30 in +01:00 → local-day bucket
+    df = spark.createDataFrame(
+        [("2024-01-01 23:30:00",), ("2024-01-01 10:00:00",)], "ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = aggregate(df, {"d": {"date_histogram": {
+        "field": "ts", "calendar_interval": "1d", "time_zone": "+01:00",
+    }}})["d"].orderBy("key").collect()
+    assert [str(r.key) for r in out] == [
+        "2023-12-31 23:00:00", "2024-01-01 23:00:00"]
+    assert [r.doc_count for r in out] == [1, 1]
+    # offset +6h: the day bucket starts at 06:00 — a 05:00 doc belongs to
+    # the PREVIOUS day's offset bucket
+    df2 = spark.createDataFrame(
+        [("2024-01-02 05:00:00",), ("2024-01-02 07:00:00",)], "ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out2 = aggregate(df2, {"d": {"date_histogram": {
+        "field": "ts", "calendar_interval": "1d", "offset": "+6h",
+    }}})["d"].orderBy("key").collect()
+    assert [str(r.key) for r in out2] == [
+        "2024-01-01 06:00:00", "2024-01-02 06:00:00"]
