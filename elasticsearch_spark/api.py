@@ -589,6 +589,24 @@ class Engine:
 
     # ---- introspection / helpers -----------------------------------------
 
+    def analyze_adhoc(
+        self,
+        text: str,
+        tokenizer="standard",
+        filters: list | None = None,
+        char_filters: list | None = None,
+    ) -> list[str]:
+        """POST /_analyze with an inline chain definition (the request-body
+        tokenizer/filter form of TransportAnalyzeAction): build the chain
+        on the fly, no prior registration."""
+        tmp = "__adhoc_analyze"
+        analysis.register_analyzer(tmp, tokenizer, filters, char_filters)
+        try:
+            return analysis.analyze(text, tmp)
+        finally:
+            analysis.ANALYZERS.pop(tmp, None)
+            analysis.ANALYZER_CONFIGS.pop(tmp, None)
+
     def analyze(self, text: str, analyzer: str = "standard") -> list[dict]:
         """GET /_analyze (detail form)."""
         return analysis.analyze_detail(text, analyzer)

@@ -437,3 +437,12 @@ def test_point_in_time_pins_segments(spark, tmp_path):
     })
     assert [r.url for r in pinned["hits"].collect()] == ["p1"]
     assert eng.close_pit(pit["id"])["succeeded"] is True
+
+
+def test_analyze_adhoc(es):
+    toks = es.analyze_adhoc(
+        "The QUICK brown foxes",
+        tokenizer="standard",
+        filters=["stop", ("stemmer", {"language": "porter"})],
+    )
+    assert toks == ["quick", "brown", "fox"]
