@@ -25,6 +25,7 @@ view — the same split as the reference's query-then-fetch.
 
 from __future__ import annotations
 
+import itertools
 import os
 import shutil
 
@@ -84,21 +85,28 @@ class Engine:
         self.spark = spark
         self.root = root
         self._pits: dict[str, tuple[str, list[int]]] = {}
+        self._seq = itertools.count(1)  # monotonic ids (PITs, ad-hoc names)
         os.makedirs(root, exist_ok=True)
 
     # ---- point-in-time readers ---------------------------------------------
 
     def open_pit(self, index: str, keep_alive: str = "1m") -> dict:
         """POST /{index}/_pit: pin the CURRENT segment set. Segments are
-        immutable, so a search carrying this id sees exactly the documents
-        visible now regardless of concurrent bulks (the reference's
-        PointInTimeBuilder contract). A forcemerge that expunges pinned
-        segments invalidates the PIT — this embedded engine does not
-        refcount segment files the way the reference's store does.
-        keep_alive is accepted for API parity; expiry is the caller's
-        concern."""
-        pid = f"pit~{index}~{len(self._pits)}"
-        self._pits[pid] = (index, store.list_segs(self._dir(index)))
+        immutable, so a search carrying this id sees no documents ADDED
+        after the PIT opened. Scope vs the reference's PointInTimeBuilder:
+        deletes/updates are NOT pinned (tombstones apply live), and a
+        forcemerge that expunges pinned segments invalidates the PIT —
+        this embedded engine does not refcount segment files or snapshot
+        the liveDocs bitset. keep_alive is accepted for API parity; expiry
+        is the caller's concern."""
+        concrete = self.resolve(index)
+        if len(concrete) != 1:
+            raise ValueError(f"open_pit needs exactly one concrete index, got {concrete}")
+        segs = store.list_segs(self._dir(concrete[0]))
+        if not segs:
+            raise ValueError(f"open_pit: index has no segments: {concrete[0]}")
+        pid = f"pit~{concrete[0]}~{next(self._seq)}"
+        self._pits[pid] = (concrete[0], segs)
         return {"id": pid, "keep_alive": keep_alive}
 
     def close_pit(self, pit_id: str) -> dict:
@@ -414,7 +422,18 @@ class Engine:
         if "pit" in body:
             # a PIT id names both the index and the pinned segment set —
             # the reference's search-with-pit drops the URL index the same way
-            index, pit_segs = self._pits[body["pit"]["id"]]
+            pid = body["pit"]["id"]
+            if pid not in self._pits:
+                raise ValueError(f"unknown or closed PIT id: {pid}")
+            index, pit_segs = self._pits[pid]
+            (kind0, _), = body.get("query", {"match_all": {}}).items()
+            if kind0 != "match" or "sort" in body or "aggs" in body:
+                # only the index fast path threads the pinned segment set;
+                # refuse loudly rather than silently reading the live view
+                raise ValueError(
+                    "PIT searches support only a top-level match query "
+                    "without sort/aggs in this engine"
+                )
         concrete = self.resolve(index)
         if len(concrete) > 1:
             return {"hits": self.search_multi(concrete, body)}
@@ -598,8 +617,9 @@ class Engine:
     ) -> list[str]:
         """POST /_analyze with an inline chain definition (the request-body
         tokenizer/filter form of TransportAnalyzeAction): build the chain
-        on the fly, no prior registration."""
-        tmp = "__adhoc_analyze"
+        on the fly, no prior registration. Each call gets a unique registry
+        name so concurrent/reentrant calls can't clobber each other."""
+        tmp = f"__adhoc_analyze_{id(self)}_{next(self._seq)}"
         analysis.register_analyzer(tmp, tokenizer, filters, char_filters)
         try:
             return analysis.analyze(text, tmp)
@@ -931,32 +951,9 @@ class Engine:
         elasticsearch/action/termvectors/TermVectorsRequest.java``): per-term
         term_freq + ordered positions for one document, re-analyzed from the
         stored field with the index analyzer (``TermVectorsService.java``
-        does the same when vectors aren't stored). With term_statistics,
-        joins corpus df/cf from the dfs-phase stats table — a term-filtered
-        broadcast-sized read, never the full term dictionary."""
-        d = self._dir(index)
-        meta = store.IndexMeta.load(d)
-        doc = (
-            self._docs_view(index)
-            .where(F.col("url") == url)
-            .select("url", analysis.tokens_udf(meta.analyzer)("text").alias("toks"))
-        )
-        tv = (
-            doc.select(F.posexplode("toks").alias("pos", "term"))
-            .groupBy("term")
-            .agg(
-                F.count("*").cast("bigint").alias("term_freq"),
-                F.array_sort(F.collect_list("pos")).alias("positions"),
-            )
-        )
-        if term_statistics:
-            stats = self.spark.read.parquet(store.term_stats_path(d))
-            tv = tv.join(
-                F.broadcast(stats.join(tv.select("term"), "term", "left_semi")),
-                "term",
-                "left",
-            )
-        return tv.orderBy("term")
+        does the same when vectors aren't stored). One-doc case of
+        mtermvectors."""
+        return self.mtermvectors(index, [url], term_statistics).drop("url")
 
     def get(self, index: str, url: str) -> dict | None:
         """GET /{index}/_doc/{id}: one document from the live view (the

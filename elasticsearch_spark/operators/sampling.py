@@ -115,15 +115,17 @@ def flag_contaminated(
     tok = "regexp_extract_all(lower({c}), '[a-z0-9]+', 0)"
 
     def grams(frame: DataFrame, key_cols: list[str], col: str) -> DataFrame:
-        t = F.expr(tok.format(c=col))
+        # tokenize ONCE into a column — the regex over the full document is
+        # this operator's dominant cost and catalyst won't CSE it across
+        # the guard and the two lambda references
+        toked = frame.select(
+            *key_cols, F.expr(tok.format(c=col)).alias("__toks")
+        ).where(F.size("__toks") >= n)
         g = F.expr(
-            f"transform(sequence(0, size({tok.format(c=col)}) - {n}),"
-            f" i -> md5(array_join(slice({tok.format(c=col)}, i + 1, {n}), ' ')))"
+            f"transform(sequence(0, size(__toks) - {n}),"
+            f" i -> md5(array_join(slice(__toks, i + 1, {n}), ' ')))"
         )
-        return (
-            frame.where(F.size(t) >= n)
-            .select(*key_cols, F.explode(g).alias("__g"))
-        )
+        return toked.select(*key_cols, F.explode(g).alias("__g"))
 
     doc_grams = grams(docs, [doc_key], text_col)
     probe_grams = grams(probes, [], probe_text_col).distinct()

@@ -215,6 +215,11 @@ def _bucket_col(spec: dict):
             # offset like "+6h"/"-30m": buckets start offset past the
             # rounded boundary (docs before it fall into the prior bucket)
             m_off = re.fullmatch(r"([+-]?)(\d+)([smhd])", str(off))
+            if not m_off:
+                raise ValueError(
+                    f"date_histogram: unsupported offset {off!r} "
+                    "(supported: [+-]N followed by one of s/m/h/d)"
+                )
             sec = int(m_off.group(2)) * {"s": 1, "m": 60, "h": 3600, "d": 86400}[m_off.group(3)]
             if m_off.group(1) == "-":
                 sec = -sec

@@ -4,12 +4,20 @@ The reference's continuous transforms (``x-pack/plugin/transform/src/main/
 java/org/elasticsearch/xpack/transform/transforms/TransformIndexer.java``)
 re-run the pivot over documents newer than a checkpoint and upsert changed
 buckets into the dest index. Under Structured Streaming the same contract is
-native: a file stream over the index's segment files, a stateful streaming
-aggregation (Spark keeps the per-bucket partials in the state store), and a
-`complete`-mode foreachBatch sink that atomically replaces the dest table
-with the full up-to-date pivot each micro-batch. The checkpoint directory IS
-the transform checkpoint: a restart resumes from the last processed files
-and the state store, so each segment file is aggregated exactly once.
+native: a file stream over an APPEND-ONLY source directory, a stateful
+streaming aggregation (Spark keeps the per-bucket partials in the state
+store), and a `complete`-mode foreachBatch sink that atomically replaces the
+dest table with the full up-to-date pivot each micro-batch. The checkpoint
+directory IS the transform checkpoint: a restart resumes from the last
+processed files and the state store, so each source FILE is aggregated
+exactly once.
+
+Source contract: the glob must be append-only — new files only. Pointing it
+at a compacting directory (e.g. index segments that a forcemerge rewrites)
+double-counts merged docs, and tombstoned deletes are never retracted (the
+partials are additive — the same restriction the reference puts on
+continuous-mode ingest timestamps). Stream the ingest staging directory or a
+dedicated append log, not the post-merge segment store.
 
 Scale notes: the streaming aggregation shuffles once per micro-batch on the
 group keys (same as the batch pivot); state size = number of buckets ×
@@ -61,5 +69,10 @@ def transform_continuous(
         .start()
     )
     q.awaitTermination()
+    import os
+
+    if not os.path.exists(dest_path):
+        # no source files yet → no micro-batch fired, dest never written
+        return {"dest": dest_path, "buckets": 0}
     n = spark.read.parquet(dest_path).count()
     return {"dest": dest_path, "buckets": n}
