@@ -340,3 +340,31 @@ def test_date_histogram_time_zone_and_offset(spark):
     }}})["d"].orderBy("key").collect()
     assert [str(r.key) for r in out2] == [
         "2024-01-01 06:00:00", "2024-01-02 06:00:00"]
+
+
+def test_change_point_agg(spark):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.plans.aggs import aggregate
+
+    def run(vals):
+        rows = [(float(i), float(v)) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "b double, v double")
+        out = aggregate(df, {
+            "h": {"histogram": {"field": "b", "interval": 1},
+                  "aggs": {"m": {"avg": {"field": "v"}}}},
+            "cp": {"change_point": {"buckets_path": "h>m"}},
+        })["cp"].collect()[0]
+        return out
+
+    # clean step change at index 10
+    step = run([1.0] * 10 + [9.0] * 10)
+    assert step.type == "step_change"
+    assert step.key == "10"
+    assert step.p_value < 0.01
+    # single spike
+    spike = run([2.0] * 9 + [50.0] + [2.0] * 10)
+    assert spike.type == "spike" and spike.key == "9"
+    # stationary noise-free flat series
+    flat = run([3.0] * 20)
+    assert flat.type == "stationary"
