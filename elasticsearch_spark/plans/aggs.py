@@ -40,6 +40,10 @@ def _metric_cols(name: str, spec: dict) -> list:
     (kind, body), = spec.items()
     f = body.get("field")
     c = F.col(f) if f else None
+    if c is not None and "missing" in body:
+        # ValuesSourceAggregationBuilder `missing`: substitute for null
+        # values instead of skipping the doc
+        c = F.coalesce(c, F.lit(body["missing"]))
     if kind == "avg":
         return [F.avg(c).alias(name)]
     if kind == "sum":
@@ -190,6 +194,10 @@ def _bucket_col(spec: dict):
     (kind, body), = spec.items()
     f = body.get("field")
     if kind == "terms":
+        if "missing" in body:
+            # TermsAggregationBuilder `missing`: null keys bucket under the
+            # given value instead of being dropped
+            return F.coalesce(F.col(f), F.lit(body["missing"])), ("terms", body)
         return F.col(f), ("terms", body)
     if kind == "histogram":
         interval = body["interval"]

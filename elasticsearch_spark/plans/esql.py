@@ -318,6 +318,11 @@ def esql(
             # lookup-side fields shadow same-named input fields
             clash = [c for c in dim.columns if c != key_c and c in df.columns]
             df = df.drop(*clash).join(F.broadcast(dim), key_c, "left")
+        elif cmd == "SAMPLE":
+            # SAMPLE <fraction> (EsqlBaseParser sample command): Bernoulli
+            # row sample. Seeded for reproducibility across retries; a
+            # per-partition filter, no shuffle.
+            df = df.sample(fraction=float(rest.split()[0]), seed=42)
         elif cmd == "MV_EXPAND":
             col = rest.strip()
             others = [c for c in df.columns if c != col]

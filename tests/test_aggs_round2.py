@@ -368,3 +368,29 @@ def test_change_point_agg(spark):
     # stationary noise-free flat series
     flat = run([3.0] * 20)
     assert flat.type == "stationary"
+
+
+def test_missing_param_terms_and_metric(spark):
+    from elasticsearch_spark.plans.aggs import aggregate
+
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0), ("b", None)],
+        "lang string, v double",
+    )
+    out = aggregate(df, {"t": {
+        "terms": {"field": "lang", "missing": "N/A", "size": 10},
+        "aggs": {"s": {"sum": {"field": "v", "missing": 0.0}}},
+    }})["t"].collect()
+    got = {r.key: (r.doc_count, r.s) for r in out}
+    assert got == {"a": (1, 1.0), "N/A": (1, 2.0), "b": (1, 0.0)}
+
+
+def test_esql_sample(spark):
+    from elasticsearch_spark.plans.esql import esql
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    out = esql(spark, "FROM t | SAMPLE 0.2", {"t": df})
+    n = out.count()
+    assert 120 < n < 290
+    # seeded: two runs agree
+    assert esql(spark, "FROM t | SAMPLE 0.2", {"t": df}).count() == n
