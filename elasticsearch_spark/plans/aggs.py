@@ -1388,57 +1388,53 @@ def apply_sibling(frames: dict[str, DataFrame], name: str, spec: dict) -> DataFr
     if kind == "change_point":
         # x-pack ml ChangePointAggregationBuilder: detect THE change point
         # in a bucket series. Coordinator-side post-reduce over the (small)
-        # bucket frame, like the reference. Documented subset of its test
-        # battery: step_change = argmax standardized two-segment mean shift
-        # (CUSUM-style), spike/dip = a single extreme outlier vs the rest,
-        # stationary otherwise; p-value analog = two-tailed normal tail of
-        # the winning statistic.
-        import numpy as np
-
+        # bucket frame, like the reference.
         rows = frame.orderBy("key").select("key", col.alias("__v")).collect()
-        keys = [r["key"] for r in rows]
-        v = np.array([float(r["__v"]) for r in rows])
-        n_ = len(v)
+        t, idx, p = detect_change_point([float(r["__v"]) for r in rows])
         spark = frame.sparkSession
         schema = "type string, key string, p_value double"
-        if n_ < 4 or np.std(v) == 0:
-            return spark.createDataFrame([("stationary", None, 1.0)], schema)
-        sd = v.std(ddof=0)
-        # spike/dip: one point far from the REST's distribution (the rest's
-        # spread, not the whole series' — a big spike inflates global sd
-        # enough to hide itself)
-        med = np.median(v)
-        i_ext = int(np.abs(v - med).argmax())
-        rest = np.delete(v, i_ext)
-        denom = rest.std(ddof=0)
-        if denom == 0:
-            denom = max(abs(float(rest.mean())) * 1e-9, 1e-12)
-        z_ext = (v[i_ext] - rest.mean()) / denom
-        if abs(z_ext) > 10:
-            t = "spike" if z_ext > 0 else "dip"
-            return spark.createDataFrame([(t, str(keys[i_ext]), 0.0)], schema)
-        # step change: best split by standardized mean shift; a zero pooled
-        # variance with differing means is a PERFECT step, not a fallback
-        best_stat, best_i = 0.0, None
-        for i in range(2, n_ - 1):
-            a, b2 = v[:i], v[i:]
-            shift = abs(float(a.mean() - b2.mean()))
-            pooled = np.sqrt(a.var(ddof=0) / len(a) + b2.var(ddof=0) / len(b2))
-            if pooled == 0:
-                stat = float("inf") if shift > 0 else 0.0
-            else:
-                stat = shift / pooled
-            if stat > best_stat:
-                best_stat, best_i = stat, i
-        if best_stat > 4.0:
-            from math import erfc, sqrt
-
-            p = erfc(best_stat / sqrt(2.0))
-            return spark.createDataFrame(
-                [("step_change", str(keys[best_i]), round(p, 8))], schema
-            )
-        return spark.createDataFrame([("stationary", None, 1.0)], schema)
+        key = str(rows[idx]["key"]) if idx is not None else None
+        return spark.createDataFrame([(t, key, p)], schema)
     raise ValueError(f"unsupported sibling pipeline agg: {kind}")
+
+
+def detect_change_point(values: list[float]) -> tuple[str, int | None, float]:
+    """Change-point detector (documented subset of the reference's
+    ChangePointDetector test battery): spike/dip = a single extreme outlier
+    vs the REST's distribution (the rest's spread, not the whole series' —
+    a big spike inflates global sd enough to hide itself); step_change =
+    argmax standardized two-segment mean shift (CUSUM-style), with a zero
+    pooled variance + differing means treated as a perfect step; stationary
+    otherwise. Returns (type, index or None, p_value analog = two-tailed
+    normal tail of the winning statistic)."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=float)
+    n_ = len(v)
+    if n_ < 4 or np.std(v) == 0:
+        return "stationary", None, 1.0
+    med = np.median(v)
+    i_ext = int(np.abs(v - med).argmax())
+    rest = np.delete(v, i_ext)
+    denom = rest.std(ddof=0)
+    if denom == 0:
+        denom = max(abs(float(rest.mean())) * 1e-9, 1e-12)
+    z_ext = (v[i_ext] - rest.mean()) / denom
+    if abs(z_ext) > 10:
+        return ("spike" if z_ext > 0 else "dip"), i_ext, 0.0
+    best_stat, best_i = 0.0, None
+    for i in range(2, n_ - 1):
+        a, b2 = v[:i], v[i:]
+        shift = abs(float(a.mean() - b2.mean()))
+        pooled = np.sqrt(a.var(ddof=0) / len(a) + b2.var(ddof=0) / len(b2))
+        stat = (float("inf") if shift > 0 else 0.0) if pooled == 0 else shift / pooled
+        if stat > best_stat:
+            best_stat, best_i = stat, i
+    if best_stat > 4.0:
+        from math import erfc, sqrt
+
+        return "step_change", best_i, round(erfc(best_stat / sqrt(2.0)), 8)
+    return "stationary", None, 1.0
 
 
 def aggregate(df: DataFrame, aggs: dict) -> dict[str, DataFrame]:

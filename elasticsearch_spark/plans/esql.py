@@ -318,6 +318,29 @@ def esql(
             # lookup-side fields shadow same-named input fields
             clash = [c for c in dim.columns if c != key_c and c in df.columns]
             df = df.drop(*clash).join(F.broadcast(dim), key_c, "left")
+        elif cmd == "CHANGE_POINT":
+            # CHANGE_POINT <value> ON <key> (ES 8.18 change-point command):
+            # appends `type`/`pvalue` columns, non-null on the change row.
+            # The series is pipe-output-sized (post-STATS), so the detector
+            # runs coordinator-side like the reference's.
+            from .aggs import detect_change_point
+
+            cm = re.match(r"(\w+)\s+ON\s+(\w+)$", rest, flags=re.I)
+            if not cm:
+                raise ValueError(f"bad CHANGE_POINT syntax: {rest!r}")
+            vcol, kcol = cm.group(1), cm.group(2)
+            rows = df.orderBy(kcol).select(kcol, vcol).collect()
+            t, idx, p = detect_change_point([float(r[vcol]) for r in rows])
+            ckey = rows[idx][kcol] if idx is not None else None
+            df = df.withColumn(
+                "type",
+                F.when(F.col(kcol) == F.lit(ckey), F.lit(t)) if ckey is not None
+                else F.lit(None).cast("string"),
+            ).withColumn(
+                "pvalue",
+                F.when(F.col(kcol) == F.lit(ckey), F.lit(p)) if ckey is not None
+                else F.lit(None).cast("double"),
+            )
         elif cmd == "SAMPLE":
             # SAMPLE <fraction> (EsqlBaseParser sample command): Bernoulli
             # row sample. Seeded for reproducibility across retries; a

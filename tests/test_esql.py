@@ -186,3 +186,12 @@ def test_engine_esql_enrich(spark, tmp_path):
     assert [r.lang for r in rows] == ["de", "en"]
     # lookup-side fields shadow the input's same-named fields
     assert [r.url for r in rows] == ["l-de", "l-en"]
+
+
+def test_change_point_command(spark):
+    rows = [(float(i), 1.0 if i < 12 else 8.0) for i in range(24)]
+    df = spark.createDataFrame(rows, "k double, v double")
+    out = esql(spark, "FROM m | CHANGE_POINT v ON k | WHERE type IS NOT NULL", {"m": df})
+    r = out.collect()
+    assert len(r) == 1
+    assert r[0].type == "step_change" and r[0].k == 12.0 and r[0].pvalue < 0.01
