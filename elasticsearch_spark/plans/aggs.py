@@ -318,11 +318,24 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         from . import dsl
 
         frames = []
+        preds = []
+        ctx = dsl.SearchContext(df, df.columns[0])
         for bname, q in body["filters"].items():
             node = dsl.parse(q)
-            ctx = dsl.SearchContext(df, df.columns[0])
-            fr = _apply_metric_subaggs(df.where(node.predicate(ctx)).groupBy(), sub)
+            p = node.predicate(ctx)
+            preds.append(p)
+            fr = _apply_metric_subaggs(df.where(p).groupBy(), sub)
             frames.append(fr.select(F.lit(bname).alias("key"), "*"))
+        if body.get("other_bucket"):
+            # FiltersAggregationBuilder other_bucket: docs matching NO filter
+            none_of = ~preds[0]
+            for p in preds[1:]:
+                none_of = none_of & ~p
+            obk = body.get("other_bucket_key", "_other_")
+            frames.append(
+                _apply_metric_subaggs(df.where(none_of).groupBy(), sub)
+                .select(F.lit(obk).alias("key"), "*")
+            )
         out = frames[0]
         for fr in frames[1:]:
             out = out.unionByName(fr)

@@ -1593,11 +1593,16 @@ def search(
             # only among docs passing the filter (not post-filtered top-k)
             fnode = parse(kn["filter"])
             base_knn = df.where(fnode.predicate(ctx))
-        return (
+        out_knn = (
             base_knn.select(F.col(key).alias("__key"), (dot / nrm).alias("_score"))
             .orderBy(F.desc("_score"), F.asc("__key"))
             .limit(k_knn)
         )
+        if "similarity" in kn:
+            # KnnSearchBuilder similarity: minimum cosine a candidate must
+            # reach to count as a hit (post-top-k cut, per the reference)
+            out_knn = out_knn.where(F.col("_score") >= float(kn["similarity"]))
+        return out_knn
 
     # retriever: {rrf: ...} (x-pack rank-rrf RRFRankBuilder.java / the ES 8.x
     # retriever tree): run each sub-retriever to its own ranked (key, score)

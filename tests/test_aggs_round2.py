@@ -394,3 +394,31 @@ def test_esql_sample(spark):
     assert 120 < n < 290
     # seeded: two runs agree
     assert esql(spark, "FROM t | SAMPLE 0.2", {"t": df}).count() == n
+
+
+def test_filters_other_bucket(spark):
+    from elasticsearch_spark.plans.aggs import aggregate
+
+    df = spark.createDataFrame(
+        [("en", 1), ("de", 2), ("fr", 3), ("fr", 4)], "lang string, v long"
+    )
+    out = aggregate(df, {"f": {"filters": {
+        "filters": {"english": {"term": {"lang": "en"}},
+                    "german": {"term": {"lang": "de"}}},
+        "other_bucket": True,
+    }}})["f"].collect()
+    got = {r.key: r.doc_count for r in out}
+    assert got == {"english": 1, "german": 1, "_other_": 2}
+
+
+def test_knn_similarity_threshold(spark):
+    from elasticsearch_spark.plans import dsl
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.7, 0.7]), (3, [0.0, 1.0])],
+        "doc_id long, vec array<double>",
+    )
+    out = dsl.search(spark, df, {"knn": {
+        "field": "vec", "query_vector": [1.0, 0.0], "k": 3, "similarity": 0.9,
+    }, "size": 10}).collect()
+    assert [r.doc_id for r in out] == [1]
