@@ -977,10 +977,19 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         return _frequent_item_sets(df, body)
 
     if kind == "significant_terms":
-        # fg = this frame (the query context), bg = background_df or fg
+        # fg = this frame (the query context), bg = background_df or fg;
+        # background_filter (SignificantTermsAggregationBuilder) narrows the
+        # background to a DSL-predicate subset
         f = body["field"]
         bg_df = body.get("_background_df")
         bg_df = bg_df if bg_df is not None else df
+        if "background_filter" in body:
+            from . import dsl
+
+            node = dsl.parse(body["background_filter"])
+            bg_df = bg_df.where(
+                node.predicate(dsl.SearchContext(bg_df, bg_df.columns[0]))
+            )
         fg_counts = df.groupBy(F.col(f).alias("key")).agg(F.count("*").cast("double").alias("fg_count"))
         bg_counts = bg_df.groupBy(F.col(f).alias("key")).agg(F.count("*").cast("double").alias("bg_count"))
         fg_tot = df.count()

@@ -422,3 +422,25 @@ def test_knn_similarity_threshold(spark):
         "field": "vec", "query_vector": [1.0, 0.0], "k": 3, "similarity": 0.9,
     }, "size": 10}).collect()
     assert [r.doc_id for r in out] == [1]
+
+
+def test_significant_terms_background_filter(spark):
+    from elasticsearch_spark.plans.aggs import compile_agg
+
+    # fg = english docs; background narrowed to source s1 only
+    df = spark.createDataFrame(
+        [
+            ("en", "s1", "x"), ("en", "s1", "y"), ("de", "s1", "z"),
+            ("de", "s2", "x"), ("de", "s2", "x"),
+        ],
+        "lang string, source string, term string",
+    )
+    fg = df.where("lang = 'en'")
+    out = compile_agg(fg, "sig", {"significant_terms": {
+        "field": "term", "size": 10, "_background_df": df,
+        "background_filter": {"term": {"source": "s1"}},
+    }})
+    got = {r.key: r.bg_count for r in out.collect()}
+    # with the filter, x's bg count is 1 (the s2 x's are excluded; it
+    # would be 3 against the unfiltered background)
+    assert got["x"] == 1
