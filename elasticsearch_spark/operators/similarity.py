@@ -237,3 +237,54 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.asc("__key"))
         .limit(k)
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    key: str,
+    vec_col: str,
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column (the reference's
+    dense_vector ``index_options.type: int8_flat / int8_hnsw``; Lucene's
+    ``ScalarQuantizer`` — global confidence-interval bounds, components
+    mapped to the unsigned 7-bit range [0, 127]).
+
+    Two stages, both scale-safe:
+    1. global bounds = (lower_q, upper_q) quantiles over the component
+       distribution — ONE aggregate over the exploded components (the
+       reference samples vectors for the same estimate; at 10^12 rows
+       swap in a deterministic hash-sample of rows before the explode);
+    2. per-row map: q = clamp(floor((x - lo) / (hi - lo) * 127 + 0.5)),
+       pure JVM ``transform`` — no shuffle, no Python.
+
+    Returns (key, qvec array<int>, recon_err): recon_err is the L2 error
+    of the dequantized vector (lo + q * (hi - lo) / 127) vs the original
+    — the quantization-loss metric used to validate the sketch.
+    """
+    comps = df.select(F.explode(F.col(vec_col).cast("array<double>")).alias("c"))
+    lo, hi = comps.agg(
+        F.expr(f"percentile(c, {lower_q})"), F.expr(f"percentile(c, {upper_q})")
+    ).first()
+    lo, hi = float(lo), float(hi)
+    scale = (hi - lo) or 1.0
+    qexpr = (
+        f"transform(cast({vec_col} as array<double>),"
+        f" x -> cast(least(127, greatest(0, floor((x - {lo!r}) / {scale!r} * 127 + 0.5d))) as int))"
+    )
+    dq = (
+        f"transform(__qv, q -> {lo!r} + cast(q as double) * {scale!r} / 127)"
+    )
+    err = (
+        f"sqrt(aggregate(zip_with(cast({vec_col} as array<double>), {dq},"
+        f" (x, y) -> (x - y) * (x - y)), 0D, (acc, e) -> acc + e))"
+    )
+    return (
+        df.select(F.col(key), F.col(vec_col), F.expr(qexpr).alias("__qv"))
+        .select(
+            F.col(key),
+            F.col("__qv").alias("qvec"),
+            F.round(F.expr(err), 6).alias("recon_err"),
+        )
+    )

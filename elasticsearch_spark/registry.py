@@ -1977,7 +1977,95 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag_contaminated(docs, probes, n=8).orderBy("doc_id")
 
 
+def m_anomaly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x-pack ml anomaly detection, count detector split by
+    partition_field_name (``x-pack/plugin/core/.../ml/job/config/Detector.java``)
+    — documented robust-z batch subset (plans/ml.py): daily event counts per
+    event_type; typical = per-type median bucket count, score = robust z
+    (|actual − typical| / 1.4826·MAD)."""
+    from .plans.ml import anomaly_detect
+
+    return anomaly_detect(
+        _events(spark, sf_dir), "ts", 86400, "count",
+        partition_field="event_type", threshold=3.0,
+    )
+
+
+def m_anomaly_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x-pack ml anomaly detection, mean(value) detector without a split
+    field — global daily mean of event values scored against the
+    median/MAD baseline (plans/ml.py documented subset)."""
+    from .plans.ml import anomaly_detect
+
+    return anomaly_detect(
+        _events(spark, sf_dir), "ts", 86400, "mean", field="value", threshold=3.0
+    )
+
+
+def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_vector int8 scalar quantization (Lucene ScalarQuantizer via
+    ``index_options.type: int8_flat`` — global confidence-interval bounds,
+    7-bit component range): quantized vectors + per-vector L2
+    reconstruction error for the first 50 embeddings."""
+    from .operators.similarity import quantize_int8
+
+    out = quantize_int8(_emb(spark, sf_dir), "vec_id", "embedding")
+    return (
+        out.select(
+            "vec_id",
+            F.concat_ws(",", F.col("qvec").cast("array<string>")).alias("qvec_str"),
+            "recon_err",
+        )
+        .orderBy("vec_id")
+        .limit(50)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "ml_anomaly_count": """
+WITH b AS (
+  SELECT event_type, (floor(epoch(ts) / 86400) * 86400)::BIGINT AS bucket_ts,
+         count(*)::DOUBLE AS actual
+  FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, quantile_cont(actual, 0.5) AS med FROM b GROUP BY 1),
+j AS (SELECT b.*, m.med FROM b JOIN m USING (event_type)),
+md AS (SELECT event_type, quantile_cont(abs(actual - med), 0.5) AS mad
+       FROM j GROUP BY 1)
+SELECT j.event_type, bucket_ts, round(actual, 6) AS actual,
+       round(med, 6) AS typical,
+       round(abs(actual - med) / (1.4826 * mad + 1e-9), 6) AS score,
+       abs(actual - med) / (1.4826 * mad + 1e-9) >= 3.0 AS is_anomaly
+FROM j JOIN md USING (event_type)
+ORDER BY event_type, bucket_ts
+""",
+    "ml_anomaly_mean": """
+WITH b AS (
+  SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS bucket_ts,
+         avg(value) AS actual
+  FROM events GROUP BY 1),
+m AS (SELECT quantile_cont(actual, 0.5) AS med FROM b),
+j AS (SELECT b.*, m.med FROM b, m),
+md AS (SELECT quantile_cont(abs(actual - med), 0.5) AS mad FROM j)
+SELECT bucket_ts, round(actual, 6) AS actual, round(med, 6) AS typical,
+       round(abs(actual - med) / (1.4826 * mad + 1e-9), 6) AS score,
+       abs(actual - med) / (1.4826 * mad + 1e-9) >= 3.0 AS is_anomaly
+FROM j, md ORDER BY bucket_ts
+""",
+    "sim_quantize_int8": """
+WITH c AS (SELECT unnest(embedding)::DOUBLE AS x FROM embeddings),
+b AS (SELECT quantile_cont(x, 0.01) AS lo, quantile_cont(x, 0.99) AS hi FROM c),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> (least(127, greatest(0, floor((x - lo) / (hi - lo) * 127 + 0.5))))::INT) AS qv,
+         embedding::DOUBLE[] AS v, lo, hi
+  FROM embeddings, b)
+SELECT vec_id, array_to_string(qv, ',') AS qvec_str,
+       round(sqrt(list_sum(list_transform(
+         list_zip(v, list_transform(qv, qq -> lo + qq * (hi - lo) / 127)),
+         p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS recon_err
+FROM q ORDER BY vec_id LIMIT 50
+""",
     "match_or_bm25": _bm25_sql(_OR_TERMS),
     "rrf_hybrid": _bm25_cte(_OR_TERMS, msm=1) + """,
 bmr AS (
@@ -3140,6 +3228,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": d_simhash,
     "dedup_embedding_lsh": d_embedding_lsh,
     "sim_cosine_topk": s_cosine_topk,
+    "sim_quantize_int8": s_quantize_int8,
+    "ml_anomaly_count": m_anomaly_count,
+    "ml_anomaly_mean": m_anomaly_mean,
     "sim_ann_lsh_topk": s_ann_lsh_topk,
     "sim_ann_ivf_topk": s_ann_ivf_topk,
     "agg_compiler_terms": agg_compiler_terms,
