@@ -790,6 +790,46 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         sampled = df.orderBy(df.columns[0]).limit(sz)
         return _apply_metric_subaggs(sampled.groupBy(), sub)
 
+    if kind == "random_sampler":
+        # x-pack RandomSamplerAggregationBuilder: probability-p document
+        # sample, count-shaped results scaled back by 1/p. Deterministic
+        # engine contract (the reference seeds a per-shard RNG; this engine
+        # derives the coin from (seed, key field) so reruns and cluster
+        # sizes agree): keep iff hash(key) % M < p*M — a pure filter, no
+        # shuffle, whole-stage codegen. doc_count and sum/value_count
+        # metrics are scaled by 1/p; means/percentiles pass through
+        # unscaled (they are ratio estimators — reference behavior).
+        p = float(body["probability"])
+        seed = int(body.get("seed", 0))
+        keyf = body.get("_key_field", df.columns[0])
+        modulus = 1_000_000
+        from pyspark.sql.types import IntegralType
+
+        if isinstance(df.schema[keyf].dataType, IntegralType):
+            # overflow-safe multiplicative mix expressible verbatim in ANSI
+            # SQL (the oracle): (key % 1000003) * 7919 stays < 2^43
+            h = F.pmod(
+                F.pmod(F.col(keyf).cast("long"), F.lit(1000003)) * F.lit(7919)
+                + F.lit(seed),
+                F.lit(modulus),
+            )
+        else:
+            h = F.pmod(F.xxhash64(F.col(keyf), F.lit(seed)), F.lit(modulus))
+        sampled = df.where(h < F.lit(int(round(p * modulus))))
+        out = _apply_metric_subaggs(sampled.groupBy(), sub)
+        # scale count-shaped outputs by 1/p, inspecting each sub-agg's kind
+        sel = []
+        for c in out.columns:
+            if c == "doc_count":
+                sel.append(F.round(F.col(c) / p).cast("long").alias(c))
+            elif c in sub and next(iter(sub[c])) == "value_count":
+                sel.append(F.round(F.col(c) / p).cast("long").alias(c))
+            elif c in sub and next(iter(sub[c])) == "sum":
+                sel.append(F.round(F.col(c) / p, 4).alias(c))
+            else:
+                sel.append(F.col(c))
+        return out.select(*sel)
+
     if kind == "diversified_sampler":
         # DiversifiedAggregationBuilder.java: like sampler, but at most
         # max_docs_per_value per distinct `field` value (de-biasing the

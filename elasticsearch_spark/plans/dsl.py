@@ -1749,6 +1749,11 @@ def search(
             pred = pred | (eq & strict)
         fetched = fetched.where(pred)
 
+    # min_score (SearchSourceBuilder.minScore / MinScorePhase): drop hits
+    # scoring below the floor BEFORE pagination — a pushed-down predicate
+    if "min_score" in body:
+        fetched = fetched.where(F.col("_score") >= float(body["min_score"]))
+
     # from/size pagination stays IN-PLAN (no driver collect): ordered
     # offset+limit compiles to a single coordinator-side window — the
     # from+size ≤ 10k ES window bound keeps it tiny

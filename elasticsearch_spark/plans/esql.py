@@ -20,6 +20,7 @@ Supported commands (documented subset):
   | SORT c [ASC|DESC] [NULLS FIRST|LAST], ...
   | LIMIT n
   | STATS [n =] fn(x), .. [BY k1, k2]   grouped/global aggregation
+  | INLINESTATS [n =] fn(x), .. [BY ks] STATS that keeps input rows (join-back)
   | DISSECT col "%{a} %{b}"             pattern extraction
   | GROK col "..."                      regex extraction (grok syntax)
   | MV_EXPAND col                       explode a multivalue column
@@ -270,6 +271,41 @@ def esql(
                     key_cols.append(F.expr(_xlate(k)))
             grouped = df.groupBy(*key_cols) if keys else df.groupBy()
             df = grouped.agg(*aggcols)
+        elif cmd == "INLINESTATS":
+            # INLINESTATS agg [BY keys] (EsqlBaseParser INLINESTATS): STATS
+            # that keeps the input rows — each row gains its group's
+            # aggregate columns. Compiled as groupBy + broadcast equi-join
+            # back on the BY keys (the grouped side is group-cardinality
+            # small); no BY → a single-row crossJoin.
+            by_split = re.split(r"\bBY\b", rest, flags=re.I)
+            aggs_part = by_split[0].strip()
+            keys = [k.strip() for k in by_split[1].split(",")] if len(by_split) > 1 else []
+            aggcols, agg_names = [], []
+            for item in _split_top(aggs_part, ","):
+                item = item.strip()
+                eq = _split_top(item, "=")
+                if len(eq) == 2:
+                    alias, expr = eq[0].strip(), eq[1].strip()
+                else:
+                    expr = item
+                    alias = re.sub(r"\W+", "_", item).strip("_").lower()
+                aggcols.append(F.expr(_xlate(expr)).alias(alias))
+                agg_names.append(alias)
+            key_names = []
+            for k in keys:
+                kk = _split_top(k, "=")
+                if len(kk) == 2:  # BY day = DATE_TRUNC(1 day, ts)
+                    nm = kk[0].strip()
+                    df = df.withColumn(nm, F.expr(_xlate(kk[1].strip())))
+                else:
+                    nm = k
+                key_names.append(nm)
+            grouped = (df.groupBy(*key_names) if key_names else df.groupBy()).agg(*aggcols)
+            df = df.drop(*[c for c in agg_names if c in df.columns])
+            if key_names:
+                df = df.join(F.broadcast(grouped), key_names, "left")
+            else:
+                df = df.crossJoin(F.broadcast(grouped))
         elif cmd == "DISSECT":
             col, pat = rest.split(None, 1)
             pat = pat.strip().strip('"')

@@ -73,3 +73,41 @@ def rollup_search(rollup_df: DataFrame, body: dict) -> DataFrame:
         else:
             raise ValueError(f"rollup_search cannot serve metric: {kind}")
     return rollup_df.groupBy(key).agg(*cols).orderBy("key")
+
+
+def downsample(
+    df: DataFrame,
+    time_field: str,
+    fixed_interval: str,
+    dimensions: list[str],
+    metrics: list[str],
+) -> DataFrame:
+    """TSDB downsampling (the reference's ``_downsample`` API /
+    ``x-pack/plugin/downsample`` DownsampleShardIndexer): replace the raw
+    index with one document per (_tsid = dimension tuple, time bucket)
+    carrying min/max/sum/value_count per metric — the exact mergeable
+    partials, so any coarser re-aggregation (or a second downsample pass)
+    stays exact, same decomposition as rollup.
+
+    ``fixed_interval`` accepts ``<n>m|h|d`` (fixed units only, like the
+    reference — calendar units are rollup's job). One groupBy with
+    map-side partials; the _tsid tuple keys the shuffle, so cardinality =
+    series count, not row count."""
+    import re
+
+    m = re.fullmatch(r"(\d+)([mhd])", fixed_interval)
+    if not m:
+        raise ValueError(f"fixed_interval must be <n>[mhd]: {fixed_interval}")
+    sec = int(m.group(1)) * {"m": 60, "h": 3600, "d": 86400}[m.group(2)]
+    bucket = (
+        F.floor(F.unix_timestamp(F.col(time_field)) / F.lit(sec)) * sec
+    ).cast("long").alias("bucket_ts")
+    aggs = [F.count(F.lit(1)).alias("_doc_count")]
+    for mt in metrics:
+        c = F.col(mt).cast("double")
+        aggs += [
+            F.min(c).alias(f"{mt}_min"), F.max(c).alias(f"{mt}_max"),
+            F.sum(c).alias(f"{mt}_sum"),
+            F.count(c).alias(f"{mt}_value_count"),
+        ]
+    return df.groupBy(*[F.col(d) for d in dimensions], bucket).agg(*aggs)

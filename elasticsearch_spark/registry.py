@@ -2002,6 +2002,63 @@ def m_anomaly_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """random_sampler agg (x-pack ``RandomSamplerAggregationBuilder``):
+    probability-0.1 deterministic document sample (seeded hash coin on the
+    integer key — rerun- and cluster-size-stable), sub-agg value_count
+    scaled back by 1/p, avg passed through as a ratio estimator."""
+    from .plans.aggs import compile_agg
+
+    ev = _events(spark, sf_dir)
+    return compile_agg(
+        ev,
+        "sample",
+        {
+            "random_sampler": {"probability": 0.1, "seed": 0, "_key_field": "event_id"},
+            "aggs": {
+                "n_val": {"value_count": {"field": "value"}},
+                "avg_val": {"avg": {"field": "value"}},
+            },
+        },
+    ).select("doc_count", "n_val", F.round("avg_val", 6).alias("avg_val"))
+
+
+def t_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSDB downsample (``_downsample`` API, x-pack/plugin/downsample
+    DownsampleShardIndexer): one row per (_tsid = event_type, 1d bucket)
+    with min/max/sum/value_count partials for the value metric."""
+    from .plans.rollup import downsample
+
+    out = downsample(_events(spark, sf_dir), "ts", "1d", ["event_type"], ["value"])
+    return out.select(
+        "event_type", "bucket_ts", "_doc_count",
+        F.round("value_min", 6).alias("value_min"),
+        F.round("value_max", 6).alias("value_max"),
+        F.round("value_sum", 4).alias("value_sum"),
+        "value_value_count",
+    ).orderBy("event_type", "bucket_ts")
+
+
+def q_esql_inlinestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL INLINESTATS (EsqlBaseParser): per-group aggregates appended to
+    every input row — groupBy + broadcast join-back, rows preserved."""
+    from .plans.esql import esql
+
+    ev = _events(spark, sf_dir)
+    out = esql(spark, """
+FROM events
+| WHERE value >= 100
+| INLINESTATS avg_v = AVG(value), n = COUNT(*) BY event_type
+| EVAL rel = value / avg_v
+| SORT event_id ASC
+| LIMIT 100
+""", {"events": ev})
+    return out.select(
+        "event_id", "event_type", F.round("value", 4).alias("value"),
+        F.round("avg_v", 6).alias("avg_v"), "n", F.round("rel", 6).alias("rel"),
+    )
+
+
 def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dense_vector int8 scalar quantization (Lucene ScalarQuantizer via
     ``index_options.type: int8_flat`` — global confidence-interval bounds,
@@ -2022,6 +2079,31 @@ def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "agg_random_sampler": """
+WITH s AS (SELECT * FROM events
+           WHERE ((event_id % 1000003) * 7919 + 0) % 1000000 < 100000)
+SELECT round(count(*) / 0.1)::BIGINT AS doc_count,
+       round(count(value) / 0.1)::BIGINT AS n_val,
+       round(avg(value), 6) AS avg_val
+FROM s
+""",
+    "tsdb_downsample": """
+SELECT event_type, (floor(epoch(ts) / 86400) * 86400)::BIGINT AS bucket_ts,
+       count(*)::BIGINT AS _doc_count,
+       round(min(value), 6) AS value_min, round(max(value), 6) AS value_max,
+       round(sum(value), 4) AS value_sum,
+       count(value)::BIGINT AS value_value_count
+FROM events GROUP BY 1, 2 ORDER BY event_type, bucket_ts
+""",
+    "esql_inlinestats": """
+WITH f AS (SELECT * FROM events WHERE value >= 100),
+g AS (SELECT event_type, avg(value) AS avg_v, count(*)::BIGINT AS n
+      FROM f GROUP BY 1)
+SELECT event_id, f.event_type, round(value, 4) AS value,
+       round(avg_v, 6) AS avg_v, n, round(value / avg_v, 6) AS rel
+FROM f JOIN g USING (event_type)
+ORDER BY event_id LIMIT 100
+""",
     "ml_anomaly_count": """
 WITH b AS (
   SELECT event_type, (floor(epoch(ts) / 86400) * 86400)::BIGINT AS bucket_ts,
@@ -3229,6 +3311,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": d_embedding_lsh,
     "sim_cosine_topk": s_cosine_topk,
     "sim_quantize_int8": s_quantize_int8,
+    "agg_random_sampler": a_random_sampler,
+    "tsdb_downsample": t_downsample,
+    "esql_inlinestats": q_esql_inlinestats,
     "ml_anomaly_count": m_anomaly_count,
     "ml_anomaly_mean": m_anomaly_mean,
     "sim_ann_lsh_topk": s_ann_lsh_topk,

@@ -389,3 +389,13 @@ def test_geo_shape_over_points(spark):
         "type": "polygon",
         "coordinates": [[[0.0, 45.0], [5.0, 55.0], [10.0, 45.0], [0.0, 45.0]]]}}}})
     assert {r["id"] for r in df.where(poly.predicate(ctx)).collect()} == {2}
+
+
+def test_min_score_floor(spark, corpus):
+    all_hits = run(spark, corpus, {"match": {"text": "dog"}}).collect()
+    assert len(all_hits) >= 2
+    floor = sorted((r["_score"] for r in all_hits), reverse=True)[0] - 1e-9
+    out = run(spark, corpus, {"match": {"text": "dog"}}, min_score=floor).collect()
+    assert len(out) == 1 and out[0]["_score"] >= floor
+    # floor above every score -> empty, not an error
+    assert run(spark, corpus, {"match": {"text": "dog"}}, min_score=1e9).count() == 0
