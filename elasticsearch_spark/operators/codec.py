@@ -62,14 +62,45 @@ def vbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else np.asarray(buf, dtype=np.uint8)
     if len(b) == 0:
         return np.zeros(0, dtype=np.uint64)
-    is_last = (b & 0x80) == 0
-    starts = np.nonzero(np.r_[True, is_last[:-1]])[0]
-    # in-group byte position via repeat(starts, group lens) — cheaper than
-    # the full-length cumsum the gid formulation needed
-    lens = np.diff(np.r_[starts, len(b)])
-    pos = np.arange(len(b), dtype=np.int64) - np.repeat(starts, lens)
-    contrib = (b.astype(np.uint64) & np.uint64(0x7F)) << (pos.astype(np.uint64) * np.uint64(7))
-    return np.add.reduceat(contrib, starts)
+    cont = b & np.uint8(0x80)
+    if not cont.any():
+        # no continuation bits anywhere: every value is one byte (the
+        # dominant tf/position-delta case) — the stream IS the values.
+        # One pass instead of the six the group-reconstruction needs.
+        return b.astype(np.uint64)
+    # general path, shaped for the real byte-length distribution: most
+    # groups are single-byte, so take every group's LAST byte with one
+    # gather (correct for 1-byte groups outright) and patch only the
+    # multi-byte minority with per-offset shift-accumulate — no
+    # full-length repeat/arange/reduceat temporaries.
+    idx_last = np.nonzero(cont == 0)[0]
+    n_groups = len(idx_last)
+    if len(b) - n_groups > (n_groups >> 1):
+        # multi-byte groups dominate (>~1/3 continuation bytes): the
+        # position/reduceat formulation beats per-group gathers there
+        starts = np.empty(n_groups, dtype=np.int64)
+        starts[0] = 0
+        np.add(idx_last[:-1], 1, out=starts[1:])
+        lens = np.diff(np.r_[starts, len(b)])
+        pos = np.arange(len(b), dtype=np.int64) - np.repeat(starts, lens)
+        contrib = (b.astype(np.uint64) & np.uint64(0x7F)) << (
+            pos.astype(np.uint64) * np.uint64(7)
+        )
+        return np.add.reduceat(contrib, starts)
+    lens = np.diff(np.r_[np.int64(-1), idx_last])
+    vals = (b & np.uint8(0x7F)).astype(np.uint64)
+    out = vals[idx_last]
+    multi = lens > 1
+    if multi.any():
+        ml = idx_last[multi]
+        mlen = lens[multi]
+        acc = np.zeros(len(ml), dtype=np.uint64)
+        for k in range(int(mlen.max())):  # k = offset back from the last byte
+            sel = mlen > k
+            shift = ((mlen[sel] - 1 - k) * 7).astype(np.uint64)
+            acc[sel] += vals[ml[sel] - k] << shift
+        out[multi] = acc
+    return out
 
 
 def delta_encode(sorted_ids: np.ndarray, base: int) -> np.ndarray:
