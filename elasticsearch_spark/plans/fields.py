@@ -1,0 +1,294 @@
+"""Field-type layer: mapper semantics beyond plain scalar columns.
+
+The reference's mappers give each field type its own index representation
+and query behavior; here each becomes a typed-column convention plus query
+helpers over it:
+
+- range fields (``integer_range``/``date_range``/…): a struct column
+  ``{gte, lte}`` queried with a relation (INTERSECTS / WITHIN / CONTAINS)
+  — ``server/src/main/java/org/elasticsearch/index/mapper/RangeFieldMapper.java``,
+  relation semantics ``RangeType.java`` (dvRangeQuery) and
+  ``index/query/RangeQueryBuilder.java`` (``relation`` parameter).
+- flattened: one JSON object indexed as a single map — keyed access
+  ``field.key`` for term/terms/prefix/exists/range —
+  ``x-pack/plugin/core/.../flattened/FlattenedFieldMapper.java``.
+- token_count: analyzer token count indexed as an integer subfield —
+  ``modules/mapper-extras/.../TokenCountFieldMapper.java``.
+- match_only_text: text indexed DOCS-only with norms omitted; match
+  queries score tf=1 / norm=1, so per-term BM25 collapses to
+  ``idf * (k1+1)*1/(1+k1*1) = idf`` — a pure sum-of-idf ranking —
+  ``modules/mapper-extras/.../MatchOnlyTextFieldMapper.java`` (phrase
+  queries re-verify positions from _source; our positional path already
+  does exactly that).
+- aggregate_metric_double: a pre-aggregated struct ``{min, max, sum,
+  value_count}``; metric aggs read the matching subfield and avg derives
+  as sum/value_count —
+  ``x-pack/plugin/mapper-aggregate-metric/.../AggregateDoubleMetricFieldMapper.java``.
+- version: semver-ordered keyword — sort key encodes numeric dotted parts
+  fixed-width so lexicographic order == version order, pre-release ranks
+  below the release — ``x-pack/plugin/mapper-version/.../VersionStringFieldMapper.java``.
+- time_series agg: one bucket per ``_tsid`` (the tuple of dimension
+  fields), ordered by tsid —
+  ``server/.../search/aggregations/timeseries/TimeSeriesAggregationBuilder.java``.
+
+All helpers are pure Column expressions / DataFrame plans — nothing here
+leaves the JVM, every filter is Catalyst-pushable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from elasticsearch_spark.plans.dsl import Leaf, Node, SearchContext
+
+# ---------------------------------------------------------------------------
+# range fields
+# ---------------------------------------------------------------------------
+
+RELATIONS = ("intersects", "within", "contains")
+
+
+def range_struct(gte: Column | str, lte: Column | str) -> Column:
+    """Build a range-field value (the struct convention used everywhere)."""
+    g = F.col(gte) if isinstance(gte, str) else gte
+    l = F.col(lte) if isinstance(lte, str) else lte
+    return F.struct(g.alias("gte"), l.alias("lte"))
+
+
+def range_relation_pred(fld: str, gte, lte, relation: str = "intersects") -> Column:
+    """Predicate for a range QUERY over a range FIELD (both are intervals).
+
+    RangeType.java dvRangeQuery semantics (closed bounds):
+      INTERSECTS: f.gte <= q.lte AND f.lte >= q.gte
+      WITHIN:     field interval lies inside the query interval
+      CONTAINS:   field interval encloses the query interval
+    """
+    f_gte, f_lte = F.col(f"{fld}.gte"), F.col(f"{fld}.lte")
+    if relation == "intersects":
+        return (f_gte <= F.lit(lte)) & (f_lte >= F.lit(gte))
+    if relation == "within":
+        return (f_gte >= F.lit(gte)) & (f_lte <= F.lit(lte))
+    if relation == "contains":
+        return (f_gte <= F.lit(gte)) & (f_lte >= F.lit(lte))
+    raise ValueError(f"unknown relation {relation!r}; expected one of {RELATIONS}")
+
+
+@dataclass
+class RangeFieldQ(Leaf):
+    """``range`` query against a range field with a ``relation``."""
+
+    gte: object = None
+    lte: object = None
+    relation: str = "intersects"
+
+    def predicate(self, ctx: SearchContext) -> Column:
+        return range_relation_pred(self.fld, self.gte, self.lte, self.relation)
+
+
+# ---------------------------------------------------------------------------
+# flattened fields
+# ---------------------------------------------------------------------------
+
+
+def flattened_col(json_col: str | Column) -> Column:
+    """Parse a JSON-object column into the flattened map representation.
+
+    The reference indexes every leaf as ``key\\0value`` keyword terms under
+    one field; a ``map<string,string>`` gives the same keyed + root access.
+    """
+    c = F.col(json_col) if isinstance(json_col, str) else json_col
+    return F.from_json(c, "map<string,string>")
+
+
+@dataclass
+class FlattenedQ(Node):
+    """term/terms/prefix/exists/range over ``field.key`` of a flattened
+    field (keyed access), or term over any value (root access, key=None).
+
+    The source column may be the raw JSON string (parsed per-query — fine,
+    from_json is codegen'd) or an already-materialized map column.
+    """
+
+    fld: str = ""
+    key: str | None = None
+    op: str = "term"  # term | terms | prefix | exists | range
+    value: object = None
+    values: list = field(default_factory=list)
+    gte: object = None
+    lte: object = None
+    boost: float = 1.0
+
+    def _map(self, ctx: SearchContext) -> Column:
+        dtype = dict(ctx.df.dtypes).get(self.fld, "")
+        return F.col(self.fld) if dtype.startswith("map") else flattened_col(self.fld)
+
+    def predicate(self, ctx: SearchContext) -> Column:
+        m = self._map(ctx)
+        if self.key is None:  # root access: any leaf value matches
+            vals = F.map_values(m)
+            if self.op == "term":
+                return F.array_contains(vals, str(self.value))
+            if self.op == "exists":
+                return m.isNotNull() & (F.size(vals) > 0)
+            raise ValueError(f"root flattened access supports term/exists, not {self.op}")
+        v = m.getItem(self.key)
+        if self.op == "term":
+            return v == F.lit(str(self.value))
+        if self.op == "terms":
+            return v.isin([str(x) for x in self.values])
+        if self.op == "prefix":
+            return v.startswith(str(self.value))
+        if self.op == "exists":
+            return v.isNotNull()
+        if self.op == "range":
+            # flattened values are keywords: numeric compare only if both
+            # sides cast cleanly (keyword order otherwise — ref behavior)
+            p = F.lit(True)
+            if self.gte is not None:
+                p = p & (v.cast("double") >= float(self.gte))
+            if self.lte is not None:
+                p = p & (v.cast("double") <= float(self.lte))
+            return p
+        raise ValueError(f"unknown flattened op {self.op!r}")
+
+
+# ---------------------------------------------------------------------------
+# token_count field
+# ---------------------------------------------------------------------------
+
+
+def token_count_col(text_col: str | Column, analyzer_regex: str = "[a-z0-9]+") -> Column:
+    """token_count mapper: number of analyzer tokens (positionIncrements)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(analyzer_regex), F.lit(0)))
+
+
+# ---------------------------------------------------------------------------
+# match_only_text
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MatchOnlyTextQ(Node):
+    """match over a match_only_text field: DOCS-only postings → tf treated
+    as 1, norms omitted → per-term score = idf; doc score = Σ idf over
+    matched query terms (operator/minimum_should_match as in match).
+    """
+
+    text: str = ""
+    operator: str = "or"
+    minimum_should_match: int = 0
+    boost: float = 1.0
+
+    def frame(self, ctx: SearchContext) -> DataFrame:
+        terms = list(dict.fromkeys(ctx.analyze(self.text)))
+        if not terms:
+            return ctx.df.select(F.col(ctx.key).alias("__key")).limit(0).withColumn(
+                "_score", F.lit(0.0)
+            )
+        # presence per (doc, term) — tf collapses to 1 (DOCS-only postings)
+        q = ctx.tf().where(F.col("term").isin(terms)).select("__key", "term")
+        dfstats = q.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+        n_match = len(terms) if self.operator == "and" else max(1, self.minimum_should_match)
+        scored = (
+            q.join(F.broadcast(dfstats), "term")
+            .crossJoin(F.broadcast(ctx.coll().select("n_docs")))
+            .withColumn(
+                "idf", F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            )
+            .groupBy("__key")
+            .agg(
+                (F.sum("idf") * self.boost).alias("_score"),
+                F.count("*").cast("int").alias("_matched"),
+            )
+        )
+        return scored.where(F.col("_matched") >= n_match).drop("_matched")
+
+
+# ---------------------------------------------------------------------------
+# aggregate_metric_double
+# ---------------------------------------------------------------------------
+
+_AMD_SUBFIELDS = ("min", "max", "sum", "value_count")
+
+
+def aggregate_metric_struct(min_c, max_c, sum_c, count_c) -> Column:
+    """Build an aggregate_metric_double value from partial columns."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in (min_c, max_c, sum_c, count_c)]
+    return F.struct(
+        cols[0].cast("double").alias("min"),
+        cols[1].cast("double").alias("max"),
+        cols[2].cast("double").alias("sum"),
+        cols[3].cast("long").alias("value_count"),
+    )
+
+
+def aggregate_metric_agg(fld: str, metric: str) -> Column:
+    """Resolve a metric agg over an aggregate_metric_double field.
+
+    AggregateDoubleMetricFieldMapper routes each agg to its subfield:
+    min→min(f.min), max→max(f.max), sum→sum(f.sum),
+    value_count→sum(f.value_count), avg→sum(f.sum)/sum(f.value_count).
+    Re-aggregation is exact because the partials are mergeable.
+    """
+    if metric == "min":
+        return F.min(F.col(f"{fld}.min"))
+    if metric == "max":
+        return F.max(F.col(f"{fld}.max"))
+    if metric == "sum":
+        return F.sum(F.col(f"{fld}.sum"))
+    if metric == "value_count":
+        return F.sum(F.col(f"{fld}.value_count"))
+    if metric == "avg":
+        return F.sum(F.col(f"{fld}.sum")) / F.sum(F.col(f"{fld}.value_count"))
+    raise ValueError(
+        f"aggregate_metric_double supports min/max/sum/value_count/avg, not {metric!r}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# version field
+# ---------------------------------------------------------------------------
+
+
+def version_sort_key(col: str | Column) -> Column:
+    """Encode a semver-ish string so lexicographic order == version order.
+
+    Dotted numeric parts are zero-padded to 10 digits; a release sorts
+    AFTER its pre-releases (``1.0.0-alpha < 1.0.0``), matching the
+    reference's encoding contract (VersionStringFieldMapper: "Sorts
+    correctly by version order").
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    core = F.split(c, "-", 2).getItem(0)
+    pre = F.get(F.split(c, "-", 2), 1)  # NULL when no prerelease tag
+    padded = F.array_join(
+        F.transform(F.split(core, r"\."), lambda p: F.lpad(p, 10, "0")), "."
+    )
+    # '~' (0x7E) > any pre-release tag char → releases rank above pre-releases
+    return F.concat(padded, F.lit("|"), F.coalesce(pre, F.lit("~")))
+
+
+# ---------------------------------------------------------------------------
+# time_series aggregation
+# ---------------------------------------------------------------------------
+
+
+def time_series_agg(
+    df: DataFrame, dimensions: list[str], metrics: dict[str, Column] | None = None
+) -> DataFrame:
+    """``time_series`` agg: one bucket per _tsid = the dimension tuple.
+
+    TimeSeriesAggregator walks docs in (tsid, timestamp) order and emits a
+    bucket per tsid with doc_count (+ sub-aggs). Spark: groupBy on the
+    dimension columns — the shuffle key IS the tsid, so a TSDB-partitioned
+    table (partitionBy(dimensions)) aggregates with zero extra movement.
+    Output: one row per tsid, dimension columns + doc_count + metrics,
+    ordered by the tsid tuple (the reference's bucket order).
+    """
+    aggs = [F.count("*").alias("doc_count")]
+    for name, expr in (metrics or {}).items():
+        aggs.append(expr.alias(name))
+    return df.groupBy(*dimensions).agg(*aggs).orderBy(*dimensions)

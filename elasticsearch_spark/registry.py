@@ -2078,7 +2078,229 @@ def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f_range_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range FIELD + range query ``relation`` (RangeFieldMapper.java /
+    RangeType.java dvRangeQuery): each event carries an interval
+    [value, value + event_id % 40]; query window [60, 90] counted under
+    INTERSECTS / WITHIN / CONTAINS semantics."""
+    from .plans.fields import range_relation_pred, range_struct
+
+    ev = _events(spark, sf_dir).withColumn(
+        "vr", range_struct(F.col("value"), F.col("value") + (F.col("event_id") % 40))
+    )
+    return ev.agg(
+        F.sum(range_relation_pred("vr", 60.0, 90.0, "intersects").cast("long")).alias("n_intersects"),
+        F.sum(range_relation_pred("vr", 60.0, 90.0, "within").cast("long")).alias("n_within"),
+        F.sum(range_relation_pred("vr", 60.0, 90.0, "contains").cast("long")).alias("n_contains"),
+    )
+
+
+def f_flattened_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flattened field (x-pack FlattenedFieldMapper): events.props JSON
+    indexed as one map; keyed range + prefix access per event_type."""
+    from .plans.dsl import SearchContext
+    from .plans.fields import FlattenedQ
+
+    ev = _events(spark, sf_dir)
+    ctx = SearchContext(df=ev, key="event_id")
+    rng = FlattenedQ(fld="props", key="k", op="range", gte=10, lte=20).predicate(ctx)
+    pfx = FlattenedQ(fld="props", key="k", op="prefix", value="1").predicate(ctx)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(rng.cast("long")).alias("n_range"),
+            F.sum(pfx.cast("long")).alias("n_prefix"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def f_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_count field (mapper-extras TokenCountFieldMapper): analyzer
+    token count indexed as an integer subfield, range-filtered like any
+    numeric field."""
+    from .plans.fields import token_count_col
+
+    d = _docs(spark, sf_dir).withColumn("text_tc", token_count_col("text"))
+    return (
+        d.where((F.col("text_tc") >= 120) & (F.col("text_tc") <= 180))
+        .groupBy("lang")
+        .agg(F.count("*").alias("doc_count"), F.round(F.avg("text_tc"), 4).alias("avg_tokens"))
+        .orderBy("lang")
+    )
+
+
+def f_match_only_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_only_text field (mapper-extras MatchOnlyTextFieldMapper):
+    DOCS-only postings, norms omitted — per-term BM25 collapses to idf, so
+    the doc score is Σ idf over matched query terms."""
+    from .plans.dsl import SearchContext
+    from .plans.fields import MatchOnlyTextQ
+
+    d = _docs(spark, sf_dir)
+    ctx = SearchContext(df=d, key="doc_id")
+    out = MatchOnlyTextQ(text=" ".join(_OR_TERMS)).frame(ctx)
+    return (
+        out.orderBy(F.desc("_score"), F.asc("__key"))
+        .limit(10)
+        .select(F.col("__key").alias("doc_id"), F.round("_score", 4).alias("score"))
+    )
+
+
+def a_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_series agg (TimeSeriesAggregationBuilder.java): one bucket per
+    _tsid = dimension tuple (event_type, host), ordered by tsid. groupBy
+    key == tsid, so a TSDB table partitioned by dimensions aggregates
+    shuffle-free."""
+    from .plans.fields import time_series_agg
+
+    ev = _events(spark, sf_dir).withColumn("host", (F.col("user_id") % 8).cast("long"))
+    out = time_series_agg(
+        ev,
+        ["event_type", "host"],
+        {"max_value": F.max("value"), "sum_value": F.sum("value")},
+    )
+    return out.select(
+        "event_type", "host", "doc_count",
+        F.round("max_value", 4).alias("max_value"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def a_aggregate_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate_metric_double field (x-pack mapper-aggregate-metric):
+    docs hold pre-aggregated {min,max,sum,value_count} partials (built
+    here per (event_type, day) — the downsample shape); metric aggs read
+    the matching subfield and re-aggregate EXACTLY (avg = Σsum/Σcount).
+    The oracle aggregates the raw rows directly — equality is the
+    mergeability invariant."""
+    from .plans.fields import aggregate_metric_agg, aggregate_metric_struct
+
+    ev = _events(spark, sf_dir)
+    partials = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.min("value").alias("p_min"),
+            F.max("value").alias("p_max"),
+            F.sum("value").alias("p_sum"),
+            F.count("value").alias("p_cnt"),
+        )
+        .select(
+            "event_type",
+            aggregate_metric_struct("p_min", "p_max", "p_sum", "p_cnt").alias("vm"),
+        )
+    )
+    return (
+        partials.groupBy("event_type")
+        .agg(
+            F.round(aggregate_metric_agg("vm", "min"), 4).alias("v_min"),
+            F.round(aggregate_metric_agg("vm", "max"), 4).alias("v_max"),
+            F.round(aggregate_metric_agg("vm", "sum"), 2).alias("v_sum"),
+            F.round(aggregate_metric_agg("vm", "avg"), 4).alias("v_avg"),
+            aggregate_metric_agg("vm", "value_count").alias("v_count"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def f_version_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """version field (x-pack mapper-version VersionStringFieldMapper):
+    semver-ordered sort via a fixed-width encoded sort key; pre-releases
+    rank below their release. The oracle sorts by TRUE version order
+    (numeric parts + prerelease flag) — agreement validates the encoding,
+    not just the arithmetic."""
+    from .plans.fields import version_sort_key
+
+    ev = _events(spark, sf_dir).withColumn(
+        "version",
+        F.concat_ws(
+            "",
+            F.concat_ws(
+                ".",
+                (F.col("user_id") % 3 + 1).cast("string"),
+                (F.col("event_id") % 12).cast("string"),
+                (F.floor("value").cast("long") % 10).cast("string"),
+            ),
+            F.when(F.col("event_id") % 7 == 0, F.lit("-alpha"))
+            .when(F.col("event_id") % 7 == 1, F.lit("-beta.2"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    return (
+        ev.orderBy(version_sort_key("version").asc(), F.asc("event_id"))
+        .limit(30)
+        .select("event_id", "version")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "field_range_relation": """
+SELECT
+  sum(CASE WHEN value <= 90 AND value + (event_id % 40) >= 60 THEN 1 ELSE 0 END)::BIGINT AS n_intersects,
+  sum(CASE WHEN value >= 60 AND value + (event_id % 40) <= 90 THEN 1 ELSE 0 END)::BIGINT AS n_within,
+  sum(CASE WHEN value <= 60 AND value + (event_id % 40) >= 90 THEN 1 ELSE 0 END)::BIGINT AS n_contains
+FROM events
+""",
+    "field_flattened_query": """
+SELECT event_type,
+  sum(CASE WHEN json_extract_string(props, '$.k')::DOUBLE BETWEEN 10 AND 20 THEN 1 ELSE 0 END)::BIGINT AS n_range,
+  sum(CASE WHEN json_extract_string(props, '$.k') LIKE '1%' THEN 1 ELSE 0 END)::BIGINT AS n_prefix
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    "field_token_count": f"""
+WITH tc AS (SELECT lang, len({_TOK_SQL}) AS text_tc FROM documents)
+SELECT lang, count(*)::BIGINT AS doc_count, round(avg(text_tc), 4) AS avg_tokens
+FROM tc WHERE text_tc >= 120 AND text_tc <= 180
+GROUP BY lang ORDER BY lang
+""",
+    "match_only_text_score": f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+coll AS (SELECT count(*)::DOUBLE AS n_docs FROM tok),
+pres AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term IN ({", ".join(f"'{t}'" for t in _OR_TERMS)})
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM pres GROUP BY 1),
+scored AS (
+  SELECT p.doc_id,
+         sum(ln(1.0 + (coll.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))) AS s
+  FROM pres p JOIN dfs USING (term) CROSS JOIN coll GROUP BY p.doc_id
+)
+SELECT doc_id, round(s, 4) AS score FROM scored
+ORDER BY round(s, 6) DESC, doc_id ASC LIMIT 10
+""",
+    "agg_time_series": """
+SELECT event_type, (user_id % 8)::BIGINT AS host, count(*)::BIGINT AS doc_count,
+       round(max(value), 4) AS max_value, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY event_type, host
+""",
+    "agg_aggregate_metric": """
+SELECT event_type,
+       round(min(value), 4) AS v_min, round(max(value), 4) AS v_max,
+       round(sum(value), 2) AS v_sum, round(avg(value), 4) AS v_avg,
+       count(value)::BIGINT AS v_count
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    "field_version_sort": """
+WITH v AS (
+  SELECT event_id,
+         ((user_id % 3) + 1)::VARCHAR || '.' || (event_id % 12)::VARCHAR || '.'
+           || (floor(value)::BIGINT % 10)::VARCHAR
+           || (CASE WHEN event_id % 7 = 0 THEN '-alpha'
+                    WHEN event_id % 7 = 1 THEN '-beta.2' ELSE '' END) AS version
+  FROM events
+),
+parts AS (
+  SELECT event_id, version, split_part(version, '-', 1) AS core,
+         CASE WHEN version LIKE '%-%' THEN split_part(version, '-', 2) END AS pre
+  FROM v
+)
+SELECT event_id, version FROM parts
+ORDER BY split_part(core, '.', 1)::BIGINT, split_part(core, '.', 2)::BIGINT,
+         split_part(core, '.', 3)::BIGINT, (pre IS NULL), pre, event_id
+LIMIT 30
+""",
     "agg_random_sampler": """
 WITH s AS (SELECT * FROM events
            WHERE ((event_id % 1000003) * 7919 + 0) % 1000000 < 100000)
@@ -3255,6 +3477,13 @@ ORDER BY score DESC, p_partkey LIMIT 20
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "field_range_relation": f_range_relation,
+    "field_flattened_query": f_flattened_query,
+    "field_token_count": f_token_count,
+    "match_only_text_score": f_match_only_text,
+    "agg_time_series": a_time_series,
+    "agg_aggregate_metric": a_aggregate_metric,
+    "field_version_sort": f_version_sort,
     "match_or_bm25": q_match_or,
     "match_and_bm25": q_match_and,
     "match_msm_bm25": q_match_msm,
