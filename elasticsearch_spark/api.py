@@ -172,6 +172,7 @@ class Engine:
         analyzer_filters: list | None = None,
         num_partitions: int | None = None,
         index_sort: tuple | None = None,
+        num_shards: int | None = None,
     ) -> None:
         """PUT /{index} — registers settings (including ``index.sort``);
         the physical build happens on the first bulk (segments are created
@@ -188,6 +189,8 @@ class Engine:
             num_partitions = int(s.get("num_partitions", 8))
         if index_sort is None and "index_sort" in s:
             index_sort = tuple(s["index_sort"])
+        if num_shards is None and "number_of_shards" in s:
+            num_shards = int(s["number_of_shards"])
         if analyzer_filters:
             analysis.register_analyzer(index + "__analyzer", analyzer, analyzer_filters)
             analyzer = index + "__analyzer"
@@ -198,6 +201,7 @@ class Engine:
             analyzer=analyzer, num_partitions=num_partitions,
             analyzer_config=list(cfg) if cfg else None,
             index_sort=list(index_sort) if index_sort else None,
+            num_shards=num_shards,
         )
         meta.save(d)
 
@@ -387,6 +391,7 @@ class Engine:
                 num_partitions=num_partitions or meta.num_partitions,
                 analyzer=meta.analyzer,
                 index_sort=tuple(meta.index_sort) if meta.index_sort else None,
+                num_shards=meta.num_shards,
             )
         ops_df = docs.select("url", F.lit("index").alias("op"), "text", "lang", "warc_ts")
         return ops_mod.apply_ops(self.spark, d, ops_df, num_partitions=num_partitions or meta.num_partitions)
@@ -408,9 +413,13 @@ class Engine:
     def _docs_view(self, index: str) -> DataFrame:
         return ops_mod.live_docs(self.spark, self._dir(index))
 
-    def search(self, index: str, body: dict) -> dict:
+    def search(self, index: str, body: dict, routing: str | None = None) -> dict:
         """POST /{index}/_search: full search body. Returns
         {"hits": DataFrame, "aggregations": {name: DataFrame}}.
+
+        ``routing`` (the ``?routing=`` query param): prunes the index
+        fast path to the routing value's shard segments — same results
+        when docs were indexed with that routing, ~P× less scan work.
 
         `match`-family queries at the TOP level of the body run through the
         inverted index (postings + block-max WAND); compound/filter bodies
@@ -480,7 +489,7 @@ class Engine:
             terms = analysis.analyze(text, meta.analyzer)
             hits = search_topk(
                 self.spark, d, terms, k=size, operator=op, mode="wand",
-                pit_segs=pit_segs,
+                pit_segs=pit_segs, routing=routing,
             )
             if body.get("highlight"):
                 docs_text = self._docs_view(index).select("url", "text")

@@ -48,7 +48,7 @@ SEGMENTS_PER_TIER = 10
 MAX_MERGED_BYTES = 5 * 2**30
 FLOOR_BYTES = 2 * 2**20
 
-MERGED_SEG_BASE = 1 << 20  # merged segment ids live above build pids
+MERGED_SEG_BASE = store.MERGED_SEG_BASE  # merged segment ids live above build pids
 
 
 def _seg_sizes(index_dir: str) -> dict[int, int]:
@@ -71,15 +71,34 @@ def plan_merges(
     ``floor_bytes`` count as the floor, like the reference's floorSegmentMB);
     greedily group up to ``segments_per_tier`` adjacent segments whose
     combined size stays under ``max_merged_bytes``. Groups of one are not
-    merged."""
+    merged.
+
+    Groups never cross routing shards (the reference merges within one
+    shard by construction): segments are bucketed by ``store.shard_of``
+    first, so merged segments stay shard-pure and routed searches keep
+    their segment-pruning guarantee across compactions. Unknown-shard
+    segments (pre-upgrade merges) form their own bucket."""
     sizes = _seg_sizes(index_dir)
-    order = sorted(sizes, key=lambda s: (max(sizes[s], floor_bytes), s))
+    meta = store.IndexMeta.load(index_dir)
+    shard_key = {s: store.shard_of(index_dir, s, meta) for s in sizes}
+    order = sorted(
+        sizes,
+        key=lambda s: (
+            -1 if shard_key[s] is None else shard_key[s],
+            max(sizes[s], floor_bytes),
+            s,
+        ),
+    )
     groups: list[list[int]] = []
     cur: list[int] = []
     cur_bytes = 0
     for seg in order:
         sz = max(sizes[seg], floor_bytes)
-        if cur and (len(cur) >= segments_per_tier or cur_bytes + sz > max_merged_bytes):
+        if cur and (
+            len(cur) >= segments_per_tier
+            or cur_bytes + sz > max_merged_bytes
+            or shard_key[seg] != shard_key[cur[-1]]
+        ):
             groups.append(cur)
             cur, cur_bytes = [], 0
         cur.append(seg)
@@ -223,9 +242,14 @@ def merge_group_local(index_dir: str, segs: list[int], new_seg: int) -> dict:
         pq.write_table(tbl, tmp, compression="zstd")
         os.replace(tmp, os.path.join(d, name))
 
+    # record the group's routing shard (shard-pure by plan_merges) so
+    # routed searches can prune merged segments in O(1)
+    _meta = store.IndexMeta.load(index_dir)
+    shards = {store.shard_of(index_dir, s, _meta) for s in segs}
     manifest = {
         "new_seg": new_seg,
         "merged_from": sorted(int(s) for s in segs),
+        "shard": shards.pop() if len(shards) == 1 else None,
         "n_docs": int(docs.num_rows),
         "n_blocks": int(merged.num_rows),
         "postings_bytes": int(merged.nbytes),

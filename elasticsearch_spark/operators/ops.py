@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..sources import index_store as store
 from .postings import METRICS_SCHEMA, segment_builder
 
-OPS_SEG_BASE = 1 << 16  # op-batch segments live above initial pids, below merged
+OPS_SEG_BASE = store.OPS_SEG_BASE  # op-batch segments live above initial pids, below merged
 
 
 def tombstones_path(index_dir: str) -> str:

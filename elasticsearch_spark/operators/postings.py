@@ -346,6 +346,7 @@ def build_index(
     num_partitions: int | None = None,
     analyzer: str = "standard",
     index_sort: tuple | None = None,
+    num_shards: int | None = None,
 ) -> dict:
     """Full index build: route → per-partition segment build → stats tables.
 
@@ -361,6 +362,16 @@ def build_index(
     compact postings, orders of magnitude smaller than the input.
     """
     num_partitions = num_partitions or max(spark.sparkContext.defaultParallelism, 8)
+    if num_shards:
+        # number_of_shards (routing granularity) must divide the build
+        # partition count so pid % num_shards == hash % num_shards — the
+        # invariant routed search pruning relies on (sources/index_store
+        # .shard_of). Partitions stay the parallelism knob; shards the
+        # routing knob.
+        if num_partitions % num_shards != 0:
+            raise ValueError(
+                f"num_shards={num_shards} must divide num_partitions={num_partitions}"
+            )
     os.makedirs(index_dir, exist_ok=True)
 
     cols = [c for c in pages.columns if c != "html"]  # html never shuffles; text is the extracted source
@@ -378,6 +389,7 @@ def build_index(
         analyzer=analyzer, num_partitions=num_partitions,
         analyzer_config=list(cfg) if cfg else None,
         index_sort=list(index_sort) if index_sort else None,
+        num_shards=num_shards,
     )
     meta.doc_count = sum(r["n_docs"] for r in metrics)
     meta.sum_dl = sum(r["sum_dl"] for r in metrics)

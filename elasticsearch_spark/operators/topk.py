@@ -357,6 +357,41 @@ def _segment_task_scorer(
     return fn
 
 
+def routing_shard(spark: SparkSession, value: str, num_shards: int) -> int:
+    """Shard for a routing value (IndexRouting.java's murmur3 analog):
+    ``pmod(xxhash64(v), S)`` — identical to the build partition's
+    ``pmod(xxhash64(v), P) % S`` because S divides P. Evaluated as a Spark
+    constant expression so query- and index-time hashing can never drift
+    (constant-folded: no job is run)."""
+    row = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(value)), F.lit(num_shards)).cast("int").alias("s")
+    ).first()
+    return int(row["s"])
+
+
+def routed_segs(
+    spark: SparkSession,
+    index_dir: str,
+    segs: list[int],
+    routing: str,
+    meta: store.IndexMeta,
+) -> list[int]:
+    """Prune a segment list to the routing value's shard. Unknown-shard
+    segments (pre-sharding merges) are kept — they may contain the
+    shard's docs."""
+    if not meta.num_shards:
+        raise ValueError(
+            "routing requires an index built with num_shards "
+            "(the number_of_shards index setting)"
+        )
+    shard = routing_shard(spark, routing, meta.num_shards)
+    return [
+        s
+        for s in segs
+        if store.shard_of(index_dir, s, meta) in (shard, None)
+    ]
+
+
 def search_topk(
     spark: SparkSession,
     index_dir: str,
@@ -369,6 +404,7 @@ def search_topk(
     fetch: bool = True,
     reader: IndexReader | None = None,
     pit_segs: list[int] | None = None,
+    routing: str | None = None,
 ) -> DataFrame:
     """Multi-term BM25 top-k over the index (query-then-fetch lifecycle).
 
@@ -379,7 +415,13 @@ def search_topk(
     pit_segs: optional pinned segment list (a point-in-time reader —
     segments are immutable, so pinning the set at open time gives
     repeatable reads across concurrent bulks, the reference's PIT
-    contract)."""
+    contract).
+
+    routing: optional routing value (``?routing=`` — IndexRouting.java):
+    only segments of the value's shard (plus unknown-shard segments) are
+    scanned — query cost drops from O(segments) to O(segments/P), the
+    shard-pruning the reference gets by sending the search to one shard.
+    Shard-aware tiered merge keeps merged segments prunable."""
     meta = reader.meta if reader else store.IndexMeta.load(index_dir)
     terms = list(dict.fromkeys(query_terms))
     weights = (
@@ -395,6 +437,8 @@ def search_topk(
         # segment, zero shuffle — each task reads its own postings (term
         # filter pushed to parquet row groups) and norms from the store
         segs = pit_segs if pit_segs is not None else store.list_segs(index_dir)
+        if routing is not None:
+            segs = routed_segs(spark, index_dir, segs, routing, meta)
         fn = _segment_task_scorer(index_dir, weights, meta.avgdl, meta.k1, meta.b, k, msm, mode)
         n_tasks = max(1, min(len(segs), spark.sparkContext.defaultParallelism))
         # parallelize with an explicit slice count instead of

@@ -2233,7 +2233,49 @@ def f_version_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_ingest_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geoip ingest processor (modules/ingest-geoip GeoIpProcessor.java):
+    network-block database lookup as a BUCKETED broadcast range join —
+    blocks split at /8 boundaries carry an equi-join bucket key, so the
+    lookup is a BroadcastHashJoin + residual range filter, never a
+    nested-loop range join. IPs synthesized deterministically from event
+    attrs; the oracle computes the same block arithmetic directly."""
+    from .sources.geoip import fake_geoip_db, geoip_lookup, prepare_geoip_blocks
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ip",
+        F.concat_ws(
+            ".",
+            (F.col("user_id") % 223 + 1).cast("string"),
+            (F.col("event_id") % 256).cast("string"),
+            (F.floor(F.col("event_id") / 256) % 256).cast("string"),
+            (F.col("user_id") % 254 + 1).cast("string"),
+        ),
+    )
+    blocks = prepare_geoip_blocks(fake_geoip_db(spark))
+    out = geoip_lookup(ev, "ip", blocks, target_field="geoip")
+    return (
+        out.groupBy(F.col("geoip.country_iso_code").alias("country"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("country"))
+        .limit(20)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "ingest_geoip": """
+WITH ip AS (
+  SELECT (user_id % 223 + 1) AS o1, (event_id % 256) AS o2
+  FROM events
+),
+looked AS (
+  SELECT 'C' || ((2 * o1 + CASE WHEN o2 >= 128 THEN 1 ELSE 0 END) % 97) AS country
+  FROM ip
+)
+SELECT country, count(*)::BIGINT AS doc_count
+FROM looked GROUP BY country
+ORDER BY doc_count DESC, country ASC LIMIT 20
+""",
     "field_range_relation": """
 SELECT
   sum(CASE WHEN value <= 90 AND value + (event_id % 40) >= 60 THEN 1 ELSE 0 END)::BIGINT AS n_intersects,
@@ -3484,6 +3526,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_time_series": a_time_series,
     "agg_aggregate_metric": a_aggregate_metric,
     "field_version_sort": f_version_sort,
+    "ingest_geoip": p_ingest_geoip,
     "match_or_bm25": q_match_or,
     "match_and_bm25": q_match_and,
     "match_msm_bm25": q_match_msm,

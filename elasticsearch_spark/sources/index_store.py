@@ -60,6 +60,51 @@ def write_manifest(index_dir: str, pid: int, manifest: dict) -> None:
     os.replace(tmp, p)  # atomic commit point
 
 
+OPS_SEG_BASE = 1 << 16  # op-batch segments live above initial pids
+MERGED_SEG_BASE = 1 << 20  # merged segment ids live above build pids
+
+
+def merge_manifest(index_dir: str, seg: int) -> dict | None:
+    """The committed merge manifest that produced ``seg`` (None if ``seg``
+    is not a merged segment)."""
+    p = os.path.join(index_dir, "manifests", f"merge-{seg}.json")
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
+
+
+def shard_of(index_dir: str, seg: int, meta: "IndexMeta") -> int | None:
+    """Routing shard that produced every doc in ``seg`` (None = unsharded
+    index, or a mixed pre-sharding merge — searched by every routed query).
+
+    ``number_of_shards`` is an index setting (meta.num_shards), decoupled
+    from build parallelism: the build routes docs to ``P = num_partitions``
+    partitions by ``pmod(hash(url), P)``, and with ``S | P`` every
+    partition maps to routing shard ``pid % S`` (hash mod P mod S ==
+    hash mod S). The id namespaces make the pid derivable without state:
+    - initial build segments: seg == pid;
+    - op-batch segments (``operators/ops.py``): pid = gen*OPS_SEG_BASE + p;
+    - merged segments: the merge manifest records ``shard`` (shard-aware
+      tiered merge keeps groups shard-pure).
+
+    This is IndexRouting.java's shard→docs contract inverted: given a
+    routing value, only segments whose shard matches can contain it — the
+    query-time partition-pruning analog.
+    """
+    if not meta.num_shards:
+        return None
+    if seg < MERGED_SEG_BASE:
+        return seg % OPS_SEG_BASE % meta.num_partitions % meta.num_shards
+    m = merge_manifest(index_dir, seg)
+    if m is None:
+        return None
+    return m.get("shard")  # may be None (pre-sharding mixed merge)
+
+
 def merged_away_segs(index_dir: str) -> set[int]:
     """Segments consumed by a committed merge (their files are gone but their
     docs live on in the merged segment) — the resume path must treat these
@@ -109,6 +154,10 @@ class IndexMeta:
     # segment doc order follows this field; queries sorting on it
     # early-terminate (operators/topk.py:sorted_scan)
     index_sort: list | None = None
+    # number_of_shards (index setting, IndexMetadata.SETTING_NUMBER_OF_SHARDS):
+    # enables routing-pruned search; must divide num_partitions. None =
+    # unsharded (no routing pruning, merges may cross partitions freely)
+    num_shards: int | None = None
 
     @property
     def avgdl(self) -> float:
@@ -129,6 +178,7 @@ class IndexMeta:
                     "seg_map": self.seg_map,
                     "analyzer_config": self.analyzer_config,
                     "index_sort": self.index_sort,
+                    "num_shards": self.num_shards,
                 },
                 f,
             )
@@ -148,6 +198,7 @@ class IndexMeta:
             seg_map={str(k): int(v) for k, v in d.get("seg_map", {}).items()},
             analyzer_config=d.get("analyzer_config"),
             index_sort=d.get("index_sort"),
+            num_shards=d.get("num_shards"),
         )
         if meta.analyzer_config is not None:
             from ..functions import analysis

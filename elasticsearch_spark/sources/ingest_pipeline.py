@@ -194,6 +194,19 @@ def _apply_one(df: DataFrame, spec: dict) -> DataFrame:
             *[F.col(c).alias(f"{tgt2}.{c}") for c in enrich_fields],
         )
         return df.join(F.broadcast(dim), f, "left")
+    if kind == "geoip":
+        # modules/ingest-geoip GeoIpProcessor: network-block database
+        # lookup as a bucketed broadcast range join (sources/geoip.py).
+        # The database arrives as `_database_df` (raw blocks; prepared
+        # here) — the mmdb-file stand-in for this embedded engine.
+        from .geoip import geoip_lookup, prepare_geoip_blocks
+
+        blocks = prepare_geoip_blocks(body["_database_df"])
+        return geoip_lookup(
+            df, f, blocks,
+            target_field=body.get("target_field", "geoip"),
+            properties=body.get("properties"),
+        )
     if kind == "drop":
         return df.where(~F.expr(cond)) if cond else df.limit(0)
     if kind == "script":
