@@ -514,11 +514,22 @@ class Engine:
 
             if kind == "intervals":
                 (fld, ispec), = spec.items()
-                m = ispec["match"]
-                hits = search_intervals(
-                    self.spark, d, m["query"], ordered=m.get("ordered", False),
-                    max_gaps=m.get("max_gaps", -1), k=size,
+                plain_match = (
+                    set(ispec) == {"match"}
+                    and "filter" not in ispec["match"]
                 )
+                if plain_match:
+                    m = ispec["match"]
+                    hits = search_intervals(
+                        self.spark, d, m["query"], ordered=m.get("ordered", False),
+                        max_gaps=m.get("max_gaps", -1), k=size,
+                    )
+                else:
+                    # full source algebra (prefix/wildcard/fuzzy/regexp
+                    # leaves, any_of/all_of, interval filters)
+                    from .operators.intervals import search_intervals_source
+
+                    hits = search_intervals_source(self.spark, d, ispec, k=size)
             else:
                 (fld, mspec), = spec.items()
                 text = mspec["query"] if isinstance(mspec, dict) else mspec
@@ -528,6 +539,30 @@ class Engine:
         else:
             docs = self._docs_view(index)
             hits = dsl.search(self.spark, docs, body, key="url", text_col="text")
+
+        for fspec_key in ("fields", "docvalue_fields"):
+            # the fields retrieval API / docvalue_fields
+            # (``server/.../search/fetch/subphase/FieldFetcher.java``,
+            # ``FetchDocValuesPhase.java``): formatted values alongside
+            # hits as ``fields.<name>`` columns; ``format`` renders dates
+            # (DocValueFormat.DateTime patterns)
+            for fspec in body.get(fspec_key, []):
+                name, fmt = (
+                    (fspec["field"], fspec.get("format"))
+                    if isinstance(fspec, dict)
+                    else (fspec, None)
+                )
+                if name not in hits.columns:
+                    continue
+                c = F.col(name)
+                dtype = dict(hits.dtypes).get(name, "")
+                if fmt == "epoch_millis" and dtype.startswith("timestamp"):
+                    c = (F.unix_timestamp(c) * 1000).cast("long").cast("string")
+                elif fmt and dtype.startswith("timestamp"):
+                    c = F.date_format(c, fmt)  # ES date formats are Java-time patterns
+                else:
+                    c = c.cast("string")
+                hits = hits.withColumn(f"fields.{name}", c)
 
         out = {"hits": hits}
         if kind == "nested" and "inner_hits" in spec:
@@ -592,6 +627,29 @@ class Engine:
         for fr in frames[1:]:
             u = u.unionByName(fr, allowMissingColumns=True)
         u = u.withColumn("_ccs_key", F.concat_ws(":", "_index", "url"))
+        if "indices_boost" in body:
+            # indices_boost (SearchSourceBuilder.indexBoosts): a per-index
+            # score multiplier. Expressed as function_score weight
+            # functions filtered on _index — the boost applies BEFORE the
+            # global top-k, exactly the reference's semantics.
+            ib = body["indices_boost"]
+            pairs = (
+                [(k, v) for d in ib for k, v in d.items()]
+                if isinstance(ib, list)
+                else list(ib.items())
+            )
+            body = {k: v for k, v in body.items() if k != "indices_boost"}
+            body["query"] = {
+                "function_score": {
+                    "query": body.get("query", {"match_all": {}}),
+                    "functions": [
+                        {"filter": {"term": {"_index": ix}}, "weight": float(w)}
+                        for ix, w in pairs
+                    ],
+                    "score_mode": "max",
+                    "boost_mode": "multiply",
+                }
+            }
         return dsl.search(self.spark, u, body, key="_ccs_key", text_col="text")
 
     def percolate(self, index: str, stored_queries) -> DataFrame:

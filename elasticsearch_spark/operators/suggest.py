@@ -113,7 +113,7 @@ def completion_suggest(
     prefix: str,
     size: int = 5,
     fuzziness: int = 0,
-    contexts: list[str] | None = None,
+    contexts: list[str] | dict[str, float] | None = None,
 ) -> DataFrame:
     """Completion suggester (``server/.../search/suggest/completion/
     CompletionSuggestionBuilder.java:46``): search-as-you-type prefix →
@@ -139,10 +139,21 @@ def completion_suggest(
     if os.path.isdir(comp_path):
         src = spark.read.parquet(comp_path)
         if contexts:
-            # CategoryQueryContext filter: only suggestions carrying one of
-            # the requested contexts compete (reference context boosting's
-            # filter-only subset)
-            src = src.where(F.col("context").isin(list(contexts)))
+            # CategoryQueryContext: a list filters to suggestions carrying
+            # one of the contexts; a {context: boost} dict additionally
+            # multiplies the weight by the matched context's boost
+            # (CategoryContextMapping boost semantics) — the best-boosted
+            # context wins per suggestion
+            if isinstance(contexts, dict):
+                boost_map = F.create_map(
+                    *[F.lit(x) for kv in contexts.items() for x in kv]
+                )
+                src = src.where(F.col("context").isin(list(contexts))).withColumn(
+                    "weight",
+                    (F.col("weight") * boost_map.getItem(F.col("context"))).cast("long"),
+                )
+            else:
+                src = src.where(F.col("context").isin(list(contexts)))
         if "context" in src.columns:
             src = src.groupBy("suggestion").agg(F.max("weight").alias("weight"))
     else:

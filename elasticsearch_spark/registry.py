@@ -1094,6 +1094,26 @@ def s_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via per-shard HNSW graphs (dense_vector
+    index_options.type hnsw — Lucene HnswGraphBuilder; operators/hnsw.py):
+    every shard graph probed, coordinator merge — rows-only check
+    (approximate by design; recall vs brute force asserted in
+    tests/test_hnsw.py)."""
+    import os
+
+    from .operators import hnsw
+
+    e = _emb(spark, sf_dir)
+    qvec = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = e.where(F.col("vec_id") != 0)
+    path = os.path.join("/tmp/es_spark_hnsw_cache", os.path.basename(sf_dir.rstrip("/")))
+    if not os.path.exists(path + "/_SUCCESS"):
+        hnsw.build_hnsw_index(corpus, "vec_id", "embedding", path, n_graphs=4)
+    out = hnsw.hnsw_topk(spark, path, qvec, k=10, ef_search=64)
+    return out.select(F.col("key").alias("vec_id"), F.round("cosine", 6).alias("cosine"))
+
+
 def agg_compiler_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES aggs body through the compiler (plans/aggs.py): terms bucket with
     avg/max sub-metrics, count-desc order."""
@@ -1267,6 +1287,33 @@ def q_index_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _index_for(spark, sf_dir)
     hits = search_intervals(spark, idx, "data stream", ordered=True, max_gaps=3, k=10)
+    return hits.select(
+        F.expr("cast(substring(url, 4, 12) as bigint)").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def q_index_intervals_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intervals with the FULL source algebra (IntervalsSourceProvider):
+    all_of(ordered, max_gaps=3)[match 'data', prefix 'str'] filtered by
+    not_containing(match 'order') — prefix leaf expanded over the term
+    dictionary, interval filter pruning matches whose span contains the
+    reference term. Distributed per-segment minimal-interval evaluation."""
+    from .operators.intervals import search_intervals_source
+
+    idx = _index_for(spark, sf_dir)
+    src = {
+        "all_of": {
+            "ordered": True,
+            "max_gaps": 3,
+            "intervals": [
+                {"match": {"query": "data"}},
+                {"prefix": {"prefix": "str"}},
+            ],
+            "filter": {"not_containing": {"match": {"query": "order"}}},
+        }
+    }
+    hits = search_intervals_source(spark, idx, src, k=10)
     return hits.select(
         F.expr("cast(substring(url, 4, 12) as bigint)").alias("doc_id"),
         F.round("score", 4).alias("score"),
@@ -3066,6 +3113,25 @@ SELECT s.doc_id, round(s.score_raw, 4) AS score
 FROM scored s JOIN iv USING (doc_id)
 ORDER BY s.score_raw DESC, s.doc_id ASC LIMIT 10
 """,
+    "intervals_source_query": _bm25_cte(["data", "stream"], msm=2) + f""",
+pos AS (
+  SELECT doc_id, u.term AS term, u.i AS i
+  FROM (SELECT doc_id, unnest(list_transform({_TOK_SQL},
+               (x, i) -> struct_pack(term := x, i := i))) AS u
+        FROM documents)
+),
+iv AS (
+  SELECT DISTINCT a.doc_id FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+  WHERE a.term = 'data' AND b.term LIKE 'str%' AND b.i > a.i AND (b.i - a.i - 1) <= 3
+    AND NOT EXISTS (
+      SELECT 1 FROM pos c
+      WHERE c.doc_id = a.doc_id AND c.term = 'order' AND c.i BETWEEN a.i AND b.i
+    )
+)
+SELECT s.doc_id, round(s.score_raw, 4) AS score
+FROM scored s JOIN iv USING (doc_id)
+ORDER BY s.score_raw DESC, s.doc_id ASC LIMIT 10
+""",
     "match_phrase_prefix": f"""
 WITH tok AS (
   SELECT doc_id, {_TOK_SQL} AS toks FROM documents
@@ -3590,6 +3656,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ml_anomaly_mean": m_anomaly_mean,
     "sim_ann_lsh_topk": s_ann_lsh_topk,
     "sim_ann_ivf_topk": s_ann_ivf_topk,
+    "sim_ann_hnsw_topk": s_ann_hnsw_topk,
     "agg_compiler_terms": agg_compiler_terms,
     "agg_compiler_pipeline": agg_compiler_pipeline,
     "text_token_stats": t_token_stats,
@@ -3599,6 +3666,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_scan": t_pii_scan,
     "text_repetition": t_repetition,
     "intervals_query": q_index_intervals,
+    "intervals_source_query": q_index_intervals_source,
     "match_phrase_prefix": q_index_phrase_prefix,
     "completion_suggest": q_completion_suggest,
     "agg_date_range": a_date_range,

@@ -1,0 +1,75 @@
+"""Round-4 surface: completion context boosting, fields / docvalue_fields
+retrieval, indices_boost."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from elasticsearch_spark.api import Engine
+
+ROOT = "/tmp/es_spark_round4_api"
+
+
+@pytest.fixture(scope="module")
+def es(spark):
+    shutil.rmtree(ROOT, ignore_errors=True)
+    eng = Engine(spark, root=ROOT)
+    for ix, docs in (
+        ("left", [("u1", "spark rules the cluster", "en"),
+                  ("u2", "plain text here", "en")]),
+        ("right", [("v1", "spark rules the cluster", "en"),
+                   ("v2", "other words entirely", "de")]),
+    ):
+        eng.create_index(ix, num_partitions=2)
+        eng.bulk(ix, spark.createDataFrame(docs, "url string, text string, lang string"))
+    return eng
+
+
+def test_completion_context_boosting(spark, tmp_path_factory):
+    from elasticsearch_spark.operators.suggest import (
+        build_completion_index,
+        completion_suggest,
+    )
+
+    idx = str(tmp_path_factory.mktemp("compb") / "idx")
+    os.makedirs(idx, exist_ok=True)
+    sugg = spark.createDataFrame(
+        [("spark summit", 10, "event"), ("spark sql", 9, "tech"),
+         ("spartan race", 20, "event")],
+        "s string, w long, cat string",
+    )
+    build_completion_index(spark, idx, sugg, input_col="s", weight_col="w",
+                           contexts_col="cat")
+    # boost tech 5x: spark sql (9*5=45) outranks spartan race (20*1)
+    out = completion_suggest(
+        spark, idx, "spar", size=3, contexts={"tech": 5.0, "event": 1.0}
+    ).collect()
+    assert [r["suggestion"] for r in out] == ["spark sql", "spartan race", "spark summit"]
+    assert out[0]["weight"] == 45
+
+
+def test_fields_and_docvalue_fields(es):
+    out = es.search("left", {
+        "query": {"match": {"text": "spark"}},
+        "fields": [{"field": "warc_ts", "format": "yyyy-MM-dd"}, "lang"],
+        "docvalue_fields": [{"field": "warc_ts", "format": "epoch_millis"}],
+    })["hits"].collect()
+    assert out
+    r = out[0]
+    assert len(r["fields.warc_ts"]) in (10, 13)  # date string or epoch millis (last write wins)
+    assert r["fields.lang"] == "en"
+
+
+def test_indices_boost(es):
+    body = {"query": {"match": {"text": "spark"}}, "size": 10,
+            "indices_boost": [{"right": 3.0}, {"left": 1.0}]}
+    rows = es.search_multi(["left", "right"], body).collect()
+    s = {(r["_index"]): r["_score"] for r in rows}
+    # same doc text in both indices: boosted index scores exactly 3x
+    assert abs(s["right"] - 3.0 * s["left"]) < 1e-9
+    # and the boosted copy ranks first
+    ranked = sorted(rows, key=lambda r: (-r["_score"]))
+    assert ranked[0]["_index"] == "right"
