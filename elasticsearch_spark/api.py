@@ -443,6 +443,16 @@ class Engine:
                     "PIT searches support only a top-level match query "
                     "without sort/aggs in this engine"
                 )
+        # runtime_mappings (search-time runtime fields,
+        # ``server/.../search/runtime/``): computed columns over the live
+        # docs view before query/agg compilation — one compiler
+        # (dsl.runtime_field_expr) shared with dsl.search, so the DSL path
+        # re-applying the same mapping is idempotent
+        def _apply_runtime(df):
+            for name, spec in (body.get("runtime_mappings") or {}).items():
+                df = df.withColumn(name, dsl.runtime_field_expr(spec))
+            return df
+
         concrete = self.resolve(index)
         if len(concrete) > 1:
             return {"hits": self.search_multi(concrete, body)}
@@ -479,7 +489,7 @@ class Engine:
                 hits = sorted_scan(self.spark, d, k=size)
                 out = {"hits": hits}
                 if "aggs" in body:
-                    out["aggregations"] = aggs_mod.aggregate(self._docs_view(index), body["aggs"])
+                    out["aggregations"] = aggs_mod.aggregate(_apply_runtime(self._docs_view(index)), body["aggs"])
                 return out
         if kind == "match" and "sort" not in body and "search_after" not in body:
             (fld, mspec), = spec.items()
@@ -537,7 +547,7 @@ class Engine:
                 fn = search_phrase if kind == "match_phrase" else search_phrase_prefix
                 hits = fn(self.spark, d, text, k=size, slop=slop)
         else:
-            docs = self._docs_view(index)
+            docs = _apply_runtime(self._docs_view(index))
             hits = dsl.search(self.spark, docs, body, key="url", text_col="text")
 
         for fspec_key in ("fields", "docvalue_fields"):
@@ -568,12 +578,12 @@ class Engine:
         if kind == "nested" and "inner_hits" in spec:
             # InnerHitsPhase: the matching sub-docs per parent hit
             node = dsl.parse(q)
-            ih_ctx = dsl.SearchContext(self._docs_view(index), "url", text_col="text")
+            ih_ctx = dsl.SearchContext(_apply_runtime(self._docs_view(index)), "url", text_col="text")
             out["inner_hits"] = node.inner_hits_frame(
                 ih_ctx, size=int((spec["inner_hits"] or {}).get("size", 3))
             )
         if "aggs" in body:
-            base = self._docs_view(index)
+            base = _apply_runtime(self._docs_view(index))
             if kind != "match_all":
                 node = dsl.parse(q)
                 ctx = dsl.SearchContext(base, "url", text_col="text")

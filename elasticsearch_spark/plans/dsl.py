@@ -726,6 +726,28 @@ class MoreLikeThisQ(Node):
 _VEC_FN_RE = None
 
 
+_RUNTIME_TYPES = {
+    "keyword": "string", "long": "long", "double": "double",
+    "date": "timestamp", "boolean": "boolean", "ip": "string",
+}
+
+
+def runtime_field_expr(spec: dict | str) -> Column:
+    """Compile one runtime-field spec (RuntimeField.java) to a Column:
+    the reference's ``emit(expr)`` wrapper is stripped, script params
+    folded, and the value cast to the declared runtime type."""
+    import re as _re
+
+    script = spec.get("script", {}) if isinstance(spec, dict) else spec
+    src = script.get("source", "null") if isinstance(script, dict) else str(script)
+    m = _re.fullmatch(r"\s*emit\((.*)\)\s*", src, _re.S)
+    if m:
+        src = m.group(1)
+    src = expand_script(src, script.get("params") if isinstance(script, dict) else None)
+    t = spec.get("type", "keyword") if isinstance(spec, dict) else "keyword"
+    return F.expr(src).cast(_RUNTIME_TYPES.get(t, "string"))
+
+
 def expand_script(src: str, params: dict | None) -> str:
     """Painless-analog preprocessing: the dense_vector script functions
     (``cosineSimilarity`` / ``dotProduct`` / ``l1norm`` / ``l2norm`` over
@@ -1566,8 +1588,7 @@ def search(
     # computed columns — SQL-expression Painless analog, visible to the
     # query, sort, and _source of THIS search only
     for rname, rspec in (body.get("runtime_mappings") or {}).items():
-        src = rspec["script"]["source"] if isinstance(rspec.get("script"), dict) else rspec["script"]
-        df = df.withColumn(rname, F.expr(src))
+        df = df.withColumn(rname, runtime_field_expr(rspec))
 
     ctx = SearchContext(df, key, text_col=text_col)
     size = int(body.get("size", 10))

@@ -63,6 +63,21 @@ def test_fields_and_docvalue_fields(es):
     assert r["fields.lang"] == "en"
 
 
+def test_runtime_mappings(es):
+    # query + aggs over a search-time runtime field; emit() wrapper stripped
+    out = es.search("left", {
+        "query": {"term": {"lang_up": "EN"}},
+        "runtime_mappings": {
+            "lang_up": {"type": "keyword", "script": {"source": "emit(upper(lang))"}},
+            "tl": {"type": "long", "script": {"source": "length(text)"}},
+        },
+        "aggs": {"m": {"max": {"field": "tl"}}},
+        "size": 5,
+    })
+    assert out["hits"].count() == 2
+    assert out["aggregations"]["m"].collect()[0]["m"] == len("spark rules the cluster")
+
+
 def test_indices_boost(es):
     body = {"query": {"match": {"text": "spark"}}, "size": 10,
             "indices_boost": [{"right": 3.0}, {"left": 1.0}]}
