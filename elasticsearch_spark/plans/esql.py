@@ -27,8 +27,12 @@ Supported commands (documented subset):
 
 Function mapping: COUNT_DISTINCT→count(distinct), MEDIAN→percentile(·,0.5),
 PERCENTILE(x,p)→percentile(x,p/100), TO_UPPER/TO_LOWER/TO_STRING/TO_LONG/
-TO_INT/TO_DOUBLE→upper/lower/casts, DATE_TRUNC(1 unit, c)→date_trunc,
-MV_COUNT→size, MV_MIN/MV_MAX→array_min/array_max; everything else passes
+TO_INT/TO_DOUBLE/TO_BOOLEAN/TO_DATETIME→upper/lower/casts,
+DATE_TRUNC(1 unit, c)→date_trunc, DATE_FORMAT(fmt, d)→date_format(d, fmt),
+DATE_EXTRACT(part, d)→extract, CASE(c,v,…[,default])→CASE WHEN,
+STARTS_WITH/ENDS_WITH→startswith/endswith, MV_COUNT→size,
+MV_MIN/MV_MAX→array_min/array_max, MV_DEDUPE/MV_SORT→array_distinct/
+array_sort, MV_AVG/MV_SUM→aggregate(); everything else passes
 through to Spark SQL verbatim (the dialects agree on the arithmetic,
 comparison, string, and date core).
 """
@@ -75,6 +79,8 @@ def _split_top(s: str, sep: str) -> list[str]:
 _FN_SIMPLE = {
     "to_upper": "upper", "to_lower": "lower", "mv_count": "size",
     "mv_min": "array_min", "mv_max": "array_max",
+    "starts_with": "startswith", "ends_with": "endswith",
+    "mv_dedupe": "array_distinct", "mv_sort": "array_sort",
 }
 
 
@@ -172,8 +178,39 @@ def _xlate(expr: str) -> str:
     e = _rewrite_call(e, "date_trunc", dt_fn)
     # TO_LONG/TO_INT/TO_DOUBLE/TO_STRING(c) → cast(c as ...)
     for fn, t in (("to_long", "bigint"), ("to_int", "int"), ("to_double", "double"),
-                  ("to_string", "string")):
+                  ("to_string", "string"), ("to_boolean", "boolean"),
+                  ("to_datetime", "timestamp")):
         e = _rewrite_call(e, fn, lambda a, t=t: f"cast({a[0]} as {t})")
+    # DATE_FORMAT(fmt, date) — ES|QL's arg order is (format, date);
+    # Spark's is (date, format)
+    e = _rewrite_call(e, "date_format", lambda a: f"date_format({a[1]}, {a[0]})" if len(a) == 2 else f"date_format({a[0]}, 'yyyy-MM-dd''T''HH:mm:ss.SSS''Z''')")
+    # DATE_EXTRACT(part, date) → extract(part FROM date); the part arrives
+    # as a stashed string literal — resolve it to a bare field name
+    def dex_fn(a: list[str]) -> str:
+        part = a[0].strip()
+        pm = re.fullmatch(r"\x00(\d+)\x00", part)
+        if pm:
+            part = lits[int(pm.group(1))][1:-1]
+        return f"extract({part.strip(chr(39) + chr(34))} FROM {a[1]})"
+
+    e = _rewrite_call(e, "date_extract", dex_fn)
+    # CASE(c1, v1, c2, v2, …[, default]) → CASE WHEN … END
+    def case_fn(a: list[str]) -> str:
+        pairs, dflt = (a[:-1], a[-1]) if len(a) % 2 == 1 else (a, None)
+        whens = " ".join(
+            f"WHEN {pairs[i]} THEN {pairs[i + 1]}" for i in range(0, len(pairs), 2)
+        )
+        return f"(CASE {whens}" + (f" ELSE {dflt} END)" if dflt is not None else " END)")
+
+    e = _rewrite_call(e, "case", case_fn)
+    # MV_AVG / MV_SUM over multivalue (array) columns
+    e = _rewrite_call(
+        e, "mv_avg",
+        lambda a: f"(aggregate({a[0]}, 0D, (acc, x) -> acc + double(x)) / size({a[0]}))",
+    )
+    e = _rewrite_call(
+        e, "mv_sum", lambda a: f"aggregate({a[0]}, 0D, (acc, x) -> acc + double(x))"
+    )
     for fn, repl in _FN_SIMPLE.items():
         e = re.sub(rf"\b{fn}\s*\(", repl + "(", e, flags=re.I)
     # substitute literals back, single-quoted

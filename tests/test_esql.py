@@ -195,3 +195,33 @@ def test_change_point_command(spark):
     r = out.collect()
     assert len(r) == 1
     assert r[0].type == "step_change" and r[0].k == 12.0 and r[0].pvalue < 0.01
+
+
+def test_esql_function_dialect_round2(spark):
+    df = spark.createDataFrame(
+        [(1, "Alpha", [1, 2, 3], "2024-03-05 10:30:00"),
+         (2, "beta", [4, 4], "2024-07-01 00:00:00")],
+        "id long, name string, xs array<int>, ts string",
+    )
+    out = esql(spark, """
+ROW dummy = 1
+| LIMIT 0
+""")
+    out = esql(spark, """
+FROM t
+| EVAL up = STARTS_WITH(TO_UPPER(name), "AL"),
+       n = MV_SUM(xs), a = MV_AVG(xs), d = MV_DEDUPE(xs),
+       grade = CASE(id == 1, "one", id == 2, "two", "many"),
+       mon = DATE_EXTRACT("month", TO_DATETIME(ts)),
+       day = DATE_FORMAT("yyyy-MM-dd", TO_DATETIME(ts))
+| KEEP id, up, n, a, d, grade, mon, day
+| SORT id ASC
+""", {"t": df})
+    r = out.collect()
+    assert [x.up for x in r] == [True, False]
+    assert [x.n for x in r] == [6.0, 8.0]
+    assert [x.a for x in r] == [2.0, 4.0]
+    assert [list(x.d) for x in r] == [[1, 2, 3], [4]]
+    assert [x.grade for x in r] == ["one", "two"]
+    assert [x.mon for x in r] == [3, 7]
+    assert [x.day for x in r] == ["2024-03-05", "2024-07-01"]
