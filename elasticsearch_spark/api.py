@@ -393,7 +393,10 @@ class Engine:
                 index_sort=tuple(meta.index_sort) if meta.index_sort else None,
                 num_shards=meta.num_shards,
             )
-        ops_df = docs.select("url", F.lit("index").alias("op"), "text", "lang", "warc_ts")
+        extra = [c for c in docs.columns if c not in ("url", "text", "lang", "warc_ts")]
+        ops_df = docs.select(
+            "url", F.lit("index").alias("op"), "text", "lang", "warc_ts", *extra
+        )
         return ops_mod.apply_ops(self.spark, d, ops_df, num_partitions=num_partitions or meta.num_partitions)
 
     def delete(self, index: str, urls: list[str]) -> dict:
@@ -661,6 +664,50 @@ class Engine:
                 }
             }
         return dsl.search(self.spark, u, body, key="_ccs_key", text_col="text")
+
+    def build_vector_index(
+        self,
+        index: str,
+        field: str,
+        n_graphs: int | None = None,
+        M: int = 16,
+        ef_construction: int = 100,
+    ) -> dict:
+        """Materialize per-shard HNSW graphs for a dense_vector field
+        (``index_options.type: hnsw`` — Lucene HnswGraphBuilder). The
+        reference builds graphs at refresh; here the build is an explicit
+        job over the live docs (re-run after bulks to refresh)."""
+        from .operators.hnsw import build_hnsw_index
+
+        path = os.path.join(self._dir(index), f"vector_hnsw_{field}")
+        n = build_hnsw_index(
+            self._docs_view(index), "url", field, path,
+            n_graphs=n_graphs, M=M, ef_construction=ef_construction,
+        )
+        return {"graphs": n, "path": path}
+
+    def knn_search(
+        self, index: str, field: str, query_vector, k: int = 10,
+        num_candidates: int = 64,
+    ) -> DataFrame:
+        """GET /{index}/_knn_search: probes the field's HNSW graphs when
+        built (every shard graph, coordinator merge), else falls back to
+        the exact brute-force scorer — the same auto-selection the
+        reference makes from the field's index_options."""
+        path = os.path.join(self._dir(index), f"vector_hnsw_{field}")
+        if os.path.isdir(path):
+            from .operators.hnsw import hnsw_topk
+
+            hits = hnsw_topk(
+                self.spark, path, query_vector, k=k,
+                ef_search=num_candidates, key_type="string",
+            )
+            return (
+                hits.withColumnRenamed("key", "url")
+                .withColumnRenamed("cosine", "_score")
+            )
+        body = {"knn": {"field": field, "query_vector": [float(x) for x in query_vector], "k": k}, "size": k}
+        return dsl.search(self.spark, self._docs_view(index), body, key="url", text_col="text")
 
     def percolate(self, index: str, stored_queries) -> DataFrame:
         """Percolator over the live docs view (operators/percolate.py)."""

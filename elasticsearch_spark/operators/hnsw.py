@@ -193,14 +193,17 @@ def build_hnsw_index(
     graph per shard (one task each), write one parquet row per graph."""
     spark = df.sparkSession
     n_graphs = n_graphs or max(2, spark.sparkContext.defaultParallelism // 4)
+    key_is_str = dict(df.dtypes)[key] == "string"
     base = df.select(
         F.pmod(F.xxhash64(F.col(key)), F.lit(n_graphs)).cast("int").alias("gid"),
-        F.col(key).cast("long").alias("__key"),
+        F.col(key).cast("string" if key_is_str else "long").alias("__key"),
         F.col(vec_col).cast("array<float>").alias("__v"),
     )
 
     def build_one(pdf: pd.DataFrame) -> pd.DataFrame:
         keys = pdf["__key"].to_numpy()
+        if keys.dtype == object:  # string keys → fixed-width unicode (no pickle)
+            keys = keys.astype(str)
         order = np.argsort(keys, kind="mergesort")  # deterministic insert order
         keys = keys[order]
         V = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["__v"].to_numpy()[order]])
@@ -225,11 +228,13 @@ def hnsw_topk(
     query_vec,
     k: int = 10,
     ef_search: int = 64,
+    key_type: str = "long",
 ) -> DataFrame:
     """Probe every shard graph (one task per graph row), merge per-shard
     top-k by cosine — the reference's per-shard kNN + coordinator merge."""
     q = np.asarray(query_vec, dtype=np.float32)
     q = q / max(float(np.linalg.norm(q)), 1e-12)
+    cast = int if key_type == "long" else str
 
     def probe(batches):
         for pdf in batches:
@@ -239,7 +244,7 @@ def hnsw_topk(
                 hits = search_graph(g, q.astype(g.V.dtype), k, ef_search)
                 if hits:
                     outs.append(pd.DataFrame({
-                        "key": [int(keys[n]) for _, n in hits],
+                        "key": [cast(keys[n]) for _, n in hits],
                         "cosine": [1.0 - d for d, _ in hits],
                     }))
             if outs:
@@ -247,7 +252,7 @@ def hnsw_topk(
 
     graphs = spark.read.parquet(index_path)
     return (
-        graphs.mapInPandas(probe, "key long, cosine double")
+        graphs.mapInPandas(probe, f"key {key_type}, cosine double")
         .orderBy(F.desc("cosine"), F.asc("key"))
         .limit(k)
     )

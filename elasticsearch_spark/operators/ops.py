@@ -155,15 +155,19 @@ def apply_ops(
             counts["created"] += 1
         else:
             counts["indexed"] += 1
-        to_index.append((r["url"], r["warc_ts"], r["text"], r["lang"]))
+        to_index.append(r)
 
     if to_index:
         # next op-batch generation: pids above every existing op segment
         existing_segs = [s for s in store.list_segs(index_dir) if s >= OPS_SEG_BASE]
         gen = (max(existing_segs) // OPS_SEG_BASE + 1) if existing_segs else 1
         base = gen * OPS_SEG_BASE
+        # preserve custom stored fields: rebuild the batch with the ops
+        # frame's own schema minus the op column (extra columns must match
+        # across bulks — every segment writes one docs schema)
+        batch_schema = ops.drop("op").schema
         batch = spark.createDataFrame(
-            to_index, "url string, warc_ts timestamp, text string, lang string"
+            [[r[f.name] for f in batch_schema.fields] for r in to_index], batch_schema
         ).withColumn(
             "pid", (F.lit(base) + F.pmod(F.xxhash64("url"), F.lit(num_partitions))).cast("int")
         )

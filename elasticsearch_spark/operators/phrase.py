@@ -533,14 +533,28 @@ def highlight(
     (unified-highlighter-lite; ``server/.../fetch/subphase/highlight/``).
     ``number_of_fragments > 1`` emits an ARRAY of up to N fragments (one
     per match region, regex scan order — the reference's default scoring
-    of fragments by match count is approximated by document order)."""
+    of fragments: fragments are SCORED by match count and returned
+    best-first (the unified highlighter's passage scoring, ties broken by
+    document order), still as pure Column expressions."""
     pat = "|".join(sorted((t for t in terms), key=len, reverse=True))
     if number_of_fragments > 1:
         half = fragment_size // 2
         ctx = f"(?i)[^\\n]{{0,{half}}}(?:{pat})[^\\n]{{0,{half}}}"
-        frags = F.expr(
-            f"slice(regexp_extract_all({text_col}, '{ctx}', 0), 1, {number_of_fragments})"
+        # rank candidate fragments by (-match_count, original_index): the
+        # struct sort is JVM-side; slice keeps the best N
+        ranked = F.expr(
+            f"""transform(
+                  array_sort(
+                    transform(regexp_extract_all({text_col}, '{ctx}', 0),
+                              (fr, i) -> struct(
+                                -size(regexp_extract_all(fr, '(?i)(?:{pat})', 0)) AS neg,
+                                i AS ord, fr AS fr)
+                    )
+                  ),
+                  s -> s.fr
+                )"""
         )
+        frags = F.slice(ranked, 1, number_of_fragments)
         tagged_arr = F.transform(
             frags, lambda fr: F.regexp_replace(fr, f"(?i)({pat})", f"{pre_tag}$1{post_tag}")
         )

@@ -237,6 +237,12 @@ def build_segment_frames(
             "seg_id": np.int32(pid),
         }
     )
+    # custom stored fields (any extra input columns — keyword/numeric/
+    # dense_vector/…): ride the docs table verbatim, in sorted column
+    # order so every segment writes the identical schema (the merge's
+    # concat and the multi-segment scan both require it)
+    for c in sorted(set(pdf.columns) - {"url", "warc_ts", "lang", "text", "pid"}):
+        docs_pdf[c] = pdf[c].to_numpy()
 
     if len(flat) == 0:
         empty = pa.table({k: pa.array([], type=t) for k, t in POSTINGS_FIELDS})

@@ -36,10 +36,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _SEQ_RE = re.compile(
-    r"^sequence(?:\s+by\s+(?P<by>[\w,\s]+?))?(?:\s+with\s+maxspan=(?P<span>\d+)(?P<unit>ms|s|m|h|d))?\s*(?P<steps>(\[.*\])+)\s*$",
+    r"^sequence(?:\s+by\s+(?P<by>[\w,\s]+?))?(?:\s+with\s+maxspan=(?P<span>\d+)(?P<unit>ms|s|m|h|d))?\s*(?P<steps>\[.*)\s*$",
     re.S,
 )
-_STEP_RE = re.compile(r"\[\s*([\w*]+)\s+where\s+(.*?)\s*\]", re.S)
+_SAMPLE_RE = re.compile(r"^sample\s+by\s+(?P<by>[\w,\s]+?)\s*(?P<steps>\[.*)\s*$", re.S)
+_STEP_RE = re.compile(r"\[\s*([\w*]+)\s+where\s+(.*?)\s*\](?:\s+with\s+runs\s*=\s*(\d+))?", re.S)
 _SIMPLE_RE = re.compile(r"^\s*([\w*]+)\s+where\s+(.*?)\s*$", re.S)
 
 _UNIT_S = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}
@@ -92,8 +93,30 @@ def eql_search(
     until_step = None
     um = re.search(r"\buntil\s+(\[[^\]]*\])\s*$", body)
     if um:
-        (until_step,) = _STEP_RE.findall(um.group(1))
+        ((ucat_, ucond_, _runs),) = _STEP_RE.findall(um.group(1))
+        until_step = (ucat_, ucond_)
         body = body[: um.start()].rstrip()
+
+    # `sample by key [s1] [s2] …` (x-pack/plugin/eql Sample.java, 8.6+):
+    # keys having at least one event per step, NO temporal ordering; this
+    # subset reports the earliest event per (key, step) — deterministic
+    sm2 = _SAMPLE_RE.match(body.strip())
+    if sm2:
+        by = [b.strip() for b in sm2.group("by").split(",") if b.strip()]
+        steps = [(c, w) for c, w, _ in _STEP_RE.findall(sm2.group("steps"))]
+        if len(steps) < 2:
+            raise ValueError("sample needs at least two steps")
+        cur = None
+        for i, (cat, cond) in enumerate(steps):
+            out = df
+            if cat not in ("*", "any"):
+                out = out.where(F.col(category_col) == cat)
+            if cond and cond.strip() not in ("true",):
+                out = out.where(F.expr(_cond_to_sql(cond)))
+            stepf = out.groupBy(*by).agg(F.min(ts_col).alias(f"t{i + 1}"))
+            cur = stepf if cur is None else cur.join(stepf, by)
+        names = by + ["t1"]
+        return apply_pipes(cur.orderBy(*[F.col(n_).asc() for n_ in names]), names)
 
     m = _SEQ_RE.match(body.strip())
     if not m:
@@ -114,7 +137,12 @@ def eql_search(
     span_s = (
         int(m.group("span")) * _UNIT_S[m.group("unit")] if m.group("span") else None
     )
-    steps = _STEP_RE.findall(m.group("steps"))
+    # `with runs=N` (SequenceQuery runs): the step repeats N times
+    steps = [
+        (c, w)
+        for c, w, runs in _STEP_RE.findall(m.group("steps"))
+        for _ in range(int(runs) if runs else 1)
+    ]
     if len(steps) < 2:
         raise ValueError("sequence needs at least two steps")
     if not by:

@@ -120,3 +120,42 @@ def test_sequence_until(spark):
         ev, "sequence by user_id [login where true] [exfil where true]"
     ).collect()
     assert sorted(r.user_id for r in out2) == [1, 2, 3]
+
+
+def test_sequence_with_runs(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # host A: login, fail, fail, alert → matches [login][fail with runs=2][alert]
+        ("A", "login", base),
+        ("A", "fail", base + dt.timedelta(seconds=1)),
+        ("A", "fail", base + dt.timedelta(seconds=2)),
+        ("A", "alert", base + dt.timedelta(seconds=3)),
+        # host B: only one fail → no match
+        ("B", "login", base),
+        ("B", "fail", base + dt.timedelta(seconds=1)),
+        ("B", "alert", base + dt.timedelta(seconds=2)),
+    ]
+    df = spark.createDataFrame(rows, "host string, event_type string, ts timestamp")
+    out = eql_search(
+        df,
+        'sequence by host [login where true] [fail where true] with runs=2 [alert where true]',
+    ).collect()
+    assert [r.host for r in out] == ["A"]
+
+
+def test_sample_command(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("A", "scan", base + dt.timedelta(seconds=5)),
+        ("A", "exfil", base),          # order does NOT matter for sample
+        ("B", "scan", base),           # B has no exfil → excluded
+        ("C", "exfil", base),          # C has no scan → excluded
+    ]
+    df = spark.createDataFrame(rows, "host string, event_type string, ts timestamp")
+    out = eql_search(df, "sample by host [scan where true] [exfil where true]").collect()
+    assert [r.host for r in out] == ["A"]
+    assert out[0].t1 > out[0].t2  # no temporal constraint: t1 after t2 is fine

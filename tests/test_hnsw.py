@@ -63,3 +63,25 @@ def test_hnsw_spark_end_to_end(spark, tmp_path):
     assert got[0] == 7  # the vector itself is its own nearest neighbor
     truth = set(np.argsort(-(V @ q))[:10].tolist())
     assert len(set(got) & truth) >= 8  # ≥0.8 recall@10 across 4 shard graphs
+
+
+def test_engine_knn_search_hnsw_and_fallback(spark, tmp_path):
+    from elasticsearch_spark.api import Engine
+
+    V = _vectors(n=60, dim=8, seed=21)
+    es = Engine(spark, root=str(tmp_path))
+    es.create_index("vecs", num_partitions=2)
+    docs = spark.createDataFrame(
+        [(f"u{i:03d}", f"doc {i}", "en", [float(x) for x in V[i]]) for i in range(60)],
+        "url string, text string, lang string, emb array<float>",
+    )
+    es.bulk("vecs", docs)
+    # fallback (no graphs yet): exact scorer
+    exact = es.knn_search("vecs", "emb", V[5], k=5).collect()
+    assert len(exact) == 5
+    # build graphs → HNSW path; the query vector's own doc is rank 1
+    info = es.build_vector_index("vecs", "emb", n_graphs=2, M=8, ef_construction=40)
+    assert info["graphs"] == 2
+    got = es.knn_search("vecs", "emb", V[5], k=5).collect()
+    assert got[0]["url"] == "u005"
+    assert abs(got[0]["_score"] - 1.0) < 1e-5

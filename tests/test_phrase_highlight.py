@@ -142,3 +142,17 @@ def test_highlight_multiple_fragments(spark):
     frags = out["highlight"]
     assert isinstance(frags, list) and len(frags) == 2
     assert all("<em>spark</em>" in fr for fr in frags)
+
+
+def test_highlight_fragments_scored_by_match_count(spark):
+    from elasticsearch_spark.operators.phrase import highlight
+
+    df = spark.createDataFrame(
+        [("d1", "cat here\nnothing\ncat and cat together\nlone cat end")],
+        "id string, text string",
+    )
+    out = highlight(df, ["cat"], fragment_size=30, number_of_fragments=2).collect()
+    frags = out[0]["highlight"]
+    # the 2-match passage outranks the earlier 1-match passage
+    assert frags[0] == "<em>cat</em> and <em>cat</em> together"
+    assert frags[1].count("<em>") == 1
