@@ -1128,6 +1128,33 @@ class Engine:
             })
         return out
 
+    def cat_segments(self, index: str) -> list[dict]:
+        """GET /_cat/segments/{index}: one row per live segment — docs
+        count, size, and routing shard (when the index is sharded)."""
+        d = self._dir(index)
+        meta = store.IndexMeta.load(d)
+        out = []
+        for seg in store.list_segs(d):
+            p = os.path.join(store.seg_dir(d, seg), "postings.parquet")
+            dp = os.path.join(store.seg_dir(d, seg), "docs.parquet")
+            import pyarrow.parquet as pq
+
+            out.append({
+                "segment": seg,
+                "docs.count": pq.read_metadata(dp).num_rows,
+                "size": os.path.getsize(p) + os.path.getsize(dp),
+                "shard": store.shard_of(d, seg, meta),
+            })
+        return out
+
+    def cat_aliases(self) -> list[dict]:
+        """GET /_cat/aliases: one row per (alias, index) pair."""
+        return [
+            {"alias": a, "index": ix, "is_write_index": entry.get("write_index") == ix}
+            for a, entry in self._load_aliases().items()
+            for ix in entry["indices"]
+        ]
+
     def mtermvectors(self, index: str, urls: list[str],
                      term_statistics: bool = False) -> DataFrame:
         """POST /{index}/_mtermvectors: termvectors for several documents in

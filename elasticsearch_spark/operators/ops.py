@@ -166,6 +166,20 @@ def apply_ops(
         # frame's own schema minus the op column (extra columns must match
         # across bulks — every segment writes one docs schema)
         batch_schema = ops.drop("op").schema
+        segs_live = store.list_segs(index_dir)
+        if segs_live:
+            existing = set(
+                pq.read_schema(
+                    os.path.join(store.seg_dir(index_dir, segs_live[0]), "docs.parquet")
+                ).names
+            ) - {"doc_id", "dl", "norm", "seg_id"}
+            incoming = set(f.name for f in batch_schema.fields)
+            if existing != incoming:
+                raise ValueError(
+                    "bulk schema mismatch vs the index's stored fields: "
+                    f"index has {sorted(existing)}, batch has {sorted(incoming)} "
+                    "(every segment must write one docs schema)"
+                )
         batch = spark.createDataFrame(
             [[r[f.name] for f in batch_schema.fields] for r in to_index], batch_schema
         ).withColumn(

@@ -51,6 +51,14 @@ def term_suggest(
         toks_df = spark.createDataFrame([(t,) for t in tokens], "token string") if tokens else None
     if not tokens or toks_df is None:
         return spark.createDataFrame([], "token string, suggestion string, distance int, df long")
+    # "popular" (TermSuggestionBuilder.SuggestMode.POPULAR): only terms
+    # MORE FREQUENT than the input token qualify; "always" has no df gate
+    token_df = {r["term"]: r["df"] for r in terms.where(F.col("term").isin(tokens)).collect()}
+    df_floor = (
+        F.create_map(*[F.lit(x) for t in tokens for x in (t, int(token_df.get(t, 0)))])
+        if suggest_mode == "popular"
+        else None
+    )
 
     # candidate join: length-banded crossJoin (|len(a)-len(b)| ≤ max_edits
     # bounds Levenshtein) keeps the term-dict scan tight
@@ -60,6 +68,8 @@ def term_suggest(
         .withColumn("distance", F.levenshtein("term", "token"))
         .where((F.col("distance") <= max_edits) & (F.col("distance") > 0))
     )
+    if df_floor is not None:
+        cand = cand.where(F.col("df") > df_floor.getItem(F.col("token")))
     from pyspark.sql import Window
 
     w = Window.partitionBy("token").orderBy(

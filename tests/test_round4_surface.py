@@ -88,3 +88,13 @@ def test_indices_boost(es):
     # and the boosted copy ranks first
     ranked = sorted(rows, key=lambda r: (-r["_score"]))
     assert ranked[0]["_index"] == "right"
+
+
+def test_cat_segments_and_aliases(es, spark):
+    segs = es.cat_segments("left")
+    assert segs and all(s["docs.count"] > 0 and s["size"] > 0 for s in segs)
+    es.update_aliases([{"add": {"alias": "both", "index": "left", "is_write_index": True}},
+                       {"add": {"alias": "both", "index": "right"}}])
+    cats = es.cat_aliases()
+    assert {(c["alias"], c["index"], c["is_write_index"]) for c in cats} >= {
+        ("both", "left", True), ("both", "right", False)}

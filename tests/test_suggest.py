@@ -114,3 +114,26 @@ def test_completion_contexts(spark, tmp_path_factory):
     assert [r["suggestion"] for r in out] == ["spartan race", "spark summit", "spark sql"]
     tech = completion_suggest(spark, idx, "spar", size=3, contexts=["tech"]).collect()
     assert [r["suggestion"] for r in tech] == ["spark sql", "spark streaming"]
+
+
+def test_term_suggest_popular_mode(spark, index_dir):
+    from elasticsearch_spark.operators.suggest import term_suggest
+
+    # "always": typo of a present term still gets suggestions
+    out_always = term_suggest(spark, index_dir, "the", suggest_mode="always", max_edits=1)
+    rows_always = out_always.collect()
+    # "popular": only suggestions with df > df("the"); "the" is (near) the
+    # most frequent term, so popular yields fewer (usually zero) rows
+    out_pop = term_suggest(spark, index_dir, "the", suggest_mode="popular", max_edits=1)
+    rows_pop = out_pop.collect()
+    assert len(rows_pop) <= len(rows_always)
+    # every popular suggestion beats the input's own df
+    import pyspark.sql.functions as F
+    from elasticsearch_spark.sources import index_store as store
+
+    the_df = (
+        spark.read.parquet(store.term_stats_path(index_dir))
+        .where(F.col("term") == "the").collect()
+    )
+    if the_df and rows_pop:
+        assert all(r["df"] > the_df[0]["df"] for r in rows_pop)
