@@ -494,7 +494,12 @@ class Engine:
                 if "aggs" in body:
                     out["aggregations"] = aggs_mod.aggregate(_apply_runtime(self._docs_view(index)), body["aggs"])
                 return out
-        if kind == "match" and "sort" not in body and "search_after" not in body:
+        if (
+            kind == "match"
+            and "sort" not in body
+            and "search_after" not in body
+            and "post_filter" not in body
+        ):
             (fld, mspec), = spec.items()
             text = mspec["query"] if isinstance(mspec, dict) else mspec
             op = mspec.get("operator", "or") if isinstance(mspec, dict) else "or"

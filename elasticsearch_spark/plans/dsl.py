@@ -1590,6 +1590,14 @@ def search(
     for rname, rspec in (body.get("runtime_mappings") or {}).items():
         df = df.withColumn(rname, runtime_field_expr(rspec))
 
+    # post_filter (SearchSourceBuilder.postQueryBuilder): narrows the HITS
+    # only — the caller computes aggregations from the un-post-filtered
+    # base (faceted-navigation semantics). Inside this hits-only search it
+    # is an extra unscored filter on the corpus, applied before top-k.
+    if "post_filter" in body:
+        pf_node = parse(body["post_filter"])
+        df = df.where(pf_node.predicate(SearchContext(df, key, text_col=text_col)))
+
     ctx = SearchContext(df, key, text_col=text_col)
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))

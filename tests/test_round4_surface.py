@@ -98,3 +98,18 @@ def test_cat_segments_and_aliases(es, spark):
     cats = es.cat_aliases()
     assert {(c["alias"], c["index"], c["is_write_index"]) for c in cats} >= {
         ("both", "left", True), ("both", "right", False)}
+
+
+def test_post_filter_narrows_hits_not_aggs(es):
+    out = es.search("right", {
+        "query": {"match": {"text": "spark"}},
+        "post_filter": {"term": {"lang": "de"}},
+        "aggs": {"langs": {"terms": {"field": "lang"}}},
+        "size": 10,
+    })
+    # hits: only the de doc survives the post filter …
+    hits = out["hits"].collect()
+    assert hits == [] or all(r["lang"] == "de" for r in hits)
+    # … but aggs see the full query scope (both langs of matching docs)
+    buckets = {r["key"] for r in out["aggregations"]["langs"].collect()}
+    assert "en" in buckets
