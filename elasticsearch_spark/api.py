@@ -476,6 +476,7 @@ class Engine:
             and meta_sort
             and body.get("sort")
             and "search_after" not in body
+            and "post_filter" not in body
             and len(body["sort"]) == 1
         ):
             s0 = body["sort"][0]
@@ -513,6 +514,11 @@ class Engine:
                 docs_text = self._docs_view(index).select("url", "text")
                 hits = highlight_fn(hits.join(docs_text, "url"), terms).drop("text")
         elif kind.startswith("span_") and "sort" not in body:
+            if "post_filter" in body:
+                # span queries exist only on the index path, which has no
+                # post-collection filter stage — refuse instead of
+                # returning un-filtered hits
+                raise ValueError("post_filter is not supported with span_* queries")
             # full span family (SpanNearQueryBuilder.java et al.): the
             # span-algebra evaluator over the positional index
             # (operators/spans.py). span_term values are used verbatim
@@ -521,7 +527,14 @@ class Engine:
             from .operators.spans import search_spans
 
             hits = search_spans(self.spark, d, q, k=size)
-        elif kind in ("match_phrase", "match_phrase_prefix", "intervals") and "sort" not in body:
+        elif (
+            kind in ("match_phrase", "match_phrase_prefix", "intervals")
+            and "sort" not in body
+            and "post_filter" not in body
+        ):
+            # with a post_filter these fall through to the DSL path below
+            # (token-stream positional evaluation), which applies it after
+            # scoring like every other query
             # positional queries run against the index (per-segment
             # position-chain verify), not the docs-frame DSL path
             from .operators.phrase import (
@@ -555,15 +568,30 @@ class Engine:
                 fn = search_phrase if kind == "match_phrase" else search_phrase_prefix
                 hits = fn(self.spark, d, text, k=size, slop=slop)
         else:
-            docs = _apply_runtime(self._docs_view(index))
+            # runtime mappings are applied INSIDE dsl.search (applying
+            # them here too would double-apply shadowing scripts)
+            docs = self._docs_view(index)
             hits = dsl.search(self.spark, docs, body, key="url", text_col="text")
 
+        # the fields retrieval API / docvalue_fields
+        # (``server/.../search/fetch/subphase/FieldFetcher.java``,
+        # ``FetchDocValuesPhase.java``): formatted values alongside hits
+        # as ``fields.<name>`` columns; ``format`` renders dates
+        # (DocValueFormat.DateTime patterns). Index fast-path hits carry
+        # only (url, score, …), so requested doc fields absent from the
+        # hits frame are fetched with one broadcast-sized join first.
+        _requested = [
+            fspec["field"] if isinstance(fspec, dict) else fspec
+            for k_ in ("fields", "docvalue_fields")
+            for fspec in body.get(k_, [])
+        ]
+        _missing = [n for n in dict.fromkeys(_requested) if n not in hits.columns]
+        if _missing and "url" in hits.columns:
+            _view = self._docs_view(index)
+            _have = [n for n in _missing if n in _view.columns]
+            if _have:
+                hits = hits.join(_view.select("url", *_have), "url", "left")
         for fspec_key in ("fields", "docvalue_fields"):
-            # the fields retrieval API / docvalue_fields
-            # (``server/.../search/fetch/subphase/FieldFetcher.java``,
-            # ``FetchDocValuesPhase.java``): formatted values alongside
-            # hits as ``fields.<name>`` columns; ``format`` renders dates
-            # (DocValueFormat.DateTime patterns)
             for fspec in body.get(fspec_key, []):
                 name, fmt = (
                     (fspec["field"], fspec.get("format"))
@@ -575,7 +603,9 @@ class Engine:
                 c = F.col(name)
                 dtype = dict(hits.dtypes).get(name, "")
                 if fmt == "epoch_millis" and dtype.startswith("timestamp"):
-                    c = (F.unix_timestamp(c) * 1000).cast("long").cast("string")
+                    # unix_millis needs TIMESTAMP (not NTZ); the cast is a
+                    # no-op reinterpretation under the session UTC timezone
+                    c = F.unix_millis(c.cast("timestamp")).cast("string")
                 elif fmt and dtype.startswith("timestamp"):
                     c = F.date_format(c, fmt)  # ES date formats are Java-time patterns
                 else:
@@ -1100,10 +1130,15 @@ class Engine:
             raise KeyError(f"document not found: {url}")
         if doc:
             cur.update(doc)
-        row = {k: cur.get(k) for k in ("url", "text", "lang", "warc_ts")}
+        # carry EVERY stored field (incl. custom columns) — a 4-column
+        # update frame on a custom-field index would trip the op-batch
+        # schema guard and, worse, silently drop the extras
+        view = self._docs_view(index)
+        keep = [c for c in view.columns if c not in ("doc_id", "dl", "norm", "seg_id")]
+        schema = view.select(*keep).schema
         updated = self.spark.createDataFrame(
-            [tuple(row.values())], "url string, text string, lang string, warc_ts timestamp"
-        ).select("url", F.lit("update").alias("op"), "text", "lang", "warc_ts")
+            [tuple(cur.get(c) for c in keep)], schema
+        ).select("url", F.lit("update").alias("op"), *[c for c in keep if c != "url"])
         if script_expr:
             updated = updated.withColumn("text", F.expr(script_expr))
         return ops_mod.apply_ops(self.spark, self._dir(index), updated)
@@ -1234,9 +1269,11 @@ class Engine:
         node = dsl.parse(query)
         ctx = dsl.SearchContext(docs, "url", text_col="text")
         matched = docs.where(node.predicate(ctx))
+        extra = [c for c in docs.columns
+                 if c not in ("doc_id", "dl", "norm", "seg_id", "url", "text", "lang", "warc_ts")]
         updated = matched.select(
             "url", F.lit("update").alias("op"),
-            F.expr(script_expr).alias("text"), "lang", "warc_ts",
+            F.expr(script_expr).alias("text"), "lang", "warc_ts", *extra,
         )
         return ops_mod.apply_ops(self.spark, self._dir(index), updated)
 

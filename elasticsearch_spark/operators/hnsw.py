@@ -194,6 +194,9 @@ def build_hnsw_index(
     spark = df.sparkSession
     n_graphs = n_graphs or max(2, spark.sparkContext.defaultParallelism // 4)
     key_is_str = dict(df.dtypes)[key] == "string"
+    # docs without a vector are simply not in the graph (the reference
+    # skips vector-less docs at index time)
+    df = df.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
     base = df.select(
         F.pmod(F.xxhash64(F.col(key)), F.lit(n_graphs)).cast("int").alias("gid"),
         F.col(key).cast("string" if key_is_str else "long").alias("__key"),

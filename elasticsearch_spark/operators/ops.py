@@ -114,7 +114,7 @@ def apply_ops(
     spark: SparkSession,
     index_dir: str,
     ops: DataFrame,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> dict:
     """Apply a bulk op batch to an existing index.
 
@@ -180,14 +180,26 @@ def apply_ops(
                     f"index has {sorted(existing)}, batch has {sorted(incoming)} "
                     "(every segment must write one docs schema)"
                 )
+        # routing modulus: the INDEX's partition count (IndexRouting is an
+        # index setting). A caller override is allowed only when it keeps
+        # the pid → routing-shard derivation valid (S | P invariant)
+        P = num_partitions or meta.num_partitions
+        if meta.num_shards and P % meta.num_shards != 0:
+            raise ValueError(
+                f"op-batch num_partitions={P} breaks routing: "
+                f"must be a multiple of num_shards={meta.num_shards}"
+            )
         batch = spark.createDataFrame(
             [[r[f.name] for f in batch_schema.fields] for r in to_index], batch_schema
         ).withColumn(
-            "pid", (F.lit(base) + F.pmod(F.xxhash64("url"), F.lit(num_partitions))).cast("int")
+            "pid", (F.lit(base) + F.pmod(F.xxhash64("url"), F.lit(P))).cast("int")
         )
+        from .postings import _extra_arrow_types
+
         metrics = batch.groupBy("pid").applyInPandas(
             segment_builder(index_dir, meta.analyzer,
-                        tuple(meta.index_sort) if meta.index_sort else None), METRICS_SCHEMA
+                        tuple(meta.index_sort) if meta.index_sort else None,
+                        _extra_arrow_types(batch)), METRICS_SCHEMA
         ).collect()
         new_segs = [int(r["pid"]) for r in metrics]
     else:

@@ -275,10 +275,22 @@ def build_segment_frames(
     return docs_pdf, postings, stats
 
 
-def _write_segment(index_dir: str, pid: int, docs_pdf: pd.DataFrame, postings: pa.Table) -> int:
+def _write_segment(
+    index_dir: str, pid: int, docs_pdf: pd.DataFrame, postings: pa.Table,
+    extra_types: dict | None = None,
+) -> int:
     d = store.seg_dir(index_dir, pid)
     os.makedirs(d, exist_ok=True)
     docs_tbl = pa.Table.from_pandas(docs_pdf, preserve_index=False)
+    # custom stored fields: pin each extra column to the INPUT schema's
+    # arrow type — a partition whose values are all null would otherwise
+    # infer pa.null() and write a segment that disagrees with its siblings
+    for cname, ctype in (extra_types or {}).items():
+        i = docs_tbl.schema.get_field_index(cname)
+        if i >= 0 and docs_tbl.schema.field(i).type != ctype:
+            docs_tbl = docs_tbl.set_column(
+                i, pa.field(cname, ctype), docs_tbl.column(i).cast(ctype)
+            )
     # Spark cannot read TIMESTAMP(NANOS) parquet — store microseconds
     for i, f in enumerate(docs_tbl.schema):
         if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
@@ -292,9 +304,28 @@ def _write_segment(index_dir: str, pid: int, docs_pdf: pd.DataFrame, postings: p
     return int(postings.nbytes)
 
 
-def segment_builder(index_dir: str, analyzer: str, index_sort: tuple | None = None):
+def _extra_arrow_types(df: DataFrame) -> dict:
+    """{custom stored column: pyarrow type} from a Spark schema — the
+    driver-side truth the segment writer pins all-null partitions to."""
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    fixed = {"url", "warc_ts", "lang", "text", "pid", "op"}
+    return {
+        f.name: to_arrow_type(f.dataType)
+        for f in df.schema.fields
+        if f.name not in fixed
+    }
+
+
+def segment_builder(
+    index_dir: str, analyzer: str, index_sort: tuple | None = None,
+    extra_types: dict | None = None,
+):
     """applyInPandas function: one partition's pages → segment files on the
-    segment store + manifest; returns a one-row metrics frame."""
+    segment store + manifest; returns a one-row metrics frame.
+
+    ``extra_types``: {column: pyarrow type} for custom stored fields,
+    derived from the input Spark schema on the driver."""
     # custom analyzer chains are driver-registered; ship the config so the
     # executor-side module can re-materialize the chain
     analyzer_config = analysis.ANALYZER_CONFIGS.get(analyzer)
@@ -330,7 +361,7 @@ def segment_builder(index_dir: str, analyzer: str, index_sort: tuple | None = No
                 ]
             )
         docs_pdf, postings, stats = build_segment_frames(pdf, pid, analyzer, index_sort)
-        nbytes = _write_segment(index_dir, pid, docs_pdf, postings)
+        nbytes = _write_segment(index_dir, pid, docs_pdf, postings, extra_types)
         manifest = {
             "pid": pid,
             "lineage": lin,
@@ -384,9 +415,12 @@ def build_index(
     routed = pages.select(*cols).withColumn(
         "pid", F.pmod(F.xxhash64("url"), F.lit(num_partitions)).cast("int")
     )
+    extra_types = _extra_arrow_types(routed)
     metrics = (
         routed.groupBy("pid")
-        .applyInPandas(segment_builder(index_dir, analyzer, index_sort), METRICS_SCHEMA)
+        .applyInPandas(
+            segment_builder(index_dir, analyzer, index_sort, extra_types), METRICS_SCHEMA
+        )
         .collect()
     )
 

@@ -1591,12 +1591,11 @@ def search(
         df = df.withColumn(rname, runtime_field_expr(rspec))
 
     # post_filter (SearchSourceBuilder.postQueryBuilder): narrows the HITS
-    # only — the caller computes aggregations from the un-post-filtered
-    # base (faceted-navigation semantics). Inside this hits-only search it
-    # is an extra unscored filter on the corpus, applied before top-k.
-    if "post_filter" in body:
-        pf_node = parse(body["post_filter"])
-        df = df.where(pf_node.predicate(SearchContext(df, key, text_col=text_col)))
+    # only, after scoring and before pagination — aggregations (computed
+    # by the caller from the base frame) AND scoring stats (df/avgdl from
+    # the full corpus) are unaffected, exactly the reference's faceted-
+    # navigation semantics. Applied to the fetched frame below.
+    pf_node = parse(body["post_filter"]) if "post_filter" in body else None
 
     ctx = SearchContext(df, key, text_col=text_col)
     size = int(body.get("size", 10))
@@ -1698,6 +1697,8 @@ def search(
         fr = knn_fr
 
     fetched = fr.withColumnRenamed("__key", key).join(df, key)
+    if pf_node is not None:
+        fetched = fetched.where(pf_node.predicate(ctx))
 
     # rescore: combine primary score with a secondary query over the top
     # window only (narrower, costlier query — the reference's use case)

@@ -143,13 +143,22 @@ class FlattenedQ(Node):
         if self.op == "exists":
             return v.isNotNull()
         if self.op == "range":
-            # flattened values are keywords: numeric compare only if both
-            # sides cast cleanly (keyword order otherwise — ref behavior)
+            # flattened values are keywords: numeric bounds compare
+            # numerically, string bounds lexicographically (ref behavior)
+            def _num(x):
+                try:
+                    float(x)
+                    return True
+                except (TypeError, ValueError):
+                    return False
+
+            numeric = all(_num(x) for x in (self.gte, self.lte) if x is not None)
+            vv = v.cast("double") if numeric else v
             p = F.lit(True)
             if self.gte is not None:
-                p = p & (v.cast("double") >= float(self.gte))
+                p = p & (vv >= (float(self.gte) if numeric else str(self.gte)))
             if self.lte is not None:
-                p = p & (v.cast("double") <= float(self.lte))
+                p = p & (vv <= (float(self.lte) if numeric else str(self.lte)))
             return p
         raise ValueError(f"unknown flattened op {self.op!r}")
 
@@ -264,11 +273,18 @@ def version_sort_key(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     core = F.split(c, "-", 2).getItem(0)
     pre = F.get(F.split(c, "-", 2), 1)  # NULL when no prerelease tag
-    padded = F.array_join(
-        F.transform(F.split(core, r"\."), lambda p: F.lpad(p, 10, "0")), "."
+    pad_parts = lambda x: F.array_join(
+        F.transform(
+            F.split(x, r"\."),
+            # numeric identifiers compare numerically (semver rule 11.4):
+            # zero-pad digit-only parts; alphanumeric parts stay verbatim
+            lambda p: F.when(p.rlike("^[0-9]+$"), F.lpad(p, 10, "0")).otherwise(p),
+        ),
+        ".",
     )
+    padded = pad_parts(core)
     # '~' (0x7E) > any pre-release tag char → releases rank above pre-releases
-    return F.concat(padded, F.lit("|"), F.coalesce(pre, F.lit("~")))
+    return F.concat(padded, F.lit("|"), F.coalesce(pad_parts(pre), F.lit("~")))
 
 
 # ---------------------------------------------------------------------------
