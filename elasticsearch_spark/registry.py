@@ -1727,6 +1727,34 @@ def q_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL sample (x-pack/plugin/eql Sample.java, 8.6+): users with BOTH an
+    error and a purchase event, NO temporal ordering — per-step min ts
+    per key, inner join across steps."""
+    from .plans.eql import eql_search
+
+    return eql_search(
+        _events(spark, sf_dir),
+        "sample by user_id [error where true] [purchase where true] | head 50",
+    )
+
+
+def q_esql_dialect_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL function dialect (CASE / DATE_EXTRACT / STARTS_WITH /
+    TO_STRING) compiled to DataFrame plans."""
+    from .plans.esql import esql
+
+    out = esql(spark, """
+FROM events
+| EVAL sz = CASE(value < 10, "small", value < 100, "mid", "large"),
+       mon = DATE_EXTRACT("month", ts),
+       is_c = STARTS_WITH(event_type, "c")
+| STATS n = COUNT(*), v = ROUND(AVG(value), 4) BY sz, mon, is_c
+| SORT sz ASC, mon ASC, is_c ASC
+""", {"events": _events(spark, sf_dir)})
+    return out.select("sz", F.col("mon").cast("long").alias("mon"), "is_c", "n", "v")
+
+
 def a_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multi_terms (MultiTermsAggregationBuilder.java): buckets keyed by the
     (lang, source) tuple, count-desc, with an avg sub-metric."""
@@ -3380,6 +3408,28 @@ FROM scored s JOIN documents d ON s.doc_id = d.doc_id
 WHERE d.lang = 'en'
 ORDER BY s.score_raw DESC, s.doc_id ASC LIMIT 10
 """,
+    "eql_sample": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'error' GROUP BY user_id
+),
+s2 AS (
+  SELECT user_id, min(ts) AS t2 FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT s1.user_id, t1, t2 FROM s1 JOIN s2 USING (user_id)
+ORDER BY user_id, t1 LIMIT 50
+""",
+    "esql_dialect_fns": """
+WITH e AS (
+  SELECT CASE WHEN value < 10 THEN 'small' WHEN value < 100 THEN 'mid' ELSE 'large' END AS sz,
+         extract(month FROM ts) AS mon,
+         starts_with(event_type, 'c') AS is_c,
+         value
+  FROM events
+)
+SELECT sz, mon, is_c, count(*)::BIGINT AS n, round(avg(value), 4) AS v
+FROM e GROUP BY sz, mon, is_c
+ORDER BY sz, mon, is_c
+""",
     "eql_sequence": """
 WITH s1 AS (SELECT user_id, ts AS t1 FROM events WHERE event_type = 'view'),
 ch AS (
@@ -3686,6 +3736,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_significant_chi_square": a_significant_chi_square,
     "dsl_vector_script_score": dsl_vector_script,
     "eql_sequence": q_eql_sequence,
+    "eql_sample": q_eql_sample,
+    "esql_dialect_fns": q_esql_dialect_fns,
     "es_sql_match": q_es_sql,
     "agg_rollup_search": a_rollup_search,
     "graph_explore": q_graph_explore,
