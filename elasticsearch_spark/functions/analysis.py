@@ -543,7 +543,186 @@ ANALYZERS["german"] = german_analyze
 ANALYZERS["french"] = french_analyze
 
 
+# --- additional language presets (AC/CommonAnalysisPlugin registrations) ----
+# Each pairs the language's default stop set with Lucene's published LIGHT
+# stemmer (Savoy, "Light Stemming Approaches for the French, Portuguese,
+# German and Hungarian Languages", SAC 2006; Lucene analysis/{es,it,pt,ru,nl})
+# — the light variants are the documented stand-ins for full snowball, same
+# policy as the german/french presets above.
+
+SPANISH_STOP = frozenset(
+    "de la que el en y a los del se las por un para con no una su al lo como "
+    "más pero sus le ya o este sí porque esta entre cuando muy sin sobre "
+    "también me hasta hay donde quien desde todo nos durante todos uno les "
+    "ni contra otros ese eso ante ellos e esto mí antes algunos qué unos yo "
+    "otro otras otra él tanto esa estos mucho es son fue era".split()
+)
+
+ITALIAN_STOP = frozenset(
+    "ad al allo ai agli alla alle con col coi da dal dallo dai dagli dalla "
+    "dalle di del dello dei degli della delle in nel nello nei negli nella "
+    "nelle su sul sullo sui sugli sulla sulle per tra contro io tu lui lei "
+    "noi voi loro mio mia miei mie tuo tua tuoi tue suo sua suoi sue nostro "
+    "nostra che chi non più quale quanto quanti ma ed se perché anche come "
+    "dov dove il la lo i gli le una uno un è sono era essere ho ha hanno".split()
+)
+
+PORTUGUESE_STOP = frozenset(
+    "de a o que e do da em um para é com não uma os no se na por mais as dos "
+    "como mas foi ao ele das tem à seu sua ou ser quando muito há nos já "
+    "está eu também só pelo pela até isso ela entre era depois sem mesmo aos "
+    "ter seus quem nas me esse eles estão você tinha foram essa num nem suas "
+    "meu às minha têm numa pelos elas havia seja qual será nós".split()
+)
+
+DUTCH_STOP = frozenset(
+    "de en van ik te dat die in een hij het niet zijn is was op aan met als "
+    "voor had er maar om hem dan zou of wat mijn men dit zo door over ze "
+    "zich bij ook tot je mij uit der daar haar naar heb hoe heeft hebben "
+    "deze u want nog zal me zij nu ge geen omdat iets worden toch al waren "
+    "veel meer doen toen moet ben zonder kan hun dus alles onder ja eens "
+    "hier wie werd altijd doch wordt wezen kunnen ons zelf tegen na reeds "
+    "wil kon niets uw iemand geweest andere".split()
+)
+
+RUSSIAN_STOP = frozenset(
+    "и в во не что он на я с со как а то все она так его но да ты к у же вы "
+    "за бы по только ее мне было вот от меня еще нет о из ему теперь когда "
+    "даже ну вдруг ли если уже или ни быть был него до вас нибудь опять уж "
+    "вам ведь там потом себя ничего ей может они тут где есть надо ней для "
+    "мы тебя их чем была сам чтоб без будто чего раз тоже себе под будет ж "
+    "тогда кто этот того потому этого какой совсем ним здесь этом один "
+    "почти мой тем чтобы нее сейчас были куда зачем всех никогда можно при "
+    "об хоть после над больше тот через эти нас про всего них какая много "
+    "разве три эту моя впрочем хорошо свою этой перед иногда лучше чуть том "
+    "нельзя такой им более всегда конечно всю между это эта".split()
+)
+
+_ES_ACCENT = str.maketrans("áéíóúüàèìòù", "aeiouuaeiou")
+_IT_ACCENT = str.maketrans("àèéìíîòóùú", "aeeiiioouu")
+_PT_ACCENT = str.maketrans("áâãàéêíóôõúü", "aaaaeeiooouu")
+
+
+def spanish_light_stem(w: str) -> str:
+    """Lucene SpanishLightStemmer (public algorithm): accent folding +
+    plural/gender suffix removal (-eses, -ces→z, -os/-as/-es, -o/-a/-e)."""
+    if len(w) < 5:
+        return w
+    w = w.translate(_ES_ACCENT)
+    if w.endswith("eses"):
+        return w[:-2]
+    if w.endswith("ces"):
+        return w[:-3] + "z"
+    if w.endswith(("os", "as", "es")):
+        return w[:-2]
+    if w.endswith(("o", "a", "e")):
+        return w[:-1]
+    return w
+
+
+def italian_light_stem(w: str) -> str:
+    """Lucene ItalianLightStemmer (public algorithm): accent folding + final
+    vowel removal with the i/h digraph rule (-ie/-he→-2, -io/-ia→-2, else -1)."""
+    if len(w) < 6:
+        return w
+    w = w.translate(_IT_ACCENT)
+    last, prev = w[-1], w[-2]
+    if last == "e":
+        return w[:-2] if prev in ("i", "h") else w[:-1]
+    if last == "i":
+        return w[:-2] if prev in ("h", "i") else w[:-1]
+    if last in ("a", "o"):
+        return w[:-2] if prev == "i" else w[:-1]
+    return w
+
+
+def portuguese_light_stem(w: str) -> str:
+    """Lucene PortugueseMinimalStemmer-style plural reduction (RSLP plural
+    step, Orengo & Huyck 2001): -ões/-ães→ão, -ais→al, -éis/-eis→el,
+    -óis→ol, -is→il, -ns→m, -les/-res keep the consonant, generic -s."""
+    w = w.translate(_PT_ACCENT)
+    if len(w) < 4 or not w.endswith("s"):
+        return w
+    if w.endswith(("oes", "aes")) and len(w) > 4:
+        return w[:-3] + "ao"
+    if w.endswith("ais") and len(w) > 4:
+        return w[:-3] + "al"
+    if w.endswith("eis") and len(w) > 4:
+        return w[:-3] + "el"
+    if w.endswith("ois") and len(w) > 4:
+        return w[:-3] + "ol"
+    if w.endswith("is") and len(w) > 4:
+        return w[:-2] + "il"
+    if w.endswith("ns") and len(w) > 3:
+        return w[:-2] + "m"
+    if w.endswith("ss"):
+        return w
+    return w[:-1]
+
+
+_RU_ADJ_ENDINGS = (
+    "иями", "ями", "ами", "ией", "иям", "ием", "иях",
+    "ого", "ему", "ому", "его", "ыми", "ими", "ее", "ие", "ые", "ое",
+    "ей", "ий", "ый", "ой", "ем", "им", "ым", "ом", "их", "ых",
+    "ую", "юю", "ая", "яя", "ою", "ею", "ах", "ях", "ию", "ья", "ье",
+    "ы", "ь", "е", "и", "о", "а", "у", "я", "й",
+)
+
+
+def russian_light_stem(w: str) -> str:
+    """Lucene RussianLightStemmer (public algorithm): longest-match removal
+    of common adjectival/nominal case endings, minimum stem length 3."""
+    if len(w) < 4:
+        return w
+    for suf in _RU_ADJ_ENDINGS:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)]
+    return w
+
+
+def dutch_light_stem(w: str) -> str:
+    """Dutch light stemmer (Kraaij-Pohlmann-lite, the documented snowball
+    stand-in): -heden→heid, plural -en with doubled-consonant undoubling,
+    genitive -s, final mute -e."""
+    if len(w) > 7 and w.endswith("heden"):
+        return w[:-5] + "heid"
+    if len(w) > 5 and w.endswith("en") and w[-3] not in "aeiou":
+        w = w[:-2]
+        if len(w) > 3 and w[-1] == w[-2] and w[-1] not in "aeiou":
+            w = w[:-1]
+        return w
+    if len(w) > 4 and w.endswith("s") and w[-2] not in "aeiou'":
+        return w[:-1]
+    if len(w) > 4 and w.endswith("e") and w[-2] not in "aeiou":
+        return w[:-1]
+    return w
+
+
+def _make_lang_analyze(stop: frozenset, stem):
+    def fn(text: str) -> list[str]:
+        return [stem(t) for t in standard_tokenize(text) if t not in stop]
+    return fn
+
+
+ANALYZERS["spanish"] = _make_lang_analyze(SPANISH_STOP, spanish_light_stem)
+ANALYZERS["italian"] = _make_lang_analyze(ITALIAN_STOP, italian_light_stem)
+ANALYZERS["portuguese"] = _make_lang_analyze(PORTUGUESE_STOP, portuguese_light_stem)
+ANALYZERS["dutch"] = _make_lang_analyze(DUTCH_STOP, dutch_light_stem)
+ANALYZERS["russian"] = _make_lang_analyze(RUSSIAN_STOP, russian_light_stem)
+
+_LANG_STOP_SETS = {
+    "_english_": ENGLISH_STOP, "_german_": GERMAN_STOP, "_french_": FRENCH_STOP,
+    "_spanish_": SPANISH_STOP, "_italian_": ITALIAN_STOP,
+    "_portuguese_": PORTUGUESE_STOP, "_dutch_": DUTCH_STOP,
+    "_russian_": RUSSIAN_STOP,
+}
+
+
 def _filter_stop(toks: list[str], stopwords=ENGLISH_STOP, **_) -> list[str]:
+    """stop token filter; `stopwords` accepts a concrete set/list or a named
+    language set (`_english_`, `_spanish_`, …) per StopTokenFilterFactory."""
+    if isinstance(stopwords, str):
+        stopwords = _LANG_STOP_SETS.get(stopwords, ENGLISH_STOP)
     return [t for t in toks if t not in stopwords]
 
 
@@ -929,6 +1108,16 @@ def _filter_stemmer(toks: list[str], language: str = "minimal_english", name: st
         return [german_light_stem(t) for t in toks]
     if lang in ("french", "light_french", "minimal_french"):
         return [french_light_stem(t) for t in toks]
+    if lang in ("spanish", "light_spanish"):
+        return [spanish_light_stem(t) for t in toks]
+    if lang in ("italian", "light_italian"):
+        return [italian_light_stem(t) for t in toks]
+    if lang in ("portuguese", "light_portuguese", "minimal_portuguese"):
+        return [portuguese_light_stem(t) for t in toks]
+    if lang in ("dutch", "dutch_kp"):
+        return [dutch_light_stem(t) for t in toks]
+    if lang in ("russian", "light_russian"):
+        return [russian_light_stem(t) for t in toks]
     return _filter_stemmer_minimal_english(toks)
 
 
@@ -1193,8 +1382,74 @@ def _filter_stemmer_override(toks: list[str], rules=None, **_) -> list[str]:
     return [m.get(t, t) for t in toks]
 
 
+def _filter_elision(toks: list[str], articles=None, articles_case: bool = False, **_) -> list[str]:
+    """elision token filter (AC/ElisionTokenFilterFactory → Lucene
+    ElisionFilter): strip a leading `article'` contraction. Default article
+    set is the French one (the reference requires `articles` for custom
+    configs; we default like the `french` preset)."""
+    arts = [a.lower() for a in (articles or ["l", "m", "t", "qu", "n", "s", "j", "d", "c"])]
+    out = []
+    for t in toks:
+        for apos in ("'", "’"):
+            i = t.find(apos)
+            if i > 0:
+                head = t[:i] if articles_case else t[:i].lower()
+                if head in arts:
+                    t = t[i + 1:]
+                break
+        if t:
+            out.append(t)
+    return out
+
+
+def _filter_pattern_capture(toks: list[str], patterns=None, preserve_original: bool = True, **_) -> list[str]:
+    """pattern_capture token filter (AC/PatternCaptureGroupTokenFilterFactory):
+    emit every capture group of every pattern as an extra token; the original
+    token is kept unless preserve_original=false (then only when nothing
+    matched)."""
+    pats = [re.compile(p) for p in (patterns or [])]
+    out = []
+    for t in toks:
+        caught = []
+        for p in pats:
+            for m in p.finditer(t):
+                caught.extend(g for g in m.groups() if g)
+        if preserve_original or not caught:
+            out.append(t)
+            caught = [c for c in caught if c != t]
+        out.extend(caught)
+    return out
+
+
+def _filter_delimited_payload(toks: list[str], delimiter: str = "|", **_) -> list[str]:
+    """delimited_payload token filter (AC/DelimitedPayloadTokenFilterFactory):
+    split `token|payload` and keep the token part (payload storage itself is
+    a Lucene index detail our postings don't carry — the token stream effect
+    is what analyzers observe)."""
+    return [t.split(delimiter, 1)[0] for t in toks]
+
+
+def _filter_pattern_replace(toks: list[str], pattern: str = "", replacement: str = "", all: bool = True, **_) -> list[str]:  # noqa: A002
+    """pattern_replace TOKEN filter (AC/PatternReplaceTokenFilterFactory) —
+    the token-stream sibling of the char filter; empty results are dropped."""
+    pat = re.compile(pattern)
+    out = []
+    for t in toks:
+        t2 = pat.sub(replacement, t, count=0 if all else 1)
+        if t2:
+            out.append(t2)
+    return out
+
+
 TOKEN_FILTERS = {
     "phonetic": _filter_phonetic,
+    "elision": _filter_elision,
+    "pattern_capture": _filter_pattern_capture,
+    "delimited_payload": _filter_delimited_payload,
+    "pattern_replace": _filter_pattern_replace,
+    # graph-flattening is an index-time no-op for our position model (we
+    # already emit a flat stream); registered so chains naming it resolve
+    "flatten_graph": lambda toks, **_: toks,
     "synonym": _filter_synonym,
     "stop": _filter_stop,
     "asciifolding": _filter_asciifolding,

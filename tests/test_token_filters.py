@@ -328,3 +328,65 @@ def test_simple_pattern_tokenizers():
     assert analysis.analyze("fd-786-335-514-x", "spt") == ["786", "335", "514"]
     analysis.register_analyzer("spst", tokenizer=("simple_pattern_split", {"pattern": "_"}))
     assert analysis.analyze("an_underscored_phrase", "spst") == ["an", "underscored", "phrase"]
+
+
+def test_language_presets_round2():
+    # spanish: stop removal + light stem (plural + final vowel)
+    assert analysis.ANALYZERS["spanish"]("las canciones bonitas") == ["cancion", "bonit"]
+    # italian: i/h digraph rule on the final vowel
+    assert analysis.ANALYZERS["italian"]("le arance rosse") == ["aranc", "rosse"]  # len<6 guard
+    # portuguese: -ões → ão, generic plural
+    assert analysis.ANALYZERS["portuguese"]("as canções dos animais") == ["cançao", "animal"]
+    # dutch: plural -en with undoubling, genitive -s
+    assert analysis.ANALYZERS["dutch"]("de katten van mannen") == ["kat", "man"]
+    # russian: case-ending strip
+    assert analysis.ANALYZERS["russian"]("красивыми домами") == ["красив", "дом"]
+
+
+def test_stemmer_language_dispatch_round2():
+    f = analysis.TOKEN_FILTERS["stemmer"]
+    assert f(["canciones"], language="light_spanish") == ["cancion"]
+    assert f(["arance"], language="italian") == ["aranc"]
+    assert f(["canções"], language="portuguese") == ["cançao"]
+    assert f(["katten"], language="dutch") == ["kat"]
+    assert f(["домами"], language="russian") == ["дом"]
+
+
+def test_stop_named_language_sets():
+    f = analysis.TOKEN_FILTERS["stop"]
+    assert f(["el", "perro"], stopwords="_spanish_") == ["perro"]
+    assert f(["the", "dog"], stopwords="_english_") == ["dog"]
+
+
+def test_elision_filter():
+    f = analysis.TOKEN_FILTERS["elision"]
+    assert f(["l'avion", "d'été", "avion"]) == ["avion", "été", "avion"]
+    assert f(["j'aime", "qu'il"], articles=["j"]) == ["aime", "qu'il"]
+
+
+def test_pattern_capture_filter():
+    f = analysis.TOKEN_FILTERS["pattern_capture"]
+    got = f(["abc123def456"], patterns=[r"([a-z]+)"], preserve_original=True)
+    assert got == ["abc123def456", "abc", "def"]
+    got = f(["abc123"], patterns=[r"([a-z]+)(\d+)"], preserve_original=False)
+    assert got == ["abc", "123"]
+    # non-matching token survives even without preserve_original
+    assert f(["xyz"], patterns=[r"(\d+)"], preserve_original=False) == ["xyz"]
+
+
+def test_delimited_payload_and_pattern_replace_filters():
+    f = analysis.TOKEN_FILTERS["delimited_payload"]
+    assert f(["the|0", "quick|10", "fox"]) == ["the", "quick", "fox"]
+    pr = analysis.TOKEN_FILTERS["pattern_replace"]
+    assert pr(["foo-bar", "baz"], pattern="-", replacement="_") == ["foo_bar", "baz"]
+    assert pr(["--"], pattern="-", replacement="") == []
+
+
+def test_custom_chain_with_elision_and_lang_stemmer():
+    analysis.register_analyzer(
+        "fr_custom",
+        tokenizer="standard",
+        filters=["lowercase", "elision", ("stop", {"stopwords": "_french_"}), ("stemmer", {"language": "light_french"})],
+    )
+    got = analysis.analyze("L'église et les chevaux", "fr_custom")
+    assert "église" not in got and "et" not in got
