@@ -103,6 +103,17 @@ def parse_span(body: dict, expander=None) -> SpanNode:
     if kind == "span_within":
         return SpanNode("within", clauses=[parse_span(spec["little"], expander),
                                            parse_span(spec["big"], expander)])
+    if kind in ("span_field_masking", "field_masking_span"):
+        # SpanFieldMaskingQueryBuilder: present the inner field's spans AS the
+        # outer field's so they compose inside span_near. Our index carries one
+        # positional field (the body text stream), so the masked inner query
+        # evaluates over the same stream — the mask is an identity here.
+        return parse_span(spec["query"], expander)
+    if kind == "span_gap":
+        # SpanNearQueryBuilder.SpanGapQueryBuilder: {"span_gap": {field: N}} —
+        # a virtual span of width N inside an in-order span_near.
+        (_fld, width), = spec.items()
+        return SpanNode("gap", end=int(width))
     if kind == "span_multi":
         (mk, ms), = spec["match"].items()
         if expander is None:
@@ -141,9 +152,13 @@ def _cand_docs(node: SpanNode, decoded: dict) -> np.ndarray:
     if node.kind in ("or",):
         parts = [_cand_docs(c, decoded) for c in node.clauses]
         return np.unique(np.concatenate(parts)) if parts else np.zeros(0, dtype=np.int64)
+    if node.kind == "gap":
+        return np.zeros(0, dtype=np.int64)  # never reached: near skips gaps
     if node.kind in ("near", "containing", "within"):
         cur = None
         for c in node.clauses:
+            if c.kind == "gap":
+                continue
             ids = np.unique(_cand_docs(c, decoded))
             cur = ids if cur is None else np.intersect1d(cur, ids, assume_unique=True)
             if len(cur) == 0:
@@ -182,14 +197,20 @@ def _eval_spans(node: SpanNode, pos: dict[str, list[int]]) -> list[tuple[int, in
         big = _eval_spans(node.clauses[1], pos)
         return [(s, e) for s, e in little if any(s2 <= s and e <= e2 for s2, e2 in big)]
     if node.kind == "near":
-        ivs = [_eval_spans(c, pos) for c in node.clauses]
-        if any(not x for x in ivs):
+        gap_len = sum(c.end for c in node.clauses if c.kind == "gap")
+        real = [c for c in node.clauses if c.kind != "gap"]
+        if gap_len and not node.in_order:
+            raise ValueError("span_gap requires in_order=true (Lucene SpanNearQuery.Builder)")
+        ivs = [_eval_spans(c, pos) for c in real]
+        if not ivs or any(not x for x in ivs):
             return []
         out = []
         if node.in_order:
             for first in ivs[0]:
                 cur = first
-                lens = cur[1] - cur[0] + 1
+                # gap spans contribute their width to the total span length,
+                # granting that many free positions under the slop check
+                lens = cur[1] - cur[0] + 1 + gap_len
                 ok = True
                 for lst in ivs[1:]:
                     nxt = next((iv for iv in lst if iv[0] > cur[1]), None)
@@ -200,7 +221,9 @@ def _eval_spans(node: SpanNode, pos: dict[str, list[int]]) -> list[tuple[int, in
                     cur = nxt
                 if ok:
                     width = cur[1] - first[0] + 1
-                    if width - lens <= node.slop:
+                    # lower bound: the virtual gap spans must fit between the
+                    # real spans (width >= lens); upper bound: slop
+                    if 0 <= width - lens <= node.slop:
                         out.append((first[0], cur[1]))
         else:
             events = sorted(

@@ -142,3 +142,49 @@ def test_span_or_scoring_deterministic(es):
     assert {r["url"] for r in rows} == {"u1", "u2", "u3", "u4"}
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+class TestFieldMaskingAndGap:
+    POS = {"a": [0, 5, 9], "b": [1, 7], "c": [3]}
+
+    def test_field_masking_is_identity_over_single_stream(self):
+        masked = parse_span({"span_near": {"clauses": [
+            {"span_term": {"body": "a"}},
+            {"span_field_masking": {"query": {"span_term": {"title": "b"}}, "field": "body"}},
+        ], "slop": 0, "in_order": True}})
+        plain = parse_span({"span_near": {"clauses": [
+            {"span_term": {"body": "a"}}, {"span_term": {"body": "b"}},
+        ], "slop": 0, "in_order": True}})
+        assert _eval_spans(masked, self.POS) == _eval_spans(plain, self.POS)
+
+    def test_span_gap_grants_exact_positions(self):
+        # a _ c : gap of 1 between a and c → a@0..c@3 needs 2 free (gap 1 + slop 1)
+        node = parse_span({"span_near": {"clauses": [
+            {"span_term": {"body": "a"}},
+            {"span_gap": {"body": 1}},
+            {"span_term": {"body": "c"}},
+        ], "slop": 1, "in_order": True}})
+        assert _eval_spans(node, self.POS) == [(0, 3)]
+        # slop 0: a@0..c@3 has 2 intervening positions but gap only grants 1 → no match
+        node0 = parse_span({"span_near": {"clauses": [
+            {"span_term": {"body": "a"}},
+            {"span_gap": {"body": 1}},
+            {"span_term": {"body": "c"}},
+        ], "slop": 0, "in_order": True}})
+        assert _eval_spans(node0, self.POS) == []
+        # the gap must FIT: adjacent a@0,b@1 can't host it, but a@5 x b@7 can
+        adj = parse_span({"span_near": {"clauses": [
+            {"span_term": {"body": "a"}},
+            {"span_gap": {"body": 1}},
+            {"span_term": {"body": "b"}},
+        ], "slop": 0, "in_order": True}})
+        assert _eval_spans(adj, self.POS) == [(5, 7)]
+
+    def test_span_gap_unordered_rejected(self):
+        node = parse_span({"span_near": {"clauses": [
+            {"span_term": {"body": "a"}},
+            {"span_gap": {"body": 1}},
+            {"span_term": {"body": "b"}},
+        ], "slop": 2, "in_order": False}})
+        with pytest.raises(ValueError, match="in_order"):
+            _eval_spans(node, self.POS)
