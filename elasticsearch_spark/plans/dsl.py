@@ -326,6 +326,89 @@ class MatchQ(Node):
 
 
 @dataclass
+class CommonTermsQ(Node):
+    """common terms query (ref server/src/main/java/org/elasticsearch/index/
+    query/CommonTermsQueryBuilder.java — deprecated in 8.x but in-tree):
+    analyzed terms are split by document frequency at ``cutoff_frequency``
+    (absolute df if >= 1, else a fraction of doc_count). Low-frequency terms
+    SELECT (low_freq_operator / minimum_should_match); high-frequency terms
+    only add score to docs the low-freq clause already selected — unless NO
+    term is low-frequency, in which case the high-freq clause selects.
+
+    Fully declarative: the df classification is a broadcast join against the
+    per-term df frame (no driver collect), so the split happens inside the
+    same plan that scores — scale-safe at any vocabulary size."""
+
+    fld: str
+    query: str = ""
+    cutoff_frequency: float = 0.01
+    low_freq_operator: str = "or"
+    high_freq_operator: str = "or"
+    low_msm: int = 1
+    high_msm: int = 1
+    boost: float = 1.0
+
+    def frame(self, ctx):
+        terms = list(dict.fromkeys(ctx.analyze(self.query)))
+        if not terms:
+            return ctx.df.limit(0).select(
+                F.col(ctx.key).alias("__key"), F.lit(0.0).alias("_score")
+            )
+        q = ctx.tf().where(F.col("term").isin(terms))
+        dfstats = q.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+        cutoff = (
+            F.lit(float(self.cutoff_frequency))
+            if self.cutoff_frequency >= 1.0
+            else F.lit(float(self.cutoff_frequency)) * F.col("n_docs")
+        )
+        cls = (
+            dfstats.crossJoin(F.broadcast(ctx.coll()))
+            .withColumn("is_low", (F.col("df") < cutoff).cast("int"))
+            .select("term", "df", "is_low")
+        )
+        # global clause shape (1 row): how many terms landed in each class
+        shape = cls.agg(
+            F.sum("is_low").alias("n_low"),
+            (F.count("*") - F.sum("is_low")).alias("n_high"),
+        )
+        scored = (
+            q.join(F.broadcast(cls), "term")
+            .join(ctx.dl().select("__key", "qdl"), "__key")
+            .crossJoin(F.broadcast(ctx.coll()))
+            .withColumn(
+                "idf",
+                F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+            )
+            .withColumn(
+                "s",
+                F.col("idf") * (K1 + 1.0) * F.col("tf")
+                / (F.col("tf") + K1 * (1.0 - B + B * F.col("qdl") / F.col("avgdl"))),
+            )
+            .groupBy("__key")
+            .agg(
+                (F.sum("s") * self.boost).alias("_score"),
+                F.sum("is_low").alias("m_low"),
+                F.sum(1 - F.col("is_low")).alias("m_high"),
+            )
+        )
+        need_low = F.col("n_low") if self.low_freq_operator == "and" else F.lit(self.low_msm)
+        need_high = F.col("n_high") if self.high_freq_operator == "and" else F.lit(self.high_msm)
+        return (
+            scored.crossJoin(F.broadcast(shape))
+            .where(
+                F.when(F.col("n_low") > 0, F.col("m_low") >= need_low)
+                .otherwise(F.col("m_high") >= need_high)
+            )
+            .select("__key", "_score")
+        )
+
+    def filter_keys(self, ctx):
+        # filter context: same selection, scores dropped (the df split is
+        # data-dependent, so there is no standalone Column predicate)
+        return self.frame(ctx).select("__key")
+
+
+@dataclass
 class MatchPhraseQ(Node):
     """match_phrase (MatchPhraseQueryBuilder.java): adjacent positions via
     token-stream containment; constant score 1·boost (v1: no phrase freq)."""
@@ -1374,6 +1457,19 @@ def parse(q: dict) -> Node:
         return MatchQ(
             fld, query=spec["query"], operator=spec.get("operator", "or"),
             minimum_should_match=int(spec.get("minimum_should_match", 1)),
+            boost=spec.get("boost", 1.0),
+        )
+    if kind == "common":
+        (fld, spec), = body.items()
+        msm = spec.get("minimum_should_match", 1)
+        low_msm = int(msm["low_freq"]) if isinstance(msm, dict) else int(msm)
+        high_msm = int(msm.get("high_freq", 1)) if isinstance(msm, dict) else 1
+        return CommonTermsQ(
+            fld, query=spec["query"],
+            cutoff_frequency=float(spec.get("cutoff_frequency", 0.01)),
+            low_freq_operator=spec.get("low_freq_operator", "or"),
+            high_freq_operator=spec.get("high_freq_operator", "or"),
+            low_msm=low_msm, high_msm=high_msm,
             boost=spec.get("boost", 1.0),
         )
     if kind == "match_phrase":

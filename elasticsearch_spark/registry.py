@@ -892,6 +892,19 @@ def dsl_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+def dsl_common_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """common terms query (CommonTermsQueryBuilder.java): at cutoff 0.5 the
+    rare term 'dup' (df≈0.05) is the low-frequency SELECTING clause while
+    'spark'/'merge' (df≈0.77) only add score to docs 'dup' selected. The df
+    classification is an in-plan broadcast join — no driver collect."""
+    return _dsl_search(spark, sf_dir, {
+        "query": {"common": {"text": {
+            "query": "dup spark merge", "cutoff_frequency": 0.5,
+        }}},
+        "size": 10,
+    })
+
+
 def dsl_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """function_score: match × log1p(field_value_factor) through the DSL."""
     return _dsl_search(spark, sf_dir, {
@@ -2882,6 +2895,31 @@ dm AS (
 SELECT doc_id, round(mx + 0.3 * (sm - mx), 4) AS score
 FROM dm ORDER BY mx + 0.3 * (sm - mx) DESC, doc_id ASC LIMIT 10
 """,
+    "dsl_common_terms": f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+qdl AS (SELECT doc_id, ({_QDL})::DOUBLE AS qdl FROM dl),
+coll AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+       WHERE term IN ('dup', 'spark', 'merge') GROUP BY 1, 2),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+cls AS (SELECT term, df, (df < 0.5 * coll.n_docs)::INT AS is_low
+        FROM dfs CROSS JOIN coll),
+shape AS (SELECT sum(is_low) AS n_low FROM cls),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (coll.n_docs - cls.df + 0.5) / (cls.df + 0.5))
+             * ({K1} + 1.0) * tf.tf
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * qdl.qdl / coll.avgdl))) AS score_raw,
+         sum(cls.is_low) AS m_low, sum(1 - cls.is_low) AS m_high
+  FROM tf JOIN cls USING (term) JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN coll
+  GROUP BY 1)
+SELECT s.doc_id, round(s.score_raw, 4) AS score
+FROM scored s CROSS JOIN shape
+WHERE CASE WHEN shape.n_low > 0 THEN s.m_low >= 1 ELSE s.m_high >= 1 END
+ORDER BY s.score_raw DESC, s.doc_id ASC LIMIT 10
+""",
     "dsl_function_score": _bm25_cte(["data"], msm=1) + """
 SELECT s.doc_id, round(s.score_raw * ln(1.0 + d.n_chars * 0.01), 4) AS score
 FROM scored s JOIN documents d ON s.doc_id = d.doc_id
@@ -3689,6 +3727,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "msearch_wand": q_msearch_wand,
     "dsl_bool_full": dsl_bool_full,
     "dsl_dismax": dsl_dismax,
+    "dsl_common_terms": dsl_common_terms,
     "dsl_function_score": dsl_function_score,
     "dsl_boosting": dsl_boosting,
     "dedup_exact": d_dedup_exact,

@@ -399,3 +399,30 @@ def test_min_score_floor(spark, corpus):
     assert len(out) == 1 and out[0]["_score"] >= floor
     # floor above every score -> empty, not an error
     assert run(spark, corpus, {"match": {"text": "dog"}}, min_score=1e9).count() == 0
+
+
+def test_common_terms_query(spark, corpus):
+    """common query (CommonTermsQueryBuilder.java): low-freq terms select,
+    high-freq terms only score; with no low-freq term the high clause selects."""
+    ctx = dsl.SearchContext(corpus, "doc_id")
+    # 'quince' df=1/5 < 0.5 → low (selects doc 5); 'quick','fox' df 3/5 ≥ 0.4
+    node = dsl.parse({"common": {"text": {
+        "query": "quince quick fox", "cutoff_frequency": 0.4}}})
+    got = {r["__key"] for r in node.frame(ctx).collect()}
+    assert got == {5}
+    # all terms high-freq at cutoff 0.1 → high clause selects (OR)
+    node2 = dsl.parse({"common": {"text": {
+        "query": "quick fox", "cutoff_frequency": 0.1}}})
+    got2 = {r["__key"] for r in node2.frame(ctx).collect()}
+    assert got2 == {1, 2, 4}
+    # low_freq_operator=and: both low terms required
+    node3 = dsl.parse({"common": {"text": {
+        "query": "quince jelly dog", "cutoff_frequency": 0.45,
+        "low_freq_operator": "and"}}})
+    got3 = {r["__key"] for r in node3.frame(ctx).collect()}
+    # 'quince','jelly' df=1/5 low; 'dog' df=2/5 low too at 0.45 → all 3 required
+    assert got3 == set()
+    node4 = dsl.parse({"common": {"text": {
+        "query": "quince jelly", "cutoff_frequency": 0.45,
+        "low_freq_operator": "and"}}})
+    assert {r["__key"] for r in node4.frame(ctx).collect()} == {5}
