@@ -1195,6 +1195,45 @@ class Engine:
             for ix in entry["indices"]
         ]
 
+    def cat_count(self, index: str | None = None) -> dict:
+        """GET /_cat/count[/{index}]: live doc count for one index or all."""
+        targets = [index] if index else self.indices()
+        return {"count": sum(self.stats(ix)["docs"]["count"] for ix in targets)}
+
+    def cat_shards(self, index: str) -> list[dict]:
+        """GET /_cat/shards/{index}: one row per routing shard — segment
+        and live-doc counts rolled up from the segment listing (shard =
+        pid % number_of_shards, the routed-search pruning unit)."""
+        meta = store.IndexMeta.load(self._dir(index))
+        n_shards = meta.num_shards or 1
+        rows: dict[int, dict] = {
+            s: {"index": index, "shard": s, "docs": 0, "segments": 0}
+            for s in range(n_shards)
+        }
+        for seg in self.cat_segments(index):
+            sid = seg["shard"] if seg["shard"] is not None else 0  # unsharded
+            r = rows.setdefault(
+                sid,
+                {"index": index, "shard": sid, "docs": 0, "segments": 0},
+            )
+            r["docs"] += seg["docs.count"]
+            r["segments"] += 1
+        return [rows[s] for s in sorted(rows)]
+
+    def cat_templates(self) -> list[dict]:
+        """GET /_cat/templates: one row per composable index template."""
+        import json
+
+        path = os.path.join(self.root, "_index_templates.json")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            all_t = json.load(f)
+        return [
+            {"name": n, "index_patterns": t["index_patterns"], "order": t["priority"]}
+            for n, t in sorted(all_t.items())
+        ]
+
     def mtermvectors(self, index: str, urls: list[str],
                      term_statistics: bool = False) -> DataFrame:
         """POST /{index}/_mtermvectors: termvectors for several documents in

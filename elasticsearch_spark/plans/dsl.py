@@ -1733,8 +1733,34 @@ def search(
     # frame — all coordinator-small top-k results — and fuse by reciprocal
     # rank. The fused frame re-enters the normal fetch path below.
     retr_fr = None
+    rmode = None
     if "retriever" in body:
         (rmode, rspec), = body["retriever"].items()
+        # rescorer retriever (x-pack RescorerRetrieverBuilder.java): a rescore
+        # stage stacked on an inner retriever — desugar to the plain search
+        # shape (inner retriever/query + body-level rescore list) and fall
+        # through to the normal paths
+        while rmode == "rescorer":
+            body = dict(body)
+            rs = rspec["rescore"]
+            body["rescore"] = (list(rs) if isinstance(rs, list) else [rs]) + (
+                body.get("rescore", []) if isinstance(body.get("rescore"), list)
+                else [body["rescore"]] if "rescore" in body else []
+            )
+            (ik, ib), = rspec["retriever"].items()
+            if ik == "standard":
+                body.pop("retriever")
+                body["query"] = ib["query"]
+            elif ik == "knn":
+                body.pop("retriever")
+                body["knn"] = ib
+            else:
+                body["retriever"] = rspec["retriever"]
+            if "retriever" not in body:
+                rmode = None
+                break
+            (rmode, rspec), = body["retriever"].items()
+    if rmode is not None and "retriever" in body:
         from ..operators.rank import linear_fuse, rrf_fuse
 
         frames, weights = [], []
@@ -1799,24 +1825,27 @@ def search(
     # rescore: combine primary score with a secondary query over the top
     # window only (narrower, costlier query — the reference's use case)
     if "rescore" in body:
-        rs = body["rescore"]
-        window = int(rs.get("window_size", 10))
-        rq = rs["query"]
-        qw = float(rq.get("query_weight", 1.0))
-        rqw = float(rq.get("rescore_query_weight", 1.0))
-        top_w = (
-            fetched.orderBy(F.desc("_score"), F.asc(key)).limit(window)
-        )
-        sec = parse(rq["rescore_query"]).frame(SearchContext(df, key, text_col=text_col))
-        sec = sec.withColumnRenamed("__key", key).withColumnRenamed("_score", "_rescore")
-        fetched = (
-            top_w.join(sec, key, "left")
-            .withColumn(
-                "_score",
-                qw * F.col("_score") + rqw * F.coalesce(F.col("_rescore"), F.lit(0.0)),
+        stages = body["rescore"]
+        if isinstance(stages, dict):
+            stages = [stages]
+        for rs in stages:  # sequential windows, each over the previous result
+            window = int(rs.get("window_size", 10))
+            rq = rs["query"]
+            qw = float(rq.get("query_weight", 1.0))
+            rqw = float(rq.get("rescore_query_weight", 1.0))
+            top_w = (
+                fetched.orderBy(F.desc("_score"), F.asc(key)).limit(window)
             )
-            .drop("_rescore")
-        )
+            sec = parse(rq["rescore_query"]).frame(SearchContext(df, key, text_col=text_col))
+            sec = sec.withColumnRenamed("__key", key).withColumnRenamed("_score", "_rescore")
+            fetched = (
+                top_w.join(sec, key, "left")
+                .withColumn(
+                    "_score",
+                    qw * F.col("_score") + rqw * F.coalesce(F.col("_rescore"), F.lit(0.0)),
+                )
+                .drop("_rescore")
+            )
 
     # terminate_after (SearchSourceBuilder.terminateAfter): stop collecting
     # after N docs PER SHARD — per-partition head with early stop, zero

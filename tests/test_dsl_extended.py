@@ -426,3 +426,36 @@ def test_common_terms_query(spark, corpus):
         "query": "quince jelly", "cutoff_frequency": 0.45,
         "low_freq_operator": "and"}}})
     assert {r["__key"] for r in node4.frame(ctx).collect()} == {5}
+
+
+def test_rescorer_retriever_and_multi_stage_rescore(spark, corpus):
+    """rescorer retriever (x-pack RescorerRetrieverBuilder.java) desugars to
+    inner retriever + body rescore; rescore also accepts a LIST of stages."""
+    body = {
+        "retriever": {"rescorer": {
+            "rescore": {"window_size": 3, "query": {
+                "rescore_query": {"constant_score": {"filter": {"term": {"lang": "fr"}}, "boost": 10.0}},
+                "query_weight": 1.0, "rescore_query_weight": 1.0,
+            }},
+            "retriever": {"standard": {"query": {"match": {"text": "fox"}}}},
+        }},
+        "size": 3,
+    }
+    out = dsl.search(spark, corpus, body).collect()
+    assert out[0]["doc_id"] == 4  # identical to the plain rescore test
+    # two sequential stages: second narrows to window 1 and re-boosts
+    body2 = {
+        "query": {"match": {"text": "fox"}},
+        "rescore": [
+            {"window_size": 3, "query": {
+                "rescore_query": {"constant_score": {"filter": {"term": {"lang": "fr"}}, "boost": 10.0}},
+            }},
+            {"window_size": 2, "query": {
+                "rescore_query": {"constant_score": {"filter": {"term": {"lang": "en"}}, "boost": 100.0}},
+            }},
+        ],
+        "size": 3,
+    }
+    out2 = dsl.search(spark, corpus, body2).collect()
+    assert len(out2) == 2  # second window truncates to 2
+    assert out2[0]["lang"] == "en"  # en doc boosted over the fr winner

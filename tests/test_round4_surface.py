@@ -113,3 +113,15 @@ def test_post_filter_narrows_hits_not_aggs(es):
     # … but aggs see the full query scope (both langs of matching docs)
     buckets = {r["key"] for r in out["aggregations"]["langs"].collect()}
     assert "en" in buckets
+
+
+def test_cat_count_shards_templates(es):
+    total = es.cat_count()["count"]
+    left = es.cat_count("left")["count"]
+    assert left == 2 and total >= 4
+    shards = es.cat_shards("left")
+    assert sum(s["docs"] for s in shards) == 2
+    assert sum(s["segments"] for s in shards) == len(es.cat_segments("left"))
+    es.put_index_template("logs-t", ["logs-*"], priority=7)
+    cats = es.cat_templates()
+    assert {"name": "logs-t", "index_patterns": ["logs-*"], "order": 7} in cats
