@@ -258,6 +258,90 @@ def aggregate_metric_agg(fld: str, metric: str) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# unsigned_long field (x-pack mapper-unsigned-long)
+# ---------------------------------------------------------------------------
+
+_U63 = 9223372036854775808  # 2^63
+
+
+def unsigned_long_encode(col: str | Column) -> Column:
+    """uint64 (decimal(20,0)/string) → the reference's SHIFTED signed-long
+    doc value: stored = value ^ 2^63, i.e. value − 2^63 as signed arithmetic
+    (UnsignedLongFieldMapper.java:635 ``value ^ MASK_2_63``). Signed order
+    over the shifted longs == unsigned order over the originals, so native
+    long sort/range/min/max work unchanged — the whole point of the mapper."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast("decimal(20,0)") - F.lit(str(_U63)).cast("decimal(20,0)")).cast("long")
+
+
+def unsigned_long_decode(col: str | Column) -> Column:
+    """Shifted signed long → the uint64 value as decimal(20,0) (the
+    sortableSignedLongToUnsigned round-trip for _source/fields output)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast("decimal(20,0)") + F.lit(str(_U63)).cast("decimal(20,0)")).cast("decimal(20,0)")
+
+
+def unsigned_long_range_pred(fld: str | Column, gte: int | str | None = None,
+                             lte: int | str | None = None) -> Column:
+    """Range predicate over a SHIFTED unsigned_long column: the uint64
+    bounds are shifted driver-side (plain Python ints), so the comparison
+    stays a native long predicate that pushes to the parquet scan."""
+    c = F.col(fld) if isinstance(fld, str) else fld
+    pred = F.lit(True)
+    if gte is not None:
+        pred = pred & (c >= F.lit(int(gte) - _U63))
+    if lte is not None:
+        pred = pred & (c <= F.lit(int(lte) - _U63))
+    return pred
+
+
+# ---------------------------------------------------------------------------
+# constant_keyword field (x-pack mapper-constant-keyword)
+# ---------------------------------------------------------------------------
+
+
+def constant_keyword_matches(constant: str | None, kind: str, spec) -> bool:
+    """Resolve a query against a constant_keyword field ENTIRELY from the
+    mapping constant — no data access (ConstantKeywordFieldMapper.java:
+    termQuery/wildcardQuery/existsQuery evaluate against the constant and
+    return MatchAllDocsQuery or MatchNoDocsQuery). At scale this is the
+    index-pruning fast path: a mismatching filter skips the whole index.
+
+    Returns True → the query is match_all for this index; False → match_none.
+    """
+    import fnmatch
+    import re as _re
+
+    if kind == "exists":
+        return constant is not None
+    if constant is None:
+        return False
+    if kind == "term":
+        v = spec["value"] if isinstance(spec, dict) else spec
+        return str(v) == constant
+    if kind == "terms":
+        return any(str(v) == constant for v in spec)
+    if kind == "prefix":
+        v = spec["value"] if isinstance(spec, dict) else spec
+        return constant.startswith(str(v))
+    if kind == "wildcard":
+        v = spec["value"] if isinstance(spec, dict) else spec
+        return fnmatch.fnmatchcase(constant, str(v))
+    if kind == "regexp":
+        v = spec["value"] if isinstance(spec, dict) else spec
+        return _re.fullmatch(str(v), constant) is not None
+    if kind == "range":
+        lo, hi = spec.get("gte"), spec.get("lte")
+        ok = True
+        if lo is not None:
+            ok = ok and constant >= str(lo)
+        if hi is not None:
+            ok = ok and constant <= str(hi)
+        return ok
+    raise ValueError(f"constant_keyword does not support {kind!r} queries")
+
+
+# ---------------------------------------------------------------------------
 # version field
 # ---------------------------------------------------------------------------
 

@@ -2291,6 +2291,33 @@ def a_aggregate_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f_unsigned_long_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unsigned_long field (x-pack mapper-unsigned-long,
+    UnsignedLongFieldMapper.java:635 ``value ^ MASK_2_63``): uint64 values
+    are stored as SHIFTED signed longs so native long sort/range == u64
+    order. Synthetic u64s straddle 2^63 (odd ids map near 2^64-1); the
+    range filter + sort run on the shifted column — a pushed-down long
+    predicate — and the output decodes back to the u64 string."""
+    from .plans.fields import (
+        unsigned_long_decode,
+        unsigned_long_encode,
+        unsigned_long_range_pred,
+    )
+
+    d = _docs(spark, sf_dir)
+    n = F.col("doc_id").cast("long")
+    u = F.when(n % 2 == 0, n.cast("decimal(20,0)")).otherwise(
+        F.lit("18446744073709551615").cast("decimal(20,0)") - n.cast("decimal(20,0)")
+    )
+    enc = d.select("doc_id", unsigned_long_encode(u).alias("u_enc"))
+    return (
+        enc.where(unsigned_long_range_pred("u_enc", gte=2**63))
+        .orderBy(F.desc("u_enc"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", unsigned_long_decode("u_enc").cast("string").alias("uval"))
+    )
+
+
 def f_version_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """version field (x-pack mapper-version VersionStringFieldMapper):
     semver-ordered sort via a fixed-width encoded sort key; pre-releases
@@ -2411,6 +2438,16 @@ SELECT event_type,
        round(sum(value), 2) AS v_sum, round(avg(value), 4) AS v_avg,
        count(value)::BIGINT AS v_count
 FROM events GROUP BY event_type ORDER BY event_type
+""",
+    "field_unsigned_long_sort": """
+WITH ids AS (SELECT doc_id, doc_id::BIGINT AS n FROM documents),
+u AS (SELECT doc_id,
+             CASE WHEN n % 2 = 0 THEN n::HUGEINT
+                  ELSE 18446744073709551615::HUGEINT - n END AS uval
+      FROM ids)
+SELECT doc_id, CAST(uval AS VARCHAR) AS uval FROM u
+WHERE uval >= 9223372036854775808::HUGEINT
+ORDER BY uval DESC, doc_id ASC LIMIT 10
 """,
     "field_version_sort": """
 WITH v AS (
@@ -3679,6 +3716,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "match_only_text_score": f_match_only_text,
     "agg_time_series": a_time_series,
     "agg_aggregate_metric": a_aggregate_metric,
+    "field_unsigned_long_sort": f_unsigned_long_sort,
     "field_version_sort": f_version_sort,
     "ingest_geoip": p_ingest_geoip,
     "match_or_bm25": q_match_or,

@@ -150,3 +150,47 @@ def test_time_series_buckets(spark):
         ("web", 1, 2, 7.0),
         ("web", 2, 1, 1.0),
     ]
+
+
+def test_unsigned_long_shift_roundtrip_and_order(spark):
+    """mapper-unsigned-long: shifted encoding preserves u64 order under
+    native long sort; decode round-trips; range bounds shift driver-side."""
+    from decimal import Decimal
+
+    from elasticsearch_spark.plans.fields import (
+        unsigned_long_decode,
+        unsigned_long_encode,
+        unsigned_long_range_pred,
+    )
+
+    vals = ["0", "1", "9223372036854775807", "9223372036854775808",
+            "18446744073709551615"]
+    df = spark.createDataFrame([(v,) for v in vals], "u string")
+    enc = df.select("u", unsigned_long_encode("u").alias("e"))
+    rows = enc.orderBy("e").collect()
+    assert [r["u"] for r in rows] == vals  # signed order == unsigned order
+    assert rows[0]["e"] == -(2**63) and rows[-1]["e"] == 2**63 - 1
+    dec = enc.select(unsigned_long_decode("e").cast("string").alias("u2"), "u")
+    assert all(r["u2"] == r["u"] for r in dec.collect())
+    hits = enc.where(unsigned_long_range_pred("e", gte=2**63)).count()
+    assert hits == 2
+
+
+def test_constant_keyword_resolves_from_mapping(spark):
+    """mapper-constant-keyword: queries resolve to match_all/match_none
+    from the mapping constant alone — no data access."""
+    from elasticsearch_spark.plans.fields import constant_keyword_matches as m
+
+    assert m("logs-prod", "term", {"value": "logs-prod"})
+    assert not m("logs-prod", "term", "logs-dev")
+    assert m("logs-prod", "terms", ["a", "logs-prod"])
+    assert m("logs-prod", "prefix", "logs-")
+    assert m("logs-prod", "wildcard", "logs-*")
+    assert m("logs-prod", "regexp", "logs-(prod|dev)")
+    assert m("logs-prod", "exists", None)
+    assert not m(None, "exists", None)
+    assert not m(None, "term", "x")
+    assert m("m", "range", {"gte": "a", "lte": "z"})
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        m("x", "fuzzy", "y")
