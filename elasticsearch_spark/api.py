@@ -1195,6 +1195,105 @@ class Engine:
             for ix in entry["indices"]
         ]
 
+    # -- async search (x-pack/plugin/async-search) ---------------------------
+
+    def async_search_submit(self, index: str, body: dict) -> dict:
+        """POST /{index}/_async_search (x-pack async-search,
+        TransportSubmitAsyncSearchAction): run the search detached from the
+        caller on a background thread — Spark job submission is thread-safe,
+        so the async search drives its own jobs against the shared session.
+        Hits materialize inside the task (bounded by the body's ``size``).
+        Subset note: no partial-reduce snapshots while running (the
+        reference streams per-shard partials; we report running/done)."""
+        import concurrent.futures
+
+        if not hasattr(self, "_async_pool"):
+            self._async_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=4, thread_name_prefix="async_search"
+            )
+            self._async_searches: dict[str, object] = {}
+            self._async_seq = 0
+        self._async_seq += 1
+        sid = f"async_{self._async_seq:06d}"
+
+        def run():
+            out = self.search(index, body)
+            return {
+                "hits": out["hits"].collect(),
+                "aggregations": {
+                    k: v.collect() for k, v in out.get("aggregations", {}).items()
+                },
+            }
+
+        self._async_searches[sid] = self._async_pool.submit(run)
+        return {"id": sid, "is_running": True}
+
+    def async_search_get(self, sid: str, wait_seconds: float | None = None) -> dict:
+        """GET /_async_search/{id}: status, plus the response once done.
+        ``wait_seconds`` mirrors wait_for_completion_timeout — block up to
+        that long before answering."""
+        fut = self._async_searches.get(sid)
+        if fut is None:
+            raise KeyError(f"unknown async search id: {sid}")
+        if wait_seconds:
+            import concurrent.futures
+
+            try:
+                fut.result(timeout=wait_seconds)
+            except concurrent.futures.TimeoutError:
+                pass
+        if not fut.done():
+            return {"id": sid, "is_running": True, "response": None}
+        return {"id": sid, "is_running": False, "response": fut.result()}
+
+    def async_search_delete(self, sid: str) -> dict:
+        """DELETE /_async_search/{id}: cancel if running, drop the result."""
+        fut = self._async_searches.pop(sid, None)
+        if fut is None:
+            raise KeyError(f"unknown async search id: {sid}")
+        fut.cancel()
+        return {"acknowledged": True}
+
+    # -- data streams (server DataStream metadata + TransportRollover) -------
+
+    def create_data_stream(self, name: str, **create_kw) -> dict:
+        """PUT /_data_stream/{name}: a write alias over generation-numbered
+        backing indices ``.ds-<name>-NNNNNN`` (DataStream.java naming).
+        Index templates match against the STREAM name (the reference
+        resolves templates for the data stream, not the backing index), so
+        template settings are passed through explicitly."""
+        backing = f".ds-{name}-000001"
+        tmpl = self._match_template(name)
+        s = dict((tmpl or {}).get("settings", {}))
+        for k_tpl, k_arg in (
+            ("analyzer", "analyzer"), ("analyzer_filters", "analyzer_filters"),
+            ("num_partitions", "num_partitions"), ("number_of_shards", "num_shards"),
+        ):
+            if k_tpl in s and k_arg not in create_kw:
+                create_kw[k_arg] = s[k_tpl]
+        if "index_sort" in s and "index_sort" not in create_kw:
+            create_kw["index_sort"] = tuple(s["index_sort"])
+        self.create_index(backing, **create_kw)
+        self.update_aliases([
+            {"add": {"alias": name, "index": backing, "is_write_index": True}}
+        ])
+        return {"acknowledged": True, "backing_index": backing}
+
+    def data_streams(self) -> list[dict]:
+        """GET /_data_stream: streams = aliases whose indices are all
+        ``.ds-`` backing indices, with their generation count."""
+        out = []
+        for a, entry in sorted(self._load_aliases().items()):
+            idxs = entry["indices"]
+            if idxs and all(ix.startswith(".ds-") for ix in idxs):
+                out.append({
+                    "name": a,
+                    "generation": len(idxs),
+                    "indices": sorted(idxs),
+                    "write_index": entry.get("write_index"),
+                })
+        return out
+
     def cat_count(self, index: str | None = None) -> dict:
         """GET /_cat/count[/{index}]: live doc count for one index or all."""
         targets = [index] if index else self.indices()

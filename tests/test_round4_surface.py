@@ -125,3 +125,36 @@ def test_cat_count_shards_templates(es):
     es.put_index_template("logs-t", ["logs-*"], priority=7)
     cats = es.cat_templates()
     assert {"name": "logs-t", "index_patterns": ["logs-*"], "order": 7} in cats
+
+
+def test_async_search_lifecycle(es):
+    sub = es.async_search_submit("left", {"query": {"match": {"text": "spark"}}, "size": 5})
+    assert sub["is_running"] is True
+    got = es.async_search_get(sub["id"], wait_seconds=60)
+    assert got["is_running"] is False
+    hits = got["response"]["hits"]
+    assert len(hits) == 1 and hits[0]["url"] == "u1"
+    es.async_search_delete(sub["id"])
+    with pytest.raises(KeyError):
+        es.async_search_get(sub["id"])
+
+
+def test_data_stream_create_write_rollover(es, spark):
+    es.put_index_template("metrics-t", ["metrics-*"], priority=3,
+                          settings={"num_partitions": 2})
+    es.create_data_stream("metrics-web")
+    es.bulk("metrics-web", spark.createDataFrame(
+        [("m1", "cpu high load", "en"), ("m2", "disk io wait", "en")],
+        "url string, text string, lang string"))
+    assert es.cat_count(".ds-metrics-web-000001")["count"] == 2
+    rolled = es.rollover("metrics-web", conditions_met=True)
+    assert rolled["new_index"] == ".ds-metrics-web-000002"
+    streams = es.data_streams()
+    st = next(s for s in streams if s["name"] == "metrics-web")
+    assert st["generation"] == 2 and st["write_index"] == ".ds-metrics-web-000002"
+    # search over the stream alias fans out across generations
+    es.bulk("metrics-web", spark.createDataFrame(
+        [("m3", "cpu throttled again", "en")], "url string, text string, lang string"))
+    out = es.search("metrics-web", {"query": {"match": {"text": "cpu"}}, "size": 10})
+    urls = {r["url"] for r in out["hits"].collect()}
+    assert urls == {"m1", "m3"}
