@@ -2065,6 +2065,37 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag_contaminated(docs, probes, n=8).orderBy("doc_id")
 
 
+def q_text_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_text_structure/find_structure (x-pack/plugin/text-structure,
+    ``TextStructureFinderManager.java``): infer the container format and
+    per-field mappings from a bounded driver-side sample of raw NDJSON lines
+    (the reference's ``lines_to_sample`` model), then drive the DISTRIBUTED
+    parse of the full corpus with the inferred schema — ``from_json`` with a
+    DDL string, no per-file inference pass. Round-trip gate: aggregating the
+    re-parsed rows must equal the same aggregate over the source table, so a
+    wrong inferred type surfaces as a value mismatch."""
+    from .sources.text_structure import find_structure, structure_to_spark_schema
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lines = ev.select(
+        F.to_json(F.struct("event_id", "event_type", "value")).alias("ln")
+    )
+    sample = [r.ln for r in lines.limit(500).collect()]
+    st = find_structure(sample)
+    if st["format"] != "ndjson":  # inference failure = wrong answer, loudly
+        raise ValueError(f"expected ndjson, inferred {st['format']}")
+    ddl = structure_to_spark_schema(st)
+    parsed = lines.select(F.from_json("ln", ddl).alias("s")).select("s.*")
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("doc_count"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def m_anomaly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x-pack ml anomaly detection, count detector split by
     partition_field_name (``x-pack/plugin/core/.../ml/job/config/Detector.java``)
@@ -3706,6 +3737,11 @@ SELECT pk AS p_partkey, round(1e12 + 3 - rk, 4) AS score FROM live
 UNION ALL SELECT p_partkey, score FROM org
 ORDER BY score DESC, p_partkey LIMIT 20
 """,
+    "text_structure_roundtrip": """
+SELECT event_type, COUNT(*)::BIGINT AS doc_count,
+       ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
 }
 
 
@@ -3837,4 +3873,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_pack_sequences": t_pack_sequences,
     "esql_stats": q_esql_stats,
     "sample_decontaminate": t_decontaminate,
+    "text_structure_roundtrip": q_text_structure,
 }
