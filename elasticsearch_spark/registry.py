@@ -2096,6 +2096,27 @@ def q_text_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f_wildcard_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wildcard field mapper (x-pack/plugin/wildcard,
+    ``WildcardFieldMapper.java``): leading-wildcard queries accelerated by a
+    3-gram posting table — phase 1 keeps only ids containing ALL pattern
+    grams (parquet skip-scan on the sorted gram column), phase 2 verifies
+    candidates with the exact LIKE. Oracle = the plain LIKE over the raw
+    column, so any approximation overmatch that survived verify would
+    surface as extra rows."""
+    import os
+
+    from .operators.wildcard_field import build_wildcard_index, wildcard_field_search
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx = f"/tmp/es_registry_wcgrams_{tag}"
+    if not os.path.exists(idx + "/_SUCCESS"):
+        build_wildcard_index(part, "p_partkey", "p_name", idx, num_files=4)
+    hits = wildcard_field_search(spark, idx, part, "p_partkey", "p_name", "*small*ring*")
+    return hits.select("p_partkey", "p_name").orderBy("p_partkey")
+
+
 def m_anomaly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x-pack ml anomaly detection, count detector split by
     partition_field_name (``x-pack/plugin/core/.../ml/job/config/Detector.java``)
@@ -3742,6 +3763,11 @@ SELECT event_type, COUNT(*)::BIGINT AS doc_count,
        ROUND(SUM(value), 4) AS total_value
 FROM events GROUP BY event_type ORDER BY event_type
 """,
+    "wildcard_field_query": """
+SELECT p_partkey, p_name FROM part
+WHERE lower(p_name) LIKE '%small%ring%'
+ORDER BY p_partkey
+""",
 }
 
 
@@ -3874,4 +3900,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_stats": q_esql_stats,
     "sample_decontaminate": t_decontaminate,
     "text_structure_roundtrip": q_text_structure,
+    "wildcard_field_query": f_wildcard_field,
 }
