@@ -113,6 +113,9 @@ class Engine:
         return {"succeeded": self._pits.pop(pit_id, None) is not None}
 
     def _dir(self, index: str) -> str:
+        if ":" in index:  # cluster-qualified (CCS) → the remote's storage
+            cluster, ix = index.split(":", 1)
+            return os.path.join(self._remote_root(cluster), ix)
         return os.path.join(self.root, index)
 
     # ---- index lifecycle --------------------------------------------------
@@ -210,6 +213,48 @@ class Engine:
 
     # ---- aliases / rollover / snapshots -----------------------------------
 
+    # ---- remote clusters (cross-cluster search) ----------------------------
+
+    def _remotes_path(self) -> str:
+        return os.path.join(self.root, "_remote_clusters.json")
+
+    def put_remote_cluster(self, name: str, root: str) -> dict:
+        """``PUT /_cluster/settings`` ``cluster.remote.<name>.seeds`` analog
+        (``server/.../transport/RemoteClusterService.java``): register a
+        remote cluster under ``name``. Here a "cluster" is another engine
+        root (in production: another warehouse path / catalog the same
+        Spark application can read), so CCS needs no transport layer — the
+        remote's segment files are directly readable and every per-index
+        frame stays a lazy scan of that cluster's storage."""
+        import json
+
+        if ":" in name or "," in name:
+            raise ValueError(f"invalid remote cluster name: {name!r}")
+        remotes = self.get_remote_clusters()
+        remotes[name] = {"root": root}
+        tmp = self._remotes_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(remotes, f)
+        os.replace(tmp, self._remotes_path())
+        return {"acknowledged": True}
+
+    def get_remote_clusters(self) -> dict:
+        """GET /_remote/info analog: {name: {"root": path}}."""
+        import json
+
+        if os.path.exists(self._remotes_path()):
+            with open(self._remotes_path()) as f:
+                return json.load(f)
+        return {}
+
+    def _remote_root(self, cluster: str) -> str:
+        remotes = self.get_remote_clusters()
+        if cluster not in remotes:
+            raise ValueError(
+                f"unknown remote cluster {cluster!r}; registered: {sorted(remotes)}"
+            )
+        return remotes[cluster]["root"]
+
     def _aliases_path(self) -> str:
         return os.path.join(self.root, "_aliases.json")
 
@@ -259,11 +304,28 @@ class Engine:
         return self._load_aliases()
 
     def resolve(self, name: str) -> list[str]:
-        """Alias or concrete index name → concrete indices."""
-        aliases = self._load_aliases()
-        if name in aliases:
-            return list(aliases[name]["indices"])
-        return [name]
+        """Alias / concrete / comma-list / ``remote:index`` → concrete
+        indices. Cross-cluster names (``TransportSearchAction``'s
+        ``RemoteClusterIndices`` split) resolve the index part against the
+        REMOTE cluster's alias table and stay ``cluster:``-qualified — the
+        qualified form is what ``_dir`` maps to the remote root and what
+        search responses surface as ``_index``."""
+        out: list[str] = []
+        for part in name.split(","):
+            part = part.strip()
+            if not part:
+                continue
+            if ":" in part:
+                cluster, ix = part.split(":", 1)
+                remote = Engine(self.spark, self._remote_root(cluster))
+                out.extend(f"{cluster}:{c}" for c in remote.resolve(ix))
+                continue
+            aliases = self._load_aliases()
+            if part in aliases:
+                out.extend(aliases[part]["indices"])
+            else:
+                out.append(part)
+        return out
 
     def _write_index(self, name: str) -> str:
         aliases = self._load_aliases()
