@@ -440,6 +440,10 @@ class Engine:
         later bulks are op batches (delete+add upserts). An alias routes to
         its write index (is_write_index semantics)."""
         index = self._write_index(index)
+        m = self._ilm_load()["managed"].get(index)
+        if m and m.get("readonly"):
+            # ILM warm-phase readonly action (the index.blocks.write block)
+            raise ValueError(f"index {index} is read-only (ILM warm phase)")
         d = self._dir(index)
         meta = store.IndexMeta.load(d)
         cols = docs.columns
@@ -472,6 +476,174 @@ class Engine:
     def forcemerge(self, index: str, **kw) -> dict:
         """POST /{index}/_forcemerge — tiered compaction + delete expunge."""
         return merge_index(self.spark, self._dir(index), **kw)
+
+    # ---- index lifecycle management (x-pack/plugin/ilm) --------------------
+
+    def _ilm_path(self) -> str:
+        return os.path.join(self.root, "_ilm.json")
+
+    def _ilm_load(self) -> dict:
+        import json
+
+        if os.path.exists(self._ilm_path()):
+            with open(self._ilm_path()) as f:
+                return json.load(f)
+        return {"policies": {}, "managed": {}}
+
+    def _ilm_save(self, state: dict) -> None:
+        import json
+
+        tmp = self._ilm_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._ilm_path())
+
+    @staticmethod
+    def _ilm_age(spec) -> float:
+        """`min_age`/`max_age` string → seconds ("7d", "30m", "45s", number)."""
+        if isinstance(spec, (int, float)):
+            return float(spec)
+        unit = {"s": 1, "m": 60, "h": 3600, "d": 86400}.get(spec[-1])
+        if unit is None:
+            raise ValueError(f"unsupported ILM age unit in {spec!r}")
+        return float(spec[:-1]) * unit
+
+    def put_lifecycle_policy(self, name: str, policy: dict) -> dict:
+        """PUT /_ilm/policy/{name} (``x-pack/plugin/ilm``,
+        ``TransportPutLifecycleAction`` / ``TimeseriesLifecycleType.java``):
+        phases hot/warm/delete with actions rollover (max_docs/max_age),
+        readonly, forcemerge (max_num_segments), delete. Unsupported
+        reference actions (shrink, searchable_snapshot, allocate, migrate)
+        are rejected loudly — substrate concerns Spark storage replaces."""
+        phases = policy.get("phases", {})
+        if unknown := set(phases) - {"hot", "warm", "delete"}:
+            raise ValueError(f"unsupported ILM phases: {sorted(unknown)}")
+        allowed = {"rollover", "readonly", "forcemerge", "delete", "min_age"}
+        for ph, body in phases.items():
+            acts = set(body.get("actions", {})) | ({"min_age"} if "min_age" in body else set())
+            if bad := acts - allowed:
+                raise ValueError(f"unsupported ILM actions in {ph}: {sorted(bad)}")
+        st = self._ilm_load()
+        st["policies"][name] = policy
+        self._ilm_save(st)
+        return {"acknowledged": True}
+
+    def apply_lifecycle(
+        self,
+        index: str,
+        policy: str,
+        rollover_alias: str | None = None,
+        now: float | None = None,
+    ) -> dict:
+        """Attach a policy to an index (the ``index.lifecycle.name`` +
+        ``index.lifecycle.rollover_alias`` settings). Phase clock starts
+        now; ``now`` is injectable for tests — the reference's ILM service
+        is likewise driven by an external clock tick."""
+        import time as _t
+
+        st = self._ilm_load()
+        if policy not in st["policies"]:
+            raise ValueError(f"unknown ILM policy: {policy}")
+        st["managed"][index] = {
+            "policy": policy,
+            "rollover_alias": rollover_alias,
+            "phase": "hot",
+            "phase_time": now if now is not None else _t.time(),
+            "readonly": False,
+            "done": [],
+        }
+        self._ilm_save(st)
+        return {"acknowledged": True}
+
+    def explain_lifecycle(self, index: str) -> dict:
+        """GET /{index}/_ilm/explain: managed?, policy, phase, age."""
+        import time as _t
+
+        st = self._ilm_load()
+        m = st["managed"].get(index)
+        if not m:
+            return {"index": index, "managed": False}
+        return {
+            "index": index, "managed": True, "policy": m["policy"],
+            "phase": m["phase"], "age": _t.time() - m["phase_time"],
+            "readonly": m["readonly"], "actions_done": list(m["done"]),
+        }
+
+    def ilm_step(self, now: float | None = None) -> list[dict]:
+        """One ILM poll tick (``IndexLifecycleService.triggerPolicies`` —
+        the reference runs this every ``indices.lifecycle.poll_interval``).
+        Each managed index is evaluated independently: hot indices roll
+        over when conditions are met (the rolled-FROM index advances to the
+        next phase and the new write index picks up the policy in hot);
+        warm runs readonly/forcemerge once ``min_age`` past rollover;
+        delete drops the index and its alias membership. Control-plane
+        only — per-index work (count/forcemerge/delete) is the same
+        distributed ops the explicit APIs run. Returns the actions taken."""
+        import time as _t
+
+        now = now if now is not None else _t.time()
+        st = self._ilm_load()
+        actions: list[dict] = []
+        for index in list(st["managed"]):
+            m = st["managed"][index]
+            policy = st["policies"][m["policy"]]
+            phases = policy.get("phases", {})
+            nxt = [p for p in ("warm", "delete") if p in phases]
+
+            if m["phase"] == "hot" and "hot" in phases:
+                ro = phases["hot"].get("actions", {}).get("rollover")
+                alias = m["rollover_alias"]
+                if ro and alias and self._write_index(alias) == index:
+                    met = False
+                    if "max_docs" in ro and self.count(index) >= int(ro["max_docs"]):
+                        met = True
+                    if "max_age" in ro and now - m["phase_time"] >= self._ilm_age(ro["max_age"]):
+                        met = True
+                    if met:
+                        res = self.rollover(alias, conditions_met=True)
+                        new_ix = res["new_index"]
+                        st["managed"][new_ix] = {
+                            "policy": m["policy"], "rollover_alias": alias,
+                            "phase": "hot", "phase_time": now,
+                            "readonly": False, "done": [],
+                        }
+                        m["phase"] = nxt[0] if nxt else "complete"
+                        m["phase_time"] = now
+                        actions.append({"index": index, "action": "rollover",
+                                        "new_index": new_ix})
+
+            elif m["phase"] == "warm":
+                body = phases.get("warm", {})
+                if now - m["phase_time"] >= self._ilm_age(body.get("min_age", 0)):
+                    acts = body.get("actions", {})
+                    if "readonly" in acts and "readonly" not in m["done"]:
+                        m["readonly"] = True
+                        m["done"].append("readonly")
+                        actions.append({"index": index, "action": "readonly"})
+                    if "forcemerge" in acts and "forcemerge" not in m["done"]:
+                        self.forcemerge(index)
+                        m["done"].append("forcemerge")
+                        actions.append({"index": index, "action": "forcemerge"})
+                    if set(acts) <= set(m["done"]):
+                        # delete min_age counts from the SAME rollover epoch
+                        # (reference: min_age is relative to rollover), so
+                        # the phase clock is intentionally NOT reset here
+                        m["phase"] = "delete" if "delete" in phases else "complete"
+
+            elif m["phase"] == "delete" and "delete" in phases:
+                body = phases["delete"]
+                if now - m["phase_time"] >= self._ilm_age(body.get("min_age", 0)):
+                    alias = m["rollover_alias"]
+                    if alias:
+                        self.update_aliases([
+                            {"remove": {"alias": alias, "index": index}}
+                        ])
+                    self.delete_index(index)
+                    del st["managed"][index]
+                    actions.append({"index": index, "action": "delete"})
+
+        self._ilm_save(st)
+        return actions
 
     # ---- search -----------------------------------------------------------
 
