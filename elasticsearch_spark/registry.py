@@ -2117,6 +2117,32 @@ def f_wildcard_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("p_partkey", "p_name").orderBy("p_partkey")
 
 
+def f_annotated_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """annotated_text mapper (plugins/mapper-annotated-text,
+    ``AnnotatedTextFieldMapper.java``): inline ``[text](value)`` markup is
+    parsed once at ingest (Arrow-batched UDF) into plain text + injected
+    annotation tokens sharing the token-position space; the query side is
+    pure JVM (``exists`` over the ann array). This entry annotates every
+    standalone \"data\" word, then counts docs carrying the annotation per
+    lang — the oracle checks the same membership on the raw text, so a
+    parse/position bug surfaces as a count mismatch."""
+    from .functions.annotated_text import annotated_term, parse_annotated_udf
+
+    docs = _docs(spark, sf_dir)
+    raw = docs.withColumn(
+        "raw", F.regexp_replace("text", r"\bdata\b", "[data](topic%3Adata)")
+    )
+    parsed = raw.select(
+        "doc_id", "lang", parse_annotated_udf("regex_simple")("raw").alias("p")
+    )
+    hits = parsed.where(annotated_term(F.col("p.ann"), "topic:data"))
+    return (
+        hits.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .orderBy("lang")
+    )
+
+
 def m_anomaly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x-pack ml anomaly detection, count detector split by
     partition_field_name (``x-pack/plugin/core/.../ml/job/config/Detector.java``)
@@ -3768,6 +3794,11 @@ SELECT p_partkey, p_name FROM part
 WHERE lower(p_name) LIKE '%small%ring%'
 ORDER BY p_partkey
 """,
+    "annotated_text_term": r"""
+SELECT lang, COUNT(*)::BIGINT AS doc_count FROM documents
+WHERE regexp_matches(text, '\bdata\b')
+GROUP BY lang ORDER BY lang
+""",
 }
 
 
@@ -3901,4 +3932,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_decontaminate": t_decontaminate,
     "text_structure_roundtrip": q_text_structure,
     "wildcard_field_query": f_wildcard_field,
+    "annotated_text_term": f_annotated_text,
 }
