@@ -1410,7 +1410,7 @@ _PIPELINE_KINDS = {
 _SIBLING_KINDS = {
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
     "stats_bucket", "extended_stats_bucket", "percentiles_bucket",
-    "change_point",
+    "change_point", "bucket_correlation", "bucket_count_ks_test",
 }
 
 
@@ -1457,7 +1457,126 @@ def apply_sibling(frames: dict[str, DataFrame], name: str, spec: dict) -> DataFr
         schema = "type string, key string, p_value double"
         key = str(rows[idx]["key"]) if idx is not None else None
         return spark.createDataFrame([(t, key, p)], schema)
+    if kind == "bucket_correlation":
+        # x-pack ml BucketCorrelationAggregationBuilder +
+        # CountCorrelationFunction.execute: approximate Pearson correlation
+        # between the bucket _count series (a queried subset) and a stored
+        # indicator {expectations, fractions?, doc_count}. Coordinator-side
+        # post-reduce over the small bucket frame, like the reference.
+        ind = body["function"]["count_correlation"]["indicator"]
+        rows = frame.orderBy("key").select(col.alias("__v")).collect()
+        corr = count_correlation(
+            [float(v) for v in ind["expectations"]],
+            ind.get("fractions"),
+            float(ind["doc_count"]),
+            [float(r["__v"]) for r in rows],
+        )
+        return frame.sparkSession.createDataFrame([(corr,)], f"`{name}` double")
+    if kind == "bucket_count_ks_test":
+        # x-pack ml BucketCountKSTestAggregator: KS test of the bucket
+        # doc_count CDF against provided fractions (default uniform).
+        # Deterministic subset: evaluated at the bucket CDF points (no
+        # SamplingMethod resampling); one-sided p = Hodges eq 5.3 exactly
+        # as the reference; two_sided p = asymptotic Kolmogorov series
+        # instead of commons-math exactP (documented deviation).
+        rows = frame.orderBy("key").select(col.alias("__v")).collect()
+        counts = [float(r["__v"]) for r in rows]
+        fractions = body.get("fractions")
+        alts = body.get("alternatives", ["less", "greater", "two_sided"])
+        res = ks_test_counts(counts, fractions, alts)
+        return frame.sparkSession.createDataFrame(
+            [tuple(res[a] for a in alts)],
+            ", ".join(f"`{name}.{a}` double" for a in alts),
+        )
     raise ValueError(f"unsupported sibling pipeline agg: {kind}")
+
+
+def count_correlation(
+    expectations: list[float],
+    fractions: list[float] | None,
+    doc_count: float,
+    y: list[float],
+) -> float:
+    """``CountCorrelationFunction.execute`` (x-pack ml): the approximate
+    Pearson correlation of indicator expectations x against subset counts y,
+    treating each bucket's subset membership as a Bernoulli draw with
+    success rate ``weight = Σy / doc_count``."""
+    import math
+
+    n = len(expectations)
+    if n != len(y):
+        raise ValueError(
+            f"value lengths do not match; indicator [{n}] and buckets [{len(y)}]"
+        )
+    fr = fractions if fractions is not None else [1.0 / n] * n
+    x_mean = sum(e * f for e, f in zip(expectations, fr))
+    x_var = sum((e - x_mean) ** 2 * f for e, f in zip(expectations, fr))
+    weight = sum(y) / doc_count
+    if weight > 1.0:
+        raise ValueError(
+            f"doc_count of indicator [{doc_count}] must cover the subset total [{sum(y)}]"
+        )
+    y_mean = weight
+    y_var = (1 - weight) * y_mean**2 + weight * (1 - y_mean) ** 2
+    xy_cov = 0.0
+    for e, f, ny in zip(expectations, fr, y):
+        xy_cov += (
+            -(doc_count * f - ny) * (e - x_mean) * y_mean
+            + ny * (e - x_mean) * (1 - y_mean)
+        )
+    xy_cov /= doc_count
+    denom = x_var * y_var
+    return float("nan") if denom == 0 else xy_cov / math.sqrt(denom)
+
+
+def ks_test_counts(
+    counts: list[float],
+    fractions: list[float] | None,
+    alternatives: list[str],
+) -> dict[str, float]:
+    """``BucketCountKSTestAggregator.ksTest`` deterministic form: CDFs of
+    counts vs fractions compared at the bucket points; LESS = max(fY−fX),
+    GREATER = max(fX−fY), TWO_SIDED = max|fX−fY|; one-sided p from Hodges
+    eq 5.3 with the reference's continuity term, two-sided p from the
+    asymptotic Kolmogorov series."""
+    import math
+
+    n = len(counts)
+    tot = sum(counts)
+    if n == 0 or tot == 0:
+        return {a: float("nan") for a in alternatives}
+    fr = fractions if fractions is not None else [1.0 / n] * n
+    ftot = sum(fr)
+    fx, fy, cx, cy = [], [], 0.0, 0.0
+    for c, f in zip(counts, fr):
+        cx += c / tot
+        cy += f / ftot
+        fx.append(cx)
+        fy.append(cy)
+    z_const = math.sqrt(n * n / (2.0 * n))
+    cont = (n + 2 * n) / math.sqrt(n * n * 2.0 * n)
+    out: dict[str, float] = {}
+    for alt in alternatives:
+        if alt == "less":
+            stat = max(max(b - a, 0.0) for a, b in zip(fx, fy))
+        elif alt == "greater":
+            stat = max(max(a - b, 0.0) for a, b in zip(fx, fy))
+        elif alt == "two_sided":
+            stat = max(abs(a - b) for a, b in zip(fx, fy))
+        else:
+            raise ValueError(f"unexpected alternative [{alt}]")
+        z = z_const * stat
+        if alt == "two_sided":
+            # the alternating series only represents Q(z) for z > 0; the
+            # z→0 limit is p = 1 (no deviation at all)
+            p = 1.0 if z < 1e-9 else 2.0 * sum(
+                (-1) ** (k - 1) * math.exp(-2.0 * k * k * z * z)
+                for k in range(1, 101)
+            )
+        else:
+            p = math.exp(-2.0 * z * z - 2.0 * z * cont / 3.0)
+        out[alt] = min(1.0, max(p, 0.0))
+    return out
 
 
 def detect_change_point(values: list[float]) -> tuple[str, int | None, float]:

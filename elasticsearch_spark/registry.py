@@ -2143,6 +2143,71 @@ def f_annotated_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a_bucket_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucket_correlation sibling agg (x-pack ml,
+    ``BucketCorrelationAggregationBuilder`` / ``CountCorrelationFunction``):
+    approximate Pearson correlation between a filtered subset's per-bucket
+    counts and an indicator of full-corpus expectations. Oracle = the same
+    closed form written out in SQL over the identical bucket frames."""
+    from .plans import aggs as aggs_mod
+
+    ev = _events(spark, sf_dir)
+    full = (
+        ev.groupBy(F.col("event_type").alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy("key")
+    )
+    expectations = [float(r["doc_count"]) for r in full.collect()]
+    sub = (
+        ev.where(F.col("value") >= 50)
+        .groupBy(F.col("event_type").alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+    )
+    spec = {
+        "bucket_correlation": {
+            "buckets_path": "sub>_count",
+            "function": {
+                "count_correlation": {
+                    "indicator": {
+                        "expectations": expectations,
+                        "doc_count": float(ev.count()),
+                    }
+                }
+            },
+        }
+    }
+    out = aggs_mod.apply_sibling({"sub": sub}, "corr", spec)
+    return out.select(F.round("corr", 4).alias("corr"))
+
+
+def a_bucket_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucket_count_ks_test sibling agg (x-pack ml,
+    ``BucketCountKSTestAggregator``): KS comparison of the bucket doc_count
+    CDF against uniform fractions; one-sided p via Hodges eq 5.3 (the
+    reference's formula), two-sided via the asymptotic Kolmogorov series.
+    Oracle = the same CDF windows + formulas in SQL."""
+    from .plans import aggs as aggs_mod
+
+    ev = _events(spark, sf_dir)
+    b = (
+        ev.groupBy(F.col("event_type").alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+    )
+    spec = {
+        "bucket_count_ks_test": {
+            "buckets_path": "b>_count",
+            "alternatives": ["less", "greater", "two_sided"],
+        }
+    }
+    out = aggs_mod.apply_sibling({"b": b}, "ks", spec)
+    return out.select(
+        *[
+            F.round(F.col(f"`ks.{a}`"), 4).alias(f"ks.{a}")
+            for a in ("less", "greater", "two_sided")
+        ]
+    )
+
+
 def m_anomaly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x-pack ml anomaly detection, count detector split by
     partition_field_name (``x-pack/plugin/core/.../ml/job/config/Detector.java``)
@@ -3799,6 +3864,58 @@ SELECT lang, COUNT(*)::BIGINT AS doc_count FROM documents
 WHERE regexp_matches(text, '\bdata\b')
 GROUP BY lang ORDER BY lang
 """,
+    "agg_bucket_correlation": """
+WITH b AS (
+  SELECT event_type, COUNT(*)::DOUBLE AS n_all,
+         (COUNT(*) FILTER (WHERE value >= 50))::DOUBLE AS n_sub
+  FROM events GROUP BY event_type
+),
+c AS (
+  SELECT (SELECT COUNT(*)::DOUBLE FROM events) AS dc,
+         COUNT(*)::DOUBLE AS nb, AVG(n_all) AS xmean, SUM(n_sub) AS ysum
+  FROM b
+),
+v AS (
+  SELECT c.*,
+         (SELECT SUM((n_all - c.xmean) * (n_all - c.xmean)) / c.nb FROM b) AS xvar,
+         c.ysum / c.dc AS w
+  FROM c
+),
+k AS (
+  SELECT v.*, (1 - w) * w * w + w * (1 - w) * (1 - w) AS yvar,
+         (SELECT SUM(-(v.dc / v.nb - n_sub) * (n_all - v.xmean) * v.w
+                     + n_sub * (n_all - v.xmean) * (1.0 - v.w)) FROM b) / v.dc AS xycov
+  FROM v
+)
+SELECT ROUND(xycov / SQRT(xvar * yvar), 4) AS corr FROM k
+""",
+    "agg_bucket_ks_test": """
+WITH b AS (SELECT event_type, COUNT(*)::DOUBLE AS n FROM events GROUP BY event_type),
+cdf AS (
+  SELECT SUM(n) OVER (ORDER BY event_type) / (SELECT SUM(n) FROM b) AS fx,
+         (ROW_NUMBER() OVER (ORDER BY event_type))::DOUBLE / (SELECT COUNT(*) FROM b) AS fy
+  FROM b
+),
+st AS (
+  SELECT MAX(GREATEST(fy - fx, 0)) AS d_less, MAX(GREATEST(fx - fy, 0)) AS d_greater,
+         MAX(ABS(fx - fy)) AS d_two, (SELECT COUNT(*)::DOUBLE FROM b) AS nb
+  FROM cdf
+),
+z AS (
+  SELECT SQRT(nb * nb / (2 * nb)) * d_less AS zl,
+         SQRT(nb * nb / (2 * nb)) * d_greater AS zg,
+         SQRT(nb * nb / (2 * nb)) * d_two AS zt,
+         (nb + 2 * nb) / SQRT(nb * nb * 2 * nb) AS cont
+  FROM st
+)
+SELECT
+  ROUND(LEAST(1.0, EXP(-2 * zl * zl - 2 * zl * cont / 3)), 4) AS "ks.less",
+  ROUND(LEAST(1.0, EXP(-2 * zg * zg - 2 * zg * cont / 3)), 4) AS "ks.greater",
+  ROUND(CASE WHEN zt < 1e-9 THEN 1.0 ELSE LEAST(1.0, GREATEST(0.0,
+    (SELECT 2 * SUM((CASE WHEN k % 2 = 1 THEN 1 ELSE -1 END) * EXP(-2 * k * k * z.zt * z.zt))
+     FROM generate_series(1, 100) t(k)))) END, 4) AS "ks.two_sided"
+FROM z
+""",
 }
 
 
@@ -3933,4 +4050,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_structure_roundtrip": q_text_structure,
     "wildcard_field_query": f_wildcard_field,
     "annotated_text_term": f_annotated_text,
+    "agg_bucket_correlation": a_bucket_correlation,
+    "agg_bucket_ks_test": a_bucket_ks_test,
 }
