@@ -2208,6 +2208,55 @@ def a_bucket_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f_murmur3_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """murmur3 field mapper (plugins/mapper-murmur3,
+    ``Murmur3FieldMapper.java``): the field stores a 64-bit hash of the
+    value, consumed by cardinality aggs (hashing once at index time instead
+    of per-query). End-to-end through doc parse: JSON → murmur3-typed field
+    → exact distinct over the hash. Oracle counts distinct raw values — a
+    hash collision (or a parse bug) shows up as a count mismatch."""
+    from .sources.doc_parse import parse_documents
+
+    docs = _docs(spark, sf_dir)
+    raw = docs.select(
+        "doc_id", F.to_json(F.struct("source", "lang")).alias("js")
+    )
+    parsed, _ = parse_documents(
+        spark, raw, "js",
+        {"properties": {"source": {"type": "murmur3"}, "lang": {"type": "keyword"}}},
+        id_col="doc_id",
+    )
+    return (
+        parsed.groupBy("lang")
+        .agg(F.countDistinct("source").alias("source_cardinality"))
+        .orderBy("lang")
+    )
+
+
+def f_size_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_size metadata field (plugins/mapper-size, ``SizeFieldMapper.java``):
+    byte length of the original ``_source``, queryable/aggregatable like any
+    numeric field. The oracle reconstructs the identical JSON serialization
+    and measures it, so both the parse plumbing and the byte accounting are
+    checked value-for-value."""
+    from .sources.doc_parse import parse_documents
+
+    docs = _docs(spark, sf_dir)
+    raw = docs.select(
+        "doc_id", F.to_json(F.struct("doc_id", "lang")).alias("js")
+    )
+    parsed, _ = parse_documents(
+        spark, raw, "js",
+        {"_size": {"enabled": True},
+         "properties": {"doc_id": {"type": "long"}, "lang": {"type": "keyword"}}},
+    )
+    return (
+        parsed.groupBy(F.col("_size").alias("size_bytes"))
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .orderBy("size_bytes")
+    )
+
+
 def m_anomaly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x-pack ml anomaly detection, count detector split by
     partition_field_name (``x-pack/plugin/core/.../ml/job/config/Detector.java``)
@@ -3864,6 +3913,15 @@ SELECT lang, COUNT(*)::BIGINT AS doc_count FROM documents
 WHERE regexp_matches(text, '\bdata\b')
 GROUP BY lang ORDER BY lang
 """,
+    "murmur3_cardinality": """
+SELECT lang, COUNT(DISTINCT source)::BIGINT AS source_cardinality
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    "size_field_histogram": """
+SELECT strlen('{"doc_id":' || doc_id || ',"lang":"' || lang || '"}')::INT AS size_bytes,
+       COUNT(*)::BIGINT AS doc_count
+FROM documents GROUP BY size_bytes ORDER BY size_bytes
+""",
     "agg_bucket_correlation": """
 WITH b AS (
   SELECT event_type, COUNT(*)::DOUBLE AS n_all,
@@ -4050,6 +4108,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_structure_roundtrip": q_text_structure,
     "wildcard_field_query": f_wildcard_field,
     "annotated_text_term": f_annotated_text,
+    "murmur3_cardinality": f_murmur3_cardinality,
+    "size_field_histogram": f_size_field,
     "agg_bucket_correlation": a_bucket_correlation,
     "agg_bucket_ks_test": a_bucket_ks_test,
 }

@@ -32,6 +32,12 @@ _ES_TO_SPARK = {
     "byte": T.ByteType(), "double": T.DoubleType(), "float": T.FloatType(),
     "half_float": T.FloatType(), "boolean": T.BooleanType(),
     "date": T.TimestampType(), "ip": T.StringType(), "binary": T.BinaryType(),
+    # murmur3 (plugins/mapper-murmur3, Murmur3FieldMapper.java): the field
+    # stores a 64-bit hash of the value, queried only through cardinality
+    # aggs. Parsed as the raw string, hashed JVM-side at parse time (we use
+    # xxhash64 — the reference itself documents its hashes as opaque and
+    # non-portable, the contract is "stable 64-bit hash", not the bytes)
+    "murmur3": T.LongType(),
 }
 
 
@@ -40,6 +46,8 @@ def mapping_to_schema(mapping: dict) -> T.StructType:
     ``nested`` types recurse; nested → array<struct>)."""
     fields = []
     for name, spec in mapping.get("properties", mapping).items():
+        if name == "_size":  # metadata toggle, not a document field
+            continue
         t = spec.get("type", "object")
         if t == "object" or "properties" in spec and t not in ("nested",):
             dt: T.DataType = mapping_to_schema(spec)
@@ -65,7 +73,18 @@ def parse_documents(
     ``dynamic: strict`` (docs with unmapped fields, carrying a `_reason`).
     The original JSON is retained as ``_source`` (SourceFieldMapper
     semantics)."""
+    # murmur3 fields parse as STRING then hash at materialization — the
+    # declared Long type is the hash, not the value
+    murmur_fields = {
+        n for n, spec in mapping.get("properties", mapping).items()
+        if isinstance(spec, dict) and spec.get("type") == "murmur3"
+    }
     schema = mapping_to_schema(mapping)
+    if murmur_fields:
+        schema = T.StructType([
+            T.StructField(f.name, T.StringType() if f.name in murmur_fields else f.dataType)
+            for f in schema.fields
+        ])
     mapped_names = set(schema.fieldNames())
     keys = raw.select(
         "*", F.json_object_keys(F.col(json_col)).alias("__keys")
@@ -88,7 +107,11 @@ def parse_documents(
         ok, rejects = keys, keys.limit(0).withColumn("_reason", F.lit("")).drop("__keys")
 
     parsed = ok.withColumn("__doc", F.from_json(F.col(json_col), schema))
-    out_cols = [F.col(f"__doc.{n}").alias(n) for n in schema.fieldNames()]
+    out_cols = [
+        F.xxhash64(F.col(f"__doc.{n}")).alias(n) if n in murmur_fields
+        else F.col(f"__doc.{n}").alias(n)
+        for n in schema.fieldNames()
+    ]
 
     if dynamic == "true":
         # schema inference over the batch for unmapped fields (the dynamic-
@@ -106,8 +129,13 @@ def parse_documents(
                 out_cols.append(F.col(f_.name))
 
     base = [F.col(id_col)] if id_col and id_col in raw.columns else []
+    extra = []
+    if mapping.get("_size", {}).get("enabled"):
+        # _size metadata field (plugins/mapper-size, SizeFieldMapper.java):
+        # the byte length of the original _source
+        extra.append(F.octet_length(F.col(json_col)).alias("_size"))
     result = parsed.select(
-        *base, *out_cols, F.col(json_col).alias("_source")
+        *base, *out_cols, *extra, F.col(json_col).alias("_source")
     )
     return result, rejects
 
