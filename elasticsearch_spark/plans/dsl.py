@@ -1639,6 +1639,28 @@ def parse(q: dict) -> Node:
     raise ValueError(f"unsupported query kind: {kind}")
 
 
+# rerank scorers for text_similarity_reranker, keyed by inference_id —
+# (doc_text_column, inference_text) → score Column. Production drop-in: a
+# Pandas-UDF scorer wrapping a served model. The default stands in for the
+# model with a deterministic lexical containment score.
+RERANK_SCORERS: dict[str, "object"] = {}
+
+
+def register_rerank_scorer(inference_id: str, scorer) -> None:
+    RERANK_SCORERS[inference_id] = scorer
+
+
+def lexical_overlap_scorer(doc_col: Column, inference_text: str) -> Column:
+    """Default rerank scorer: |query_tokens ∩ doc_tokens| / |query_tokens|
+    — monotone in term containment, bounded [0,1], pure JVM expressions."""
+    qtoks = sorted({t for t in re.split(r"[^a-z0-9]+", inference_text.lower()) if t})
+    if not qtoks:
+        return F.lit(0.0)
+    doc_toks = F.split(F.lower(F.coalesce(doc_col, F.lit(""))), r"[^a-z0-9]+")
+    hits = F.size(F.array_intersect(doc_toks, F.array(*[F.lit(t) for t in qtoks])))
+    return hits.cast("double") / F.lit(float(len(qtoks)))
+
+
 def _sort_cols(sort_spec, key: str) -> list[Column]:
     """ES sort list → Spark order columns (FieldSortBuilder semantics:
     missing last by default, deterministic key tie-break appended).
@@ -1739,14 +1761,20 @@ def search(
         # rescorer retriever (x-pack RescorerRetrieverBuilder.java): a rescore
         # stage stacked on an inner retriever — desugar to the plain search
         # shape (inner retriever/query + body-level rescore list) and fall
-        # through to the normal paths
-        while rmode == "rescorer":
+        # through to the normal paths. text_similarity_reranker (x-pack
+        # TextSimilarityRankRetrieverBuilder.java) desugars the same way:
+        # inner retriever unwraps, the rerank step is applied over the top
+        # rank_window_size after fetch (see the __ts_rerank block below).
+        while rmode in ("rescorer", "text_similarity_reranker"):
             body = dict(body)
-            rs = rspec["rescore"]
-            body["rescore"] = (list(rs) if isinstance(rs, list) else [rs]) + (
-                body.get("rescore", []) if isinstance(body.get("rescore"), list)
-                else [body["rescore"]] if "rescore" in body else []
-            )
+            if rmode == "text_similarity_reranker":
+                body["__ts_rerank"] = rspec
+            else:
+                rs = rspec["rescore"]
+                body["rescore"] = (list(rs) if isinstance(rs, list) else [rs]) + (
+                    body.get("rescore", []) if isinstance(body.get("rescore"), list)
+                    else [body["rescore"]] if "rescore" in body else []
+                )
             (ik, ib), = rspec["retriever"].items()
             if ik == "standard":
                 body.pop("retriever")
@@ -1846,6 +1874,23 @@ def search(
                 )
                 .drop("_rescore")
             )
+
+    # text_similarity_reranker retriever (x-pack
+    # TextSimilarityRankRetrieverBuilder.java): rescore the top
+    # rank_window_size hits by the similarity of `inference_text` to
+    # `field`. The reference calls an inference endpoint; no model serves
+    # in this environment, so the scorer is PLUGGABLE by inference_id
+    # (register_rerank_scorer) with a deterministic lexical-overlap default
+    # — documented stand-in, same retriever shape and window semantics.
+    if "__ts_rerank" in body:
+        rr = body["__ts_rerank"]
+        window = int(rr.get("rank_window_size", 10))
+        fld = rr.get("field", text_col)
+        scorer = RERANK_SCORERS.get(rr.get("inference_id", ""), lexical_overlap_scorer)
+        top_w = fetched.orderBy(F.desc("_score"), F.asc(key)).limit(window)
+        fetched = top_w.withColumn(
+            "_score", scorer(F.col(fld), rr["inference_text"])
+        )
 
     # terminate_after (SearchSourceBuilder.terminateAfter): stop collecting
     # after N docs PER SHARD — per-partition head with early stop, zero

@@ -166,6 +166,54 @@ def _apply_one(df: DataFrame, spec: dict) -> DataFrame:
         from ..functions.analysis import html_strip_udf
 
         return put(tgt, html_strip_udf(F.col(f)))
+    if kind == "attachment":
+        # AttachmentProcessor (plugins/ingest-attachment,
+        # ``AttachmentProcessor.java``): base64/binary data →
+        # {content, content_type, language, content_length}. The reference
+        # delegates extraction to Apache Tika; no extraction engine ships in
+        # this environment, so content-type sniffing, HTML/plain-text
+        # extraction, and language ID are REAL, while PDF/OOXML/RTF bodies
+        # are recognized by magic bytes but their content stays null
+        # (engine-gated — documented, same output shape as the reference).
+        from ..functions.analysis import html_strip_udf
+        from ..functions.textstats import lang_id
+
+        tgt2 = body.get("target_field", "attachment")
+        n_chars = int(body.get("indexed_chars", 100_000))
+        is_bin = dict(df.dtypes).get(f) == "binary"
+        data = F.col(f) if is_bin else F.unbase64(F.col(f))
+        txt = F.decode(data, "UTF-8")
+        low = F.lower(F.substring(txt, 1, 256))
+        ct = (
+            F.when(F.substring(data, 1, 4) == F.lit(b"%PDF"), "application/pdf")
+            .when(F.substring(data, 1, 4) == F.lit(b"PK\x03\x04"), "application/zip")
+            .when(F.substring(data, 1, 5) == F.lit(b"{\\rtf"), "application/rtf")
+            .when(
+                low.contains("<html") | low.contains("<!doctype html"),
+                "text/html",
+            )
+            .otherwise("text/plain")
+        )
+        content = (
+            F.when(ct == "text/html", html_strip_udf(txt))
+            .when(ct == "text/plain", txt)
+            .otherwise(F.lit(None).cast("string"))
+        )
+        df = df.withColumn("__att_ct", ct)
+        df = df.withColumn("__att_content", F.substring(content, 1, n_chars))
+        fields = {
+            "content": F.col("__att_content"),
+            "content_type": F.col("__att_ct"),
+            "language": F.when(
+                F.col("__att_content").isNotNull(), lang_id("__att_content")
+            ),
+            "content_length": F.length("__att_content").cast("long"),
+        }
+        props = body.get("properties", list(fields))
+        return df.withColumn(
+            tgt2,
+            F.struct(*[fields[p].alias(p) for p in props if p in fields]),
+        ).drop("__att_ct", "__att_content")
     if kind == "fingerprint":
         flds = body["fields"]
         return df.withColumn(
