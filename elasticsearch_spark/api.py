@@ -122,20 +122,54 @@ class Engine:
 
     # ---- index templates ---------------------------------------------------
 
+    def put_component_template(self, name: str, settings: dict) -> dict:
+        """PUT /_component_template/{name} (``cluster/metadata/
+        ComponentTemplate.java``): a named settings block that composable
+        index templates pull in via ``composed_of``."""
+        import json
+
+        path = os.path.join(self.root, "_component_templates.json")
+        all_c = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                all_c = json.load(f)
+        all_c[name] = settings or {}
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(all_c, f)
+        os.replace(tmp, path)
+        return {"acknowledged": True}
+
+    def _component_templates(self) -> dict:
+        import json
+
+        path = os.path.join(self.root, "_component_templates.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        return {}
+
     def put_index_template(
         self,
         name: str,
         index_patterns: list[str],
         priority: int = 0,
         settings: dict | None = None,
+        composed_of: list[str] | None = None,
     ) -> dict:
         """PUT /_index_template/{name} (``server/.../cluster/metadata/
         ComposableIndexTemplate.java``): glob patterns → create_index
         settings (analyzer / analyzer_filters / num_partitions /
         index_sort). Highest-priority matching template applies at
-        create_index / first write of a data-stream generation."""
+        create_index / first write of a data-stream generation.
+        ``composed_of`` layers component templates in list order, the
+        template's own settings last (the reference's merge order)."""
         import json
 
+        if composed_of:
+            comps = self._component_templates()
+            if missing := [c for c in composed_of if c not in comps]:
+                raise ValueError(f"unknown component templates: {missing}")
         path = os.path.join(self.root, "_index_templates.json")
         all_t = {}
         if os.path.exists(path):
@@ -145,6 +179,7 @@ class Engine:
             "index_patterns": list(index_patterns),
             "priority": int(priority),
             "settings": settings or {},
+            "composed_of": list(composed_of or []),
         }
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -166,6 +201,13 @@ class Engine:
             if any(fnmatch.fnmatch(index, p) for p in t["index_patterns"]):
                 if best is None or t["priority"] > best["priority"]:
                     best = t
+        if best and best.get("composed_of"):
+            comps = self._component_templates()
+            merged: dict = {}
+            for c in best["composed_of"]:
+                merged.update(comps.get(c, {}))
+            merged.update(best["settings"])  # own settings win
+            best = {**best, "settings": merged}
         return best
 
     def create_index(
@@ -651,6 +693,18 @@ class Engine:
         return ops_mod.live_docs(self.spark, self._dir(index))
 
     def search(self, index: str, body: dict, routing: str | None = None) -> dict:
+        """POST /{index}/_search — see ``_search_impl``. ``profile: true``
+        (the reference's ``SearchProfileResults`` phase tree) attaches the
+        Spark physical plan of the hits frame — planning only, no extra
+        execution."""
+        out = self._search_impl(index, body, routing)
+        if isinstance(out, dict) and body.get("profile") and "hits" in out:
+            out["profile"] = (
+                out["hits"]._jdf.queryExecution().executedPlan().toString()
+            )
+        return out
+
+    def _search_impl(self, index: str, body: dict, routing: str | None = None) -> dict:
         """POST /{index}/_search: full search body. Returns
         {"hits": DataFrame, "aggregations": {name: DataFrame}}.
 
@@ -1280,16 +1334,29 @@ class Engine:
 
     def validate_query(self, index: str, query: dict) -> dict:
         """GET /{index}/_validate/query: compile the DSL without executing
-        (ValidateQueryAction) — reports the parse/compile error if any."""
+        (ValidateQueryAction) — reports the parse/compile error if any.
+        Accepts a bare query dict or a full ``{"query": ..., "explain":
+        bool}`` body; ``explain: true`` adds the compiled Spark predicate
+        (the reference's Lucene-query explanation analog)."""
+        explain = False
+        if set(query) <= {"query", "explain", "rewrite"}:
+            explain = bool(query.get("explain"))
+            query = query.get("query", {"match_all": {}})
         docs = self._docs_view(index)
         try:
             node = dsl.parse(query)
             ctx = dsl.SearchContext(docs, "url", text_col="text")
+            out = {"valid": True, "error": None}
             try:
-                _ = docs.where(node.predicate(ctx)).schema  # force analysis
+                pred = node.predicate(ctx)
+                _ = docs.where(pred).schema  # force analysis
+                if explain:
+                    out["explanation"] = str(pred)
             except NotImplementedError:
                 node.frame(ctx)
-            return {"valid": True, "error": None}
+                if explain:
+                    out["explanation"] = type(node).__name__
+            return out
         except Exception as e:  # noqa: BLE001 — the API reports, not raises
             return {"valid": False, "error": f"{type(e).__name__}: {e}"}
 

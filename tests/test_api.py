@@ -446,3 +446,34 @@ def test_analyze_adhoc(es):
         filters=["stop", ("stemmer", {"language": "porter"})],
     )
     assert toks == ["quick", "brown", "fox"]
+
+
+def test_component_templates(es):
+    es.put_component_template("base-settings", {"num_partitions": 5})
+    es.put_component_template("sorted", {"index_sort": ["url", "asc"]})
+    es.put_index_template(
+        "logs-t", ["ctmpl-*"], priority=10,
+        settings={"num_partitions": 7}, composed_of=["base-settings", "sorted"],
+    )
+    t = es._match_template("ctmpl-0001")
+    # composed settings layered in order, own settings win
+    assert t["settings"]["num_partitions"] == 7
+    assert t["settings"]["index_sort"] == ["url", "asc"]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown component templates"):
+        es.put_index_template("bad", ["x-*"], composed_of=["nope"])
+
+
+def test_validate_query(es):
+    assert es.validate_query("pages", {"query": {"term": {"lang": "en"}}})["valid"]
+    out = es.validate_query("pages", {"query": {"bogus_kind": {}}})
+    assert out["valid"] is False and "bogus_kind" in out["error"]
+    expl = es.validate_query(
+        "pages", {"query": {"term": {"lang": "en"}}, "explain": True}
+    )
+    assert expl["valid"] and "lang" in expl["explanation"]
+
+
+def test_search_profile(es):
+    res = es.search("pages", {"query": {"term": {"lang": "en"}}, "profile": True})
+    assert "profile" in res and "Scan" in res["profile"]
