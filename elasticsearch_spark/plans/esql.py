@@ -81,6 +81,7 @@ _FN_SIMPLE = {
     "mv_min": "array_min", "mv_max": "array_max",
     "starts_with": "startswith", "ends_with": "endswith",
     "mv_dedupe": "array_distinct", "mv_sort": "array_sort",
+    "mv_concat": "array_join",
 }
 
 
@@ -211,6 +212,54 @@ def _xlate(expr: str) -> str:
     e = _rewrite_call(
         e, "mv_sum", lambda a: f"aggregate({a[0]}, 0D, (acc, x) -> acc + double(x))"
     )
+    # LEFT/RIGHT(s, n) → substring forms
+    e = _rewrite_call(e, "left", lambda a: f"substring({a[0]}, 1, {a[1]})")
+    e = _rewrite_call(
+        e, "right", lambda a: f"substring({a[0]}, -cast({a[1]} as int), {a[1]})"
+    )
+    # TO_IP: ip values are normalized strings in this engine — a checked cast
+    e = _rewrite_call(e, "to_ip", lambda a: f"cast({a[0]} as string)")
+    # DATE_DIFF("unit", start, end) → timestampdiff(unit, start, end)
+    def ddiff_fn(a: list[str]) -> str:
+        unit = (lit_content(a[0]) or a[0]).strip().upper()
+        return f"timestampdiff({unit}, {a[1]}, {a[2]})"
+
+    e = _rewrite_call(e, "date_diff", ddiff_fn)
+    # CIDR_MATCH(ip, "a.b.c.d/n", ...) — IPv4 blocks resolve to integer
+    # ranges at compile time (the literals are constants), so the runtime
+    # check is a pure numeric BETWEEN — no UDF, fully pushdown-friendly
+    def cidr_fn(a: list[str]) -> str:
+        ip_num = (
+            f"(cast(split({a[0]}, '\\\\.')[0] as bigint) * 16777216"
+            f" + cast(split({a[0]}, '\\\\.')[1] as bigint) * 65536"
+            f" + cast(split({a[0]}, '\\\\.')[2] as bigint) * 256"
+            f" + cast(split({a[0]}, '\\\\.')[3] as bigint))"
+        )
+        checks = []
+        for blk in a[1:]:
+            s = lit_content(blk) or blk
+            net, _, bits = s.partition("/")
+            bits_i = int(bits) if bits else 32
+            o = [int(x) for x in net.split(".")]
+            base = o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]
+            span = 1 << (32 - bits_i)
+            lo = (base // span) * span
+            checks.append(f"{ip_num} BETWEEN {lo} AND {lo + span - 1}")
+        return "(" + " OR ".join(checks) + ")"
+
+    e = _rewrite_call(e, "cidr_match", cidr_fn)
+    # MV_MEDIAN: middle element (odd) / mean of the middle two (even)
+    def mvmed_fn(a: list[str]) -> str:
+        c = a[0]
+        return (
+            f"(aggregate(slice(array_sort({c}), (size({c}) + 1) div 2,"
+            f" 2 - size({c}) % 2), 0D, (acc, x) -> acc + double(x))"
+            f" / (2 - size({c}) % 2))"
+        )
+
+    e = _rewrite_call(e, "mv_median", mvmed_fn)
+    e = _rewrite_call(e, "mv_first", lambda a: f"element_at({a[0]}, 1)")
+    e = _rewrite_call(e, "mv_last", lambda a: f"element_at({a[0]}, -1)")
     for fn, repl in _FN_SIMPLE.items():
         e = re.sub(rf"\b{fn}\s*\(", repl + "(", e, flags=re.I)
     # substitute literals back, single-quoted

@@ -225,3 +225,37 @@ FROM t
     assert [x.grade for x in r] == ["one", "two"]
     assert [x.mon for x in r] == [3, 7]
     assert [x.day for x in r] == ["2024-03-05", "2024-07-01"]
+
+
+def test_dialect_round2_fns(spark):
+    from elasticsearch_spark.plans.esql import esql
+
+    df = spark.createDataFrame(
+        [("10.0.1.5", "2024-01-01 00:00:00", "2024-01-03 06:00:00", [3.0, 1.0, 2.0, 10.0], "hello world"),
+         ("192.168.7.9", "2024-02-01 00:00:00", "2024-02-01 12:30:00", [5.0], "abc")],
+        "ip string, t0s string, t1s string, vs array<double>, s string",
+    ).selectExpr("ip", "cast(t0s as timestamp) t0", "cast(t1s as timestamp) t1", "vs", "s")
+    out = esql(spark, '''
+FROM t
+| EVAL in_net = CIDR_MATCH(ip, "10.0.0.0/8", "172.16.0.0/12"),
+       days = DATE_DIFF("day", t0, t1),
+       l3 = LEFT(s, 3), r3 = RIGHT(s, 3),
+       med = MV_MEDIAN(vs), f = MV_FIRST(vs), lst = MV_LAST(vs)
+| KEEP ip, in_net, days, l3, r3, med, f, lst
+| SORT ip ASC
+''', {"t": df})
+    rows = {r["ip"]: r for r in out.collect()}
+    a, b = rows["10.0.1.5"], rows["192.168.7.9"]
+    assert a["in_net"] is True and b["in_net"] is False
+    assert a["days"] == 2 and b["days"] == 0
+    assert (a["l3"], a["r3"]) == ("hel", "rld")
+    assert a["med"] == 2.5 and b["med"] == 5.0  # even arity -> middle-two mean
+    assert (a["f"], a["lst"]) == (3.0, 10.0)
+
+
+def test_mv_concat(spark):
+    from elasticsearch_spark.plans.esql import esql
+
+    df = spark.createDataFrame([(["b", "a", "c"],)], "xs array<string>")
+    out = esql(spark, 'FROM t | EVAL j = MV_CONCAT(MV_SORT(xs), "-") | KEEP j', {"t": df})
+    assert out.collect()[0]["j"] == "a-b-c"
