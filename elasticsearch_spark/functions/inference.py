@@ -1,0 +1,85 @@
+"""semantic_text plumbing (x-pack inference + ``SemanticTextFieldMapper`` /
+``SemanticQueryBuilder``): a registry of inference models keyed by
+inference_id, an ingest-time embed step, and the query-side text→vector
+bridge.
+
+The reference calls a served inference endpoint per chunk; none serves in
+this environment, so the model registry is PLUGGABLE (production drop-in: a
+batched client inside the same pandas UDF) and the default is a
+deterministic feature-hashing bag-of-words embedder — a real embedding
+(cosine similarity is meaningful: shared vocabulary ⇒ higher score), not a
+mock, and byte-reproducible across runs/executors.
+
+Scale shape: ingest embedding is one Arrow-batched pandas UDF over the text
+column (embarrassingly parallel, no shuffle); the query embedding is one
+driver-side call on one string. The semantic query itself then runs the
+exact knn path (JVM zip_with dot product, TakeOrderedAndProject top-k).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+# inference_id -> batch embedder: list[str] -> list[list[float]]
+INFERENCE_MODELS: dict[str, object] = {}
+
+
+def register_inference(inference_id: str, fn) -> None:
+    """PUT /_inference/{id} analog: register a batch text-embedding model."""
+    INFERENCE_MODELS[inference_id] = fn
+
+
+def hash_embed(texts: list[str], dims: int = 64) -> list[list[float]]:
+    """Deterministic feature-hashing embedder (the default model): each
+    token's md5 picks a dimension and a sign, counts accumulate, the vector
+    L2-normalizes. Same text → same vector, everywhere, forever."""
+    out = []
+    for t in texts:
+        v = [0.0] * dims
+        for tok in _TOKEN_RE.findall((t or "").lower()):
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            v[h % dims] += 1.0 if (h >> 8) % 2 else -1.0
+        n = math.sqrt(sum(x * x for x in v))
+        out.append([x / n for x in v] if n else v)
+    return out
+
+
+def _resolve(inference_id: str):
+    return INFERENCE_MODELS.get(inference_id, hash_embed)
+
+
+def embed_text(text: str, inference_id: str = "", dims: int = 64) -> list[float]:
+    """Query-side single-string embedding (driver, one tiny call)."""
+    fn = _resolve(inference_id)
+    return (fn(texts=[text], dims=dims) if fn is hash_embed else fn([text]))[0]
+
+
+def embed_column(
+    df: DataFrame,
+    field: str,
+    inference_id: str = "",
+    dims: int = 64,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Ingest-time semantic_text step: adds ``{field}__embedding``
+    (array<float>) via one Arrow-batched pandas UDF. The model function is
+    captured in the closure (cloudpickle ships it to executors — same
+    model as analysis.tokens_udf uses for custom chains)."""
+    fn = _resolve(inference_id)
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        texts = ["" if x is None else str(x) for x in s]
+        vecs = fn(texts=texts, dims=dims) if fn is hash_embed else fn(texts)
+        return pd.Series(vecs)
+
+    return df.withColumn(out_col or f"{field}__embedding", _udf(F.col(field)))

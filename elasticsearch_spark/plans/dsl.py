@@ -771,6 +771,43 @@ class DistanceFeatureQ(Node):
 
 
 @dataclass
+class SemanticQ(Node):
+    """semantic query (x-pack ``SemanticQueryBuilder`` over a
+    ``semantic_text`` field): score = cosine(embed(query), doc embedding).
+    ``fld`` names the embedding column directly (pre-embedded corpus) —
+    for a semantic_text field embedded at ingest via
+    ``functions.inference.embed_column`` that is ``{field}__embedding``;
+    with ``query`` text, the vector comes from the inference registry
+    (deterministic hash embedder unless a model is registered under
+    ``inference_id``); ``query_vector`` bypasses inference."""
+
+    fld: str
+    query: str | None = None
+    query_vector: list | None = None
+    inference_id: str = ""
+    boost: float = 1.0
+
+    def frame(self, ctx):
+        qv_list = self.query_vector
+        if qv_list is None:
+            from ..functions.inference import embed_text
+
+            qv_list = embed_text(self.query or "", self.inference_id)
+        vcol = F.col(self.fld).cast("array<double>")
+        qv = F.array(*[F.lit(float(x)) for x in qv_list])
+        dot = F.aggregate(
+            F.zip_with(vcol, qv, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        nrm = F.sqrt(
+            F.aggregate(vcol, F.lit(0.0), lambda acc, x: acc + x * x)
+        ) * F.sqrt(F.aggregate(qv, F.lit(0.0), lambda acc, x: acc + x * x))
+        return ctx.df.where(F.col(self.fld).isNotNull()).select(
+            F.col(ctx.key).alias("__key"),
+            (F.lit(self.boost) * dot / nrm).alias("_score"),
+        )
+
+
+@dataclass
 class MoreLikeThisQ(Node):
     """more_like_this (MoreLikeThisQueryBuilder.java): extract the top
     tf-idf terms from the liked docs, run them as a disjunction, exclude
@@ -1418,6 +1455,14 @@ def parse(q: dict) -> Node:
     if kind == "terms":
         (fld, vals), = ((k, v) for k, v in body.items() if k != "boost")
         return TermsQ(fld, values=list(vals), boost=body.get("boost", 1.0))
+    if kind == "semantic":
+        return SemanticQ(
+            body["field"],
+            query=body.get("query"),
+            query_vector=body.get("query_vector"),
+            inference_id=body.get("inference_id", ""),
+            boost=body.get("boost", 1.0),
+        )
     if kind == "terms_set":
         (fld, spec), = body.items()
         return TermsSetQ(fld, values=spec["terms"], min_match=spec.get("minimum_should_match_field_value", 1))

@@ -2257,6 +2257,25 @@ def f_size_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsl_semantic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic query (x-pack ``SemanticQueryBuilder``) over a pre-embedded
+    semantic_text corpus: cosine against the query vector through the full
+    DSL search path (parse → SemanticQ.frame → top-k). Query vector = vec 0
+    of the embeddings table, so the oracle is the plain cosine top-k."""
+    from .plans import dsl as dsl_mod
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    corpus = emb.where(F.col("vec_id") != 0)
+    hits = dsl_mod.search(
+        spark, corpus,
+        {"query": {"semantic": {"field": "embedding", "query_vector": list(qv)}},
+         "size": 10},
+        key="vec_id",
+    )
+    return hits.select("vec_id", "label", F.round("_score", 4).alias("cosine"))
+
+
 def m_anomaly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x-pack ml anomaly detection, count detector split by
     partition_field_name (``x-pack/plugin/core/.../ml/job/config/Detector.java``)
@@ -3922,6 +3941,18 @@ SELECT strlen('{"doc_id":' || doc_id || ',"lang":"' || lang || '"}')::INT AS siz
        COUNT(*)::BIGINT AS doc_count
 FROM documents GROUP BY size_bytes ORDER BY size_bytes
 """,
+    "dsl_semantic_query": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label, round(
+    list_dot_product(embedding::DOUBLE[], qv) /
+    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+     sqrt(list_dot_product(qv, qv))), 4) AS cosine
+FROM embeddings CROSS JOIN q WHERE vec_id != 0
+ORDER BY list_dot_product(embedding::DOUBLE[], qv) /
+         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+          sqrt(list_dot_product(qv, qv))) DESC, vec_id ASC
+LIMIT 10
+""",
     "agg_bucket_correlation": """
 WITH b AS (
   SELECT event_type, COUNT(*)::DOUBLE AS n_all,
@@ -4110,6 +4141,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "annotated_text_term": f_annotated_text,
     "murmur3_cardinality": f_murmur3_cardinality,
     "size_field_histogram": f_size_field,
+    "dsl_semantic_query": dsl_semantic_query,
     "agg_bucket_correlation": a_bucket_correlation,
     "agg_bucket_ks_test": a_bucket_ks_test,
 }
