@@ -1735,6 +1735,65 @@ def _sort_cols(sort_spec, key: str) -> list[Column]:
     return order
 
 
+def _strip_names(x):
+    """Deep copy with every ``_name`` key removed (no recording)."""
+    if isinstance(x, list):
+        return [_strip_names(v) for v in x]
+    if isinstance(x, dict):
+        return {k: _strip_names(v) for k, v in x.items() if k != "_name"}
+    return x
+
+
+# compound query kinds whose bodies hold nested QUERY dicts (and where)
+_NAMED_RECURSE = {
+    "bool": ("must", "should", "filter", "must_not"),
+    "dis_max": ("queries",),
+    "boosting": ("positive", "negative"),
+    "constant_score": ("filter",),
+    "function_score": ("query",),
+    "nested": ("query",),
+    "has_child": ("query",),
+    "has_parent": ("query",),
+}
+
+
+def _collect_named(q, named: list):
+    """Deep-copy one QUERY node, stripping every ``_name`` and recording
+    (name, query-without-names) pairs. ``_name`` may sit directly in the
+    query body (bool/match_all style) or one level down in the field spec
+    ({"term": {"f": {"value": v, "_name": n}}})."""
+    if not isinstance(q, dict) or len(q) != 1:
+        return _strip_names(q)
+    (kind, body), = q.items()
+    if not isinstance(body, dict):
+        return {kind: body}
+    nm = body.get("_name")
+    if nm is None:
+        for v in body.values():
+            if isinstance(v, dict) and "_name" in v:
+                nm = v["_name"]
+                break
+    if kind in _NAMED_RECURSE:
+        new_body = {}
+        for k, v in body.items():
+            if k == "_name":
+                continue
+            if k in _NAMED_RECURSE[kind]:
+                new_body[k] = (
+                    [_collect_named(c, named) for c in v]
+                    if isinstance(v, list)
+                    else _collect_named(v, named)
+                )
+            else:
+                new_body[k] = _strip_names(v)
+        clean = {kind: new_body}
+    else:
+        clean = {kind: _strip_names(body)}
+    if nm is not None:
+        named.append((nm, clean))
+    return clean
+
+
 def search(
     spark: SparkSession,
     df: DataFrame,
@@ -1759,6 +1818,15 @@ def search(
     # the full corpus) are unaffected, exactly the reference's faceted-
     # navigation semantics. Applied to the fetched frame below.
     pf_node = parse(body["post_filter"]) if "post_filter" in body else None
+
+    # named queries (AbstractQueryBuilder.queryName / `_name`): strip the
+    # names from the tree, remember each named subquery, and after fetch
+    # tag every hit with `matched_queries` — the names whose subquery
+    # matches that doc (SearchHit.matchedQueries semantics)
+    named: list[tuple[str, dict]] = []
+    if "query" in body:
+        body = dict(body)
+        body["query"] = _collect_named(body["query"], named)
 
     ctx = SearchContext(df, key, text_col=text_col)
     size = int(body.get("size", 10))
@@ -1894,6 +1962,32 @@ def search(
     fetched = fr.withColumnRenamed("__key", key).join(df, key)
     if pf_node is not None:
         fetched = fetched.where(pf_node.predicate(ctx))
+
+    if named:
+        flags = []
+        for i, (nm, subq) in enumerate(named):
+            node = parse(subq)
+            try:
+                keys = ctx.df.where(node.predicate(ctx)).select(
+                    F.col(key).alias(key)
+                )
+            except NotImplementedError:  # scoring-only nodes: frame membership
+                keys = node.frame(ctx).withColumnRenamed("__key", key).select(key)
+            flag = f"__mq_{i}"
+            fetched = fetched.join(
+                keys.withColumn(flag, F.lit(True)).dropDuplicates([key]), key, "left"
+            )
+            flags.append((nm, flag))
+        fetched = fetched.withColumn(
+            "matched_queries",
+            F.filter(
+                F.array(*[
+                    F.when(F.col(fl), F.lit(nm)).otherwise(F.lit(None))
+                    for nm, fl in flags
+                ]),
+                lambda x: x.isNotNull(),
+            ),
+        ).drop(*[fl for _, fl in flags])
 
     # rescore: combine primary score with a secondary query over the top
     # window only (narrower, costlier query — the reference's use case)
