@@ -84,6 +84,16 @@ def eql_search(
                 out = out.orderBy(*[F.col(n_).desc() for n_ in order_names]).limit(int(arg))
             elif kw == "unique":
                 out = out.dropDuplicates([arg])
+            elif kw == "count":
+                # `| count` (CountPipe): collapse to one row with the total
+                out = out.agg(F.count("*").alias("count"))
+            elif kw == "filter":
+                # `| filter <expr>` (FilterPipe): post-match predicate
+                out = out.where(F.expr(arg))
+            elif kw == "sort":
+                # `| sort f1[, f2]` (SortPipe): ascending field sort
+                flds = [a.strip() for a in arg.split(",") if a.strip()]
+                out = out.orderBy(*[F.col(n_).asc() for n_ in flds])
             else:
                 raise ValueError(f"unsupported EQL pipe: {kw}")
         return out

@@ -159,3 +159,18 @@ def test_sample_command(spark):
     out = eql_search(df, "sample by host [scan where true] [exfil where true]").collect()
     assert [r.host for r in out] == ["A"]
     assert out[0].t1 > out[0].t2  # no temporal constraint: t1 after t2 is fine
+
+
+def test_pipes_count_filter_sort(spark):
+    from elasticsearch_spark.plans.eql import eql_search
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 50.0), (3, "b", 7.0), (4, "a", 70.0)],
+        "event_id long, event_type string, value double",
+    ).withColumn("ts", F.expr("timestamp_seconds(event_id)"))
+    n = eql_search(df, 'any where event_type == "a" | count').collect()
+    assert n[0]["count"] == 3
+    rows = eql_search(
+        df, 'any where event_type == "a" | filter value > 10 | sort value'
+    ).collect()
+    assert [r["event_id"] for r in rows] == [2, 4]
