@@ -1812,6 +1812,19 @@ def search(
     for rname, rspec in (body.get("runtime_mappings") or {}).items():
         df = df.withColumn(rname, runtime_field_expr(rspec))
 
+    # sliced scroll/search (SliceBuilder.java): slice i of m partitions the
+    # corpus by hash(id) — the m slices are disjoint and exhaustive, so m
+    # parallel consumers each drain 1/m of the result set
+    if "slice" in body:
+        sl = body["slice"]
+        df = df.where(
+            F.pmod(
+                F.xxhash64(F.col(sl.get("field", key)).cast("string")),
+                F.lit(int(sl["max"])),
+            )
+            == int(sl["id"])
+        )
+
     # post_filter (SearchSourceBuilder.postQueryBuilder): narrows the HITS
     # only, after scoring and before pagination — aggregations (computed
     # by the caller from the base frame) AND scoring stats (df/avgdl from

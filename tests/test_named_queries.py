@@ -73,3 +73,15 @@ def test_scoring_only_named_query(corpus):
     hits = dsl.search(corpus.sparkSession, corpus, body).collect()
     assert all(r["matched_queries"] == ["any_term"] for r in hits)
     assert {r["doc_id"] for r in hits} == {1, 2, 4}
+
+
+def test_sliced_search_disjoint_exhaustive(corpus):
+    body = lambda i: {
+        "query": {"match_all": {}},
+        "slice": {"id": i, "max": 2},
+        "size": 100,
+    }
+    s0 = {r["doc_id"] for r in dsl.search(corpus.sparkSession, corpus, body(0)).collect()}
+    s1 = {r["doc_id"] for r in dsl.search(corpus.sparkSession, corpus, body(1)).collect()}
+    assert s0 & s1 == set()
+    assert s0 | s1 == {1, 2, 3, 4}
