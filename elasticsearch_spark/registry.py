@@ -2276,6 +2276,144 @@ def dsl_semantic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("vec_id", "label", F.round("_score", 4).alias("cosine"))
 
 
+def dsl_exists_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exists query (ExistsQueryBuilder.java) in filter context over a
+    sometimes-null column, through the full search path."""
+    from .plans import dsl as dsl_mod
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "maybe", F.when(F.col("n_chars") % 3 == 0, F.col("source"))
+    )
+    hits = dsl_mod.search(
+        spark, docs,
+        {"query": {"bool": {"filter": [{"exists": {"field": "maybe"}}]}},
+         "size": 50000},
+        key="doc_id", text_col="text",
+    )
+    return (
+        hits.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .orderBy("lang")
+    )
+
+
+def dsl_terms_set_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms_set (TermsSetQueryBuilder.java): array-field docs matching at
+    least minimum_should_match of the given terms."""
+    from .plans import dsl as dsl_mod
+
+    docs = _docs(spark, sf_dir).withColumn("toks", F.split("text", " "))
+    hits = dsl_mod.search(
+        spark, docs,
+        {"query": {"bool": {"filter": [{"terms_set": {"toks": {
+            "terms": ["spark", "merge", "vector", "join"],
+            "minimum_should_match_field_value": 2,
+        }}}]}}, "size": 50000},
+        key="doc_id", text_col="text",
+    )
+    return (
+        hits.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .orderBy("lang")
+    )
+
+
+def dsl_query_string_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_string (QueryStringQueryParser syntax: field:value, AND) in
+    filter context — term predicates composed by the mini-parser."""
+    from .plans import dsl as dsl_mod
+
+    hits = dsl_mod.search(
+        spark, _docs(spark, sf_dir),
+        {"query": {"bool": {"filter": [{"query_string": {
+            "query": "lang:en AND source:src3", "default_field": "text",
+        }}]}}, "size": 50000},
+        key="doc_id", text_col="text",
+    )
+    return hits.agg(F.count("*").cast("long").alias("doc_count"))
+
+
+def dsl_distance_feature_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distance_feature (DistanceFeatureQueryBuilder.java):
+    score = boost·pivot/(pivot+|field−origin|), exact closed form."""
+    return _dsl_search(spark, sf_dir, {
+        "query": {"distance_feature": {"field": "n_chars", "origin": 300, "pivot": 50}},
+        "size": 10,
+    })
+
+
+def dsl_rank_feature_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank_feature saturation (RankFeatureQueryBuilder.java):
+    score = x/(x+pivot) over a positive numeric feature."""
+    return _dsl_search(spark, sf_dir, {
+        "query": {"rank_feature": {"field": "n_chars", "saturation": {"pivot": 250}}},
+        "size": 10,
+    })
+
+
+def dsl_geo_distance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_distance (GeoDistanceQueryBuilder.java): haversine radius filter
+    over a struct<lat,lon> geo_point derived deterministically from events;
+    the oracle mirrors the same haversine (R = 6371008.8 m)."""
+    from .plans import dsl as dsl_mod
+
+    ev = _events(spark, sf_dir).withColumn(
+        "loc",
+        F.struct(
+            (F.col("user_id") % 180 - 90).cast("double").alias("lat"),
+            ((F.col("event_id") * 7) % 360 - 180).cast("double").alias("lon"),
+        ),
+    )
+    hits = dsl_mod.search(
+        spark, ev,
+        {"query": {"bool": {"filter": [{"geo_distance": {
+            "distance": "3000km", "loc": {"lat": 10.0, "lon": 20.0},
+        }}]}}, "size": 50000},
+        key="event_id", text_col="event_type",
+    )
+    return (
+        hits.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .orderBy("event_type")
+    )
+
+
+def dsl_script_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """script query (ScriptQueryBuilder.java, SQL-expression Painless
+    analog) in filter context."""
+    from .plans import dsl as dsl_mod
+
+    hits = dsl_mod.search(
+        spark, _docs(spark, sf_dir),
+        {"query": {"bool": {"filter": [{"script": {"script": {
+            "source": "n_chars % 7 = 0",
+        }}}]}}, "size": 50000},
+        key="doc_id", text_col="text",
+    )
+    return (
+        hits.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .orderBy("lang")
+    )
+
+
+def dsl_wrapper_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wrapper query (WrapperQueryBuilder.java): base64-encoded inner query
+    unwraps and runs — parity checked against the plain equivalent."""
+    import base64
+
+    from .plans import dsl as dsl_mod
+
+    inner = base64.b64encode(b'{"term": {"lang": "en"}}').decode()
+    hits = dsl_mod.search(
+        spark, _docs(spark, sf_dir),
+        {"query": {"bool": {"filter": [{"wrapper": {"query": inner}}]}},
+         "size": 50000},
+        key="doc_id", text_col="text",
+    )
+    return hits.agg(F.count("*").cast("long").alias("doc_count"))
+
+
 def m_anomaly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x-pack ml anomaly detection, count detector split by
     partition_field_name (``x-pack/plugin/core/.../ml/job/config/Detector.java``)
@@ -3941,6 +4079,51 @@ SELECT strlen('{"doc_id":' || doc_id || ',"lang":"' || lang || '"}')::INT AS siz
        COUNT(*)::BIGINT AS doc_count
 FROM documents GROUP BY size_bytes ORDER BY size_bytes
 """,
+    "dsl_exists_query": """
+SELECT lang, COUNT(*)::BIGINT AS doc_count FROM documents
+WHERE n_chars % 3 = 0 GROUP BY lang ORDER BY lang
+""",
+    "dsl_terms_set_query": """
+SELECT lang, COUNT(*)::BIGINT AS doc_count FROM documents
+WHERE len(list_distinct(list_intersect(string_split(text, ' '),
+      ['spark', 'merge', 'vector', 'join']))) >= 2
+GROUP BY lang ORDER BY lang
+""",
+    "dsl_query_string_filter": """
+SELECT COUNT(*)::BIGINT AS doc_count FROM documents
+WHERE lang = 'en' AND source = 'src3'
+""",
+    "dsl_distance_feature_query": """
+SELECT doc_id, round(50.0 / (50.0 + abs(n_chars - 300)), 4) AS score
+FROM documents
+ORDER BY 50.0 / (50.0 + abs(n_chars - 300)) DESC, doc_id ASC LIMIT 10
+""",
+    "dsl_rank_feature_query": """
+SELECT doc_id, round(n_chars / (n_chars + 250.0), 4) AS score
+FROM documents WHERE n_chars > 0
+ORDER BY n_chars / (n_chars + 250.0) DESC, doc_id ASC LIMIT 10
+""",
+    "dsl_geo_distance_query": """
+WITH pts AS (
+  SELECT event_type,
+         (user_id % 180 - 90)::DOUBLE AS lat,
+         ((event_id * 7) % 360 - 180)::DOUBLE AS lon
+  FROM events
+)
+SELECT event_type, COUNT(*)::BIGINT AS doc_count FROM pts
+WHERE 2 * 6371008.8 * asin(sqrt(
+        pow(sin(radians(lat - 10.0) / 2), 2)
+        + cos(radians(10.0)) * cos(radians(lat))
+          * pow(sin(radians(lon - 20.0) / 2), 2))) <= 3000000
+GROUP BY event_type ORDER BY event_type
+""",
+    "dsl_script_query": """
+SELECT lang, COUNT(*)::BIGINT AS doc_count FROM documents
+WHERE n_chars % 7 = 0 GROUP BY lang ORDER BY lang
+""",
+    "dsl_wrapper_query": """
+SELECT COUNT(*)::BIGINT AS doc_count FROM documents WHERE lang = 'en'
+""",
     "dsl_semantic_query": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, label, round(
@@ -4141,6 +4324,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "annotated_text_term": f_annotated_text,
     "murmur3_cardinality": f_murmur3_cardinality,
     "size_field_histogram": f_size_field,
+    "dsl_exists_query": dsl_exists_query,
+    "dsl_terms_set_query": dsl_terms_set_query,
+    "dsl_query_string_filter": dsl_query_string_filter,
+    "dsl_distance_feature_query": dsl_distance_feature_query,
+    "dsl_rank_feature_query": dsl_rank_feature_query,
+    "dsl_geo_distance_query": dsl_geo_distance_query,
+    "dsl_script_query": dsl_script_query,
+    "dsl_wrapper_query": dsl_wrapper_query,
     "dsl_semantic_query": dsl_semantic_query,
     "agg_bucket_correlation": a_bucket_correlation,
     "agg_bucket_ks_test": a_bucket_ks_test,
