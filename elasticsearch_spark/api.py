@@ -698,10 +698,15 @@ class Engine:
         Spark physical plan of the hits frame — planning only, no extra
         execution."""
         out = self._search_impl(index, body, routing)
-        if isinstance(out, dict) and body.get("profile") and "hits" in out:
-            out["profile"] = (
-                out["hits"]._jdf.queryExecution().executedPlan().toString()
-            )
+        if (
+            isinstance(out, dict) and body.get("profile")
+            and "profile" not in out and "hits" in out
+        ):
+            # fast paths (index WAND / sorted_scan) return before the DSL
+            # path's profile attach — cover them with the same shape
+            out["profile"] = {
+                "hits_plan": out["hits"]._jdf.queryExecution().executedPlan().toString()
+            }
         return out
 
     def _search_impl(self, index: str, body: dict, routing: str | None = None) -> dict:

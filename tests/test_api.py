@@ -476,4 +476,7 @@ def test_validate_query(es):
 
 def test_search_profile(es):
     res = es.search("pages", {"query": {"term": {"lang": "en"}}, "profile": True})
-    assert "profile" in res and "Scan" in res["profile"]
+    assert "Scan" in res["profile"]["hits_plan"] or "Physical Plan" in res["profile"]["hits_plan"]
+    # fast paths (top-level match -> index WAND) get the same shape
+    res2 = es.search("pages", {"query": {"match": {"text": "spark"}}, "profile": True})
+    assert "hits_plan" in res2["profile"]
