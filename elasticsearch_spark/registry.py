@@ -2414,6 +2414,54 @@ def dsl_wrapper_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.agg(F.count("*").cast("long").alias("doc_count"))
 
 
+def dsl_nested_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nested query (NestedQueryBuilder.java): lineitems as array<struct>
+    sub-documents under orders (the entry materializes the nested layout),
+    bool of child conditions in filter context; the oracle is the flat
+    EXISTS — identical parent set, or the explode/groupBy is wrong."""
+    from .plans import dsl as dsl_mod
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nested = orders.join(
+        li.groupBy("l_orderkey").agg(
+            F.collect_list(F.struct("l_quantity", "l_returnflag")).alias("items")
+        ),
+        orders.o_orderkey == li.l_orderkey,
+        "inner",
+    ).drop("l_orderkey")
+    hits = dsl_mod.search(
+        spark, nested,
+        {"query": {"bool": {"filter": [{"nested": {
+            "path": "items",
+            "query": {"bool": {"filter": [
+                {"range": {"l_quantity": {"gte": 45}}},
+                {"term": {"l_returnflag": "R"}},
+            ]}},
+        }}]}}, "size": 100000},
+        key="o_orderkey", text_col="o_orderpriority",
+    )
+    return (
+        hits.groupBy("o_orderstatus")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def dsl_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """more_like_this (MoreLikeThisQueryBuilder.java): top tf·idf terms of
+    the liked doc (min_doc_freq-gated, term-asc tie-break) run as a BM25
+    disjunction, liked doc excluded. The oracle replicates the ENTIRE
+    pipeline — term selection subquery included — so both the extraction
+    ranking and the scoring must agree."""
+    return _dsl_search(spark, sf_dir, {
+        "query": {"more_like_this": {
+            "like": [{"_id": 7}], "max_query_terms": 10, "min_doc_freq": 2,
+        }},
+        "size": 10,
+    })
+
+
 def m_anomaly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x-pack ml anomaly detection, count detector split by
     partition_field_name (``x-pack/plugin/core/.../ml/job/config/Detector.java``)
@@ -4079,6 +4127,49 @@ SELECT strlen('{"doc_id":' || doc_id || ',"lang":"' || lang || '"}')::INT AS siz
        COUNT(*)::BIGINT AS doc_count
 FROM documents GROUP BY size_bytes ORDER BY size_bytes
 """,
+    "dsl_more_like_this": f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+qdl AS (SELECT doc_id, ({_QDL})::DOUBLE AS qdl FROM dl),
+coll AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+alltf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY 1, 2
+),
+alldf AS (SELECT term, count(*)::DOUBLE AS df FROM alltf GROUP BY 1),
+qterms AS (
+  SELECT t.term
+  FROM alltf t JOIN alldf d USING (term) CROSS JOIN coll
+  WHERE t.doc_id = 7 AND d.df >= 2
+  GROUP BY t.term, d.df, coll.n_docs
+  ORDER BY sum(t.tf) * ln(coll.n_docs / (d.df + 1.0)) DESC, t.term ASC
+  LIMIT 10
+),
+tf AS (SELECT * FROM alltf WHERE term IN (SELECT term FROM qterms)),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (coll.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * ({K1} + 1.0) * tf.tf
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * qdl.qdl / coll.avgdl))) AS score_raw
+  FROM tf JOIN dfs USING (term) JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN coll
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score_raw, 4) AS score FROM scored
+WHERE doc_id != 7
+ORDER BY score_raw DESC, doc_id ASC LIMIT 10
+""",
+    "dsl_nested_query": """
+SELECT o_orderstatus, COUNT(*)::BIGINT AS doc_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_quantity >= 45 AND l_returnflag = 'R'
+)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
     "dsl_exists_query": """
 SELECT lang, COUNT(*)::BIGINT AS doc_count FROM documents
 WHERE n_chars % 3 = 0 GROUP BY lang ORDER BY lang
@@ -4324,6 +4415,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "annotated_text_term": f_annotated_text,
     "murmur3_cardinality": f_murmur3_cardinality,
     "size_field_histogram": f_size_field,
+    "dsl_more_like_this": dsl_more_like_this,
+    "dsl_nested_query": dsl_nested_query,
     "dsl_exists_query": dsl_exists_query,
     "dsl_terms_set_query": dsl_terms_set_query,
     "dsl_query_string_filter": dsl_query_string_filter,
