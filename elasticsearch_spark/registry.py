@@ -2462,6 +2462,48 @@ def dsl_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+def dsl_search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_after keyset pagination (SearchAfterBuilder.java): page 2 of
+    a (n_chars asc, doc_id asc) sort, cursor = page 1's last row. Oracle =
+    rows 6-10 of the same global order — keyset and offset views of one
+    total order must agree exactly."""
+    from .plans import dsl as dsl_mod
+
+    docs = _docs(spark, sf_dir)
+    body = {"query": {"match_all": {}}, "sort": [{"n_chars": "asc"}], "size": 5}
+    p1 = dsl_mod.search(spark, docs, body, key="doc_id", text_col="text").collect()
+    last = p1[-1]
+    p2 = dsl_mod.search(
+        spark, docs,
+        {**body, "search_after": [last["n_chars"], last["doc_id"]]},
+        key="doc_id", text_col="text",
+    )
+    return p2.select("doc_id", "n_chars")
+
+
+def dsl_match_bool_prefix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_bool_prefix (MatchBoolPrefixQueryBuilder.java): full terms
+    score BM25, the last term matches as a constant-score prefix; union
+    semantics (should, msm 1)."""
+    return _dsl_search(spark, sf_dir, {
+        "query": {"match_bool_prefix": {"text": "spark jo"}},
+        "size": 10,
+    })
+
+
+def dsl_combined_fields_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """combined_fields (CombinedFieldsQueryBuilder.java): term-centric
+    BM25F — term freqs and doc lengths merged across fields into one
+    virtual field BEFORE scoring; oracle concatenates the token lists the
+    same way."""
+    return _dsl_search(spark, sf_dir, {
+        "query": {"combined_fields": {
+            "query": "spark src3", "fields": ["text", "source"],
+        }},
+        "size": 10,
+    })
+
+
 def m_anomaly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x-pack ml anomaly detection, count detector split by
     partition_field_name (``x-pack/plugin/core/.../ml/job/config/Detector.java``)
@@ -4161,6 +4203,73 @@ SELECT doc_id, round(score_raw, 4) AS score FROM scored
 WHERE doc_id != 7
 ORDER BY score_raw DESC, doc_id ASC LIMIT 10
 """,
+    "dsl_match_bool_prefix_query": f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+qdl AS (SELECT doc_id, ({_QDL})::DOUBLE AS qdl FROM dl),
+coll AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term IN ('spark') GROUP BY 1, 2
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (coll.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * ({K1} + 1.0) * tf.tf
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * qdl.qdl / coll.avgdl))) AS score_raw
+  FROM tf JOIN dfs USING (term) JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN coll
+  GROUP BY tf.doc_id
+),
+pfx AS (
+  SELECT doc_id FROM tok WHERE len(list_filter(toks, t -> starts_with(t, 'jo'))) > 0
+),
+u AS (
+  SELECT coalesce(s.doc_id, p.doc_id) AS doc_id,
+         coalesce(s.score_raw, 0) + CASE WHEN p.doc_id IS NULL THEN 0 ELSE 1.0 END AS sc
+  FROM scored s FULL JOIN pfx p USING (doc_id)
+)
+SELECT doc_id, round(sc, 4) AS score FROM u
+ORDER BY sc DESC, doc_id ASC LIMIT 10
+""",
+    "dsl_combined_fields_query": f"""
+WITH tok AS (
+  SELECT doc_id, list_concat(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                             regexp_extract_all(lower(source), '[a-z0-9]+')) AS toks
+  FROM documents
+),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+qdl AS (SELECT doc_id, ({_QDL})::DOUBLE AS qdl FROM dl),
+coll AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term IN ('spark', 'src3') GROUP BY 1, 2
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (coll.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+             * ({K1} + 1.0) * tf.tf
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * qdl.qdl / coll.avgdl))) AS score_raw,
+         count(*)::INT AS matched
+  FROM tf JOIN dfs USING (term) JOIN qdl ON tf.doc_id = qdl.doc_id CROSS JOIN coll
+  GROUP BY tf.doc_id HAVING count(*) >= 1
+)
+SELECT doc_id, round(score_raw, 4) AS score FROM scored
+ORDER BY score_raw DESC, doc_id ASC LIMIT 10
+""",
+    "dsl_search_after_page": """
+WITH ordered AS (
+  SELECT doc_id, n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, n_chars FROM ordered WHERE rn BETWEEN 6 AND 10
+ORDER BY n_chars, doc_id
+""",
     "dsl_nested_query": """
 SELECT o_orderstatus, COUNT(*)::BIGINT AS doc_count
 FROM orders
@@ -4416,6 +4525,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "murmur3_cardinality": f_murmur3_cardinality,
     "size_field_histogram": f_size_field,
     "dsl_more_like_this": dsl_more_like_this,
+    "dsl_match_bool_prefix_query": dsl_match_bool_prefix_query,
+    "dsl_combined_fields_query": dsl_combined_fields_query,
+    "dsl_search_after_page": dsl_search_after_page,
     "dsl_nested_query": dsl_nested_query,
     "dsl_exists_query": dsl_exists_query,
     "dsl_terms_set_query": dsl_terms_set_query,
