@@ -2504,6 +2504,38 @@ def dsl_combined_fields_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+def dsl_regexp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp query (RegexpQueryBuilder.java): ANCHORED full-value match,
+    like Lucene — the oracle anchors the same pattern."""
+    from .plans import dsl as dsl_mod
+
+    hits = dsl_mod.search(
+        spark, _docs(spark, sf_dir),
+        {"query": {"bool": {"filter": [{"regexp": {"source": "src[0-3]"}}]}},
+         "size": 50000},
+        key="doc_id", text_col="text",
+    )
+    return (
+        hits.groupBy("source")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .orderBy("source")
+    )
+
+
+def dsl_rescore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rescore (QueryRescorer.java): the top window_size primary hits are
+    re-ranked by query_weight·primary + rescore_query_weight·secondary;
+    the oracle runs both BM25 chains and the window join in SQL."""
+    return _dsl_search(spark, sf_dir, {
+        "query": {"match": {"text": "spark"}},
+        "rescore": {"window_size": 10, "query": {
+            "rescore_query": {"match": {"text": "merge"}},
+            "query_weight": 0.7, "rescore_query_weight": 1.2,
+        }},
+        "size": 10,
+    })
+
+
 def m_anomaly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x-pack ml anomaly detection, count detector split by
     partition_field_name (``x-pack/plugin/core/.../ml/job/config/Detector.java``)
@@ -4262,6 +4294,49 @@ scored AS (
 SELECT doc_id, round(score_raw, 4) AS score FROM scored
 ORDER BY score_raw DESC, doc_id ASC LIMIT 10
 """,
+    "dsl_rescore_window": f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tok),
+qdl AS (SELECT doc_id, ({_QDL})::DOUBLE AS qdl FROM dl),
+coll AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+tf1 AS (
+  SELECT doc_id, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term = 'spark' GROUP BY 1
+),
+s1 AS (
+  SELECT tf1.doc_id,
+         ln(1.0 + (coll.n_docs - d1.df + 0.5) / (d1.df + 0.5))
+           * ({K1} + 1.0) * tf1.tf
+           / (tf1.tf + {K1} * (1.0 - {B} + {B} * qdl.qdl / coll.avgdl)) AS s
+  FROM tf1 CROSS JOIN (SELECT count(*)::DOUBLE AS df FROM tf1) d1
+  JOIN qdl ON tf1.doc_id = qdl.doc_id CROSS JOIN coll
+),
+tf2 AS (
+  SELECT doc_id, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term = 'merge' GROUP BY 1
+),
+s2 AS (
+  SELECT tf2.doc_id,
+         ln(1.0 + (coll.n_docs - d2.df + 0.5) / (d2.df + 0.5))
+           * ({K1} + 1.0) * tf2.tf
+           / (tf2.tf + {K1} * (1.0 - {B} + {B} * qdl.qdl / coll.avgdl)) AS s
+  FROM tf2 CROSS JOIN (SELECT count(*)::DOUBLE AS df FROM tf2) d2
+  JOIN qdl ON tf2.doc_id = qdl.doc_id CROSS JOIN coll
+),
+win AS (SELECT doc_id, s FROM s1 ORDER BY s DESC, doc_id ASC LIMIT 10)
+SELECT w.doc_id, round(0.7 * w.s + 1.2 * coalesce(s2.s, 0), 4) AS score
+FROM win w LEFT JOIN s2 ON w.doc_id = s2.doc_id
+ORDER BY 0.7 * w.s + 1.2 * coalesce(s2.s, 0) DESC, w.doc_id ASC LIMIT 10
+""",
+    "dsl_regexp_query": """
+SELECT source, COUNT(*)::BIGINT AS doc_count FROM documents
+WHERE regexp_matches(source, '^(?:src[0-3])$')
+GROUP BY source ORDER BY source
+""",
     "dsl_search_after_page": """
 WITH ordered AS (
   SELECT doc_id, n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS rn
@@ -4527,6 +4602,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsl_more_like_this": dsl_more_like_this,
     "dsl_match_bool_prefix_query": dsl_match_bool_prefix_query,
     "dsl_combined_fields_query": dsl_combined_fields_query,
+    "dsl_rescore_window": dsl_rescore_window,
+    "dsl_regexp_query": dsl_regexp_query,
     "dsl_search_after_page": dsl_search_after_page,
     "dsl_nested_query": dsl_nested_query,
     "dsl_exists_query": dsl_exists_query,
