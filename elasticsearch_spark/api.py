@@ -482,6 +482,7 @@ class Engine:
         later bulks are op batches (delete+add upserts). An alias routes to
         its write index (is_write_index semantics)."""
         index = self._write_index(index)
+        self._check_block(index, "write")
         m = self._ilm_load()["managed"].get(index)
         if m and m.get("readonly"):
             # ILM warm-phase readonly action (the index.blocks.write block)
@@ -594,6 +595,40 @@ class Engine:
             "readonly": False,
             "done": [],
         }
+        self._ilm_save(st)
+        return {"acknowledged": True}
+
+    def get_lifecycle_policy(self, name: str | None = None) -> dict:
+        """GET /_ilm/policy[/{name}]."""
+        st = self._ilm_load()
+        if name is None:
+            return dict(st["policies"])
+        if name not in st["policies"]:
+            raise ValueError(f"unknown ILM policy: {name}")
+        return st["policies"][name]
+
+    def remove_lifecycle_policy(self, index: str) -> dict:
+        """POST /{index}/_ilm/remove: detach ILM management (the index and
+        its data stay; phase state is discarded)."""
+        st = self._ilm_load()
+        removed = st["managed"].pop(index, None) is not None
+        self._ilm_save(st)
+        return {"has_failures": False, "failed_indexes": [] if removed else [index]}
+
+    def ilm_move_to_step(self, index: str, phase: str, now: float | None = None) -> dict:
+        """POST /_ilm/move/{index} (simplified ``TransportMoveToStepAction``):
+        force the index into a phase; the next ``ilm_step`` tick executes
+        that phase's actions under the normal min_age rules (pass the phase
+        clock via ``now`` to make it immediate)."""
+        import time as _t
+
+        st = self._ilm_load()
+        if index not in st["managed"]:
+            raise ValueError(f"index not ILM-managed: {index}")
+        if phase not in ("hot", "warm", "delete", "complete"):
+            raise ValueError(f"unknown ILM phase: {phase}")
+        st["managed"][index]["phase"] = phase
+        st["managed"][index]["phase_time"] = now if now is not None else _t.time()
         self._ilm_save(st)
         return {"acknowledged": True}
 
@@ -750,6 +785,8 @@ class Engine:
             return df
 
         concrete = self.resolve(index)
+        for ix in concrete:
+            self._check_block(ix, "read")
         if len(concrete) > 1:
             return {"hits": self.search_multi(concrete, body)}
         index = concrete[0]
@@ -1730,3 +1767,190 @@ class Engine:
             ctx = dsl.SearchContext(docs, "url", text_col="text")
             docs = docs.where(node.predicate(ctx))
         return self.bulk(dest, docs)
+
+    # ---- shard-count transforms (shrink / split / clone) -------------------
+
+    def _refactor_index(self, source: str, target: str, num_partitions: int) -> dict:
+        """Shared body of shrink/split/clone: a fresh routed build of the
+        source's live docs at the target partition count — one shuffle, the
+        same distributed path as any bulk. (The reference recovers segment
+        files shard-by-shard; re-routing IS the Spark-native equivalent —
+        partitioning is declarative here, not a filesystem layout.)"""
+        if target in self.indices():
+            raise ValueError(f"target index already exists: {target}")
+        meta = store.IndexMeta.load(self._dir(source))
+        self.create_index(target, analyzer=meta.analyzer, num_partitions=num_partitions)
+        docs = self._docs_view(source).select("url", "warc_ts", "text", "lang")
+        info = self.bulk(target, docs)
+        return {"acknowledged": True, "target": target, **{
+            k: info[k] for k in ("doc_count", "partitions") if k in info
+        }}
+
+    def shrink_index(self, source: str, target: str, num_partitions: int) -> dict:
+        """POST /{index}/_shrink/{target} (``TransportResizeAction``): the
+        target partition count must divide the source's (factor-of
+        contraction, the reference's constraint)."""
+        src_p = store.IndexMeta.load(self._dir(source)).num_partitions
+        if num_partitions > src_p or src_p % num_partitions != 0:
+            raise ValueError(
+                f"shrink target partitions {num_partitions} must divide source {src_p}"
+            )
+        return self._refactor_index(source, target, num_partitions)
+
+    def split_index(self, source: str, target: str, num_partitions: int) -> dict:
+        """POST /{index}/_split/{target}: target must be a multiple of the
+        source partition count (factor-of expansion)."""
+        src_p = store.IndexMeta.load(self._dir(source)).num_partitions
+        if num_partitions < src_p or num_partitions % src_p != 0:
+            raise ValueError(
+                f"split target partitions {num_partitions} must be a multiple of {src_p}"
+            )
+        return self._refactor_index(source, target, num_partitions)
+
+    def clone_index(self, source: str, target: str) -> dict:
+        """POST /{index}/_clone/{target}: same partition count."""
+        src_p = store.IndexMeta.load(self._dir(source)).num_partitions
+        return self._refactor_index(source, target, src_p)
+
+    # ---- index blocks / open / close ---------------------------------------
+
+    def _blocks_path(self) -> str:
+        return os.path.join(self.root, "_index_blocks.json")
+
+    def _blocks(self) -> dict:
+        import json
+
+        if os.path.exists(self._blocks_path()):
+            with open(self._blocks_path()) as f:
+                return json.load(f)
+        return {}
+
+    def add_block(self, index: str, block: str) -> dict:
+        """PUT /{index}/_block/{block} (``TransportAddIndexBlockAction``):
+        ``write`` blocks bulk; ``read`` blocks search; ``read_only`` both."""
+        import json
+
+        if block not in ("write", "read", "read_only"):
+            raise ValueError(f"unsupported block: {block}")
+        b = self._blocks()
+        b.setdefault(index, []).append(block)
+        b[index] = sorted(set(b[index]))
+        tmp = self._blocks_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(b, f)
+        os.replace(tmp, self._blocks_path())
+        return {"acknowledged": True}
+
+    def close_index(self, index: str) -> dict:
+        """POST /{index}/_close: no reads, no writes, data retained."""
+        return self.add_block(index, "read_only")
+
+    def open_index(self, index: str) -> dict:
+        """POST /{index}/_open: clear all blocks."""
+        import json
+
+        b = self._blocks()
+        b.pop(index, None)
+        tmp = self._blocks_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(b, f)
+        os.replace(tmp, self._blocks_path())
+        return {"acknowledged": True}
+
+    def _check_block(self, index: str, op: str) -> None:
+        blocks = self._blocks().get(index, [])
+        if "read_only" in blocks or op in blocks:
+            raise ValueError(f"index {index} is blocked for {op} (blocks: {blocks})")
+
+    # ---- misc API parity ---------------------------------------------------
+
+    def resolve_index(self, name: str) -> dict:
+        """GET /_resolve/index/{name}: concrete indices + aliases matched."""
+        aliases = self._load_aliases()
+        return {
+            "indices": [c for c in self.resolve(name) if c in self.indices() or ":" in c],
+            "aliases": [a for a in aliases if a == name],
+        }
+
+    def search_shards(self, index: str) -> dict:
+        """GET /{index}/_search_shards: the shard layout routed search uses
+        (num_shards from index meta; None = unsharded, every segment scanned)."""
+        concrete = self.resolve(index)
+        out = {}
+        for ix in concrete:
+            meta = store.IndexMeta.load(self._dir(ix))
+            out[ix] = {
+                "num_shards": meta.num_shards,
+                "num_partitions": meta.num_partitions,
+                "segments": len(store.list_segs(self._dir(ix))),
+            }
+        return out
+
+    def simulate_index_template(self, index: str) -> dict:
+        """POST /_index_template/_simulate_index/{index}: the merged
+        settings the matching (component-layered) template would apply."""
+        t = self._match_template(index)
+        return {"overlapping": [], "template": {"settings": t["settings"]} if t else None}
+
+    def scripts_painless_execute(self, script: dict, context_doc: dict | None = None) -> dict:
+        """POST /_scripts/painless/_execute: evaluate a script (SQL-expr
+        Painless analog) against an optional one-doc context."""
+        src = script["source"] if isinstance(script, dict) else script
+        params = script.get("params") if isinstance(script, dict) else None
+        expr = dsl.expand_script(src, params)
+        row = self.spark.createDataFrame([context_doc or {"__dummy": 0}])
+        val = row.select(F.expr(expr).alias("result")).collect()[0]["result"]
+        return {"result": val}
+
+    def get_source(self, index: str, url: str) -> dict | None:
+        """GET /{index}/_source/{id}: the stored fields only (no metadata)."""
+        d = self.get(index, url)
+        if d is None:
+            return None
+        return {k: v for k, v in d.items() if not k.startswith("_")}
+
+    def exists_source(self, index: str, url: str) -> bool:
+        return self.get(index, url) is not None
+
+    def grok_patterns(self) -> dict:
+        """GET /_ingest/processor/grok: the built-in pattern bank."""
+        from .sources.ingest_pipeline import _GROK_PATTERNS
+
+        return dict(_GROK_PATTERNS)
+
+    # ---- mappings ----------------------------------------------------------
+
+    def put_mapping(self, index: str, mapping: dict) -> dict:
+        """PUT /{index}/_mapping: persist the (merged) field mapping in the
+        index directory; additive merges only, like the reference."""
+        import json
+
+        d = self._dir(index)
+        path = os.path.join(d, "_mapping.json")
+        cur = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                cur = json.load(f)
+        props = {**cur.get("properties", {}), **mapping.get("properties", mapping)}
+        for k, v in cur.get("properties", {}).items():
+            new = props.get(k)
+            if new and new.get("type") != v.get("type"):
+                raise ValueError(
+                    f"mapper [{k}] cannot change type {v.get('type')} -> {new.get('type')}"
+                )
+        merged = {"properties": props}
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(merged, f)
+        os.replace(tmp, path)
+        return {"acknowledged": True}
+
+    def get_mapping(self, index: str) -> dict:
+        """GET /{index}/_mapping."""
+        import json
+
+        path = os.path.join(self._dir(index), "_mapping.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        return {"properties": {}}

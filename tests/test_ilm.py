@@ -113,3 +113,23 @@ def test_max_age_rollover(es, spark):
         ("logs-000002", "rollover")
     }
     assert es._write_index("logs") == "logs-000003"
+
+
+def test_policy_getters_and_move_to_step(es):
+    assert es.get_lifecycle_policy("logs-policy") == POLICY
+    assert "logs-policy" in es.get_lifecycle_policy()
+    with pytest.raises(ValueError, match="unknown ILM policy"):
+        es.get_lifecycle_policy("nope")
+    # logs-000003 is hot-managed after the max_age rollover; force it to warm
+    es.ilm_move_to_step("logs-000002", "warm", now=0.0)
+    assert es.explain_lifecycle("logs-000002")["phase"] == "warm"
+    with pytest.raises(ValueError, match="not ILM-managed"):
+        es.ilm_move_to_step("unmanaged-ix", "warm")
+    with pytest.raises(ValueError, match="unknown ILM phase"):
+        es.ilm_move_to_step("logs-000002", "frozen")
+
+
+def test_remove_lifecycle(es):
+    assert es.remove_lifecycle_policy("logs-000002")["has_failures"] is False
+    assert es.explain_lifecycle("logs-000002")["managed"] is False
+    assert es.remove_lifecycle_policy("logs-000002")["failed_indexes"] == ["logs-000002"]

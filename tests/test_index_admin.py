@@ -1,0 +1,115 @@
+"""Index-administration API parity: shrink/split/clone (re-routed rebuilds
+at a new partition count), open/close/add_block enforcement, resolve_index,
+search_shards, simulate_index_template, painless execute, _source variants,
+grok pattern bank, put/get mapping with additive-only merges."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.api import Engine
+from elasticsearch_spark.sources import index_store as store
+
+ROOT = "/tmp/es_spark_admin_test"
+
+
+@pytest.fixture(scope="module")
+def es(spark):
+    shutil.rmtree(ROOT, ignore_errors=True)
+    eng = Engine(spark, root=ROOT)
+    eng.create_index("src", num_partitions=4)
+    docs = spark.createDataFrame(
+        [(f"u{i}", f"doc number {i} spark text", "en") for i in range(20)],
+        "url string, text string, lang string",
+    ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+    eng.bulk("src", docs)
+    return eng
+
+
+def test_shrink_validates_and_rebuilds(es):
+    with pytest.raises(ValueError, match="must divide"):
+        es.shrink_index("src", "bad", 3)
+    out = es.shrink_index("src", "small", 2)
+    assert out["acknowledged"]
+    assert es.count("small") == 20
+    assert store.IndexMeta.load(es._dir("small")).num_partitions == 2
+
+
+def test_split_and_clone(es):
+    with pytest.raises(ValueError, match="multiple"):
+        es.split_index("src", "bad", 6)
+    es.split_index("src", "big", 8)
+    assert es.count("big") == 20
+    assert store.IndexMeta.load(es._dir("big")).num_partitions == 8
+    es.clone_index("src", "copy")
+    assert es.count("copy") == 20
+    with pytest.raises(ValueError, match="already exists"):
+        es.clone_index("src", "copy")
+
+
+def test_blocks_enforced(es, spark):
+    es.add_block("src", "write")
+    extra = spark.createDataFrame(
+        [("u99", "late doc", "en")], "url string, text string, lang string"
+    ).withColumn("warc_ts", F.lit("2024-01-02").cast("timestamp"))
+    with pytest.raises(ValueError, match="blocked for write"):
+        es.bulk("src", extra)
+    # reads still fine under a write-only block
+    assert es.count("src") == 20
+    es.close_index("src")
+    with pytest.raises(ValueError, match="blocked for read"):
+        es.search("src", {"query": {"match_all": {}}})
+    es.open_index("src")
+    assert es.search("src", {"query": {"term": {"lang": "en"}}, "size": 1})
+    with pytest.raises(ValueError, match="unsupported block"):
+        es.add_block("src", "metadata")
+
+
+def test_resolve_and_search_shards(es):
+    es.update_aliases([{"add": {"alias": "all-src", "index": "src"}}])
+    r = es.resolve_index("all-src")
+    assert r["indices"] == ["src"] and r["aliases"] == ["all-src"]
+    sh = es.search_shards("src")
+    assert sh["src"]["num_partitions"] == 4
+    assert sh["src"]["segments"] >= 1
+
+
+def test_simulate_template(es):
+    es.put_index_template("t-sim", ["sim-*"], settings={"num_partitions": 9})
+    sim = es.simulate_index_template("sim-0001")
+    assert sim["template"]["settings"]["num_partitions"] == 9
+    assert es.simulate_index_template("nomatch-x")["template"] is None
+
+
+def test_painless_execute(es):
+    out = es.scripts_painless_execute(
+        {"source": "a * b + 1", "params": None}, {"a": 6, "b": 7}
+    )
+    assert out["result"] == 43
+    assert es.scripts_painless_execute("1 + 1")["result"] == 2
+
+
+def test_source_variants(es):
+    src = es.get_source("src", "u3")
+    assert src["text"].startswith("doc number 3")
+    assert "_score" not in src
+    assert es.exists_source("src", "u3") is True
+    assert es.exists_source("src", "nope") is False
+
+
+def test_grok_pattern_bank(es):
+    bank = es.grok_patterns()
+    assert "IP" in bank and "GREEDYDATA" in bank
+
+
+def test_mappings_additive_only(es):
+    es.put_mapping("src", {"properties": {"price": {"type": "double"}}})
+    es.put_mapping("src", {"properties": {"tag": {"type": "keyword"}}})
+    m = es.get_mapping("src")
+    assert m["properties"]["price"]["type"] == "double"
+    assert m["properties"]["tag"]["type"] == "keyword"
+    with pytest.raises(ValueError, match="cannot change type"):
+        es.put_mapping("src", {"properties": {"price": {"type": "keyword"}}})
