@@ -1862,6 +1862,120 @@ class Engine:
         if "read_only" in blocks or op in blocks:
             raise ValueError(f"index {index} is blocked for {op} (blocks: {blocks})")
 
+    # ---- cross-cluster replication (x-pack/plugin/ccr) ---------------------
+
+    def _ccr_path(self) -> str:
+        return os.path.join(self.root, "_ccr.json")
+
+    def _ccr_load(self) -> dict:
+        import json
+
+        if os.path.exists(self._ccr_path()):
+            with open(self._ccr_path()) as f:
+                return json.load(f)
+        return {}
+
+    def _ccr_save(self, st: dict) -> None:
+        import json
+
+        tmp = self._ccr_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, self._ccr_path())
+
+    def _ccr_sync_one(self, leader: str, follower: str) -> dict:
+        """One replication pass: mirror the leader's index directory.
+
+        Segments are immutable, so the diff is exact: copy segment dirs the
+        follower lacks, drop segment dirs the leader no longer lists (a
+        merge replaced them), then refresh the small control files (stats,
+        manifests, tombstones, index_meta) LAST so a reader that races the
+        sync resolves segments through a consistent manifest view. This is
+        the reference's file-based shard recovery
+        (``x-pack/plugin/ccr/.../repository/CcrRestoreSourceService.java``)
+        re-expressed over the segment store; in production the copies are
+        distributed filesystem copies, here shutil."""
+        lsrc, fdst = self._dir(leader), self._dir(follower)
+        os.makedirs(fdst, exist_ok=True)
+        lseg = os.path.join(lsrc, "segments")
+        fseg = os.path.join(fdst, "segments")
+        os.makedirs(fseg, exist_ok=True)
+        lead_segs = set(os.listdir(lseg)) if os.path.exists(lseg) else set()
+        foll_segs = set(os.listdir(fseg))
+        copied, removed = [], []
+        for s in sorted(lead_segs - foll_segs):
+            shutil.copytree(os.path.join(lseg, s), os.path.join(fseg, s))
+            copied.append(s)
+        for name in os.listdir(lsrc):  # control files: stats/manifests/meta/…
+            if name == "segments":
+                continue
+            src_p, dst_p = os.path.join(lsrc, name), os.path.join(fdst, name)
+            if os.path.isdir(src_p):
+                shutil.rmtree(dst_p, ignore_errors=True)
+                shutil.copytree(src_p, dst_p)
+            else:
+                shutil.copy2(src_p, dst_p)
+        for s in sorted(foll_segs - lead_segs):  # merged-away segments last
+            shutil.rmtree(os.path.join(fseg, s), ignore_errors=True)
+            removed.append(s)
+        return {"copied_segments": copied, "removed_segments": removed}
+
+    def ccr_follow(self, leader: str, follower: str) -> dict:
+        """PUT /{follower}/_ccr/follow: register + bootstrap. ``leader`` is
+        usually cluster-qualified (``west:pages``) via the remote-cluster
+        registry; the follower is a full local index (searchable without
+        the leader) that ``ccr_poll`` keeps in sync."""
+        if follower in self.indices():
+            raise ValueError(f"follower index already exists: {follower}")
+        st = self._ccr_load()
+        st[follower] = {"leader": leader, "paused": False}
+        self._ccr_save(st)
+        info = self._ccr_sync_one(leader, follower)
+        return {"follow_index_created": True, **info}
+
+    def ccr_poll(self) -> list[dict]:
+        """One replication tick for every active follower (the reference
+        polls the leader's global checkpoint the same way)."""
+        out = []
+        for follower, cfg in self._ccr_load().items():
+            if cfg.get("paused"):
+                continue
+            info = self._ccr_sync_one(cfg["leader"], follower)
+            if info["copied_segments"] or info["removed_segments"]:
+                out.append({"follower": follower, **info})
+        return out
+
+    def ccr_pause_follow(self, follower: str) -> dict:
+        st = self._ccr_load()
+        if follower not in st:
+            raise ValueError(f"not a follower index: {follower}")
+        st[follower]["paused"] = True
+        self._ccr_save(st)
+        return {"acknowledged": True}
+
+    def ccr_resume_follow(self, follower: str) -> dict:
+        st = self._ccr_load()
+        if follower not in st:
+            raise ValueError(f"not a follower index: {follower}")
+        st[follower]["paused"] = False
+        self._ccr_save(st)
+        return {"acknowledged": True}
+
+    def ccr_unfollow(self, follower: str) -> dict:
+        """POST /{follower}/_ccr/unfollow: stop replication; the follower
+        stays as a normal writable index."""
+        st = self._ccr_load()
+        st.pop(follower, None)
+        self._ccr_save(st)
+        return {"acknowledged": True}
+
+    def ccr_stats(self) -> dict:
+        return {
+            f: {"leader": c["leader"], "paused": c.get("paused", False),
+                "follower_segments": len(store.list_segs(self._dir(f)))}
+            for f, c in self._ccr_load().items()
+        }
+
     # ---- misc API parity ---------------------------------------------------
 
     def resolve_index(self, name: str) -> dict:
