@@ -251,7 +251,11 @@ class Engine:
         meta.save(d)
 
     def delete_index(self, index: str) -> None:
-        shutil.rmtree(self._dir(index), ignore_errors=True)
+        d = self._dir(index)
+        if os.path.islink(d):  # mounted searchable snapshot: unlink only,
+            os.unlink(d)      # the repository copy is not ours to delete
+        else:
+            shutil.rmtree(d, ignore_errors=True)
 
     # ---- aliases / rollover / snapshots -----------------------------------
 
@@ -469,6 +473,26 @@ class Engine:
             raise ValueError(f"index {target} already exists")
         shutil.copytree(src, dst, dirs_exist_ok=True)
         return {"restored": target, "snapshot": snapshot}
+
+    def mount_snapshot(
+        self, repo_dir: str, snapshot: str, index: str,
+        renamed_index: str | None = None,
+    ) -> dict:
+        """POST /_snapshot/{repo}/{snap}/_mount (x-pack
+        searchable-snapshots, ``SearchableSnapshots`` mounting the snapshot
+        directory as a read-only Lucene Directory): serve searches DIRECTLY
+        from the repository copy — a zero-copy symlink into the engine root
+        plus a write block. No restore, no duplication; unmount =
+        delete_index (removes only the link)."""
+        name = renamed_index or index
+        src = os.path.join(repo_dir, snapshot, index)
+        if not os.path.isdir(src):
+            raise ValueError(f"no snapshot {snapshot} for {index}")
+        if name in self.indices():
+            raise ValueError(f"index {name} already exists")
+        os.symlink(os.path.abspath(src), self._dir(name), target_is_directory=True)
+        self.add_block(name, "write")
+        return {"mounted": name, "snapshot": snapshot, "zero_copy": True}
 
     def indices(self) -> list[str]:
         return sorted(

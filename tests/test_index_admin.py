@@ -113,3 +113,27 @@ def test_mappings_additive_only(es):
     assert m["properties"]["tag"]["type"] == "keyword"
     with pytest.raises(ValueError, match="cannot change type"):
         es.put_mapping("src", {"properties": {"price": {"type": "keyword"}}})
+
+
+def test_mount_searchable_snapshot(es, spark, tmp_path):
+    repo = str(tmp_path / "repo")
+    es.snapshot("src", repo, "snap1")
+    out = es.mount_snapshot(repo, "snap1", "src", renamed_index="mounted")
+    assert out["zero_copy"] and out["mounted"] == "mounted"
+    assert es.count("mounted") == 20
+    res = es.search("mounted", {"query": {"match": {"text": "spark"}}, "size": 3})
+    assert len(res["hits"].collect()) == 3
+    extra = spark.createDataFrame(
+        [("w1", "nope", "en")], "url string, text string, lang string"
+    ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+    with pytest.raises(ValueError, match="blocked for write"):
+        es.bulk("mounted", extra)
+    with pytest.raises(ValueError, match="already exists"):
+        es.mount_snapshot(repo, "snap1", "src", renamed_index="mounted")
+    with pytest.raises(ValueError, match="no snapshot"):
+        es.mount_snapshot(repo, "nosnap", "src")
+    # unmount removes only the link; the repository copy survives
+    import os
+    es.delete_index("mounted")
+    assert "mounted" not in es.indices()
+    assert os.path.isdir(os.path.join(repo, "snap1", "src"))
