@@ -2040,6 +2040,41 @@ class Engine:
         val = row.select(F.expr(expr).alias("result")).collect()[0]["result"]
         return {"result": val}
 
+    def search_mvt(
+        self, index: str, field: str, zoom: int, x: int, y: int,
+        query: dict | None = None, grid_precision: int = 8,
+    ) -> DataFrame:
+        """GET /{index}/_mvt/{field}/{z}/{x}/{y} (vector-tile search,
+        ``x-pack/plugin/vector-tile``): points inside web-mercator tile
+        z/x/y, aggregated into the tile's sub-grid at
+        ``zoom + grid_precision`` — the reference's ``aggs`` layer. Output
+        is the grid-cell frame (key=z/x/y, doc_count), not protobuf MVT
+        encoding (a serialization concern, documented out of scope); the
+        spatial math — tile bbox from slippy-map coordinates, sub-tile
+        binning — is the real thing."""
+        import math as _m
+
+        from .plans import aggs as aggs_mod
+
+        n = 1 << zoom
+        lon_min = x / n * 360.0 - 180.0
+        lon_max = (x + 1) / n * 360.0 - 180.0
+        lat_max = _m.degrees(_m.atan(_m.sinh(_m.pi * (1 - 2 * y / n))))
+        lat_min = _m.degrees(_m.atan(_m.sinh(_m.pi * (1 - 2 * (y + 1) / n))))
+        docs = self._docs_view(index)
+        if query is not None:
+            node = dsl.parse(query)
+            docs = docs.where(node.predicate(dsl.SearchContext(docs, "url")))
+        in_tile = docs.where(
+            (F.col(f"{field}.lon") >= lon_min) & (F.col(f"{field}.lon") < lon_max)
+            & (F.col(f"{field}.lat") > lat_min) & (F.col(f"{field}.lat") <= lat_max)
+        )
+        sub_zoom = min(zoom + grid_precision, 29)
+        return aggs_mod.compile_agg(
+            in_tile, "grid",
+            {"geotile_grid": {"field": field, "precision": sub_zoom, "size": 65536}},
+        )
+
     def get_source(self, index: str, url: str) -> dict | None:
         """GET /{index}/_source/{id}: the stored fields only (no metadata)."""
         d = self.get(index, url)

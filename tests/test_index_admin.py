@@ -137,3 +137,24 @@ def test_mount_searchable_snapshot(es, spark, tmp_path):
     es.delete_index("mounted")
     assert "mounted" not in es.indices()
     assert os.path.isdir(os.path.join(repo, "snap1", "src"))
+
+
+def test_search_mvt(es, spark):
+    import math
+    docs = spark.createDataFrame(
+        [(f"g{i}", f"point {i}", "en", float(i), float(i)) for i in range(-3, 4)],
+        "url string, text string, lang string, lat double, lon double",
+    ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp")) \
+     .withColumn("loc", F.struct("lat", "lon")).drop("lat", "lon")
+    es.create_index("geo", num_partitions=2)
+    es.bulk("geo", docs)
+    # zoom 1, tile (1,1): lon [0,180), lat (-85.05, 0] -> points with i<0... wait
+    # lat_max for y=1 at z=1 is 0, lat_min ~ -85 -> i in [-3,-1] have lon<0 -> tile (0,1)?
+    grid = es.search_mvt("geo", "loc", 1, 1, 1).collect()
+    # points with lon in [0,180) and lat in (-85,0]: only (0,0)
+    assert sum(r["doc_count"] for r in grid) == 1
+    grid2 = es.search_mvt("geo", "loc", 0, 0, 0).collect()
+    assert sum(r["doc_count"] for r in grid2) == 7  # whole world tile
+    # every grid key is at the sub-grid zoom (0 + grid_precision 8)
+    assert all(r["key"].startswith("8/") for r in grid2)
+    assert all(r["key"].startswith("9/") for r in grid)  # 1 + 8
