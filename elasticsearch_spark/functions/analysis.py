@@ -735,6 +735,38 @@ def _filter_asciifolding(toks: list[str], **_) -> list[str]:
     ]
 
 
+def _filter_icu_normalizer(toks: list[str], name: str = "nfkc_cf", **_) -> list[str]:
+    """icu_normalizer (plugins/analysis-icu, ``IcuNormalizerTokenFilterFactory``):
+    Unicode normalization. ``nfkc_cf`` (the ICU default) = NFKC + case fold —
+    Python's unicodedata NFKC plus ``str.casefold()`` covers the same full
+    case-folding tables; ``nfc``/``nfkc`` map directly."""
+    import unicodedata
+
+    form = {"nfc": "NFC", "nfkc": "NFKC", "nfkc_cf": "NFKC"}.get(name, "NFKC")
+    out = []
+    for t in toks:
+        n = unicodedata.normalize(form, t)
+        out.append(n.casefold() if name == "nfkc_cf" else n)
+    return out
+
+
+def _filter_icu_folding(toks: list[str], **_) -> list[str]:
+    """icu_folding (``IcuFoldingTokenFilterFactory``): case folding +
+    accent/diacritic stripping across scripts — NFKC case-fold, then NFKD
+    with combining marks removed (the dominant part of ICU's foldings;
+    script-specific digit/spacing foldings beyond Mn-stripping are not
+    replicated — documented subset)."""
+    import unicodedata
+
+    out = []
+    for t in toks:
+        folded = unicodedata.normalize("NFKC", t).casefold()
+        decomp = unicodedata.normalize("NFKD", folded)
+        stripped = "".join(c for c in decomp if unicodedata.category(c) != "Mn")
+        out.append(unicodedata.normalize("NFC", stripped) or t)
+    return out
+
+
 def _filter_shingle(toks: list[str], min_size=2, max_size=2, output_unigrams=True, **_) -> list[str]:
     out = list(toks) if output_unigrams else []
     for size in range(min_size, max_size + 1):
@@ -1453,6 +1485,8 @@ TOKEN_FILTERS = {
     "synonym": _filter_synonym,
     "stop": _filter_stop,
     "asciifolding": _filter_asciifolding,
+    "icu_normalizer": _filter_icu_normalizer,
+    "icu_folding": _filter_icu_folding,
     "shingle": _filter_shingle,
     "ngram": _filter_ngram,
     "edge_ngram": _filter_edge_ngram,

@@ -390,3 +390,31 @@ def test_custom_chain_with_elision_and_lang_stemmer():
     )
     got = analysis.analyze("L'église et les chevaux", "fr_custom")
     assert "église" not in got and "et" not in got
+
+
+def test_icu_normalizer_forms():
+    from elasticsearch_spark.functions.analysis import _filter_icu_normalizer
+
+    # nfkc_cf: compatibility compose + full case fold (ß -> ss, ﬁ -> fi)
+    assert _filter_icu_normalizer(["Straße", "ﬁsh", "ＡＢＣ"]) == ["strasse", "fish", "abc"]
+    # nfc keeps case, composes combining sequences
+    assert _filter_icu_normalizer(["é"], name="nfc") == ["é"]
+    assert _filter_icu_normalizer(["Ｆoo"], name="nfkc") == ["Foo"]
+
+
+def test_icu_folding_strips_diacritics_across_scripts():
+    from elasticsearch_spark.functions.analysis import _filter_icu_folding
+
+    assert _filter_icu_folding(["Crème", "BRÛLÉE", "naïve"]) == ["creme", "brulee", "naive"]
+    # Greek tonos + case fold
+    assert _filter_icu_folding(["Ελληνικά"]) == ["ελληνικα"]
+    # fullwidth + ligature compatibility foldings
+    assert _filter_icu_folding(["ＦＵＬＬ", "ﬂy"]) == ["full", "fly"]
+
+
+def test_icu_chain_registration(spark):
+    from elasticsearch_spark.functions import analysis
+
+    analysis.register_analyzer("icu_test", "standard", [["icu_folding", {}]])
+    toks = analysis.analyze("Crème Brûlée Straße", "icu_test")
+    assert toks == ["creme", "brulee", "strasse"]
