@@ -1621,6 +1621,38 @@ class Engine:
         fut.cancel()
         return {"acknowledged": True}
 
+    def tasks_list(self) -> dict:
+        """GET /_tasks (task management over the async registry — the only
+        long-running detached work this embedded engine owns)."""
+        out = {}
+        for sid, fut in getattr(self, "_async_searches", {}).items():
+            out[sid] = {
+                "action": "indices:data/read/async_search",
+                "running": not fut.done(),
+                "cancellable": not fut.done(),
+            }
+        return {"tasks": out}
+
+    def tasks_cancel(self, task_id: str) -> dict:
+        """POST /_tasks/{id}/_cancel."""
+        fut = getattr(self, "_async_searches", {}).get(task_id)
+        if fut is None:
+            raise KeyError(f"unknown task: {task_id}")
+        return {"cancelled": fut.cancel()}
+
+    def cluster_stats(self) -> dict:
+        """GET /_cluster/stats (indices section — node/JVM sections are the
+        Spark cluster manager's domain): totals over every live index."""
+        idx = self.cat_indices()
+        return {
+            "indices": {
+                "count": len(idx),
+                "docs": {"count": sum(i["docs.count"] for i in idx)},
+                "segments": {"count": sum(i["segments.count"] for i in idx)},
+            },
+            "remote_clusters": sorted(self.get_remote_clusters()),
+        }
+
     # -- data streams (server DataStream metadata + TransportRollover) -------
 
     def create_data_stream(self, name: str, **create_kw) -> dict:

@@ -148,13 +148,25 @@ def test_search_mvt(es, spark):
      .withColumn("loc", F.struct("lat", "lon")).drop("lat", "lon")
     es.create_index("geo", num_partitions=2)
     es.bulk("geo", docs)
-    # zoom 1, tile (1,1): lon [0,180), lat (-85.05, 0] -> points with i<0... wait
-    # lat_max for y=1 at z=1 is 0, lat_min ~ -85 -> i in [-3,-1] have lon<0 -> tile (0,1)?
+    # zoom 1 tile (1,1) covers lon [0,180) x lat (-85.05, 0]: only (0,0)
     grid = es.search_mvt("geo", "loc", 1, 1, 1).collect()
-    # points with lon in [0,180) and lat in (-85,0]: only (0,0)
     assert sum(r["doc_count"] for r in grid) == 1
     grid2 = es.search_mvt("geo", "loc", 0, 0, 0).collect()
     assert sum(r["doc_count"] for r in grid2) == 7  # whole world tile
     # every grid key is at the sub-grid zoom (0 + grid_precision 8)
     assert all(r["key"].startswith("8/") for r in grid2)
     assert all(r["key"].startswith("9/") for r in grid)  # 1 + 8
+
+
+def test_tasks_and_cluster_stats(es):
+    res = es.async_search_submit("src", {"query": {"match_all": {}}, "size": 2})
+    sid = res["id"]
+    tasks = es.tasks_list()["tasks"]
+    assert sid in tasks and tasks[sid]["action"].endswith("async_search")
+    es.async_search_get(sid, wait_seconds=30)
+    assert es.tasks_list()["tasks"][sid]["running"] is False
+    with pytest.raises(KeyError):
+        es.tasks_cancel("nope")
+    cs = es.cluster_stats()
+    assert cs["indices"]["count"] >= 1
+    assert cs["indices"]["docs"]["count"] >= 20
