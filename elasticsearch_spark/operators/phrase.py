@@ -537,6 +537,14 @@ def highlight(
     best-first (the unified highlighter's passage scoring, ties broken by
     document order), still as pure Column expressions."""
     pat = "|".join(sorted((t for t in terms), key=len, reverse=True))
+    if number_of_fragments == 0:
+        # number_of_fragments: 0 (HighlightBuilder semantics): no
+        # fragmentation — the ENTIRE field value returns with every match
+        # wrapped
+        tagged0 = F.regexp_replace(
+            F.col(text_col), f"(?i)({pat})", f"{pre_tag}$1{post_tag}"
+        )
+        return df.withColumn("highlight", tagged0)
     if number_of_fragments > 1:
         half = fragment_size // 2
         ctx = f"(?i)[^\\n]{{0,{half}}}(?:{pat})[^\\n]{{0,{half}}}"

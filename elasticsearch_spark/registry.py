@@ -2536,6 +2536,17 @@ def dsl_rescore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+def q_highlight_whole_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlighting with number_of_fragments: 0 (HighlightBuilder): the
+    whole field returns with every match wrapped — byte-exact oracle via
+    the same global regexp replacement."""
+    from .operators.phrase import highlight
+
+    docs = _docs(spark, sf_dir).where(F.col("text").contains("spark"))
+    out = highlight(docs, ["spark"], number_of_fragments=0)
+    return out.select("doc_id", "highlight").orderBy("doc_id").limit(50)
+
+
 def m_anomaly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x-pack ml anomaly detection, count detector split by
     partition_field_name (``x-pack/plugin/core/.../ml/job/config/Detector.java``)
@@ -4332,6 +4343,11 @@ SELECT w.doc_id, round(0.7 * w.s + 1.2 * coalesce(s2.s, 0), 4) AS score
 FROM win w LEFT JOIN s2 ON w.doc_id = s2.doc_id
 ORDER BY 0.7 * w.s + 1.2 * coalesce(s2.s, 0) DESC, w.doc_id ASC LIMIT 10
 """,
+    "highlight_whole_field": """
+SELECT doc_id, regexp_replace(text, '(spark)', '<em>\\1</em>', 'g') AS highlight
+FROM documents WHERE text LIKE '%spark%'
+ORDER BY doc_id LIMIT 50
+""",
     "dsl_regexp_query": """
 SELECT source, COUNT(*)::BIGINT AS doc_count FROM documents
 WHERE regexp_matches(source, '^(?:src[0-3])$')
@@ -4603,6 +4619,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsl_match_bool_prefix_query": dsl_match_bool_prefix_query,
     "dsl_combined_fields_query": dsl_combined_fields_query,
     "dsl_rescore_window": dsl_rescore_window,
+    "highlight_whole_field": q_highlight_whole_field,
     "dsl_regexp_query": dsl_regexp_query,
     "dsl_search_after_page": dsl_search_after_page,
     "dsl_nested_query": dsl_nested_query,
