@@ -199,3 +199,53 @@ def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(text_col),
         rolling_fingerprint(text_col),
     )
+
+
+# regex dialect note: these patterns stay inside the Java-regex ∩ RE2
+# subset (like pii_signals) so the DuckDB oracle is exact
+_TRACKING_PARAM = r"(utm_[a-z]+|fbclid|gclid|msclkid|ref_src|mc_[ce]id)=[^&#]*"
+
+
+def normalize_url(url_col: str) -> Column:
+    """Web-pipeline URL canonicalization (the dedup-key normalization every
+    crawl pipeline needs before exact URL dedup):
+
+    1. scheme + host lowercased (path/query case preserved — RFC 3986:
+       only scheme and authority are case-insensitive);
+    2. default ports stripped (``:80`` http, ``:443`` https);
+    3. tracking params removed (utm_*, fbclid, gclid, msclkid, …) with
+       their separators, then dangling ``?``/``&`` cleaned;
+    4. fragment dropped;
+    5. trailing slash on a bare host-path dropped (``/`` path only).
+
+    Pure chained native regexps — one projection, no UDF, pushes through
+    whole-stage codegen at 10^12 rows."""
+    c = F.col(url_col)
+    # 1: lowercase scheme://host[:port] prefix only
+    lowered = F.concat(
+        F.lower(F.regexp_extract(c, r"^([^/]+//[^/?#]*)", 1)),
+        F.regexp_replace(c, r"^[^/]+//[^/?#]*", ""),
+    )
+    no_port = F.regexp_replace(
+        lowered, r"^(https?://[^/:?#]+):(?:80|443)(?=[/?#]|$)", r"$1"
+    )
+    no_frag = F.regexp_replace(no_port, r"#.*$", "")
+    no_track = F.regexp_replace(no_frag, _TRACKING_PARAM + r"[&]?", "")
+    clean_sep = F.regexp_replace(
+        F.regexp_replace(no_track, r"[?&]$", ""), r"\?&", "?"
+    )
+    return F.regexp_replace(clean_sep, r"^(https?://[^/?#]+)/$", r"$1")
+
+
+def registrable_domain(url_col: str) -> Column:
+    """Host → registrable-domain approximation (last two labels; common
+    two-level public suffixes like co.uk/com.au widened to three) — the
+    domain-balancing key when the corpus has full URLs."""
+    host = F.regexp_extract(F.col(url_col), r"^[^/]+//([^/:?#]+)", 1)
+    host = F.lower(host)
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    is_2l_suffix = two.rlike(r"^(co|com|org|net|ac|gov|edu)\.[a-z]{2}$")
+    return F.when(is_2l_suffix & (three != ""), three).otherwise(
+        F.when(two != "", two).otherwise(host)
+    )

@@ -2547,6 +2547,41 @@ def q_highlight_whole_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "highlight").orderBy("doc_id").limit(50)
 
 
+def t_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-pipeline URL canonicalization + registrable-domain extraction
+    (crawl dedup-key prep): messy URLs (mixed-case host, default port,
+    tracking params, fragment) normalize to a canonical form and group by
+    registrable domain. The oracle derives the EXPECTED canonical strings
+    analytically from the same construction — independent of the regex
+    implementation, so a normalization bug can't cancel out."""
+    from .functions.textstats import normalize_url, registrable_domain
+
+    docs = _docs(spark, sf_dir)
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("co.uk")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    raw = F.concat(
+        F.lit("HTTPS://Site"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".Example."), tld, F.lit(":443/p/"), F.col("doc_id").cast("string"),
+        F.lit("?id="), F.col("doc_id").cast("string"),
+        F.lit("&utm_source=feed#sec"),
+    )
+    u = docs.select(F.col("doc_id"), raw.alias("url"))
+    out = u.select(
+        normalize_url("url").alias("norm"),
+        registrable_domain("url").alias("domain"),
+    )
+    return (
+        out.groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("doc_count"),
+            F.countDistinct("norm").alias("distinct_urls"),
+        )
+        .orderBy("domain")
+    )
+
+
 def m_anomaly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x-pack ml anomaly detection, count detector split by
     partition_field_name (``x-pack/plugin/core/.../ml/job/config/Detector.java``)
@@ -4343,6 +4378,20 @@ SELECT w.doc_id, round(0.7 * w.s + 1.2 * coalesce(s2.s, 0), 4) AS score
 FROM win w LEFT JOIN s2 ON w.doc_id = s2.doc_id
 ORDER BY 0.7 * w.s + 1.2 * coalesce(s2.s, 0) DESC, w.doc_id ASC LIMIT 10
 """,
+    "text_url_normalize": """
+WITH u AS (
+  SELECT doc_id,
+         'example.' || CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                       ELSE 'co.uk' END AS domain,
+         'https://site' || (doc_id % 50) || '.example.'
+           || CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'co.uk' END
+           || '/p/' || doc_id || '?id=' || doc_id AS norm
+  FROM documents
+)
+SELECT domain, COUNT(*)::BIGINT AS doc_count,
+       COUNT(DISTINCT norm)::BIGINT AS distinct_urls
+FROM u GROUP BY domain ORDER BY domain
+""",
     "highlight_whole_field": """
 SELECT doc_id, regexp_replace(text, '(spark)', '<em>\\1</em>', 'g') AS highlight
 FROM documents WHERE text LIKE '%spark%'
@@ -4619,6 +4668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsl_match_bool_prefix_query": dsl_match_bool_prefix_query,
     "dsl_combined_fields_query": dsl_combined_fields_query,
     "dsl_rescore_window": dsl_rescore_window,
+    "text_url_normalize": t_url_normalize,
     "highlight_whole_field": q_highlight_whole_field,
     "dsl_regexp_query": dsl_regexp_query,
     "dsl_search_after_page": dsl_search_after_page,

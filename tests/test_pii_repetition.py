@@ -54,3 +54,35 @@ def test_repetition_empty_and_single(spark):
     assert rows[1]["top_bigram_frac"] == 0.0
     assert rows[2]["dup_line_frac"] == 0.0
     assert rows[2]["dup_line_char_frac"] == 0.0
+
+
+def test_normalize_url_cases(spark):
+    from elasticsearch_spark.functions.textstats import normalize_url
+
+    rows = [
+        ("HTTPS://Example.COM:443/Path/Q?a=1&utm_source=x&b=2#frag",
+         "https://example.com/Path/Q?a=1&b=2"),
+        ("http://site.org:80/", "http://site.org"),
+        ("http://a.net/p?utm_campaign=z", "http://a.net/p"),
+        ("http://a.net/p?fbclid=only", "http://a.net/p"),
+        ("http://a.net/p?keep=1&gclid=g&also=2", "http://a.net/p?keep=1&also=2"),
+        ("https://ok.com/path", "https://ok.com/path"),  # untouched
+        ("https://ok.com:8443/x", "https://ok.com:8443/x"),  # non-default port kept
+    ]
+    df = spark.createDataFrame([(r[0],) for r in rows], "url string")
+    got = [r[0] for r in df.select(normalize_url("url")).collect()]
+    assert got == [r[1] for r in rows]
+
+
+def test_registrable_domain(spark):
+    from elasticsearch_spark.functions.textstats import registrable_domain
+
+    rows = [
+        ("https://sub.deep.example.com/x", "example.com"),
+        ("http://blog.example.co.uk/post", "example.co.uk"),
+        ("http://example.org", "example.org"),
+        ("http://localhost/x", "localhost"),
+    ]
+    df = spark.createDataFrame([(r[0],) for r in rows], "url string")
+    got = [r[0] for r in df.select(registrable_domain("url")).collect()]
+    assert got == [r[1] for r in rows]
