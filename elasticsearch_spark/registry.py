@@ -2582,6 +2582,27 @@ def t_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filtering: every doc scored by the perplexity
+    of the corpus's own add-1-smoothed bigram LM (functions/lm.py — the LM
+    is two count tables + a join, no model artifact). Oracle = the same
+    counts/joins/means in SQL, so the smoothing math and the bigram
+    extraction both verify value-for-value."""
+    from .functions.lm import bigram_lm_score
+
+    docs = _docs(spark, sf_dir)
+    scores = bigram_lm_score(docs, key="doc_id", text_col="text")
+    out = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.round(F.avg("perplexity"), 4).alias("avg_ppl"),
+            F.count("*").cast("long").alias("doc_count"),
+        )
+        .orderBy("lang")
+    )
+
+
 def m_anomaly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x-pack ml anomaly detection, count detector split by
     partition_field_name (``x-pack/plugin/core/.../ml/job/config/Detector.java``)
@@ -4378,6 +4399,29 @@ SELECT w.doc_id, round(0.7 * w.s + 1.2 * coalesce(s2.s, 0), 4) AS score
 FROM win w LEFT JOIN s2 ON w.doc_id = s2.doc_id
 ORDER BY 0.7 * w.s + 1.2 * coalesce(s2.s, 0) DESC, w.doc_id ASC LIMIT 10
 """,
+    "text_bigram_perplexity": """
+WITH tok AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, u.z[1] AS w1, u.z[2] AS w2
+  FROM tok, UNNEST(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS u(z)
+  WHERE len(toks) >= 2
+),
+bgc AS (SELECT w1, w2, COUNT(*)::DOUBLE AS c12 FROM bg GROUP BY 1, 2),
+uni AS (SELECT w1, COUNT(*)::DOUBLE AS c1 FROM bg GROUP BY 1),
+v AS (SELECT COUNT(*)::DOUBLE AS v FROM uni),
+lp AS (
+  SELECT bg.doc_id, bg.lang, ln((c12 + 1.0) / (c1 + v.v)) AS lp
+  FROM bg JOIN bgc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+),
+per_doc AS (
+  SELECT doc_id, lang, exp(-avg(lp)) AS ppl FROM lp GROUP BY 1, 2
+)
+SELECT lang, round(avg(ppl), 4) AS avg_ppl, COUNT(*)::BIGINT AS doc_count
+FROM per_doc GROUP BY lang ORDER BY lang
+""",
     "text_url_normalize": """
 WITH u AS (
   SELECT doc_id,
@@ -4668,6 +4712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsl_match_bool_prefix_query": dsl_match_bool_prefix_query,
     "dsl_combined_fields_query": dsl_combined_fields_query,
     "dsl_rescore_window": dsl_rescore_window,
+    "text_bigram_perplexity": t_bigram_perplexity,
     "text_url_normalize": t_url_normalize,
     "highlight_whole_field": q_highlight_whole_field,
     "dsl_regexp_query": dsl_regexp_query,

@@ -1,0 +1,56 @@
+"""Bigram-LM perplexity filtering (functions/lm.py, CCNet recipe):
+count-table LM, add-k smoothing, self-scoring, ceiling filter."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from elasticsearch_spark.functions.lm import bigram_lm_score, perplexity_filter
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the rug"),
+        (3, "the dog sat on the mat"),
+        (4, "zx qv pj wk bn zz"),  # gibberish: every bigram is unique
+        (5, "one"),  # single token: no bigrams
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gibberish_scores_higher_perplexity(corpus):
+    scores = {r["doc_id"]: r["perplexity"] for r in bigram_lm_score(corpus).collect()}
+    assert 5 not in scores  # no bigrams -> unscorable
+    assert scores[4] > scores[1]
+    assert scores[4] > scores[2]
+    assert scores[4] > scores[3]
+
+
+def test_exact_math_tiny_case(spark):
+    # corpus "a b", "a b", "a c": V = 2 (w1 vocab {a, b}? -> w1 only 'a'...)
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    # bigrams: doc1 = (a,b),(b,a),(a,b); doc2 = (a,c)
+    # c(a,b)=2 c(b,a)=1 c(a,c)=1; c1(a)=3 c1(b)=1; V=2
+    v = 2.0
+    lp_ab = math.log((2 + 1) / (3 + v))
+    lp_ba = math.log((1 + 1) / (1 + v))
+    lp_ac = math.log((1 + 1) / (3 + v))
+    want1 = math.exp(-(lp_ab + lp_ba + lp_ab) / 3)
+    want2 = math.exp(-lp_ac)
+    got = {r["doc_id"]: r["perplexity"] for r in bigram_lm_score(df).collect()}
+    assert got[1] == pytest.approx(want1, rel=1e-9)
+    assert got[2] == pytest.approx(want2, rel=1e-9)
+
+
+def test_perplexity_filter_keeps_head(corpus):
+    scores = {r["doc_id"]: r["perplexity"] for r in bigram_lm_score(corpus).collect()}
+    ceiling = (scores[3] + scores[4]) / 2  # between normal docs and gibberish
+    kept = {r["doc_id"] for r in perplexity_filter(corpus, ceiling).collect()}
+    assert kept == {1, 2, 3}  # gibberish and unscorable both dropped
