@@ -2603,6 +2603,36 @@ def t_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (jusText/readability link-density heuristic,
+    functions/boilerplate.py): each doc's text is wrapped in a realistic
+    page shell (nav + header + link-farm + footer), stripped, and must be
+    recovered EXACTLY — the oracle checks per-lang doc counts and total
+    character mass of the original text, so any chrome leakage or prose
+    loss shifts the sums."""
+    from .functions.boilerplate import strip_boilerplate_udf
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a> <a href="/a">About us</a>'
+              '</nav><header><h1>Site</h1></header><p>'),
+        F.col("text"),
+        F.lit('</p><div><a href="/r1">Related one</a> <a href="/r2">'
+              'Related two</a></div><footer>© corp <a href="/t">Terms</a>'
+              '</footer></body></html>'),
+    )
+    out = docs.select("lang", strip_boilerplate_udf()(html).alias("extracted"), "text")
+    return (
+        out.where(F.col("extracted") == F.col("text"))  # exact recovery only
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("doc_count"),
+            F.sum(F.length("extracted")).cast("long").alias("chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 def m_anomaly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x-pack ml anomaly detection, count detector split by
     partition_field_name (``x-pack/plugin/core/.../ml/job/config/Detector.java``)
@@ -4399,6 +4429,10 @@ SELECT w.doc_id, round(0.7 * w.s + 1.2 * coalesce(s2.s, 0), 4) AS score
 FROM win w LEFT JOIN s2 ON w.doc_id = s2.doc_id
 ORDER BY 0.7 * w.s + 1.2 * coalesce(s2.s, 0) DESC, w.doc_id ASC LIMIT 10
 """,
+    "text_boilerplate_strip": """
+SELECT lang, COUNT(*)::BIGINT AS doc_count, SUM(strlen(text))::BIGINT AS chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
     "text_bigram_perplexity": """
 WITH tok AS (
   SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
@@ -4712,6 +4746,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsl_match_bool_prefix_query": dsl_match_bool_prefix_query,
     "dsl_combined_fields_query": dsl_combined_fields_query,
     "dsl_rescore_window": dsl_rescore_window,
+    "text_boilerplate_strip": t_boilerplate_strip,
     "text_bigram_perplexity": t_bigram_perplexity,
     "text_url_normalize": t_url_normalize,
     "highlight_whole_field": q_highlight_whole_field,
