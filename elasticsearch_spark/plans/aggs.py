@@ -1165,6 +1165,27 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
 
     if bkind == "terms":
         size = bbody.get("size", 10)
+        # include/exclude (IncludeExclude.java): anchored regex, value
+        # list, or {partition, num_partitions} term-space partitioning —
+        # all applied to bucket KEYS before min_doc_count and size
+        inc = bbody.get("include")
+        if isinstance(inc, dict):
+            grouped = grouped.where(
+                F.pmod(
+                    F.xxhash64(F.col("key").cast("string")),
+                    F.lit(int(inc["num_partitions"])),
+                )
+                == int(inc["partition"])
+            )
+        elif isinstance(inc, list):
+            grouped = grouped.where(F.col("key").isin(inc))
+        elif inc is not None:
+            grouped = grouped.where(F.col("key").rlike(f"^(?:{inc})$"))
+        exc = bbody.get("exclude")
+        if isinstance(exc, list):
+            grouped = grouped.where(~F.col("key").isin(exc))
+        elif exc is not None:
+            grouped = grouped.where(~F.col("key").rlike(f"^(?:{exc})$"))
         order_spec = bbody.get("order", {"_count": "desc"})
         (ok, od), = order_spec.items()
         oc = F.col("doc_count") if ok == "_count" else (F.col("key") if ok == "_key" else F.col(ok))

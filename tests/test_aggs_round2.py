@@ -444,3 +444,27 @@ def test_significant_terms_background_filter(spark):
     # with the filter, x's bg count is 1 (the s2 x's are excluded; it
     # would be 3 against the unfiltered background)
     assert got["x"] == 1
+
+
+def test_terms_include_exclude_and_partition(spark):
+    from elasticsearch_spark.plans import aggs as aggs_mod
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 5}") for i in range(100)], "id long, source string"
+    )
+    inc = aggs_mod.compile_agg(df, "t", {"terms": {"field": "source", "include": "src[0-2]", "size": 10}})
+    assert {r["key"] for r in inc.collect()} == {"src0", "src1", "src2"}
+    exc = aggs_mod.compile_agg(df, "t", {"terms": {"field": "source", "exclude": ["src0", "src4"], "size": 10}})
+    assert {r["key"] for r in exc.collect()} == {"src1", "src2", "src3"}
+    lst = aggs_mod.compile_agg(df, "t", {"terms": {"field": "source", "include": ["src3"], "size": 10}})
+    assert [r["key"] for r in lst.collect()] == ["src3"]
+    # partitioning: the two partitions are disjoint and exhaustive
+    parts = [
+        {r["key"] for r in aggs_mod.compile_agg(
+            df, "t", {"terms": {"field": "source", "size": 10,
+                                "include": {"partition": p, "num_partitions": 2}}}
+        ).collect()}
+        for p in (0, 1)
+    ]
+    assert parts[0] & parts[1] == set()
+    assert parts[0] | parts[1] == {f"src{i}" for i in range(5)}
