@@ -1195,6 +1195,54 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         if "min_doc_count" in bbody:
             grouped = grouped.where(F.col("doc_count") >= bbody["min_doc_count"])
         return grouped.orderBy(oc, F.col("key").asc()).limit(size)
+    if bkind in ("histogram", "date_histogram") and bbody.get("min_doc_count") == 0:
+        # min_doc_count: 0 (HistogramAggregator empty-bucket filling): emit
+        # every bucket between the data's (or extended_bounds') min and max
+        # with doc_count 0 where no docs landed. The bucket axis is one
+        # sequence() frame (tiny) right-joined onto the grouped counts —
+        # nothing about the data path changes.
+        spark_ = grouped.sparkSession
+        lo_hi = grouped.agg(F.min("key"), F.max("key")).collect()[0]
+        lo, hi = lo_hi[0], lo_hi[1]
+        eb = bbody.get("extended_bounds")
+        if bkind == "histogram":
+            interval = bbody["interval"]
+            if eb:
+                lo = min(lo, eb["min"]) if lo is not None else eb["min"]
+                hi = max(hi, eb["max"]) if hi is not None else eb["max"]
+            if lo is None:
+                return grouped.orderBy("key")
+            off = bbody.get("offset", 0)
+            import math as _m
+
+            lo_b = _m.floor((lo - off) / interval) * interval + off
+            hi_b = _m.floor((hi - off) / interval) * interval + off
+            axis = spark_.range(0, int((hi_b - lo_b) / interval) + 1).select(
+                (F.col("id") * interval + lo_b).alias("key")
+            )
+        else:
+            iv = bbody.get("calendar_interval") or bbody.get("fixed_interval", "1d")
+            step = {"1d": "interval 1 day", "day": "interval 1 day",
+                    "1h": "interval 1 hour", "hour": "interval 1 hour",
+                    "week": "interval 7 day", "month": "interval 1 month",
+                    "minute": "interval 1 minute", "1m": "interval 1 minute",
+                    "year": "interval 1 year"}[iv]
+            if eb:
+                lo = min(lo, eb["min"]) if lo is not None else eb["min"]
+                hi = max(hi, eb["max"]) if hi is not None else eb["max"]
+            if lo is None:
+                return grouped.orderBy("key")
+            axis = spark_.sql(
+                f"SELECT explode(sequence(timestamp'{lo}', timestamp'{hi}', {step})) AS key"
+            )
+        key_type = dict(grouped.dtypes)["key"]
+        axis = axis.select(F.col("key").cast(key_type))
+        filled = axis.join(grouped, "key", "left")
+        fill_cols = [
+            F.coalesce(F.col(c), F.lit(0)).alias(c) if c == "doc_count" else F.col(c)
+            for c in grouped.columns
+        ]
+        return filled.select(*fill_cols).orderBy("key")
     return grouped.orderBy("key")
 
 

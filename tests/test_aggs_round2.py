@@ -468,3 +468,39 @@ def test_terms_include_exclude_and_partition(spark):
     ]
     assert parts[0] & parts[1] == set()
     assert parts[0] | parts[1] == {f"src{i}" for i in range(5)}
+
+
+def test_histogram_min_doc_count_zero_fills_gaps(spark):
+    from elasticsearch_spark.plans import aggs as aggs_mod
+
+    df = spark.createDataFrame([(0.0,), (1.0,), (25.0,)], "v double")
+    out = aggs_mod.compile_agg(
+        df, "h", {"histogram": {"field": "v", "interval": 10, "min_doc_count": 0}}
+    ).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [(0.0, 2), (10.0, 0), (20.0, 1)]
+
+
+def test_histogram_extended_bounds(spark):
+    from elasticsearch_spark.plans import aggs as aggs_mod
+
+    df = spark.createDataFrame([(15.0,)], "v double")
+    out = aggs_mod.compile_agg(
+        df, "h", {"histogram": {"field": "v", "interval": 10, "min_doc_count": 0,
+                                "extended_bounds": {"min": 0, "max": 35}}}
+    ).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [
+        (0.0, 0), (10.0, 1), (20.0, 0), (30.0, 0)]
+
+
+def test_date_histogram_min_doc_count_zero(spark):
+    from elasticsearch_spark.plans import aggs as aggs_mod
+
+    df = spark.createDataFrame(
+        [("2024-01-01 05:00:00",), ("2024-01-04 07:00:00",)], "tss string"
+    ).selectExpr("cast(tss as timestamp) AS ts")
+    out = aggs_mod.compile_agg(
+        df, "h",
+        {"date_histogram": {"field": "ts", "calendar_interval": "1d", "min_doc_count": 0}},
+    ).collect()
+    days = [(str(r["key"])[:10], r["doc_count"]) for r in out]
+    assert days == [("2024-01-01", 1), ("2024-01-02", 0), ("2024-01-03", 0), ("2024-01-04", 1)]
