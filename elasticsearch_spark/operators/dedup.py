@@ -375,6 +375,120 @@ def exact_dedup(df: DataFrame, key: str, content_col: str) -> DataFrame:
     )
 
 
+def exact_substring_spans(
+    df: DataFrame, key: str, toks_col: str, min_len: int = 50
+) -> DataFrame:
+    """Exact-substring dedup (ExactSubstr, Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better"; the RefinedWeb pipeline's
+    aggressive remove-all-occurrences variant): any token span of length
+    >= ``min_len`` that appears more than once ANYWHERE in the corpus
+    (across docs or repeated within one doc) is marked duplicated, and the
+    union of all duplicated windows per doc is reported.
+
+    Equivalence to the suffix-array formulation: a duplicated span of
+    length m >= L contributes m-L+1 duplicated L-grams whose window union
+    is exactly [s, s+m) — so the union of duplicated-L-gram windows equals
+    the union of maximal duplicated spans. No suffix array needed; the
+    whole thing is three dataframe stages.
+
+    Plan shape at 100 TB: per-doc gram hashing is a JVM ``transform`` over
+    the token array (no UDF); the only shuffles key on (a) the 64-bit gram
+    hash — uniform by construction — for the count>=2 filter (partial
+    map-side count applies), and (b) the doc key to re-assemble per-doc
+    duplicated-start lists (bounded by per-doc token count). The interval
+    union length is a higher-order ``aggregate`` over the sorted start
+    list — no window functions, no driver collect. Per-doc cost is
+    O(n_tokens * L) hashed bytes (windowed concat); a rolling polynomial
+    hash would drop that to O(n_tokens) without changing any join shape.
+
+    Returns (key, n_tokens, dup_tokens, kept_tokens, dup_starts) — one row
+    per input doc, dup_starts = sorted starts of duplicated windows.
+    """
+    L = int(min_len)
+    base = df.select(
+        F.col(key).alias(key), F.col(toks_col).alias("__t")
+    ).withColumn("__n", F.size("__t"))
+    grams = base.where(F.col("__n") >= L).select(
+        key,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, __n - {L}),"
+                f" i -> xxhash64(concat_ws(' ', slice(__t, i + 1, {L}))))"
+            )
+        ).alias("s", "g"),
+    )
+    dup_g = grams.groupBy("g").count().where(F.col("count") >= 2).select("g")
+    per_doc = (
+        grams.join(dup_g, "g", "left_semi")
+        .groupBy(key)
+        .agg(F.sort_array(F.collect_list("s")).alias("dup_starts"))
+    )
+    out = base.join(per_doc, key, "left").withColumn(
+        "dup_starts",
+        F.coalesce("dup_starts", F.expr("cast(array() as array<int>)")),
+    )
+    # union length of the (sorted, equal-width-L) windows: fold carrying
+    # (covered_so_far, current_max_end); each window [x, x+L) adds
+    # max(0, x+L - max(end, x)) — exact interval-union arithmetic.
+    dup_len = F.expr(
+        f"""aggregate(dup_starts, named_struct('d', 0L, 'e', -1L),
+              (acc, x) -> named_struct(
+                'd', acc.d + greatest(0L, cast(x as bigint) + {L}
+                       - greatest(acc.e, cast(x as bigint))),
+                'e', greatest(acc.e, cast(x as bigint) + {L})),
+              acc -> acc.d)"""
+    )
+    return (
+        out.withColumn("dup_tokens", dup_len)
+        .withColumn("n_tokens", F.col("__n").cast("long"))
+        .withColumn("kept_tokens", F.col("n_tokens") - F.col("dup_tokens"))
+        .select(key, "n_tokens", "dup_tokens", "kept_tokens", "dup_starts")
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame, key: str, toks_col: str, min_len: int = 50
+) -> DataFrame:
+    """Apply exact-substring dedup: remove every duplicated window from the
+    token stream (see exact_substring_spans for semantics + scale notes).
+    Returns (key, kept_toks) with the surviving tokens in original order.
+
+    The merged-interval array is built by the same fold (append-or-extend
+    the last interval — starts are sorted so only the tail can merge), then
+    tokens are kept when no interval covers their index. Membership is
+    ``exists`` over the merged intervals: O(n_tokens * n_spans) per doc,
+    all inside whole-stage codegen."""
+    L = int(min_len)
+    spans = exact_substring_spans(df, key, toks_col, L)
+    base = df.select(F.col(key).alias(key), F.col(toks_col).alias("__t"))
+    j = base.join(spans.select(key, "dup_starts"), key, "left")
+    intervals = F.expr(
+        f"""aggregate(
+              coalesce(dup_starts, cast(array() as array<int>)),
+              cast(array() as array<struct<lo: bigint, hi: bigint>>),
+              (acc, x) -> case
+                when size(acc) > 0 and cast(x as bigint) <= element_at(acc, -1).hi
+                then concat(
+                  slice(acc, 1, size(acc) - 1),
+                  array(named_struct(
+                    'lo', element_at(acc, -1).lo,
+                    'hi', greatest(element_at(acc, -1).hi,
+                                   cast(x as bigint) + {L}))))
+                else concat(acc, array(named_struct(
+                  'lo', cast(x as bigint), 'hi', cast(x as bigint) + {L})))
+              end)"""
+    )
+    kept = F.expr(
+        "filter(__t, (tok, i) -> not exists(__iv,"
+        " v -> i >= v.lo and i < v.hi))"
+    )
+    return (
+        j.withColumn("__iv", intervals)
+        .withColumn("kept_toks", kept)
+        .select(key, "kept_toks")
+    )
+
+
 def connected_components(
     pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 20
 ) -> DataFrame:

@@ -983,6 +983,22 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (ExactSubstr, Lee et al. 2021 / RefinedWeb
+    remove-all variant): duplicated >=20-token spans found corpus-wide via
+    duplicated-20-gram window union (operators/dedup.py:
+    exact_substring_spans — gram-hash shuffle + per-doc interval fold, no
+    suffix array, no UDF). One row per doc with union span length."""
+    from .operators.dedup import exact_substring_spans
+
+    t = _tokenized(spark, sf_dir).select("doc_id", "toks")
+    return (
+        exact_substring_spans(t, "doc_id", "toks", min_len=20)
+        .select("doc_id", "n_tokens", "dup_tokens", "kept_tokens")
+        .orderBy("doc_id")
+    )
+
+
 def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → CLUSTERS (operators/dedup.py:connected_components,
     iterative min-label propagation with per-round lineage checkpoints):
@@ -3565,6 +3581,34 @@ FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.do
 WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.5
 ORDER BY a, b
 """,
+    "dedup_exact_substring": f"""
+WITH toks AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+grams AS (
+  SELECT doc_id, i AS s, md5(array_to_string(t[i+1:i+20], ' ')) AS g
+  FROM toks, UNNEST(generate_series(0, len(t) - 20)) AS u(i)
+  WHERE len(t) >= 20
+),
+dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT doc_id, s FROM grams WHERE g IN (SELECT g FROM dupg)),
+brk AS (
+  SELECT doc_id, s,
+    CASE WHEN s <= coalesce(max(s + 20) OVER (
+        PARTITION BY doc_id ORDER BY s
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      THEN 0 ELSE 1 END AS b
+  FROM hits),
+isl AS (SELECT doc_id, s,
+          sum(b) OVER (PARTITION BY doc_id ORDER BY s) AS iid FROM brk),
+spans AS (SELECT doc_id, min(s) AS lo, max(s) + 20 AS hi
+          FROM isl GROUP BY doc_id, iid),
+dup AS (SELECT doc_id, sum(hi - lo)::BIGINT AS dup_tokens
+        FROM spans GROUP BY doc_id)
+SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+  coalesce(d.dup_tokens, 0)::BIGINT AS dup_tokens,
+  (len(t.t) - coalesce(d.dup_tokens, 0))::BIGINT AS kept_tokens
+FROM toks t LEFT JOIN dup d USING (doc_id)
+ORDER BY t.doc_id
+""",
     "dedup_clusters": f"""
 WITH RECURSIVE t AS (
   SELECT doc_id, {_TOK_SQL} AS toks FROM documents
@@ -4670,6 +4714,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsl_boosting": dsl_boosting,
     "dedup_exact": d_dedup_exact,
     "dedup_ngram_jaccard": d_ngram_jaccard,
+    "dedup_exact_substring": d_exact_substring,
     "dedup_clusters": d_dedup_clusters,
     "dedup_minhash_lsh": d_minhash_lsh,
     "dedup_simhash": d_simhash,

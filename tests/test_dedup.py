@@ -174,3 +174,70 @@ def test_jaccard_pairs_prefix_filter_lossless(spark):
         if n_at_loosest is None:
             n_at_loosest = len(want)
     assert n_at_loosest > 0  # the comparison must actually exercise pairs
+
+
+def test_exact_substring_spans(spark):
+    # L=4; docs A and B share the 6-token run w1..w6 (aligned anywhere),
+    # doc C repeats a 5-token run WITHIN itself, doc D has no duplication.
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"a0 a1 {shared} a2 a3"),
+        (2, f"b0 {shared} b1 b2 b3 b4"),
+        (3, "c0 one two three four five c1 c2 one two three four five c3"),
+        (4, "d0 d1 d2 d3 d4 d5 d6 d7 d8 d9"),
+        (5, "e0 e1"),  # shorter than L — no grams, survives with 0 dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "toks", F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.exact_substring_spans(df, "doc_id", "toks", min_len=4).collect()
+    }
+    # shared run = 6 tokens => union of duplicated 4-gram windows = 6 in both
+    assert (out[1]["dup_tokens"], out[1]["n_tokens"]) == (6, 10)
+    assert out[1]["dup_starts"] == [2, 3, 4]  # starts of the 3 dup 4-grams
+    assert (out[2]["dup_tokens"], out[2]["kept_tokens"]) == (6, 5)  # n=11
+    # within-doc repeat: 5-token run duplicated at offsets 1 and 9 => 10 total
+    assert out[3]["dup_tokens"] == 10
+    assert out[4]["dup_tokens"] == 0 and out[4]["kept_tokens"] == 10
+    assert out[5]["dup_tokens"] == 0 and out[5]["n_tokens"] == 2
+
+
+def test_exact_substring_dedup_removes_spans(spark):
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"a0 a1 {shared} a2 a3"),
+        (2, f"b0 {shared} b1 b2 b3 b4"),
+        (4, "d0 d1 d2 d3 d4 d5 d6 d7 d8 d9"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "toks", F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    )
+    out = {
+        r["doc_id"]: r["kept_toks"]
+        for r in dedup.exact_substring_dedup(df, "doc_id", "toks", min_len=4).collect()
+    }
+    assert out[1] == ["a0", "a1", "a2", "a3"]
+    assert out[2] == ["b0", "b1", "b2", "b3", "b4"]
+    assert out[4] == "d0 d1 d2 d3 d4 d5 d6 d7 d8 d9".split()
+
+
+def test_exact_substring_overlapping_islands(spark):
+    # Two overlapping duplicated runs in one doc must merge into one span:
+    # doc 1 shares [p1..p5] with doc 2 and [p4..p8] with doc 3 (L=4) —
+    # union in doc 1 covers p1..p8 contiguously (8 tokens), not 5+5.
+    rows = [
+        (1, "x0 p1 p2 p3 p4 p5 p6 p7 p8 x1"),
+        (2, "y0 y1 p1 p2 p3 p4 p5 y2"),
+        (3, "z0 p4 p5 p6 p7 p8 z1 z2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "toks", F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    )
+    out = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in dedup.exact_substring_spans(df, "doc_id", "toks", min_len=4).collect()
+    }
+    assert out[1] == 8  # merged island p1..p8
+    assert out[2] == 5 and out[3] == 5
