@@ -288,3 +288,96 @@ def quantize_int8(
             F.round(F.expr(err), 6).alias("recon_err"),
         )
     )
+
+
+def semdedup(
+    df: DataFrame,
+    key: str,
+    vec_col: str,
+    centroids,
+    eps: float = 0.05,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every vector to its max-cosine centroid,
+    rank cluster members most-central-first (descending cosine to the
+    centroid, key ascending as the tie-break), and drop any member whose
+    cosine to an EARLIER-ranked cluster-mate exceeds ``1 - eps``. This is
+    the reference implementation's upper-triangular-max formulation (each
+    point compares against ALL earlier points, kept or not), which makes
+    the result order-deterministic and join-expressible — no sequential
+    greedy scan.
+
+    ``centroids``: k×dim list/array. Train them with ``train_centroids``
+    on a bounded deterministic sample in production; they are passed in
+    explicitly so a run is reproducible and the k-vector table rides the
+    plan as a literal (broadcast-by-construction).
+
+    Plan shape at 10^12 rows: centroid assignment is a JVM ``transform``
+    over the literal centroid array — no UDF, no shuffle, O(k·dim) per
+    row; the only shuffles key on the cluster id (the rank window and the
+    intra-cluster self-join). Pairwise work is O(c²) per cluster with c
+    kept bounded by scaling k ~ N / target_cluster_size, exactly the
+    paper's recipe (they use k=50k for LAION-440M).
+
+    Returns (key, cluster, cos_centroid, max_prev_sim, kept) — one row
+    per input vector; ``max_prev_sim`` is -1.0 for the cluster's
+    top-ranked member.
+    """
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+            f" cast(0 as double), (s, x) -> s + x)"
+        )
+
+    cents = [list(map(float, c)) for c in centroids]
+    cent_lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
+    base = (
+        df.select(F.col(key).alias(key), F.col(vec_col).cast("array<double>").alias("__v"))
+        .withColumn("__cents", cent_lit)
+        .withColumn("__norm", F.expr(f"sqrt({dot('__v', '__v')})"))
+        .withColumn(
+            "__best",
+            F.expr(
+                "array_min(transform(__cents, (c, i) -> named_struct("
+                f"'negcos', -({dot('__v', 'c')}) / (__norm * sqrt({dot('c', 'c')})),"
+                " 'cid', i)))"
+            ),
+        )
+        .select(
+            key,
+            "__v",
+            "__norm",
+            F.col("__best.cid").alias("cluster"),
+            (-F.col("__best.negcos")).alias("cos_centroid"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("cos_centroid"), F.asc(key)
+    )
+    ranked = base.withColumn("__rn", F.row_number().over(w))
+    a = ranked.select(
+        F.col(key).alias("__ka"), F.col("cluster").alias("__ca"),
+        F.col("__rn").alias("__ra"), F.col("__v").alias("__va"),
+        F.col("__norm").alias("__na"),
+    )
+    b = ranked.select(
+        F.col("cluster").alias("__cb"), F.col("__rn").alias("__rb"),
+        F.col("__v").alias("__vb"), F.col("__norm").alias("__nb"),
+    )
+    prev = (
+        a.join(b, (F.col("__ca") == F.col("__cb")) & (F.col("__rb") < F.col("__ra")))
+        .withColumn("__cos", F.expr(dot("__va", "__vb")) / (F.col("__na") * F.col("__nb")))
+        .groupBy("__ka")
+        .agg(F.max("__cos").alias("max_prev_sim"))
+    )
+    return (
+        ranked.join(prev, ranked[key] == prev["__ka"], "left")
+        .withColumn("max_prev_sim", F.coalesce("max_prev_sim", F.lit(-1.0)))
+        .withColumn(
+            "kept", (F.col("max_prev_sim") <= F.lit(1.0 - eps)).cast("int")
+        )
+        .select(key, "cluster", "cos_centroid", "max_prev_sim", "kept")
+    )

@@ -1075,6 +1075,28 @@ def d_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.95).orderBy("a", "b")
 
 
+def d_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k=8 clusters, eps=0.05 (drop when
+    cosine to an earlier-ranked cluster-mate > 0.95). Centroids pinned to
+    the embeddings of vec_id 0..7 (deterministic, oracle-mirrorable); in
+    production swap in operators/similarity.py:train_centroids."""
+    from .operators.similarity import semdedup
+
+    e = _emb(spark, sf_dir)
+    cents = [
+        r["embedding"]
+        for r in e.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    out = semdedup(e, "vec_id", "embedding", cents, eps=0.05)
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.round("cos_centroid", 4).alias("cos_centroid"),
+        F.round("max_prev_sim", 4).alias("max_prev_sim"),
+        F.col("kept").cast("long").alias("kept"),
+    ).orderBy("vec_id")
+
+
 def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """brute-force cosine top-k (the ANN baseline): query = vec_id 0's
     embedding, top-10 neighbors by cosine DESC, vec_id ASC."""
@@ -3609,6 +3631,31 @@ SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
 FROM toks t LEFT JOIN dup d USING (doc_id)
 ORDER BY t.doc_id
 """,
+    "dedup_semdedup": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
+           FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv, nv AS nc FROM e WHERE vec_id < 8),
+asn AS (
+  SELECT vec_id, v, nv, cid,
+         list_dot_product(v, cv) / (nv * nc) AS cosc,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY list_dot_product(v, cv) / (nv * nc) DESC, cid ASC) AS pick
+  FROM e CROSS JOIN c),
+ranked AS (
+  SELECT vec_id, v, nv, cid AS cluster, cosc,
+         row_number() OVER (PARTITION BY cid ORDER BY cosc DESC, vec_id ASC) AS rn
+  FROM asn WHERE pick = 1),
+prev AS (
+  SELECT a.vec_id, max(list_dot_product(a.v, b.v) / (a.nv * b.nv)) AS mp
+  FROM ranked a JOIN ranked b ON a.cluster = b.cluster AND b.rn < a.rn
+  GROUP BY a.vec_id)
+SELECT r.vec_id, r.cluster::BIGINT AS cluster, round(r.cosc, 4) AS cos_centroid,
+       round(coalesce(p.mp, -1.0), 4) AS max_prev_sim,
+       (CASE WHEN coalesce(p.mp, -1.0) <= 0.95 THEN 1 ELSE 0 END)::BIGINT AS kept
+FROM ranked r LEFT JOIN prev p ON r.vec_id = p.vec_id
+ORDER BY r.vec_id
+""",
     "dedup_clusters": f"""
 WITH RECURSIVE t AS (
   SELECT doc_id, {_TOK_SQL} AS toks FROM documents
@@ -4715,6 +4762,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": d_dedup_exact,
     "dedup_ngram_jaccard": d_ngram_jaccard,
     "dedup_exact_substring": d_exact_substring,
+    "dedup_semdedup": d_semdedup,
     "dedup_clusters": d_dedup_clusters,
     "dedup_minhash_lsh": d_minhash_lsh,
     "dedup_simhash": d_simhash,

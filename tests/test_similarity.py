@@ -99,3 +99,35 @@ def test_ivf_recall_and_partition_prune(spark):
     c2 = train_centroids(vecs[:100], 8)
     c3 = train_centroids(vecs[:100], 8)
     assert np.allclose(c2, c3)
+
+
+def test_semdedup_drops_near_duplicates(spark):
+    # Two orthogonal centroids; cluster 0 holds three near-identical
+    # vectors (cos > 0.95 pairwise) + one distinct; cluster 1 holds one.
+    c0, c1 = [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]
+    rows = [
+        (10, [1.0, 0.01, 0.0]),     # cluster 0, most central
+        (11, [1.0, 0.02, 0.0]),     # near-dup of 10 -> dropped
+        (12, [1.0, 0.015, 0.01]),   # near-dup of 10 -> dropped
+        (13, [0.6, 0.0, 0.8]),      # cluster 0 but far from 10 -> kept
+        (20, [0.1, 1.0, 0.0]),      # cluster 1, alone -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in similarity.semdedup(df, "vec_id", "embedding", [c0, c1], eps=0.05).collect()
+    }
+    assert {k: v["cluster"] for k, v in out.items()} == {
+        10: 0, 11: 0, 12: 0, 13: 0, 20: 1}
+    assert out[10]["kept"] == 1 and out[10]["max_prev_sim"] == -1.0
+    assert out[11]["kept"] == 0 and out[11]["max_prev_sim"] > 0.95
+    assert out[12]["kept"] == 0
+    assert out[13]["kept"] == 1 and out[20]["kept"] == 1
+    # upper-triangular semantics: 12 compares against BOTH 10 and 11
+    # (11 itself dropped) — max_prev_sim is the max over earlier ranks
+    import numpy as np
+    v11, v12 = np.array(rows[1][1]), np.array(rows[2][1])
+    cos = float(v11 @ v12 / (np.linalg.norm(v11) * np.linalg.norm(v12)))
+    v10 = np.array(rows[0][1])
+    cos10 = float(v10 @ v12 / (np.linalg.norm(v10) * np.linalg.norm(v12)))
+    assert abs(out[12]["max_prev_sim"] - max(cos, cos10)) < 1e-7
