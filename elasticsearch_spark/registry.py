@@ -983,6 +983,23 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB quality classifier (the GPT-3/CCNet fastText-filter slot): train
+    multinomial NB (add-0.5) with label = (lang = 'en') on the corpus
+    tokens, score every doc (operators/classifier.py — one groupBy to
+    train, one explode+join+sum to score, fully deterministic)."""
+    from .operators.classifier import score_tokens, train_nb
+
+    t = _tokenized(spark, sf_dir).withColumn("y", (F.col("lang") == "en"))
+    weights, prior, oov = train_nb(t, "toks", "y", add_k=0.5)
+    out = score_tokens(t, "doc_id", "toks", weights, prior, oov)
+    return out.select(
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        (F.col("score") > 0).cast("long").alias("pred"),
+    ).orderBy("doc_id")
+
+
 def d_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (ExactSubstr, Lee et al. 2021 / RefinedWeb
     remove-all variant): duplicated >=20-token spans found corpus-wide via
@@ -3603,6 +3620,24 @@ FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.do
 WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.5
 ORDER BY a, b
 """,
+    "text_quality_classifier": f"""
+WITH t AS (SELECT doc_id, (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS y,
+                  {_TOK_SQL} AS toks FROM documents),
+ex AS (SELECT doc_id, y, unnest(toks) AS token FROM t),
+tot AS (SELECT sum(y)::DOUBLE AS tp, count(*)::DOUBLE AS tt,
+               count(DISTINCT token)::DOUBLE AS v FROM ex),
+pri AS (SELECT ln(sum(y)::DOUBLE / (count(*) - sum(y))) AS prior FROM t),
+w AS (SELECT token,
+        ln((sum(y) + 0.5) / (tot.tp + 0.5 * tot.v))
+          - ln((count(*) - sum(y) + 0.5) / ((tot.tt - tot.tp) + 0.5 * tot.v)) AS w
+      FROM ex CROSS JOIN tot GROUP BY token, tot.tp, tot.tt, tot.v),
+s AS (SELECT ex.doc_id, sum(w.w) AS sw FROM ex JOIN w USING (token)
+      GROUP BY ex.doc_id)
+SELECT t.doc_id, round(pri.prior + coalesce(s.sw, 0), 4) AS score,
+       (CASE WHEN pri.prior + coalesce(s.sw, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS pred
+FROM t CROSS JOIN pri LEFT JOIN s ON t.doc_id = s.doc_id
+ORDER BY t.doc_id
+""",
     "dedup_exact_substring": f"""
 WITH toks AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
 grams AS (
@@ -4783,6 +4818,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": t_lang_id,
     "text_quality_score": t_quality_score,
     "text_fingerprint": t_fingerprint,
+    "text_quality_classifier": t_quality_classifier,
     "text_pii_scan": t_pii_scan,
     "text_repetition": t_repetition,
     "intervals_query": q_index_intervals,

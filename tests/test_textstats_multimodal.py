@@ -97,3 +97,45 @@ def test_decode_fake_pipeline(spark, media):
 def test_frame_sampling_plan(spark, media):
     frames = multimodal.sample_frames(media.where(F.col("kind") == "video"), every_n=10, fake=True).collect()
     assert [r["frame_idx"] for r in frames] == list(range(0, 95, 10))
+
+
+def test_nb_classifier_exact_math_and_oov(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.operators.classifier import score_tokens, train_nb
+
+    rows = [
+        (1, ["good", "good", "fine"], 1),
+        (2, ["good", "nice"], 1),
+        (3, ["bad", "awful"], 0),
+        (4, ["bad", "bad", "fine"], 0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>, y int")
+    weights, prior, oov = train_nb(df, "toks", "y", add_k=0.5)
+    w = {r["token"]: r["w"] for r in weights.collect()}
+    # hand-computed: tp=5 (pos token occurrences), tn=5, V=5, kV=2.5
+    tp, tn, kv, k = 5.0, 5.0, 2.5, 0.5
+    exp_good = math.log((3 + k) / (tp + kv)) - math.log((0 + k) / (tn + kv))
+    exp_bad = math.log((0 + k) / (tp + kv)) - math.log((3 + k) / (tn + kv))
+    exp_fine = math.log((1 + k) / (tp + kv)) - math.log((1 + k) / (tn + kv))
+    assert abs(w["good"] - exp_good) < 1e-12
+    assert abs(w["bad"] - exp_bad) < 1e-12
+    assert abs(w["fine"] - exp_fine) < 1e-12
+    assert prior == 0.0  # 2 vs 2 docs
+    assert abs(oov - (math.log(k / (tp + kv)) - math.log(k / (tn + kv)))) < 1e-12
+    assert oov == 0.0  # symmetric masses
+    # scoring: doc with in-vocab + OOV token; empty-token doc gets prior
+    sc = spark.createDataFrame(
+        [(10, ["good", "zzz"]), (11, [])],
+        "doc_id long, toks array<string>",
+    )
+    out = {r["doc_id"]: r["score"] for r in
+           score_tokens(sc, "doc_id", "toks", weights, prior, oov).collect()}
+    assert abs(out[10] - (prior + exp_good + oov)) < 1e-12
+    assert out[11] == prior
+    # both-classes guard
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        train_nb(df.where(F.col("y") == 1), "toks", "y")
