@@ -42,6 +42,9 @@ REGISTRY_BENCH = [
     "agg_significant_terms",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_exact_substring",
+    "dedup_semdedup",
+    "text_quality_classifier",
     "sim_cosine_topk",
     "sim_ann_lsh_topk",
 ]

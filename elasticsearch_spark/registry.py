@@ -47,6 +47,32 @@ _TOK_SPARK = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
 _TOK_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 
+def _geohash_sql(prec: int) -> tuple[str, str, int, int]:
+    """Unrolled integer-SQL mirror of the geohash bit-interleave (MSB-first,
+    lon takes even positions): returns (code_expr over ilat/ilon, char_expr
+    over code, lat_bits, lon_bits)."""
+    nbits = 5 * prec
+    latb, lonb = nbits // 2, nbits - nbits // 2
+    terms, oi, li = [], lonb, latb
+    for b in range(nbits):
+        if b % 2 == 0:
+            oi -= 1
+            terms.append(f"(((ilon >> {oi}) & 1) << {nbits - 1 - b})")
+        else:
+            li -= 1
+            terms.append(f"(((ilat >> {li}) & 1) << {nbits - 1 - b})")
+    code = " + ".join(terms)
+    chars = " || ".join(
+        "substring('0123456789bcdefghjkmnpqrstuvwxyz',"
+        f" CAST(((code >> {5 * (prec - 1 - i)}) & 31) AS INT) + 1, 1)"
+        for i in range(prec)
+    )
+    return code, chars, latb, lonb
+
+
+_GH_CODE, _GH_CHARS, _GH_LATB, _GH_LONB = _geohash_sql(3)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -2026,6 +2052,51 @@ def a_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key")
 
 
+def a_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geotile_grid agg (GeoTileGridAggregationBuilder.java): web-mercator
+    z/x/y cells at precision 6, top-10 by doc_count desc / key asc, with an
+    avg(value) sub-agg; lat/lon derived from events.value (geo_line
+    convention)."""
+    from .plans.aggs import aggregate
+
+    pts = _events(spark, sf_dir).select(
+        "event_id", "value",
+        F.struct(
+            (F.col("value") % 170 - 85).alias("lat"),
+            (F.col("value") % 360 - 180).alias("lon"),
+        ).alias("pt"),
+    )
+    out = aggregate(pts, {"tiles": {
+        "geotile_grid": {"field": "pt", "precision": 6, "size": 10},
+        "aggs": {"avg_value": {"avg": {"field": "value"}}},
+    }})["tiles"]
+    return out.select(
+        "key", "doc_count", F.round("avg_value", 4).alias("avg_value")
+    )
+
+
+def a_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geohash_grid agg (GeoHashGridAggregationBuilder.java): base32
+    geohash cells at precision 3, top-10 by doc_count desc / key asc;
+    oracle mirrors the bit-interleave with unrolled integer SQL."""
+    from .plans.aggs import aggregate
+
+    pts = _events(spark, sf_dir).select(
+        "event_id", "value",
+        F.struct(
+            (F.col("value") % 170 - 85).alias("lat"),
+            (F.col("value") % 360 - 180).alias("lon"),
+        ).alias("pt"),
+    )
+    out = aggregate(pts, {"cells": {
+        "geohash_grid": {"field": "pt", "precision": 3, "size": 10},
+        "aggs": {"avg_value": {"avg": {"field": "value"}}},
+    }})["cells"]
+    return out.select(
+        "key", "doc_count", F.round("avg_value", 4).alias("avg_value")
+    )
+
+
 def a_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cumulative_cardinality pipeline (x-pack analytics
     ``CumulativeCardinalityPipelineAggregationBuilder.java``): running count
@@ -3620,6 +3691,36 @@ FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.do
 WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.5
 ORDER BY a, b
 """,
+    "agg_geotile_grid": """
+WITH pts AS (
+  SELECT value, value % 170 - 85 AS lat, value % 360 - 180 AS lon FROM events
+),
+t AS (
+  SELECT value,
+    CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT) AS x,
+    CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())
+               / 2.0 * 64) AS BIGINT) AS y
+  FROM pts)
+SELECT '6/' || x::VARCHAR || '/' || y::VARCHAR AS key,
+       count(*)::BIGINT AS doc_count, round(avg(value), 4) AS avg_value
+FROM t GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 10
+""",
+    "agg_geohash_grid": f"""
+WITH pts AS (
+  SELECT value, value % 170 - 85 AS lat, value % 360 - 180 AS lon FROM events
+),
+q AS (
+  SELECT value,
+    least(greatest(CAST(floor((lat + 90.0) / 180.0 * {1 << _GH_LATB}) AS BIGINT),
+                   0), {(1 << _GH_LATB) - 1}) AS ilat,
+    least(greatest(CAST(floor((lon + 180.0) / 360.0 * {1 << _GH_LONB}) AS BIGINT),
+                   0), {(1 << _GH_LONB) - 1}) AS ilon
+  FROM pts),
+c AS (SELECT value, ({_GH_CODE}) AS code FROM q),
+k AS (SELECT value, {_GH_CHARS} AS key FROM c)
+SELECT key, count(*)::BIGINT AS doc_count, round(avg(value), 4) AS avg_value
+FROM k GROUP BY key ORDER BY doc_count DESC, key ASC LIMIT 10
+""",
     "text_quality_classifier": f"""
 WITH t AS (SELECT doc_id, (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS y,
                   {_TOK_SQL} AS toks FROM documents),
@@ -4825,6 +4926,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "intervals_source_query": q_index_intervals_source,
     "match_phrase_prefix": q_index_phrase_prefix,
     "completion_suggest": q_completion_suggest,
+    "agg_geotile_grid": a_geotile_grid,
+    "agg_geohash_grid": a_geohash_grid,
     "agg_date_range": a_date_range,
     "agg_ip_range": a_ip_range,
     "agg_reverse_nested": a_reverse_nested,
