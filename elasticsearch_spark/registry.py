@@ -2841,6 +2841,42 @@ FROM events
     )
 
 
+def s_quantize_int4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_vector int4 scalar quantization (``index_options.type:
+    int4_flat`` — same ScalarQuantizer pipeline at 15 levels)."""
+    from .operators.similarity import quantize_int4
+
+    out = quantize_int4(_emb(spark, sf_dir), "vec_id", "embedding")
+    return (
+        out.select(
+            "vec_id",
+            F.concat_ws(",", F.col("qvec").cast("array<string>")).alias("qvec_str"),
+            "recon_err",
+        )
+        .orderBy("vec_id")
+        .limit(50)
+    )
+
+
+def s_bbq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BBQ binary-quantized search (``index_options.type: bbq_flat``
+    lineage, simplified center-and-sign codes): hamming scan over packed
+    1-bit codes for 3x-oversampled candidates, exact-cosine re-rank to
+    top-10. Query = vec_id 0's embedding; means computed on the corpus."""
+    from .operators.similarity import bbq_topk, dim_means
+
+    e = _emb(spark, sf_dir)
+    means = dim_means(e, "embedding")
+    qv = e.where(F.col("vec_id") == 0).first()["embedding"]
+    out = bbq_topk(
+        e.where(F.col("vec_id") != 0), "vec_id", "embedding", qv, means,
+        k=10, rerank_factor=3,
+    )
+    return out.select(
+        "vec_id", "hamming", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dense_vector int8 scalar quantization (Lucene ScalarQuantizer via
     ``index_options.type: int8_flat`` — global confidence-interval bounds,
@@ -3690,6 +3726,44 @@ SELECT a, b, round(common / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
 FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.doc_id
 WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.5
 ORDER BY a, b
+""",
+    "sim_quantize_int4": """
+WITH c AS (SELECT unnest(embedding)::DOUBLE AS x FROM embeddings),
+b AS (SELECT quantile_cont(x, 0.01) AS lo, quantile_cont(x, 0.99) AS hi FROM c),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> (least(15, greatest(0, floor((x - lo) / (hi - lo) * 15 + 0.5))))::INT) AS qv,
+         embedding::DOUBLE[] AS v, lo, hi
+  FROM embeddings, b)
+SELECT vec_id, array_to_string(qv, ',') AS qvec_str,
+       round(sqrt(list_sum(list_transform(
+         list_zip(v, list_transform(qv, qq -> lo + qq * (hi - lo) / 15)),
+         p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS recon_err
+FROM q ORDER BY vec_id LIMIT 50
+""",
+    "sim_bbq_topk": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (SELECT list(avg ORDER BY d) AS ml FROM (
+        SELECT d, avg(v[d]) AS avg FROM e,
+        UNNEST(generate_series(1, 64)) AS t(d) GROUP BY d)),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+h AS (
+  SELECT e.vec_id, e.v,
+    list_sum(list_transform(range(1, 65),
+      d -> CASE WHEN (e.v[d] > m.ml[d]) != (q.qv[d] > m.ml[d])
+                THEN 1 ELSE 0 END))::BIGINT AS hamming
+  FROM e, m, q WHERE e.vec_id != 0),
+cand AS (SELECT * FROM h ORDER BY hamming ASC, vec_id ASC LIMIT 30)
+SELECT vec_id, hamming,
+  round(list_dot_product(cand.v, q.qv) /
+        (sqrt(list_dot_product(cand.v, cand.v)) *
+         sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+FROM cand, q
+ORDER BY list_dot_product(cand.v, q.qv) /
+         (sqrt(list_dot_product(cand.v, cand.v)) *
+          sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id ASC
+LIMIT 10
 """,
     "agg_geotile_grid": """
 WITH pts AS (
@@ -4905,6 +4979,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": d_embedding_lsh,
     "sim_cosine_topk": s_cosine_topk,
     "sim_quantize_int8": s_quantize_int8,
+    "sim_quantize_int4": s_quantize_int4,
+    "sim_bbq_topk": s_bbq_topk,
     "agg_random_sampler": a_random_sampler,
     "tsdb_downsample": t_downsample,
     "esql_inlinestats": q_esql_inlinestats,

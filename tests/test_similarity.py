@@ -131,3 +131,47 @@ def test_semdedup_drops_near_duplicates(spark):
     v10 = np.array(rows[0][1])
     cos10 = float(v10 @ v12 / (np.linalg.norm(v10) * np.linalg.norm(v12)))
     assert abs(out[12]["max_prev_sim"] - max(cos, cos10)) < 1e-7
+
+
+def test_bbq_topk_recall_and_packing(spark, vec_df, qvec):
+    means = similarity.dim_means(vec_df, "embedding")
+    exact = [r["vec_id"] for r in
+             similarity.brute_force_topk(vec_df, "vec_id", "embedding", qvec, k=10).collect()]
+    got = similarity.bbq_topk(
+        vec_df, "vec_id", "embedding", qvec, means, k=10, rerank_factor=5
+    ).collect()
+    ids = [r["vec_id"] for r in got]
+    # oversampled hamming scan + exact rerank: high overlap with exact top-10
+    assert len(set(ids) & set(exact)) >= 7
+    # cosine column is the exact score (re-rank), descending
+    coss = [r["cosine"] for r in got]
+    assert coss == sorted(coss, reverse=True)
+
+
+def test_quantize_binary_bit63_and_multiword(spark):
+    # dim=70 -> 2 words; vector with every component above the mean sets
+    # bits 0..63 of word0 (incl. the sign bit) and 0..5 of word1
+    dim = 70
+    rows = [(1, [1.0] * dim), (2, [-1.0] * dim)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["bits"] for r in
+           similarity.quantize_binary(df, "embedding", [0.0] * dim).collect()}
+    assert out[1] == [-1, 63]          # all-64 bits set = -1 signed; 6 bits = 63
+    assert out[2] == [0, 0]
+    # hamming between them = 70 -> bbq ranks vec 1 first for an all-positive query
+    got = similarity.bbq_topk(df, "vec_id", "embedding", [1.0] * dim,
+                              [0.0] * dim, k=2, rerank_factor=2).collect()
+    assert [r["vec_id"] for r in got] == [1, 2]
+    assert got[0]["hamming"] == 0 and got[1]["hamming"] == 70
+
+
+def test_quantize_int4_coarser_than_int8(spark, vec_df):
+    e8 = {r["vec_id"]: r["recon_err"] for r in
+          similarity.quantize_int8(vec_df, "vec_id", "embedding").collect()}
+    e4 = {r["vec_id"]: r["recon_err"] for r in
+          similarity.quantize_int4(vec_df, "vec_id", "embedding").collect()}
+    import statistics
+    assert statistics.mean(e4.values()) > statistics.mean(e8.values())
+    # int4 levels bounded to [0, 15]
+    q = similarity.quantize_int4(vec_df, "vec_id", "embedding").first()["qvec"]
+    assert all(0 <= v <= 15 for v in q)
