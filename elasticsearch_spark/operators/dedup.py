@@ -559,3 +559,56 @@ def keep_canonical(
         F.col("id").alias(key)
     )
     return df.join(losers, key, "left_anti")
+
+
+def line_dedup(
+    df: DataFrame, key: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """Corpus-level line/paragraph dedup (the CCNet first stage, Wenzek et
+    al. 2020 §3.1, also RefinedWeb's line-wise dedup): every line whose
+    exact content appears elsewhere in the corpus is dropped EXCEPT the
+    globally first occurrence (ordered by (doc key, line number) — the
+    deterministic stand-in for shard order). Unique lines always survive;
+    surviving lines are reassembled in their original order.
+
+    Scale shape: posexplode on ``sep`` → ONE groupBy on the line content
+    computing the keeper occurrence as ``min(struct(key, line_no))`` —
+    partial map-side aggregation absorbs boilerplate-hot lines ("click
+    here" × 10^9), there is NO window over the content key, so no
+    single-task skew — then an inner join of occurrences against keepers
+    (co-partitioned on the line) and a regroup on the doc key for
+    reassembly.
+
+    Returns (key, n_lines, kept_lines, text_dedup).
+    """
+    lines = df.select(
+        F.col(key).alias(key),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__ln", "__line"),
+    )
+    keepers = lines.groupBy("__line").agg(
+        F.min(F.struct(F.col(key).alias("k"), F.col("__ln").alias("n"))).alias("__keep")
+    )
+    kept = lines.join(keepers, "__line").where(
+        (F.col(key) == F.col("__keep.k")) & (F.col("__ln") == F.col("__keep.n"))
+    )
+    per_doc = kept.groupBy(key).agg(
+        F.count("*").alias("kept_lines"),
+        F.array_join(
+            F.expr("transform(sort_array(collect_list(struct(__ln, __line))),"
+                   " x -> x.__line)"),
+            sep,
+        ).alias("text_dedup"),
+    )
+    return (
+        df.select(
+            F.col(key).alias(key),
+            F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
+        )
+        .join(per_doc, key, "left")
+        .select(
+            key,
+            "n_lines",
+            F.coalesce(F.col("kept_lines"), F.lit(0)).cast("long").alias("kept_lines"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )

@@ -511,3 +511,36 @@ def bbq_topk(
         .limit(int(k))
         .select(key, "hamming", "cosine")
     )
+
+
+def maxsim_topk(
+    df: DataFrame, key: str, vecs_col: str, query_vecs, k: int = 10
+) -> DataFrame:
+    """ColBERT-style late-interaction scoring (Khattab & Zaharia, SIGIR
+    2020; the multi-vector ``maxSimDotProduct`` ranking adopted by modern
+    retrieval engines): documents carry a BAG of vectors (one per token /
+    chunk), the query carries another, and score(q, d) = Σ_i max_j
+    (q_i · d_j) — each query vector matches its best document vector.
+
+    Pure JVM column math: the query vectors ride the plan as a literal
+    array-of-arrays, the per-row score is a nested transform/array_max/
+    aggregate (O(|q|·|d|·dim) per row, inside whole-stage codegen), and
+    top-k is a TakeOrderedAndProject — no UDF, no shuffle, scan-shaped
+    exactly like brute-force cosine. At 10^12 docs put an ANN stage
+    (LSH/IVF over pooled vectors) in front and re-rank candidates with
+    this exact scorer."""
+    qlit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in qv]) for qv in query_vecs]
+    )
+    dot = "aggregate(zip_with(qi, dj, (x, y) -> x * y), 0D, (s, x) -> s + x)"
+    score = (
+        f"aggregate(transform(__qs, qi -> array_max(transform("
+        f"{vecs_col}, dj -> {dot}))), 0D, (s, x) -> s + x)"
+    )
+    return (
+        df.withColumn("__qs", qlit)
+        .withColumn("score", F.expr(score))
+        .select(key, "score")
+        .orderBy(F.desc("score"), F.asc(key))
+        .limit(int(k))
+    )

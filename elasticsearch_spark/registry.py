@@ -1026,6 +1026,19 @@ def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def d_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level line dedup (operators/dedup.py:line_dedup):
+    duplicated lines keep only the globally-first occurrence; md5 of the
+    reassembled text proves byte-exact recovery."""
+    from .operators.dedup import line_dedup
+
+    out = line_dedup(_docs(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        "doc_id", "n_lines", "kept_lines",
+        F.md5("text_dedup").alias("dedup_md5"),
+    ).orderBy("doc_id")
+
+
 def d_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (ExactSubstr, Lee et al. 2021 / RefinedWeb
     remove-all variant): duplicated >=20-token spans found corpus-wide via
@@ -2877,6 +2890,26 @@ def s_bbq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT late-interaction top-k (maxSimDotProduct): docs and query
+    carry 4 sub-vectors (the 64-dim embedding viewed as 4x16 chunks —
+    deterministic multi-vector synthesis); score = sum over query vectors
+    of the best-matching doc vector dot product."""
+    from .operators.similarity import maxsim_topk
+
+    e = _emb(spark, sf_dir).withColumn(
+        "mv",
+        F.expr(
+            "transform(sequence(0, 3),"
+            " i -> slice(cast(embedding as array<double>), i * 16 + 1, 16))"
+        ),
+    )
+    q = _emb(spark, sf_dir).where(F.col("vec_id") == 0).first()["embedding"]
+    qs = [[float(x) for x in q[i * 16:(i + 1) * 16]] for i in range(4)]
+    out = maxsim_topk(e.where(F.col("vec_id") != 0), "vec_id", "mv", qs, k=10)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
 def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dense_vector int8 scalar quantization (Lucene ScalarQuantizer via
     ``index_options.type: int8_flat`` — global confidence-interval bounds,
@@ -3727,6 +3760,19 @@ FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.do
 WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.5
 ORDER BY a, b
 """,
+    "sim_maxsim_topk": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(range(0, 4), qi ->
+      list_max(list_transform(range(0, 4), dj ->
+        list_dot_product(q.qv[qi*16+1 : qi*16+16],
+                         e.v[dj*16+1 : dj*16+16]))))) AS score
+  FROM e, q WHERE e.vec_id != 0)
+SELECT vec_id, round(score, 4) AS score
+FROM s ORDER BY score DESC, vec_id ASC LIMIT 10
+""",
     "sim_quantize_int4": """
 WITH c AS (SELECT unnest(embedding)::DOUBLE AS x FROM embeddings),
 b AS (SELECT quantile_cont(x, 0.01) AS lo, quantile_cont(x, 0.99) AS hi FROM c),
@@ -3812,6 +3858,23 @@ SELECT t.doc_id, round(pri.prior + coalesce(s.sw, 0), 4) AS score,
        (CASE WHEN pri.prior + coalesce(s.sw, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS pred
 FROM t CROSS JOIN pri LEFT JOIN s ON t.doc_id = s.doc_id
 ORDER BY t.doc_id
+""",
+    "dedup_line_dedup": """
+WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+l AS (SELECT doc_id, i - 1 AS ln, ls[i] AS line
+      FROM t, UNNEST(generate_series(1, len(ls))) AS u(i)),
+kept AS (
+  SELECT doc_id, ln, line FROM (
+    SELECT doc_id, ln, line,
+           row_number() OVER (PARTITION BY line ORDER BY doc_id, ln) AS rn
+    FROM l) WHERE rn = 1),
+pd AS (SELECT doc_id, count(*)::BIGINT AS kept_lines,
+              md5(string_agg(line, chr(10) ORDER BY ln)) AS dedup_md5
+       FROM kept GROUP BY doc_id)
+SELECT t.doc_id, len(t.ls)::BIGINT AS n_lines,
+       coalesce(pd.kept_lines, 0)::BIGINT AS kept_lines,
+       coalesce(pd.dedup_md5, md5('')) AS dedup_md5
+FROM t LEFT JOIN pd USING (doc_id) ORDER BY t.doc_id
 """,
     "dedup_exact_substring": f"""
 WITH toks AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
@@ -4973,6 +5036,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": d_ngram_jaccard,
     "dedup_exact_substring": d_exact_substring,
     "dedup_semdedup": d_semdedup,
+    "dedup_line_dedup": d_line_dedup,
     "dedup_clusters": d_dedup_clusters,
     "dedup_minhash_lsh": d_minhash_lsh,
     "dedup_simhash": d_simhash,
@@ -4981,6 +5045,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_quantize_int8": s_quantize_int8,
     "sim_quantize_int4": s_quantize_int4,
     "sim_bbq_topk": s_bbq_topk,
+    "sim_maxsim_topk": s_maxsim_topk,
     "agg_random_sampler": a_random_sampler,
     "tsdb_downsample": t_downsample,
     "esql_inlinestats": q_esql_inlinestats,

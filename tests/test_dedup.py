@@ -241,3 +241,29 @@ def test_exact_substring_overlapping_islands(spark):
     }
     assert out[1] == 8  # merged island p1..p8
     assert out[2] == 5 and out[3] == 5
+
+
+def test_line_dedup_multiline(spark):
+    rows = [
+        (1, "intro\nshared boilerplate\nunique to one"),
+        (2, "shared boilerplate\nsecond doc body\nshared boilerplate"),
+        (3, "third doc\nsecond doc body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           dedup.line_dedup(df, "doc_id", "text").collect()}
+    # doc 1 holds the first occurrence of the boilerplate -> all kept
+    assert out[1]["text_dedup"] == rows[0][1]
+    assert (out[1]["n_lines"], out[1]["kept_lines"]) == (3, 3)
+    # doc 2 loses BOTH copies (first occurrence lives in doc 1);
+    # within-doc repeat also deduped; keeps its own first-of-corpus line
+    assert out[2]["text_dedup"] == "second doc body"
+    assert (out[2]["n_lines"], out[2]["kept_lines"]) == (3, 1)
+    # doc 3 loses the line doc 2 already owns
+    assert out[3]["text_dedup"] == "third doc"
+    # doc whose every line is owned elsewhere -> empty text, 0 kept
+    df2 = spark.createDataFrame(
+        rows + [(4, "intro\nthird doc")], "doc_id long, text string")
+    out2 = {r["doc_id"]: r.asDict() for r in
+            dedup.line_dedup(df2, "doc_id", "text").collect()}
+    assert (out2[4]["kept_lines"], out2[4]["text_dedup"]) == (0, "")

@@ -175,3 +175,21 @@ def test_quantize_int4_coarser_than_int8(spark, vec_df):
     # int4 levels bounded to [0, 15]
     q = similarity.quantize_int4(vec_df, "vec_id", "embedding").first()["qvec"]
     assert all(0 <= v <= 15 for v in q)
+
+
+def test_maxsim_exact_math(spark):
+    # doc 1: one vector aligned with q0, another with q1 -> score = 2.0
+    # doc 2: both vectors aligned only with q0 -> max picks it twice for
+    #        q0 (1.0) but q1 finds nothing (0.0 best) -> score = 1.0
+    docs = [
+        (1, [[1.0, 0.0], [0.0, 1.0]]),
+        (2, [[1.0, 0.0], [1.0, 0.0]]),
+        (3, [[-1.0, 0.0], [0.0, -1.0]]),
+    ]
+    df = spark.createDataFrame(docs, "vec_id long, mv array<array<double>>")
+    qs = [[1.0, 0.0], [0.0, 1.0]]
+    out = {r["vec_id"]: r["score"] for r in
+           similarity.maxsim_topk(df, "vec_id", "mv", qs, k=3).collect()}
+    assert out[1] == 2.0
+    assert out[2] == 1.0
+    assert out[3] == 0.0  # max picks the least-bad dot (0) per query vector
