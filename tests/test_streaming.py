@@ -191,3 +191,51 @@ def test_transform_continuous(spark, tmp_path):
     transform_continuous(spark, src, schema, dest, pivot, ckpt)
     got2 = {r.user: r.total for r in spark.read.parquet(dest).collect()}
     assert got2 == {"a": 7.0, "b": 10.0, "c": 7.0}
+
+
+def test_dedup_stream_exact_first_wins(spark, tmp_path):
+    """Streaming exact dedup: duplicates across micro-batches are dropped
+    with first-arrival-wins, and the suppression survives a restart from
+    the same checkpoint (state rides the checkpoint)."""
+    import os
+
+    from elasticsearch_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "Hello  World"), (2, "other doc")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    # batch 2: doc 3 duplicates doc 1 after normalization; doc 4 fresh
+    spark.createDataFrame(
+        [(3, "hello world"), (4, "third doc")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{src}/b2")
+
+    schema = spark.read.parquet(f"{src}/b1").schema
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+        q = (
+            dedup_stream(stream, "text")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert 2 in got and 4 in got
+    assert len(got & {1, 3}) == 1  # exactly one of the dup pair survives
+    # restart: replaying a new duplicate batch must still suppress
+    spark.createDataFrame(
+        [(5, "HELLO   world"), (6, "brand new")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{src}/b3")
+    run()
+    got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert 6 in got2 and 5 not in got2
+    assert len(got2) == len(got) + 1
