@@ -101,3 +101,101 @@ def rrf_fuse(
         for f in frames
     ]
     return _fuse(parts, id_col, "rrf_score", k)
+
+
+def rank_eval(
+    results: DataFrame,
+    ratings: DataFrame,
+    k: int = 10,
+    relevant_min: int = 1,
+    max_rating: int = 3,
+    qid: str = "query_id",
+    doc: str = "doc_id",
+) -> DataFrame:
+    """``_rank_eval`` — per-query IR quality metrics over rated search
+    results (``modules/rank-eval``: ``PrecisionAtK.java``,
+    ``RecallAtK.java``, ``MeanReciprocalRank.java``,
+    ``DiscountedCumulativeGain.java``, ``ExpectedReciprocalRank.java``).
+
+    ``results``: (qid, doc, rank) — rank 1-based, the engine's ranking.
+    ``ratings``: (qid, doc, rating) — graded judgments; docs absent from
+    ``ratings`` are unlabeled and count as irrelevant (the reference's
+    ``ignore_unlabeled: false`` default).
+
+    Returns one row per query: p_at_k, recall_at_k, mrr, dcg, ndcg, err.
+    ERR uses the exp/Σln prefix-product formulation (R < 1 always since
+    R = (2^g − 1)/2^max_rating), so every metric is window/groupBy math —
+    per-query work is O(k), the only shuffles key on the query id, and
+    the input frames are coordinator-small top-k results by construction.
+    """
+    r = results.where(F.col("rank") <= k).alias("r")
+    g = ratings.alias("g")
+    j = r.join(
+        g, (F.col(f"r.{qid}") == F.col(f"g.{qid}")) & (F.col(f"r.{doc}") == F.col(f"g.{doc}")), "left"
+    ).select(
+        F.col(f"r.{qid}").alias(qid),
+        F.col("r.rank").alias("rank"),
+        F.coalesce(F.col("g.rating"), F.lit(0)).alias("rating"),
+    )
+    rel = (F.col("rating") >= relevant_min).cast("double")
+    gain = F.pow(F.lit(2.0), F.col("rating")) - 1.0
+    rr = F.pow(F.lit(2.0), F.col("rating")) - 1.0
+    R = rr / float(1 << max_rating)
+    w_prev = (
+        Window.partitionBy(qid)
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.exp(F.coalesce(F.sum(F.log(1.0 - R)).over(w_prev), F.lit(0.0)))
+    per_hit = j.select(
+        qid,
+        "rank",
+        rel.alias("rel"),
+        (gain / F.log2(F.col("rank") + 1.0)).alias("dg"),
+        (R / F.col("rank") * prefix).alias("err_term"),
+    )
+    base = per_hit.groupBy(qid).agg(
+        (F.sum("rel") / F.count("*")).alias("p_at_k"),
+        F.sum("rel").alias("__rel_ret"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("__first_rel"),
+        F.sum("dg").alias("dcg"),
+        F.sum("err_term").alias("err"),
+    )
+    mrr = F.when(
+        F.col("__first_rel").isNotNull(), 1.0 / F.col("__first_rel")
+    ).otherwise(F.lit(0.0))
+    # ideal DCG from ALL judgments (top-k by rating desc; equal gains
+    # commute across tied positions, so any tie order gives the same sum)
+    w_ideal = Window.partitionBy(qid).orderBy(F.desc("rating"), F.asc(doc))
+    ideal = (
+        ratings.withColumn("__ir", F.row_number().over(w_ideal))
+        .where((F.col("__ir") <= k) & (F.col("rating") > 0))
+        .groupBy(qid)
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rating")) - 1.0)
+                / F.log2(F.col("__ir") + 1.0)
+            ).alias("idcg")
+        )
+    )
+    totals = ratings.groupBy(qid).agg(
+        F.sum((F.col("rating") >= relevant_min).cast("long")).alias("__n_rel")
+    )
+    return (
+        base.join(ideal, qid, "left")
+        .join(totals, qid, "left")
+        .select(
+            qid,
+            "p_at_k",
+            F.when(
+                F.coalesce(F.col("__n_rel"), F.lit(0)) > 0,
+                F.col("__rel_ret") / F.col("__n_rel"),
+            ).otherwise(F.lit(0.0)).alias("recall_at_k"),
+            mrr.alias("mrr"),
+            "dcg",
+            F.when(
+                F.coalesce("idcg", F.lit(0.0)) > 0, F.col("dcg") / F.col("idcg")
+            ).otherwise(F.lit(0.0)).alias("ndcg"),
+            "err",
+        )
+    )

@@ -2890,6 +2890,54 @@ def s_bbq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_rank_eval API (modules/rank-eval): P@10 / recall@10 / MRR / DCG /
+    NDCG / ERR over 3 term queries ranked by tf (deterministic), with a
+    partially-labeled judgment set (docs with doc_id %% 3 == 0; graded
+    rating = min(tf, 3), so rating-0 labels and unlabeled docs are both
+    exercised)."""
+    from pyspark.sql import Window
+
+    from .operators.rank import rank_eval
+
+    terms = ["spark", "vector", "stream"]
+    tok = _tokenized(spark, sf_dir).select("doc_id", "toks")
+    tf = (
+        tok.select("doc_id", F.explode("toks").alias("w"))
+        .where(F.col("w").isin(terms))
+        .groupBy("w", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("w").orderBy(F.desc("tf"), F.asc("doc_id"))
+    results = (
+        tf.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select(F.col("w").alias("query_id"), "doc_id", "rank")
+    )
+    qdf = spark.createDataFrame([(t,) for t in terms], "query_id string")
+    ratings = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+        .crossJoin(qdf)
+        .join(
+            tf.select(F.col("w").alias("query_id"), "doc_id", "tf"),
+            ["query_id", "doc_id"],
+            "left",
+        )
+        .select(
+            "query_id", "doc_id",
+            F.least(F.coalesce("tf", F.lit(0)), F.lit(3)).cast("int").alias("rating"),
+        )
+    )
+    out = rank_eval(results, ratings, k=10)
+    return out.select(
+        "query_id",
+        *[F.round(c, 6).alias(c)
+          for c in ["p_at_k", "recall_at_k", "mrr", "dcg", "ndcg", "err"]],
+    ).orderBy("query_id")
+
+
 def s_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ColBERT late-interaction top-k (maxSimDotProduct): docs and query
     carry 4 sub-vectors (the 64-dim embedding viewed as 4x16 chunks —
@@ -3759,6 +3807,69 @@ SELECT a, b, round(common / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
 FROM pairs JOIN sizes sa ON pairs.a = sa.doc_id JOIN sizes sb ON pairs.b = sb.doc_id
 WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.5
 ORDER BY a, b
+""",
+    "rank_eval": f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+q(term) AS (VALUES ('spark'), ('vector'), ('stream')),
+tf AS (
+  SELECT t.term, x.doc_id, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS w FROM tok) x JOIN q t ON x.w = t.term
+  GROUP BY 1, 2),
+res AS (
+  SELECT term AS query_id, doc_id, rnk FROM (
+    SELECT term, doc_id,
+           row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rnk
+    FROM tf) WHERE rnk <= 10),
+rat AS (
+  SELECT t.term AS query_id, d.doc_id,
+         least(coalesce(tf.tf, 0), 3)::INT AS rating
+  FROM documents d CROSS JOIN q t
+  LEFT JOIN tf ON tf.term = t.term AND tf.doc_id = d.doc_id
+  WHERE d.doc_id % 3 = 0),
+j AS (
+  SELECT r.query_id, r.rnk, coalesce(g.rating, 0) AS rating
+  FROM res r LEFT JOIN rat g ON r.query_id = g.query_id AND r.doc_id = g.doc_id),
+ph AS (
+  SELECT query_id, rnk,
+    CASE WHEN rating >= 1 THEN 1.0 ELSE 0.0 END AS rel,
+    (pow(2.0, rating) - 1) / log2(rnk + 1.0) AS dg,
+    (pow(2.0, rating) - 1) / 8.0 AS rprob
+  FROM j),
+ph2 AS (
+  SELECT query_id, rnk, rel, dg, rprob,
+    exp(coalesce(sum(ln(1.0 - rprob)) OVER (
+      PARTITION BY query_id ORDER BY rnk
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)) AS pre
+  FROM ph),
+base AS (
+  SELECT query_id,
+    sum(rel) / count(*) AS p_at_k,
+    sum(rel) AS rel_ret,
+    min(CASE WHEN rel > 0 THEN rnk END) AS first_rel,
+    sum(dg) AS dcg,
+    sum(rprob / rnk * pre) AS err
+  FROM ph2 GROUP BY query_id),
+ideal AS (
+  SELECT query_id, sum((pow(2.0, rating) - 1) / log2(ir + 1.0)) AS idcg
+  FROM (SELECT query_id, rating, doc_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY rating DESC, doc_id ASC) AS ir FROM rat)
+  WHERE ir <= 10 AND rating > 0 GROUP BY query_id),
+tot AS (SELECT query_id,
+          sum(CASE WHEN rating >= 1 THEN 1 ELSE 0 END) AS n_rel
+        FROM rat GROUP BY query_id)
+SELECT b.query_id,
+  round(b.p_at_k, 6) AS p_at_k,
+  round(CASE WHEN coalesce(t.n_rel, 0) > 0
+             THEN b.rel_ret / t.n_rel ELSE 0 END, 6) AS recall_at_k,
+  round(CASE WHEN b.first_rel IS NOT NULL
+             THEN 1.0 / b.first_rel ELSE 0 END, 6) AS mrr,
+  round(b.dcg, 6) AS dcg,
+  round(CASE WHEN coalesce(i.idcg, 0) > 0
+             THEN b.dcg / i.idcg ELSE 0 END, 6) AS ndcg,
+  round(b.err, 6) AS err
+FROM base b LEFT JOIN ideal i USING (query_id) LEFT JOIN tot t USING (query_id)
+ORDER BY b.query_id
 """,
     "sim_maxsim_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -5046,6 +5157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_quantize_int4": s_quantize_int4,
     "sim_bbq_topk": s_bbq_topk,
     "sim_maxsim_topk": s_maxsim_topk,
+    "rank_eval": q_rank_eval,
     "agg_random_sampler": a_random_sampler,
     "tsdb_downsample": t_downsample,
     "esql_inlinestats": q_esql_inlinestats,

@@ -232,3 +232,35 @@ def test_script_fields(spark):
         "_source": ["text"],
     }).collect()[0]
     assert out.n2 == 6 and out.text == "a b c"
+
+
+def test_rank_eval_metrics_exact(spark):
+    import math
+
+    from elasticsearch_spark.operators.rank import rank_eval
+
+    results = spark.createDataFrame(
+        [("q1", d, r) for r, d in enumerate(["a", "b", "c", "d", "e"], 1)]
+        + [("q2", "x", 1), ("q2", "y", 2)],
+        "query_id string, doc_id string, rank int",
+    )
+    ratings = spark.createDataFrame(
+        [("q1", "a", 3), ("q1", "b", 0), ("q1", "c", 1), ("q1", "f", 2),
+         ("q2", "z", 1)],  # q2 retrieves nothing relevant
+        "query_id string, doc_id string, rating int",
+    )
+    out = {r["query_id"]: r.asDict() for r in
+           rank_eval(results, ratings, k=5).collect()}
+    q1 = out["q1"]
+    assert abs(q1["p_at_k"] - 2 / 5) < 1e-12
+    assert abs(q1["recall_at_k"] - 2 / 3) < 1e-12
+    assert q1["mrr"] == 1.0
+    dcg = 7 / math.log2(2) + 1 / math.log2(4)
+    idcg = 7 / math.log2(2) + 3 / math.log2(3) + 1 / math.log2(4)
+    assert abs(q1["dcg"] - dcg) < 1e-12
+    assert abs(q1["ndcg"] - dcg / idcg) < 1e-12
+    err = 7 / 8 + (1 / 3) * (1 / 8) * (1 - 7 / 8)  # rank2 R=0, unlabeled R=0
+    assert abs(q1["err"] - err) < 1e-12
+    q2 = out["q2"]
+    assert q2["p_at_k"] == 0.0 and q2["mrr"] == 0.0 and q2["err"] == 0.0
+    assert q2["recall_at_k"] == 0.0 and q2["ndcg"] == 0.0
