@@ -1718,3 +1718,87 @@ def aggregate(df: DataFrame, aggs: dict) -> dict[str, DataFrame]:
             frame = apply_pipeline(frame, pname, pspec)
         out[name] = frame
     return out
+
+
+def terms_two_phase(
+    df: DataFrame,
+    field: str,
+    shard_col: str,
+    size: int = 10,
+    shard_size: int | None = None,
+) -> DataFrame:
+    """The reference's DISTRIBUTED terms reduce, faithfully — including
+    ``doc_count_error_upper_bound`` and ``sum_other_doc_count``
+    (``AbstractInternalTerms.java:280-298`` reduce; ``TermsAggregator``'s
+    shard-local top ``shard_size``): each shard reports only its local
+    top-``shard_size`` terms, the coordinator sums per-term counts over
+    REPORTING shards, and a bucket's error upper bound is the sum over
+    non-reporting shards of the last (smallest) count that shard reported —
+    0 for shards that returned their whole term list.
+
+    The single-phase exact terms agg (compile_agg "terms") is what you
+    normally want on Spark — one shuffle IS the exact global answer. This
+    operator exists for parity with the reference's response contract
+    (accuracy-vs-fan-in trade) and as the template for size-capped
+    reduces over 10^4-shard indexes: per-shard tops via one window, the
+    reduce via one groupBy, error bookkeeping as two tiny joins.
+
+    ``shard_col``: an integer column assigning rows to shards
+    (deterministic, e.g. ``pmod(xxhash64(routing), n_shards)``).
+    Default ``shard_size`` = ``size * 1.5 + 10`` (the reference default).
+
+    Returns (key, doc_count, doc_count_error_upper_bound) — top ``size``
+    by (doc_count desc, key asc) — plus one ``__other__`` row carrying
+    ``sum_other_doc_count`` in doc_count (error = 0 on it).
+    """
+    from pyspark.sql import Window
+
+    ss = int(size * 1.5 + 10) if shard_size is None else int(shard_size)
+    per_shard = df.groupBy(F.col(shard_col).alias("__s"), F.col(field).alias("key")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("__s").orderBy(F.desc("c"), F.asc("key"))
+    ranked = per_shard.withColumn("__r", F.row_number().over(w))
+    reported = ranked.where(F.col("__r") <= ss)
+    # shard error: 0 when the shard's whole term list fit, else the count
+    # of the last bucket it reported (InternalTerms shard-level bound)
+    shard_stats = ranked.groupBy("__s").agg(
+        F.count("*").alias("__nterms"),
+        F.min(F.when(F.col("__r") == ss, F.col("c"))).alias("__last_c"),
+    )
+    shard_err = shard_stats.select(
+        "__s",
+        F.when(F.col("__nterms") <= ss, F.lit(0))
+        .otherwise(F.col("__last_c"))
+        .cast("long")
+        .alias("__err"),
+    )
+    total_err = shard_err.agg(F.sum("__err").alias("__tot")).first()["__tot"] or 0
+    merged = (
+        reported.join(shard_err, "__s")
+        .groupBy("key")
+        .agg(
+            F.sum("c").alias("doc_count"),
+            (F.lit(int(total_err)) - F.sum("__err")).alias(
+                "doc_count_error_upper_bound"
+            ),
+        )
+    )
+    top = (
+        merged.orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(int(size))
+        .select(
+            F.col("key").cast("string").alias("key"),
+            F.col("doc_count").cast("long").alias("doc_count"),
+            F.col("doc_count_error_upper_bound").cast("long").alias(
+                "doc_count_error_upper_bound"
+            ),
+        )
+    )
+    total_docs = df.count()
+    top_sum = top.agg(F.sum("doc_count")).first()[0] or 0
+    other = df.sparkSession.createDataFrame(
+        [("__other__", int(total_docs - top_sum), 0)],
+        "key string, doc_count long, doc_count_error_upper_bound long",
+    )
+    return top.unionByName(other)

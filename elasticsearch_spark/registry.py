@@ -2065,6 +2065,22 @@ def a_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key")
 
 
+def a_terms_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms agg with the reference's DISTRIBUTED reduce contract
+    (show_term_doc_count_error): 4 hash shards each report only their
+    local top-5 sources; the coordinator reduce yields per-bucket
+    doc_count_error_upper_bound + sum_other_doc_count
+    (plans/aggs.py:terms_two_phase; AbstractInternalTerms.java:280)."""
+    from .plans.aggs import terms_two_phase
+
+    d = _docs(spark, sf_dir).withColumn(
+        "shard", (F.col("doc_id") % 4).cast("int")
+    )
+    return terms_two_phase(d, "source", "shard", size=5, shard_size=5).orderBy(
+        "key"
+    )
+
+
 def a_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """geotile_grid agg (GeoTileGridAggregationBuilder.java): web-mercator
     z/x/y cells at precision 6, top-10 by doc_count desc / key asc, with an
@@ -3922,6 +3938,30 @@ ORDER BY list_dot_product(cand.v, q.qv) /
           sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id ASC
 LIMIT 10
 """,
+    "agg_terms_error_bounds": """
+WITH d AS (SELECT doc_id, source, doc_id % 4 AS s FROM documents),
+ps AS (SELECT s, source AS key, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+r AS (SELECT s, key, c,
+        row_number() OVER (PARTITION BY s ORDER BY c DESC, key ASC) AS rn
+      FROM ps),
+rep AS (SELECT * FROM r WHERE rn <= 5),
+se AS (
+  SELECT s, (CASE WHEN count(*) <= 5 THEN 0
+                  ELSE min(CASE WHEN rn = 5 THEN c END) END)::BIGINT AS err
+  FROM r GROUP BY s),
+tot AS (SELECT sum(err)::BIGINT AS te FROM se),
+m AS (
+  SELECT key, sum(c)::BIGINT AS doc_count,
+         (tot.te - sum(se.err))::BIGINT AS doc_count_error_upper_bound
+  FROM rep JOIN se USING (s) CROSS JOIN tot GROUP BY key, tot.te),
+top AS (SELECT * FROM m ORDER BY doc_count DESC, key ASC LIMIT 5)
+SELECT key, doc_count, doc_count_error_upper_bound FROM top
+UNION ALL
+SELECT '__other__',
+       ((SELECT count(*) FROM d) - (SELECT sum(doc_count) FROM top))::BIGINT,
+       0::BIGINT
+ORDER BY key
+""",
     "agg_geotile_grid": """
 WITH pts AS (
   SELECT value, value % 170 - 85 AS lat, value % 360 - 180 AS lon FROM events
@@ -5179,6 +5219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "intervals_source_query": q_index_intervals_source,
     "match_phrase_prefix": q_index_phrase_prefix,
     "completion_suggest": q_completion_suggest,
+    "agg_terms_error_bounds": a_terms_error_bounds,
     "agg_geotile_grid": a_geotile_grid,
     "agg_geohash_grid": a_geohash_grid,
     "agg_date_range": a_date_range,

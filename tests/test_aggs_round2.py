@@ -504,3 +504,30 @@ def test_date_histogram_min_doc_count_zero(spark):
     ).collect()
     days = [(str(r["key"])[:10], r["doc_count"]) for r in out]
     assert days == [("2024-01-01", 1), ("2024-01-02", 0), ("2024-01-03", 0), ("2024-01-04", 1)]
+
+
+def test_terms_two_phase_error_bounds(spark):
+    """Hand-built shard layout: shard 0 withholds term 'c' (below its local
+    top-2), so the merged bucket for 'c' carries shard 0's last-reported
+    count as its error upper bound; exhaustive shards contribute 0."""
+    from elasticsearch_spark.plans.aggs import terms_two_phase
+
+    rows = []
+    # shard 0: a x5, b x3, c x2  (shard_size=2 -> reports a,b; last c=3)
+    rows += [(0, "a")] * 5 + [(0, "b")] * 3 + [(0, "c")] * 2
+    # shard 1: c x4, a x1        (2 distinct <= shard_size -> exhaustive, err 0)
+    rows += [(1, "c")] * 4 + [(1, "a")]
+    df = spark.createDataFrame(rows, "shard int, term string")
+    out = {r["key"]: r.asDict() for r in
+           terms_two_phase(df, "term", "shard", size=3, shard_size=2).collect()}
+    # a: both shards report -> 6, error 0
+    assert out["a"]["doc_count"] == 6
+    assert out["a"]["doc_count_error_upper_bound"] == 0
+    # b: only shard 0 reports (3); shard 1 exhaustive -> error 0
+    assert out["b"]["doc_count"] == 3
+    assert out["b"]["doc_count_error_upper_bound"] == 0
+    # c: only shard 1 reports (4); shard 0 truncated with last count 3
+    assert out["c"]["doc_count"] == 4
+    assert out["c"]["doc_count_error_upper_bound"] == 3
+    # true c count is 6 -> within the bound (4 <= 6 <= 4 + 3)
+    assert out["__other__"]["doc_count"] == 2  # 15 total - 13 in top buckets
