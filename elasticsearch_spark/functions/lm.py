@@ -79,3 +79,54 @@ def perplexity_filter(
     scores = bigram_lm_score(df, key=key, text_col=text_col, k=k)
     keep = scores.where(F.col("perplexity") <= max_perplexity).select(key)
     return df.join(keep, key, "left_semi")
+
+
+def bigram_lm_score_kn(
+    df: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document perplexity under an interpolated Kneser-Ney bigram LM
+    — the smoothing KenLM/CCNet actually use (Kneser & Ney 1995; Chen &
+    Goodman 1998 interpolated form, fixed discount D):
+
+        P(w2|w1) = max(c(w1,w2) − D, 0) / c(w1)
+                 + (D · N1+(w1·) / c(w1)) · N1+(·w2) / T
+
+    with N1+(w1·) = distinct continuations of w1, N1+(·w2) = distinct
+    left-contexts of w2, T = total distinct bigram types. Still nothing
+    but count tables and joins — the KN "novel-continuation" counts are
+    two extra groupBys over the SAME bigram-type frame, so the plan grows
+    by zero scans. Unseen w1 backs off to the continuation probability
+    alone; the self-scoring setup (LM trained on the corpus it scores)
+    never hits that branch.
+    """
+    bigrams = _doc_bigrams(df, key, text_col)
+    bg = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    left = bg.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("nfwd")
+    )
+    right = bg.groupBy("w2").agg(F.count("*").alias("nbwd"))
+    types = bg.count()  # T: one scalar aggregate
+    d = float(discount)
+    # OOV floors (only reachable when scoring against a FOREIGN corpus LM):
+    # unseen pair -> c12=0 (pure continuation mass); unseen w2 -> half-count
+    # continuation floor; unseen w1 -> back off to P_cont(w2) alone.
+    pcont = F.coalesce(F.col("nbwd"), F.lit(0.5)) / F.lit(float(types))
+    p = F.when(
+        F.col("c1").isNotNull(),
+        F.greatest(F.coalesce(F.col("c12"), F.lit(0)) - F.lit(d), F.lit(0.0))
+        / F.col("c1")
+        + F.lit(d) * F.col("nfwd") / F.col("c1") * pcont,
+    ).otherwise(pcont)
+    scored = (
+        bigrams.join(bg, ["w1", "w2"], "left")
+        .join(left, "w1", "left")
+        .join(right, "w2", "left")
+        .withColumn("lp", F.log(p))
+        .groupBy("__key")
+        .agg(F.avg("lp").alias("logp"))
+        .withColumn("perplexity", F.exp(-F.col("logp")))
+    )
+    return scored.withColumnRenamed("__key", key)

@@ -1026,6 +1026,26 @@ def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def t_bigram_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (the KenLM/CCNet
+    smoothing; functions/lm.py:bigram_lm_score_kn, D=0.75) — per-lang
+    average, same shape as the add-1 entry so both smoothings are
+    driver-verified value-for-value."""
+    from .functions.lm import bigram_lm_score_kn
+
+    docs = _docs(spark, sf_dir)
+    scores = bigram_lm_score_kn(docs, key="doc_id", text_col="text")
+    out = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.round(F.avg("perplexity"), 4).alias("avg_ppl"),
+            F.count("*").cast("long").alias("doc_count"),
+        )
+        .orderBy("lang")
+    )
+
+
 def d_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-level line dedup (operators/dedup.py:line_dedup):
     duplicated lines keep only the globally-first occurrence; md5 of the
@@ -4010,6 +4030,33 @@ SELECT t.doc_id, round(pri.prior + coalesce(s.sw, 0), 4) AS score,
 FROM t CROSS JOIN pri LEFT JOIN s ON t.doc_id = s.doc_id
 ORDER BY t.doc_id
 """,
+    "text_bigram_perplexity_kn": """
+WITH tok AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, u.z[1] AS w1, u.z[2] AS w2
+  FROM tok, UNNEST(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS u(z)
+  WHERE len(toks) >= 2
+),
+bgc AS (SELECT w1, w2, COUNT(*)::DOUBLE AS c12 FROM bg GROUP BY 1, 2),
+lft AS (SELECT w1, sum(c12) AS c1, COUNT(*)::DOUBLE AS nfwd FROM bgc GROUP BY 1),
+rgt AS (SELECT w2, COUNT(*)::DOUBLE AS nbwd FROM bgc GROUP BY 1),
+t AS (SELECT COUNT(*)::DOUBLE AS t FROM bgc),
+lp AS (
+  SELECT bg.doc_id, bg.lang,
+         ln(greatest(c12 - 0.75, 0.0) / c1
+            + 0.75 * nfwd / c1 * (nbwd / t.t)) AS lp
+  FROM bg JOIN bgc USING (w1, w2) JOIN lft USING (w1) JOIN rgt USING (w2)
+  CROSS JOIN t
+),
+per_doc AS (
+  SELECT doc_id, lang, exp(-avg(lp)) AS ppl FROM lp GROUP BY 1, 2
+)
+SELECT lang, round(avg(ppl), 4) AS avg_ppl, COUNT(*)::BIGINT AS doc_count
+FROM per_doc GROUP BY lang ORDER BY lang
+""",
     "dedup_line_dedup": """
 WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
 l AS (SELECT doc_id, i - 1 AS ln, ls[i] AS line
@@ -5213,6 +5260,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_score": t_quality_score,
     "text_fingerprint": t_fingerprint,
     "text_quality_classifier": t_quality_classifier,
+    "text_bigram_perplexity_kn": t_bigram_perplexity_kn,
     "text_pii_scan": t_pii_scan,
     "text_repetition": t_repetition,
     "intervals_query": q_index_intervals,

@@ -54,3 +54,29 @@ def test_perplexity_filter_keeps_head(corpus):
     ceiling = (scores[3] + scores[4]) / 2  # between normal docs and gibberish
     kept = {r["doc_id"] for r in perplexity_filter(corpus, ceiling).collect()}
     assert kept == {1, 2, 3}  # gibberish and unscorable both dropped
+
+
+def test_kn_bigram_exact_math(spark):
+    """Hand-computed interpolated KN on a 2-doc corpus."""
+    import math
+
+    from elasticsearch_spark.functions.lm import bigram_lm_score_kn
+
+    # corpus bigrams: d1: (a b) (b a) (a b); d2: (a b) (b c)
+    rows = [(1, "a b a b"), (2, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["logp"] for r in
+           bigram_lm_score_kn(df, discount=0.75).collect()}
+    # counts: c(ab)=3, c(ba)=1, c(bc)=1; c1(a)=3, c1(b)=2
+    # nfwd(a)=1, nfwd(b)=2; nbwd(b)=1, nbwd(a)=1, nbwd(c)=1; T=3
+    D = 0.75
+    T = 3.0
+    p_ab = (3 - D) / 3 + D * 1 / 3 * (1 / T)
+    p_ba = (1 - D) / 2 + D * 2 / 2 * (1 / T)
+    p_bc = (1 - D) / 2 + D * 2 / 2 * (1 / T)
+    exp1 = (math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    exp2 = (math.log(p_ab) + math.log(p_bc)) / 2
+    assert abs(out[1] - exp1) < 1e-12
+    assert abs(out[2] - exp2) < 1e-12
+    # KN probabilities over each context sum to <= 1 (mass reserved = D*nfwd/c1*(uncovered pcont))
+    assert 0 < p_ab < 1 and 0 < p_ba < 1
