@@ -1046,6 +1046,20 @@ def t_bigram_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-vocab BPE token budgeting (operators/bpe.py — Sennrich 2016):
+    train 100 merges on the corpus word-frequency table, count subword
+    tokens per doc via the distinct-word encode + join (encode cost ∝
+    vocabulary, not corpus). Rows-only driver check: the greedy merge
+    training is inherently iterative, not SQL-expressible — correctness
+    is pinned by the classic-example exact-match tests instead."""
+    from .operators.bpe import bpe_token_count, train_bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = train_bpe(docs, "text", n_merges=100)
+    return bpe_token_count(docs, "doc_id", "text", merges).orderBy("doc_id")
+
+
 def d_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-level line dedup (operators/dedup.py:line_dedup):
     duplicated lines keep only the globally-first occurrence; md5 of the
@@ -5261,6 +5275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": t_fingerprint,
     "text_quality_classifier": t_quality_classifier,
     "text_bigram_perplexity_kn": t_bigram_perplexity_kn,
+    "text_bpe_token_count": t_bpe_token_count,
     "text_pii_scan": t_pii_scan,
     "text_repetition": t_repetition,
     "intervals_query": q_index_intervals,

@@ -139,3 +139,60 @@ def test_nb_classifier_exact_math_and_oov(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         train_nb(df.where(F.col("y") == 1), "toks", "y")
+
+
+def test_bpe_train_apply_classic_example(spark):
+    """Sennrich et al.'s running example: corpus of low/lower/newest/widest
+    — the first merges fuse the frequent 'es', 'est', 'est</w>' suffix."""
+    from elasticsearch_spark.operators.bpe import (
+        bpe_encode, bpe_token_count, encode_word, train_bpe)
+
+    rows = (
+        [(i, "low") for i in range(5)]
+        + [(100 + i, "lower") for i in range(2)]
+        + [(200 + i, "newest") for i in range(6)]
+        + [(300 + i, "widest") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, "text", n_merges=10)
+    assert merges[0] == ("e", "s")          # freq 9 (newest+widest)
+    assert merges[1] == ("es", "t")         # freq 9
+    assert merges[2] == ("est", "</w>")     # freq 9
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    # with only the first 3 merges, 'newest' ends in the fused est</w> piece
+    enc3 = encode_word("newest", {tuple(m): i for i, m in enumerate(merges[:3])})
+    assert enc3 == ["n", "e", "w", "est</w>"]
+    # with all 10 merges this tiny corpus fully fuses the frequent words
+    enc = encode_word("newest", ranks)
+    assert "".join(enc) == "newest</w>"
+    # unseen word with no applicable merges falls back to chars + marker
+    assert encode_word("xyz", ranks) == ["x", "y", "z", "</w>"]
+    # distributed apply agrees with the driver-side encoder
+    out = {r["doc_id"]: r["pieces"] for r in
+           bpe_encode(df.limit(50), "doc_id", "text", merges).collect()}
+    assert out[200] == encode_word("newest", ranks)
+    cnt = {r["doc_id"]: r.asDict() for r in
+           bpe_token_count(df, "doc_id", "text", merges).collect()}
+    assert cnt[200]["n_words"] == 1
+    assert cnt[200]["n_bpe_tokens"] == len(encode_word("newest", ranks))
+    # empty doc scores 0 / 0
+    df2 = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    c2 = bpe_token_count(df2, "doc_id", "text", merges).first()
+    assert (c2["n_words"], c2["n_bpe_tokens"]) == (0, 0)
+
+
+def test_bpe_multiword_order_preserved(spark):
+    from elasticsearch_spark.operators.bpe import bpe_encode, encode_word, train_bpe
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat sat on the mat"), (3, "cat the")] * 3,
+        "doc_id long, text string",
+    )
+    merges = train_bpe(df, "text", n_merges=20)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    got = {r["doc_id"]: r["pieces"] for r in
+           bpe_encode(df.dropDuplicates(["doc_id"]), "doc_id", "text", merges).collect()}
+    want1 = (encode_word("the", ranks) + encode_word("cat", ranks)
+             + encode_word("sat", ranks))
+    assert got[1] == want1
+    assert got[3] == encode_word("cat", ranks) + encode_word("the", ranks)
