@@ -1473,6 +1473,141 @@ def _filter_pattern_replace(toks: list[str], pattern: str = "", replacement: str
     return out
 
 
+
+
+def _filter_cjk_width(toks: list[str], **_) -> list[str]:
+    """cjk_width (``AC/CJKWidthFilterFactory.java`` / Lucene
+    CJKWidthFilter): fold fullwidth ASCII variants (U+FF01-FF5E) to basic
+    latin and halfwidth Katakana (U+FF65-FF9F) to fullwidth Katakana —
+    exactly the NFKC mapping restricted to those two ranges."""
+    import unicodedata
+
+    def fold(t: str) -> str:
+        return "".join(
+            unicodedata.normalize("NFKC", ch)
+            if ("\uff01" <= ch <= "\uff5e") or ("\uff65" <= ch <= "\uff9f")
+            else ch
+            for ch in t
+        )
+
+    return [fold(t) for t in toks]
+
+
+_SCANDI_FOLD = {"å": "a", "ä": "a", "æ": "a", "ö": "o", "ø": "o",
+                "Å": "a", "Ä": "a", "Æ": "a", "Ö": "o", "Ø": "o"}
+
+
+def _filter_scandinavian_folding(toks: list[str], **_) -> list[str]:
+    """scandinavian_folding (Lucene ScandinavianFoldingFilter): å/ä/æ→a,
+    ö/ø→o, plus the double-vowel spellings aa→a, ae→a, ao→a, oe→o, oo→o
+    (the discriminating-against-no-dialect fold)."""
+    out = []
+    for t in toks:
+        r = "".join(_SCANDI_FOLD.get(c, c) for c in t)
+        for dg, sg in (("aa", "a"), ("ae", "a"), ("ao", "a"), ("oe", "o"), ("oo", "o")):
+            r = r.replace(dg, sg)
+        out.append(r)
+    return out
+
+
+_SCANDI_NORM = {"æ": "ä", "Æ": "ä", "ø": "ö", "Ø": "ö", "å": "å", "Å": "å"}
+
+
+def _filter_scandinavian_normalization(toks: list[str], **_) -> list[str]:
+    """scandinavian_normalization (Lucene ScandinavianNormalizationFilter):
+    unify the interchangeable Scandinavian spellings — ae→æ→ä kept as ä,
+    oe/ø→ö, aa→å — WITHOUT the lossy a/o collapse of the folding filter."""
+    out = []
+    for t in toks:
+        r = t.replace("aa", "å").replace("ae", "ä").replace("oe", "ö")
+        r = "".join(_SCANDI_NORM.get(c, c) for c in r)
+        out.append(r)
+    return out
+
+
+def _filter_german_normalization(toks: list[str], **_) -> list[str]:
+    """german_normalization (Lucene GermanNormalizationFilter): ß→ss,
+    umlauts folded (ä→a, ö→o, ü→u), and the digraph spellings ae/oe/ue
+    reduced to a/o/u — except ue after q (quelle) per the Lucene
+    heuristic."""
+    out = []
+    for t in toks:
+        r = t.replace("ß", "ss")
+        buf = []
+        i = 0
+        while i < len(r):
+            c = r[i]
+            if c in "aou" and i + 1 < len(r) and r[i + 1] == "e" and not (
+                c == "u" and i > 0 and r[i - 1] == "q"
+            ):
+                buf.append(c)
+                i += 2
+                continue
+            buf.append({"ä": "a", "ö": "o", "ü": "u"}.get(c, c))
+            i += 1
+        out.append("".join(buf))
+    return out
+
+
+_ARABIC_DIACRITICS = set("\u064b\u064c\u064d\u064e\u064f\u0650\u0651\u0652\u0640")
+
+
+def _filter_arabic_normalization(toks: list[str], **_) -> list[str]:
+    """arabic_normalization (Lucene ArabicNormalizationFilter): strip
+    tashkeel diacritics + tatweel, normalize alef variants آأإ→ا, dotless
+    ى→ي, and ة→ه."""
+    table = {"\u0622": "\u0627", "\u0623": "\u0627", "\u0625": "\u0627",
+             "\u0649": "\u064a", "\u0629": "\u0647"}
+    return [
+        "".join(table.get(c, c) for c in t if c not in _ARABIC_DIACRITICS)
+        for t in toks
+    ]
+
+
+def _filter_persian_normalization(toks: list[str], **_) -> list[str]:
+    """persian_normalization (Lucene PersianNormalizationFilter): Arabic
+    kaf/yeh folded to the Farsi forms (ك→ک, ي/ى→ی), heh variants → ه,
+    zero-width non-joiner → space-less join, tatweel stripped."""
+    table = {"\u0643": "\u06a9", "\u064a": "\u06cc", "\u0649": "\u06cc",
+             "\u0647\u0654": "\u0647", "\u06c0": "\u0647", "\u06be": "\u0647"}
+    drop = {"\u0640", "\u200c"}
+    return [
+        "".join(table.get(c, c) for c in t if c not in drop) for t in toks
+    ]
+
+
+def _filter_keep(toks: list[str], keep_words=(), **_) -> list[str]:
+    """keep (``AC/KeepWordFilterFactory.java``): keep ONLY the listed
+    words — the complement of stop."""
+    ks = set(keep_words)
+    return [t for t in toks if t in ks]
+
+
+def _filter_keep_types(toks: list[str], types=("<ALPHANUM>",), mode: str = "include", **_) -> list[str]:
+    """keep_types (``AC/KeepTypesFilterFactory.java``): filter by the
+    standard tokenizer's token type. Our flat token stream re-derives the
+    two types the standard tokenizer emits over [a-z0-9] text: <NUM> for
+    all-digit tokens, <ALPHANUM> otherwise (documented subset)."""
+    want = set(types)
+    def ty(t: str) -> str:
+        return "<NUM>" if t.isdigit() else "<ALPHANUM>"
+    if mode == "exclude":
+        return [t for t in toks if ty(t) not in want]
+    return [t for t in toks if ty(t) in want]
+
+
+def _filter_remove_duplicates(toks: list[str], **_) -> list[str]:
+    """remove_duplicates (``AC/RemoveDuplicatesTokenFilterFactory.java``):
+    drop ADJACENT duplicate tokens (same term at the same position; in our
+    flat position model that is consecutive repeats — unlike `unique`,
+    non-adjacent repeats survive)."""
+    out = []
+    for t in toks:
+        if not out or out[-1] != t:
+            out.append(t)
+    return out
+
+
 TOKEN_FILTERS = {
     "phonetic": _filter_phonetic,
     "elision": _filter_elision,
@@ -1493,6 +1628,15 @@ TOKEN_FILTERS = {
     "stemmer": _filter_stemmer,
     "porter_stem": _filter_porter,
     "cjk_bigram": _filter_cjk_bigram,
+    "cjk_width": _filter_cjk_width,
+    "scandinavian_folding": _filter_scandinavian_folding,
+    "scandinavian_normalization": _filter_scandinavian_normalization,
+    "german_normalization": _filter_german_normalization,
+    "arabic_normalization": _filter_arabic_normalization,
+    "persian_normalization": _filter_persian_normalization,
+    "keep": _filter_keep,
+    "keep_types": _filter_keep_types,
+    "remove_duplicates": _filter_remove_duplicates,
     "length": _filter_length,
     "unique": _filter_unique,
     "truncate": _filter_truncate,

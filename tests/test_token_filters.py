@@ -418,3 +418,23 @@ def test_icu_chain_registration(spark):
     analysis.register_analyzer("icu_test", "standard", [["icu_folding", {}]])
     toks = analysis.analyze("Crème Brûlée Straße", "icu_test")
     assert toks == ["creme", "brulee", "strasse"]
+
+
+def test_normalization_filter_batch():
+    """cjk_width / scandinavian / german / arabic / persian normalizers +
+    keep / keep_types / remove_duplicates — golden pairs derived from the
+    Lucene filter docs, run through the registered chain resolution."""
+    from elasticsearch_spark.functions.analysis import TOKEN_FILTERS as TF
+
+    assert TF["cjk_width"](["ｅｌａｓｔｉｃ", "ｶﾀｶﾅ"]) == ["elastic", "カタカナ"]
+    assert TF["scandinavian_folding"](["räksmörgås", "smørrebrød"]) == [
+        "raksmorgas", "smorrebrod"]
+    assert TF["scandinavian_normalization"](["raeksmoergaas"]) == ["räksmörgås"]
+    assert TF["german_normalization"](["weißbier", "flüsse", "quelle", "baer"]) == [
+        "weissbier", "flusse", "quelle", "bar"]  # 'ue' after q survives
+    assert TF["arabic_normalization"](["أَب", "مكتبة"]) == ["اب", "مكتبه"]
+    assert TF["persian_normalization"](["كتاب"]) == ["کتاب"]  # Arabic kaf -> Farsi
+    assert TF["keep"](["the", "spark", "core"], keep_words=["spark"]) == ["spark"]
+    assert TF["keep_types"](["v2", "2024", "x"], types=["<NUM>"]) == ["2024"]
+    assert TF["keep_types"](["v2", "2024"], types=["<NUM>"], mode="exclude") == ["v2"]
+    assert TF["remove_duplicates"](["a", "a", "b", "a"]) == ["a", "b", "a"]
