@@ -3238,7 +3238,112 @@ def p_ingest_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x_transform_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x-pack transform pivot (x-pack/plugin/core/.../transforms/pivot/
+    PivotConfig.java): entity-centric materialization of events into one row
+    per (user, day) with metric + exact-cardinality aggs. One partial/final
+    groupBy — scale-safe at any source size."""
+    from .plans import transform as xform
+
+    cfg = {
+        "group_by": {
+            "user": {"terms": {"field": "user_id"}},
+            "day": {"date_histogram": {"field": "ts", "calendar_interval": "1d"}},
+        },
+        "aggregations": {
+            "avg_value": {"avg": {"field": "value"}},
+            "total": {"sum": {"field": "value"}},
+            "n_events": {"value_count": {"field": "event_id"}},
+            "n_types": {"cardinality": {"field": "event_type"}},
+        },
+    }
+    out = xform.pivot(_events(spark, sf_dir), cfg)
+    return (
+        out.where(F.col("user") < 40)
+        .select(
+            "user",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("avg_value", 4).alias("avg_value"),
+            F.round("total", 4).alias("total"),
+            "n_events",
+            "n_types",
+        )
+        .orderBy("user", "day")
+    )
+
+
+def x_transform_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x-pack transform latest (.../transforms/latest/LatestConfig.java):
+    newest event per (user_id, event_type) by ts — max_by(struct) groupBy,
+    no global window sort; deterministic event_id tie-break."""
+    from .plans import transform as xform
+
+    out = xform.latest(
+        _events(spark, sf_dir), {"unique_key": ["user_id", "event_type"], "sort": "ts"}
+    )
+    return (
+        out.where(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.round("value", 4).alias("value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+def x_transform_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous transform checkpoint cycle (TransformIndexer.java change
+    detection): bootstrap the dest from the first half of the stream, then run
+    one incremental cycle over the full source — only entities with documents
+    past the checkpoint are re-aggregated (over the full source, so even
+    cardinality stays exact) and upserted. The oracle is the from-scratch
+    batch pivot: incremental MUST equal batch."""
+    from .plans import transform as xform
+
+    cfg = {
+        "group_by": {"user": {"terms": {"field": "user_id"}}},
+        "aggregations": {
+            "n_events": {"value_count": {"field": "event_id"}},
+            "n_types": {"cardinality": {"field": "event_type"}},
+            "max_value": {"max": {"field": "value"}},
+        },
+    }
+    e = _events(spark, sf_dir)
+    first = e.where(F.col("ts") < "2024-01-15 00:00:00")
+    dest, ckpt = xform.apply_checkpoint(first, None, cfg, "ts", None)
+    dest2, _ = xform.apply_checkpoint(e, dest, cfg, "ts", ckpt)
+    return (
+        dest2.select(
+            "user", "n_events", "n_types", F.round("max_value", 4).alias("max_value")
+        ).orderBy("user")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "transform_pivot": """
+SELECT user_id AS user, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       ROUND(AVG(value), 4) AS avg_value, ROUND(SUM(value), 4) AS total,
+       COUNT(event_id) AS n_events, COUNT(DISTINCT event_type) AS n_types
+FROM events WHERE user_id < 40
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "transform_latest": """
+SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       ROUND(value, 4) AS value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 AND user_id < 40
+ORDER BY user_id, event_type
+""",
+    "transform_checkpoint": """
+SELECT user_id AS user, COUNT(event_id) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types, ROUND(MAX(value), 4) AS max_value
+FROM events GROUP BY 1 ORDER BY 1
+""",
     "ingest_geoip": """
 WITH ip AS (
   SELECT (user_id % 223 + 1) AS o1, (event_id % 256) AS o2
@@ -5353,4 +5458,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsl_semantic_query": dsl_semantic_query,
     "agg_bucket_correlation": a_bucket_correlation,
     "agg_bucket_ks_test": a_bucket_ks_test,
+    "transform_pivot": x_transform_pivot,
+    "transform_latest": x_transform_latest,
+    "transform_checkpoint": x_transform_checkpoint,
 }
