@@ -136,6 +136,123 @@ def flag_contaminated(
     )
 
 
+_GRAMS = (
+    "concat(__toks, case when size(__toks) >= 2 then"
+    " transform(sequence(0, size(__toks) - 2),"
+    " i -> concat_ws(' ', slice(__toks, i + 1, 2)))"
+    " else slice(__toks, 1, 0) end)"
+)
+
+
+def _gram_buckets(frame: DataFrame, key_cols: list[str], text_col: str,
+                  buckets: int) -> DataFrame:
+    """(keys…, bucket) — one row per unigram/bigram occurrence, hashed into
+    ``buckets`` via the first 8 hex digits of md5 (cross-engine stable:
+    DuckDB mirrors it with digit-wise hex decoding). Pure codegen
+    project-explode — never materialized wide."""
+    toked = frame.select(
+        *key_cols,
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)").alias("__toks"),
+    )
+    g = F.explode(F.expr(_GRAMS)).alias("__g")
+    return toked.select(*key_cols, g).select(
+        *key_cols,
+        F.pmod(
+            F.conv(F.substring(F.md5("__g"), 1, 8), 16, 10).cast("long"),
+            F.lit(buckets),
+        ).alias("bucket"),
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    key_col: str,
+    text_col: str,
+    *,
+    buckets: int = 4096,
+    alpha: float = 0.5,
+    target_text_col: str | None = None,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, *Data Selection for Language
+    Models via Importance Resampling*): bag-of-hashed-ngrams generative
+    models for the target and raw corpora, per-document log importance
+    weight ``log p_target(doc) − log p_raw(doc)``.
+
+    Both distributions are Laplace-smoothed (``alpha`` per bucket) so unseen
+    buckets stay finite. Returns ``(key_col, logw)``.
+
+    Scale: two gram-count groupBys (map-side partial agg over the explode
+    stream, ≤ ``buckets`` result rows each), the per-bucket log-ratio table
+    is ≤ ``buckets`` rows → broadcast joined back to the raw gram stream,
+    then one per-document sum. No all-pairs, no driver state."""
+    b = float(buckets)
+    tgt = _gram_buckets(
+        target, [], target_text_col or text_col, buckets
+    ).groupBy("bucket").agg(F.count("*").cast("double").alias("ct"))
+    rawc = _gram_buckets(raw, [], text_col, buckets).groupBy("bucket").agg(
+        F.count("*").cast("double").alias("cq")
+    )
+    totals = tgt.agg(F.sum("ct").alias("nt")).crossJoin(
+        rawc.agg(F.sum("cq").alias("nq"))
+    )
+    ratio = (
+        tgt.join(rawc, "bucket", "full_outer")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce("ct", F.lit(0.0)) + alpha) / (F.col("nt") + alpha * b))
+                - F.log((F.coalesce("cq", F.lit(0.0)) + alpha) / (F.col("nq") + alpha * b))
+            ).alias("lr"),
+        )
+    )
+    doc_grams = _gram_buckets(raw, [key_col], text_col, buckets)
+    return (
+        doc_grams.join(F.broadcast(ratio), "bucket")
+        .groupBy(key_col)
+        .agg(F.sum("lr").alias("logw"))
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    key_col: str,
+    text_col: str,
+    k: int,
+    *,
+    buckets: int = 4096,
+    alpha: float = 0.5,
+    target_text_col: str | None = None,
+) -> DataFrame:
+    """Gumbel-top-k importance resampling without replacement (the DSIR
+    selection step): sample ``k`` documents from the raw corpus with
+    probability ∝ importance weight by taking the top ``k`` of
+    ``logw + Gumbel(0,1)``.
+
+    The Gumbel noise is DETERMINISTIC in the document key (a 31-bit
+    multiplicative-congruential uniform), so re-runs — and reruns at any
+    cluster size — select identical documents, and a plain-SQL oracle can
+    reproduce the draw exactly. Returns ``(key_col, logw, gkey)`` for the
+    selected documents. Top-k is TakeOrderedAndProject — ≤ k rows ever
+    leave the executors."""
+    w = dsir_weights(
+        raw, target, key_col, text_col,
+        buckets=buckets, alpha=alpha, target_text_col=target_text_col,
+    )
+    m = F.lit(2147483647)
+    u = (
+        F.pmod(F.pmod(F.col(key_col).cast("long"), m) * F.lit(2654435761) + 101, m)
+        + 1
+    ) / F.lit(2147483649.0)
+    return (
+        w.withColumn("gkey", F.col("logw") - F.log(-F.log(u)))
+        .orderBy(F.desc("gkey"), F.asc(key_col))
+        .limit(k)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     key_col: str,

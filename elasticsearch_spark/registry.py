@@ -3238,6 +3238,88 @@ def p_ingest_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LTR_MODEL = {
+    "trained_models": [
+        {
+            "feature_names": ["f_dl", "f_tf"],
+            "tree_structure": [
+                {"node_index": 0, "split_feature": 1, "threshold": 2.0,
+                 "left_child": 1, "right_child": 2},
+                {"node_index": 1, "split_feature": 0, "threshold": 300.0,
+                 "left_child": 3, "right_child": 4},
+                {"node_index": 2, "leaf_value": 1.5, "left_child": -1},
+                {"node_index": 3, "leaf_value": 0.2, "left_child": -1},
+                {"node_index": 4, "leaf_value": 0.6, "left_child": -1},
+            ],
+        },
+        {
+            "feature_names": ["f_dl", "f_tf"],
+            "tree_structure": [
+                {"node_index": 0, "split_feature": 1, "threshold": 0.0,
+                 "left_child": 1, "right_child": 2},
+                {"node_index": 1, "leaf_value": -0.5, "left_child": -1},
+                {"node_index": 2, "split_feature": 1, "threshold": 4.0,
+                 "left_child": 3, "right_child": 4},
+                {"node_index": 3, "leaf_value": 0.8, "left_child": -1},
+                {"node_index": 4, "leaf_value": 1.2, "left_child": -1},
+            ],
+        },
+    ],
+    "aggregate_output": {"weighted_sum": {"weights": [1.0, 2.0]}},
+}
+
+
+def q_ltr_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning-to-rank rescore: top-30 hits by term frequency of 'data',
+    the top-10 window re-scored by a two-tree regression ensemble over
+    (doc length, tf) features — ml inference Tree/Ensemble semantics
+    (x-pack/plugin/core/.../trainedmodel/tree/Tree.java, ensemble/
+    Ensemble.java) inside the rescore-window contract
+    (server/.../search/rescore/QueryRescorer.java). The tree is compiled
+    to a CASE-WHEN projection; the oracle hand-writes the same trees."""
+    from .operators import ltr
+
+    feats = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_TOK_SPARK).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("double").alias("f_dl"),
+        F.expr("cast(size(filter(toks, t -> t = 'data')) as double)").alias("f_tf"),
+    )
+    hits = (
+        feats.orderBy(F.desc("f_tf"), F.asc("doc_id"))
+        .limit(30)
+        .withColumn("_score", F.col("f_tf"))
+    )
+    out = ltr.ltr_rescore(hits, _LTR_MODEL, id_col="doc_id", window_size=10)
+    return out.select(
+        "doc_id", F.col("_rank").cast("long").alias("rank"),
+        F.round("_rescored", 4).alias("rescored"),
+    ).orderBy("rank")
+
+
+def t_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    bag-of-ngrams target/raw models over documents (target = src0/src1),
+    per-doc log importance weight, deterministic Gumbel-top-k resample of
+    50 docs. Bucket tables ≤512 rows (broadcast); top-k is
+    TakeOrderedAndProject — the 100 TB shape."""
+    from .operators.sampling import dsir_resample
+
+    raw = _docs(spark, sf_dir)
+    tgt = raw.where(F.col("source").isin("src0", "src1"))
+    out = dsir_resample(raw, tgt, "doc_id", "text", k=50, buckets=512)
+    return out.select(
+        "doc_id", F.round("logw", 4).alias("logw"), F.round("gkey", 4).alias("gkey")
+    ).orderBy(F.desc("gkey"), F.asc("doc_id"))
+
+
+_DSIR_BUCKET_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substring(h, {d}, 1)) - 1) * {16 ** (8 - d)}"
+    for d in range(1, 9)
+)
+
+
 def x_transform_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x-pack transform pivot (x-pack/plugin/core/.../transforms/pivot/
     PivotConfig.java): entity-centric materialization of events into one row
@@ -3323,6 +3405,70 @@ def x_transform_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "ltr_rescore": """
+WITH f AS (
+  SELECT doc_id, len(toks)::DOUBLE AS f_dl,
+         len(list_filter(toks, t -> t = 'data'))::DOUBLE AS f_tf
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents)
+),
+h AS (SELECT * FROM f ORDER BY f_tf DESC, doc_id LIMIT 30),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY f_tf DESC, doc_id) AS base_rank FROM h),
+s AS (
+  SELECT doc_id, base_rank,
+    CASE WHEN base_rank <= 10 THEN
+      1.0 * (CASE WHEN f_tf <= 2.0 THEN
+               (CASE WHEN f_dl <= 300.0 THEN 0.2 ELSE 0.6 END)
+             ELSE 1.5 END)
+      + 2.0 * (CASE WHEN f_tf <= 0.0 THEN -0.5
+               ELSE (CASE WHEN f_tf <= 4.0 THEN 0.8 ELSE 1.2 END) END)
+    ELSE f_tf END AS rescored
+  FROM r
+)
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY
+         (CASE WHEN base_rank <= 10 THEN 0 ELSE 1 END),
+         (CASE WHEN base_rank <= 10 THEN rescored END) DESC NULLS LAST,
+         (CASE WHEN base_rank > 10 THEN base_rank END) ASC NULLS FIRST,
+         doc_id) AS rank,
+       ROUND(rescored, 4) AS rescored
+FROM s ORDER BY rank
+""",
+    "sample_dsir": f"""
+WITH toked AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(t || list_transform(range(len(t) - 1),
+                                    i -> t[i+1] || ' ' || t[i+2])) AS g
+  FROM toked
+),
+b AS (
+  SELECT doc_id, source, ({_DSIR_BUCKET_SQL}) % 512 AS bucket
+  FROM (SELECT doc_id, source, md5(g) AS h FROM grams)
+),
+ct AS (SELECT bucket, count(*)::DOUBLE AS ct FROM b
+       WHERE source IN ('src0', 'src1') GROUP BY 1),
+cq AS (SELECT bucket, count(*)::DOUBLE AS cq FROM b GROUP BY 1),
+tot AS (SELECT (SELECT sum(ct) FROM ct) AS nt, (SELECT sum(cq) FROM cq) AS nq),
+ratio AS (
+  SELECT cq.bucket,
+         ln((coalesce(ct.ct, 0) + 0.5) / (tot.nt + 256.0))
+         - ln((cq.cq + 0.5) / (tot.nq + 256.0)) AS lr
+  FROM cq LEFT JOIN ct USING (bucket), tot
+),
+w AS (SELECT b.doc_id, sum(r.lr) AS logw FROM b JOIN ratio r USING (bucket) GROUP BY 1),
+g AS (
+  SELECT doc_id, logw,
+         logw - ln(-ln((((doc_id % 2147483647) * 2654435761 + 101) % 2147483647 + 1)
+                       / 2147483649.0)) AS gkey
+  FROM w
+)
+SELECT doc_id, ROUND(logw, 4) AS logw, ROUND(gkey, 4) AS gkey
+FROM g ORDER BY gkey DESC, doc_id LIMIT 50
+""",
     "transform_pivot": """
 SELECT user_id AS user, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        ROUND(AVG(value), 4) AS avg_value, ROUND(SUM(value), 4) AS total,
@@ -5461,4 +5607,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transform_pivot": x_transform_pivot,
     "transform_latest": x_transform_latest,
     "transform_checkpoint": x_transform_checkpoint,
+    "ltr_rescore": q_ltr_rescore,
+    "sample_dsir": t_dsir_resample,
 }
