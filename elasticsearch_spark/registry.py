@@ -2847,6 +2847,25 @@ def m_anomaly_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x-pack ml data frame analytics outlier detection
+    (``x-pack/plugin/ml/.../dataframe/analyses/OutlierDetection.java``):
+    exact k-NN distance methods (kth-NN distance, mean k-NN distance) and
+    Local Outlier Factor, ensembled as the mean of per-method CDF ranks
+    (plans/ml.py). Global exact mode here (500 vectors at sf0.01); the
+    centroid-clustered bounded-pair path is the 100 TB shape (pytest)."""
+    from .plans.ml import outlier_detection
+
+    out = outlier_detection(_emb(spark, sf_dir), "vec_id", "embedding", k=5)
+    return out.select(
+        "vec_id",
+        F.round("dist_kth_nn", 6).alias("dist_kth_nn"),
+        F.round("dist_knn", 6).alias("dist_knn"),
+        F.round("lof", 6).alias("lof"),
+        F.round("outlier_score", 6).alias("outlier_score"),
+    ).orderBy("vec_id")
+
+
 def a_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """random_sampler agg (x-pack ``RandomSamplerAggregationBuilder``):
     probability-0.1 deterministic document sample (seeded hash coin on the
@@ -3633,6 +3652,38 @@ SELECT bucket_ts, round(actual, 6) AS actual, round(med, 6) AS typical,
        round(abs(actual - med) / (1.4826 * mad + 1e-9), 6) AS score,
        abs(actual - med) / (1.4826 * mad + 1e-9) >= 3.0 AS is_anomaly
 FROM j, md ORDER BY bucket_ts
+""",
+    "ml_outlier_detection": """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         sqrt(list_sum(list_transform(list_zip(a.v, b.v),
+              z -> (z[1] - z[2]) * (z[1] - z[2])))) AS dist
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+knn AS (
+  SELECT * FROM (
+    SELECT a, b, dist,
+           row_number() OVER (PARTITION BY a ORDER BY dist ASC, b ASC) AS rn
+    FROM p) WHERE rn <= 5),
+per AS (SELECT a, max(dist) AS dist_kth_nn, avg(dist) AS dist_knn
+        FROM knn GROUP BY a),
+lrd AS (
+  SELECT knn.a, 1.0 / avg(greatest(knn.dist, kb.dist_kth_nn)) AS lrd
+  FROM knn JOIN per kb ON knn.b = kb.a GROUP BY knn.a),
+lof AS (
+  SELECT knn.a, avg(lb.lrd) / max(la.lrd) AS lof
+  FROM knn JOIN lrd lb ON knn.b = lb.a JOIN lrd la ON knn.a = la.a
+  GROUP BY knn.a),
+sc AS (
+  SELECT per.a, per.dist_kth_nn, per.dist_knn, lof.lof,
+         (cume_dist() OVER (ORDER BY per.dist_kth_nn)
+        + cume_dist() OVER (ORDER BY per.dist_knn)
+        + cume_dist() OVER (ORDER BY lof.lof)) / 3.0 AS outlier_score
+  FROM per JOIN lof ON per.a = lof.a)
+SELECT a AS vec_id, round(dist_kth_nn, 6) AS dist_kth_nn,
+       round(dist_knn, 6) AS dist_knn, round(lof, 6) AS lof,
+       round(outlier_score, 6) AS outlier_score
+FROM sc ORDER BY vec_id
 """,
     "sim_quantize_int8": """
 WITH c AS (SELECT unnest(embedding)::DOUBLE AS x FROM embeddings),
@@ -5515,6 +5566,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_inlinestats": q_esql_inlinestats,
     "ml_anomaly_count": m_anomaly_count,
     "ml_anomaly_mean": m_anomaly_mean,
+    "ml_outlier_detection": m_outlier_detection,
     "sim_ann_lsh_topk": s_ann_lsh_topk,
     "sim_ann_ivf_topk": s_ann_ivf_topk,
     "sim_ann_hnsw_topk": s_ann_hnsw_topk,
