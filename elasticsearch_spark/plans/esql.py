@@ -24,6 +24,8 @@ Supported commands (documented subset):
   | DISSECT col "%{a} %{b}"             pattern extraction
   | GROK col "..."                      regex extraction (grok syntax)
   | MV_EXPAND col                       explode a multivalue column
+  | FORK (pipe...) (pipe...)            branch sub-pipelines, union by name
+                                        with a `_fork` discriminator
 
 Function mapping: COUNT_DISTINCT→count(distinct), MEDIAN→percentile(·,0.5),
 PERCENTILE(x,p)→percentile(x,p/100), TO_UPPER/TO_LOWER/TO_STRING/TO_LONG/
@@ -270,6 +272,29 @@ def _xlate(expr: str) -> str:
     return re.sub(r"\x00(\d+)\x00", unstash, e)
 
 
+def _paren_groups(s: str) -> list[str]:
+    """Top-level parenthesized groups of `s`, quote-aware: "(a) (b)" → ["a", "b"]."""
+    out: list[str] = []
+    depth, start, in_q = 0, -1, None
+    for i, c in enumerate(s):
+        if in_q:
+            if c == in_q and s[i - 1] != "\\":
+                in_q = None
+        elif c in "\"'":
+            in_q = c
+        elif c == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                out.append(s[start:i].strip())
+    if depth != 0:
+        raise ValueError(f"unbalanced parens in: {s!r}")
+    return out
+
+
 def esql(
     spark: SparkSession,
     query: str,
@@ -472,6 +497,27 @@ def esql(
             col = rest.strip()
             others = [c for c in df.columns if c != col]
             df = df.select(*others, F.explode(F.col(col)).alias(col))
+        elif cmd == "FORK":
+            # FORK (branch1) (branch2) ... (EsqlBaseParser forkCommand,
+            # ES 8.18): each parenthesized sub-pipeline runs against the
+            # CURRENT frame; results union by column name (missing columns
+            # null-filled) with a `_fork` discriminator — branch i tagged
+            # "fork<i>" in declaration order. Spark shape: N branch plans
+            # over one shared child + unionByName; Catalyst reuses the
+            # common subplan, no extra shuffle beyond what branches need.
+            branches = _paren_groups(rest)
+            if len(branches) < 2:
+                raise ValueError("FORK needs at least two branches")
+            tabs = dict(tables or {})
+            tabs["__fork__"] = df
+            outs = [
+                esql(spark, "FROM __fork__ | " + br, tabs)
+                .withColumn("_fork", F.lit(f"fork{bi}"))
+                for bi, br in enumerate(branches, start=1)
+            ]
+            df = outs[0]
+            for o in outs[1:]:
+                df = df.unionByName(o, allowMissingColumns=True)
         else:
             raise ValueError(f"unsupported ES|QL command: {cmd}")
     assert df is not None

@@ -2923,6 +2923,25 @@ FROM events
     )
 
 
+def q_esql_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL FORK (EsqlBaseParser forkCommand): two sub-pipelines over the
+    same filtered frame — a top-5-by-value detail branch and a per-type
+    stats branch — unioned by name with the `_fork` discriminator."""
+    from .plans.esql import esql
+
+    ev = _events(spark, sf_dir)
+    out = esql(spark, """
+FROM events
+| WHERE value >= 100
+| FORK (SORT value DESC, event_id ASC | LIMIT 5 | KEEP event_id, event_type, value)
+       (STATS n = COUNT(*), avg_v = AVG(value) BY event_type)
+""", {"events": ev})
+    return out.select(
+        "_fork", "event_id", "event_type", F.round("value", 4).alias("value"),
+        "n", F.round("avg_v", 6).alias("avg_v"),
+    ).orderBy("_fork", "event_id", "event_type")
+
+
 def s_quantize_int4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dense_vector int4 scalar quantization (``index_options.type:
     int4_flat`` — same ScalarQuantizer pipeline at 15 levels)."""
@@ -3614,6 +3633,20 @@ SELECT event_type, (floor(epoch(ts) / 86400) * 86400)::BIGINT AS bucket_ts,
        round(sum(value), 4) AS value_sum,
        count(value)::BIGINT AS value_value_count
 FROM events GROUP BY 1, 2 ORDER BY event_type, bucket_ts
+""",
+    "esql_fork": """
+WITH f AS (SELECT * FROM events WHERE value >= 100),
+b1 AS (
+  SELECT 'fork1' AS _fork, event_id, event_type, round(value, 4) AS value,
+         NULL::BIGINT AS n, NULL::DOUBLE AS avg_v
+  FROM f ORDER BY f.value DESC, event_id ASC LIMIT 5),
+b2 AS (
+  SELECT 'fork2' AS _fork, NULL::BIGINT AS event_id, event_type,
+         NULL::DOUBLE AS value, count(*)::BIGINT AS n,
+         round(avg(value), 6) AS avg_v
+  FROM f GROUP BY event_type)
+SELECT * FROM b1 UNION ALL SELECT * FROM b2
+ORDER BY _fork, event_id, event_type
 """,
     "esql_inlinestats": """
 WITH f AS (SELECT * FROM events WHERE value >= 100),
@@ -5564,6 +5597,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_random_sampler": a_random_sampler,
     "tsdb_downsample": t_downsample,
     "esql_inlinestats": q_esql_inlinestats,
+    "esql_fork": q_esql_fork,
     "ml_anomaly_count": m_anomaly_count,
     "ml_anomaly_mean": m_anomaly_mean,
     "ml_outlier_detection": m_outlier_detection,

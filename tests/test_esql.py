@@ -259,3 +259,34 @@ def test_mv_concat(spark):
     df = spark.createDataFrame([(["b", "a", "c"],)], "xs array<string>")
     out = esql(spark, 'FROM t | EVAL j = MV_CONCAT(MV_SORT(xs), "-") | KEEP j', {"t": df})
     assert out.collect()[0]["j"] == "a-b-c"
+
+
+def test_fork_branches_union_with_discriminator(spark):
+    from elasticsearch_spark.plans.esql import esql
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0)],
+        "id long, k string, v double")
+    out = esql(spark, """
+FROM t
+| FORK (WHERE v >= 30 | SORT v DESC | KEEP id, k, v)
+       (STATS n = COUNT(*), s = SUM(v) BY k)
+""", {"t": df}).collect()
+    f1 = sorted((r["id"], r["v"]) for r in out if r["_fork"] == "fork1")
+    assert f1 == [(3, 30.0), (4, 40.0)]
+    # stats branch rows carry nulls for the detail-only columns
+    f2 = {r["k"]: (r["n"], r["s"], r["id"], r["v"]) for r in out if r["_fork"] == "fork2"}
+    assert f2 == {"a": (2, 30.0, None, None), "b": (2, 70.0, None, None)}
+
+
+def test_fork_nested_parens_and_post_commands(spark):
+    from elasticsearch_spark.plans.esql import esql
+
+    df = spark.createDataFrame([(1, 2.0), (2, 4.0)], "id long, v double")
+    out = esql(spark, """
+FROM t
+| FORK (EVAL w = ROUND((v + 1.0), 1) | KEEP id, w) (STATS m = MAX(v))
+| SORT _fork ASC, id ASC
+""", {"t": df}).collect()
+    assert [r["_fork"] for r in out] == ["fork1", "fork1", "fork2"]
+    assert out[0]["w"] == 3.0 and out[2]["m"] == 4.0
