@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -493,6 +494,173 @@ class Engine:
         os.symlink(os.path.abspath(src), self._dir(name), target_is_directory=True)
         self.add_block(name, "write")
         return {"mounted": name, "snapshot": snapshot, "zero_copy": True}
+
+    # ---- SLM: snapshot lifecycle management (x-pack/plugin/slm) ----
+
+    def _slm_path(self) -> str:
+        return os.path.join(self.root, "_slm.json")
+
+    def _slm_load(self) -> dict:
+        import json
+
+        if os.path.exists(self._slm_path()):
+            with open(self._slm_path()) as f:
+                return json.load(f)
+        return {"policies": {}, "history": []}
+
+    def _slm_save(self, state: dict) -> None:
+        import json
+
+        tmp = self._slm_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._slm_path())
+
+    def put_slm_policy(self, name: str, policy: dict) -> dict:
+        """PUT /_slm/policy/{name} (``x-pack/plugin/slm``,
+        ``TransportPutSnapshotLifecycleAction`` /
+        ``SnapshotLifecyclePolicy.java``): validates and stores the policy —
+        ``name`` (date-math snapshot name pattern), ``repository``,
+        ``config.indices``, ``retention`` (expire_after / min_count /
+        max_count). ``schedule`` is stored verbatim; this engine has no
+        daemon, so ticks are explicit (`execute_slm_policy`), like the
+        reference's `_execute` API."""
+        for req in ("name", "repository"):
+            if req not in policy:
+                raise ValueError(f"SLM policy missing required field: {req}")
+        if bad := set(policy.get("retention", {})) - {
+            "expire_after", "min_count", "max_count"
+        }:
+            raise ValueError(f"unsupported SLM retention fields: {sorted(bad)}")
+        st = self._slm_load()
+        st["policies"][name] = policy
+        self._slm_save(st)
+        return {"acknowledged": True}
+
+    def get_slm_policy(self, name: str | None = None) -> dict:
+        """GET /_slm/policy[/{name}]."""
+        st = self._slm_load()
+        if name is None:
+            return dict(st["policies"])
+        if name not in st["policies"]:
+            raise ValueError(f"unknown SLM policy: {name}")
+        return st["policies"][name]
+
+    def delete_slm_policy(self, name: str) -> dict:
+        """DELETE /_slm/policy/{name} — the policy's snapshots stay
+        (reference semantics: deleting a policy never deletes data)."""
+        st = self._slm_load()
+        if st["policies"].pop(name, None) is None:
+            raise ValueError(f"unknown SLM policy: {name}")
+        self._slm_save(st)
+        return {"acknowledged": True}
+
+    @staticmethod
+    def _resolve_snapshot_name(pattern: str, now: float) -> str:
+        """``<prefix-{now/d}>`` date-math (``IndexNameExpressionResolver``
+        date-math subset): ``{now/d}`` → yyyy.MM.dd, ``{now/M}`` →
+        yyyy.MM.01, ``{now/h}`` → yyyy.MM.dd-HH — the rounding units SLM
+        docs use. Plain names (no ``<>``) pass through."""
+        import datetime as _dt
+
+        if not (pattern.startswith("<") and pattern.endswith(">")):
+            return pattern
+        body = pattern[1:-1]
+        t = _dt.datetime.fromtimestamp(now, tz=_dt.timezone.utc)
+
+        def sub(m):
+            unit = m.group(1)
+            if unit == "d":
+                return t.strftime("%Y.%m.%d")
+            if unit == "M":
+                return t.strftime("%Y.%m.01")
+            if unit == "h":
+                return t.strftime("%Y.%m.%d-%H")
+            raise ValueError(f"unsupported date-math rounding: {{now/{unit}}}")
+
+        return re.sub(r"\{now/(\w)\}", sub, body)
+
+    def execute_slm_policy(self, name: str, now: float) -> dict:
+        """POST /_slm/policy/{name}/_execute
+        (``TransportExecuteSnapshotLifecycleAction``): resolve the date-math
+        snapshot name, snapshot every index matched by ``config.indices``
+        (wildcards resolved against live indices), record the run in the
+        SLM history store. ``now`` is the injectable clock (the reference's
+        scheduler tick time)."""
+        pol = self.get_slm_policy(name)
+        snap = self._resolve_snapshot_name(pol["name"], now)
+        pats = pol.get("config", {}).get("indices", ["*"])
+        if isinstance(pats, str):
+            pats = [pats]
+        live = self.indices()
+        targets = sorted(
+            i for i in live
+            if any(re.fullmatch(re.escape(p).replace(r"\*", ".*"), i) for p in pats)
+        )
+        if not targets:
+            raise ValueError(f"SLM policy {name} matches no indices")
+        for idx in targets:
+            self.snapshot(idx, pol["repository"], snap)
+        st = self._slm_load()
+        st["history"].append(
+            {"policy": name, "snapshot": snap, "time": float(now),
+             "indices": targets, "state": "SUCCESS"}
+        )
+        self._slm_save(st)
+        return {"snapshot_name": snap, "indices": targets}
+
+    def execute_slm_retention(self, now: float) -> dict:
+        """POST /_slm/_execute_retention (``SnapshotRetentionTask``): for
+        each policy, delete its expired snapshots — older than
+        ``expire_after`` — but always keep the ``min_count`` most recent;
+        then trim oldest-first down to ``max_count``. Deletion removes the
+        repository copy (hard-linked segment files shared with other
+        snapshots survive via link counts — the reference's incremental-
+        segment GC falls out of the filesystem here)."""
+        st = self._slm_load()
+        deleted: list[str] = []
+        for pname, pol in st["policies"].items():
+            ret = pol.get("retention") or {}
+            if not ret:
+                continue
+            runs = sorted(
+                (h for h in st["history"]
+                 if h["policy"] == pname and h["state"] == "SUCCESS"),
+                key=lambda h: h["time"],
+            )
+            min_count = int(ret.get("min_count", 0))
+            max_count = ret.get("max_count")
+            drop: list[dict] = []
+            if "expire_after" in ret:
+                cutoff = now - self._ilm_age(ret["expire_after"])
+                expired = [h for h in runs if h["time"] < cutoff]
+                keep_floor = max(min_count - (len(runs) - len(expired)), 0)
+                drop.extend(expired[: len(expired) - keep_floor]
+                            if keep_floor else expired)
+            survivors = [h for h in runs if h not in drop]
+            if max_count is not None and len(survivors) > int(max_count):
+                drop.extend(survivors[: len(survivors) - int(max_count)])
+            for h in drop:
+                repo = st["policies"][pname]["repository"]
+                path = os.path.join(repo, h["snapshot"])
+                shutil.rmtree(path, ignore_errors=False)
+                h["state"] = "DELETED"
+                deleted.append(h["snapshot"])
+        self._slm_save(st)
+        return {"deleted": deleted}
+
+    def get_slm_stats(self) -> dict:
+        """GET /_slm/stats: taken/deleted counters from the history store."""
+        st = self._slm_load()
+        return {
+            "snapshots_taken": sum(
+                1 for h in st["history"] if h["state"] in ("SUCCESS", "DELETED")
+            ),
+            "snapshots_deleted": sum(
+                1 for h in st["history"] if h["state"] == "DELETED"
+            ),
+            "policy_count": len(st["policies"]),
+        }
 
     def indices(self) -> list[str]:
         return sorted(
