@@ -26,6 +26,8 @@ Supported commands (documented subset):
   | MV_EXPAND col                       explode a multivalue column
   | FORK (pipe...) (pipe...)            branch sub-pipelines, union by name
                                         with a `_fork` discriminator
+  | RERANK "q" ON field [WITH model]    semantic re-score via the inference
+                                        registry; adds `_score`, sorts desc
 
 Function mapping: COUNT_DISTINCT→count(distinct), MEDIAN→percentile(·,0.5),
 PERCENTILE(x,p)→percentile(x,p/100), TO_UPPER/TO_LOWER/TO_STRING/TO_LONG/
@@ -497,6 +499,40 @@ def esql(
             col = rest.strip()
             others = [c for c in df.columns if c != col]
             df = df.select(*others, F.explode(F.col(col)).alias(col))
+        elif cmd == "RERANK":
+            # RERANK "query" ON field [WITH inference_id] (EsqlBaseParser
+            # rerankCommand, ES 8.18 inference commands): re-scores rows by
+            # semantic relevance of `field` to the query through the
+            # pluggable inference registry (functions/inference.py —
+            # deterministic hash embedder default, production drop-in a
+            # served model). Spark shape: one Arrow-batched embed UDF over
+            # the column, query embedded once driver-side as a literal;
+            # `_score` = cosine of the L2-normalized vectors, rows
+            # re-sorted best-first.
+            rm = re.match(
+                r'"((?:[^"\\]|\\.)*)"\s+ON\s+(\w+)(?:\s+WITH\s+([\w\-.]+))?$',
+                rest, flags=re.I | re.S,
+            )
+            if not rm:
+                raise ValueError(f"bad RERANK syntax: {rest!r}")
+            qtext, fld, inf_id = rm.group(1), rm.group(2), rm.group(3) or ""
+            from ..functions.inference import embed_column, embed_text
+
+            qv = embed_text(qtext, inf_id)
+            qlit = F.array(*[F.lit(float(x)) for x in qv])
+            df = embed_column(df, fld, inf_id, out_col="__rerank_emb")
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col("__rerank_emb").cast("array<double>"), qlit,
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0), lambda s, x: s + x,
+            )
+            df = (
+                df.withColumn("_score", dot)
+                .drop("__rerank_emb")
+                .orderBy(F.desc("_score"))
+            )
         elif cmd == "FORK":
             # FORK (branch1) (branch2) ... (EsqlBaseParser forkCommand,
             # ES 8.18): each parenthesized sub-pipeline runs against the

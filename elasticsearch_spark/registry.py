@@ -2942,6 +2942,25 @@ FROM events
     ).orderBy("_fork", "event_id", "event_type")
 
 
+def q_esql_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL RERANK (EsqlBaseParser rerankCommand, inference commands):
+    semantic re-score of a filtered frame against a query string through
+    the default deterministic hash embedder — the oracle replicates the
+    ENTIRE embedding (md5 hex-digit → dimension/sign, L2 normalize,
+    cosine) in SQL."""
+    from .plans.esql import esql
+
+    d = _docs(spark, sf_dir)
+    out = esql(spark, """
+FROM documents
+| WHERE lang == "en" AND n_chars >= 400
+| RERANK "spark cluster data processing" ON text
+| EVAL score = ROUND(_score, 4)
+| KEEP doc_id, score
+""", {"documents": d})
+    return out.orderBy("doc_id")
+
+
 def s_quantize_int4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dense_vector int4 scalar quantization (``index_options.type:
     int4_flat`` — same ScalarQuantizer pipeline at 15 levels)."""
@@ -3647,6 +3666,40 @@ b2 AS (
   FROM f GROUP BY event_type)
 SELECT * FROM b1 UNION ALL SELECT * FROM b2
 ORDER BY _fork, event_id, event_type
+""",
+    "esql_rerank": """
+WITH f AS (
+  SELECT doc_id, text FROM documents WHERE lang = 'en' AND n_chars >= 400),
+dt AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM f),
+dh AS (
+  SELECT doc_id,
+    ((strpos('0123456789abcdef', substring(md5(tok), 15, 1)) - 1) * 16
+     + (strpos('0123456789abcdef', substring(md5(tok), 16, 1)) - 1)) % 64 AS dim,
+    CASE WHEN (strpos('0123456789abcdef', substring(md5(tok), 14, 1)) - 1) % 2 = 1
+         THEN 1.0 ELSE -1.0 END AS sgn
+  FROM dt),
+dv AS (SELECT doc_id, dim, sum(sgn) AS v FROM dh GROUP BY doc_id, dim),
+dn AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM dv GROUP BY doc_id),
+qt AS (SELECT unnest(regexp_extract_all('spark cluster data processing',
+                                        '[a-z0-9]+')) AS tok),
+qh AS (
+  SELECT
+    ((strpos('0123456789abcdef', substring(md5(tok), 15, 1)) - 1) * 16
+     + (strpos('0123456789abcdef', substring(md5(tok), 16, 1)) - 1)) % 64 AS dim,
+    CASE WHEN (strpos('0123456789abcdef', substring(md5(tok), 14, 1)) - 1) % 2 = 1
+         THEN 1.0 ELSE -1.0 END AS sgn
+  FROM qt),
+qv AS (SELECT dim, sum(sgn) AS v FROM qh GROUP BY dim),
+qn AS (SELECT sqrt(sum(v * v)) AS n FROM qv),
+s AS (
+  SELECT dv.doc_id, sum(dv.v * qv.v) AS dot
+  FROM dv JOIN qv USING (dim) GROUP BY dv.doc_id)
+SELECT f.doc_id,
+       round(coalesce(s.dot / nullif(dn.n * (SELECT n FROM qn), 0), 0), 4) AS score
+FROM f JOIN dn USING (doc_id) LEFT JOIN s USING (doc_id)
+ORDER BY doc_id
 """,
     "esql_inlinestats": """
 WITH f AS (SELECT * FROM events WHERE value >= 100),
@@ -5598,6 +5651,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tsdb_downsample": t_downsample,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_fork": q_esql_fork,
+    "esql_rerank": q_esql_rerank,
     "ml_anomaly_count": m_anomaly_count,
     "ml_anomaly_mean": m_anomaly_mean,
     "ml_outlier_detection": m_outlier_detection,

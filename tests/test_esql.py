@@ -290,3 +290,24 @@ FROM t
 """, {"t": df}).collect()
     assert [r["_fork"] for r in out] == ["fork1", "fork1", "fork2"]
     assert out[0]["w"] == 3.0 and out[2]["m"] == 4.0
+
+
+def test_rerank_scores_and_orders_by_relevance(spark):
+    from elasticsearch_spark.plans.esql import esql
+
+    df = spark.createDataFrame(
+        [(1, "spark cluster data processing engine"),
+         (2, "cooking recipes with garlic and onions"),
+         (3, "distributed data processing on a spark cluster")],
+        "id long, body string")
+    out = esql(spark, '''
+FROM t
+| RERANK "spark cluster data processing" ON body
+| KEEP id, _score
+''', {"t": df}).collect()
+    assert [r["id"] for r in out][0] in (1, 3)     # topical docs first
+    assert out[-1]["id"] == 2                      # off-topic last
+    assert out[0]["_score"] > 0.5 > out[-1]["_score"]
+    # exact self-match: doc 1 token-set == query token-multiset superset;
+    # score strictly below 1 unless identical multiset
+    assert all(-1.0 <= r["_score"] <= 1.0 + 1e-9 for r in out)
