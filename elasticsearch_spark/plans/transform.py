@@ -90,7 +90,14 @@ def pivot(df: DataFrame, config: dict) -> DataFrame:
     """
     keys = [_group_col(s).alias(n) for n, s in config["group_by"].items()]
     aggs = [_agg_col(n, s) for n, s in config["aggregations"].items()]
-    return df.groupBy(*keys).agg(*aggs)
+    # composite sources default missing_bucket=false: docs without a group
+    # field are SKIPPED (CompositeValuesSourceConfig). Also load-bearing for
+    # continuous mode — the dest upsert's anti-join can't match null keys,
+    # so a null bucket would duplicate on every checkpoint.
+    src = df
+    for k in keys:
+        src = src.where(k.isNotNull())
+    return src.groupBy(*keys).agg(*aggs)
 
 
 def latest(df: DataFrame, config: dict) -> DataFrame:

@@ -121,3 +121,25 @@ def test_checkpoint_derived_key_no_collision(src):
     dest2, _ = xform.apply_checkpoint(src, dest, cfg, "ts", ckpt)
     assert sorted(map(tuple, dest2.collect())) == sorted(
         map(tuple, xform.pivot(src, cfg).collect()))
+
+
+def test_pivot_skips_null_group_keys_and_continuous_stays_stable(spark):
+    """composite missing_bucket=false default: docs without the group field
+    are skipped — and a null bucket must never reach the dest, where the
+    upsert anti-join could not match it (it would duplicate per checkpoint)."""
+    rows = [
+        (0, T0 + dt.timedelta(hours=1), 1, 10.0),
+        (1, T0 + dt.timedelta(hours=2), None, 99.0),   # null entity
+        (2, T0 + dt.timedelta(days=1), 1, 5.0),
+        (3, T0 + dt.timedelta(days=1, hours=1), None, 7.0),
+    ]
+    src = spark.createDataFrame(rows, "id long, ts timestamp, user long, value double")
+    cfg = {"group_by": {"u": {"terms": {"field": "user"}}},
+           "aggregations": {"total": {"sum": {"field": "value"}}}}
+    batch = xform.pivot(src, cfg).collect()
+    assert [(r["u"], r["total"]) for r in batch] == [(1, 15.0)]
+    cut = src.where(F.col("ts") < T0 + dt.timedelta(days=1))
+    dest, ckpt = xform.apply_checkpoint(cut, None, cfg, "ts", None)
+    dest2, _ = xform.apply_checkpoint(src, dest, cfg, "ts", ckpt)
+    dest3, _ = xform.apply_checkpoint(src, dest2, cfg, "ts", ckpt)
+    assert sorted(map(tuple, dest3.collect())) == [(1, 15.0)]
