@@ -5,7 +5,9 @@ usage — threat-hunting style event correlation):
 
 - simple query:      ``<category> where <condition>``
 - sequence:          ``sequence [by f1[, f2]] [with maxspan=<n><unit>]
-                       [cat1 where c1] [cat2 where c2] ...``
+                       [cat1 where c1] [cat2 where c2] ...`` — steps may be
+                       missing-events constraints ``![cat where c]``
+                       (leading/interior/trailing; maxspan required)
 - pipes:             ``| head N`` · ``| tail N`` · ``| unique field``
 
 Conditions are EQL boolean expressions; ``==`` / ``!=`` / ``and`` / ``or``
@@ -36,11 +38,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _SEQ_RE = re.compile(
-    r"^sequence(?:\s+by\s+(?P<by>[\w,\s]+?))?(?:\s+with\s+maxspan=(?P<span>\d+)(?P<unit>ms|s|m|h|d))?\s*(?P<steps>\[.*)\s*$",
+    r"^sequence(?:\s+by\s+(?P<by>[\w,\s]+?))?(?:\s+with\s+maxspan=(?P<span>\d+)(?P<unit>ms|s|m|h|d))?\s*(?P<steps>!?\[.*)\s*$",
     re.S,
 )
 _SAMPLE_RE = re.compile(r"^sample\s+by\s+(?P<by>[\w,\s]+?)\s*(?P<steps>\[.*)\s*$", re.S)
-_STEP_RE = re.compile(r"\[\s*([\w*]+)\s+where\s+(.*?)\s*\](?:\s+with\s+runs\s*=\s*(\d+))?", re.S)
+_STEP_RE = re.compile(
+    r"(!?)\s*\[\s*([\w*]+)\s+where\s+(.*?)\s*\](?:\s+with\s+runs\s*=\s*(\d+))?", re.S
+)
 _SIMPLE_RE = re.compile(r"^\s*([\w*]+)\s+where\s+(.*?)\s*$", re.S)
 
 _UNIT_S = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}
@@ -103,7 +107,7 @@ def eql_search(
     until_step = None
     um = re.search(r"\buntil\s+(\[[^\]]*\])\s*$", body)
     if um:
-        ((ucat_, ucond_, _runs),) = _STEP_RE.findall(um.group(1))
+        ((_neg, ucat_, ucond_, _runs),) = _STEP_RE.findall(um.group(1))
         until_step = (ucat_, ucond_)
         body = body[: um.start()].rstrip()
 
@@ -113,7 +117,7 @@ def eql_search(
     sm2 = _SAMPLE_RE.match(body.strip())
     if sm2:
         by = [b.strip() for b in sm2.group("by").split(",") if b.strip()]
-        steps = [(c, w) for c, w, _ in _STEP_RE.findall(sm2.group("steps"))]
+        steps = [(c, w) for _neg, c, w, _ in _STEP_RE.findall(sm2.group("steps"))]
         if len(steps) < 2:
             raise ValueError("sample needs at least two steps")
         cur = None
@@ -147,13 +151,27 @@ def eql_search(
     span_s = (
         int(m.group("span")) * _UNIT_S[m.group("unit")] if m.group("span") else None
     )
-    # `with runs=N` (SequenceQuery runs): the step repeats N times
-    steps = [
-        (c, w)
-        for c, w, runs in _STEP_RE.findall(m.group("steps"))
+    # `with runs=N` (SequenceQuery runs): the step repeats N times;
+    # `![cat where cond]` marks a MISSING-events step (8.x missing events)
+    steps_all = [
+        (c, w, neg == "!")
+        for neg, c, w, runs in _STEP_RE.findall(m.group("steps"))
         for _ in range(int(runs) if runs else 1)
     ]
-    if len(steps) < 2:
+    # missing steps are verification constraints on the chain of regular
+    # steps: record each as (count of regular steps before it, cat, cond)
+    missing_slots: list[tuple[int, str, str]] = []
+    steps: list[tuple[str, str]] = []
+    for cat_, cond_, is_missing in steps_all:
+        if is_missing:
+            missing_slots.append((len(steps), cat_, cond_))
+        else:
+            steps.append((cat_, cond_))
+    if missing_slots and span_s is None:
+        # the reference requires maxspan for missing-events sequences
+        # (head/tail windows are otherwise unbounded)
+        raise ValueError("sequences with missing events require maxspan")
+    if len(steps) < (1 if missing_slots else 2):
         raise ValueError("sequence needs at least two steps")
     if not by:
         raise ValueError("sequence requires `by` in this subset")
@@ -198,6 +216,36 @@ def eql_search(
             .select(*by, "t1")
             .distinct()
         )
+        cur = cur.join(bad, by + ["t1"], "left_anti")
+    # missing-events verification (x-pack/plugin/eql missing events, 8.x):
+    # an interior `![...]` step between regular steps j and j+1 requires NO
+    # matching event strictly inside (t_j, t_{j+1}); a leading one requires
+    # none in (t1 − maxspan, t1); a trailing one none in (t_last, t1 +
+    # maxspan] — the reference closes trailing sequences when maxspan
+    # elapses after the sequence start. Each check is one by-key equi-join
+    # + range predicate + anti-join — same shuffle shape as `until`.
+    n_reg = len(steps)
+    for j, mcat, mcond in missing_slots:
+        u = df
+        if mcat not in ("*", "any"):
+            u = u.where(F.col(category_col) == mcat)
+        if mcond and mcond.strip() not in ("true",):
+            u = u.where(F.expr(_cond_to_sql(mcond)))
+        u = u.select(*[F.col(b) for b in by], F.col(ts_col).alias("__tm"))
+        span_expr = f"make_interval(0, 0, 0, 0, 0, 0, {span_s})"
+        if j == 0:
+            rng = (
+                F.col("__tm") > F.expr(f"t1 - {span_expr}")
+            ) & (F.col("__tm") < F.col("t1"))
+        elif j == n_reg:
+            rng = (F.col("__tm") > F.col(f"t{n_reg}")) & (
+                F.col("__tm") <= F.expr(f"t1 + {span_expr}")
+            )
+        else:
+            rng = (F.col("__tm") > F.col(f"t{j}")) & (
+                F.col("__tm") < F.col(f"t{j + 1}")
+            )
+        bad = cur.join(u, by).where(rng).select(*by, "t1").distinct()
         cur = cur.join(bad, by + ["t1"], "left_anti")
     names = by + ["t1"]
     return apply_pipes(cur.orderBy(*[F.col(n_).asc() for n_ in names]), names)

@@ -1868,6 +1868,21 @@ def q_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_eql_sequence_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL missing-events sequence (x-pack/plugin/eql 8.x missing events):
+    view → purchase per user within 2h with NO error event strictly
+    between them — the `![...]` interior step becomes a by-key anti-join
+    over the chain interval."""
+    from .plans.eql import eql_search
+
+    return eql_search(
+        _events(spark, sf_dir),
+        "sequence by user_id with maxspan=2h"
+        " [view where true] ![error where true] [purchase where true]"
+        " | head 50",
+    )
+
+
 def q_eql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EQL sample (x-pack/plugin/eql Sample.java, 8.6+): users with BOTH an
     error and a purchase event, NO temporal ordering — per-step min ts
@@ -5050,6 +5065,22 @@ SELECT user_id, t1, t2 FROM ch
 WHERE t2 IS NOT NULL AND epoch(t2) - epoch(t1) <= 7200
 ORDER BY user_id, t1 LIMIT 50
 """,
+    "eql_sequence_missing": """
+WITH s1 AS (SELECT user_id, ts AS t1 FROM events WHERE event_type = 'view'),
+ch AS (
+  SELECT s1.user_id, s1.t1,
+         (SELECT min(e.ts) FROM events e
+          WHERE e.user_id = s1.user_id AND e.event_type = 'purchase'
+            AND e.ts > s1.t1) AS t2
+  FROM s1
+)
+SELECT user_id, t1, t2 FROM ch
+WHERE t2 IS NOT NULL AND epoch(t2) - epoch(t1) <= 7200
+  AND NOT EXISTS (SELECT 1 FROM events x
+                  WHERE x.user_id = ch.user_id AND x.event_type = 'error'
+                    AND x.ts > ch.t1 AND x.ts < ch.t2)
+ORDER BY user_id, t1 LIMIT 50
+""",
     "dedup_simhash": _simhash_sql(),
     "dsl_vector_script_score": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
@@ -5693,6 +5724,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_significant_chi_square": a_significant_chi_square,
     "dsl_vector_script_score": dsl_vector_script,
     "eql_sequence": q_eql_sequence,
+    "eql_sequence_missing": q_eql_sequence_missing,
     "eql_sample": q_eql_sample,
     "esql_dialect_fns": q_esql_dialect_fns,
     "es_sql_match": q_es_sql,

@@ -174,3 +174,54 @@ def test_pipes_count_filter_sort(spark):
         df, 'any where event_type == "a" | filter value > 10 | sort value'
     ).collect()
     assert [r["event_id"] for r in rows] == [2, 4]
+
+
+def test_sequence_missing_trailing(events):
+    """`[access] ![exfil]`: access NOT followed by exfil within maxspan.
+    user 1 exfils at +25m (inside 1h after t1=+10m) → excluded; user 2's
+    exfil is 5h out (outside the window) → matches; user 3 has no exfil."""
+    out = eql_search(
+        events,
+        "sequence by user_id with maxspan=1h [access where true] ![exfil where true]",
+    ).collect()
+    assert sorted(r["user_id"] for r in out) == [2, 3]
+
+
+def test_sequence_missing_interior(events, spark):
+    """`[login] ![access] [exfil]`: login → exfil with NO access between."""
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    extra = spark.createDataFrame(
+        [(100, 9, "login", base, 0.0),
+         (101, 9, "exfil", base + dt.timedelta(minutes=20), 1.0)],
+        "event_id long, user_id long, event_type string, ts timestamp, value double")
+    ev = events.unionByName(extra)
+    out = eql_search(
+        ev,
+        "sequence by user_id with maxspan=1h"
+        " [login where true] ![access where true] [exfil where true]",
+    ).collect()
+    # user 1's login→exfil chain has an access at +10m between → rejected;
+    # user 9 is clean
+    assert sorted(r["user_id"] for r in out) == [9]
+
+
+def test_sequence_missing_leading(events, spark):
+    """`![login] [exfil]`: exfil with no login in the prior maxspan."""
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    extra = spark.createDataFrame(
+        [(102, 8, "exfil", base + dt.timedelta(hours=3), 1.0)],
+        "event_id long, user_id long, event_type string, ts timestamp, value double")
+    ev = events.unionByName(extra)
+    out = eql_search(
+        ev,
+        "sequence by user_id with maxspan=30m"
+        " ![login where true] [exfil where true]",
+    ).collect()
+    # user 1 exfil at +25m has a login at +5m (inside 30m before) → rejected;
+    # user 2 exfil at +5h: logins were hours earlier → matches; user 8 clean
+    assert sorted(r["user_id"] for r in out) == [2, 8]
+
+
+def test_sequence_missing_requires_maxspan(events):
+    with pytest.raises(ValueError, match="missing events require maxspan"):
+        eql_search(events, "sequence by user_id [access where true] ![exfil where true]")
