@@ -808,6 +808,48 @@ class SemanticQ(Node):
 
 
 @dataclass
+class KnnQ(Node):
+    """knn QUERY (``server/.../search/vectors/KnnVectorQueryBuilder.java``,
+    ES 8.4+ query-context kNN — composable inside bool/should unlike the
+    top-level search-body ``knn``): exact cosine top-k as a scored frame.
+    ``filter`` applies BEFORE the top-k (the reference's pre-filter
+    contract, so the query always yields k survivors of the filter);
+    ``similarity`` floors the admitted cosine; scores scale by boost."""
+
+    fld: str
+    query_vector: list
+    k: int = 10
+    filter: "Node | None" = None
+    similarity: float | None = None
+    boost: float = 1.0
+
+    def frame(self, ctx):
+        df_ = ctx.df
+        if self.filter is not None:
+            df_ = df_.where(self.filter.predicate(ctx))
+        vcol = F.col(self.fld).cast("array<double>")
+        qv = F.array(*[F.lit(float(x)) for x in self.query_vector])
+        dot = F.aggregate(
+            F.zip_with(vcol, qv, lambda a, b: a * b), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nrm = F.sqrt(
+            F.aggregate(vcol, F.lit(0.0), lambda acc, x: acc + x * x)
+        ) * F.sqrt(F.aggregate(qv, F.lit(0.0), lambda acc, x: acc + x * x))
+        out = (
+            df_.where(F.col(self.fld).isNotNull())
+            .select(F.col(ctx.key).alias("__key"), (dot / nrm).alias("__cos"))
+            .orderBy(F.desc("__cos"), F.asc("__key"))
+            .limit(int(self.k))
+        )
+        if self.similarity is not None:
+            out = out.where(F.col("__cos") >= float(self.similarity))
+        return out.select(
+            "__key", (F.lit(self.boost) * F.col("__cos")).alias("_score")
+        )
+
+
+@dataclass
 class MoreLikeThisQ(Node):
     """more_like_this (MoreLikeThisQueryBuilder.java): extract the top
     tf-idf terms from the liked docs, run them as a disjunction, exclude
@@ -1455,6 +1497,20 @@ def parse(q: dict) -> Node:
     if kind == "terms":
         (fld, vals), = ((k, v) for k, v in body.items() if k != "boost")
         return TermsQ(fld, values=list(vals), boost=body.get("boost", 1.0))
+    if kind == "knn":
+        flt = body.get("filter")
+        fnode = None
+        if flt:
+            fl = flt if isinstance(flt, list) else [flt]
+            fnode = parse({"bool": {"filter": fl}})
+        return KnnQ(
+            body["field"],
+            query_vector=list(body["query_vector"]),
+            k=int(body.get("k", body.get("num_candidates", 10))),
+            filter=fnode,
+            similarity=body.get("similarity"),
+            boost=body.get("boost", 1.0),
+        )
     if kind == "semantic":
         return SemanticQ(
             body["field"],

@@ -2480,6 +2480,26 @@ def dsl_semantic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("vec_id", "label", F.round("_score", 4).alias("cosine"))
 
 
+def dsl_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn QUERY kind (KnnVectorQueryBuilder, ES 8.4+ query-context kNN):
+    exact cosine top-10 with a PRE-filter (`term` on label) — the filter
+    restricts the candidate pool before the top-k, so every hit satisfies
+    it and the query still yields k results."""
+    from .plans import dsl as dsl_mod
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    hits = dsl_mod.search(
+        spark, emb.where(F.col("vec_id") != 0),
+        {"query": {"knn": {
+            "field": "embedding", "query_vector": [float(x) for x in qv],
+            "k": 10, "filter": {"term": {"label": 1}},
+        }}, "size": 10},
+        key="vec_id",
+    )
+    return hits.select("vec_id", "label", F.round("_score", 4).alias("cosine"))
+
+
 def dsl_exists_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exists query (ExistsQueryBuilder.java) in filter context over a
     sometimes-null column, through the full search path."""
@@ -5082,6 +5102,19 @@ WHERE t2 IS NOT NULL AND epoch(t2) - epoch(t1) <= 7200
 ORDER BY user_id, t1 LIMIT 50
 """,
     "dedup_simhash": _simhash_sql(),
+    "dsl_knn_query": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT vec_id, label,
+         list_dot_product(embedding::DOUBLE[], qv) /
+         (sqrt(list_dot_product(qv, qv)) *
+          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS cos
+  FROM embeddings CROSS JOIN q
+  WHERE vec_id != 0 AND label = 1
+)
+SELECT vec_id, label, round(cos, 4) AS cosine
+FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10
+""",
     "dsl_vector_script_score": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, round(1.0 +
@@ -5766,6 +5799,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsl_search_after_page": dsl_search_after_page,
     "dsl_nested_query": dsl_nested_query,
     "dsl_exists_query": dsl_exists_query,
+    "dsl_knn_query": dsl_knn_query,
     "dsl_terms_set_query": dsl_terms_set_query,
     "dsl_query_string_filter": dsl_query_string_filter,
     "dsl_distance_feature_query": dsl_distance_feature_query,

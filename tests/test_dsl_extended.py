@@ -459,3 +459,35 @@ def test_rescorer_retriever_and_multi_stage_rescore(spark, corpus):
     out2 = dsl.search(spark, corpus, body2).collect()
     assert len(out2) == 2  # second window truncates to 2
     assert out2[0]["lang"] == "en"  # en doc boosted over the fr winner
+
+
+def test_knn_query_kind_prefilter_and_bool_composition(spark):
+    """knn QUERY (KnnVectorQueryBuilder): pre-filter semantics — the filter
+    restricts candidates BEFORE top-k — and composability inside bool.should
+    (the reason the query kind exists vs the top-level knn section)."""
+    from elasticsearch_spark.plans import dsl
+
+    rows = [(i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0], i % 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, v array<double>, lab int")
+    # filter lab=1 keeps only the orthogonal vectors; k=3 of them still return
+    out = dsl.search(spark, df, {"query": {"knn": {
+        "field": "v", "query_vector": [1.0, 0.0], "k": 3,
+        "filter": {"term": {"lab": 1}},
+    }}, "size": 10}, key="id")
+    got = out.collect()
+    assert len(got) == 3 and all(r["lab"] == 1 for r in got)
+    assert all(abs(r["_score"]) < 1e-9 for r in got)  # orthogonal → cos 0
+    # inside bool.should, knn scores add to a term query's
+    out2 = dsl.search(spark, df, {"query": {"bool": {"should": [
+        {"knn": {"field": "v", "query_vector": [1.0, 0.0], "k": 2, "boost": 2.0}},
+        {"term": {"id": {"value": 1, "boost": 5.0}}},
+    ]}}, "size": 10}, key="id")
+    scores = {r["id"]: r["_score"] for r in out2.collect()}
+    assert scores[1] == pytest.approx(5.0)          # term hit, knn missed it
+    assert scores[0] == pytest.approx(2.0)          # knn top-2 are ids 0,2
+    assert scores[2] == pytest.approx(2.0)
+    # similarity floor removes sub-threshold hits even inside the top-k
+    out3 = dsl.search(spark, df, {"query": {"knn": {
+        "field": "v", "query_vector": [1.0, 0.0], "k": 5, "similarity": 0.5,
+    }}, "size": 10}, key="id")
+    assert all(r["lab"] == 0 for r in out3.collect())
