@@ -25,7 +25,7 @@ import re
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, FloatType
+from pyspark.sql.types import ArrayType, FloatType, StringType
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
@@ -83,3 +83,41 @@ def embed_column(
         return pd.Series(vecs)
 
     return df.withColumn(out_col or f"{field}__embedding", _udf(F.col(field)))
+
+
+# completion_id -> batch completion model: list[str] -> list[str]
+# (the reference's completion task type — an LLM endpoint; none serves in
+# this environment, so registration is mandatory and there is NO fake
+# default: an unregistered id refuses loudly)
+COMPLETION_MODELS: dict[str, object] = {}
+
+
+def register_completion(inference_id: str, fn) -> None:
+    """PUT /_inference/completion/{id} analog: register a batch
+    prompt→completion model (``list[str] -> list[str]``)."""
+    COMPLETION_MODELS[inference_id] = fn
+
+
+def completion_column(
+    df: DataFrame,
+    prompt_col: str,
+    inference_id: str,
+    out_col: str = "completion",
+) -> DataFrame:
+    """Batch completion over a prompt column via one Arrow-batched pandas
+    UDF (the ES|QL COMPLETION command's execution shape: the reference
+    streams row batches to the inference endpoint; here the registered
+    model function receives the same batches executor-side)."""
+    if inference_id not in COMPLETION_MODELS:
+        raise ValueError(
+            f"no completion model registered under {inference_id!r} "
+            "(register_completion first — this engine ships no LLM)"
+        )
+    fn = COMPLETION_MODELS[inference_id]
+
+    @F.pandas_udf(StringType())
+    def _udf(s: pd.Series) -> pd.Series:
+        prompts = ["" if x is None else str(x) for x in s]
+        return pd.Series(fn(prompts))
+
+    return df.withColumn(out_col, _udf(F.col(prompt_col)))

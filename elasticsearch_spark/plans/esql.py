@@ -28,6 +28,9 @@ Supported commands (documented subset):
                                         with a `_fork` discriminator
   | RERANK "q" ON field [WITH model]    semantic re-score via the inference
                                         registry; adds `_score`, sorts desc
+  | COMPLETION [t =] expr WITH model    per-row prompt → completion via a
+                                        REGISTERED completion model (no
+                                        fake default — refuses loudly)
 
 Function mapping: COUNT_DISTINCT→count(distinct), MEDIAN→percentile(·,0.5),
 PERCENTILE(x,p)→percentile(x,p/100), TO_UPPER/TO_LOWER/TO_STRING/TO_LONG/
@@ -533,6 +536,25 @@ def esql(
                 .drop("__rerank_emb")
                 .orderBy(F.desc("_score"))
             )
+        elif cmd == "COMPLETION":
+            # COMPLETION [target =] prompt_expr WITH inference_id
+            # (EsqlBaseParser completionCommand): per-row prompt → model
+            # completion through the registered completion model
+            # (functions/inference.py — registration mandatory, no fake
+            # default). One Arrow-batched UDF; the prompt expression is
+            # evaluated in-plan first.
+            cm2 = re.match(
+                r"(?:(\w+)\s*=\s*)?(.*?)\s+WITH\s+([\w\-.]+)$",
+                rest, flags=re.I | re.S,
+            )
+            if not cm2:
+                raise ValueError(f"bad COMPLETION syntax: {rest!r}")
+            tgt = cm2.group(1) or "completion"
+            from ..functions.inference import completion_column
+
+            df = df.withColumn("__prompt", F.expr(_xlate(cm2.group(2).strip())))
+            df = completion_column(df, "__prompt", cm2.group(3), out_col=tgt)
+            df = df.drop("__prompt")
         elif cmd == "FORK":
             # FORK (branch1) (branch2) ... (EsqlBaseParser forkCommand,
             # ES 8.18): each parenthesized sub-pipeline runs against the

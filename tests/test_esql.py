@@ -311,3 +311,20 @@ FROM t
     # exact self-match: doc 1 token-set == query token-multiset superset;
     # score strictly below 1 unless identical multiset
     assert all(-1.0 <= r["_score"] <= 1.0 + 1e-9 for r in out)
+
+
+def test_completion_command_requires_and_uses_registered_model(spark):
+    from elasticsearch_spark.functions.inference import register_completion
+    from elasticsearch_spark.plans.esql import esql
+
+    df = spark.createDataFrame([(1, "alpha"), (2, "beta")], "id long, w string")
+    with pytest.raises(Exception, match="no completion model registered"):
+        esql(spark, 'FROM t | COMPLETION CONCAT("say: ", w) WITH missing-model',
+             {"t": df}).collect()
+    register_completion("upper-echo", lambda prompts: [p.upper() for p in prompts])
+    out = esql(spark, '''
+FROM t
+| COMPLETION reply = CONCAT("say: ", w) WITH upper-echo
+| SORT id ASC
+''', {"t": df}).collect()
+    assert [r["reply"] for r in out] == ["SAY: ALPHA", "SAY: BETA"]
