@@ -39,7 +39,16 @@ DATE_TRUNC(1 unit, c)→date_trunc, DATE_FORMAT(fmt, d)→date_format(d, fmt),
 DATE_EXTRACT(part, d)→extract, CASE(c,v,…[,default])→CASE WHEN,
 STARTS_WITH/ENDS_WITH→startswith/endswith, MV_COUNT→size,
 MV_MIN/MV_MAX→array_min/array_max, MV_DEDUPE/MV_SORT→array_distinct/
-array_sort, MV_AVG/MV_SUM→aggregate(); everything else passes
+array_sort, MV_AVG/MV_SUM→aggregate(); scalar long tail: LOCATE/REPLACE
+(regex)/SPLIT (literal delim, regex-escaped)/HASH/MD5/SHA1/SHA256/
+TO_BASE64/FROM_BASE64/BYTE_LENGTH/DATE_PARSE/TAU/TO_DEGREES/TO_RADIANS/
+TO_INTEGER/TO_UNSIGNED_LONG/TO_VERSION, MV_APPEND/MV_ZIP/MV_SLICE
+(0-based±)/MV_PERCENTILE (linear interp)/MV_PSERIES_WEIGHTED_SUM,
+IP_PREFIX (IPv4), RLIKE (anchored — ES|QL full-string semantics),
+`expr::type` casts, STATS per-aggregate `WHERE` filters
+(→ FILTER (WHERE …)), BUCKET (calendar/fixed date spans, numeric widths,
+auto-width n/from/to via the reference's rounding ladders), and the
+TOP/VALUES/WEIGHTED_AVG aggregates; everything else passes
 through to Spark SQL verbatim (the dialects agree on the arithmetic,
 comparison, string, and date core).
 """
@@ -89,6 +98,17 @@ _FN_SIMPLE = {
     "starts_with": "startswith", "ends_with": "endswith",
     "mv_dedupe": "array_distinct", "mv_sort": "array_sort",
     "mv_concat": "array_join",
+    "byte_length": "octet_length", "to_degrees": "degrees",
+    "to_radians": "radians", "to_base64": "base64",
+}
+
+# `expr::type` cast-operator type names → Spark SQL types
+_CAST_TYPES = {
+    "integer": "int", "int": "int", "long": "bigint", "unsigned_long": "bigint",
+    "double": "double", "float": "float", "keyword": "string", "text": "string",
+    "string": "string", "boolean": "boolean", "bool": "boolean",
+    "datetime": "timestamp", "date": "timestamp", "ip": "string",
+    "version": "string",
 }
 
 
@@ -152,6 +172,21 @@ def _xlate(expr: str) -> str:
     e = _rewrite_call(e, "match", match_fn)
     # == is ES|QL equality
     e = re.sub(r"(?<![=!<>])==", "=", e)
+    # RLIKE is FULL-string match in ES|QL (Lucene regexp semantics,
+    # `RegexMatch`): anchor the pattern literal so Spark's find-anywhere
+    # rlike agrees
+    def rlike_sub(m: re.Match) -> str:
+        idx = int(m.group(1))
+        lits[idx] = '"^(?:' + lits[idx][1:-1] + ')$"'
+        return m.group(0)
+
+    e = re.sub(r"\bRLIKE\s+\x00(\d+)\x00", rlike_sub, e, flags=re.I)
+    # `expr::type` cast operator (EsqlBaseParser `castOperatorExpression`)
+    def cast_sub(m: re.Match) -> str:
+        t = m.group(2).lower()
+        return f"cast({m.group(1)} as {_CAST_TYPES.get(t, t)})"
+
+    e = re.sub(r"([\w.]+|\x00\d+\x00)\s*::\s*([A-Za-z_]+)", cast_sub, e)
     # LIKE <literal>: translate ES|QL wildcards * ? → SQL % _ in the literal
     def like_sub(m: re.Match) -> str:
         idx = int(m.group(2))
@@ -187,7 +222,8 @@ def _xlate(expr: str) -> str:
     # TO_LONG/TO_INT/TO_DOUBLE/TO_STRING(c) → cast(c as ...)
     for fn, t in (("to_long", "bigint"), ("to_int", "int"), ("to_double", "double"),
                   ("to_string", "string"), ("to_boolean", "boolean"),
-                  ("to_datetime", "timestamp")):
+                  ("to_datetime", "timestamp"), ("to_integer", "int"),
+                  ("to_unsigned_long", "bigint"), ("to_version", "string")):
         e = _rewrite_call(e, fn, lambda a, t=t: f"cast({a[0]} as {t})")
     # DATE_FORMAT(fmt, date) — ES|QL's arg order is (format, date);
     # Spark's is (date, format)
@@ -211,6 +247,193 @@ def _xlate(expr: str) -> str:
         return f"(CASE {whens}" + (f" ELSE {dflt} END)" if dflt is not None else " END)")
 
     e = _rewrite_call(e, "case", case_fn)
+    # --- scalar long tail (string / math / date / hash / ip) -------------
+    # LOCATE(string, substring[, start]) — Spark's locate is (substr, str)
+    e = _rewrite_call(
+        e, "locate",
+        lambda a: f"locate({a[1]}, {a[0]}" + (f", {a[2]}" if len(a) > 2 else "") + ")",
+    )
+    # REPLACE(string, regex, new) is regex-replace in ES|QL
+    e = _rewrite_call(e, "replace", lambda a: f"regexp_replace({a[0]}, {a[1]}, {a[2]})")
+
+    # SPLIT(string, delim): the delimiter is a LITERAL in ES|QL, a regex in
+    # Spark — regex-escape literal content (must run before cidr/ip_prefix
+    # below, which emit their own split(...) calls)
+    def split_fn(a: list[str]) -> str:
+        c = lit_content(a[1])
+        if c is None:
+            return f"split({a[0]}, {a[1]})"
+        esc = re.sub(r"([.^$*+?()\[\]{}|\\])", r"\\\1", c)
+        esc = esc.replace("\\", "\\\\").replace("'", "''")
+        return f"split({a[0]}, '{esc}')"
+
+    e = _rewrite_call(e, "split", split_fn)
+
+    # HASH(alg, input) / MD5 / SHA1 / SHA256 (EsqlScalarFunction hash family)
+    def hash_fn(a: list[str]) -> str:
+        alg = (lit_content(a[0]) or a[0]).strip("'\"").lower()
+        if alg == "md5":
+            return f"md5({a[1]})"
+        if alg == "sha1":
+            return f"sha1({a[1]})"
+        if alg in ("sha256", "sha-256", "sha384", "sha-384", "sha512", "sha-512"):
+            return f"sha2({a[1]}, {alg.replace('sha', '').lstrip('-')})"
+        raise ValueError(f"HASH: unsupported algorithm {alg!r}")
+
+    e = _rewrite_call(e, "hash", hash_fn)
+    e = _rewrite_call(e, "sha256", lambda a: f"sha2({a[0]}, 256)")
+    e = _rewrite_call(e, "from_base64", lambda a: f"cast(unbase64({a[0]}) as string)")
+    # DATE_PARSE(fmt, s) — arg order is (format, string), Spark's is reversed
+    e = _rewrite_call(
+        e, "date_parse",
+        lambda a: f"to_timestamp({a[1]}, {a[0]})" if len(a) == 2 else f"to_timestamp({a[0]})",
+    )
+    e = _rewrite_call(e, "tau", lambda a: "(2 * pi())")
+    # multivalue long tail: append / zip / slice / percentile / p-series
+    e = _rewrite_call(e, "mv_append", lambda a: f"concat({a[0]}, {a[1]})")
+    # concat_ws skips the NULL the shorter side pads with — matching ES|QL's
+    # keep-the-unpaired-value contract
+    e = _rewrite_call(
+        e, "mv_zip",
+        lambda a: f"zip_with({a[0]}, {a[1]}, (x, y) -> concat_ws({a[2] if len(a) > 2 else chr(39) + ',' + chr(39)}, x, y))",
+    )
+
+    # MV_SLICE(arr, start[, end]): 0-based inclusive bounds, negatives count
+    # from the end — map to Spark's 1-based slice(arr, pos, length)
+    def mvslice_fn(a: list[str]) -> str:
+        arr, s = a[0], a[1]
+        en = a[2] if len(a) > 2 else a[1]
+        p1 = f"(case when ({s}) < 0 then size({arr}) + ({s}) + 1 else ({s}) + 1 end)"
+        p2 = f"(case when ({en}) < 0 then size({arr}) + ({en}) + 1 else ({en}) + 1 end)"
+        return f"slice({arr}, {p1}, {p2} - {p1} + 1)"
+
+    e = _rewrite_call(e, "mv_slice", mvslice_fn)
+
+    # MV_PERCENTILE(arr, p): linear interpolation over the sorted values
+    # (the reference's MvPercentile); the upper index is clamped so p=100
+    # doesn't walk past the end (its weight is 0 there)
+    def mvpct_fn(a: list[str]) -> str:
+        arr, p = a[0], a[1]
+        s = f"array_sort({arr})"
+        q = f"((size({arr}) - 1) * ({p}) / 100.0D)"
+        lo = f"cast(floor({q}) as int)"
+        return (
+            f"(element_at({s}, {lo} + 1) * (1 - ({q} - {lo}))"
+            f" + element_at({s}, least({lo} + 2, size({arr}))) * ({q} - {lo}))"
+        )
+
+    e = _rewrite_call(e, "mv_percentile", mvpct_fn)
+    # MV_PSERIES_WEIGHTED_SUM(arr, p) = Σ arr[i] / (i+1)^p (1-based i here)
+    e = _rewrite_call(
+        e, "mv_pseries_weighted_sum",
+        lambda a: (
+            f"aggregate(zip_with({a[0]}, sequence(1, size({a[0]})),"
+            f" (x, i) -> double(x) / pow(i, {a[1]})), 0D, (acc, x) -> acc + x)"
+        ),
+    )
+
+    # IP_PREFIX(ip, v4_len[, v6_len]): IPv4 network address at compile-time
+    # prefix length (IPv6 columns are out of this engine's ip scope)
+    def ipprefix_fn(a: list[str]) -> str:
+        bits = int(a[1])
+        ip = a[0]
+        num = (
+            f"(cast(split({ip}, '\\\\.')[0] as bigint) * 16777216"
+            f" + cast(split({ip}, '\\\\.')[1] as bigint) * 65536"
+            f" + cast(split({ip}, '\\\\.')[2] as bigint) * 256"
+            f" + cast(split({ip}, '\\\\.')[3] as bigint))"
+        )
+        span = 1 << (32 - bits)
+        msk = f"(({num} div {span}) * {span})"
+        return (
+            f"concat(cast({msk} div 16777216 as string), '.',"
+            f" cast({msk} div 65536 % 256 as string), '.',"
+            f" cast({msk} div 256 % 256 as string), '.',"
+            f" cast({msk} % 256 as string))"
+        )
+
+    e = _rewrite_call(e, "ip_prefix", ipprefix_fn)
+
+    # BUCKET (x-pack/plugin/esql `Bucket` grouping function):
+    #   BUCKET(f, 1 hour)            calendar/fixed date span
+    #   BUCKET(f, 50.0)              numeric width
+    #   BUCKET(f, n, from, to)       auto width: picks the smallest "nice"
+    #   interval (date: the reference's rounding ladder; numeric: the
+    #   1-2-5 ladder) that yields at most n buckets over [from, to] —
+    #   resolved at COMPILE time since n/from/to are literals
+    _CAL_SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+                 "week": 604800}
+
+    def _date_bucket(f: str, qty: int, unit: str) -> str:
+        unit = unit.lower().rstrip("s")
+        if unit in ("month", "quarter", "year"):
+            if qty != 1:
+                raise ValueError(f"BUCKET: only 1-{unit} calendar spans are supported")
+            return f"date_trunc('{unit}', {f})"
+        if unit not in _CAL_SECS:
+            raise ValueError(f"BUCKET: unknown unit {unit!r}")
+        if qty == 1:
+            return f"date_trunc('{unit}', {f})"
+        span = qty * _CAL_SECS[unit]
+        return f"timestamp_seconds(cast(floor(unix_timestamp({f}) / {span}) * {span} as bigint))"
+
+    def bucket_fn(a: list[str]) -> str:
+        f = a[0]
+        if len(a) == 2:
+            arg = a[1].strip()
+            im = re.fullmatch(r"(\d+)\s+([a-zA-Z]+)", arg)
+            if im:
+                return _date_bucket(f, int(im.group(1)), im.group(2))
+            return f"(floor(({f}) / ({arg})) * ({arg}))"
+        n = float(a[1])
+        fr, to = lit_content(a[2]), lit_content(a[3])
+        if fr is not None:  # date range (ISO literals)
+            import datetime as _dt
+
+            def _p(s: str) -> _dt.datetime:
+                return _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+
+            rng = (_p(to) - _p(fr)).total_seconds()
+            # ascending rounding ladder (DateRoundingPicker analog)
+            ladder = [
+                (1, "second"), (5, "second"), (10, "second"), (30, "second"),
+                (1, "minute"), (5, "minute"), (10, "minute"), (30, "minute"),
+                (1, "hour"), (3, "hour"), (12, "hour"), (1, "day"), (1, "week"),
+            ]
+            for qty, unit in ladder:
+                if rng / (qty * _CAL_SECS[unit]) <= n:
+                    return _date_bucket(f, qty, unit)
+            if rng / (30.436875 * 86400) <= n:
+                return f"date_trunc('month', {f})"
+            return f"date_trunc('year', {f})"
+        # numeric range: 1-2-5 ladder
+        lo, hi = float(a[2]), float(a[3])
+        rng = hi - lo
+        import math as _m
+
+        w = 10.0 ** _m.floor(_m.log10(max(rng / n, 1e-12)))
+        for width in (w, 2 * w, 5 * w, 10 * w, 20 * w, 50 * w):
+            if rng / width <= n:
+                return f"(floor(({f}) / {width}) * {width})"
+        return f"(floor(({f}) / {100 * w}) * {100 * w})"
+
+    e = _rewrite_call(e, "bucket", bucket_fn)
+    # aggregate long tail: WEIGHTED_AVG / TOP / VALUES
+    e = _rewrite_call(
+        e, "weighted_avg", lambda a: f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))"
+    )
+
+    def top_fn(a: list[str]) -> str:
+        order = (lit_content(a[2]) or "desc").lower() if len(a) > 2 else "desc"
+        base = f"array_sort(collect_list({a[0]}))"
+        if order == "desc":
+            base = f"reverse({base})"
+        return f"slice({base}, 1, {a[1]})"
+
+    e = _rewrite_call(e, "top", top_fn)
+    # VALUES has no order contract in the reference — sorted here so results
+    # are deterministic (and oracle-comparable)
+    e = _rewrite_call(e, "values", lambda a: f"array_sort(collect_set({a[0]}))")
     # MV_AVG / MV_SUM over multivalue (array) columns
     e = _rewrite_call(
         e, "mv_avg",
@@ -275,6 +498,39 @@ def _xlate(expr: str) -> str:
         return "'" + body.replace("'", "''") + "'"
 
     return re.sub(r"\x00(\d+)\x00", unstash, e)
+
+
+def _alias_split(item: str) -> tuple[str | None, str]:
+    """Split `alias = expr` at the first top-level single `=` — ignores
+    `==`/`!=`/`<=`/`>=` and anything inside parens or string literals (an
+    agg expr with a per-aggregate WHERE can legitimately contain `==`)."""
+    depth, in_q = 0, None
+    for i, c in enumerate(item):
+        if in_q:
+            if c == in_q and item[i - 1] != "\\":
+                in_q = None
+        elif c in "\"'":
+            in_q = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "=" and depth == 0:
+            prev = item[i - 1] if i else ""
+            nxt = item[i + 1] if i + 1 < len(item) else ""
+            if prev not in "=!<>" and nxt != "=":
+                return item[:i].strip(), item[i + 1:].strip()
+    return None, item.strip()
+
+
+def _agg_where(expr: str) -> str:
+    """`STATS n = COUNT(*) WHERE cond` (ES|QL 8.16 per-aggregate filters,
+    `EsqlBaseParser aggField: booleanExpression (WHERE booleanExpression)?`)
+    → Spark's standard aggregate FILTER clause."""
+    wh = re.split(r"\bWHERE\b", expr, flags=re.I)
+    if len(wh) == 2:
+        return f"{wh[0].strip()} FILTER (WHERE {wh[1].strip()})"
+    return expr
 
 
 def _paren_groups(s: str) -> list[str]:
@@ -367,17 +623,14 @@ def esql(
         elif cmd == "STATS":
             by_split = re.split(r"\bBY\b", rest, flags=re.I)
             aggs_part = by_split[0].strip()
-            keys = [k.strip() for k in by_split[1].split(",")] if len(by_split) > 1 else []
+            keys = [k.strip() for k in _split_top(by_split[1], ",")] if len(by_split) > 1 else []
             aggcols = []
             for item in _split_top(aggs_part, ","):
                 item = item.strip()
-                eq = _split_top(item, "=")
-                if len(eq) == 2:
-                    alias, expr = eq[0].strip(), eq[1].strip()
-                else:
-                    expr = item
-                    alias = re.sub(r"\W+", "_", item).strip("_").lower()
-                aggcols.append(F.expr(_xlate(expr)).alias(alias))
+                alias, expr = _alias_split(item)
+                if alias is None:
+                    alias = re.sub(r"\W+", "_", expr).strip("_").lower()
+                aggcols.append(F.expr(_xlate(_agg_where(expr))).alias(alias))
             key_cols = []
             for k in keys:
                 kk = _split_top(k, "=")
@@ -395,17 +648,14 @@ def esql(
             # small); no BY → a single-row crossJoin.
             by_split = re.split(r"\bBY\b", rest, flags=re.I)
             aggs_part = by_split[0].strip()
-            keys = [k.strip() for k in by_split[1].split(",")] if len(by_split) > 1 else []
+            keys = [k.strip() for k in _split_top(by_split[1], ",")] if len(by_split) > 1 else []
             aggcols, agg_names = [], []
             for item in _split_top(aggs_part, ","):
                 item = item.strip()
-                eq = _split_top(item, "=")
-                if len(eq) == 2:
-                    alias, expr = eq[0].strip(), eq[1].strip()
-                else:
-                    expr = item
-                    alias = re.sub(r"\W+", "_", item).strip("_").lower()
-                aggcols.append(F.expr(_xlate(expr)).alias(alias))
+                alias, expr = _alias_split(item)
+                if alias is None:
+                    alias = re.sub(r"\W+", "_", expr).strip("_").lower()
+                aggcols.append(F.expr(_xlate(_agg_where(expr))).alias(alias))
                 agg_names.append(alias)
             key_names = []
             for k in keys:

@@ -1911,6 +1911,29 @@ FROM events
     return out.select("sz", F.col("mon").cast("long").alias("mon"), "is_c", "n", "v")
 
 
+def q_esql_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL scalar-function long tail (HASH/LOCATE/REPLACE/SPLIT/
+    TO_DEGREES/TO_BASE64, x-pack/plugin/esql `EsqlScalarFunction` registry)
+    plus per-aggregate `WHERE` filters (8.16 `aggField` grammar), compiled
+    to JVM-side Spark expressions — no UDF anywhere."""
+    from .plans.esql import esql
+
+    out = esql(spark, """
+FROM events
+| EVAL h = HASH("md5", event_type),
+       rep = REPLACE(event_type, "[aeiou]", "_"),
+       parts = MV_COUNT(SPLIT(event_type, "e")),
+       deg = ROUND(TO_DEGREES(1.0), 4),
+       b64 = TO_BASE64(event_type)
+| STATS n = COUNT(*) WHERE LOCATE(event_type, "e") > 0, m = COUNT(*)
+        BY event_type, h, rep, parts, deg, b64
+| SORT event_type ASC
+""", {"events": _events(spark, sf_dir)})
+    return out.select(
+        "event_type", "h", "rep", F.col("parts").cast("long").alias("parts"),
+        "deg", "b64", "n", "m")
+
+
 def a_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multi_terms (MultiTermsAggregationBuilder.java): buckets keyed by the
     (lang, source) tuple, count-desc, with an avg sub-metric."""
@@ -5072,6 +5095,19 @@ SELECT sz, mon, is_c, count(*)::BIGINT AS n, round(avg(value), 4) AS v
 FROM e GROUP BY sz, mon, is_c
 ORDER BY sz, mon, is_c
 """,
+    "esql_scalar_fns": """
+SELECT event_type,
+       md5(event_type) AS h,
+       regexp_replace(event_type, '[aeiou]', '_', 'g') AS rep,
+       CAST(len(string_split(event_type, 'e')) AS BIGINT) AS parts,
+       round(degrees(1.0), 4) AS deg,
+       to_base64(encode(event_type)) AS b64,
+       (count(*) FILTER (WHERE strpos(event_type, 'e') > 0))::BIGINT AS n,
+       count(*)::BIGINT AS m
+FROM events
+GROUP BY 1, 2, 3, 4, 5, 6
+ORDER BY event_type
+""",
     "eql_sequence": """
 WITH s1 AS (SELECT user_id, ts AS t1 FROM events WHERE event_type = 'view'),
 ch AS (
@@ -5760,6 +5796,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eql_sequence_missing": q_eql_sequence_missing,
     "eql_sample": q_eql_sample,
     "esql_dialect_fns": q_esql_dialect_fns,
+    "esql_scalar_fns": q_esql_scalar_fns,
     "es_sql_match": q_es_sql,
     "agg_rollup_search": a_rollup_search,
     "graph_explore": q_graph_explore,

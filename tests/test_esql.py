@@ -328,3 +328,102 @@ FROM t
 | SORT id ASC
 ''', {"t": df}).collect()
     assert [r["reply"] for r in out] == ["SAY: ALPHA", "SAY: BETA"]
+
+
+def test_xlate_scalar_long_tail():
+    assert _xlate('s RLIKE "ab.*"') == "s RLIKE '^(?:ab.*)$'"
+    assert _xlate("x::long + 1") == "cast(x as bigint) + 1"
+    assert _xlate("x::keyword") == "cast(x as string)"
+    assert _xlate('LOCATE(s, "b")') == "locate('b', s)"
+    assert _xlate('SPLIT(s, ".")') == "split(s, '\\\\.')"
+    assert _xlate('HASH("sha256", s)') == "sha2(s, 256)"
+    assert _xlate("TAU()") == "(2 * pi())"
+    assert _xlate("BYTE_LENGTH(s)") == "octet_length(s)"
+    assert _xlate('DATE_PARSE("yyyy-MM-dd", d)') == "to_timestamp(d, 'yyyy-MM-dd')"
+
+
+def test_scalar_long_tail_eval(spark):
+    df = spark.createDataFrame(
+        [("10.20.130.7", "a.b.c", [1.0, 2.0, 3.0, 4.0], "hello")],
+        "ip string, dotted string, vs array<double>, s string")
+    out = esql(spark, '''
+FROM t
+| EVAL net = IP_PREFIX(ip, 20, 0),
+       parts = SPLIT(dotted, "."),
+       p75 = MV_PERCENTILE(vs, 75),
+       sl = MV_SLICE(vs, 1, 2),
+       sl2 = MV_SLICE(vs, -2),
+       z = MV_ZIP(SPLIT(dotted, "."), SPLIT(dotted, "."), "+"),
+       ap = MV_APPEND(vs, vs),
+       ps = MV_PSERIES_WEIGHTED_SUM(vs, 1.0),
+       h = HASH("md5", s), h2 = SHA256(s),
+       b64 = TO_BASE64(s), rb = FROM_BASE64(TO_BASE64(s)),
+       pos = LOCATE(s, "llo"),
+       rep = REPLACE(s, "l+", "L"),
+       deg = ROUND(TO_DEGREES(PI()), 4)
+| KEEP net, parts, p75, sl, sl2, z, ap, ps, h, h2, b64, rb, pos, rep, deg
+''', {"t": df})
+    r = out.collect()[0]
+    assert r.net == "10.20.128.0"
+    assert list(r.parts) == ["a", "b", "c"]
+    assert r.p75 == 3.25
+    assert list(r.sl) == [2.0, 3.0] and list(r.sl2) == [3.0]
+    assert list(r.z) == ["a+a", "b+b", "c+c"]
+    assert list(r.ap) == [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 4.0]
+    assert r.ps == 4.0
+    assert r.h == "5d41402abc4b2a76b9719d911017c592"
+    assert r.h2 == "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824"
+    assert r.b64 == "aGVsbG8=" and r.rb == "hello"
+    assert r.pos == 3
+    assert r.rep == "heLo"
+    assert r.deg == 180.0
+
+
+def test_stats_per_agg_where(ev, spark):
+    out = esql(spark, """
+FROM events
+| STATS n_click = COUNT(*) WHERE event_type == "click",
+        v_big = SUM(value) WHERE value >= 20 BY user
+| SORT user ASC
+""", {"events": ev})
+    rows = [(r.user, r.n_click, r.v_big) for r in out.collect()]
+    assert rows == [("u1", 1, None), ("u2", 1, 20.0), ("u3", 0, 40.0)]
+
+
+def test_rlike_and_cast_operator(spark):
+    df = spark.createDataFrame([("abc", "5"), ("xabc", "7")], "s string, n string")
+    out = esql(spark,
+               'FROM t | WHERE s RLIKE "ab." | EVAL m = n::long * 2 | KEEP s, m',
+               {"t": df})
+    assert [(r.s, r.m) for r in out.collect()] == [("abc", 10)]
+
+
+def test_bucket_xlate_forms():
+    assert _xlate("BUCKET(ts, 1 hour)") == "date_trunc('hour', ts)"
+    assert _xlate("BUCKET(ts, 1 week)") == "date_trunc('week', ts)"
+    assert "unix_timestamp(ts) / 10800" in _xlate("BUCKET(ts, 3 hours)")
+    assert _xlate("BUCKET(v, 50.0)") == "(floor((v) / (50.0)) * (50.0))"
+    # the documented reference examples: 20 buckets over a year -> monthly;
+    # 20 buckets over the salary range -> width 5000
+    assert _xlate(
+        'BUCKET(d, 20, "1985-01-01T00:00:00Z", "1986-01-01T00:00:00Z")'
+    ) == "date_trunc('month', d)"
+    assert "5000" in _xlate("BUCKET(s, 20, 25324, 74999)")
+
+
+def test_stats_by_bucket_and_agg_long_tail(spark):
+    import datetime
+
+    rows = [(datetime.datetime(2024, 1, 1, h, m), float(h))
+            for h in range(3) for m in (0, 30)]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = esql(spark, """
+FROM t
+| STATS n = COUNT(*), w = WEIGHTED_AVG(v, v + 1),
+        tp = TOP(v, 2), vals = VALUES(v) BY b = BUCKET(ts, 1 hour)
+| SORT b ASC
+""", {"t": df})
+    got = [(r.b.hour, r.n, r.w, list(r.tp), list(r.vals)) for r in out.collect()]
+    assert got == [(0, 2, 0.0, [0.0, 0.0], [0.0]),
+                   (1, 2, 1.0, [1.0, 1.0], [1.0]),
+                   (2, 2, 2.0, [2.0, 2.0], [2.0])]
