@@ -11,6 +11,7 @@ pushdown/pruning, node-level reduce ≙ partial aggregation).
 
 Supported commands (documented subset):
   FROM <index>            source (resolved by the caller-supplied tables map)
+  TS <index>              time-series source: STATS accepts OUTER(RATE(f))
   ROW a = 1, b = "x"      literal one-row source
   | WHERE <expr>          filter (ES|QL `==` → SQL `=`, LIKE wildcards *?)
   | EVAL n = expr, ...    computed columns
@@ -556,24 +557,106 @@ def _paren_groups(s: str) -> list[str]:
     return out
 
 
+def _ts_rate_stats(
+    df: DataFrame,
+    items: list[tuple[str, str]],
+    key_specs: list[tuple[str | None, str]],
+    dims: list[str],
+) -> DataFrame:
+    """TS-mode STATS with RATE() (x-pack/plugin/esql `Rate` aggregation over
+    TSDB indices): two-level aggregation — per time-series (BY keys + the
+    dimension tuple ≙ _tsid) compute the counter-reset-aware rate, then the
+    OUTER function aggregates across series.
+
+    rate per series-bucket = Σ positive deltas (a decrease means the counter
+    reset, so the new value IS the delta — the Prometheus/TSDB increase
+    contract) / (last_ts − first_ts); a single-sample series has no rate
+    (null, excluded by the outer agg like the reference).
+
+    Each item must be OUTER(RATE(field)) with OUTER ∈ avg/sum/min/max —
+    anything else in a RATE STATS is rejected loudly."""
+    from pyspark.sql import Window
+
+    # the time column: the BUCKET() argument if present, else ts/@timestamp
+    tc = None
+    for _, ktext in key_specs:
+        bm = re.search(r"\bbucket\s*\(\s*([\w.@]+)", ktext, flags=re.I)
+        if bm:
+            tc = bm.group(1)
+    if tc is None:
+        tc = "ts" if "ts" in df.columns else "@timestamp"
+
+    key_names = []
+    for alias, ktext in key_specs:
+        name = alias or re.sub(r"\W+", "_", ktext).strip("_").lower()
+        df = df.withColumn(name, F.expr(_xlate(ktext)))
+        key_names.append(name)
+
+    parsed = []  # (alias, outer_fn, value_col)
+    for alias, expr in items:
+        pm = re.fullmatch(
+            r"(avg|sum|min|max)\s*\(\s*rate\s*\(\s*([\w.@]+)\s*\)\s*\)",
+            expr.strip(), flags=re.I)
+        if not pm:
+            raise ValueError(
+                f"TS STATS with RATE: every aggregate must be "
+                f"OUTER(RATE(field)), got {expr!r}")
+        parsed.append((alias, pm.group(1).lower(), pm.group(2)))
+
+    series_keys = key_names + [d for d in dims if d not in key_names]
+    w = Window.partitionBy(*series_keys).orderBy(F.col(tc))
+    inner_aggs = [
+        F.max(F.col(tc).cast("timestamp").cast("double")).alias("__t_last"),
+        F.min(F.col(tc).cast("timestamp").cast("double")).alias("__t_first"),
+    ]
+    for i, (_, _, vcol) in enumerate(parsed):
+        prev = F.lag(F.col(vcol)).over(w)
+        inc = (
+            F.when(prev.isNull(), F.lit(0.0))
+            .when(F.col(vcol) >= prev, F.col(vcol) - prev)
+            .otherwise(F.col(vcol))
+        )
+        df = df.withColumn(f"__inc_{i}", inc)
+        inner_aggs.append(F.sum(f"__inc_{i}").alias(f"__incsum_{i}"))
+    series = df.groupBy(*series_keys).agg(*inner_aggs)
+    dt = F.col("__t_last") - F.col("__t_first")
+    for i in range(len(parsed)):
+        series = series.withColumn(
+            f"__rate_{i}", F.when(dt > 0, F.col(f"__incsum_{i}") / dt))
+    outer = [
+        getattr(F, fn)(F.col(f"__rate_{i}")).alias(alias)
+        for i, (alias, fn, _) in enumerate(parsed)
+    ]
+    grouped = series.groupBy(*key_names) if key_names else series.groupBy()
+    return grouped.agg(*outer)
+
+
 def esql(
     spark: SparkSession,
     query: str,
     tables: dict[str, DataFrame] | None = None,
+    dims: list[str] | None = None,
 ) -> DataFrame:
-    """Compile and run an ES|QL query. `tables` maps FROM names to frames."""
+    """Compile and run an ES|QL query. `tables` maps FROM names to frames.
+    `dims` names the time_series_dimension columns (the _tsid tuple) for a
+    `TS <index>` source — consumed by STATS-with-RATE."""
     stages = [s.strip() for s in _split_top(query, "|")]
     df: DataFrame | None = None
+    ts_mode = False
     for i, st in enumerate(stages):
         m = re.match(r"(\w+)\s*(.*)", st, flags=re.S)
         if not m:
             raise ValueError(f"bad ES|QL stage: {st!r}")
         cmd, rest = m.group(1).upper(), m.group(2).strip()
         if i == 0:
-            if cmd == "FROM":
+            if cmd in ("FROM", "TS"):
+                # TS = the time-series source command (EsqlBaseParser
+                # `timeSeriesCommand`): same scan, flags STATS to accept
+                # the RATE() per-series aggregation path
+                ts_mode = cmd == "TS"
                 name = rest.split()[0]
                 if not tables or name not in tables:
-                    raise ValueError(f"unknown index in FROM: {name}")
+                    raise ValueError(f"unknown index in {cmd}: {name}")
                 df = tables[name]
             elif cmd == "ROW":
                 cols = []
@@ -582,7 +665,7 @@ def esql(
                     cols.append(F.expr(_xlate(rhs.strip())).alias(lhs.strip()))
                 df = spark.range(1).select(*cols)
             else:
-                raise ValueError(f"ES|QL must start with FROM or ROW, got {cmd}")
+                raise ValueError(f"ES|QL must start with FROM, TS or ROW, got {cmd}")
             continue
         assert df is not None
         if cmd == "WHERE":
@@ -624,6 +707,19 @@ def esql(
             by_split = re.split(r"\bBY\b", rest, flags=re.I)
             aggs_part = by_split[0].strip()
             keys = [k.strip() for k in _split_top(by_split[1], ",")] if len(by_split) > 1 else []
+            if ts_mode and re.search(r"\brate\s*\(", aggs_part, flags=re.I):
+                items, kspecs = [], []
+                for item in _split_top(aggs_part, ","):
+                    alias, expr = _alias_split(item.strip())
+                    if alias is None:
+                        alias = re.sub(r"\W+", "_", expr).strip("_").lower()
+                    items.append((alias, expr))
+                for k in keys:
+                    kk = _split_top(k, "=")
+                    kspecs.append((kk[0].strip(), kk[1].strip()) if len(kk) == 2
+                                  else (None, k))
+                df = _ts_rate_stats(df, items, kspecs, dims or [])
+                continue
             aggcols = []
             for item in _split_top(aggs_part, ","):
                 item = item.strip()

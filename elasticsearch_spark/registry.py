@@ -1934,6 +1934,24 @@ FROM events
         "deg", "b64", "n", "m")
 
 
+def q_esql_ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL `TS` source + RATE() (x-pack/plugin/esql `Rate` aggregation,
+    TSDB metrics): per-series (day bucket × user_id dimension) counter-reset-
+    aware rate, aggregated across series by SUM/AVG. Input pre-deduped to
+    unique (series, ts) points — the TSDB _tsid+timestamp uniqueness
+    contract — so the per-series lag order is deterministic."""
+    from .plans.esql import esql
+
+    ev = (_events(spark, sf_dir)
+          .groupBy("user_id", "ts").agg(F.sum("value").alias("value")))
+    out = esql(spark, """
+TS events
+| STATS r = SUM(RATE(value)), a = AVG(RATE(value)) BY d = BUCKET(ts, 1 day)
+| SORT d ASC
+""", {"events": ev}, dims=["user_id"])
+    return out.select("d", F.round("r", 4).alias("r"), F.round("a", 6).alias("a"))
+
+
 def a_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multi_terms (MultiTermsAggregationBuilder.java): buckets keyed by the
     (lang, source) tuple, count-desc, with an avg sub-metric."""
@@ -5108,6 +5126,22 @@ FROM events
 GROUP BY 1, 2, 3, 4, 5, 6
 ORDER BY event_type
 """,
+    "esql_ts_rate": """
+WITH e AS (
+  SELECT user_id, ts, sum(value) AS value FROM events GROUP BY user_id, ts
+), inc AS (
+  SELECT user_id, date_trunc('day', ts) AS d, ts, value,
+         lag(value) OVER (PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts) AS prev
+  FROM e
+), series AS (
+  SELECT user_id, d,
+         sum(CASE WHEN prev IS NULL THEN 0 WHEN value >= prev THEN value - prev ELSE value END) AS incsum,
+         epoch(max(ts)) - epoch(min(ts)) AS dt
+  FROM inc GROUP BY user_id, d
+), rates AS (SELECT d, incsum / dt AS rate FROM series WHERE dt > 0)
+SELECT d, round(sum(rate), 4) AS r, round(avg(rate), 6) AS a
+FROM rates GROUP BY d ORDER BY d
+""",
     "eql_sequence": """
 WITH s1 AS (SELECT user_id, ts AS t1 FROM events WHERE event_type = 'view'),
 ch AS (
@@ -5797,6 +5831,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eql_sample": q_eql_sample,
     "esql_dialect_fns": q_esql_dialect_fns,
     "esql_scalar_fns": q_esql_scalar_fns,
+    "esql_ts_rate": q_esql_ts_rate,
     "es_sql_match": q_es_sql,
     "agg_rollup_search": a_rollup_search,
     "graph_explore": q_graph_explore,

@@ -427,3 +427,27 @@ FROM t
     assert got == [(0, 2, 0.0, [0.0, 0.0], [0.0]),
                    (1, 2, 1.0, [1.0, 1.0], [1.0]),
                    (2, 2, 2.0, [2.0, 2.0], [2.0])]
+
+
+def test_ts_rate_stats(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [("a", base + datetime.timedelta(seconds=60 * i), v)
+            for i, v in enumerate([0.0, 10.0, 20.0, 5.0])]   # 5.0 = counter reset
+    rows += [("b", base, 100.0), ("b", base + datetime.timedelta(seconds=60), 130.0)]
+    df = spark.createDataFrame(rows, "pod string, ts timestamp, reqs double")
+    out = esql(spark, """
+TS m
+| STATS r = AVG(RATE(reqs)) BY b = BUCKET(ts, 1 hour), pod
+| SORT pod ASC
+""", {"m": df}, dims=["pod"])
+    got = [(r.pod, round(r.r, 6)) for r in out.collect()]
+    # pod a: increases 10+10+5(reset-to-5) = 25 over 180 s; pod b: 30 over 60 s
+    assert got == [("a", round(25 / 180, 6)), ("b", 0.5)]
+    out2 = esql(spark, "TS m | STATS r = SUM(RATE(reqs)) BY b = BUCKET(ts, 1 hour)",
+                {"m": df}, dims=["pod"])
+    assert round(out2.collect()[0].r, 6) == round(25 / 180 + 0.5, 6)
+    # a non-OUTER(RATE()) aggregate in a RATE STATS refuses loudly
+    with pytest.raises(ValueError, match="OUTER"):
+        esql(spark, "TS m | STATS r = RATE(reqs) BY pod", {"m": df}, dims=["pod"])
