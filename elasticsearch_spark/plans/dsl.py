@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import re
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as _dc_replace
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,16 +68,29 @@ class SearchContext:
     _dl: DataFrame | None = field(default=None, repr=False)
     _coll: DataFrame | None = field(default=None, repr=False)
 
-    def toks_col(self) -> Column:
+    def for_field(self, fld: str) -> "SearchContext":
+        """A view of this context tokenizing `fld` instead of the default
+        text column (query_string field scoping for token-level queries);
+        cached analysis frames reset since they belong to the other field."""
+        if fld == self.text_col:
+            return self
+        return _dc_replace(self, text_col=fld, _tf=None, _dl=None, _coll=None)
+
+    def toks_sql(self) -> str:
+        """The token-stream as SQL text (for expressions that must embed it
+        inside higher-order lambdas textually)."""
         b = f"regexp_extract_all(lower({self.text_col}), '{self.analyzer_regex}', 0)"
         if self.shingle <= 1:
-            return F.expr(b)
+            return b
         n = self.shingle
-        return F.expr(
+        return (
             f"CASE WHEN size({b}) < {n} THEN array() "
             f"ELSE transform(sequence(1, size({b}) - {n - 1}), "
             f"i -> concat_ws(' ', slice({b}, i, {n}))) END"
         )
+
+    def toks_col(self) -> Column:
+        return F.expr(self.toks_sql())
 
     def tf(self) -> DataFrame:
         if self._tf is None:
@@ -276,6 +289,25 @@ class RegexpQ(Leaf):
 
 
 @dataclass
+class FuzzyTokenQ(Node):
+    """query_string fuzzy over an ANALYZED text field: any token of the
+    stream within edit distance (QueryStringQueryParser expands fuzzy terms
+    against the field's tokens, not the raw value)."""
+
+    fld: str
+    value: str = ""
+    fuzziness: int = 2
+    boost: float = 1.0
+
+    def predicate(self, ctx):
+        ctx = ctx.for_field(self.fld)
+        v = self.value.lower().replace("'", "''")
+        return F.expr(
+            f"exists({ctx.toks_sql()},"
+            f" t -> levenshtein(t, '{v}') <= {self.fuzziness})")
+
+
+@dataclass
 class FuzzyQ(Leaf):
     value: str = ""
     fuzziness: int = 2
@@ -411,17 +443,46 @@ class CommonTermsQ(Node):
 @dataclass
 class MatchPhraseQ(Node):
     """match_phrase (MatchPhraseQueryBuilder.java): adjacent positions via
-    token-stream containment; constant score 1·boost (v1: no phrase freq)."""
+    token-stream containment; constant score 1·boost (v1: no phrase freq).
+
+    slop > 0: ordered greedy position chain over the token stream — the
+    terms must appear in order with total span ≤ (k−1) + slop (the
+    no-transposition subset of Lucene's sloppy phrase; index-backed search
+    routes through operators/phrase.py which handles the full edit-slop)."""
 
     fld: str
     query: str = ""
     boost: float = 1.0
+    slop: int = 0
 
     def predicate(self, ctx):
+        ctx = ctx.for_field(self.fld) if self.fld != ctx.text_col else ctx
         terms = ctx.analyze(self.query)
-        needle = " " + " ".join(terms) + " "
-        stream = F.concat(F.lit(" "), F.array_join(ctx.toks_col(), " "), F.lit(" "))
-        return stream.contains(needle)
+        if not terms:
+            return F.lit(False)
+        if self.slop <= 0:
+            needle = " " + " ".join(terms) + " "
+            stream = F.concat(F.lit(" "), F.array_join(ctx.toks_col(), " "), F.lit(" "))
+            return stream.contains(needle)
+        T = ctx.toks_sql()
+
+        def pos(t: str) -> str:
+            tt = t.replace("'", "''")
+            return (f"filter(transform({T}, (x, i) -> IF(x = '{tt}', i, -1)),"
+                    f" p -> p >= 0)")
+
+        if len(terms) == 1:
+            return F.expr(f"size({pos(terms[0])}) > 0")
+        # greedy chain: from each start s of t1, take the minimal strictly-
+        # increasing position of each following term; nulls (no such
+        # position) propagate to a false final comparison
+        chain = "s"
+        for t in terms[1:]:
+            chain = f"array_min(filter({pos(t)}, x -> x > {chain}))"
+        span_cap = len(terms) - 1 + self.slop
+        return F.expr(
+            f"coalesce(exists({pos(terms[0])}, s -> {chain} - s <= {span_cap}),"
+            f" false)")
 
 
 @dataclass
@@ -1400,14 +1461,36 @@ class FunctionScoreQ(Node):
         return joined.select("__key", new.alias("_score"))
 
 
-def parse_query_string(s: str, default_field: str = "text") -> Node:
+def parse_query_string(
+    s: str, default_field: str = "text", default_operator: str = "or"
+) -> Node:
     """Lucene query-string syntax subset (QueryStringQueryParser.java):
-    AND/OR/NOT, parentheses, field:value, "quoted phrases", wildcard*
-    prefixes, [lo TO hi] ranges. Default operator OR."""
+    AND/OR/NOT, parentheses, field:value, field:(grouped clauses),
+    "quoted phrases" (with "…"~N proximity), wildcard* / wild?card,
+    fuzzy~ / fuzzy~N, term^boost, /regexp/ (full-match, Lucene
+    semantics), +required / -prohibited prefixes (− = NOT; + is the
+    plain clause in this OR-default subset), [lo TO hi] ranges.
+    Default operator OR."""
     import re as _re
 
-    toks = _re.findall(r'\(|\)|\[|\]|"[^"]*"|AND|OR|NOT|[^\s()\[\]]+', s)
+    toks = _re.findall(
+        r'\(|\)|\[|\]|"[^"]*"|/(?:[^/\\]|\\.)*/|AND|OR|NOT|[^\s()\[\]"]+', s)
+    if default_operator.lower() == "and":
+        # Lucene inserts the default operator between adjacent clauses at
+        # parse time; adjacency to a -prohibited clause stays implicit so
+        # the boolean-level occur folding below still applies
+        merged: list[str] = []
+        for t in toks:
+            if (merged and not t.startswith("-")
+                    and t not in (")", "]", "AND", "OR", "TO")
+                    and not _re.match(r"^[~^]", t)
+                    and merged[-1] not in ("(", "[", "AND", "OR", "NOT", "TO")
+                    and not merged[-1].endswith(":")):
+                merged.append("AND")
+            merged.append(t)
+        toks = merged
     pos = 0
+    dfield = [default_field]
 
     def peek():
         return toks[pos] if pos < len(toks) else None
@@ -1418,12 +1501,41 @@ def parse_query_string(s: str, default_field: str = "text") -> Node:
         pos += 1
         return t
 
+    def _is_neg(n: Node) -> bool:
+        return (isinstance(n, BoolQ) and bool(n.must_not) and not n.should
+                and len(n.must) == 1 and isinstance(n.must[0], MatchAll))
+
     def parse_or() -> Node:
-        left = [parse_and()]
-        while peek() == "OR":
-            take()
-            left.append(parse_and())
-        return left[0] if len(left) == 1 else BoolQ(should=left, minimum_should_match=1)
+        shoulds: list[Node] = []
+        must_nots: list[Node] = []
+
+        def absorb() -> None:
+            node = parse_and()
+            # a bare -prohibited clause at this level is a boolean-level
+            # exclusion (Lucene occur semantics: `a -b` = a AND NOT b),
+            # not an OR branch
+            if _is_neg(node):
+                must_nots.extend(node.must_not)
+            else:
+                shoulds.append(node)
+
+        absorb()
+        while True:
+            if peek() == "OR":
+                take()
+                shoulds.append(parse_and())
+            elif peek() not in (None, ")", "]"):
+                absorb()  # implicit default operator (OR)
+            else:
+                break
+        if not must_nots:
+            return shoulds[0] if len(shoulds) == 1 else BoolQ(
+                should=shoulds, minimum_should_match=1)
+        if not shoulds:
+            return BoolQ(must=[MatchAll()], must_not=must_nots)
+        base = (shoulds[0] if len(shoulds) == 1
+                else BoolQ(should=shoulds, minimum_should_match=1))
+        return BoolQ(must=[base], must_not=must_nots)
 
     def parse_and() -> Node:
         left = [parse_unary()]
@@ -1437,7 +1549,30 @@ def parse_query_string(s: str, default_field: str = "text") -> Node:
             take()
             inner = parse_unary()
             return BoolQ(must=[MatchAll()], must_not=[inner])
+        t = peek()
+        if t and t not in ("(", ")", "[", "]") and not t.startswith('"'):
+            if t.startswith("-") and len(t) > 1:
+                toks[pos] = t[1:]
+                inner = parse_unary()
+                return BoolQ(must=[MatchAll()], must_not=[inner])
+            if t.startswith("+") and len(t) > 1:
+                toks[pos] = t[1:]
         return parse_clause()
+
+    def _suffixes(t: str) -> tuple[str, float | None, int | None]:
+        """Strip trailing ^boost and ~fuzz (either order) off a bare token."""
+        boost, fuzz = None, None
+        changed = True
+        while changed:
+            changed = False
+            m = _re.search(r"\^(\d+(?:\.\d+)?)$", t)
+            if m and boost is None:
+                boost, t, changed = float(m.group(1)), t[: m.start()], True
+            m = _re.search(r"~(\d*)$", t)
+            if m and fuzz is None and len(t) > m.start() > 0:
+                fuzz = int(m.group(1)) if m.group(1) else 2
+                t, changed = t[: m.start()], True
+        return t, boost, fuzz
 
     def parse_clause() -> Node:
         t = take()
@@ -1445,11 +1580,24 @@ def parse_query_string(s: str, default_field: str = "text") -> Node:
             inner = parse_or()
             assert take() == ")", "unbalanced parens"
             return inner
-        fld = default_field
-        if ":" in t and not t.startswith('"'):
+        fld = dfield[0]
+        if ":" in t and not t.startswith('"') and not t.startswith("/"):
             fld, _, t = t.partition(":")
             if t == "" and peek() == "[":
                 t = take()  # field:[lo TO hi] — bracket was its own token
+            elif t == "" and peek() == "(":
+                # field:(grouped clauses) — the group parses with this
+                # field as its default
+                take()
+                dfield.insert(0, fld)
+                try:
+                    inner = parse_or()
+                finally:
+                    dfield.pop(0)
+                assert take() == ")", "unbalanced parens"
+                return inner
+            elif t == "" and peek() not in (None, ")", "]"):
+                t = take()  # field:"phrase" etc. split by the tokenizer
         if t == "[":  # [lo TO hi]
             lo = take()
             assert take() == "TO"
@@ -1464,18 +1612,132 @@ def parse_query_string(s: str, default_field: str = "text") -> Node:
 
             return RangeQ(fld, gte=None if lo == "*" else num(lo), lte=None if hi == "*" else num(hi))
         if t.startswith('"'):
-            return MatchPhraseQ(fld, query=t.strip('"'))
-        if t.endswith("*"):
+            # "a b"~N proximity / ^boost arrive as the FOLLOWING token
+            slop, boost = 0, 1.0
+            nxt = peek()
+            if nxt and _re.fullmatch(r"(~\d+)?(\^\d+(?:\.\d+)?)?", nxt) and (
+                    "~" in nxt or "^" in nxt):
+                take()
+                sm = _re.search(r"~(\d+)", nxt)
+                bm = _re.search(r"\^(\d+(?:\.\d+)?)", nxt)
+                slop = int(sm.group(1)) if sm else 0
+                boost = float(bm.group(1)) if bm else 1.0
+            return MatchPhraseQ(fld, query=t.strip('"'), slop=slop, boost=boost)
+        if t.startswith("/") and t.endswith("/") and len(t) >= 2:
+            return RegexpQ(fld, value=t[1:-1])
+        t, boost, fuzz = _suffixes(t)
+        b = 1.0 if boost is None else boost
+        if fuzz is not None:
             if fld == default_field:
-                return MatchBoolPrefixQ(fld, query=t[:-1])
-            return PrefixQ(fld, value=t[:-1])
+                return FuzzyTokenQ(fld, value=t, fuzziness=fuzz, boost=b)
+            return FuzzyQ(fld, value=t, fuzziness=fuzz, boost=b)
+        if t.endswith("*") and "*" not in t[:-1] and "?" not in t:
+            if fld == default_field:
+                return MatchBoolPrefixQ(fld, query=t[:-1], boost=b)
+            return PrefixQ(fld, value=t[:-1], boost=b)
+        if "*" in t or "?" in t:
+            return WildcardQ(fld, value=t, boost=b)
         if fld != default_field:
-            return TermQ(fld, value=t)
-        return MatchQ(fld, query=t)
+            return TermQ(fld, value=t, boost=b)
+        return MatchQ(fld, query=t, boost=b)
 
     node = parse_or()
     assert pos == len(toks), f"trailing input at {toks[pos:]}"
     return node
+
+
+def parse_simple_query_string(
+    s: str, default_field: str = "text", default_operator: str = "or"
+) -> Node:
+    """simple_query_string (SimpleQueryStringQueryBuilder.java / Lucene
+    SimpleQueryParser): the lenient end-user dialect — `+` AND, `|` OR,
+    `-` prohibited, "quoted phrase" (with "…"~N slop), trailing-* prefix,
+    fuzzy~N, ( ) grouping. No field: syntax (that's query_string's); AND
+    binds tighter than OR; whitespace applies the default operator."""
+    import re as _re
+
+    toks = _re.findall(r'"[^"]*"(?:~\d+)?|\(|\)|\||\+|-|[^\s()|+]+', s)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    and_implicit = default_operator.lower() == "and"
+
+    def parse_or() -> Node:
+        shoulds = [parse_and()]
+        while True:
+            if peek() == "|":
+                take()
+                shoulds.append(parse_and())
+            elif peek() not in (None, ")") and not and_implicit:
+                shoulds.append(parse_and())
+            else:
+                break
+        negs = [m for n in shoulds if _sqs_is_neg(n) for m in n.must_not]
+        poss = [n for n in shoulds if not _sqs_is_neg(n)]
+        if negs:
+            base = (poss[0] if len(poss) == 1 else BoolQ(
+                should=poss, minimum_should_match=1)) if poss else MatchAll()
+            return BoolQ(must=[base], must_not=negs)
+        return poss[0] if len(poss) == 1 else BoolQ(
+            should=poss, minimum_should_match=1)
+
+    def parse_and() -> Node:
+        musts = [parse_unary()]
+        while True:
+            if peek() == "+":
+                take()
+                musts.append(parse_unary())
+            elif peek() not in (None, ")", "|") and and_implicit:
+                musts.append(parse_unary())
+            else:
+                break
+        pos_nodes = [n for n in musts if not _sqs_is_neg(n)]
+        neg_nodes = [m for n in musts if _sqs_is_neg(n) for m in n.must_not]
+        if not neg_nodes:
+            return musts[0] if len(musts) == 1 else BoolQ(must=musts)
+        base = pos_nodes if pos_nodes else [MatchAll()]
+        return BoolQ(must=base, must_not=neg_nodes)
+
+    def parse_unary() -> Node:
+        if peek() == "-":
+            take()
+            return BoolQ(must=[MatchAll()], must_not=[parse_clause()])
+        return parse_clause()
+
+    def parse_clause() -> Node:
+        t = take()
+        if t == "(":
+            inner = parse_or()
+            assert take() == ")", "unbalanced parens"
+            return inner
+        if t.startswith('"'):
+            m = _re.fullmatch(r'"([^"]*)"(?:~(\d+))?', t)
+            return MatchPhraseQ(default_field, query=m.group(1),
+                                slop=int(m.group(2) or 0))
+        fm = _re.search(r"~(\d*)$", t)
+        if fm and fm.start() > 0:
+            fuzz = int(fm.group(1)) if fm.group(1) else 2
+            return FuzzyTokenQ(default_field, value=t[: fm.start()], fuzziness=fuzz)
+        if t.endswith("*") and len(t) > 1:
+            return MatchBoolPrefixQ(default_field, query=t[:-1])
+        return MatchQ(default_field, query=t)
+
+    node = parse_or()
+    assert pos == len(toks), f"trailing input at {toks[pos:]}"
+    return node
+
+
+def _sqs_is_neg(n: Node) -> bool:
+    return (isinstance(n, BoolQ) and bool(n.must_not) and not n.should
+            and len(n.must) == 1 and isinstance(n.must[0], MatchAll))
 
 
 def parse(q: dict) -> Node:
@@ -1575,7 +1837,11 @@ def parse(q: dict) -> Node:
         )
     if kind == "match_phrase":
         (fld, spec), = body.items()
-        return MatchPhraseQ(fld, query=spec["query"] if isinstance(spec, dict) else spec)
+        if isinstance(spec, dict):
+            return MatchPhraseQ(fld, query=spec["query"],
+                                slop=int(spec.get("slop", 0)),
+                                boost=float(spec.get("boost", 1.0)))
+        return MatchPhraseQ(fld, query=spec)
     if kind == "match_phrase_prefix":
         (fld, spec), = body.items()
         return MatchPhrasePrefixQ(fld, query=spec["query"] if isinstance(spec, dict) else spec)
@@ -1735,8 +2001,13 @@ def parse(q: dict) -> Node:
             sigmoid_exp=sig.get("exponent"),
             boost=body.get("boost", 1.0),
         )
-    if kind in ("query_string", "simple_query_string"):
-        return parse_query_string(body["query"], body.get("default_field", "text"))
+    if kind == "query_string":
+        return parse_query_string(body["query"], body.get("default_field", "text"),
+                                  body.get("default_operator", "or"))
+    if kind == "simple_query_string":
+        return parse_simple_query_string(
+            body["query"], body.get("default_field", "text"),
+            body.get("default_operator", "or"))
     raise ValueError(f"unsupported query kind: {kind}")
 
 

@@ -2598,6 +2598,25 @@ def dsl_query_string_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.agg(F.count("*").cast("long").alias("doc_count"))
 
 
+def dsl_query_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_string extended Lucene syntax (QueryStringQueryParser.java):
+    wildcard field:e?, full-match /regexp/, phrase proximity "a b"~1,
+    -prohibited, implicit default-OR — per-lang doc counts in filter
+    context."""
+    from .plans import dsl as dsl_mod
+
+    hits = dsl_mod.search(
+        spark, _docs(spark, sf_dir),
+        {"query": {"bool": {"filter": [{"query_string": {
+            "query": '(lang:e? OR lang:/d./) AND "table value"~1 -source:src9',
+            "default_field": "text",
+        }}]}}, "size": 50000},
+        key="doc_id", text_col="text",
+    )
+    return (hits.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+            .orderBy("lang"))
+
+
 def dsl_distance_feature_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """distance_feature (DistanceFeatureQueryBuilder.java):
     score = boost·pivot/(pivot+|field−origin|), exact closed form."""
@@ -5609,6 +5628,18 @@ GROUP BY lang ORDER BY lang
 SELECT COUNT(*)::BIGINT AS doc_count FROM documents
 WHERE lang = 'en' AND source = 'src3'
 """,
+    "dsl_query_string_extended": """
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') AS stream
+  FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n FROM toks
+WHERE (lang LIKE 'e_' OR regexp_full_match(lang, 'd.'))
+  AND regexp_matches(stream, '(^| )table( [a-z0-9]+)? value( |$)')
+  AND source <> 'src9'
+GROUP BY lang ORDER BY lang
+""",
     "dsl_distance_feature_query": """
 SELECT doc_id, round(50.0 / (50.0 + abs(n_chars - 300)), 4) AS score
 FROM documents
@@ -5874,6 +5905,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsl_knn_query": dsl_knn_query,
     "dsl_terms_set_query": dsl_terms_set_query,
     "dsl_query_string_filter": dsl_query_string_filter,
+    "dsl_query_string_extended": dsl_query_string_extended,
     "dsl_distance_feature_query": dsl_distance_feature_query,
     "dsl_rank_feature_query": dsl_rank_feature_query,
     "dsl_geo_distance_query": dsl_geo_distance_query,

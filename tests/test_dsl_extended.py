@@ -491,3 +491,84 @@ def test_knn_query_kind_prefilter_and_bool_composition(spark):
         "field": "v", "query_vector": [1.0, 0.0], "k": 5, "similarity": 0.5,
     }}, "size": 10}, key="id")
     assert all(r["lab"] == 0 for r in out3.collect())
+
+
+def test_query_string_extended_syntax(spark, corpus):
+    # fuzzy~ (default edit distance 2) — "quikc" matches "quick" docs
+    out = run(spark, corpus, {"query_string": {"query": "quikc~"}})
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 5}  # quick, quince
+    # fuzzy on an explicit keyword-ish field
+    out = run(spark, corpus, {"query_string": {"query": "lang:enn~1"}})
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 5}
+    # boost^ parses and scores (order: boosted term first)
+    out = run(spark, corpus, {"query_string": {"query": "dog^3 OR quick"}})
+    top = out.collect()[0]
+    assert top["doc_id"] in (3, 4)
+    # /regexp/ is full-match (Lucene semantics)
+    out = run(spark, corpus, {"query_string": {"query": "lang:/e./"}})
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 5}
+    # field:(grouped) scopes the group's field (term/phrase semantics,
+    # same as the ungrouped field:value form)
+    out = run(spark, corpus, {"query_string": {"query": 'title:(cooking OR "dog stories")'}})
+    assert {r["doc_id"] for r in out.collect()} == {3, 5}
+    # -prohibited
+    out = run(spark, corpus, {"query_string": {"query": "fox -lang:en"}})
+    assert {r["doc_id"] for r in out.collect()} == {4}
+    # mid-token wildcard
+    out = run(spark, corpus, {"query_string": {"query": "lang:e?"}})
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 5}
+    # multi-word phrase on an explicit field
+    out = run(spark, corpus, {"query_string": {"query": 'title:"dog stories"'}})
+    assert {r["doc_id"] for r in out.collect()} == {3}
+
+
+def test_query_string_phrase_proximity(spark, corpus):
+    # slop = extra position moves: doc 1 "quick brown fox" and doc 2
+    # "quick slow fox" both need one move; exact adjacency matches neither
+    out = run(spark, corpus, {"query_string": {"query": '"quick fox"'}})
+    assert {r["doc_id"] for r in out.collect()} == set()
+    out = run(spark, corpus, {"query_string": {"query": '"quick fox"~1'}})
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}
+    out = run(spark, corpus, {"query_string": {"query": '"the fox"~3'}})
+    assert {r["doc_id"] for r in out.collect()} == {1, 4}
+
+
+def test_match_phrase_slop_dsl(spark, corpus):
+    # match_phrase with slop over the token stream (ordered greedy chain)
+    out = run(spark, corpus, {"match_phrase": {"text": {"query": "quick fox", "slop": 0}}})
+    assert {r["doc_id"] for r in out.collect()} == set()
+    out = run(spark, corpus, {"match_phrase": {"text": {"query": "quick fox", "slop": 1}}})
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}
+    # slop 0 unchanged (exact adjacency)
+    out = run(spark, corpus, {"match_phrase": {"text": "lazy dog"}})
+    assert {r["doc_id"] for r in out.collect()} == {3}
+
+
+def test_query_string_default_operator_and(spark, corpus):
+    out = run(spark, corpus, {"query_string": {
+        "query": "the dog", "default_operator": "and"}})
+    assert {r["doc_id"] for r in out.collect()} == {4}
+    # explicit OR still wins over the implicit AND
+    out = run(spark, corpus, {"query_string": {
+        "query": "lazy OR quince", "default_operator": "and"}})
+    assert {r["doc_id"] for r in out.collect()} == {3, 5}
+
+
+def test_simple_query_string_dialect(spark, corpus):
+    # + AND binds tighter than | OR
+    out = run(spark, corpus, {"simple_query_string": {"query": "quick + fox | lazy"}})
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 3}
+    # -prohibited folds at the boolean level
+    out = run(spark, corpus, {"simple_query_string": {"query": "fox -quick"}})
+    assert {r["doc_id"] for r in out.collect()} == {4}
+    # phrase, prefix, fuzzy
+    out = run(spark, corpus, {"simple_query_string": {"query": '"dog and"'}})
+    assert {r["doc_id"] for r in out.collect()} == {4}
+    out = run(spark, corpus, {"simple_query_string": {"query": "qui*"}})
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 5}
+    out = run(spark, corpus, {"simple_query_string": {"query": "quikc~2"}})
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 5}
+    # default_operator and: whitespace is AND
+    out = run(spark, corpus, {"simple_query_string": {
+        "query": "the dog", "default_operator": "and"}})
+    assert {r["doc_id"] for r in out.collect()} == {4}
