@@ -1325,17 +1325,19 @@ class Engine:
             build_bigram_lm(self.spark, d)
         return phrase_suggest(self.spark, d, text, **kw)
 
-    def esql(self, query: str) -> DataFrame:
+    def esql(self, query: str, dims: list[str] | None = None) -> DataFrame:
         """POST /_query (x-pack ES|QL): the piped query language over the
-        live docs view (plans/esql.py). FROM resolves aliases; multi-index
-        targets union with an ``_index`` tag."""
+        live docs view (plans/esql.py). FROM/TS resolve aliases; multi-index
+        targets union with an ``_index`` tag. ``dims`` names the
+        time_series_dimension columns for a TS source (STATS-with-RATE)."""
         import re
 
         from .plans.esql import esql as esql_run
 
         # every index-like name the pipe references resolves to a live view:
-        # FROM plus any ENRICH <policy> ON / LOOKUP JOIN <index> ON targets
+        # FROM/TS plus any ENRICH <policy> ON / LOOKUP JOIN <index> ON targets
         names = re.findall(r"\bFROM\s+([\w\-.*]+)", query, re.I)
+        names += re.findall(r"^\s*TS\s+([\w\-.*]+)", query, re.I)
         names += re.findall(r"\bENRICH\s+([\w\-.*]+)\s+ON\b", query, re.I)
         names += re.findall(r"\bLOOKUP\s+JOIN\s+([\w\-.*]+)\s+ON\b", query, re.I)
         tables = {}
@@ -1352,7 +1354,7 @@ class Engine:
                 for p in parts[1:]:
                     v = v.unionByName(p)
                 tables[name] = v
-        return esql_run(self.spark, query, tables)
+        return esql_run(self.spark, query, tables, dims=dims)
 
     def sql(self, query: str) -> DataFrame:
         """POST /_sql (x-pack SQL): standard SQL over the live docs view,

@@ -301,10 +301,12 @@ class FuzzyTokenQ(Node):
 
     def predicate(self, ctx):
         ctx = ctx.for_field(self.fld)
-        v = self.value.lower().replace("'", "''")
-        return F.expr(
-            f"exists({ctx.toks_sql()},"
-            f" t -> levenshtein(t, '{v}') <= {self.fuzziness})")
+        # Column API (no textual embedding of the user term — backslashes
+        # and quotes stay data, never SQL)
+        return F.exists(
+            ctx.toks_col(),
+            lambda t: F.levenshtein(t, F.lit(self.value.lower())) <= self.fuzziness,
+        )
 
 
 @dataclass
@@ -1477,14 +1479,15 @@ def parse_query_string(
         r'\(|\)|\[|\]|"[^"]*"|/(?:[^/\\]|\\.)*/|AND|OR|NOT|[^\s()\[\]"]+', s)
     if default_operator.lower() == "and":
         # Lucene inserts the default operator between adjacent clauses at
-        # parse time; adjacency to a -prohibited clause stays implicit so
-        # the boolean-level occur folding below still applies
+        # parse time; -prohibited clauses join the AND chain too (parse_and
+        # folds them into must_not, so `a -b c` = a AND c AND NOT b)
         merged: list[str] = []
         for t in toks:
-            if (merged and not t.startswith("-")
+            if (merged
                     and t not in (")", "]", "AND", "OR", "TO")
                     and not _re.match(r"^[~^]", t)
-                    and merged[-1] not in ("(", "[", "AND", "OR", "NOT", "TO")
+                    and merged[-1] not in ("(", "[", "AND", "OR", "NOT", "TO",
+                                           "-", "+")
                     and not merged[-1].endswith(":")):
                 merged.append("AND")
             merged.append(t)
@@ -1501,10 +1504,6 @@ def parse_query_string(
         pos += 1
         return t
 
-    def _is_neg(n: Node) -> bool:
-        return (isinstance(n, BoolQ) and bool(n.must_not) and not n.should
-                and len(n.must) == 1 and isinstance(n.must[0], MatchAll))
-
     def parse_or() -> Node:
         shoulds: list[Node] = []
         must_nots: list[Node] = []
@@ -1512,9 +1511,9 @@ def parse_query_string(
         def absorb() -> None:
             node = parse_and()
             # a bare -prohibited clause at this level is a boolean-level
-            # exclusion (Lucene occur semantics: `a -b` = a AND NOT b),
-            # not an OR branch
-            if _is_neg(node):
+            # exclusion (Lucene occur semantics: `a -b` = a AND NOT b,
+            # and `a OR -b` likewise keeps b as MUST_NOT), not an OR branch
+            if _sqs_is_neg(node):
                 must_nots.extend(node.must_not)
             else:
                 shoulds.append(node)
@@ -1523,7 +1522,7 @@ def parse_query_string(
         while True:
             if peek() == "OR":
                 take()
-                shoulds.append(parse_and())
+                absorb()
             elif peek() not in (None, ")", "]"):
                 absorb()  # implicit default operator (OR)
             else:
@@ -1542,7 +1541,15 @@ def parse_query_string(
         while peek() == "AND":
             take()
             left.append(parse_unary())
-        return left[0] if len(left) == 1 else BoolQ(must=left)
+        if len(left) == 1:
+            return left[0]
+        # fold pure negations into must_not so `a AND -b` (and the
+        # default_operator=and chain `a -b c`) become must + must_not
+        negs = [m for n in left if _sqs_is_neg(n) for m in n.must_not]
+        poss = [n for n in left if not _sqs_is_neg(n)]
+        if not negs:
+            return BoolQ(must=left)
+        return BoolQ(must=poss if poss else [MatchAll()], must_not=negs)
 
     def parse_unary() -> Node:
         if peek() == "NOT":
@@ -1550,6 +1557,14 @@ def parse_query_string(
             inner = parse_unary()
             return BoolQ(must=[MatchAll()], must_not=[inner])
         t = peek()
+        if t == "-":
+            # standalone '-' before a group or quoted phrase: -(a b), -"x y"
+            take()
+            inner = parse_unary()
+            return BoolQ(must=[MatchAll()], must_not=[inner])
+        if t == "+":
+            take()
+            return parse_unary()
         if t and t not in ("(", ")", "[", "]") and not t.startswith('"'):
             if t.startswith("-") and len(t) > 1:
                 toks[pos] = t[1:]
@@ -1736,6 +1751,8 @@ def parse_simple_query_string(
 
 
 def _sqs_is_neg(n: Node) -> bool:
+    """Pure-negation detector shared by the query_string and
+    simple_query_string parsers' occur folding."""
     return (isinstance(n, BoolQ) and bool(n.must_not) and not n.should
             and len(n.must) == 1 and isinstance(n.must[0], MatchAll))
 

@@ -22,7 +22,8 @@ Supported commands (documented subset):
   | LIMIT n
   | STATS [n =] fn(x), .. [BY k1, k2]   grouped/global aggregation
   | INLINESTATS [n =] fn(x), .. [BY ks] STATS that keeps input rows (join-back)
-  | DISSECT col "%{a} %{b}"             pattern extraction
+  | DISSECT col "%{a} %{+a} %{?skip} %{pad->}" [APPEND_SEPARATOR="…"]
+                                        pattern extraction (dissect modifiers)
   | GROK col "..."                      regex extraction (grok syntax)
   | MV_EXPAND col                       explode a multivalue column
   | FORK (pipe...) (pipe...)            branch sub-pipelines, union by name
@@ -187,7 +188,9 @@ def _xlate(expr: str) -> str:
         t = m.group(2).lower()
         return f"cast({m.group(1)} as {_CAST_TYPES.get(t, t)})"
 
-    e = re.sub(r"([\w.]+|\x00\d+\x00)\s*::\s*([A-Za-z_]+)", cast_sub, e)
+    e = re.sub(
+        r"(\([^()]*\)|[\w.]+(?:\[[^\]]*\])?|\x00\d+\x00)\s*::\s*([A-Za-z_]+)",
+        cast_sub, e)
     # LIKE <literal>: translate ES|QL wildcards * ? → SQL % _ in the literal
     def like_sub(m: re.Match) -> str:
         idx = int(m.group(2))
@@ -527,10 +530,25 @@ def _alias_split(item: str) -> tuple[str | None, str]:
 def _agg_where(expr: str) -> str:
     """`STATS n = COUNT(*) WHERE cond` (ES|QL 8.16 per-aggregate filters,
     `EsqlBaseParser aggField: booleanExpression (WHERE booleanExpression)?`)
-    → Spark's standard aggregate FILTER clause."""
-    wh = re.split(r"\bWHERE\b", expr, flags=re.I)
-    if len(wh) == 2:
-        return f"{wh[0].strip()} FILTER (WHERE {wh[1].strip()})"
+    → Spark's standard aggregate FILTER clause. The WHERE keyword is only
+    recognized at paren/quote depth 0 (a literal containing "where" is
+    data, not syntax)."""
+    depth, in_q = 0, None
+    up = expr.upper()
+    for i, c in enumerate(expr):
+        if in_q:
+            if c == in_q and expr[i - 1] != "\\":
+                in_q = None
+        elif c in "\"'":
+            in_q = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and up.startswith("WHERE", i) and (
+                i == 0 or not expr[i - 1].isalnum()) and (
+                i + 5 >= len(expr) or not expr[i + 5].isalnum()):
+            return f"{expr[:i].strip()} FILTER (WHERE {expr[i + 5:].strip()})"
     return expr
 
 
@@ -586,6 +604,10 @@ def _ts_rate_stats(
     if tc is None:
         tc = "ts" if "ts" in df.columns else "@timestamp"
 
+    # preserve the raw time column first — a BY alias may legitimately
+    # shadow it (BY ts = BUCKET(ts, 1 hour)), and the lag window must order
+    # by the ORIGINAL timestamps, not the truncated bucket
+    df = df.withColumn("__ts_orig", F.col(tc))
     key_names = []
     for alias, ktext in key_specs:
         name = alias or re.sub(r"\W+", "_", ktext).strip("_").lower()
@@ -604,10 +626,10 @@ def _ts_rate_stats(
         parsed.append((alias, pm.group(1).lower(), pm.group(2)))
 
     series_keys = key_names + [d for d in dims if d not in key_names]
-    w = Window.partitionBy(*series_keys).orderBy(F.col(tc))
+    w = Window.partitionBy(*series_keys).orderBy(F.col("__ts_orig"))
     inner_aggs = [
-        F.max(F.col(tc).cast("timestamp").cast("double")).alias("__t_last"),
-        F.min(F.col(tc).cast("timestamp").cast("double")).alias("__t_first"),
+        F.max(F.col("__ts_orig").cast("timestamp").cast("double")).alias("__t_last"),
+        F.min(F.col("__ts_orig").cast("timestamp").cast("double")).alias("__t_first"),
     ]
     for i, (_, _, vcol) in enumerate(parsed):
         prev = F.lag(F.col(vcol)).over(w)
@@ -770,12 +792,16 @@ def esql(
                 df = df.crossJoin(F.broadcast(grouped))
         elif cmd == "DISSECT":
             col, pat = rest.split(None, 1)
-            pat = pat.strip().strip('"')
-            from ..sources.ingest_pipeline import _dissect_to_regex
+            pat = pat.strip()
+            sep = ""
+            am = re.search(r'APPEND_SEPARATOR\s*=\s*"([^"]*)"\s*$', pat, re.I)
+            if am:
+                sep = am.group(1)
+                pat = pat[: am.start()].strip()
+            pat = pat.strip('"')
+            from ..sources.ingest_pipeline import dissect_cols
 
-            rx, fields = _dissect_to_regex(pat)
-            for k, fld in enumerate(fields, start=1):
-                df = df.withColumn(fld, F.regexp_extract(F.col(col), rx, k))
+            df = dissect_cols(df, col, pat, sep)
         elif cmd == "GROK":
             col, pat = rest.split(None, 1)
             pat = pat.strip().strip('"')

@@ -60,18 +60,28 @@ def _grok_to_regex(pattern: str) -> tuple[str, list[str]]:
 
 
 def _dissect_to_regex(pattern: str) -> tuple[str, list[str]]:
-    """dissect %{field} syntax (literal-delimited) → regex."""
+    """dissect %{field} syntax (literal-delimited) → regex. Modifiers
+    (``libs/dissect/.../DissectParser.java``): ``%{+f}`` appends to f
+    (the apply step concat_ws-joins repeated captures), ``%{?f}`` named
+    skip, ``%{f->}`` skips right padding, ``%{}`` skip. The returned field
+    list repeats a name once per appended capture, in order."""
     fields: list[str] = []
     out = []
     pos = 0
-    for m in re.finditer(r"%\{(\w*)\}", pattern):
+    for m in re.finditer(r"%\{([^}]*)\}", pattern):
         out.append(re.escape(pattern[pos : m.start()]))
         fld = m.group(1)
-        if fld:
-            fields.append(fld)
-            out.append("(.*?)")
+        if fld.endswith("->"):
+            fld = fld[:-2]
+            pad = " *"
         else:
+            pad = ""
+        if not fld or fld.startswith("?"):
             out.append("(?:.*?)")
+        else:
+            fields.append(fld[1:] if fld.startswith("+") else fld)
+            out.append("(.*?)")
+        out.append(pad)
         pos = m.end()
     out.append(re.escape(pattern[pos:]))
     rx = "".join(out)
@@ -79,6 +89,25 @@ def _dissect_to_regex(pattern: str) -> tuple[str, list[str]]:
     if rx.endswith("(.*?)"):
         rx = rx[:-5] + "(.*)"
     return rx, fields
+
+
+def dissect_cols(
+    df: DataFrame, src_col: str, pattern: str, append_separator: str = ""
+) -> DataFrame:
+    """Apply a dissect pattern: one column per distinct field; repeated
+    (``%{+f}``) captures join with ``append_separator`` in pattern order."""
+    rx, fields = _dissect_to_regex(pattern)
+    groups: dict[str, list[int]] = {}
+    for i, fld in enumerate(fields, start=1):
+        groups.setdefault(fld, []).append(i)
+    for fld, idxs in groups.items():
+        if len(idxs) == 1:
+            df = df.withColumn(fld, F.regexp_extract(F.col(src_col), rx, idxs[0]))
+        else:
+            df = df.withColumn(fld, F.concat_ws(
+                append_separator,
+                *[F.regexp_extract(F.col(src_col), rx, i) for i in idxs]))
+    return df
 
 
 def _apply_one(df: DataFrame, spec: dict) -> DataFrame:
@@ -155,11 +184,8 @@ def _apply_one(df: DataFrame, spec: dict) -> DataFrame:
             out = out.withColumn(fld, F.regexp_extract(F.col(f), rx, i))
         return out
     if kind == "dissect":
-        rx, fields = _dissect_to_regex(body["pattern"])
-        out = df
-        for i, fld in enumerate(fields, start=1):
-            out = out.withColumn(fld, F.regexp_extract(F.col(f), rx, i))
-        return out
+        return dissect_cols(df, f, body["pattern"],
+                            body.get("append_separator", ""))
     if kind == "urldecode":
         return put(tgt, F.url_decode(F.col(f)))
     if kind == "html_strip":

@@ -572,3 +572,18 @@ def test_simple_query_string_dialect(spark, corpus):
     out = run(spark, corpus, {"simple_query_string": {
         "query": "the dog", "default_operator": "and"}})
     assert {r["doc_id"] for r in out.collect()} == {4}
+
+
+def test_query_string_occur_folding_review_fixes(spark, corpus):
+    # '-' before a group / quoted phrase negates it
+    out = run(spark, corpus, {"query_string": {"query": "-(lazy OR quince)"}})
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 4}
+    out = run(spark, corpus, {"query_string": {"query": '-"lazy dog"'}})
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 4, 5}
+    # explicit 'OR -term' still folds to must_not (Lucene occur semantics)
+    out = run(spark, corpus, {"query_string": {"query": "lazy OR -lang:en"}})
+    assert {r["doc_id"] for r in out.collect()} == {3}
+    # default_operator=and with an embedded prohibited clause: a AND c AND NOT b
+    out = run(spark, corpus, {"query_string": {
+        "query": "fox -lang:fr the", "default_operator": "and"}})
+    assert {r["doc_id"] for r in out.collect()} == {1}

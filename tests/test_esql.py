@@ -451,3 +451,50 @@ TS m
     # a non-OUTER(RATE()) aggregate in a RATE STATS refuses loudly
     with pytest.raises(ValueError, match="OUTER"):
         esql(spark, "TS m | STATS r = RATE(reqs) BY pod", {"m": df}, dims=["pod"])
+
+
+def test_ts_rate_alias_shadows_time_column(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [("a", base + datetime.timedelta(seconds=60 * i), float(10 * i))
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "pod string, ts timestamp, reqs double")
+    out = esql(spark, """
+TS m
+| STATS r = AVG(RATE(reqs)) BY ts = BUCKET(ts, 1 hour)
+""", {"m": df}, dims=["pod"])
+    r = out.collect()[0].r
+    assert r is not None and round(r, 6) == round(30 / 180, 6)
+
+
+def test_xlate_cast_and_agg_where_review_fixes(spark):
+    from elasticsearch_spark.plans.esql import _agg_where
+
+    assert _xlate("(a + b)::long") == "cast((a + b) as bigint)"
+    assert _xlate("x[1]::datetime") == "cast(x[1] as timestamp)"
+    assert _agg_where('COUNT(*) WHERE msg == "no where to go"') == \
+        'COUNT(*) FILTER (WHERE msg == "no where to go")'
+    df = spark.createDataFrame([(1, "no where to go"), (2, "x")], "id long, msg string")
+    out = esql(spark, 'FROM t | STATS n = COUNT(*) WHERE msg == "no where to go"',
+               {"t": df})
+    assert out.collect()[0].n == 1
+
+
+def test_dissect_modifiers(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 GET   /idx a b",)], "line string")
+    out = esql(spark, """
+FROM logs
+| DISSECT line "%{date} %{verb->} %{path} %{+verb} %{?junk}"
+| KEEP date, verb, path
+""", {"logs": df})
+    r = out.collect()[0]
+    assert r.date == "2024-01-01" and r.path == "/idx"
+    assert r.verb == "GETa"      # append with default empty separator
+    out2 = esql(spark, '''
+FROM logs
+| DISSECT line "%{date} %{verb->} %{path} %{+verb} %{?junk}" APPEND_SEPARATOR="_"
+| KEEP verb
+''', {"logs": df})
+    assert out2.collect()[0].verb == "GET_a"
