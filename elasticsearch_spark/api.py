@@ -919,11 +919,62 @@ class Engine:
     def _docs_view(self, index: str) -> DataFrame:
         return ops_mod.live_docs(self.spark, self._dir(index))
 
+    # ----- query rules (x-pack/plugin/ent-search rules API) -----
+
+    def _query_rulesets_path(self) -> str:
+        return os.path.join(self.root, "_query_rules.json")
+
+    def _query_rulesets(self) -> dict:
+        import json
+
+        path = self._query_rulesets_path()
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        return {}
+
+    def put_query_ruleset(self, ruleset_id: str, rules: list[dict]) -> dict:
+        """PUT /_query_rules/{ruleset_id} (``x-pack/plugin/ent-search/.../
+        rules/QueryRuleset.java``): an ordered list of rules, each
+        ``{rule_id, type: pinned|exclude, criteria: [...], actions:
+        {ids|docs}}``. Evaluated by the ``rule`` query (plans/rules.py)."""
+        import json
+
+        all_rs = self._query_rulesets()
+        all_rs[ruleset_id] = rules
+        tmp = self._query_rulesets_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(all_rs, f)
+        os.replace(tmp, self._query_rulesets_path())
+        return {"result": "created"}
+
+    def get_query_ruleset(self, ruleset_id: str) -> list[dict]:
+        return self._query_rulesets()[ruleset_id]
+
+    def delete_query_ruleset(self, ruleset_id: str) -> dict:
+        import json
+
+        all_rs = self._query_rulesets()
+        all_rs.pop(ruleset_id, None)
+        with open(self._query_rulesets_path(), "w") as f:
+            json.dump(all_rs, f)
+        return {"acknowledged": True}
+
+    def list_query_rulesets(self) -> list[str]:
+        return sorted(self._query_rulesets())
+
     def search(self, index: str, body: dict, routing: str | None = None) -> dict:
         """POST /{index}/_search — see ``_search_impl``. ``profile: true``
         (the reference's ``SearchProfileResults`` phase tree) attaches the
         Spark physical plan of the hits frame — planning only, no extra
         execution."""
+        q = body.get("query")
+        if isinstance(q, dict) and "rule" in q:
+            # rule query (RuleQueryBuilder.doRewrite): coordinator-side
+            # rewrite to pinned/excluding organic before planning
+            from .plans.rules import apply_query_rules
+
+            body = {**body, "query": apply_query_rules(q, self._query_rulesets())}
         out = self._search_impl(index, body, routing)
         if (
             isinstance(out, dict) and body.get("profile")

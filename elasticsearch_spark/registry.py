@@ -2598,6 +2598,42 @@ def dsl_query_string_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.agg(F.count("*").cast("long").alias("doc_count"))
 
 
+def dsl_rule_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rule query (x-pack ent-search ``RuleQueryBuilder``): ruleset criteria
+    evaluated against the request's match_criteria rewrite the organic query
+    into pinned ids + exclusions (plans/rules.py) — one matching pin rule,
+    one matching exclude rule, one non-matching rule ignored."""
+    from .plans import dsl
+    from .plans.rules import apply_query_rules
+
+    rulesets = {"promo": [
+        {"rule_id": "r1", "type": "pinned",
+         "criteria": [{"type": "exact", "metadata": "user_query", "values": ["cheap parts"]}],
+         "actions": {"ids": [42, 7]}},
+        {"rule_id": "r2", "type": "exclude",
+         "criteria": [{"type": "prefix", "metadata": "user_query", "values": ["cheap"]}],
+         "actions": {"ids": [199]}},
+        {"rule_id": "r3", "type": "pinned",
+         "criteria": [{"type": "exact", "metadata": "user_query", "values": ["other"]}],
+         "actions": {"ids": [999]}},
+    ]}
+    q = apply_query_rules({"rule": {
+        "organic": {"constant_score": {
+            "filter": {"range": {"p_retailprice": {"gte": 998.5}}}, "boost": 1.5}},
+        "ruleset_ids": ["promo"],
+        "match_criteria": {"user_query": "cheap parts"},
+    }}, rulesets)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    node = dsl.parse(q)
+    ctx = dsl.SearchContext(part, "p_partkey")
+    return (
+        node.frame(ctx)
+        .select(F.col("__key").alias("p_partkey"), F.round("_score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("p_partkey"))
+        .limit(20)
+    )
+
+
 def dsl_query_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """query_string extended Lucene syntax (QueryStringQueryParser.java):
     wildcard field:e?, full-match /regexp/, phrase proximity "a b"~1,
@@ -5382,6 +5418,16 @@ GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 5
 SELECT count(DISTINCT o_orderkey)::BIGINT AS doc_count
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
 """,
+    "dsl_rule_query": """
+WITH pin(pk, rk) AS (VALUES (42, 1), (7, 2)),
+live AS (SELECT pk, rk FROM pin JOIN part ON pk = p_partkey),
+org AS (SELECT p_partkey, 1.5 AS score FROM part
+        WHERE p_retailprice >= 998.5 AND p_partkey NOT IN (SELECT pk FROM live)
+          AND p_partkey <> 199)
+SELECT pk AS p_partkey, round(1e12 + 2 - rk, 4) AS score FROM live
+UNION ALL SELECT p_partkey, score FROM org
+ORDER BY score DESC, p_partkey LIMIT 20
+""",
     "dsl_pinned": """
 WITH pin(pk, rk) AS (VALUES (42, 1), (7, 2), (199, 3)),
 live AS (SELECT pk, rk FROM pin JOIN part ON pk = p_partkey),
@@ -5906,6 +5952,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsl_terms_set_query": dsl_terms_set_query,
     "dsl_query_string_filter": dsl_query_string_filter,
     "dsl_query_string_extended": dsl_query_string_extended,
+    "dsl_rule_query": dsl_rule_query,
     "dsl_distance_feature_query": dsl_distance_feature_query,
     "dsl_rank_feature_query": dsl_rank_feature_query,
     "dsl_geo_distance_query": dsl_geo_distance_query,

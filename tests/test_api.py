@@ -480,3 +480,59 @@ def test_search_profile(es):
     # fast paths (top-level match -> index WAND) get the same shape
     res2 = es.search("pages", {"query": {"match": {"text": "spark"}}, "profile": True})
     assert "hits_plan" in res2["profile"]
+
+
+def test_query_rules(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.api import Engine
+    from elasticsearch_spark.plans.rules import criterion_matches
+
+    # criteria unit semantics (QueryRuleCriteria.java)
+    assert criterion_matches({"type": "always"}, {})
+    assert criterion_matches(
+        {"type": "exact", "metadata": "q", "values": ["a", "b"]}, {"q": "b"})
+    assert not criterion_matches(
+        {"type": "exact", "metadata": "q", "values": ["a"]}, {"other": "a"})
+    assert criterion_matches(
+        {"type": "fuzzy", "metadata": "q", "values": ["shoes"]}, {"q": "shose"})
+    assert criterion_matches(
+        {"type": "contains", "metadata": "q", "values": ["oe"]}, {"q": "shoes"})
+    assert criterion_matches(
+        {"type": "gte", "metadata": "n", "values": [10]}, {"n": 10})
+    assert not criterion_matches(
+        {"type": "lt", "metadata": "n", "values": [10]}, {"n": "10"})
+
+    eng = Engine(spark, root=str(tmp_path))
+    eng.create_index("pages", num_partitions=1)
+    docs = spark.createDataFrame(
+        [("u1", "alpha beta", "en"), ("u2", "alpha", "en"),
+         ("u3", "alpha gamma", "de"), ("u4", "unrelated", "en")],
+        "url string, text string, lang string",
+    ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+    eng.bulk("pages", docs)
+    eng.put_query_ruleset("promo", [
+        {"rule_id": "pin-u4", "type": "pinned",
+         "criteria": [{"type": "prefix", "metadata": "user_query", "values": ["alp"]}],
+         "actions": {"ids": ["u4"]}},
+        {"rule_id": "drop-u2", "type": "exclude",
+         "criteria": [{"type": "exact", "metadata": "user_query", "values": ["alpha"]}],
+         "actions": {"docs": [{"_id": "u2"}]}},
+    ])
+    assert eng.list_query_rulesets() == ["promo"]
+    out = eng.search("pages", {"query": {"rule": {
+        "organic": {"match": {"text": "alpha"}},
+        "ruleset_ids": ["promo"],
+        "match_criteria": {"user_query": "alpha"},
+    }}, "size": 10})
+    hits = [r["url"] for r in out["hits"].collect()]
+    assert hits[0] == "u4"                  # pinned above organic
+    assert "u2" not in hits                 # excluded
+    assert set(hits) == {"u4", "u1", "u3"}
+    # criteria that don't match leave the organic results untouched
+    out2 = eng.search("pages", {"query": {"rule": {
+        "organic": {"match": {"text": "alpha"}},
+        "ruleset_ids": ["promo"],
+        "match_criteria": {"user_query": "zzz"},
+    }}, "size": 10})
+    assert set(r["url"] for r in out2["hits"].collect()) == {"u1", "u2", "u3"}
