@@ -1530,6 +1530,73 @@ class Engine:
         """POST /_msearch/template: batched templated searches."""
         return [self.search_template(ix, body) for ix, body in searches]
 
+    # ----- search applications (x-pack/plugin/ent-search) -----
+
+    def _search_apps_path(self) -> str:
+        return os.path.join(self.root, "_search_applications.json")
+
+    def _search_apps(self) -> dict:
+        import json
+
+        if os.path.exists(self._search_apps_path()):
+            with open(self._search_apps_path()) as f:
+                return json.load(f)
+        return {}
+
+    def put_search_application(
+        self, name: str, indices: list[str], template: dict | None = None
+    ) -> dict:
+        """PUT /_application/search_application/{name} (``x-pack/plugin/
+        ent-search/.../search/SearchApplication.java``): a named set of
+        indices plus a stored search template
+        (``{"script": {"source": …, "params": {defaults}}}``; the
+        reference's default template passes ``query_string`` through)."""
+        import json
+
+        apps = self._search_apps()
+        apps[name] = {
+            "indices": indices,
+            "template": template or {"script": {
+                "source": '{"query": {"query_string": {"query": "{{query_string}}"}}}',
+                "params": {"query_string": "*"},
+            }},
+        }
+        tmp = self._search_apps_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(apps, f)
+        os.replace(tmp, self._search_apps_path())
+        return {"result": "created"}
+
+    def get_search_application(self, name: str) -> dict:
+        return self._search_apps()[name]
+
+    def delete_search_application(self, name: str) -> dict:
+        import json
+
+        apps = self._search_apps()
+        apps.pop(name, None)
+        with open(self._search_apps_path(), "w") as f:
+            json.dump(apps, f)
+        return {"acknowledged": True}
+
+    def list_search_applications(self) -> list[str]:
+        return sorted(self._search_apps())
+
+    def search_application_search(self, name: str, params: dict | None = None) -> dict:
+        """POST /_application/search_application/{name}/_search: render the
+        app's stored template with (defaults ⊕ request params), run against
+        the app's indices (one index → plain search; several → the
+        cross-index path)."""
+        import json
+
+        app = self._search_apps()[name]
+        script = app["template"]["script"]
+        merged = {**script.get("params", {}), **(params or {})}
+        body = json.loads(render_template(script["source"], merged))
+        if len(app["indices"]) == 1:
+            return self.search(app["indices"][0], body)
+        return {"hits": self.search_multi(app["indices"], body)}
+
     def render_search_template(self, body: dict) -> dict:
         """POST /_render/template: the rendered body without executing."""
         import json

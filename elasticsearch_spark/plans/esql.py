@@ -438,6 +438,16 @@ def _xlate(expr: str) -> str:
     # VALUES has no order contract in the reference — sorted here so results
     # are deterministic (and oracle-comparable)
     e = _rewrite_call(e, "values", lambda a: f"array_sort(collect_set({a[0]}))")
+    # CATEGORIZE (8.16 grouping function, `Categorize.java`): same
+    # documented-subset category key as the categorize_text agg — the
+    # token sequence with numeric-bearing tokens dropped
+    e = _rewrite_call(
+        e, "categorize",
+        lambda a: (
+            f"array_join(filter(split(lower({a[0]}), '[^\\\\p{{L}}\\\\p{{N}}]+'),"
+            f" t -> t != '' AND NOT (t RLIKE '[0-9]')), ' ')"
+        ),
+    )
     # MV_AVG / MV_SUM over multivalue (array) columns
     e = _rewrite_call(
         e, "mv_avg",

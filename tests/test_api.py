@@ -536,3 +536,28 @@ def test_query_rules(spark, tmp_path):
         "match_criteria": {"user_query": "zzz"},
     }}, "size": 10})
     assert set(r["url"] for r in out2["hits"].collect()) == {"u1", "u2", "u3"}
+
+
+def test_search_application(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.api import Engine
+
+    eng = Engine(spark, root=str(tmp_path))
+    eng.create_index("pages", num_partitions=1)
+    docs = spark.createDataFrame(
+        [("u1", "alpha beta", "en"), ("u2", "gamma", "de")],
+        "url string, text string, lang string",
+    ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+    eng.bulk("pages", docs)
+    eng.put_search_application("app", ["pages"], {"script": {
+        "source": '{"query": {"match": {"text": "{{q}}"}}, "size": {{size}}}',
+        "params": {"q": "alpha", "size": 5},
+    }})
+    assert eng.list_search_applications() == ["app"]
+    out = eng.search_application_search("app")
+    assert [r["url"] for r in out["hits"].collect()] == ["u1"]
+    out2 = eng.search_application_search("app", {"q": "gamma"})
+    assert [r["url"] for r in out2["hits"].collect()] == ["u2"]
+    eng.delete_search_application("app")
+    assert eng.list_search_applications() == []

@@ -498,3 +498,17 @@ FROM logs
 | KEEP verb
 ''', {"logs": df})
     assert out2.collect()[0].verb == "GET_a"
+
+
+def test_categorize_grouping(spark):
+    df = spark.createDataFrame(
+        [("Connected to 10.1.0.1",), ("Connected to 10.1.0.2",),
+         ("Connection error",), ("Connection error",), ("Disconnected",)],
+        "msg string")
+    out = esql(spark, """
+FROM t
+| STATS n = COUNT(*) BY k = CATEGORIZE(msg)
+| SORT n DESC, k ASC
+""", {"t": df})
+    assert [(r.k, r.n) for r in out.collect()] == [
+        ("connected to", 2), ("connection error", 2), ("disconnected", 1)]
