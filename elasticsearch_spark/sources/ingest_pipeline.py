@@ -379,6 +379,27 @@ def _apply_one(df: DataFrame, spec: dict) -> DataFrame:
         # PipelineProcessor: invoke another (named) pipeline inline —
         # composition of processor lists
         return run_pipeline(df, body["processors"])
+    if kind == "inference":
+        # x-pack InferenceProcessor (the semantic_text ingest path): run the
+        # registered model over each input_field → output_field,
+        # Arrow-batched executor-side. A completion-registered model id
+        # produces strings; anything else embeds (registered embedder or
+        # the deterministic hash_embed default).
+        from ..functions.inference import (
+            COMPLETION_MODELS, completion_column, embed_column)
+
+        model_id = body.get("model_id") or body.get("inference_id") or ""
+        pairs = body.get("input_output") or [{
+            "input_field": f, "output_field": tgt or f"{f}__embedding"}]
+        out = df
+        for p in pairs:
+            if model_id in COMPLETION_MODELS:
+                out = completion_column(
+                    out, p["input_field"], model_id, out_col=p["output_field"])
+            else:
+                out = embed_column(
+                    out, p["input_field"], model_id, out_col=p["output_field"])
+        return out
     raise ValueError(f"unsupported processor: {kind}")
 
 

@@ -151,3 +151,28 @@ def test_dot_expander_multi_level_and_no_dot(spark):
     assert out.collect()[0].a.b.c == "x"
     with pytest.raises(ValueError):
         run_pipeline(df, [{"dot_expander": {"field": "id"}}])
+
+
+def test_inference_processor(spark):
+    from elasticsearch_spark.functions.inference import register_completion
+    from elasticsearch_spark.sources.ingest_pipeline import run_pipeline
+
+    df = spark.createDataFrame([("hello world",), ("other text",)], "text string")
+    # default hash embedder → deterministic normalized vector
+    out = run_pipeline(df, [{"inference": {
+        "model_id": "my-embedder",
+        "input_output": [{"input_field": "text", "output_field": "emb"}]}}])
+    rows = out.collect()
+    assert len(rows[0].emb) == 64
+    assert abs(sum(x * x for x in rows[0].emb) - 1.0) < 1e-5
+    # identical text → identical vector (determinism)
+    out2 = run_pipeline(df, [{"inference": {
+        "model_id": "my-embedder",
+        "input_output": [{"input_field": "text", "output_field": "emb"}]}}])
+    assert rows[0].emb == out2.collect()[0].emb
+    # a completion-registered model id produces strings
+    register_completion("shout", lambda prompts: [p.upper() for p in prompts])
+    out3 = run_pipeline(df, [{"inference": {
+        "model_id": "shout",
+        "input_output": [{"input_field": "text", "output_field": "reply"}]}}])
+    assert [r.reply for r in out3.collect()] == ["HELLO WORLD", "OTHER TEXT"]
