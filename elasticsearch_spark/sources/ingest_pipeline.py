@@ -30,16 +30,21 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# NOTE: these are java-regex strings passed VERBATIM through the Column API
+# (F.regexp_extract / regexp_replace take the pattern as data, not as SQL
+# text) — so single backslashes, never doubled
 _GROK_PATTERNS = {
-    "WORD": r"\\w+",
-    "NUMBER": r"(?:[+-]?(?:[0-9]*\\.)?[0-9]+)",
+    "WORD": r"\w+",
+    "NUMBER": r"(?:[+-]?(?:[0-9]*\.)?[0-9]+)",
     "INT": r"[+-]?[0-9]+",
-    "IP": r"(?:[0-9]{1,3}\\.){3}[0-9]{1,3}",
+    "IP": r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}",
     "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)",
-    "TIMESTAMP_ISO8601": r"[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}:[0-9]{2}(?:\\.[0-9]+)?",
+    "TIMESTAMP_ISO8601": r"[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}:[0-9]{2}(?:\.[0-9]+)?",
     "GREEDYDATA": r".*",
-    "NOTSPACE": r"\\S+",
+    "NOTSPACE": r"\S+",
     "DATA": r".*?",
+    "EMAILADDRESS": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
 }
 
 
@@ -379,6 +384,21 @@ def _apply_one(df: DataFrame, spec: dict) -> DataFrame:
         # PipelineProcessor: invoke another (named) pipeline inline —
         # composition of processor lists
         return run_pipeline(df, body["processors"])
+    if kind == "redact":
+        # x-pack RedactProcessor (8.7): every %{PATTERN:name} match in the
+        # field is replaced by <name> (prefix/suffix configurable);
+        # pattern_definitions extend the bank for this processor
+        bank = {**_GROK_PATTERNS, **(body.get("pattern_definitions") or {})}
+        pre, suf = body.get("prefix", "<"), body.get("suffix", ">")
+        col = F.col(f)
+        for pat in body["patterns"]:
+            m = re.fullmatch(r"%\{(\w+)(?::(\w+))?\}", pat.strip())
+            if not m:
+                raise ValueError(
+                    f"redact: each pattern must be a single %{{NAME[:field]}}, got {pat!r}")
+            col = F.regexp_replace(
+                col, bank[m.group(1)], f"{pre}{m.group(2) or m.group(1)}{suf}")
+        return put(tgt, col)
     if kind == "inference":
         # x-pack InferenceProcessor (the semantic_text ingest path): run the
         # registered model over each input_field → output_field,

@@ -176,3 +176,30 @@ def test_inference_processor(spark):
         "model_id": "shout",
         "input_output": [{"input_field": "text", "output_field": "reply"}]}}])
     assert [r.reply for r in out3.collect()] == ["HELLO WORLD", "OTHER TEXT"]
+
+
+def test_grok_backslash_patterns_regression(spark):
+    # WORD/NUMBER/IP/NOTSPACE carried doubled backslashes that reached the
+    # java regex engine verbatim and never matched (Column API patterns are
+    # data, not SQL text)
+    df = spark.createDataFrame([("GET 42 10.1.2.3 tok-en",)], "s string")
+    out = run_pipeline(df, [{"grok": {
+        "field": "s",
+        "patterns": ["%{WORD:verb} %{INT:n} %{IP:addr} %{NOTSPACE:tok}"]}}])
+    r = out.collect()[0]
+    assert (r.verb, r.n, r.addr, r.tok) == ("GET", "42", "10.1.2.3", "tok-en")
+
+
+def test_redact_processor(spark):
+    df = spark.createDataFrame(
+        [("user bob@example.com logged in from 10.1.2.3",)], "msg string")
+    out = run_pipeline(df, [{"redact": {
+        "field": "msg",
+        "patterns": ["%{EMAILADDRESS:email}", "%{IP:client}"]}}])
+    assert out.collect()[0].msg == "user <email> logged in from <client>"
+    # custom prefix/suffix + pattern_definitions
+    out2 = run_pipeline(df, [{"redact": {
+        "field": "msg", "prefix": "[", "suffix": "]",
+        "pattern_definitions": {"USER": r"\buser \w+"},
+        "patterns": ["%{USER:who}"]}}])
+    assert out2.collect()[0].msg == "[who]@example.com logged in from 10.1.2.3"
