@@ -46,7 +46,8 @@ array_sort, MV_AVG/MV_SUM→aggregate(); scalar long tail: LOCATE/REPLACE
 TO_BASE64/FROM_BASE64/BYTE_LENGTH/DATE_PARSE/TAU/TO_DEGREES/TO_RADIANS/
 TO_INTEGER/TO_UNSIGNED_LONG/TO_VERSION, MV_APPEND/MV_ZIP/MV_SLICE
 (0-based±)/MV_PERCENTILE (linear interp)/MV_PSERIES_WEIGHTED_SUM,
-IP_PREFIX (IPv4), RLIKE (anchored — ES|QL full-string semantics),
+IP_PREFIX (IPv4), ST_DISTANCE/ST_X/ST_Y/TO_GEOPOINT (haversine meters
+over struct<lat,lon> points), RLIKE (anchored — ES|QL full-string semantics),
 `expr::type` casts, STATS per-aggregate `WHERE` filters
 (→ FILTER (WHERE …)), BUCKET (calendar/fixed date spans, numeric widths,
 auto-width n/from/to via the reference's rounding ladders), and the
@@ -357,6 +358,41 @@ def _xlate(expr: str) -> str:
         )
 
     e = _rewrite_call(e, "ip_prefix", ipprefix_fn)
+
+    # spatial scalar functions (x-pack/plugin/esql `scalar/spatial`): points
+    # are struct<lat,lon> — the geo_point representation across the engine;
+    # ST_DISTANCE = haversine meters (mean radius 6371008.8, matching the
+    # DSL geo_distance path)
+    def stdist_fn(a: list[str]) -> str:
+        p, q = f"({a[0]})", f"({a[1]})"
+        return (
+            f"(2 * 6371008.8 * asin(sqrt("
+            f"pow(sin((radians({q}.lat) - radians({p}.lat)) / 2), 2)"
+            f" + cos(radians({p}.lat)) * cos(radians({q}.lat))"
+            f" * pow(sin((radians({q}.lon) - radians({p}.lon)) / 2), 2))))"
+        )
+
+    e = _rewrite_call(e, "st_distance", stdist_fn)
+    e = _rewrite_call(e, "st_x", lambda a: f"({a[0]}).lon")
+    e = _rewrite_call(e, "st_y", lambda a: f"({a[0]}).lat")
+
+    def geopoint_fn(a: list[str]) -> str:
+        c = lit_content(a[0])
+        if c is not None:
+            m2 = re.fullmatch(
+                r"POINT\s*\(\s*(-?[0-9.eE+]+)\s+(-?[0-9.eE+]+)\s*\)",
+                c.strip(), flags=re.I)
+            if not m2:
+                raise ValueError(f"TO_GEOPOINT: bad WKT literal {c!r}")
+            return (f"named_struct('lat', {float(m2.group(2))}D,"
+                    f" 'lon', {float(m2.group(1))}D)")
+        return (
+            f"named_struct("
+            f"'lat', cast(regexp_extract({a[0]}, '(-?[0-9.eE+]+)\\\\s*\\\\)', 1) as double),"
+            f" 'lon', cast(regexp_extract({a[0]}, 'POINT\\\\s*\\\\(\\\\s*(-?[0-9.eE+]+)', 1) as double))"
+        )
+
+    e = _rewrite_call(e, "to_geopoint", geopoint_fn)
 
     # BUCKET (x-pack/plugin/esql `Bucket` grouping function):
     #   BUCKET(f, 1 hour)            calendar/fixed date span

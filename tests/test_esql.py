@@ -512,3 +512,19 @@ FROM t
 """, {"t": df})
     assert [(r.k, r.n) for r in out.collect()] == [
         ("connected to", 2), ("connection error", 2), ("disconnected", 1)]
+
+
+def test_esql_spatial_functions(spark):
+    df = spark.createDataFrame([("POINT(2.3522 48.8566)",)], "wkt string")
+    out = esql(spark, '''
+FROM t
+| EVAL p = TO_GEOPOINT("POINT(2.3522 48.8566)"),
+       pc = TO_GEOPOINT(wkt),
+       q = TO_GEOPOINT("POINT(-0.1278 51.5074)"),
+       d_km = ROUND(ST_DISTANCE(p, q) / 1000, 0),
+       x = ST_X(p), y = ST_Y(p), xc = ST_X(pc)
+| KEEP d_km, x, y, xc
+''', {"t": df})
+    r = out.collect()[0]
+    assert r.x == 2.3522 and r.y == 48.8566 and r.xc == 2.3522
+    assert 330 <= r.d_km <= 350   # Paris-London ~344 km great-circle
