@@ -184,6 +184,24 @@ def _xlate(expr: str) -> str:
         return m.group(0)
 
     e = re.sub(r"\bRLIKE\s+\x00(\d+)\x00", rlike_sub, e, flags=re.I)
+    # LIKE / RLIKE with a PATTERN LIST (9.x `field LIKE ("a*", "b?")`):
+    # OR-expansion; RLIKE patterns anchor like the single form
+    def _pat_list_sub(m: re.Match) -> str:
+        fld, neg, op = m.group(1), m.group(2) or "", m.group(3).upper()
+        parts = []
+        for i in re.findall(r"\x00(\d+)\x00", m.group(4)):
+            body = lits[int(i)][1:-1]
+            if op == "LIKE":
+                pat = body.replace("%", r"\%").replace("_", r"\_")
+                pat = pat.replace("*", "%").replace("?", "_")
+                parts.append(f"{fld} LIKE '" + pat.replace("'", "''") + "'")
+            else:
+                parts.append(f"{fld} RLIKE '^(?:" + body.replace("'", "''") + ")$'")
+        return ("NOT " if neg else "") + "(" + " OR ".join(parts) + ")"
+
+    e = re.sub(
+        r"(\S+)\s+(NOT\s+)?(LIKE|RLIKE)\s+\((\s*\x00\d+\x00(?:\s*,\s*\x00\d+\x00)*)\s*\)",
+        _pat_list_sub, e, flags=re.I)
     # `expr::type` cast operator (EsqlBaseParser `castOperatorExpression`)
     def cast_sub(m: re.Match) -> str:
         t = m.group(2).lower()

@@ -528,3 +528,12 @@ FROM t
     r = out.collect()[0]
     assert r.x == 2.3522 and r.y == 48.8566 and r.xc == 2.3522
     assert 330 <= r.d_km <= 350   # Paris-London ~344 km great-circle
+
+
+def test_like_rlike_pattern_lists():
+    assert _xlate('name LIKE ("a*", "b?")') == "(name LIKE 'a%' OR name LIKE 'b_')"
+    assert _xlate('name NOT LIKE ("a*","c")') == "NOT (name LIKE 'a%' OR name LIKE 'c')"
+    assert _xlate('name RLIKE ("ab.", "cd+")') == \
+        "(name RLIKE '^(?:ab.)$' OR name RLIKE '^(?:cd+)$')"
+    # single-pattern forms unchanged
+    assert _xlate('name LIKE "f*o?"') == "name LIKE 'f%o_'"
