@@ -235,13 +235,30 @@ def _xlate(expr: str) -> str:
         if not im:
             return f"date_trunc({', '.join(args)})"
         qty, unit = int(im.group(1)), im.group(2).lower().rstrip("s")
-        if qty != 1:
+        if qty == 1:
+            return f"date_trunc('{unit}', {args[1]})"
+        # multi-unit fixed spans (3 hours, 15 minutes, …): epoch-aligned
+        # floor, like the reference's Rounding.timeUnitRounding intervals
+        secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+                "week": 604800}
+        if unit not in secs:
             raise ValueError(
-                f"DATE_TRUNC({args[0]}, …): only 1-unit intervals are supported"
-            )
-        return f"date_trunc('{unit}', {args[1]})"
+                f"DATE_TRUNC({args[0]}, …): multi-unit calendar spans "
+                f"({unit}) are not a fixed length")
+        span = qty * secs[unit]
+        return (f"timestamp_seconds(cast(floor(unix_timestamp({args[1]})"
+                f" / {span}) * {span} as bigint))")
 
     e = _rewrite_call(e, "date_trunc", dt_fn)
+    # ROUND_TO(f, p1, p2, …) (8.17): round DOWN to the nearest of the fixed
+    # points; values below the smallest point clamp to it
+    def round_to_fn(a: list[str]) -> str:
+        pts = sorted((float(x) for x in a[1:]), reverse=True)
+        f = f"({a[0]})"
+        whens = " ".join(f"WHEN {f} >= {p} THEN {p}" for p in pts[:-1])
+        return f"(CASE {whens} ELSE {pts[-1]} END)"
+
+    e = _rewrite_call(e, "round_to", round_to_fn)
     # TO_LONG/TO_INT/TO_DOUBLE/TO_STRING(c) → cast(c as ...)
     for fn, t in (("to_long", "bigint"), ("to_int", "int"), ("to_double", "double"),
                   ("to_string", "string"), ("to_boolean", "boolean"),

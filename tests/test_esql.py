@@ -161,7 +161,7 @@ def test_xlate_literal_protection_and_plural_units():
     assert _xlate("DATE_TRUNC(1 hours, ts)") == "date_trunc('hour', ts)"
     import pytest as _pt
     with _pt.raises(ValueError):
-        _xlate("DATE_TRUNC(3 hours, ts)")
+        _xlate("DATE_TRUNC(3 months, ts)")  # multi-unit CALENDAR spans only
 
 
 def test_engine_esql_enrich(spark, tmp_path):
@@ -537,3 +537,13 @@ def test_like_rlike_pattern_lists():
         "(name RLIKE '^(?:ab.)$' OR name RLIKE '^(?:cd+)$')"
     # single-pattern forms unchanged
     assert _xlate('name LIKE "f*o?"') == "name LIKE 'f%o_'"
+
+
+def test_date_trunc_multi_unit_and_round_to():
+    assert "unix_timestamp(ts) / 10800" in _xlate("DATE_TRUNC(3 hours, ts)")
+    assert _xlate("DATE_TRUNC(1 day, ts)") == "date_trunc('day', ts)"
+    assert _xlate("ROUND_TO(v, 0, 50, 100)") == \
+        "(CASE WHEN (v) >= 100.0 THEN 100.0 WHEN (v) >= 50.0 THEN 50.0 ELSE 0.0 END)"
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        _xlate("DATE_TRUNC(3 months, ts)")
