@@ -51,10 +51,31 @@ _UNIT_S = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}
 
 
 def _cond_to_sql(cond: str) -> str:
-    """EQL condition → Spark SQL boolean expression."""
-    out = re.sub(r"==", "=", cond)
-    out = re.sub(r'"([^"]*)"', r"'\1'", out)
-    return out
+    """EQL condition → Spark SQL boolean expression, through the shared
+    ES|QL dialect bridge (literal protection, ==, LIKE */? wildcard
+    translation incl. pattern lists, anchored regex, cidr integer ranges).
+    EQL-specific spellings normalize first: ``cidrMatch`` → cidr_match,
+    ``wildcard(f, p…)`` → LIKE pattern list, ``stringContains``/
+    ``indexOf`` (0-based, null when absent), case-insensitive ``like~`` /
+    ``regex~`` (both sides lowered), ``regex`` → anchored RLIKE."""
+    from .esql import _rewrite_call, _xlate
+
+    out = re.sub(r"\bcidrMatch\s*\(", "cidr_match(", cond)
+    out = _rewrite_call(
+        out, "wildcard", lambda a: f"{a[0]} LIKE (" + ", ".join(a[1:]) + ")")
+    out = _rewrite_call(
+        out, "stringContains", lambda a: f"contains({a[0]}, {a[1]})")
+    # `position` (not `locate`) so the ES|QL LOCATE arg-swap can't re-swap
+    out = _rewrite_call(
+        out, "indexOf", lambda a: f"nullif(position({a[1]}, {a[0]}) - 1, -1)")
+    out = re.sub(
+        r'(\S+)\s+like~\s+"([^"]*)"',
+        lambda m: f'lower({m.group(1)}) LIKE "{m.group(2).lower()}"', out)
+    out = re.sub(
+        r'(\S+)\s+regex~\s+"([^"]*)"',
+        lambda m: f'lower({m.group(1)}) RLIKE "{m.group(2).lower()}"', out)
+    out = re.sub(r"(\S+)\s+regex\s+", r"\1 RLIKE ", out)
+    return _xlate(out)
 
 
 def _split_pipes(q: str) -> tuple[str, list[tuple[str, str]]]:

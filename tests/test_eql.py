@@ -225,3 +225,27 @@ def test_sequence_missing_leading(events, spark):
 def test_sequence_missing_requires_maxspan(events):
     with pytest.raises(ValueError, match="missing events require maxspan"):
         eql_search(events, "sequence by user_id [access where true] ![exfil where true]")
+
+
+def test_eql_condition_dialect_bridge(spark):
+    from elasticsearch_spark.plans.eql import _cond_to_sql, eql_search
+
+    assert _cond_to_sql('p == "x"') == "p = 'x'"
+    assert _cond_to_sql('name like "ad*"') == "name like 'ad%'"
+    assert "LIKE 'ad%'" in _cond_to_sql('wildcard(name, "ad*", "ba?")')
+    assert _cond_to_sql('name like~ "AD*"') == "lower(name) LIKE 'ad%'"
+    assert _cond_to_sql('name regex "ab."') == "name RLIKE '^(?:ab.)$'"
+    assert "BETWEEN" in _cond_to_sql('cidrMatch(ip, "10.0.0.0/8")')
+    import datetime
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(base, "proc", "admin.exe", "10.1.2.3", 1),
+         (base, "proc", "Adduser.EXE", "192.168.0.9", 2),
+         (base, "proc", "bash", "10.9.9.9", 3)],
+        "ts timestamp, event_type string, name string, ip string, event_id long")
+    out = eql_search(df, 'proc where name like~ "AD*" and cidrMatch(ip, "10.0.0.0/8")')
+    assert [r.event_id for r in out.collect()] == [1]
+    out2 = eql_search(df, 'proc where wildcard(name, "b*", "z*")')
+    assert [r.event_id for r in out2.collect()] == [3]
+    out3 = eql_search(df, 'proc where indexOf(name, "mi") == 2')
+    assert [r.event_id for r in out3.collect()] == [1]
