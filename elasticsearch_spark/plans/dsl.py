@@ -1500,6 +1500,8 @@ def parse_query_string(
 
     def take():
         nonlocal pos
+        if pos >= len(toks):
+            raise ValueError("unexpected end of query string")
         t = toks[pos]
         pos += 1
         return t
@@ -1679,6 +1681,8 @@ def parse_simple_query_string(
 
     def take():
         nonlocal pos
+        if pos >= len(toks):
+            raise ValueError("unexpected end of query string")
         t = toks[pos]
         pos += 1
         return t
@@ -1735,6 +1739,9 @@ def parse_simple_query_string(
             return inner
         if t.startswith('"'):
             m = _re.fullmatch(r'"([^"]*)"(?:~(\d+))?', t)
+            if m is None:
+                # unterminated quote: SQS is lenient — treat as literal text
+                return MatchQ(default_field, query=t.strip('"'))
             return MatchPhraseQ(default_field, query=m.group(1),
                                 slop=int(m.group(2) or 0))
         fm = _re.search(r"~(\d*)$", t)

@@ -587,3 +587,22 @@ def test_query_string_occur_folding_review_fixes(spark, corpus):
     out = run(spark, corpus, {"query_string": {
         "query": "fox -lang:fr the", "default_operator": "and"}})
     assert {r["doc_id"] for r in out.collect()} == {1}
+
+
+def test_query_string_parser_fuzz_no_crashes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from elasticsearch_spark.plans.dsl import (
+        parse_query_string, parse_simple_query_string)
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.text(alphabet=' ()[]"~^+-/:*?abON|.\\', max_size=30))
+    def f(s):
+        for fn in (parse_query_string, parse_simple_query_string):
+            try:
+                fn(s)
+            except (ValueError, AssertionError):
+                pass  # parse errors are the contract; crashes are not
+
+    f()
