@@ -956,8 +956,10 @@ class Engine:
 
         all_rs = self._query_rulesets()
         all_rs.pop(ruleset_id, None)
-        with open(self._query_rulesets_path(), "w") as f:
+        tmp = self._query_rulesets_path() + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(all_rs, f)
+        os.replace(tmp, self._query_rulesets_path())
         return {"acknowledged": True}
 
     def list_query_rulesets(self) -> list[str]:
@@ -1575,8 +1577,10 @@ class Engine:
 
         apps = self._search_apps()
         apps.pop(name, None)
-        with open(self._search_apps_path(), "w") as f:
+        tmp = self._search_apps_path() + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(apps, f)
+        os.replace(tmp, self._search_apps_path())
         return {"acknowledged": True}
 
     def list_search_applications(self) -> list[str]:

@@ -58,9 +58,18 @@ def _cond_to_sql(cond: str) -> str:
     ``wildcard(f, p…)`` → LIKE pattern list, ``stringContains``/
     ``indexOf`` (0-based, null when absent), case-insensitive ``like~`` /
     ``regex~`` (both sides lowered), ``regex`` → anchored RLIKE."""
-    from .esql import _rewrite_call, _xlate
+    from .esql import _LIT_RE, _rewrite_call, _xlate
 
-    out = re.sub(r"\bcidrMatch\s*\(", "cidr_match(", cond)
+    # stash literals FIRST (same invariant as _xlate) so none of the
+    # EQL-specific spellings below can rewrite string-literal content
+    lits: list[str] = []
+
+    def stash(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    out = _LIT_RE.sub(stash, cond)
+    out = re.sub(r"\bcidrMatch\s*\(", "cidr_match(", out)
     out = _rewrite_call(
         out, "wildcard", lambda a: f"{a[0]} LIKE (" + ", ".join(a[1:]) + ")")
     out = _rewrite_call(
@@ -68,13 +77,26 @@ def _cond_to_sql(cond: str) -> str:
     # `position` (not `locate`) so the ES|QL LOCATE arg-swap can't re-swap
     out = _rewrite_call(
         out, "indexOf", lambda a: f"nullif(position({a[1]}, {a[0]}) - 1, -1)")
-    out = re.sub(
-        r'(\S+)\s+like~\s+"([^"]*)"',
-        lambda m: f'lower({m.group(1)}) LIKE "{m.group(2).lower()}"', out)
-    out = re.sub(
-        r'(\S+)\s+regex~\s+"([^"]*)"',
-        lambda m: f'lower({m.group(1)}) RLIKE "{m.group(2).lower()}"', out)
+    # EQL match(f, r1, r2, …) is ANCHORED-regex alternation (EQL spec) —
+    # rewritten here so ES|QL's fulltext MATCH rewrite never sees it
+    out = _rewrite_call(
+        out, "match",
+        lambda a: "(" + " OR ".join(f"{a[0]} RLIKE {p}" for p in a[1:]) + ")")
+
+    # case-insensitive like~ / regex~: lower both sides (the literal
+    # mutates in the stash; translation/anchoring happen later in _xlate)
+    def ci_sub(m: re.Match) -> str:
+        idx = int(m.group(3))
+        q = lits[idx][0]
+        lits[idx] = q + lits[idx][1:-1].lower() + q
+        op = "LIKE" if m.group(2).lower().startswith("like") else "RLIKE"
+        return f"lower({m.group(1)}) {op} \x00{idx}\x00"
+
+    out = re.sub(r"(\S+)\s+(like~|regex~)\s+\x00(\d+)\x00", ci_sub, out)
     out = re.sub(r"(\S+)\s+regex\s+", r"\1 RLIKE ", out)
+    # restore the (possibly lowered) literals and hand off to the shared
+    # dialect bridge, which re-stashes and finishes the translation
+    out = re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], out)
     return _xlate(out)
 
 

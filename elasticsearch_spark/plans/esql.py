@@ -183,25 +183,21 @@ def _xlate(expr: str) -> str:
         lits[idx] = '"^(?:' + lits[idx][1:-1] + ')$"'
         return m.group(0)
 
-    e = re.sub(r"\bRLIKE\s+\x00(\d+)\x00", rlike_sub, e, flags=re.I)
     # LIKE / RLIKE with a PATTERN LIST (9.x `field LIKE ("a*", "b?")`):
-    # OR-expansion; RLIKE patterns anchor like the single form
+    # expand to an OR of single-pattern ops FIRST — the literals stay
+    # stashed, so the single-op rewrites below translate wildcards /
+    # anchor regexes exactly once, preserving the stash-until-unstash
+    # invariant (no inlined quoted text for later rewrites to corrupt)
     def _pat_list_sub(m: re.Match) -> str:
         fld, neg, op = m.group(1), m.group(2) or "", m.group(3).upper()
-        parts = []
-        for i in re.findall(r"\x00(\d+)\x00", m.group(4)):
-            body = lits[int(i)][1:-1]
-            if op == "LIKE":
-                pat = body.replace("%", r"\%").replace("_", r"\_")
-                pat = pat.replace("*", "%").replace("?", "_")
-                parts.append(f"{fld} LIKE '" + pat.replace("'", "''") + "'")
-            else:
-                parts.append(f"{fld} RLIKE '^(?:" + body.replace("'", "''") + ")$'")
-        return ("NOT " if neg else "") + "(" + " OR ".join(parts) + ")"
+        toks = re.findall(r"\x00\d+\x00", m.group(4))
+        inner = " OR ".join(f"{fld} {op} {t}" for t in toks)
+        return ("NOT " if neg else "") + "(" + inner + ")"
 
     e = re.sub(
         r"(\S+)\s+(NOT\s+)?(LIKE|RLIKE)\s+\((\s*\x00\d+\x00(?:\s*,\s*\x00\d+\x00)*)\s*\)",
         _pat_list_sub, e, flags=re.I)
+    e = re.sub(r"\bRLIKE\s+\x00(\d+)\x00", rlike_sub, e, flags=re.I)
     # `expr::type` cast operator (EsqlBaseParser `castOperatorExpression`)
     def cast_sub(m: re.Match) -> str:
         t = m.group(2).lower()
@@ -239,8 +235,7 @@ def _xlate(expr: str) -> str:
             return f"date_trunc('{unit}', {args[1]})"
         # multi-unit fixed spans (3 hours, 15 minutes, …): epoch-aligned
         # floor, like the reference's Rounding.timeUnitRounding intervals
-        secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
-                "week": 604800}
+        secs = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
         if unit not in secs:
             raise ValueError(
                 f"DATE_TRUNC({args[0]}, …): multi-unit calendar spans "
@@ -255,7 +250,9 @@ def _xlate(expr: str) -> str:
     def round_to_fn(a: list[str]) -> str:
         pts = sorted((float(x) for x in a[1:]), reverse=True)
         f = f"({a[0]})"
-        whens = " ".join(f"WHEN {f} >= {p} THEN {p}" for p in pts[:-1])
+        whens = " ".join(
+            [f"WHEN {f} IS NULL THEN CAST(NULL AS DOUBLE)"]
+            + [f"WHEN {f} >= {p} THEN {p}" for p in pts[:-1]])
         return f"(CASE {whens} ELSE {pts[-1]} END)"
 
     e = _rewrite_call(e, "round_to", round_to_fn)
@@ -447,6 +444,9 @@ def _xlate(expr: str) -> str:
             return f"date_trunc('{unit}', {f})"
         if unit not in _CAL_SECS:
             raise ValueError(f"BUCKET: unknown unit {unit!r}")
+        if unit == "week" and qty != 1:
+            raise ValueError("BUCKET: multi-week spans are calendar-aligned "
+                             "in the reference — not a fixed length")
         if qty == 1:
             return f"date_trunc('{unit}', {f})"
         span = qty * _CAL_SECS[unit]

@@ -39,11 +39,19 @@ def criterion_matches(crit: dict, match_criteria: dict) -> bool:
     val = match_criteria[meta]
     vals = crit.get("values", [])
     if ctype in ("lt", "lte", "gt", "gte"):
+        # the reference matches if ANY listed value satisfies the comparison
         try:
-            x, y = float(val), float(vals[0])
-        except (TypeError, ValueError, IndexError):
+            x = float(val)
+        except (TypeError, ValueError):
             return False
-        return {"lt": x < y, "lte": x <= y, "gt": x > y, "gte": x >= y}[ctype]
+        for v in vals:
+            try:
+                y = float(v)
+            except (TypeError, ValueError):
+                continue
+            if {"lt": x < y, "lte": x <= y, "gt": x > y, "gte": x >= y}[ctype]:
+                return True
+        return False
     sval = str(val)
     svals = [str(v) for v in vals]
     if ctype == "exact":

@@ -396,8 +396,11 @@ def _apply_one(df: DataFrame, spec: dict) -> DataFrame:
             if not m:
                 raise ValueError(
                     f"redact: each pattern must be a single %{{NAME[:field]}}, got {pat!r}")
-            col = F.regexp_replace(
-                col, bank[m.group(1)], f"{pre}{m.group(2) or m.group(1)}{suf}")
+            # Matcher.quoteReplacement: $ and \ are special in java
+            # replacement strings — user prefix/suffix stay literal
+            repl = f"{pre}{m.group(2) or m.group(1)}{suf}"
+            repl = repl.replace("\\", "\\\\").replace("$", "\\$")
+            col = F.regexp_replace(col, bank[m.group(1)], repl)
         return put(tgt, col)
     if kind == "inference":
         # x-pack InferenceProcessor (the semantic_text ingest path): run the

@@ -249,3 +249,20 @@ def test_eql_condition_dialect_bridge(spark):
     assert [r.event_id for r in out2.collect()] == [3]
     out3 = eql_search(df, 'proc where indexOf(name, "mi") == 2')
     assert [r.event_id for r in out3.collect()] == [1]
+
+
+def test_eql_bridge_literal_safety_and_match(spark):
+    from elasticsearch_spark.plans.eql import _cond_to_sql, eql_search
+
+    # literal content is protected from operator/function rewrites
+    assert _cond_to_sql('cmd == "run regex test"') == "cmd = 'run regex test'"
+    assert _cond_to_sql('cmd == "wildcard(a, b)"') == "cmd = 'wildcard(a, b)'"
+    # EQL match() is ANCHORED regex alternation, not fulltext
+    assert _cond_to_sql('match(name, "ad.*")') == "(name RLIKE '^(?:ad.*)$')"
+    import datetime
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1), "proc", "admin.exe", 1),
+         (datetime.datetime(2024, 1, 1), "proc", "bash", 2)],
+        "ts timestamp, event_type string, name string, event_id long")
+    out = eql_search(df, 'proc where match(name, "ad.*")')
+    assert [r.event_id for r in out.collect()] == [1]

@@ -542,8 +542,22 @@ def test_like_rlike_pattern_lists():
 def test_date_trunc_multi_unit_and_round_to():
     assert "unix_timestamp(ts) / 10800" in _xlate("DATE_TRUNC(3 hours, ts)")
     assert _xlate("DATE_TRUNC(1 day, ts)") == "date_trunc('day', ts)"
-    assert _xlate("ROUND_TO(v, 0, 50, 100)") == \
-        "(CASE WHEN (v) >= 100.0 THEN 100.0 WHEN (v) >= 50.0 THEN 50.0 ELSE 0.0 END)"
+    assert _xlate("ROUND_TO(v, 0, 50, 100)") == (
+        "(CASE WHEN (v) IS NULL THEN CAST(NULL AS DOUBLE)"
+        " WHEN (v) >= 100.0 THEN 100.0 WHEN (v) >= 50.0 THEN 50.0 ELSE 0.0 END)")
     import pytest as _pt
     with _pt.raises(ValueError):
         _xlate("DATE_TRUNC(3 months, ts)")
+
+
+def test_round_to_and_pattern_list_review_fixes():
+    assert _xlate("ROUND_TO(v, 5)") == \
+        "(CASE WHEN (v) IS NULL THEN CAST(NULL AS DOUBLE) ELSE 5.0 END)"
+    assert "IS NULL THEN CAST(NULL AS DOUBLE)" in _xlate("ROUND_TO(v, 0, 50)")
+    # pattern content containing a bridged function name stays data
+    assert _xlate('name RLIKE ("left(x)")') == "(name RLIKE '^(?:left(x))$')"
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        _xlate("DATE_TRUNC(2 weeks, ts)")
+    with _pt.raises(ValueError):
+        _xlate("BUCKET(ts, 2 weeks)")

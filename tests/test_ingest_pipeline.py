@@ -203,3 +203,11 @@ def test_redact_processor(spark):
         "pattern_definitions": {"USER": r"\buser \w+"},
         "patterns": ["%{USER:who}"]}}])
     assert out2.collect()[0].msg == "[who]@example.com logged in from 10.1.2.3"
+
+
+def test_redact_dollar_prefix(spark):
+    df = spark.createDataFrame([("from 10.1.2.3",)], "msg string")
+    out = run_pipeline(df, [{"redact": {
+        "field": "msg", "prefix": "$", "suffix": "$",
+        "patterns": ["%{IP:ip}"]}}])
+    assert out.collect()[0].msg == "from $ip$"
