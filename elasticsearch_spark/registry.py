@@ -1952,6 +1952,21 @@ TS events
     return out.select("d", F.round("r", 4).alias("r"), F.round("a", 6).alias("a"))
 
 
+def q_esql_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL BUCKET grouping + WEIGHTED_AVG aggregate (x-pack/plugin/esql
+    `Bucket.java` / `WeightedAvg.java`): calendar-day buckets over the
+    events stream."""
+    from .plans.esql import esql
+
+    out = esql(spark, """
+FROM events
+| STATS n = COUNT(*), w = ROUND(WEIGHTED_AVG(value, value), 6)
+        BY d = BUCKET(ts, 1 day)
+| SORT d ASC
+""", {"events": _events(spark, sf_dir)})
+    return out.select("d", "n", "w")
+
+
 def a_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multi_terms (MultiTermsAggregationBuilder.java): buckets keyed by the
     (lang, source) tuple, count-desc, with an avg sub-metric."""
@@ -5197,6 +5212,11 @@ WITH e AS (
 SELECT d, round(sum(rate), 4) AS r, round(avg(rate), 6) AS a
 FROM rates GROUP BY d ORDER BY d
 """,
+    "esql_bucket_stats": """
+SELECT date_trunc('day', ts) AS d, count(*)::BIGINT AS n,
+       round(sum(value * value) / sum(value), 6) AS w
+FROM events GROUP BY 1 ORDER BY d
+""",
     "eql_sequence": """
 WITH s1 AS (SELECT user_id, ts AS t1 FROM events WHERE event_type = 'view'),
 ch AS (
@@ -5909,6 +5929,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "esql_dialect_fns": q_esql_dialect_fns,
     "esql_scalar_fns": q_esql_scalar_fns,
     "esql_ts_rate": q_esql_ts_rate,
+    "esql_bucket_stats": q_esql_bucket_stats,
     "es_sql_match": q_es_sql,
     "agg_rollup_search": a_rollup_search,
     "graph_explore": q_graph_explore,
