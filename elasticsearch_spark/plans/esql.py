@@ -572,7 +572,19 @@ def _xlate(expr: str) -> str:
             f" / (2 - size({c}) % 2))"
         )
 
+    # MV_MEDIAN_ABSOLUTE_DEVIATION(arr) = mv_median(|x − mv_median(arr)|)
+    # — inlined composition of the median expression (before mv_median so
+    # the longer name is never partially rewritten)
+    def mvmad_fn(a: list[str]) -> str:
+        med = mvmed_fn([a[0]])
+        dev = f"transform({a[0]}, x -> abs(double(x) - {med}))"
+        return mvmed_fn([dev])
+
+    e = _rewrite_call(e, "mv_median_absolute_deviation", mvmad_fn)
     e = _rewrite_call(e, "mv_median", mvmed_fn)
+    # STD_DEV is POPULATION stddev in the reference (StdDev.java Welford);
+    # Spark's bare stddev is the sample estimator
+    e = re.sub(r"\bstd_dev\s*\(", "stddev_pop(", e, flags=re.I)
     e = _rewrite_call(e, "mv_first", lambda a: f"element_at({a[0]}, 1)")
     e = _rewrite_call(e, "mv_last", lambda a: f"element_at({a[0]}, -1)")
     for fn, repl in _FN_SIMPLE.items():

@@ -561,3 +561,19 @@ def test_round_to_and_pattern_list_review_fixes():
         _xlate("DATE_TRUNC(2 weeks, ts)")
     with _pt.raises(ValueError):
         _xlate("BUCKET(ts, 2 weeks)")
+
+
+def test_std_dev_and_mv_mad(spark):
+    assert _xlate("STD_DEV(v)") == "stddev_pop(v)"
+    df = spark.createDataFrame(
+        [(1, 2.0, [1.0, 2.0, 3.0, 10.0]), (2, 4.0, [5.0])],
+        "id long, v double, xs array<double>")
+    out = esql(spark, """
+FROM t
+| EVAL mad = MV_MEDIAN_ABSOLUTE_DEVIATION(xs)
+| STATS sd = ROUND(STD_DEV(v), 6), mads = MV_SORT(VALUES(mad))
+""", {"t": df})
+    r = out.collect()[0]
+    assert r.sd == 1.0  # population stddev of [2, 4]
+    # xs=[1,2,3,10]: median 2.5, |x-2.5| = [1.5, .5, .5, 7.5] -> median 1.0
+    assert sorted(r.mads) == [0.0, 1.0]
