@@ -581,6 +581,12 @@ def _xlate(expr: str) -> str:
         return mvmed_fn([dev])
 
     e = _rewrite_call(e, "mv_median_absolute_deviation", mvmad_fn)
+    # aggregate MEDIAN_ABSOLUTE_DEVIATION(x): exact via the group's value
+    # list (the reference sketches with TDigest; this is the exact analog —
+    # O(group size) memory, like the exact-mode percentiles path)
+    e = _rewrite_call(
+        e, "median_absolute_deviation",
+        lambda a: mvmad_fn([f"collect_list({a[0]})"]))
     e = _rewrite_call(e, "mv_median", mvmed_fn)
     # STD_DEV is POPULATION stddev in the reference (StdDev.java Welford);
     # Spark's bare stddev is the sample estimator

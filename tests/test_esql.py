@@ -577,3 +577,14 @@ FROM t
     assert r.sd == 1.0  # population stddev of [2, 4]
     # xs=[1,2,3,10]: median 2.5, |x-2.5| = [1.5, .5, .5, 7.5] -> median 1.0
     assert sorted(r.mads) == [0.0, 1.0]
+
+
+def test_median_absolute_deviation_aggregate(spark):
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 4.0), ("a", 6.0), ("b", 1.0)], "g string, v double")
+    out = esql(spark, """
+FROM t
+| STATS m = MEDIAN_ABSOLUTE_DEVIATION(v) BY g
+| SORT g ASC
+""", {"t": df})
+    assert [(r.g, r.m) for r in out.collect()] == [("a", 2.0), ("b", 0.0)]
