@@ -51,7 +51,8 @@ over struct<lat,lon> points), RLIKE (anchored — ES|QL full-string semantics),
 `expr::type` casts, STATS per-aggregate `WHERE` filters
 (→ FILTER (WHERE …)), BUCKET (calendar/fixed date spans, numeric widths,
 auto-width n/from/to via the reference's rounding ladders), and the
-TOP/VALUES/WEIGHTED_AVG aggregates; everything else passes
+TOP/VALUES/WEIGHTED_AVG/STD_DEV (population)/MEDIAN_ABSOLUTE_DEVIATION
+aggregates, WHERE QSTR()/KQL() fulltext predicates; everything else passes
 through to Spark SQL verbatim (the dialects agree on the arithmetic,
 comparison, string, and date core).
 """
@@ -790,7 +791,27 @@ def esql(
             continue
         assert df is not None
         if cmd == "WHERE":
-            df = df.where(F.expr(_xlate(rest)))
+            # WHERE QSTR("…") / KQL("…") (x-pack esql fulltext functions):
+            # the Lucene query-string / Kibana dialects over the frame's
+            # default text field, through the DSL mini-parser (KQL's
+            # field:value / AND/OR/NOT / wildcard core is the shared
+            # subset). Supported as the whole WHERE predicate.
+            qm = re.fullmatch(
+                r'(?is)\s*(qstr|kql)\s*\(\s*"((?:[^"\\]|\\.)*)"\s*\)\s*', rest)
+            if qm:
+                from . import dsl
+
+                node = dsl.parse_query_string(qm.group(2))
+                # filter semantics via the scored frame + semi-join (every
+                # node kind has a frame; predicate-only evaluation would
+                # exclude the scoring clauses). The FIRST column is the row
+                # key — unique by the FROM contract (url/_id-like).
+                key = df.columns[0]
+                ctx = dsl.SearchContext(df, key=key)
+                hits = node.frame(ctx).select(F.col("__key").alias(key))
+                df = df.join(hits.distinct(), key, "left_semi")
+            else:
+                df = df.where(F.expr(_xlate(rest)))
         elif cmd == "EVAL":
             for item in _split_top(rest, ","):
                 lhs, _, rhs = item.partition("=")

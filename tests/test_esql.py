@@ -588,3 +588,15 @@ FROM t
 | SORT g ASC
 """, {"t": df})
     assert [(r.g, r.m) for r in out.collect()] == [("a", 2.0), ("b", 0.0)]
+
+
+def test_qstr_kql_where(spark):
+    df = spark.createDataFrame(
+        [(1, "spark engine fast", "en"), (2, "slow cooker", "de"),
+         (3, "spark plugs", "en")],
+        "id long, text string, lang string")
+    out = esql(spark, 'FROM t | WHERE QSTR("spark AND lang:en") | KEEP id | SORT id ASC',
+               {"t": df})
+    assert [r.id for r in out.collect()] == [1, 3]
+    out2 = esql(spark, 'FROM t | WHERE KQL("slow* OR lang:de") | KEEP id', {"t": df})
+    assert [r.id for r in out2.collect()] == [2]
