@@ -1378,7 +1378,8 @@ class Engine:
             build_bigram_lm(self.spark, d)
         return phrase_suggest(self.spark, d, text, **kw)
 
-    def esql(self, query: str, dims: list[str] | None = None) -> DataFrame:
+    def esql(self, query: str, dims: list[str] | None = None,
+             params=None) -> DataFrame:
         """POST /_query (x-pack ES|QL): the piped query language over the
         live docs view (plans/esql.py). FROM/TS resolve aliases; multi-index
         targets union with an ``_index`` tag. ``dims`` names the
@@ -1407,7 +1408,7 @@ class Engine:
                 for p in parts[1:]:
                     v = v.unionByName(p)
                 tables[name] = v
-        return esql_run(self.spark, query, tables, dims=dims)
+        return esql_run(self.spark, query, tables, dims=dims, params=params)
 
     def sql(self, query: str) -> DataFrame:
         """POST /_sql (x-pack SQL): standard SQL over the live docs view,

@@ -604,6 +604,37 @@ def _xlate(expr: str) -> str:
     return re.sub(r"\x00(\d+)\x00", unstash, e)
 
 
+def bind_params(query: str, params) -> str:
+    """POST /_query `params` binding (EsqlQueryRequest): `?` positional (a
+    list), `?1`-style indexed, or `?name` named (a dict). Values are bound
+    as ES|QL literals; `?` inside string literals stays data (stash-first,
+    like every other rewrite)."""
+    lits: list[str] = []
+
+    def stash(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    q = _LIT_RE.sub(stash, query)
+
+    def fmt(v) -> str:
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if v is None:
+            return "null"
+        if isinstance(v, str):
+            return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        return repr(v)
+
+    if isinstance(params, dict):
+        q = re.sub(r"\?(\w+)", lambda m: fmt(params[m.group(1)]), q)
+    else:
+        q = re.sub(r"\?(\d+)", lambda m: fmt(params[int(m.group(1)) - 1]), q)
+        it = iter(params)
+        q = re.sub(r"\?(?![\w])", lambda m: fmt(next(it)), q)
+    return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], q)
+
+
 def _alias_split(item: str) -> tuple[str | None, str]:
     """Split `alias = expr` at the first top-level single `=` — ignores
     `==`/`!=`/`<=`/`>=` and anything inside parens or string literals (an
@@ -758,10 +789,14 @@ def esql(
     query: str,
     tables: dict[str, DataFrame] | None = None,
     dims: list[str] | None = None,
+    params=None,
 ) -> DataFrame:
     """Compile and run an ES|QL query. `tables` maps FROM names to frames.
     `dims` names the time_series_dimension columns (the _tsid tuple) for a
-    `TS <index>` source — consumed by STATS-with-RATE."""
+    `TS <index>` source — consumed by STATS-with-RATE. `params` binds
+    `?`/`?1`/`?name` placeholders (the /_query request's params array)."""
+    if params is not None:
+        query = bind_params(query, params)
     stages = [s.strip() for s in _split_top(query, "|")]
     df: DataFrame | None = None
     ts_mode = False

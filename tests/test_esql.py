@@ -600,3 +600,18 @@ def test_qstr_kql_where(spark):
     assert [r.id for r in out.collect()] == [1, 3]
     out2 = esql(spark, 'FROM t | WHERE KQL("slow* OR lang:de") | KEEP id', {"t": df})
     assert [r.id for r in out2.collect()] == [2]
+
+
+def test_query_params_binding(spark):
+    df = spark.createDataFrame(
+        [(1, "click", 10.0), (2, "view", 30.0)], "id long, et string, v double")
+    out = esql(spark, "FROM t | WHERE et == ? AND v < ? | KEEP id",
+               {"t": df}, params=["click", 20])
+    assert [r.id for r in out.collect()] == [1]
+    out2 = esql(spark, "FROM t | WHERE et == ?kind | KEEP id",
+                {"t": df}, params={"kind": "view"})
+    assert [r.id for r in out2.collect()] == [2]
+    # `?` inside string literals is data, not a placeholder
+    out3 = esql(spark, 'FROM t | WHERE et LIKE "cl?ck" AND v == ?1 | KEEP id',
+                {"t": df}, params=[10.0])
+    assert [r.id for r in out3.collect()] == [1]
