@@ -618,13 +618,18 @@ def bind_params(query: str, params) -> str:
     q = _LIT_RE.sub(stash, query)
 
     def fmt(v) -> str:
+        # stash the rendered literal so the LATER substitution pass never
+        # rescans it (a bound string containing `?` must stay data)
         if isinstance(v, bool):
-            return "true" if v else "false"
-        if v is None:
-            return "null"
-        if isinstance(v, str):
-            return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
-        return repr(v)
+            s = "true" if v else "false"
+        elif v is None:
+            s = "null"
+        elif isinstance(v, str):
+            s = '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        else:
+            s = repr(v)
+        lits.append(s)
+        return f"\x00{len(lits) - 1}\x00"
 
     if isinstance(params, dict):
         q = re.sub(r"\?(\w+)", lambda m: fmt(params[m.group(1)]), q)

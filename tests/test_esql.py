@@ -615,3 +615,9 @@ def test_query_params_binding(spark):
     out3 = esql(spark, 'FROM t | WHERE et LIKE "cl?ck" AND v == ?1 | KEEP id',
                 {"t": df}, params=[10.0])
     assert [r.id for r in out3.collect()] == [1]
+    # `?` inside a BOUND string value stays data (the positional pass must
+    # not rescan text the indexed pass inserted)
+    df2 = spark.createDataFrame([(1, "what?"), (2, "ok")], "id long, s string")
+    out4 = esql(spark, "FROM t | WHERE s == ?1 | KEEP id",
+                {"t": df2}, params=["what?"])
+    assert [r.id for r in out4.collect()] == [1]
