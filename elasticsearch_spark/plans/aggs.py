@@ -35,10 +35,99 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Histogram field (x-pack analytics HistogramFieldMapper.java: per-doc
+# pre-aggregated {values[], counts[]} pairs, values ascending). Metric aggs
+# over such a field use the histo-backed reducers (the reference's
+# AnalyticsAggregatorFactory registrations): weighted sums via per-doc
+# zip_with/aggregate higher-order functions — no explode, so they compose
+# under any bucketing. Detected from the frame schema by `compile_agg` /
+# `aggregate` (single-threaded driver-side compile, like the reference's
+# per-request ValuesSourceConfig resolution).
+_HISTO_FIELDS: frozenset = frozenset()
+
+
+def _detect_histo_fields(df: DataFrame) -> frozenset:
+    from pyspark.sql.types import ArrayType, StructType
+
+    out = set()
+    for fld in df.schema.fields:
+        t = fld.dataType
+        if isinstance(t, StructType) and {"values", "counts"} <= set(t.fieldNames()):
+            if all(isinstance(t[n].dataType, ArrayType) for n in ("values", "counts")):
+                out.add(fld.name)
+    return frozenset(out)
+
+
+def _histo_pairs(f: str) -> str:
+    """SQL expr: the (v, c) pair array of a histogram struct column, zero-
+    count centroids dropped (HistoBackedAggregator skips them)."""
+    return (
+        f"filter(zip_with({f}.values, {f}.counts,"
+        f" (v, c) -> struct(double(v) as v, bigint(c) as c)), s -> s.c > 0)"
+    )
+
+
+def _histo_metric_cols(name: str, kind: str, f: str, body: dict) -> list:
+    """Histo-backed metric reducers (x-pack analytics
+    ``aggregations/metrics/HistoBacked*Aggregator.java``): each doc
+    contributes its centroid (value, count) pairs with weight = count."""
+    pairs = _histo_pairs(f)
+    vc = F.expr(f"aggregate({pairs}, 0L, (a, s) -> a + s.c)")
+    sm = F.expr(f"aggregate({pairs}, 0D, (a, s) -> a + s.v * s.c)")
+    sq = F.expr(f"aggregate({pairs}, 0D, (a, s) -> a + s.v * s.v * s.c)")
+    mn = F.expr(f"array_min(transform({pairs}, s -> s.v))")
+    mx = F.expr(f"array_max(transform({pairs}, s -> s.v))")
+    if kind == "value_count":
+        return [F.sum(vc).alias(name)]
+    if kind == "sum":
+        return [F.sum(sm).alias(name)]
+    if kind == "avg":
+        return [(F.sum(sm) / F.sum(vc)).alias(name)]
+    if kind == "min":
+        return [F.min(mn).alias(name)]
+    if kind == "max":
+        return [F.max(mx).alias(name)]
+    if kind == "stats":
+        return [
+            F.sum(vc).alias(f"{name}.count"), F.min(mn).alias(f"{name}.min"),
+            F.max(mx).alias(f"{name}.max"), F.sum(sm).alias(f"{name}.sum"),
+            (F.sum(sm) / F.sum(vc)).alias(f"{name}.avg"),
+        ]
+    if kind == "extended_stats":
+        var = F.sum(sq) / F.sum(vc) - (F.sum(sm) / F.sum(vc)) ** 2
+        return [
+            F.sum(vc).alias(f"{name}.count"), F.sum(sm).alias(f"{name}.sum"),
+            (F.sum(sm) / F.sum(vc)).alias(f"{name}.avg"),
+            var.alias(f"{name}.variance"),
+            F.sqrt(var).alias(f"{name}.std_deviation"),
+        ]
+    if kind == "percentile_ranks":
+        # % of total weight at values ≤ v, per requested v
+        return [
+            (
+                100.0
+                * F.sum(F.expr(
+                    f"aggregate({pairs}, 0L, (a, s) -> a + if(s.v <= {v!r}, s.c, 0L))"
+                ))
+                / F.sum(vc)
+            ).alias(f"{name}.{v}")
+            for v in body["values"]
+        ]
+    if kind == "percentiles":
+        # handled by compile_agg's explode path (needs the weighted
+        # distribution, not a per-doc reduction)
+        raise ValueError(
+            "percentiles over a histogram field is a top-level agg only"
+        )
+    raise ValueError(f"metric agg {kind} is not histo-backed in the reference")
+
+
 def _metric_cols(name: str, spec: dict) -> list:
     """One metric agg → named aggregate Column(s)."""
     (kind, body), = spec.items()
     f = body.get("field")
+    if f and f in _HISTO_FIELDS:
+        return _histo_metric_cols(name, kind, f, body)
     c = F.col(f) if f else None
     if c is not None and "missing" in body:
         # ValuesSourceAggregationBuilder `missing`: substitute for null
@@ -253,9 +342,51 @@ def _apply_metric_subaggs(grouped, sub_aggs: dict, doc_count=True):
 
 def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
     """One top-level agg (+ nested sub-aggs) → bucket frame."""
+    global _HISTO_FIELDS
+    _HISTO_FIELDS = _detect_histo_fields(df)
     sub = spec.get("aggs")
     body_spec = {k: v for k, v in spec.items() if k != "aggs"}
     (kind, body), = body_spec.items()
+
+    if (
+        kind in ("percentiles", "histogram", "boxplot")
+        and body.get("field") in _HISTO_FIELDS
+    ):
+        # Histo-backed distribution aggs (HistoBackedTDigestPercentiles-,
+        # HistoBackedHistogram-, HistoBackedBoxplotAggregator.java): explode
+        # the centroid pairs once; weight = centroid count. Percentiles are
+        # EXACT weighted (percentile(v, p, frequency) — the exact-mode analog
+        # of feeding centroids into a t-digest); the histogram bucket agg
+        # adds centroid counts into value buckets (doc_count = Σ counts).
+        f = body["field"]
+        pairs = df.select(F.explode(F.expr(_histo_pairs(f))).alias("__s")).select(
+            F.col("__s.v").alias("__v"), F.col("__s.c").alias("__c")
+        )
+        if kind == "histogram":
+            interval = float(body["interval"])
+            off = float(body.get("offset", 0))
+            key = (
+                F.floor((F.col("__v") - off) / interval) * interval + off
+            ).alias("key")
+            return (
+                pairs.groupBy(key)
+                .agg(F.sum("__c").alias("doc_count"))
+                .orderBy("key")
+            )
+        if kind == "boxplot":
+            qs = {"min": None, "max": None}
+            exprs = [F.min("__v").alias(f"{name}.min"),
+                     F.max("__v").alias(f"{name}.max")]
+            exprs += [
+                F.expr(f"percentile(__v, {q}, __c)").alias(f"{name}.{lbl}")
+                for q, lbl in ((0.25, "q1"), (0.5, "q2"), (0.75, "q3"))
+            ]
+            return pairs.agg(*exprs)
+        pcts = body.get("percents", [1, 5, 25, 50, 75, 95, 99])
+        return pairs.agg(*[
+            F.expr(f"percentile(__v, {p / 100.0}, __c)").alias(f"{name}.{p}")
+            for p in pcts
+        ])
 
     if kind in ("avg", "sum", "min", "max", "value_count", "stats", "extended_stats",
                 "cardinality", "percentiles", "percentile_ranks", "weighted_avg") and not (

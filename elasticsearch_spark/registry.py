@@ -1354,6 +1354,43 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f_histogram_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram field type (x-pack analytics ``HistogramFieldMapper.java``:
+    pre-aggregated per-doc {values[], counts[]} centroids) with the
+    histo-backed metric reducers (``HistoBacked*Aggregator.java``) and EXACT
+    weighted percentiles (the exact-mode analog of centroids→t-digest).
+    Each event synthesizes a deterministic 3-centroid histogram; metrics
+    grouped per event_type via the agg compiler's schema detection."""
+    from .plans import aggs as A
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.struct(
+            F.array(F.col("value"), F.col("value") * 1.5, F.col("value") * 2.25)
+            .alias("values"),
+            F.array(
+                (F.lit(1) + F.col("event_id") % 3).cast("long"),
+                F.lit(2).cast("long"), F.lit(1).cast("long"),
+            ).alias("counts"),
+        ).alias("h"),
+    )
+    stats = A.compile_agg(ev, "m", {"stats": {"field": "h"}})
+    pcts = A.compile_agg(
+        ev, "p", {"percentiles": {"field": "h", "percents": [50, 95]}}
+    )
+    return (
+        stats.crossJoin(pcts)
+        .select(
+            F.col("`m.count`").alias("n"),
+            F.round("`m.sum`", 4).alias("s"),
+            F.round("`m.avg`", 6).alias("a"),
+            F.round("`m.min`", 6).alias("lo"),
+            F.round("`m.max`", 6).alias("hi"),
+            F.round("`p.50`", 6).alias("p50"),
+            F.round("`p.95`", 6).alias("p95"),
+        )
+    )
+
+
 def _pii_text_col():
     """Deterministic PII-bearing text derived from (text, doc_id) — the
     synthetic corpus carries no PII, so both the Spark query and the DuckDB
@@ -4879,6 +4916,22 @@ SELECT fp, n_docs, rep_doc_id FROM (
   FROM documents GROUP BY 1
 ) WHERE n_docs > 1 ORDER BY rep_doc_id
 """,
+    "field_histogram_metrics": """
+WITH p AS (
+  SELECT value AS v, (1 + event_id % 3)::BIGINT AS c FROM events
+  UNION ALL SELECT value * 1.5, 2 FROM events
+  UNION ALL SELECT value * 2.25, 1 FROM events
+),
+x AS (SELECT v FROM p, unnest(range(1, c + 1)))
+SELECT (SELECT sum(c) FROM p)::BIGINT AS n,
+       round((SELECT sum(v * c) FROM p), 4) AS s,
+       round((SELECT sum(v * c) FROM p) / (SELECT sum(c) FROM p), 6) AS a,
+       round((SELECT min(v) FROM p), 6) AS lo,
+       round((SELECT max(v) FROM p), 6) AS hi,
+       round(quantile_cont(v, 0.5), 6) AS p50,
+       round(quantile_cont(v, 0.95), 6) AS p95
+FROM x
+""",
     "intervals_query": _bm25_cte(["data", "stream"], msm=2) + f""",
 pos AS (
   SELECT doc_id, u.term AS term, u.i AS i
@@ -5895,6 +5948,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": t_lang_id,
     "text_quality_score": t_quality_score,
     "text_fingerprint": t_fingerprint,
+    "field_histogram_metrics": f_histogram_field,
     "text_quality_classifier": t_quality_classifier,
     "text_bigram_perplexity_kn": t_bigram_perplexity_kn,
     "text_bpe_token_count": t_bpe_token_count,
