@@ -88,6 +88,7 @@ class Engine:
         self._pits: dict[str, tuple[str, list[int]]] = {}
         self._seq = itertools.count(1)  # monotonic ids (PITs, ad-hoc names)
         os.makedirs(root, exist_ok=True)
+        self._load_stored_scripts()  # re-register {"id": ...} script refs
 
     # ---- point-in-time readers ---------------------------------------------
 
@@ -2355,11 +2356,62 @@ class Engine:
         t = self._match_template(index)
         return {"overlapping": [], "template": {"settings": t["settings"]} if t else None}
 
+    # ---- stored scripts (PUT/GET/DELETE /_scripts/{id}) ---------------------
+
+    def _scripts_path(self) -> str:
+        return os.path.join(self.root, "_stored_scripts.json")
+
+    def _load_stored_scripts(self) -> dict:
+        import json
+
+        path = self._scripts_path()
+        if os.path.exists(path):
+            with open(path) as f:
+                stored = json.load(f)
+        else:
+            stored = {}
+        dsl.STORED_SCRIPTS.update(stored)  # re-register after driver restart
+        return stored
+
+    def put_script(self, script_id: str, body: dict) -> dict:
+        """PUT /_scripts/{id} (``S/action/admin/cluster/storedscripts/
+        TransportPutStoredScriptAction.java``): persist a named script;
+        referenced anywhere a script spec allows ``{"id": ...}``."""
+        import json
+
+        spec = body.get("script", body)
+        stored = self._load_stored_scripts()
+        stored[script_id] = {"source": spec["source"],
+                             "params": spec.get("params")}
+        tmp = self._scripts_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(stored, f)
+        os.replace(tmp, self._scripts_path())
+        dsl.STORED_SCRIPTS[script_id] = stored[script_id]
+        return {"acknowledged": True}
+
+    def get_script(self, script_id: str) -> dict:
+        return {"_id": script_id,
+                "script": self._load_stored_scripts()[script_id]}
+
+    def delete_script(self, script_id: str) -> dict:
+        import json
+
+        stored = self._load_stored_scripts()
+        stored.pop(script_id, None)
+        dsl.STORED_SCRIPTS.pop(script_id, None)
+        tmp = self._scripts_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(stored, f)
+        os.replace(tmp, self._scripts_path())
+        return {"acknowledged": True}
+
     def scripts_painless_execute(self, script: dict, context_doc: dict | None = None) -> dict:
         """POST /_scripts/painless/_execute: evaluate a script (SQL-expr
-        Painless analog) against an optional one-doc context."""
-        src = script["source"] if isinstance(script, dict) else script
-        params = script.get("params") if isinstance(script, dict) else None
+        Painless analog) against an optional one-doc context; stored
+        ``{"id": ...}`` references resolve via the script registry."""
+        self._load_stored_scripts()
+        src, params = dsl.script_source(script)
         expr = dsl.expand_script(src, params)
         row = self.spark.createDataFrame([context_doc or {"__dummy": 0}])
         val = row.select(F.expr(expr).alias("result")).collect()[0]["result"]

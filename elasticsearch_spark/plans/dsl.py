@@ -964,13 +964,37 @@ def runtime_field_expr(spec: dict | str) -> Column:
     import re as _re
 
     script = spec.get("script", {}) if isinstance(spec, dict) else spec
-    src = script.get("source", "null") if isinstance(script, dict) else str(script)
+    if isinstance(script, dict) and "source" not in script and "id" not in script:
+        src, params = "null", None
+    else:
+        src, params = script_source(script)
     m = _re.fullmatch(r"\s*emit\((.*)\)\s*", src, _re.S)
     if m:
         src = m.group(1)
-    src = expand_script(src, script.get("params") if isinstance(script, dict) else None)
+    src = expand_script(src, params)
     t = spec.get("type", "keyword") if isinstance(spec, dict) else "keyword"
     return F.expr(src).cast(_RUNTIME_TYPES.get(t, "string"))
+
+
+# Stored scripts (PutStoredScriptAction / GetStoredScriptAction —
+# ``S/action/admin/cluster/storedscripts/``): cluster-state script registry,
+# referenced from any script spec by ``{"script": {"id": ..., "params":
+# {...}}}``. Engine.put_script persists + registers here; resolution is
+# driver-side compile time, like the reference's ScriptService lookup.
+STORED_SCRIPTS: dict[str, dict] = {}
+
+
+def script_source(spec) -> tuple[str, dict | None]:
+    """Normalize any ES script spec — inline string, ``{"source": ...,
+    "params": ...}``, or stored ``{"id": ...}`` — to (source, params).
+    Unknown ids raise KeyError (the reference 404s)."""
+    if not isinstance(spec, dict):
+        return str(spec), None
+    if "id" in spec and "source" not in spec:
+        stored = STORED_SCRIPTS[spec["id"]]
+        params = {**(stored.get("params") or {}), **(spec.get("params") or {})}
+        return stored["source"], params or None
+    return spec["source"], spec.get("params")
 
 
 def expand_script(src: str, params: dict | None) -> str:
@@ -1421,12 +1445,7 @@ class FunctionScoreQ(Node):
         elif "script_score" in spec:
             # ScriptScoreFunctionBuilder.java: SQL-expression Painless
             # analog over doc fields + `_score` (the query score column)
-            sc = spec["script_score"]
-            if isinstance(sc.get("script"), dict):
-                src = sc["script"]["source"]
-                sparams = sc["script"].get("params")
-            else:
-                src, sparams = sc["script"], None
+            src, sparams = script_source(spec["script_score"]["script"])
             v = F.expr(expand_script(src, sparams)).cast("double")
         else:
             raise ValueError(f"unsupported function_score function: {spec}")
@@ -1928,10 +1947,8 @@ def parse(q: dict) -> Node:
             min_doc_freq=body.get("min_doc_freq", 1),
         )
     if kind == "script":
-        if isinstance(body.get("script"), dict):
-            return ScriptQ(source=body["script"]["source"],
-                           params=body["script"].get("params"))
-        return ScriptQ(source=body["source"], params=body.get("params"))
+        src, params = script_source(body.get("script", body))
+        return ScriptQ(source=src, params=params)
     if kind == "wrapper":
         import base64
         import json as _json
@@ -2077,8 +2094,8 @@ def _sort_cols(sort_spec, key: str) -> list[Column]:
                 float(origin["lat"]), float(origin["lon"]),
             )
         elif sf == "_script":
-            src = sd["script"]["source"] if isinstance(sd.get("script"), dict) else sd["script"]
-            c = F.expr(src)
+            src, sparams = script_source(sd["script"] if isinstance(sd, dict) else sd)
+            c = F.expr(expand_script(src, sparams))
         else:
             c = F.col("_score") if sf == "_score" else F.col(sf)
         order.append(c.desc_nulls_last() if d == "desc" else c.asc_nulls_last())
@@ -2468,9 +2485,9 @@ def search(
     # per-hit computed fields — fetch-phase withColumns over the (already
     # top-k-small) result frame, sharing the Painless-analog script expansion
     for sf_name, sf_spec in (body.get("script_fields") or {}).items():
-        script = sf_spec.get("script", sf_spec)
-        src = script["source"] if isinstance(script, dict) else script
-        params = script.get("params") if isinstance(script, dict) else None
+        src, params = script_source(
+            sf_spec.get("script", sf_spec) if isinstance(sf_spec, dict) else sf_spec
+        )
         out = out.withColumn(sf_name, F.expr(expand_script(src, params)))
 
     if "_source" in body:

@@ -561,3 +561,36 @@ def test_search_application(spark, tmp_path):
     assert [r["url"] for r in out2["hits"].collect()] == ["u2"]
     eng.delete_search_application("app")
     assert eng.list_search_applications() == []
+
+
+def test_stored_scripts(es, spark):
+    es.put_script("len_chars", {"script": {
+        "lang": "painless", "source": "length(text) * params.w",
+        "params": {"w": 1.0}}})
+    assert es.get_script("len_chars")["script"]["source"].startswith("length")
+    # script query by id (param override at use site)
+    hits = es.search("pages", {
+        "query": {"bool": {
+            "must": [{"match_all": {}}],
+            "filter": [{"script": {"script": {"id": "len_chars",
+                                              "params": {"w": 1.0}}}}],
+        }},
+        "script_fields": {"l": {"script": {"id": "len_chars"}}},
+        "sort": [{"_script": {"script": {"id": "len_chars"}, "order": "desc"}},
+                 "_score"],
+        "size": 2,
+    })
+    rows = hits["hits"].collect()
+    assert len(rows) == 2
+    ls = [r["l"] for r in rows]
+    assert ls == sorted(ls, reverse=True) and ls[0] > 0
+    # persistence across a driver restart (fresh Engine, same root)
+    from elasticsearch_spark.plans import dsl as _dsl
+    _dsl.STORED_SCRIPTS.clear()
+    es2 = Engine(spark, root=ROOT)
+    out = es2.scripts_painless_execute(
+        {"id": "len_chars"}, context_doc={"text": "abcd"})
+    assert out["result"] == 4.0
+    es.delete_script("len_chars")
+    with pytest.raises(KeyError):
+        es.get_script("len_chars")
