@@ -1449,7 +1449,7 @@ class Engine:
             c, _ = aggs_mod._bucket_col(gspec)
             keys.append((c if hasattr(c, "alias") else F.col(c)).alias(name))
         grouped = aggs_mod._apply_metric_subaggs(
-            docs.groupBy(*keys), pivot.get("aggregations")
+            docs.groupBy(*keys), pivot.get("aggregations"), df=docs
         )
         grouped.write.mode("overwrite").parquet(dest_path)
         n = self.spark.read.parquet(dest_path).count()

@@ -332,7 +332,13 @@ def _bucket_col(spec: dict):
     raise ValueError(f"unsupported bucket agg: {kind}")
 
 
-def _apply_metric_subaggs(grouped, sub_aggs: dict, doc_count=True):
+def _apply_metric_subaggs(grouped, sub_aggs: dict, doc_count=True, df=None):
+    # external callers (transform pivot) pass their source `df` so the
+    # histogram-field detection reflects THEIR schema, not whatever frame
+    # compile_agg saw last
+    if df is not None:
+        global _HISTO_FIELDS
+        _HISTO_FIELDS = _detect_histo_fields(df)
     cols = [F.count("*").alias("doc_count")] if doc_count else []
     for name, spec in (sub_aggs or {}).items():
         spec_wo = {k: v for k, v in spec.items() if k != "aggs"}
@@ -359,6 +365,11 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         # of feeding centroids into a t-digest); the histogram bucket agg
         # adds centroid counts into value buckets (doc_count = Σ counts).
         f = body["field"]
+        if sub:
+            raise ValueError(
+                f"sub-aggregations under a {kind} agg over a histogram "
+                "field are not supported (centroids carry no doc identity)"
+            )
         pairs = df.select(F.explode(F.expr(_histo_pairs(f))).alias("__s")).select(
             F.col("__s.v").alias("__v"), F.col("__s.c").alias("__c")
         )
@@ -374,7 +385,6 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
                 .orderBy("key")
             )
         if kind == "boxplot":
-            qs = {"min": None, "max": None}
             exprs = [F.min("__v").alias(f"{name}.min"),
                      F.max("__v").alias(f"{name}.max")]
             exprs += [

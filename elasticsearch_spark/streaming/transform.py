@@ -55,7 +55,7 @@ def transform_continuous(
         c, _ = aggs_mod._bucket_col(gspec)
         keys.append((c if hasattr(c, "alias") else F.col(c)).alias(name))
     grouped = aggs_mod._apply_metric_subaggs(
-        stream.groupBy(*keys), pivot.get("aggregations")
+        stream.groupBy(*keys), pivot.get("aggregations"), df=stream
     )
 
     def sink(batch_df, _bid):
