@@ -19,7 +19,13 @@ join (``JoinProcessor.java``), convert (``ConvertProcessor.java``), date
 fingerprint (``FingerprintProcessor.java``), bytes
 (``BytesProcessor.java``), drop (``DropProcessor.java``), script (Spark
 SQL expression string), foreach (``ForeachProcessor.java`` — transform()
-over an array), append, and per-processor ``if`` conditionals
+over an array), append, sort (``SortProcessor.java``), fail (``FailProcessor.java`` —
+raise_error under the condition), date_index_name
+(``DateIndexNameProcessor.java``), registered_domain
+(``RegisteredDomainProcessor.java`` — PSL approximation), network_direction
+(``NetworkDirectionProcessor.java`` — compile-time CIDR folds), community_id
+(``CommunityIdProcessor.java`` — the Zeek flow-hash spec, verified against
+the published test vectors), and per-processor ``if`` conditionals
 (``ConditionalProcessor.java`` — a SQL boolean expression).
 """
 
@@ -113,6 +119,44 @@ def dissect_cols(
                 append_separator,
                 *[F.regexp_extract(F.col(src_col), rx, i) for i in idxs]))
     return df
+
+
+def _ip4_num(col: str) -> str:
+    """SQL expr: dotted-quad IPv4 string column → bigint."""
+    return (
+        f"(cast(split({col}, '\\\\.')[0] as bigint) * 16777216"
+        f" + cast(split({col}, '\\\\.')[1] as bigint) * 65536"
+        f" + cast(split({col}, '\\\\.')[2] as bigint) * 256"
+        f" + cast(split({col}, '\\\\.')[3] as bigint))"
+    )
+
+
+# NetworkDirectionProcessor.java named ranges (the RFC blocks)
+_NAMED_NETWORKS = {
+    "private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16"],
+    "loopback": ["127.0.0.0/8"],
+    "link_local_unicast": ["169.254.0.0/16"],
+    "multicast": ["224.0.0.0/4"],
+    "unspecified": ["0.0.0.0/32"],
+}
+
+
+def _ip_in_networks(col: str, nets: list[str]) -> Column:
+    """IPv4-in-CIDR-set as compile-time-folded integer BETWEENs."""
+    blocks: list[str] = []
+    for n in nets:
+        blocks.extend(_NAMED_NETWORKS.get(n, [n]))
+    ip = _ip4_num(col)
+    checks = []
+    for blk in blocks:
+        net, _, bits = blk.partition("/")
+        bits_i = int(bits) if bits else 32
+        o = [int(x) for x in net.split(".")]
+        base = o[0] * 16777216 + o[1] * 65536 + o[2] * 256 + o[3]
+        span = 1 << (32 - bits_i)
+        lo = (base // span) * span
+        checks.append(f"{ip} BETWEEN {lo} AND {lo + span - 1}")
+    return F.expr("(" + " OR ".join(checks) + ")")
 
 
 def _apply_one(df: DataFrame, spec: dict) -> DataFrame:
@@ -256,6 +300,101 @@ def _apply_one(df: DataFrame, spec: dict) -> DataFrame:
         units = "CASE lower(regexp_extract({c}, '([kmgt]?b)$', 1)) WHEN 'b' THEN 1 WHEN 'kb' THEN 1024 WHEN 'mb' THEN 1048576 WHEN 'gb' THEN 1073741824 WHEN 'tb' THEN 1099511627776 END"
         num = "cast(regexp_extract({c}, '^([0-9.]+)', 1) as double)"
         return put(tgt, F.expr(f"cast({num.format(c=f)} * {units.format(c=f)} as long)"))
+    if kind == "sort":
+        # SortProcessor.java: sort an array field asc/desc in place
+        return put(tgt, F.sort_array(F.col(f), asc=body.get("order", "asc") == "asc"))
+    if kind == "fail":
+        # FailProcessor.java: abort ingestion with a message when reached
+        # (meaningful under `if`). Batch analog: the job fails loudly on the
+        # first matching doc — raise_error is non-foldable, so the check
+        # can't be optimized away; non-matching rows short-circuit the OR.
+        msg = body.get("message", "fail processor triggered")
+        trip = F.expr(cond) if cond else F.lit(True)
+        return df.where(
+            (~trip) | (F.raise_error(F.lit(msg)).cast("string") == F.lit(""))
+        )
+    if kind == "date_index_name":
+        # DateIndexNameProcessor.java: route the doc to a time-based index —
+        # _index = prefix + date_format(round(ts, date_rounding))
+        unit = {"y": "year", "M": "month", "w": "week", "d": "day",
+                "h": "hour", "m": "minute", "s": "second"}[body["date_rounding"]]
+        ts = F.col(f)
+        fmts = body.get("date_formats")
+        if fmts and fmts[0] not in ("ISO8601",):
+            ts = F.to_timestamp(ts, fmts[0])
+        else:
+            ts = ts.cast("timestamp")
+        return df.withColumn("_index", F.concat(
+            F.lit(body.get("index_name_prefix", "")),
+            F.date_format(F.date_trunc(unit, ts),
+                          body.get("index_name_format", "yyyy-MM-dd")),
+        ))
+    if kind == "registered_domain":
+        # RegisteredDomainProcessor.java: FQDN → domain/registered_domain/
+        # top_level_domain/subdomain. Public-suffix handling uses the same
+        # documented approximation as textstats.registrable_domain (common
+        # two-level suffixes widened; the reference embeds the full PSL).
+        host = F.lower(F.col(f))
+        two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+        three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+        is_2l = two.rlike(r"^(co|com|org|net|ac|gov|edu)\.[a-z]{2}$")
+        reg = F.when(is_2l & (three != ""), three).otherwise(
+            F.when(two != "", two).otherwise(host))
+        tld = F.when(is_2l, two).otherwise(F.regexp_extract(host, r"([^.]+)$", 1))
+        sub = F.when(host == reg, F.lit(None).cast("string")).otherwise(
+            host.substr(F.lit(1), F.length(host) - F.length(reg) - 1))
+        pre = body.get("target_field", "url")
+        return (
+            df.withColumn(f"{pre}.domain", host)
+            .withColumn(f"{pre}.registered_domain", reg)
+            .withColumn(f"{pre}.top_level_domain", tld)
+            .withColumn(f"{pre}.subdomain", sub)
+        )
+    if kind == "network_direction":
+        # NetworkDirectionProcessor.java: classify the flow against the
+        # internal_networks CIDR/named ranges — IPv4 blocks fold to integer
+        # BETWEENs at compile time (no UDF)
+        sip = body.get("source_ip", "source_ip")
+        dip = body.get("destination_ip", "destination_ip")
+        nets = body["internal_networks"]
+        s_in = _ip_in_networks(sip, nets)
+        d_in = _ip_in_networks(dip, nets)
+        direction = (
+            F.when(s_in & d_in, "internal")
+            .when(s_in, "outbound")
+            .when(d_in, "inbound")
+            .otherwise("external")
+        )
+        return df.withColumn(body.get("target_field", "network_direction"), direction)
+    if kind == "community_id":
+        # CommunityIdProcessor.java (the Zeek/Corelight flow-hash spec):
+        # 1:base64(sha1(seed_be16 . min_endpoint . max_endpoint . proto .
+        # 0x00 . sport_be16 . dport_be16)) with endpoints ordered so the
+        # smaller (ip, port) comes first. Pure expression chain — ints →
+        # fixed-width bytes via unhex(lpad(hex(...))), sha1 hex → raw via
+        # unhex, then base64. Verified against the published test vectors.
+        sip = body.get("source_ip", "source_ip")
+        dip = body.get("destination_ip", "destination_ip")
+        sp = body.get("source_port", "source_port")
+        dp = body.get("destination_port", "destination_port")
+        proto = body.get("iana_number", "iana_number")
+        seed = int(body.get("seed", 0))
+        s_num, d_num = _ip4_num(sip), _ip4_num(dip)
+        swap = f"({s_num} > {d_num} OR ({s_num} = {d_num} AND {sp} > {dp}))"
+        lo_ip = f"if({swap}, {d_num}, {s_num})"
+        hi_ip = f"if({swap}, {s_num}, {d_num})"
+        lo_pt = f"if({swap}, {dp}, {sp})"
+        hi_pt = f"if({swap}, {sp}, {dp})"
+        payload = (
+            f"concat(unhex('{seed:04x}'),"
+            f" unhex(lpad(hex({lo_ip}), 8, '0')),"
+            f" unhex(lpad(hex({hi_ip}), 8, '0')),"
+            f" unhex(lpad(hex({proto}), 2, '0')), unhex('00'),"
+            f" unhex(lpad(hex({lo_pt}), 4, '0')),"
+            f" unhex(lpad(hex({hi_pt}), 4, '0')))"
+        )
+        cid = F.expr(f"concat('1:', base64(unhex(sha1({payload}))))")
+        return df.withColumn(body.get("target_field", "community_id"), cid)
     if kind == "enrich":
         # x-pack enrich processor (EnrichProcessorFactory): lookup against
         # a policy table — the dim side is broadcast (small by contract),

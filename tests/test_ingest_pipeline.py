@@ -211,3 +211,73 @@ def test_redact_dollar_prefix(spark):
         "field": "msg", "prefix": "$", "suffix": "$",
         "patterns": ["%{IP:ip}"]}}])
     assert out.collect()[0].msg == "from $ip$"
+
+
+def test_sort_and_fail_processors(spark):
+    df = spark.createDataFrame([([3, 1, 2], 1), ([5, 4], 2)], "a array<int>, id int")
+    out = run_pipeline(df, [{"sort": {"field": "a"}}]).orderBy("id").collect()
+    assert out[0]["a"] == [1, 2, 3] and out[1]["a"] == [4, 5]
+    ok = run_pipeline(df, [{"fail": {"if": "id > 99", "message": "boom"}}])
+    assert ok.count() == 2  # condition never trips
+    import pyspark.errors
+
+    bad = run_pipeline(df, [{"fail": {"if": "id > 1", "message": "boom"}}])
+    with pytest.raises(Exception, match="boom"):
+        bad.count()
+
+
+def test_date_index_name_processor(spark):
+    df = spark.createDataFrame(
+        [("2024-03-15T10:22:33",)], "ts string")
+    out = run_pipeline(df, [{"date_index_name": {
+        "field": "ts", "date_formats": ["yyyy-MM-dd'T'HH:mm:ss"],
+        "index_name_prefix": "logs-", "date_rounding": "M",
+        "index_name_format": "yyyy-MM"}}]).collect()[0]
+    assert out["_index"] == "logs-2024-03"
+
+
+def test_registered_domain_processor(spark):
+    df = spark.createDataFrame(
+        [("www.example.co.uk",), ("example.com",)], "host string")
+    rows = run_pipeline(df, [{"registered_domain": {
+        "field": "host", "target_field": "url"}}]).collect()
+    a = {r["host"]: r for r in rows}
+    r1 = a["www.example.co.uk"]
+    assert r1["url.registered_domain"] == "example.co.uk"
+    assert r1["url.top_level_domain"] == "co.uk"
+    assert r1["url.subdomain"] == "www"
+    r2 = a["example.com"]
+    assert r2["url.registered_domain"] == "example.com"
+    assert r2["url.top_level_domain"] == "com"
+    assert r2["url.subdomain"] is None
+
+
+def test_network_direction_processor(spark):
+    df = spark.createDataFrame(
+        [("10.0.0.1", "10.0.0.2"), ("10.0.0.1", "8.8.8.8"),
+         ("8.8.8.8", "10.0.0.1"), ("8.8.8.8", "1.1.1.1")],
+        "source_ip string, destination_ip string")
+    rows = run_pipeline(df, [{"network_direction": {
+        "internal_networks": ["private"]}}]).collect()
+    got = {(r["source_ip"], r["destination_ip"]): r["network_direction"] for r in rows}
+    assert got[("10.0.0.1", "10.0.0.2")] == "internal"
+    assert got[("10.0.0.1", "8.8.8.8")] == "outbound"
+    assert got[("8.8.8.8", "10.0.0.1")] == "inbound"
+    assert got[("8.8.8.8", "1.1.1.1")] == "external"
+
+
+def test_community_id_processor(spark):
+    # the published corelight/community-id-spec test vector
+    df = spark.createDataFrame(
+        [("128.232.110.120", "66.35.250.204", 34855, 80, 6)],
+        "source_ip string, destination_ip string, source_port int, "
+        "destination_port int, iana_number int")
+    out = run_pipeline(df, [{"community_id": {}}]).collect()[0]
+    assert out["community_id"] == "1:LQU9qZlK+B5F3KDmev6m5PMibrg="
+    # order-invariance: the reversed flow hashes identically
+    df2 = spark.createDataFrame(
+        [("66.35.250.204", "128.232.110.120", 80, 34855, 6)],
+        "source_ip string, destination_ip string, source_port int, "
+        "destination_port int, iana_number int")
+    out2 = run_pipeline(df2, [{"community_id": {}}]).collect()[0]
+    assert out2["community_id"] == out["community_id"]
