@@ -1391,6 +1391,62 @@ def f_histogram_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_ingest_network_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """network_direction + registered_domain + community_id ingest
+    processors (``NetworkDirectionProcessor.java``,
+    ``RegisteredDomainProcessor.java``, ``CommunityIdProcessor.java``) over
+    deterministically synthesized flows: direction histogram per registered
+    domain + distinct flow-hash count. The oracle mirrors the CIDR integer
+    folds and the PSL-approximation string logic; community_id cardinality
+    is mirrored by the distinct normalized 5-tuple (the hash is injective
+    per tuple by construction)."""
+    from .sources.ingest_pipeline import run_pipeline
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id",
+        F.concat_ws(
+            ".",
+            F.when(F.col("user_id") % 3 == 0, F.lit("10")).otherwise(
+                (F.col("user_id") % 223 + 1).cast("string")),
+            (F.col("event_id") % 256).cast("string"),
+            (F.floor(F.col("event_id") / 256) % 256).cast("string"),
+            (F.col("user_id") % 254 + 1).cast("string"),
+        ).alias("source_ip"),
+        F.concat_ws(
+            ".",
+            F.when(F.col("event_id") % 2 == 0, F.lit("192")).otherwise(F.lit("8")),
+            F.when(F.col("event_id") % 2 == 0, F.lit("168")).otherwise(F.lit("8")),
+            (F.col("event_id") % 200).cast("string"),
+            (F.col("user_id") % 254 + 1).cast("string"),
+        ).alias("destination_ip"),
+        (F.col("event_id") % 50000 + 1024).cast("int").alias("source_port"),
+        F.when(F.col("event_id") % 2 == 0, 443).otherwise(80).cast("int").alias("destination_port"),
+        F.lit(6).cast("int").alias("iana_number"),
+        F.concat(
+            F.when(F.col("user_id") % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.lit("host"), (F.col("user_id") % 40).cast("string"),
+            F.when(F.col("user_id") % 5 == 0, F.lit(".example.co.uk")).otherwise(
+                F.lit(".example.com")),
+        ).alias("fqdn"),
+    )
+    out = run_pipeline(ev, [
+        {"network_direction": {"internal_networks": ["private"]}},
+        {"registered_domain": {"field": "fqdn", "target_field": "url"}},
+        {"community_id": {}},
+    ])
+    return (
+        out.groupBy(
+            F.col("`url.registered_domain`").alias("domain"),
+            F.col("network_direction").alias("direction"),
+        )
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.countDistinct("community_id").alias("n_flows"),
+        )
+        .orderBy("domain", "direction")
+    )
+
+
 def _pii_text_col():
     """Deterministic PII-bearing text derived from (text, doc_id) — the
     synthetic corpus carries no PII, so both the Spark query and the DuckDB
@@ -4916,6 +4972,40 @@ SELECT fp, n_docs, rep_doc_id FROM (
   FROM documents GROUP BY 1
 ) WHERE n_docs > 1 ORDER BY rep_doc_id
 """,
+    "ingest_network_flow": """
+WITH f AS (
+  SELECT event_id, user_id,
+    CASE WHEN user_id % 3 = 0 THEN 10 ELSE user_id % 223 + 1 END AS s1,
+    event_id % 256 AS s2, (event_id // 256) % 256 AS s3, user_id % 254 + 1 AS s4,
+    CASE WHEN event_id % 2 = 0 THEN 192 ELSE 8 END AS d1,
+    CASE WHEN event_id % 2 = 0 THEN 168 ELSE 8 END AS d2,
+    event_id % 200 AS d3, user_id % 254 + 1 AS d4,
+    event_id % 50000 + 1024 AS sport,
+    CASE WHEN event_id % 2 = 0 THEN 443 ELSE 80 END AS dport,
+    CASE WHEN user_id % 5 = 0 THEN 'example.co.uk' ELSE 'example.com' END AS domain
+  FROM events),
+g AS (SELECT *, s1::BIGINT*16777216 + s2*65536 + s3*256 + s4 AS snum,
+             d1::BIGINT*16777216 + d2*65536 + d3*256 + d4 AS dnum FROM f),
+h AS (SELECT *,
+    (snum BETWEEN 167772160 AND 184549375
+     OR snum BETWEEN 2886729728 AND 2887778303
+     OR snum BETWEEN 3232235520 AND 3232301055) AS s_in,
+    (dnum BETWEEN 167772160 AND 184549375
+     OR dnum BETWEEN 2886729728 AND 2887778303
+     OR dnum BETWEEN 3232235520 AND 3232301055) AS d_in,
+    (snum > dnum OR (snum = dnum AND sport > dport)) AS swp FROM g),
+i AS (SELECT domain,
+    CASE WHEN s_in AND d_in THEN 'internal' WHEN s_in THEN 'outbound'
+         WHEN d_in THEN 'inbound' ELSE 'external' END AS direction,
+    (CASE WHEN swp THEN dnum ELSE snum END) || ':' ||
+    (CASE WHEN swp THEN snum ELSE dnum END) || ':' ||
+    (CASE WHEN swp THEN dport ELSE sport END) || ':' ||
+    (CASE WHEN swp THEN sport ELSE dport END) AS tuple5
+  FROM h)
+SELECT domain, direction, count(*)::BIGINT AS doc_count,
+       count(DISTINCT tuple5)::BIGINT AS n_flows
+FROM i GROUP BY 1, 2 ORDER BY domain, direction
+""",
     "field_histogram_metrics": """
 WITH p AS (
   SELECT value AS v, (1 + event_id % 3)::BIGINT AS c FROM events
@@ -5949,6 +6039,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_score": t_quality_score,
     "text_fingerprint": t_fingerprint,
     "field_histogram_metrics": f_histogram_field,
+    "ingest_network_flow": p_ingest_network_flow,
     "text_quality_classifier": t_quality_classifier,
     "text_bigram_perplexity_kn": t_bigram_perplexity_kn,
     "text_bpe_token_count": t_bpe_token_count,
