@@ -1147,7 +1147,8 @@ class Engine:
             # runtime mappings are applied INSIDE dsl.search (applying
             # them here too would double-apply shadowing scripts)
             docs = self._docs_view(index)
-            hits = dsl.search(self.spark, docs, body, key="url", text_col="text")
+            hits = dsl.search(self.spark, docs, body, key="url", text_col="text",
+                              kw_norm=self._kw_normalizers(index))
 
         # the fields retrieval API / docvalue_fields
         # (``server/.../search/fetch/subphase/FieldFetcher.java``,
@@ -1200,7 +1201,8 @@ class Engine:
             base = _apply_runtime(self._docs_view(index))
             if kind != "match_all":
                 node = dsl.parse(q)
-                ctx = dsl.SearchContext(base, "url", text_col="text")
+                ctx = dsl.SearchContext(base, "url", text_col="text",
+                                        kw_norm=self._kw_normalizers(index))
                 try:
                     base = base.where(node.predicate(ctx))
                 except NotImplementedError:
@@ -1335,7 +1337,8 @@ class Engine:
         if not query:
             return docs.count()
         node = dsl.parse(query)
-        ctx = dsl.SearchContext(docs, "url", text_col="text")
+        ctx = dsl.SearchContext(docs, "url", text_col="text",
+                                kw_norm=self._kw_normalizers(concrete[0]))
         try:
             return docs.where(node.predicate(ctx)).count()
         except NotImplementedError:
@@ -2084,7 +2087,8 @@ class Engine:
         until a merge expunges them — reference semantics."""
         docs = self._docs_view(index)
         node = dsl.parse(query)
-        ctx = dsl.SearchContext(docs, "url", text_col="text")
+        ctx = dsl.SearchContext(docs, "url", text_col="text",
+                                kw_norm=self._kw_normalizers(index))
         try:
             matched = docs.where(node.predicate(ctx))
         except NotImplementedError:
@@ -2098,7 +2102,8 @@ class Engine:
         `text` (scan + rewrite + reindex-as-update)."""
         docs = self._docs_view(index)
         node = dsl.parse(query)
-        ctx = dsl.SearchContext(docs, "url", text_col="text")
+        ctx = dsl.SearchContext(docs, "url", text_col="text",
+                                kw_norm=self._kw_normalizers(index))
         matched = docs.where(node.predicate(ctx))
         extra = [c for c in docs.columns
                  if c not in ("doc_id", "dl", "norm", "seg_id", "url", "text", "lang", "warc_ts")]
@@ -2114,7 +2119,8 @@ class Engine:
         docs = self._docs_view(source).select("url", "warc_ts", "text", "lang")
         if query:
             node = dsl.parse(query)
-            ctx = dsl.SearchContext(docs, "url", text_col="text")
+            ctx = dsl.SearchContext(docs, "url", text_col="text",
+                                    kw_norm=self._kw_normalizers(source))
             docs = docs.where(node.predicate(ctx))
         return self.bulk(dest, docs)
 
@@ -2494,6 +2500,19 @@ class Engine:
             json.dump(merged, f)
         os.replace(tmp, path)
         return {"acknowledged": True}
+
+    def _kw_normalizers(self, index: str) -> dict:
+        """field → normalizer filter chain, from the persisted mapping
+        (KeywordFieldMapper ``normalizer`` param). The value may be the
+        builtin ``"lowercase"``, or an inline filter list (the engine's
+        stand-in for index-settings normalizer definitions)."""
+        out = {}
+        for fld, spec in self.get_mapping(index).get("properties", {}).items():
+            nz = spec.get("normalizer") if isinstance(spec, dict) else None
+            if not nz:
+                continue
+            out[fld] = [nz] if isinstance(nz, str) else list(nz)
+        return out
 
     def get_mapping(self, index: str) -> dict:
         """GET /{index}/_mapping."""

@@ -1874,3 +1874,75 @@ def analyze_detail_udf(analyzer: str = "standard"):
         )
 
     return _udf
+
+
+# ---- keyword normalizers (AnalysisRegistry normalizers, applied to keyword
+# fields whole-string — no tokenizer). Two mirrored implementations: a
+# Column-side chain (JVM codegen, used on the stored column at query time)
+# and a Python-side one (used on query literals/patterns so wildcard
+# metacharacters survive). Both MUST agree — tested pairwise.
+
+_ASCII_FOLD_MULTI = [("ß", "ss"), ("ẞ", "SS"), ("æ", "ae"), ("Æ", "AE"),
+                     ("œ", "oe"), ("Œ", "OE")]
+_ASCII_FOLD_SINGLE = {"ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ł": "l",
+                      "Ł": "L", "ħ": "h", "Ħ": "H", "þ": "th"}
+
+
+def _ascii_fold_tables() -> tuple[str, str]:
+    """translate() tables for 1→1 accent stripping (NFKD + drop marks),
+    generated from unicodedata — the same data Lucene's ASCIIFolding
+    hardcodes (a documented subset: Latin-1 Supplement … Latin Extended-B)."""
+    import unicodedata
+
+    frm, to = [], []
+    for cp in range(0xC0, 0x250):
+        ch = chr(cp)
+        d = unicodedata.normalize("NFKD", ch)
+        stripped = "".join(c for c in d if not unicodedata.combining(c))
+        if len(stripped) == 1 and stripped != ch and ord(stripped) < 128:
+            frm.append(ch)
+            to.append(stripped)
+    return "".join(frm), "".join(to)
+
+
+_FOLD_FROM, _FOLD_TO = _ascii_fold_tables()
+
+
+def ascii_fold_col(c):
+    """asciifolding as a Column chain (translate + the multi-char pairs)."""
+    for a, b in _ASCII_FOLD_MULTI + list(_ASCII_FOLD_SINGLE.items()):
+        c = F.replace(c, F.lit(a), F.lit(b))
+    return F.translate(c, _FOLD_FROM, _FOLD_TO)
+
+
+def ascii_fold_str(s: str) -> str:
+    for a, b in _ASCII_FOLD_MULTI + list(_ASCII_FOLD_SINGLE.items()):
+        s = s.replace(a, b)
+    return s.translate(str.maketrans(_FOLD_FROM, _FOLD_TO))
+
+
+_NORMALIZER_COL_FNS = {
+    "lowercase": F.lower,
+    "uppercase": F.upper,
+    "trim": F.trim,
+    "asciifolding": ascii_fold_col,
+}
+_NORMALIZER_STR_FNS = {
+    "lowercase": str.lower,
+    "uppercase": str.upper,
+    "trim": str.strip,
+    "asciifolding": ascii_fold_str,
+}
+
+
+def normalize_col(c, filters: list[str]):
+    """Apply a normalizer filter chain to a Column (order preserved)."""
+    for f in filters:
+        c = _NORMALIZER_COL_FNS[f](c)  # unknown filter = loud KeyError
+    return c
+
+
+def normalize_str(s: str, filters: list[str]) -> str:
+    for f in filters:
+        s = _NORMALIZER_STR_FNS[f](s)
+    return s

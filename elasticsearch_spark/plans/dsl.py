@@ -64,9 +64,25 @@ class SearchContext:
     # text_col (SearchAsYouTypeFieldMapper.java's _2gram/_3gram): tokens
     # become space-joined n-grams of the base token stream
     shingle: int = 1
+    # keyword normalizers (KeywordFieldMapper `normalizer` param +
+    # AnalysisRegistry normalizer chains): field → filter list. Term-level
+    # queries on a mapped field normalize BOTH sides at query time — the
+    # stored column via the Column chain, literals/patterns via the mirrored
+    # Python chain (functions/analysis.normalize_col / normalize_str).
+    kw_norm: dict = field(default_factory=dict)
     _tf: DataFrame | None = field(default=None, repr=False)
     _dl: DataFrame | None = field(default=None, repr=False)
     _coll: DataFrame | None = field(default=None, repr=False)
+
+    def kw_pair(self, fld: str, col, s: str):
+        """(stored column, query literal) with the field's keyword
+        normalizer applied to both sides — identity when unmapped."""
+        filters = self.kw_norm.get(fld)
+        if not filters or not isinstance(s, str):
+            return col, s
+        from ..functions.analysis import normalize_col, normalize_str
+
+        return normalize_col(col, filters), normalize_str(s, filters)
 
     def for_field(self, fld: str) -> "SearchContext":
         """A view of this context tokenizing `fld` instead of the default
@@ -195,9 +211,10 @@ class TermQ(Leaf):
     case_insensitive: bool = False  # the 7.10+ flag on term-level queries
 
     def predicate(self, ctx):  # TermQueryBuilder.java
-        if self.case_insensitive and isinstance(self.value, str):
-            return F.lower(F.col(self.fld)) == F.lit(self.value.lower())
-        return F.col(self.fld) == F.lit(self.value)
+        c, v = ctx.kw_pair(self.fld, F.col(self.fld), self.value)
+        if self.case_insensitive and isinstance(v, str):
+            return F.lower(c) == F.lit(v.lower())
+        return c == F.lit(v)
 
 
 @dataclass
@@ -205,6 +222,14 @@ class TermsQ(Leaf):
     values: list = field(default_factory=list)
 
     def predicate(self, ctx):  # TermsQueryBuilder.java
+        if self.fld in ctx.kw_norm:
+            from ..functions.analysis import normalize_col, normalize_str
+
+            filters = ctx.kw_norm[self.fld]
+            return normalize_col(F.col(self.fld), filters).isin(
+                [normalize_str(v, filters) if isinstance(v, str) else v
+                 for v in self.values]
+            )
         return F.col(self.fld).isin(self.values)
 
 
@@ -259,9 +284,10 @@ class PrefixQ(Leaf):
     case_insensitive: bool = False
 
     def predicate(self, ctx):  # PrefixQueryBuilder.java
+        c, v = ctx.kw_pair(self.fld, F.col(self.fld), self.value)
         if self.case_insensitive:
-            return F.lower(F.col(self.fld)).startswith(self.value.lower())
-        return F.col(self.fld).startswith(self.value)
+            return F.lower(c).startswith(v.lower())
+        return c.startswith(v)
 
 
 @dataclass
@@ -270,10 +296,12 @@ class WildcardQ(Leaf):
     case_insensitive: bool = False
 
     def predicate(self, ctx):  # WildcardQueryBuilder.java: * → %, ? → _
-        pat = self.value.replace("*", "%").replace("?", "_")
+        c, pat = ctx.kw_pair(
+            self.fld, F.col(self.fld), self.value.replace("*", "%").replace("?", "_")
+        )
         if self.case_insensitive:
-            return F.lower(F.col(self.fld)).like(pat.lower())
-        return F.col(self.fld).like(pat)
+            return F.lower(c).like(pat.lower())
+        return c.like(pat)
 
 
 @dataclass
@@ -2168,6 +2196,7 @@ def search(
     body: dict,
     key: str = "doc_id",
     text_col: str = "text",
+    kw_norm: dict | None = None,
 ) -> DataFrame:
     """Run a DSL search body over an arbitrary corpus frame — the
     query_then_fetch lifecycle. Supported body keys: query, size, from,
@@ -2209,7 +2238,7 @@ def search(
         body = dict(body)
         body["query"] = _collect_named(body["query"], named)
 
-    ctx = SearchContext(df, key, text_col=text_col)
+    ctx = SearchContext(df, key, text_col=text_col, kw_norm=kw_norm or {})
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
 

@@ -594,3 +594,35 @@ def test_stored_scripts(es, spark):
     es.delete_script("len_chars")
     with pytest.raises(KeyError):
         es.get_script("len_chars")
+
+
+def test_keyword_normalizer(es, spark):
+    # own index: the module's shared "pages" mutates across tests
+    es.create_index("kwnorm", num_partitions=2)
+    docs = spark.createDataFrame(
+        [("k1", "alpha", "de"), ("k2", "beta", "EN"), ("k3", "gamma", "én"),
+         ("k4", "delta", "en")],
+        "url string, text string, lang string",
+    ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+    es.bulk("kwnorm", docs)
+    # lowercase+asciifolding normalizer: term-level queries become
+    # case/accent-insensitive on BOTH sides
+    es.put_mapping("kwnorm", {"properties": {
+        "lang": {"type": "keyword", "normalizer": ["lowercase", "asciifolding"]}}})
+    res = es.search("kwnorm", {"query": {"bool": {
+        "must": [{"match_all": {}}],
+        "filter": [{"term": {"lang": "DE"}}]}}, "size": 10})
+    assert {r["url"] for r in res["hits"].collect()} == {"k1"}
+    res2 = es.search("kwnorm", {"query": {"bool": {
+        "must": [{"match_all": {}}],
+        "filter": [{"terms": {"lang": ["É N".replace(" ", ""), "fr"]}}]}},
+        "size": 10})
+    assert {r["url"] for r in res2["hits"].collect()} == {"k2", "k3", "k4"}
+    res3 = es.search("kwnorm", {"query": {"bool": {
+        "must": [{"match_all": {}}],
+        "filter": [{"prefix": {"lang": "É"}}]}}, "size": 10})
+    assert {r["url"] for r in res3["hits"].collect()} == {"k2", "k3", "k4"}
+    assert es.count("kwnorm", {"wildcard": {"lang": {"value": "E*"}}}) == 3
+    # unmapped index keeps raw keyword semantics
+    assert es.count("kwnorm", {"term": {"text": "ALPHA"}}) == 0
+    es.delete_index("kwnorm")
