@@ -2412,6 +2412,138 @@ class Engine:
         os.replace(tmp, self._scripts_path())
         return {"acknowledged": True}
 
+    # ---- x-pack ml: trained models / anomaly jobs / datafeeds --------------
+
+    def _ml_path(self) -> str:
+        return os.path.join(self.root, "_ml.json")
+
+    def _load_ml(self) -> dict:
+        import json
+
+        if os.path.exists(self._ml_path()):
+            with open(self._ml_path()) as f:
+                state = json.load(f)
+        else:
+            state = {"models": {}, "jobs": {}, "datafeeds": {}}
+        from .operators import ltr as ltr_mod
+
+        for mid, mdef in state["models"].items():
+            ltr_mod.TRAINED_MODELS.setdefault(mid, mdef)
+        return state
+
+    def _save_ml(self, state: dict) -> None:
+        import json
+
+        tmp = self._ml_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._ml_path())
+
+    def put_trained_model(self, model_id: str, body: dict) -> dict:
+        """PUT /_ml/trained_models/{id} (``TransportPutTrainedModelAction``):
+        persist a tree-ensemble inference definition; referenced by the
+        `inference` pipeline agg, the LTR rescorer, and `infer_trained_model`.
+        Accepts the reference's envelope ``{"definition": {"trained_model":
+        {"ensemble": ...}}}`` or a bare ensemble dict."""
+        from .operators import ltr as ltr_mod
+
+        definition = body.get("definition", body)
+        definition = definition.get("trained_model", definition)
+        state = self._load_ml()
+        state["models"][model_id] = definition
+        self._save_ml(state)
+        ltr_mod.TRAINED_MODELS[model_id] = definition
+        return {"model_id": model_id, "acknowledged": True}
+
+    def get_trained_model(self, model_id: str) -> dict:
+        return {"model_id": model_id,
+                "definition": self._load_ml()["models"][model_id]}
+
+    def delete_trained_model(self, model_id: str) -> dict:
+        from .operators import ltr as ltr_mod
+
+        state = self._load_ml()
+        state["models"].pop(model_id, None)
+        self._save_ml(state)
+        ltr_mod.TRAINED_MODELS.pop(model_id, None)
+        return {"acknowledged": True}
+
+    def infer_trained_model(self, model_id: str, docs: list[dict]) -> list[float]:
+        """POST /_ml/trained_models/{id}/_infer analog: score a small batch
+        of feature docs. The model compiles to one CASE-WHEN projection —
+        the same JVM codegen path the pipeline agg and rescorer use — so
+        this is one tiny local-relation job, not a Python loop."""
+        from .operators import ltr as ltr_mod
+
+        self._load_ml()
+        model, feat_map = ltr_mod.safe_feature_model(
+            ltr_mod.resolve_trained_model(model_id))
+        rows = [{ph: float(d.get(feat)) if d.get(feat) is not None else None
+                 for ph, feat in feat_map.items()} for d in docs]
+        schema = ", ".join(f"{ph} double" for ph in feat_map)
+        frame = self.spark.createDataFrame(rows, schema=schema)
+        out = frame.select(F.expr(ltr_mod.ensemble_sql(model)).alias("value"))
+        return [r["value"] for r in out.collect()]
+
+    def put_anomaly_job(self, job_id: str, config: dict) -> dict:
+        """PUT /_ml/anomaly_detectors/{id}: store the job config
+        (``analysis_config.bucket_span`` + one detector + optional
+        ``partition_field_name``; ``data_description.time_field``)."""
+        state = self._load_ml()
+        state["jobs"][job_id] = config
+        self._save_ml(state)
+        return {"job_id": job_id, "acknowledged": True}
+
+    def put_datafeed(self, datafeed_id: str, config: dict) -> dict:
+        """PUT /_ml/datafeeds/{id}: ``{job_id, indices: [index], query?}`` —
+        the query feeds the job's detector exactly like the reference's
+        datafeed extractor."""
+        state = self._load_ml()
+        if config["job_id"] not in state["jobs"]:
+            raise KeyError(f"unknown anomaly job: {config['job_id']}")
+        state["datafeeds"][datafeed_id] = config
+        self._save_ml(state)
+        return {"datafeed_id": datafeed_id, "acknowledged": True}
+
+    def start_datafeed(
+        self, datafeed_id: str, start: str | None = None, end: str | None = None,
+    ) -> DataFrame:
+        """POST /_ml/datafeeds/{id}/_start: pull the datafeed's (optionally
+        query-filtered, time-bounded) docs and run the job's detector →
+        anomaly record frame (``plans/ml.anomaly_detect``). Batch analog of
+        the reference's lookback run: the extractor query and the bucketed
+        detector both stay distributed; only the per-partition robust
+        baseline reduces small."""
+        from .plans.ml import anomaly_detect
+
+        state = self._load_ml()
+        feed = state["datafeeds"][datafeed_id]
+        job = state["jobs"][feed["job_id"]]
+        index = feed["indices"][0]
+        docs = self._docs_view(index)
+        if feed.get("query"):
+            node = dsl.parse(feed["query"])
+            ctx = dsl.SearchContext(docs, "url", text_col="text",
+                                    kw_norm=self._kw_normalizers(index))
+            docs = docs.where(node.predicate(ctx))
+        ac = job["analysis_config"]
+        tf = job.get("data_description", {}).get("time_field", "warc_ts")
+        if start:
+            docs = docs.where(F.col(tf) >= F.lit(start).cast("timestamp"))
+        if end:
+            docs = docs.where(F.col(tf) < F.lit(end).cast("timestamp"))
+        det = ac["detectors"][0]
+        m = re.fullmatch(r"(\d+)([smhd])", str(ac.get("bucket_span", "1h")))
+        if not m:
+            raise ValueError(f"unsupported bucket_span: {ac.get('bucket_span')!r}")
+        span = int(m.group(1)) * {"s": 1, "m": 60, "h": 3600, "d": 86400}[m.group(2)]
+        return anomaly_detect(
+            docs, tf, span,
+            function=det.get("function", "count"),
+            field=det.get("field_name"),
+            partition_field=det.get("partition_field_name"),
+        )
+
     def scripts_painless_execute(self, script: dict, context_doc: dict | None = None) -> dict:
         """POST /_scripts/painless/_execute: evaluate a script (SQL-expr
         Painless analog) against an optional one-doc context; stored

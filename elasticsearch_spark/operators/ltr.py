@@ -90,6 +90,51 @@ def ensemble_col(model: dict) -> Column:
     return F.expr(ensemble_sql(model))
 
 
+# trained-model registry (PUT _ml/trained_models/{model_id} analog,
+# ``x-pack/plugin/core/.../ml/inference/TrainedModelConfig.java``): model_id
+# → {"ensemble": {...}} (or a bare ensemble dict). Persisted by Engine when
+# registered through the API layer; this dict is the in-process cache.
+TRAINED_MODELS: dict[str, dict] = {}
+
+
+def put_trained_model(model_id: str, definition: dict) -> None:
+    TRAINED_MODELS[model_id] = definition
+
+
+def resolve_trained_model(model: str | dict) -> dict:
+    """Accept a model_id (registry lookup) or an inline definition; unwrap
+    the ``{"ensemble": ...}`` envelope the reference's definition uses."""
+    if isinstance(model, str):
+        if model not in TRAINED_MODELS:
+            raise KeyError(f"unknown trained model: {model}")
+        model = TRAINED_MODELS[model]
+    if "ensemble" in model:
+        model = model["ensemble"]
+    return model
+
+
+def safe_feature_model(model: dict) -> tuple[dict, dict[str, str]]:
+    """Rewrite feature names to SQL-safe placeholders.
+
+    ``compile_tree`` splices feature names verbatim into SQL, so a feature
+    like ``load.avg`` would parse as a struct access. Returns a deep-rewritten
+    model plus {placeholder: original_feature} to bind columns with."""
+    import copy
+
+    model = copy.deepcopy(model)
+    mapping: dict[str, str] = {}
+    rev: dict[str, str] = {}
+    for tree in model["trained_models"]:
+        names = tree["feature_names"]
+        for i, n in enumerate(names):
+            if n not in rev:
+                ph = f"__feat{len(rev)}"
+                rev[n] = ph
+                mapping[ph] = n
+            names[i] = rev[n]
+    return model, mapping
+
+
 def ltr_rescore(
     hits: DataFrame,
     model: dict,

@@ -768,6 +768,30 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
             .limit(size)
         )
 
+    if kind == "time_series":
+        # TimeSeriesAggregationBuilder.java (TSDB): one bucket per time
+        # series — the _tsid, i.e. the tuple of time_series_dimension
+        # fields. The reference reads dims off the index mapping; this
+        # engine takes them explicitly (`dimensions: [...]`, same contract
+        # as Engine.esql's TS dims). Buckets come back in _tsid order
+        # (dims asc) with doc_count + metric sub-aggs; `key` mirrors the
+        # reference's _tsid map rendered canonically as d1=v1,d2=v2.
+        # One groupBy on the dim tuple — map-side combine, scale = terms.
+        # (plans/fields.time_series_agg is the Column-level core of the same
+        # operator; this branch is its ES-aggs-body spelling.)
+        dims = body["dimensions"]
+        size = body.get("size", 10000)
+        grouped = _apply_metric_subaggs(df.groupBy(*[F.col(d) for d in dims]), sub)
+        metric_names = [c for c in grouped.columns if c not in dims]
+        key = F.concat_ws(
+            ",", *[F.concat(F.lit(f"{d}="), F.col(d).cast("string")) for d in dims]
+        )
+        return (
+            grouped.select(key.alias("key"), *[F.col(d) for d in dims], *metric_names)
+            .orderBy(*[F.asc(d) for d in dims])
+            .limit(size)
+        )
+
     if kind == "ip_prefix":
         # IpPrefixAggregationBuilder.java: bucket IPv4 addresses by their
         # /prefix_length network (v4 subset, numeric mask then re-format)
@@ -1594,6 +1618,27 @@ def apply_pipeline(buckets: DataFrame, name: str, spec: dict) -> DataFrame:
             )
         return out
 
+    if kind == "inference":
+        # InferencePipelineAggregationBuilder.java (x-pack ml): per-bucket
+        # inference with a trained tree-ensemble model. buckets_path is a
+        # {feature_name: bucket_column} map; the model comes from the
+        # trained-model registry (model_id) or inline. The ensemble compiles
+        # to one CASE-WHEN SQL projection over the bucket frame — JVM-side,
+        # zero Python per bucket, same codegen path as the LTR rescorer.
+        from ..operators.ltr import ensemble_sql, resolve_trained_model, safe_feature_model
+
+        model = resolve_trained_model(body.get("model_id") or body["model"])
+        model, feat_map = safe_feature_model(model)
+        out = buckets
+        for ph, feat in feat_map.items():
+            bp = body["buckets_path"]
+            colname = bp.get(feat, feat)
+            if colname == "_count":
+                colname = "doc_count"
+            out = out.withColumn(ph, F.col(colname).cast("double"))
+        out = out.withColumn(name, F.expr(ensemble_sql(model)))
+        return out.drop(*feat_map.keys())
+
     if kind == "bucket_sort":
         order = []
         for s in body.get("sort", []):
@@ -1610,7 +1655,7 @@ def apply_pipeline(buckets: DataFrame, name: str, spec: dict) -> DataFrame:
 _PIPELINE_KINDS = {
     "cumulative_sum", "derivative", "serial_diff", "moving_fn", "moving_avg",
     "bucket_script", "bucket_selector", "bucket_sort",
-    "normalize", "moving_percentiles",
+    "normalize", "moving_percentiles", "inference",
 }
 
 # sibling pipelines: aggregate ANOTHER agg's bucket frame into one row

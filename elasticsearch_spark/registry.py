@@ -2071,6 +2071,55 @@ def a_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     }).select("key", "doc_count", F.round("avg_chars", 4).alias("avg_chars"))
 
 
+def a_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inference pipeline agg (InferencePipelineAggregationBuilder.java):
+    per-bucket tree-ensemble inference over (doc_count, avg_chars) — the
+    ensemble compiles to one CASE-WHEN projection, mirrored verbatim by the
+    oracle SQL."""
+    from .plans import aggs as aggs_mod
+
+    model = {
+        "trained_models": [
+            {
+                "feature_names": ["bucket_count"],
+                "tree_structure": [
+                    {"node_index": 0, "split_feature": 0, "threshold": 100.0,
+                     "left_child": 1, "right_child": 2},
+                    {"node_index": 1, "left_child": -1, "leaf_value": 1.0},
+                    {"node_index": 2, "left_child": -1, "leaf_value": 10.0},
+                ],
+            },
+            {
+                "feature_names": ["avg_chars"],
+                "tree_structure": [
+                    {"node_index": 0, "split_feature": 0, "threshold": 900.0,
+                     "left_child": 1, "right_child": 2},
+                    {"node_index": 1, "left_child": -1, "leaf_value": 0.0},
+                    {"node_index": 2, "left_child": -1, "leaf_value": 1.0},
+                ],
+            },
+        ],
+        "aggregate_output": {"logistic_regression": {"weights": [0.3, 2.0]}},
+    }
+    out = aggs_mod.aggregate(_docs(spark, sf_dir), {
+        "by_lang": {
+            "terms": {"field": "lang", "size": 20},
+            "aggs": {
+                "avg_chars": {"avg": {"field": "n_chars"}},
+                "score": {"inference": {
+                    "model": model,
+                    "buckets_path": {"bucket_count": "_count",
+                                     "avg_chars": "avg_chars"},
+                }},
+            },
+        }
+    })["by_lang"]
+    return out.select(
+        "key", "doc_count", F.round("avg_chars", 4).alias("avg_chars"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def a_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ip_prefix (IpPrefixAggregationBuilder.java): /20 network buckets over
     an IPv4 column (derived deterministically from user_id — the testdata
@@ -5442,6 +5491,20 @@ SELECT lang || '|' || source AS key, count(*)::BIGINT AS doc_count,
 FROM documents GROUP BY lang, source
 ORDER BY doc_count DESC, key ASC LIMIT 10
 """,
+    "agg_inference": """
+WITH b AS (
+  SELECT lang AS key, count(*)::BIGINT AS doc_count,
+         avg(n_chars) AS avg_chars_full
+  FROM documents GROUP BY lang
+  ORDER BY doc_count DESC, key ASC LIMIT 20
+)
+SELECT key, doc_count, round(avg_chars_full, 4) AS avg_chars,
+       round(1.0 / (1.0 + exp(-(
+           0.3 * (CASE WHEN doc_count <= 100.0 THEN 1.0 ELSE 10.0 END)
+         + 2.0 * (CASE WHEN avg_chars_full <= 900.0 THEN 0.0 ELSE 1.0 END)
+       ))), 6) AS score
+FROM b
+""",
     "agg_ip_prefix": """
 SELECT concat('10.', ((user_id >> 16) & 255)::VARCHAR, '.',
               (((user_id >> 8) & 255) & 240)::VARCHAR, '.0') AS key,
@@ -6080,6 +6143,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_explore": q_graph_explore,
     "has_child_query": q_has_child,
     "agg_multi_terms": a_multi_terms,
+    "agg_inference": a_inference,
     "agg_ip_prefix": a_ip_prefix,
     "agg_string_stats": a_string_stats,
     "agg_boxplot": a_boxplot,
