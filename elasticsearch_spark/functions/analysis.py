@@ -315,8 +315,31 @@ def uax_url_email_tokenize(text: str) -> list[str]:
     return out
 
 
+# ClassicTokenizer (AC/ClassicTokenizerFactory.java → Lucene
+# classic.ClassicTokenizer): the pre-UAX#29 StandardTokenizer grammar —
+# e-mails, internet hosts, acronyms (U.S.A.), company names (AT&T) and
+# words with internal apostrophes survive as single tokens.
+_CLASSIC_RE = re.compile(
+    r"""(?x)
+      [\w.+-]+@[\w-]+(?:\.[\w-]+)+          # EMAIL
+    | (?:[^\W\d_]\.){2,}                    # ACRONYM: U.S.A.
+    | [^\W_]+(?:\.[^\W_]+){1,}              # HOST: www.example.com
+    | [^\W_]+(?:[&@][^\W_]+)+               # COMPANY: AT&T, Excite@Home
+    | [^\W\d_]+(?:'[^\W\d_]+)+              # APOSTROPHE: O'Neil's
+    | [^\W_]+                               # ALPHANUM / NUM
+    """,
+)
+
+
+def classic_tokenize(text: str) -> list[str]:
+    if not text:
+        return []
+    return [m.group(0).lower() for m in _CLASSIC_RE.finditer(text)]
+
+
 TOKENIZERS = {
     "standard": standard_tokenize,
+    "classic": classic_tokenize,
     "regex_simple": regex_simple_tokenize,
     "whitespace": whitespace_tokenize,
     "keyword": keyword_tokenize,
@@ -1608,6 +1631,218 @@ def _filter_remove_duplicates(toks: list[str], **_) -> list[str]:
     return out
 
 
+class _JStr(str):
+    """Java-String shim for the token-script Painless subset."""
+
+    def length(self):  # noqa: D102
+        return len(self)
+
+    def contains(self, s):
+        return s in self
+
+    def startsWith(self, s):  # noqa: N802
+        return self.startswith(s)
+
+    def endsWith(self, s):  # noqa: N802
+        return self.endswith(s)
+
+    def matches(self, p):
+        return re.fullmatch(p, self) is not None
+
+
+class _ScriptToken:
+    """The `token` variable of the analysis predicate script context
+    (Lucene ``AnalysisPredicateScript.Token``)."""
+
+    def __init__(self, term: str, position: int):
+        self.term = _JStr(term)
+        self.position = position
+
+    def getTerm(self):  # noqa: N802
+        return self.term
+
+    def getPosition(self):  # noqa: N802
+        return self.position
+
+
+def _token_script_pred(script):
+    """Compile a condition/predicate_token_filter script into a Python
+    predicate over (term, position).
+
+    Painless-analog subset (consistent with the engine's SQL-expr Painless
+    stance elsewhere): the ``token`` variable with getTerm()/term and
+    getPosition()/position, Java String methods length/contains/startsWith/
+    endsWith/matches, and the &&, ||, ! operators. Evaluated with no
+    builtins — the expression can only touch the token shim."""
+    src = script["source"] if isinstance(script, dict) else script
+    expr = src.replace("&&", " and ").replace("||", " or ")
+    expr = re.sub(r"!(?!=)", " not ", expr)
+    code = compile(expr, "<analysis-predicate>", "eval")
+
+    def pred(term: str, position: int) -> bool:
+        return bool(eval(  # noqa: S307 — no builtins, token shim only
+            code, {"__builtins__": {}}, {"token": _ScriptToken(term, position)}
+        ))
+
+    return pred
+
+
+def _resolve_subchain(filters):
+    """[name | (name, params) | "name1, name2"] → list of bound filter fns
+    (the multiplexer's comma-chain spelling included)."""
+    steps = []
+    for fspec in filters or []:
+        if isinstance(fspec, str):
+            for part in fspec.split(","):
+                steps.append((TOKEN_FILTERS[part.strip()], {}))
+        else:
+            fname, params = fspec
+            steps.append((TOKEN_FILTERS[fname], params))
+    return steps
+
+
+def _filter_condition(toks: list[str], filter: list | None = None, script=None, **_) -> list[str]:  # noqa: A002
+    """condition filter (AC/ScriptedConditionTokenFilterFactory.java): apply
+    the wrapped filter chain only to tokens the script predicate accepts;
+    other tokens pass through untouched."""
+    pred = _token_script_pred(script or {"source": "true"})
+    steps = _resolve_subchain(filter)
+    out: list[str] = []
+    for i, t in enumerate(toks):
+        if pred(t, i):
+            sub = [t]
+            for ff, params in steps:
+                sub = ff(sub, **params)
+            out.extend(sub)
+        else:
+            out.append(t)
+    return out
+
+
+def _filter_predicate(toks: list[str], script=None, **_) -> list[str]:
+    """predicate_token_filter (AC/PredicateTokenFilterScriptFactory.java):
+    keep only tokens the script predicate accepts."""
+    pred = _token_script_pred(script or {"source": "true"})
+    return [t for i, t in enumerate(toks) if pred(t, i)]
+
+
+def _filter_multiplexer(
+    toks: list[str], filters: list | None = None, preserve_original: bool = True, **_
+) -> list[str]:
+    """multiplexer (AC/MultiplexerTokenFilterFactory.java): emit each token
+    through EACH comma-separated filter chain at the same position (plus the
+    original when preserve_original), deduping identical same-position
+    outputs — the reference's RemoveDuplicatesTokenFilter step."""
+    chains = [_resolve_subchain([spec]) for spec in (filters or [])]
+    out: list[str] = []
+    for t in toks:
+        seen: list[str] = []
+        if preserve_original:
+            seen.append(t)
+        for steps in chains:
+            sub = [t]
+            for ff, params in steps:
+                sub = ff(sub, **params)
+            for s in sub:
+                if s not in seen:
+                    seen.append(s)
+        out.extend(seen)
+    return out
+
+
+def _filter_dictionary_decompounder(
+    toks: list[str], word_list=(), min_word_size: int = 5,
+    min_subword_size: int = 2, max_subword_size: int = 15,
+    only_longest_match: bool = False, **_,
+) -> list[str]:
+    """dictionary_decompounder (AC/DictionaryCompoundWordTokenFilterFactory
+    .java): for each token of at least min_word_size, emit the original plus
+    every dictionary word found as a substring within the subword size
+    bounds; only_longest_match keeps just the longest hit per start offset
+    (Lucene's DictionaryCompoundWordTokenFilter contract)."""
+    words = [w.lower() for w in word_list
+             if min_subword_size <= len(w) <= max_subword_size]
+    out: list[str] = []
+    for t in toks:
+        out.append(t)
+        if len(t) < min_word_size:
+            continue
+        for i in range(len(t)):
+            best = None
+            for w in words:
+                if t.startswith(w, i) and len(w) <= len(t):
+                    if only_longest_match:
+                        if best is None or len(w) > len(best):
+                            best = w
+                    else:
+                        out.append(w)
+            if only_longest_match and best is not None:
+                out.append(best)
+    return out
+
+
+def _filter_hyphenation_decompounder(toks: list[str], **kw) -> list[str]:
+    """hyphenation_decompounder (AC/HyphenationCompoundWordTokenFilter
+    Factory.java): the reference intersects FOP hyphenation-pattern break
+    points with the dictionary; no hyphenation-pattern XML ships in this
+    environment, so candidates degrade to the dictionary substring scan —
+    same word_list/size/only_longest_match contract, a documented SUPERSET
+    of the hyphenation-gated output (every pattern-gated subword is also a
+    dictionary substring)."""
+    return _filter_dictionary_decompounder(toks, **kw)
+
+
+_KSTEM_ENDINGS = (
+    # (suffix, replacement, min stem length) — the dictionary-free core of
+    # Lucene's KStemmer (kstem filter, AC/KStemTokenFilterFactory.java):
+    # inflectional plurals and -ed/-ing with e-restoration heuristics. The
+    # reference additionally consults a built-in exception lexicon;
+    # divergences are the lexicon's irregulars (documented, pinned by tests).
+    ("ies", "y", 2), ("sses", "ss", 2), ("ches", "ch", 2), ("shes", "sh", 2),
+    ("xes", "x", 2), ("zes", "z", 2),
+    ("ied", "y", 2), ("ing", "", 3), ("ed", "", 3),
+)
+
+
+def kstem(w: str) -> str:
+    if len(w) < 4 or not w.isalpha():
+        # KStemmer's 3-char minimum stem: words shorter than 4 never change
+        return w
+    if w.endswith("s") and not w.endswith(("ss", "us", "ies", "es")) and len(w) >= 4:
+        return w[:-1]
+    if w.endswith("ss") or w.endswith("us"):
+        return w
+    for suf, rep, minlen in _KSTEM_ENDINGS:
+        if w.endswith(suf) and len(w) - len(suf) >= minlen:
+            stem = w[: len(w) - len(suf)] + rep
+            # undo consonant doubling: "fitted" → "fit", "running" → "run"
+            # (e-restoration like "hoping" → "hope" needs the reference's
+            # lexicon to separate it from "hoping" vs "hopping"; divergence
+            # documented above)
+            if suf in ("ing", "ed") and len(stem) >= 2 \
+                    and stem[-1] == stem[-2] and stem[-1] not in "lsz":
+                stem = stem[:-1]
+            return stem
+    return w
+
+
+def _filter_kstem(toks: list[str], **_) -> list[str]:
+    return [kstem(t) for t in toks]
+
+
+def _filter_classic(toks: list[str], **_) -> list[str]:
+    """classic filter (Lucene ClassicFilter): strip trailing possessive 's
+    and remove dots from acronyms produced by the classic tokenizer."""
+    out = []
+    for t in toks:
+        if t.endswith("'s") or t.endswith("’s"):
+            t = t[:-2]
+        if re.fullmatch(r"(?:[^\W\d_]\.){2,}", t):
+            t = t.replace(".", "")
+        out.append(t)
+    return out
+
+
 TOKEN_FILTERS = {
     "phonetic": _filter_phonetic,
     "elision": _filter_elision,
@@ -1655,6 +1890,17 @@ TOKEN_FILTERS = {
     "min_hash": _filter_min_hash,
     "keyword_marker": _filter_keyword_marker,
     "stemmer_override": _filter_stemmer_override,
+    "condition": _filter_condition,
+    "predicate_token_filter": _filter_predicate,
+    "multiplexer": _filter_multiplexer,
+    "dictionary_decompounder": _filter_dictionary_decompounder,
+    "hyphenation_decompounder": _filter_hyphenation_decompounder,
+    "kstem": _filter_kstem,
+    "classic": _filter_classic,
+    # synonym_graph differs from synonym only in emitting a position GRAPH
+    # for multi-token rules; our postings flatten positions (same stance as
+    # flatten_graph above), so the flat expansion is the whole contract here
+    "synonym_graph": _filter_synonym,
 }
 
 # stemming filters that honor the keyword-protected set threaded through a

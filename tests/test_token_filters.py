@@ -438,3 +438,90 @@ def test_normalization_filter_batch():
     assert TF["keep_types"](["v2", "2024", "x"], types=["<NUM>"]) == ["2024"]
     assert TF["keep_types"](["v2", "2024"], types=["<NUM>"], mode="exclude") == ["v2"]
     assert TF["remove_duplicates"](["a", "a", "b", "a"]) == ["a", "b", "a"]
+
+
+# --- round-2 conditional / compound / classic batch -------------------------
+
+def test_condition_filter():
+    # Lucene docs example: reverse only tokens shorter than 5 chars
+    analysis.register_analyzer("cond", filters=[(
+        "condition",
+        {"filter": ["reverse"],
+         "script": {"source": "token.getTerm().length() < 5"}},
+    )])
+    assert analysis.analyze("what flapdoodle", "cond") == ["tahw", "flapdoodle"]
+
+
+def test_predicate_token_filter():
+    analysis.register_analyzer("pred", filters=[(
+        "predicate_token_filter",
+        {"script": {"source": "token.term.contains('oo') && !token.term.startsWith('f')"}},
+    )])
+    assert analysis.analyze("foo moon book bar", "pred") == ["moon", "book"]
+
+
+def test_multiplexer():
+    # ES docs shape: original + lowercase chain + stem chain, deduped
+    analysis.register_analyzer("mux", filters=[(
+        "multiplexer", {"filters": ["porter_stem", "reverse"]},
+    )])
+    got = analysis.analyze("running", "mux")
+    assert got == ["running", "run", "gninnur"]
+    # identical chain outputs dedupe against the original
+    analysis.register_analyzer("mux2", filters=[("multiplexer", {"filters": ["lowercase"]})])
+    assert analysis.analyze("abc", "mux2") == ["abc"]
+
+
+def test_multiplexer_comma_chain():
+    analysis.register_analyzer("mux3", filters=[(
+        "multiplexer", {"filters": ["reverse, porter_stem"], "preserve_original": False},
+    )])
+    # reverse then stem: "dances" -> "secnad" -> porter leaves "secnad"
+    assert analysis.analyze("dances", "mux3") == ["secnad"]
+
+
+def test_dictionary_decompounder():
+    analysis.register_analyzer("decomp", filters=[(
+        "dictionary_decompounder",
+        {"word_list": ["donau", "dampf", "schiff", "fahrt"]},
+    )])
+    assert analysis.analyze("donaudampfschiff", "decomp") == [
+        "donaudampfschiff", "donau", "dampf", "schiff"
+    ]
+    # min_word_size gate: short tokens pass through unsplit
+    analysis.register_analyzer("decomp2", filters=[(
+        "dictionary_decompounder", {"word_list": ["da"], "min_word_size": 5},
+    )])
+    assert analysis.analyze("dada", "decomp2") == ["dada"]
+
+
+def test_hyphenation_decompounder_longest_match():
+    analysis.register_analyzer("hyp", filters=[(
+        "hyphenation_decompounder",
+        {"word_list": ["schiff", "fahrt", "schifffahrt"],
+         "only_longest_match": True},
+    )])
+    assert analysis.analyze("schifffahrt", "hyp") == ["schifffahrt", "schifffahrt", "fahrt"]
+
+
+def test_kstem():
+    analysis.register_analyzer("ks", filters=["kstem"])
+    assert analysis.analyze("dogs churches berries running fitted class", "ks") == [
+        "dog", "church", "berry", "run", "fit", "class"
+    ]
+
+
+def test_classic_tokenizer_and_filter():
+    analysis.register_analyzer("cls", tokenizer="classic", filters=["classic"])
+    got = analysis.analyze("The U.S.A. hosts www.example.com and O'Neil's AT&T", "cls")
+    assert "usa" in got
+    assert "www.example.com" in got
+    assert "at&t" in got
+    assert "o'neil" in got
+
+
+def test_synonym_graph_alias():
+    analysis.register_analyzer("syng", filters=[(
+        "synonym_graph", {"synonyms": ["car, automobile"]},
+    )])
+    assert analysis.analyze("car", "syng") == ["car", "automobile"]
