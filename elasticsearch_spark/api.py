@@ -1088,7 +1088,10 @@ class Engine:
             )
             if body.get("highlight"):
                 docs_text = self._docs_view(index).select("url", "text")
-                hits = highlight_fn(hits.join(docs_text, "url"), terms).drop("text")
+                hits = highlight_fn(
+                    hits.join(docs_text, "url"), terms,
+                    **self._highlight_opts(body["highlight"]),
+                ).drop("text")
         elif kind.startswith("span_") and "sort" not in body:
             if "post_filter" in body:
                 # span queries exist only on the index path, which has no
@@ -2632,6 +2635,33 @@ class Engine:
             json.dump(merged, f)
         os.replace(tmp, path)
         return {"acknowledged": True}
+
+    @staticmethod
+    def _highlight_opts(hl) -> dict:
+        """HighlightBuilder options → highlight() kwargs. Global options
+        merge under per-field ones (``fields.text``); ``type``
+        (unified/plain/fvh) is accepted and normalized — all three
+        highlighters differ only in how they FIND offsets (postings vs
+        term vectors vs re-analysis); the passage output contract is the
+        unified one this engine implements, so type selects nothing here."""
+        if not isinstance(hl, dict):
+            return {}
+        fields = hl.get("fields") or {}
+        if isinstance(fields, list):  # ES also allows a list of one-key maps
+            merged_f = {}
+            for f in fields:
+                merged_f.update(f)
+            fields = merged_f
+        fspec = fields.get("text") or {}
+        merged = {**hl, **fspec}
+        if merged.get("type") not in (None, "unified", "plain", "fvh"):
+            raise ValueError(f"unsupported highlighter type: {merged['type']!r}")
+        return {
+            "pre_tag": (merged.get("pre_tags") or ["<em>"])[0],
+            "post_tag": (merged.get("post_tags") or ["</em>"])[0],
+            "fragment_size": merged.get("fragment_size", 100),
+            "number_of_fragments": merged.get("number_of_fragments", 1),
+        }
 
     def _kw_normalizers(self, index: str) -> dict:
         """field → normalizer filter chain, from the persisted mapping

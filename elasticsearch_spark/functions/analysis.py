@@ -1830,6 +1830,91 @@ def _filter_kstem(toks: list[str], **_) -> list[str]:
     return [kstem(t) for t in toks]
 
 
+def _parse_hunspell(dic: list[str], aff: list[str]):
+    """Parse the SFX/PFX subset of hunspell .aff rules plus a .dic word list.
+
+    Returns (words: {word: flagset}, sfx: [(flag, strip, add, cond_re)],
+    pfx likewise). Supported .aff grammar (the part Lucene's Dictionary.java
+    exercises for stemming): ``SFX F Y n`` headers followed by
+    ``SFX F strip add condition`` rules, 0 meaning empty strip; same for PFX.
+    Unsupported directives are ignored (REP/MAP/TRY are suggestion-side)."""
+    words: dict[str, frozenset] = {}
+    for line in dic:
+        line = line.strip()
+        if not line or line.isdigit() or line.startswith("#"):
+            continue
+        word, _, flags = line.partition("/")
+        words[word.lower()] = frozenset(flags.strip())
+    sfx, pfx = [], []
+    for line in aff:
+        parts = line.split()
+        # headers are 4 fields (``SFX F Y count``); rules are ≥5
+        if len(parts) >= 5 and parts[0] in ("SFX", "PFX"):
+            kind, flag, strip, add, cond = parts[0], parts[1], parts[2], parts[3], parts[4]
+            strip = "" if strip == "0" else strip.lower()
+            add = "" if add == "0" else add.split("/")[0].lower()
+            try:
+                cond_re = re.compile(cond.lower() + "$") if cond != "." else None
+            except re.error:
+                continue
+            (sfx if kind == "SFX" else pfx).append((flag, strip, add, cond_re))
+    return words, sfx, pfx
+
+
+def make_hunspell_filter(dictionary_rules: list[str] | None = None,
+                         dictionary: list[str] | None = None,
+                         dedup: bool = True, longest_only: bool = False, **_):
+    """hunspell filter (AC/HunspellTokenFilterFactory.java → Lucene
+    HunspellStemFilter): dictionary-driven stemming. The reference loads
+    locale dictionaries from config/hunspell/<lang>; none ship in this
+    environment, so the dictionary is INLINE — ``dictionary`` (.dic lines)
+    + ``dictionary_rules`` (.aff lines) — with the same stemming semantics:
+    a token stems to every dictionary word that regenerates it through one
+    suffix/prefix rule carrying that word's flag; dictionary words map to
+    themselves; unknown tokens pass through."""
+    words, sfx, pfx = _parse_hunspell(dictionary or [], dictionary_rules or [])
+
+    def stems(t: str) -> list[str]:
+        out = []
+        if t in words:
+            out.append(t)
+        for flag, strip, add, cond in sfx:
+            if add and t.endswith(add):
+                stem = t[: len(t) - len(add)] + strip
+                if stem in words and flag in words[stem] \
+                        and (cond is None or cond.search(stem)):
+                    out.append(stem)
+        for flag, strip, add, cond in pfx:
+            if add and t.startswith(add):
+                stem = strip + t[len(add):]
+                if stem in words and flag in words[stem] \
+                        and (cond is None or cond.search(stem)):
+                    out.append(stem)
+        return out
+
+    def fn(toks: list[str], **__) -> list[str]:
+        out: list[str] = []
+        for t in toks:
+            st = stems(t)
+            if not st:
+                out.append(t)
+            elif longest_only:
+                out.append(max(st, key=len))
+            else:
+                seen = []
+                for s in st:
+                    if not dedup or s not in seen:
+                        seen.append(s)
+                out.extend(seen)
+        return out
+
+    return fn
+
+
+def _filter_hunspell(toks: list[str], **kw) -> list[str]:
+    return make_hunspell_filter(**kw)(toks)
+
+
 def _filter_classic(toks: list[str], **_) -> list[str]:
     """classic filter (Lucene ClassicFilter): strip trailing possessive 's
     and remove dots from acronyms produced by the classic tokenizer."""
@@ -1897,6 +1982,7 @@ TOKEN_FILTERS = {
     "hyphenation_decompounder": _filter_hyphenation_decompounder,
     "kstem": _filter_kstem,
     "classic": _filter_classic,
+    "hunspell": _filter_hunspell,
     # synonym_graph differs from synonym only in emitting a position GRAPH
     # for multi-token rules; our postings flatten positions (same stance as
     # flatten_graph above), so the flat expansion is the whole contract here

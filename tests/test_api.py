@@ -58,6 +58,26 @@ def test_search_highlight(es):
     assert any("<em>spark</em>" in (r["highlight"] or "") for r in hits)
 
 
+def test_search_highlight_options(es):
+    # HighlightBuilder options: custom tags + per-field override + type alias
+    res = es.search("pages", {
+        "query": {"match": {"text": "spark"}},
+        "highlight": {
+            "pre_tags": ["<b>"], "post_tags": ["</b>"],
+            "type": "fvh",
+            "fields": {"text": {"fragment_size": 60}},
+        },
+        "size": 3,
+    })
+    hits = res["hits"].collect()
+    assert any("<b>spark</b>" in (r["highlight"] or "") for r in hits)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        es.search("pages", {"query": {"match": {"text": "spark"}},
+                            "highlight": {"type": "nope"}, "size": 1})
+
+
 def test_count_with_query(es):
     assert es.count("pages", {"term": {"lang": "de"}}) == 1
     assert es.count("pages", {"match": {"text": "dog"}}) == 1  # analyzed: 'dogs' ≠ 'dog'

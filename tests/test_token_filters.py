@@ -525,3 +525,37 @@ def test_synonym_graph_alias():
         "synonym_graph", {"synonyms": ["car, automobile"]},
     )])
     assert analysis.analyze("car", "syng") == ["car", "automobile"]
+
+
+def test_hunspell_filter():
+    # mini en_US-style dictionary: drink/S flags; condition [^y] gates -s
+    dic = ["3", "drink/SG", "walk/SG", "city/P"]
+    aff = [
+        "SFX S Y 1",
+        "SFX S 0 s [^y]",
+        "SFX G Y 1",
+        "SFX G 0 ing .",
+        "PFX P Y 1",
+        "PFX P 0 mega .",
+    ]
+    analysis.register_analyzer("hun", filters=[(
+        "hunspell", {"dictionary": dic, "dictionary_rules": aff},
+    )])
+    got = analysis.analyze("drinks walking megacity cities unknownword", "hun")
+    # drinks -> drink (S), walking -> walk (G), megacity -> city (P prefix),
+    # cities has no matching rule (condition [^y] blocks -s on 'citie'),
+    # unknown tokens pass through
+    assert got == ["drink", "walk", "city", "cities", "unknownword"]
+    # dictionary words stem to themselves
+    assert analysis.analyze("drink", "hun") == ["drink"]
+
+
+def test_hunspell_longest_only():
+    dic = ["2", "walk/S", "walks"]
+    aff = ["SFX S Y 1", "SFX S 0 s ."]
+    analysis.register_analyzer("hun2", filters=[(
+        "hunspell",
+        {"dictionary": dic, "dictionary_rules": aff, "longest_only": True},
+    )])
+    # "walks" is itself a dictionary word AND stems to "walk" — longest wins
+    assert analysis.analyze("walks", "hun2") == ["walks"]

@@ -37,9 +37,17 @@ def main() -> int:
         with redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
+        # AQE formatted plans (isFinalPlan=false) omit codegen ids in Spark 4;
+        # simple mode still stars codegen stages as `*(n)`
+        buf2 = io.StringIO()
+        with redirect_stdout(buf2):
+            df.explain()
+        import re as _re
+
+        codegen_spans = len(set(_re.findall(r"\*\((\d+)\)", buf2.getvalue())))
         markers = {
             "PushedFilters": plan.count("PushedFilters: ["),
-            "WholeStageCodegen spans": plan.count("WholeStageCodegen") + plan.count("codegen id"),
+            "WholeStageCodegen spans": codegen_spans,
             "BroadcastHashJoin": plan.count("BroadcastHashJoin"),
             "SortMergeJoin": plan.count("SortMergeJoin"),
             "Exchange (shuffles)": plan.count("Exchange"),
