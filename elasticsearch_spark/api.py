@@ -2522,13 +2522,18 @@ class Engine:
         state = self._load_ml()
         feed = state["datafeeds"][datafeed_id]
         job = state["jobs"][feed["job_id"]]
-        index = feed["indices"][0]
-        docs = self._docs_view(index)
-        if feed.get("query"):
-            node = dsl.parse(feed["query"])
-            ctx = dsl.SearchContext(docs, "url", text_col="text",
-                                    kw_norm=self._kw_normalizers(index))
-            docs = docs.where(node.predicate(ctx))
+        frames = []
+        for index in feed["indices"]:
+            docs = self._docs_view(index)
+            if feed.get("query"):
+                node = dsl.parse(feed["query"])
+                ctx = dsl.SearchContext(docs, "url", text_col="text",
+                                        kw_norm=self._kw_normalizers(index))
+                docs = docs.where(node.predicate(ctx))
+            frames.append(docs)
+        docs = frames[0]
+        for f in frames[1:]:
+            docs = docs.unionByName(f, allowMissingColumns=True)
         ac = job["analysis_config"]
         tf = job.get("data_description", {}).get("time_field", "warc_ts")
         if start:

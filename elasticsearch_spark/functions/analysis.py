@@ -322,8 +322,12 @@ def uax_url_email_tokenize(text: str) -> list[str]:
 _CLASSIC_RE = re.compile(
     r"""(?x)
       [\w.+-]+@[\w-]+(?:\.[\w-]+)+          # EMAIL
-    | (?:[^\W\d_]\.){2,}                    # ACRONYM: U.S.A.
-    | [^\W_]+(?:\.[^\W_]+){1,}              # HOST: www.example.com
+    | (?:[^\W\d_]\.){2,}(?!\w)              # ACRONYM: U.S.A. — the lookahead
+                                            #   emulates JFlex longest-match:
+                                            #   when a letter follows the dot
+                                            #   run (a.b.c) the longer HOST
+                                            #   alternative wins instead
+    | [^\W_]+(?:\.[^\W_]+){1,}              # HOST: www.example.com, a.b.c
     | [^\W_]+(?:[&@][^\W_]+)+               # COMPANY: AT&T, Excite@Home
     | [^\W\d_]+(?:'[^\W\d_]+)+              # APOSTROPHE: O'Neil's
     | [^\W_]+                               # ALPHANUM / NUM
@@ -1665,6 +1669,10 @@ class _ScriptToken:
         return self.position
 
 
+_STRING_LIT_RE = re.compile(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"")
+_TOKEN_PRED_CACHE: dict[str, object] = {}
+
+
 def _token_script_pred(script):
     """Compile a condition/predicate_token_filter script into a Python
     predicate over (term, position).
@@ -1672,18 +1680,38 @@ def _token_script_pred(script):
     Painless-analog subset (consistent with the engine's SQL-expr Painless
     stance elsewhere): the ``token`` variable with getTerm()/term and
     getPosition()/position, Java String methods length/contains/startsWith/
-    endsWith/matches, and the &&, ||, ! operators. Evaluated with no
-    builtins — the expression can only touch the token shim."""
+    endsWith/matches, the true/false/null literals, and &&, ||, !.
+    Evaluated with no builtins and a dunder guard — a deterministic
+    trusted-config evaluator (same trust model as the engine's SQL-expr
+    scripts), not a hostile-input sandbox."""
     src = script["source"] if isinstance(script, dict) else script
-    expr = src.replace("&&", " and ").replace("||", " or ")
+    if src in _TOKEN_PRED_CACHE:
+        return _TOKEN_PRED_CACHE[src]
+    # stash string literals FIRST so '&&' / '!' inside them stay data
+    # (same stash-first invariant as the ES|QL/EQL dialect rewrites)
+    lits: list[str] = []
+
+    def _stash(m):
+        lits.append(m.group(0))
+        return f"__lit{len(lits) - 1}__"
+
+    expr = _STRING_LIT_RE.sub(_stash, src)
+    if "__" in re.sub(r"__lit\d+__", "", expr):
+        raise ValueError("analysis predicate scripts may not contain '__'")
+    expr = expr.replace("&&", " and ").replace("||", " or ")
     expr = re.sub(r"!(?!=)", " not ", expr)
+    for i, lit in enumerate(lits):
+        expr = expr.replace(f"__lit{i}__", lit)
     code = compile(expr, "<analysis-predicate>", "eval")
+    consts = {"true": True, "false": False, "null": None}
 
     def pred(term: str, position: int) -> bool:
-        return bool(eval(  # noqa: S307 — no builtins, token shim only
-            code, {"__builtins__": {}}, {"token": _ScriptToken(term, position)}
+        return bool(eval(  # noqa: S307 — no builtins, dunder-guarded
+            code, {"__builtins__": {}},
+            {"token": _ScriptToken(term, position), **consts},
         ))
 
+    _TOKEN_PRED_CACHE[src] = pred
     return pred
 
 
@@ -1808,9 +1836,7 @@ def kstem(w: str) -> str:
     if len(w) < 4 or not w.isalpha():
         # KStemmer's 3-char minimum stem: words shorter than 4 never change
         return w
-    if w.endswith("s") and not w.endswith(("ss", "us", "ies", "es")) and len(w) >= 4:
-        return w[:-1]
-    if w.endswith("ss") or w.endswith("us"):
+    if w.endswith(("ss", "us", "is")):
         return w
     for suf, rep, minlen in _KSTEM_ENDINGS:
         if w.endswith(suf) and len(w) - len(suf) >= minlen:
@@ -1823,6 +1849,11 @@ def kstem(w: str) -> str:
                     and stem[-1] == stem[-2] and stem[-1] not in "lsz":
                 stem = stem[:-1]
             return stem
+    # plain plural: "tables" → "table", "makes" → "make" (the -es words the
+    # suffix table doesn't claim still strip one 's' — Lucene KStem strips
+    # the plural then consults its lexicon; we keep the strip)
+    if w.endswith("s") and len(w) >= 4:
+        return w[:-1]
     return w
 
 
@@ -1854,11 +1885,22 @@ def _parse_hunspell(dic: list[str], aff: list[str]):
             strip = "" if strip == "0" else strip.lower()
             add = "" if add == "0" else add.split("/")[0].lower()
             try:
-                cond_re = re.compile(cond.lower() + "$") if cond != "." else None
+                # hunspell conditions anchor to where the affix attaches:
+                # suffix conditions match the END of the root, prefix
+                # conditions its BEGINNING
+                if cond == ".":
+                    cond_re = None
+                elif kind == "SFX":
+                    cond_re = re.compile(cond.lower() + "$")
+                else:
+                    cond_re = re.compile("^" + cond.lower())
             except re.error:
                 continue
             (sfx if kind == "SFX" else pfx).append((flag, strip, add, cond_re))
     return words, sfx, pfx
+
+
+_HUNSPELL_CACHE: dict[tuple, tuple] = {}
 
 
 def make_hunspell_filter(dictionary_rules: list[str] | None = None,
@@ -1871,8 +1913,12 @@ def make_hunspell_filter(dictionary_rules: list[str] | None = None,
     + ``dictionary_rules`` (.aff lines) — with the same stemming semantics:
     a token stems to every dictionary word that regenerates it through one
     suffix/prefix rule carrying that word's flag; dictionary words map to
-    themselves; unknown tokens pass through."""
-    words, sfx, pfx = _parse_hunspell(dictionary or [], dictionary_rules or [])
+    themselves; unknown tokens pass through. Parsed dictionaries are cached
+    per (dic, aff) so per-document filter calls don't re-parse."""
+    ck = (tuple(dictionary or []), tuple(dictionary_rules or []))
+    if ck not in _HUNSPELL_CACHE:
+        _HUNSPELL_CACHE[ck] = _parse_hunspell(dictionary or [], dictionary_rules or [])
+    words, sfx, pfx = _HUNSPELL_CACHE[ck]
 
     def stems(t: str) -> list[str]:
         out = []

@@ -1629,9 +1629,9 @@ def apply_pipeline(buckets: DataFrame, name: str, spec: dict) -> DataFrame:
 
         model = resolve_trained_model(body.get("model_id") or body["model"])
         model, feat_map = safe_feature_model(model)
+        bp = body.get("buckets_path") or {}
         out = buckets
         for ph, feat in feat_map.items():
-            bp = body["buckets_path"]
             colname = bp.get(feat, feat)
             if colname == "_count":
                 colname = "doc_count"

@@ -559,3 +559,58 @@ def test_hunspell_longest_only():
     )])
     # "walks" is itself a dictionary word AND stems to "walk" — longest wins
     assert analysis.analyze("walks", "hun2") == ["walks"]
+
+
+# --- code-review regression batch --------------------------------------------
+
+def test_condition_default_script_and_literals():
+    # default script "true" must evaluate (Painless literals in scope)
+    assert analysis.TOKEN_FILTERS["condition"](["abc"], filter=["reverse"]) == ["cba"]
+    # operators inside string literals stay data (stash-first)
+    analysis.register_analyzer("predlit", filters=[(
+        "predicate_token_filter",
+        {"script": {"source": "token.term.contains('b&&c') || token.term.endsWith('z')"}},
+    )])
+    got = analysis.TOKEN_FILTERS["predicate_token_filter"](
+        ["ab&&cd", "xyz", "plain"],
+        script={"source": "token.term.contains('&&') || token.term.endsWith('z')"},
+    )
+    assert got == ["ab&&cd", "xyz"]
+    # dunder traversal is refused outright
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        analysis.TOKEN_FILTERS["predicate_token_filter"](
+            ["a"], script={"source": "token.term.__class__ != null"})
+
+
+def test_kstem_es_plurals():
+    from elasticsearch_spark.functions.analysis import kstem
+
+    assert kstem("tables") == "table"
+    assert kstem("makes") == "make"
+    assert kstem("dogs") == "dog"
+    assert kstem("churches") == "church"
+    assert kstem("class") == "class"
+    assert kstem("tennis") == "tennis"
+
+
+def test_classic_longest_match_hosts():
+    from elasticsearch_spark.functions.analysis import classic_tokenize
+
+    # dotted runs followed by a letter are HOSTs (JFlex longest-match),
+    # trailing-dot runs are ACRONYMs
+    assert classic_tokenize("visit a.b.c now") == ["visit", "a.b.c", "now"]
+    assert classic_tokenize("U.S.A") == ["u.s.a"]
+    assert classic_tokenize("U.S.A. wins") == ["u.s.a.", "wins"]
+
+
+def test_hunspell_pfx_condition_anchors_front():
+    dic = ["2", "city/P", "apple/P"]
+    aff = ["PFX P Y 1", "PFX P 0 mega [^c]"]  # root must not START with c
+    analysis.register_analyzer("hun3", filters=[(
+        "hunspell", {"dictionary": dic, "dictionary_rules": aff},
+    )])
+    got = analysis.analyze("megacity megaapple", "hun3")
+    # 'city' starts with c → prefix rule must NOT apply; 'apple' does
+    assert got == ["megacity", "apple"]
