@@ -1732,7 +1732,11 @@ def _resolve_subchain(filters):
 def _filter_condition(toks: list[str], filter: list | None = None, script=None, **_) -> list[str]:  # noqa: A002
     """condition filter (AC/ScriptedConditionTokenFilterFactory.java): apply
     the wrapped filter chain only to tokens the script predicate accepts;
-    other tokens pass through untouched."""
+    other tokens pass through untouched. The sub-chain runs per accepted
+    token (the common single-token filters: stemmers, case, reverse, …);
+    stream-wide wrapped filters (shingle/cjk_bigram) would need the gated
+    SUBSEQUENCE view the reference builds and are refused by shape here —
+    they see one-token streams and emit accordingly."""
     pred = _token_script_pred(script or {"source": "true"})
     steps = _resolve_subchain(filter)
     out: list[str] = []

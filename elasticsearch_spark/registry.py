@@ -1447,6 +1447,56 @@ def p_ingest_network_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def p_ingest_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_agent ingest processor (modules/ingest-user-agent
+    ``UserAgentProcessor.java``) over deterministically synthesized UA
+    strings: browser/os/device extraction histogram. The oracle derives the
+    expected (name, os, device, version) straight from the template index
+    and version arithmetic — independent ground truth for the regex ladder
+    (the Spark path must PARSE the constructed string; the oracle never
+    parses)."""
+    from .sources.ingest_pipeline import run_pipeline
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id",
+        (F.col("user_id") % 6).alias("tpl"),
+        (F.col("event_id") % 100).cast("string").alias("major"),
+    )
+    ua = (
+        F.when(F.col("tpl") == 0, F.concat(
+            F.lit("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) "
+                  "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/"),
+            F.col("major"), F.lit(".0.0.0 Safari/537.36")))
+        .when(F.col("tpl") == 1, F.concat(
+            F.lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:109.0) "
+                  "Gecko/20100101 Firefox/"), F.col("major"), F.lit(".0")))
+        .when(F.col("tpl") == 2, F.concat(
+            F.lit("Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X) "
+                  "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/"),
+            F.col("major"), F.lit(".0 Mobile/15E148 Safari/604.1")))
+        .when(F.col("tpl") == 3, F.concat(
+            F.lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) "
+                  "AppleWebKit/537.36 (KHTML, like Gecko) Chrome/"),
+            F.col("major"), F.lit(".0.0.0 Safari/537.36 Edg/"),
+            F.col("major"), F.lit(".0.2210.91")))
+        .when(F.col("tpl") == 4, F.concat(
+            F.lit("curl/"), F.col("major"), F.lit(".4.0")))
+        .otherwise(F.lit("weird-agent/1.0"))
+    )
+    out = run_pipeline(ev.withColumn("agent", ua),
+                       [{"user_agent": {"field": "agent"}}])
+    return (
+        out.groupBy(
+            F.col("`user_agent.name`").alias("name"),
+            F.col("`user_agent.os.name`").alias("os_name"),
+            F.col("`user_agent.device.name`").alias("device"),
+        )
+        .agg(F.count("*").alias("doc_count"),
+             F.countDistinct("`user_agent.version`").alias("n_versions"))
+        .orderBy("name", "os_name", "device")
+    )
+
+
 def _pii_text_col():
     """Deterministic PII-bearing text derived from (text, doc_id) — the
     synthetic corpus carries no PII, so both the Spark query and the DuckDB
@@ -5021,6 +5071,26 @@ SELECT fp, n_docs, rep_doc_id FROM (
   FROM documents GROUP BY 1
 ) WHERE n_docs > 1 ORDER BY rep_doc_id
 """,
+    "ingest_user_agent": """
+WITH s AS (
+  SELECT user_id % 6 AS tpl, (event_id % 100)::VARCHAR AS major FROM events
+), m AS (
+  SELECT
+    CASE tpl WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Firefox'
+             WHEN 2 THEN 'Mobile Safari' WHEN 3 THEN 'Edge'
+             WHEN 4 THEN 'curl' ELSE 'Other' END AS name,
+    CASE tpl WHEN 0 THEN 'Mac OS X' WHEN 1 THEN 'Windows'
+             WHEN 2 THEN 'iOS' WHEN 3 THEN 'Windows' ELSE 'Other' END AS os_name,
+    CASE tpl WHEN 0 THEN 'Mac' WHEN 2 THEN 'iPhone' ELSE 'Other' END AS device,
+    CASE tpl WHEN 0 THEN major || '.0.0.0' WHEN 1 THEN major || '.0'
+             WHEN 2 THEN major || '.0' WHEN 3 THEN major || '.0.2210.91'
+             WHEN 4 THEN major || '.4.0' ELSE NULL END AS version
+  FROM s
+)
+SELECT name, os_name, device, count(*)::BIGINT AS doc_count,
+       count(DISTINCT version)::BIGINT AS n_versions
+FROM m GROUP BY name, os_name, device ORDER BY name, os_name, device
+""",
     "ingest_network_flow": """
 WITH f AS (
   SELECT event_id, user_id,
@@ -6103,6 +6173,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": t_fingerprint,
     "field_histogram_metrics": f_histogram_field,
     "ingest_network_flow": p_ingest_network_flow,
+    "ingest_user_agent": p_ingest_user_agent,
     "text_quality_classifier": t_quality_classifier,
     "text_bigram_perplexity_kn": t_bigram_perplexity_kn,
     "text_bpe_token_count": t_bpe_token_count,

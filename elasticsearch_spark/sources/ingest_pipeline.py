@@ -412,6 +412,91 @@ def _apply_one(df: DataFrame, spec: dict) -> DataFrame:
             *[F.col(c).alias(f"{tgt2}.{c}") for c in enrich_fields],
         )
         return df.join(F.broadcast(dim), f, "left")
+    if kind == "user_agent":
+        # modules/ingest-user-agent UserAgentProcessor: browser/OS/device
+        # extraction from a User-Agent string. The reference walks the
+        # uap-core regexes.yaml; this engine compiles the HIGH-TRAFFIC
+        # subset of those patterns (ordered exactly like uap-core: vendor
+        # forks before the engines they embed) into one CASE-WHEN ladder of
+        # regexp_extracts — pure JVM projection, zero Python per row.
+        # Long-tail agents fall to "Other", the reference's own fallback.
+        tgt = body.get("target_field", "user_agent")
+        ua = F.col(f)
+        v = lambda pat: F.regexp_extract(ua, pat, 1)  # noqa: E731
+        browsers = [
+            ("Edge", r"Edge?/(\d+(?:\.\d+)*)", r"\bEdge?/\d"),
+            ("Edge", r"Edg[A-Za-z]*/(\d+(?:\.\d+)*)", r"\bEdg[A-Za-z]*/\d"),
+            ("Opera", r"OPR/(\d+(?:\.\d+)*)", r"\bOPR/\d"),
+            ("Opera", r"Opera[ /](\d+(?:\.\d+)*)", r"\bOpera[ /]\d"),
+            ("Chrome Mobile iOS", r"CriOS/(\d+(?:\.\d+)*)", r"\bCriOS/\d"),
+            ("Firefox iOS", r"FxiOS/(\d+(?:\.\d+)*)", r"\bFxiOS/\d"),
+            ("Chrome Mobile", r"Chrome/(\d+(?:\.\d+)*)", r"\bChrome/\d.*\bMobile\b"),
+            ("Chrome", r"Chrome/(\d+(?:\.\d+)*)", r"\bChrome/\d"),
+            ("Firefox", r"Firefox/(\d+(?:\.\d+)*)", r"\bFirefox/\d"),
+            ("Mobile Safari", r"Version/(\d+(?:\.\d+)*)",
+             r"\bVersion/\d.*\bMobile\b.*\bSafari/"),
+            ("Safari", r"Version/(\d+(?:\.\d+)*)", r"\bVersion/\d.*\bSafari/"),
+            ("IE", r"MSIE (\d+(?:\.\d+)*)", r"\bMSIE \d"),
+            ("IE", r"rv:(\d+(?:\.\d+)*)", r"\bTrident/\d"),
+            ("curl", r"curl/(\d+(?:\.\d+)*)", r"^curl/\d"),
+            ("Python Requests", r"python-requests/(\d+(?:\.\d+)*)",
+             r"^python-requests/\d"),
+        ]
+        name_c, ver_c = F.lit("Other"), F.lit(None).cast("string")
+        for bname, vpat, hit in reversed(browsers):
+            cond2 = ua.rlike(hit)
+            name_c = F.when(cond2, F.lit(bname)).otherwise(name_c)
+            ver_c = F.when(cond2, v(vpat)).otherwise(ver_c)
+        # NT-version → marketing name map (uap-core os_replacement table)
+        nt = v(r"Windows NT (\d+\.\d+)")
+        win_ver = (F.when(nt == "10.0", "10").when(nt == "6.3", "8.1")
+                   .when(nt == "6.2", "8").when(nt == "6.1", "7")
+                   .when(nt == "6.0", "Vista").when(nt == "5.1", "XP")
+                   .otherwise(nt))
+        oses = [
+            ("iOS", F.regexp_replace(
+                v(r"(?:iPhone|CPU) OS (\d+(?:_\d+)*)"), "_", ".")),
+            ("Android", v(r"Android (\d+(?:\.\d+)*)")),
+            ("Windows", win_ver),
+            ("Mac OS X", F.regexp_replace(
+                v(r"Mac OS X (\d+(?:[._]\d+)*)"), "_", ".")),
+            ("Chrome OS", v(r"CrOS [\w]+ (\d+(?:\.\d+)*)")),
+            ("Linux", F.lit(None).cast("string")),
+        ]
+        os_hits = {
+            "iOS": r"(?:iPhone|CPU) OS \d", "Android": r"\bAndroid \d",
+            "Windows": r"\bWindows NT \d", "Mac OS X": r"\bMac OS X \d",
+            "Chrome OS": r"\bCrOS ", "Linux": r"\bLinux\b",
+        }
+        os_name = F.lit("Other")
+        os_ver = F.lit(None).cast("string")
+        for oname, over in reversed(oses):
+            c2 = ua.rlike(os_hits[oname])
+            os_name = F.when(c2, F.lit(oname)).otherwise(os_name)
+            os_ver = F.when(c2, over).otherwise(os_ver)
+        device = (F.when(ua.rlike(r"\biPhone\b"), "iPhone")
+                  .when(ua.rlike(r"\biPad\b"), "iPad")
+                  .when(ua.rlike(r"\bMacintosh\b"), "Mac")
+                  .when(ua.rlike(r"\bAndroid\b"), "Generic Smartphone")
+                  .otherwise("Other"))
+        props = body.get("properties") or [
+            "name", "version", "os", "device", "original"]
+        cols = {}
+        if "name" in props:
+            cols[f"{tgt}.name"] = name_c
+        if "version" in props:
+            cols[f"{tgt}.version"] = ver_c
+        if "os" in props:
+            cols[f"{tgt}.os.name"] = os_name
+            cols[f"{tgt}.os.version"] = os_ver
+            cols[f"{tgt}.os.full"] = F.when(
+                os_ver.isNotNull(), F.concat(os_name, F.lit(" "), os_ver)
+            ).otherwise(os_name)
+        if "device" in props:
+            cols[f"{tgt}.device.name"] = device
+        if "original" in props:
+            cols[f"{tgt}.original"] = ua
+        return df.withColumns(cols)
     if kind == "geoip":
         # modules/ingest-geoip GeoIpProcessor: network-block database
         # lookup as a bucketed broadcast range join (sources/geoip.py).

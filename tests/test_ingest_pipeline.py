@@ -281,3 +281,58 @@ def test_community_id_processor(spark):
         "destination_port int, iana_number int")
     out2 = run_pipeline(df2, [{"community_id": {}}]).collect()[0]
     assert out2["community_id"] == out["community_id"]
+
+
+def test_user_agent_processor(spark):
+    from elasticsearch_spark.sources.ingest_pipeline import run_pipeline
+
+    uas = [
+        ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_10_5) AppleWebKit/537.36"
+         " (KHTML, like Gecko) Chrome/51.0.2704.103 Safari/537.36",),
+        ("Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:109.0)"
+         " Gecko/20100101 Firefox/115.0",),
+        ("Mozilla/5.0 (iPhone; CPU iPhone OS 16_5 like Mac OS X)"
+         " AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.5"
+         " Mobile/15E148 Safari/604.1",),
+        ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36"
+         " (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",),
+        ("curl/8.4.0",),
+        ("weird-agent/1.0",),
+    ]
+    df = spark.createDataFrame(uas, "agent string")
+    out = run_pipeline(df, [{"user_agent": {"field": "agent"}}]).collect()
+    r0 = out[0]  # Chrome on Mac (the ES docs example)
+    assert r0["user_agent.name"] == "Chrome"
+    assert r0["user_agent.version"] == "51.0.2704.103"
+    assert r0["user_agent.os.name"] == "Mac OS X"
+    assert r0["user_agent.os.version"] == "10.10.5"
+    assert r0["user_agent.os.full"] == "Mac OS X 10.10.5"
+    assert r0["user_agent.device.name"] == "Mac"
+    r1 = out[1]
+    assert (r1["user_agent.name"], r1["user_agent.version"]) == ("Firefox", "115.0")
+    assert (r1["user_agent.os.name"], r1["user_agent.os.version"]) == ("Windows", "10")
+    r2 = out[2]
+    assert r2["user_agent.name"] == "Mobile Safari"
+    assert r2["user_agent.os.name"] == "iOS"
+    assert r2["user_agent.os.version"] == "16.5"
+    assert r2["user_agent.device.name"] == "iPhone"
+    r3 = out[3]  # Edge UA also contains Chrome/ — vendor fork must win
+    assert r3["user_agent.name"] == "Edge"
+    assert r3["user_agent.version"] == "120.0.2210.91"
+    r4 = out[4]
+    assert (r4["user_agent.name"], r4["user_agent.version"]) == ("curl", "8.4.0")
+    assert r4["user_agent.os.name"] == "Other"
+    r5 = out[5]
+    assert r5["user_agent.name"] == "Other"
+    assert r5["user_agent.version"] is None
+    assert r5["user_agent.original"] == "weird-agent/1.0"
+
+
+def test_user_agent_properties_subset(spark):
+    from elasticsearch_spark.sources.ingest_pipeline import run_pipeline
+
+    df = spark.createDataFrame([("curl/8.0.1",)], "agent string")
+    out = run_pipeline(df, [{"user_agent": {
+        "field": "agent", "target_field": "ua", "properties": ["name"]}}])
+    assert out.columns == ["agent", "ua.name"]
+    assert out.collect()[0]["ua.name"] == "curl"
