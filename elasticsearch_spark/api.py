@@ -2184,6 +2184,112 @@ class Engine:
                 return json.load(f)
         return {}
 
+    def get_settings(self, index: str) -> dict:
+        """GET /{index}/_settings: the structural settings the engine
+        interprets (shards/partitions/analyzer/sort/similarity) plus the
+        free-form bag put_settings stored, under the reference's
+        ``{index: {"settings": {"index": {...}}}}`` shape."""
+        meta = store.IndexMeta.load(self._dir(index))
+        s = {
+            "number_of_shards": meta.num_shards,
+            "num_partitions": meta.num_partitions,
+            "analyzer": meta.analyzer,
+            "sort": meta.index_sort,
+            "similarity": {"default": {"type": "BM25", "k1": meta.k1, "b": meta.b}},
+            "blocks": {b: True for b in self._blocks().get(index, [])},
+            **(meta.settings or {}),
+        }
+        return {index: {"settings": {"index": s}}}
+
+    def put_settings(self, index: str, settings: dict) -> dict:
+        """PUT /{index}/_settings (``TransportUpdateSettingsAction``):
+        dynamic settings update. Interpreted keys — ``index.blocks.read`` /
+        ``index.blocks.write`` / ``index.blocks.read_only`` (true adds the
+        block, false removes it) and ``index.similarity.default.{k1,b}``
+        (affects subsequent scoring; the reference requires close/open for
+        similarity — this engine's searches read meta per request, so the
+        update is immediate, documented divergence). Everything else
+        persists verbatim into the settings bag."""
+        import json
+
+        d = self._dir(index)
+        meta = store.IndexMeta.load(d)
+        bag = dict(meta.settings or {})
+        flat = {}
+
+        def _flatten(prefix, obj):
+            for k, v in obj.items():
+                key = f"{prefix}.{k}" if prefix else k
+                if isinstance(v, dict):
+                    _flatten(key, v)
+                else:
+                    flat[key] = v
+
+        _flatten("", settings)
+        for key, v in flat.items():
+            k = key.removeprefix("index.")
+            if k.startswith("blocks."):
+                block = k.removeprefix("blocks.")
+                if v:
+                    self.add_block(index, block)
+                else:
+                    b = self._blocks()
+                    b[index] = [x for x in b.get(index, []) if x != block]
+                    tmp = self._blocks_path() + ".tmp"
+                    with open(tmp, "w") as f:
+                        json.dump(b, f)
+                    os.replace(tmp, self._blocks_path())
+            elif k == "similarity.default.k1":
+                meta.k1 = float(v)
+            elif k == "similarity.default.b":
+                meta.b = float(v)
+            else:
+                bag[k] = v
+        meta.settings = bag or None
+        meta.save(d)
+        return {"acknowledged": True}
+
+    def disk_usage(self, index: str) -> dict:
+        """POST /{index}/_disk_usage (``TransportAnalyzeIndexDiskUsageAction``):
+        per-field on-disk byte accounting. Parquet column-chunk compressed
+        sizes give the exact per-column cost; columns map to the
+        reference's categories — postings columns = inverted_index,
+        positions = term_vectors-equivalent positional payload, docs
+        columns = stored_fields, stats = points/doc_values analog. Driver
+        walks file METADATA footers only (O(segments × columns)), never
+        data pages — same cost shape as the reference's per-shard analyze."""
+        import pyarrow.parquet as pq
+
+        d = self._dir(index)
+        fields: dict[str, dict] = {}
+        total = 0
+        for base, _, files in os.walk(d):
+            for fn in files:
+                fp = os.path.join(base, fn)
+                sz = os.path.getsize(fp)
+                total += sz
+                if not fn.endswith(".parquet"):
+                    continue
+                if "postings" in base or "postings" in fn:
+                    cat = "inverted_index"
+                elif "stats" in base or "stats" in fn:
+                    cat = "doc_values"
+                else:
+                    cat = "stored_fields"
+                md = pq.ParquetFile(fp).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        name = col.path_in_schema.split(".")[0]
+                        rec = fields.setdefault(
+                            name, {"total_in_bytes": 0, cat + "_in_bytes": 0})
+                        rec["total_in_bytes"] += col.total_compressed_size
+                        rec[cat + "_in_bytes"] = (
+                            rec.get(cat + "_in_bytes", 0) + col.total_compressed_size
+                        )
+        return {index: {"store_size_in_bytes": total, "fields": fields}}
+
     def add_block(self, index: str, block: str) -> dict:
         """PUT /{index}/_block/{block} (``TransportAddIndexBlockAction``):
         ``write`` blocks bulk; ``read`` blocks search; ``read_only`` both."""

@@ -158,6 +158,9 @@ class IndexMeta:
     # enables routing-pruned search; must divide num_partitions. None =
     # unsharded (no routing pruning, merges may cross partitions freely)
     num_shards: int | None = None
+    # free-form index settings bag (GET/PUT /{index}/_settings): dynamic
+    # settings the engine doesn't interpret structurally live here verbatim
+    settings: dict | None = None
 
     @property
     def avgdl(self) -> float:
@@ -179,6 +182,7 @@ class IndexMeta:
                     "analyzer_config": self.analyzer_config,
                     "index_sort": self.index_sort,
                     "num_shards": self.num_shards,
+                    "settings": self.settings,
                 },
                 f,
             )
@@ -199,6 +203,7 @@ class IndexMeta:
             analyzer_config=d.get("analyzer_config"),
             index_sort=d.get("index_sort"),
             num_shards=d.get("num_shards"),
+            settings=d.get("settings"),
         )
         if meta.analyzer_config is not None:
             from ..functions import analysis

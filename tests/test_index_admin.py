@@ -170,3 +170,57 @@ def test_tasks_and_cluster_stats(es):
     cs = es.cluster_stats()
     assert cs["indices"]["count"] >= 1
     assert cs["indices"]["docs"]["count"] >= 20
+
+
+def test_settings_get_put(spark, tmp_path):
+    import shutil as _sh
+
+    from elasticsearch_spark.api import Engine
+    from elasticsearch_spark.sources.pages import pages_df
+
+    root = str(tmp_path / "settings_eng")
+    _sh.rmtree(root, ignore_errors=True)
+    es = Engine(spark, root=root)
+    es.create_index("pages", num_partitions=2)
+    es.bulk("pages", pages_df(spark, 60, n_parts=2))
+    got = es.get_settings("pages")["pages"]["settings"]["index"]
+    assert got["num_partitions"] == 2
+    assert got["similarity"]["default"]["k1"] == 1.2
+    # dynamic update: block writes, tune similarity, stash a free-form key
+    es.put_settings("pages", {"index": {
+        "blocks": {"write": True},
+        "similarity": {"default": {"k1": 0.9}},
+        "refresh_interval": "30s",
+    }})
+    got = es.get_settings("pages")["pages"]["settings"]["index"]
+    assert got["blocks"] == {"write": True}
+    assert got["similarity"]["default"]["k1"] == 0.9
+    assert got["refresh_interval"] == "30s"
+    import pytest as _pytest
+
+    batch = pages_df(spark, 10, n_parts=1).drop("html")
+    with _pytest.raises(Exception):
+        es.bulk("pages", batch)
+    # unblock → writes flow again
+    es.put_settings("pages", {"index": {"blocks": {"write": False}}})
+    es.bulk("pages", batch)
+
+
+def test_disk_usage(spark, tmp_path):
+    import shutil as _sh
+
+    from elasticsearch_spark.api import Engine
+    from elasticsearch_spark.sources.pages import pages_df
+
+    root = str(tmp_path / "du_eng")
+    _sh.rmtree(root, ignore_errors=True)
+    es = Engine(spark, root=root)
+    es.create_index("pages", num_partitions=2)
+    es.bulk("pages", pages_df(spark, 80, n_parts=2))
+    du = es.disk_usage("pages")["pages"]
+    assert du["store_size_in_bytes"] > 0
+    fields = du["fields"]
+    # postings columns are inverted-index bytes; docs text is stored fields
+    assert fields["term"]["inverted_index_in_bytes"] > 0
+    assert fields["text"]["stored_fields_in_bytes"] > 0
+    assert sum(f["total_in_bytes"] for f in fields.values()) <= du["store_size_in_bytes"]
