@@ -1233,7 +1233,59 @@ class Engine:
                 "value": n if cap is None else min(n, cap),
                 "relation": "eq" if (cap is None or n <= cap) else "gte",
             }
+        if body.get("suggest"):
+            out["suggest"] = self._run_suggest(index, body["suggest"])
         return out
+
+    def _run_suggest(self, index: str, suggest: dict) -> dict:
+        """The search body ``suggest`` section (SuggestBuilder): named
+        entries dispatch to the term / phrase / completion suggesters over
+        this index's term dictionary / completion table. Returns
+        {name: DataFrame} — the per-suggester frame shapes documented on
+        the operators."""
+        from .operators.suggest import completion_suggest, phrase_suggest
+
+        d = self._dir(index)
+        res: dict[str, DataFrame] = {}
+        global_text = suggest.get("text")
+        for name, spec in suggest.items():
+            if name == "text":
+                continue
+            kinds = [k for k in ("term", "phrase", "completion") if k in spec]
+            if not kinds:
+                raise ValueError(f"suggest entry {name!r} names no suggester")
+            (skind,), sbody = kinds, spec[kinds[0]]
+            if skind == "term":
+                res[name] = term_suggest(
+                    self.spark, d, spec.get("text", global_text),
+                    max_edits=sbody.get("max_edits", 2),
+                    size=sbody.get("size", 3),
+                    suggest_mode=sbody.get("suggest_mode", "missing"),
+                )
+            elif skind == "phrase":
+                from .operators.suggest import build_bigram_lm
+
+                if not os.path.isdir(os.path.join(d, "lm_bigrams")):
+                    # the phrase suggester rescores with the bigram LM table
+                    # (the reference's shingle sub-field, declared in the
+                    # mapping and built at index time) — materialize lazily
+                    # on first use and reuse from then on
+                    build_bigram_lm(self.spark, d)
+                res[name] = phrase_suggest(
+                    self.spark, d, spec.get("text", global_text),
+                    size=sbody.get("size", 3),
+                    confidence=sbody.get("confidence", 1.0),
+                    real_word_error_likelihood=sbody.get(
+                        "real_word_error_likelihood", 0.95),
+                )
+            else:
+                res[name] = completion_suggest(
+                    self.spark, d, spec.get("prefix", global_text),
+                    size=sbody.get("size", 5),
+                    fuzziness=(sbody.get("fuzzy") or {}).get("fuzziness", 0),
+                    contexts=spec.get("contexts") or sbody.get("contexts"),
+                )
+        return res
 
     def msearch(self, searches: list[tuple[str, dict]]) -> list[dict]:
         """POST /_msearch: a batch of (index, body) searches. Each returns

@@ -137,3 +137,46 @@ def test_term_suggest_popular_mode(spark, index_dir):
     )
     if the_df and rows_pop:
         assert all(r["df"] > the_df[0]["df"] for r in rows_pop)
+
+
+def test_search_body_suggest_routing(spark, tmp_path_factory):
+    """The search body `suggest` section (SuggestBuilder) dispatches named
+    entries to the suggesters over the target index."""
+    import shutil as _sh
+
+    from elasticsearch_spark.api import Engine
+
+    root = str(tmp_path_factory.mktemp("sug_api"))
+    _sh.rmtree(root, ignore_errors=True)
+    es = Engine(spark, root=root)
+    es.create_index("pages", num_partitions=2)
+    rows = [
+        ("u1", "spark cluster computing framework", "en"),
+        ("u2", "spark spark streaming", "en"),
+        ("u3", "sparse matrix computing", "en"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, lang string").withColumn(
+        "warc_ts", F.lit("2024-01-01").cast("timestamp"))
+    es.bulk("pages", df)
+    res = es.search("pages", {
+        "query": {"match": {"text": "computing"}}, "size": 2,
+        "suggest": {
+            "text": "spork computing",
+            "fix": {"term": {"field": "text", "size": 2}},
+            "say": {"phrase": {"field": "text", "size": 1, "confidence": 0.0}},
+            "auto": {"prefix": "spa", "completion": {"field": "text", "size": 3}},
+        },
+    })
+    sug = res["suggest"]
+    fix = sug["fix"].collect()
+    assert any(r["suggestion"] == "spark" for r in fix)
+    say = sug["say"].collect()
+    assert say and say[0]["suggestion"] == "spark computing"
+    auto = [r["suggestion"] for r in sug["auto"].collect()]
+    assert set(auto) <= {"spark", "sparse"} and auto
+    # hits still present alongside suggestions
+    assert len(res["hits"].collect()) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        es.search("pages", {"suggest": {"bad": {"nope": {}}}})
