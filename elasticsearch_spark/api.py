@@ -669,11 +669,15 @@ class Engine:
             if os.path.exists(os.path.join(self.root, n, "index_meta.json"))
         )
 
-    def bulk(self, index: str, docs: DataFrame, num_partitions: int | None = None) -> dict:
+    def bulk(self, index: str, docs: DataFrame, num_partitions: int | None = None,
+             version_type: str | None = None) -> dict:
         """POST /{index}/_bulk with implicit op=index. `docs` needs columns
         url, text (+ optional warc_ts, lang). First bulk builds the index;
         later bulks are op batches (delete+add upserts). An alias routes to
-        its write index (is_write_index semantics)."""
+        its write index (is_write_index semantics). ``version_type=
+        "external"`` with a ``version`` column enables the reference's
+        optimistic-concurrency contract: stale versions are skipped and
+        counted as version_conflicts."""
         index = self._write_index(index)
         self._check_block(index, "write")
         m = self._ilm_load()["managed"].get(index)
@@ -699,7 +703,9 @@ class Engine:
         ops_df = docs.select(
             "url", F.lit("index").alias("op"), "text", "lang", "warc_ts", *extra
         )
-        return ops_mod.apply_ops(self.spark, d, ops_df, num_partitions=num_partitions or meta.num_partitions)
+        return ops_mod.apply_ops(self.spark, d, ops_df,
+                                 num_partitions=num_partitions or meta.num_partitions,
+                                 version_type=version_type)
 
     def delete(self, index: str, urls: list[str]) -> dict:
         """DELETE /{index}/_doc/{id} (bulk form)."""
@@ -1235,7 +1241,43 @@ class Engine:
             }
         if body.get("suggest"):
             out["suggest"] = self._run_suggest(index, body["suggest"])
+        if "_source" in body:
+            out["hits"] = self._source_filter(out["hits"], body["_source"])
         return out
+
+    @staticmethod
+    def _source_filter(hits: DataFrame, src) -> DataFrame:
+        """``_source`` response filtering (FetchSourcePhase /
+        ``FetchSourceContext.java``): false drops every source field,
+        a list/str keeps matching fields, {includes, excludes} supports
+        wildcards. Hit metadata (_id/url, score, rank, highlight,
+        ``fields.*`` projections) always survives — the reference filters
+        the _source document, not the hit envelope. A pure projection, so
+        Catalyst prunes the dropped columns out of the scan."""
+        import fnmatch
+
+        meta_cols = {
+            "url", "doc_id", "score", "_score", "_index", "_rank",
+            "_shard", "highlight", "n_terms_matched", "matched_queries",
+        }
+        is_meta = lambda c: c in meta_cols or c.startswith("fields.")  # noqa: E731
+        source_cols = [c for c in hits.columns if not is_meta(c)]
+        if src is False:
+            keep: set[str] = set()
+        else:
+            if isinstance(src, str):
+                src = [src]
+            if isinstance(src, list):
+                inc, exc = src, []
+            else:
+                inc = src.get("includes") or ["*"]
+                exc = src.get("excludes") or []
+            keep = {
+                c for c in source_cols
+                if any(fnmatch.fnmatch(c, p) for p in inc)
+                and not any(fnmatch.fnmatch(c, p) for p in exc)
+            }
+        return hits.select(*[c for c in hits.columns if is_meta(c) or c in keep])
 
     def _run_suggest(self, index: str, suggest: dict) -> dict:
         """The search body ``suggest`` section (SuggestBuilder): named

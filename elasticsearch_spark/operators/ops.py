@@ -115,17 +115,24 @@ def apply_ops(
     index_dir: str,
     ops: DataFrame,
     num_partitions: int | None = None,
+    version_type: str | None = None,
 ) -> dict:
     """Apply a bulk op batch to an existing index.
 
     ops(url string, op string in (index|create|update|delete),
-        text string?, lang string?, warc_ts timestamp?).
+        text string?, lang string?, warc_ts timestamp?[, version long]).
 
     index/update: delete+add (create: add only if url absent). delete:
-    tombstone. Returns counts {indexed, created, updated, deleted,
-    create_conflicts}."""
+    tombstone. ``version_type="external"`` (VersionType.EXTERNAL,
+    ``server/.../index/VersionType.java``): an op whose ``version`` is not
+    strictly greater than the stored doc's version is a version conflict —
+    skipped and counted, exactly the reference's optimistic-concurrency
+    contract for externally-versioned ingest. Returns counts {indexed,
+    created, updated, deleted, create_conflicts, version_conflicts}."""
     meta = store.IndexMeta.load(index_dir)
-    docs = spark.read.parquet(*store.docs_glob(index_dir)).select("doc_id", "url")
+    has_version = version_type == "external" and "version" in ops.columns
+    doc_cols = ["doc_id", "url"] + (["version"] if has_version else [])
+    docs = spark.read.parquet(*store.docs_glob(index_dir)).select(*doc_cols)
     tomb = read_tombstones(index_dir)
     if len(tomb):
         tomb_df = spark.createDataFrame([(int(x),) for x in tomb], "doc_id long")
@@ -133,13 +140,23 @@ def apply_ops(
     existing = docs.join(F.broadcast(ops.select("url").distinct()), "url")
     existing_rows = existing.collect()  # ops batch ≤ bulk size — small
     existing_ids = {r["url"]: r["doc_id"] for r in existing_rows}
+    existing_ver = (
+        {r["url"]: r["version"] for r in existing_rows} if has_version else {}
+    )
 
     op_rows = ops.collect()
     new_tombs: list[int] = []
     to_index = []
-    counts = {"indexed": 0, "created": 0, "updated": 0, "deleted": 0, "create_conflicts": 0}
+    counts = {"indexed": 0, "created": 0, "updated": 0, "deleted": 0,
+              "create_conflicts": 0, "version_conflicts": 0}
     for r in op_rows:
         op = r["op"]
+        if has_version and r["url"] in existing_ids:
+            cur = existing_ver.get(r["url"])
+            if cur is not None and r["version"] is not None \
+                    and r["version"] <= cur:
+                counts["version_conflicts"] += 1
+                continue
         if op == "delete":
             if r["url"] in existing_ids:
                 new_tombs.append(existing_ids[r["url"]])

@@ -646,3 +646,22 @@ def test_keyword_normalizer(es, spark):
     # unmapped index keeps raw keyword semantics
     assert es.count("kwnorm", {"term": {"text": "ALPHA"}}) == 0
     es.delete_index("kwnorm")
+
+
+def test_source_filtering(es):
+    # list form keeps named source fields (plus hit metadata)
+    res = es.search("pages", {"query": {"match": {"text": "spark"}},
+                              "_source": ["lang"], "size": 2})
+    cols = set(res["hits"].columns)
+    assert "lang" in cols and "text" not in cols and "warc_ts" not in cols
+    assert "url" in cols and "score" in cols
+    # false drops all source fields, envelope survives
+    res2 = es.search("pages", {"query": {"match": {"text": "spark"}},
+                               "_source": False, "size": 1})
+    assert "lang" not in res2["hits"].columns and "url" in res2["hits"].columns
+    # includes/excludes with wildcards
+    res3 = es.search("pages", {"query": {"match": {"text": "spark"}},
+                               "_source": {"includes": ["*"], "excludes": ["text"]},
+                               "size": 1})
+    c3 = set(res3["hits"].columns)
+    assert "text" not in c3 and "lang" in c3

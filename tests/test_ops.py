@@ -84,3 +84,39 @@ def test_merge_expunges_tombstones(spark, ops_index):
     # results unchanged by the expunging merge
     assert {r["url"] for r in search_topk(spark, ops_index, ["zebra"], k=10).collect()} == {"u4"}
     assert {r["url"] for r in search_topk(spark, ops_index, ["quokka"], k=10).collect()} == {"u1"}
+
+
+def test_external_versioning(spark, tmp_path):
+    """VersionType.EXTERNAL optimistic concurrency: a bulk whose version is
+    not strictly greater than the stored one is a version conflict."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.api import Engine
+
+    root = str(tmp_path / "ver_eng")
+    _sh.rmtree(root, ignore_errors=True)
+    es = Engine(spark, root=root)
+    es.create_index("pages", num_partitions=2)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "url string, text string, lang string, version long"
+        ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+
+    es.bulk("pages", batch([("u1", "v5 text", "en", 5), ("u2", "v1 text", "en", 1)]))
+    # stale (3 <= 5) → conflict; newer (2 > 1) → update
+    res = es.bulk("pages", batch([("u1", "v3 stale", "en", 3),
+                                  ("u2", "v2 newer", "en", 2)]),
+                  version_type="external")
+    assert res["version_conflicts"] == 1
+    assert res["updated"] == 1
+    texts = {r["url"]: (r["text"], r["version"])
+             for r in es._docs_view("pages").collect()}
+    assert texts["u1"] == ("v5 text", 5)      # stale write rejected
+    assert texts["u2"] == ("v2 newer", 2)     # newer write applied
+    # equal version is also a conflict (strictly-greater contract)
+    res2 = es.bulk("pages", batch([("u2", "v2 again", "en", 2)]),
+                   version_type="external")
+    assert res2["version_conflicts"] == 1 and res2["updated"] == 0
