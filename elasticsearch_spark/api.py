@@ -1039,8 +1039,23 @@ class Engine:
         concrete = self.resolve(index)
         for ix in concrete:
             self._check_block(ix, "read")
+
+        def _finish(out_dict: dict) -> dict:
+            # response sections that apply to EVERY search path (the final
+            # return and both early returns): suggest + _source filtering
+            if body.get("suggest"):
+                if len(concrete) > 1:
+                    raise ValueError(
+                        "suggest needs a single concrete index "
+                        "(suggesters read one term dictionary)")
+                out_dict["suggest"] = self._run_suggest(concrete[0], body["suggest"])
+            if "_source" in body:
+                out_dict["hits"] = self._source_filter(
+                    out_dict["hits"], body["_source"])
+            return out_dict
+
         if len(concrete) > 1:
-            return {"hits": self.search_multi(concrete, body)}
+            return _finish({"hits": self.search_multi(concrete, body)})
         index = concrete[0]
         d = self._dir(index)
         q = body.get("query", {"match_all": {}})
@@ -1076,7 +1091,7 @@ class Engine:
                 out = {"hits": hits}
                 if "aggs" in body:
                     out["aggregations"] = aggs_mod.aggregate(_apply_runtime(self._docs_view(index)), body["aggs"])
-                return out
+                return _finish(out)
         if (
             kind == "match"
             and "sort" not in body
@@ -1239,11 +1254,7 @@ class Engine:
                 "value": n if cap is None else min(n, cap),
                 "relation": "eq" if (cap is None or n <= cap) else "gte",
             }
-        if body.get("suggest"):
-            out["suggest"] = self._run_suggest(index, body["suggest"])
-        if "_source" in body:
-            out["hits"] = self._source_filter(out["hits"], body["_source"])
-        return out
+        return _finish(out)
 
     @staticmethod
     def _source_filter(hits: DataFrame, src) -> DataFrame:
@@ -1256,8 +1267,10 @@ class Engine:
         Catalyst prunes the dropped columns out of the scan."""
         import fnmatch
 
+        if src is True:  # "_source": true = return the full source (no-op)
+            return hits
         meta_cols = {
-            "url", "doc_id", "score", "_score", "_index", "_rank",
+            "url", "doc_id", "score", "_score", "_index", "_rank", "_ccs_key",
             "_shard", "highlight", "n_terms_matched", "matched_queries",
         }
         is_meta = lambda c: c in meta_cols or c.startswith("fields.")  # noqa: E731
@@ -1285,7 +1298,7 @@ class Engine:
         this index's term dictionary / completion table. Returns
         {name: DataFrame} — the per-suggester frame shapes documented on
         the operators."""
-        from .operators.suggest import completion_suggest, phrase_suggest
+        from .operators.suggest import completion_suggest
 
         d = self._dir(index)
         res: dict[str, DataFrame] = {}
@@ -1294,27 +1307,27 @@ class Engine:
             if name == "text":
                 continue
             kinds = [k for k in ("term", "phrase", "completion") if k in spec]
-            if not kinds:
-                raise ValueError(f"suggest entry {name!r} names no suggester")
-            (skind,), sbody = kinds, spec[kinds[0]]
+            if len(kinds) != 1:
+                raise ValueError(
+                    f"suggest entry {name!r} must name exactly one of "
+                    f"term/phrase/completion (got {kinds or 'none'})")
+            skind, sbody = kinds[0], spec[kinds[0]]
+            text = spec.get("prefix" if skind == "completion" else "text",
+                            global_text)
+            if text is None:
+                raise ValueError(
+                    f"suggest entry {name!r} has no text/prefix and no "
+                    "global suggest.text")
             if skind == "term":
                 res[name] = term_suggest(
-                    self.spark, d, spec.get("text", global_text),
+                    self.spark, d, text,
                     max_edits=sbody.get("max_edits", 2),
                     size=sbody.get("size", 3),
                     suggest_mode=sbody.get("suggest_mode", "missing"),
                 )
             elif skind == "phrase":
-                from .operators.suggest import build_bigram_lm
-
-                if not os.path.isdir(os.path.join(d, "lm_bigrams")):
-                    # the phrase suggester rescores with the bigram LM table
-                    # (the reference's shingle sub-field, declared in the
-                    # mapping and built at index time) — materialize lazily
-                    # on first use and reuse from then on
-                    build_bigram_lm(self.spark, d)
-                res[name] = phrase_suggest(
-                    self.spark, d, spec.get("text", global_text),
+                res[name] = self.suggest_phrase(
+                    index, text,
                     size=sbody.get("size", 3),
                     confidence=sbody.get("confidence", 1.0),
                     real_word_error_likelihood=sbody.get(
@@ -1322,7 +1335,7 @@ class Engine:
                 )
             else:
                 res[name] = completion_suggest(
-                    self.spark, d, spec.get("prefix", global_text),
+                    self.spark, d, text,
                     size=sbody.get("size", 5),
                     fuzziness=(sbody.get("fuzzy") or {}).get("fuzziness", 0),
                     contexts=spec.get("contexts") or sbody.get("contexts"),
@@ -2284,14 +2297,17 @@ class Engine:
         free-form bag put_settings stored, under the reference's
         ``{index: {"settings": {"index": {...}}}}`` shape."""
         meta = store.IndexMeta.load(self._dir(index))
+        # free-form bag first: the STRUCTURAL keys (what the engine really
+        # runs with) must win over anything a caller stashed verbatim —
+        # the settings API must never report a config the engine ignores
         s = {
+            **(meta.settings or {}),
             "number_of_shards": meta.num_shards,
             "num_partitions": meta.num_partitions,
             "analyzer": meta.analyzer,
             "sort": meta.index_sort,
             "similarity": {"default": {"type": "BM25", "k1": meta.k1, "b": meta.b}},
             "blocks": {b: True for b in self._blocks().get(index, [])},
-            **(meta.settings or {}),
         }
         return {index: {"settings": {"index": s}}}
 
@@ -2304,8 +2320,6 @@ class Engine:
         similarity — this engine's searches read meta per request, so the
         update is immediate, documented divergence). Everything else
         persists verbatim into the settings bag."""
-        import json
-
         d = self._dir(index)
         meta = store.IndexMeta.load(d)
         bag = dict(meta.settings or {})
@@ -2327,12 +2341,7 @@ class Engine:
                 if v:
                     self.add_block(index, block)
                 else:
-                    b = self._blocks()
-                    b[index] = [x for x in b.get(index, []) if x != block]
-                    tmp = self._blocks_path() + ".tmp"
-                    with open(tmp, "w") as f:
-                        json.dump(b, f)
-                    os.replace(tmp, self._blocks_path())
+                    self.remove_block(index, block)
             elif k == "similarity.default.k1":
                 meta.k1 = float(v)
             elif k == "similarity.default.b":
@@ -2384,20 +2393,32 @@ class Engine:
                         )
         return {index: {"store_size_in_bytes": total, "fields": fields}}
 
+    def _save_blocks(self, b: dict) -> None:
+        import json
+
+        tmp = self._blocks_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(b, f)
+        os.replace(tmp, self._blocks_path())
+
     def add_block(self, index: str, block: str) -> dict:
         """PUT /{index}/_block/{block} (``TransportAddIndexBlockAction``):
         ``write`` blocks bulk; ``read`` blocks search; ``read_only`` both."""
-        import json
-
         if block not in ("write", "read", "read_only"):
             raise ValueError(f"unsupported block: {block}")
         b = self._blocks()
         b.setdefault(index, []).append(block)
         b[index] = sorted(set(b[index]))
-        tmp = self._blocks_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(b, f)
-        os.replace(tmp, self._blocks_path())
+        self._save_blocks(b)
+        return {"acknowledged": True}
+
+    def remove_block(self, index: str, block: str) -> dict:
+        """DELETE-side of the block API: clear one named block."""
+        if block not in ("write", "read", "read_only"):
+            raise ValueError(f"unsupported block: {block}")
+        b = self._blocks()
+        b[index] = [x for x in b.get(index, []) if x != block]
+        self._save_blocks(b)
         return {"acknowledged": True}
 
     def close_index(self, index: str) -> dict:
@@ -2406,14 +2427,9 @@ class Engine:
 
     def open_index(self, index: str) -> dict:
         """POST /{index}/_open: clear all blocks."""
-        import json
-
         b = self._blocks()
         b.pop(index, None)
-        tmp = self._blocks_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(b, f)
-        os.replace(tmp, self._blocks_path())
+        self._save_blocks(b)
         return {"acknowledged": True}
 
     def _check_block(self, index: str, op: str) -> None:

@@ -130,7 +130,19 @@ def apply_ops(
     contract for externally-versioned ingest. Returns counts {indexed,
     created, updated, deleted, create_conflicts, version_conflicts}."""
     meta = store.IndexMeta.load(index_dir)
-    has_version = version_type == "external" and "version" in ops.columns
+    if version_type == "external" and "version" not in ops.columns:
+        # the reference rejects externally-versioned ops without a version
+        # (ActionRequestValidationException) — silent overwrite would defeat
+        # the whole optimistic-concurrency contract
+        raise ValueError("version_type=external requires a 'version' column")
+    has_version = version_type == "external"
+    stored_names = pq.read_schema(
+        os.path.join(store.seg_dir(index_dir, store.list_segs(index_dir)[0]),
+                     "docs.parquet")
+    ).names
+    if has_version and "version" not in stored_names:
+        raise ValueError(
+            "version_type=external: the index's docs carry no 'version' field")
     doc_cols = ["doc_id", "url"] + (["version"] if has_version else [])
     docs = spark.read.parquet(*store.docs_glob(index_dir)).select(*doc_cols)
     tomb = read_tombstones(index_dir)

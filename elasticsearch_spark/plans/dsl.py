@@ -2519,11 +2519,15 @@ def search(
         )
         out = out.withColumn(sf_name, F.expr(expand_script(src, params)))
 
-    if "_source" in body:
-        # FetchSourceContext.java: list form = includes; dict form =
-        # includes/excludes with * wildcards; false = metadata only.
-        # Column pruning here reaches the parquet scan (ReadSchema).
+    if "_source" in body and body["_source"] is not True:
+        # FetchSourceContext.java: list form = includes (a bare string is a
+        # one-pattern list); dict form = includes/excludes with * wildcards;
+        # false = metadata only; true = full source (handled above as the
+        # no-op it is). Column pruning here reaches the parquet scan
+        # (ReadSchema).
         src = body["_source"]
+        if isinstance(src, str):
+            src = [src]
 
         def _match(col: str, pats: list[str]) -> bool:
             return any(
@@ -2531,17 +2535,21 @@ def search(
             )
 
         script_cols = list(body.get("script_fields") or {})
+        # the hit ENVELOPE always survives _source filtering — the reference
+        # filters the _source document, not hit metadata
+        envelope = [key, "url", "_score", "_index", "_ccs_key",
+                    "matched_queries", "highlight", "_rank"] + script_cols
         if src is False:
-            keep = [key, "_score"] + script_cols
+            keep = envelope
         elif isinstance(src, dict):
             inc = src.get("includes") or ["*"]
             exc = src.get("excludes") or []
-            keep = [key, "_score"] + script_cols + [
+            keep = envelope + [
                 c for c in df.columns
                 if _match(c, inc) and not _match(c, exc)
             ]
         else:
-            keep = [key, "_score"] + script_cols + [
+            keep = envelope + [
                 c for c in df.columns if _match(c, list(src))
             ]
         out = out.select(*dict.fromkeys(k for k in keep if k in out.columns))

@@ -224,3 +224,62 @@ def test_disk_usage(spark, tmp_path):
     assert fields["term"]["inverted_index_in_bytes"] > 0
     assert fields["text"]["stored_fields_in_bytes"] > 0
     assert sum(f["total_in_bytes"] for f in fields.values()) <= du["store_size_in_bytes"]
+
+
+def test_settings_review_fixes(spark, tmp_path):
+    import shutil as _sh
+
+    import pytest as _pytest
+
+    from elasticsearch_spark.api import Engine
+    from elasticsearch_spark.sources.pages import pages_df
+
+    root = str(tmp_path / "settings_rv")
+    _sh.rmtree(root, ignore_errors=True)
+    es = Engine(spark, root=root)
+    es.create_index("pages", num_partitions=2)
+    es.bulk("pages", pages_df(spark, 40, n_parts=2))
+    # a verbatim bag key can never shadow the live structural value
+    es.put_settings("pages", {"index": {"analyzer": "whitespace_fake"}})
+    got = es.get_settings("pages")["pages"]["settings"]["index"]
+    assert got["analyzer"] == "standard"
+    # removing an unknown block is rejected like adding one
+    with _pytest.raises(ValueError):
+        es.put_settings("pages", {"index": {"blocks": {"bogus": False}}})
+    # _source: true is the full-source no-op; bare-string form keeps the field
+    r1 = es.search("pages", {"query": {"match_all": {}}, "_source": True, "size": 1})
+    assert "text" in r1["hits"].columns
+    r2 = es.search("pages", {"query": {"term": {"lang": "en"}}, "_source": "lang", "size": 1})
+    assert "lang" in r2["hits"].columns and "text" not in r2["hits"].columns
+    # suggest + _source survive the multi-index early return / are validated
+    es.create_index("pages2", num_partitions=2)
+    es.bulk("pages2", pages_df(spark, 20, n_parts=2).drop("html"))
+    multi = es.search("pages,pages2", {"query": {"match_all": {}}, "_source": False, "size": 3})
+    assert "text" not in multi["hits"].columns
+    with _pytest.raises(ValueError):
+        es.search("pages,pages2", {"query": {"match_all": {}},
+                                   "suggest": {"s": {"text": "x", "term": {}}}})
+    with _pytest.raises(ValueError):
+        es.search("pages", {"suggest": {"s": {"term": {}, "phrase": {}, "text": "x"}}})
+    with _pytest.raises(ValueError):
+        es.search("pages", {"suggest": {"s": {"term": {}}}})  # no text anywhere
+
+
+def test_external_version_validation(spark, tmp_path):
+    import shutil as _sh
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.api import Engine
+
+    root = str(tmp_path / "ver_rv")
+    _sh.rmtree(root, ignore_errors=True)
+    es = Engine(spark, root=root)
+    es.create_index("pages", num_partitions=2)
+    nover = spark.createDataFrame([("u1", "t", "en")], "url string, text string, lang string") \
+        .withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+    es.bulk("pages", nover)
+    # external versioning without a version column is rejected, not silent
+    with _pytest.raises(ValueError):
+        es.bulk("pages", nover, version_type="external")
