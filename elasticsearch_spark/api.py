@@ -684,6 +684,10 @@ class Engine:
         if m and m.get("readonly"):
             # ILM warm-phase readonly action (the index.blocks.write block)
             raise ValueError(f"index {index} is read-only (ILM warm phase)")
+        if version_type == "external" and "version" not in docs.columns:
+            # validate on the FIRST bulk too — the build path would otherwise
+            # silently index with versioning disabled
+            raise ValueError("version_type=external requires a 'version' column")
         d = self._dir(index)
         meta = store.IndexMeta.load(d)
         cols = docs.columns
@@ -1040,18 +1044,39 @@ class Engine:
         for ix in concrete:
             self._check_block(ix, "read")
 
+        if body.get("suggest") and len(concrete) > 1:
+            # validate BEFORE any search work — suggesters read one index's
+            # term dictionary
+            raise ValueError(
+                "suggest needs a single concrete index "
+                "(suggesters read one term dictionary)")
+
         def _finish(out_dict: dict) -> dict:
             # response sections that apply to EVERY search path (the final
             # return and both early returns): suggest + _source filtering
             if body.get("suggest"):
-                if len(concrete) > 1:
-                    raise ValueError(
-                        "suggest needs a single concrete index "
-                        "(suggesters read one term dictionary)")
                 out_dict["suggest"] = self._run_suggest(concrete[0], body["suggest"])
+            sfs = body.get("script_fields") or {}
+            missing_sf = [n for n in sfs if n not in out_dict["hits"].columns]
+            if missing_sf and len(concrete) == 1:
+                # index fast paths (search_topk / sorted_scan) never saw the
+                # source columns — fetch-phase join like highlight, then the
+                # script expressions run over the ≤size joined rows
+                hits0 = out_dict["hits"]
+                docs_v = _apply_runtime(self._docs_view(concrete[0]))
+                extra_src = [c for c in docs_v.columns if c not in hits0.columns]
+                joined = hits0.join(docs_v.select("url", *extra_src), "url", "left")
+                for n in missing_sf:
+                    sspec = sfs[n]
+                    ssrc, sparams = dsl.script_source(
+                        sspec.get("script", sspec) if isinstance(sspec, dict) else sspec)
+                    joined = joined.withColumn(
+                        n, F.expr(dsl.expand_script(ssrc, sparams)))
+                out_dict["hits"] = joined.select(*hits0.columns, *missing_sf)
             if "_source" in body:
                 out_dict["hits"] = self._source_filter(
-                    out_dict["hits"], body["_source"])
+                    out_dict["hits"], body["_source"],
+                    extra_meta=set(body.get("script_fields") or {}))
             return out_dict
 
         if len(concrete) > 1:
@@ -1257,7 +1282,7 @@ class Engine:
         return _finish(out)
 
     @staticmethod
-    def _source_filter(hits: DataFrame, src) -> DataFrame:
+    def _source_filter(hits: DataFrame, src, extra_meta: set | None = None) -> DataFrame:
         """``_source`` response filtering (FetchSourcePhase /
         ``FetchSourceContext.java``): false drops every source field,
         a list/str keeps matching fields, {includes, excludes} supports
@@ -1272,7 +1297,7 @@ class Engine:
         meta_cols = {
             "url", "doc_id", "score", "_score", "_index", "_rank", "_ccs_key",
             "_shard", "highlight", "n_terms_matched", "matched_queries",
-        }
+        } | (extra_meta or set())  # script_fields are envelope, not _source
         is_meta = lambda c: c in meta_cols or c.startswith("fields.")  # noqa: E731
         source_cols = [c for c in hits.columns if not is_meta(c)]
         if src is False:
@@ -1312,8 +1337,11 @@ class Engine:
                     f"suggest entry {name!r} must name exactly one of "
                     f"term/phrase/completion (got {kinds or 'none'})")
             skind, sbody = kinds[0], spec[kinds[0]]
-            text = spec.get("prefix" if skind == "completion" else "text",
-                            global_text)
+            text = spec.get("text", global_text)
+            if skind == "completion":
+                # CompletionSuggestionBuilder: `prefix` is canonical, `text`
+                # is the documented fallback spelling
+                text = spec.get("prefix", text)
             if text is None:
                 raise ValueError(
                     f"suggest entry {name!r} has no text/prefix and no "
@@ -2334,6 +2362,13 @@ class Engine:
                     flat[key] = v
 
         _flatten("", settings)
+        # validate EVERYTHING before mutating anything — a rejected request
+        # must not leave partial state (half-applied blocks, lost k1)
+        for key in flat:
+            k = key.removeprefix("index.")
+            if k.startswith("blocks.") and \
+                    k.removeprefix("blocks.") not in ("write", "read", "read_only"):
+                raise ValueError(f"unsupported block: {k.removeprefix('blocks.')}")
         for key, v in flat.items():
             k = key.removeprefix("index.")
             if k.startswith("blocks."):

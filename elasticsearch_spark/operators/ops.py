@@ -136,13 +136,14 @@ def apply_ops(
         # the whole optimistic-concurrency contract
         raise ValueError("version_type=external requires a 'version' column")
     has_version = version_type == "external"
-    stored_names = pq.read_schema(
-        os.path.join(store.seg_dir(index_dir, store.list_segs(index_dir)[0]),
-                     "docs.parquet")
-    ).names
-    if has_version and "version" not in stored_names:
-        raise ValueError(
-            "version_type=external: the index's docs carry no 'version' field")
+    if has_version:
+        segs0 = store.list_segs(index_dir)
+        stored_names = pq.read_schema(
+            os.path.join(store.seg_dir(index_dir, segs0[0]), "docs.parquet")
+        ).names if segs0 else ["version"]  # empty index: first write defines
+        if "version" not in stored_names:
+            raise ValueError(
+                "version_type=external: the index's docs carry no 'version' field")
     doc_cols = ["doc_id", "url"] + (["version"] if has_version else [])
     docs = spark.read.parquet(*store.docs_glob(index_dir)).select(*doc_cols)
     tomb = read_tombstones(index_dir)

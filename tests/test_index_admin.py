@@ -283,3 +283,41 @@ def test_external_version_validation(spark, tmp_path):
     # external versioning without a version column is rejected, not silent
     with _pytest.raises(ValueError):
         es.bulk("pages", nover, version_type="external")
+
+
+def test_put_settings_atomic_and_first_bulk_versioning(spark, tmp_path):
+    import shutil as _sh
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.api import Engine
+    from elasticsearch_spark.sources.pages import pages_df
+
+    root = str(tmp_path / "atomic_rv")
+    _sh.rmtree(root, ignore_errors=True)
+    es = Engine(spark, root=root)
+    es.create_index("pages", num_partitions=2)
+    # first bulk with external versioning but no version column → rejected
+    nover = pages_df(spark, 10, n_parts=1).drop("html")
+    with _pytest.raises(ValueError, match="version"):
+        es.bulk("pages", nover, version_type="external")
+    es.bulk("pages", nover)
+    # a request mixing a valid block with an invalid one applies NOTHING
+    with _pytest.raises(ValueError, match="unsupported block"):
+        es.put_settings("pages", {"index": {
+            "blocks": {"write": True, "bogus": False},
+            "similarity": {"default": {"k1": 1.5}},
+        }})
+    got = es.get_settings("pages")["pages"]["settings"]["index"]
+    assert got["blocks"] == {}            # write block NOT half-applied
+    assert got["similarity"]["default"]["k1"] == 1.2  # k1 untouched
+    # script_fields survive _source filtering at the engine layer
+    res = es.search("pages", {"query": {"term": {"lang": "en"}},
+                              "script_fields": {"twice": {"script": "dl * 2"}},
+                              "_source": False, "size": 2})
+    assert "twice" in res["hits"].columns
+    # completion entry-level text works as the prefix fallback
+    res2 = es.search("pages", {"suggest": {
+        "c": {"text": "t", "completion": {"field": "text", "size": 2}}}})
+    assert res2["suggest"]["c"].count() >= 1
