@@ -122,3 +122,65 @@ def test_determinism():
     assert pdf1.equals(pdf2)
     assert (pdf1.url.iloc[99:0:-1] != "").all() if len(pdf1) > 99 else True
     assert np.array_equal(pdf1.dtypes.index, pdf2.dtypes.index)
+
+
+# --- fuzz: chain invariants over arbitrary unicode ---------------------------
+
+from hypothesis import given, settings as hyp_settings
+from hypothesis import strategies as st
+
+
+@hyp_settings(max_examples=300, deadline=None)
+@given(st.text(max_size=400))
+def test_standard_tokenize_invariants_fuzz(text):
+    from elasticsearch_spark.functions.analysis import (
+        MAX_TOKEN_LENGTH, standard_tokenize)
+
+    toks = standard_tokenize(text)
+    assert all(toks), "no empty tokens"
+    assert all(len(t) <= MAX_TOKEN_LENGTH for t in toks), "255-char cap"
+    assert all(t == t.lower() for t in toks), "lowercased"
+    # idempotence: re-tokenizing the joined output never raises and stays
+    # within the same invariants (a token is made of token-safe chars)
+    toks2 = standard_tokenize(" ".join(toks))
+    assert all(len(t) <= MAX_TOKEN_LENGTH for t in toks2)
+
+
+@hyp_settings(max_examples=150, deadline=None)
+@given(st.text(max_size=300))
+def test_html_strip_and_classic_never_raise_fuzz(text):
+    from elasticsearch_spark.functions.analysis import (
+        classic_tokenize, html_strip, uax_url_email_tokenize)
+
+    html_strip(text)
+    assert all(t for t in classic_tokenize(text))
+    assert all(t for t in uax_url_email_tokenize(text))
+
+
+@hyp_settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=30), max_size=12))
+def test_filter_chain_fuzz(toks):
+    """Every registered single-token filter accepts any token list without
+    raising and returns a list of strings (params left at defaults; filters
+    whose defaults need configuration are exercised with minimal params)."""
+    from elasticsearch_spark.functions import analysis as a
+
+    needs_params = {
+        "synonym": {"synonyms": ["a, b"]}, "keep": {"keep_words": ["x"]},
+        "pattern_capture": {"patterns": ["(\\d+)"]},
+        "pattern_replace": {"pattern": "x", "replacement": "y"},
+        "condition": {"filter": ["reverse"], "script": {"source": "true"}},
+        "predicate_token_filter": {"script": {"source": "true"}},
+        "multiplexer": {"filters": ["lowercase"]},
+        "dictionary_decompounder": {"word_list": ["spark"]},
+        "hyphenation_decompounder": {"word_list": ["spark"]},
+        "hunspell": {"dictionary": ["1", "walk/S"],
+                     "dictionary_rules": ["SFX S Y 1", "SFX S 0 s ."]},
+        "stemmer_override": {"rules": ["running => run"]},
+        "keyword_marker": {"keywords": ["spark"]},
+        "min_hash": {}, "phonetic": {}, "keep_types": {},
+    }
+    for name, fn in a.TOKEN_FILTERS.items():
+        out = fn(list(toks), **needs_params.get(name, {}))
+        assert isinstance(out, list)
+        assert all(isinstance(t, str) for t in out)
