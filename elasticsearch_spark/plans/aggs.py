@@ -533,11 +533,9 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         # reference widens v4 into the v6 16-byte space)
         f = body["field"]
 
-        def ip_num_expr(col_expr: str):
-            return F.expr(
-                f"aggregate(transform(split({col_expr}, '\\\\.'),"
-                " x -> cast(x as bigint)), 0L, (acc, x) -> acc * 256 + x)"
-            )
+        # column-side fold shared with geoip (NULL-guards malformed IPs so
+        # they skip every range instead of landing in a wrong bucket)
+        from ..sources.geoip import ip_to_long as ip_num_col
 
         def ip_to_long(s: str) -> int:
             a, b, c, d = (int(x) for x in s.split("."))
@@ -564,7 +562,7 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
             for k, lo, hi in rs
         ])
         ex = (
-            df.withColumn("__ip", ip_num_expr(f))
+            df.withColumn("__ip", ip_num_col(F.col(f)))
             .withColumn("__r", F.explode(ranges))
             .where(
                 (F.col("__r.lo").isNull() | (F.col("__ip") >= F.col("__r.lo")))
@@ -763,7 +761,8 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
             grouped.withColumn(
                 "key", F.concat_ws("|", *[F.col(x).cast("string") for x in fields])
             )
-            .select("key", *metric_names)
+            # backticks: stats/percentiles sub-aggs emit dotted aliases
+            .select("key", *[F.col(f"`{c}`") for c in metric_names])
             .orderBy(F.desc("doc_count"), F.asc("key"))
             .limit(size)
         )
@@ -787,7 +786,8 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
             ",", *[F.concat(F.lit(f"{d}="), F.col(d).cast("string")) for d in dims]
         )
         return (
-            grouped.select(key.alias("key"), *[F.col(d) for d in dims], *metric_names)
+            grouped.select(key.alias("key"), *[F.col(d) for d in dims],
+                           *[F.col(f"`{c}`") for c in metric_names])
             .orderBy(*[F.asc(d) for d in dims])
             .limit(size)
         )
@@ -798,11 +798,10 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         f = body["field"]
         plen = int(body["prefix_length"])
         mask = (~((1 << (32 - plen)) - 1)) & 0xFFFFFFFF
-        ipnum = F.expr(
-            f"aggregate(transform(split({f}, '\\\\.'), x -> cast(x as bigint)),"
-            " 0L, (acc, x) -> acc * 256 + x)"
-        )
-        net = ipnum.bitwiseAND(F.lit(mask))
+        from ..sources.geoip import ip_to_long as ip_num_col
+
+        net = ip_num_col(F.col(f)).bitwiseAND(F.lit(mask))
+        df = df.where(net.isNotNull())  # malformed IPs bucket nowhere
         key = F.concat_ws(
             ".",
             F.shiftright(net, 24).bitwiseAND(F.lit(255)).cast("string"),
@@ -849,8 +848,12 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
             F.expr(f"percentile({f}, 0.5)").alias("q2"),
             F.expr(f"percentile({f}, 0.75)").alias("q3"),
         ).collect()[0]
-        iqr = q["q3"] - q["q1"]
-        lo, hi = q["q1"] - 1.5 * iqr, q["q3"] + 1.5 * iqr
+        if q["q1"] is None:  # empty/all-null input: NULL stats, ES-style
+            q = {"q1": None, "q2": None, "q3": None}
+            lo = hi = None
+        else:
+            iqr = q["q3"] - q["q1"]
+            lo, hi = q["q1"] - 1.5 * iqr, q["q3"] + 1.5 * iqr
         c = F.col(f)
         return df.agg(
             F.min(c).alias("min"),
@@ -1041,13 +1044,13 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         mapped = df.withColumn("__state", F.expr(body["map_script"]))
         if "combine_script" in body:
             per_part = mapped.groupBy(F.spark_partition_id().alias("__pid")).agg(
-                F.expr(body["combine_script"].replace("states", "__state")).alias("__partial")
+                F.expr(re.sub(r"\bstates\b", "__state", body["combine_script"])).alias("__partial")
             )
             return per_part.agg(
-                F.expr(body["reduce_script"].replace("states", "__partial")).alias(name)
+                F.expr(re.sub(r"\bstates\b", "__partial", body["reduce_script"])).alias(name)
             )
         return mapped.agg(
-            F.expr(body["reduce_script"].replace("states", "__state")).alias(name)
+            F.expr(re.sub(r"\bstates\b", "__state", body["reduce_script"])).alias(name)
         )
 
     if kind == "geo_line":
@@ -1073,6 +1076,9 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
                 F.count(d).alias("n"), F.avg(d).alias("m"), F.var_samp(d).alias("v")
             ).collect()[0]
             n = int(r["n"])
+            if n < 2 or r["v"] in (None, 0.0):
+                # degenerate sample: ES reports a null p-value
+                return spark.createDataFrame([(None,)], f"`{name}` double")
             t = float(r["m"]) / math.sqrt(float(r["v"]) / n)
             dof = float(n - 1)
             na = nb = n
@@ -1091,6 +1097,9 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
 
             ra, rb = _moments(a_spec), _moments(b_spec)
             na, nb = int(ra["n"]), int(rb["n"])
+            if na < 2 or nb < 2 or ra["v"] is None or rb["v"] is None:
+                # a side with <2 observations has no variance: null p-value
+                return spark.createDataFrame([(None,)], f"`{name}` double")
             ma, mb = float(ra["m"]), float(rb["m"])
             va, vb = float(ra["v"]), float(rb["v"])
             if ttype == "homoscedastic":
@@ -1249,7 +1258,8 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         f = body["field"]
         target = body.get("buckets", 10)
         lo, hi = df.agg(F.min(f), F.max(f)).collect()[0]
-        span_s = max((hi - lo).total_seconds(), 1)
+        # empty input (or all-null field): ES returns an empty buckets array
+        span_s = max((hi - lo).total_seconds(), 1) if lo is not None else 1
         ladder = [("minute", 60), ("hour", 3600), ("day", 86400),
                   ("week", 604800), ("month", 2629800), ("year", 31557600)]
         unit = next((u for u, s in ladder if span_s / s <= target), "year")
@@ -1300,13 +1310,24 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         out = None
         for sname, sspec in (sub or {}).items():
             frame = compile_agg(flat, sname, sspec)
-            out = frame if out is None else out
+            if out is None:
+                out = frame
+            elif "key" in out.columns and "key" in frame.columns:
+                # sibling bucket sub-aggs over the same nested scope combine
+                # on the shared bucket key (outer: each sibling may bucket a
+                # different key subset)
+                out = out.join(frame, "key", "outer")
+            else:
+                # metric siblings are one-row frames — combine columns
+                out = out.crossJoin(frame)
         return out if out is not None else flat.agg(F.count("*").alias("doc_count"))
 
     # ---- keyed bucket sources (terms/histogram/date_histogram/missing) ----
     key_col, (bkind, bbody) = _bucket_col(body_spec)
 
-    # top_hits sub-agg: window top-k per bucket instead of groupBy metrics
+    # top_hits sub-agg: window top-k per bucket instead of groupBy metrics;
+    # sibling METRIC sub-aggs still aggregate and join back on the bucket
+    # key (the reference returns both in one response)
     if sub and any("top_hits" in s for s in sub.values()):
         (th_name, th_spec), = ((n, s) for n, s in sub.items() if "top_hits" in s)
         th = th_spec["top_hits"]
@@ -1319,12 +1340,16 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
             order.append(F.col(sf).desc() if d == "desc" else F.col(sf).asc())
         order.append(F.col(df.columns[0]).asc())
         w = Window.partitionBy(key_col).orderBy(*order)
-        return (
+        ranked = (
             df.withColumn("key", key_col)
             .withColumn("_rank", F.row_number().over(w))
             .where(F.col("_rank") <= size)
-            .orderBy("key", "_rank")
         )
+        siblings = {n: s for n, s in sub.items() if n != th_name}
+        if siblings:
+            metrics = _apply_metric_subaggs(df.groupBy(key_col.alias("key")), siblings)
+            ranked = ranked.join(metrics, "key", "left")
+        return ranked.orderBy("key", "_rank")
 
     grouped = _apply_metric_subaggs(df.groupBy(key_col.alias("key")), sub)
 
@@ -1353,7 +1378,8 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
             grouped = grouped.where(~F.col("key").rlike(f"^(?:{exc})$"))
         order_spec = bbody.get("order", {"_count": "desc"})
         (ok, od), = order_spec.items()
-        oc = F.col("doc_count") if ok == "_count" else (F.col("key") if ok == "_key" else F.col(ok))
+        oc = F.col("doc_count") if ok == "_count" else (
+            F.col("key") if ok == "_key" else F.col(f"`{ok}`"))
         oc = oc.desc() if od == "desc" else oc.asc()
         # min_doc_count prunes BEFORE the size window (the reference drops
         # sub-threshold buckets before applying size, TermsAggregator.java)
@@ -1393,8 +1419,20 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
                     "minute": "interval 1 minute", "1m": "interval 1 minute",
                     "year": "interval 1 year"}[iv]
             if eb:
-                lo = min(lo, eb["min"]) if lo is not None else eb["min"]
-                hi = max(hi, eb["max"]) if hi is not None else eb["max"]
+                # ES-shaped bounds are strings / epoch millis — normalize to
+                # datetime before comparing with the collected bucket bounds
+                import datetime as _dt
+
+                def _ts(v):
+                    if isinstance(v, (int, float)):
+                        return _dt.datetime.utcfromtimestamp(v / 1000.0)
+                    if isinstance(v, str):
+                        return _dt.datetime.fromisoformat(v)
+                    return v
+
+                eb_lo, eb_hi = _ts(eb["min"]), _ts(eb["max"])
+                lo = min(lo, eb_lo) if lo is not None else eb_lo
+                hi = max(hi, eb_hi) if hi is not None else eb_hi
             if lo is None:
                 return grouped.orderBy("key")
             axis = spark_.sql(
@@ -1404,10 +1442,16 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         axis = axis.select(F.col("key").cast(key_type))
         filled = axis.join(grouped, "key", "left")
         fill_cols = [
-            F.coalesce(F.col(c), F.lit(0)).alias(c) if c == "doc_count" else F.col(c)
+            F.coalesce(F.col("doc_count"), F.lit(0)).alias("doc_count")
+            if c == "doc_count" else F.col(f"`{c}`")
             for c in grouped.columns
         ]
         return filled.select(*fill_cols).orderBy("key")
+    mdc = bbody.get("min_doc_count")
+    if bkind in ("histogram", "date_histogram") and mdc:
+        # HistogramAggregator drops buckets below min_doc_count (the ==0
+        # empty-bucket-filling case is the branch above)
+        grouped = grouped.where(F.col("doc_count") >= mdc)
     return grouped.orderBy("key")
 
 
@@ -1547,7 +1591,11 @@ def apply_pipeline(buckets: DataFrame, name: str, spec: dict) -> DataFrame:
     (kind, body), = spec.items()
     path = body.get("buckets_path")
     if isinstance(path, str):
-        src = F.col("doc_count" if path in ("_count",) else path)
+        src = F.col("doc_count" if path in ("_count",) else f"`{path}`")
+    elif kind in ("cumulative_sum", "derivative", "serial_diff", "moving_fn",
+                  "moving_avg", "normalize", "moving_percentiles"):
+        raise ValueError(
+            f"{kind} needs a string buckets_path (got {path!r})")
     w = Window.orderBy("key")
     if kind == "cumulative_sum":
         return buckets.withColumn(
@@ -1570,19 +1618,25 @@ def apply_pipeline(buckets: DataFrame, name: str, spec: dict) -> DataFrame:
             "MovingFunctions.min": F.min, "MovingFunctions.max": F.max,
         }
         return buckets.withColumn(name, fns[fn](src).over(frame))
+    def _bind_params(script: str, paths: dict) -> str:
+        # boundary-aware substitution: params.t must not eat params.t2
+        # (plain substring replace corrupts shared-prefix variable names)
+        def sub(m):
+            var = m.group(1)
+            if var not in paths:
+                raise ValueError(f"buckets_path has no variable {var!r}")
+            col = paths[var]
+            return "`doc_count`" if col == "_count" else f"`{col}`"
+
+        return re.sub(r"params\.(\w+)", sub, script)
+
     if kind == "bucket_script":
         # buckets_path: {var: col}; script: painless-ish arithmetic over vars
-        script = body["script"]
-        expr = script
-        for var, col in body["buckets_path"].items():
-            expr = expr.replace(f"params.{var}", f"`{col}`")
-        return buckets.withColumn(name, F.expr(expr))
+        return buckets.withColumn(
+            name, F.expr(_bind_params(body["script"], body["buckets_path"])))
     if kind == "bucket_selector":
-        script = body["script"]
-        expr = script
-        for var, col in body["buckets_path"].items():
-            expr = expr.replace(f"params.{var}", f"`{col}`")
-        return buckets.where(F.expr(expr))
+        return buckets.where(
+            F.expr(_bind_params(body["script"], body["buckets_path"])))
     if kind == "normalize":
         # NormalizePipelineAggregationBuilder.java (analytics module): six
         # rescaling methods over the bucket frame — whole-frame window
@@ -1675,7 +1729,7 @@ def apply_sibling(frames: dict[str, DataFrame], name: str, spec: dict) -> DataFr
     (kind, body), = spec.items()
     src_name, _, metric = body["buckets_path"].partition(">")
     frame = frames[src_name]
-    col = F.col("doc_count" if metric in ("", "_count") else metric)
+    col = F.col("doc_count" if metric in ("", "_count") else f"`{metric}`")
     if kind == "avg_bucket":
         return frame.agg(F.avg(col).alias(name))
     if kind == "sum_bucket":

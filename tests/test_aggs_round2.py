@@ -531,3 +531,156 @@ def test_terms_two_phase_error_bounds(spark):
     assert out["c"]["doc_count_error_upper_bound"] == 3
     # true c count is 6 -> within the bound (4 <= 6 <= 4 + 3)
     assert out["__other__"]["doc_count"] == 2  # 15 total - 13 in top buckets
+
+
+# --- aggs.py review regression batch -----------------------------------------
+
+def test_nested_multiple_metric_subaggs(spark):
+    from elasticsearch_spark.plans.aggs import aggregate
+
+    df = spark.createDataFrame(
+        [(1, [{"p": 2.0, "q": 10.0}, {"p": 4.0, "q": 20.0}]),
+         (2, [{"p": 6.0, "q": 30.0}])],
+        "id long, items array<struct<p:double,q:double>>",
+    )
+    out = aggregate(df, {"n": {
+        "nested": {"path": "items"},
+        "aggs": {"a": {"avg": {"field": "p"}}, "b": {"sum": {"field": "q"}}},
+    }})["n"].collect()[0]
+    assert out["a"] == 4.0          # (2+4+6)/3
+    assert out["b"] == 60.0         # second sub-agg no longer dropped
+
+
+def test_top_hits_with_sibling_metric(spark):
+    from elasticsearch_spark.plans.aggs import aggregate
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], "k string, v double")
+    out = aggregate(df, {"g": {
+        "terms": {"field": "k"},
+        "aggs": {"th": {"top_hits": {"size": 1, "sort": [{"v": "desc"}]}},
+                 "m": {"avg": {"field": "v"}}},
+    }})["g"].collect()
+    by = {(r["key"], r["_rank"]): r for r in out}
+    assert by[("a", 1)]["v"] == 3.0         # top hit
+    assert by[("a", 1)]["m"] == 2.0         # sibling avg joined back
+    assert by[("b", 1)]["m"] == 5.0
+
+
+def test_histogram_min_doc_count_prunes(spark):
+    from elasticsearch_spark.plans.aggs import aggregate
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (12.0,)], "v double")
+    out = aggregate(df, {"h": {
+        "histogram": {"field": "v", "interval": 10, "min_doc_count": 2}}})["h"].collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [(0.0, 2)]
+
+
+def test_date_histogram_extended_bounds_strings(spark):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.plans.aggs import aggregate
+
+    df = spark.createDataFrame([("2024-01-05",)], "ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = aggregate(df, {"h": {"date_histogram": {
+        "field": "ts", "calendar_interval": "1d", "min_doc_count": 0,
+        "extended_bounds": {"min": "2024-01-03", "max": "2024-01-07"},
+    }}})["h"].collect()
+    assert len(out) == 5  # Jan 3..7 filled
+    assert sum(r["doc_count"] for r in out) == 1
+
+
+def test_min_doc_count_zero_fill_with_dotted_metrics(spark):
+    from elasticsearch_spark.plans.aggs import aggregate
+
+    df = spark.createDataFrame([(1.0, 5.0), (21.0, 7.0)], "v double, w double")
+    out = aggregate(df, {"h": {
+        "histogram": {"field": "v", "interval": 10, "min_doc_count": 0},
+        "aggs": {"s": {"stats": {"field": "w"}}},
+    }})["h"].collect()
+    assert len(out) == 3  # 0,10,20 with the 10 bucket filled
+    mid = [r for r in out if r["key"] == 10.0][0]
+    assert mid["doc_count"] == 0
+
+
+def test_multi_terms_dotted_metric(spark):
+    from elasticsearch_spark.plans.aggs import compile_agg
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "x", 3.0)], "k1 string, k2 string, v double")
+    out = compile_agg(df, "mt", {
+        "multi_terms": {"terms": [{"field": "k1"}, {"field": "k2"}]},
+        "aggs": {"p": {"percentiles": {"field": "v", "percents": [50]}}},
+    }).collect()[0]
+    assert out["p.50"] == 2.0
+
+
+def test_terms_order_by_dotted_metric(spark):
+    from elasticsearch_spark.plans.aggs import aggregate
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 9.0)], "k string, v double")
+    out = aggregate(df, {"g": {
+        "terms": {"field": "k", "order": {"s.avg": "desc"}},
+        "aggs": {"s": {"stats": {"field": "v"}}},
+    }})["g"].collect()
+    assert [r["key"] for r in out] == ["b", "a"]
+
+
+def test_bucket_script_shared_prefix_params(spark):
+    from elasticsearch_spark.plans.aggs import aggregate
+
+    df = spark.createDataFrame([("a", 2.0), ("a", 4.0), ("b", 8.0)], "k string, v double")
+    out = aggregate(df, {"g": {
+        "terms": {"field": "k"},
+        "aggs": {
+            "total": {"sum": {"field": "v"}},
+            "total2": {"avg": {"field": "v"}},
+            "ratio": {"bucket_script": {
+                "buckets_path": {"t": "total", "t2": "total2"},
+                "script": "params.t2 / params.t",
+            }},
+        },
+    }})["g"].collect()
+    by = {r["key"]: r["ratio"] for r in out}
+    assert by["a"] == 0.5   # avg 3 / sum 6
+    assert by["b"] == 1.0
+
+
+def test_empty_frame_aggs_no_crash(spark):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.plans.aggs import aggregate
+
+    empty = spark.createDataFrame([], "ts timestamp, v double, w double")
+    out = aggregate(empty, {"a": {"auto_date_histogram": {"field": "ts"}}})["a"]
+    assert out.count() == 0
+    bx = aggregate(empty, {"b": {"boxplot": {"field": "v"}}})["b"].collect()[0]
+    assert bx["min"] is None
+    tt = aggregate(empty, {"t": {"t_test": {
+        "a": {"field": "v"}, "b": {"field": "w"}}}})["t"].collect()[0]
+    assert tt["t"] is None
+
+
+def test_ip_prefix_malformed_skipped(spark):
+    from elasticsearch_spark.plans.aggs import compile_agg
+
+    df = spark.createDataFrame(
+        [("10.1.2.3",), ("10.1.9.9",), ("10.1.2",), ("garbage",)], "ip string")
+    out = compile_agg(df, "nets", {
+        "ip_prefix": {"field": "ip", "prefix_length": 16}}).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [("10.1.0.0", 2)]
+
+
+def test_bucket_selector_count_path(spark):
+    from elasticsearch_spark.plans.aggs import aggregate
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    out = aggregate(df, {"g": {
+        "terms": {"field": "k"},
+        "aggs": {"sel": {"bucket_selector": {
+            "buckets_path": {"c": "_count"}, "script": "params.c > 1"}}},
+    }})["g"].collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [("a", 2)]
