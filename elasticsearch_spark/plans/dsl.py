@@ -37,7 +37,7 @@ import re
 
 from dataclasses import dataclass, field, replace as _dc_replace
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 K1 = 1.2
@@ -357,6 +357,35 @@ class FuzzyQ(Leaf):
         return pred
 
 
+def resolve_msm(msm, n: int) -> int:
+    """minimum_should_match spec → required clause count out of ``n``
+    (``Queries.calculateMinShouldMatch``): int (negative = n-|v|),
+    "75%" (truncating), "-25%" (n minus trunc), conditional "k<spec"
+    chains (applies only when n > k; multiple conditions space-separated,
+    the highest matching k wins)."""
+    if msm is None:
+        return 1
+    if isinstance(msm, int):
+        return msm if msm >= 0 else max(0, n + msm)
+    s = str(msm).strip()
+    if "<" in s:
+        best = n  # n <= every k: all clauses required (reference contract)
+        best_k = -1
+        for part in s.split():
+            k_s, _, spec = part.partition("<")
+            k = int(k_s)
+            if n > k and k > best_k:
+                best_k, best = k, resolve_msm(spec, n)
+        return best
+    if s.endswith("%"):
+        pct = int(s[:-1])
+        if pct < 0:
+            return n - (n * -pct) // 100
+        return (n * pct) // 100
+    v = int(s)
+    return v if v >= 0 else max(0, n + v)
+
+
 @dataclass
 class MatchQ(Node):
     """match (MatchQueryBuilder.java): analyze → per-term BM25, OR/AND."""
@@ -364,26 +393,33 @@ class MatchQ(Node):
     fld: str
     query: str = ""
     operator: str = "or"
-    minimum_should_match: int = 1
+    minimum_should_match: int | str = 1
     boost: float = 1.0
 
     def frame(self, ctx):
+        ctx = ctx.for_field(self.fld)  # match scopes to ITS field, not the default
         terms = list(dict.fromkeys(ctx.analyze(self.query)))
         if not terms:
             return ctx.df.limit(0).select(
                 F.col(ctx.key).alias("__key"), F.lit(0.0).alias("_score")
             )  # zero_terms_query: none (MatchQueryParser.java:133)
         fr = _bm25_frame(ctx, terms, self.boost)
-        need = len(terms) if self.operator == "and" else self.minimum_should_match
+        need = len(terms) if self.operator == "and" else resolve_msm(
+            self.minimum_should_match, len(terms))
         return fr.where(F.col("_matched") >= need).select("__key", "_score")
 
     def predicate(self, ctx):
         # match in filter context: containment of required terms
+        ctx = ctx.for_field(self.fld)
         terms = list(dict.fromkeys(ctx.analyze(self.query)))
+        if not terms:
+            # zero_terms_query: none — nothing matches (frame() agrees)
+            return F.lit(False)
         toks = ctx.toks_col()
         per = [F.array_contains(toks, t).cast("int") for t in terms]
-        total = sum(per[1:], per[0]) if per else F.lit(0)
-        need = len(terms) if self.operator == "and" else self.minimum_should_match
+        total = sum(per[1:], per[0])
+        need = len(terms) if self.operator == "and" else resolve_msm(
+            self.minimum_should_match, len(terms))
         return total >= need
 
 
@@ -529,6 +565,7 @@ class MatchPhrasePrefixQ(Node):
     def predicate(self, ctx):
         import re as _re
 
+        ctx = ctx.for_field(self.fld)
         terms = ctx.analyze(self.query)
         if not terms:
             return F.lit(False)
@@ -618,7 +655,15 @@ class MultiMatchQ(Node):
                 ctx.df, ctx.key, text_col=base,
                 analyzer_regex=ctx.analyzer_regex, shingle=sh,
             )
-            frames.append(node_cls(f_, self.query, boost=self.boost).frame(sub))
+            # fld = the SCOPED base column (sub already views the shingle
+            # subfield); forwarding the literal `title._2gram` name would
+            # make the node's own for_field() re-scope to a nonexistent col
+            if node_cls is MatchQ:
+                node = MatchQ(base, self.query, boost=self.boost,
+                              operator=self.operator)
+            else:
+                node = node_cls(base, self.query, boost=self.boost)
+            frames.append(node.frame(sub))
         if self.mm_type in ("most_fields", "bool_prefix"):
             return _sum_frames(frames, min_should=1).select(
                 "__key", F.col("_s_should").alias("_score")
@@ -804,6 +849,7 @@ class MatchBoolPrefixQ(Node):
     boost: float = 1.0
 
     def frame(self, ctx):
+        ctx = ctx.for_field(self.fld)
         terms = ctx.analyze(self.query)
         if not terms:
             return ctx.df.limit(0).select(F.col(ctx.key).alias("__key"), F.lit(0.0).alias("_score"))
@@ -832,8 +878,14 @@ class CombinedFieldsQ(Node):
     boost: float = 1.0
 
     def frame(self, ctx):
+        # coalesce each field's token array: concat is NULL-poisoning, and
+        # a missing field must read as EMPTY (the reference treats absent
+        # fields as contributing no tokens, not as nulling the document)
         combined = F.concat(*[
-            F.expr(f"regexp_extract_all(lower({f_}), '{ctx.analyzer_regex}', 0)") for f_ in self.flds
+            F.coalesce(
+                F.expr(f"regexp_extract_all(lower({f_}), '{ctx.analyzer_regex}', 0)"),
+                F.expr("array()"),
+            ) for f_ in self.flds
         ])
         virt = ctx.df.withColumn("__combined_text", F.array_join(combined, " "))
         sub = SearchContext(virt, ctx.key, text_col="__combined_text", analyzer_regex=ctx.analyzer_regex)
@@ -1232,12 +1284,12 @@ class BoolQ(Node):
     filter: list = field(default_factory=list)
     should: list = field(default_factory=list)
     must_not: list = field(default_factory=list)
-    minimum_should_match: int | None = None
+    minimum_should_match: int | str | None = None
     boost: float = 1.0
 
     def _msm(self) -> int:
         if self.minimum_should_match is not None:
-            return self.minimum_should_match
+            return resolve_msm(self.minimum_should_match, len(self.should))
         # default: 1 if there are no must/filter clauses, else 0
         return 0 if (self.must or self.filter) else 1
 
@@ -1495,8 +1547,10 @@ class FunctionScoreQ(Node):
             fn = F.greatest(*cols) if len(cols) > 1 else cols[0]
         elif self.score_mode == "min":
             fn = F.least(*cols) if len(cols) > 1 else cols[0]
-        else:  # multiply
-            fn = cols[0]
+        else:  # multiply — every factor null-coalesces (a doc failing one
+            # function's filter keeps the OTHER functions' product; the
+            # first factor was previously un-coalesced and poisoned it)
+            fn = F.coalesce(cols[0], F.lit(1.0))
             for c in cols[1:]:
                 fn = fn * F.coalesce(c, F.lit(1.0))
         fn = F.coalesce(fn, F.lit(1.0))
@@ -1890,7 +1944,7 @@ def parse(q: dict) -> Node:
             return MatchQ(fld, query=spec)
         return MatchQ(
             fld, query=spec["query"], operator=spec.get("operator", "or"),
-            minimum_should_match=int(spec.get("minimum_should_match", 1)),
+            minimum_should_match=spec.get("minimum_should_match", 1),
             boost=spec.get("boost", 1.0),
         )
     if kind == "common":
@@ -1922,6 +1976,7 @@ def parse(q: dict) -> Node:
             mm_type=body.get("type", "best_fields"),
             tie_breaker=body.get("tie_breaker", 0.0),
             operator=body.get("operator", "or"),
+            boost=body.get("boost", 1.0),
         )
     if kind == "bool":
         def lst(x):
@@ -2108,6 +2163,10 @@ def _sort_cols(sort_spec, key: str) -> list[Column]:
     Also `_geo_distance` (GeoDistanceSortBuilder.java: haversine to an
     origin over a struct<lat,lon> column) and `_script`
     (ScriptSortBuilder.java: SQL-expression sort key)."""
+    if isinstance(sort_spec, (str, dict)):
+        # ES accepts a bare string ("sort": "field") and a bare object —
+        # normalize so the loop never iterates a string char-by-char
+        sort_spec = [sort_spec]
     order = []
     for s in sort_spec:
         if s == "_score":
@@ -2259,8 +2318,10 @@ def search(
         base_knn = df
         if "filter" in kn:
             # KnnSearchBuilder filter: PRE-filter — candidates are scored
-            # only among docs passing the filter (not post-filtered top-k)
-            fnode = parse(kn["filter"])
+            # only among docs passing the filter (not post-filtered top-k).
+            # ES accepts a LIST of filters here (implicit AND).
+            kf = kn["filter"]
+            fnode = parse({"bool": {"filter": kf}} if isinstance(kf, list) else kf)
             base_knn = df.where(fnode.predicate(ctx))
         out_knn = (
             base_knn.select(F.col(key).alias("__key"), (dot / nrm).alias("_score"))
@@ -2410,18 +2471,26 @@ def search(
             rq = rs["query"]
             qw = float(rq.get("query_weight", 1.0))
             rqw = float(rq.get("rescore_query_weight", 1.0))
-            top_w = (
-                fetched.orderBy(F.desc("_score"), F.asc(key)).limit(window)
+            ranked = fetched.withColumn(
+                "__rr", F.row_number().over(
+                    Window.orderBy(F.desc("_score"), F.asc(key)))
             )
-            sec = parse(rq["rescore_query"]).frame(SearchContext(df, key, text_col=text_col))
+            # QueryRescorer contract: hits OUTSIDE the window keep their
+            # original score and remain in the result set
+            sec = parse(rq["rescore_query"]).frame(
+                SearchContext(df, key, text_col=text_col, kw_norm=kw_norm or {}))
             sec = sec.withColumnRenamed("__key", key).withColumnRenamed("_score", "_rescore")
             fetched = (
-                top_w.join(sec, key, "left")
+                ranked.join(sec, key, "left")
                 .withColumn(
                     "_score",
-                    qw * F.col("_score") + rqw * F.coalesce(F.col("_rescore"), F.lit(0.0)),
+                    F.when(
+                        F.col("__rr") <= window,
+                        qw * F.col("_score")
+                        + rqw * F.coalesce(F.col("_rescore"), F.lit(0.0)),
+                    ).otherwise(F.col("_score")),
                 )
-                .drop("_rescore")
+                .drop("_rescore", "__rr")
             )
 
     # text_similarity_reranker retriever (x-pack
@@ -2474,6 +2543,8 @@ def search(
         )
 
     sort_spec = body.get("sort", [{"_score": {"order": "desc"}}])
+    if isinstance(sort_spec, (str, dict)):
+        sort_spec = [sort_spec]  # bare-string / bare-object ES spellings
     order = _sort_cols(sort_spec, key)
 
     # search_after: keyset pagination — strictly-after predicate on the

@@ -5883,10 +5883,21 @@ s2 AS (
   FROM tf2 CROSS JOIN (SELECT count(*)::DOUBLE AS df FROM tf2) d2
   JOIN qdl ON tf2.doc_id = qdl.doc_id CROSS JOIN coll
 ),
-win AS (SELECT doc_id, s FROM s1 ORDER BY s DESC, doc_id ASC LIMIT 10)
-SELECT w.doc_id, round(0.7 * w.s + 1.2 * coalesce(s2.s, 0), 4) AS score
-FROM win w LEFT JOIN s2 ON w.doc_id = s2.doc_id
-ORDER BY 0.7 * w.s + 1.2 * coalesce(s2.s, 0) DESC, w.doc_id ASC LIMIT 10
+ranked AS (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rnk
+  FROM s1
+),
+resc AS (
+  -- QueryRescorer contract: window hits get the combined score, hits
+  -- OUTSIDE the window keep their original primary score (not dropped)
+  SELECT r.doc_id,
+         CASE WHEN r.rnk <= 10
+              THEN 0.7 * r.s + 1.2 * coalesce(s2.s, 0)
+              ELSE r.s END AS score
+  FROM ranked r LEFT JOIN s2 ON r.doc_id = s2.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM resc ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
     "text_boilerplate_strip": """
 SELECT lang, COUNT(*)::BIGINT AS doc_count, SUM(strlen(text))::BIGINT AS chars

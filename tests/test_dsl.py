@@ -205,3 +205,99 @@ def test_fuzzy_prefix_length(spark):
     out2 = dsl.search(spark, df, {"query": {"fuzzy": {"word": {
         "value": "spark", "fuzziness": 1, "prefix_length": 1}}}, "size": 10})
     assert sorted(r.doc_id for r in out2.collect()) == [1, 2]
+
+
+# --- dsl.py review regression batch ------------------------------------------
+
+def _mini(spark):
+    return spark.createDataFrame(
+        [(1, "apple pie recipe", "apple orchard"),
+         (2, "banana bread", "apple tart"),
+         (3, "apple apple apple", None)],
+        "id long, text string, title string")
+
+
+def test_match_scopes_to_its_field(spark):
+    df = _mini(spark)
+    out = dsl.search(spark, df, {"query": {"match": {"title": "orchard"}}, "size": 10}, key="id")
+    assert [r["id"] for r in out.collect()] == [1]
+    # filter context too
+    out2 = dsl.search(spark, df, {"query": {"bool": {"filter": [
+        {"match": {"title": "tart"}}]}}, "size": 10}, key="id")
+    assert [r["id"] for r in out2.collect()] == [2]
+
+
+def test_match_and_zero_terms_filter_matches_nothing(spark):
+    df = _mini(spark)
+    out = dsl.search(spark, df, {"query": {"bool": {"filter": [
+        {"match": {"text": {"query": "!!! ???", "operator": "and"}}}]}},
+        "size": 10}, key="id")
+    assert out.count() == 0
+
+
+def test_multi_match_operator_and(spark):
+    df = _mini(spark)
+    body = {"query": {"multi_match": {
+        "query": "apple pie", "fields": ["text", "title"], "operator": "and"}},
+        "size": 10}
+    out = dsl.search(spark, df, body, key="id")
+    assert [r["id"] for r in out.collect()] == [1]  # only doc 1 has both in one field
+
+
+def test_combined_fields_null_field_not_poisonous(spark):
+    df = _mini(spark)
+    out = dsl.search(spark, df, {"query": {"combined_fields": {
+        "query": "apple", "fields": ["text", "title"]}}, "size": 10}, key="id")
+    assert {r["id"] for r in out.collect()} == {1, 2, 3}  # doc 3 title NULL still matches
+
+
+def test_function_score_multiply_first_filter_miss(spark):
+    df = _mini(spark)
+    out = dsl.search(spark, df, {"query": {"function_score": {
+        "query": {"match": {"text": "apple"}},
+        "functions": [
+            {"filter": {"term": {"id": 999}}, "weight": 3.0},   # nobody matches
+            {"filter": {"match": {"text": "apple"}}, "weight": 5.0},
+        ],
+        "score_mode": "multiply", "boost_mode": "replace",
+    }}, "size": 10}, key="id")
+    scores = {r["id"]: r["_score"] for r in out.collect()}
+    assert all(abs(v - 5.0) < 1e-9 for v in scores.values())  # 5, not 1
+
+
+def test_rescore_keeps_hits_outside_window(spark):
+    df = _mini(spark)
+    out = dsl.search(spark, df, {
+        "query": {"match": {"text": "apple banana"}},
+        "rescore": {"window_size": 1, "query": {
+            "rescore_query": {"match": {"text": "pie"}},
+            "rescore_query_weight": 10.0}},
+        "size": 10}, key="id")
+    assert out.count() == 3  # nothing dropped past the window
+
+
+def test_knn_list_filter(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [0.9, 0.1], "b"), (3, [0.0, 1.0], "a")],
+        "id long, v array<double>, tag string")
+    out = dsl.search(spark, df, {"knn": {
+        "field": "v", "query_vector": [1.0, 0.0], "k": 2,
+        "filter": [{"term": {"tag": "a"}}]}, "size": 2}, key="id")
+    assert [r["id"] for r in out.collect()] == [1, 3]
+
+
+def test_bare_string_sort_and_msm_percent(spark):
+    df = _mini(spark)
+    out = dsl.search(spark, df, {"query": {"match_all": {}}, "sort": "id", "size": 10}, key="id")
+    assert [r["id"] for r in out.collect()] == [1, 2, 3]
+    # 75% of 2 terms (truncating) = 1 → doc needs >= 1 of the terms
+    out2 = dsl.search(spark, df, {"query": {"match": {"text": {
+        "query": "banana bread", "minimum_should_match": "75%"}}}, "size": 10}, key="id")
+    assert {r["id"] for r in out2.collect()} == {2}
+    from elasticsearch_spark.plans.dsl import resolve_msm
+
+    assert resolve_msm("75%", 4) == 3
+    assert resolve_msm("-25%", 4) == 3
+    assert resolve_msm(-1, 4) == 3
+    assert resolve_msm("2<75%", 2) == 2   # n <= k: all required
+    assert resolve_msm("2<75%", 4) == 3
