@@ -291,6 +291,36 @@ def _required_docs(node: dict, term_docs: dict[str, np.ndarray]) -> np.ndarray:
     return out
 
 
+def _presence_sure_docs(node: dict, term_docs: dict[str, np.ndarray]) -> np.ndarray:
+    """Docs GUARANTEED to match by term presence alone — no position check
+    needed (a strict subset of matches, complement of nothing): a leaf's
+    interval set is non-empty iff any of its terms occurs; any_of is sure
+    where any child is; unordered all_of with unbounded gaps is sure where
+    every child is (some window always covers one interval per child).
+    Ordered / gap-bounded / filtered nodes return empty (position-dependent).
+    This keeps broad queries (e.g. any_of over a stopword) vectorized —
+    the per-doc Python loop runs only on the genuinely positional rest."""
+    if "filter" in node:
+        return np.zeros(0, dtype=np.int64)
+    if node["op"] == "leaf":
+        arrs = [term_docs[t] for t in node["terms"] if t in term_docs]
+        return np.unique(np.concatenate(arrs)) if arrs else np.zeros(0, dtype=np.int64)
+    if node["op"] == "any_of":
+        arrs = [_presence_sure_docs(c, term_docs) for c in node["children"]]
+        arrs = [a for a in arrs if len(a)]
+        return np.unique(np.concatenate(arrs)) if arrs else np.zeros(0, dtype=np.int64)
+    # all_of: positional unless unordered with unlimited gaps
+    if node.get("ordered") or node.get("max_gaps", -1) >= 0:
+        return np.zeros(0, dtype=np.int64)
+    out = None
+    for c in node["children"]:
+        s = _presence_sure_docs(c, term_docs)
+        out = s if out is None else np.intersect1d(out, s, assume_unique=True)
+        if len(out) == 0:
+            break
+    return out if out is not None else np.zeros(0, dtype=np.int64)
+
+
 def _eval_node(node: dict, leaf_pos) -> np.ndarray:
     """Evaluate one doc: leaf_pos(terms) -> sorted positions array."""
     if node["op"] == "leaf":
@@ -364,9 +394,15 @@ def _segment_intervals_scorer(index_dir, weights, avgdl, k1, b, k, tree):
 
                     return leaf_pos
 
-                hit_mask = np.zeros(len(cand), dtype=bool)
-                for dense in range(len(cand)):
-                    hit_mask[dense] = len(_eval_node(tree, leaf_pos_for(dense))) > 0
+                # presence-decidable docs skip the per-doc interval algebra
+                sure = np.intersect1d(
+                    _presence_sure_docs(tree, term_docs), cand, assume_unique=True
+                )
+                sure_mask = np.zeros(len(cand), dtype=bool)
+                sure_mask[np.searchsorted(cand, sure)] = True
+                hit_mask = sure_mask.copy()
+                for dense in np.nonzero(~sure_mask)[0]:
+                    hit_mask[dense] = len(_eval_node(tree, leaf_pos_for(int(dense)))) > 0
                 verified = cand[hit_mask]
                 if len(verified) == 0:
                     continue

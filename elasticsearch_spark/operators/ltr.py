@@ -152,15 +152,22 @@ def ltr_rescore(
     ``QueryRescorer.java``'s contract that rescoring never promotes a hit
     from outside the window.
     """
+    # same resolution as the other two inference callers (api.infer /
+    # pipeline agg): accept a registered model_id or the {"ensemble": ...}
+    # envelope, and rewrite dotted feature names to safe placeholders so
+    # "load.avg" doesn't parse as a struct access in the compiled SQL
+    model, feat_map = safe_feature_model(resolve_trained_model(model))
     w = Window.orderBy(F.desc(base_score_col), F.asc(id_col))
     ranked = hits.withColumn("_base_rank", F.row_number().over(w))
+    for ph, feat in feat_map.items():
+        ranked = ranked.withColumn(ph, F.col(f"`{feat}`"))
     in_win = F.col("_base_rank") <= window_size
     scored = ranked.withColumn(
         "_rescored",
         F.when(in_win, ensemble_col(model)).otherwise(
             F.col(base_score_col).cast("double")
         ),
-    )
+    ).drop(*feat_map)
     w2 = Window.orderBy(
         in_win.cast("int").desc(),
         F.when(in_win, F.col("_rescored")).otherwise(F.lit(None)).desc_nulls_last(),

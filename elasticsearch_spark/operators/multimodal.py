@@ -64,7 +64,9 @@ def byte_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                # a NULL payload is a corrupt-sample row, not a stage
+                # killer: same features as the empty payload
+                b = np.frombuffer(bytes(payload or b""), dtype=np.uint8)
                 if len(b) == 0:
                     rows.append((int(mid), 0, 0.0, "unknown", 0, [0.0] * 16))
                     continue

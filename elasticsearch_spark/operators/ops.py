@@ -157,35 +157,53 @@ def apply_ops(
         {r["url"]: r["version"] for r in existing_rows} if has_version else {}
     )
 
+    # ops apply IN ROW ORDER against evolving state (TransportBulkAction
+    # executes a bulk sequentially per id): a delete sees the index op that
+    # preceded it in the same batch, a second create on the same url
+    # conflicts, and the last surviving write per url is what gets indexed.
     op_rows = ops.collect()
     new_tombs: list[int] = []
-    to_index = []
+    disk_dead: set[str] = set()   # urls whose stored doc this batch tombstoned
+    pending: dict[str, object] = {}  # url -> op row queued for indexing
+    pending_ver: dict[str, int | None] = {}
     counts = {"indexed": 0, "created": 0, "updated": 0, "deleted": 0,
               "create_conflicts": 0, "version_conflicts": 0}
     for r in op_rows:
-        op = r["op"]
-        if has_version and r["url"] in existing_ids:
-            cur = existing_ver.get(r["url"])
+        op, url = r["op"], r["url"]
+        in_batch = url in pending
+        on_disk = url in existing_ids and url not in disk_dead
+        if has_version and (in_batch or on_disk):
+            cur = pending_ver.get(url) if in_batch else existing_ver.get(url)
             if cur is not None and r["version"] is not None \
                     and r["version"] <= cur:
                 counts["version_conflicts"] += 1
                 continue
         if op == "delete":
-            if r["url"] in existing_ids:
-                new_tombs.append(existing_ids[r["url"]])
+            if in_batch:
+                del pending[url]
+                pending_ver.pop(url, None)
+            if on_disk:
+                new_tombs.append(existing_ids[url])
+                disk_dead.add(url)
+            if in_batch or on_disk:
                 counts["deleted"] += 1
             continue
-        if op == "create" and r["url"] in existing_ids:
+        if op == "create" and (in_batch or on_disk):
             counts["create_conflicts"] += 1  # version_conflict_engine_exception
             continue
-        if r["url"] in existing_ids:
-            new_tombs.append(existing_ids[r["url"]])
+        if in_batch or on_disk:
             counts["updated"] += 1
         elif op == "create":
             counts["created"] += 1
         else:
             counts["indexed"] += 1
-        to_index.append(r)
+        if on_disk:
+            new_tombs.append(existing_ids[url])
+            disk_dead.add(url)
+        pending[url] = r
+        if has_version:
+            pending_ver[url] = r["version"]
+    to_index = list(pending.values())
 
     if to_index:
         # next op-batch generation: pids above every existing op segment

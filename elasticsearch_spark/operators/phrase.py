@@ -51,6 +51,53 @@ from .topk import CAND_SCHEMA, _term_weights
 _POS_BITS = 32
 _POS_MASK = (1 << _POS_BITS) - 1
 
+# footer probe results; segments are immutable so a path's answer never changes
+_POS_PROBE_CACHE: dict[str, bool | None] = {}
+
+
+def _segment_has_positions(path: str) -> bool | None:
+    """Footer-only probe: does this segment's postings file carry position
+    data? Decided from the parquet column statistics (an all-empty
+    ``pos_bytes`` chunk has ``max == b""``); None when statistics are
+    absent (unknown). No data pages are read."""
+    if path in _POS_PROBE_CACHE:
+        return _POS_PROBE_CACHE[path]
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    out: bool | None
+    if "pos_bytes" not in names:
+        out = False
+    else:
+        i = names.index("pos_bytes")
+        out = None
+        saw = False
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(i).statistics
+            if st is None or not st.has_min_max:
+                continue
+            saw = True
+            if st.max not in (b"", None):
+                out = True
+                break
+        if out is None and saw:
+            out = False
+    _POS_PROBE_CACHE[path] = out
+    return out
+
+
+def index_has_positions(index_dir: str) -> bool:
+    """False when some current segment provably lacks positions. Unknown
+    (statistics absent) counts as positional — normal builds always store
+    positions and must not silently take the slow text-rescan path."""
+    return not any(
+        _segment_has_positions(
+            os.path.join(store.seg_dir(index_dir, s), "postings.parquet")
+        ) is False
+        for s in store.list_segs(index_dir)
+    )
+
 
 # --------------------------------------------------------------------------
 # in-task decode helpers (run inside the per-segment scorer)
@@ -358,12 +405,16 @@ def search_phrase(
     weights = _term_weights(spark, index_dir, terms, meta)
     if any(t not in weights for t in terms):
         return empty  # conjunction with a zero-df term matches nothing
-    try:
-        return _positional_topk(
-            spark, index_dir, meta, terms, [], k, True, slop, weights
-        )
-    except LookupError:
+    if not index_has_positions(index_dir):
+        # position-less segments (e.g. a merge over legacy sources that
+        # dropped mixed positions): re-analyze candidates' stored text.
+        # Detected DRIVER-side from the parquet footers — the positional
+        # plan is lazy, so an executor-side LookupError at collect time
+        # could never reach a driver try/except here
         return _phrase_fallback(spark, index_dir, meta, terms, k, slop)
+    return _positional_topk(
+        spark, index_dir, meta, terms, [], k, True, slop, weights
+    )
 
 
 def search_phrase_prefix(
@@ -385,6 +436,11 @@ def search_phrase_prefix(
     empty = spark.createDataFrame([], "doc_id long, url string, score double")
     if not terms:
         return empty
+    if not index_has_positions(index_dir):
+        # the reference raises IllegalStateException ("field was indexed
+        # without position data") — surface it driver-side, not as an
+        # opaque executor traceback at collect time
+        raise ValueError("match_phrase_prefix requires position data; a current segment has none")
     fixed, prefix = terms[:-1], terms[-1]
     # prefix expansion over the GLOBAL term dictionary (the stats table is
     # term-sorted parquet — range predicate pushes to row groups); capped
@@ -428,6 +484,8 @@ def search_intervals(
     weights = _term_weights(spark, index_dir, terms, meta)
     if any(t not in weights for t in terms):
         return empty
+    if not index_has_positions(index_dir):
+        raise ValueError("intervals requires position data; a current segment has none")
     return _positional_topk(
         spark, index_dir, meta, terms, [], k, ordered, max_gaps, weights
     )
@@ -536,7 +594,13 @@ def highlight(
     of fragments: fragments are SCORED by match count and returned
     best-first (the unified highlighter's passage scoring, ties broken by
     document order), still as pure Column expressions."""
-    pat = "|".join(sorted((t for t in terms), key=len, reverse=True))
+    import re as _re
+
+    # terms are analyzer OUTPUT, not regex: escape metacharacters ("c++",
+    # "3.5") for the pattern, and escape the pattern again for embedding
+    # in SQL string literals (expr parses \ and ' inside '...')
+    pat = "|".join(_re.escape(t) for t in sorted(terms, key=len, reverse=True))
+    sqlpat = pat.replace("\\", "\\\\").replace("'", "\\'")
     if number_of_fragments == 0:
         # number_of_fragments: 0 (HighlightBuilder semantics): no
         # fragmentation — the ENTIRE field value returns with every match
@@ -547,7 +611,7 @@ def highlight(
         return df.withColumn("highlight", tagged0)
     if number_of_fragments > 1:
         half = fragment_size // 2
-        ctx = f"(?i)[^\\n]{{0,{half}}}(?:{pat})[^\\n]{{0,{half}}}"
+        ctx = f"(?i)[^\\\\n]{{0,{half}}}(?:{sqlpat})[^\\\\n]{{0,{half}}}"
         # rank candidate fragments by (-match_count, original_index): the
         # struct sort is JVM-side; slice keeps the best N
         ranked = F.expr(
@@ -555,7 +619,7 @@ def highlight(
                   array_sort(
                     transform(regexp_extract_all({text_col}, '{ctx}', 0),
                               (fr, i) -> struct(
-                                -size(regexp_extract_all(fr, '(?i)(?:{pat})', 0)) AS neg,
+                                -size(regexp_extract_all(fr, '(?i)(?:{sqlpat})', 0)) AS neg,
                                 i AS ord, fr AS fr)
                     )
                   ),
@@ -568,7 +632,7 @@ def highlight(
         )
         return df.withColumn("highlight", tagged_arr)
     first_pos = F.expr(
-        f"locate(regexp_extract(lower({text_col}), '(?i)({pat})', 1), lower({text_col}))"
+        f"locate(regexp_extract(lower({text_col}), '(?i)({sqlpat})', 1), lower({text_col}))"
     )
     half = fragment_size // 2
     frag_start = F.greatest(first_pos - half, F.lit(1))

@@ -106,9 +106,16 @@ def build_lsh_index(
     _buckets = F.pandas_udf(_buckets_fn, "array<long>")
 
     base = df.select(F.col(key).alias("__key"), F.col(vec_col).cast("array<double>").alias("__v"))
+    # stamp the build parameters into column metadata (on a DATA column —
+    # tbl/bucket are partition columns when the index is written
+    # partitionBy, and partition-column metadata doesn't survive parquet):
+    # lsh_topk reads them back so a probe can never silently hash with
+    # different planes than the index
+    build_meta = {"lsh_n_tables": n_tables, "lsh_n_planes": n_planes,
+                  "lsh_seed": seed, "lsh_dim": dim}
     return (
         base.select(F.posexplode(_buckets("__v")).alias("tbl", "bucket"), "__key", "__v")
-        .select("tbl", "bucket", "__key", "__v")
+        .select("tbl", "bucket", F.col("__key").alias("__key", metadata=build_meta), "__v")
     )
 
 
@@ -116,13 +123,33 @@ def lsh_topk(
     index_df: DataFrame,
     query_vec,
     k: int = 10,
-    n_tables: int = 8,
-    n_planes: int = 14,
-    seed: int = SEED,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
+    seed: int | None = None,
     multiprobe: bool = True,
 ) -> DataFrame:
     """ANN top-k: probe the query's bucket in each table (plus hamming-1
-    neighbor buckets when `multiprobe`), exact-rerank candidates."""
+    neighbor buckets when `multiprobe`), exact-rerank candidates.
+
+    n_tables/n_planes/seed default to the values stamped on the index by
+    ``build_lsh_index`` (column metadata on ``__key``); passing a value
+    that CONTRADICTS the stamp raises — mismatched planes would hash the
+    query into buckets the index never populated and recall would silently
+    collapse to ~zero. Legacy unstamped indexes fall back to (8, 14, SEED)."""
+    md: dict = {}
+    for fld in index_df.schema.fields:
+        if fld.name == "__key" and fld.metadata:
+            md = fld.metadata
+    for name, given in (("lsh_n_tables", n_tables), ("lsh_n_planes", n_planes),
+                        ("lsh_seed", seed)):
+        if given is not None and name in md and int(md[name]) != int(given):
+            raise ValueError(
+                f"lsh_topk {name}={given} contradicts the index's build "
+                f"value {md[name]} — the probe would hash with different "
+                "planes than the index")
+    n_tables = int(md.get("lsh_n_tables", 8)) if n_tables is None else n_tables
+    n_planes = int(md.get("lsh_n_planes", 14)) if n_planes is None else n_planes
+    seed = int(md.get("lsh_seed", SEED)) if seed is None else seed
     qv = np.asarray(query_vec, dtype=np.float64)
     planes = _planes(n_tables, n_planes, len(qv), seed)
     probes = []

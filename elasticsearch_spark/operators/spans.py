@@ -168,6 +168,30 @@ def _cand_docs(node: SpanNode, decoded: dict) -> np.ndarray:
     return _cand_docs(node.clauses[0], decoded)
 
 
+def _presence_sure_spans(node: SpanNode, decoded: dict) -> np.ndarray:
+    """Docs GUARANTEED to match by term presence alone (subset of matches):
+    a span_term matches wherever its term occurs; span_or where any child
+    is sure; span_not where the include branch is sure and NO exclude-branch
+    term occurs. Positional kinds (near/containing/within/first) return
+    empty — those docs take the per-doc evaluator. Keeps broad span_or /
+    span_term queries vectorized instead of a Python loop per doc."""
+    if node.kind == "term":
+        return decoded[node.term][0] if node.term in decoded else np.zeros(0, dtype=np.int64)
+    if node.kind == "or":
+        parts = [_presence_sure_spans(c, decoded) for c in node.clauses]
+        parts = [p for p in parts if len(p)]
+        return np.unique(np.concatenate(parts)) if parts else np.zeros(0, dtype=np.int64)
+    if node.kind == "not":
+        sure = _presence_sure_spans(node.clauses[0], decoded)
+        if not len(sure):
+            return sure
+        excl = [decoded[t][0] for t in leaf_terms(node.clauses[1]) if t in decoded]
+        if excl:
+            sure = np.setdiff1d(sure, np.concatenate(excl), assume_unique=False)
+        return sure
+    return np.zeros(0, dtype=np.int64)
+
+
 def _eval_spans(node: SpanNode, pos: dict[str, list[int]]) -> list[tuple[int, int]]:
     """Evaluate the span tree for ONE doc → sorted (start, end) intervals."""
     if node.kind == "term":
@@ -287,8 +311,14 @@ def _segment_span_scorer(index_dir: str, node: SpanNode,
                 for t in decoded:
                     keys = _occ_keys(*decoded[t], cand)
                     per_term_pos[t] = (keys >> _POS_BITS, keys & ((1 << _POS_BITS) - 1))
-                verified = []
-                for dense in range(len(cand)):
+                # presence-decidable docs skip the per-doc span evaluator
+                sure = np.intersect1d(
+                    _presence_sure_spans(node, decoded), cand, assume_unique=True
+                )
+                sure_mask = np.zeros(len(cand), dtype=bool)
+                sure_mask[np.searchsorted(cand, sure)] = True
+                verified = list(sure)
+                for dense in np.nonzero(~sure_mask)[0]:
                     pos = {}
                     for t, (dd, pp) in per_term_pos.items():
                         lo = np.searchsorted(dd, dense)
@@ -297,6 +327,7 @@ def _segment_span_scorer(index_dir: str, node: SpanNode,
                             pos[t] = pp[lo:hi].tolist()
                     if pos and _eval_spans(node, pos):
                         verified.append(cand[dense])
+                verified.sort()
                 if not verified:
                     continue
                 verified = np.array(verified, dtype=np.int64)

@@ -190,8 +190,12 @@ def _wand_segment(post, weights, norm_doc_ids, norm_ql, avgdl, k1, b, k, allowed
 
     for r in region_order:
         theta = heap[0][0] if len(heap) >= k else -np.inf
-        if ub_region[r] <= theta and len(heap) >= k:
-            break  # exact stop: no remaining region can beat the k-th score
+        if ub_region[r] < theta and len(heap) >= k:
+            # exact stop: no remaining region can beat the k-th score.
+            # Strictly-below only — a region whose bound EQUALS theta can
+            # still hold a doc that attains it with a smaller doc_id, which
+            # wins the (score desc, doc_id asc) tie-break vs the naive path.
+            break
         lo = bounds[r]
         hi = bounds[r + 1] if r + 1 < n_regions else np.iinfo(np.int64).max
         docs_acc, score_acc = [], []
@@ -448,16 +452,40 @@ def search_topk(
         seg_rdd = spark.sparkContext.parallelize([(int(s),) for s in segs], n_tasks)
         cands = spark.createDataFrame(seg_rdd, "seg int").mapInPandas(fn, CAND_SCHEMA)
     else:
-        base_postings = (
-            reader.postings
-            if reader
-            else spark.read.parquet(*store.postings_glob(index_dir)).select(
+        # same segment pinning/pruning as the fast path: a PIT or routing
+        # value must narrow the filtered search too, or a filtered PIT
+        # search would read segments published after the PIT was opened
+        segs = pit_segs if pit_segs is not None else store.list_segs(index_dir)
+        if routing is not None:
+            segs = routed_segs(spark, index_dir, segs, routing, meta)
+        if not segs:
+            cands = empty
+            top = cands.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            if not fetch:
+                return top
+            docs = (reader.docs if reader else spark.read.parquet(*store.docs_glob(index_dir))).select(
+                "doc_id", "url", "lang", "warc_ts"
+            )
+            return docs.join(F.broadcast(top), "doc_id")
+        pinned = pit_segs is not None or routing is not None
+        if reader is not None:
+            base_postings = reader.postings
+            docs = reader.docs
+            if pinned:
+                seg_ids = [int(s) for s in segs]
+                base_postings = base_postings.where(F.col("seg_id").isin(seg_ids))
+                docs = docs.where(F.col("seg_id").isin(seg_ids))
+        else:
+            base_postings = spark.read.parquet(*[
+                os.path.join(store.seg_dir(index_dir, s), "postings.parquet") for s in segs
+            ]).select(
                 "term", "seg_id", "first_doc_id", "last_doc_id", "n",
                 "max_tf", "min_ql", "ids_bytes", "tf_bytes",
             )
-        )
+            docs = spark.read.parquet(*[
+                os.path.join(store.seg_dir(index_dir, s), "docs.parquet") for s in segs
+            ])
         postings = base_postings.where(F.col("term").isin(live))
-        docs = reader.docs if reader else spark.read.parquet(*store.docs_glob(index_dir))
         from .ops import read_tombstones
 
         _tomb = read_tombstones(index_dir)
@@ -666,12 +694,16 @@ def sorted_scan(
     sfield, sorder = meta.index_sort
     segs = store.list_segs(index_dir)
     out_cols = list(dict.fromkeys(list(columns) + [sfield]))
-    schema_parts = []
-    for c in out_cols:
-        t = {"doc_id": "long", "url": "string", "warc_ts": "timestamp",
-             "lang": "string", "dl": "long", "text": "string"}.get(c, "string")
-        schema_parts.append(f"`{c}` {t}")
-    out_schema = ", ".join(schema_parts)
+    if segs:
+        # real column types from the store footer — a hardcoded name→type
+        # map would declare a numeric index_sort field (or any custom
+        # stored column) as string, breaking the Arrow conversion or
+        # mis-sorting '9' > '10' at the coordinator merge
+        out_schema = spark.read.parquet(
+            os.path.join(store.seg_dir(index_dir, segs[0]), "docs.parquet")
+        ).select(*[F.col(f"`{c}`") for c in out_cols]).schema
+    else:
+        out_schema = ", ".join(f"`{c}` string" for c in out_cols)
 
     def fn(batches):
         from .ops import read_tombstones

@@ -160,3 +160,59 @@ def test_msearch_list_form_and_fetch(spark, index_dir, url_of):
     out = msearch_topk(spark, index_dir, lists, k=3, fetch=True).collect()
     assert {r.qid for r in out} <= {"q0", "q1"}
     assert all(r.url == url_of[r.doc_id] for r in out)
+
+
+def test_wand_scans_regions_tying_kth_score():
+    """A region whose upper bound EQUALS the k-th score must still be
+    scanned: its docs can attain exactly that score with a smaller doc_id,
+    which wins the (score desc, doc_id asc) tie-break. Region H (high ids)
+    fills the heap first (higher bound); region L's bound ties the k-th
+    score exactly and its doc 1 must displace doc 101."""
+    import pandas as pd
+
+    from elasticsearch_spark.operators.codec import encode_block
+    from elasticsearch_spark.operators.topk import (
+        _score_segment_arrays, _topk_from_arrays, _wand_segment)
+
+    norm_doc_ids = np.array([1, 2, 100, 101], dtype=np.int64)
+    norm_ql = np.array([10, 10, 10, 10], dtype=np.int64)
+    ids_a, tf_a = encode_block(np.array([100, 101], dtype=np.int64), np.array([2, 1]), 100)
+    ids_b, tf_b = encode_block(np.array([1, 2], dtype=np.int64), np.array([1, 1]), 1)
+    post = pd.DataFrame({
+        "term": ["a", "b"],
+        "first_doc_id": np.array([100, 1], dtype=np.int64),
+        "last_doc_id": np.array([101, 2], dtype=np.int64),
+        "n": [2, 2], "max_tf": [2, 1], "min_ql": [10, 10],
+        "ids_bytes": [ids_a, ids_b], "tf_bytes": [tf_a, tf_b],
+    })
+    weights = {"a": (1.0, 2), "b": (1.0, 2)}
+    wand = _wand_segment(post, weights, norm_doc_ids, norm_ql, 10.0, 1.2, 0.75, 2, None)
+    naive = _topk_from_arrays(
+        *_score_segment_arrays(post, weights, norm_doc_ids, norm_ql, 10.0, 1.2, 0.75, None),
+        2, 1,
+    )
+    exp = sorted(zip(naive["doc_id"], naive["score"]), key=lambda t: (-t[1], t[0]))
+    got = sorted(zip(wand["doc_id"], wand["score"]), key=lambda t: (-t[1], t[0]))
+    assert [d for d, _ in exp] == [100, 1]  # the tie-break scenario is live
+    assert got == exp
+
+
+def test_filtered_search_honors_pit_segs(spark, index_dir):
+    """Regression: the doc_filter branch used to read ALL current segments,
+    ignoring pit_segs/routing — a filtered PIT search saw post-PIT bulks."""
+    segs = store.list_segs(index_dir)
+    assert len(segs) > 1
+    pinned = segs[:1]
+    got = search_topk(
+        spark, index_dir, ["the"], k=500, mode="naive",
+        doc_filter=lambda d: F.lit(True), fetch=False, pit_segs=pinned,
+    ).collect()
+    seg_docs = spark.read.parquet(
+        os.path.join(store.seg_dir(index_dir, pinned[0]), "docs.parquet")
+    ).select("doc_id").collect()
+    allowed_ids = {r.doc_id for r in seg_docs}
+    assert got and all(r.doc_id in allowed_ids for r in got)
+    fast = search_topk(
+        spark, index_dir, ["the"], k=500, mode="naive", fetch=False, pit_segs=pinned,
+    ).collect()
+    assert {r.doc_id for r in got} == {r.doc_id for r in fast}

@@ -96,3 +96,22 @@ def test_second_bulk_keeps_sort_order(es, spark):
     asc = es.search("pages", {"query": {"match_all": {}}, "sort": ["warc_ts"],
                               "size": 1})["hits"].collect()
     assert len(asc) == 1
+
+
+def test_sorted_scan_numeric_sort_field(spark, tmp_path):
+    """A numeric index_sort field must keep its real type through the
+    per-segment scan (a string-typed schema would break the Arrow batch
+    conversion or sort '9' above '10' at the coordinator merge)."""
+    eng = Engine(spark, root=str(tmp_path))
+    eng.create_index("priced", num_partitions=2, index_sort=("price", "desc"))
+    rows = [(f"p{i:02d}", f"doc {i}", "en",
+             dt.datetime(2024, 1, 1), int((i * 37) % 101)) for i in range(30)]
+    docs = spark.createDataFrame(
+        rows, "url string, text string, lang string, warc_ts timestamp, price long")
+    eng.bulk("priced", docs)
+    from elasticsearch_spark.operators.topk import sorted_scan
+
+    out = sorted_scan(spark, os.path.join(str(tmp_path), "priced"), k=5,
+                      columns=("doc_id", "url", "price")).collect()
+    assert [r["price"] for r in out] == sorted((i * 37) % 101 for i in range(30))[::-1][:5]
+    assert out[0]["price"] > 9  # numeric, not lexicographic

@@ -169,3 +169,29 @@ def test_dsir_resample_deterministic(spark):
     want = [k for k, _ in sorted(
         ((k, gkey(k)) for k, _ in RAW), key=lambda x: (-x[1], x[0]))][:3]
     assert a == want
+
+
+def test_ltr_rescore_envelope_and_dotted_features(spark):
+    """ltr_rescore resolves like its sibling callers: the {"ensemble": ...}
+    PUT envelope and registry model ids work, and dotted feature names are
+    rewritten to safe placeholders instead of parsing as struct access."""
+    tree = {
+        "feature_names": ["load.avg"],
+        "tree_structure": [
+            {"node_index": 0, "split_feature": 0, "threshold": 1.0,
+             "left_child": 1, "right_child": 2},
+            {"node_index": 1, "leaf_value": 10.0},
+            {"node_index": 2, "leaf_value": 20.0},
+        ],
+    }
+    envelope = {"ensemble": {"trained_models": [tree],
+                             "aggregate_output": {"weighted_sum": {}}}}
+    hits = spark.createDataFrame(
+        [(1, 9.0, 0.5), (2, 8.0, 3.0)], "id long, _score double, `load.avg` double")
+    out = {r["id"]: r["_rescored"]
+           for r in ltr.ltr_rescore(hits, envelope, id_col="id", window_size=2).collect()}
+    assert out == {1: 10.0, 2: 20.0}
+    ltr.put_trained_model("m-dotted", envelope)
+    out2 = {r["id"]: r["_rescored"]
+            for r in ltr.ltr_rescore(hits, "m-dotted", id_col="id", window_size=2).collect()}
+    assert out2 == out

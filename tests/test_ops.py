@@ -120,3 +120,37 @@ def test_external_versioning(spark, tmp_path):
     res2 = es.bulk("pages", batch([("u2", "v2 again", "en", 2)]),
                    version_type="external")
     assert res2["version_conflicts"] == 1 and res2["updated"] == 0
+
+
+def test_intra_batch_op_sequencing(spark, tmp_path):
+    """Bulk ops on the same url apply in row order (TransportBulkAction
+    executes sequentially per id): index-then-delete leaves the doc dead,
+    create-then-create conflicts, delete-then-index revives as a fresh doc,
+    and index-then-index keeps the LAST body."""
+    d = str(tmp_path / "seq_idx")
+    base = spark.createDataFrame(
+        [("s1", "seed words here")], "url string, text string").select(
+        "url", F.lit(TS).cast("timestamp").alias("warc_ts"), "text",
+        F.lit("en").alias("lang"))
+    build_index(spark, base, d, num_partitions=1)
+
+    counts = apply_ops(spark, d, _ops_df(spark, [
+        ("n1", "index", "fresh doc body"),
+        ("n1", "delete", None),               # deletes the op two lines up
+        ("c1", "create", "first create"),
+        ("c1", "create", "second create"),    # conflict vs the in-batch one
+        ("s1", "delete", None),
+        ("s1", "index", "revived body"),      # revive after in-batch delete
+        ("w1", "index", "first body"),
+        ("w1", "index", "second body"),       # last write wins
+    ]))
+    assert counts["deleted"] == 2
+    assert counts["create_conflicts"] == 1
+    assert counts["created"] == 1
+    assert counts["indexed"] == 3     # n1, s1-revival, w1-first
+    assert counts["updated"] == 1     # w1 second write over the in-batch one
+    live = {r["url"]: r for r in live_docs(spark, d).collect()}
+    assert set(live) == {"c1", "s1", "w1"}  # n1 dead, one doc per url
+    hits = {r["url"] for r in search_topk(spark, d, ["second"], k=10).collect()}
+    assert hits == {"w1"}  # w1 carries the LAST body
+    assert not {r["url"] for r in search_topk(spark, d, ["fresh"], k=10).collect()}

@@ -156,3 +156,63 @@ def test_highlight_fragments_scored_by_match_count(spark):
     # the 2-match passage outranks the earlier 1-match passage
     assert frags[0] == "<em>cat</em> and <em>cat</em> together"
     assert frags[1].count("<em>") == 1
+
+
+def test_positionless_index_probe_and_fallback(spark, tmp_path):
+    """Stripping positions from a segment must be detected DRIVER-side from
+    the parquet footers: phrase falls back to text re-analysis (same hits),
+    phrase_prefix/intervals raise a clear error instead of an executor
+    traceback (the old except-LookupError around a lazy plan was dead code)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_spark.operators.phrase import (
+        _POS_PROBE_CACHE, index_has_positions, search_intervals,
+        search_phrase_prefix)
+    from elasticsearch_spark.sources import index_store as store
+
+    idx = str(tmp_path / "noposidx")
+    rows = [
+        ("p1", "alpha beta gamma", "en"),
+        ("p2", "beta alpha gamma", "en"),
+        ("p3", "alpha words beta", "en"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string, lang string").withColumn(
+        "warc_ts", F.lit("2024-01-01").cast("timestamp"))
+    build_index(spark, df, idx, num_partitions=1)
+    assert index_has_positions(idx)
+    assert {r["url"] for r in search_phrase(spark, idx, "alpha beta").collect()} == {"p1"}
+
+    # strip positions from every segment (legacy/position-less source)
+    for s in store.list_segs(idx):
+        import os as _os
+        p = _os.path.join(store.seg_dir(idx, s), "postings.parquet")
+        t = pq.read_table(p)
+        t = t.set_column(
+            t.column_names.index("pos_bytes"), "pos_bytes",
+            pa.array([b""] * t.num_rows, type=pa.binary()))
+        pq.write_table(t, p)
+    _POS_PROBE_CACHE.clear()
+
+    assert not index_has_positions(idx)
+    got = {r["url"] for r in search_phrase(spark, idx, "alpha beta").collect()}
+    assert got == {"p1"}  # fallback re-analyzes stored text, same answer
+    with pytest.raises(ValueError, match="position data"):
+        search_phrase_prefix(spark, idx, "alpha be")
+    with pytest.raises(ValueError, match="position data"):
+        search_intervals(spark, idx, "alpha beta")
+    _POS_PROBE_CACHE.clear()
+
+
+def test_highlight_escapes_regex_and_sql_metacharacters(spark):
+    df = spark.createDataFrame(
+        [("x", "i like c++ and 3.5 releases")], "url string, text string")
+    out = highlight(df, ["c++", "3.5"], number_of_fragments=0).collect()[0]["highlight"]
+    assert "<em>c++</em>" in out and "<em>3.5</em>" in out
+    # "3.5" is a literal, not a regex: it must NOT match "345"
+    df2 = spark.createDataFrame([("y", "version 345 here")], "url string, text string")
+    assert highlight(df2, ["3.5"], number_of_fragments=2).collect()[0]["highlight"] == []
+    # a term containing a quote survives the expr-embedded (multi-fragment) path
+    df3 = spark.createDataFrame([("z", "well don't stop me now")], "url string, text string")
+    frags = highlight(df3, ["don't"], number_of_fragments=2).collect()[0]["highlight"]
+    assert frags and "<em>don't</em>" in frags[0]

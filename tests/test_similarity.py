@@ -193,3 +193,22 @@ def test_maxsim_exact_math(spark):
     assert out[1] == 2.0
     assert out[2] == 1.0
     assert out[3] == 0.0  # max picks the least-bad dot (0) per query vector
+
+
+def test_lsh_params_stamped_and_mismatch_raises(spark, vec_df, qvec, tmp_path):
+    """build_lsh_index stamps (n_tables, n_planes, seed) on the index;
+    lsh_topk defaults to the stamp — including through a parquet round-trip
+    — and an explicitly contradicting value raises instead of silently
+    probing buckets the index never populated."""
+    import pytest as _pytest
+
+    idx = similarity.build_lsh_index(vec_df, "vec_id", "embedding", n_tables=4, n_planes=9)
+    p = str(tmp_path / "lshidx")
+    idx.write.parquet(p)
+    loaded = spark.read.parquet(p)
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(
+        vec_df, "vec_id", "embedding", qvec, k=10).collect()}
+    ann = {r["__key"] for r in similarity.lsh_topk(loaded, qvec, k=10).collect()}
+    assert len(exact & ann) / 10 >= 0.5  # defaults resolved from the stamp
+    with _pytest.raises(ValueError, match="contradicts"):
+        similarity.lsh_topk(loaded, qvec, k=10, n_planes=14)

@@ -196,3 +196,12 @@ def test_bpe_multiword_order_preserved(spark):
              + encode_word("sat", ranks))
     assert got[1] == want1
     assert got[3] == encode_word("cat", ranks) + encode_word("the", ranks)
+
+
+def test_byte_features_null_payload(spark):
+    """A NULL payload is a corrupt-sample row, not a stage killer."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"RIFFxxxx")), (2, None)], "media_id long, payload binary")
+    got = {r["media_id"]: r for r in multimodal.byte_features(df).collect()}
+    assert got[2]["size"] == 0 and got[2]["sniffed"] == "unknown"
+    assert got[1]["sniffed"] == "riff"
