@@ -2167,7 +2167,17 @@ def analyze_detail(text: str, analyzer: str = "standard") -> list[dict]:
     """``_analyze``-shaped introspection: per-token
     {token, start_offset, end_offset, position}, mirroring
     ``TransportAnalyzeAction.simpleAnalyze``
-    (``server/.../analyze/TransportAnalyzeAction.java:236-240``)."""
+    (``server/.../analyze/TransportAnalyzeAction.java:236-240``).
+
+    Tokens and positions come from the REAL named chain — identical to
+    ``analyze()`` and therefore to what the index stores (the old path
+    always used the standard tokenizer, so ``_analyze`` with "english" or
+    "whitespace" reported tokens the index never produced). Offsets are a
+    greedy case-insensitive alignment of each output token against the
+    source text; tokens a filter synthesized or rewrote beyond recognition
+    (stems not prefixing their surface form, shingles across odd spacing)
+    anchor at the scan cursor with a zero-width span — a documented
+    approximation of the reference's tokenizer-carried offsets."""
     if analyzer == "regex_simple":
         toks = []
         low = (text or "").lower()
@@ -2176,22 +2186,23 @@ def analyze_detail(text: str, analyzer: str = "standard") -> list[dict]:
                 {"token": m.group(0), "start_offset": m.start(), "end_offset": m.end(), "position": pos}
             )
         return toks
-    toks = []
-    pos = 0
-    for m in TOKEN_RE.finditer(text or ""):
-        off = m.start()
-        for t in _split_long(m.group(0)):
-            toks.append(
-                {
-                    "token": t.lower(),
-                    "start_offset": off,
-                    "end_offset": off + len(t),
-                    "position": pos,
-                }
-            )
-            off += len(t)
-            pos += 1
-    return toks
+    chain_toks = ANALYZERS[analyzer](text or "")
+    low = (text or "").lower()
+    out: list[dict] = []
+    cursor = 0
+    for pos, t in enumerate(chain_toks):
+        i = low.find(t, cursor)
+        if i < 0:
+            i = low.find(t)  # filter reordered/duplicated (unique, shingle)
+        if i >= 0:
+            start, end = i, i + len(t)
+            cursor = max(cursor, end)
+        else:
+            start = end = cursor  # synthesized token (stem/decompound/ngram)
+        out.append(
+            {"token": t, "start_offset": start, "end_offset": end, "position": pos}
+        )
+    return out
 
 
 # --- Spark UDF surface (Arrow-batched) ---------------------------------------

@@ -206,10 +206,23 @@ def apply_ops(
     to_index = list(pending.values())
 
     if to_index:
-        # next op-batch generation: pids above every existing op segment
-        existing_segs = [s for s in store.list_segs(index_dir) if s >= OPS_SEG_BASE]
-        gen = (max(existing_segs) // OPS_SEG_BASE + 1) if existing_segs else 1
-        base = gen * OPS_SEG_BASE
+        # next op-batch base: DENSELY above every op segment id ever used —
+        # manifests outlive merges, so ids never reuse (a reused id would
+        # sit in a merge manifest's merged_from and be invisible/reclaimed);
+        # the old gen*OPS_SEG_BASE scheme burned 65536 ids per batch and
+        # collided with MERGED_SEG_BASE after 15 batches
+        used = [
+            int(m["pid"]) for m in store.all_manifests(index_dir)
+            if OPS_SEG_BASE <= int(m.get("pid", -1)) < store.MERGED_SEG_BASE
+        ]
+        base = (max(used) + 1) if used else OPS_SEG_BASE
+        P_cap = num_partitions or meta.num_partitions
+        if base + P_cap > store.MERGED_SEG_BASE:
+            raise ValueError(
+                "op-batch segment namespace exhausted "
+                f"(next base {base} + {P_cap} partitions crosses "
+                f"MERGED_SEG_BASE={store.MERGED_SEG_BASE}); ids are never "
+                "reused — rebuild the index to compact them")
         # preserve custom stored fields: rebuild the batch with the ops
         # frame's own schema minus the op column (extra columns must match
         # across bulks — every segment writes one docs schema)

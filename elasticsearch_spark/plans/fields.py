@@ -66,12 +66,27 @@ def range_relation_pred(fld: str, gte, lte, relation: str = "intersects") -> Col
       CONTAINS:   field interval encloses the query interval
     """
     f_gte, f_lte = F.col(f"{fld}.gte"), F.col(f"{fld}.lte")
+    # missing bounds are UNBOUNDED (±inf), never NULL comparisons (which
+    # would null the predicate and match nothing): a None query bound means
+    # the clause is open on that side; a NULL stored bound means the FIELD
+    # interval is open there (RangeType.java encodes absent bounds as
+    # MIN/MAX sentinels — null-struct-field is this engine's spelling)
+    no_lo, no_hi = f_gte.isNull(), f_lte.isNull()
+    q_lo = F.lit(gte) if gte is not None else None
+    q_hi = F.lit(lte) if lte is not None else None
+    true = F.lit(True)
     if relation == "intersects":
-        return (f_gte <= F.lit(lte)) & (f_lte >= F.lit(gte))
+        lo_ok = true if q_hi is None else (no_lo | (f_gte <= q_hi))
+        hi_ok = true if q_lo is None else (no_hi | (f_lte >= q_lo))
+        return lo_ok & hi_ok
     if relation == "within":
-        return (f_gte >= F.lit(gte)) & (f_lte <= F.lit(lte))
+        lo_ok = true if q_lo is None else ((~no_lo) & (f_gte >= q_lo))
+        hi_ok = true if q_hi is None else ((~no_hi) & (f_lte <= q_hi))
+        return lo_ok & hi_ok
     if relation == "contains":
-        return (f_gte <= F.lit(gte)) & (f_lte >= F.lit(lte))
+        lo_ok = no_lo if q_lo is None else (no_lo | (f_gte <= q_lo))
+        hi_ok = no_hi if q_hi is None else (no_hi | (f_lte >= q_hi))
+        return lo_ok & hi_ok
     raise ValueError(f"unknown relation {relation!r}; expected one of {RELATIONS}")
 
 
@@ -357,16 +372,27 @@ def version_sort_key(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     core = F.split(c, "-", 2).getItem(0)
     pre = F.get(F.split(c, "-", 2), 1)  # NULL when no prerelease tag
+    pad = lambda p: F.when(p.rlike("^[0-9]+$"), F.lpad(p, 10, "0")).otherwise(p)
     pad_parts = lambda x: F.array_join(
-        F.transform(
-            F.split(x, r"\."),
-            # numeric identifiers compare numerically (semver rule 11.4):
-            # zero-pad digit-only parts; alphanumeric parts stay verbatim
-            lambda p: F.when(p.rlike("^[0-9]+$"), F.lpad(p, 10, "0")).otherwise(p),
-        ),
+        # numeric identifiers compare numerically (semver rule 11.4):
+        # zero-pad digit-only parts; alphanumeric parts stay verbatim
+        F.transform(F.split(x, r"\."), pad),
         ".",
     )
-    padded = pad_parts(core)
+    # the CORE pads to a fixed 8 parts (+ a part-count tiebreak) so a
+    # version that is a dotted prefix of a longer one ("1.0" vs "1.0.1")
+    # compares inside the numeric parts — with variable-length cores the
+    # '|' separator (0x7C > '.') sorted the SHORTER version after the
+    # longer. Cores beyond 8 parts truncate (tie-broken by part count).
+    core_parts = F.transform(F.split(core, r"\."), pad)
+    core_fixed = F.slice(
+        F.concat(core_parts, F.array_repeat(F.lit("0000000000"), 8)), 1, 8
+    )
+    padded = F.concat(
+        F.array_join(core_fixed, "."),
+        F.lit("."),
+        F.lpad(F.size(core_parts).cast("string"), 2, "0"),
+    )
     # '~' (0x7E) > any pre-release tag char → releases rank above pre-releases
     return F.concat(padded, F.lit("|"), F.coalesce(pad_parts(pre), F.lit("~")))
 

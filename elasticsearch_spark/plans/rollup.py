@@ -20,15 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_UNIT = {"1h": "hour", "hour": "hour", "1d": "day", "day": "day",
-         "minute": "minute", "1m": "minute", "month": "month", "week": "week",
-         "year": "year"}
+from .transform import cal_unit  # the one shared calendar-interval map
 
 
 def build_rollup(df: DataFrame, config: dict) -> DataFrame:
     g = config["groups"]
     dh = g["date_histogram"]
-    unit = _UNIT[dh.get("calendar_interval", "1h")]
+    unit = cal_unit(dh.get("calendar_interval", "1h"))
     ts_field = dh["field"]
     keys = [F.date_trunc(unit, F.col(ts_field)).alias(ts_field)]
     for t in (g.get("terms") or {}).get("fields", []):
@@ -51,7 +49,7 @@ def rollup_search(rollup_df: DataFrame, body: dict) -> DataFrame:
     table → bucket frame identical to running it on the raw index."""
     (name, spec), = body.items()
     dh = spec["date_histogram"]
-    unit = _UNIT[dh.get("calendar_interval", "1d")]
+    unit = cal_unit(dh.get("calendar_interval", "1d"))
     ts_field = dh["field"]
     key = F.date_trunc(unit, F.col(ts_field)).alias("key")
     cols = [F.sum("_doc_count").alias("doc_count")]

@@ -34,9 +34,23 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# the ES calendar_interval vocabulary (Rounding.DateTimeUnit) → date_trunc
+# unit — the ONE shared map (plans/rollup.py imports it; two hand-maintained
+# copies had already drifted, with rollup missing 1w/1M/1y/quarter)
 _CAL_UNIT = {"1m": "minute", "minute": "minute", "1h": "hour", "hour": "hour",
              "1d": "day", "day": "day", "1w": "week", "week": "week",
-             "1M": "month", "month": "month", "1y": "year", "year": "year"}
+             "1M": "month", "month": "month", "1q": "quarter",
+             "quarter": "quarter", "1y": "year", "year": "year"}
+
+
+def cal_unit(interval: str) -> str:
+    """calendar_interval → date_trunc unit, with a descriptive error."""
+    try:
+        return _CAL_UNIT[interval]
+    except KeyError:
+        raise ValueError(
+            f"unsupported calendar_interval {interval!r}; expected one of "
+            f"{sorted(_CAL_UNIT)}") from None
 
 
 def _group_col(spec: dict) -> Column:
@@ -106,15 +120,27 @@ def latest(df: DataFrame, config: dict) -> DataFrame:
     struct(sort, <tie-break>))`` — a single partial/final groupBy, no
     global window sort. Ties on the sort value break on the remaining
     columns (the reference leaves ties unspecified; deterministic here)."""
+    from pyspark.sql.types import MapType
+
     keys = list(config["unique_key"])
     sort = config["sort"]
     rest = [c for c in df.columns if c not in keys]
-    order = ", ".join([sort] + [c for c in rest if c != sort])
-    out = df.groupBy(*[F.col(k) for k in keys]).agg(
-        F.expr(f"max_by(struct({', '.join(rest)}), struct({order}))")
-        .alias("_latest")
+    # backtick every name (dotted columns are routine here — the ingest
+    # processors emit them) and keep unorderable map columns OUT of the
+    # tie-break struct (they still travel in the payload)
+    unorderable = {f.name for f in df.schema.fields if isinstance(f.dataType, MapType)}
+    order_cols = [sort] + [c for c in rest if c != sort and c not in unorderable]
+    bt = lambda c: f"`{c}`"
+    out = df.groupBy(*[F.col(bt(k)) for k in keys]).agg(
+        F.expr(
+            f"max_by(struct({', '.join(bt(c) for c in rest)}),"
+            f" struct({', '.join(bt(c) for c in order_cols)}))"
+        ).alias("_latest")
     )
-    return out.select(*keys, *[F.col(f"_latest.{c}").alias(c) for c in rest])
+    return out.select(
+        *[F.col(bt(k)) for k in keys],
+        *[F.col(f"_latest.{bt(c)}").alias(c) for c in rest],
+    )
 
 
 def changed_entities(source: DataFrame, config: dict, sync_field: str,

@@ -108,7 +108,12 @@ def parse_documents(
 
     parsed = ok.withColumn("__doc", F.from_json(F.col(json_col), schema))
     out_cols = [
-        F.xxhash64(F.col(f"__doc.{n}")).alias(n) if n in murmur_fields
+        # a missing field hashes to NOTHING (the reference's murmur3 mapper
+        # indexes no value) — xxhash64(NULL) would return the seed and give
+        # every absent field a phantom shared hash
+        F.when(
+            F.col(f"__doc.{n}").isNotNull(), F.xxhash64(F.col(f"__doc.{n}"))
+        ).alias(n) if n in murmur_fields
         else F.col(f"__doc.{n}").alias(n)
         for n in schema.fieldNames()
     ]

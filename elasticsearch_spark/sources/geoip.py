@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 def ip_to_long(ip: Column) -> Column:
     """Dotted-quad IPv4 string → uint32 as long (NULL on malformed)."""
     o = F.split(ip, r"\.")
-    ok = F.size(o) == 4
+    # octet range must validate too: "1.2.3.999" would otherwise fold into
+    # a number that can land inside a real block and geolocate garbage
+    ok = ip.rlike(
+        r"^(25[0-5]|2[0-4]\d|1?\d{1,2})(\.(25[0-5]|2[0-4]\d|1?\d{1,2})){3}$"
+    )
     num = (
         o.getItem(0).cast("long") * F.lit(1 << 24)
         + o.getItem(1).cast("long") * F.lit(1 << 16)

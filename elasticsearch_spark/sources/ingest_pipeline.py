@@ -51,6 +51,11 @@ _GROK_PATTERNS = {
     "DATA": r".*?",
     "EMAILADDRESS": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
     "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+    # timestamp shapes find_structure emits (text_structure.py hands its
+    # grok_pattern to this bank — every name there must resolve here)
+    "SYSLOGTIMESTAMP": r"[A-Z][a-z]{2} +\d{1,2} \d{2}:\d{2}:\d{2}",
+    "HTTPDATE": r"\d{2}/[A-Z][a-z]{2}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "POSINT": r"\d+",
 }
 
 
@@ -159,9 +164,47 @@ def _ip_in_networks(col: str, nets: list[str]) -> Column:
     return F.expr("(" + " OR ".join(checks) + ")")
 
 
+# processors whose implementation already applies `if` row-level: the
+# put()-routed column writers plus the natively row-conditional kinds
+_COND_NATIVE = {
+    "set", "lowercase", "uppercase", "trim", "gsub", "split", "join",
+    "append", "convert", "json", "kv", "urldecode", "html_strip", "bytes",
+    "sort", "foreach", "redact", "fail", "drop",
+}
+
+
+def _apply_guarded(df: DataFrame, kind: str, body: dict, cond: str) -> DataFrame:
+    """Row-level ``if`` for processors that write columns unconditionally
+    (date/csv/grok/user_agent/geoip/...): evaluate the condition on the
+    PRE-processor document, snapshot the pre-state, run the processor on
+    every row, then per column keep the processor's output only where the
+    condition held — ConditionalProcessor.java: non-matching documents
+    pass through untouched. A column the processor removed/renamed reads
+    NULL on matching rows (the columnar spelling of an absent field)."""
+    pre_cols = list(df.columns)
+    snap = {c: f"__pre_{i}" for i, c in enumerate(pre_cols)}
+    snapped = df.withColumn("__if_ok", F.expr(cond)).select(
+        "*", *[F.col(f"`{c}`").alias(a) for c, a in snap.items()]
+    )
+    out = _apply_one(snapped, {kind: {k: v for k, v in body.items() if k != "if"}})
+    ok = F.col("__if_ok")
+    aux = set(snap.values()) | {"__if_ok"}
+    for c, a in snap.items():
+        if c in out.columns:
+            out = out.withColumn(c, F.when(ok, F.col(f"`{c}`")).otherwise(F.col(a)))
+        else:
+            out = out.withColumn(c, F.when(ok, F.lit(None)).otherwise(F.col(a)))
+    for c in list(out.columns):
+        if c not in snap and c not in aux:
+            out = out.withColumn(c, F.when(ok, F.col(f"`{c}`")))
+    return out.drop("__if_ok", *snap.values())
+
+
 def _apply_one(df: DataFrame, spec: dict) -> DataFrame:
     (kind, body), = ((k, v) for k, v in spec.items())
     cond = body.get("if")
+    if cond is not None and kind not in _COND_NATIVE:
+        return _apply_guarded(df, kind, body, cond)
 
     def put(col: str, expr: Column) -> DataFrame:
         if cond:
@@ -541,52 +584,6 @@ def _apply_one(df: DataFrame, spec: dict) -> DataFrame:
             F.regexp_extract(F.col(f"`{tgt2}.path`"), r"\.([^./]+)$", 1),
         )
         return out
-    if kind == "user_agent":
-        # UserAgentProcessor (ingest-user-agent module): parse a UA string
-        # into name/version/os/device. The reference ships regexes.yaml
-        # (uap-core); here a codegen-friendly subset covers the dominant
-        # browser families — documented approximation, same output shape.
-        tgt2 = body.get("target_field", "user_agent")
-        c = F.col(f)
-        name = (
-            F.when(c.rlike(r"Edg(e|A|iOS)?/"), F.lit("Edge"))
-            .when(c.rlike(r"OPR/|Opera"), F.lit("Opera"))
-            .when(c.rlike(r"Chrome/"), F.lit("Chrome"))
-            .when(c.rlike(r"Firefox/"), F.lit("Firefox"))
-            .when(c.rlike(r"Safari/") & c.rlike(r"Version/"), F.lit("Safari"))
-            .when(c.rlike(r"MSIE |Trident/"), F.lit("IE"))
-            .otherwise(F.lit("Other"))
-        )
-        version = F.coalesce(
-            *[
-                F.nullif(F.regexp_extract(c, rx, 1), F.lit(""))
-                for rx in (
-                    r"Edg(?:e|A|iOS)?/([0-9.]+)", r"OPR/([0-9.]+)",
-                    r"Chrome/([0-9.]+)", r"Firefox/([0-9.]+)",
-                    r"Version/([0-9.]+)", r"MSIE ([0-9.]+)", r"rv:([0-9.]+)",
-                )
-            ],
-            F.lit(""),
-        )
-        os_name = (
-            F.when(c.rlike(r"Windows NT"), F.lit("Windows"))
-            .when(c.rlike(r"Android"), F.lit("Android"))
-            .when(c.rlike(r"iPhone|iPad|iOS"), F.lit("iOS"))
-            .when(c.rlike(r"Mac OS X"), F.lit("Mac OS X"))
-            .when(c.rlike(r"Linux"), F.lit("Linux"))
-            .otherwise(F.lit("Other"))
-        )
-        device = (
-            F.when(c.rlike(r"iPad|Tablet"), F.lit("Tablet"))
-            .when(c.rlike(r"Mobile|iPhone|Android"), F.lit("Phone"))
-            .otherwise(F.lit("Desktop"))
-        )
-        return (
-            df.withColumn(f"{tgt2}.name", name)
-            .withColumn(f"{tgt2}.version", version)
-            .withColumn(f"{tgt2}.os", os_name)
-            .withColumn(f"{tgt2}.device", device)
-        )
     if kind == "dot_expander":
         # DotExpanderProcessor: turn a literal "a.b.c" column into nested
         # structs a{b{c}}; merges new fields into an existing top-level

@@ -79,7 +79,15 @@ def _row(k: int) -> tuple[str, int, bytes, str, str]:
     body = " ".join(words)
     dup = k % 100 == 99 and k > 0
     src = k - 1 if dup else k
-    url = f"https://site{src % 1000}.example/{lang}/page{src:08d}"
+    if dup:
+        # the duplicate must reproduce row src's url EXACTLY — building it
+        # from row k's own lang made ~35% of intended duplicates distinct
+        # urls, silently degrading the documented 1%-duplicates property
+        h_src = np.random.Generator(np.random.Philox(key=[SEED, src])).integers(0, 100)
+        url_lang = "en" if h_src < 80 else "de" if h_src < 90 else "zh" if h_src < 95 else "unk"
+    else:
+        url_lang = lang
+    url = f"https://site{src % 1000}.example/{url_lang}/page{src:08d}"
     # 2024-01-01T00:00:00Z epoch + k*37s; duplicates land later in time
     ts_us = (1704067200 + k * 37) * 1_000_000
     title = f"Page {k} {lang}"

@@ -165,8 +165,17 @@ def find_structure(sample: str | list[str], lines_to_sample: int = 1000) -> dict
         pat = next(p for p, f in _TS_PATTERNS if f == fmt)
         m = pat.search(lines[0])
         prefix = lines[0][: m.start()] if m else ""
+        # the grok name must match the DETECTED format and resolve in the
+        # ingest grok bank, or the advertised infer-then-ingest handoff
+        # (structure.grok_pattern → grok processor) raises KeyError
+        grok_name = {
+            "ISO8601": "TIMESTAMP_ISO8601",
+            "MMM dd HH:mm:ss": "SYSLOGTIMESTAMP",
+            "dd/MMM/yyyy:HH:mm:ss XX": "HTTPDATE",
+            "UNIX_MS": "POSINT",
+        }[fmt]
         grok = (
-            f"{re.escape(prefix)}%{{TIMESTAMP:timestamp}} %{{GREEDYDATA:message}}"
+            f"{re.escape(prefix)}%{{{grok_name}:timestamp}} %{{GREEDYDATA:message}}"
             if m else "%{GREEDYDATA:message}"
         )
     return {

@@ -49,7 +49,13 @@ def _update_meta_and_stats(
     manifests = [m for m in store.all_manifests(index_dir) if "pid" in m]
     dead = store.merged_away_segs(index_dir)
     live = [m for m in manifests if m["pid"] not in dead]
-    meta = store.IndexMeta(analyzer=analyzer, num_partitions=num_partitions)
+    # UPDATE the persisted meta, never rebuild it: a fresh IndexMeta here
+    # would clobber analyzer_config/index_sort/num_shards/settings/seg_map
+    # (and custom k1/b) that create_index or a background merge persisted
+    try:
+        meta = store.IndexMeta.load(index_dir)
+    except FileNotFoundError:
+        meta = store.IndexMeta(analyzer=analyzer, num_partitions=num_partitions)
     meta.doc_count = sum(m["n_docs"] for m in live)
     meta.sum_dl = sum(m["sum_dl"] for m in live)
     from ..operators.merge import merge_term_stats
@@ -74,6 +80,18 @@ def start_indexing_stream(
     os.makedirs(index_dir, exist_ok=True)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # seg ids must stay below the op-batch namespace, and the mapping
+        # must be a pure function of batch_id (checkpoint REPLAY of a
+        # half-written batch has to regenerate the same ids for the
+        # manifest dedupe to make it idempotent) — so exhaustion is a loud
+        # error, not a wrap-around
+        if (batch_id + 2) * num_partitions > store.OPS_SEG_BASE:
+            raise ValueError(
+                f"streaming segment namespace exhausted at micro-batch "
+                f"{batch_id} (num_partitions={num_partitions} allows "
+                f"{store.OPS_SEG_BASE // num_partitions - 1} batches); "
+                "use a longer trigger interval, fewer partitions, or "
+                "rebuild the index")
         cols = [c for c in batch_df.columns if c != "html"]
         routed = batch_df.select(*cols).withColumn(
             "pid",

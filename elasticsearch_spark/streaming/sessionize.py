@@ -67,6 +67,9 @@ def _session_fn(gap_us: int):
                 closed.append((s, e, n))
                 s, e, n = t, t, 1
             else:
+                # an in-watermark LATE event can precede the open session's
+                # start — the batch twin would widen the session backwards
+                s = min(s, t)
                 e = max(e, t)
                 n += 1
         state.update((s, e, n))

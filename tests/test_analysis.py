@@ -184,3 +184,19 @@ def test_filter_chain_fuzz(toks):
         out = fn(list(toks), **needs_params.get(name, {}))
         assert isinstance(out, list)
         assert all(isinstance(t, str) for t in out)
+
+
+def test_analyze_detail_honors_named_chain():
+    """_analyze must report the tokens the NAMED chain (and therefore the
+    index) actually produces — not the standard tokenizer regardless."""
+    from elasticsearch_spark.functions.analysis import analyze
+
+    d = analyze_detail("The Running Foxes", "english")
+    assert [t["token"] for t in d] == analyze("The Running Foxes", "english")
+    assert "the" not in [t["token"] for t in d]  # stop filter applied
+    # stems anchor at their surface prefix
+    run = next(t for t in d if t["token"].startswith("run"))
+    assert run["start_offset"] == 4
+    d2 = analyze_detail("Hello, wörld 42")
+    assert [(t["token"], t["start_offset"], t["end_offset"]) for t in d2] == [
+        ("hello", 0, 5), ("wörld", 7, 12), ("42", 13, 15)]

@@ -15,6 +15,7 @@ from elasticsearch_spark.plans.fields import (
     RangeFieldQ,
     aggregate_metric_agg,
     aggregate_metric_struct,
+    range_relation_pred,
     range_struct,
     time_series_agg,
     token_count_col,
@@ -194,3 +195,29 @@ def test_constant_keyword_resolves_from_mapping(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         m("x", "fuzzy", "y")
+
+
+def test_version_sort_prefix_versions(spark):
+    """A version that is a dotted prefix of a longer one must sort FIRST
+    (variable-length cores used to invert 1.0 vs 1.0.1 at the separator)."""
+    versions = ["1.0.1", "1.0", "1.0.0", "1.2.3.4", "1.2.3", "1.0.0-alpha"]
+    df = spark.createDataFrame([(v,) for v in versions], "v string")
+    got = [r.v for r in df.orderBy(version_sort_key("v")).collect()]
+    assert got == ["1.0", "1.0.0-alpha", "1.0.0", "1.0.1", "1.2.3", "1.2.3.4"]
+
+
+def test_range_field_one_sided_bounds(spark):
+    """A missing gte/lte in a range query over a range FIELD is unbounded
+    — comparing against lit(None) used to null the predicate and match
+    nothing."""
+    df = spark.createDataFrame(
+        [(1, (5, 10)), (2, (20, 30)), (3, (None, 3))],
+        "id long, r struct<gte:long, lte:long>")
+    pred = lambda **kw: {r.id for r in df.where(
+        range_relation_pred("r", kw.get("gte"), kw.get("lte"),
+                            kw.get("relation", "intersects"))).collect()}
+    assert pred(gte=8) == {1, 2}            # lte open: everything ending >= 8
+    assert pred(lte=6) == {1, 3}            # gte open; null field gte = -inf
+    assert pred(gte=4, lte=35, relation="within") == {1, 2}
+    assert pred(gte=6, lte=9, relation="contains") == {1}
+    assert pred(lte=2, relation="contains") == {3}  # needs open field start

@@ -336,3 +336,28 @@ def test_user_agent_properties_subset(spark):
         "field": "agent", "target_field": "ua", "properties": ["name"]}}])
     assert out.columns == ["agent", "ua.name"]
     assert out.collect()[0]["ua.name"] == "curl"
+
+
+def test_if_conditional_on_unconditional_processors(spark):
+    """Processors that write columns unconditionally (date, csv, rename,
+    fingerprint, ...) must still honor the per-processor `if`
+    (ConditionalProcessor.java): non-matching documents pass through
+    untouched."""
+    from elasticsearch_spark.sources.ingest_pipeline import run_pipeline
+
+    df = spark.createDataFrame(
+        [("epoch", "1700000000", "a,b"), ("iso", "1700000000", "c,d")],
+        "fmt string, t string, pair string")
+    out = run_pipeline(df, [
+        {"date": {"field": "t", "formats": ["UNIX"], "if": "fmt = 'epoch'"}},
+        {"csv": {"field": "pair", "target_fields": ["p1", "p2"],
+                 "if": "fmt = 'epoch'"}},
+        {"rename": {"field": "pair", "target_field": "renamed",
+                    "if": "fmt = 'epoch'"}},
+    ])
+    rows = {r["fmt"]: r for r in out.collect()}
+    assert rows["epoch"]["@timestamp"] is not None
+    assert rows["iso"]["@timestamp"] is None          # untouched
+    assert rows["epoch"]["p1"] == "a" and rows["iso"]["p1"] is None
+    assert rows["epoch"]["renamed"] == "a,b" and rows["epoch"]["pair"] is None
+    assert rows["iso"]["pair"] == "c,d" and rows["iso"]["renamed"] is None

@@ -54,3 +54,12 @@ def test_size_absent_when_disabled(spark):
     raw = spark.createDataFrame([('{"n":1}',)], "js string")
     df, _ = parse_documents(spark, raw, "js", {"properties": {"n": {"type": "long"}}})
     assert "_size" not in df.columns
+
+
+def test_murmur3_missing_field_is_null(spark):
+    """A doc without the murmur3 field indexes NO hash value (the mapper
+    indexes nothing) — xxhash64(NULL) would return the seed and give every
+    absent field one phantom shared hash."""
+    df = _parse(spark, [('{"name":"alice","n":1}',), ('{"n":2}',)])
+    rows = {r["n"]: r["name"] for r in df.collect()}
+    assert rows[1] is not None and rows[2] is None

@@ -239,3 +239,51 @@ def test_dedup_stream_exact_first_wins(spark, tmp_path):
     got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert 6 in got2 and 5 not in got2
     assert len(got2) == len(got) + 1
+
+
+def test_stream_commit_preserves_index_meta(spark, tmp_path):
+    """The per-batch meta/stats commit must UPDATE the persisted meta, not
+    rebuild it — a fresh IndexMeta wiped analyzer_config/index_sort/
+    num_shards/settings/seg_map persisted by create_index or a merge."""
+    from elasticsearch_spark.sources import index_store as store
+    from elasticsearch_spark.streaming.ingest import _update_meta_and_stats
+
+    d = str(tmp_path / "meta_idx")
+    import os as _os
+    _os.makedirs(d, exist_ok=True)
+    meta = store.IndexMeta(analyzer="standard", num_partitions=4,
+                           analyzer_config=["standard", ["lowercase"]],
+                           index_sort=["warc_ts", "desc"], num_shards=2,
+                           settings={"custom": 1}, k1=0.9, b=0.3)
+    meta.save(d)
+    _update_meta_and_stats(spark, d, "standard", 4, new_segs=[])
+    got = store.IndexMeta.load(d)
+    assert got.analyzer_config == ["standard", ["lowercase"]]
+    assert got.index_sort == ["warc_ts", "desc"]
+    assert got.num_shards == 2 and got.settings == {"custom": 1}
+    assert got.k1 == 0.9 and got.b == 0.3
+
+
+def test_sessionize_late_event_widens_session_start():
+    """An in-watermark late event earlier than the open session's start
+    must widen the session backwards (the batch twin includes its span)."""
+    import pandas as pd
+    from elasticsearch_spark.streaming.sessionize import _session_fn
+
+    class FakeState:
+        def __init__(self): self._v = None; self.hasTimedOut = False
+        @property
+        def exists(self): return self._v is not None
+        @property
+        def get(self): return self._v
+        def update(self, v): self._v = v
+        def remove(self): self._v = None
+        def setTimeoutTimestamp(self, t): pass
+
+    fn = _session_fn(gap_us=60_000_000)
+    st = FakeState()
+    list(fn((1,), [pd.DataFrame({"ts": [pd.Timestamp("2024-01-01 00:10:00")]})], st))
+    list(fn((1,), [pd.DataFrame({"ts": [pd.Timestamp("2024-01-01 00:09:30")]})], st))
+    s, e, n = st.get
+    assert pd.Timestamp(s * 1000) == pd.Timestamp("2024-01-01 00:09:30")
+    assert n == 2

@@ -74,8 +74,17 @@ def test_semi_structured_syslog_grok():
     assert st["format"] == "semi_structured_text"
     assert st["java_timestamp_formats"] == ["MMM dd HH:mm:ss"]
     assert st["timestamp_field"] == "timestamp"
-    assert "%{TIMESTAMP:timestamp}" in st["grok_pattern"]
+    # the emitted name must match the detected format AND resolve in the
+    # ingest grok bank (the infer-then-ingest handoff)
+    assert "%{SYSLOGTIMESTAMP:timestamp}" in st["grok_pattern"]
     assert st["mappings"]["message"]["type"] == "text"
+    from elasticsearch_spark.sources.ingest_pipeline import _grok_to_regex
+    import re as _re
+
+    rx, fields = _grok_to_regex(st["grok_pattern"])
+    m = _re.match(rx, lines[0])
+    assert m and fields == ["timestamp", "message"]
+    assert m.group(1) == "Mar  7 04:10:02"
 
 
 def test_semi_structured_no_timestamp():
