@@ -54,7 +54,18 @@ def hash_embed(texts: list[str], dims: int = 64) -> list[list[float]]:
 
 
 def _resolve(inference_id: str):
-    return INFERENCE_MODELS.get(inference_id, hash_embed)
+    """'' / 'hash_embed' → the deterministic default; any OTHER unknown id
+    refuses loudly (matching the completion registry's contract) — a silent
+    hash_embed fallback would embed queries in a different space than the
+    registered model embedded the documents, and knn would return garbage
+    similarities with zero diagnostics."""
+    if inference_id in ("", "hash_embed"):
+        return hash_embed
+    if inference_id not in INFERENCE_MODELS:
+        raise KeyError(
+            f"unknown inference id {inference_id!r}; register it with "
+            "register_inference() (the deterministic default is '' / 'hash_embed')")
+    return INFERENCE_MODELS[inference_id]
 
 
 def embed_text(text: str, inference_id: str = "", dims: int = 64) -> list[float]:

@@ -213,12 +213,14 @@ def build_hnsw_index(
         V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         gid = int(pdf["gid"].iloc[0])
         g = build_graph(V.astype(np.float32), M=M, ef_construction=ef_construction, seed=SEED + gid)
-        return pd.DataFrame({"gid": [gid], "n": [len(keys)], "blob": [_pack_graph(g, keys)]})
+        return pd.DataFrame({"gid": [gid], "n": [len(keys)],
+                             "blob": [_pack_graph(g, keys)],
+                             "key_type": ["string" if key_is_str else "long"]})
 
     build_one.__annotations__ = {"pdf": pd.DataFrame, "return": pd.DataFrame}
     (
         base.groupBy("gid")
-        .applyInPandas(build_one, "gid int, n long, blob binary")
+        .applyInPandas(build_one, "gid int, n long, blob binary, key_type string")
         .write.mode("overwrite")
         .parquet(out_path)
     )
@@ -231,10 +233,25 @@ def hnsw_topk(
     query_vec,
     k: int = 10,
     ef_search: int = 64,
-    key_type: str = "long",
+    key_type: str | None = None,
 ) -> DataFrame:
     """Probe every shard graph (one task per graph row), merge per-shard
-    top-k by cosine — the reference's per-shard kNN + coordinator merge."""
+    top-k by cosine — the reference's per-shard kNN + coordinator merge.
+
+    key_type defaults to the type STAMPED on the index at build time
+    (same contract as the LSH index parameters); passing a contradicting
+    value raises instead of crashing in the executor or silently mangling
+    digit-string keys. Legacy unstamped indexes fall back to "long"."""
+    graphs_probe = spark.read.parquet(index_path)
+    stored = None
+    if "key_type" in graphs_probe.columns:
+        row = graphs_probe.select("key_type").first()
+        stored = row[0] if row else None
+    if key_type is not None and stored is not None and key_type != stored:
+        raise ValueError(
+            f"hnsw_topk key_type={key_type!r} contradicts the index's build "
+            f"type {stored!r}")
+    key_type = key_type or stored or "long"
     q = np.asarray(query_vec, dtype=np.float32)
     q = q / max(float(np.linalg.norm(q)), 1e-12)
     cast = int if key_type == "long" else str
@@ -253,7 +270,7 @@ def hnsw_topk(
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    graphs = spark.read.parquet(index_path)
+    graphs = graphs_probe.select("blob")
     return (
         graphs.mapInPandas(probe, f"key {key_type}, cosine double")
         .orderBy(F.desc("cosine"), F.asc("key"))

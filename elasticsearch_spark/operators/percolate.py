@@ -74,7 +74,11 @@ def percolate(
         )
         out = part if out is None else out.unionByName(part)
     if out is None:
-        return docs.limit(0).select(
+        # empty stored-query list → empty result with the same schema;
+        # where(lit(False)) instead of limit(0) because limit is not
+        # supported on STREAMING frames (percolate_stream/run_watch hit
+        # this branch whenever a watch list is currently empty)
+        return docs.where(F.lit(False)).select(
             F.lit("").alias("query_id"), F.col(key), *[F.col(c) for c in (keep_cols or [])]
         )
     return out

@@ -241,9 +241,21 @@ def dsir_resample(
         raw, target, key_col, text_col,
         buckets=buckets, alpha=alpha, target_text_col=target_text_col,
     )
+    from pyspark.sql.types import NumericType
+
     m = F.lit(2147483647)
+    if isinstance(w.schema[key_col].dataType, NumericType):
+        key_int = F.col(key_col).cast("long")
+    else:
+        # string/other keys: cast("long") would be NULL for every row and
+        # the draw would silently collapse to key order — fold a
+        # deterministic integer from md5 instead (mirrorable in plain SQL,
+        # like the numeric formula the oracle pins)
+        key_int = F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
     u = (
-        F.pmod(F.pmod(F.col(key_col).cast("long"), m) * F.lit(2654435761) + 101, m)
+        F.pmod(F.pmod(key_int, m) * F.lit(2654435761) + 101, m)
         + 1
     ) / F.lit(2147483649.0)
     return (

@@ -42,23 +42,24 @@ def term_suggest(
     tokens = list(dict.fromkeys(analysis.analyze(text, meta.analyzer)))
     terms = spark.read.parquet(store.term_stats_path(index_dir)).select("term", "df")
     toks_df = spark.createDataFrame([(t,) for t in tokens], "token string")
-    existing = {
-        r["token"]
-        for r in toks_df.join(terms, F.col("token") == F.col("term"), "left_semi").collect()
-    }
+    # each mode's driver round-trip runs ONLY for its mode — "always"
+    # (which phrase_suggest calls per invocation) pays zero extra jobs
     if suggest_mode == "missing":
+        existing = {
+            r["token"]
+            for r in toks_df.join(terms, F.col("token") == F.col("term"), "left_semi").collect()
+        }
         tokens = [t for t in tokens if t not in existing]
         toks_df = spark.createDataFrame([(t,) for t in tokens], "token string") if tokens else None
     if not tokens or toks_df is None:
         return spark.createDataFrame([], "token string, suggestion string, distance int, df long")
     # "popular" (TermSuggestionBuilder.SuggestMode.POPULAR): only terms
     # MORE FREQUENT than the input token qualify; "always" has no df gate
-    token_df = {r["term"]: r["df"] for r in terms.where(F.col("term").isin(tokens)).collect()}
-    df_floor = (
-        F.create_map(*[F.lit(x) for t in tokens for x in (t, int(token_df.get(t, 0)))])
-        if suggest_mode == "popular"
-        else None
-    )
+    if suggest_mode == "popular":
+        token_df = {r["term"]: r["df"] for r in terms.where(F.col("term").isin(tokens)).collect()}
+        df_floor = F.create_map(*[F.lit(x) for t in tokens for x in (t, int(token_df.get(t, 0)))])
+    else:
+        df_floor = None
 
     # candidate join: length-banded crossJoin (|len(a)-len(b)| ≤ max_edits
     # bounds Levenshtein) keeps the term-dict scan tight
@@ -167,6 +168,13 @@ def completion_suggest(
         if "context" in src.columns:
             src = src.groupBy("suggestion").agg(F.max("weight").alias("weight"))
     else:
+        if contexts:
+            # the term dictionary carries no context data — silently
+            # returning cross-context suggestions would leak entries the
+            # filter promised to exclude
+            raise ValueError(
+                "completion contexts require a completion index "
+                "(build_completion_index); this index has none")
         src = (
             spark.read.parquet(store.term_stats_path(index_dir))
             .select(F.col("term").alias("suggestion"), F.col("df").cast("long").alias("weight"))

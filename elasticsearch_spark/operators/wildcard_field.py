@@ -156,9 +156,8 @@ def wildcard_field_search(
     return the verify-only scan, loudly in the plan rather than silently
     building a useless probe."""
     grams = probe_grams(pattern)
-    verified = data.where(verify_predicate(field, pattern))
     if not grams:
-        return verified
+        return data.where(verify_predicate(field, pattern))
     idx = spark.read.parquet(index_dir).where(F.col("gram").isin(grams))
     cands = (
         idx.groupBy("id")
@@ -166,4 +165,14 @@ def wildcard_field_search(
         .where(F.col("ng") == len(grams))
         .select(F.col("id").alias(id_col))
     )
-    return verified.join(cands, on=id_col, how="left_semi")
+    # small candidate sets become a PUSHABLE id predicate — the data scan
+    # then prunes parquet row groups and the LIKE touches only candidate
+    # rows, instead of the whole corpus paying the verify during the scan.
+    # Large sets fall back to the semi-join (Catalyst's runtime bloom
+    # filter still narrows the scan).
+    head = [r[0] for r in cands.limit(10_001).collect()]
+    if len(head) <= 10_000:
+        pruned = data.where(F.col(id_col).isin(head)) if head else data.limit(0)
+    else:
+        pruned = data.join(cands, on=id_col, how="left_semi")
+    return pruned.where(verify_predicate(field, pattern))

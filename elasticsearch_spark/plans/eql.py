@@ -38,14 +38,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _SEQ_RE = re.compile(
-    r"^sequence(?:\s+by\s+(?P<by>[\w,\s]+?))?(?:\s+with\s+maxspan=(?P<span>\d+)(?P<unit>ms|s|m|h|d))?\s*(?P<steps>!?\[.*)\s*$",
+    r"^sequence(?:\s+by\s+(?P<by>[\w.,\s]+?))?(?:\s+with\s+maxspan=(?P<span>\d+)(?P<unit>ms|s|m|h|d))?\s*(?P<steps>!?\[.*)\s*$",
     re.S,
 )
-_SAMPLE_RE = re.compile(r"^sample\s+by\s+(?P<by>[\w,\s]+?)\s*(?P<steps>\[.*)\s*$", re.S)
+_SAMPLE_RE = re.compile(r"^sample\s+by\s+(?P<by>[\w.,\s]+?)\s*(?P<steps>\[.*)\s*$", re.S)
 _STEP_RE = re.compile(
     r"(!?)\s*\[\s*([\w*]+)\s+where\s+(.*?)\s*\](?:\s+with\s+runs\s*=\s*(\d+))?", re.S
 )
 _SIMPLE_RE = re.compile(r"^\s*([\w*]+)\s+where\s+(.*?)\s*$", re.S)
+
+
+def _col(df: DataFrame, name: str):
+    """Column ref: a literal (possibly dotted) top-level column wins over
+    struct access — dotted ECS keys like process.entity_id are routine."""
+    return F.col(f"`{name}`") if name in df.columns else F.col(name)
+
+
+def _safe_by(df: DataFrame, by: list[str]):
+    """Alias non-identifier by keys to safe columns for joins/groupBys;
+    returns (frame, safe names, {safe: original} to rename back)."""
+    out, safe, back = df, [], {}
+    for i, b in enumerate(by):
+        if re.fullmatch(r"\w+", b):
+            safe.append(b)
+        else:
+            a = f"__by_{i}"
+            out = out.withColumn(a, _col(df, b))
+            safe.append(a)
+            back[a] = b
+    return out, safe, back
+
 
 _UNIT_S = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}
 
@@ -126,11 +148,21 @@ def eql_search(
     def apply_pipes(out: DataFrame, order_names: list[str]) -> DataFrame:
         for kw, arg in pipes:
             if kw == "head":
-                out = out.orderBy(*[F.col(n_).asc() for n_ in order_names]).limit(int(arg))
+                out = out.orderBy(*[_col(out, n_).asc() for n_ in order_names]).limit(int(arg))
             elif kw == "tail":
-                out = out.orderBy(*[F.col(n_).desc() for n_ in order_names]).limit(int(arg))
+                out = out.orderBy(*[_col(out, n_).desc() for n_ in order_names]).limit(int(arg))
             elif kw == "unique":
-                out = out.dropDuplicates([arg])
+                # UniquePipe keeps the FIRST row per value in result order —
+                # dropDuplicates keeps an arbitrary one per partition layout
+                from pyspark.sql import Window
+
+                flds = [a.strip() for a in arg.split(",") if a.strip()]
+                w_u = Window.partitionBy(*[_col(out, x) for x in flds]).orderBy(
+                    *[_col(out, n_).asc() for n_ in order_names])
+                out = (
+                    out.withColumn("__uq", F.row_number().over(w_u))
+                    .where(F.col("__uq") == 1).drop("__uq")
+                )
             elif kw == "count":
                 # `| count` (CountPipe): collapse to one row with the total
                 out = out.agg(F.count("*").alias("count"))
@@ -140,7 +172,7 @@ def eql_search(
             elif kw == "sort":
                 # `| sort f1[, f2]` (SortPipe): ascending field sort
                 flds = [a.strip() for a in arg.split(",") if a.strip()]
-                out = out.orderBy(*[F.col(n_).asc() for n_ in flds])
+                out = out.orderBy(*[_col(out, n_).asc() for n_ in flds])
             else:
                 raise ValueError(f"unsupported EQL pipe: {kw}")
         return out
@@ -159,21 +191,24 @@ def eql_search(
     # subset reports the earliest event per (key, step) — deterministic
     sm2 = _SAMPLE_RE.match(body.strip())
     if sm2:
-        by = [b.strip() for b in sm2.group("by").split(",") if b.strip()]
+        by_orig = [b.strip() for b in sm2.group("by").split(",") if b.strip()]
+        src, by, back = _safe_by(df, by_orig)
         steps = [(c, w) for _neg, c, w, _ in _STEP_RE.findall(sm2.group("steps"))]
         if len(steps) < 2:
             raise ValueError("sample needs at least two steps")
         cur = None
         for i, (cat, cond) in enumerate(steps):
-            out = df
+            out = src
             if cat not in ("*", "any"):
                 out = out.where(F.col(category_col) == cat)
             if cond and cond.strip() not in ("true",):
                 out = out.where(F.expr(_cond_to_sql(cond)))
             stepf = out.groupBy(*by).agg(F.min(ts_col).alias(f"t{i + 1}"))
             cur = stepf if cur is None else cur.join(stepf, by)
-        names = by + ["t1"]
-        return apply_pipes(cur.orderBy(*[F.col(n_).asc() for n_ in names]), names)
+        for a, orig in back.items():
+            cur = cur.withColumnRenamed(a, orig)
+        names = by_orig + ["t1"]
+        return apply_pipes(cur.orderBy(*[_col(cur, n_).asc() for n_ in names]), names)
 
     m = _SEQ_RE.match(body.strip())
     if not m:
@@ -190,7 +225,8 @@ def eql_search(
         names = [ts_col] + ([tie] if tie else [])
         return apply_pipes(out.orderBy(*[F.col(n_).asc() for n_ in names]), names)
 
-    by = [b.strip() for b in (m.group("by") or "").split(",") if b.strip()]
+    by_orig = [b.strip() for b in (m.group("by") or "").split(",") if b.strip()]
+    df, by, back = _safe_by(df, by_orig)
     span_s = (
         int(m.group("span")) * _UNIT_S[m.group("unit")] if m.group("span") else None
     )
@@ -290,5 +326,7 @@ def eql_search(
             )
         bad = cur.join(u, by).where(rng).select(*by, "t1").distinct()
         cur = cur.join(bad, by + ["t1"], "left_anti")
-    names = by + ["t1"]
-    return apply_pipes(cur.orderBy(*[F.col(n_).asc() for n_ in names]), names)
+    for a, orig in back.items():
+        cur = cur.withColumnRenamed(a, orig)
+    names = by_orig + ["t1"]
+    return apply_pipes(cur.orderBy(*[_col(cur, n_).asc() for n_ in names]), names)

@@ -182,6 +182,18 @@ def outlier_detection(
         .select("a", (F.col("__avg_lrd_b") / F.col("lrd")).alias("lof"))
     )
     scored = per.join(lof, "a")
+    # a point alone in its cluster has no pairs and would vanish from the
+    # output — the reference scores EVERY row, and the most isolated point
+    # is the most outlier-like. Re-attach singletons with infinite
+    # distances so the CDF ranks put them at the top.
+    singletons = (
+        base.select(F.col("__id").alias("a"), "__cluster")
+        .join(scored.select("a"), "a", "left_anti")
+        .withColumn("dist_kth_nn", F.lit(float("inf")))
+        .withColumn("dist_knn", F.lit(float("inf")))
+        .withColumn("lof", F.lit(float("inf")))
+    )
+    scored = scored.select("a", "__cluster", "dist_kth_nn", "dist_knn", "lof").unionByName(singletons)
     score = (
         F.cume_dist().over(Window.orderBy("dist_kth_nn"))
         + F.cume_dist().over(Window.orderBy("dist_knn"))

@@ -266,3 +266,34 @@ def test_eql_bridge_literal_safety_and_match(spark):
         "ts timestamp, event_type string, name string, event_id long")
     out = eql_search(df, 'proc where match(name, "ad.*")')
     assert [r.event_id for r in out.collect()] == [1]
+
+
+def test_unique_pipe_keeps_first_in_order(spark):
+    """`| unique f` keeps the FIRST event per value in result order —
+    dropDuplicates kept an arbitrary row per partition layout."""
+    base = dt.datetime(2024, 3, 1)
+    rows = [(i, i % 3, "e", base + dt.timedelta(seconds=i), 0.0)
+            for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    ).repartition(8)
+    out = eql_search(df, "e where true | unique user_id").collect()
+    assert sorted(r["event_id"] for r in out) == [0, 1, 2]  # earliest per user
+
+
+def test_sequence_by_dotted_field(spark):
+    """Dotted ECS-style by keys (process.entity_id) parse and group."""
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        ("k1", 1, "login", base, 0.0),
+        ("k1", 2, "exfil", base + dt.timedelta(minutes=1), 0.0),
+        ("k2", 3, "login", base, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "`process.entity_id` string, event_id long, event_type string, ts timestamp, value double",
+    )
+    out = eql_search(
+        df, "sequence by process.entity_id with maxspan=10m "
+            "[login where true] [exfil where true]").collect()
+    assert [r["process.entity_id"] for r in out] == ["k1"]

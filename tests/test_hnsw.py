@@ -85,3 +85,24 @@ def test_engine_knn_search_hnsw_and_fallback(spark, tmp_path):
     got = es.knn_search("vecs", "emb", V[5], k=5).collect()
     assert got[0]["url"] == "u005"
     assert abs(got[0]["_score"] - 1.0) < 1e-5
+
+
+def test_hnsw_string_keys_stamped(spark, tmp_path):
+    """The key type is stamped at build time and resolved at probe time —
+    a string-keyed index probed with the old default 'long' crashed in the
+    executor (or silently int-mangled digit-string keys like '0042')."""
+    import numpy as np
+    import pytest as _pytest
+
+    from elasticsearch_spark.operators.hnsw import build_hnsw_index, hnsw_topk
+
+    rng = np.random.default_rng(7)
+    rows = [(f"{i:04d}", [float(x) for x in rng.normal(size=8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    path = str(tmp_path / "g_str")
+    build_hnsw_index(df, "vec_id", "embedding", path, n_graphs=2)
+    out = hnsw_topk(spark, path, rows[0][1], k=5).collect()
+    assert out and all(isinstance(r["key"], str) and len(r["key"]) == 4 for r in out)
+    assert out[0]["key"] == "0000"  # the query vector itself
+    with _pytest.raises(ValueError, match="contradicts"):
+        hnsw_topk(spark, path, rows[0][1], k=5, key_type="long")

@@ -160,16 +160,24 @@ def test_inference_processor(spark):
     df = spark.createDataFrame([("hello world",), ("other text",)], "text string")
     # default hash embedder → deterministic normalized vector
     out = run_pipeline(df, [{"inference": {
-        "model_id": "my-embedder",
+        "model_id": "hash_embed",
         "input_output": [{"input_field": "text", "output_field": "emb"}]}}])
     rows = out.collect()
     assert len(rows[0].emb) == 64
     assert abs(sum(x * x for x in rows[0].emb) - 1.0) < 1e-5
     # identical text → identical vector (determinism)
     out2 = run_pipeline(df, [{"inference": {
-        "model_id": "my-embedder",
+        "model_id": "hash_embed",
         "input_output": [{"input_field": "text", "output_field": "emb"}]}}])
     assert rows[0].emb == out2.collect()[0].emb
+    # an UNREGISTERED id refuses loudly instead of silently hash-embedding
+    # (a restarted driver would otherwise embed queries in a different
+    # space than the registered model embedded the documents)
+    import pytest as _pytest
+    with _pytest.raises(KeyError, match="unknown inference id"):
+        run_pipeline(df, [{"inference": {
+            "model_id": "my-embedder",
+            "input_output": [{"input_field": "text", "output_field": "emb"}]}}])
     # a completion-registered model id produces strings
     register_completion("shout", lambda prompts: [p.upper() for p in prompts])
     out3 = run_pipeline(df, [{"inference": {

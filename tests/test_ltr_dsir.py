@@ -195,3 +195,24 @@ def test_ltr_rescore_envelope_and_dotted_features(spark):
     out2 = {r["id"]: r["_rescored"]
             for r in ltr.ltr_rescore(hits, "m-dotted", id_col="id", window_size=2).collect()}
     assert out2 == out
+
+
+def test_dsir_resample_string_keys(spark):
+    """String document keys (urls) must produce real Gumbel noise — the
+    long-cast used to NULL every key and return keys in lexicographic
+    order regardless of importance weight."""
+    from elasticsearch_spark.operators.sampling import dsir_resample
+
+    raw = spark.createDataFrame(
+        [(f"u{i:03d}", "cat dog pets" if i % 2 else "stock market prices")
+         for i in range(40)], "url string, text string")
+    tgt = spark.createDataFrame(
+        [("t1", "cat dog pets the cat"), ("t2", "dog cat pet")],
+        "url string, text string")
+    out = dsir_resample(raw, tgt, "url", "text", k=10).collect()
+    assert len(out) == 10
+    assert all(r["gkey"] is not None for r in out)
+    # target-like (odd) docs dominate the draw
+    assert sum(int(r["url"][1:]) % 2 for r in out) >= 7
+    # NOT just the lexicographically-smallest keys
+    assert {r["url"] for r in out} != {f"u{i:03d}" for i in range(10)}

@@ -61,18 +61,23 @@ def test_outlier_clustered_bounds_pairs(spark):
     out = {r["pid"]: r for r in
            outlier_detection(df, "pid", "vec", k=2, centroids=cents).collect()}
     assert {out[i]["cluster"] for i in range(5)} == {0}
-    assert 5 not in out  # singleton in its cluster — unscorable, dropped
+    # a singleton in its cluster is an artifact of OUR cluster bound (the
+    # reference's exact kNN has no clusters and scores every row): it must
+    # stay in the output, ranked most-outlier
+    assert out[5]["outlier_score"] == max(r["outlier_score"] for r in out.values())
     assert {out[i]["cluster"] for i in (6, 7, 8)} == {1}
     # cluster-local kth distance for a tight-cluster member is small
     assert out[0]["dist_kth_nn"] < 0.2
 
 
-def test_outlier_singleton_cluster_dropped(spark):
-    """A point alone in its cluster has no neighbors — it falls out of the
-    result (the reference skips rows it cannot score)."""
+def test_outlier_singleton_cluster_scored_max(spark):
+    """A point alone in its cluster (our cluster-bound artifact — the
+    reference's exact kNN scores every row) stays in the output as the
+    most outlier-like row instead of silently vanishing."""
     df = spark.createDataFrame(
         [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [9.0, 9.0])],
         "pid long, vec array<double>")
-    out = outlier_detection(df, "pid", "vec", k=1,
-                            centroids=[[0.0, 0.0], [9.0, 9.0]]).collect()
-    assert sorted(r["pid"] for r in out) == [0, 1]
+    out = {r["pid"]: r for r in outlier_detection(
+        df, "pid", "vec", k=1, centroids=[[0.0, 0.0], [9.0, 9.0]]).collect()}
+    assert sorted(out) == [0, 1, 2]
+    assert out[2]["outlier_score"] == max(r["outlier_score"] for r in out.values())

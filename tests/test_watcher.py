@@ -135,3 +135,22 @@ def test_run_watch_end_to_end(spark, watch_src):
     got = spark.read.parquet(out)
     assert got.count() == 7
     assert set(got.columns) == {"query_id", "doc_id", "ts"}
+
+
+def test_percolate_stream_empty_watch_list(spark, watch_src):
+    """An empty stored-query list must produce an EMPTY alert stream —
+    the old docs.limit(0) fallback raised (limit is unsupported on
+    streaming Datasets) at writeStream.start()."""
+    schema = spark.read.parquet(f"{watch_src}/a").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(f"{watch_src}/*")
+    )
+    alerts = watcher.percolate_stream(stream, [], key="doc_id")
+    assert alerts.isStreaming
+    q = (
+        alerts.writeStream.format("memory").queryName("w_empty")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("select * from w_empty").count() == 0
