@@ -444,14 +444,30 @@ TOKENIZER_FACTORIES = {
 # --- char filters (applied to the raw string BEFORE the tokenizer) ---------
 
 def make_mapping_char_filter(mappings: list[str]):
-    """mapping char filter: ["a=>b", ...] literal replacements in order."""
+    """mapping char filter: ["a=>b", ...] literal replacements.
+
+    SINGLE-PASS greedy longest-match like Lucene's MappingCharFilter —
+    sequential str.replace would feed one rule's OUTPUT into later rules
+    (["a=>b","b=>c"] turning "a" into "c" where the reference yields "b")."""
     pairs = [m.split("=>", 1) for m in mappings]
-    pairs = [(a.strip(), b.strip()) for a, b in pairs]
+    pairs = sorted(
+        ((a.strip(), b.strip()) for a, b in pairs),
+        key=lambda ab: -len(ab[0]),
+    )
 
     def fn(text: str) -> str:
-        for a, b in pairs:
-            text = text.replace(a, b)
-        return text
+        out, i = [], 0
+        n = len(text)
+        while i < n:
+            for a, b in pairs:
+                if a and text.startswith(a, i):
+                    out.append(b)
+                    i += len(a)
+                    break
+            else:
+                out.append(text[i])
+                i += 1
+        return "".join(out)
 
     return fn
 
@@ -999,7 +1015,12 @@ def _filter_synonym(toks: list[str], synonyms: dict | list | None = None, expand
             else:
                 group = [t.strip() for t in rule.split(",") if t.strip()]
                 for src in group:
-                    table[src] = [t for t in group if t != src]
+                    # expand=false: every member of an equivalence group
+                    # maps to the group's FIRST term (SynonymMap's
+                    # canonical-term contract), not to the other members
+                    table[src] = (
+                        [t for t in group if t != src] if expand else [group[0]]
+                    )
     out: list[str] = []
     for t in toks:
         if t in table:
@@ -1452,7 +1473,10 @@ def _filter_elision(toks: list[str], articles=None, articles_case: bool = False,
         for apos in ("'", "’"):
             i = t.find(apos)
             if i > 0:
-                head = t[:i] if articles_case else t[:i].lower()
+                # articles_case=true → case-INSENSITIVE matching (the stock
+                # French analyzer depends on it: elision runs BEFORE
+                # lowercase); false (the default) matches case-sensitively
+                head = t[:i].lower() if articles_case else t[:i]
                 if head in arts:
                     t = t[i + 1:]
                 break
@@ -2041,7 +2065,12 @@ TOKEN_FILTERS = {
 
 # stemming filters that honor the keyword-protected set threaded through a
 # custom chain by keyword_marker / stemmer_override
-_STEMMER_FILTERS = (_filter_stemmer, _filter_porter, _filter_stemmer_minimal_english)
+_STEMMER_FILTERS = (
+    _filter_stemmer, _filter_porter, _filter_stemmer_minimal_english,
+    # kstem/hunspell honor KeywordAttribute in the reference too — omitting
+    # them let keyword_marker-protected tokens be stemmed anyway
+    _filter_kstem, _filter_hunspell,
+)
 
 
 # --- normalizers (keyword-field normalization; no tokenization) -------------

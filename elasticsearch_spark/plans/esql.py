@@ -65,6 +65,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+
+def _split_by_kw(s: str) -> list[str]:
+    """Split on the first top-level (quote/paren-depth-0) word-boundary BY
+    keyword — a quoted "sold by agent" or a parenthesized sub-expression
+    must never split the STATS/INLINESTATS stage."""
+    depth, i = 0, 0
+    in_q: str | None = None
+    while i < len(s):
+        c = s[i]
+        if in_q:
+            if c == in_q and s[i - 1] != "\\":
+                in_q = None
+        elif c in "\"'":
+            in_q = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif (
+            depth == 0
+            and s[i : i + 2].upper() == "BY"
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (i + 2 >= len(s) or not (s[i + 2].isalnum() or s[i + 2] == "_"))
+        ):
+            return [s[:i], s[i + 2 :]]
+        i += 1
+    return [s]
+
+
 def _split_top(s: str, sep: str) -> list[str]:
     """Split on `sep` at paren/quote depth 0."""
     out, buf, depth, i = [], [], 0, 0
@@ -138,7 +167,13 @@ def _rewrite_call(e: str, name: str, fn) -> str:
             elif e[j] == ")":
                 depth -= 1
             j += 1
-        args = [a.strip() for a in _split_top(e[m.end() : j - 1], ",")]
+        # recurse into the arguments: a same-name NESTED call (e.g.
+        # REPLACE(REPLACE(s,..),..)) would otherwise be emitted verbatim
+        # and fall through to Spark's different-semantics builtin
+        args = [
+            _rewrite_call(a.strip(), name, fn)
+            for a in _split_top(e[m.end() : j - 1], ",")
+        ]
         out.append(fn(args))
         i = j
 
@@ -210,8 +245,26 @@ def _xlate(expr: str) -> str:
     # LIKE <literal>: translate ES|QL wildcards * ? → SQL % _ in the literal
     def like_sub(m: re.Match) -> str:
         idx = int(m.group(2))
-        pat = lits[idx][1:-1].replace("%", r"\%").replace("_", r"\_")
-        lits[idx] = '"' + pat.replace("*", "%").replace("?", "_") + '"'
+        src = lits[idx][1:-1]
+        out_ch, i2 = [], 0
+        while i2 < len(src):
+            c = src[i2]
+            if c == "\\" and i2 + 1 < len(src) and src[i2 + 1] in "*?":
+                # ES|QL-escaped wildcard = the LITERAL character (the old
+                # blind replace turned \* into \%, matching '%' not '*')
+                out_ch.append(src[i2 + 1])
+                i2 += 2
+                continue
+            if c == "*":
+                out_ch.append("%")
+            elif c == "?":
+                out_ch.append("_")
+            elif c in "%_":
+                out_ch.append("\\" + c)
+            else:
+                out_ch.append(c)
+            i2 += 1
+        lits[idx] = '"' + "".join(out_ch) + '"'
         return m.group(0)
 
     e = re.sub(r"(\S+)\s+LIKE\s+\x00(\d+)\x00", like_sub, e, flags=re.I)
@@ -355,10 +408,13 @@ def _xlate(expr: str) -> str:
         s = f"array_sort({arr})"
         q = f"((size({arr}) - 1) * ({p}) / 100.0D)"
         lo = f"cast(floor({q}) as int)"
-        return (
+        interp = (
             f"(element_at({s}, {lo} + 1) * (1 - ({q} - {lo}))"
             f" + element_at({s}, least({lo} + 2, size({arr}))) * ({q} - {lo}))"
         )
+        # empty/null array → NULL (the reference's answer); without the
+        # guard lo is -1 and element_at(·, 0) RAISES in Spark
+        return f"(CASE WHEN size({arr}) > 0 THEN {interp} END)"
 
     e = _rewrite_call(e, "mv_percentile", mvpct_fn)
     # MV_PSERIES_WEIGHTED_SUM(arr, p) = Σ arr[i] / (i+1)^p (1-based i here)
@@ -682,8 +738,9 @@ def _agg_where(expr: str) -> str:
         elif c in ")]":
             depth -= 1
         elif depth == 0 and up.startswith("WHERE", i) and (
-                i == 0 or not expr[i - 1].isalnum()) and (
-                i + 5 >= len(expr) or not expr[i + 5].isalnum()):
+                i == 0 or not (expr[i - 1].isalnum() or expr[i - 1] == "_")) and (
+                i + 5 >= len(expr)
+                or not (expr[i + 5].isalnum() or expr[i + 5] == "_")):
             return f"{expr[:i].strip()} FILTER (WHERE {expr[i + 5:].strip()})"
     return expr
 
@@ -875,7 +932,10 @@ def esql(
                 toks = item.split()
                 c = F.col(toks[0])
                 desc = any(t.upper() == "DESC" for t in toks[1:])
-                c = c.desc() if desc else c.asc()
+                # ES|QL default: null sorts LARGER than any value (asc →
+                # nulls last, desc → nulls first) — Spark's bare asc/desc
+                # defaults are the exact inverse
+                c = c.desc_nulls_first() if desc else c.asc_nulls_last()
                 up = " ".join(t.upper() for t in toks[1:])
                 if "NULLS FIRST" in up:
                     c = F.col(toks[0]).desc_nulls_first() if desc else F.col(toks[0]).asc_nulls_first()
@@ -886,7 +946,7 @@ def esql(
         elif cmd == "LIMIT":
             df = df.limit(int(rest))
         elif cmd == "STATS":
-            by_split = re.split(r"\bBY\b", rest, flags=re.I)
+            by_split = _split_by_kw(rest)
             aggs_part = by_split[0].strip()
             keys = [k.strip() for k in _split_top(by_split[1], ",")] if len(by_split) > 1 else []
             if ts_mode and re.search(r"\brate\s*\(", aggs_part, flags=re.I):
@@ -924,7 +984,7 @@ def esql(
             # aggregate columns. Compiled as groupBy + broadcast equi-join
             # back on the BY keys (the grouped side is group-cardinality
             # small); no BY → a single-row crossJoin.
-            by_split = re.split(r"\bBY\b", rest, flags=re.I)
+            by_split = _split_by_kw(rest)
             aggs_part = by_split[0].strip()
             keys = [k.strip() for k in _split_top(by_split[1], ",")] if len(by_split) > 1 else []
             aggcols, agg_names = [], []

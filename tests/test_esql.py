@@ -621,3 +621,41 @@ def test_query_params_binding(spark):
     out4 = esql(spark, "FROM t | WHERE s == ?1 | KEEP id",
                 {"t": df2}, params=["what?"])
     assert [r.id for r in out4.collect()] == [1]
+
+
+def test_esql_review_regressions(spark):
+    from elasticsearch_spark.plans.esql import esql
+
+    df = spark.createDataFrame(
+        [(1, "2*3", None), (2, "2%3", 5.0), (3, "x", 1.0)],
+        "id long, s string, v double")
+    tables = {"t": df}
+    # SORT default: null sorts LARGEST (asc → nulls last)
+    out = esql(spark, 'FROM t | SORT v | KEEP id', tables).collect()
+    assert [r["id"] for r in out] == [3, 2, 1]
+    out2 = esql(spark, 'FROM t | SORT v DESC | KEEP id', tables).collect()
+    assert [r["id"] for r in out2] == [1, 2, 3]
+    # escaped wildcard in LIKE = literal character
+    out3 = esql(spark, 'FROM t | WHERE s LIKE "2\\\\*3" | KEEP id', tables).collect()
+    assert [r["id"] for r in out3] == [1]
+    # nested same-name calls both rewrite (REPLACE is regex in ES|QL)
+    out4 = esql(
+        spark,
+        'ROW s = "aXbY" | EVAL r = REPLACE(REPLACE(s, "X.", "-"), "a", "_")',
+        {}).collect()
+    assert out4[0]["r"] == "_-Y"
+    # quoted 'by' inside a STATS WHERE literal is data, not the BY keyword
+    df2 = spark.createDataFrame(
+        [("sold by agent", "k1"), ("direct", "k1")], "note string, k string")
+    out5 = esql(
+        spark,
+        'FROM t2 | STATS c = COUNT(*) WHERE note == "sold by agent" BY k',
+        {"t2": df2}).collect()
+    assert [(r["k"], r["c"]) for r in out5] == [("k1", 1)]
+    # MV_PERCENTILE of an empty array is NULL, not a crash
+    df3 = spark.createDataFrame(
+        [(1, [1.0, 3.0]), (2, [])], "id long, a array<double>")
+    out6 = {r["id"]: r["p"] for r in esql(
+        spark, 'FROM t3 | EVAL p = MV_PERCENTILE(a, 50) | KEEP id, p',
+        {"t3": df3}).collect()}
+    assert out6[1] == 2.0 and out6[2] is None

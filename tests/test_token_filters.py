@@ -614,3 +614,44 @@ def test_hunspell_pfx_condition_anchors_front():
     got = analysis.analyze("megacity megaapple", "hun3")
     # 'city' starts with c → prefix rule must NOT apply; 'apple' does
     assert got == ["megacity", "apple"]
+
+
+# --- analysis/esql review regression batch ------------------------------------
+
+def test_elision_articles_case_polarity():
+    from elasticsearch_spark.functions.analysis import _filter_elision
+
+    # articles_case=True → case-INsensitive (stock French analyzer relies
+    # on it; elision runs before lowercase)
+    assert _filter_elision(["L'avion"], articles=["l"], articles_case=True) == ["avion"]
+    # default False → case-sensitive: uppercase head does NOT strip
+    assert _filter_elision(["L'avion"], articles=["l"], articles_case=False) == ["L'avion"]
+    assert _filter_elision(["l'avion"], articles=["l"], articles_case=False) == ["avion"]
+
+
+def test_synonym_expand_false_maps_to_first_term():
+    from elasticsearch_spark.functions.analysis import _filter_synonym
+
+    syn = ["a, b, c"]
+    assert _filter_synonym(["b"], synonyms=syn, expand=False) == ["a"]
+    assert _filter_synonym(["a"], synonyms=syn, expand=False) == ["a"]
+    assert _filter_synonym(["c", "x"], synonyms=syn, expand=False) == ["a", "x"]
+    # expand=True keeps the original plus the rest of the group
+    assert _filter_synonym(["b"], synonyms=syn, expand=True) == ["b", "a", "c"]
+
+
+def test_keyword_marker_protects_kstem_and_hunspell():
+    from elasticsearch_spark.functions import analysis
+
+    analysis.register_analyzer(
+        "km_kstem", "standard", [("keyword_marker", {"keywords": ["running"]}), "kstem"])
+    assert analysis.analyze("running tables", "km_kstem") == ["running", "table"]
+
+
+def test_mapping_char_filter_single_pass():
+    from elasticsearch_spark.functions.analysis import make_mapping_char_filter
+
+    # one rule's output must NOT feed the next (Lucene MappingCharFilter)
+    assert make_mapping_char_filter(["a=>b", "b=>c"])("ab") == "bc"
+    # longest match wins
+    assert make_mapping_char_filter(["ab=>X", "a=>Y"])("aba") == "XY"
