@@ -110,10 +110,15 @@ def rolling_fingerprint(text_col: str, window: int = 8) -> Column:
     """Winnowing-style document fingerprint: xxhash each `window`-token
     shingle, keep the minimum — robust to small edits (same min shingle
     survives), used for cheap near-dup bucketing."""
-    toks = tokens_col(text_col)
+    # bind the token array ONCE via a one-element outer transform (lambda
+    # bodies are not CSE'd across iterations — inlining the tokenizer in
+    # the per-shingle lambda re-tokenized the whole document per shingle,
+    # turning a linear fingerprint into quadratic work)
+    toks_sql = _TOKS.format(c=text_col)
     sh = F.expr(
-        f"transform(sequence(0, greatest(size({_TOKS.format(c=text_col)}) - {window}, 0)),"
-        f" i -> xxhash64(concat_ws(' ', slice({_TOKS.format(c=text_col)}, i + 1, {window}))))"
+        f"flatten(transform(array({toks_sql}), t ->"
+        f" transform(sequence(0, greatest(size(t) - {window}, 0)),"
+        f" i -> xxhash64(concat_ws(' ', slice(t, i + 1, {window}))))))"
     )
     return F.array_min(sh).alias("fingerprint")
 
@@ -201,8 +206,6 @@ def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-# regex dialect note: these patterns stay inside the Java-regex ∩ RE2
-# subset (like pii_signals) so the DuckDB oracle is exact
 _TRACKING_PARAM = r"(utm_[a-z]+|fbclid|gclid|msclkid|ref_src|mc_[ce]id)=[^&#]*"
 
 
@@ -230,7 +233,11 @@ def normalize_url(url_col: str) -> Column:
         lowered, r"^(https?://[^/:?#]+):(?:80|443)(?=[/?#]|$)", r"$1"
     )
     no_frag = F.regexp_replace(no_port, r"#.*$", "")
-    no_track = F.regexp_replace(no_frag, _TRACKING_PARAM + r"[&]?", "")
+    # the param name must START at a separator (Java-regex lookbehind —
+    # this runs JVM-side only; the oracle derives expected strings
+    # analytically): without it, "?xgclid=abc" had its 'gclid=abc' TAIL
+    # eaten, mangling distinct urls onto one dedup key
+    no_track = F.regexp_replace(no_frag, r"(?<=[?&])" + _TRACKING_PARAM + r"&?", "")
     clean_sep = F.regexp_replace(
         F.regexp_replace(no_track, r"[?&]$", ""), r"\?&", "?"
     )

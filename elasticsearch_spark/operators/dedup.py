@@ -185,6 +185,13 @@ def simhash_fingerprints(
         (F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << i) for i in range(1, 63)),
         F.when(F.col("b0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
     )
+    # bit 63 = the long's SIGN bit: setting it is adding -(2^63) in two's
+    # complement (1 << 63 overflows the long literal). Dropping it — the
+    # old behavior — underestimated hamming distances at the max_hamming
+    # boundary, merging docs whose true 64-bit hashes differ by one extra bit.
+    fp = fp + F.when(
+        F.col("b63") > 0, F.lit(-9223372036854775808).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
     return votes.select("__key", fp.alias("simhash"))
 
 
@@ -245,7 +252,14 @@ def embedding_near_dup_pairs(
     with L independent tables (unioned candidates) recall = 1-(1-p)^L —
     n_planes=12 / n_tables=4 gives ≈0.97 at cosine 0.95 and →1 as cos→1."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        # an empty frame (or an all-null head) is a normal outcome of
+        # upstream filtering — return an empty pairs frame, don't crash
+        head = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+        if head is None:
+            return df.sparkSession.createDataFrame(
+                [], f"a {df.schema[key].dataType.simpleString()}, "
+                    f"b {df.schema[key].dataType.simpleString()}, cosine double")
+        dim = len(head[0])
     rng = np.random.Generator(np.random.Philox(key=[seed, 11]))
     planes = rng.normal(size=(n_tables, n_planes, dim))
 

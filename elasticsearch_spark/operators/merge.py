@@ -277,14 +277,51 @@ def _folded_segs_path(index_dir: str) -> str:
 
 
 def _read_folded_segs(index_dir: str) -> set[int]:
-    p = _folded_segs_path(index_dir)
-    if not os.path.exists(p):
-        return set()
-    try:
-        with open(p) as f:
-            return set(json.load(f))
-    except (json.JSONDecodeError, OSError):
-        return set()
+    # the authoritative copy commits ATOMICALLY with the stats table (a
+    # `_`-prefixed sidecar inside the parquet dir — invisible to Spark);
+    # the legacy standalone file is the fallback for older indexes
+    for p in (
+        os.path.join(store.term_stats_path(index_dir), "_folded_segs.json"),
+        _folded_segs_path(index_dir),
+    ):
+        if os.path.exists(p):
+            try:
+                with open(p) as f:
+                    return set(json.load(f))
+            except (json.JSONDecodeError, OSError):
+                continue
+    return set()
+
+
+def _recover_stats(index_dir: str) -> None:
+    """Finish a stats swap a crash interrupted: the table is parked at
+    `.old` between the two renames; restore it if the live path is gone."""
+    ts_path = store.term_stats_path(index_dir)
+    old_path = ts_path + ".old"
+    if not os.path.exists(ts_path) and os.path.exists(old_path):
+        os.replace(old_path, ts_path)
+
+
+def _commit_stats(index_dir: str, tmp_path: str, folded: set[int]) -> None:
+    """Atomically publish a freshly-written stats table TOGETHER with its
+    folded-segment set: the set rides inside the parquet dir, so one
+    rename commits both (a separate post-write folded file let a replayed
+    micro-batch double-fold df/cf), and the old table parks at `.old`
+    during the swap so no crash point loses it (the old rmtree-then-replace
+    had a window with NO stats table on disk)."""
+    ts_path = store.term_stats_path(index_dir)
+    old_path = ts_path + ".old"
+    with open(os.path.join(tmp_path, "_folded_segs.json"), "w") as f:
+        json.dump(sorted(int(s) for s in folded), f)
+    if os.path.exists(old_path):
+        shutil.rmtree(old_path)
+    if os.path.exists(ts_path):
+        os.replace(ts_path, old_path)
+    os.replace(tmp_path, ts_path)  # commit point
+    if os.path.exists(old_path):
+        shutil.rmtree(old_path)
+    # legacy location kept in sync for older readers
+    _write_folded_segs(index_dir, set(folded))
 
 
 def _write_folded_segs(index_dir: str, segs: set[int]) -> None:
@@ -309,10 +346,7 @@ def rebuild_term_stats(spark: SparkSession, index_dir: str, num_salts: int = 16)
     ts_path = store.term_stats_path(index_dir)
     tmp_path = ts_path + ".tmp"
     final.repartition(8, "term").sortWithinPartitions("term").write.mode("overwrite").parquet(tmp_path)
-    if os.path.exists(ts_path):
-        shutil.rmtree(ts_path)
-    os.replace(tmp_path, ts_path)
-    _write_folded_segs(index_dir, set(store.list_segs(index_dir)))
+    _commit_stats(index_dir, tmp_path, set(store.list_segs(index_dir)))
 
 
 def merge_term_stats(spark: SparkSession, index_dir: str, new_segs: list[int]) -> None:
@@ -324,6 +358,7 @@ def merge_term_stats(spark: SparkSession, index_dir: str, new_segs: list[int]) -
     (Structured Streaming may re-run a batch after a crash): segments
     already folded — tracked in ``stats/folded_segs.json``, committed
     after the stats write — are skipped."""
+    _recover_stats(index_dir)
     folded = _read_folded_segs(index_dir)
     todo = [
         s for s in new_segs
@@ -350,10 +385,7 @@ def merge_term_stats(spark: SparkSession, index_dir: str, new_segs: list[int]) -
         merged = new
     tmp_path = ts_path + ".tmp"
     merged.repartition(8, "term").sortWithinPartitions("term").write.mode("overwrite").parquet(tmp_path)
-    if os.path.exists(ts_path):
-        shutil.rmtree(ts_path)
-    os.replace(tmp_path, ts_path)
-    _write_folded_segs(index_dir, folded | set(todo))
+    _commit_stats(index_dir, tmp_path, folded | set(todo))
 
 
 def merge_index(

@@ -263,6 +263,16 @@ def apply_ops(
                         _extra_arrow_types(batch)), METRICS_SCHEMA
         ).collect()
         new_segs = [int(r["pid"]) for r in metrics]
+        if meta.num_shards:
+            # record each new segment's routing shard in its build manifest:
+            # dense ids make the pid-offset → shard derivation impossible
+            # arithmetically (store.shard_of reads this field). pid - base
+            # = pmod(hash(url), P), and S | P ⇒ shard = (pid - base) % S.
+            for s in new_segs:
+                man = store.read_manifest(index_dir, s)
+                if man is not None:
+                    man["shard"] = (s - base) % P % meta.num_shards
+                    store.write_manifest(index_dir, s, man)
     else:
         new_segs = []
 

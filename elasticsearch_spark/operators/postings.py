@@ -399,6 +399,30 @@ def build_index(
     compact postings, orders of magnitude smaller than the input.
     """
     num_partitions = num_partitions or max(spark.sparkContext.defaultParallelism, 8)
+    # rebuilding an EXISTING index with different structure must refuse
+    # loudly: the per-partition resume keys on (url, warc_ts) lineage only,
+    # so a changed analyzer would SKIP every partition yet save the new
+    # analyzer into meta (queries then tokenize differently from the
+    # postings), a changed index_sort would lie to sorted_scan's early
+    # termination, and a smaller num_partitions would leave the old pids'
+    # segments live and double-counted
+    try:
+        prev = store.IndexMeta.load(index_dir)
+    except FileNotFoundError:
+        prev = None
+    if prev is not None:
+        want_sort = list(index_sort) if index_sort else None
+        for name, old, new in (
+            ("analyzer", prev.analyzer, analyzer),
+            ("num_partitions", prev.num_partitions, num_partitions),
+            ("index_sort", prev.index_sort or None, want_sort),
+            ("num_shards", prev.num_shards, num_shards),
+        ):
+            if old != new:
+                raise ValueError(
+                    f"index at {index_dir} was built with {name}={old!r}; "
+                    f"rebuilding with {name}={new!r} would corrupt it — "
+                    "use a fresh index_dir (or delete this one)")
     if num_shards:
         # number_of_shards (routing granularity) must divide the build
         # partition count so pid % num_shards == hash % num_shards — the

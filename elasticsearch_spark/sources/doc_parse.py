@@ -94,12 +94,21 @@ def parse_documents(
     )
 
     if dynamic == "strict":
-        ok = keys.where(F.size(unmapped) == 0)
+        # malformed / null / non-object JSON: json_object_keys is NULL, so
+        # size(unmapped) is NULL (or -1 legacy) and the row would match
+        # NEITHER branch — vanishing instead of being quarantined with a
+        # reason (bulk item-level failure semantics)
+        bad_json = F.col("__keys").isNull()
+        ok = keys.where(~bad_json & (F.size(unmapped) == 0))
         rejects = (
-            keys.where(F.size(unmapped) > 0)
+            keys.where(bad_json | (F.size(unmapped) > 0))
             .withColumn(
                 "_reason",
-                F.concat(F.lit("strict_dynamic_mapping_exception: "), F.array_join(unmapped, ",")),
+                F.when(bad_json, F.lit("mapper_parsing_exception: not a JSON object"))
+                .otherwise(F.concat(
+                    F.lit("strict_dynamic_mapping_exception: "),
+                    F.array_join(unmapped, ","),
+                )),
             )
             .drop("__keys")
         )

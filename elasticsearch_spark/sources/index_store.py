@@ -97,8 +97,16 @@ def shard_of(index_dir: str, seg: int, meta: "IndexMeta") -> int | None:
     """
     if not meta.num_shards:
         return None
+    if seg < OPS_SEG_BASE:
+        # initial build: seg == pid == pmod(hash, P), and S | P
+        return seg % meta.num_partitions % meta.num_shards
     if seg < MERGED_SEG_BASE:
-        return seg % OPS_SEG_BASE % meta.num_partitions % meta.num_shards
+        # op-batch segments allocate DENSELY (operators/ops.py) so the pid
+        # offset is no longer derivable arithmetically — apply_ops records
+        # the shard in the build manifest post-build; None (pre-recording
+        # crash or legacy) means unknown → routed searches keep the segment
+        m = read_manifest(index_dir, seg)
+        return m.get("shard") if m else None
     m = merge_manifest(index_dir, seg)
     if m is None:
         return None
@@ -241,14 +249,22 @@ def list_segs(index_dir: str) -> list[int]:
         if n.startswith("seg=")
         and os.path.exists(os.path.join(root, n, "postings.parquet"))
         and (s := int(n.split("=", 1)[1])) not in dead
+        # a MERGED-namespace segment is live only once its merge manifest
+        # committed: a crash between the segment-file renames and the
+        # manifest rename leaves files whose docs still live in the (then
+        # still-live) source segments — counting both doubles every doc
+        and (s < MERGED_SEG_BASE or merge_manifest(index_dir, s) is not None)
     )
 
 
 def reconcile(index_dir: str) -> list[int]:
     """Delete on-disk segment dirs already consumed by a committed merge
-    (crash-leftovers). Returns the reclaimed segment ids. Failures raise —
-    a silently-surviving dir would be re-reclaimed next call anyway, but
-    the caller should know."""
+    (crash-leftovers), plus merged-namespace dirs whose merge never
+    committed (crash BEFORE the manifest rename — their docs still live in
+    the sources). Returns the reclaimed segment ids. Failures raise — a
+    silently-surviving dir would be re-reclaimed next call anyway, but the
+    caller should know. Do not run concurrently with an in-flight merge:
+    its not-yet-committed output dir would be reclaimed."""
     import shutil
 
     root = os.path.join(index_dir, "segments")
@@ -259,6 +275,13 @@ def reconcile(index_dir: str) -> list[int]:
         d = seg_dir(index_dir, s)
         if os.path.isdir(d):
             shutil.rmtree(d)
+            reclaimed.append(s)
+    for n in os.listdir(root):
+        if not n.startswith("seg="):
+            continue
+        s = int(n.split("=", 1)[1])
+        if s >= MERGED_SEG_BASE and merge_manifest(index_dir, s) is None:
+            shutil.rmtree(os.path.join(root, n))
             reclaimed.append(s)
     return reclaimed
 

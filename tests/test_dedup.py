@@ -267,3 +267,24 @@ def test_line_dedup_multiline(spark):
     out2 = {r["doc_id"]: r.asDict() for r in
             dedup.line_dedup(df2, "doc_id", "text").collect()}
     assert (out2[4]["kept_lines"], out2[4]["text_dedup"]) == (0, "")
+
+
+def test_simhash_uses_full_64_bits(spark):
+    from elasticsearch_spark.operators.dedup import simhash_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, [f"w{i}a", f"w{i}b", f"w{i}c"]) for i in range(24)],
+        "id long, toks array<string>")
+    fps = [r["simhash"] for r in simhash_fingerprints(df, "id", "toks").collect()]
+    # bit 63 (the sign bit) must be live: across 24 random token sets the
+    # odds of every bit-63 vote landing 0 are ~2^-24
+    assert any(f < 0 for f in fps)
+
+
+def test_embedding_near_dup_empty_frame(spark):
+    from elasticsearch_spark.operators.dedup import embedding_near_dup_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = embedding_near_dup_pairs(empty, "vec_id", "embedding")
+    assert out.count() == 0
+    assert set(out.columns) >= {"a", "b"}

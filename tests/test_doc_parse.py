@@ -58,3 +58,21 @@ def test_runtime_field(spark, raw):
     parsed, _ = doc_parse.parse_documents(spark, raw, "body", MAPPING, dynamic="false", id_col="id")
     out = doc_parse.runtime_field(parsed, "views_sq", "views * views")
     assert {r["views_sq"] for r in out.collect()} == {100, 400}
+
+
+def test_strict_malformed_json_quarantined(spark):
+    """Invalid / non-object JSON under dynamic=strict lands in rejects
+    with a reason — it must not vanish from both frames."""
+    from elasticsearch_spark.sources.doc_parse import parse_documents
+
+    raw = spark.createDataFrame(
+        [('{"name":"ok","n":1}',), ("{not json",), ('[1,2]',), (None,)],
+        "js string")
+    parsed, rejects = parse_documents(
+        spark, raw, "js", {"properties": {"name": {"type": "keyword"},
+                                          "n": {"type": "long"}}},
+        dynamic="strict")
+    assert parsed.count() == 1
+    rej = rejects.collect()
+    assert len(rej) == 3
+    assert all("mapper_parsing_exception" in r["_reason"] for r in rej)

@@ -216,3 +216,24 @@ def test_filtered_search_honors_pit_segs(spark, index_dir):
         spark, index_dir, ["the"], k=500, mode="naive", fetch=False, pit_segs=pinned,
     ).collect()
     assert {r.doc_id for r in got} == {r.doc_id for r in fast}
+
+
+def test_rebuild_with_changed_config_refuses(spark, tmp_path):
+    """Rebuilding an existing index with a different analyzer /
+    num_partitions / index_sort refuses loudly: the per-partition resume
+    keys on data lineage only and would skip every partition while saving
+    the NEW config into meta (queries then tokenize differently from the
+    postings)."""
+    from elasticsearch_spark.operators.postings import build_index
+    from elasticsearch_spark.sources.pages import pages_df
+
+    d = str(tmp_path / "cfg_idx")
+    build_index(spark, pages_df(spark, 60, n_parts=2), d, num_partitions=2)
+    with pytest.raises(ValueError, match="analyzer"):
+        build_index(spark, pages_df(spark, 60, n_parts=2), d,
+                    num_partitions=2, analyzer="whitespace")
+    with pytest.raises(ValueError, match="num_partitions"):
+        build_index(spark, pages_df(spark, 60, n_parts=2), d, num_partitions=4)
+    # identical config still resumes
+    r = build_index(spark, pages_df(spark, 60, n_parts=2), d, num_partitions=2)
+    assert r["built"] == 0 and r["skipped"] == 2

@@ -71,3 +71,54 @@ def test_plan_merges_respects_tier_size(spark, merge_env):
     # after compaction into 2 segments, a tier of 4 can still merge them
     groups = plan_merges(MERGE_DIR, segments_per_tier=4, floor_bytes=1)
     assert all(len(g) <= 4 for g in groups)
+
+
+def test_uncommitted_merge_output_not_live(spark, tmp_path):
+    """A crash BETWEEN the merged segment's file renames and the merge
+    manifest rename must not double-count: the merged-namespace dir
+    without a manifest is invisible to list_segs and reclaimed by
+    reconcile."""
+    import os
+    import shutil as _sh
+
+    from elasticsearch_spark.operators.postings import build_index
+    from elasticsearch_spark.sources import index_store as store
+    from elasticsearch_spark.sources.pages import pages_df
+
+    d = str(tmp_path / "crash_idx")
+    build_index(spark, pages_df(spark, 60, n_parts=2), d, num_partitions=2)
+    live_before = store.list_segs(d)
+    # simulate the crash: copy a segment's files into an uncommitted
+    # merged-namespace dir (no merge manifest)
+    orphan = store.MERGED_SEG_BASE + 1
+    _sh.copytree(store.seg_dir(d, live_before[0]), store.seg_dir(d, orphan))
+    assert store.list_segs(d) == live_before  # orphan not live
+    reclaimed = store.reconcile(d)
+    assert orphan in reclaimed
+    assert not os.path.isdir(store.seg_dir(d, orphan))
+
+
+def test_stats_swap_crash_recovery_and_atomic_folded(spark, tmp_path):
+    """merge_term_stats survives both crash windows: a table parked at
+    .old (crash mid-swap) is restored, and the folded set commits WITH the
+    table so a replayed batch never double-folds df."""
+    import os
+
+    from elasticsearch_spark.operators.merge import merge_term_stats
+    from elasticsearch_spark.operators.postings import build_index
+    from elasticsearch_spark.sources import index_store as store
+    from elasticsearch_spark.sources.pages import pages_df
+
+    d = str(tmp_path / "stats_idx")
+    build_index(spark, pages_df(spark, 60, n_parts=2), d, num_partitions=2)
+    ts = store.term_stats_path(d)
+    before = {r["term"]: r["df"] for r in spark.read.parquet(ts).collect()}
+    # crash window 2: table parked at .old, live path missing
+    os.replace(ts, ts + ".old")
+    merge_term_stats(spark, d, [])  # no-op fold must first RECOVER the table
+    assert os.path.exists(ts)
+    # replay idempotence: re-folding the same segments is a no-op
+    segs = store.list_segs(d)
+    merge_term_stats(spark, d, segs)
+    after = {r["term"]: r["df"] for r in spark.read.parquet(ts).collect()}
+    assert after == before

@@ -107,3 +107,28 @@ def _assert_routed_equals_shard_restricted(spark, meta, url, pruned):
     assert {(d, s) for d, s in full if d in shard_doc_ids} <= routed
     assert {d for d, _ in routed} <= shard_doc_ids
     assert routed  # the shard is non-empty for a stopword query
+
+
+def test_op_batch_segments_route_correctly(spark):
+    """Op-batch segments allocate dense ids; their routing shard is
+    recorded in the build manifest (the old arithmetic derivation silently
+    pruned segments containing the routed doc)."""
+    from elasticsearch_spark.operators.ops import apply_ops
+
+    meta = _build(spark)
+    ops = spark.createDataFrame(
+        [(f"https://new{i}.example/x", "index", "fresh routed words here",
+          "en", None) for i in range(7)],
+        "url string, op string, text string, lang string, warc_ts timestamp")
+    counts = apply_ops(spark, IDX, ops)
+    assert counts["indexed"] == 7
+    op_segs = [s for s in store.list_segs(IDX) if s >= store.OPS_SEG_BASE]
+    assert op_segs
+    for s in op_segs:
+        assert store.shard_of(IDX, s, meta) in range(S)
+    # every new doc is findable through ITS routed search
+    for i in range(7):
+        url = f"https://new{i}.example/x"
+        hits = search_topk(spark, IDX, ["routed"], k=50, fetch=True,
+                           routing=url).collect()
+        assert url in {r["url"] for r in hits}, url
