@@ -386,19 +386,6 @@ class Engine:
             return w
         return name
 
-    def create_data_stream(self, name: str, **create_kw) -> dict:
-        """PUT /_data_stream/{name} (``cluster/metadata/DataStream.java``):
-        an append-only, timestamp-keyed stream = a write alias over
-        generation-numbered backing indices (``.ds-<name>-NNNNNN``);
-        ``rollover(name)`` advances the generation. Reads fan out over all
-        generations; writes go to the newest."""
-        backing = f".ds-{name}-000001"
-        self.create_index(backing, **create_kw)
-        self.update_aliases([
-            {"add": {"alias": name, "index": backing, "is_write_index": True}}
-        ])
-        return {"acknowledged": True, "backing_index": backing}
-
     def rollover(
         self,
         alias: str,
@@ -425,6 +412,9 @@ class Engine:
         create_kw.setdefault(
             "index_sort", tuple(meta.index_sort) if meta.index_sort else None
         )
+        # the new generation inherits the FULL structure — dropping
+        # num_shards silently de-sharded it and routed searches lost pruning
+        create_kw.setdefault("num_shards", meta.num_shards)
         self.create_index(
             nxt, analyzer=meta.analyzer,
             num_partitions=meta.num_partitions, **create_kw,
@@ -636,8 +626,9 @@ class Engine:
                 cutoff = now - self._ilm_age(ret["expire_after"])
                 expired = [h for h in runs if h["time"] < cutoff]
                 keep_floor = max(min_count - (len(runs) - len(expired)), 0)
-                drop.extend(expired[: len(expired) - keep_floor]
-                            if keep_floor else expired)
+                # clamp: with fewer expired snapshots than the floor the
+                # negative slice used to delete the ones min_count protects
+                drop.extend(expired[: max(len(expired) - keep_floor, 0)])
             survivors = [h for h in runs if h not in drop]
             if max_count is not None and len(survivors) > int(max_count):
                 drop.extend(survivors[: len(survivors) - int(max_count)])
@@ -679,11 +670,7 @@ class Engine:
         optimistic-concurrency contract: stale versions are skipped and
         counted as version_conflicts."""
         index = self._write_index(index)
-        self._check_block(index, "write")
-        m = self._ilm_load()["managed"].get(index)
-        if m and m.get("readonly"):
-            # ILM warm-phase readonly action (the index.blocks.write block)
-            raise ValueError(f"index {index} is read-only (ILM warm phase)")
+        self._check_write_allowed(index)
         if version_type == "external" and "version" not in docs.columns:
             # validate on the FIRST bulk too — the build path would otherwise
             # silently index with versioning disabled
@@ -713,6 +700,8 @@ class Engine:
 
     def delete(self, index: str, urls: list[str]) -> dict:
         """DELETE /{index}/_doc/{id} (bulk form)."""
+        index = self._write_index(index)
+        self._check_write_allowed(index)
         ops_df = self.spark.createDataFrame(
             [(u, "delete", None, None, None) for u in urls],
             "url string, op string, text string, lang string, warc_ts timestamp",
@@ -870,8 +859,8 @@ class Engine:
             phases = policy.get("phases", {})
             nxt = [p for p in ("warm", "delete") if p in phases]
 
-            if m["phase"] == "hot" and "hot" in phases:
-                ro = phases["hot"].get("actions", {}).get("rollover")
+            if m["phase"] == "hot":
+                ro = phases.get("hot", {}).get("actions", {}).get("rollover")
                 alias = m["rollover_alias"]
                 if ro and alias and self._write_index(alias) == index:
                     met = False
@@ -891,6 +880,15 @@ class Engine:
                         m["phase_time"] = now
                         actions.append({"index": index, "action": "rollover",
                                         "new_index": new_ix})
+                elif not ro and nxt:
+                    # no rollover action (delete-only / warm-only policy):
+                    # advance on the NEXT phase's min_age — the index used
+                    # to stay "hot" forever
+                    min_age = phases[nxt[0]].get("min_age", 0)
+                    if now - m["phase_time"] >= self._ilm_age(min_age):
+                        m["phase"] = nxt[0]
+                        m["phase_time"] = now
+                        actions.append({"index": index, "action": f"phase:{nxt[0]}"})
 
             elif m["phase"] == "warm":
                 body = phases.get("warm", {})
@@ -1099,6 +1097,7 @@ class Engine:
             and body.get("sort")
             and "search_after" not in body
             and "post_filter" not in body
+            and not body.get("from")  # pagination falls to the DSL path
             and len(body["sort"]) == 1
         ):
             s0 = body["sort"][0]
@@ -1122,6 +1121,7 @@ class Engine:
             and "sort" not in body
             and "search_after" not in body
             and "post_filter" not in body
+            and not body.get("from")  # pagination falls to the DSL path
         ):
             (fld, mspec), = spec.items()
             text = mspec["query"] if isinstance(mspec, dict) else mspec
@@ -1151,11 +1151,27 @@ class Engine:
             # semantics.
             from .operators.spans import search_spans
 
-            hits = search_spans(self.spark, d, q, k=size)
+            # spans exist only on the index path — implement `from` here
+            # (the other fast paths fall back to the DSL path for it)
+            frm = int(body.get("from", 0) or 0)
+            hits = search_spans(self.spark, d, q, k=size + frm)
+            if frm:
+                from pyspark.sql import Window as _W
+
+                hits = (
+                    hits.withColumn(
+                        "__rn",
+                        F.row_number().over(
+                            _W.orderBy(F.desc("score"), F.asc("doc_id"))),
+                    )
+                    .where(F.col("__rn") > frm)
+                    .drop("__rn")
+                )
         elif (
             kind in ("match_phrase", "match_phrase_prefix", "intervals")
             and "sort" not in body
             and "post_filter" not in body
+            and not body.get("from")  # pagination falls to the DSL path
         ):
             # with a post_filter these fall through to the DSL path below
             # (token-stream positional evaluation), which applies it after
@@ -1740,9 +1756,11 @@ class Engine:
         script = app["template"]["script"]
         merged = {**script.get("params", {}), **(params or {})}
         body = json.loads(render_template(script["source"], merged))
-        if len(app["indices"]) == 1:
-            return self.search(app["indices"][0], body)
-        return {"hits": self.search_multi(app["indices"], body)}
+        # one path for any index count: search() resolves comma-lists and
+        # its multi-index branch applies the read-block check, _source
+        # filtering, script_fields, and the suggest validation — the old
+        # raw search_multi call bypassed all of them
+        return self.search(",".join(app["indices"]), body)
 
     def render_search_template(self, body: dict) -> dict:
         """POST /_render/template: the rendered body without executing."""
@@ -1897,7 +1915,12 @@ class Engine:
                     score = dcg
             else:
                 raise ValueError(f"unsupported rank_eval metric: {mkind}")
-            details[req.get("id", req["request"].get("query", ""))] = round(score, 6)
+            # id-less requests key by POSITION (a raw query dict is
+            # unhashable and used to raise TypeError after all the search work)
+            rid = req.get("id")
+            if rid is None:
+                rid = f"request_{len(details)}"
+            details[rid] = round(score, 6)
         vals = list(details.values())
         return {
             "metric_score": round(sum(vals) / len(vals), 6) if vals else 0.0,
@@ -2223,6 +2246,7 @@ class Engine:
         batch (no driver collect; a broad delete at 100 TB never funnels
         ids through one process). doc_count/df keep counting masked docs
         until a merge expunges them — reference semantics."""
+        self._check_write_allowed(index)
         docs = self._docs_view(index)
         node = dsl.parse(query)
         ctx = dsl.SearchContext(docs, "url", text_col="text",
@@ -2238,6 +2262,7 @@ class Engine:
     def update_by_query(self, index: str, query: dict, script_expr: str) -> dict:
         """POST /{index}/_update_by_query with a SQL-expression script over
         `text` (scan + rewrite + reindex-as-update)."""
+        self._check_write_allowed(index)
         docs = self._docs_view(index)
         node = dsl.parse(query)
         ctx = dsl.SearchContext(docs, "url", text_col="text",
@@ -2254,7 +2279,10 @@ class Engine:
     def reindex(self, source: str, dest: str, query: dict | None = None) -> dict:
         """POST /_reindex: scan the source's live docs (optionally filtered),
         bulk into dest."""
-        docs = self._docs_view(source).select("url", "warc_ts", "text", "lang")
+        # full _source: every stored column rides along (ES reindex copies
+        # the whole document) — the fixed 4-column select silently dropped
+        # custom fields
+        docs = self._docs_view(source).drop("doc_id", "dl", "norm", "seg_id")
         if query:
             node = dsl.parse(query)
             ctx = dsl.SearchContext(docs, "url", text_col="text",
@@ -2273,8 +2301,9 @@ class Engine:
         if target in self.indices():
             raise ValueError(f"target index already exists: {target}")
         meta = store.IndexMeta.load(self._dir(source))
-        self.create_index(target, analyzer=meta.analyzer, num_partitions=num_partitions)
-        docs = self._docs_view(source).select("url", "warc_ts", "text", "lang")
+        self.create_index(target, analyzer=meta.analyzer, num_partitions=num_partitions,
+                          num_shards=meta.num_shards if num_partitions % (meta.num_shards or 1) == 0 else None)
+        docs = self._docs_view(source).drop("doc_id", "dl", "norm", "seg_id")
         info = self.bulk(target, docs)
         return {"acknowledged": True, "target": target, **{
             k: info[k] for k in ("doc_count", "partitions") if k in info
@@ -2471,6 +2500,17 @@ class Engine:
         blocks = self._blocks().get(index, [])
         if "read_only" in blocks or op in blocks:
             raise ValueError(f"index {index} is blocked for {op} (blocks: {blocks})")
+
+    def _check_write_allowed(self, index: str) -> None:
+        """The ONE write gate: settings blocks + ILM warm-phase readonly.
+        Every mutating entry point (bulk/delete/update/x_by_query) must run
+        through it — a write block that only bulk honored let delete_by_query
+        tombstone a mounted snapshot's shared repository copy."""
+        self._check_block(index, "write")
+        m = self._ilm_load()["managed"].get(index)
+        if m and m.get("readonly"):
+            # ILM warm-phase readonly action (the index.blocks.write block)
+            raise ValueError(f"index {index} is read-only (ILM warm phase)")
 
     # ---- cross-cluster replication (x-pack/plugin/ccr) ---------------------
 

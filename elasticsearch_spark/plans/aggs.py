@@ -43,7 +43,16 @@ from pyspark.sql import functions as F
 # under any bucketing. Detected from the frame schema by `compile_agg` /
 # `aggregate` (single-threaded driver-side compile, like the reference's
 # per-request ValuesSourceConfig resolution).
-_HISTO_FIELDS: frozenset = frozenset()
+# THREAD-LOCAL: async_search runs searches on a shared thread pool — a
+# module-global set raced across concurrent compilations, mis-typing one
+# frame's fields with another frame's detection
+import threading as _threading
+
+_TLS = _threading.local()
+
+
+def _histo_fields() -> frozenset:
+    return getattr(_TLS, "histo_fields", frozenset())
 
 
 def _detect_histo_fields(df: DataFrame) -> frozenset:
@@ -126,7 +135,7 @@ def _metric_cols(name: str, spec: dict) -> list:
     """One metric agg → named aggregate Column(s)."""
     (kind, body), = spec.items()
     f = body.get("field")
-    if f and f in _HISTO_FIELDS:
+    if f and f in _histo_fields():
         return _histo_metric_cols(name, kind, f, body)
     c = F.col(f) if f else None
     if c is not None and "missing" in body:
@@ -164,6 +173,10 @@ def _metric_cols(name: str, spec: dict) -> list:
         return [F.approx_count_distinct(c, 0.01).alias(name)]
     if kind == "percentiles":
         pcts = body.get("percents", [1, 5, 25, 50, 75, 95, 99])
+        if "missing" in body:
+            # the generic `missing` substitution path builds Columns; the
+            # percentile exprs are SQL strings — honor it here too
+            f = f"coalesce({f}, {body['missing']!r})"
         # approximate mode (the reference's TDigestState sketch,
         # ``server/.../metrics/TDigestState.java:22-28``): Spark's
         # approx_percentile (Greenwald-Khanna) stands in — same
@@ -185,8 +198,9 @@ def _metric_cols(name: str, spec: dict) -> list:
         # PercentileRanksAggregationBuilder.java: for each given value v,
         # the percentage of observed values ≤ v
         vals = body["values"]
+        pc = F.coalesce(F.col(f), F.lit(body["missing"])) if "missing" in body else F.col(f)
         return [
-            (100.0 * F.avg((F.col(f) <= F.lit(v)).cast("double"))).alias(f"{name}.{v}")
+            (100.0 * F.avg((pc <= F.lit(v)).cast("double"))).alias(f"{name}.{v}")
             for v in vals
         ]
     if kind == "median_absolute_deviation":
@@ -336,27 +350,39 @@ def _apply_metric_subaggs(grouped, sub_aggs: dict, doc_count=True, df=None):
     # external callers (transform pivot) pass their source `df` so the
     # histogram-field detection reflects THEIR schema, not whatever frame
     # compile_agg saw last
+    prev = _histo_fields()
     if df is not None:
-        global _HISTO_FIELDS
-        _HISTO_FIELDS = _detect_histo_fields(df)
-    cols = [F.count("*").alias("doc_count")] if doc_count else []
-    for name, spec in (sub_aggs or {}).items():
-        spec_wo = {k: v for k, v in spec.items() if k != "aggs"}
-        cols.extend(_metric_cols(name, spec_wo))
-    return grouped.agg(*cols)
+        _TLS.histo_fields = _detect_histo_fields(df)
+    try:
+        cols = [F.count("*").alias("doc_count")] if doc_count else []
+        for name, spec in (sub_aggs or {}).items():
+            spec_wo = {k: v for k, v in spec.items() if k != "aggs"}
+            cols.extend(_metric_cols(name, spec_wo))
+        return grouped.agg(*cols)
+    finally:
+        _TLS.histo_fields = prev
 
 
 def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
-    """One top-level agg (+ nested sub-aggs) → bucket frame."""
-    global _HISTO_FIELDS
-    _HISTO_FIELDS = _detect_histo_fields(df)
+    """One top-level agg (+ nested sub-aggs) → bucket frame: detection is
+    scoped to THIS frame and restored afterwards (recursive sub-compiles
+    over child frames no longer clobber the parent's detection)."""
+    prev = _histo_fields()
+    _TLS.histo_fields = _detect_histo_fields(df)
+    try:
+        return _compile_agg(df, name, spec)
+    finally:
+        _TLS.histo_fields = prev
+
+
+def _compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
     sub = spec.get("aggs")
     body_spec = {k: v for k, v in spec.items() if k != "aggs"}
     (kind, body), = body_spec.items()
 
     if (
         kind in ("percentiles", "histogram", "boxplot")
-        and body.get("field") in _HISTO_FIELDS
+        and body.get("field") in _histo_fields()
     ):
         # Histo-backed distribution aggs (HistoBackedTDigestPercentiles-,
         # HistoBackedHistogram-, HistoBackedBoxplotAggregator.java): explode
@@ -505,17 +531,26 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         # DateRangeAggregationBuilder.java: ranges of timestamps; from
         # inclusive, to exclusive; bucket key defaults to "from-to"
         f = body["field"]
+        def _bound(v):
+            # numeric bounds are epoch MILLIS (the reference's date parsing),
+            # not seconds; 0 is a real bound, not "unbounded" — only None is
+            if v is None:
+                return F.lit(None).cast("timestamp")
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                return F.timestamp_millis(F.lit(int(v)))
+            return F.lit(v).cast("timestamp")
+
         rs = []
         for r in body["ranges"]:
             lo = r.get("from")
             hi = r.get("to")
-            label = r.get("key", f"{lo or '*'}-{hi or '*'}")
+            label = r.get("key", f"{'*' if lo is None else lo}-{'*' if hi is None else hi}")
             rs.append((label, lo, hi))
         ranges = F.array(*[
             F.struct(
                 F.lit(k).alias("key"),
-                (F.lit(lo).cast("timestamp") if lo else F.lit(None).cast("timestamp")).alias("lo"),
-                (F.lit(hi).cast("timestamp") if hi else F.lit(None).cast("timestamp")).alias("hi"),
+                _bound(lo).alias("lo"),
+                _bound(hi).alias("hi"),
             )
             for k, lo, hi in rs
         ])
@@ -1413,11 +1448,17 @@ def compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
             )
         else:
             iv = bbody.get("calendar_interval") or bbody.get("fixed_interval", "1d")
-            step = {"1d": "interval 1 day", "day": "interval 1 day",
-                    "1h": "interval 1 hour", "hour": "interval 1 hour",
-                    "week": "interval 7 day", "month": "interval 1 month",
-                    "minute": "interval 1 minute", "1m": "interval 1 minute",
-                    "year": "interval 1 year"}[iv]
+            steps = {"1d": "interval 1 day", "day": "interval 1 day",
+                     "1h": "interval 1 hour", "hour": "interval 1 hour",
+                     "1w": "interval 7 day", "week": "interval 7 day",
+                     "1M": "interval 1 month", "month": "interval 1 month",
+                     "minute": "interval 1 minute", "1m": "interval 1 minute",
+                     "1y": "interval 1 year", "year": "interval 1 year",
+                     "1q": "interval 3 month", "quarter": "interval 3 month"}
+            if iv not in steps:
+                raise ValueError(
+                    f"min_doc_count:0 fill: unsupported calendar_interval {iv!r}")
+            step = steps[iv]
             if eb:
                 # ES-shaped bounds are strings / epoch millis — normalize to
                 # datetime before comparing with the collected bucket bounds

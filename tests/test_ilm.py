@@ -133,3 +133,22 @@ def test_remove_lifecycle(es):
     assert es.remove_lifecycle_policy("logs-000002")["has_failures"] is False
     assert es.explain_lifecycle("logs-000002")["managed"] is False
     assert es.remove_lifecycle_policy("logs-000002")["failed_indexes"] == ["logs-000002"]
+
+
+def test_delete_only_policy_advances_from_hot(spark, tmp_path):
+    """A policy with no hot rollover action (delete-only) must still move
+    the index out of 'hot' on the next phase's min_age — it used to stay
+    hot forever."""
+    T0, DAY = 1700000000.0, 86400.0
+    eng = Engine(spark, root=str(tmp_path))
+    eng.create_index("ephemeral", num_partitions=1)
+    eng.bulk("ephemeral", _docs(spark, ["e1"]))
+    eng.put_lifecycle_policy("purge", {"phases": {
+        "delete": {"min_age": "1d", "actions": {"delete": {}}}}})
+    eng.apply_lifecycle("ephemeral", "purge", rollover_alias=None, now=T0)
+    assert eng.ilm_step(now=T0 + 0.5 * DAY) == []  # too young
+    acts = eng.ilm_step(now=T0 + 2 * DAY)
+    assert any(a["action"] == "phase:delete" for a in acts)
+    acts2 = eng.ilm_step(now=T0 + 4 * DAY)
+    assert any(a["action"] == "delete" for a in acts2)
+    assert "ephemeral" not in eng.indices()

@@ -141,3 +141,127 @@ def test_hnsw_build_skips_null_vectors(spark, tmp_path):
     build_hnsw_index(df, "vec_id", "embedding", path, n_graphs=2, M=4, ef_construction=10)
     got = [r["key"] for r in hnsw_topk(spark, path, [1.0, 0.0], k=5).collect()]
     assert set(got) == {1, 3}
+
+
+# --- api/aggs review batch (round 2 tail) -------------------------------------
+
+def test_write_block_covers_all_mutation_paths(spark, tmp_path):
+    from elasticsearch_spark.api import Engine
+
+    es = Engine(spark, root=str(tmp_path))
+    es.create_index("blk", num_partitions=1)
+    es.bulk("blk", spark.createDataFrame(
+        [("b1", "some words here", "en")],
+        "url string, text string, lang string").withColumn(
+        "warc_ts", F.lit("2024-01-01").cast("timestamp")))
+    es.add_block("blk", "write")
+    for call in (
+        lambda: es.delete("blk", ["b1"]),
+        lambda: es.delete_by_query("blk", {"match_all": {}}),
+        lambda: es.update_by_query("blk", {"match_all": {}}, "upper(text)"),
+    ):
+        with pytest.raises(ValueError, match="blocked|read-only"):
+            call()
+    assert es.count("blk") == 1  # nothing leaked through
+
+
+def test_reindex_preserves_custom_columns(spark, tmp_path):
+    from elasticsearch_spark.api import Engine
+
+    es = Engine(spark, root=str(tmp_path))
+    es.create_index("src_cols", num_partitions=1)
+    es.bulk("src_cols", spark.createDataFrame(
+        [("c1", "text body", "en", 42)],
+        "url string, text string, lang string, price long").withColumn(
+        "warc_ts", F.lit("2024-01-01").cast("timestamp")))
+    es.create_index("dst_cols", num_partitions=1)
+    es.reindex("src_cols", "dst_cols")
+    assert es.get("dst_cols", "c1")["price"] == 42
+
+
+def test_rank_eval_without_request_id(spark, tmp_path):
+    from elasticsearch_spark.api import Engine
+
+    es = Engine(spark, root=str(tmp_path))
+    es.create_index("re_idx", num_partitions=1)
+    es.bulk("re_idx", spark.createDataFrame(
+        [("r1", "alpha beta", "en"), ("r2", "gamma", "en")],
+        "url string, text string, lang string").withColumn(
+        "warc_ts", F.lit("2024-01-01").cast("timestamp")))
+    out = es.rank_eval("re_idx", [
+        {"request": {"query": {"match": {"text": "alpha"}}},
+         "ratings": [{"_id": "r1", "rating": 1}]},
+    ], {"precision": {}})
+    assert out["metric_score"] == 1.0
+    assert "request_0" in out["details"]
+
+
+def test_fast_path_honors_from(spark, tmp_path):
+    from elasticsearch_spark.api import Engine
+
+    es = Engine(spark, root=str(tmp_path))
+    es.create_index("pg", num_partitions=1)
+    es.bulk("pg", spark.createDataFrame(
+        [(f"p{i}", "common word " + "extra " * i, "en") for i in range(6)],
+        "url string, text string, lang string").withColumn(
+        "warc_ts", F.lit("2024-01-01").cast("timestamp")))
+    full = [r["url"] for r in es.search(
+        "pg", {"query": {"match": {"text": "common"}}, "size": 6})["hits"].collect()]
+    page2 = [r["url"] for r in es.search(
+        "pg", {"query": {"match": {"text": "common"}}, "from": 2, "size": 2})["hits"].collect()]
+    assert page2 == full[2:4]
+
+
+def test_rollover_inherits_num_shards(spark, tmp_path):
+    from elasticsearch_spark.api import Engine
+    from elasticsearch_spark.sources import index_store as store
+
+    es = Engine(spark, root=str(tmp_path))
+    es.create_data_stream("logs_sh", num_partitions=4, num_shards=2)
+    es.bulk("logs_sh", spark.createDataFrame(
+        [("l1", "log line", "en")],
+        "url string, text string, lang string").withColumn(
+        "warc_ts", F.lit("2024-01-01").cast("timestamp")))
+    res = es.rollover("logs_sh")
+    meta = store.IndexMeta.load(es._dir(res["new_index"]))
+    assert meta.num_shards == 2
+
+
+def test_date_range_epoch_millis_and_zero_bound(spark):
+    from elasticsearch_spark.plans import aggs
+
+    df = spark.createDataFrame(
+        [(1, "2023-11-15 00:00:00"), (2, "2023-11-13 00:00:00")],
+        "id long, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = aggs.aggregate(df, {"dr": {"date_range": {"field": "ts", "ranges": [
+        {"from": 1700000000000, "key": "recent"},           # epoch MILLIS
+        {"to": 0, "key": "before_epoch"},                    # 0 is a bound
+    ]}}})
+    rows = {r["key"]: r["doc_count"] for r in out["dr"].collect()}
+    assert rows.get("recent") == 1          # 2023-11-15 > 2023-11-14T22:13Z
+    assert "before_epoch" not in rows or rows["before_epoch"] == 0
+
+
+def test_date_histogram_fill_1M_alias(spark):
+    from elasticsearch_spark.plans import aggs
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-05 00:00:00"), (2, "2024-03-07 00:00:00")],
+        "id long, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = aggs.aggregate(df, {"h": {"date_histogram": {
+        "field": "ts", "calendar_interval": "1M", "min_doc_count": 0}}})
+    rows = out["h"].collect()
+    assert len(rows) == 3  # Jan, Feb(filled 0), Mar
+    assert rows[1]["doc_count"] == 0
+
+
+def test_percentiles_honor_missing(spark):
+    from elasticsearch_spark.plans import aggs
+
+    df = spark.createDataFrame([(1, 10.0), (2, None), (3, 30.0)], "id long, v double")
+    out = aggs.aggregate(df, {"p": {"percentiles": {
+        "field": "v", "percents": [50], "missing": 20.0}}})
+    assert out["p"].collect()[0]["p.50"] == 20.0
+    out2 = aggs.aggregate(df, {"pr": {"percentile_ranks": {
+        "field": "v", "values": [25], "missing": 20.0}}})
+    assert abs(out2["pr"].collect()[0]["pr.25"] - 200.0 / 3) < 1e-9

@@ -114,3 +114,22 @@ def test_delete_policy_keeps_snapshots(es):
     with pytest.raises(ValueError, match="unknown SLM policy"):
         es.get_slm_policy("nightly")
     assert os.path.isdir(os.path.join(REPO, "nightly-2023.11.29"))
+
+
+def test_retention_min_count_exceeds_total(spark, tmp_path):
+    """min_count larger than the number of snapshots keeps ALL of them —
+    the negative slice used to delete the oldest anyway."""
+    repo = str(tmp_path / "repo")
+    os.makedirs(repo)
+    eng = Engine(spark, root=str(tmp_path / "root"))
+    eng.create_index("keep-a", num_partitions=1)
+    eng.bulk("keep-a", _docs(spark, ["k1"]))
+    eng.put_slm_policy("few", {
+        "schedule": "0 30 1 * * ?", "name": "<few-{now/d}>",
+        "repository": repo, "config": {"indices": ["keep-*"]},
+        "retention": {"expire_after": "7d", "min_count": 5},
+    })
+    for d in (0, 1, 2):
+        eng.execute_slm_policy("few", now=T0 + d * DAY)
+    out = eng.execute_slm_retention(now=T0 + 30 * DAY)
+    assert out["deleted"] == []  # all 3 protected by min_count=5
