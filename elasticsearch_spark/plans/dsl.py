@@ -2461,36 +2461,51 @@ def search(
         ).drop(*[fl for _, fl in flags])
 
     # rescore: combine primary score with a secondary query over the top
-    # window only (narrower, costlier query — the reference's use case)
+    # window only (narrower, costlier query — the reference's use case).
+    # QueryRescorer.combine: the re-sorted WINDOW block stays FIRST (a hit
+    # outside the window is never promoted above it, whatever its score),
+    # the tail keeps its original order with score scaled by query_weight.
     if "rescore" in body:
         stages = body["rescore"]
         if isinstance(stages, dict):
             stages = [stages]
-        for rs in stages:  # sequential windows, each over the previous result
+        srt = body.get("sort")
+        if srt not in (None, ["_score"], "_score",
+                       [{"_score": {"order": "desc"}}], [{"_score": "desc"}]):
+            # the reference rejects rescore with any non-score sort
+            raise ValueError("rescore cannot be combined with an explicit sort")
+        fetched = fetched.withColumn(
+            "__cur", F.row_number().over(Window.orderBy(F.desc("_score"), F.asc(key)))
+        )
+        for rs in stages:  # sequential windows, each over the previous ORDER
             window = int(rs.get("window_size", 10))
             rq = rs["query"]
             qw = float(rq.get("query_weight", 1.0))
             rqw = float(rq.get("rescore_query_weight", 1.0))
-            ranked = fetched.withColumn(
-                "__rr", F.row_number().over(
-                    Window.orderBy(F.desc("_score"), F.asc(key)))
-            )
-            # QueryRescorer contract: hits OUTSIDE the window keep their
-            # original score and remain in the result set
             sec = parse(rq["rescore_query"]).frame(
                 SearchContext(df, key, text_col=text_col, kw_norm=kw_norm or {}))
             sec = sec.withColumnRenamed("__key", key).withColumnRenamed("_score", "_rescore")
+            in_w = F.col("__cur") <= window
             fetched = (
-                ranked.join(sec, key, "left")
+                fetched.join(sec, key, "left")
                 .withColumn(
                     "_score",
                     F.when(
-                        F.col("__rr") <= window,
+                        in_w,
                         qw * F.col("_score")
                         + rqw * F.coalesce(F.col("_rescore"), F.lit(0.0)),
-                    ).otherwise(F.col("_score")),
+                    ).otherwise(qw * F.col("_score")),
                 )
-                .drop("_rescore", "__rr")
+                .drop("_rescore")
+            )
+            fetched = fetched.withColumn(
+                "__cur",
+                F.row_number().over(Window.orderBy(
+                    F.when(in_w, F.lit(0)).otherwise(F.lit(1)).asc(),
+                    F.when(in_w, F.col("_score")).otherwise(F.lit(None)).desc_nulls_last(),
+                    F.when(~in_w, F.col("__cur")).otherwise(F.lit(None)).asc_nulls_first(),
+                    F.asc(key),
+                )),
             )
 
     # text_similarity_reranker retriever (x-pack
@@ -2546,6 +2561,9 @@ def search(
     if isinstance(sort_spec, (str, dict)):
         sort_spec = [sort_spec]  # bare-string / bare-object ES spellings
     order = _sort_cols(sort_spec, key)
+    if "rescore" in body:
+        # the rescorer's window-first order IS the result order
+        order = [F.col("__cur").asc()]
 
     # search_after: keyset pagination — strictly-after predicate on the
     # sort tuple (lexicographic comparison chain)
@@ -2581,6 +2599,8 @@ def search(
     if from_:
         out = out.offset(from_)
     out = out.limit(size)
+    if "__cur" in out.columns:
+        out = out.drop("__cur")
     # script_fields (SearchSourceBuilder.scriptField / ScriptFieldsPhase):
     # per-hit computed fields — fetch-phase withColumns over the (already
     # top-k-small) result frame, sharing the Painless-analog script expansion

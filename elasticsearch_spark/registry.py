@@ -1248,7 +1248,9 @@ def s_ann_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     qvec = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
     corpus = e.where(F.col("vec_id") != 0)
-    path = os.path.join("/tmp/es_spark_hnsw_cache", os.path.basename(sf_dir.rstrip("/")))
+    # full-path tag (NOT basename): two corpora sharing a leaf dir name
+    # must not share one graph
+    path = os.path.join("/tmp/es_spark_hnsw_cache", sf_dir.strip("/").replace("/", "_"))
     if not os.path.exists(path + "/_SUCCESS"):
         hnsw.build_hnsw_index(corpus, "vec_id", "embedding", path, n_graphs=4)
     out = hnsw.hnsw_topk(spark, path, qvec, k=10, ef_search=64)
@@ -2297,7 +2299,8 @@ def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))"
     )
     knn = (
-        e.crossJoin(F.broadcast(q))
+        e.where(F.col("vec_id") != 0)  # the query vector must not fuse with itself
+        .crossJoin(F.broadcast(q))
         .select(
             F.col("vec_id").alias("doc_id"),
             F.expr(f"({dot}) / ({nrm})").alias("score"),
@@ -4137,6 +4140,7 @@ cos AS (
          (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
           sqrt(list_dot_product(qv, qv))) AS s
   FROM embeddings CROSS JOIN qv
+  WHERE vec_id != 0  -- the query vector must not fuse with itself
 ),
 cosr AS (
   SELECT doc_id, row_number() OVER (ORDER BY round(s, 6) DESC, doc_id ASC) AS rnk
@@ -5327,10 +5331,13 @@ SELECT doc_id, round(score_raw, 4) AS score FROM fin
 ORDER BY score_raw DESC, doc_id ASC LIMIT 10
 """,
     "agg_sibling_buckets": """
-WITH b AS (
+WITH b0 AS (
   SELECT event_type, count(*)::BIGINT AS c, sum(value) AS sv
   FROM events GROUP BY 1
-)
+),
+-- sibling *_bucket pipelines run over the REDUCED, size-limited bucket
+-- list (the terms agg's size=10), not the full key space
+b AS (SELECT * FROM b0 ORDER BY c DESC, event_type ASC LIMIT 10)
 SELECT round(avg(c), 4) AS avg_cnt, round(max(sv), 4) AS max_sv,
        sum(c)::BIGINT AS sum_cnt
 FROM b
@@ -5888,16 +5895,23 @@ ranked AS (
   FROM s1
 ),
 resc AS (
-  -- QueryRescorer contract: window hits get the combined score, hits
-  -- OUTSIDE the window keep their original primary score (not dropped)
+  -- QueryRescorer.combine: the re-sorted WINDOW block stays FIRST (never
+  -- out-promoted), the tail keeps original order scaled by query_weight
   SELECT r.doc_id,
          CASE WHEN r.rnk <= 10
               THEN 0.7 * r.s + 1.2 * coalesce(s2.s, 0)
-              ELSE r.s END AS score
+              ELSE 0.7 * r.s END AS score,
+         CASE WHEN r.rnk <= 10 THEN 0 ELSE 1 END AS blk,
+         r.rnk
   FROM ranked r LEFT JOIN s2 ON r.doc_id = s2.doc_id
 )
 SELECT doc_id, round(score, 4) AS score
-FROM resc ORDER BY score DESC, doc_id ASC LIMIT 10
+FROM resc
+ORDER BY blk ASC,
+         CASE WHEN blk = 0 THEN score END DESC NULLS LAST,
+         CASE WHEN blk = 1 THEN rnk END ASC NULLS LAST,
+         doc_id ASC
+LIMIT 10
 """,
     "text_boilerplate_strip": """
 SELECT lang, COUNT(*)::BIGINT AS doc_count, SUM(strlen(text))::BIGINT AS chars

@@ -273,7 +273,14 @@ def test_rescore_keeps_hits_outside_window(spark):
             "rescore_query": {"match": {"text": "pie"}},
             "rescore_query_weight": 10.0}},
         "size": 10}, key="id")
-    assert out.count() == 3  # nothing dropped past the window
+    rows = out.collect()
+    assert len(rows) == 3  # nothing dropped past the window
+    # QueryRescorer.combine: the rescored WINDOW block stays first — a
+    # tail hit is never promoted above it, whatever its raw score
+    primary = dsl.search(spark, df, {
+        "query": {"match": {"text": "apple banana"}}, "size": 10}, key="id").collect()
+    assert rows[0]["id"] == primary[0]["id"]
+    assert [r["id"] for r in rows[1:]] == [r["id"] for r in primary[1:]]
 
 
 def test_knn_list_filter(spark):
