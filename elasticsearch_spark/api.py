@@ -1888,7 +1888,7 @@ class Engine:
         k = int(mspec.get("k", 10))
         thr = int(mspec.get("relevant_rating_threshold", 1))
         details = {}
-        for req in requests:
+        for pos, req in enumerate(requests):
             ratings = {r["_id"]: int(r["rating"]) for r in req["ratings"]}
             body = dict(req["request"])
             body["size"] = k
@@ -1915,11 +1915,16 @@ class Engine:
                     score = dcg
             else:
                 raise ValueError(f"unsupported rank_eval metric: {mkind}")
-            # id-less requests key by POSITION (a raw query dict is
-            # unhashable and used to raise TypeError after all the search work)
+            # id-less requests key by POSITION in a '#'-prefixed key space
+            # no user id can occupy (ids are _id-like strings; '#<pos>' was
+            # chosen so an explicit id literally named request_N can't
+            # silently overwrite a positional entry); duplicate explicit ids
+            # are an input error, not a silent last-wins
             rid = req.get("id")
             if rid is None:
-                rid = f"request_{len(details)}"
+                rid = f"#{pos}"
+            if rid in details:
+                raise ValueError(f"duplicate rank_eval request id: {rid!r}")
             details[rid] = round(score, 6)
         vals = list(details.values())
         return {
@@ -2393,11 +2398,13 @@ class Engine:
         _flatten("", settings)
         # validate EVERYTHING before mutating anything — a rejected request
         # must not leave partial state (half-applied blocks, lost k1)
-        for key in flat:
+        for key, v in flat.items():
             k = key.removeprefix("index.")
             if k.startswith("blocks.") and \
                     k.removeprefix("blocks.") not in ("write", "read", "read_only"):
                 raise ValueError(f"unsupported block: {k.removeprefix('blocks.')}")
+            if k in ("similarity.default.k1", "similarity.default.b"):
+                float(v)  # pre-validate: a bad value must fail BEFORE any block mutates
         for key, v in flat.items():
             k = key.removeprefix("index.")
             if k.startswith("blocks."):

@@ -1342,9 +1342,26 @@ def _compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
                 size = sbody.get("size", 10)
                 return grouped.orderBy(F.desc("doc_count"), F.asc("key")).limit(size)
 
+        frames = [(sname, compile_agg(flat, sname, sspec))
+                  for sname, sspec in (sub or {}).items()]
+        # two sibling bucket sub-aggs both carry doc_count (and possibly
+        # same-named metrics): namespace any column that appears in more
+        # than one sibling frame as "<agg-name>.<col>" — the reference
+        # namespaces every sub-agg's results, we only rename on collision
+        # so the common single-sub case keeps its flat column names
+        col_owners: dict[str, int] = {}
+        for _, fr in frames:
+            for c in fr.columns:
+                if c != "key":
+                    col_owners[c] = col_owners.get(c, 0) + 1
+        renamed = []
+        for sname, fr in frames:
+            for c in fr.columns:
+                if c != "key" and col_owners.get(c, 0) > 1:
+                    fr = fr.withColumnRenamed(c, f"{sname}.{c}")
+            renamed.append(fr)
         out = None
-        for sname, sspec in (sub or {}).items():
-            frame = compile_agg(flat, sname, sspec)
+        for frame in renamed:
             if out is None:
                 out = frame
             elif "key" in out.columns and "key" in frame.columns:
@@ -1459,25 +1476,41 @@ def _compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
                 raise ValueError(
                     f"min_doc_count:0 fill: unsupported calendar_interval {iv!r}")
             step = steps[iv]
+            # compare and round-trip ALL bounds as epoch seconds — the one
+            # timezone-safe frame. Collected keys are naive datetimes in the
+            # DRIVER-LOCAL zone (PySpark TimestampType.fromInternal), so
+            # .timestamp() inverts them exactly; epoch-millis bounds are
+            # already instants; ISO-string bounds are wall times in the
+            # SPARK SESSION zone (the reference parses them in the agg's
+            # time_zone). Embedding via timestamp_seconds() avoids the old
+            # timestamp'...' literal, which re-parsed a driver-local wall
+            # time in the session zone and shifted the fill range by the
+            # offset on non-UTC sessions.
+            import datetime as _dt
+            from zoneinfo import ZoneInfo
+
+            sess_tz = ZoneInfo(
+                spark_.conf.get("spark.sql.session.timeZone") or "UTC")
+
+            def _epoch(v):
+                if isinstance(v, _dt.datetime):
+                    return v.timestamp()  # naive driver-local → instant
+                if isinstance(v, (int, float)):
+                    return v / 1000.0  # epoch millis → instant
+                return _dt.datetime.fromisoformat(
+                    str(v)).replace(tzinfo=sess_tz).timestamp()
+
+            lo_e = _epoch(lo) if lo is not None else None
+            hi_e = _epoch(hi) if hi is not None else None
             if eb:
-                # ES-shaped bounds are strings / epoch millis — normalize to
-                # datetime before comparing with the collected bucket bounds
-                import datetime as _dt
-
-                def _ts(v):
-                    if isinstance(v, (int, float)):
-                        return _dt.datetime.utcfromtimestamp(v / 1000.0)
-                    if isinstance(v, str):
-                        return _dt.datetime.fromisoformat(v)
-                    return v
-
-                eb_lo, eb_hi = _ts(eb["min"]), _ts(eb["max"])
-                lo = min(lo, eb_lo) if lo is not None else eb_lo
-                hi = max(hi, eb_hi) if hi is not None else eb_hi
-            if lo is None:
+                eb_lo, eb_hi = _epoch(eb["min"]), _epoch(eb["max"])
+                lo_e = min(lo_e, eb_lo) if lo_e is not None else eb_lo
+                hi_e = max(hi_e, eb_hi) if hi_e is not None else eb_hi
+            if lo_e is None:
                 return grouped.orderBy("key")
             axis = spark_.sql(
-                f"SELECT explode(sequence(timestamp'{lo}', timestamp'{hi}', {step})) AS key"
+                f"SELECT explode(sequence(timestamp_seconds({lo_e!r}), "
+                f"timestamp_seconds({hi_e!r}), {step})) AS key"
             )
         key_type = dict(grouped.dtypes)["key"]
         axis = axis.select(F.col("key").cast(key_type))

@@ -193,7 +193,7 @@ def test_rank_eval_without_request_id(spark, tmp_path):
          "ratings": [{"_id": "r1", "rating": 1}]},
     ], {"precision": {}})
     assert out["metric_score"] == 1.0
-    assert "request_0" in out["details"]
+    assert "#0" in out["details"]  # positional key space, collision-proof
 
 
 def test_fast_path_honors_from(spark, tmp_path):
@@ -265,3 +265,101 @@ def test_percentiles_honor_missing(spark):
     out2 = aggs.aggregate(df, {"pr": {"percentile_ranks": {
         "field": "v", "values": [25], "missing": 20.0}}})
     assert abs(out2["pr"].collect()[0]["pr.25"] - 200.0 / 3) < 1e-9
+
+
+# ---- round-3 ADVICE fixes ----
+
+def test_nested_sibling_bucket_aggs_no_ambiguity(spark):
+    """Two sibling terms sub-aggs under one nested path used to join with
+    duplicate doc_count columns (AMBIGUOUS_REFERENCE on any downstream
+    select); colliding columns now namespace as '<agg>.<col>'."""
+    from elasticsearch_spark.plans import aggs
+
+    rows = [
+        (1, [{"who": "ann", "tag": "x", "stars": 5}, {"who": "bob", "tag": "y", "stars": 3}]),
+        (2, [{"who": "ann", "tag": "x", "stars": 1}]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, comments array<struct<who:string, tag:string, stars:int>>")
+    out = aggs.aggregate(df, {"n": {"nested": {"path": "comments"}, "aggs": {
+        "by_who": {"terms": {"field": "who"}},
+        "by_tag": {"terms": {"field": "tag"}},
+    }}})["n"]
+    cols = out.columns
+    assert "by_who.doc_count" in cols and "by_tag.doc_count" in cols
+    got = {r["key"]: r for r in out.collect()}
+    assert got["ann"]["by_who.doc_count"] == 2
+    assert got["x"]["by_tag.doc_count"] == 2
+    # single-sub case keeps flat names (oracle compatibility)
+    single = aggs.aggregate(df, {"n": {"nested": {"path": "comments"}, "aggs": {
+        "by_who": {"terms": {"field": "who"}}}}})["n"]
+    assert "doc_count" in single.columns
+
+
+def test_put_settings_prevalidates_similarity(spark, tmp_path):
+    from elasticsearch_spark.api import Engine
+
+    eng = Engine(spark, root=str(tmp_path / "root"))
+    eng.create_index("pv", num_partitions=2, num_shards=1)
+    with pytest.raises(ValueError):
+        eng.put_settings("pv", {"index": {
+            "blocks": {"write": True},
+            "similarity": {"default": {"k1": "not_a_number"}},
+        }})
+    # validation failed BEFORE any mutation: write block must NOT be set
+    eng.bulk("pv", spark.createDataFrame(
+        [("u1", "hello world", "en")], "url string, text string, lang string"))
+
+
+def test_rank_eval_positional_ids_cannot_collide(es):
+    reqs = [
+        {"id": "#0", "request": {"query": {"match": {"text": "alpha"}}},
+         "ratings": [{"_id": "u1", "rating": 1}]},
+        {"request": {"query": {"match": {"text": "beta"}}},
+         "ratings": [{"_id": "u2", "rating": 1}]},
+    ]
+    out = es.rank_eval("docs", reqs, {"precision": {"k": 3}})
+    assert len(out["details"]) == 2  # explicit "#0" + positional "#1"
+    with pytest.raises(ValueError):
+        es.rank_eval("docs", [
+            {"id": "dup", "request": {"query": {"match_all": {}}},
+             "ratings": [{"_id": "u1", "rating": 1}]},
+            {"id": "dup", "request": {"query": {"match_all": {}}},
+             "ratings": [{"_id": "u1", "rating": 1}]},
+        ], {"precision": {"k": 3}})
+
+
+def test_date_histogram_extended_bounds_non_utc_session(spark):
+    """Epoch-millis extended_bounds must convert via the SESSION timezone —
+    with a +04:00 session a naive-UTC conversion shifted the fill edges."""
+    from elasticsearch_spark.plans import aggs
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Dubai")  # UTC+4
+    try:
+        df = spark.createDataFrame(
+            [(1, "2024-01-03 00:00:00")], "id long, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        # bounds: 2024-01-01T00:00 .. 2024-01-05T00:00 IN SESSION TZ
+        import datetime as dt
+        from zoneinfo import ZoneInfo
+
+        tz = ZoneInfo("Asia/Dubai")
+        lo = int(dt.datetime(2024, 1, 1, tzinfo=tz).timestamp() * 1000)
+        hi = int(dt.datetime(2024, 1, 5, tzinfo=tz).timestamp() * 1000)
+        out = aggs.aggregate(df, {"h": {"date_histogram": {
+            "field": "ts", "calendar_interval": "1d", "min_doc_count": 0,
+            "extended_bounds": {"min": lo, "max": hi}}}})["h"]
+        rows = out.collect()
+        assert len(rows) == 5  # Jan 1..5 exactly, no offset-shifted edge bucket
+        # collected keys are naive DRIVER-LOCAL datetimes — re-frame to the
+        # session zone to assert the wall-clock bucket boundaries
+        got_days = [
+            dt.datetime.fromtimestamp(r["key"].timestamp(), tz=tz).day
+            for r in rows
+        ]
+        assert got_days == [1, 2, 3, 4, 5]
+        assert {r["key"]: r["doc_count"] for r in rows}  # data bucket kept
+        assert sum(r["doc_count"] for r in rows) == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
