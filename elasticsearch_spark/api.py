@@ -2851,11 +2851,25 @@ class Engine:
         )
 
     def scripts_painless_execute(self, script: dict, context_doc: dict | None = None) -> dict:
-        """POST /_scripts/painless/_execute: evaluate a script (SQL-expr
-        Painless analog) against an optional one-doc context; stored
-        ``{"id": ...}`` references resolve via the script registry."""
+        """POST /_scripts/painless/_execute: evaluate a script against an
+        optional one-doc context; stored ``{"id": ...}`` references resolve
+        via the script registry. Painless-subset sources (statements,
+        loops, doc values — functions/painless.py) run in the interpreter;
+        single SQL expressions stay on the JVM path."""
         self._load_stored_scripts()
         src, params = dsl.script_source(script)
+        from .functions import painless as P
+
+        if P.is_painless(src):
+            doc = {k: P._clean(v) for k, v in (context_doc or {}).items()}
+            env = {"params": dict(params or {}), "doc": P.DocMap(doc),
+                   "ctx": dict(doc), "_score": 0.0}
+            emitted: list = []
+            env["emit"] = emitted.append
+            val = P.execute(P.compile_painless(src), env)
+            if emitted:
+                val = emitted[0] if len(emitted) == 1 else emitted
+            return {"result": val}
         expr = dsl.expand_script(src, params)
         row = self.spark.createDataFrame([context_doc or {"__dummy": 0}])
         val = row.select(F.expr(expr).alias("result")).collect()[0]["result"]

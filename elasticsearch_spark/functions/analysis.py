@@ -747,11 +747,27 @@ def _make_lang_analyze(stop: frozenset, stem):
     return fn
 
 
+# Lucene's stock analyzers: Spanish/Italian/Portuguese (and German/French
+# above) use the LIGHT stemmers — that's the reference behavior, not an
+# approximation; Dutch/Russian use the full Snowball algorithms
+# (DutchAnalyzer / RussianAnalyzer wrap org.tartarus.snowball.ext.*)
 ANALYZERS["spanish"] = _make_lang_analyze(SPANISH_STOP, spanish_light_stem)
 ANALYZERS["italian"] = _make_lang_analyze(ITALIAN_STOP, italian_light_stem)
 ANALYZERS["portuguese"] = _make_lang_analyze(PORTUGUESE_STOP, portuguese_light_stem)
-ANALYZERS["dutch"] = _make_lang_analyze(DUTCH_STOP, dutch_light_stem)
-ANALYZERS["russian"] = _make_lang_analyze(RUSSIAN_STOP, russian_light_stem)
+
+
+def _snowball_dutch(t: str) -> str:
+    from .snowball import dutch_stem
+    return dutch_stem(t)
+
+
+def _snowball_russian(t: str) -> str:
+    from .snowball import russian_stem
+    return russian_stem(t)
+
+
+ANALYZERS["dutch"] = _make_lang_analyze(DUTCH_STOP, _snowball_dutch)
+ANALYZERS["russian"] = _make_lang_analyze(RUSSIAN_STOP, _snowball_russian)
 
 _LANG_STOP_SETS = {
     "_english_": ENGLISH_STOP, "_german_": GERMAN_STOP, "_french_": FRENCH_STOP,
@@ -1184,21 +1200,52 @@ def _filter_stemmer(toks: list[str], language: str = "minimal_english", name: st
     lang = name or language
     if lang in ("porter", "english", "light_english"):
         return _filter_porter(toks)
-    if lang in ("german", "german2", "light_german"):
+    # base language names map to the EXACT Snowball algorithms
+    # (StemmerTokenFilterFactory.java: "german" → SnowballFilter(German),
+    # "light_german" → GermanLightStemFilter, …); the light/minimal
+    # variants keep the Lucene light stemmers implemented above
+    from .snowball import (
+        dutch_stem, french_stem, german2_stem, german_stem, italian_stem,
+        portuguese_stem, russian_stem, spanish_stem)
+
+    snowball_map = {
+        "german": german_stem, "german2": german2_stem,
+        "french": french_stem, "spanish": spanish_stem,
+        "italian": italian_stem, "portuguese": portuguese_stem,
+        "dutch": dutch_stem, "russian": russian_stem,
+    }
+    if lang in snowball_map:
+        return [snowball_map[lang](t) for t in toks]
+    if lang == "light_german":
         return [german_light_stem(t) for t in toks]
-    if lang in ("french", "light_french", "minimal_french"):
+    if lang in ("light_french", "minimal_french"):
         return [french_light_stem(t) for t in toks]
-    if lang in ("spanish", "light_spanish"):
+    if lang == "light_spanish":
         return [spanish_light_stem(t) for t in toks]
-    if lang in ("italian", "light_italian"):
+    if lang == "light_italian":
         return [italian_light_stem(t) for t in toks]
-    if lang in ("portuguese", "light_portuguese", "minimal_portuguese"):
+    if lang in ("light_portuguese", "minimal_portuguese"):
         return [portuguese_light_stem(t) for t in toks]
-    if lang in ("dutch", "dutch_kp"):
+    if lang == "dutch_kp":
         return [dutch_light_stem(t) for t in toks]
-    if lang in ("russian", "light_russian"):
+    if lang == "light_russian":
         return [russian_light_stem(t) for t in toks]
     return _filter_stemmer_minimal_english(toks)
+
+
+def _filter_snowball(toks: list[str], language: str = "English", **_) -> list[str]:
+    """`snowball` token filter (SnowballTokenFilterFactory.java):
+    capitalized Snowball language names → the exact published algorithms;
+    English falls back to Porter1 (the porter2 stand-in documented on
+    `stemmer`)."""
+    from .snowball import SNOWBALL
+
+    fn = SNOWBALL.get(language)
+    if fn is not None:
+        return [fn(t) for t in toks]
+    if language in ("English", "Porter", "Lovins"):
+        return _filter_porter(toks)
+    raise ValueError(f"unsupported snowball language: {language}")
 
 
 def _soundex(word: str) -> str:
@@ -2020,6 +2067,7 @@ TOKEN_FILTERS = {
     "ngram": _filter_ngram,
     "edge_ngram": _filter_edge_ngram,
     "stemmer": _filter_stemmer,
+    "snowball": _filter_snowball,
     "porter_stem": _filter_porter,
     "cjk_bigram": _filter_cjk_bigram,
     "cjk_width": _filter_cjk_width,

@@ -131,10 +131,14 @@ def merge_group_local(index_dir: str, segs: list[int], new_seg: int) -> dict:
     docs = docs.take(d_sort)
 
     # expunge deletes (the reference's merge purging masked docs): drop
-    # tombstoned rows here; the caller clears those tombstones after commit
-    from .ops import read_tombstones
+    # tombstoned rows here; the caller reconciles the tombstone store after
+    # commit. Range-read only this merge group's id span — a broad
+    # delete_by_query never ships the full tombstone set to every task.
+    from .ops import read_tombstones_range
 
-    tomb = read_tombstones(index_dir)
+    ids_all = docs["doc_id"].to_numpy()
+    tomb = (read_tombstones_range(index_dir, int(ids_all.min()), int(ids_all.max()))
+            if len(ids_all) else np.zeros(0, dtype=np.int64))
     expunged: list[int] = []
     if len(tomb):
         ids = docs["doc_id"].to_numpy()
@@ -432,21 +436,14 @@ def merge_index(
     )
     rebuild_term_stats(spark, index_dir)
 
-    # clear tombstones expunged by the merge (ids no longer in any segment)
-    # and refresh collection stats — deletes stop counting after a merge,
-    # exactly the reference's behavior
-    from .ops import _write_tombstones, clear_tombstones, read_tombstones
+    # reconcile tombstones expunged by the merge (ids no longer in any
+    # segment) — a fully distributed semi-join + clustered rewrite, never a
+    # driver collect (delete-count-independent driver memory); deletes
+    # stop counting after a merge, exactly the reference's behavior
+    from .ops import reconcile_tombstones
 
-    tomb = read_tombstones(index_dir)
     docs = spark.read.parquet(*store.docs_glob(index_dir))
-    if len(tomb):
-        tomb_df = spark.createDataFrame([(int(x),) for x in tomb], "doc_id long")
-        still = [r["doc_id"] for r in docs.join(tomb_df, "doc_id", "left_semi").collect()]
-        if len(still) != len(tomb):
-            if still:
-                _write_tombstones(index_dir, np.array(still, dtype=np.int64))
-            else:
-                clear_tombstones(index_dir)
+    reconcile_tombstones(spark, index_dir, docs)
     meta = store.IndexMeta.load(index_dir)
     agg = docs.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
     meta.doc_count = int(agg["n"])

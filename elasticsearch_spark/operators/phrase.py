@@ -245,13 +245,13 @@ def _segment_positional_scorer(
     fetch_terms = sorted({t for st in slot_terms for t in st})
 
     def fn(batches):
-        from .ops import read_tombstones
+        from .ops import seg_tombstones
 
-        tomb = read_tombstones(index_dir)
         for pdf in batches:
             outs = []
             for seg in pdf["seg"]:
                 d = store.seg_dir(index_dir, int(seg))
+                tomb = seg_tombstones(index_dir, d)
                 post = pq.read_table(
                     os.path.join(d, "postings.parquet"),
                     columns=["term", "first_doc_id", "ids_bytes", "tf_bytes", "pos_bytes"],

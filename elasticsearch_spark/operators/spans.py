@@ -283,13 +283,13 @@ def _segment_span_scorer(index_dir: str, node: SpanNode,
     score_terms = sorted(match_terms(node))
 
     def fn(batches):
-        from .ops import read_tombstones
+        from .ops import seg_tombstones
 
-        tomb = read_tombstones(index_dir)
         for pdf in batches:
             outs = []
             for seg in pdf["seg"]:
                 d = store.seg_dir(index_dir, int(seg))
+                tomb = seg_tombstones(index_dir, d)
                 post = pq.read_table(
                     os.path.join(d, "postings.parquet"),
                     columns=["term", "first_doc_id", "ids_bytes", "tf_bytes", "pos_bytes"],

@@ -317,14 +317,16 @@ def _segment_task_scorer(
 
     def fn(batches):
         # liveDocs mask: tombstoned ids (delete / superseded-version) are
-        # excluded from scoring — read once per task from the store
-        from .ops import read_tombstones
+        # excluded from scoring — each segment range-reads ONLY its own
+        # tombstone slice (footer-stats range + row-group pruning), so a
+        # giant delete_by_query never becomes a per-task memory tax
+        from .ops import seg_tombstones
 
-        tomb = read_tombstones(index_dir)
         for pdf in batches:
             outs = []
             for seg in pdf["seg"]:
                 d = store.seg_dir(index_dir, int(seg))
+                tomb = seg_tombstones(index_dir, d)
                 post = pq.read_table(
                     os.path.join(d, "postings.parquet"),
                     columns=["term", "first_doc_id", "last_doc_id", "n",
@@ -486,15 +488,9 @@ def search_topk(
                 os.path.join(store.seg_dir(index_dir, s), "docs.parquet") for s in segs
             ])
         postings = base_postings.where(F.col("term").isin(live))
-        from .ops import read_tombstones
+        from .ops import mask_tombstones
 
-        _tomb = read_tombstones(index_dir)
-        if len(_tomb):
-            docs = docs.join(
-                spark.createDataFrame([(int(x),) for x in _tomb], "doc_id long"),
-                "doc_id",
-                "left_anti",
-            )
+        docs = mask_tombstones(spark, index_dir, docs)
         seg_map = {int(c): cur for c, cur in ((int(x), meta.current_seg(int(x))) for x in meta.seg_map)} if meta.seg_map else {}
         cur_seg = F.col("seg_id")
         if seg_map:
@@ -557,13 +553,13 @@ def _segment_task_mscorer(
     live = sorted({t for terms, _, _ in per_q.values() for t in terms})
 
     def fn(batches):
-        from .ops import read_tombstones
+        from .ops import seg_tombstones
 
-        tomb = read_tombstones(index_dir)
         for pdf in batches:
             outs = []
             for seg in pdf["seg"]:
                 d = store.seg_dir(index_dir, int(seg))
+                tomb = seg_tombstones(index_dir, d)
                 post = pq.read_table(
                     os.path.join(d, "postings.parquet"),
                     columns=["term", "first_doc_id", "last_doc_id", "n",
@@ -706,12 +702,12 @@ def sorted_scan(
         out_schema = ", ".join(f"`{c}` string" for c in out_cols)
 
     def fn(batches):
-        from .ops import read_tombstones
+        from .ops import seg_tombstones
 
-        tomb = read_tombstones(index_dir)
         for pdf in batches:
             for seg in pdf["seg"]:
                 d = store.seg_dir(index_dir, int(seg))
+                tomb = seg_tombstones(index_dir, d)
                 pf = pq_mod.ParquetFile(os.path.join(d, "docs.parquet"))
                 taken = []
                 n_live = 0

@@ -1076,6 +1076,17 @@ def _compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         # per-shard partial (aggregate over `states` within a partition),
         # reduce_script = final aggregate over the per-shard partials.
         # Without combine_script, Catalyst's own map-side combine stands in.
+        # Painless-subset scripts (state maps, loops — anything a single
+        # SQL expression can't express) run the real init/map/combine/
+        # reduce lifecycle: one state per PARTITION (the per-shard analog),
+        # combine on the executors, reduce over the per-partition partials
+        # (bounded by partition count — the reference's shard count).
+        from ..functions import painless as _P
+
+        if any(_P.is_painless(body.get(s, ""))
+               for s in ("init_script", "map_script",
+                         "combine_script", "reduce_script")):
+            return _scripted_metric_painless(df, name, body)
         mapped = df.withColumn("__state", F.expr(body["map_script"]))
         if "combine_script" in body:
             per_part = mapped.groupBy(F.spark_partition_id().alias("__pid")).agg(
@@ -1527,6 +1538,86 @@ def _compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         # empty-bucket-filling case is the branch above)
         grouped = grouped.where(F.col("doc_count") >= mdc)
     return grouped.orderBy("key")
+
+
+def _scripted_metric_painless(df: DataFrame, name: str, body: dict) -> DataFrame:
+    """scripted_metric with real Painless-subset scripts
+    (``ScriptedMetricAggregator.java`` lifecycle): per-PARTITION state
+    (the per-shard analog) initialized by init_script, mutated per row by
+    map_script (``state`` + ``doc``), folded to one JSON-serializable
+    partial per partition by combine_script, then reduce_script over
+    ``states`` — a list bounded by the partition count, exactly the
+    reference's shard-partials collect. Only the doc fields map_script
+    references ship to the executors.
+
+    Output shape: a Map result explodes to (key, <name>) rows sorted by
+    key; a List to one <name> row per element; a scalar to one row."""
+    import json
+
+    from ..functions import painless as P
+
+    init_src = body.get("init_script")
+    map_src = body["map_script"]
+    combine_src = body.get("combine_script")
+    reduce_src = body.get("reduce_script")
+    params = body.get("params") or {}
+
+    fields, dynamic = P.referenced_doc_fields(map_src)
+    cols = [c for c in df.columns if dynamic or c in fields] or [df.columns[0]]
+    narrow = df.select(*[F.col(f"`{c}`") for c in cols])
+
+    def _partials(batches):
+        state: dict = {}
+        if init_src:
+            P.execute(P.compile_painless(init_src),
+                      {"params": params, "state": state})
+        prog = P.compile_painless(map_src)
+        saw = False
+        for pdf in batches:
+            arrays = {c: pdf[c].to_numpy(dtype=object) for c in pdf.columns}
+            for i in range(len(pdf)):
+                saw = True
+                row = {c: P._clean(arrays[c][i]) for c in pdf.columns}
+                P.execute(prog, {"params": params, "state": state,
+                                 "doc": P.DocMap(row)})
+        if combine_src:
+            partial = P.execute(P.compile_painless(combine_src),
+                                {"params": params, "state": state})
+        else:
+            partial = state
+        if saw or partial:
+            import pandas as pd
+
+            yield pd.DataFrame({"partial": [json.dumps(partial)]})
+
+    part_df = narrow.mapInPandas(_partials, schema="partial string")
+    # one row per non-empty partition — the reference collects exactly the
+    # per-shard partials to the coordinator for reduce
+    states = [json.loads(r["partial"]) for r in part_df.collect()]
+    if reduce_src:
+        result = P.execute(P.compile_painless(reduce_src),
+                           {"params": params, "states": states})
+    else:
+        result = states
+    spark = df.sparkSession
+    if isinstance(result, dict):
+        rows = sorted(result.items())
+        vt = "double" if all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for _, v in rows) else "string"
+        if vt == "double":
+            rows = [(k, float(v)) for k, v in rows]
+        else:
+            rows = [(k, P._jstr(v)) for k, v in rows]
+        return spark.createDataFrame(rows, f"key string, `{name}` {vt}")
+    if isinstance(result, list):
+        return spark.createDataFrame([(float(v),) for v in result],
+                                     f"`{name}` double")
+    if isinstance(result, bool):
+        return spark.createDataFrame([(result,)], f"`{name}` boolean")
+    if isinstance(result, (int, float)):
+        return spark.createDataFrame([(float(result),)], f"`{name}` double")
+    return spark.createDataFrame([(P._jstr(result),)], f"`{name}` string")
 
 
 def _frequent_item_sets(df: DataFrame, body: dict) -> DataFrame:

@@ -1037,10 +1037,40 @@ _RUNTIME_TYPES = {
 }
 
 
+def _infer_painless_ret(df, src: str, params: dict | None) -> str:
+    """Infer a Painless script field's Spark return type from one trial
+    execution against the frame's first row (bounded: limit(1))."""
+    from ..functions import painless as P
+
+    rows = df.limit(1).collect()
+    if not rows:
+        return "string"
+    row = {k: P._clean(v) for k, v in rows[0].asDict(recursive=True).items()}
+    try:
+        v = P.execute(P.compile_painless(src),
+                      {"params": dict(params or {}), "doc": P.DocMap(row),
+                       "_score": 0.0})
+    except Exception:  # noqa: BLE001 — inference only; execution re-raises per row
+        return "string"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "long"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, list):
+        if v and all(isinstance(x, (int, float)) and not isinstance(x, bool) for x in v):
+            return "array<double>"
+        return "array<string>"
+    return "string"
+
+
 def runtime_field_expr(spec: dict | str) -> Column:
-    """Compile one runtime-field spec (RuntimeField.java) to a Column:
-    the reference's ``emit(expr)`` wrapper is stripped, script params
-    folded, and the value cast to the declared runtime type."""
+    """Compile one runtime-field spec (RuntimeField.java) to a Column.
+    SQL-expressible scripts have the ``emit(expr)`` wrapper stripped and
+    run JVM-side; Painless-subset scripts (statements, loops, doc values)
+    run in the interpreter with a real ``emit()`` collector. Either way
+    the value casts to the declared runtime type."""
     import re as _re
 
     script = spec.get("script", {}) if isinstance(spec, dict) else spec
@@ -1048,12 +1078,21 @@ def runtime_field_expr(spec: dict | str) -> Column:
         src, params = "null", None
     else:
         src, params = script_source(script)
-    m = _re.fullmatch(r"\s*emit\((.*)\)\s*", src, _re.S)
-    if m:
-        src = m.group(1)
-    src = expand_script(src, params)
     t = spec.get("type", "keyword") if isinstance(spec, dict) else "keyword"
-    return F.expr(src).cast(_RUNTIME_TYPES.get(t, "string"))
+    rt = _RUNTIME_TYPES.get(t, "string")
+
+    from ..functions import painless as P
+
+    m = _re.fullmatch(r"\s*emit\((.*)\)\s*;?\s*", src, _re.S)
+    if m is not None and not P.is_painless(m.group(1)):
+        # single-emit SQL expression — JVM fast path
+        return F.expr(expand_script(m.group(1), params)).cast(rt)
+    if P.is_painless(src):
+        return P.script_column(None, src, params, ret_type=rt,
+                               runtime_emit=True)
+    if m is not None:
+        src = m.group(1)
+    return F.expr(expand_script(src, params)).cast(rt)
 
 
 # Stored scripts (PutStoredScriptAction / GetStoredScriptAction —
@@ -1124,17 +1163,35 @@ def expand_script(src: str, params: dict | None) -> str:
     )
 
 
+def script_col(df, src: str, params: dict | None,
+               ret_type: str = "double", score_col=None) -> Column:
+    """Two-tier script compilation (the reference's ScriptService picks a
+    compiled context the same way): scripts using Painless-only constructs
+    (statements, loops, doc[...], Java statics — functions/painless.py's
+    ``is_painless``) run in the Painless-subset interpreter via an
+    Arrow-batched pandas UDF; everything else stays on the JVM-side
+    SQL-expression fast path (whole-stage codegen)."""
+    from ..functions import painless as P
+
+    if P.is_painless(src):
+        return P.script_column(df, src, params, ret_type=ret_type,
+                               score_col=score_col)
+    return F.expr(expand_script(src, params))
+
+
 @dataclass
 class ScriptQ(Node):
     """script query (ScriptQueryBuilder.java): per-doc boolean predicate —
-    here a Spark SQL expression (the Painless-context analog); vector
-    functions + params expand via ``expand_script``."""
+    a Spark SQL expression on the fast path, the Painless-subset
+    interpreter (functions/painless.py) when the script needs statements /
+    doc-values access."""
 
     source: str = ""
     params: dict | None = None
 
     def predicate(self, ctx):
-        return F.expr(expand_script(self.source, self.params)).cast("boolean")
+        return script_col(ctx.df, self.source, self.params,
+                          ret_type="boolean").cast("boolean")
 
 
 @dataclass
@@ -1523,10 +1580,12 @@ class FunctionScoreQ(Node):
             h = F.xxhash64(F.lit(seed), fld_c)
             v = F.pmod(h, F.lit(1 << 31)).cast("double") / float(1 << 31)
         elif "script_score" in spec:
-            # ScriptScoreFunctionBuilder.java: SQL-expression Painless
-            # analog over doc fields + `_score` (the query score column)
+            # ScriptScoreFunctionBuilder.java: over doc fields + `_score`
+            # (the query score column); Painless-subset scripts route to
+            # the interpreter, SQL expressions stay JVM-side
             src, sparams = script_source(spec["script_score"]["script"])
-            v = F.expr(expand_script(src, sparams)).cast("double")
+            v = script_col(joined, src, sparams, ret_type="double",
+                           score_col=F.col("_score")).cast("double")
         else:
             raise ValueError(f"unsupported function_score function: {spec}")
         if "weight" in spec and not set(spec) <= {"weight", "filter"}:
@@ -2181,8 +2240,11 @@ def _sort_cols(sort_spec, key: str) -> list[Column]:
                 float(origin["lat"]), float(origin["lon"]),
             )
         elif sf == "_script":
+            # ScriptSortBuilder declares its result type ("number"/"string")
             src, sparams = script_source(sd["script"] if isinstance(sd, dict) else sd)
-            c = F.expr(expand_script(src, sparams))
+            stype = sd.get("type", "number") if isinstance(sd, dict) else "number"
+            c = script_col(None, src, sparams,
+                           ret_type="double" if stype == "number" else "string")
         else:
             c = F.col("_score") if sf == "_score" else F.col(sf)
         order.append(c.desc_nulls_last() if d == "desc" else c.asc_nulls_last())
@@ -2608,7 +2670,16 @@ def search(
         src, params = script_source(
             sf_spec.get("script", sf_spec) if isinstance(sf_spec, dict) else sf_spec
         )
-        out = out.withColumn(sf_name, F.expr(expand_script(src, params)))
+        from ..functions import painless as P
+
+        if P.is_painless(src):
+            # Painless-path script fields infer the return type from one
+            # trial execution (the frame here is already top-k small)
+            rt = _infer_painless_ret(out, src, params)
+            out = out.withColumn(
+                sf_name, P.script_column(out, src, params, ret_type=rt))
+        else:
+            out = out.withColumn(sf_name, F.expr(expand_script(src, params)))
 
     if "_source" in body and body["_source"] is not True:
         # FetchSourceContext.java: list form = includes (a bare string is a

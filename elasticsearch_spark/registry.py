@@ -2908,6 +2908,88 @@ def dsl_geo_distance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsl_scripted_metric_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scripted_metric with REAL Painless state maps
+    (``ScriptedMetricAggregator.java`` init/map/combine/reduce lifecycle,
+    interpreted by functions/painless.py): per-partition HashMap keyed by
+    event_type accumulating exact integer cents (trunc(value*100) — IEEE
+    double math identical in Java/Python/DuckDB so the hash compare is
+    exact); combine ships the map, reduce merges the per-partition maps.
+    A single SQL expression cannot express the map-state lifecycle — the
+    ORACLE can (it's just a GROUP BY), which is exactly the point of the
+    correctness gate."""
+    from .plans import aggs as aggs_mod
+
+    out = aggs_mod.aggregate(_events(spark, sf_dir), {"cents": {"scripted_metric": {
+        "init_script": "state.m = [:]",
+        "map_script": (
+            "state.m.merge(doc['event_type'].value,"
+            " (long) (doc['value'].value * 100), (a, b) -> a + b)"
+        ),
+        "combine_script": "return state.m",
+        "reduce_script": """
+            Map total = [:];
+            for (s in states) {
+              for (e in s.entrySet()) {
+                total.merge(e.getKey(), e.getValue(), (a, b) -> a + b)
+              }
+            }
+            return total
+        """,
+    }}})["cents"]
+    return out.select(
+        F.col("key").alias("event_type"),
+        F.col("cents").cast("long").alias("sum_cents"),
+    ).orderBy("event_type")
+
+
+def dsl_painless_script_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """script query whose source NEEDS the Painless interpreter (locals +
+    loop + conditional over doc values — ``ScriptQueryBuilder.java`` with a
+    real lang-painless script)."""
+    from .plans import dsl as dsl_mod
+
+    hits = dsl_mod.search(
+        spark, _docs(spark, sf_dir),
+        {"query": {"bool": {"filter": [{"script": {"script": {
+            "source": """
+                def words = doc['text'].value.split(' ');
+                int n = 0;
+                for (w in words) { if (w.length() > params.wlen) { n++ } }
+                return n >= params.k
+            """,
+            "params": {"wlen": 6, "k": 3},
+        }}}]}}, "size": 50000},
+        key="doc_id", text_col="text",
+    )
+    return (
+        hits.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .orderBy("lang")
+    )
+
+
+def dsl_painless_runtime_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """runtime field (RuntimeField.java) with a Painless if/else emit
+    chain, bucketed by a terms agg over the emitted keyword."""
+    from .plans import dsl as dsl_mod
+
+    df = _docs(spark, sf_dir)
+    col = dsl_mod.runtime_field_expr({"type": "keyword", "script": {
+        "source": """
+            def n = doc['n_chars'].value;
+            if (n >= 400) { emit('long') }
+            else if (n >= 200) { emit('medium') }
+            else { emit('short') }
+        """}})
+    return (
+        df.withColumn("size_class", col)
+        .groupBy("size_class")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .orderBy("size_class")
+    )
+
+
 def dsl_script_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """script query (ScriptQueryBuilder.java, SQL-expression Painless
     analog) in filter context."""
@@ -6035,6 +6117,23 @@ GROUP BY event_type ORDER BY event_type
 SELECT lang, COUNT(*)::BIGINT AS doc_count FROM documents
 WHERE n_chars % 7 = 0 GROUP BY lang ORDER BY lang
 """,
+    "dsl_scripted_metric_state": """
+SELECT event_type,
+       SUM(CAST(trunc(value * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    "dsl_painless_script_query": """
+SELECT lang, COUNT(*)::BIGINT AS doc_count FROM documents
+WHERE len(list_filter(string_split(text, ' '), w -> length(w) > 6)) >= 3
+GROUP BY lang ORDER BY lang
+""",
+    "dsl_painless_runtime_field": """
+SELECT CASE WHEN n_chars >= 400 THEN 'long'
+            WHEN n_chars >= 200 THEN 'medium'
+            ELSE 'short' END AS size_class,
+       COUNT(*)::BIGINT AS doc_count
+FROM documents GROUP BY 1 ORDER BY size_class
+""",
     "dsl_wrapper_query": """
 SELECT COUNT(*)::BIGINT AS doc_count FROM documents WHERE lang = 'en'
 """,
@@ -6283,6 +6382,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsl_rank_feature_query": dsl_rank_feature_query,
     "dsl_geo_distance_query": dsl_geo_distance_query,
     "dsl_script_query": dsl_script_query,
+    "dsl_scripted_metric_state": dsl_scripted_metric_state,
+    "dsl_painless_script_query": dsl_painless_script_query,
+    "dsl_painless_runtime_field": dsl_painless_runtime_field,
     "dsl_wrapper_query": dsl_wrapper_query,
     "dsl_semantic_query": dsl_semantic_query,
     "agg_bucket_correlation": a_bucket_correlation,

@@ -556,6 +556,14 @@ def _apply_one(df: DataFrame, spec: dict) -> DataFrame:
     if kind == "drop":
         return df.where(~F.expr(cond)) if cond else df.limit(0)
     if kind == "script":
+        # ScriptProcessor (IC/ScriptProcessor.java): Painless-subset
+        # sources mutate ``ctx`` in the interpreter (new/changed/removed
+        # fields materialize as columns); SQL-expression sources keep the
+        # JVM fast path writing target_field
+        from ..functions import painless as _P
+
+        if _P.is_painless(body["source"]):
+            return _ctx_script(df, body["source"], body.get("params"))
         return df.withColumn(body["target_field"], F.expr(body["source"]))
     if kind == "foreach":
         inner = body["processor"]
@@ -654,3 +662,65 @@ def run_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
     for spec in processors:
         df = _apply_one(df, spec)
     return df
+
+
+def _py_spark_type(v) -> str:
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "long"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, list):
+        if v and all(isinstance(x, (int, float)) and not isinstance(x, bool) for x in v):
+            return "array<double>"
+        return "array<string>"
+    return "string"
+
+
+def _ctx_script(df: DataFrame, src: str, params: dict | None) -> DataFrame:
+    """Painless ``ctx``-mutating script processor. Output schema is fixed
+    up front (mapInPandas requires it) by one driver-side trial execution
+    against the first row — bounded at limit(1), independent of data size:
+    fields the script adds get types inferred from the trial values,
+    fields it removes drop, existing columns keep their types. Executors
+    then run the script per row over Arrow batches."""
+    import json
+
+    import pandas as pd
+
+    from ..functions import painless as P
+
+    params = dict(params or {})
+    sample = df.limit(1).collect()
+    if not sample:
+        return df
+    trial_ctx = {k: P._clean(v) for k, v in sample[0].asDict(recursive=True).items()}
+    before = set(trial_ctx)
+    P.execute(P.compile_painless(src), {"params": params, "ctx": trial_ctx})
+    removed = before - set(trial_ctx)
+    added = [k for k in trial_ctx if k not in before]
+
+    in_types = dict(df.dtypes)
+    out_fields = [(c, in_types[c]) for c in df.columns if c not in removed]
+    out_fields += [(k, _py_spark_type(trial_ctx[k])) for k in added]
+    schema = ", ".join(f"`{c}` {t}" for c, t in out_fields)
+    names = [c for c, _ in out_fields]
+    roots = {c: t.split("<")[0] for c, t in out_fields}
+    prog_src = src
+
+    def _run(batches):
+        prog = P.compile_painless(prog_src)
+        for pdf in batches:
+            arrays = {c: pdf[c].to_numpy(dtype=object) for c in pdf.columns}
+            out: dict[str, list] = {c: [] for c in names}
+            for i in range(len(pdf)):
+                ctx = {c: P._clean(arrays[c][i]) for c in pdf.columns}
+                P.execute(prog, {"params": params, "ctx": ctx})
+                for c in names:
+                    v = ctx.get(c)
+                    out[c].append(v if roots[c] == "array"
+                                  else P._coerce(v, roots[c]))
+            yield pd.DataFrame(out, columns=names)
+
+    return df.mapInPandas(_run, schema=schema)

@@ -363,3 +363,58 @@ def test_date_histogram_extended_bounds_non_utc_session(spark):
         assert sum(r["doc_count"] for r in rows) == 1
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_change_point_capped(spark):
+    """ES|QL CHANGE_POINT refuses an uncapped driver collect (>100k points)."""
+    from elasticsearch_spark.plans import esql
+
+    df = spark.range(0, 100_001).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    with pytest.raises(ValueError, match="CHANGE_POINT input exceeds"):
+        esql.esql(spark, "FROM t | CHANGE_POINT v ON k", tables={"t": df}).collect()
+    # under the cap still works
+    small = spark.createDataFrame(
+        [(i, 1.0 if i < 10 else 50.0) for i in range(20)], "k int, v double")
+    out = esql.esql(spark, "FROM t | CHANGE_POINT v ON k", tables={"t": small})
+    hits = [r for r in out.collect() if r["type"] is not None]
+    assert len(hits) == 1 and hits[0]["k"] == 10
+
+
+def test_tombstones_range_sliced_and_reconciled(spark, tmp_path):
+    """Delete-heavy path: tombstone reads are per-segment range slices and
+    the post-merge reconciliation is distributed (no driver materialization
+    of the delete set)."""
+    import numpy as np
+
+    from elasticsearch_spark.api import Engine
+    from elasticsearch_spark.operators import ops as ops_mod
+    from elasticsearch_spark.sources import index_store as store
+
+    eng = Engine(spark, root=str(tmp_path / "root"))
+    eng.create_index("dh", num_partitions=4, num_shards=2)
+    rows = [(f"u{i:04d}", f"word{i % 50} common text", "en") for i in range(400)]
+    eng.bulk("dh", spark.createDataFrame(rows, "url string, text string, lang string"))
+    # tombstone 3/4 of the corpus
+    eng.delete_by_query("dh", {"script": {"script": {
+        "source": "substring(url, 2, 4) % 4 != 0"}}})
+    idx = eng._dir("dh")
+    full = ops_mod.read_tombstones(idx)
+    assert len(full) == 300
+    # range read returns exactly the slice
+    lo, hi = int(full[10]), int(full[20])
+    sl = ops_mod.read_tombstones_range(idx, lo, hi)
+    assert sl.min() >= lo and sl.max() <= hi
+    assert np.array_equal(sl, full[(full >= lo) & (full <= hi)])
+    # per-segment slice ⊆ full and covers only that segment's range
+    segs = store.list_segs(idx)
+    per_seg = [ops_mod.seg_tombstones(idx, store.seg_dir(idx, s)) for s in segs]
+    assert set(np.concatenate(per_seg).tolist()) == set(full.tolist())
+    # search still correct: only live docs
+    hits = eng.search("dh", {"query": {"match": {"text": "common"}}, "size": 500})
+    assert hits["hits"].count() == 100
+    # merge expunges + reconciles distributed; tombstones now empty
+    eng.forcemerge("dh")
+    assert len(ops_mod.read_tombstones(idx)) == 0
+    hits = eng.search("dh", {"query": {"match": {"text": "common"}}, "size": 500})
+    assert hits["hits"].count() == 100

@@ -337,8 +337,9 @@ def test_language_presets_round2():
     assert analysis.ANALYZERS["italian"]("le arance rosse") == ["aranc", "rosse"]  # len<6 guard
     # portuguese: -ões → ão, generic plural
     assert analysis.ANALYZERS["portuguese"]("as canções dos animais") == ["cançao", "animal"]
-    # dutch: plural -en with undoubling, genitive -s
-    assert analysis.ANALYZERS["dutch"]("de katten van mannen") == ["kat", "man"]
+    # dutch preset = exact snowball (DutchAnalyzer wraps DutchStemmer):
+    # kk/dd/tt undouble (katten → kat), nn does NOT undouble (mannen → mann)
+    assert analysis.ANALYZERS["dutch"]("de katten van mannen") == ["kat", "mann"]
     # russian: case-ending strip
     assert analysis.ANALYZERS["russian"]("красивыми домами") == ["красив", "дом"]
 
@@ -347,7 +348,10 @@ def test_stemmer_language_dispatch_round2():
     f = analysis.TOKEN_FILTERS["stemmer"]
     assert f(["canciones"], language="light_spanish") == ["cancion"]
     assert f(["arance"], language="italian") == ["aranc"]
-    assert f(["canções"], language="portuguese") == ["cançao"]
+    # base name "portuguese" = exact snowball (verb-suffix es removed
+    # after the o~ nasal marking); the light stemmer keeps its own name
+    assert f(["canções"], language="portuguese") == ["cançõ"]
+    assert f(["canções"], language="light_portuguese") == ["cançao"]
     assert f(["katten"], language="dutch") == ["kat"]
     assert f(["домами"], language="russian") == ["дом"]
 
