@@ -341,8 +341,17 @@ def classic_tokenize(text: str) -> list[str]:
     return [m.group(0).lower() for m in _CLASSIC_RE.finditer(text)]
 
 
+def _icu_tokenize(text: str) -> list[str]:
+    """icu_tokenizer (plugins/analysis-icu IcuTokenizerFactory analog):
+    script-aware CJK segmentation — functions/cjk.py."""
+    from .cjk import icu_tokenize
+
+    return icu_tokenize(text)
+
+
 TOKENIZERS = {
     "standard": standard_tokenize,
+    "icu_tokenizer": _icu_tokenize,
     "classic": classic_tokenize,
     "regex_simple": regex_simple_tokenize,
     "whitespace": whitespace_tokenize,
@@ -1190,6 +1199,24 @@ def pattern_analyze(text: str) -> list[str]:
 
 ANALYZERS["fingerprint"] = fingerprint_analyze
 ANALYZERS["pattern"] = pattern_analyze
+
+
+def _smartcn_analyze(text: str) -> list[str]:
+    from .cjk import smartcn_analyze
+
+    return smartcn_analyze(text)
+
+
+def _icu_analyzer_analyze(text: str) -> list[str]:
+    from .cjk import icu_analyzer_analyze
+
+    return icu_analyzer_analyze(text)
+
+
+# CJK segmentation analyzers (plugins/analysis-smartcn, analysis-icu):
+# dictionary-light FMM over an embedded lexicon — functions/cjk.py
+ANALYZERS["smartcn"] = _smartcn_analyze
+ANALYZERS["icu_analyzer"] = _icu_analyzer_analyze
 
 
 def _filter_stemmer(toks: list[str], language: str = "minimal_english", name: str | None = None, **_) -> list[str]:

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve via module globals
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2905,6 +2907,39 @@ def dsl_geo_distance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.groupBy("event_type")
         .agg(F.count("*").cast("long").alias("doc_count"))
         .orderBy("event_type")
+    )
+
+
+def analysis_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJK segmentation (icu_tokenizer / smartcn analog, functions/cjk.py:
+    script-run split + forward-maximum-matching over the embedded lexicon,
+    kana runs by sub-script, non-CJK through UAX#29). Deterministic by
+    construction — the oracle pins every (token, count) of a fixed
+    six-sentence zh/ja/mixed corpus. Engine side runs the real analyzer
+    chain in an Arrow-batched UDF over a distributed frame."""
+    from pyspark.sql.functions import pandas_udf
+
+    corpus = [
+        "我们喜欢机器学习和人工智能",
+        "今天天气很好我们一起学习",
+        "搜索引擎使用倒排索引进行查询",
+        "日本語の勉強をしています",
+        "東京で仕事をしています",
+        "Elasticsearch是一个分布式搜索引擎",
+    ]
+    df = spark.createDataFrame([(s,) for s in corpus], "sentence string")
+
+    @pandas_udf("array<string>")
+    def seg(s: pd.Series) -> pd.Series:
+        from elasticsearch_spark.functions.cjk import smartcn_analyze
+
+        return s.map(smartcn_analyze)
+
+    return (
+        df.select(F.explode(seg("sentence")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy("token")
     )
 
 
@@ -6117,6 +6152,16 @@ GROUP BY event_type ORDER BY event_type
 SELECT lang, COUNT(*)::BIGINT AS doc_count FROM documents
 WHERE n_chars % 7 = 0 GROUP BY lang ORDER BY lang
 """,
+    "analysis_cjk": """
+SELECT token, cnt::BIGINT AS cnt FROM (VALUES
+    ('elasticsearch', 1), ('で', 1), ('の', 1), ('をしています', 2),
+    ('一', 1), ('一起', 1), ('个', 1), ('人工智能', 1), ('今天', 1),
+    ('仕事', 1), ('使用', 1), ('倒排索引', 1), ('分布式', 1), ('勉強', 1),
+    ('和', 1), ('喜欢', 1), ('天气', 1), ('好', 1), ('学习', 1),
+    ('引擎', 2), ('很', 1), ('我们', 2), ('搜索', 2), ('日本語', 1),
+    ('是', 1), ('机器学习', 1), ('東京', 1), ('查询', 1), ('进行', 1)
+) AS t(token, cnt) ORDER BY token
+""",
     "dsl_scripted_metric_state": """
 SELECT event_type,
        SUM(CAST(trunc(value * 100) AS BIGINT))::BIGINT AS sum_cents
@@ -6382,6 +6427,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsl_rank_feature_query": dsl_rank_feature_query,
     "dsl_geo_distance_query": dsl_geo_distance_query,
     "dsl_script_query": dsl_script_query,
+    "analysis_cjk": analysis_cjk,
     "dsl_scripted_metric_state": dsl_scripted_metric_state,
     "dsl_painless_script_query": dsl_painless_script_query,
     "dsl_painless_runtime_field": dsl_painless_runtime_field,
