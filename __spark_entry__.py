@@ -35,7 +35,14 @@ def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Build the inverted index over sf0.001 documents, run a disjunctive
-    BM25 top-10 with block-max WAND, fetch the source rows."""
+    BM25 top-10 with block-max WAND, fetch the source rows.
+
+    analyzer="regex_simple" ([a-z0-9]+ over lowercased text) is deliberate:
+    the driver's DuckDB oracle must mirror tokenization exactly in SQL, and
+    regex_simple is the one analyzer with a byte-identical SQL twin
+    (regexp_extract_all). The standard UAX#29 analyzer is exercised by the
+    pytest golden suite (tests/test_analysis.py, tests/test_goldens.py)
+    and the index-path tests instead."""
     from elasticsearch_spark.operators.postings import build_index
     from elasticsearch_spark.operators.topk import search_topk
 

@@ -86,6 +86,7 @@ class Engine:
         self.spark = spark
         self.root = root
         self._pits: dict[str, tuple[str, list[int]]] = {}
+        self._scrolls: dict[str, dict] = {}  # scroll_id → pinned cursor state
         self._seq = itertools.count(1)  # monotonic ids (PITs, ad-hoc names)
         os.makedirs(root, exist_ok=True)
         self._load_stored_scripts()  # re-register {"id": ...} script refs
@@ -113,6 +114,72 @@ class Engine:
 
     def close_pit(self, pit_id: str) -> dict:
         return {"succeeded": self._pits.pop(pit_id, None) is not None}
+
+    # ---- scroll cursors (``server/src/main/java/org/elasticsearch/search/
+    # Scroll.java``, yaml suite ``rest-api-spec/.../scroll/10_basic.yml``):
+    # a scroll_id is a persisted cursor = pinned PIT segment set + the last
+    # page's sort tuple; each page re-runs the search over ONLY the pinned
+    # segments with keyset (search_after) continuation, so concurrent bulk
+    # writes land in NEW segments and never leak into an open scroll. -----
+
+    def search_scroll(self, index: str, body: dict, scroll: str = "1m") -> dict:
+        """GET /{index}/_search?scroll=...: open a cursor, return page 1.
+        Response: {"_scroll_id", "hits": [Row...]} — pages are size-bounded
+        (default 10), so the per-page collect is the reference's own
+        response materialization, not a scale hazard."""
+        pit = self.open_pit(index, keep_alive=scroll)["id"]
+        base = dict(body)
+        sort = base.get("sort") or [{"_doc": "asc"}]
+        # _doc order ≈ the stable doc key (url) in this engine
+        sort = [({"url": "asc"} if s == "_doc" or "_doc" in s else s)
+                if isinstance(s, (dict, str)) else s for s in sort]
+        base["sort"] = sort
+        sort_fields = []
+        for s in sort:
+            if isinstance(s, str):
+                sort_fields.append("url" if s == "_doc" else s)
+            else:
+                (sf, _), = s.items()
+                sort_fields.append(sf)
+        if "url" not in sort_fields:
+            # tie-break on the doc key so keyset pagination never stalls on
+            # duplicate sort values (FieldSortBuilder's implicit shard-doc)
+            sort = sort + [{"url": "asc"}]
+            sort_fields.append("url")
+            base["sort"] = sort
+        sid = f"scroll~{next(self._seq)}"
+        self._scrolls[sid] = {
+            "pit": pit, "index": self._pits[pit][0], "body": base,
+            "fields": sort_fields, "after": None,
+        }
+        return self.scroll(sid)
+
+    def scroll(self, scroll_id: str) -> dict:
+        """POST /_search/scroll — next page for an open cursor."""
+        st = self._scrolls.get(scroll_id)
+        if st is None:
+            raise ValueError(f"unknown or cleared scroll id: {scroll_id}")
+        index, pit_segs = self._pits[st["pit"]]
+        d = self._dir(index)
+        paths = [os.path.join(store.seg_dir(d, s), "docs.parquet")
+                 for s in pit_segs]
+        view = ops_mod.mask_tombstones(
+            self.spark, d, self.spark.read.parquet(*paths))
+        body = dict(st["body"])
+        if st["after"] is not None:
+            body["search_after"] = st["after"]
+        hits = dsl.search(self.spark, view, body, key="url", text_col="text")
+        rows = hits.collect()
+        if rows:
+            st["after"] = [rows[-1][f] for f in st["fields"]]
+        return {"_scroll_id": scroll_id, "hits": rows}
+
+    def clear_scroll(self, scroll_id: str) -> dict:
+        """DELETE /_search/scroll — drop the cursor and its pinned PIT."""
+        st = self._scrolls.pop(scroll_id, None)
+        if st is not None:
+            self.close_pit(st["pit"])
+        return {"succeeded": st is not None}
 
     def _dir(self, index: str) -> str:
         if ":" in index:  # cluster-qualified (CCS) → the remote's storage
@@ -2033,20 +2100,79 @@ class Engine:
         caller on a background thread — Spark job submission is thread-safe,
         so the async search drives its own jobs against the shared session.
         Hits materialize inside the task (bounded by the body's ``size``).
-        Subset note: no partial-reduce snapshots while running (the
-        reference streams per-shard partials; we report running/done)."""
+
+        Mid-flight PARTIAL REDUCES (the reference's per-shard partials →
+        MutableSearchResponse snapshots): the runner walks the pinned
+        segment set in cumulative slices, and after each completed slice
+        publishes a partial response (hits + aggs reduced over ONLY the
+        completed segments, ``_shards.successful`` = completed count) that
+        ``async_search_get`` returns with ``is_partial: true``. The final
+        response is the one-shot full search (exact scores/stats); partial
+        hit scores are relative to the completed subset — the same caveat
+        the reference documents for partial aggs accuracy."""
         import concurrent.futures
+        import threading
 
         if not hasattr(self, "_async_pool"):
             self._async_pool = concurrent.futures.ThreadPoolExecutor(
                 max_workers=4, thread_name_prefix="async_search"
             )
             self._async_searches: dict[str, object] = {}
+            self._async_partials: dict[str, dict] = {}
             self._async_seq = 0
         self._async_seq += 1
         sid = f"async_{self._async_seq:06d}"
+        self._async_partials[sid] = {"lock": threading.Lock(), "snap": None}
+
+        def _publish_partials():
+            # cumulative slices at ~1/4, 1/2, 3/4 of the segment set
+            try:
+                concrete = self.resolve(index)
+                if len(concrete) != 1:
+                    return
+                d = self._dir(concrete[0])
+                segs = store.list_segs(d)
+                if len(segs) < 2:
+                    return
+                total = len(segs)
+                marks = sorted({max(1, total // 4), max(1, total // 2),
+                                max(1, (3 * total) // 4)})
+                for k in marks:
+                    if k >= total:
+                        continue
+                    paths = [os.path.join(store.seg_dir(d, s), "docs.parquet")
+                             for s in segs[:k]]
+                    view = ops_mod.mask_tombstones(
+                        self.spark, d, self.spark.read.parquet(*paths))
+                    part_body = {kk: vv for kk, vv in body.items()
+                                 if kk not in ("aggs", "aggregations")}
+                    hits = dsl.search(self.spark, view, part_body,
+                                      key="url", text_col="text").collect()
+                    aggs_out = {}
+                    agg_spec = body.get("aggs") or body.get("aggregations")
+                    if agg_spec:
+                        from .plans import aggs as aggs_mod2
+
+                        q = body.get("query")
+                        base = view
+                        if q:
+                            ctx = dsl.SearchContext(view, "url", text_col="text")
+                            base = view.where(dsl.parse(q).predicate(ctx))
+                        for an, af in aggs_mod2.aggregate(base, agg_spec).items():
+                            aggs_out[an] = af.collect()
+                    snap = {
+                        "hits": hits,
+                        "aggregations": aggs_out,
+                        "_shards": {"total": total, "successful": k},
+                    }
+                    st = self._async_partials[sid]
+                    with st["lock"]:
+                        st["snap"] = snap
+            except Exception:  # noqa: BLE001 — partials are best-effort
+                pass
 
         def run():
+            _publish_partials()
             out = self.search(index, body)
             return {
                 "hits": out["hits"].collect(),
@@ -2059,7 +2185,9 @@ class Engine:
         return {"id": sid, "is_running": True}
 
     def async_search_get(self, sid: str, wait_seconds: float | None = None) -> dict:
-        """GET /_async_search/{id}: status, plus the response once done.
+        """GET /_async_search/{id}: status plus the response — the final
+        one once done, else the latest PARTIAL reduce over completed
+        segments (``is_partial: true``) if one has been published.
         ``wait_seconds`` mirrors wait_for_completion_timeout — block up to
         that long before answering."""
         fut = self._async_searches.get(sid)
@@ -2073,8 +2201,15 @@ class Engine:
             except concurrent.futures.TimeoutError:
                 pass
         if not fut.done():
-            return {"id": sid, "is_running": True, "response": None}
-        return {"id": sid, "is_running": False, "response": fut.result()}
+            st = getattr(self, "_async_partials", {}).get(sid)
+            snap = None
+            if st is not None:
+                with st["lock"]:
+                    snap = st["snap"]
+            return {"id": sid, "is_running": True, "is_partial": True,
+                    "response": snap}
+        return {"id": sid, "is_running": False, "is_partial": False,
+                "response": fut.result()}
 
     def async_search_delete(self, sid: str) -> dict:
         """DELETE /_async_search/{id}: cancel if running, drop the result."""

@@ -117,3 +117,48 @@ def quantile(
     lo = hi - 1
     frac = (idx - cum[lo]) / (cum[hi] - cum[lo])
     return float(means[lo] + frac * (means[hi] - means[lo]))
+
+
+def cdf(
+    means: np.ndarray,
+    weights: np.ndarray,
+    x: float,
+    vmin: float | None = None,
+    vmax: float | None = None,
+) -> float:
+    """CDF at x (0..1) — the inverse of ``quantile`` with the same
+    centroid-center interpolation and min/max tail anchoring (the
+    reference's TDigestState.cdf shape, used by percentile_ranks)."""
+    n = len(means)
+    if n == 0:
+        return float("nan")
+    total = float(weights.sum())
+    if vmin is not None and x < vmin:
+        return 0.0
+    if vmax is not None and x > vmax:
+        return 1.0
+    if n == 1:
+        if x < means[0]:
+            return 0.0
+        if x > means[0]:
+            return 1.0
+        return 0.5
+    cum = np.cumsum(weights) - weights / 2.0
+    if x <= means[0]:
+        if vmin is not None and means[0] > vmin:
+            frac = (x - vmin) / (means[0] - vmin)
+            return float(max(frac, 0.0) * cum[0] / total)
+        return float(cum[0] / total) if x == means[0] else 0.0
+    if x >= means[-1]:
+        if vmax is not None and vmax > means[-1]:
+            span = total - cum[-1]
+            frac = (x - means[-1]) / (vmax - means[-1])
+            return float((cum[-1] + min(frac, 1.0) * span) / total)
+        return 1.0
+    hi = int(np.searchsorted(means, x, side="right"))
+    hi = min(max(hi, 1), n - 1)
+    lo = hi - 1
+    if means[hi] == means[lo]:
+        return float(cum[hi] / total)
+    frac = (x - means[lo]) / (means[hi] - means[lo])
+    return float((cum[lo] + frac * (cum[hi] - cum[lo])) / total)

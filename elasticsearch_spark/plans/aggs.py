@@ -185,6 +185,32 @@ def _metric_cols(name: str, spec: dict) -> list:
         # from t-digest compression. Exact mode is the oracle-checked
         # default.
         td = body.get("tdigest") or {}
+        hdr = body.get("hdr")
+        if hdr is not None or body.get("method") == "hdr":
+            # HDR mode (AbstractHDRPercentilesAggregator.java wrapping
+            # HdrHistogram's DoubleHistogram): values quantize to
+            # log2-bucketed representatives with b sub-bucket bits from the
+            # significant-digits setting, so the result is exact WITHIN the
+            # documented HDR bucket error. Here: quantize (lowest
+            # equivalent value — floor to the bucket width
+            # 2^(floor(log2 v)+1-b)) then take the percentile over the
+            # quantized values — same error envelope, and the quantization
+            # is a pure SQL expression both engines compute identically.
+            # Like the reference, only non-negative values are supported
+            # (HdrHistogram rejects negatives).
+            import math as _m
+
+            d = int((hdr or {}).get("number_of_significant_value_digits", 3))
+            b = _m.ceil(_m.log2(2 * 10 ** d))
+            qexpr = (
+                f"(case when {f} = 0 then cast(0.0 as double) else "
+                f"floor({f} / power(2, floor(log2({f})) + 1 - {b}))"
+                f" * power(2, floor(log2({f})) + 1 - {b}) end)"
+            )
+            return [
+                F.expr(f"percentile({qexpr}, {p / 100.0})").alias(f"{name}.{p}")
+                for p in pcts
+            ]
         if body.get("approximate") or "compression" in td:
             acc = int(td.get("compression", 100)) * 100
             return [
@@ -426,7 +452,8 @@ def _compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
 
     if kind in ("avg", "sum", "min", "max", "value_count", "stats", "extended_stats",
                 "cardinality", "percentiles", "percentile_ranks", "weighted_avg") and not (
-        kind == "percentiles" and body.get("method") == "tdigest"
+        body.get("method") == "tdigest"
+        and kind in ("percentiles", "percentile_ranks")
     ):
         return df.agg(*_metric_cols(name, body_spec))
 
@@ -464,6 +491,41 @@ def _compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
         M, W, MN, MX = td.merge(digests, comp)
         row = tuple(float(td.quantile(M, W, p / 100.0, MN, MX)) for p in pcts)
         schema = ", ".join(f"`{name}.{p}` double" for p in pcts)
+        return df.sparkSession.createDataFrame([row], schema)
+
+    if kind == "percentile_ranks" and body.get("method") == "tdigest":
+        # percentile_ranks with the REAL merging t-digest
+        # (PercentileRanksAggregationBuilder + TDigestState.cdf): same
+        # per-partition digest build + coordinator centroid merge as the
+        # percentiles path, then the digest CDF at each requested value.
+        import numpy as np
+
+        from ..functions import tdigest as td
+
+        f = body["field"]
+        comp = float((body.get("tdigest") or {}).get("compression", 100))
+        vals = body["values"]
+
+        def digest_parts(it):
+            for pdf in it:
+                m, w, mn, mx = td.from_values(pdf[f].to_numpy(), comp)
+                yield pd.DataFrame({"m": [m.tolist()], "w": [w.tolist()],
+                                    "mn": [mn], "mx": [mx]})
+
+        parts = (
+            df.select(f)
+            .mapInPandas(
+                digest_parts,
+                "m array<double>, w array<double>, mn double, mx double",
+            )
+            .collect()
+        )
+        digests = [
+            (np.array(r["m"]), np.array(r["w"]), r["mn"], r["mx"]) for r in parts
+        ]
+        M, W, MN, MX = td.merge(digests, comp)
+        row = tuple(100.0 * float(td.cdf(M, W, float(v), MN, MX)) for v in vals)
+        schema = ", ".join(f"`{name}.{v}` double" for v in vals)
         return df.sparkSession.createDataFrame([row], schema)
 
     if kind == "median_absolute_deviation":

@@ -760,6 +760,49 @@ class GeoPolygonQ(Node):
 
 
 @dataclass
+class GeoShapeQ(Node):
+    """geo_shape (GeoShapeQueryBuilder.java). Storage dispatch at predicate
+    time: a string field = STORED GeoJSON shapes (geo_shape field type —
+    full relation set via plans/fields.shape_relate_col, bbox-prefiltered);
+    a struct field = geo_point, where the query geometry reduces to the
+    point predicates (envelope → bbox, polygon → ray cast, circle →
+    distance)."""
+
+    fld: str
+    spec: dict = field(default_factory=dict)
+
+    def _point_node(self):
+        spec2 = self.spec
+        if spec2.get("relation", "intersects") not in ("intersects", "within"):
+            raise ValueError("geo_shape over points supports intersects/within")
+        shp = spec2["shape"]
+        stype = shp["type"].lower()
+        if stype == "envelope":
+            (l1, t1), (r1, b1) = shp["coordinates"]
+            return GeoBoundingBoxQ(self.fld, top=t1, left=l1, bottom=b1, right=r1)
+        if stype == "polygon":
+            ring = shp["coordinates"][0]
+            return GeoPolygonQ(self.fld, points=[(lat, lon) for lon, lat in ring])
+        if stype == "circle":
+            lon, lat = shp["coordinates"]
+            return GeoDistanceQ(
+                self.fld, lat=float(lat), lon=float(lon),
+                distance_m=_parse_distance_m(shp["radius"]),
+            )
+        raise ValueError(f"unsupported geo_shape geometry: {stype}")
+
+    def predicate(self, ctx):
+        dt = dict(ctx.df.dtypes).get(self.fld, "")
+        if dt == "string":
+            from .fields import shape_relate_col
+
+            return shape_relate_col(
+                ctx.df, self.fld, self.spec["shape"],
+                self.spec.get("relation", "intersects"))
+        return self._point_node().predicate(ctx)
+
+
+@dataclass
 class SparseVectorQ(Node):
     """sparse_vector query (x-pack ``SparseVectorQueryBuilder.java`` / the
     ELSER weighted-tokens query): score = Σ_t query_weight(t) · stored_weight
@@ -2142,29 +2185,14 @@ def parse(q: dict) -> Node:
         ]
         return GeoPolygonQ(fld, points=pts)
     if kind == "geo_shape":
-        # GeoShapeQueryBuilder over POINT fields: the query geometry
-        # (GeoJSON envelope / polygon / circle) reduces to the
-        # corresponding point predicate — relation=intersects (the default;
-        # within ≡ intersects for points). GeoJSON coordinates are
-        # [lon, lat].
+        # GeoShapeQueryBuilder: dispatches at predicate time on the FIELD's
+        # storage — a string column holds stored GeoJSON shapes (the
+        # geo_shape field type, full intersects/disjoint/within/contains
+        # via plans/fields.shape_relate_col with a bbox prefilter); a
+        # struct lat/lon column is a point field, where the query geometry
+        # reduces to the corresponding point predicate.
         (fld, spec2), = body.items()
-        if spec2.get("relation", "intersects") not in ("intersects", "within"):
-            raise ValueError("geo_shape over points supports intersects/within")
-        shp = spec2["shape"]
-        stype = shp["type"].lower()
-        if stype == "envelope":
-            (l1, t1), (r1, b1) = shp["coordinates"]
-            return GeoBoundingBoxQ(fld, top=t1, left=l1, bottom=b1, right=r1)
-        if stype == "polygon":
-            ring = shp["coordinates"][0]
-            return GeoPolygonQ(fld, points=[(lat, lon) for lon, lat in ring])
-        if stype == "circle":
-            lon, lat = shp["coordinates"]
-            return GeoDistanceQ(
-                fld, lat=float(lat), lon=float(lon),
-                distance_m=_parse_distance_m(shp["radius"]),
-            )
-        raise ValueError(f"unsupported geo_shape geometry: {stype}")
+        return GeoShapeQ(fld, spec=spec2)
     if kind == "sparse_vector":
         return SparseVectorQ(
             body["field"],

@@ -39,6 +39,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve via module globals
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from elasticsearch_spark.plans.dsl import Leaf, Node, SearchContext
@@ -418,3 +420,92 @@ def time_series_agg(
     for name, expr in (metrics or {}).items():
         aggs.append(expr.alias(name))
     return df.groupBy(*dimensions).agg(*aggs).orderBy(*dimensions)
+
+
+# ---------------------------------------------------------------------------
+# geo_shape FIELD type: stored GeoJSON shapes
+# ---------------------------------------------------------------------------
+
+def with_shape_bbox(df: DataFrame, fld: str) -> DataFrame:
+    """Index-time enrichment for a stored geo_shape column (GeoJSON string):
+    adds flat ``<fld>_minx/_miny/_maxx/_maxy`` double columns. Flat doubles
+    land in parquet row-group stats, so the query-time bbox prefilter
+    prunes at the scan — the BKD-tree-prefilter analog
+    (``GeoShapeFieldMapper.java`` indexes tessellated triangles into a BKD
+    for the same purpose)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<minx:double,miny:double,maxx:double,maxy:double>")
+    def bb(s: pd.Series) -> pd.DataFrame:
+        from elasticsearch_spark.functions.geometry import geojson_bbox
+
+        rows = []
+        for v in s:
+            b = geojson_bbox(v) if v is not None else None
+            rows.append(b if b else (None, None, None, None))
+        return pd.DataFrame(rows, columns=["minx", "miny", "maxx", "maxy"])
+
+    tmp = f"__bb_{fld}"
+    out = df.withColumn(tmp, bb(F.col(fld)))
+    for part in ("minx", "miny", "maxx", "maxy"):
+        out = out.withColumn(f"{fld}_{part}", F.col(f"{tmp}.{part}"))
+    return out.drop(tmp)
+
+
+def shape_relate_col(df: DataFrame, fld: str, shape: dict, relation: str) -> Column:
+    """geo_shape query over a STORED shape column
+    (``GeoShapeQueryBuilder.java`` with relation intersects / disjoint /
+    within / contains): a JVM-side bbox prefilter over the flat
+    ``<fld>_minx…`` columns (when present — pushes to parquet stats) ANDed
+    with the exact planar relate kernel (functions/geometry.py) over only
+    the prefilter survivors."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.geometry import geom_bbox, parse_geojson
+
+    qgeom = parse_geojson(shape)
+    qminx, qminy, qmaxx, qmaxy = geom_bbox(qgeom)
+    qjson = _json.dumps(shape)
+    rel = relation
+
+    @pandas_udf("boolean")
+    def exact(s: pd.Series) -> pd.Series:
+        from elasticsearch_spark.functions.geometry import parse_geojson as pg
+        from elasticsearch_spark.functions.geometry import relate as rl
+
+        q = pg(qjson)
+        out = []
+        for v in s:
+            if v is None:
+                out.append(False)
+                continue
+            try:
+                out.append(bool(rl(pg(v), q, rel)))
+            except Exception:  # noqa: BLE001 — malformed stored shape ≠ match
+                out.append(False)
+        return pd.Series(out)
+
+    exact_pred = exact(F.col(fld))
+    have_bbox = all(f"{fld}_{p}" in df.columns
+                    for p in ("minx", "miny", "maxx", "maxy"))
+    if not have_bbox:
+        return exact_pred
+    minx, miny = F.col(f"{fld}_minx"), F.col(f"{fld}_miny")
+    maxx, maxy = F.col(f"{fld}_maxx"), F.col(f"{fld}_maxy")
+    overlap = (minx <= qmaxx) & (maxx >= qminx) & (miny <= qmaxy) & (maxy >= qminy)
+    if rel == "intersects":
+        return overlap & exact_pred
+    if rel == "disjoint":
+        # non-overlapping bboxes are disjoint without the exact test;
+        # overlapping ones fall through to the kernel (which evaluates
+        # NOT intersects itself)
+        return (~overlap) | exact_pred
+    if rel == "within":
+        inside = (minx >= qminx) & (maxx <= qmaxx) & (miny >= qminy) & (maxy <= qmaxy)
+        return inside & exact_pred
+    if rel == "contains":
+        covers = (minx <= qminx) & (maxx >= qmaxx) & (miny <= qminy) & (maxy >= qmaxy)
+        return covers & exact_pred
+    raise ValueError(f"unsupported geo_shape relation: {rel}")

@@ -2910,6 +2910,71 @@ def dsl_geo_distance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_percentiles_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentiles with the HDR method
+    (``AbstractHDRPercentilesAggregator.java`` / HdrHistogram): values
+    quantize to log2 sub-bucketed representatives (3 significant digits →
+    11 sub-bucket bits) and the percentile is exact within that bucket
+    error. The oracle replays the identical quantization in SQL, so the
+    comparison is hash-exact — the 'within documented HDR bucket error'
+    contract holds by construction."""
+    from .plans import aggs as aggs_mod
+
+    out = aggs_mod.aggregate(_events(spark, sf_dir), {"p": {"percentiles": {
+        "field": "value", "percents": [50, 90, 99],
+        "hdr": {"number_of_significant_value_digits": 3},
+    }}})["p"]
+    return out.select(
+        F.round(F.col("`p.50`"), 4).alias("p50"),
+        F.round(F.col("`p.90`"), 4).alias("p90"),
+        F.round(F.col("`p.99`"), 4).alias("p99"),
+    )
+
+
+def dsl_geo_shape_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_shape FIELD type (GeoShapeFieldMapper.java +
+    GeoShapeQueryBuilder.java): stored GeoJSON polygons queried with
+    intersects / disjoint / within / contains. Shapes are DIAMONDS
+    (45°-rotated squares) derived from event_ids — deliberately
+    non-axis-aligned so a bbox-only shortcut would produce wrong counts;
+    the oracle mirrors the exact relations analytically (diamond↔rectangle
+    in L1 distance). Engine path: GeoJSON build → with_shape_bbox (flat
+    stats-prunable bbox columns) → DSL geo_shape query → bbox prefilter +
+    exact planar kernel (functions/geometry.py)."""
+    from .plans import dsl as dsl_mod
+    from .plans.fields import with_shape_bbox
+
+    ev = _events(spark, sf_dir).select(
+        (F.col("event_id") % 37 - 18).cast("double").alias("cx"),
+        (F.col("event_id") % 23 - 11).cast("double").alias("cy"),
+        (F.col("event_id") % 3 + 1).cast("double").alias("r"),
+    )
+    ev = ev.withColumn("shape", F.format_string(
+        '{"type": "Polygon", "coordinates": '
+        '[[[%s,%s],[%s,%s],[%s,%s],[%s,%s],[%s,%s]]]}',
+        F.col("cx") + F.col("r"), F.col("cy"),
+        F.col("cx"), F.col("cy") + F.col("r"),
+        F.col("cx") - F.col("r"), F.col("cy"),
+        F.col("cx"), F.col("cy") - F.col("r"),
+        F.col("cx") + F.col("r"), F.col("cy"),
+    ))
+    ev = with_shape_bbox(ev, "shape")
+    ctx = dsl_mod.SearchContext(ev, "cx")
+    rect = {"type": "envelope", "coordinates": [[-1.0, 1.0], [1.0, -1.0]]}
+
+    def pred(rel):
+        return dsl_mod.parse(
+            {"geo_shape": {"shape": {"shape": rect, "relation": rel}}}
+        ).predicate(ctx)
+
+    return ev.agg(
+        F.sum(F.when(pred("intersects"), 1).otherwise(0)).cast("long").alias("n_int"),
+        F.sum(F.when(pred("disjoint"), 1).otherwise(0)).cast("long").alias("n_dis"),
+        F.sum(F.when(pred("within"), 1).otherwise(0)).cast("long").alias("n_win"),
+        F.sum(F.when(pred("contains"), 1).otherwise(0)).cast("long").alias("n_con"),
+    )
+
+
 def analysis_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CJK segmentation (icu_tokenizer / smartcn analog, functions/cjk.py:
     script-run split + forward-maximum-matching over the embedded lexicon,
@@ -6152,6 +6217,39 @@ GROUP BY event_type ORDER BY event_type
 SELECT lang, COUNT(*)::BIGINT AS doc_count FROM documents
 WHERE n_chars % 7 = 0 GROUP BY lang ORDER BY lang
 """,
+    "agg_percentiles_hdr": """
+WITH q AS (
+  SELECT CASE WHEN value = 0 THEN 0.0
+              ELSE floor(value / power(2, floor(log2(value)) + 1 - 11))
+                   * power(2, floor(log2(value)) + 1 - 11) END AS qv
+  FROM events
+)
+SELECT round(quantile_cont(qv, 0.50), 4) AS p50,
+       round(quantile_cont(qv, 0.90), 4) AS p90,
+       round(quantile_cont(qv, 0.99), 4) AS p99
+FROM q
+""",
+    "dsl_geo_shape_stored": """
+WITH d AS (
+  SELECT (event_id % 37 - 18)::DOUBLE AS cx,
+         (event_id % 23 - 11)::DOUBLE AS cy,
+         (event_id % 3 + 1)::DOUBLE AS r
+  FROM events
+)
+SELECT
+  SUM(CASE WHEN greatest(0, -1 - cx, cx - 1) + greatest(0, -1 - cy, cy - 1) <= r
+      THEN 1 ELSE 0 END)::BIGINT AS n_int,
+  SUM(CASE WHEN greatest(0, -1 - cx, cx - 1) + greatest(0, -1 - cy, cy - 1) > r
+      THEN 1 ELSE 0 END)::BIGINT AS n_dis,
+  SUM(CASE WHEN cx - r >= -1 AND cx + r <= 1 AND cy - r >= -1 AND cy + r <= 1
+      THEN 1 ELSE 0 END)::BIGINT AS n_win,
+  SUM(CASE WHEN abs(-1 - cx) + abs(-1 - cy) <= r
+            AND abs( 1 - cx) + abs(-1 - cy) <= r
+            AND abs( 1 - cx) + abs( 1 - cy) <= r
+            AND abs(-1 - cx) + abs( 1 - cy) <= r
+      THEN 1 ELSE 0 END)::BIGINT AS n_con
+FROM d
+""",
     "analysis_cjk": """
 SELECT token, cnt::BIGINT AS cnt FROM (VALUES
     ('elasticsearch', 1), ('で', 1), ('の', 1), ('をしています', 2),
@@ -6427,6 +6525,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsl_rank_feature_query": dsl_rank_feature_query,
     "dsl_geo_distance_query": dsl_geo_distance_query,
     "dsl_script_query": dsl_script_query,
+    "agg_percentiles_hdr": agg_percentiles_hdr,
+    "dsl_geo_shape_stored": dsl_geo_shape_stored,
     "analysis_cjk": analysis_cjk,
     "dsl_scripted_metric_state": dsl_scripted_metric_state,
     "dsl_painless_script_query": dsl_painless_script_query,

@@ -665,3 +665,81 @@ def test_source_filtering(es):
                                "size": 1})
     c3 = set(res3["hits"].columns)
     assert "text" not in c3 and "lang" in c3
+
+
+
+def test_scroll_pages_with_concurrent_bulk_isolation(spark, tmp_path):
+    """_scroll (Scroll.java / scroll/10_basic.yml): page the index
+    end-to-end in 3 pages; a bulk landing mid-scroll must NOT leak into the
+    open cursor (pinned PIT segments); clear_scroll drops the cursor."""
+    from elasticsearch_spark.api import Engine
+
+    eng = Engine(spark, root=str(tmp_path / "root"))
+    eng.create_index("sc", num_partitions=2)
+    rows = [(f"u{i:03d}", f"common text {i}", "en") for i in range(25)]
+    eng.bulk("sc", spark.createDataFrame(rows, "url string, text string, lang string"))
+
+    page1 = eng.search_scroll("sc", {"query": {"match": {"text": "common"}}, "size": 10})
+    sid = page1["_scroll_id"]
+    assert len(page1["hits"]) == 10
+    # concurrent bulk mid-scroll: new docs with the same matching text
+    eng.bulk("sc", spark.createDataFrame(
+        [(f"zz{i}", f"common text new {i}", "en") for i in range(5)],
+        "url string, text string, lang string"))
+    page2 = eng.scroll(sid)
+    page3 = eng.scroll(sid)
+    page4 = eng.scroll(sid)
+    got = [r["url"] for r in page1["hits"] + page2["hits"] + page3["hits"] + page4["hits"]]
+    assert len(page2["hits"]) == 10 and len(page3["hits"]) == 5
+    assert page4["hits"] == []          # exhausted
+    assert sorted(got) == sorted(r[0] for r in rows)  # all 25, no dupes
+    assert not any(u.startswith("zz") for u in got)   # bulk did not leak
+    # a FRESH search does see the new docs
+    fresh = eng.search("sc", {"query": {"match": {"text": "common"}}, "size": 50})
+    assert fresh["hits"].count() == 30
+    assert eng.clear_scroll(sid)["succeeded"]
+    assert not eng.clear_scroll(sid)["succeeded"]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="scroll id"):
+        eng.scroll(sid)
+
+
+def test_async_search_partial_reduces(spark, tmp_path):
+    """Mid-flight async_search_get returns is_partial: true with partial
+    hits/aggs reduced over ONLY the completed segments (x-pack
+    async-search MutableSearchResponse snapshots)."""
+    import threading
+    import time
+
+    from elasticsearch_spark.api import Engine
+
+    eng = Engine(spark, root=str(tmp_path / "root"))
+    eng.create_index("asx", num_partitions=4)
+    rows = [(f"u{i:03d}", f"shared token{i % 3}", "en" if i % 2 else "de")
+            for i in range(40)]
+    eng.bulk("asx", spark.createDataFrame(rows, "url string, text string, lang string"))
+
+    body = {"query": {"match": {"text": "shared"}}, "size": 5,
+            "aggs": {"langs": {"terms": {"field": "lang"}}}}
+    sub = eng.async_search_submit("asx", body)
+    sid = sub["id"]
+    final = eng.async_search_get(sid, wait_seconds=120)
+    assert final["is_running"] is False and final["is_partial"] is False
+    assert len(final["response"]["hits"]) == 5
+    # the runner published at least one partial snapshot before finishing
+    snap = eng._async_partials[sid]["snap"]
+    assert snap is not None
+    assert snap["_shards"]["successful"] < snap["_shards"]["total"]
+    assert snap["hits"]  # partial hits from completed segments
+    langs = {r["key"]: r["doc_count"] for r in snap["aggregations"]["langs"]}
+    assert langs and sum(langs.values()) < 40  # strictly partial agg frame
+    # the GET contract mid-flight: a still-running search serves the snap
+    import concurrent.futures
+
+    eng._async_searches["pinned"] = concurrent.futures.Future()  # never done
+    eng._async_partials["pinned"] = {"lock": threading.Lock(), "snap": snap}
+    mid = eng.async_search_get("pinned")
+    assert mid["is_running"] is True and mid["is_partial"] is True
+    assert mid["response"]["_shards"]["successful"] < mid["response"]["_shards"]["total"]
+    assert mid["response"]["aggregations"]["langs"]
+    del eng._async_searches["pinned"]

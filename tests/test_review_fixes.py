@@ -418,3 +418,37 @@ def test_tombstones_range_sliced_and_reconciled(spark, tmp_path):
     assert len(ops_mod.read_tombstones(idx)) == 0
     hits = eng.search("dh", {"query": {"match": {"text": "common"}}, "size": 500})
     assert hits["hits"].count() == 100
+
+
+def test_percentiles_hdr_mode(spark):
+    from elasticsearch_spark.plans import aggs
+
+    df = spark.createDataFrame([(float(x),) for x in range(1, 1001)], "v double")
+    out = aggs.aggregate(df, {"p": {"percentiles": {
+        "field": "v", "percents": [50, 99],
+        "hdr": {"number_of_significant_value_digits": 3}}}})["p"].collect()[0]
+    # exact within the HDR bucket error (3 digits → rel err < 2^-10)
+    assert abs(out["p.50"] - 500.5) / 500.5 < 2 ** -10 + 1e-9
+    assert abs(out["p.99"] - 990.01) / 990.01 < 2 ** -10 + 1e-9
+    # 1 significant digit: coarser buckets, still within its own bound
+    out1 = aggs.aggregate(df, {"p": {"percentiles": {
+        "field": "v", "percents": [50],
+        "hdr": {"number_of_significant_value_digits": 1}}}})["p"].collect()[0]
+    assert abs(out1["p.50"] - 500.5) / 500.5 < 2 ** -4
+
+
+def test_percentile_ranks_tdigest_method(spark):
+    from elasticsearch_spark.plans import aggs
+
+    df = spark.createDataFrame(
+        [(float(x),) for x in range(1, 1001)], "v double").repartition(4)
+    out = aggs.aggregate(df, {"pr": {"percentile_ranks": {
+        "field": "v", "values": [100, 500, 900],
+        "method": "tdigest", "tdigest": {"compression": 200}}}})["pr"].collect()[0]
+    assert abs(out["pr.100"] - 10.0) < 1.0
+    assert abs(out["pr.500"] - 50.0) < 1.0
+    assert abs(out["pr.900"] - 90.0) < 1.0
+    # out-of-range values clamp to 0 / 100
+    out2 = aggs.aggregate(df, {"pr": {"percentile_ranks": {
+        "field": "v", "values": [0, 2000], "method": "tdigest"}}})["pr"].collect()[0]
+    assert out2["pr.0"] == 0.0 and out2["pr.2000"] == 100.0
