@@ -2399,26 +2399,50 @@ class Engine:
         n = ops_mod.append_tombstones(self.spark, self._dir(index), matched.select("doc_id"))
         return {"deleted": n}
 
+    @staticmethod
+    def _source_script(docs: DataFrame, script_expr: str) -> DataFrame:
+        """Shared update_by_query / reindex script application: a Painless
+        ``ctx._source.*`` mutator runs in the interpreter over Arrow
+        batches (``ctx._source`` = the stored document map; new fields
+        materialize, removed fields drop); a plain SQL expression keeps the
+        JVM fast path rewriting ``text``."""
+        from .functions import painless as P
+
+        if not P.is_painless(script_expr):
+            return docs.withColumn("text", F.expr(script_expr))
+        # ctx._source sugar: the ingest ctx-script machinery already does
+        # trial-row schema inference + per-row execution; _source maps onto
+        # the flat stored-column ctx
+        src = re.sub(r"\bctx\._source\b", "ctx", script_expr)
+        from .sources.ingest_pipeline import _ctx_script
+
+        return _ctx_script(docs, src, None)
+
     def update_by_query(self, index: str, query: dict, script_expr: str) -> dict:
-        """POST /{index}/_update_by_query with a SQL-expression script over
-        `text` (scan + rewrite + reindex-as-update)."""
+        """POST /{index}/_update_by_query (scan + rewrite + reindex-as-
+        update). The script is either a SQL expression over ``text`` (fast
+        path) or a Painless ``ctx._source`` mutator
+        (UpdateByQueryRequest's script context)."""
         self._check_write_allowed(index)
         docs = self._docs_view(index)
         node = dsl.parse(query)
         ctx = dsl.SearchContext(docs, "url", text_col="text",
                                 kw_norm=self._kw_normalizers(index))
         matched = docs.where(node.predicate(ctx))
-        extra = [c for c in docs.columns
-                 if c not in ("doc_id", "dl", "norm", "seg_id", "url", "text", "lang", "warc_ts")]
-        updated = matched.select(
-            "url", F.lit("update").alias("op"),
-            F.expr(script_expr).alias("text"), "lang", "warc_ts", *extra,
+        rewritten = self._source_script(
+            matched.drop("doc_id", "dl", "norm", "seg_id"), script_expr)
+        extra = [c for c in rewritten.columns
+                 if c not in ("url", "text", "lang", "warc_ts")]
+        updated = rewritten.select(
+            "url", F.lit("update").alias("op"), "text", "lang", "warc_ts", *extra,
         )
         return ops_mod.apply_ops(self.spark, self._dir(index), updated)
 
-    def reindex(self, source: str, dest: str, query: dict | None = None) -> dict:
-        """POST /_reindex: scan the source's live docs (optionally filtered),
-        bulk into dest."""
+    def reindex(self, source: str, dest: str, query: dict | None = None,
+                script: str | dict | None = None) -> dict:
+        """POST /_reindex: scan the source's live docs (optionally filtered,
+        optionally transformed by a reindex script — Painless ``ctx._source``
+        mutations supported), bulk into dest."""
         # full _source: every stored column rides along (ES reindex copies
         # the whole document) — the fixed 4-column select silently dropped
         # custom fields
@@ -2428,6 +2452,9 @@ class Engine:
             ctx = dsl.SearchContext(docs, "url", text_col="text",
                                     kw_norm=self._kw_normalizers(source))
             docs = docs.where(node.predicate(ctx))
+        if script is not None:
+            ssrc, _ = dsl.script_source(script)
+            docs = self._source_script(docs, ssrc)
         return self.bulk(dest, docs)
 
     # ---- shard-count transforms (shrink / split / clone) -------------------

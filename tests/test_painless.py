@@ -466,3 +466,37 @@ def test_scripts_painless_execute_api(spark, tmp_path):
     out = es.scripts_painless_execute(
         {"source": "doc['v'].value.toUpperCase()"}, context_doc={"v": "ab"})
     assert out["result"] == "AB"
+
+
+def test_update_by_query_painless_ctx_source(spark, tmp_path):
+    from elasticsearch_spark.api import Engine
+
+    eng = Engine(spark, root=str(tmp_path / "ubq"))
+    eng.create_index("u", num_partitions=2)
+    eng.bulk("u", spark.createDataFrame(
+        [("a1", "old text", "en", 5), ("a2", "keep", "de", 1)],
+        "url string, text string, lang string, votes int"))
+    # mutating existing fields (adding NEW fields via update_by_query hits
+    # the one-docs-schema-per-index guard loudly — documented subset; new
+    # fields go through reindex into a fresh index instead)
+    eng.update_by_query("u", {"term": {"lang": "en"}}, """
+        ctx._source.text = ctx._source.text + ' edited';
+        ctx._source.votes += 10;
+    """)
+    got = eng.get("u", "a1")
+    assert got["text"] == "old text edited" and got["votes"] == 15
+    assert eng.get("u", "a2")["text"] == "keep"  # unmatched untouched
+
+
+def test_reindex_with_painless_script(spark, tmp_path):
+    from elasticsearch_spark.api import Engine
+
+    eng = Engine(spark, root=str(tmp_path / "ri"))
+    eng.create_index("src", num_partitions=1)
+    eng.bulk("src", spark.createDataFrame(
+        [("r1", "alpha words here", "en")], "url string, text string, lang string"))
+    eng.create_index("dst", num_partitions=1)
+    eng.reindex("src", "dst", script={"source":
+        "ctx._source.wc = ctx._source.text.split(' ').length; ctx._source.lang = ctx._source.lang.toUpperCase()"})
+    got = eng.get("dst", "r1")
+    assert got["wc"] == 3 and got["lang"] == "EN"
