@@ -179,8 +179,41 @@ class _Parser:
     def program(self):
         stmts = []
         while self.peek()[0] != "eof":
-            stmts.append(self.statement())
+            fn = self._try_function_def()
+            stmts.append(fn if fn is not None else self.statement())
         return ("block", stmts)
+
+    def _try_function_def(self):
+        """User function definitions (Painless allows them before the main
+        body): TYPE ID(TYPE ID, ...) { block }."""
+        save = self.i
+        k, v = self.peek()
+        if not (k == "def" or (k == "id" and v in _TYPE_WORDS)):
+            return None
+        nk, nv = self.peek(1)
+        if nk != "id" or self.peek(2)[0] != "(":
+            return None
+        self.next()  # return type
+        name = self.next()[1]
+        self.expect("(")
+        params = []
+        while self.peek()[0] != ")":
+            pk, pv = self.peek()
+            if pk == "def" or (pk == "id" and pv in _TYPE_WORDS and self.peek(1)[0] == "id"):
+                self.next()  # param type
+            t = self.peek()
+            if t[0] != "id":
+                self.i = save
+                return None
+            params.append(self.next()[1])
+            if not self.accept(","):
+                break
+        self.expect(")")
+        if self.peek()[0] != "{":
+            self.i = save
+            return None
+        body = self.statement()
+        return ("funcdef", name, params, body)
 
     def _is_decl_start(self):
         """A statement starts a declaration iff it opens with a type word
@@ -1185,6 +1218,10 @@ class _Interp:
                     break
                 except _Continue:
                     continue
+            return None
+        if kind == "funcdef":
+            _, name, params, body = node
+            env[name] = _Lambda(params, body, env, self)
             return None
         if kind == "return":
             raise _Return(self.eval(node[1], env) if node[1] is not None else None)

@@ -500,3 +500,18 @@ def test_reindex_with_painless_script(spark, tmp_path):
         "ctx._source.wc = ctx._source.text.split(' ').length; ctx._source.lang = ctx._source.lang.toUpperCase()"})
     got = eng.get("dst", "r1")
     assert got["wc"] == 3 and got["lang"] == "EN"
+
+
+def test_user_defined_functions():
+    src = """
+    int fib(int n) { if (n < 2) { return n } return fib(n - 1) + fib(n - 2) }
+    double scale(def x, def f) { return x * f }
+    return scale(fib(10), 0.5)
+    """
+    assert run(src) == 27.5
+    # function using a loop + list
+    src2 = """
+    def total(List xs) { def t = 0; for (x in xs) { t += x } return t }
+    return total([1, 2, 3]) + total([10])
+    """
+    assert run(src2) == 16
