@@ -486,12 +486,20 @@ def make_pattern_replace_char_filter(pattern: str, replacement: str = ""):
     return lambda text: rx.sub(replacement, text)
 
 
+def _iteration_mark_char_filter(text: str) -> str:
+    """kuromoji_iteration_mark char filter (functions/cjk.py)."""
+    from .cjk import iteration_mark_normalize
+
+    return iteration_mark_normalize(text)
+
+
 CHAR_FILTER_FACTORIES = {
     "mapping": lambda **kw: make_mapping_char_filter(kw["mappings"]),
     "pattern_replace": lambda **kw: make_pattern_replace_char_filter(
         kw["pattern"], kw.get("replacement", "")
     ),
     "html_strip": lambda **kw: html_strip,
+    "kuromoji_iteration_mark": lambda **kw: _iteration_mark_char_filter,
 }
 
 
@@ -1217,6 +1225,89 @@ def _icu_analyzer_analyze(text: str) -> list[str]:
 # dictionary-light FMM over an embedded lexicon — functions/cjk.py
 ANALYZERS["smartcn"] = _smartcn_analyze
 ANALYZERS["icu_analyzer"] = _icu_analyzer_analyze
+
+
+def _kuromoji_analyze(text: str) -> list[str]:
+    from .cjk import kuromoji_analyze
+
+    return kuromoji_analyze(text)
+
+
+def _nori_analyze(text: str) -> list[str]:
+    from .cjk import nori_analyze
+
+    return nori_analyze(text)
+
+
+def _kuromoji_tokenize(text: str) -> list[str]:
+    from .cjk import kuromoji_tokenize
+
+    return kuromoji_tokenize(text)
+
+
+def _nori_tokenize(text: str) -> list[str]:
+    from .cjk import nori_tokenize
+
+    return nori_tokenize(text)
+
+
+def _filter_ja_stop(toks: list[str], stopwords: list[str] | str = "_japanese_", **_) -> list[str]:
+    """ja_stop (analysis-kuromoji JapaneseStopTokenFilterFactory): the
+    Lucene Japanese stopword set, or an explicit list."""
+    from .cjk import JA_STOPWORDS
+
+    stops = JA_STOPWORDS if stopwords == "_japanese_" else set(stopwords)
+    return [t for t in toks if t not in stops]
+
+
+def _filter_kuromoji_stemmer(toks: list[str], minimum_length: int = 4, **_) -> list[str]:
+    """kuromoji_stemmer (JapaneseKatakanaStemFilter): trailing ー strip."""
+    from .cjk import katakana_stem
+
+    return [katakana_stem(t, minimum_length) for t in toks]
+
+
+def _filter_kuromoji_readingform(toks: list[str], use_romaji: bool = False, **_) -> list[str]:
+    """kuromoji_readingform: dictionary-light — kana tokens romanize when
+    use_romaji (Hepburn, functions/cjk.py); kanji readings need the lattice
+    dictionary and pass through (documented subset)."""
+    from .cjk import kana_to_romaji
+
+    return [kana_to_romaji(t) for t in toks] if use_romaji else list(toks)
+
+
+def _filter_kuromoji_number(toks: list[str], **_) -> list[str]:
+    from .cjk import ja_normalize_number
+
+    return [ja_normalize_number(t) for t in toks]
+
+
+def _filter_nori_number(toks: list[str], **_) -> list[str]:
+    from .cjk import ko_normalize_number
+
+    return [ko_normalize_number(t) for t in toks]
+
+
+def _filter_nori_pos(toks: list[str], **_) -> list[str]:
+    """nori_part_of_speech analog: dictionary-light josa strip on Hangul
+    tokens (functions/cjk.py documents the unambiguous-particle subset)."""
+    from .cjk import _is_hangul, _strip_josa
+
+    out = []
+    for t in toks:
+        if t and _is_hangul(t[0]):
+            t = _strip_josa(t)
+        if t:
+            out.append(t)
+    return out
+
+
+# Japanese/Korean analyzer presets (plugins/analysis-kuromoji,
+# analysis-nori) — dictionary-light, functions/cjk.py
+ANALYZERS["kuromoji"] = _kuromoji_analyze
+ANALYZERS["nori"] = _nori_analyze
+TOKENIZERS["kuromoji_tokenizer"] = _kuromoji_tokenize
+TOKENIZERS["nori_tokenizer"] = _nori_tokenize
 
 
 def _filter_stemmer(toks: list[str], language: str = "minimal_english", name: str | None = None, **_) -> list[str]:
@@ -2136,6 +2227,16 @@ TOKEN_FILTERS = {
     # for multi-token rules; our postings flatten positions (same stance as
     # flatten_graph above), so the flat expansion is the whole contract here
     "synonym_graph": _filter_synonym,
+    # Japanese/Korean dictionary-free filters (analysis-kuromoji,
+    # analysis-nori) — functions/cjk.py; kuromoji_baseform and the POS-tag
+    # filters need the lattice dictionary and stay unregistered (unknown
+    # filter names raise in the config path)
+    "ja_stop": _filter_ja_stop,
+    "kuromoji_stemmer": _filter_kuromoji_stemmer,
+    "kuromoji_readingform": _filter_kuromoji_readingform,
+    "kuromoji_number": _filter_kuromoji_number,
+    "nori_number": _filter_nori_number,
+    "nori_part_of_speech": _filter_nori_pos,
 }
 
 # stemming filters that honor the keyword-protected set threaded through a

@@ -3008,6 +3008,67 @@ def analysis_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def analysis_kuromoji(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Japanese analysis (kuromoji analog, functions/cjk.py): iteration-mark
+    expansion, nakaguro compound split, ja_stop, katakana stemming —
+    the dictionary-free filters are exact ports of the reference's
+    plugins/analysis-kuromoji; segmentation is the documented
+    dictionary-light FMM. Deterministic — the oracle pins every
+    (token, count) of a fixed five-sentence corpus."""
+    from pyspark.sql.functions import pandas_udf
+
+    corpus = [
+        "コンピューターの勉強をしています",
+        "東京で仕事をしています",
+        "人々は日本語の勉強が好きです",
+        "ビル・ゲイツとサッカーの試合",
+        "二百三十五人が参加しました",
+    ]
+    df = spark.createDataFrame([(s,) for s in corpus], "sentence string")
+
+    @pandas_udf("array<string>")
+    def seg(s: pd.Series) -> pd.Series:
+        from elasticsearch_spark.functions.cjk import kuromoji_analyze
+
+        return s.map(kuromoji_analyze)
+
+    return (
+        df.select(F.explode(seg("sentence")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy("token")
+    )
+
+
+def analysis_nori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Korean analysis (nori analog, functions/cjk.py): UAX#29 word split +
+    dictionary-light josa strip (the unambiguous-particle subset of
+    nori_part_of_speech's default J* stop tags). Oracle pins every
+    (token, count) of a fixed four-sentence corpus."""
+    from pyspark.sql.functions import pandas_udf
+
+    corpus = [
+        "아버지가 학교에 갔다",
+        "서울에서 부산까지 기차로 간다",
+        "사과 포도 바나나를 샀다",
+        "검색 엔진은 역색인을 사용한다",
+    ]
+    df = spark.createDataFrame([(s,) for s in corpus], "sentence string")
+
+    @pandas_udf("array<string>")
+    def seg(s: pd.Series) -> pd.Series:
+        from elasticsearch_spark.functions.cjk import nori_analyze
+
+        return s.map(nori_analyze)
+
+    return (
+        df.select(F.explode(seg("sentence")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy("token")
+    )
+
+
 def dsl_scripted_metric_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """scripted_metric with REAL Painless state maps
     (``ScriptedMetricAggregator.java`` init/map/combine/reduce lifecycle,
@@ -6260,6 +6321,22 @@ SELECT token, cnt::BIGINT AS cnt FROM (VALUES
     ('是', 1), ('机器学习', 1), ('東京', 1), ('查询', 1), ('进行', 1)
 ) AS t(token, cnt) ORDER BY token
 """,
+    "analysis_kuromoji": """
+SELECT token, cnt::BIGINT AS cnt FROM (VALUES
+    ('きです', 1), ('しました', 1), ('をしています', 2), ('ゲイツ', 1),
+    ('コンピュータ', 1), ('サッカ', 1), ('ビル', 1), ('三', 1), ('二', 1),
+    ('五', 1), ('人', 3), ('仕事', 1), ('加', 1), ('勉強', 2), ('十', 1),
+    ('参', 1), ('合', 1), ('好', 1), ('日本語', 1), ('東京', 1), ('百', 1),
+    ('試', 1)
+) AS t(token, cnt) ORDER BY token
+""",
+    "analysis_nori": """
+SELECT token, cnt::BIGINT AS cnt FROM (VALUES
+    ('간다', 1), ('갔다', 1), ('검색', 1), ('기차로', 1), ('바나나', 1),
+    ('부산', 1), ('사과', 1), ('사용한다', 1), ('샀다', 1), ('서울', 1),
+    ('아버지', 1), ('엔진', 1), ('역색인', 1), ('포도', 1), ('학교', 1)
+) AS t(token, cnt) ORDER BY token
+""",
     "dsl_scripted_metric_state": """
 SELECT event_type,
        SUM(CAST(trunc(value * 100) AS BIGINT))::BIGINT AS sum_cents
@@ -6528,6 +6605,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_percentiles_hdr": agg_percentiles_hdr,
     "dsl_geo_shape_stored": dsl_geo_shape_stored,
     "analysis_cjk": analysis_cjk,
+    "analysis_kuromoji": analysis_kuromoji,
+    "analysis_nori": analysis_nori,
     "dsl_scripted_metric_state": dsl_scripted_metric_state,
     "dsl_painless_script_query": dsl_painless_script_query,
     "dsl_painless_runtime_field": dsl_painless_runtime_field,

@@ -51,3 +51,90 @@ def test_analyzer_registration():
 def test_empty_and_pure_latin():
     assert icu_tokenize("") == []
     assert icu_tokenize("hello world") == ["hello", "world"]
+
+# --- kuromoji / nori analogs (dictionary-free filters are exact ports) ------
+
+from elasticsearch_spark.functions.cjk import (  # noqa: E402
+    iteration_mark_normalize, ja_normalize_number, kana_to_romaji,
+    katakana_stem, ko_normalize_number, kuromoji_analyze, nori_analyze,
+)
+
+
+def test_iteration_marks():
+    assert iteration_mark_normalize("人々") == "人人"
+    assert iteration_mark_normalize("すゝめ") == "すすめ"
+    assert iteration_mark_normalize("みすゞ") == "みすず"   # voiced repeat
+    assert iteration_mark_normalize("バナヽ") == "バナナ"
+    # mark with no valid predecessor passes through
+    assert iteration_mark_normalize("々x") == "々x"
+
+
+def test_katakana_stem():
+    assert katakana_stem("コンピューター") == "コンピュータ"
+    assert katakana_stem("サーバー") == "サーバ"
+    assert katakana_stem("ソロー", minimum_length=4) == "ソロー"  # too short
+    assert katakana_stem("データ") == "データ"                    # no trailing ー
+    assert katakana_stem("hello-ー") == "hello-ー"                # not katakana
+
+
+def test_romaji():
+    assert kana_to_romaji("きょうと") == "kyouto"
+    assert kana_to_romaji("サッカー") == "sakkaa"       # sokuon + choon
+    assert kana_to_romaji("マッチ") == "matchi"         # っち → tchi (Hepburn)
+    assert kana_to_romaji("しんぶん") == "shinbun"
+    assert kana_to_romaji("じゃじゅじょ") == "jajujo"
+    assert kana_to_romaji("ヴァイオリン") == "vaiorin"
+
+
+def test_ja_numbers():
+    assert ja_normalize_number("二百三十五") == "235"
+    assert ja_normalize_number("千二百万") == "12000000"
+    assert ja_normalize_number("3千") == "3000"          # mixed arabic
+    assert ja_normalize_number("十") == "10"
+    assert ja_normalize_number("〇") == "0"
+    assert ja_normalize_number("東京") == "東京"          # non-numeral untouched
+    assert ja_normalize_number("一部") == "一部"          # mixed with non-numeral
+
+
+def test_ko_numbers():
+    assert ko_normalize_number("삼백오십") == "350"
+    assert ko_normalize_number("이만") == "20000"
+    assert ko_normalize_number("학교") == "학교"
+
+
+def test_nori_josa_strip():
+    assert nori_analyze("아버지가 학교에 갔다") == ["아버지", "학교", "갔다"]
+    assert nori_analyze("서울에서 부산까지") == ["서울", "부산"]
+    # ambiguous codas (과/도/나) are NOT stripped — 사과 stays a whole noun
+    assert nori_analyze("사과 포도") == ["사과", "포도"]
+    # bare single-char word never stripped to empty
+    assert nori_analyze("가") == ["가"]
+
+
+def test_kuromoji_analyzer_chain():
+    # stopword particles dropped, katakana stemmed, kanji through FMM
+    toks = kuromoji_analyze("コンピューターの勉強")
+    assert toks == ["コンピュータ", "勉強"]
+    # iteration mark expands before tokenization
+    assert kuromoji_analyze("人々") == ["人", "人"]
+    # nakaguro splits katakana compounds
+    assert kuromoji_analyze("ビル・ゲイツ") == ["ビル", "ゲイツ"]
+
+
+def test_ja_ko_filter_registration():
+    from elasticsearch_spark.functions.analysis import (
+        ANALYZERS, CHAR_FILTER_FACTORIES, TOKEN_FILTERS, TOKENIZERS,
+    )
+
+    assert TOKEN_FILTERS["ja_stop"](["勉強", "の", "です"]) == ["勉強"]
+    assert TOKEN_FILTERS["kuromoji_stemmer"](["サーバー"]) == ["サーバ"]
+    assert TOKEN_FILTERS["kuromoji_readingform"](
+        ["とうきょう"], use_romaji=True) == ["toukyou"]
+    assert TOKEN_FILTERS["kuromoji_number"](["二百"]) == ["200"]
+    assert TOKEN_FILTERS["nori_number"](["삼백"]) == ["300"]
+    assert TOKEN_FILTERS["nori_part_of_speech"](["아버지가"]) == ["아버지"]
+    assert CHAR_FILTER_FACTORIES["kuromoji_iteration_mark"]()("人々") == "人人"
+    assert TOKENIZERS["kuromoji_tokenizer"]("日本語の勉強") == ["日本語", "の", "勉強"]
+    assert TOKENIZERS["nori_tokenizer"]("한국어 공부") == ["한국어", "공부"]
+    assert ANALYZERS["nori"]("학교에 갔다") == ["학교", "갔다"]
+    assert ANALYZERS["kuromoji"]("日本語の勉強") != []
