@@ -148,9 +148,17 @@ class Engine:
             sort_fields.append("url")
             base["sort"] = sort
         sid = f"scroll~{next(self._seq)}"
+        ix = self._pits[pit][0]
+        # pin the tombstone set too: segments pin via the PIT, but the
+        # compact tombstone file is rewritten by later deletes/updates —
+        # hard-linked snapshot gives the cursor repeatable reads (ES scroll
+        # returns the snapshot-time view, Scroll.java keep-alive contract)
+        pin_dir = os.path.join(self._dir(ix), ".scroll", sid.replace("~", "_"))
+        pinned = ops_mod.pin_tombstones(self._dir(ix), pin_dir)
         self._scrolls[sid] = {
-            "pit": pit, "index": self._pits[pit][0], "body": base,
+            "pit": pit, "index": ix, "body": base,
             "fields": sort_fields, "after": None,
+            "pin_dir": pin_dir, "pinned_tombs": pinned,
         }
         return self.scroll(sid)
 
@@ -163,8 +171,8 @@ class Engine:
         d = self._dir(index)
         paths = [os.path.join(store.seg_dir(d, s), "docs.parquet")
                  for s in pit_segs]
-        view = ops_mod.mask_tombstones(
-            self.spark, d, self.spark.read.parquet(*paths))
+        view = ops_mod.mask_tombstones_pinned(
+            self.spark, st["pinned_tombs"], self.spark.read.parquet(*paths))
         body = dict(st["body"])
         if st["after"] is not None:
             body["search_after"] = st["after"]
@@ -175,10 +183,14 @@ class Engine:
         return {"_scroll_id": scroll_id, "hits": rows}
 
     def clear_scroll(self, scroll_id: str) -> dict:
-        """DELETE /_search/scroll — drop the cursor and its pinned PIT."""
+        """DELETE /_search/scroll — drop the cursor, its pinned PIT, and
+        the pinned tombstone snapshot."""
         st = self._scrolls.pop(scroll_id, None)
         if st is not None:
             self.close_pit(st["pit"])
+            import shutil
+
+            shutil.rmtree(st.get("pin_dir", ""), ignore_errors=True)
         return {"succeeded": st is not None}
 
     def _dir(self, index: str) -> str:
@@ -2102,77 +2114,29 @@ class Engine:
         Hits materialize inside the task (bounded by the body's ``size``).
 
         Mid-flight PARTIAL REDUCES (the reference's per-shard partials →
-        MutableSearchResponse snapshots): the runner walks the pinned
-        segment set in cumulative slices, and after each completed slice
-        publishes a partial response (hits + aggs reduced over ONLY the
-        completed segments, ``_shards.successful`` = completed count) that
-        ``async_search_get`` returns with ``is_partial: true``. The final
-        response is the one-shot full search (exact scores/stats); partial
-        hit scores are relative to the completed subset — the same caveat
-        the reference documents for partial aggs accuracy."""
+        MutableSearchResponse snapshots): computed LAZILY — a ``get`` that
+        arrives before completion runs one bounded reduce over the first
+        half of the segment set (hits + aggs over only those segments,
+        ``_shards.successful`` = slice size) and caches it for later polls.
+        A search nobody polls pays zero partial-reduce cost, and nothing
+        accumulates per sid after delete/completion. The final response is
+        the one-shot full search (exact scores/stats); partial hit scores
+        are relative to the completed subset — the same caveat the
+        reference documents for partial aggs accuracy."""
         import concurrent.futures
-        import threading
 
         if not hasattr(self, "_async_pool"):
             self._async_pool = concurrent.futures.ThreadPoolExecutor(
                 max_workers=4, thread_name_prefix="async_search"
             )
             self._async_searches: dict[str, object] = {}
-            self._async_partials: dict[str, dict] = {}
+            self._async_meta: dict[str, dict] = {}
             self._async_seq = 0
         self._async_seq += 1
         sid = f"async_{self._async_seq:06d}"
-        self._async_partials[sid] = {"lock": threading.Lock(), "snap": None}
-
-        def _publish_partials():
-            # cumulative slices at ~1/4, 1/2, 3/4 of the segment set
-            try:
-                concrete = self.resolve(index)
-                if len(concrete) != 1:
-                    return
-                d = self._dir(concrete[0])
-                segs = store.list_segs(d)
-                if len(segs) < 2:
-                    return
-                total = len(segs)
-                marks = sorted({max(1, total // 4), max(1, total // 2),
-                                max(1, (3 * total) // 4)})
-                for k in marks:
-                    if k >= total:
-                        continue
-                    paths = [os.path.join(store.seg_dir(d, s), "docs.parquet")
-                             for s in segs[:k]]
-                    view = ops_mod.mask_tombstones(
-                        self.spark, d, self.spark.read.parquet(*paths))
-                    part_body = {kk: vv for kk, vv in body.items()
-                                 if kk not in ("aggs", "aggregations")}
-                    hits = dsl.search(self.spark, view, part_body,
-                                      key="url", text_col="text").collect()
-                    aggs_out = {}
-                    agg_spec = body.get("aggs") or body.get("aggregations")
-                    if agg_spec:
-                        from .plans import aggs as aggs_mod2
-
-                        q = body.get("query")
-                        base = view
-                        if q:
-                            ctx = dsl.SearchContext(view, "url", text_col="text")
-                            base = view.where(dsl.parse(q).predicate(ctx))
-                        for an, af in aggs_mod2.aggregate(base, agg_spec).items():
-                            aggs_out[an] = af.collect()
-                    snap = {
-                        "hits": hits,
-                        "aggregations": aggs_out,
-                        "_shards": {"total": total, "successful": k},
-                    }
-                    st = self._async_partials[sid]
-                    with st["lock"]:
-                        st["snap"] = snap
-            except Exception:  # noqa: BLE001 — partials are best-effort
-                pass
+        self._async_meta[sid] = {"index": index, "body": body, "snap": None}
 
         def run():
-            _publish_partials()
             out = self.search(index, body)
             return {
                 "hits": out["hits"].collect(),
@@ -2183,6 +2147,47 @@ class Engine:
 
         self._async_searches[sid] = self._async_pool.submit(run)
         return {"id": sid, "is_running": True}
+
+    def _partial_reduce(self, index: str, body: dict) -> dict | None:
+        """One partial snapshot over the first half of the segment set
+        (best-effort; None when the index shape doesn't allow it)."""
+        try:
+            concrete = self.resolve(index)
+            if len(concrete) != 1:
+                return None
+            d = self._dir(concrete[0])
+            segs = store.list_segs(d)
+            if len(segs) < 2:
+                return None
+            total = len(segs)
+            k = max(1, total // 2)
+            paths = [os.path.join(store.seg_dir(d, s), "docs.parquet")
+                     for s in segs[:k]]
+            view = ops_mod.mask_tombstones(
+                self.spark, d, self.spark.read.parquet(*paths))
+            part_body = {kk: vv for kk, vv in body.items()
+                         if kk not in ("aggs", "aggregations")}
+            hits = dsl.search(self.spark, view, part_body,
+                              key="url", text_col="text").collect()
+            aggs_out = {}
+            agg_spec = body.get("aggs") or body.get("aggregations")
+            if agg_spec:
+                from .plans import aggs as aggs_mod2
+
+                q = body.get("query")
+                base = view
+                if q:
+                    ctx = dsl.SearchContext(view, "url", text_col="text")
+                    base = view.where(dsl.parse(q).predicate(ctx))
+                for an, af in aggs_mod2.aggregate(base, agg_spec).items():
+                    aggs_out[an] = af.collect()
+            return {
+                "hits": hits,
+                "aggregations": aggs_out,
+                "_shards": {"total": total, "successful": k},
+            }
+        except Exception:  # noqa: BLE001 — partials are best-effort
+            return None
 
     def async_search_get(self, sid: str, wait_seconds: float | None = None) -> dict:
         """GET /_async_search/{id}: status plus the response — the final
@@ -2201,13 +2206,16 @@ class Engine:
             except concurrent.futures.TimeoutError:
                 pass
         if not fut.done():
-            st = getattr(self, "_async_partials", {}).get(sid)
+            meta = getattr(self, "_async_meta", {}).get(sid)
             snap = None
-            if st is not None:
-                with st["lock"]:
-                    snap = st["snap"]
+            if meta is not None:
+                if meta["snap"] is None:
+                    meta["snap"] = self._partial_reduce(
+                        meta["index"], meta["body"])
+                snap = meta["snap"]
             return {"id": sid, "is_running": True, "is_partial": True,
                     "response": snap}
+        getattr(self, "_async_meta", {}).pop(sid, None)  # done → drop partials
         return {"id": sid, "is_running": False, "is_partial": False,
                 "response": fut.result()}
 
@@ -2216,6 +2224,7 @@ class Engine:
         fut = self._async_searches.pop(sid, None)
         if fut is None:
             raise KeyError(f"unknown async search id: {sid}")
+        getattr(self, "_async_meta", {}).pop(sid, None)
         fut.cancel()
         return {"acknowledged": True}
 
@@ -2387,6 +2396,8 @@ class Engine:
         ids through one process). doc_count/df keep counting masked docs
         until a merge expunges them — reference semantics."""
         self._check_write_allowed(index)
+        if set(query) == {"query"}:  # REST body shape {"query": {...}}
+            query = query["query"]
         docs = self._docs_view(index)
         node = dsl.parse(query)
         ctx = dsl.SearchContext(docs, "url", text_col="text",

@@ -380,7 +380,7 @@ def kuromoji_tokenize(text: str) -> list[str]:
     loanword compounds there)."""
     if not text:
         return []
-    text = iteration_mark_normalize(text).replace("・", " ").replace("・", " ")
+    text = iteration_mark_normalize(text).replace("・", " ").replace("･", " ")
     return icu_tokenize(text)
 
 

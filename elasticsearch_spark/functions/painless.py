@@ -224,14 +224,16 @@ class _Parser:
         if k != "id" or v not in _TYPE_WORDS and not (v and v[0].isupper()):
             return False
         # lookahead past optional generics: Map<String,def> x
+        # (the lexer emits '>>' as one shift token — nested generics like
+        # Map<String,List<String>> close two levels at once)
         j = self.i + 1
         depth = 0
         while True:
             nk = self.toks[min(j, len(self.toks) - 1)][0]
             if nk == "<":
                 depth += 1
-            elif nk == ">":
-                depth -= 1
+            elif nk in (">", ">>"):
+                depth -= 1 if nk == ">" else 2
                 if depth < 0:
                     return False
             elif depth == 0:
@@ -250,6 +252,8 @@ class _Parser:
                     depth += 1
                 elif k == ">":
                     depth -= 1
+                elif k == ">>":  # shift token = two generic closers
+                    depth -= 2
                 elif k == "eof":
                     raise PainlessError("painless parse: unterminated generics")
         while self.peek()[0] == "[" and self.peek(1)[0] == "]":
@@ -755,7 +759,15 @@ def _jmod(a, b):
 # ---- whitelisted instance methods ----
 
 def _java_split(s, rx, limit=0):
-    parts = re.split(rx, s) if limit == 0 else re.split(rx, s, maxsplit=max(limit - 1, 0))
+    """Java String.split semantics: limit>0 → at most `limit` parts
+    (limit=1 = no split; Python maxsplit=0 means UNLIMITED, so it can't
+    express that directly); limit=0 → unlimited + strip trailing empties;
+    limit<0 → unlimited, keep trailing empties."""
+    if limit == 1:
+        return [s]
+    if limit > 1:
+        return re.split(rx, s, maxsplit=limit - 1)
+    parts = re.split(rx, s)
     if limit == 0:
         while parts and parts[-1] == "":
             parts.pop()
@@ -1038,8 +1050,10 @@ _STATICS: dict[str, dict] = {
 
 
 def _jformat(fmt: str, args):
-    """java String.format → printf subset (%s %d %f %.Nf %x)."""
-    return re.sub(r"%%", "%", fmt) % tuple(args)
+    """java String.format → printf subset (%s %d %f %.Nf %x). Python's %
+    shares Java's %% escape — pre-substituting it would corrupt formats
+    that mix %% with real conversions ('%d%%' must yield '5%')."""
+    return fmt % tuple(args)
 
 
 _CONSTRUCTORS = {
@@ -1583,18 +1597,27 @@ def referenced_doc_fields(src: str) -> tuple[set[str], bool]:
         nonlocal dynamic
         if not isinstance(n, tuple):
             return
+        if n[0] == "var" and n[1] == "doc":
+            # bare `doc` reached outside a recognized subscript/call base:
+            # the script aliases or passes the whole map (def d = doc) —
+            # we can't know which fields it touches, ship every column
+            dynamic = True
+            return
         if n[0] == "index" and n[1] == ("var", "doc"):
             if n[2][0] == "lit":
                 fields.add(n[2][1])
             else:
                 dynamic = True
-        elif n[0] == "call" and n[1] == ("var", "doc") and n[2] in ("get", "containsKey"):
+            walk(n[2])
+            return
+        if n[0] == "call" and n[1] == ("var", "doc") and n[2] in ("get", "containsKey"):
             if n[3] and n[3][0][0] == "lit":
                 fields.add(n[3][0][1])
             else:
                 dynamic = True
-        elif n[0] == "var" and n[1] == "doc":
-            pass
+            for a in n[3] or []:
+                walk(a)
+            return
         for child in n[1:]:
             if isinstance(child, tuple):
                 walk(child)
@@ -1716,11 +1739,15 @@ def script_column(df, src: str, params: dict | None = None,
                 env["emit"] = emitted.append
             try:
                 v = execute(prog, env)
-                if runtime_emit and emitted:
-                    v = emitted[0]
-                out.append(_coerce(v, root))
-            except PainlessError:
-                out.append(None)
+            except PainlessError as exc:
+                # ES fails the whole search with script_exception — a
+                # silently-null row would corrupt filters/fields instead
+                raise PainlessError(
+                    f"script_exception: {exc} (script={prog_src[:120]!r})"
+                ) from exc
+            if runtime_emit and emitted:
+                v = emitted[0]
+            out.append(_coerce(v, root))
         return pd.Series(out, dtype=object)
 
     return _run(F.struct(*struct_cols))

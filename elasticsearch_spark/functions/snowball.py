@@ -92,7 +92,10 @@ def _german_stem(word: str, variant2: bool) -> str:
             chars[i] = chars[i].upper()
     w = "".join(chars)
     vow = _DE_VOWELS
-    r1, r2 = _r1r2(w.lower(), vow)
+    # regions on the MARKED string: uppercase U/Y are consonants (the
+    # lowercase vowel set doesn't contain them) — lowering first would undo
+    # the marking and mis-place R1/R2 (bauen must stem to bau)
+    r1, r2 = _r1r2(w, vow)
     r1 = max(r1, 3 if len(w) >= 3 else len(w))  # R1 begins at least at pos 3
 
     def in_r1(pos):
@@ -177,8 +180,8 @@ def french_stem(word: str) -> str:  # noqa: C901 — mirrors the published steps
     n = len(chars)
     for i in range(n):
         c = chars[i]
-        prev_v = i > 0 and chars[i - 1].lower() in _FR_VOWELS
-        next_v = i + 1 < n and chars[i + 1].lower() in _FR_VOWELS
+        prev_v = i > 0 and chars[i - 1] in _FR_VOWELS
+        next_v = i + 1 < n and chars[i + 1] in _FR_VOWELS
         if c in "ui" and prev_v and next_v:
             chars[i] = c.upper()
         elif c == "y" and (prev_v or next_v):
@@ -187,21 +190,20 @@ def french_stem(word: str) -> str:  # noqa: C901 — mirrors the published steps
             chars[i] = "U"
     w = "".join(chars).replace("ë", "He").replace("ï", "Hi")
 
-    lw = w.lower()
     n = len(w)
-    # RV: after 3rd letter if starts with two vowels; after first non-initial
-    # vowel otherwise; special-case par/col/tap
-    if n >= 3 and lw[0] in _FR_VOWELS and lw[1] in _FR_VOWELS:
+    # RV/R1/R2 on the MARKED string (uppercase U/I/Y/H count as consonants;
+    # lowering first would undo the marking and mis-place the regions)
+    if n >= 3 and w[0] in _FR_VOWELS and w[1] in _FR_VOWELS:
         rv = 3
-    elif lw[:3] in ("par", "col", "tap"):
+    elif w[:3] in ("par", "col", "tap"):
         rv = 3
     else:
         rv = n
         for i in range(1, n):
-            if lw[i] in _FR_VOWELS:
+            if w[i] in _FR_VOWELS:
                 rv = i + 1
                 break
-    r1, r2 = _r1r2(lw, _FR_VOWELS)
+    r1, r2 = _r1r2(w, _FR_VOWELS)
 
     def in_rv(pos):
         return pos >= rv
@@ -322,7 +324,7 @@ def french_stem(word: str) -> str:  # noqa: C901 — mirrors the published steps
                 changed[0] = True
                 did_step1 = True
         elif match in ("issement", "issements"):
-            if in_r1(p) and p > 0 and w[p - 1].lower() not in _FR_VOWELS:
+            if in_r1(p) and p > 0 and w[p - 1] not in _FR_VOWELS:
                 w = cut(w, len(match))
                 did_step1 = True
         elif match == "amment":
@@ -334,7 +336,7 @@ def french_stem(word: str) -> str:  # noqa: C901 — mirrors the published steps
                 w = w[:-6] + "ent"
                 found_mentish = True
         elif match in ("ment", "ments"):
-            if p > 0 and w[p - 1].lower() in _FR_VOWELS and in_rv(p - 1):
+            if p > 0 and w[p - 1] in _FR_VOWELS and in_rv(p - 1):
                 w = cut(w, len(match))
                 found_mentish = True
 
@@ -352,7 +354,7 @@ def french_stem(word: str) -> str:  # noqa: C901 — mirrors the published steps
         m2 = next((s for s in sufs2a if w.endswith(s)), None)
         if m2:
             p = len(w) - len(m2)
-            if in_rv(p) and p > 0 and w[p - 1].lower() not in _FR_VOWELS \
+            if in_rv(p) and p > 0 and w[p - 1] not in _FR_VOWELS \
                     and in_rv(p - 1):
                 w = cut(w, len(m2))
                 did_2 = True
@@ -401,9 +403,11 @@ def french_stem(word: str) -> str:  # noqa: C901 — mirrors the published steps
         # step 4
         if w.endswith("s") and len(w) >= 2:
             prev = w[-2]
-            if prev not in "aiouès" and not (prev == "i" and len(w) >= 3 and w[-3] == "H"):
-                if prev.lower() not in "aiouès":
-                    w = w[:-1]
+            # spec: test ( 'Hi' or not among('a' 'i' 'o' 'u' 'è' 's') ) —
+            # "Hi" ALLOWS the deletion, marked I/U are not in the among
+            if (prev == "i" and len(w) >= 3 and w[-3] == "H") \
+                    or prev not in "aiouès":
+                w = w[:-1]
         sufs4 = ("Ière", "ière", "Ier", "ier", "ion", "e", "ë")
         m4 = next((s for s in sorted(sufs4, key=len, reverse=True)
                    if w.endswith(s)), None)
@@ -429,7 +433,7 @@ def french_stem(word: str) -> str:  # noqa: C901 — mirrors the published steps
             break
     # step 6: un-accent — final é/è followed only by non-vowels
     i = len(w) - 1
-    while i >= 0 and w[i].lower() not in _FR_VOWELS:
+    while i >= 0 and w[i] not in _FR_VOWELS:
         i -= 1
     if i >= 0 and w[i] in "éè" and i < len(w) - 1:
         w = w[:i] + "e" + w[i + 1:]
@@ -794,16 +798,16 @@ def italian_stem(word: str) -> str:  # noqa: C901
     chars = list(w)
     n = len(chars)
     for i in range(1, n - 1):
-        if chars[i] in "ui" and chars[i - 1].lower() in _IT_VOWELS \
-                and chars[i + 1].lower() in _IT_VOWELS:
+        if chars[i] in "ui" and chars[i - 1] in _IT_VOWELS \
+                and chars[i + 1] in _IT_VOWELS:
             chars[i] = chars[i].upper()
     for i in range(1, n):
         if chars[i] == "u" and chars[i - 1] == "q":
             chars[i] = "U"
     w = "".join(chars)
-    lw = w.lower()
-    rv = _rv_es(lw, _IT_VOWELS)
-    r1, r2 = _r1r2(lw, _IT_VOWELS)
+    # regions on the MARKED string (uppercase U/I are consonants)
+    rv = _rv_es(w, _IT_VOWELS)
+    r1, r2 = _r1r2(w, _IT_VOWELS)
 
     def in_rv(p):
         return p >= rv
@@ -950,15 +954,15 @@ def dutch_stem(word: str) -> str:  # noqa: C901
     n = len(chars)
     # mark: initial y → Y; y after vowel → Y; i between vowels → I
     for i in range(n):
-        if chars[i] == "y" and (i == 0 or chars[i - 1].lower() in _NL_VOWELS):
+        if chars[i] == "y" and (i == 0 or chars[i - 1] in _NL_VOWELS):
             chars[i] = "Y"
         elif chars[i] == "i" and 0 < i < n - 1 \
-                and chars[i - 1].lower() in _NL_VOWELS \
-                and chars[i + 1].lower() in _NL_VOWELS:
+                and chars[i - 1] in _NL_VOWELS \
+                and chars[i + 1] in _NL_VOWELS:
             chars[i] = "I"
     w = "".join(chars)
-    lw = w.lower()
-    r1, r2 = _r1r2(lw, _NL_VOWELS)
+    # regions on the MARKED string (uppercase Y/I are consonants)
+    r1, r2 = _r1r2(w, _NL_VOWELS)
     r1 = max(r1, 3 if len(w) >= 3 else len(w))
 
     def in_r1(p):
@@ -976,22 +980,22 @@ def dutch_stem(word: str) -> str:  # noqa: C901
     if w.endswith("heden") and in_r1(len(w) - 5):
         w = w[:-5] + "heid"
     elif w.endswith("ene") and in_r1(len(w) - 3) and len(w) >= 4 \
-            and w[-4].lower() not in _NL_VOWELS and not w.endswith("gemene"):
+            and w[-4] not in _NL_VOWELS and not w.endswith("gemene"):
         w = undouble(w[:-3])
     elif w.endswith("en") and in_r1(len(w) - 2) and len(w) >= 3 \
-            and w[-3].lower() not in _NL_VOWELS and not w.endswith("gemen"):
+            and w[-3] not in _NL_VOWELS and not w.endswith("gemen"):
         w = undouble(w[:-2])
     elif w.endswith("se") and in_r1(len(w) - 2) and len(w) >= 3 \
-            and w[-3].lower() not in _NL_VOWELS and w[-3] != "j":
+            and w[-3] not in _NL_VOWELS and w[-3] != "j":
         w = w[:-2]
     elif w.endswith("s") and in_r1(len(w) - 1) and len(w) >= 2 \
-            and w[-2].lower() not in _NL_VOWELS and w[-2] != "j":
+            and w[-2] not in _NL_VOWELS and w[-2] != "j":
         w = w[:-1]
 
     # step 2
     e_removed = False
     if w.endswith("e") and in_r1(len(w) - 1) and len(w) >= 2 \
-            and w[-2].lower() not in _NL_VOWELS:
+            and w[-2] not in _NL_VOWELS:
         w = undouble(w[:-1])
         e_removed = True
 
@@ -999,7 +1003,7 @@ def dutch_stem(word: str) -> str:  # noqa: C901
     if w.endswith("heid") and in_r2(len(w) - 4) and (len(w) < 5 or w[-5] != "c"):
         w = w[:-4]
         if w.endswith("en") and in_r1(len(w) - 2) and len(w) >= 3 \
-                and w[-3].lower() not in _NL_VOWELS and not w.endswith("gemen"):
+                and w[-3] not in _NL_VOWELS and not w.endswith("gemen"):
             w = undouble(w[:-2])
 
     # step 3b
@@ -1014,7 +1018,7 @@ def dutch_stem(word: str) -> str:  # noqa: C901
     elif w.endswith("lijk") and in_r2(len(w) - 4):
         w = w[:-4]
         if w.endswith("e") and in_r1(len(w) - 1) and len(w) >= 2 \
-                and w[-2].lower() not in _NL_VOWELS:
+                and w[-2] not in _NL_VOWELS:
             w = undouble(w[:-1])
     elif w.endswith("baar") and in_r2(len(w) - 4):
         w = w[:-4]
@@ -1024,8 +1028,8 @@ def dutch_stem(word: str) -> str:  # noqa: C901
     # step 4: undouble vowel — C v v C (second C not I) with vv in aa/ee/oo/uu
     if len(w) >= 4:
         c1, v1, v2, c2 = w[-4], w[-3], w[-2], w[-1]
-        if c1.lower() not in _NL_VOWELS and v1 == v2 and v1 in "aeou" \
-                and c2.lower() not in _NL_VOWELS and c2 != "I":
+        if c1 not in _NL_VOWELS and v1 == v2 and v1 in "aeou" \
+                and c2 not in _NL_VOWELS and c2 != "I":
             w = w[:-2] + w[-1]
 
     return w.replace("Y", "y").replace("I", "i")

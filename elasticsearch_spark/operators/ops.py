@@ -133,6 +133,36 @@ def mask_tombstones(spark: SparkSession, index_dir: str, docs: DataFrame) -> Dat
     return docs if tdf is None else docs.join(tdf, "doc_id", "left_anti")
 
 
+def pin_tombstones(index_dir: str, dest_dir: str) -> list[str]:
+    """Snapshot the CURRENT tombstone set for a cursor (scroll isolation):
+    hard-link every live tombstone file into ``dest_dir``. Writers only
+    ever atomically REPLACE the compact file / append NEW batch files, so
+    the linked inodes stay frozen — content-pinning at zero copy cost,
+    independent of delete count. Returns the pinned paths."""
+    os.makedirs(dest_dir, exist_ok=True)
+    pinned = []
+    for i, src in enumerate(_tomb_paths(index_dir)):
+        dst = os.path.join(dest_dir, f"pin_{i:04d}.parquet")
+        try:
+            os.link(src, dst)
+        except OSError:  # cross-device fallback
+            import shutil
+
+            shutil.copy2(src, dst)
+        pinned.append(dst)
+    return pinned
+
+
+def mask_tombstones_pinned(
+    spark: SparkSession, pinned: list[str], docs: DataFrame
+) -> DataFrame:
+    """liveDocs against a pinned snapshot instead of the live set."""
+    if not pinned:
+        return docs
+    tdf = spark.read.parquet(*pinned).select(F.col("doc_id").cast("long"))
+    return docs.join(tdf, "doc_id", "left_anti")
+
+
 # row-group size for tombstone writes: small enough that range reads prune
 # hard, large enough that footers stay tiny
 _TOMB_ROW_GROUP = 131072

@@ -1570,8 +1570,14 @@ def _compile_agg(df: DataFrame, name: str, spec: dict) -> DataFrame:
                     return v.timestamp()  # naive driver-local → instant
                 if isinstance(v, (int, float)):
                     return v / 1000.0  # epoch millis → instant
-                return _dt.datetime.fromisoformat(
-                    str(v)).replace(tzinfo=sess_tz).timestamp()
+                # ISO string: 'Z' first (pre-3.11 fromisoformat rejects it);
+                # an EXPLICIT offset is an instant already — only a naive
+                # wall time is interpreted in the Spark session zone
+                parsed = _dt.datetime.fromisoformat(
+                    str(v).replace("Z", "+00:00"))
+                if parsed.tzinfo is None:
+                    parsed = parsed.replace(tzinfo=sess_tz)
+                return parsed.timestamp()
 
             lo_e = _epoch(lo) if lo is not None else None
             hi_e = _epoch(hi) if hi is not None else None

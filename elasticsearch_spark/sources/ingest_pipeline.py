@@ -679,31 +679,73 @@ def _py_spark_type(v) -> str:
 
 
 def _ctx_script(df: DataFrame, src: str, params: dict | None) -> DataFrame:
-    """Painless ``ctx``-mutating script processor. Output schema is fixed
-    up front (mapInPandas requires it) by one driver-side trial execution
-    against the first row — bounded at limit(1), independent of data size:
-    fields the script adds get types inferred from the trial values,
-    fields it removes drop, existing columns keep their types. Executors
-    then run the script per row over Arrow batches."""
-    import json
-
+    """Painless ``ctx``-mutating script processor. mapInPandas needs a FIXED
+    output schema, so it is derived row-independently: a static AST scan
+    collects every ctx field the script can assign (including inside
+    conditionals — a first-row-only trial would silently drop fields the
+    first row doesn't exercise), and a bounded multi-row trial (≤50 rows)
+    supplies value types for them. A column is dropped only when the script
+    removes it UNCONDITIONALLY (a top-level ``ctx.remove('f')`` statement);
+    a conditional remove is encoded as null per row (the columnar
+    representation of document absence). Statically-found fields no trial
+    row exercised default to string."""
     import pandas as pd
 
     from ..functions import painless as P
 
     params = dict(params or {})
-    sample = df.limit(1).collect()
+    prog = P.compile_painless(src)
+
+    # static over-approximation: ctx.f = / ctx['f'] = targets, literal keys
+    assigned: list[str] = []
+
+    def scan(n):
+        if not isinstance(n, tuple):
+            return
+        if n[0] == "assign":
+            tgt = n[1]
+            if (tgt[0] == "field" and tgt[1] == ("var", "ctx")
+                    and tgt[2] not in assigned):
+                assigned.append(tgt[2])
+            elif (tgt[0] == "index" and tgt[1] == ("var", "ctx")
+                    and tgt[2][0] == "lit" and tgt[2][1] not in assigned):
+                assigned.append(tgt[2][1])
+        for child in n[1:] if isinstance(n, tuple) else ():
+            if isinstance(child, tuple):
+                scan(child)
+            elif isinstance(child, list):
+                for c in child:
+                    scan(c)
+
+    scan(prog)
+
+    # top-level ctx.remove('f') statements run on every row — safe to drop
+    removed_always: set[str] = set()
+    if prog[0] == "block":
+        for stmt in prog[1]:
+            if (isinstance(stmt, tuple) and stmt[0] == "expr"
+                    and isinstance(stmt[1], tuple) and stmt[1][0] == "call"
+                    and stmt[1][1] == ("var", "ctx") and stmt[1][2] == "remove"
+                    and stmt[1][3] and stmt[1][3][0][0] == "lit"):
+                removed_always.add(stmt[1][3][0][1])
+
+    sample = df.limit(50).collect()
     if not sample:
         return df
-    trial_ctx = {k: P._clean(v) for k, v in sample[0].asDict(recursive=True).items()}
-    before = set(trial_ctx)
-    P.execute(P.compile_painless(src), {"params": params, "ctx": trial_ctx})
-    removed = before - set(trial_ctx)
-    added = [k for k in trial_ctx if k not in before]
+    trial_types: dict[str, str] = {}
+    for row in sample:
+        trial_ctx = {k: P._clean(v) for k, v in row.asDict(recursive=True).items()}
+        before = set(trial_ctx)
+        P.execute(prog, {"params": params, "ctx": trial_ctx})
+        for k, v in trial_ctx.items():
+            if k not in before and k not in trial_types and v is not None:
+                trial_types[k] = _py_spark_type(v)
 
     in_types = dict(df.dtypes)
-    out_fields = [(c, in_types[c]) for c in df.columns if c not in removed]
-    out_fields += [(k, _py_spark_type(trial_ctx[k])) for k in added]
+    added = [k for k in dict.fromkeys(list(trial_types) + assigned)
+             if k not in in_types and k not in removed_always]
+    out_fields = [(c, in_types[c]) for c in df.columns if c not in removed_always]
+    out_fields += [(k, trial_types.get(k, "string")) for k in added]
     schema = ", ".join(f"`{c}` {t}" for c, t in out_fields)
     names = [c for c, _ in out_fields]
     roots = {c: t.split("<")[0] for c, t in out_fields}

@@ -686,17 +686,22 @@ def test_scroll_pages_with_concurrent_bulk_isolation(spark, tmp_path):
     eng.bulk("sc", spark.createDataFrame(
         [(f"zz{i}", f"common text new {i}", "en") for i in range(5)],
         "url string, text string, lang string"))
+    # concurrent DELETE mid-scroll: tombstones are pinned at cursor open,
+    # so a doc deleted after page 1 still appears on its later page
+    # (ES scroll returns the snapshot-time view)
+    eng.delete_by_query("sc", {"query": {"term": {"url": "u020"}}})
     page2 = eng.scroll(sid)
     page3 = eng.scroll(sid)
     page4 = eng.scroll(sid)
     got = [r["url"] for r in page1["hits"] + page2["hits"] + page3["hits"] + page4["hits"]]
+    assert "u020" in got                              # delete did not leak
     assert len(page2["hits"]) == 10 and len(page3["hits"]) == 5
     assert page4["hits"] == []          # exhausted
     assert sorted(got) == sorted(r[0] for r in rows)  # all 25, no dupes
     assert not any(u.startswith("zz") for u in got)   # bulk did not leak
-    # a FRESH search does see the new docs
+    # a FRESH search does see the new docs AND the delete
     fresh = eng.search("sc", {"query": {"match": {"text": "common"}}, "size": 50})
-    assert fresh["hits"].count() == 30
+    assert fresh["hits"].count() == 29
     assert eng.clear_scroll(sid)["succeeded"]
     assert not eng.clear_scroll(sid)["succeeded"]
     import pytest as _pt
@@ -706,10 +711,10 @@ def test_scroll_pages_with_concurrent_bulk_isolation(spark, tmp_path):
 
 def test_async_search_partial_reduces(spark, tmp_path):
     """Mid-flight async_search_get returns is_partial: true with partial
-    hits/aggs reduced over ONLY the completed segments (x-pack
-    async-search MutableSearchResponse snapshots)."""
-    import threading
-    import time
+    hits/aggs reduced over ONLY the completed segment slice (x-pack
+    async-search MutableSearchResponse snapshots) — computed LAZILY at get
+    time, so an unpolled search pays zero partial-reduce cost."""
+    import concurrent.futures
 
     from elasticsearch_spark.api import Engine
 
@@ -726,20 +731,24 @@ def test_async_search_partial_reduces(spark, tmp_path):
     final = eng.async_search_get(sid, wait_seconds=120)
     assert final["is_running"] is False and final["is_partial"] is False
     assert len(final["response"]["hits"]) == 5
-    # the runner published at least one partial snapshot before finishing
-    snap = eng._async_partials[sid]["snap"]
+    # no one polled mid-flight → no partial snapshot was ever computed,
+    # and completion dropped the meta entry (no per-sid leak)
+    assert sid not in eng._async_meta
+
+    # deterministic mid-flight GET: a never-done future with live meta —
+    # the get computes the partial reduce lazily and caches it
+    eng._async_searches["pinned"] = concurrent.futures.Future()  # never done
+    eng._async_meta["pinned"] = {"index": "asx", "body": body, "snap": None}
+    mid = eng.async_search_get("pinned")
+    assert mid["is_running"] is True and mid["is_partial"] is True
+    snap = mid["response"]
     assert snap is not None
     assert snap["_shards"]["successful"] < snap["_shards"]["total"]
     assert snap["hits"]  # partial hits from completed segments
     langs = {r["key"]: r["doc_count"] for r in snap["aggregations"]["langs"]}
     assert langs and sum(langs.values()) < 40  # strictly partial agg frame
-    # the GET contract mid-flight: a still-running search serves the snap
-    import concurrent.futures
-
-    eng._async_searches["pinned"] = concurrent.futures.Future()  # never done
-    eng._async_partials["pinned"] = {"lock": threading.Lock(), "snap": snap}
-    mid = eng.async_search_get("pinned")
-    assert mid["is_running"] is True and mid["is_partial"] is True
-    assert mid["response"]["_shards"]["successful"] < mid["response"]["_shards"]["total"]
-    assert mid["response"]["aggregations"]["langs"]
-    del eng._async_searches["pinned"]
+    # second poll reuses the cached snapshot (same object)
+    assert eng.async_search_get("pinned")["response"] is snap
+    # delete drops both registries
+    eng.async_search_delete("pinned")
+    assert "pinned" not in eng._async_meta

@@ -515,3 +515,22 @@ def test_user_defined_functions():
     return total([1, 2, 3]) + total([10])
     """
     assert run(src2) == 16
+
+
+def test_ingest_ctx_script_conditional_add(spark):
+    """Fields added only inside conditionals must appear in the schema even
+    when the first row doesn't exercise the branch (static assign scan)."""
+    from elasticsearch_spark.sources.ingest_pipeline import run_pipeline
+
+    df = spark.createDataFrame(
+        [("u1", "de", 1), ("u2", "en", 2), ("u3", "en", 3)],
+        "url string, lang string, n int").repartition(1)
+    out = run_pipeline(df, [{"script": {"source": """
+        if (ctx.lang == 'en') { ctx.flag = ctx.n * 10 }
+        if (ctx.lang == 'xx') { ctx.never = 'y' }
+    """}}])
+    rows = {r["url"]: r for r in out.collect()}
+    assert rows["u1"]["flag"] is None          # branch not taken → null
+    assert rows["u2"]["flag"] == 20 and rows["u3"]["flag"] == 30
+    # a field no trial row exercises still exists (string-typed fallback)
+    assert "never" in out.columns and rows["u1"]["never"] is None
