@@ -90,6 +90,7 @@ class Engine:
         self._seq = itertools.count(1)  # monotonic ids (PITs, ad-hoc names)
         os.makedirs(root, exist_ok=True)
         self._load_stored_scripts()  # re-register {"id": ...} script refs
+        self._apply_cluster_settings(self.get_cluster_settings())
 
     # ---- point-in-time readers ---------------------------------------------
 
@@ -339,6 +340,46 @@ class Engine:
             shutil.rmtree(d, ignore_errors=True)
 
     # ---- aliases / rollover / snapshots -----------------------------------
+
+    # ---- cluster settings ---------------------------------------------------
+
+    def _cluster_settings_path(self) -> str:
+        return os.path.join(self.root, "_cluster_settings.json")
+
+    def put_cluster_settings(self, body: dict) -> dict:
+        """``PUT /_cluster/settings`` (persistent/transient flat keys).
+        Dynamic settings apply immediately; currently actioned:
+        ``search.allow_expensive_queries`` (SearchService.java:165 — gates
+        prefix/wildcard/regexp/fuzzy/script/script_score at the exact
+        points the reference does). Other keys persist verbatim."""
+        import json
+
+        settings = self.get_cluster_settings()
+        for scope in ("persistent", "transient"):
+            for k, v in (body.get(scope) or {}).items():
+                if v is None:
+                    settings.pop(k, None)
+                else:
+                    settings[k] = v
+        tmp = self._cluster_settings_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(settings, f)
+        os.replace(tmp, self._cluster_settings_path())
+        self._apply_cluster_settings(settings)
+        return {"acknowledged": True, "persistent": settings, "transient": {}}
+
+    def get_cluster_settings(self) -> dict:
+        import json
+
+        try:
+            with open(self._cluster_settings_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def _apply_cluster_settings(self, settings: dict) -> None:
+        v = settings.get("search.allow_expensive_queries", True)
+        dsl.ALLOW_EXPENSIVE_QUERIES = str(v).lower() != "false"
 
     # ---- remote clusters (cross-cluster search) ----------------------------
 

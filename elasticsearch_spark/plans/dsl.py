@@ -43,6 +43,23 @@ from pyspark.sql import functions as F
 K1 = 1.2
 B = 0.75
 
+# search.allow_expensive_queries (SearchService.java:165
+# ALLOW_EXPENSIVE_QUERIES, dynamic cluster scope): when false, query types
+# the reference classes as expensive refuse to run. Gated here exactly
+# where the reference gates them: StringFieldType.java:64,81,153,185,206
+# (prefix/wildcard/regexp/fuzzy/range-on-text), ScriptQueryBuilder.java:129,
+# ScriptScoreQueryBuilder. Cluster-wide dynamic state, toggled by
+# Engine.put_cluster_settings.
+ALLOW_EXPENSIVE_QUERIES = True
+
+
+def _check_expensive(kind: str) -> None:
+    if not ALLOW_EXPENSIVE_QUERIES:
+        raise ValueError(
+            f"[{kind}] queries cannot be executed when "
+            "'search.allow_expensive_queries' is set to false."
+        )
+
 _QDL = (
     "case when dl < 8 then dl else "
     "(dl >> (cast(floor(log2(dl)) as int) - 3)) << (cast(floor(log2(dl)) as int) - 3) end"
@@ -284,6 +301,7 @@ class PrefixQ(Leaf):
     case_insensitive: bool = False
 
     def predicate(self, ctx):  # PrefixQueryBuilder.java
+        _check_expensive("prefix")
         c, v = ctx.kw_pair(self.fld, F.col(self.fld), self.value)
         if self.case_insensitive:
             return F.lower(c).startswith(v.lower())
@@ -296,6 +314,7 @@ class WildcardQ(Leaf):
     case_insensitive: bool = False
 
     def predicate(self, ctx):  # WildcardQueryBuilder.java: * → %, ? → _
+        _check_expensive("wildcard")
         c, pat = ctx.kw_pair(
             self.fld, F.col(self.fld), self.value.replace("*", "%").replace("?", "_")
         )
@@ -310,6 +329,7 @@ class RegexpQ(Leaf):
     case_insensitive: bool = False
 
     def predicate(self, ctx):  # RegexpQueryBuilder.java (anchored, like Lucene)
+        _check_expensive("regexp")
         rx = f"^(?:{self.value})$"
         if self.case_insensitive:
             rx = "(?i)" + rx
@@ -345,6 +365,7 @@ class FuzzyQ(Leaf):
     transpositions: bool = True  # accepted for parity; levenshtein ≥ OSA
 
     def predicate(self, ctx):  # FuzzyQueryBuilder.java
+        _check_expensive("fuzzy")
         pred = F.levenshtein(F.col(self.fld), F.lit(self.value)) <= self.fuzziness
         if self.prefix_length > 0:
             # FuzzyQuery prefixLength: candidates must share the initial
@@ -1233,6 +1254,7 @@ class ScriptQ(Node):
     params: dict | None = None
 
     def predicate(self, ctx):
+        _check_expensive("script")
         return script_col(ctx.df, self.source, self.params,
                           ret_type="boolean").cast("boolean")
 
@@ -1626,6 +1648,7 @@ class FunctionScoreQ(Node):
             # ScriptScoreFunctionBuilder.java: over doc fields + `_score`
             # (the query score column); Painless-subset scripts route to
             # the interpreter, SQL expressions stay JVM-side
+            _check_expensive("script_score")
             src, sparams = script_source(spec["script_score"]["script"])
             v = script_col(joined, src, sparams, ret_type="double",
                            score_col=F.col("_score")).cast("double")

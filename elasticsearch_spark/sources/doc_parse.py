@@ -116,16 +116,101 @@ def parse_documents(
         ok, rejects = keys, keys.limit(0).withColumn("_reason", F.lit("")).drop("__keys")
 
     parsed = ok.withColumn("__doc", F.from_json(F.col(json_col), schema))
-    out_cols = [
-        # a missing field hashes to NOTHING (the reference's murmur3 mapper
-        # indexes no value) — xxhash64(NULL) would return the seed and give
-        # every absent field a phantom shared hash
-        F.when(
-            F.col(f"__doc.{n}").isNotNull(), F.xxhash64(F.col(f"__doc.{n}"))
-        ).alias(n) if n in murmur_fields
-        else F.col(f"__doc.{n}").alias(n)
-        for n in schema.fieldNames()
-    ]
+
+    props = mapping.get("properties", mapping)
+
+    def _spec(n: str) -> dict:
+        s = props.get(n)
+        return s if isinstance(s, dict) else {}
+
+    # per-field mapping params (MappedFieldType / FieldMapper.java):
+    #   ignore_above   (keyword)      — longer values are NOT indexed (null
+    #                                    column) but stay in _source
+    #   null_value                    — explicit JSON null indexes the
+    #                                    substitute (absent fields don't)
+    #   ignore_malformed               — unparseable values null the column
+    #                                    and record the field in _ignored
+    #                                    (IgnoredFieldMapper) instead of
+    #                                    failing the document
+    # Fields WITHOUT ignore_malformed whose present value fails the typed
+    # parse reject the document (mapper_parsing_exception, bulk item-level
+    # failure) — checked for numeric/boolean types where from_json's null
+    # reliably means malformed (dates/ips parse leniently, documented).
+    _CHECKED = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+                T.DoubleType, T.FloatType, T.BooleanType)
+    _INTEGRAL = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+
+    def _coerced(n: str, dtype: T.DataType) -> Column:
+        # coerce: true (NumberFieldMapper.java default) — JSON strings
+        # holding a parseable number index as the number; from_json nulls
+        # them, so fall back to casting the raw JSON scalar. Integral types
+        # additionally truncate decimal strings ("4.5" -> 4), matching
+        # Numbers.toLongExact's coerce path.
+        col = F.col(f"__doc.{n}")
+        raw_v = F.get_json_object(F.col(json_col), f"$.{n}")
+        casts = [raw_v.try_cast(dtype.simpleString())]
+        if isinstance(dtype, _INTEGRAL):
+            casts.append(raw_v.try_cast("double").try_cast(dtype.simpleString()))
+        return F.coalesce(col, *casts)
+
+    def _field_col(n: str) -> Column:
+        col = F.col(f"__doc.{n}")
+        spec = _spec(n)
+        if isinstance(schema[n].dataType, _CHECKED) and n not in murmur_fields:
+            col = _coerced(n, schema[n].dataType)
+        if n in murmur_fields:
+            # a missing field hashes to NOTHING (the reference's murmur3
+            # mapper indexes no value) — xxhash64(NULL) would return the
+            # seed and give every absent field a phantom shared hash
+            return F.when(col.isNotNull(), F.xxhash64(col)).alias(n)
+        ia = spec.get("ignore_above")
+        if ia is not None and spec.get("type") == "keyword":
+            col = F.when(F.length(col) <= int(ia), col)
+        nv = spec.get("null_value")
+        if nv is not None:
+            # present-but-null (field name in __keys, parsed null, raw JSON
+            # literal null) → substitute; absent stays absent
+            raw_v = F.get_json_object(F.col(json_col), f"$.{n}")
+            col = F.when(
+                col.isNull() & F.array_contains(F.col("__keys"), n)
+                & raw_v.isNull(),
+                F.lit(nv),
+            ).otherwise(col)
+        return col.alias(n)
+
+    out_cols = [_field_col(n) for n in schema.fieldNames()]
+
+    # _ignored + malformed rejection over the checked scalar types
+    malformed_flags = []
+    for f_ in schema.fields:
+        if not isinstance(f_.dataType, _CHECKED) or f_.name in murmur_fields:
+            continue
+        present = F.array_contains(F.col("__keys"), f_.name) & \
+            F.get_json_object(F.col(json_col), f"$.{f_.name}").isNotNull()
+        bad = present & _coerced(f_.name, f_.dataType).isNull()
+        malformed_flags.append((f_.name, bad, bool(_spec(f_.name).get("ignore_malformed"))))
+    ignored_entries = [F.when(bad, F.lit(n)) for n, bad, im in malformed_flags if im]
+    strict_bad = [bad for _, bad, im in malformed_flags if not im]
+    if ignored_entries:
+        out_cols.append(
+            F.array_compact(F.array(*ignored_entries)).alias("_ignored"))
+    if strict_bad:
+        import functools as _ft
+
+        any_bad = _ft.reduce(lambda a, b: a | b, strict_bad)
+        bad_rows = parsed.where(any_bad).withColumn(
+            "_reason", F.lit("mapper_parsing_exception: malformed value")
+        ).drop("__keys", "__doc")
+        rejects = rejects.unionByName(bad_rows, allowMissingColumns=True)
+        parsed = parsed.where(~any_bad)
+
+    # copy_to (FieldMapper copyTo): source values append to the target's
+    # token stream — for text/keyword targets the space-joined concat is
+    # the same analyzed term multiset
+    copy_targets: dict[str, list[str]] = {}
+    for n in schema.fieldNames():
+        for tgt in _spec(n).get("copy_to") or []:
+            copy_targets.setdefault(tgt, []).append(n)
 
     if dynamic == "true":
         # schema inference over the batch for unmapped fields (the dynamic-
@@ -141,6 +226,20 @@ def parse_documents(
                     else F.from_json(F.col(json_col), T.StructType([f_])).getField(f_.name)
                 )
                 out_cols.append(F.col(f_.name))
+
+    if copy_targets:
+        names_in_out = list(schema.fieldNames())
+        for tgt, sources in copy_targets.items():
+            pieces = [F.col(f"__doc.{s}").cast("string") for s in sources]
+            if tgt in names_in_out:
+                joined = F.concat_ws(
+                    " ", F.col(f"__doc.{tgt}").cast("string"), *pieces)
+                out_cols[names_in_out.index(tgt)] = F.when(
+                    F.trim(joined) != "", F.trim(joined)).alias(tgt)
+            else:
+                joined = F.concat_ws(" ", *pieces)
+                out_cols.append(
+                    F.when(F.trim(joined) != "", F.trim(joined)).alias(tgt))
 
     base = [F.col(id_col)] if id_col and id_col in raw.columns else []
     extra = []

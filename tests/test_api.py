@@ -752,3 +752,38 @@ def test_async_search_partial_reduces(spark, tmp_path):
     # delete drops both registries
     eng.async_search_delete("pinned")
     assert "pinned" not in eng._async_meta
+
+
+def test_allow_expensive_queries_gate(es):
+    """search.allow_expensive_queries: false refuses the query types the
+    reference gates (StringFieldType.java:64-206, ScriptQueryBuilder.java:129,
+    SearchService.java:165) and re-enabling restores them."""
+    es.put_cluster_settings(
+        {"persistent": {"search.allow_expensive_queries": False}})
+    try:
+        for q in (
+            {"prefix": {"url": {"value": "u"}}},
+            {"wildcard": {"url": {"value": "u*"}}},
+            {"regexp": {"url": {"value": "u[0-9]"}}},
+            {"fuzzy": {"url": {"value": "u1", "fuzziness": 1}}},
+            {"script": {"script": {"source": "doc['lang'].value == 'en'"}}},
+        ):
+            with pytest.raises(ValueError, match="allow_expensive_queries"):
+                es.search("pages", {"query": q, "size": 3})
+        # cheap queries still run
+        assert es.search("pages", {"query": {"term": {"lang": "en"}}, "size": 10})["hits"].count() == 4
+    finally:
+        es.put_cluster_settings(
+            {"persistent": {"search.allow_expensive_queries": None}})
+    assert es.search("pages", {"query": {"prefix": {"url": {"value": "u"}}}, "size": 10})["hits"].count() == 5
+    # the setting round-trips through GET and survives a re-open
+    es.put_cluster_settings({"persistent": {"search.allow_expensive_queries": False}})
+    assert es.get_cluster_settings()["search.allow_expensive_queries"] is False
+    from elasticsearch_spark.api import Engine as _E
+
+    _E(es.spark, root=es.root)  # re-init applies persisted settings
+    from elasticsearch_spark.plans import dsl as _dsl
+
+    assert _dsl.ALLOW_EXPENSIVE_QUERIES is False
+    es.put_cluster_settings({"persistent": {"search.allow_expensive_queries": None}})
+    assert _dsl.ALLOW_EXPENSIVE_QUERIES is True

@@ -76,3 +76,98 @@ def test_strict_malformed_json_quarantined(spark):
     rej = rejects.collect()
     assert len(rej) == 3
     assert all("mapper_parsing_exception" in r["_reason"] for r in rej)
+
+
+# ---------------------------------------------------------------------------
+# per-field mapping params: ignore_above / null_value / ignore_malformed /
+# coerce / copy_to  (KeywordFieldMapper.java, NumberFieldMapper.java,
+# IgnoredFieldMapper.java, FieldMapper.java copyTo;
+# rest-api-spec/test/search.highlight/40_keyword_ignore.yml)
+# ---------------------------------------------------------------------------
+
+PARAM_MAPPING = {
+    "properties": {
+        "tag": {"type": "keyword", "ignore_above": 5},
+        "status": {"type": "keyword", "null_value": "NULL_SUB"},
+        "views": {"type": "long", "ignore_malformed": True},
+        "score": {"type": "long"},
+        "first": {"type": "text", "copy_to": ["full_name"]},
+        "last": {"type": "text", "copy_to": ["full_name"]},
+    }
+}
+
+
+def _parse(spark, rows, mapping=PARAM_MAPPING, dynamic="false"):
+    raw = spark.createDataFrame(rows, "id long, body string")
+    return doc_parse.parse_documents(spark, raw, "body", mapping, dynamic=dynamic, id_col="id")
+
+
+def test_ignore_above_nulls_long_keywords(spark):
+    parsed, rejects = _parse(spark, [
+        (1, '{"tag": "short"}'),          # len 5 — kept (<=)
+        (2, '{"tag": "toolongvalue"}'),   # len 12 — not indexed
+    ])
+    assert rejects.count() == 0
+    rows = {r["id"]: r for r in parsed.collect()}
+    assert rows[1]["tag"] == "short"
+    assert rows[2]["tag"] is None
+    # still in _source (stored, just not indexed)
+    assert "toolongvalue" in rows[2]["_source"]
+
+
+def test_null_value_substitutes_explicit_null_only(spark):
+    parsed, _ = _parse(spark, [
+        (1, '{"status": null}'),   # explicit null -> substitute
+        (2, '{"tag": "x"}'),       # absent -> stays null
+        (3, '{"status": "ok"}'),
+    ])
+    rows = {r["id"]: r for r in parsed.collect()}
+    assert rows[1]["status"] == "NULL_SUB"
+    assert rows[2]["status"] is None
+    assert rows[3]["status"] == "ok"
+
+
+def test_ignore_malformed_nulls_and_records_ignored(spark):
+    parsed, rejects = _parse(spark, [
+        (1, '{"views": 10}'),
+        (2, '{"views": "not-a-number"}'),  # malformed, ignore_malformed: true
+    ])
+    assert rejects.count() == 0
+    rows = {r["id"]: r for r in parsed.collect()}
+    assert rows[1]["views"] == 10 and list(rows[1]["_ignored"]) == []
+    assert rows[2]["views"] is None and list(rows[2]["_ignored"]) == ["views"]
+
+
+def test_malformed_without_flag_rejects_document(spark):
+    parsed, rejects = _parse(spark, [
+        (1, '{"score": 7}'),
+        (2, '{"score": "seven"}'),  # no ignore_malformed -> item-level failure
+    ])
+    assert [r["id"] for r in parsed.collect()] == [1]
+    rej = rejects.collect()
+    assert len(rej) == 1 and rej[0]["id"] == 2
+    assert "mapper_parsing_exception" in rej[0]["_reason"]
+
+
+def test_coerce_numeric_strings(spark):
+    # coerce: true default — "42" and "4.5" index as numbers on a long field
+    parsed, rejects = _parse(spark, [
+        (1, '{"score": "42"}'),
+        (2, '{"score": "4.5"}'),
+    ])
+    assert rejects.count() == 0
+    rows = {r["id"]: r for r in parsed.collect()}
+    assert rows[1]["score"] == 42
+    assert rows[2]["score"] == 4
+
+
+def test_copy_to_concatenates_sources(spark):
+    parsed, _ = _parse(spark, [
+        (1, '{"first": "john", "last": "smith"}'),
+        (2, '{"first": "solo"}'),
+        (3, '{"tag": "x"}'),
+    ])
+    rows = {r["id"]: r for r in parsed.collect()}
+    assert rows[1]["full_name"] == "john smith"
+    assert rows[2]["full_name"] == "solo"
+    assert rows[3]["full_name"] is None
