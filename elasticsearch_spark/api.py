@@ -471,14 +471,64 @@ class Engine:
     def get_aliases(self) -> dict:
         return self._load_aliases()
 
-    def resolve(self, name: str) -> list[str]:
-        """Alias / concrete / comma-list / ``remote:index`` → concrete
-        indices. Cross-cluster names (``TransportSearchAction``'s
+    def resolve(
+        self,
+        name: str,
+        *,
+        ignore_unavailable: bool = False,
+        allow_no_indices: bool = True,
+        expand_wildcards: str = "open",
+    ) -> list[str]:
+        """Alias / concrete / wildcard / ``_all`` / comma-list /
+        ``-exclusion`` / ``remote:index`` → concrete indices
+        (``IndexNameExpressionResolver.java``). Wildcard patterns expand
+        against live indices AND alias names, honoring the indices options:
+
+        - ``expand_wildcards``: comma-set of open/closed/hidden/all/none —
+          ``open`` (default) skips closed indices, dot-prefixed (hidden)
+          names match only when the pattern itself starts with ``.`` or
+          ``hidden`` is requested (the reference's implicit-hidden rule);
+        - ``allow_no_indices``: a wildcard matching nothing raises unless
+          true (the default, matching the reference's search default);
+        - ``ignore_unavailable``: a missing CONCRETE name raises
+          index_not_found_exception unless true;
+        - ``-pattern`` after a wildcard removes matching names.
+
+        Cross-cluster names (``TransportSearchAction``'s
         ``RemoteClusterIndices`` split) resolve the index part against the
         REMOTE cluster's alias table and stay ``cluster:``-qualified — the
         qualified form is what ``_dir`` maps to the remote root and what
         search responses surface as ``_index``."""
+        import fnmatch
+
+        ew = set(str(expand_wildcards).split(","))
         out: list[str] = []
+        aliases = self._load_aliases()
+        live: list[str] | None = None  # lazy: most calls are concrete names
+
+        def _expand(pat: str) -> list[str]:
+            nonlocal live
+            if live is None:
+                live = self.indices()
+            blocks = self._blocks()
+            hits = set()
+            for i in live:
+                if not fnmatch.fnmatchcase(i, pat):
+                    continue
+                if i.startswith(".") and not pat.startswith(".") and \
+                        not ({"hidden", "all"} & ew):
+                    continue
+                is_closed = "closed" in blocks.get(i, [])
+                if is_closed and not ({"closed", "all"} & ew):
+                    continue
+                if not is_closed and not ({"open", "all"} & ew):
+                    continue
+                hits.add(i)
+            for a, spec in aliases.items():
+                if fnmatch.fnmatchcase(a, pat):
+                    hits.update(spec["indices"])
+            return sorted(hits)
+
         for part in name.split(","):
             part = part.strip()
             if not part:
@@ -486,13 +536,35 @@ class Engine:
             if ":" in part:
                 cluster, ix = part.split(":", 1)
                 remote = Engine(self.spark, self._remote_root(cluster))
-                out.extend(f"{cluster}:{c}" for c in remote.resolve(ix))
+                out.extend(
+                    f"{cluster}:{c}" for c in remote.resolve(
+                        ix, ignore_unavailable=ignore_unavailable,
+                        allow_no_indices=allow_no_indices,
+                        expand_wildcards=expand_wildcards)
+                )
                 continue
-            aliases = self._load_aliases()
+            if part.startswith("-") and out:
+                out = [i for i in out if not fnmatch.fnmatchcase(i, part[1:])]
+                continue
             if part in aliases:
-                out.extend(aliases[part]["indices"])
-            else:
-                out.append(part)
+                out.extend(i for i in aliases[part]["indices"] if i not in out)
+                continue
+            if "*" in part or part == "_all":
+                matched = _expand("*" if part == "_all" else part)
+                if not matched and not allow_no_indices:
+                    raise ValueError(
+                        f"index_not_found_exception: no such index [{part}] "
+                        "(allow_no_indices=false)")
+                out.extend(i for i in matched if i not in out)
+                continue
+            if live is None:
+                live = self.indices()
+            if part not in live:
+                if ignore_unavailable:
+                    continue
+                raise ValueError(
+                    f"index_not_found_exception: no such index [{part}]")
+            out.append(part)
         return out
 
     def _write_index(self, name: str) -> str:
@@ -1099,6 +1171,22 @@ class Engine:
         (the reference's ``SearchProfileResults`` phase tree) attaches the
         Spark physical plan of the hits frame — planning only, no extra
         execution."""
+        # request-window validation (SearchService.java canMatch / 30_limits
+        # yml): negative from/size refuse, and from + size must stay within
+        # index.max_result_window (default 10000) — deep pagination belongs
+        # to search_after / scroll, which stream past the window
+        frm = int(body.get("from", 0) or 0)
+        size = int(body.get("size", 10) or 0)
+        if frm < 0:
+            raise ValueError(f"[from] parameter cannot be negative but was [{frm}]")
+        if size < 0:
+            raise ValueError(f"[size] parameter cannot be negative but was [{size}]")
+        if frm + size > self._max_result_window(index):
+            raise ValueError(
+                f"Result window is too large, from + size must be less than "
+                f"or equal to: [{self._max_result_window(index)}] but was "
+                f"[{frm + size}]. See the scroll api for a more efficient "
+                "way to request large data sets.")
         q = body.get("query")
         if isinstance(q, dict) and "rule" in q:
             # rule query (RuleQueryBuilder.doRewrite): coordinator-side
@@ -2567,6 +2655,22 @@ class Engine:
                 return json.load(f)
         return {}
 
+    def _max_result_window(self, index: str) -> int:
+        """index.max_result_window (IndexSettings.MAX_RESULT_WINDOW_SETTING,
+        default 10000) for the first concrete index the name maps to —
+        missing indices defer to the default so the not-found error (raised
+        later by resolve) stays the primary failure."""
+        try:
+            concrete = self.resolve(index, ignore_unavailable=True)
+            if not concrete or ":" in concrete[0]:
+                return 10_000
+            meta = store.IndexMeta.load(self._dir(concrete[0]))
+            return int((meta.settings or {}).get(
+                "index.max_result_window",
+                (meta.settings or {}).get("max_result_window", 10_000)))
+        except Exception:  # noqa: BLE001 — window check must never mask the real error
+            return 10_000
+
     def get_settings(self, index: str) -> dict:
         """GET /{index}/_settings: the structural settings the engine
         interprets (shards/partitions/analyzer/sort/similarity) plus the
@@ -2707,8 +2811,13 @@ class Engine:
         return {"acknowledged": True}
 
     def close_index(self, index: str) -> dict:
-        """POST /{index}/_close: no reads, no writes, data retained."""
-        return self.add_block(index, "read_only")
+        """POST /{index}/_close: no reads, no writes, data retained. The
+        ``closed`` marker additionally drops the index out of default
+        (``expand_wildcards=open``) wildcard resolution."""
+        b = self._blocks()
+        b[index] = sorted(set(b.get(index, [])) | {"read_only", "closed"})
+        self._save_blocks(b)
+        return {"acknowledged": True}
 
     def open_index(self, index: str) -> dict:
         """POST /{index}/_open: clear all blocks."""
@@ -3216,3 +3325,20 @@ class Engine:
             with open(path) as f:
                 return json.load(f)
         return {"properties": {}}
+
+    def get_field_mapping(self, index: str, fields: str) -> dict:
+        """GET /{index}/_mapping/field/{fields}
+        (``TransportGetFieldMappingsAction``): per-field mapping extracts,
+        comma-list + wildcards, reference response shape
+        ``{index: {"mappings": {field: {"full_name", "mapping"}}}}`` —
+        unmatched patterns simply produce no entry."""
+        import fnmatch
+
+        props = self.get_mapping(index).get("properties", {})
+        out: dict = {}
+        for pat in fields.split(","):
+            pat = pat.strip()
+            for name, spec in props.items():
+                if fnmatch.fnmatchcase(name, pat):
+                    out[name] = {"full_name": name, "mapping": {name: spec}}
+        return {index: {"mappings": out}}

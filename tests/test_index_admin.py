@@ -321,3 +321,101 @@ def test_put_settings_atomic_and_first_bulk_versioning(spark, tmp_path):
     res2 = es.search("pages", {"suggest": {
         "c": {"text": "t", "completion": {"field": "text", "size": 2}}}})
     assert res2["suggest"]["c"].count() >= 1
+
+
+# ---------------------------------------------------------------------------
+# wildcard resolution + indices options (IndexNameExpressionResolver.java;
+# rest-api-spec/test/search/80_indices_options.yml)
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_wildcards_and_options(spark, tmp_path):
+    from elasticsearch_spark.api import Engine
+
+    es = Engine(spark, root=str(tmp_path))
+    for n in ("logs-2024", "logs-2025", "metrics-1", ".hidden-sys"):
+        es.create_index(n, num_partitions=2)
+
+    assert es.resolve("logs-*") == ["logs-2024", "logs-2025"]
+    assert es.resolve("_all") == ["logs-2024", "logs-2025", "metrics-1"]
+    # implicit-hidden rule: dot indices match only dot patterns or hidden
+    assert ".hidden-sys" not in es.resolve("*")
+    assert es.resolve(".hidden*") == [".hidden-sys"]
+    assert ".hidden-sys" in es.resolve("*", expand_wildcards="all")
+    # exclusions subtract from the accumulated expansion
+    assert es.resolve("logs-*,-logs-2025") == ["logs-2024"]
+    # closed indices leave default (open) expansion, return under closed/all
+    es.close_index("logs-2025")
+    assert es.resolve("logs-*") == ["logs-2024"]
+    assert es.resolve("logs-*", expand_wildcards="all") == ["logs-2024", "logs-2025"]
+    es.open_index("logs-2025")
+    # missing concrete name: loud by default, skipped under ignore_unavailable
+    with pytest.raises(ValueError, match="index_not_found_exception"):
+        es.resolve("nope")
+    assert es.resolve("nope,logs-2024", ignore_unavailable=True) == ["logs-2024"]
+    # empty wildcard: allowed by default, loud under allow_no_indices=false
+    assert es.resolve("zz-*") == []
+    with pytest.raises(ValueError, match="allow_no_indices"):
+        es.resolve("zz-*", allow_no_indices=False)
+    # aliases expand by wildcard too
+    es.update_aliases([{"add": {"index": "metrics-1", "alias": "m-alias"}}])
+    assert es.resolve("m-al*") == ["metrics-1"]
+
+
+def test_search_over_wildcard_indices(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.api import Engine
+
+    es = Engine(spark, root=str(tmp_path))
+    for i, n in enumerate(("web-a", "web-b")):
+        es.create_index(n, num_partitions=2)
+        docs = spark.createDataFrame(
+            [(f"u{i}-1", "spark indexes the web", "en"),
+             (f"u{i}-2", "unrelated text entirely", "en")],
+            "url string, text string, lang string",
+        ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+        es.bulk(n, docs)
+    res = es.search("web-*", {"query": {"match": {"text": "spark"}}, "size": 10})
+    urls = {r["url"] for r in res["hits"].collect()}
+    assert urls == {"u0-1", "u1-1"}
+
+
+def test_max_result_window_and_negative_params(spark, tmp_path):
+    """30_limits.yml: from+size window validation + negative params."""
+    from pyspark.sql import functions as F
+
+    from elasticsearch_spark.api import Engine
+
+    es = Engine(spark, root=str(tmp_path))
+    es.create_index("t1", num_partitions=2)
+    docs = spark.createDataFrame(
+        [("u1", "foo bar", "en")], "url string, text string, lang string"
+    ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+    es.bulk("t1", docs)
+    with pytest.raises(ValueError, match="Result window is too large"):
+        es.search("t1", {"query": {"match_all": {}}, "from": 10000})
+    with pytest.raises(ValueError, match=r"\[from\] parameter cannot be negative"):
+        es.search("t1", {"query": {"match_all": {}}, "from": -1})
+    with pytest.raises(ValueError, match=r"\[size\] parameter cannot be negative"):
+        es.search("t1", {"query": {"match_all": {}}, "size": -2})
+    # the window is a dynamic per-index setting
+    es.put_settings("t1", {"index": {"max_result_window": 20}})
+    with pytest.raises(ValueError, match=r"equal to: \[20\]"):
+        es.search("t1", {"query": {"match_all": {}}, "from": 15, "size": 10})
+    assert es.search("t1", {"query": {"match_all": {}}, "from": 5, "size": 10})["hits"].count() == 0
+
+
+def test_get_field_mapping(spark, tmp_path):
+    from elasticsearch_spark.api import Engine
+
+    es = Engine(spark, root=str(tmp_path))
+    es.create_index("t2", num_partitions=2)
+    es.put_mapping("t2", {"properties": {
+        "title": {"type": "text"}, "tag": {"type": "keyword"},
+        "tstamp": {"type": "date"}}})
+    out = es.get_field_mapping("t2", "t*")
+    m = out["t2"]["mappings"]
+    assert set(m) == {"title", "tag", "tstamp"}
+    assert m["tag"]["mapping"]["tag"]["type"] == "keyword"
+    assert es.get_field_mapping("t2", "nope")["t2"]["mappings"] == {}
