@@ -1243,7 +1243,10 @@ class Engine:
         # re-applying the same mapping is idempotent
         def _apply_runtime(df):
             for name, spec in (body.get("runtime_mappings") or {}).items():
-                df = df.withColumn(name, dsl.runtime_field_expr(spec))
+                if isinstance(spec, dict) and spec.get("type") == "lookup":
+                    df = self._apply_lookup_field(df, name, spec)
+                else:
+                    df = df.withColumn(name, dsl.runtime_field_expr(spec))
             return df
 
         concrete = self.resolve(index)
@@ -1259,7 +1262,21 @@ class Engine:
 
         def _finish(out_dict: dict) -> dict:
             # response sections that apply to EVERY search path (the final
-            # return and both early returns): suggest + _source filtering
+            # return and both early returns): lookup runtime fields,
+            # suggest, _source filtering
+            for lname, lspec in (body.get("runtime_mappings") or {}).items():
+                if not (isinstance(lspec, dict) and lspec.get("type") == "lookup"):
+                    continue
+                hits0 = out_dict["hits"]
+                if lname in hits0.columns:
+                    continue
+                inp = lspec["input_field"]
+                if inp not in hits0.columns and "url" in hits0.columns \
+                        and len(concrete) == 1:
+                    view = self._docs_view(concrete[0])
+                    if inp in view.columns:
+                        hits0 = hits0.join(view.select("url", inp), "url", "left")
+                out_dict["hits"] = self._apply_lookup_field(hits0, lname, lspec)
             if body.get("suggest"):
                 out_dict["suggest"] = self._run_suggest(concrete[0], body["suggest"])
             sfs = body.get("script_fields") or {}
@@ -2654,6 +2671,25 @@ class Engine:
             with open(self._blocks_path()) as f:
                 return json.load(f)
         return {}
+
+    def _apply_lookup_field(self, df, name: str, spec: dict):
+        """Runtime field ``type: lookup`` (LookupRuntimeFieldType.java,
+        search/390_lookup_fields.yml): enrich each hit with fields fetched
+        from a target index where ``target_field`` equals the doc's
+        ``input_field`` value. The reference runs a per-hit fetch round to
+        the lookup index; here the lookup index is a small dimension by
+        construction, so this is a broadcast hash join — no per-row
+        round-trips, no shuffle of the hits side, scale-free in the number
+        of hits. Result shape matches the reference: an array of structs
+        (multiple matching lookup docs → multiple entries), NULL when the
+        key finds nothing. Core join in dsl.lookup_field."""
+        target = self.resolve(spec["target_index"])[0]
+        tf = spec.get("target_field", "_id")
+        fetch = [f["field"] if isinstance(f, dict) else f
+                 for f in spec.get("fetch_fields", [])]
+        return dsl.lookup_field(
+            df, self._docs_view(target), name, spec["input_field"],
+            "url" if tf in ("_id", "url") else tf, fetch)
 
     def _max_result_window(self, index: str) -> int:
         """index.max_result_window (IndexSettings.MAX_RESULT_WINDOW_SETTING,

@@ -1129,6 +1129,39 @@ def _infer_painless_ret(df, src: str, params: dict | None) -> str:
     return "string"
 
 
+def lookup_field(
+    df: DataFrame,
+    target: DataFrame,
+    name: str,
+    input_field: str,
+    target_key: str,
+    fetch_fields: list[str],
+) -> DataFrame:
+    """Runtime field ``type: lookup`` core (LookupRuntimeFieldType.java,
+    search/390_lookup_fields.yml): enrich each row of ``df`` with an
+    array-of-structs column ``name`` built from the ``fetch_fields`` of
+    every ``target`` row whose ``target_key`` equals the row's
+    ``input_field`` value; NULL when nothing matches. The reference issues
+    a per-hit fetch round to the lookup index — the lookup index is a
+    small dimension by construction, so this is a broadcast hash join: no
+    per-row round-trips, no shuffle of the hits side, scale-free in the
+    number of hits."""
+    have = [f for f in fetch_fields if f in target.columns]
+    right = (
+        target.select(F.col(target_key).alias("__lk_key"),
+                      F.struct(*[F.col(f) for f in have]).alias("__lk_val"))
+        .groupBy("__lk_key")
+        .agg(F.collect_list("__lk_val").alias(name))
+    )
+    left_key = F.col(input_field) if input_field in df.columns \
+        else F.lit(None).cast("string")
+    return (
+        df.withColumn("__lk_in", left_key)
+        .join(F.broadcast(right), F.col("__lk_in") == F.col("__lk_key"), "left")
+        .drop("__lk_in", "__lk_key")
+    )
+
+
 def runtime_field_expr(spec: dict | str) -> Column:
     """Compile one runtime-field spec (RuntimeField.java) to a Column.
     SQL-expressible scripts have the ``emit(expr)`` wrapper stripped and
@@ -2379,6 +2412,10 @@ def search(
     # computed columns — SQL-expression Painless analog, visible to the
     # query, sort, and _source of THIS search only
     for rname, rspec in (body.get("runtime_mappings") or {}).items():
+        if isinstance(rspec, dict) and rspec.get("type") == "lookup":
+            continue  # enriched by the engine layer (broadcast join against
+            # the target index — Engine._apply_lookup_field); a null shadow
+            # column here would mask the joined values
         df = df.withColumn(rname, runtime_field_expr(rspec))
 
     # sliced scroll/search (SliceBuilder.java): slice i of m partitions the

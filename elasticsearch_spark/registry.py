@@ -347,6 +347,28 @@ def q_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lookup_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime field ``type: lookup`` (LookupRuntimeFieldType.java,
+    search/390_lookup_fields.yml): hits enriched from a lookup index via
+    dsl.lookup_field's broadcast join — here events gain the matching
+    customer's market segment; unmatched user_ids keep a NULL entry, the
+    reference's no-match shape."""
+    from .plans.dsl import lookup_field
+
+    e = _events(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    enriched = lookup_field(
+        e, cust, "cust", "user_id", "c_custkey", ["c_mktsegment", "c_name"])
+    return (
+        enriched.select(
+            F.when(F.col("cust").isNotNull(),
+                   F.col("cust")[0]["c_mktsegment"]).alias("segment"))
+        .groupBy("segment")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .orderBy(F.asc_nulls_first("segment"))
+    )
+
+
 def a_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """terms agg (GlobalOrdinalsStringTermsAggregator.java): top-N groups."""
     return (
@@ -4548,6 +4570,11 @@ WHERE doc_id IN (3, 7, 11, 13) ORDER BY doc_id
 SELECT source, count(*)::BIGINT AS doc_count FROM documents
 WHERE source LIKE 'src1%' GROUP BY source ORDER BY source
 """,
+    "dsl_lookup_fields": """
+SELECT c.c_mktsegment AS segment, count(*)::BIGINT AS n_events
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY segment NULLS FIRST
+""",
     "terms_lookup": """
 SELECT event_type, count(*)::BIGINT AS hits FROM events
 WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
@@ -6446,6 +6473,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ids_query": q_ids,
     "wildcard_query": q_wildcard,
     "terms_lookup": q_terms_lookup,
+    "dsl_lookup_fields": q_lookup_fields,
     "agg_terms": a_terms,
     "agg_date_histogram": a_date_histogram,
     "agg_histogram": a_histogram,

@@ -787,3 +787,40 @@ def test_allow_expensive_queries_gate(es):
     assert _dsl.ALLOW_EXPENSIVE_QUERIES is False
     es.put_cluster_settings({"persistent": {"search.allow_expensive_queries": None}})
     assert _dsl.ALLOW_EXPENSIVE_QUERIES is True
+
+
+def test_lookup_runtime_field(spark, tmp_path):
+    """runtime_mappings type:lookup (LookupRuntimeFieldType.java,
+    search/390_lookup_fields.yml): broadcast-join enrichment from a lookup
+    index, array-of-structs shape, NULL on no match."""
+    from elasticsearch_spark.api import Engine
+
+    es = Engine(spark, root=str(tmp_path))
+    es.create_index("ip_locations", num_partitions=2)
+    es.create_index("logs", num_partitions=2)
+    locs = spark.createDataFrame(
+        [("192.168.1.1", "Canada Montreal", "en"),
+         ("192.168.1.3", "Canada Toronto", "en")],
+        "url string, text string, lang string",
+    ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp")) \
+     .withColumn("city", F.element_at(F.split("text", " "), 2)) \
+     .withColumn("country", F.element_at(F.split("text", " "), 1))
+    es.bulk("ip_locations", locs)
+    logs = spark.createDataFrame(
+        [("log1", "The first message", "en", "192.168.1.1"),
+         ("log2", "The second message", "en", "192.168.1.2")],
+        "url string, text string, lang string, ip string",
+    ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+    es.bulk("logs", logs)
+    res = es.search("logs", {
+        "query": {"match_all": {}},
+        "runtime_mappings": {"location": {
+            "type": "lookup", "target_index": "ip_locations",
+            "input_field": "ip", "target_field": "_id",
+            "fetch_fields": ["city", "country"]}},
+        "size": 10,
+    })
+    rows = {r["url"]: r for r in res["hits"].collect()}
+    loc1 = rows["log1"]["location"]
+    assert len(loc1) == 1 and loc1[0]["city"] == "Montreal" and loc1[0]["country"] == "Canada"
+    assert rows["log2"]["location"] is None
