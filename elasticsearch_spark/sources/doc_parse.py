@@ -32,6 +32,11 @@ _ES_TO_SPARK = {
     "byte": T.ByteType(), "double": T.DoubleType(), "float": T.FloatType(),
     "half_float": T.FloatType(), "boolean": T.BooleanType(),
     "date": T.TimestampType(), "ip": T.StringType(), "binary": T.BinaryType(),
+    # date_nanos (DateFieldMapper.Resolution.NANOSECONDS): nanosecond
+    # resolution exceeds Spark's microsecond timestamps, so the column is
+    # epoch-nanos as long — the same representation the reference stores in
+    # doc values (LongPoint nanos); sort/range/aggs operate on the long
+    "date_nanos": T.LongType(),
     # murmur3 (plugins/mapper-murmur3, Murmur3FieldMapper.java): the field
     # stores a 64-bit hash of the value, queried only through cardinality
     # aggs. Parsed as the raw string, hashed JVM-side at parse time (we use
@@ -79,10 +84,17 @@ def parse_documents(
         n for n, spec in mapping.get("properties", mapping).items()
         if isinstance(spec, dict) and spec.get("type") == "murmur3"
     }
+    # date_nanos parses as STRING then converts to epoch-nanos long —
+    # from_json can't express the iso-with-9-fraction-digits → long step
+    nanos_fields = {
+        n for n, spec in mapping.get("properties", mapping).items()
+        if isinstance(spec, dict) and spec.get("type") == "date_nanos"
+    }
+    str_parsed = murmur_fields | nanos_fields
     schema = mapping_to_schema(mapping)
-    if murmur_fields:
+    if str_parsed:
         schema = T.StructType([
-            T.StructField(f.name, T.StringType() if f.name in murmur_fields else f.dataType)
+            T.StructField(f.name, T.StringType() if f.name in str_parsed else f.dataType)
             for f in schema.fields
         ])
     mapped_names = set(schema.fieldNames())
@@ -163,6 +175,19 @@ def parse_documents(
             # mapper indexes no value) — xxhash64(NULL) would return the
             # seed and give every absent field a phantom shared hash
             return F.when(col.isNotNull(), F.xxhash64(col)).alias(n)
+        if n in nanos_fields:
+            # ISO strings: Spark's cast truncates to micros, so recover the
+            # nanosecond tail (fraction digits 7-9) textually; bare numeric
+            # strings are epoch_millis (the default format's second branch,
+            # strict_date_optional_time_nanos||epoch_millis)
+            ts_us = F.unix_micros(col.try_cast("timestamp"))
+            tail = F.regexp_extract(col, r"\.\d{6}(\d{1,3})", 1)
+            nanos_tail = F.when(tail == "", F.lit(0)).otherwise(
+                F.rpad(tail, 3, "0").cast("long"))
+            return F.coalesce(
+                ts_us * F.lit(1000) + nanos_tail,
+                col.try_cast("long") * F.lit(1_000_000),
+            ).alias(n)
         ia = spec.get("ignore_above")
         if ia is not None and spec.get("type") == "keyword":
             col = F.when(F.length(col) <= int(ia), col)

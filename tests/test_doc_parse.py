@@ -171,3 +171,28 @@ def test_copy_to_concatenates_sources(spark):
     assert rows[1]["full_name"] == "john smith"
     assert rows[2]["full_name"] == "solo"
     assert rows[3]["full_name"] is None
+
+
+def test_date_nanos_field(spark):
+    """date_nanos (DateFieldMapper.Resolution.NANOSECONDS,
+    search/240_date_nanos.yml): nanosecond precision preserved as
+    epoch-nanos long — values differing only past microseconds still
+    sort distinctly; bare numbers parse as epoch_millis."""
+    rows = [
+        (1, '{"t": "2024-01-01T12:00:00.123456789Z"}'),
+        (2, '{"t": "2024-01-01T12:00:00.123456788Z"}'),
+        (3, '{"t": "2024-01-01T12:00:00.123Z"}'),
+        (4, '{"t": 1704110400123}'),
+    ]
+    raw = spark.createDataFrame(rows, "id long, body string")
+    parsed, rejects = doc_parse.parse_documents(
+        spark, raw, "body", {"properties": {"t": {"type": "date_nanos"}}},
+        dynamic="false", id_col="id")
+    assert rejects.count() == 0
+    got = {r["id"]: r["t"] for r in parsed.collect()}
+    assert got[1] == 1704110400123456789
+    assert got[2] == 1704110400123456788
+    assert got[1] > got[2]  # nano tail orders
+    assert got[3] == 1704110400123000000
+    assert got[4] == 1704110400123000000  # epoch_millis branch
+    assert parsed.schema["t"].dataType.typeName() == "long"
