@@ -26,8 +26,11 @@ Scope (the subset, chosen from the yaml test corpus
     .empty/.length), ``params``, ``_score``, ``_value``, ``ctx`` (ingest),
     ``state``/``states`` (scripted_metric), ``emit()`` (runtime fields).
 
-NOT implemented (documented out of scope): user function defs, streams,
-regex literals (use String.matches/split), try/catch, varargs, generics
+  - regex literals ``/pat/flags`` (slash disambiguated by lexer context
+    like PainlessLexer.g4's REGEX mode) with ``=~`` (find) / ``==~``
+    (matches) and the Pattern/Matcher whitelist subset.
+
+NOT implemented (documented out of scope): try/catch, varargs, generics
 beyond parse-and-ignore.
 
 Execution model: ``compile_painless`` caches the AST per source;
@@ -75,7 +78,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<op>
-        \?\.|\?:|->|\+\+|--|\+=|-=|\*=|/=|%=|&&|\|\||==|!=|<=|>=|<<|>>
+        \?\.|\?:|->|\+\+|--|\+=|-=|\*=|/=|%=|&&|\|\||==~|=~|==|!=|<=|>=|<<|>>
       | [-+*/%=<>!?:.,;(){}\[\]&|^~]
     )
     """,
@@ -109,9 +112,47 @@ def _unescape(s: str) -> str:
     return "".join(out)
 
 
+# tokens that can END an operand — a '/' after one of these is division;
+# after anything else it opens a regex literal (the Painless grammar makes
+# the same slash disambiguation ANTLR-side, PainlessLexer.g4 REGEX mode)
+_OPERAND_END = {"num", "str", "id", "regex", ")", "]", "++", "--",
+                "true", "false", "null"}
+_JREGEX_FLAGS = {"i": re.IGNORECASE, "m": re.MULTILINE, "s": re.DOTALL,
+                 "x": re.VERBOSE, "c": 0, "l": 0, "U": 0, "u": 0}
+
+
+def _compile_jregex(pat: str, flags_s: str):
+    f = 0
+    for c in flags_s:
+        f |= _JREGEX_FLAGS[c]
+    if "l" in flags_s:  # Pattern.LITERAL
+        pat = re.escape(pat)
+    try:
+        return JPattern(re.compile(pat, f))
+    except re.error as e:
+        raise PainlessError(f"bad regex literal /{pat}/: {e}") from None
+
+
 def _lex(src: str) -> list[tuple[str, object]]:
     toks, pos = [], 0
     while pos < len(src):
+        # context-sensitive regex literal: '/' opens one only where an
+        # operand may start (never straight after a value), mirroring the
+        # reference lexer's mode switch; '//' and '/*' stay comments
+        if src[pos] == "/" and src[pos + 1:pos + 2] not in ("/", "*") \
+                and (not toks or toks[-1][0] not in _OPERAND_END):
+            j = pos + 1
+            while j < len(src) and src[j] != "/":
+                j += 2 if src[j] == "\\" else 1
+            if j < len(src):
+                pat = src[pos + 1:j]
+                j += 1
+                fs = j
+                while j < len(src) and src[j] in "cilmsUux":
+                    j += 1
+                toks.append(("regex", _compile_jregex(pat, src[fs:j])))
+                pos = j
+                continue
         m = _TOKEN_RE.match(src, pos)
         if not m:
             raise PainlessError(f"painless lex error at {src[pos:pos + 20]!r}")
@@ -419,7 +460,7 @@ class _Parser:
 
     def _equality(self):
         e = self._relational()
-        while self.peek()[0] in ("==", "!="):
+        while self.peek()[0] in ("==", "!=", "=~", "==~"):
             op = self.next()[0]
             e = ("bin", op, e, self._relational())
         return e
@@ -548,7 +589,7 @@ class _Parser:
 
     def _primary(self):
         k, v = self.next()
-        if k == "num" or k == "str":
+        if k == "num" or k == "str" or k == "regex":
             return ("lit", v)
         if k == "true":
             return ("lit", True)
@@ -683,6 +724,93 @@ class MapEntry:
 
     def getValue(self):  # noqa: N802
         return self.v
+
+
+class JPattern:
+    """A Painless regex literal — java.util.regex.Pattern surface (the
+    whitelisted subset: matcher/split/splitAsStream/pattern)."""
+
+    __slots__ = ("rx",)
+
+    def __init__(self, rx):
+        self.rx = rx
+
+    def matcher(self, s):
+        return JMatcher(self.rx, s)
+
+    def pattern(self):
+        return self.rx.pattern
+
+    def split(self, s, limit=0):
+        if limit == 1:
+            return [s]
+        if limit > 1:
+            return self.rx.split(s, maxsplit=limit - 1)
+        parts = self.rx.split(s)
+        if limit == 0:
+            while parts and parts[-1] == "":
+                parts.pop()
+        return parts
+
+    def splitAsStream(self, s):  # noqa: N802 — Java surface
+        return _Stream(self.split(s))
+
+    def toString(self):  # noqa: N802
+        return self.rx.pattern
+
+
+class JMatcher:
+    """java.util.regex.Matcher subset: find (iterative) / matches /
+    group / start / end / replaceAll / replaceFirst."""
+
+    __slots__ = ("rx", "s", "_pos", "_m")
+
+    def __init__(self, rx, s):
+        self.rx = rx
+        self.s = s
+        self._pos = 0
+        self._m = None
+
+    def find(self):
+        self._m = self.rx.search(self.s, self._pos)
+        if self._m is None:
+            return False
+        # zero-width matches must still advance (Java does the same)
+        self._pos = self._m.end() + (self._m.start() == self._m.end())
+        return True
+
+    def matches(self):
+        self._m = self.rx.fullmatch(self.s)
+        return self._m is not None
+
+    def group(self, i=0):
+        if self._m is None:
+            raise PainlessError("Matcher.group before a successful match")
+        return self._m.group(i)
+
+    def groupCount(self):  # noqa: N802
+        return self.rx.groups
+
+    def start(self):
+        if self._m is None:
+            raise PainlessError("Matcher.start before a successful match")
+        return self._m.start()
+
+    def end(self):
+        if self._m is None:
+            raise PainlessError("Matcher.end before a successful match")
+        return self._m.end()
+
+    def replaceAll(self, rep):  # noqa: N802
+        return self.rx.sub(rep.replace("$", "\\"), self.s)
+
+    def replaceFirst(self, rep):  # noqa: N802
+        return self.rx.sub(rep.replace("$", "\\"), self.s, count=1)
+
+    def reset(self):
+        self._pos = 0
+        self._m = None
+        return self
 
 
 class _Lambda:
@@ -883,7 +1011,8 @@ _MAP_METHODS = {
     "values": lambda m: list(m.values()),
     "entrySet": lambda m: [MapEntry(k, v) for k, v in m.items()],
     "remove": lambda m, k: m.pop(k, None),
-    "putIfAbsent": lambda m, k, v: m.setdefault(k, v) if k not in m else m[k],
+    # Java contract: put only when absent-or-null, return the PREVIOUS value
+    "putIfAbsent": lambda m, k, v: _map_put_if_absent(m, k, v),
     "putAll": lambda m, o: (m.update(o), None)[1],
     "clear": lambda m: m.clear(),
     "merge": lambda m, k, v, fn: _map_merge(m, k, v, fn),
@@ -892,6 +1021,13 @@ _MAP_METHODS = {
     "toString": _jstr,
     "forEach": lambda m, fn: ([fn(k, v) for k, v in m.items()], None)[1],
 }
+
+
+def _map_put_if_absent(m, k, v):
+    old = m.get(k)
+    if old is None:
+        m[k] = v
+    return old
 
 
 def _map_put(m, k, v):
@@ -1355,6 +1491,15 @@ class _Interp:
 
     def _binop(self, op, le, re_, env):
         a = self.eval(le, env)
+        if op in ("=~", "==~"):
+            # value =~ /re/ → Matcher.find(); value ==~ /re/ → matches()
+            p = self.eval(re_, env)
+            if not isinstance(p, JPattern):
+                raise PainlessError(f"right operand of {op} must be a regex literal")
+            if a is None:
+                raise PainlessError(f"null operand in {op}")
+            s = a if isinstance(a, str) else _jstr(a)
+            return (p.rx.search(s) if op == "=~" else p.rx.fullmatch(s)) is not None
         if op in ("==", "!="):
             b = self.eval(re_, env)
             eq = a == b if type(a) is not bool and type(b) is not bool else a is b
@@ -1575,6 +1720,7 @@ _PAINLESS_RE = re.compile(
     r"|\bnew\s+[A-Z]\w*\s*\("
     r"|\b(?:Math|Integer|Long|Double|Float|Boolean|Collections|Arrays|Objects|Character)\s*\."
     r"|\?\."
+    r"|==?~"
 )
 
 

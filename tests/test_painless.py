@@ -534,3 +534,49 @@ def test_ingest_ctx_script_conditional_add(spark):
     assert rows["u2"]["flag"] == 20 and rows["u3"]["flag"] == 30
     # a field no trial row exercises still exists (string-typed fallback)
     assert "never" in out.columns and rows["u1"]["never"] is None
+
+
+# ---- regex literals (PainlessLexer.g4 REGEX mode; Pattern/Matcher subset) ----
+
+def test_regex_find_and_match_operators():
+    assert run("'foobar' =~ /bar/") is True          # find: substring hit
+    assert run("'foobar' ==~ /bar/") is False        # matches: whole string
+    assert run("'foobar' ==~ /foo.*/") is True
+    assert run("'FooBar' =~ /foo/i") is True         # case-insensitive flag
+    assert run("'a1b2' ==~ /[a-z]\\d[a-z]\\d/") is True
+    # non-string LHS stringifies through Java toString
+    assert run("123 ==~ /\\d+/") is True
+
+
+def test_regex_slash_stays_division_after_operands():
+    assert run("def x = 10 / 2; return x") == 5
+    assert run("int a = 7; int b = a / 2; b") == 3
+    assert run("(4 + 4) / 2") == 4
+
+
+def test_regex_matcher_loop_and_groups():
+    src = "def m = /(\\d+)-(\\d+)/.matcher('12-34'); " \
+          "if (m.matches()) { return m.group(2); } return 'no'"
+    assert run(src) == "34"
+    assert run("def m = /o/.matcher('foo'); int n = 0; "
+               "while (m.find()) { n++; } return n") == 2
+    assert run("def p = /x+/; p.matcher('xxy').replaceAll('Z')") == "Zy"
+
+
+def test_regex_pattern_split():
+    assert run("/,/.split('a,b,c')") == ["a", "b", "c"]
+    # Java limit=0 strips trailing empties
+    assert run("/,/.split('a,b,,')") == ["a", "b"]
+
+
+def test_regex_in_condition_and_dispatcher():
+    assert run("'2024-01-02' =~ /^(\\d{4})/ ? 'y' : 'n'") == "y"
+    # the =~ marker routes params-only scripts to this interpreter
+    assert is_painless("params.v ==~ /x/")
+    assert is_painless("doc['lang'].value =~ /^e/")
+
+
+def test_map_put_if_absent_returns_previous():
+    assert run("Map m = [:]; def r = m.putIfAbsent('k', 1); "
+               "[r, m.get('k'), m.putIfAbsent('k', 2), m.get('k')]") == \
+        [None, 1, 1, 1]
