@@ -30,8 +30,11 @@ Scope (the subset, chosen from the yaml test corpus
     like PainlessLexer.g4's REGEX mode) with ``=~`` (find) / ``==~``
     (matches) and the Pattern/Matcher whitelist subset.
 
-NOT implemented (documented out of scope): try/catch, varargs, generics
-beyond parse-and-ignore.
+  - ``try``/``catch`` (trap grammar, Exception/RuntimeException catch-all,
+    mapped Java exception types) and ``throw new <Type>(msg)``.
+
+NOT implemented (documented out of scope): varargs, generics beyond
+parse-and-ignore.
 
 Execution model: ``compile_painless`` caches the AST per source;
 ``script_column`` walks the AST for referenced doc fields so the UDF ships
@@ -88,6 +91,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "if", "else", "for", "while", "do", "return", "break", "continue",
     "in", "new", "true", "false", "null", "instanceof", "def",
+    "try", "catch", "throw",
 }
 
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'", '"': '"',
@@ -334,6 +338,26 @@ class _Parser:
             return ("dowhile", body, cond)
         if k == "for":
             return self._for()
+        if k == "try":
+            # PainlessParser.g4: try block trap+ ; trap: CATCH '(' type ID ')' block
+            self.next()
+            body = self.statement()
+            traps = []
+            while self.peek()[0] == "catch":
+                self.next()
+                self.expect("(")
+                etype = self.next()[1]  # exception type word
+                ename = self.expect("id")[1]
+                self.expect(")")
+                traps.append((etype, ename, self.statement()))
+            if not traps:
+                raise PainlessError("painless parse: try without catch")
+            return ("try", body, traps)
+        if k == "throw":
+            self.next()
+            e = self.expression()
+            self.accept(";")
+            return ("throw", e)
         if k == "return":
             self.next()
             e = None if self.peek()[0] in (";", "eof", "}") else self.expression()
@@ -726,6 +750,34 @@ class MapEntry:
         return self.v
 
 
+class JException:
+    """A Painless-visible exception value (caught or thrown in-script)."""
+
+    __slots__ = ("msg", "jtype")
+
+    def __init__(self, msg, jtype="Exception"):
+        self.msg = msg
+        self.jtype = jtype
+
+    def getMessage(self):  # noqa: N802 — Java surface
+        return self.msg
+
+    def toString(self):  # noqa: N802
+        return f"{self.jtype}: {self.msg}"
+
+
+# Python-level errors escaping whitelisted methods, mapped to the Java
+# exception type a Painless catch clause would see
+_PY_TO_JEXC = {
+    ZeroDivisionError: "ArithmeticException",
+    IndexError: "IndexOutOfBoundsException",
+    KeyError: "IllegalArgumentException",
+    ValueError: "IllegalArgumentException",
+    TypeError: "IllegalArgumentException",
+    AttributeError: "IllegalArgumentException",
+}
+
+
 class JPattern:
     """A Painless regex literal — java.util.regex.Pattern surface (the
     whitelisted subset: matcher/split/splitAsStream/pattern)."""
@@ -848,6 +900,15 @@ class _Return(Exception):
 
 def _is_int(x):
     return isinstance(x, int) and not isinstance(x, bool)
+
+
+def _jexc_type(e: PainlessError) -> str:
+    s = str(e)
+    if "by zero" in s:
+        return "ArithmeticException"
+    if "null pointer" in s:
+        return "NullPointerException"
+    return "Exception"
 
 
 def _jstr(x):
@@ -1203,6 +1264,15 @@ _CONSTRUCTORS = {
     "TreeSet": lambda *a: _JSet(a[0]) if a else _JSet(),
     "StringBuilder": lambda *a: _StringBuilder(a[0] if a else ""),
     "String": lambda *a: str(a[0]) if a else "",
+    **{
+        t: (lambda t: lambda *a: JException(a[0] if a else None, t))(t)
+        for t in (
+            "Exception", "RuntimeException", "IllegalArgumentException",
+            "IllegalStateException", "ArithmeticException",
+            "NullPointerException", "IndexOutOfBoundsException",
+            "NumberFormatException", "UnsupportedOperationException",
+        )
+    },
 }
 
 
@@ -1373,6 +1443,30 @@ class _Interp:
             _, name, params, body = node
             env[name] = _Lambda(params, body, env, self)
             return None
+        if kind == "try":
+            try:
+                return self.exec_stmt(node[1], env)
+            except (_Break, _Continue, _Return):
+                raise
+            except PainlessError as e:
+                exc = getattr(e, "jexc", None) or JException(str(e), _jexc_type(e))
+            except tuple(_PY_TO_JEXC) as e:
+                exc = JException(str(e), _PY_TO_JEXC[type(e)])
+            for etype, ename, blk in node[2]:
+                # Exception / RuntimeException catch everything in the
+                # whitelist hierarchy; a specific type catches itself only
+                if etype in ("Exception", "RuntimeException") or etype == exc.jtype:
+                    env[ename] = exc
+                    return self.exec_stmt(blk, env)
+            err = PainlessError(exc.toString())
+            err.jexc = exc
+            raise err
+        if kind == "throw":
+            v = self.eval(node[1], env)
+            exc = v if isinstance(v, JException) else JException(_jstr(v))
+            err = PainlessError(exc.toString())
+            err.jexc = exc
+            raise err
         if kind == "return":
             raise _Return(self.eval(node[1], env) if node[1] is not None else None)
         if kind == "break":

@@ -580,3 +580,35 @@ def test_map_put_if_absent_returns_previous():
     assert run("Map m = [:]; def r = m.putIfAbsent('k', 1); "
                "[r, m.get('k'), m.putIfAbsent('k', 2), m.get('k')]") == \
         [None, 1, 1, 1]
+
+
+# ---- try/catch/throw (PainlessParser.g4 trap grammar) ----
+
+def test_try_catch_arithmetic():
+    assert run("try { return 10 / 0 } catch (ArithmeticException e) "
+               "{ return 'div:' + e.getMessage() }") == "div:/ by zero"
+    assert run("try { return 1 } catch (Exception e) { return 2 }") == 1
+
+
+def test_throw_and_typed_catch_chain():
+    assert run("try { throw new IllegalArgumentException('bad'); } "
+               "catch (IllegalArgumentException e) { return e.getMessage() }") == "bad"
+    # first matching trap wins; Exception is the catch-all
+    assert run("def r = 'x'; try { throw new RuntimeException('a') } "
+               "catch (ArithmeticException e) { r = 'no' } "
+               "catch (Exception e) { r = 'yes' } return r") == "yes"
+
+
+def test_python_level_errors_map_to_java_types():
+    assert run("try { def l = []; l.get(3) } "
+               "catch (IndexOutOfBoundsException e) { return 'oob' }") == "oob"
+    assert run("try { def m = null; m.size() } "
+               "catch (NullPointerException e) { return 'npe' }") == "npe"
+    assert run("try { Integer.parseInt('xx') } "
+               "catch (Exception e) { return 'nfe' }") == "nfe"
+
+
+def test_uncaught_type_propagates():
+    with pytest.raises(PainlessError, match="RuntimeException: x"):
+        run("try { throw new RuntimeException('x') } "
+            "catch (ArithmeticException e) { return 1 }")
