@@ -114,6 +114,23 @@ def decode_positions(pos_buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.nd
     return csum - np.repeat(corr, t), occ_off
 
 
+def _binary_col(stream: bytes, offsets64: np.ndarray):
+    """pa.binary() column as a zero-copy view over one contiguous stream:
+    entry j = stream[offsets64[j]:offsets64[j+1]]. Falls back to chunked
+    slicing past the int32-offset limit (only reachable for a merged
+    segment whose single stream exceeds 2 GB)."""
+    if len(stream) < 2**31:
+        off32 = offsets64.astype(np.int32)
+        return pa.Array.from_buffers(
+            pa.binary(), len(off32) - 1,
+            [None, pa.py_buffer(off32.tobytes()), pa.py_buffer(stream)],
+        )
+    return pa.array(
+        [stream[offsets64[j]:offsets64[j + 1]] for j in range(len(offsets64) - 1)],
+        type=pa.binary(),
+    )
+
+
 def encode_postings_blocks(
     uniques: np.ndarray,
     p_code: np.ndarray,
@@ -147,20 +164,21 @@ def encode_postings_blocks(
     ids_off = np.r_[0, np.cumsum(ids_len)]
     tf_off = np.r_[0, np.cumsum(tf_len)]
 
+    # per-block binary columns built straight from (int32 offsets, the one
+    # contiguous stream) — blocks tile the stream, so the arrow array is a
+    # zero-copy view; the old per-block bytes-slicing materialized ~1 Python
+    # object per block and dominated the whole encode stage
     block_ends = block_starts + block_sizes
-    ids_bytes = [ids_stream[ids_off[s] : ids_off[e]] for s, e in zip(block_starts, block_ends)]
-    tf_bytes = [tf_stream[tf_off[s] : tf_off[e]] for s, e in zip(block_starts, block_ends)]
-
+    bounds = np.append(block_starts, len(p_code))
+    ids_col = _binary_col(ids_stream, ids_off[bounds])
+    tf_col = _binary_col(tf_stream, tf_off[bounds])
     if flat_pos is not None:
         pos_stream, pos_len = encode_positions(flat_pos, tfs)
         occ_off = np.r_[0, np.cumsum(tfs)].astype(np.int64)
         pos_byte_off = np.r_[0, np.cumsum(pos_len)]
-        pos_bytes = [
-            pos_stream[pos_byte_off[occ_off[s]] : pos_byte_off[occ_off[e]]]
-            for s, e in zip(block_starts, block_ends)
-        ]
+        pos_col = _binary_col(pos_stream, pos_byte_off[occ_off[bounds]])
     else:
-        pos_bytes = [b""] * len(block_starts)
+        pos_col = _binary_col(b"", np.zeros(len(bounds), dtype=np.int64))
 
     # per-block stats for WAND upper bounds: max tf, min quantized dl
     max_tf = np.maximum.reduceat(tfs, block_starts)
@@ -174,9 +192,15 @@ def encode_postings_blocks(
     tb_start = np.nonzero(term_of_block)[0]
     block_id = np.arange(len(b_code)) - np.repeat(tb_start, np.diff(np.r_[tb_start, len(b_code)]))
 
+    import pyarrow.compute as pc
+
+    # C-speed gather from the (small) vocabulary instead of materializing
+    # one Python str per block
+    term_col = pc.take(pa.array(np.asarray(uniques, dtype=object), type=pa.string()),
+                       pa.array(b_code))
     return pa.table(
         {
-            "term": pa.array(np.asarray(uniques, dtype=object)[b_code], type=pa.string()),
+            "term": term_col,
             "seg_id": pa.array(np.full(len(b_code), seg_id, dtype=np.int32)),
             "block_id": pa.array(block_id.astype(np.int32)),
             "first_doc_id": pa.array(first_doc.astype(np.int64)),
@@ -185,9 +209,9 @@ def encode_postings_blocks(
             "max_tf": pa.array(max_tf.astype(np.int32)),
             "min_ql": pa.array(min_ql.astype(np.int32)),
             "sum_tf": pa.array(sum_tf.astype(np.int64)),
-            "ids_bytes": pa.array(ids_bytes, type=pa.binary()),
-            "tf_bytes": pa.array(tf_bytes, type=pa.binary()),
-            "pos_bytes": pa.array(pos_bytes, type=pa.binary()),
+            "ids_bytes": ids_col,
+            "tf_bytes": tf_col,
+            "pos_bytes": pos_col,
         },
         schema=POSTINGS_PA_SCHEMA,
     )
@@ -220,8 +244,15 @@ def build_segment_frames(
     base = pid << DOCID_PARTITION_SHIFT
     doc_ids = base + np.arange(n_docs, dtype=np.int64)
 
-    # 3) analysis chain
-    flat, doc_idx, dls = tokenize_docs(pdf["text"].tolist(), analyzer)
+    # 3) analysis chain — the standard analyzer takes the fully-vectorized
+    # batch path (codes straight out of Arrow dictionary encoding, no flat
+    # per-token object array); other analyzers tokenize per doc
+    flat = None
+    if analyzer == "standard":
+        codes, uniques, dls = analysis.standard_tokenize_batch(pdf["text"].tolist())
+        doc_idx = np.repeat(np.arange(len(dls), dtype=np.int64), dls)
+    else:
+        flat, doc_idx, dls = tokenize_docs(pdf["text"].tolist(), analyzer)
     norms = int_to_byte4(dls)
     ql = byte4_to_int(norms)  # quantized lengths (what BM25 sees)
 
@@ -244,17 +275,18 @@ def build_segment_frames(
     for c in sorted(set(pdf.columns) - {"url", "warc_ts", "lang", "text", "pid"}):
         docs_pdf[c] = pdf[c].to_numpy()
 
-    if len(flat) == 0:
+    if int(dls.sum()) == 0:
         empty = pa.table({k: pa.array([], type=t) for k, t in POSTINGS_FIELDS})
         return docs_pdf, empty, {"n_docs": n_docs, "sum_dl": 0, "n_terms": 0, "n_blocks": 0}
 
     # 4) tf per (term, doc): factorize, lexsort, run-length; occurrence
     # positions ride along (lexsort is stable → within a (term, doc) run
     # occurrences keep ascending in-doc position order)
-    codes, uniques = pd.factorize(flat, sort=True)
+    if flat is not None:
+        codes, uniques = pd.factorize(flat, sort=True)
     order = np.lexsort((doc_idx, codes))
     doc_starts = np.r_[0, np.cumsum(dls)[:-1]]
-    pos_in_doc = np.arange(len(flat), dtype=np.int64) - np.repeat(doc_starts, dls)
+    pos_in_doc = np.arange(len(codes), dtype=np.int64) - np.repeat(doc_starts, dls)
     flat_pos = pos_in_doc[order]
     c_s, d_s = codes[order], doc_idx[order]
     newpair = np.r_[True, (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])]
