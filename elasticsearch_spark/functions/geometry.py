@@ -64,8 +64,18 @@ def parse_geojson(obj) -> tuple:
 
         x, y = c
         r = obj["radius"]
-        if isinstance(r, str):  # "25m"-style — planar degrees expected here
-            r = float(r.rstrip("m")) / 111_320.0
+        if isinstance(r, str):
+            # DistanceUnit suffixes (server/.../common/unit/DistanceUnit.java)
+            # → meters, then planar degrees at the equator scale
+            s = r.strip().lower()
+            for suf, mult in (("km", 1000.0), ("mi", 1609.344), ("nm", 1852.0),
+                              ("yd", 0.9144), ("ft", 0.3048), ("cm", 0.01),
+                              ("mm", 0.001), ("m", 1.0)):
+                if s.endswith(suf):
+                    r = float(s[:-len(suf)]) * mult / 111_320.0
+                    break
+            else:
+                r = float(s) / 111_320.0
         ring = [(x + r * math.cos(2 * math.pi * i / 32),
                  y + r * math.sin(2 * math.pi * i / 32)) for i in range(33)]
         return ("polys", [[ring]])

@@ -1243,6 +1243,12 @@ _STATICS: dict[str, dict] = {
     "Objects": {"equals": lambda a, b: a == b, "isNull": lambda x: x is None,
                 "nonNull": lambda x: x is not None,
                 "requireNonNull": lambda x: x, "hashCode": lambda x: 0},
+    # java.util.regex.Pattern statics (whitelist exposes compile/matches/quote)
+    "Pattern": {
+        "compile": lambda p, flags=0: JPattern(re.compile(p)),
+        "matches": lambda p, s: re.fullmatch(p, s) is not None,
+        "quote": lambda s: re.escape(s),
+    },
 }
 
 
@@ -1812,7 +1818,7 @@ _PAINLESS_RE = re.compile(
     r"|\bstate[.\[]"
     r"|\bemit\s*\("
     r"|\bnew\s+[A-Z]\w*\s*\("
-    r"|\b(?:Math|Integer|Long|Double|Float|Boolean|Collections|Arrays|Objects|Character)\s*\."
+    r"|\b(?:Math|Integer|Long|Double|Float|Boolean|Collections|Arrays|Objects|Character|Pattern)\s*\."
     r"|\?\."
     r"|==?~"
 )

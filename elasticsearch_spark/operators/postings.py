@@ -244,11 +244,17 @@ def build_segment_frames(
     base = pid << DOCID_PARTITION_SHIFT
     doc_ids = base + np.arange(n_docs, dtype=np.int64)
 
-    # 3) analysis chain — the standard analyzer takes the fully-vectorized
-    # batch path (codes straight out of Arrow dictionary encoding, no flat
-    # per-token object array); other analyzers tokenize per doc
+    # 3) analysis chain. A fully-vectorized batch tokenizer exists
+    # (analysis.standard_tokenize_batch, SPARK_GRAFT_BATCH_TOKENIZE=1) and
+    # is ~8% faster warm single-thread — but it streams multi-MB arrays
+    # (concatenated bytes + class masks + gathers) where the per-doc path
+    # works cache-resident doc-at-a-time, and the no-Spark control
+    # (tools/bandwidth_control.py) measures 8-process scaling efficiency
+    # 0.95 per-doc vs 0.67 batch on this shared-memory-bus host. For a
+    # 1000-executor target, per-core cache residency wins over single-core
+    # throughput, so per-doc is the default.
     flat = None
-    if analyzer == "standard":
+    if analyzer == "standard" and os.environ.get("SPARK_GRAFT_BATCH_TOKENIZE"):
         codes, uniques, dls = analysis.standard_tokenize_batch(pdf["text"].tolist())
         doc_idx = np.repeat(np.arange(len(dls), dtype=np.int64), dls)
     else:

@@ -3192,6 +3192,34 @@ def dsl_script_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsl_script_regex_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """script query through the Painless INTERPRETER path: regex literal +
+    Matcher group extraction + try/catch parse (PainlessLexer.g4 REGEX
+    mode; Compiler.java trap grammar) — semantics a single SQL expression
+    can't express, mirrored in the oracle with regexp functions."""
+    from .plans import dsl as dsl_mod
+
+    hits = dsl_mod.search(
+        spark, _docs(spark, sf_dir),
+        {"query": {"bool": {"filter": [{"script": {"script": {"source": """
+            def s = doc['source'].value;
+            if (s == null) { return false }
+            def m = /^src(\\d+)$/.matcher(s);
+            if (!m.matches()) { return false }
+            int n;
+            try { n = Integer.parseInt(m.group(1)); }
+            catch (Exception e) { return false }
+            return n >= 10 && doc['lang'].value ==~ /en|de/
+        """}}}]}}, "size": 50000},
+        key="doc_id", text_col="text",
+    )
+    return (
+        hits.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .orderBy("lang")
+    )
+
+
 def dsl_wrapper_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """wrapper query (WrapperQueryBuilder.java): base64-encoded inner query
     unwraps and runs — parity checked against the plain equivalent."""
@@ -6305,6 +6333,14 @@ GROUP BY event_type ORDER BY event_type
 SELECT lang, COUNT(*)::BIGINT AS doc_count FROM documents
 WHERE n_chars % 7 = 0 GROUP BY lang ORDER BY lang
 """,
+    "dsl_script_regex_query": """
+SELECT lang, COUNT(*)::BIGINT AS doc_count FROM documents
+WHERE source IS NOT NULL
+  AND regexp_full_match(source, 'src(\\d+)')
+  AND CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) >= 10
+  AND regexp_full_match(lang, 'en|de')
+GROUP BY lang ORDER BY lang
+""",
     "agg_percentiles_hdr": """
 WITH q AS (
   SELECT CASE WHEN value = 0 THEN 0.0
@@ -6630,6 +6666,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsl_rank_feature_query": dsl_rank_feature_query,
     "dsl_geo_distance_query": dsl_geo_distance_query,
     "dsl_script_query": dsl_script_query,
+    "dsl_script_regex_query": dsl_script_regex_query,
     "agg_percentiles_hdr": agg_percentiles_hdr,
     "dsl_geo_shape_stored": dsl_geo_shape_stored,
     "analysis_cjk": analysis_cjk,
