@@ -130,10 +130,19 @@ class Engine:
         response materialization, not a scale hazard."""
         pit = self.open_pit(index, keep_alive=scroll)["id"]
         base = dict(body)
+        # _source is applied per PAGE (after the cursor reads its sort
+        # values) — dsl.search's projection would drop non-envelope sort
+        # columns and break keyset continuation
+        src_spec = base.pop("_source", None)
         sort = base.get("sort") or [{"_doc": "asc"}]
-        # _doc order ≈ the stable doc key (url) in this engine
-        sort = [({"url": "asc"} if s == "_doc" or "_doc" in s else s)
-                if isinstance(s, (dict, str)) else s for s in sort]
+
+        # _doc order ≈ the stable doc key (url) in this engine. Exact-name
+        # match only: a FIELD named n_docs must not be rewritten
+        def _is_doc(s):
+            return s == "_doc" if isinstance(s, str) else \
+                isinstance(s, dict) and "_doc" in s
+
+        sort = [{"url": "asc"} if _is_doc(s) else s for s in sort]
         base["sort"] = sort
         sort_fields = []
         for s in sort:
@@ -158,7 +167,7 @@ class Engine:
         pinned = ops_mod.pin_tombstones(self._dir(ix), pin_dir)
         self._scrolls[sid] = {
             "pit": pit, "index": ix, "body": base,
-            "fields": sort_fields, "after": None,
+            "fields": sort_fields, "after": None, "src": src_spec,
             "pin_dir": pin_dir, "pinned_tombs": pinned,
         }
         return self.scroll(sid)
@@ -178,6 +187,11 @@ class Engine:
         if st["after"] is not None:
             body["search_after"] = st["after"]
         hits = dsl.search(self.spark, view, body, key="url", text_col="text")
+        if st.get("src") is not None:
+            # sort fields ride the envelope (ES returns them per hit) so the
+            # cursor can read them even when _source drops the columns
+            hits = self._source_filter(hits, st["src"],
+                                       extra_meta=set(st["fields"]))
         rows = hits.collect()
         if rows:
             st["after"] = [rows[-1][f] for f in st["fields"]]
@@ -365,6 +379,8 @@ class Engine:
         with open(tmp, "w") as f:
             json.dump(settings, f)
         os.replace(tmp, self._cluster_settings_path())
+        if "search.allow_expensive_queries" not in settings:
+            dsl.ALLOW_EXPENSIVE_QUERIES = True  # null-reset restores default
         self._apply_cluster_settings(settings)
         return {"acknowledged": True, "persistent": settings, "transient": {}}
 
@@ -378,8 +394,13 @@ class Engine:
             return {}
 
     def _apply_cluster_settings(self, settings: dict) -> None:
-        v = settings.get("search.allow_expensive_queries", True)
-        dsl.ALLOW_EXPENSIVE_QUERIES = str(v).lower() != "false"
+        # only an EXPLICIT setting touches the module-scoped flag: a second
+        # Engine over a root with no _cluster_settings.json (e.g. the remote
+        # Engine resolve() builds for "cluster:index" names) must not reset
+        # a gate another engine's put_cluster_settings persisted
+        if "search.allow_expensive_queries" in settings:
+            v = settings["search.allow_expensive_queries"]
+            dsl.ALLOW_EXPENSIVE_QUERIES = str(v).lower() != "false"
 
     # ---- remote clusters (cross-cluster search) ----------------------------
 
@@ -506,6 +527,12 @@ class Engine:
         aliases = self._load_aliases()
         live: list[str] | None = None  # lazy: most calls are concrete names
 
+        def _state_ok(i: str, blocks: dict) -> bool:
+            is_closed = "closed" in blocks.get(i, [])
+            if is_closed:
+                return bool({"closed", "all"} & ew)
+            return bool({"open", "all"} & ew)
+
         def _expand(pat: str) -> list[str]:
             nonlocal live
             if live is None:
@@ -518,15 +545,15 @@ class Engine:
                 if i.startswith(".") and not pat.startswith(".") and \
                         not ({"hidden", "all"} & ew):
                     continue
-                is_closed = "closed" in blocks.get(i, [])
-                if is_closed and not ({"closed", "all"} & ew):
-                    continue
-                if not is_closed and not ({"open", "all"} & ew):
-                    continue
-                hits.add(i)
+                if _state_ok(i, blocks):
+                    hits.add(i)
             for a, spec in aliases.items():
+                # a wildcard matching an alias NAME resolves to its indices,
+                # but the expand_wildcards open/closed state still filters
+                # the concrete targets (same rule as direct matches)
                 if fnmatch.fnmatchcase(a, pat):
-                    hits.update(spec["indices"])
+                    hits.update(i for i in spec["indices"]
+                                if _state_ok(i, blocks))
             return sorted(hits)
 
         for part in name.split(","):
@@ -550,6 +577,13 @@ class Engine:
                 out.extend(i for i in aliases[part]["indices"] if i not in out)
                 continue
             if "*" in part or part == "_all":
+                if "none" in ew:
+                    # expand_wildcards=none: the pattern is a literal name
+                    if ignore_unavailable:
+                        continue
+                    raise ValueError(
+                        f"index_not_found_exception: no such index [{part}] "
+                        "(expand_wildcards=none)")
                 matched = _expand("*" if part == "_all" else part)
                 if not matched and not allow_no_indices:
                     raise ValueError(
@@ -1271,11 +1305,27 @@ class Engine:
                 if lname in hits0.columns:
                     continue
                 inp = lspec["input_field"]
-                if inp not in hits0.columns and "url" in hits0.columns \
-                        and len(concrete) == 1:
-                    view = self._docs_view(concrete[0])
-                    if inp in view.columns:
-                        hits0 = hits0.join(view.select("url", inp), "url", "left")
+                if inp not in hits0.columns and "url" in hits0.columns:
+                    # fetch the input field from EVERY resolved index (the
+                    # single-index guard used to null the join key on
+                    # multi-index searches, silently emitting NULL lookups)
+                    views = []
+                    for cix in concrete:
+                        v = self._docs_view(cix)
+                        if inp in v.columns:
+                            sel = v.select("url", inp)
+                            if "_index" in hits0.columns:
+                                sel = sel.withColumn("_index", F.lit(cix))
+                            views.append(sel)
+                    if views:
+                        from functools import reduce
+
+                        uv = reduce(lambda a, b: a.unionByName(b), views)
+                        on = ["url", "_index"] if "_index" in hits0.columns \
+                            else ["url"]
+                        if on == ["url"] and len(views) > 1:
+                            uv = uv.dropDuplicates(["url"])
+                        hits0 = hits0.join(uv, on, "left")
                 out_dict["hits"] = self._apply_lookup_field(hits0, lname, lspec)
             if body.get("suggest"):
                 out_dict["suggest"] = self._run_suggest(concrete[0], body["suggest"])
@@ -2140,15 +2190,17 @@ class Engine:
                     score = dcg
             else:
                 raise ValueError(f"unsupported rank_eval metric: {mkind}")
-            # id-less requests key by POSITION in a '#'-prefixed key space
-            # no user id can occupy (ids are _id-like strings; '#<pos>' was
-            # chosen so an explicit id literally named request_N can't
-            # silently overwrite a positional entry); duplicate explicit ids
-            # are an input error, not a silent last-wins
+            # id-less requests key by POSITION, '#'-prefixed; a user is free
+            # to pass '#N' explicitly, so a positional key that's already
+            # taken deterministically extends until unique instead of
+            # raising a spurious duplicate. Duplicate EXPLICIT ids remain an
+            # input error, not a silent last-wins.
             rid = req.get("id")
             if rid is None:
                 rid = f"#{pos}"
-            if rid in details:
+                while rid in details:
+                    rid += "'"
+            elif rid in details:
                 raise ValueError(f"duplicate rank_eval request id: {rid!r}")
             details[rid] = round(score, 6)
         vals = list(details.values())

@@ -854,10 +854,10 @@ class JMatcher:
         return self._m.end()
 
     def replaceAll(self, rep):  # noqa: N802
-        return self.rx.sub(rep.replace("$", "\\"), self.s)
+        return self.rx.sub(_jrepl(rep), self.s)
 
     def replaceFirst(self, rep):  # noqa: N802
-        return self.rx.sub(rep.replace("$", "\\"), self.s, count=1)
+        return self.rx.sub(_jrepl(rep), self.s, count=1)
 
     def reset(self):
         self._pos = 0
@@ -934,6 +934,11 @@ def _jdiv(a, b):
             raise PainlessError("/ by zero")
         q = abs(a) // abs(b)
         return q if (a >= 0) == (b >= 0) else -q
+    # Java float division: x/0.0 = ±Infinity, 0.0/0.0 = NaN — never raises
+    if b == 0:
+        if a == 0:
+            return math.nan
+        return math.copysign(math.inf, float(a) * math.copysign(1.0, float(b)))
     return a / b
 
 
@@ -942,6 +947,8 @@ def _jmod(a, b):
         if b == 0:
             raise PainlessError("% by zero")
         return a - _jdiv(a, b) * b
+    if b == 0:
+        return math.nan  # Java: x % 0.0 = NaN
     return math.fmod(a, b)
 
 
@@ -963,6 +970,40 @@ def _java_split(s, rx, limit=0):
     return parts
 
 
+def _jrepl(rep: str) -> str:
+    """Java Matcher replacement grammar → Python re.sub replacement:
+    ``$N``/``${name}`` group refs become ``\\g<...>``, ``\\c`` is the
+    literal c (so ``\\$`` survives as a dollar sign), everything else is
+    literal. A bare trailing ``$`` stays literal instead of raising."""
+    out, i, n = [], 0, len(rep)
+    while i < n:
+        c = rep[i]
+        if c == "\\" and i + 1 < n:
+            nxt = rep[i + 1]
+            out.append("\\\\" if nxt == "\\" else nxt)
+            i += 2
+        elif c == "$":
+            j = i + 1
+            if j < n and rep[j] == "{":
+                k = rep.find("}", j)
+                if k > 0:
+                    out.append(f"\\g<{rep[j + 1:k]}>")
+                    i = k + 1
+                    continue
+            while j < n and rep[j].isdigit():
+                j += 1
+            if j > i + 1:
+                out.append(f"\\g<{rep[i + 1:j]}>")
+                i = j
+            else:
+                out.append("$")
+                i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 _STR_METHODS = {
     "length": lambda s: len(s),
     "isEmpty": lambda s: len(s) == 0,
@@ -977,8 +1018,8 @@ _STR_METHODS = {
     "trim": lambda s: s.strip(),
     "strip": lambda s: s.strip(),
     "replace": lambda s, a, b: s.replace(a, b),
-    "replaceAll": lambda s, rx, rep: re.sub(rx, rep.replace("$", "\\"), s),
-    "replaceFirst": lambda s, rx, rep: re.sub(rx, rep.replace("$", "\\"), s, count=1),
+    "replaceAll": lambda s, rx, rep: re.sub(rx, _jrepl(rep), s),
+    "replaceFirst": lambda s, rx, rep: re.sub(rx, _jrepl(rep), s, count=1),
     "split": _java_split,
     "splitOnToken": lambda s, t: s.split(t),
     "charAt": lambda s, i: s[i],
@@ -1824,11 +1865,18 @@ _PAINLESS_RE = re.compile(
 )
 
 
+# string literals must not trigger the markers: a SQL expression like
+# replace(text, ';', ',') contains ';' only inside quotes and must stay on
+# the JVM fast path
+_STRING_LIT_RE = re.compile(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"")
+
+
 def is_painless(src: str) -> bool:
     """Heuristic dispatcher: True → route to this interpreter; False → the
     legacy Spark-SQL-expression fast path (JVM-side, preferred when the
-    script is a single SQL-expressible expression)."""
-    return bool(_PAINLESS_RE.search(src))
+    script is a single SQL-expressible expression). Markers are scanned
+    with string literals blanked so quoted text can't misroute."""
+    return bool(_PAINLESS_RE.search(_STRING_LIT_RE.sub("''", src)))
 
 
 def referenced_doc_fields(src: str) -> tuple[set[str], bool]:

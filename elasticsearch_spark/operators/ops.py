@@ -93,14 +93,41 @@ def read_tombstones_range(index_dir: str, lo: int, hi: int) -> np.ndarray:
     return np.unique(np.concatenate(parts))
 
 
+# per-worker memo for seg_tombstones: scorer tasks call it once per Arrow
+# batch per segment; the (files, mtime, size) fingerprint keeps it fresh
+# across deletes while long-lived python workers skip repeated footer +
+# range reads for the same segment
+_SEG_TOMB_CACHE: dict = {}
+
+
 def seg_tombstones(index_dir: str, seg_d: str) -> np.ndarray:
     """Per-SEGMENT tombstone slice: the segment's doc_id range comes from
     its docs.parquet FOOTER stats (no data pages read), then the tombstone
     files are range-read. This is the 100 TB shape: one giant
     delete_by_query costs each segment task only the tombstones that could
-    possibly mask its own docs."""
-    if not _tomb_paths(index_dir):
+    possibly mask its own docs. Memoized per (segment, tombstone-file
+    fingerprint) so repeated batches in one task pay once."""
+    paths = _tomb_paths(index_dir)
+    if not paths:
         return np.zeros(0, dtype=np.int64)
+    try:
+        fp = tuple((p, os.path.getmtime(p), os.path.getsize(p)) for p in paths)
+    except OSError:
+        fp = None  # racing writer — skip the cache this round
+    key = (index_dir, seg_d)
+    if fp is not None:
+        hit = _SEG_TOMB_CACHE.get(key)
+        if hit is not None and hit[0] == fp:
+            return hit[1]
+    out = _seg_tombstones_read(index_dir, seg_d)
+    if fp is not None:
+        if len(_SEG_TOMB_CACHE) > 512:
+            _SEG_TOMB_CACHE.clear()
+        _SEG_TOMB_CACHE[key] = (fp, out)
+    return out
+
+
+def _seg_tombstones_read(index_dir: str, seg_d: str) -> np.ndarray:
     md = pq.ParquetFile(os.path.join(seg_d, "docs.parquet")).metadata
     try:
         col = md.schema.names.index("doc_id")

@@ -452,3 +452,195 @@ def test_percentile_ranks_tdigest_method(spark):
     out2 = aggs.aggregate(df, {"pr": {"percentile_ranks": {
         "field": "v", "values": [0, 2000], "method": "tdigest"}}})["pr"].collect()[0]
     assert out2["pr.0"] == 0.0 and out2["pr.2000"] == 100.0
+
+
+# ---- round-3 code-review batch (regex/scroll/resolve/lookup fixes) ----
+
+def test_painless_jrepl_java_replacement_semantics():
+    from elasticsearch_spark.functions.painless import compile_painless, execute
+
+    def run(src):
+        return execute(compile_painless(src), {})
+
+    # \$ is a literal dollar (Matcher.quoteReplacement), $N is a group ref,
+    # bare trailing $ stays literal instead of raising re.error
+    assert run("'a-b'.replaceAll('-', '\\\\$')") == "a$b"
+    assert run("'a-b'.replaceAll('-', 'x$')") == "ax$b"
+    assert run("'12-34'.replaceAll('(\\\\d+)-(\\\\d+)', '$2:$1')") == "34:12"
+    assert run("def m = /-/.matcher('a-b'); m.replaceAll('\\\\$')") == "a$b"
+
+
+def test_painless_float_division_by_zero_is_java():
+    import math
+
+    from elasticsearch_spark.functions.painless import compile_painless, execute
+
+    def run(src):
+        return execute(compile_painless(src), {})
+
+    assert run("1.0 / 0.0") == float("inf")
+    assert run("-2.0 / 0.0") == float("-inf")
+    assert math.isnan(run("0.0 / 0.0"))
+    assert math.isnan(run("5.5 % 0.0"))
+
+
+def test_is_painless_ignores_quoted_markers():
+    from elasticsearch_spark.functions.painless import is_painless
+
+    # SQL expressions whose only "markers" sit inside string literals must
+    # stay on the JVM fast path (they predate the interpreter)
+    assert not is_painless("replace(text, ';', ',')")
+    assert not is_painless("concat(a, 'return')")
+    assert not is_painless('upper("ctx.")')
+    assert is_painless("def x = 1; return x")
+    assert is_painless("doc['lang'].value =~ /^e/")
+
+
+def test_scroll_custom_sort_with_source_filter(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from elasticsearch_spark.api import Engine
+
+    eng = Engine(spark, root=str(tmp_path / "scroll_src"))
+    eng.create_index("ix", num_partitions=2)
+    docs = spark.createDataFrame(
+        [(f"u{i}", f"text {i}", "en", i) for i in range(7)],
+        "url string, text string, lang string, n int",
+    ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+    eng.bulk("ix", docs)
+    # custom sort field + _source includes used to crash on page 1 (sort
+    # column projected away before the cursor read its keyset values)
+    page = eng.search_scroll(
+        "ix", {"sort": [{"n": "desc"}], "_source": ["text"], "size": 3})
+    got = [r["n"] for r in page["hits"]]
+    assert got == [6, 5, 4]
+    page2 = eng.scroll(page["_scroll_id"])
+    assert [r["n"] for r in page2["hits"]] == [3, 2, 1]
+    # _source filtering still applied: lang dropped, text kept
+    assert "lang" not in page["hits"][0].asDict()
+    assert page["hits"][0]["text"] == "text 6"
+    eng.clear_scroll(page["_scroll_id"])
+
+
+def test_scroll_field_named_like_doc_not_rewritten(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from elasticsearch_spark.api import Engine
+
+    eng = Engine(spark, root=str(tmp_path / "scroll_ndocs"))
+    eng.create_index("ix", num_partitions=2)
+    docs = spark.createDataFrame(
+        [("a", "x", 3), ("b", "y", 1), ("c", "z", 2)],
+        "url string, text string, n_docs int",
+    ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+    eng.bulk("ix", docs)
+    page = eng.search_scroll("ix", {"sort": ["n_docs"], "size": 3})
+    # 'n_docs' contains the substring '_doc' but is a real field — it must
+    # sort by n_docs, not silently become url order
+    assert [r["url"] for r in page["hits"]] == ["b", "c", "a"]
+    eng.clear_scroll(page["_scroll_id"])
+
+
+def test_resolve_expand_wildcards_none_and_alias_state(spark, tmp_path):
+    import pytest as _pt
+
+    from elasticsearch_spark.api import Engine
+
+    eng = Engine(spark, root=str(tmp_path / "resolve_none"))
+    eng.create_index("logs-1", num_partitions=1)
+    eng.create_index("logs-2", num_partitions=1)
+    eng.update_aliases([{"add": {"alias": "lg", "index": "logs-1"}},
+                        {"add": {"alias": "lg", "index": "logs-2"}}])
+    eng.close_index("logs-2")
+    # none: the wildcard is a literal name → index_not_found
+    with _pt.raises(ValueError, match="index_not_found"):
+        eng.resolve("logs-*", expand_wildcards="none")
+    assert eng.resolve("logs-*", expand_wildcards="none",
+                       ignore_unavailable=True) == []
+    # alias-pattern expansion honors open/closed like direct matches
+    assert eng.resolve("lg*") == ["logs-1"]
+    assert sorted(eng.resolve("lg*", expand_wildcards="open,closed")) == \
+        ["logs-1", "logs-2"]
+
+
+def test_rank_eval_positional_key_never_collides(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from elasticsearch_spark.api import Engine
+
+    eng = Engine(spark, root=str(tmp_path / "rankeval"))
+    eng.create_index("ix", num_partitions=1)
+    docs = spark.createDataFrame(
+        [("u1", "alpha beta"), ("u2", "alpha gamma")], "url string, text string",
+    ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+    eng.bulk("ix", docs)
+    res = eng.rank_eval(
+        "ix",
+        [
+            {"id": "#1", "request": {"query": {"match": {"text": "alpha"}}},
+             "ratings": [{"_id": "u1", "rating": 1}]},
+            {"request": {"query": {"match": {"text": "alpha"}}},
+             "ratings": [{"_id": "u2", "rating": 1}]},
+        ],
+        {"precision": {"k": 2}},
+    )
+    # explicit '#1' + positional entry at position 1 coexist
+    assert len(res["details"]) == 2
+
+
+def test_expensive_gate_survives_second_engine(spark, tmp_path):
+    import pytest as _pt
+
+    from elasticsearch_spark.api import Engine
+    from elasticsearch_spark.plans import dsl
+
+    eng = Engine(spark, root=str(tmp_path / "gate_a"))
+    eng.create_index("ix", num_partitions=1)
+    import pyspark.sql.functions as F
+    docs = spark.createDataFrame(
+        [("u1", "hello world")], "url string, text string",
+    ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+    eng.bulk("ix", docs)
+    eng.put_cluster_settings(
+        {"persistent": {"search.allow_expensive_queries": False}})
+    try:
+        # instantiating a SECOND engine over a fresh root (the remote-
+        # engine path) must NOT silently re-enable expensive queries
+        Engine(spark, root=str(tmp_path / "gate_b"))
+        with _pt.raises(Exception, match="expensive"):
+            eng.search("ix", {"query": {"prefix": {"text": "hel"}}})
+    finally:
+        eng.put_cluster_settings(
+            {"persistent": {"search.allow_expensive_queries": None}})
+        assert dsl.ALLOW_EXPENSIVE_QUERIES is True
+
+
+def test_lookup_field_multi_index_search(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from elasticsearch_spark.api import Engine
+
+    eng = Engine(spark, root=str(tmp_path / "lookup_multi"))
+    for ix, urls in (("a1", ["u1"]), ("a2", ["u2"])):
+        eng.create_index(ix, num_partitions=1)
+        docs = spark.createDataFrame(
+            [(u, f"text {u}", "k1" if u == "u1" else "k2") for u in urls],
+            "url string, text string, ref string",
+        ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+        eng.bulk(ix, docs)
+    eng.create_index("dim", num_partitions=1)
+    dim = spark.createDataFrame(
+        [("k1", "one", "d1"), ("k2", "two", "d2")],
+        "url string, label string, text string",
+    ).withColumn("warc_ts", F.lit("2024-01-01").cast("timestamp"))
+    eng.bulk("dim", dim)
+    res = eng.search("a*", {
+        "query": {"match_all": {}}, "size": 10,
+        "runtime_mappings": {"joined": {
+            "type": "lookup", "target_index": "dim", "input_field": "ref",
+            "target_field": "url", "fetch_fields": ["label"]}},
+    })
+    rows = {r["url"]: r for r in res["hits"].collect()}
+    # multi-index fan-out used to emit NULL for every lookup value
+    assert rows["u1"]["joined"][0]["label"] == "one"
+    assert rows["u2"]["joined"][0]["label"] == "two"
