@@ -3261,30 +3261,118 @@ class Engine:
             partition_field=det.get("partition_field_name"),
         )
 
-    def scripts_painless_execute(self, script: dict, context_doc: dict | None = None) -> dict:
+    def scripts_painless_execute(
+        self, script: dict, context_doc: dict | None = None,
+        context: str | None = None, context_setup: dict | None = None,
+    ) -> dict:
         """POST /_scripts/painless/_execute: evaluate a script against an
         optional one-doc context; stored ``{"id": ...}`` references resolve
         via the script registry. Painless-subset sources (statements,
         loops, doc values — functions/painless.py) run in the interpreter;
-        single SQL expressions stay on the JVM path."""
+        single SQL expressions stay on the JVM path.
+
+        ``context``/``context_setup`` mirror the REST API's result shaping
+        (modules/lang-painless/.../70_execute_painless_scripts.yml +
+        PainlessExecuteAction.java): the emit-based ``*_field`` contexts
+        always return a LIST (boolean_field sorted false<true — the
+        runtime BooleanFieldScript stores false/true counts; date_field
+        renders epoch millis as fixed-millis ISO; ip_field canonicalizes;
+        geo_point_field takes emit(lat, lon) and returns GeoJSON points),
+        ``filter`` a boolean, ``score`` a double, and the default
+        painless_test context Java-toString-renders the value."""
         self._load_stored_scripts()
         src, params = dsl.script_source(script)
         from .functions import painless as P
 
-        if P.is_painless(src):
-            doc = {k: P._clean(v) for k, v in (context_doc or {}).items()}
+        doc_in = dict(context_doc or {})
+        if context_setup:
+            doc_in.update(context_setup.get("document") or {})
+        # mapping-aware coercion: typed fields behave like their
+        # ScriptDocValues (date → ZonedDateTime analog, geo_point → GeoPoint)
+        field_types: dict = {}
+        setup_index = (context_setup or {}).get("index")
+        if setup_index:
+            try:
+                props = self.get_mapping(setup_index).get("properties", {})
+                field_types = {f: s.get("type") for f, s in props.items()}
+            except Exception:  # noqa: BLE001 — index without mappings
+                field_types = {}
+
+        def _coerce_field(name, v):
+            t = field_types.get(name)
+            if t in ("date", "date_nanos") and isinstance(v, str):
+                import datetime as _dt
+
+                s = v.replace("Z", "+00:00")
+                return P.JDateTime(_dt.datetime.fromisoformat(s))
+            if t == "geo_point":
+                if isinstance(v, str) and "," in v:
+                    lat, lon = v.split(",", 1)
+                    return P.GeoPoint(float(lat), float(lon))
+                if isinstance(v, dict):
+                    return P.GeoPoint(v["lat"], v["lon"])
+                if isinstance(v, (list, tuple)):  # GeoJSON order [lon, lat]
+                    return P.GeoPoint(v[1], v[0])
+            return P._clean(v)
+
+        if P.is_painless(src) or (context or "").endswith("_field") \
+                or context in ("filter", "score", "painless_test"):
+            doc = {k: _coerce_field(k, v) for k, v in doc_in.items()}
             env = {"params": dict(params or {}), "doc": P.DocMap(doc),
                    "ctx": dict(doc), "_score": 0.0}
             emitted: list = []
-            env["emit"] = emitted.append
+            env["emit"] = (lambda *a: emitted.append(a[0] if len(a) == 1 else a))
             val = P.execute(P.compile_painless(src), env)
-            if emitted:
-                val = emitted[0] if len(emitted) == 1 else emitted
-            return {"result": val}
+            return {"result": self._shape_execute_result(
+                context, val, emitted, P)}
         expr = dsl.expand_script(src, params)
-        row = self.spark.createDataFrame([context_doc or {"__dummy": 0}])
+        row = self.spark.createDataFrame([doc_in or {"__dummy": 0}])
         val = row.select(F.expr(expr).alias("result")).collect()[0]["result"]
         return {"result": val}
+
+    @staticmethod
+    def _shape_execute_result(context: str | None, val, emitted: list, P):
+        """Per-context result rendering (PainlessExecuteAction.java's
+        Response#innerToXContent per ScriptContext)."""
+        if context == "filter":
+            return bool(val)
+        if context == "score":
+            return float(val)
+        if context is None or context == "painless_test":
+            if emitted:  # legacy emit-through-default path
+                return emitted[0] if len(emitted) == 1 else emitted
+            # REST parity: the painless_test response renders the value
+            # through Java toString ("0.1", "-90"); the Python-native
+            # default (no explicit context) keeps the raw value
+            return P._jstr(val) if context == "painless_test" else val
+        if context.endswith("_field"):
+            vals = list(emitted)
+            if context == "boolean_field":
+                # BooleanFieldScript stores false/true counts → sorted output
+                return sorted(bool(v) for v in vals)
+            if context == "long_field":
+                return [int(v) for v in vals]
+            if context == "double_field":
+                return [float(v) for v in vals]
+            if context == "keyword_field":
+                return [P._jstr(v) for v in vals]
+            if context == "date_field":
+                return [P._iso_millis(int(v)) for v in vals]
+            if context == "ip_field":
+                import ipaddress
+
+                return [str(ipaddress.ip_address(v)) for v in vals]
+            if context == "geo_point_field":
+                return [{"coordinates": [float(lon), float(lat)],
+                         "type": "Point"} for lat, lon in vals]
+            if context == "composite_field":
+                out: dict = {}
+                for v in vals:
+                    if isinstance(v, dict):
+                        out.update(v)
+                return out
+            return vals
+        raise ValueError(f"unsupported _execute context: {context}")
 
     def search_mvt(
         self, index: str, field: str, zoom: int, x: int, y: int,

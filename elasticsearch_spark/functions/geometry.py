@@ -68,9 +68,16 @@ def parse_geojson(obj) -> tuple:
             # DistanceUnit suffixes (server/.../common/unit/DistanceUnit.java)
             # → meters, then planar degrees at the equator scale
             s = r.strip().lower()
-            for suf, mult in (("km", 1000.0), ("mi", 1609.344), ("nm", 1852.0),
-                              ("yd", 0.9144), ("ft", 0.3048), ("cm", 0.01),
-                              ("mm", 0.001), ("m", 1.0)):
+            # DistanceUnit's full suffix set, longest-match first so nmi
+            # (nautical) never reads as mi (statute) and full names resolve
+            for suf, mult in (
+                    ("nauticalmiles", 1852.0), ("kilometers", 1000.0),
+                    ("centimeters", 0.01), ("millimeters", 0.001),
+                    ("meters", 1.0), ("miles", 1609.344), ("yards", 0.9144),
+                    ("inch", 0.0254), ("feet", 0.3048), ("nmi", 1852.0),
+                    ("km", 1000.0), ("mi", 1609.344), ("nm", 1852.0),
+                    ("yd", 0.9144), ("ft", 0.3048), ("cm", 0.01),
+                    ("mm", 0.001), ("in", 0.0254), ("m", 1.0)):
                 if s.endswith(suf):
                     r = float(s[:-len(suf)]) * mult / 111_320.0
                     break

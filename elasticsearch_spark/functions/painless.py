@@ -736,6 +736,245 @@ class DocMap:
         return DocValues(self.row.get(k))
 
 
+class _JEnum:
+    """A Java enum constant (DayOfWeek/Month subset): name + ordinal value
+    (``getValue`` is 1-based like java.time's enums)."""
+
+    __slots__ = ("name", "value")
+
+    def __init__(self, name, value):
+        self.name = name
+        self.value = value
+
+    def getValue(self):  # noqa: N802 — Java surface
+        return self.value
+
+    def name_(self):
+        return self.name
+
+    def toString(self):  # noqa: N802
+        return self.name
+
+    def __str__(self):
+        return self.name
+
+    def __eq__(self, other):
+        return isinstance(other, _JEnum) and other.name == self.name or \
+            other == self.name
+
+    def __hash__(self):
+        return hash(self.name)
+
+
+_DOW = ["MONDAY", "TUESDAY", "WEDNESDAY", "THURSDAY", "FRIDAY",
+        "SATURDAY", "SUNDAY"]
+_MONTHS = ["JANUARY", "FEBRUARY", "MARCH", "APRIL", "MAY", "JUNE", "JULY",
+           "AUGUST", "SEPTEMBER", "OCTOBER", "NOVEMBER", "DECEMBER"]
+
+
+def _iso_instant(ms: int) -> str:
+    """java.time.Instant.toString for an epoch-millis value (millis kept
+    when non-zero, the reference's date_field emit rendering keeps them
+    always — use _iso_millis for that)."""
+    import datetime as _dt
+
+    dt = _dt.datetime.fromtimestamp(ms / 1000.0, _dt.timezone.utc)
+    if ms % 1000:
+        return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{ms % 1000:03d}Z"
+    return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _iso_millis(ms: int) -> str:
+    """Epoch millis → the fixed-millis ISO form the date_field execute
+    context renders (``2015-01-01T12:10:30.000Z``)."""
+    import datetime as _dt
+
+    dt = _dt.datetime.fromtimestamp(ms // 1000, _dt.timezone.utc)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{ms % 1000:03d}Z"
+
+
+class JInstant:
+    """java.time.Instant subset (whitelisted in the reference's
+    org.elasticsearch.script whitelist)."""
+
+    __slots__ = ("ms",)
+
+    def __init__(self, ms):
+        self.ms = int(ms)
+
+    def toEpochMilli(self):  # noqa: N802 — Java surface
+        return self.ms
+
+    def getEpochSecond(self):  # noqa: N802
+        return self.ms // 1000
+
+    def isAfter(self, other):  # noqa: N802
+        return self.ms > other.ms
+
+    def isBefore(self, other):  # noqa: N802
+        return self.ms < other.ms
+
+    def plusMillis(self, n):  # noqa: N802
+        return JInstant(self.ms + n)
+
+    def plusSeconds(self, n):  # noqa: N802
+        return JInstant(self.ms + 1000 * n)
+
+    def compareTo(self, other):  # noqa: N802
+        return (self.ms > other.ms) - (self.ms < other.ms)
+
+    def toString(self):  # noqa: N802
+        return _iso_instant(self.ms)
+
+    def __str__(self):
+        return self.toString()
+
+    def __eq__(self, other):
+        return isinstance(other, JInstant) and other.ms == self.ms
+
+    def __hash__(self):
+        return hash(self.ms)
+
+    def __lt__(self, other):
+        return self.ms < other.ms
+
+    def __le__(self, other):
+        return self.ms <= other.ms
+
+
+class JDateTime:
+    """The date doc-value object — java.time.ZonedDateTime (UTC) subset,
+    matching ScriptDocValues.Dates' element type
+    (``server/src/main/java/org/elasticsearch/script/JodaCompatibleZonedDateTime``
+    in older refs; plain ZonedDateTime from 7.x on). Also carries the
+    joda-compat ``.millis`` property scripts still use."""
+
+    __slots__ = ("dt",)
+
+    def __init__(self, dt):
+        import datetime as _dt
+
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=_dt.timezone.utc)
+        self.dt = dt.astimezone(_dt.timezone.utc)
+
+    # -- epoch accessors --
+    @property
+    def millis(self):
+        return self.getMillis()
+
+    def getMillis(self):  # noqa: N802
+        return int(self.dt.timestamp() * 1000 + 0.5)
+
+    def toInstant(self):  # noqa: N802
+        return JInstant(self.getMillis())
+
+    def toEpochSecond(self):  # noqa: N802
+        return int(self.dt.timestamp())
+
+    # -- calendar accessors --
+    def getYear(self):  # noqa: N802
+        return self.dt.year
+
+    def getMonthValue(self):  # noqa: N802
+        return self.dt.month
+
+    def getMonth(self):  # noqa: N802
+        return _JEnum(_MONTHS[self.dt.month - 1], self.dt.month)
+
+    def getDayOfMonth(self):  # noqa: N802
+        return self.dt.day
+
+    def getDayOfYear(self):  # noqa: N802
+        return self.dt.timetuple().tm_yday
+
+    def getDayOfWeek(self):  # noqa: N802
+        return _JEnum(_DOW[self.dt.weekday()], self.dt.weekday() + 1)
+
+    def getDayOfWeekEnum(self):  # noqa: N802 — ES's JodaCompatible name
+        return self.getDayOfWeek()
+
+    def getHour(self):  # noqa: N802
+        return self.dt.hour
+
+    def getMinute(self):  # noqa: N802
+        return self.dt.minute
+
+    def getSecond(self):  # noqa: N802
+        return self.dt.second
+
+    def getNano(self):  # noqa: N802
+        return self.dt.microsecond * 1000
+
+    # -- arithmetic / comparison --
+    def plusDays(self, n):  # noqa: N802
+        import datetime as _dt
+
+        return JDateTime(self.dt + _dt.timedelta(days=n))
+
+    def plusHours(self, n):  # noqa: N802
+        import datetime as _dt
+
+        return JDateTime(self.dt + _dt.timedelta(hours=n))
+
+    def minusDays(self, n):  # noqa: N802
+        return self.plusDays(-n)
+
+    def isAfter(self, other):  # noqa: N802
+        return self.getMillis() > other.getMillis()
+
+    def isBefore(self, other):  # noqa: N802
+        return self.getMillis() < other.getMillis()
+
+    def compareTo(self, other):  # noqa: N802
+        a, b = self.getMillis(), other.getMillis()
+        return (a > b) - (a < b)
+
+    def toString(self):  # noqa: N802
+        # ZonedDateTime.toString in UTC ("2015-01-01T12:10:30Z"); millis
+        # kept when present
+        return self.dt.isoformat().replace("+00:00", "Z")
+
+    def __str__(self):
+        return self.toString()
+
+    def __eq__(self, other):
+        return isinstance(other, JDateTime) and \
+            other.getMillis() == self.getMillis()
+
+    def __hash__(self):
+        return hash(self.getMillis())
+
+    def __lt__(self, other):
+        return self.getMillis() < other.getMillis()
+
+    def __le__(self, other):
+        return self.getMillis() <= other.getMillis()
+
+
+class GeoPoint:
+    """A geo_point doc value (``org.elasticsearch.common.geo.GeoPoint``):
+    .lat/.lon properties plus the getter forms."""
+
+    __slots__ = ("lat", "lon")
+
+    def __init__(self, lat, lon):
+        self.lat = float(lat)
+        self.lon = float(lon)
+
+    def getLat(self):  # noqa: N802 — Java surface
+        return self.lat
+
+    def getLon(self):  # noqa: N802
+        return self.lon
+
+    def toString(self):  # noqa: N802
+        return f"[{self.lon}, {self.lat}]"
+
+    def __str__(self):
+        return self.toString()
+
+
 class MapEntry:
     __slots__ = ("k", "v")
 
@@ -909,6 +1148,17 @@ def _jexc_type(e: PainlessError) -> str:
     if "null pointer" in s:
         return "NullPointerException"
     return "Exception"
+
+
+def _temporal_ms(x) -> int:
+    """Epoch millis from any temporal value (JInstant / JDateTime / long)."""
+    if isinstance(x, JInstant):
+        return x.ms
+    if isinstance(x, JDateTime):
+        return x.getMillis()
+    if isinstance(x, (int, float)):
+        return int(x)
+    raise PainlessError(f"not a temporal value: {x!r}")
 
 
 def _jstr(x):
@@ -1284,6 +1534,23 @@ _STATICS: dict[str, dict] = {
     "Objects": {"equals": lambda a, b: a == b, "isNull": lambda x: x is None,
                 "nonNull": lambda x: x is not None,
                 "requireNonNull": lambda x: x, "hashCode": lambda x: 0},
+    # java.time statics (script whitelist: Instant.ofEpochMilli,
+    # ChronoUnit.between over temporal doc values)
+    "Instant": {
+        "ofEpochMilli": lambda ms: JInstant(ms),
+        "ofEpochSecond": lambda s: JInstant(int(s) * 1000),
+        "EPOCH": JInstant(0),
+    },
+    "ChronoUnit": {
+        unit: type("_ChronoUnit", (), {
+            "between": staticmethod(
+                lambda a, b, _ms=ms_per: (_temporal_ms(b) - _temporal_ms(a)) // _ms),
+            "toString": staticmethod(lambda _u=unit: _u),
+        })()
+        for unit, ms_per in [("MILLIS", 1), ("SECONDS", 1000),
+                             ("MINUTES", 60_000), ("HOURS", 3_600_000),
+                             ("DAYS", 86_400_000)]
+    },
     # java.util.regex.Pattern statics (whitelist exposes compile/matches/quote)
     "Pattern": {
         "compile": lambda p, flags=0: JPattern(re.compile(p)),
@@ -1714,6 +1981,10 @@ class _Interp:
             return len(obj)
         if isinstance(obj, list) and name == "length":
             return len(obj)
+        if isinstance(obj, GeoPoint) and name in ("lat", "lon"):
+            return getattr(obj, name)
+        if isinstance(obj, JDateTime) and name == "millis":
+            return obj.getMillis()
         raise PainlessError(f"unknown member .{name} on {type(obj).__name__}")
 
     def _assign(self, target, op, value_e, env):
@@ -1928,15 +2199,31 @@ def referenced_doc_fields(src: str) -> tuple[set[str], bool]:
 
 
 def _clean(v):
-    """pandas/arrow cell → plain Python for the interpreter."""
+    """pandas/arrow cell → plain Python for the interpreter. Timestamps
+    become JDateTime so ``doc['d'].value.getMillis()/.toInstant()/...``
+    work like ScriptDocValues.Dates."""
+    import datetime as _dt
+
     import numpy as np
 
     if v is None:
         return None
     if isinstance(v, float) and math.isnan(v):
         return None
+    if isinstance(v, pd.Timestamp):
+        if v is pd.NaT:
+            return None
+        return JDateTime(v.to_pydatetime())
+    if isinstance(v, np.datetime64):
+        ms = v.astype("datetime64[ms]").astype("int64")
+        return JDateTime(_dt.datetime.fromtimestamp(ms / 1000.0,
+                                                    _dt.timezone.utc))
     if isinstance(v, np.generic):
-        return v.item()
+        return _clean(v.item())
+    if isinstance(v, _dt.datetime):
+        return JDateTime(v)
+    if isinstance(v, _dt.date):
+        return JDateTime(_dt.datetime(v.year, v.month, v.day))
     if isinstance(v, np.ndarray):
         return [_clean(x) for x in v.tolist()]
     if isinstance(v, list):
@@ -1978,6 +2265,17 @@ def _coerce(v, root: str):
         return math.trunc(v) if isinstance(v, (int, float)) else int(v)
     if root == "boolean":
         return bool(v)
+    if root in ("timestamp", "timestamp_ntz", "date"):
+        import datetime as _dt
+
+        # inverse of _clean's JDateTime wrap: naive-UTC round-trips
+        # byte-identical through the interpreter
+        if isinstance(v, JDateTime):
+            return v.dt.replace(tzinfo=None)
+        if isinstance(v, JInstant):
+            return _dt.datetime.fromtimestamp(v.ms / 1000.0,
+                                              _dt.timezone.utc).replace(tzinfo=None)
+        return v
     return v
 
 

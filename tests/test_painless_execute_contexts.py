@@ -1,0 +1,183 @@
+"""_scripts/painless/_execute context parity, pinned case-by-case against
+the reference's own yaml REST suite
+``modules/lang-painless/src/yamlRestTest/resources/rest-api-spec/test/
+painless/70_execute_painless_scripts.yml`` (scripts, params, documents, and
+expected results are copied verbatim from that suite; line refs inline).
+Result shaping mirrors PainlessExecuteAction.java's per-context responses:
+``*_field`` contexts emit LISTS (boolean_field sorted, date_field fixed
+millis ISO, ip canonicalized, geo_point GeoJSON), filter→bool, score→double,
+painless_test→Java toString.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def ex(spark, tmp_path):
+    from elasticsearch_spark.api import Engine
+
+    es = Engine(spark, root=str(tmp_path / "pxc"))
+    es.create_index("my-index", num_partitions=1)
+    es.put_mapping("my-index", {"properties": {
+        "rank": {"type": "long"},
+        "field": {"type": "keyword"},
+        "keyword": {"type": "keyword"},
+        "text": {"type": "text"},
+        "point": {"type": "geo_point"},
+        "p0": {"type": "geo_point"},
+        "p1": {"type": "geo_point"},
+        "date": {"type": "date"},
+        "date0": {"type": "date"},
+        "date1": {"type": "date"},
+        "ip": {"type": "ip"},
+    }})
+    return es
+
+
+def run(ex, source, params=None, context=None, document=None, index="my-index"):
+    body = {"source": source}
+    if params:
+        body["params"] = params
+    setup = {"document": document, "index": index} if document is not None else None
+    return ex.scripts_painless_execute(body, context=context,
+                                       context_setup=setup)["result"]
+
+
+def test_execute_with_defaults(ex):
+    # 70_execute_painless_scripts.yml:31 "Execute with defaults"
+    r = run(ex, "params.count / params.total",
+            params={"count": 100.0, "total": 1000.0}, context="painless_test")
+    assert r == "0.1"
+
+
+def test_execute_painless_test_context(ex):
+    # :43 "Execute with painless_test context" — int subtraction renders -90
+    r = run(ex, "params.var1 - params.var2",
+            params={"var1": 10, "var2": 100}, context="painless_test")
+    assert r == "-90"
+
+
+def test_execute_filter_context(ex):
+    # :55 "Execute with filter context"
+    r = run(ex, "doc['field'].value.length() <= params.max_length",
+            params={"max_length": 4}, context="filter",
+            document={"field": "four"})
+    assert r is True
+
+
+def test_execute_score_context(ex):
+    # :69 "Execute with score context"
+    r = run(ex, "doc['rank'].value / params.max_rank",
+            params={"max_rank": 5.0}, context="score", document={"rank": 4})
+    assert r == 0.8
+
+
+def test_boolean_field_single(ex):
+    # :83 "boolean field context (single-value)" — list even for one emit
+    r = run(ex, "emit(doc['rank'].value < params.max_rank);",
+            params={"max_rank": 5.0}, context="boolean_field",
+            document={"rank": 4})
+    assert r == [True]
+
+
+def test_boolean_field_multi_sorted(ex):
+    # :96 — emits true,false,false,true but BooleanFieldScript stores
+    # false/true COUNTS, so the result is [false, false, true, true]
+    r = run(ex, "emit(doc['rank'].value < params.max_rank); emit(false); "
+                "emit(false); emit(true);",
+            params={"max_rank": 5.0}, context="boolean_field",
+            document={"rank": 4})
+    assert r == [False, False, True, True]
+
+
+def test_date_field_single(ex):
+    # :122 "date field context (single-value)" — emitted epoch millis
+    # render as fixed-millis ISO
+    r = run(ex, "emit(doc['date'].value.toInstant().toEpochMilli())",
+            context="date_field", document={"date": "2015-01-01T12:10:30Z"})
+    assert r == ["2015-01-01T12:10:30.000Z"]
+
+
+def test_date_field_multi(ex):
+    # :136 — two date fields via doc[...][0]
+    r = run(ex, "emit(doc['date0'][0].toInstant().toEpochMilli()); "
+                "emit(doc['date1'][0].toInstant().toEpochMilli());",
+            context="date_field",
+            document={"date0": "2015-01-01T12:10:30Z",
+                      "date1": "2010-11-30T13:14:35Z"})
+    assert r == ["2015-01-01T12:10:30.000Z", "2010-11-30T13:14:35.000Z"]
+
+
+def test_double_field_multi(ex):
+    # :151/:166 "double field context"
+    r = run(ex, "emit(doc['rank'].value * params.max_rank); emit(400.0); emit(55.0)",
+            params={"max_rank": 5.0}, context="double_field",
+            document={"rank": 4})
+    assert r == [20.0, 400.0, 55.0]
+
+
+def test_geo_point_field_single(ex):
+    # :181 "geo point field context (single-value)" — emit(lat, lon),
+    # GeoJSON coordinates come back [lon, lat]
+    r = run(ex, "emit(doc['point'].value.lat + 1.0, doc['point'].value.lon - 1.0)",
+            context="geo_point_field", document={"point": "30.0,40.0"})
+    assert len(r) == 1
+    assert r[0]["type"] == "Point"
+    assert abs(r[0]["coordinates"][0] - 39.0) < 1e-5
+    assert abs(r[0]["coordinates"][1] - 31.0) < 1e-5
+
+
+def test_geo_point_field_multi(ex):
+    # :199 multi-value over p0/p1
+    r = run(ex, "emit(doc['p0'][0].lat + 1.0, doc['p0'][0].lon - 1.0); "
+                "emit(doc['p1'][0].lat + 1.0, doc['p1'][0].lon - 1.0)",
+            context="geo_point_field",
+            document={"p0": "30.0,40.0", "p1": "40.0,30.0"})
+    assert [p["type"] for p in r] == ["Point", "Point"]
+    assert abs(r[0]["coordinates"][0] - 39.0) < 1e-5
+    assert abs(r[1]["coordinates"][0] - 29.0) < 1e-5
+    assert abs(r[1]["coordinates"][1] - 41.0) < 1e-5
+
+
+def test_ip_field_canonicalizes(ex):
+    # :219/:231 "ip field context" — full-form IPv6 canonicalizes
+    r = run(ex, "emit('2001:0db8:0000:0000:0000:8a2e:0370:7333'); "
+                "emit(doc['ip'].value); emit('2001:db8::8a2e:370:7334')",
+            context="ip_field", document={"ip": "192.168.1.254"})
+    assert r == ["2001:db8::8a2e:370:7333", "192.168.1.254",
+                 "2001:db8::8a2e:370:7334"]
+
+
+def test_long_field_with_cast(ex):
+    # :246/:259 "long field context" — (long) cast of a double param
+    r = run(ex, "emit(doc['rank'].value * (long)params.max_rank); emit(35); "
+                "emit(0); emit(-90); emit(20);",
+            params={"max_rank": 5.0}, context="long_field",
+            document={"rank": 4})
+    assert r == [20, 35, 0, -90, 20]
+
+
+def test_keyword_field_multi(ex):
+    # :275/:287 "keyword field context"
+    r = run(ex, "emit(doc['keyword'].value); emit(doc['keyword'].value + '_test');",
+            context="keyword_field", document={"keyword": "my_keyword"})
+    assert r == ["my_keyword", "my_keyword_test"]
+
+
+def test_empty_index_no_mappings(ex):
+    # :301 "Execute against an empty index with no mappings"
+    ex.create_index("empty-index", num_partitions=1)
+    r = run(ex, "emit((long)params.max_rank)", params={"max_rank": 20.0},
+            context="long_field", document={"rank": 4}, index="empty-index")
+    assert r == [20]
+
+
+def test_default_context_keeps_python_value(ex):
+    # Python-native default (no explicit context): raw value, documented
+    # divergence from the REST string rendering
+    r = ex.scripts_painless_execute(
+        {"source": "def t = 0; for (x in params.xs) { t += x } return t",
+         "params": {"xs": [1, 2, 3]}})
+    assert r["result"] == 6
