@@ -1343,8 +1343,16 @@ class Engine:
                     sspec = sfs[n]
                     ssrc, sparams = dsl.script_source(
                         sspec.get("script", sspec) if isinstance(sspec, dict) else sspec)
-                    joined = joined.withColumn(
-                        n, F.expr(dsl.expand_script(ssrc, sparams)))
+                    from .functions import painless as P
+
+                    if P.is_painless(ssrc):
+                        # same Painless routing as the DSL-path script_fields
+                        rt = dsl._infer_painless_ret(joined, ssrc, sparams)
+                        joined = joined.withColumn(
+                            n, P.script_column(joined, ssrc, sparams, ret_type=rt))
+                    else:
+                        joined = joined.withColumn(
+                            n, F.expr(dsl.expand_script(ssrc, sparams)))
                 out_dict["hits"] = joined.select(*hits0.columns, *missing_sf)
             if "_source" in body:
                 out_dict["hits"] = self._source_filter(

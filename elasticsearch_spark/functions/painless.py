@@ -686,7 +686,16 @@ class DocValues:
         if raw is None:
             self.vals = []
         elif isinstance(raw, (list, tuple)):
-            self.vals = [x for x in raw if x is not None]
+            vals = [x for x in raw if x is not None]
+            if len(vals) > 1:
+                # ScriptDocValues are SORTED (Lucene sorted doc values) —
+                # 50_script_doc_values.yml pins .value = the minimum;
+                # non-comparable payloads (structs, geo) keep input order
+                try:
+                    vals.sort()
+                except TypeError:
+                    pass
+            self.vals = vals
         else:
             self.vals = [raw]
 

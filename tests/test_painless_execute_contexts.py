@@ -181,3 +181,71 @@ def test_default_context_keeps_python_value(ex):
         {"source": "def t = 0; for (x in params.xs) { t += x } return t",
          "params": {"xs": [1, 2, 3]}})
     assert r["result"] == 6
+
+
+# ---------------------------------------------------------------------------
+# ScriptDocValues semantics pinned from the reference's
+# 50_script_doc_values.yml (multi-value doc values are SORTED; .value is the
+# minimum — ":812 doc values are sorted" / ":1255 double .value")
+# ---------------------------------------------------------------------------
+
+def _dv(raw):
+    from elasticsearch_spark.functions import painless as P
+
+    return P.DocValues(raw)
+
+
+def test_doc_values_sorted_keyword():
+    # 50_script_doc_values.yml:88,:812 — ["one string", "another string"]
+    dv = _dv(["one string", "another string"])
+    assert dv.value == "another string"
+    assert dv.values == ["another string", "one string"]
+
+
+def test_doc_values_sorted_numeric():
+    # :89 long and :93 double
+    assert _dv([1152921504606846976, 576460752303423488]).value == 576460752303423488
+    assert _dv([3.141592653588, 2.141592653587]).value == 2.141592653587
+    assert _dv([-3.5, 2.5]).value == -3.5  # scaled_float :94
+
+
+def test_doc_values_sorted_dates():
+    import datetime as dt
+
+    from elasticsearch_spark.functions import painless as P
+
+    # :86 — [2017-01-01T12:11:12, 2018-01-01T12:11:12]
+    d17 = P.JDateTime(dt.datetime(2017, 1, 1, 12, 11, 12))
+    d18 = P.JDateTime(dt.datetime(2018, 1, 1, 12, 11, 12))
+    dv = _dv([d18, d17])
+    assert dv.value is not None and dv.value.getYear() == 2017
+    assert dv[1].getYear() == 2018
+
+
+def test_doc_values_boolean_sorted_false_first():
+    dv = _dv([True, False, True])
+    assert dv.values == [False, True, True]
+
+
+def test_script_fields_date_doc_values_fast_path(spark, tmp_path):
+    # the index fast path (match query → search_topk) joins source columns
+    # back for script_fields; Painless date accessors must run in the
+    # interpreter there, not F.expr
+    import pyspark.sql.functions as F
+
+    from elasticsearch_spark.api import Engine
+
+    es = Engine(spark, root=str(tmp_path / "sfd"))
+    es.create_index("t", num_partitions=1)
+    df = spark.createDataFrame(
+        [("u1", "hello world", "en"), ("u2", "goodbye world", "en")],
+        "url string, text string, lang string",
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2017-01-01 12:11:12")))
+    es.bulk("t", df)
+    out = es.search("t", {"query": {"match": {"text": "world"}},
+                          "script_fields": {
+        "dow": {"script": {"source":
+                "doc['warc_ts'].value.getDayOfWeekEnum().getValue()"}},
+    }, "size": 5})
+    rows = {r.url: r.dow for r in out["hits"].collect()}
+    assert rows == {"u1": 7, "u2": 7}  # 2017-01-01 was a Sunday
