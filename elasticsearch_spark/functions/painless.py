@@ -1159,6 +1159,133 @@ def _jexc_type(e: PainlessError) -> str:
     return "Exception"
 
 
+# ---- MovingFunctions (server/src/main/java/org/elasticsearch/search/
+# aggregations/pipeline/MovingFunctions.java) — faithful ports: NaN inputs
+# are skipped everywhere, empty/all-NaN windows yield NaN (sum yields 0.0),
+# and the iteration-order-dependent models (ewma/holt/holtWinters) follow
+# the Java loops exactly ----
+
+def _mf_finite(values):
+    return [float(v) for v in values if v == v]
+
+
+def _mf_max(values):
+    fin = _mf_finite(values)
+    return max(fin) if fin else math.nan
+
+
+def _mf_min(values):
+    fin = _mf_finite(values)
+    return min(fin) if fin else math.nan
+
+
+def _mf_sum(values):
+    if not len(values):
+        return 0.0
+    return float(sum(_mf_finite(values)))
+
+
+def _mf_unweighted_avg(values):
+    fin = _mf_finite(values)
+    return sum(fin) / len(fin) if fin else math.nan
+
+
+def _mf_std_dev(values, avg):
+    if avg != avg:
+        return math.nan
+    fin = _mf_finite(values)
+    if not fin:
+        return math.nan
+    return math.sqrt(sum((v - avg) ** 2 for v in fin) / len(fin))
+
+
+def _mf_linear_weighted(values):
+    avg, total_weight, current = 0.0, 1, 1
+    for v in values:
+        if v == v:
+            avg += v * current
+            total_weight += current
+            current += 1
+    return math.nan if total_weight == 1 else avg / total_weight
+
+
+def _mf_ewma(values, alpha):
+    avg, first = math.nan, True
+    for v in values:
+        if v == v:
+            if first:
+                avg, first = v, False
+            else:
+                avg = v * alpha + avg * (1 - alpha)
+    return avg
+
+
+def _mf_holt(values, alpha, beta):
+    if not len(values):
+        return math.nan
+    s = last_s = b = last_b = 0.0
+    counter = 0
+    for v in values:
+        if v == v:
+            if counter == 0:
+                s, b = v, 0.0  # v - last where last == v on the first point
+            else:
+                s = alpha * v + (1.0 - alpha) * (last_s + last_b)
+                b = beta * (s - last_s) + (1 - beta) * last_b
+            counter += 1
+            last_s, last_b = s, b
+    return math.nan if counter == 0 else s
+
+
+def _mf_holt_winters(values, alpha, beta, gamma, period, multiplicative):
+    if not len(values):
+        return math.nan
+    period = int(period)
+    padding = 1e-10 if multiplicative else 0.0
+    if len(values) < period * 2:
+        raise PainlessError(
+            f"Holt-Winters aggregation requires at least (2 * period == "
+            f"{2 * period}) data-points to function.  Only [{len(values)}] "
+            f"were provided.")
+    # Java quirk kept: vs is a full-length array with NaN slots left 0.0
+    # (new double[values.length] + counter-bounded fill), and the season
+    # loops run over the FULL length
+    vs = [0.0] * len(values)
+    counter = 0
+    for v in values:
+        if v == v:
+            vs[counter] = v + padding
+            counter += 1
+    if counter == 0:
+        return math.nan
+    seasonal = [0.0] * len(vs)
+    s = b = 0.0
+    for i in range(period):
+        s += vs[i]
+        b += (vs[i + period] - vs[i]) / period
+    s /= period
+    b /= period
+    last_s, last_b = s, b
+    if s != 0.0:
+        for i in range(period):
+            seasonal[i] = vs[i] / s
+    for i in range(period, len(vs)):
+        if multiplicative:
+            s = alpha * (vs[i] / seasonal[i - period]) + (1.0 - alpha) * (last_s + last_b)
+        else:
+            s = alpha * (vs[i] - seasonal[i - period]) + (1.0 - alpha) * (last_s + last_b)
+        b = beta * (s - last_s) + (1 - beta) * last_b
+        if multiplicative:
+            seasonal[i] = gamma * (vs[i] / (last_s + last_b)) + (1 - gamma) * seasonal[i - period]
+        else:
+            seasonal[i] = gamma * (vs[i] - (last_s - last_b)) + (1 - gamma) * seasonal[i - period]
+        last_s, last_b = s, b
+    idx = len(vs) - period
+    if multiplicative:
+        return (s + b) * seasonal[idx]
+    return s + b + seasonal[idx]
+
+
 def _temporal_ms(x) -> int:
     """Epoch millis from any temporal value (JInstant / JDateTime / long)."""
     if isinstance(x, JInstant):
@@ -1543,6 +1670,20 @@ _STATICS: dict[str, dict] = {
     "Objects": {"equals": lambda a, b: a == b, "isNull": lambda x: x is None,
                 "nonNull": lambda x: x is not None,
                 "requireNonNull": lambda x: x, "hashCode": lambda x: 0},
+    # moving_fn script context (server/.../pipeline/MovingFunctions.java —
+    # exact ports incl. the NaN-filtering and empty-window contracts)
+    "MovingFunctions": {
+        "max": lambda values: _mf_max(values),
+        "min": lambda values: _mf_min(values),
+        "sum": lambda values: _mf_sum(values),
+        "unweightedAvg": lambda values: _mf_unweighted_avg(values),
+        "stdDev": lambda values, avg: _mf_std_dev(values, avg),
+        "linearWeightedAvg": lambda values: _mf_linear_weighted(values),
+        "ewma": lambda values, alpha: _mf_ewma(values, alpha),
+        "holt": lambda values, alpha, beta: _mf_holt(values, alpha, beta),
+        "holtWinters": lambda values, alpha, beta, gamma, period, mult:
+            _mf_holt_winters(values, alpha, beta, gamma, period, mult),
+    },
     # java.time statics (script whitelist: Instant.ofEpochMilli,
     # ChronoUnit.between over temporal doc values)
     "Instant": {

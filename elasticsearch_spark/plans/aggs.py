@@ -1841,16 +1841,52 @@ def apply_pipeline(buckets: DataFrame, name: str, spec: dict) -> DataFrame:
         return buckets.withColumn(name, src - F.lag(src, lag).over(w))
     if kind in ("moving_fn", "moving_avg"):
         # moving_avg is the reference's deprecated precursor of moving_fn
-        # (MovAvgPipelineAggregationBuilder.java → MovFnPipelineAggregation
-        # Builder.java); simple model = unweighted average
-        window = body.get("window", 5)
-        fn = body.get("script", "MovingFunctions.unweightedAvg")
-        frame = w.rowsBetween(-(window - 1), 0)
-        fns = {
-            "MovingFunctions.unweightedAvg": F.avg, "MovingFunctions.sum": F.sum,
-            "MovingFunctions.min": F.min, "MovingFunctions.max": F.max,
-        }
-        return buckets.withColumn(name, fns[fn](src).over(frame))
+        # (MovAvgPipelineAggregationBuilder.java → MovFnPipelineAggregator
+        # .java:112): the window is [i - window + shift, i + shift) over the
+        # GAP-COMPRESSED value sequence — shift=0 EXCLUDES the current
+        # bucket (yaml 70_mov_fn_agg.yml pins bucket 0 = absent, bucket 1 =
+        # fn([v0])); null-valued buckets get no output. The script is real
+        # Painless with `values` bound (MovingFunctions statics ported in
+        # functions/painless.py), so ewma/holt/holtWinters/custom bodies
+        # all run.
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf as _pudf
+
+        from ..functions import painless as P
+
+        window = int(body.get("window", 5))
+        shift = int(body.get("shift", 0))
+        script = body.get("script", "MovingFunctions.unweightedAvg(values)")
+        if "(" not in script:
+            script = f"{script}(values)"  # legacy bare-name form
+        params = dict(body.get("params") or {})
+        # gap-compressed series: collect_list drops nulls, count-to-here
+        # gives the current bucket's index within the filtered sequence
+        full = F.collect_list(src.cast("double")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        idx = F.count(src).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1
+        prog_src = script
+
+        @_pudf("double")
+        def _movfn(vals: pd.Series, i: pd.Series, cur: pd.Series) -> pd.Series:
+            prog = P.compile_painless(prog_src)
+            out = []
+            for arr, ix, c in zip(vals, i, cur):
+                if c is None or (isinstance(c, float) and c != c):
+                    out.append(None)  # null bucket: no value, like the reference
+                    continue
+                arr = [float(x) for x in arr]
+                ix = int(ix)
+                fr = max(0, min(ix - window + shift, len(arr)))
+                to = max(0, min(ix + shift, len(arr)))
+                env = {"values": arr[fr:to], "params": params}
+                res = P.execute(prog, env)
+                # NaN (empty window / all-NaN) renders as an absent value,
+                # like InternalSimpleValue's xcontent
+                out.append(None if res is None or res != res else float(res))
+            return pd.Series(out, dtype="float64")
+
+        return buckets.withColumn(name, _movfn(full, idx, src.cast("double")))
     def _bind_params(script: str, paths: dict) -> str:
         # boundary-aware substitution: params.t must not eat params.t2
         # (plain substring replace corrupts shared-prefix variable names)
@@ -1894,8 +1930,12 @@ def apply_pipeline(buckets: DataFrame, name: str, spec: dict) -> DataFrame:
         # over a sliding window of trailing buckets (the reference slides a
         # merged t-digest; the frame is coordinator-small so exact is free)
         window = int(body.get("window", 5))
+        shift = int(body.get("shift", 0))
         pcts = body.get("percents", [50.0])
-        frame = w.rowsBetween(-(window - 1), 0)
+        # MovingPercentilesPipelineAggregator.java:89 — same clamp as
+        # moving_fn: [i - window + shift, i + shift), EXCLUDING the current
+        # bucket at shift=0
+        frame = w.rowsBetween(-window + shift, shift - 1)
         out = buckets
         colname = "doc_count" if path in ("_count",) else path
         for p in pcts:

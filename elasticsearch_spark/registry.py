@@ -1305,7 +1305,7 @@ def agg_compiler_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "daily": {"date_histogram": {"field": "ts", "calendar_interval": "1d"}, "aggs": {
             "sv": {"sum": {"field": "value"}},
             "mavg": {"moving_fn": {"buckets_path": "_count", "window": 3,
-                                   "script": "MovingFunctions.unweightedAvg"}},
+                                   "script": "MovingFunctions.unweightedAvg(values)"}},
             "ratio": {"bucket_script": {"buckets_path": {"s": "sv", "c": "doc_count"},
                                         "script": "params.s / params.c"}},
         }}
@@ -5254,7 +5254,7 @@ WITH daily AS (
   FROM events GROUP BY 1
 )
 SELECT cast(k AS DATE) AS day, doc_count, round(sv, 4) AS sv,
-       round(avg(doc_count) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg,
+       round(avg(doc_count) OVER (ORDER BY k ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4) AS mavg,
        round(sv / doc_count, 4) AS ratio
 FROM daily ORDER BY day
 """,
@@ -5965,7 +5965,7 @@ FROM b ORDER BY day
 WITH b AS (SELECT cast(ts AS DATE) AS day, sum(value) AS sv
            FROM events GROUP BY 1)
 SELECT day, round(sv, 4) AS sv,
-       round(quantile_cont(sv, 0.5) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mp_50
+       round(quantile_cont(sv, 0.5) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 4) AS mp_50
 FROM b ORDER BY day
 """,
     "agg_t_test": """

@@ -122,12 +122,16 @@ def test_moving_fn_and_serial_diff(spark, frame):
     out = aggs.aggregate(frame, {
         "daily": {"date_histogram": {"field": "ts", "calendar_interval": "1d"}, "aggs": {
             "mavg": {"moving_fn": {"buckets_path": "_count", "window": 2,
-                                   "script": "MovingFunctions.unweightedAvg"}},
+                                   "script": "MovingFunctions.unweightedAvg(values)"}},
             "sd": {"serial_diff": {"buckets_path": "_count", "lag": 2}},
         }}
     })["daily"]
     rows = out.orderBy("key").collect()
-    assert rows[1]["mavg"] == pytest.approx((rows[0]["doc_count"] + rows[1]["doc_count"]) / 2)
+    # MovFnPipelineAggregator.java:112 — window [i-window+shift, i+shift)
+    # EXCLUDES the current bucket at shift=0
+    assert rows[0]["mavg"] is None
+    assert rows[1]["mavg"] == pytest.approx(rows[0]["doc_count"])
+    assert rows[2]["mavg"] == pytest.approx((rows[0]["doc_count"] + rows[1]["doc_count"]) / 2)
     assert rows[2]["sd"] == rows[2]["doc_count"] - rows[0]["doc_count"]
 
 
@@ -430,8 +434,13 @@ def test_moving_percentiles(spark, frame):
     import statistics
 
     for i, r in enumerate(rows):
-        window = svs[max(0, i - 2): i + 1]
-        assert abs(r["mp.50"] - statistics.median(window)) < 1e-9
+        # MovingPercentilesPipelineAggregator.java:89 — the window
+        # [i-window+shift, i+shift) excludes the current bucket at shift=0
+        window = svs[max(0, i - 3): i]
+        if not window:
+            assert r["mp.50"] is None
+        else:
+            assert abs(r["mp.50"] - statistics.median(window)) < 1e-9
 
 
 def test_tdigest_accuracy_and_determinism(spark):

@@ -249,3 +249,50 @@ def test_script_fields_date_doc_values_fast_path(spark, tmp_path):
     }, "size": 5})
     rows = {r.url: r.dow for r in out["hits"].collect()}
     assert rows == {"u1": 7, "u2": 7}  # 2017-01-01 was a Sunday
+
+
+def test_moving_fn_yaml_parity(spark):
+    """70_mov_fn_agg.yml 'max': dates 1..6 with value 1..6, window 3,
+    MovingFunctions.max(values) → bucket 0 absent, then 1,2,3,4,5 (the
+    window EXCLUDES the current bucket at shift=0)."""
+    from elasticsearch_spark.plans import aggs
+
+    rows = [(f"2017-01-0{i}T00:00:00", float(i)) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "date string, value_field double") \
+        .selectExpr("cast(date as timestamp) as date", "value_field")
+    out = aggs.aggregate(df, {
+        "the_histo": {"date_histogram": {"field": "date",
+                                         "calendar_interval": "1d"},
+                      "aggs": {
+            "the_avg": {"avg": {"field": "value_field"}},
+            "the_mov_fn": {"moving_fn": {"buckets_path": "the_avg",
+                                         "window": 3,
+                                         "script": "MovingFunctions.max(values)"}},
+        }}
+    })["the_histo"]
+    got = [r["the_mov_fn"] for r in out.orderBy("key").collect()]
+    assert got == [None, 1.0, 2.0, 3.0, 4.0, 5.0]
+
+    # stdDev composite from the same yaml (:305)
+    out2 = aggs.aggregate(df, {
+        "h": {"date_histogram": {"field": "date", "calendar_interval": "1d"},
+              "aggs": {
+            "a": {"avg": {"field": "value_field"}},
+            "sd": {"moving_fn": {"buckets_path": "a", "window": 3,
+                   "script": "MovingFunctions.stdDev(values, "
+                             "MovingFunctions.unweightedAvg(values))"}},
+        }}
+    })["h"]
+    got2 = [r["sd"] for r in out2.orderBy("key").collect()]
+    assert got2[0] is None and got2[1] == 0.0
+    import math
+    assert got2[3] == math.sqrt(2 / 3)  # stdDev of [1,2,3]
+
+
+def test_moving_fn_holt_winters_requires_two_seasons(spark):
+    from elasticsearch_spark.functions import painless as P
+
+    with pytest.raises(P.PainlessError, match="Holt-Winters"):
+        P.execute(P.compile_painless(
+            "MovingFunctions.holtWinters(values, 0.1, 0.1, 0.1, 3, false)"),
+            {"values": [1.0, 2.0, 3.0], "params": {}})
