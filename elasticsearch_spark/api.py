@@ -2236,27 +2236,80 @@ class Engine:
         return rows[0].asDict(recursive=True) if rows else None
 
     def update(self, index: str, url: str, doc: dict | None = None,
-               script_expr: str | None = None) -> dict:
+               script_expr: str | None = None, script: dict | str | None = None,
+               upsert: dict | None = None, doc_as_upsert: bool = False,
+               scripted_upsert: bool = False) -> dict:
         """POST /{index}/_update/{id}: partial-doc merge or scripted update —
         one-row op batch through the bulk op lifecycle (UpdateHelper.java:
-        fetch, merge, reindex-as-update)."""
+        fetch, merge, reindex-as-update). The full request surface:
+        ``upsert`` indexes the fallback document when the id is missing,
+        ``scripted_upsert`` runs the script over the upsert source first
+        (ctx.op == 'create', 25_script_upsert.yml), ``doc_as_upsert`` uses
+        ``doc`` as the upsert body; Painless scripts see ``ctx._source``
+        (mutable), ``ctx._index``/``ctx._id``/``ctx._now`` and may set
+        ``ctx.op`` to 'none' (noop) or 'delete' (UpdateHelper.UpdateOpType).
+        ``script_expr`` keeps the legacy SQL-expression path rewriting
+        ``text``."""
         cur = self.get(index, url)
-        if cur is None:
-            raise KeyError(f"document not found: {url}")
-        if doc:
+        created = cur is None
+        if created:
+            if doc is not None and doc_as_upsert:
+                cur = dict(doc)
+            elif upsert is not None:
+                cur = dict(upsert)
+                if not scripted_upsert:
+                    script = None  # plain upsert indexes the body as-is
+            else:
+                raise KeyError(f"document not found: {url}")
+        elif doc is not None:
             cur.update(doc)
+        cur["url"] = url  # upsert bodies don't carry the id
+        op = "update"
+        if script is not None:
+            import time
+
+            from .functions import painless as P
+
+            src, params = dsl.script_source(
+                script if isinstance(script, (dict, str)) else {"source": script})
+            source = {k: P._clean(v) for k, v in cur.items()
+                      if k not in ("url", "doc_id", "dl", "norm", "seg_id")}
+            ctx = {"_source": source, "_index": index, "_id": url,
+                   "_now": int(time.time() * 1000),
+                   "op": "create" if created else "index"}
+            P.execute(P.compile_painless(src),
+                      {"params": dict(params or {}), "ctx": ctx})
+            if ctx.get("op") in ("none", "noop"):
+                return {"result": "noop"}
+            if ctx.get("op") == "delete":
+                return self.delete(index, [url])
+            cur = {"url": url, **{
+                k: (v.dt.replace(tzinfo=None) if isinstance(v, P.JDateTime) else v)
+                for k, v in ctx["_source"].items()}}
         # carry EVERY stored field (incl. custom columns) — a 4-column
         # update frame on a custom-field index would trip the op-batch
         # schema guard and, worse, silently drop the extras
         view = self._docs_view(index)
         keep = [c for c in view.columns if c not in ("doc_id", "dl", "norm", "seg_id")]
         schema = view.select(*keep).schema
-        updated = self.spark.createDataFrame(
-            [tuple(cur.get(c) for c in keep)], schema
-        ).select("url", F.lit("update").alias("op"), *[c for c in keep if c != "url"])
+        # fields the script/upsert introduced beyond the stored schema ride
+        # along (apply_ops dynamic-maps them, like update_by_query's path)
+        from .sources.ingest_pipeline import _py_spark_type
+        extras = [k for k in cur if k not in keep
+                  and k not in ("url", "doc_id", "dl", "norm", "seg_id")]
+        row = [tuple(cur.get(c) for c in keep) + tuple(cur[e] for e in extras)]
+        schema_str = ", ".join(
+            [f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields]
+            + [f"`{e}` {_py_spark_type(cur[e])}" for e in extras])
+        updated = self.spark.createDataFrame(row, schema_str).select(
+            "url", F.lit(op).alias("op"),
+            *[c for c in keep if c != "url"], *extras)
         if script_expr:
             updated = updated.withColumn("text", F.expr(script_expr))
-        return ops_mod.apply_ops(self.spark, self._dir(index), updated)
+        res = ops_mod.apply_ops(self.spark, self._dir(index), updated)
+        if isinstance(res, dict):
+            res.setdefault("result", "created" if created else "updated")
+        return res
 
     def simulate_pipeline(self, processors: list[dict], docs: list[dict]) -> list[dict]:
         """POST /_ingest/pipeline/_simulate: run a processor chain over

@@ -2125,6 +2125,8 @@ class _Interp:
                 return obj.k
             if name == "value":
                 return obj.v
+        if isinstance(obj, DocMap):
+            return obj[name]  # doc.f sugar == doc['f'] (100_terms_agg.yml)
         if isinstance(obj, dict):
             return obj.get(name)  # painless map-style field sugar: m.k == m['k']
         if isinstance(obj, str) and name == "length":
@@ -2276,11 +2278,12 @@ _PAINLESS_RE = re.compile(
     r"|\bfor\s*\("
     r"|\bwhile\s*\("
     r"|\bdoc\["
+    r"|\bdoc\.\w"
     r"|\bctx[.\[]"
     r"|\bstate[.\[]"
     r"|\bemit\s*\("
     r"|\bnew\s+[A-Z]\w*\s*\("
-    r"|\b(?:Math|Integer|Long|Double|Float|Boolean|Collections|Arrays|Objects|Character|Pattern)\s*\."
+    r"|\b(?:Math|Integer|Long|Double|Float|Boolean|Collections|Arrays|Objects|Character|Pattern|MovingFunctions|Instant|ChronoUnit)\s*\."
     r"|\?\."
     r"|==?~"
 )
@@ -2324,6 +2327,9 @@ def referenced_doc_fields(src: str) -> tuple[set[str], bool]:
             else:
                 dynamic = True
             walk(n[2])
+            return
+        if n[0] == "field" and n[1] == ("var", "doc"):
+            fields.add(n[2])  # doc.f sugar
             return
         if n[0] == "call" and n[1] == ("var", "doc") and n[2] in ("get", "containsKey"):
             if n[3] and n[3][0][0] == "lit":

@@ -2200,11 +2200,71 @@ def detect_change_point(values: list[float]) -> tuple[str, int | None, float]:
     return "stationary", None, 1.0
 
 
+# Aggs whose body takes a value source — the kinds where ES accepts a
+# ``script`` instead of (or transforming) ``field``
+# (ValuesSourceAggregationBuilder.script; yaml 100_terms_agg.yml uses
+# ``terms.script``). Pipeline kinds also carry "script" keys but those are
+# bucket-level programs, not value sources.
+_VALUE_SCRIPT_KINDS = frozenset({
+    "avg", "sum", "min", "max", "value_count", "stats", "extended_stats",
+    "cardinality", "percentiles", "percentile_ranks",
+    "median_absolute_deviation", "terms", "rare_terms", "significant_terms",
+    "histogram", "multi_terms", "missing", "string_stats", "boxplot",
+})
+
+
+def _resolve_value_scripts(df: DataFrame, aggs: dict) -> tuple[DataFrame, dict]:
+    """Pre-pass: materialize each value script as a derived column and
+    rewrite its agg body to ``field`` form. ``field`` + ``script`` binds
+    ``_value`` to the field (the reference's value-script transform);
+    Painless sources run in the interpreter, single SQL expressions stay
+    JVM-side. Recurses through sub-``aggs`` (they share the input frame)."""
+    import copy
+
+    from ..functions import painless as P
+    from . import dsl
+
+    counter = [0]
+
+    def walk(specs):
+        nonlocal df
+        for _name, spec in specs.items():
+            for kind, body in list(spec.items()):
+                if kind == "aggs" and isinstance(body, dict):
+                    walk(body)
+                    continue
+                if (kind not in _VALUE_SCRIPT_KINDS
+                        or not isinstance(body, dict) or "script" not in body):
+                    continue
+                src, params = dsl.script_source(body.pop("script"))
+                if body.get("field"):
+                    src = re.sub(r"\b_value\b",
+                                 f"doc['{body.pop('field')}'].value", src)
+                col = f"__vscript_{counter[0]}"
+                counter[0] += 1
+                if P.is_painless(src):
+                    rt = dsl._infer_painless_ret(df, src, params)
+                    df = df.withColumn(
+                        col, P.script_column(df, src, params, ret_type=rt))
+                else:
+                    df = df.withColumn(
+                        col, F.expr(dsl.expand_script(src, params)))
+                body["field"] = col
+
+    has_script = "script" in repr(aggs)  # cheap guard: zero cost when absent
+    if not has_script:
+        return df, aggs
+    aggs = copy.deepcopy(aggs)
+    walk(aggs)
+    return df, aggs
+
+
 def aggregate(df: DataFrame, aggs: dict) -> dict[str, DataFrame]:
     """Run an ES ``aggs`` body → {agg name: bucket/metric frame}. Pipeline
     sub-aggs nested under a bucket agg are applied to that bucket frame in
     declaration order; sibling `*_bucket` pipelines aggregate a previously
     declared agg's frame (the coordinator post-reduce step)."""
+    df, aggs = _resolve_value_scripts(df, aggs)
     out: dict[str, DataFrame] = {}
     for name, spec in aggs.items():
         if next(iter(k for k in spec if k != "aggs")) in _SIBLING_KINDS:

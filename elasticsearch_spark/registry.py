@@ -1316,6 +1316,26 @@ def agg_compiler_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def agg_value_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value scripts in aggregations (ValuesSourceAggregationBuilder.script,
+    yaml 100_terms_agg.yml): terms key transformed by a Painless script +
+    an avg whose ``field`` + ``script`` binds ``_value``."""
+    from .plans import aggs as A
+
+    out = A.aggregate(_events(spark, sf_dir), {
+        "t": {"terms": {"field": "event_type", "size": 20,
+                        "script": {"source": "doc.event_type[0] + '_s'"}},
+              "aggs": {
+                  "av": {"avg": {"field": "value",
+                                 "script": {"source": "_value * 2.0"}}},
+              }},
+    })["t"]
+    return out.select(
+        F.col("key"), F.col("doc_count"),
+        F.round("av", 4).alias("av"),
+    ).orderBy(F.desc("doc_count"), "key")
+
+
 def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text quality signals per doc: token count, distinct terms, type-token
     ratio, stopword ratio — the quality-scoring stage of a data pipeline."""
@@ -5258,6 +5278,11 @@ SELECT cast(k AS DATE) AS day, doc_count, round(sv, 4) AS sv,
        round(sv / doc_count, 4) AS ratio
 FROM daily ORDER BY day
 """,
+    "agg_value_script": """
+SELECT event_type || '_s' AS key, count(*)::BIGINT AS doc_count,
+       round(avg(value * 2.0), 4) AS av
+FROM events GROUP BY 1 ORDER BY doc_count DESC, key
+""",
     "text_token_stats": f"""
 SELECT doc_id, len(toks)::BIGINT AS n_tokens, len(list_distinct(toks))::BIGINT AS n_distinct,
        round(len(list_distinct(toks)) / len(toks), 4) AS ttr,
@@ -6575,6 +6600,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_hnsw_topk": s_ann_hnsw_topk,
     "agg_compiler_terms": agg_compiler_terms,
     "agg_compiler_pipeline": agg_compiler_pipeline,
+    "agg_value_script": agg_value_script,
     "text_token_stats": t_token_stats,
     "text_lang_id": t_lang_id,
     "text_quality_score": t_quality_score,

@@ -296,3 +296,86 @@ def test_moving_fn_holt_winters_requires_two_seasons(spark):
         P.execute(P.compile_painless(
             "MovingFunctions.holtWinters(values, 0.1, 0.1, 0.1, 3, false)"),
             {"values": [1.0, 2.0, 3.0], "params": {}})
+
+
+def test_terms_agg_value_script_yaml(spark):
+    """100_terms_agg.yml — terms agg with a value script over docs
+    [str=abc ×2, str=bcd; number=1 ×2, number=2]: keys transform through
+    the script (:57 'abc1'/'bcd1', :75 number+1)."""
+    from elasticsearch_spark.plans import aggs
+
+    df = spark.createDataFrame(
+        [("abc", 1, 1.0), ("abc", 1, 1.0), ("bcd", 2, 2.0)],
+        "str string, number long, double double")
+    out = aggs.aggregate(df, {"str_terms": {"terms": {
+        "field": "str", "script": {"source": 'return doc.str[0] + "1"'}}}})
+    rows = {r["key"]: r["doc_count"] for r in out["str_terms"].collect()}
+    assert rows == {"abc1": 2, "bcd1": 1}
+
+    out = aggs.aggregate(df, {"long_terms": {"terms": {
+        "field": "number", "script": {"source": "return doc.number[0] + 1"}}}})
+    rows = {r["key"]: r["doc_count"] for r in out["long_terms"].collect()}
+    assert rows == {2: 2, 3: 1}
+
+
+def test_metric_agg_script_only(spark):
+    from elasticsearch_spark.plans import aggs
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (3.0, 4.0)], "a double, b double")
+    out = aggs.aggregate(df, {"s": {"sum": {
+        "script": {"source": "doc['a'].value * doc['b'].value"}}}})
+    assert out["s"].collect()[0]["s"] == 14.0
+    # field + script binds _value
+    out = aggs.aggregate(df, {"m": {"max": {
+        "field": "a", "script": {"source": "_value * 10"}}}})
+    assert out["m"].collect()[0]["m"] == 30.0
+
+
+def test_update_scripted_upsert_yaml(spark, tmp_path):
+    """25_script_upsert.yml: plain upsert indexes the body untouched for a
+    missing id; scripted_upsert runs the script over the upsert source
+    first; ctx._now is visible; existing docs go through ctx._source."""
+    from elasticsearch_spark.api import Engine
+
+    es = Engine(spark, root=str(tmp_path / "su"))
+    es.create_index("test_1", num_partitions=1)
+    # the engine's stored schema is fixed at first bulk (one docs schema per
+    # index) — declare the update-target fields up front
+    es.bulk("test_1", spark.createDataFrame(
+        [("seed", "seed text", "en", None, None)],
+        "url string, text string, lang string, foo string, has_now boolean"))
+
+    # missing id + upsert WITHOUT scripted_upsert → body as-is (:1-40)
+    es.update("test_1", "1", script={"source": "ctx._source.foo = params.bar",
+                                     "params": {"bar": "xxx"}},
+              upsert={"text": "t1", "lang": "en", "foo": "baz"})
+    assert es.get("test_1", "1")["foo"] == "baz"
+
+    # scripted_upsert: true → the script runs over the upsert doc (:41-57)
+    es.update("test_1", "2", script={"source": "ctx._source.foo = params.bar",
+                                     "params": {"bar": "xxx"}},
+              upsert={"text": "t2", "lang": "en", "foo": "baz"},
+              scripted_upsert=True)
+    assert es.get("test_1", "2")["foo"] == "xxx"
+
+    # ctx._now (:59-74)
+    es.update("test_1", "3", script={"source": "ctx._source.has_now = ctx._now > 0"},
+              upsert={"text": "t3", "lang": "en", "has_now": False},
+              scripted_upsert=True)
+    assert es.get("test_1", "3")["has_now"] is True
+
+    # existing doc: script mutates _source; ctx.op = 'none' noops
+    es.update("test_1", "seed", script={"source": "ctx._source.text = 'new text'"})
+    assert es.get("test_1", "seed")["text"] == "new text"
+    out = es.update("test_1", "seed", script={
+        "source": "if (ctx._source.text == 'new text') { ctx.op = 'none' }"})
+    assert out["result"] == "noop"
+
+    # ctx.op = 'delete' removes the doc
+    es.update("test_1", "2", script={"source": "ctx.op = 'delete'"})
+    assert es.get("test_1", "2") is None
+
+    # doc_as_upsert
+    es.update("test_1", "4", doc={"text": "t4", "lang": "de"}, doc_as_upsert=True)
+    assert es.get("test_1", "4")["lang"] == "de"

@@ -175,6 +175,16 @@ def test_moving_avg_alias(spark):
         "aggs": {"s": {"sum": {"field": "v"}},
                  "ma": {"moving_avg": {"buckets_path": "s", "window": 2}}},
     }})["h"].orderBy("key").collect()
+    # the alias shares moving_fn's window contract (shift=0 excludes the
+    # current bucket — MovFnPipelineAggregator.java:112); shift=1 restores
+    # the old moving_avg inclusive window
+    assert [r.ma for r in out] == [None, 1.0, 1.5, 2.5, 3.5]
+    out = aggregate(df, {"h": {
+        "histogram": {"field": "n_chars", "interval": 1},
+        "aggs": {"s": {"sum": {"field": "v"}},
+                 "ma": {"moving_fn": {"buckets_path": "s", "window": 2,
+                                      "shift": 1}}},
+    }})["h"].orderBy("key").collect()
     assert [r.ma for r in out] == [1.0, 1.5, 2.5, 3.5, 4.5]
 
 
