@@ -190,9 +190,14 @@ def compile_source(spark: SparkSession, index_dir: str, src: dict, analyzer: str
     flt = None
     if isinstance(body, dict) and "filter" in body:
         (fkind, fsrc), = body["filter"].items()
-        if fkind not in _FILTER_KINDS:
+        if fkind == "script":
+            # IntervalsSourceProvider.ScriptFilterSource — keep the source
+            # text; evaluated per candidate interval in _eval_node
+            flt = ("script", fsrc["source"] if isinstance(fsrc, dict) else fsrc)
+        elif fkind not in _FILTER_KINDS:
             raise ValueError(f"unknown intervals filter {fkind!r}")
-        flt = (fkind, compile_source(spark, index_dir, fsrc, analyzer))
+        else:
+            flt = (fkind, compile_source(spark, index_dir, fsrc, analyzer))
     if kind == "match":
         words = analysis.analyze(body["query"], analyzer)
         node = {
@@ -254,7 +259,8 @@ def tree_terms(node: dict, include_filters: bool = True) -> list[str]:
         terms = list(node["terms"])
     else:
         terms = [t for c in node["children"] for t in tree_terms(c, include_filters)]
-    if "filter" in node and include_filters:
+    if "filter" in node and include_filters \
+            and node["filter"][0] != "script":  # script filters hold source text
         terms += tree_terms(node["filter"][1], include_filters)
     return list(dict.fromkeys(terms))
 
@@ -335,7 +341,26 @@ def _eval_node(node: dict, leaf_pos) -> np.ndarray:
             iv = iv_unordered(children, node.get("max_gaps", -1))
     if "filter" in node and len(iv):
         fkind, fnode = node["filter"]
-        iv = iv_filter(iv, _eval_node(fnode, leaf_pos), fkind)
+        if fkind == "script":
+            # IntervalFilterScript (90_interval_query_filter.yml): the
+            # script sees `interval.start/.end/.gaps` per candidate and
+            # keeps the interval when it returns true
+            from ..functions import painless as P
+
+            prog = P.compile_painless(fnode)
+            # gaps = interior slack: span width minus the number of matched
+            # terms (leaf = 1 term; combinators = their child count)
+            n_terms = 1 if node["op"] in ("leaf", "any_of") \
+                else len(node["children"])
+            keep = []
+            for s, e in iv:
+                span = {"start": int(s), "end": int(e),
+                        "gaps": max(0, int(e) - int(s) + 1 - n_terms)}
+                env = {"interval": span, "params": {}}
+                keep.append(bool(P.execute(prog, env)))
+            iv = iv[np.asarray(keep, dtype=bool)]
+        else:
+            iv = iv_filter(iv, _eval_node(fnode, leaf_pos), fkind)
     return iv
 
 

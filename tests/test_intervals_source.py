@@ -97,3 +97,34 @@ def test_intervals_source_end_to_end(spark, index_dir):
     ]}}
     n = search_intervals_source(spark, index_dir, ast2, k=10).count()
     assert n == 10
+
+
+def test_intervals_script_filter_yaml(spark, tmp_path):
+    """90_interval_query_filter.yml 'Test filtering by script': the filter
+    script sees interval.start/.end/.gaps; 'cold' with interval.start > 3
+    matches only doc 1 ('…some like it cold', position 7)."""
+    from elasticsearch_spark.operators.intervals import search_intervals_source
+    from elasticsearch_spark.operators.postings import build_index
+
+    docs = [
+        ("1", "Some like it hot, some like it cold"),
+        ("2", "Its cold outside, theres no kind of atmosphere"),
+        ("3", "Baby its cold there outside"),
+        ("4", "Outside it is cold and wet"),
+    ]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(u, t, "en") for u, t in docs], "url string, text string, lang string"
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-01")))
+    idx = str(tmp_path / "ivs")
+    build_index(spark, df, idx, num_partitions=1)
+    ast = {"match": {"query": "cold",
+                     "filter": {"script": {"source": "interval.start > 3"}}}}
+    hits = search_intervals_source(spark, idx, ast, k=10).collect()
+    assert [r["url"] for r in hits] == ["1"]
+    # boundary: start > 2 picks up doc 4 (position 3) too
+    ast2 = {"match": {"query": "cold",
+                      "filter": {"script": {"source": "interval.start > 2"}}}}
+    assert {r["url"] for r in search_intervals_source(spark, idx, ast2, k=10).collect()} \
+        == {"1", "4"}
