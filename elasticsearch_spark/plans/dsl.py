@@ -2329,6 +2329,11 @@ def _sort_cols(sort_spec, key: str) -> list[Column]:
             stype = sd.get("type", "number") if isinstance(sd, dict) else "number"
             c = script_col(None, src, sparams,
                            ret_type="double" if stype == "number" else "string")
+        elif sf == "_shard_doc":
+            # PIT tiebreaker sort (ShardDocSortField): any consistent
+            # total order works for paging — the doc key is one and is
+            # always present in the hit frame
+            c = F.col(key)
         else:
             c = F.col("_score") if sf == "_score" else F.col(sf)
         order.append(c.desc_nulls_last() if d == "desc" else c.asc_nulls_last())
@@ -2724,7 +2729,12 @@ def search(
         for s in sort_spec:
             (sf, sd), = s.items() if isinstance(s, dict) else ((s, "asc"),)
             d = sd.get("order", "asc") if isinstance(sd, dict) else sd
-            cols.append(F.col("_score") if sf == "_score" else F.col(sf))
+            if sf == "_score":
+                cols.append(F.col("_score"))
+            elif sf == "_shard_doc":
+                cols.append(F.col(key))  # PIT tiebreaker = the doc key order
+            else:
+                cols.append(F.col(sf))
             descs.append(d == "desc")
         cols.append(F.col(key))
         descs.append(False)

@@ -608,3 +608,26 @@ def test_query_string_parser_fuzz_no_crashes():
                 pass  # parse errors are the contract; crashes are not
 
     f()
+
+
+def test_shard_doc_sort_pages_with_search_after(spark):
+    """_shard_doc (ShardDocSortField): the PIT tiebreaker sort — paging the
+    whole frame on it with search_after must enumerate every doc exactly
+    once."""
+    from elasticsearch_spark.plans import dsl
+
+    df = spark.createDataFrame(
+        [(f"u{i:02d}", f"text {i}", "en") for i in range(10)],
+        "url string, text string, lang string")
+    seen, after = [], None
+    for _ in range(5):
+        body = {"query": {"match_all": {}}, "size": 4,
+                "sort": [{"_shard_doc": "asc"}]}
+        if after is not None:
+            body["search_after"] = after
+        rows = dsl.search(spark, df, body, key="url").collect()
+        if not rows:
+            break
+        seen += [r["url"] for r in rows]
+        after = [rows[-1]["url"]]
+    assert seen == [f"u{i:02d}" for i in range(10)]
