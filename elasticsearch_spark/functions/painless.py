@@ -79,7 +79,7 @@ _TOKEN_RE = re.compile(
       | (?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?[fFdDlL]?
     )
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
-  | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<id>[A-Za-z_$][A-Za-z0-9_]*)
   | (?P<op>
         \?\.|\?:|->|\+\+|--|\+=|-=|\*=|/=|%=|&&|\|\||==~|=~|==|!=|<=|>=|<<|>>
       | [-+*/%=<>!?:.,;(){}\[\]&|^~]
@@ -758,6 +758,17 @@ class _JEnum:
     def getValue(self):  # noqa: N802 — Java surface
         return self.value
 
+    def getDisplayName(self, style=None, locale=None):  # noqa: N802
+        # TextStyle.FULL + Locale.ROOT → "Monday"; SHORT → "Mon";
+        # NARROW → "M" (java.time.format.TextStyle)
+        full = self.name.capitalize()
+        s = getattr(style, "name", "FULL") if style is not None else "FULL"
+        if s in ("SHORT", "SHORT_STANDALONE"):
+            return full[:3]
+        if s in ("NARROW", "NARROW_STANDALONE"):
+            return full[:1]
+        return full
+
     def name_(self):
         return self.name
 
@@ -959,6 +970,47 @@ class JDateTime:
 
     def __le__(self, other):
         return self.getMillis() <= other.getMillis()
+
+
+class JField:
+    """The runtime-fields ``field('name')`` API
+    (org.elasticsearch.script.field.Field — 65_runtime_doc_values.yml):
+    iterable over the values, ``get(default)`` / ``get(i, default)``,
+    ``asString(default)``, emptiness checks. ``$('name', default)`` is the
+    shorthand for ``field('name').get(default)``."""
+
+    __slots__ = ("vals",)
+
+    def __init__(self, raw):
+        self.vals = DocValues(raw).vals
+
+    def get(self, *args):
+        if len(args) == 2:
+            i, dflt = args
+            return self.vals[i] if i < len(self.vals) else dflt
+        dflt = args[0] if args else None
+        return self.vals[0] if self.vals else dflt
+
+    def asString(self, *args):  # noqa: N802 — Java surface
+        dflt = args[0] if args else None
+        if not self.vals:
+            return dflt
+        return _jstr(self.vals[0])
+
+    def isEmpty(self):  # noqa: N802
+        return not self.vals
+
+    def size(self):
+        return len(self.vals)
+
+    def getName(self):  # noqa: N802
+        return None
+
+    def __iter__(self):
+        return iter(self.vals)
+
+    def __len__(self):
+        return len(self.vals)
 
 
 class GeoPoint:
@@ -1684,6 +1736,12 @@ _STATICS: dict[str, dict] = {
         "holtWinters": lambda values, alpha, beta, gamma, period, mult:
             _mf_holt_winters(values, alpha, beta, gamma, period, mult),
     },
+    # java.time.format / java.util enums used by getDisplayName
+    "TextStyle": {s: _JEnum(s, i) for i, s in enumerate(
+        ["FULL", "FULL_STANDALONE", "SHORT", "SHORT_STANDALONE",
+         "NARROW", "NARROW_STANDALONE"])},
+    "Locale": {"ROOT": _JEnum("ROOT", 0), "ENGLISH": _JEnum("ENGLISH", 1),
+               "US": _JEnum("US", 2)},
     # java.time statics (script whitelist: Instant.ofEpochMilli,
     # ChronoUnit.between over temporal doc values)
     "Instant": {
@@ -2135,8 +2193,15 @@ class _Interp:
             return len(obj)
         if isinstance(obj, GeoPoint) and name in ("lat", "lon"):
             return getattr(obj, name)
-        if isinstance(obj, JDateTime) and name == "millis":
-            return obj.getMillis()
+        if isinstance(obj, JDateTime):
+            if name == "millis":
+                return obj.getMillis()
+            if name in ("dayOfWeekEnum", "dayOfWeek"):
+                return obj.getDayOfWeek()
+            if name == "monthValue":
+                return obj.getMonthValue()
+            if name == "year":
+                return obj.getYear()
         raise PainlessError(f"unknown member .{name} on {type(obj).__name__}")
 
     def _assign(self, target, op, value_e, env):
@@ -2230,6 +2295,13 @@ class _Interp:
             m = _LIST_METHODS.get(name)
             if m:
                 return m(list(recv.vals), *args)
+        elif isinstance(recv, (bytes, bytearray)):
+            # binary doc values are BytesRef
+            # (60_script_doc_values_binary.yml: .utf8ToString())
+            if name == "utf8ToString":
+                return bytes(recv).decode("utf-8")
+            if name == "length":
+                return len(recv)
         elif isinstance(recv, DocMap):
             if name == "containsKey":
                 return recv.containsKey(*args)
@@ -2255,6 +2327,12 @@ def execute(program, env: dict):
     """Run a compiled program; returns the explicit ``return`` value, else
     the last top-level expression statement's value (Painless's implicit
     return)."""
+    doc = env.get("doc")
+    if isinstance(doc, DocMap) and "field" not in env:
+        # runtime-fields API (org.elasticsearch.script.field.Field):
+        # field('f') + the $('f', default) shorthand, backed by the same row
+        env["field"] = lambda name: JField(doc.row.get(name))
+        env["$"] = lambda name, dflt: JField(doc.row.get(name)).get(dflt)
     interp = _Interp()
     try:
         return interp.exec_stmt(program, env)
@@ -2282,6 +2360,8 @@ _PAINLESS_RE = re.compile(
     r"|\bctx[.\[]"
     r"|\bstate[.\[]"
     r"|\bemit\s*\("
+    r"|\bfield\s*\('"
+    r"|\$\s*\('"
     r"|\bnew\s+[A-Z]\w*\s*\("
     r"|\b(?:Math|Integer|Long|Double|Float|Boolean|Collections|Arrays|Objects|Character|Pattern|MovingFunctions|Instant|ChronoUnit)\s*\."
     r"|\?\."
@@ -2330,6 +2410,15 @@ def referenced_doc_fields(src: str) -> tuple[set[str], bool]:
             return
         if n[0] == "field" and n[1] == ("var", "doc"):
             fields.add(n[2])  # doc.f sugar
+            return
+        if n[0] == "call" and n[1] is None and n[2] in ("field", "$") and n[3]:
+            # runtime-fields API: field('f') / $('f', default)
+            if n[3][0][0] == "lit":
+                fields.add(n[3][0][1])
+            else:
+                dynamic = True
+            for a in n[3]:
+                walk(a)
             return
         if n[0] == "call" and n[1] == ("var", "doc") and n[2] in ("get", "containsKey"):
             if n[3] and n[3][0][0] == "lit":

@@ -379,3 +379,54 @@ def test_update_scripted_upsert_yaml(spark, tmp_path):
     # doc_as_upsert
     es.update("test_1", "4", doc={"text": "t4", "lang": "de"}, doc_as_upsert=True)
     assert es.get("test_1", "4")["lang"] == "de"
+
+
+def test_runtime_fields_api_yaml(spark):
+    """65_runtime_doc_values.yml subset: runtime_mappings scripts using the
+    fields API — field('f') iteration, $('f', default) shorthand,
+    dayOfWeekEnum.getDisplayName(TextStyle.FULL, Locale.ROOT), boolean
+    negation over field().get(default)."""
+    import pyspark.sql.functions as F
+
+    from elasticsearch_spark.plans import dsl
+
+    df = spark.createDataFrame(
+        [("a", 5, 2, 1.5, True), ("b", 1, 1, 0.25, False)],
+        "url string, short int, byte int, double double, boolean boolean",
+    ).withColumn("date", F.to_timestamp(F.lit("2015-01-01 12:10:30")))
+    body = {
+        "query": {"match_all": {}},
+        "runtime_mappings": {
+            "day_of_week": {"type": "keyword", "script": {"source":
+                "for (date in field('date')) { emit(date.dayOfWeekEnum"
+                ".getDisplayName(TextStyle.FULL, Locale.ROOT)); }"}},
+            "total_value_double": {"type": "double", "script": {"source":
+                "emit($('short', 0) + $('byte', 0) + $('double', 0.0));"}},
+            "reverse_boolean": {"type": "boolean", "script": {"source":
+                "emit(!field('boolean').get(true));"}},
+        },
+        "sort": [{"url": "asc"}], "size": 10,
+        "_source": ["url", "day_of_week", "total_value_double",
+                    "reverse_boolean"],
+    }
+    rows = dsl.search(spark, df, body, key="url").collect()
+    assert [r["day_of_week"] for r in rows] == ["Thursday", "Thursday"]
+    assert [r["total_value_double"] for r in rows] == [8.5, 2.25]
+    assert [r["reverse_boolean"] for r in rows] == [False, True]
+
+
+def test_binary_doc_values_utf8(spark):
+    """60_script_doc_values_binary.yml: BytesRef.utf8ToString over binary
+    doc values."""
+    from elasticsearch_spark.functions import painless as P
+
+    env = {"params": {}, "doc": P.DocMap(
+        {"binary": [b"Some binary blob", b"1234", b"test"]})}
+    out = P.execute(P.compile_painless(
+        "if (doc['binary'].size() == 0) {return 'empty'} "
+        "doc['binary'].get(0).utf8ToString()"), env)
+    assert out == "1234"  # doc values sort: b"1234" < b"Some..." < b"test"
+    env2 = {"params": {}, "doc": P.DocMap({})}
+    assert P.execute(P.compile_painless(
+        "if (doc.get('binary').size() == 0) {return 'empty'} "
+        "doc.get('binary').value.utf8ToString()"), env2) == "empty"
