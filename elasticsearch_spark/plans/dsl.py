@@ -1632,6 +1632,8 @@ class FunctionScoreQ(Node):
     functions: list = field(default_factory=list)
     score_mode: str = "multiply"
     boost_mode: str = "multiply"
+    boost: float = 1.0      # top-level query boost (multiplies the result)
+    min_score: float = None  # drop docs scoring below (FunctionScoreQuery)
 
     def _fn_col(self, ctx: SearchContext, spec: dict, joined: DataFrame) -> Column:
         if "weight" in spec and set(spec) <= {"weight", "filter"}:
@@ -1719,7 +1721,12 @@ class FunctionScoreQ(Node):
             new = fn
         else:
             new = score * fn
-        return joined.select("__key", new.alias("_score"))
+        if self.boost != 1.0:
+            new = new * F.lit(float(self.boost))
+        out = joined.select("__key", new.alias("_score"))
+        if self.min_score is not None:
+            out = out.where(F.col("_score") >= float(self.min_score))
+        return out
 
 
 def parse_query_string(
@@ -2162,11 +2169,33 @@ def parse(q: dict) -> Node:
             negative_boost=body.get("negative_boost", 0.5),
         )
     if kind == "function_score":
+        fs_fns = body.get("functions", [])
+        if not fs_fns:
+            # single-function shorthand: the function spec sits directly in
+            # the body (FunctionScoreQueryBuilder's other constructor)
+            fs_fns = [{k: v for k, v in body.items()
+                       if k in ("weight", "field_value_factor", "script_score",
+                                "random_score", "gauss", "exp", "linear")}]
+            fs_fns = [f for f in fs_fns if f]
         return FunctionScoreQ(
             query=parse(body["query"]) if "query" in body else None,
-            functions=body.get("functions", []),
+            functions=fs_fns,
             score_mode=body.get("score_mode", "multiply"),
             boost_mode=body.get("boost_mode", "multiply"),
+            boost=float(body.get("boost", 1.0)),
+            min_score=body.get("min_score"),
+        )
+    if kind == "script_score":
+        # ScriptScoreQueryBuilder — the first-class script_score QUERY
+        # (since 7.0; 110_script_score_boost.yml): score = script(doc,
+        # _score of inner query) * boost, replacing the inner score
+        _check_expensive("script_score")
+        return FunctionScoreQ(
+            query=parse(body["query"]),
+            functions=[{"script_score": {"script": body["script"]}}],
+            boost_mode="replace",
+            boost=float(body.get("boost", 1.0)),
+            min_score=body.get("min_score"),
         )
     if kind == "match_bool_prefix":
         (fld, spec), = body.items()
@@ -2357,6 +2386,7 @@ _NAMED_RECURSE = {
     "boosting": ("positive", "negative"),
     "constant_score": ("filter",),
     "function_score": ("query",),
+    "script_score": ("query",),
     "nested": ("query",),
     "has_child": ("query",),
     "has_parent": ("query",),

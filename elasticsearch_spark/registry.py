@@ -1778,6 +1778,20 @@ def dsl_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+def dsl_script_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standalone script_score QUERY kind (ScriptScoreQueryBuilder,
+    110_script_score_boost.yml): score = script(doc, _score) * boost,
+    replacing the inner query's score."""
+    return _dsl_search(spark, sf_dir, {
+        "query": {"script_score": {
+            "query": {"match": {"text": "vector"}},
+            "script": {"source": "ln(1.0 + n_chars) * _score"},
+            "boost": 2.0,
+        }},
+        "size": 10,
+    })
+
+
 def dsl_vector_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     """script_score with the dense_vector script functions (the vectors
     module's ScoreScriptUtils): cosineSimilarity(params.qv, 'embedding')
@@ -5602,6 +5616,11 @@ SELECT s.doc_id, round(s.score_raw * ln(1.0 + d.n_chars) * 0.5, 4) AS score
 FROM scored s JOIN documents d ON s.doc_id = d.doc_id
 ORDER BY s.score_raw * ln(1.0 + d.n_chars) * 0.5 DESC, s.doc_id ASC LIMIT 10
 """,
+    "dsl_script_score_query": _bm25_cte(["vector"], msm=1) + """
+SELECT s.doc_id, round(s.score_raw * ln(1.0 + d.n_chars) * 2.0, 4) AS score
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+ORDER BY s.score_raw * ln(1.0 + d.n_chars) * 2.0 DESC, s.doc_id ASC LIMIT 10
+""",
     "percolate_queries": f"""
 SELECT query_id, doc_id FROM (
   SELECT 'p_lang_range' AS query_id, doc_id FROM documents
@@ -6626,6 +6645,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_significant_text": a_significant_text,
     "agg_percentile_ranks": a_percentile_ranks,
     "dsl_script_score": dsl_script_score,
+    "dsl_script_score_query": dsl_script_score_query,
     "percolate_queries": q_percolate,
     "multi_match_cross_fields": q_cross_fields,
     "agg_sibling_buckets": a_sibling_buckets,

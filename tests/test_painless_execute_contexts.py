@@ -430,3 +430,52 @@ def test_binary_doc_values_utf8(spark):
     assert P.execute(P.compile_painless(
         "if (doc.get('binary').size() == 0) {return 'empty'} "
         "doc.get('binary').value.utf8ToString()"), env2) == "empty"
+
+
+def test_scripted_metric_yaml_total(spark):
+    """130_metric_agg.yml 'Scripted Metric Agg Total': list-state map,
+    per-shard combine, reduce over shard partials → 4.0 over doubles
+    [1.0, 1.0, 2.0]."""
+    from elasticsearch_spark.plans import aggs
+
+    df = spark.createDataFrame([(1.0,), (1.0,), (2.0,)], "double double") \
+        .repartition(2)
+    out = aggs.aggregate(df, {"total": {"scripted_metric": {
+        "init_script": "state.transactions = []",
+        "map_script": "state.transactions.add(doc['double'].value)",
+        "combine_script": "double total = 0.0; "
+                          "for (t in state.transactions) { total += t } "
+                          "return total",
+        "reduce_script": "double total = 0; "
+                         "for (a in states) { total += a } return total",
+    }}})
+    assert out["total"].collect()[0]["total"] == 4.0
+
+
+def test_script_score_boost_yaml(spark):
+    """110_script_score_boost.yml: script_score multiplies by its boost,
+    and the inner query's boost feeds _score (match_all boost 5 →
+    150/100/50 with boost 10)."""
+    from elasticsearch_spark.plans import dsl
+
+    df = spark.createDataFrame(
+        [("d1", 1.0), ("d2", 2.0), ("d3", 3.0)], "url string, num double")
+    body = {"query": {"script_score": {
+        "query": {"match_all": {}},
+        "script": {"source": "doc['num'].value * _score"},
+        "boost": 10,
+    }}, "size": 5}
+    rows = dsl.search(spark, df, body, key="url").orderBy(
+        "_score", ascending=False).collect()
+    assert [r["_score"] for r in rows] == [30.0, 20.0, 10.0]
+
+    # ":51 Boost script_score and boost internal query": inner match_all
+    # boost 5 feeds _score, outer boost 10 multiplies -> 150/100/50
+    body2 = {"query": {"script_score": {
+        "query": {"match_all": {"boost": 5}},
+        "script": {"source": "doc['num'].value * _score"},
+        "boost": 10,
+    }}, "size": 5}
+    rows2 = dsl.search(spark, df, body2, key="url").orderBy(
+        "_score", ascending=False).collect()
+    assert [r["_score"] for r in rows2] == [150.0, 100.0, 50.0]
