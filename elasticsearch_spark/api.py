@@ -136,11 +136,12 @@ class Engine:
         src_spec = base.pop("_source", None)
         sort = base.get("sort") or [{"_doc": "asc"}]
 
-        # _doc order ≈ the stable doc key (url) in this engine. Exact-name
-        # match only: a FIELD named n_docs must not be rewritten
+        # _doc order ≈ the stable doc key (url) in this engine; _shard_doc
+        # (the PIT tiebreaker) maps the same way. Exact-name match only: a
+        # FIELD named n_docs must not be rewritten
         def _is_doc(s):
-            return s == "_doc" if isinstance(s, str) else \
-                isinstance(s, dict) and "_doc" in s
+            return s in ("_doc", "_shard_doc") if isinstance(s, str) else \
+                isinstance(s, dict) and ("_doc" in s or "_shard_doc" in s)
 
         sort = [{"url": "asc"} if _is_doc(s) else s for s in sort]
         base["sort"] = sort
@@ -2283,9 +2284,18 @@ class Engine:
                 return {"result": "noop"}
             if ctx.get("op") == "delete":
                 return self.delete(index, [url])
-            cur = {"url": url, **{
-                k: (v.dt.replace(tzinfo=None) if isinstance(v, P.JDateTime) else v)
-                for k, v in ctx["_source"].items()}}
+            def _unwrap(v):
+                import datetime as _dt
+
+                if isinstance(v, P.JDateTime):
+                    return v.dt.replace(tzinfo=None)
+                if isinstance(v, P.JInstant):
+                    return _dt.datetime.fromtimestamp(
+                        v.ms / 1000.0, _dt.timezone.utc).replace(tzinfo=None)
+                return v
+
+            cur = {"url": url,
+                   **{k: _unwrap(v) for k, v in ctx["_source"].items()}}
         # carry EVERY stored field (incl. custom columns) — a 4-column
         # update frame on a custom-field index would trip the op-batch
         # schema guard and, worse, silently drop the extras
@@ -2297,6 +2307,17 @@ class Engine:
         from .sources.ingest_pipeline import _py_spark_type
         extras = [k for k in cur if k not in keep
                   and k not in ("url", "doc_id", "dl", "norm", "seg_id")]
+        for e in extras:
+            if isinstance(cur[e], dict) or (
+                    isinstance(cur[e], list) and cur[e]
+                    and isinstance(cur[e][0], dict)):
+                # object-valued NEW fields need a declared struct column —
+                # the engine's stored schema is fixed at first bulk; a
+                # best-effort string type would crash deep in Arrow
+                raise ValueError(
+                    f"update script added object field {e!r}; object fields "
+                    "must be declared in the index's stored schema at first "
+                    "bulk (one docs schema per index)")
         row = [tuple(cur.get(c) for c in keep) + tuple(cur[e] for e in extras)]
         schema_str = ", ".join(
             [f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields]
@@ -3361,11 +3382,25 @@ class Engine:
 
         def _coerce_field(name, v):
             t = field_types.get(name)
-            if t in ("date", "date_nanos") and isinstance(v, str):
+            if t in ("date", "date_nanos"):
                 import datetime as _dt
 
-                s = v.replace("Z", "+00:00")
-                return P.JDateTime(_dt.datetime.fromisoformat(s))
+                # strict_date_optional_time||epoch_millis: ISO strings,
+                # numeric epoch millis, numeric strings; unparseable
+                # values stay raw (the script sees what it was given)
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    return P.JDateTime(_dt.datetime.fromtimestamp(
+                        v / 1000.0, _dt.timezone.utc))
+                if isinstance(v, str):
+                    s = v.replace("Z", "+00:00")
+                    try:
+                        return P.JDateTime(_dt.datetime.fromisoformat(s))
+                    except ValueError:
+                        try:
+                            return P.JDateTime(_dt.datetime.fromtimestamp(
+                                int(v) / 1000.0, _dt.timezone.utc))
+                        except (ValueError, OverflowError):
+                            return v
             if t == "geo_point":
                 if isinstance(v, str) and "," in v:
                     lat, lon = v.split(",", 1)

@@ -884,7 +884,12 @@ class JDateTime:
         return self.getMillis()
 
     def getMillis(self):  # noqa: N802
-        return int(self.dt.timestamp() * 1000 + 0.5)
+        # exact integer epoch millis (Instant.toEpochMilli floors the
+        # sub-milli part; float timestamp() would mis-round pre-epoch dates)
+        import datetime as _dt
+
+        delta = self.dt - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        return delta // _dt.timedelta(microseconds=1000)
 
     def toInstant(self):  # noqa: N802
         return JInstant(self.getMillis())
@@ -1322,13 +1327,17 @@ def _mf_holt_winters(values, alpha, beta, gamma, period, multiplicative):
         for i in range(period):
             seasonal[i] = vs[i] / s
     for i in range(period, len(vs)):
+        # _jdiv keeps Java's float /0.0 contract (±Infinity / NaN) — raw
+        # Python division would raise where the JVM flows Infinity through
         if multiplicative:
-            s = alpha * (vs[i] / seasonal[i - period]) + (1.0 - alpha) * (last_s + last_b)
+            s = alpha * _jdiv(vs[i], float(seasonal[i - period])) \
+                + (1.0 - alpha) * (last_s + last_b)
         else:
             s = alpha * (vs[i] - seasonal[i - period]) + (1.0 - alpha) * (last_s + last_b)
         b = beta * (s - last_s) + (1 - beta) * last_b
         if multiplicative:
-            seasonal[i] = gamma * (vs[i] / (last_s + last_b)) + (1 - gamma) * seasonal[i - period]
+            seasonal[i] = gamma * _jdiv(vs[i], float(last_s + last_b)) \
+                + (1 - gamma) * seasonal[i - period]
         else:
             seasonal[i] = gamma * (vs[i] - (last_s - last_b)) + (1 - gamma) * seasonal[i - period]
         last_s, last_b = s, b
@@ -2451,21 +2460,23 @@ def _clean(v):
 
     import numpy as np
 
-    if v is None:
+    if v is None or v is pd.NaT:
         return None
     if isinstance(v, float) and math.isnan(v):
         return None
     if isinstance(v, pd.Timestamp):
-        if v is pd.NaT:
-            return None
         return JDateTime(v.to_pydatetime())
     if isinstance(v, np.datetime64):
+        if np.isnat(v):
+            return None
         ms = v.astype("datetime64[ms]").astype("int64")
         return JDateTime(_dt.datetime.fromtimestamp(ms / 1000.0,
                                                     _dt.timezone.utc))
     if isinstance(v, np.generic):
         return _clean(v.item())
     if isinstance(v, _dt.datetime):
+        if v != v:  # NaTType subclasses datetime; NaT != NaT
+            return None
         return JDateTime(v)
     if isinstance(v, _dt.date):
         return JDateTime(_dt.datetime(v.year, v.month, v.day))

@@ -191,9 +191,12 @@ def compile_source(spark: SparkSession, index_dir: str, src: dict, analyzer: str
     if isinstance(body, dict) and "filter" in body:
         (fkind, fsrc), = body["filter"].items()
         if fkind == "script":
-            # IntervalsSourceProvider.ScriptFilterSource — keep the source
-            # text; evaluated per candidate interval in _eval_node
-            flt = ("script", fsrc["source"] if isinstance(fsrc, dict) else fsrc)
+            # IntervalsSourceProvider.ScriptFilterSource — resolve inline /
+            # stored forms + params now; evaluated per candidate interval
+            # in _eval_node
+            from ..plans.dsl import script_source
+
+            flt = ("script", script_source(fsrc))
         elif fkind not in _FILTER_KINDS:
             raise ValueError(f"unknown intervals filter {fkind!r}")
         else:
@@ -327,6 +330,15 @@ def _presence_sure_docs(node: dict, term_docs: dict[str, np.ndarray]) -> np.ndar
     return out if out is not None else np.zeros(0, dtype=np.int64)
 
 
+def _node_width(node: dict) -> int:
+    """Number of positions the node's matched terms cover: leaf = 1,
+    combinators = sum of children, any_of = its smallest alternative."""
+    if node["op"] == "leaf":
+        return 1
+    widths = [_node_width(c) for c in node["children"]]
+    return min(widths) if node["op"] == "any_of" else sum(widths)
+
+
 def _eval_node(node: dict, leaf_pos) -> np.ndarray:
     """Evaluate one doc: leaf_pos(terms) -> sorted positions array."""
     if node["op"] == "leaf":
@@ -347,16 +359,19 @@ def _eval_node(node: dict, leaf_pos) -> np.ndarray:
             # keeps the interval when it returns true
             from ..functions import painless as P
 
-            prog = P.compile_painless(fnode)
-            # gaps = interior slack: span width minus the number of matched
-            # terms (leaf = 1 term; combinators = their child count)
-            n_terms = 1 if node["op"] in ("leaf", "any_of") \
-                else len(node["children"])
+            fsrc, fparams = fnode
+            prog = P.compile_painless(fsrc)
+            # gaps = interior slack: span width minus the positions the
+            # source's terms cover. Width is exact for leaf/all_of trees
+            # (sum of child widths); any_of uses the smallest alternative —
+            # the minimal-interval union favors it — a documented
+            # approximation of Lucene's per-alternative gaps()
+            n_terms = _node_width(node)
             keep = []
             for s, e in iv:
                 span = {"start": int(s), "end": int(e),
                         "gaps": max(0, int(e) - int(s) + 1 - n_terms)}
-                env = {"interval": span, "params": {}}
+                env = {"interval": span, "params": dict(fparams or {})}
                 keep.append(bool(P.execute(prog, env)))
             iv = iv[np.asarray(keep, dtype=bool)]
         else:

@@ -479,3 +479,59 @@ def test_script_score_boost_yaml(spark):
     rows2 = dsl.search(spark, df, body2, key="url").orderBy(
         "_score", ascending=False).collect()
     assert [r["_score"] for r in rows2] == [150.0, 100.0, 50.0]
+
+
+def test_null_date_doc_value_is_missing(spark):
+    """A null date cell must read as an EMPTY doc value, not crash the
+    batch (NaT reaches the UDF for docs without the field)."""
+    import pyspark.sql.functions as F
+
+    from elasticsearch_spark.plans import dsl
+
+    df = spark.createDataFrame(
+        [("a", "2017-01-01 12:11:12"), ("b", None)], "url string, d string"
+    ).withColumn("ts", F.to_timestamp("d")).drop("d")
+    body = {"query": {"match_all": {}},
+            "script_fields": {"has_ts": {"script": {
+                "source": "doc['ts'].size() > 0"}}},
+            "sort": [{"url": "asc"}], "size": 10}
+    rows = dsl.search(spark, df, body, key="url").collect()
+    assert [r["has_ts"] for r in rows] == [True, False]
+
+
+def test_execute_date_epoch_millis_document(ex):
+    # strict_date_optional_time||epoch_millis accepts a numeric document
+    # value for a date-mapped field
+    r = run(ex, "emit(doc['date'].value.toInstant().toEpochMilli())",
+            context="date_field", document={"date": 1420114230000})
+    assert r == ["2015-01-01T12:10:30.000Z"]
+
+
+def test_update_object_field_refuses_cleanly(spark, tmp_path):
+    from elasticsearch_spark.api import Engine
+
+    es = Engine(spark, root=str(tmp_path / "uo"))
+    es.create_index("t", num_partitions=1)
+    es.bulk("t", spark.createDataFrame(
+        [("a", "x", "en")], "url string, text string, lang string"))
+    with pytest.raises(ValueError, match="object field"):
+        es.update("t", "a", script={
+            "source": "ctx._source.meta = params.m",
+            "params": {"m": {"a": 1}}})
+
+
+def test_scroll_shard_doc_sort(spark, tmp_path):
+    from elasticsearch_spark.api import Engine
+
+    es = Engine(spark, root=str(tmp_path / "ss"))
+    es.create_index("t", num_partitions=1)
+    es.bulk("t", spark.createDataFrame(
+        [(f"u{i}", f"common text {i}", "en") for i in range(6)],
+        "url string, text string, lang string"))
+    out = es.search_scroll("t", {"query": {"match_all": {}},
+                                 "sort": [{"_shard_doc": "asc"}], "size": 4})
+    seen = [r["url"] for r in out["hits"]]
+    out = es.scroll(out["_scroll_id"])
+    seen += [r["url"] for r in out["hits"]]
+    assert sorted(seen) == [f"u{i}" for i in range(6)]
+    assert len(set(seen)) == 6
