@@ -3180,6 +3180,15 @@ class Engine:
         import json
 
         spec = body.get("script", body)
+        from .functions import painless as P
+
+        if P.is_painless(spec["source"]):
+            # the reference compiles stored scripts at PUT and rejects
+            # invalid ones (17_update_error.yml expects /compile error/)
+            try:
+                P.compile_painless(spec["source"])
+            except P.PainlessError as exc:
+                raise ValueError(f"compile error: {exc}") from exc
         stored = self._load_stored_scripts()
         stored[script_id] = {"source": spec["source"],
                              "params": spec.get("params")}

@@ -2202,6 +2202,8 @@ class _Interp:
             return len(obj)
         if isinstance(obj, GeoPoint) and name in ("lat", "lon"):
             return getattr(obj, name)
+        if isinstance(obj, _JEnum) and name in ("value", "name"):
+            return getattr(obj, name)  # enum property sugar (.value/.name)
         if isinstance(obj, JDateTime):
             if name == "millis":
                 return obj.getMillis()

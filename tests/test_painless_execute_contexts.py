@@ -535,3 +535,19 @@ def test_scroll_shard_doc_sort(spark, tmp_path):
     seen += [r["url"] for r in out["hits"]]
     assert sorted(seen) == [f"u{i}" for i in range(6)]
     assert len(set(seen)) == 6
+
+
+def test_put_script_compile_error(spark, tmp_path):
+    """Stored scripts compile at PUT; invalid Painless rejects with a
+    compile error (17_update_error.yml's /compile error/ contract)."""
+    from elasticsearch_spark.api import Engine
+
+    es = Engine(spark, root=str(tmp_path / "ps"))
+    with pytest.raises(ValueError, match="compile error"):
+        es.put_script("bad", {"script": {
+            "source": "for (x in params.xs { sum += x }"}})
+    # valid scripts still store and resolve
+    es.put_script("good", {"script": {
+        "source": "def t = 0; for (x in params.xs) { t += x } return t"}})
+    out = es.scripts_painless_execute({"id": "good", "params": {"xs": [1, 2]}})
+    assert out["result"] == 3
