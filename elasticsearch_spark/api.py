@@ -1803,8 +1803,13 @@ class Engine:
             analysis.ANALYZERS.pop(tmp, None)
             analysis.ANALYZER_CONFIGS.pop(tmp, None)
 
-    def analyze(self, text: str, analyzer: str = "standard") -> list[dict]:
-        """GET /_analyze (detail form)."""
+    def analyze(self, text: str, analyzer: str = "standard",
+                explain: bool = False) -> list[dict] | dict:
+        """GET /_analyze (detail form); ``explain=True`` returns the
+        per-stage DetailAnalyzeResponse (charfilters → tokenizer → each
+        token filter's stream)."""
+        if explain:
+            return analysis.analyze_explain(text, analyzer)
         return analysis.analyze_detail(text, analyzer)
 
     def suggest(self, index: str, text: str, **kw) -> DataFrame:

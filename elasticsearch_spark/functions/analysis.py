@@ -2501,6 +2501,16 @@ def register_analyzer(
     tokenizers (pattern / char_group / path_hierarchy); filters and char
     filters likewise name or (name, params)."""
     ANALYZER_CONFIGS[name] = (tokenizer, list(filters or []), list(char_filters or []))
+    cf_fns, base, specs = _build_chain(tokenizer, filters, char_filters)
+
+    def fn(text: str) -> list[str]:
+        return _run_chain(text, cf_fns, base, specs)
+
+    ANALYZERS[name] = fn
+
+
+def _build_chain(tokenizer, filters, char_filters):
+    """Resolve a (tokenizer, filters, char_filters) config to callables."""
     if isinstance(tokenizer, (list, tuple)):
         tk_name, tk_params = tokenizer
         base = TOKENIZER_FACTORIES[tk_name](**tk_params)
@@ -2527,36 +2537,84 @@ def register_analyzer(
         else:
             fname, params = fspec
             specs.append((TOKEN_FILTERS[fname], params))
+    return cf_fns, base, specs
 
-    def fn(text: str) -> list[str]:
-        for cf in cf_fns:
-            text = cf(text)
-        toks = base(text)
-        # keyword protection (KeywordAttribute analog): keyword_marker and
-        # stemmer_override outputs are skipped by downstream stemmers
-        protected: set[str] = set()
-        for ff, params in specs:
-            if ff is _filter_keyword_marker:
-                protected |= set(params.get("keywords") or [])
-                continue
-            if ff is _filter_stemmer_override:
-                rules = _parse_override_rules(params.get("rules"))
-                toks = [rules.get(t, t) for t in toks]
-                protected |= set(rules.values())
-                continue
-            if protected and ff in _STEMMER_FILTERS:
-                toks = [
-                    t if t in protected else ff([t], **params)[0] for t in toks
-                ]
-                continue
+
+def _run_chain(text: str, cf_fns, base, specs, stages: list | None = None):
+    """Execute one analyzer chain; ``stages`` (when given) collects the
+    token stream after each filter stage — the ``explain=true`` detail."""
+    for cf in cf_fns:
+        text = cf(text)
+        if stages is not None:
+            stages.append(("charfilter", text))
+    toks = base(text)
+    if stages is not None:
+        stages.append(("tokenizer", list(toks)))
+    # keyword protection (KeywordAttribute analog): keyword_marker and
+    # stemmer_override outputs are skipped by downstream stemmers
+    protected: set[str] = set()
+    for ff, params in specs:
+        if ff is _filter_keyword_marker:
+            protected |= set(params.get("keywords") or [])
+        elif ff is _filter_stemmer_override:
+            rules = _parse_override_rules(params.get("rules"))
+            toks = [rules.get(t, t) for t in toks]
+            protected |= set(rules.values())
+        elif protected and ff in _STEMMER_FILTERS:
+            toks = [
+                t if t in protected else ff([t], **params)[0] for t in toks
+            ]
+        else:
             toks = ff(toks, **params)
-        return toks
-
-    ANALYZERS[name] = fn
+        if stages is not None:
+            stages.append(("tokenfilter", list(toks)))
+    return toks
 
 
 def analyze(text: str, analyzer: str = "standard") -> list[str]:
     return ANALYZERS[analyzer](text)
+
+
+def analyze_explain(text: str, analyzer: str = "standard") -> dict:
+    """``_analyze`` with ``explain=true``
+    (TransportAnalyzeAction.detailAnalyze → DetailAnalyzeResponse): the
+    char-filtered text, the tokenizer's output, then each token filter's
+    stream, each stage named by its configured filter."""
+    cfg = ANALYZER_CONFIGS.get(analyzer)
+    if cfg is None:
+        # built-in preset: one analyzer-level stream (the reference reports
+        # non-custom analyzers the same way)
+        return {"detail": {"custom_analyzer": False, "analyzer": {
+            "name": analyzer, "tokens": analyze_detail(text, analyzer)}}}
+    tokenizer, filters, char_filters = cfg
+    cf_fns, base, specs = _build_chain(tokenizer, filters, char_filters)
+    stages: list = []
+    _run_chain(text or "", cf_fns, base, specs, stages=stages)
+
+    def _name(spec):
+        if isinstance(spec, str):
+            return spec
+        if isinstance(spec, dict):
+            return spec.get("type", "?")
+        return spec[0]
+
+    def _toks(toks):
+        return [{"token": t, "position": i} for i, t in enumerate(toks)]
+
+    out = {"custom_analyzer": True, "charfilters": [], "tokenfilters": []}
+    ci = iter([_name(c) for c in (char_filters or [])])
+    fi = iter([_name(f) for f in (filters or [])])
+    for kind, payload in stages:
+        if kind == "charfilter":
+            out["charfilters"].append(
+                {"name": next(ci), "filtered_text": [payload]})
+        elif kind == "tokenizer":
+            tk = tokenizer if isinstance(tokenizer, str) else tokenizer[0]
+            out["tokenizer"] = {"name": tk, "tokens": _toks(payload)}
+        else:
+            out["tokenfilters"].append(
+                {"name": next(fi), "tokens": _toks(payload)})
+    return {"detail": out}
 
 
 def analyze_detail(text: str, analyzer: str = "standard") -> list[dict]:

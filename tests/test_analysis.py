@@ -238,3 +238,39 @@ def test_batch_tokenizer_adversarial_pins():
     max_size=60), min_size=0, max_size=8))
 def test_batch_tokenizer_matches_per_doc(texts):
     _batch_equiv(texts)
+
+
+def test_analyze_explain_stages():
+    """_analyze explain=true (TransportAnalyzeAction.detailAnalyze): the
+    char-filtered text, the tokenizer stream, then every filter's output in
+    chain order."""
+    from elasticsearch_spark.functions import analysis
+
+    analysis.register_analyzer(
+        "expl_t", tokenizer="standard",
+        filters=["lowercase", "stop", ("stemmer", {"language": "porter"})],
+        char_filters=["html_strip"])
+    try:
+        out = analysis.analyze_explain(
+            "<b>The QUICK foxes</b>", "expl_t")["detail"]
+        assert out["custom_analyzer"] is True
+        assert out["charfilters"][0]["name"] == "html_strip"
+        assert "<b>" not in out["charfilters"][0]["filtered_text"][0]
+        assert out["tokenizer"]["name"] == "standard"
+        toks = lambda stage: [t["token"] for t in stage["tokens"]]
+        assert toks(out["tokenizer"]) == ["the", "quick", "foxes"]
+        names = [s["name"] for s in out["tokenfilters"]]
+        assert names == ["lowercase", "stop", "stemmer"]
+        assert toks(out["tokenfilters"][1]) == ["quick", "foxes"]  # stop
+        assert toks(out["tokenfilters"][2]) == ["quick", "fox"]    # stemmer
+        # the final stage equals analyze()'s result
+        assert toks(out["tokenfilters"][-1]) == analysis.analyze(
+            "<b>The QUICK foxes</b>", "expl_t")
+    finally:
+        analysis.ANALYZERS.pop("expl_t", None)
+        analysis.ANALYZER_CONFIGS.pop("expl_t", None)
+
+    # built-in preset: single analyzer-level stream
+    d = analysis.analyze_explain("Hello World", "standard")["detail"]
+    assert d["custom_analyzer"] is False
+    assert [t["token"] for t in d["analyzer"]["tokens"]] == ["hello", "world"]
