@@ -3484,6 +3484,26 @@ class Engine:
             return vals
         raise ValueError(f"unsupported _execute context: {context}")
 
+    def scripts_painless_context(self, context: str | None = None) -> dict:
+        """GET /_script_context (71_context_api.yml): the script contexts
+        this engine's interpreter serves. Per-context whitelist class dumps
+        are a JVM-introspection surface — out of scope; the context list is
+        the real routing contract."""
+        contexts = sorted([
+            "aggs", "aggregation_selector", "boolean_field", "composite_field",
+            "date_field", "double_field", "field", "filter",
+            "geo_point_field", "ingest", "interval", "ip_field",
+            "keyword_field", "long_field", "moving-function", "number_sort",
+            "painless_test", "processor_conditional", "runtime_fields",
+            "score", "script_heuristic", "similarity", "string_sort",
+            "update", "bucket_aggregation",
+        ])
+        if context is None:
+            return {"contexts": contexts}
+        if context not in contexts:
+            raise ValueError(f"unknown script context: {context}")
+        return {"name": context}
+
     def search_mvt(
         self, index: str, field: str, zoom: int, x: int, y: int,
         query: dict | None = None, grid_precision: int = 8,

@@ -1347,6 +1347,102 @@ def _mf_holt_winters(values, alpha, beta, gamma, period, multiplicative):
     return s + b + seasonal[idx]
 
 
+# ---- score-context statics (ScoreScriptUtils — the score whitelist's
+# imported_methods / class_bindings: saturation, sigmoid, decay*) ----
+
+_TIME_UNIT_MS = {"d": 86_400_000, "h": 3_600_000, "m": 60_000, "s": 1000,
+                 "ms": 1}
+_DIST_UNIT_M = {"km": 1000.0, "m": 1.0, "mi": 1609.344, "nmi": 1852.0,
+                "yd": 0.9144, "ft": 0.3048, "cm": 0.01, "mm": 0.001}
+
+
+def _parse_time_ms(s) -> float:
+    if isinstance(s, (int, float)):
+        return float(s)
+    s = str(s).strip().lower()
+    for suf in ("ms", "d", "h", "m", "s"):
+        if s.endswith(suf):
+            return float(s[:-len(suf)]) * _TIME_UNIT_MS[suf]
+    return float(s)
+
+
+def _parse_dist_m(s) -> float:
+    if isinstance(s, (int, float)):
+        return float(s)
+    s = str(s).strip().lower()
+    for suf in ("nmi", "km", "mi", "yd", "ft", "cm", "mm", "m"):
+        if s.endswith(suf):
+            return float(s[:-len(suf)]) * _DIST_UNIT_M[suf]
+    return float(s)
+
+
+def _decay(kind: str, dist: float, scale: float, offset: float,
+           decay: float) -> float:
+    d = max(0.0, dist - offset)
+    if kind == "gauss":
+        sigma2 = -(scale ** 2) / (2.0 * math.log(decay))
+        return math.exp(-(d ** 2) / (2.0 * sigma2))
+    if kind == "exp":
+        lam = math.log(decay) / scale
+        return math.exp(lam * d)
+    s = scale / (1.0 - decay)  # linear
+    return max(0.0, (s - d) / s)
+
+
+def _num_decay(kind):
+    def fn(origin, scale, offset, decay, value):
+        return _decay(kind, abs(float(value) - float(origin)),
+                      float(scale), float(offset), float(decay))
+    return fn
+
+
+def _date_decay(kind):
+    def fn(origin, scale, offset, decay, value):
+        import datetime as _dt
+
+        if isinstance(origin, str):
+            o = _dt.datetime.fromisoformat(origin.replace("Z", "+00:00"))
+            origin_ms = JDateTime(o).getMillis()
+        else:
+            origin_ms = _temporal_ms(origin)
+        return _decay(kind, abs(_temporal_ms(value) - origin_ms),
+                      _parse_time_ms(scale), _parse_time_ms(offset),
+                      float(decay))
+    return fn
+
+
+def _geo_decay(kind):
+    def fn(origin, scale, offset, decay, value):
+        if isinstance(origin, str):
+            lat, lon = origin.split(",", 1)
+            origin = GeoPoint(float(lat), float(lon))
+        # haversine meters
+        r = 6371_000.0
+        p1, p2 = math.radians(origin.lat), math.radians(value.lat)
+        dp = p2 - p1
+        dl = math.radians(value.lon - origin.lon)
+        a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        dist = 2 * r * math.asin(math.sqrt(a))
+        return _decay(kind, dist, _parse_dist_m(scale), _parse_dist_m(offset),
+                      float(decay))
+    return fn
+
+
+_SCORE_BUILTINS = {
+    "saturation": lambda v, k: v / (v + k),
+    "sigmoid": lambda v, k, a: (v ** a) / ((v ** a) + (k ** a)),
+    "decayNumericGauss": _num_decay("gauss"),
+    "decayNumericExp": _num_decay("exp"),
+    "decayNumericLinear": _num_decay("linear"),
+    "decayDateGauss": _date_decay("gauss"),
+    "decayDateExp": _date_decay("exp"),
+    "decayDateLinear": _date_decay("linear"),
+    "decayGeoGauss": _geo_decay("gauss"),
+    "decayGeoExp": _geo_decay("exp"),
+    "decayGeoLinear": _geo_decay("linear"),
+}
+
+
 def _temporal_ms(x) -> int:
     """Epoch millis from any temporal value (JInstant / JDateTime / long)."""
     if isinstance(x, JInstant):
@@ -2257,8 +2353,9 @@ class _Interp:
     def _call(self, node, env):
         _, recv_e, name, args_e, nullsafe = node
         if recv_e is None:
-            # bare function: context-provided callables (emit) or a lambda var
-            fn = env.get(name)
+            # bare function: context-provided callables (emit) or a lambda
+            # var, then the score-context statics (ScoreScriptUtils)
+            fn = env.get(name) or _SCORE_BUILTINS.get(name)
             if callable(fn):
                 return fn(*[self.eval(a, env) for a in args_e])
             raise PainlessError(f"unknown function {name!r}")

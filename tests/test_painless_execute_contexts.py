@@ -551,3 +551,29 @@ def test_put_script_compile_error(spark, tmp_path):
         "source": "def t = 0; for (x in params.xs) { t += x } return t"}})
     out = es.scripts_painless_execute({"id": "good", "params": {"xs": [1, 2]}})
     assert out["result"] == 3
+
+
+def test_score_context_builtins():
+    """ScoreScriptUtils (the score context's imported_methods /
+    class_bindings — 71_context_api.yml lists saturation and decayDateExp):
+    saturation, sigmoid, and the nine decay functions at their half-decay
+    points."""
+    import datetime as dt
+
+    from elasticsearch_spark.functions import painless as P
+
+    env = {"params": {}, "doc": P.DocMap({
+        "v": 50.0, "ts": P._clean(dt.datetime(2024, 1, 11)),
+        "loc": P.GeoPoint(0.0, 1.0)})}
+    run = lambda s: P.execute(P.compile_painless(s), dict(env))
+    assert run("saturation(doc['v'].value, 10)") == pytest.approx(50 / 60)
+    assert run("sigmoid(doc['v'].value, 50, 2)") == pytest.approx(0.5)
+    assert run("decayNumericGauss(40, 10, 0, 0.5, doc['v'].value)") == \
+        pytest.approx(0.5)
+    assert run("decayNumericExp(0, 10, 0, 0.5, 10.0)") == pytest.approx(0.5)
+    assert run("decayNumericLinear(0, 10, 0, 0.5, 5.0)") == pytest.approx(0.75)
+    assert run("decayDateGauss('2024-01-01', '10d', '0d', 0.5, "
+               "doc['ts'].value)") == pytest.approx(0.5)
+    # 1 degree of longitude at the equator ≈ 111.2 km ≈ the 111km scale
+    assert run("decayGeoExp('0,0', '111km', '0km', 0.5, doc['loc'].value)") \
+        == pytest.approx(0.5, abs=0.01)
