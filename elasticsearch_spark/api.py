@@ -56,29 +56,60 @@ def render_template(source: str, params: dict) -> str:
     import re
 
     s = re.sub(
-        r"\{\{#toJson\}\}\s*(\w+)\s*\{\{/toJson\}\}",
-        lambda m: json.dumps(params.get(m.group(1))),
+        r"\{\{#toJson\}\}\s*([\w.]+)\s*\{\{/toJson\}\}",
+        lambda m: json.dumps(_tpl_get(params, m.group(1))),
         source,
+    )
+    # {{#join}}arrayvar{{/join}} — comma-join (CustomMustacheFactory's
+    # JoinerTemplateFunction; lang_mustache/25_custom_functions.yml)
+    s = re.sub(
+        r"\{\{#join\}\}\s*([\w.]+)\s*\{\{/join\}\}",
+        lambda m: ",".join(str(x) for x in (_tpl_get(params, m.group(1)) or [])),
+        s,
     )
     prev = None
     while prev != s:
         prev = s
         s = re.sub(
-            r"\{\{#(\w+)\}\}(.*?)\{\{/\1\}\}",
-            lambda m: m.group(2) if params.get(m.group(1)) else "",
+            # 'url' is a template FUNCTION, not a param section — leave its
+            # block for the post-substitution encode pass
+            r"\{\{#(?!url\}\})([\w.]+)\}\}(.*?)\{\{/\1\}\}",
+            lambda m: m.group(2) if _tpl_get(params, m.group(1)) else "",
             s, flags=re.S,
         )
         s = re.sub(
-            r"\{\{\^(\w+)\}\}(.*?)\{\{/\1\}\}",
-            lambda m: "" if params.get(m.group(1)) else m.group(2),
+            r"\{\{\^([\w.]+)\}\}(.*?)\{\{/\1\}\}",
+            lambda m: "" if _tpl_get(params, m.group(1)) else m.group(2),
             s, flags=re.S,
         )
 
     def var(m):
-        v = params.get(m.group(1), "")
+        v = _tpl_get(params, m.group(1))
+        if v is None:
+            v = ""
         return json.dumps(v)[1:-1] if isinstance(v, str) else json.dumps(v)
 
-    return re.sub(r"\{\{(\w+)\}\}", var, s)
+    s = re.sub(r"\{\{([\w.]+)\}\}", var, s)
+    # {{#url}}…{{/url}} — URL-encode the RENDERED inner content
+    # (UrlEncoderTemplateFunction); runs last so nested {{var}}/{{#join}}
+    # have already resolved
+    import urllib.parse
+
+    return re.sub(
+        r"\{\{#url\}\}(.*?)\{\{/url\}\}",
+        lambda m: urllib.parse.quote(m.group(1), safe=""),
+        s, flags=re.S,
+    )
+
+
+def _tpl_get(params: dict, dotted: str):
+    """Mustache dotted-name resolution ({{obj.field}})."""
+    cur = params
+    for part in dotted.split("."):
+        if not isinstance(cur, dict) or part not in cur:
+            return None
+        cur = cur[part]
+    return cur
 
 
 class Engine:

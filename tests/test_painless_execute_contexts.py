@@ -577,3 +577,26 @@ def test_score_context_builtins():
     # 1 degree of longitude at the equator ≈ 111.2 km ≈ the 111km scale
     assert run("decayGeoExp('0,0', '111km', '0km', 0.5, doc['loc'].value)") \
         == pytest.approx(0.5, abs=0.01)
+
+
+def test_mustache_template_functions():
+    """lang_mustache/25_custom_functions.yml: {{#url}} percent-encodes the
+    rendered inner content; {{#join}} comma-joins arrays; dotted names and
+    the {{var}}{{^var}}default{{/var}} idiom resolve."""
+    from elasticsearch_spark.api import render_template
+
+    out = render_template(
+        "https://localhost:9200/{{#url}}{{index}}{{/url}}/_search",
+        {"index": "<logstash-{now/d-2d}>"})
+    assert out == "https://localhost:9200/%3Clogstash-%7Bnow%2Fd-2d%7D%3E/_search"
+    out = render_template(
+        "{{#url}}https://localhost:9200/{{#join}}indices{{/join}}/_stats{{/url}}",
+        {"indices": ["<logstash-{now/d-2d}>", "<logstash-{now/d-1d}>",
+                     "<logstash-{now/d}>"]})
+    assert out == ("https%3A%2F%2Flocalhost%3A9200%2F%3Clogstash-%7Bnow%2Fd-2d"
+                   "%7D%3E%2C%3Clogstash-%7Bnow%2Fd-1d%7D%3E%2C%3Clogstash-"
+                   "%7Bnow%2Fd%7D%3E%2F_stats")
+    assert render_template('{"size": {{qp.size}}{{^qp.size}}10{{/qp.size}}}',
+                           {"qp": {}}) == '{"size": 10}'
+    assert render_template('{"size": {{qp.size}}{{^qp.size}}10{{/qp.size}}}',
+                           {"qp": {"size": 5}}) == '{"size": 5}'
