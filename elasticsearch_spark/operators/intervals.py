@@ -202,7 +202,10 @@ def compile_source(spark: SparkSession, index_dir: str, src: dict, analyzer: str
         else:
             flt = (fkind, compile_source(spark, index_dir, fsrc, analyzer))
     if kind == "match":
-        words = analysis.analyze(body["query"], analyzer)
+        # per-leaf analyzer override (IntervalsSourceProvider.Match.analyzer,
+        # search.query/70_intervals.yml); use_field (positions from a second
+        # indexed field) is out of the one-positional-field doc model
+        words = analysis.analyze(body["query"], body.get("analyzer", analyzer))
         node = {
             "op": "all_of",
             "children": [{"op": "leaf", "terms": [w]} for w in words],
