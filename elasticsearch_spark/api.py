@@ -67,6 +67,13 @@ def render_template(source: str, params: dict) -> str:
         lambda m: ",".join(str(x) for x in (_tpl_get(params, m.group(1)) or [])),
         s,
     )
+    def truthy(v):
+        # Mustache section truthiness: false / missing / empty list skip
+        # the section; 0 RENDERS it (Java mustache numbers are truthy —
+        # the aggs-only {"size": 0} idiom depends on this)
+        return not (v is None or v is False
+                    or (isinstance(v, (list, str, dict)) and not v))
+
     prev = None
     while prev != s:
         prev = s
@@ -74,32 +81,37 @@ def render_template(source: str, params: dict) -> str:
             # 'url' is a template FUNCTION, not a param section — leave its
             # block for the post-substitution encode pass
             r"\{\{#(?!url\}\})([\w.]+)\}\}(.*?)\{\{/\1\}\}",
-            lambda m: m.group(2) if _tpl_get(params, m.group(1)) else "",
+            lambda m: m.group(2) if truthy(_tpl_get(params, m.group(1))) else "",
             s, flags=re.S,
         )
         s = re.sub(
             r"\{\{\^([\w.]+)\}\}(.*?)\{\{/\1\}\}",
-            lambda m: "" if _tpl_get(params, m.group(1)) else m.group(2),
+            lambda m: "" if truthy(_tpl_get(params, m.group(1))) else m.group(2),
             s, flags=re.S,
         )
 
-    def var(m):
-        v = _tpl_get(params, m.group(1))
-        if v is None:
-            v = ""
-        return json.dumps(v)[1:-1] if isinstance(v, str) else json.dumps(v)
+    def var_of(escape_json: bool):
+        def var(m):
+            v = _tpl_get(params, m.group(1))
+            if v is None:
+                v = ""
+            if not escape_json:
+                return v if isinstance(v, str) else json.dumps(v)
+            return json.dumps(v)[1:-1] if isinstance(v, str) else json.dumps(v)
+        return var
 
-    s = re.sub(r"\{\{([\w.]+)\}\}", var, s)
-    # {{#url}}…{{/url}} — URL-encode the RENDERED inner content
-    # (UrlEncoderTemplateFunction); runs last so nested {{var}}/{{#join}}
-    # have already resolved
+    # {{#url}}…{{/url}} — substitute inner vars RAW (no JSON escaping: the
+    # encoder sees the literal param text, UrlEncoderTemplateFunction), then
+    # percent-encode; runs before the JSON-escaped pass
     import urllib.parse
 
-    return re.sub(
+    s = re.sub(
         r"\{\{#url\}\}(.*?)\{\{/url\}\}",
-        lambda m: urllib.parse.quote(m.group(1), safe=""),
+        lambda m: urllib.parse.quote(
+            re.sub(r"\{\{([\w.]+)\}\}", var_of(False), m.group(1)), safe=""),
         s, flags=re.S,
     )
+    return re.sub(r"\{\{([\w.]+)\}\}", var_of(True), s)
 
 
 def _tpl_get(params: dict, dotted: str):
@@ -174,7 +186,15 @@ class Engine:
             return s in ("_doc", "_shard_doc") if isinstance(s, str) else \
                 isinstance(s, dict) and ("_doc" in s or "_shard_doc" in s)
 
-        sort = [{"url": "asc"} if _is_doc(s) else s for s in sort]
+        def _doc_dir(s):
+            # keep the requested direction when rewriting to the doc key
+            if isinstance(s, dict):
+                (_, sd), = s.items()
+                d = sd.get("order", "asc") if isinstance(sd, dict) else sd
+                return {"url": d}
+            return {"url": "asc"}
+
+        sort = [_doc_dir(s) if _is_doc(s) else s for s in sort]
         base["sort"] = sort
         sort_fields = []
         for s in sort:
@@ -2326,8 +2346,10 @@ class Engine:
                 if isinstance(v, P.JDateTime):
                     return v.dt.replace(tzinfo=None)
                 if isinstance(v, P.JInstant):
-                    return _dt.datetime.fromtimestamp(
-                        v.ms / 1000.0, _dt.timezone.utc).replace(tzinfo=None)
+                    # exact millis → datetime (float fromtimestamp mis-
+                    # rounds pre-epoch values)
+                    return _dt.datetime(1970, 1, 1) + \
+                        _dt.timedelta(milliseconds=v.ms)
                 return v
 
             cur = {"url": url,
@@ -3218,7 +3240,9 @@ class Engine:
         spec = body.get("script", body)
         from .functions import painless as P
 
-        if P.is_painless(spec["source"]):
+        lang = spec.get("lang", "painless")
+        if lang == "painless" and isinstance(spec["source"], str) \
+                and P.is_painless(spec["source"]):
             # the reference compiles stored scripts at PUT and rejects
             # invalid ones (17_update_error.yml expects /compile error/)
             try:
@@ -3434,8 +3458,11 @@ class Engine:
                 # numeric epoch millis, numeric strings; unparseable
                 # values stay raw (the script sees what it was given)
                 if isinstance(v, (int, float)) and not isinstance(v, bool):
-                    return P.JDateTime(_dt.datetime.fromtimestamp(
-                        v / 1000.0, _dt.timezone.utc))
+                    try:
+                        return P.JDateTime(_dt.datetime.fromtimestamp(
+                            v / 1000.0, _dt.timezone.utc))
+                    except (ValueError, OverflowError, OSError):
+                        return v  # out-of-range epoch stays raw
                 if isinstance(v, str):
                     s = v.replace("Z", "+00:00")
                     try:

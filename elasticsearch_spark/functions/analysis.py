@@ -2598,22 +2598,63 @@ def analyze_explain(text: str, analyzer: str = "standard") -> dict:
             return spec.get("type", "?")
         return spec[0]
 
-    def _toks(toks):
-        return [{"token": t, "position": i} for i, t in enumerate(toks)]
+    filtered_text = text or ""
+    for kind, payload in stages:
+        if kind == "charfilter":
+            filtered_text = payload
+
+    def _toks(toks, prev):
+        """Token dicts with offsets (greedy text alignment, like
+        analyze_detail) and positions CARRIED from the previous stage:
+        1:1 stages keep positions element-wise, removing stages (stop /
+        predicate) keep each surviving token's old position; expanding
+        stages renumber sequentially (documented approximation)."""
+        if prev is not None and len(toks) == len(prev):
+            positions = [p["position"] for p in prev]
+        elif prev is not None and len(toks) < len(prev):
+            positions, pi = [], 0
+            prev_toks = [p["token"] for p in prev]
+            for t in toks:
+                while pi < len(prev_toks) and prev_toks[pi] != t:
+                    pi += 1
+                if pi < len(prev_toks):
+                    positions.append(prev[pi]["position"])
+                    pi += 1
+                else:
+                    positions.append((positions[-1] + 1) if positions else 0)
+        else:
+            positions = list(range(len(toks)))
+        low = filtered_text.lower()
+        out, cursor = [], 0
+        for t, pos in zip(toks, positions):
+            i = low.find(t, cursor)
+            if i < 0:
+                i = low.find(t)
+            if i >= 0:
+                start, end = i, i + len(t)
+                cursor = max(cursor, end)
+            else:
+                start = end = cursor
+            out.append({"token": t, "start_offset": start,
+                        "end_offset": end, "position": pos})
+        return out
 
     out = {"custom_analyzer": True, "charfilters": [], "tokenfilters": []}
     ci = iter([_name(c) for c in (char_filters or [])])
     fi = iter([_name(f) for f in (filters or [])])
+    prev_tokens = None
     for kind, payload in stages:
         if kind == "charfilter":
             out["charfilters"].append(
                 {"name": next(ci), "filtered_text": [payload]})
         elif kind == "tokenizer":
             tk = tokenizer if isinstance(tokenizer, str) else tokenizer[0]
-            out["tokenizer"] = {"name": tk, "tokens": _toks(payload)}
+            out["tokenizer"] = {"name": tk, "tokens": _toks(payload, None)}
+            prev_tokens = out["tokenizer"]["tokens"]
         else:
-            out["tokenfilters"].append(
-                {"name": next(fi), "tokens": _toks(payload)})
+            toks = _toks(payload, prev_tokens)
+            out["tokenfilters"].append({"name": next(fi), "tokens": toks})
+            prev_tokens = toks
     return {"detail": out}
 
 

@@ -1428,9 +1428,26 @@ def _geo_decay(kind):
     return fn
 
 
+def _jpow(base, exp):
+    """Java Math.pow: negative base with a non-integer exponent yields NaN
+    (Python returns a complex number); 0**negative yields Infinity."""
+    try:
+        r = float(base) ** float(exp)
+    except ZeroDivisionError:
+        return math.inf
+    if isinstance(r, complex):
+        return math.nan
+    return r
+
+
+def _score_sigmoid(v, k, a):
+    va, ka = _jpow(v, a), _jpow(k, a)
+    return _jdiv(va, va + ka)
+
+
 _SCORE_BUILTINS = {
-    "saturation": lambda v, k: v / (v + k),
-    "sigmoid": lambda v, k, a: (v ** a) / ((v ** a) + (k ** a)),
+    "saturation": lambda v, k: _jdiv(float(v), float(v + k)),
+    "sigmoid": _score_sigmoid,
     "decayNumericGauss": _num_decay("gauss"),
     "decayNumericExp": _num_decay("exp"),
     "decayNumericLinear": _num_decay("linear"),
@@ -1776,8 +1793,14 @@ class _Stream:
 _STATICS: dict[str, dict] = {
     "Math": {
         "max": max, "min": min, "abs": abs,
-        "sqrt": math.sqrt, "cbrt": lambda x: math.copysign(abs(x) ** (1 / 3), x),
-        "pow": math.pow, "log": math.log, "log10": math.log10,
+        "sqrt": lambda x: math.sqrt(x) if x >= 0 else math.nan,
+        "cbrt": lambda x: math.copysign(abs(x) ** (1 / 3), x),
+        # Java math never raises: out-of-domain inputs flow NaN
+        "pow": lambda a, b: _jpow(a, b),
+        "log": lambda x: math.log(x) if x > 0 else
+            (-math.inf if x == 0 else math.nan),
+        "log10": lambda x: math.log10(x) if x > 0 else
+            (-math.inf if x == 0 else math.nan),
         "log1p": math.log1p, "exp": math.exp, "expm1": math.expm1,
         "floor": lambda x: float(math.floor(x)), "ceil": lambda x: float(math.ceil(x)),
         "round": lambda x: math.floor(x + 0.5), "rint": round,

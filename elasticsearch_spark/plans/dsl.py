@@ -1698,6 +1698,13 @@ class FunctionScoreQ(Node):
     def frame(self, ctx):
         base = (self.query or MatchAll()).frame(ctx)
         if not self.functions:
+            # zero functions still applies the query-level boost and
+            # min_score (FunctionScoreQuery wraps regardless)
+            if self.boost != 1.0:
+                base = base.withColumn(
+                    "_score", F.col("_score") * F.lit(float(self.boost)))
+            if self.min_score is not None:
+                base = base.where(F.col("_score") >= float(self.min_score))
             return base
         joined = base.join(ctx.df.withColumn("__key", F.col(ctx.key)), "__key")
         cols = [self._fn_col(ctx, s, joined) for s in self.functions]
