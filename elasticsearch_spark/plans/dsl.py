@@ -1365,14 +1365,19 @@ class HasChildQ(Node):
     max_children: int | None = None
 
     def _child_hits(self, ctx):
+        df = _join_normalized(ctx.df, self.join_field, self.parent_field)
+        ctx = SearchContext(df, ctx.key, text_col=ctx.text_col)
         children = ctx.df.where(F.col(self.join_field) == self.child_type)
+        # the inner query evaluates against the FULL frame (all join types
+        # share the index — a nested has_child over grand_children must see
+        # the grandchild rows), then the child-type filter restricts
         sub = SearchContext(children, ctx.key, text_col=ctx.text_col)
         try:
             hits = children.where(self.query.predicate(sub)).select(
                 F.col(self.parent_field).alias("__key"), F.lit(1.0).alias("_cs")
             )
         except NotImplementedError:
-            fr = self.query.frame(sub)
+            fr = self.query.frame(ctx)
             hits = (
                 children.select(F.col(ctx.key).alias("__ck"), self.parent_field)
                 .join(fr.withColumnRenamed("__key", "__ck"), "__ck")
@@ -1399,6 +1404,19 @@ class HasChildQ(Node):
         return self.frame(ctx).select("__key")
 
 
+def _join_normalized(df: DataFrame, join_field: str,
+                     parent_field: str) -> DataFrame:
+    """Accept the reference's join FIELD shape
+    (ParentJoinFieldMapper: ``join_field: {name, parent}`` — map or
+    struct, 20_parent_join.yml) by deriving the engine's flat
+    join_type/parent_id columns when they're absent."""
+    if join_field in df.columns or "join_field" not in df.columns:
+        return df
+    jf = F.col("join_field")
+    return (df.withColumn(join_field, jf["name"])
+              .withColumn(parent_field, jf["parent"]))
+
+
 @dataclass
 class HasParentQ(Node):
     """has_parent (HasParentQueryBuilder): children whose PARENT row
@@ -1412,6 +1430,8 @@ class HasParentQ(Node):
     score: bool = False
 
     def frame(self, ctx):
+        df = _join_normalized(ctx.df, self.join_field, self.parent_field)
+        ctx = SearchContext(df, ctx.key, text_col=ctx.text_col)
         parents = ctx.df.where(F.col(self.join_field) == self.parent_type)
         sub = SearchContext(parents, ctx.key, text_col=ctx.text_col)
         try:
@@ -1419,9 +1439,12 @@ class HasParentQ(Node):
                 F.col(ctx.key).alias("__pk"), F.lit(1.0).alias("_ps")
             )
         except NotImplementedError:
-            phits = self.query.frame(sub).select(
+            # inner query over the FULL frame (join types share the index),
+            # restricted to parent-type rows by semi-join
+            phits = self.query.frame(ctx).select(
                 F.col("__key").alias("__pk"), F.col("_score").alias("_ps")
-            )
+            ).join(parents.select(F.col(ctx.key).alias("__pk")), "__pk",
+                   "left_semi")
         children = ctx.df.where(F.col(self.parent_field).isNotNull())
         out = children.select(
             F.col(ctx.key).alias("__key"), F.col(self.parent_field).alias("__pk")

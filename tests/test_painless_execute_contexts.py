@@ -600,3 +600,28 @@ def test_mustache_template_functions():
                            {"qp": {}}) == '{"size": 10}'
     assert render_template('{"size": {{qp.size}}{{^qp.size}}10{{/qp.size}}}',
                            {"qp": {"size": 5}}) == '{"size": 5}'
+
+
+def test_parent_join_field_shape_multi_level(spark):
+    """parent-join module (20_parent_join.yml): the join FIELD shape
+    (join_field: {name, parent}) with multi-level relations parent →
+    child → grand_child; a nested has_child sees grandchild rows."""
+    from elasticsearch_spark.plans import dsl
+
+    rows = [("1", "parent", None), ("2", "parent", None),
+            ("3", "child", "1"), ("4", "child", "1"), ("5", "child", "2"),
+            ("6", "grand_child", "5")]
+    df = spark.createDataFrame(
+        [(u, {"name": n, "parent": p}, u) for u, n, p in rows],
+        "url string, join_field map<string,string>, id string")
+    # parents that have a child which itself has a grand_child → parent 2
+    body = {"query": {"has_child": {"type": "child", "query":
+            {"has_child": {"type": "grand_child",
+                           "query": {"match_all": {}}}}}}}
+    out = dsl.search(spark, df, body, key="url")
+    assert sorted(r["url"] for r in out.collect()) == ["2"]
+    # has_parent over the map shape
+    body2 = {"query": {"has_parent": {"parent_type": "parent",
+                                      "query": {"term": {"id": {"value": "1"}}}}}}
+    out2 = dsl.search(spark, df, body2, key="url")
+    assert sorted(r["url"] for r in out2.collect()) == ["3", "4"]
