@@ -1274,6 +1274,8 @@ class Engine:
                 f"[{frm + size}]. See the scroll api for a more efficient "
                 "way to request large data sets.")
         q = body.get("query")
+        if isinstance(q, dict) and "percolate" in q:
+            return self._search_percolate(index, body, q["percolate"])
         if isinstance(q, dict) and "rule" in q:
             # rule query (RuleQueryBuilder.doRewrite): coordinator-side
             # rewrite to pinned/excluding organic before planning
@@ -1816,6 +1818,50 @@ class Engine:
         from .operators.percolate import percolate as percolate_fn
 
         return percolate_fn(self._docs_view(index), stored_queries, key="url")
+
+    def _search_percolate(self, index: str, body: dict, spec: dict) -> dict:
+        """The ``percolate`` QUERY kind (PercolateQueryBuilder,
+        modules/percolator 10_basic.yml): a search against the QUERIES
+        index returning the stored queries the candidate document matches.
+        The document comes inline (``document``/``documents``) or by
+        reference (``index`` + ``id``). Reuses the one-scan percolate
+        operator with the cardinality inverted back: the queries index is
+        the small side (collected + compiled driver-side, the operator's
+        documented contract), the candidate docs frame has 1..N rows."""
+        import json as _json
+
+        from .operators.percolate import percolate as percolate_fn
+
+        field = spec.get("field", "query")
+        docs = spec.get("documents") or (
+            [spec["document"]] if "document" in spec else None)
+        if docs is None:
+            ref = self.get(spec["index"], spec["id"])
+            if ref is None:
+                raise KeyError(
+                    f"percolate document not found: {spec['index']}/{spec['id']}")
+            docs = [{k: v for k, v in ref.items()
+                     if k not in ("doc_id", "dl", "norm", "seg_id")}]
+        qrows = self._docs_view(index).select("url", field).collect()
+        stored = {}
+        for r in qrows:
+            qv = r[field]
+            if qv is None:
+                continue
+            stored[r["url"]] = _json.loads(qv) if isinstance(qv, str) else qv
+        from pyspark.sql import Row
+
+        keys = sorted({k for d in docs for k in d})
+        doc_df = self.spark.createDataFrame(
+            [Row(**{k: d.get(k) for k in keys}) for d in docs])
+        if "url" not in doc_df.columns:
+            doc_df = doc_df.withColumn("url", F.monotonically_increasing_id()
+                                       .cast("string"))
+        matches = percolate_fn(doc_df, list(stored.items()), key="url")
+        matched_ids = {r["query_id"] for r in matches.collect()}
+        hits = self._docs_view(index).where(F.col("url").isin(list(matched_ids))
+                                            if matched_ids else F.lit(False))
+        return {"hits": hits.limit(int(body.get("size", 10)))}
 
     def count(self, index: str, query: dict | None = None) -> int:
         """GET /{index}/_count (alias-aware: sums over the alias's indices)."""

@@ -52,3 +52,35 @@ def test_percolate_chunking(spark, corpus):
 
 def test_percolate_no_queries(spark, corpus):
     assert percolate(corpus, []).count() == 0
+
+
+def test_percolate_query_kind(spark, tmp_path):
+    """The percolate QUERY kind (PercolateQueryBuilder, modules/percolator
+    10_basic.yml): a search against the queries index returns the stored
+    queries the candidate document matches — inline document and
+    index/id-referenced document forms."""
+    import json
+
+    from elasticsearch_spark.api import Engine
+
+    es = Engine(spark, root=str(tmp_path / "pq"))
+    es.create_index("queries_index", num_partitions=1)
+    es.bulk("queries_index", spark.createDataFrame(
+        [("q1", "placeholder", "en", json.dumps({"match_all": {}})),
+         ("q2", "placeholder", "en",
+          json.dumps({"term": {"color": {"value": "blue"}}}))],
+        "url string, text string, lang string, query string"))
+    out = es.search("queries_index", {"query": {"percolate": {
+        "field": "query", "document": {"color": "red", "text": "x"}}}})
+    assert sorted(r["url"] for r in out["hits"].collect()) == ["q1"]
+    out = es.search("queries_index", {"query": {"percolate": {
+        "field": "query", "document": {"color": "blue", "text": "x"}}}})
+    assert sorted(r["url"] for r in out["hits"].collect()) == ["q1", "q2"]
+    # by reference (percolate existing document)
+    es.create_index("documents_index", num_partitions=1)
+    es.bulk("documents_index", spark.createDataFrame(
+        [("d1", "some text", "en", "blue")],
+        "url string, text string, lang string, color string"))
+    out = es.search("queries_index", {"query": {"percolate": {
+        "field": "query", "index": "documents_index", "id": "d1"}}})
+    assert sorted(r["url"] for r in out["hits"].collect()) == ["q1", "q2"]
