@@ -105,13 +105,53 @@ def render_template(source: str, params: dict) -> str:
     # percent-encode; runs before the JSON-escaped pass
     import urllib.parse
 
+    def _java_urlencode(v: str) -> str:
+        # java.net.URLEncoder.encode (what CustomMustacheFactory calls):
+        # space → '+', '*' stays bare, '~' → %7E — not RFC-3986 quote()
+        return urllib.parse.quote_plus(v, safe="*").replace("~", "%7E")
+
     s = re.sub(
         r"\{\{#url\}\}(.*?)\{\{/url\}\}",
-        lambda m: urllib.parse.quote(
-            re.sub(r"\{\{([\w.]+)\}\}", var_of(False), m.group(1)), safe=""),
+        lambda m: _java_urlencode(
+            re.sub(r"\{\{([\w.]+)\}\}", var_of(False), m.group(1))),
         s, flags=re.S,
     )
     return re.sub(r"\{\{([\w.]+)\}\}", var_of(True), s)
+
+
+_LEAF_FIELD_KINDS = frozenset({
+    "term", "terms", "match", "match_phrase", "match_phrase_prefix",
+    "match_bool_prefix", "prefix", "wildcard", "regexp", "fuzzy", "range",
+    "intervals", "distance_feature", "rank_feature", "terms_set",
+})
+
+
+def _query_fields(queries: list[dict]) -> set[str]:
+    """Field names a list of DSL query dicts references at their leaves —
+    the percolate candidate-doc padding set (a conservative superset is
+    fine: padded-but-unused null columns cost nothing)."""
+    out: set[str] = set()
+
+    def walk(q):
+        if isinstance(q, list):
+            for x in q:
+                walk(x)
+            return
+        if not isinstance(q, dict):
+            return
+        for kind, body in q.items():
+            if kind in _LEAF_FIELD_KINDS and isinstance(body, dict) and body:
+                out.add(next(iter(body)))
+            elif kind == "exists" and isinstance(body, dict):
+                out.add(body.get("field", ""))
+            elif kind in ("multi_match", "combined_fields") \
+                    and isinstance(body, dict):
+                out.update(f.split("^")[0] for f in body.get("fields", []))
+            else:
+                walk(body)
+
+    walk(queries)
+    return {f for f in out if f}
 
 
 def _tpl_get(params: dict, dotted: str):
@@ -189,12 +229,20 @@ class Engine:
         def _doc_dir(s):
             # keep the requested direction when rewriting to the doc key
             if isinstance(s, dict):
-                (_, sd), = s.items()
+                sd = s.get("_doc", s.get("_shard_doc"))
                 d = sd.get("order", "asc") if isinstance(sd, dict) else sd
-                return {"url": d}
+                return {"url": d or "asc"}
             return {"url": "asc"}
 
-        sort = [_doc_dir(s) if _is_doc(s) else s for s in sort]
+        # ES parses each key of a multi-key sort object as its own sort —
+        # flatten first so the _doc rewrite can't swallow sibling fields
+        flat = []
+        for s in sort:
+            if isinstance(s, dict) and len(s) > 1:
+                flat.extend({k: v} for k, v in s.items())
+            else:
+                flat.append(s)
+        sort = [_doc_dir(s) if _is_doc(s) else s for s in flat]
         base["sort"] = sort
         sort_fields = []
         for s in sort:
@@ -1832,6 +1880,9 @@ class Engine:
 
         from .operators.percolate import percolate as percolate_fn
 
+        concrete = self.resolve(index)
+        for ix in concrete:
+            self._check_block(ix, "read")
         field = spec.get("field", "query")
         docs = spec.get("documents") or (
             [spec["document"]] if "document" in spec else None)
@@ -1842,26 +1893,50 @@ class Engine:
                     f"percolate document not found: {spec['index']}/{spec['id']}")
             docs = [{k: v for k, v in ref.items()
                      if k not in ("doc_id", "dl", "norm", "seg_id")}]
-        qrows = self._docs_view(index).select("url", field).collect()
         stored = {}
-        for r in qrows:
-            qv = r[field]
-            if qv is None:
-                continue
-            stored[r["url"]] = _json.loads(qv) if isinstance(qv, str) else qv
+        for ix in concrete:
+            for r in self._docs_view(ix).select("url", field).collect():
+                qv = r[field]
+                if qv is None:
+                    continue
+                stored[r["url"]] = _json.loads(qv) if isinstance(qv, str) else qv
         from pyspark.sql import Row
 
         keys = sorted({k for d in docs for k in d})
+        # explicit string typing for all-null fields (ES accepts explicit
+        # nulls in the candidate document; inference would refuse)
+        types = {}
+        for k in keys:
+            vals = [d.get(k) for d in docs if d.get(k) is not None]
+            v = vals[0] if vals else ""
+            types[k] = ("boolean" if isinstance(v, bool) else
+                        "bigint" if isinstance(v, int) else
+                        "double" if isinstance(v, float) else "string")
         doc_df = self.spark.createDataFrame(
-            [Row(**{k: d.get(k) for k in keys}) for d in docs])
+            [Row(**{k: d.get(k) for k in keys}) for d in docs],
+            ", ".join(f"`{k}` {types[k]}" for k in keys))
         if "url" not in doc_df.columns:
             doc_df = doc_df.withColumn("url", F.monotonically_increasing_id()
                                        .cast("string"))
+        # stored queries routinely reference fields the candidate doc lacks
+        # (they simply don't match) — give those fields null columns so the
+        # one-scan predicate projection resolves
+        for f in sorted(_query_fields(list(stored.values()))):
+            if f not in doc_df.columns and re.fullmatch(r"[\w.]+", f):
+                doc_df = doc_df.withColumn(f, F.lit(None).cast("string"))
         matches = percolate_fn(doc_df, list(stored.items()), key="url")
         matched_ids = {r["query_id"] for r in matches.collect()}
-        hits = self._docs_view(index).where(F.col("url").isin(list(matched_ids))
-                                            if matched_ids else F.lit(False))
-        return {"hits": hits.limit(int(body.get("size", 10)))}
+        hits = self._docs_view(concrete[0]).where(
+            F.col("url").isin(list(matched_ids)) if matched_ids else F.lit(False))
+        if len(concrete) > 1:
+            for ix in concrete[1:]:
+                hits = hits.unionByName(self._docs_view(ix).where(
+                    F.col("url").isin(list(matched_ids))
+                    if matched_ids else F.lit(False)), allowMissingColumns=True)
+        hits = hits.limit(int(body.get("size", 10)))
+        if "_source" in body:
+            hits = self._source_filter(hits, body["_source"])
+        return {"hits": hits}
 
     def count(self, index: str, query: dict | None = None) -> int:
         """GET /{index}/_count (alias-aware: sums over the alias's indices)."""

@@ -2627,9 +2627,10 @@ def analyze_explain(text: str, analyzer: str = "standard") -> dict:
         low = filtered_text.lower()
         out, cursor = [], 0
         for t, pos in zip(toks, positions):
-            i = low.find(t, cursor)
+            tl = t.lower()  # case-preserving tokenizers still align
+            i = low.find(tl, cursor)
             if i < 0:
-                i = low.find(t)
+                i = low.find(tl)
             if i >= 0:
                 start, end = i, i + len(t)
                 cursor = max(cursor, end)

@@ -1416,8 +1416,9 @@ def _geo_decay(kind):
         if isinstance(origin, str):
             lat, lon = origin.split(",", 1)
             origin = GeoPoint(float(lat), float(lon))
-        # haversine meters
-        r = 6371_000.0
+        # haversine meters (GeoUtils.EARTH_MEAN_RADIUS — same constant as
+        # the geo_distance query/sort/agg surfaces)
+        r = 6371008.8
         p1, p2 = math.radians(origin.lat), math.radians(value.lat)
         dp = p2 - p1
         dl = math.radians(value.lon - origin.lon)
@@ -1430,10 +1431,17 @@ def _geo_decay(kind):
 
 def _jpow(base, exp):
     """Java Math.pow: negative base with a non-integer exponent yields NaN
-    (Python returns a complex number); 0**negative yields Infinity."""
+    (Python returns a complex number); 0**negative yields Infinity;
+    overflowing magnitudes flow ±Infinity instead of raising."""
+    base, exp = float(base), float(exp)
     try:
-        r = float(base) ** float(exp)
+        r = base ** exp
     except ZeroDivisionError:
+        return math.inf
+    except OverflowError:
+        # sign: negative only for a negative base raised to an odd integer
+        if base < 0 and exp == int(exp) and int(exp) % 2:
+            return -math.inf
         return math.inf
     if isinstance(r, complex):
         return math.nan

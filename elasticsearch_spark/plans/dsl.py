@@ -1365,13 +1365,18 @@ class HasChildQ(Node):
     max_children: int | None = None
 
     def _child_hits(self, ctx):
+        import dataclasses as _dc
+
         df = _join_normalized(ctx.df, self.join_field, self.parent_field)
-        ctx = SearchContext(df, ctx.key, text_col=ctx.text_col)
+        # dataclasses.replace keeps kw_norm/analyzer_regex/shingle (a plain
+        # re-construction silently dropped normalizer-mapped term matching);
+        # the lazy stat caches reset with the new frame
+        ctx = _dc.replace(ctx, df=df, _tf=None, _dl=None, _coll=None)
         children = ctx.df.where(F.col(self.join_field) == self.child_type)
         # the inner query evaluates against the FULL frame (all join types
         # share the index — a nested has_child over grand_children must see
         # the grandchild rows), then the child-type filter restricts
-        sub = SearchContext(children, ctx.key, text_col=ctx.text_col)
+        sub = _dc.replace(ctx, df=children, _tf=None, _dl=None, _coll=None)
         try:
             hits = children.where(self.query.predicate(sub)).select(
                 F.col(self.parent_field).alias("__key"), F.lit(1.0).alias("_cs")
@@ -1430,10 +1435,12 @@ class HasParentQ(Node):
     score: bool = False
 
     def frame(self, ctx):
+        import dataclasses as _dc
+
         df = _join_normalized(ctx.df, self.join_field, self.parent_field)
-        ctx = SearchContext(df, ctx.key, text_col=ctx.text_col)
+        ctx = _dc.replace(ctx, df=df, _tf=None, _dl=None, _coll=None)
         parents = ctx.df.where(F.col(self.join_field) == self.parent_type)
-        sub = SearchContext(parents, ctx.key, text_col=ctx.text_col)
+        sub = _dc.replace(ctx, df=parents, _tf=None, _dl=None, _coll=None)
         try:
             phits = parents.where(self.query.predicate(sub)).select(
                 F.col(ctx.key).alias("__pk"), F.lit(1.0).alias("_ps")
