@@ -1755,13 +1755,19 @@ class Engine:
                     suggest_mode=sbody.get("suggest_mode", "missing"),
                 )
             elif skind == "phrase":
-                res[name] = self.suggest_phrase(
+                fr = self.suggest_phrase(
                     index, text,
                     size=sbody.get("size", 3),
                     confidence=sbody.get("confidence", 1.0),
                     real_word_error_likelihood=sbody.get(
                         "real_word_error_likelihood", 0.95),
                 )
+                collate = sbody.get("collate")
+                hl = sbody.get("highlight")
+                if collate or hl:
+                    fr = self._finish_phrase_suggest(
+                        index, text, fr, collate, hl)
+                res[name] = fr
             else:
                 res[name] = completion_suggest(
                     self.spark, d, text,
@@ -1770,6 +1776,53 @@ class Engine:
                     contexts=spec.get("contexts") or sbody.get("contexts"),
                 )
         return res
+
+    def _finish_phrase_suggest(self, index: str, text: str, fr: DataFrame,
+                               collate: dict | None,
+                               hl: dict | None) -> DataFrame:
+        """Phrase-suggester collate + highlight
+        (PhraseSuggestionBuilder.collateQuery / highlight pre/post tags):
+        collate renders the template per suggestion ({{suggestion}} bound)
+        and checks for ≥1 hit — prune=false drops non-matching suggestions,
+        prune=true keeps them with a collate_match flag; highlight wraps
+        CHANGED tokens. The frame is ≤size rows by construction."""
+        import json as _json
+
+        rows = fr.collect()
+        in_toks = text.lower().split()
+        out = []
+        for r in rows:
+            rec = {"suggestion": r["suggestion"], "score": r["score"]}
+            if hl:
+                pre = hl.get("pre_tag", "<em>")
+                post = hl.get("post_tag", "</em>")
+                toks = r["suggestion"].split()
+                rec["highlighted"] = " ".join(
+                    t if i < len(in_toks) and t == in_toks[i]
+                    else f"{pre}{t}{post}"
+                    for i, t in enumerate(toks))
+            if collate:
+                tmpl = collate["query"]
+                src = tmpl.get("source", tmpl) if isinstance(tmpl, dict) else tmpl
+                if not isinstance(src, str):
+                    src = _json.dumps(src)
+                params = {**(collate.get("params") or {}),
+                          "suggestion": r["suggestion"]}
+                q = _json.loads(render_template(src, params))
+                n = self.count(index, q if "query" not in q else q["query"])
+                rec["collate_match"] = n > 0
+                if not collate.get("prune", False) and n == 0:
+                    continue
+            out.append(rec)
+        schema = "suggestion string, score double"
+        if hl:
+            schema += ", highlighted string"
+        if collate:
+            schema += ", collate_match boolean"
+        cols = ["suggestion", "score"] + (["highlighted"] if hl else []) \
+            + (["collate_match"] if collate else [])
+        return self.spark.createDataFrame(
+            [tuple(rec[c] for c in cols) for rec in out], schema)
 
     def msearch(self, searches: list[tuple[str, dict]]) -> list[dict]:
         """POST /_msearch: a batch of (index, body) searches. Each returns

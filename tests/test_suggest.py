@@ -180,3 +180,39 @@ def test_search_body_suggest_routing(spark, tmp_path_factory):
 
     with _pytest.raises(ValueError):
         es.search("pages", {"suggest": {"bad": {"nope": {}}}})
+
+
+def test_phrase_suggest_collate_and_highlight(spark, tmp_path):
+    """PhraseSuggestionBuilder collate (render the {{suggestion}} template
+    per candidate, ≥1 hit keeps; prune=true keeps all with collate_match)
+    and changed-token highlighting."""
+    from elasticsearch_spark.api import Engine
+
+    es = Engine(spark, root=str(tmp_path / "sugc"))
+    es.create_index("s", num_partitions=1)
+    es.bulk("s", spark.createDataFrame(
+        [(f"u{i}", "spark computing cluster engine", "en") for i in range(4)],
+        "url string, text string, lang string"))
+    out = es.search("s", {"suggest": {"fix": {
+        "text": "spork computing",
+        "phrase": {
+            "confidence": 0.0,
+            "highlight": {"pre_tag": "<em>", "post_tag": "</em>"},
+            "collate": {
+                "query": {"source": {"match": {"text": "{{suggestion}}"}}},
+                "prune": True,
+            },
+        }}}})
+    rows = out["suggest"]["fix"].collect()
+    assert rows, "no suggestions"
+    best = rows[0]
+    assert best["suggestion"] == "spark computing"
+    assert best["highlighted"] == "<em>spark</em> computing"
+    assert best["collate_match"] is True
+    # prune=false drops non-matching suggestions entirely
+    out2 = es.search("s", {"suggest": {"fix": {
+        "text": "spork computing",
+        "phrase": {"confidence": 0.0, "collate": {
+            "query": {"source": {"term": {"lang": {"value": "zz_{{suggestion}}"}}}}}},
+    }}})
+    assert out2["suggest"]["fix"].count() == 0
