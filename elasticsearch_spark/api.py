@@ -1519,8 +1519,10 @@ class Engine:
             )
             if body.get("highlight"):
                 docs_text = self._docs_view(index).select("url", "text")
+                hl_terms = self._highlight_terms(
+                    body["highlight"], terms, meta.analyzer)
                 hits = highlight_fn(
-                    hits.join(docs_text, "url"), terms,
+                    hits.join(docs_text, "url"), hl_terms,
                     **self._highlight_opts(body["highlight"]),
                 ).drop("text")
         elif kind.startswith("span_") and "sort" not in body:
@@ -3839,7 +3841,45 @@ class Engine:
             "post_tag": (merged.get("post_tags") or ["</em>"])[0],
             "fragment_size": merged.get("fragment_size", 100),
             "number_of_fragments": merged.get("number_of_fragments", 1),
+            "no_match_size": merged.get("no_match_size", 0),
         }
+
+    @staticmethod
+    def _highlight_terms(hl, default_terms: list[str], analyzer: str) -> list[str]:
+        """``highlight_query`` (HighlightBuilder.highlightQuery): highlight
+        against a DIFFERENT query's terms — the rescore/boosting idiom;
+        falls back to the search query's terms."""
+        if not isinstance(hl, dict):
+            return default_terms
+        fields = hl.get("fields") or {}
+        if isinstance(fields, list):
+            m = {}
+            for f in fields:
+                m.update(f)
+            fields = m
+        hq = (fields.get("text") or {}).get("highlight_query") \
+            or hl.get("highlight_query")
+        if not hq:
+            return default_terms
+        texts: list[str] = []
+
+        def walk(q):
+            if isinstance(q, dict):
+                for k, v in q.items():
+                    if k in ("match", "match_phrase") and isinstance(v, dict):
+                        (fld, mv), = v.items()
+                        texts.append(mv["query"] if isinstance(mv, dict) else mv)
+                    else:
+                        walk(v)
+            elif isinstance(q, list):
+                for x in q:
+                    walk(x)
+
+        walk(hq)
+        out: list[str] = []
+        for t in texts:
+            out.extend(analysis.analyze(str(t), analyzer))
+        return list(dict.fromkeys(out)) or default_terms
 
     def _kw_normalizers(self, index: str) -> dict:
         """field → normalizer filter chain, from the persisted mapping

@@ -585,6 +585,7 @@ def highlight(
     pre_tag: str = "<em>",
     post_tag: str = "</em>",
     number_of_fragments: int = 1,
+    no_match_size: int = 0,
 ) -> DataFrame:
     """Add a `highlight` column: fragments of ±fragment_size/2 chars around
     matching terms, matches wrapped in tags. Pure Column expressions
@@ -631,14 +632,26 @@ def highlight(
             frags, lambda fr: F.regexp_replace(fr, f"(?i)({pat})", f"{pre_tag}$1{post_tag}")
         )
         return df.withColumn("highlight", tagged_arr)
-    first_pos = F.expr(
-        f"locate(regexp_extract(lower({text_col}), '(?i)({sqlpat})', 1), lower({text_col}))"
-    )
+    # guard the empty extract: locate('', s) = 1 would read as a match
+    matched_term = F.expr(
+        f"regexp_extract(lower({text_col}), '(?i)({sqlpat})', 1)")
+    first_pos = F.when(
+        matched_term != "",
+        F.expr(
+            f"locate(regexp_extract(lower({text_col}), '(?i)({sqlpat})', 1), lower({text_col}))"
+        ),
+    ).otherwise(F.lit(0))
     half = fragment_size // 2
     frag_start = F.greatest(first_pos - half, F.lit(1))
+    # HighlightBuilder.noMatchSize: fields without a match highlight as
+    # NULL by default; no_match_size > 0 emits a leading snippet instead
+    no_match = (F.col(text_col).substr(F.lit(1), F.lit(no_match_size))
+                if no_match_size > 0 else F.lit(None).cast("string"))
     fragment = F.when(
         first_pos > 0,
         F.col(text_col).substr(frag_start, F.lit(fragment_size)),
-    ).otherwise(F.col(text_col).substr(F.lit(1), F.lit(fragment_size)))
-    tagged = F.regexp_replace(fragment, f"(?i)({pat})", f"{pre_tag}$1{post_tag}")
+    )
+    tagged = F.coalesce(
+        F.regexp_replace(fragment, f"(?i)({pat})", f"{pre_tag}$1{post_tag}"),
+        no_match)
     return df.withColumn("highlight", tagged)

@@ -216,3 +216,31 @@ def test_highlight_escapes_regex_and_sql_metacharacters(spark):
     df3 = spark.createDataFrame([("z", "well don't stop me now")], "url string, text string")
     frags = highlight(df3, ["don't"], number_of_fragments=2).collect()[0]["highlight"]
     assert frags and "<em>don't</em>" in frags[0]
+
+
+def test_highlight_query_and_no_match_size(spark, tmp_path):
+    """HighlightBuilder.highlightQuery (highlight a DIFFERENT query's
+    terms) and noMatchSize (default: null highlight for non-matching
+    docs; >0 emits a leading snippet)."""
+    from elasticsearch_spark.api import Engine
+
+    es = Engine(spark, root=str(tmp_path / "hq"))
+    es.create_index("h", num_partitions=1)
+    es.bulk("h", spark.createDataFrame(
+        [("a", "spark cluster computing engine", "en"),
+         ("b", "spark alone", "en")],
+        "url string, text string, lang string"))
+    out = es.search("h", {"query": {"match": {"text": "spark"}},
+                          "highlight": {"fields": {"text": {
+                              "highlight_query": {"match": {"text": "cluster"}}}}},
+                          "size": 5})
+    rows = {r["url"]: r["highlight"] for r in out["hits"].collect()}
+    assert "<em>cluster</em>" in rows["a"]
+    assert rows["b"] is None  # no_match_size default 0 → null
+    out = es.search("h", {"query": {"match": {"text": "spark"}},
+                          "highlight": {"fields": {"text": {
+                              "highlight_query": {"match": {"text": "cluster"}},
+                              "no_match_size": 11}}},
+                          "size": 5})
+    rows = {r["url"]: r["highlight"] for r in out["hits"].collect()}
+    assert rows["b"] == "spark alone"[:11]
