@@ -398,6 +398,9 @@ def segment_builder(
                     }
                 ]
             )
+        import time as _time
+
+        _t0 = _time.perf_counter()
         docs_pdf, postings, stats = build_segment_frames(pdf, pid, analyzer, index_sort)
         nbytes = _write_segment(index_dir, pid, docs_pdf, postings, extra_types)
         manifest = {
@@ -406,8 +409,14 @@ def segment_builder(
             "input_rows": len(pdf),
             "status": "complete",
             "postings_bytes": nbytes,
+            # per-partition build metrics (the north rule's lineage +
+            # METRICS contract): task-local wall seconds and docs/s
+            "build_s": round(_time.perf_counter() - _t0, 3),
             **stats,
         }
+        if manifest["build_s"] > 0:
+            manifest["docs_per_sec"] = round(
+                stats.get("n_docs", len(pdf)) / manifest["build_s"], 1)
         store.write_manifest(index_dir, pid, manifest)
         return pd.DataFrame([{"pid": pid, "status": "built", "input_rows": len(pdf), "postings_bytes": nbytes, "lineage": lin, **stats}])
 
