@@ -1755,6 +1755,9 @@ class Engine:
                     max_edits=sbody.get("max_edits", 2),
                     size=sbody.get("size", 3),
                     suggest_mode=sbody.get("suggest_mode", "missing"),
+                    sort=sbody.get("sort", "score"),
+                    prefix_length=sbody.get("prefix_length", 1),
+                    min_word_length=sbody.get("min_word_length", 4),
                 )
             elif skind == "phrase":
                 fr = self.suggest_phrase(

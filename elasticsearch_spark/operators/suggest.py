@@ -33,13 +33,21 @@ def term_suggest(
     max_edits: int = 2,
     size: int = 3,
     suggest_mode: str = "missing",
+    sort: str = "score",
+    prefix_length: int = 1,
+    min_word_length: int = 4,
 ) -> DataFrame:
     """Per input token: up to `size` corrections from the term dictionary.
 
     Returns (token, suggestion, distance, df) — one row per suggestion,
-    ordered (token, distance ASC, df DESC, suggestion ASC)."""
+    ordered per ``sort`` (TermSuggestionBuilder: "score" = distance ASC then
+    df DESC; "frequency" = df DESC then distance ASC). ``prefix_length``
+    (default 1, like DirectSpellChecker) requires candidates to share the
+    leading chars; ``min_word_length`` (default 4) leaves short tokens
+    uncorrected."""
     meta = store.IndexMeta.load(index_dir)
     tokens = list(dict.fromkeys(analysis.analyze(text, meta.analyzer)))
+    tokens = [t for t in tokens if len(t) >= min_word_length]
     terms = spark.read.parquet(store.term_stats_path(index_dir)).select("term", "df")
     toks_df = spark.createDataFrame([(t,) for t in tokens], "token string")
     # each mode's driver round-trip runs ONLY for its mode — "always"
@@ -69,18 +77,28 @@ def term_suggest(
         .withColumn("distance", F.levenshtein("term", "token"))
         .where((F.col("distance") <= max_edits) & (F.col("distance") > 0))
     )
+    if prefix_length > 0:
+        # DirectSpellChecker.prefixLength: candidates share the leading
+        # chars — also a strong pruner on the candidate join
+        cand = cand.where(
+            F.substring("term", 1, prefix_length)
+            == F.substring("token", 1, prefix_length))
     if df_floor is not None:
         cand = cand.where(F.col("df") > df_floor.getItem(F.col("token")))
     from pyspark.sql import Window
 
-    w = Window.partitionBy("token").orderBy(
-        F.asc("distance"), F.desc("df"), F.asc("term")
-    )
+    order = ([F.desc("df"), F.asc("distance"), F.asc("term")]
+             if sort == "frequency"
+             else [F.asc("distance"), F.desc("df"), F.asc("term")])
+    w = Window.partitionBy("token").orderBy(*order)
+    out_order = ([F.desc("df"), F.asc("distance"), F.asc("suggestion")]
+                 if sort == "frequency"
+                 else [F.asc("distance"), F.desc("df"), F.asc("suggestion")])
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= size)
         .select("token", F.col("term").alias("suggestion"), "distance", "df")
-        .orderBy("token", "distance", F.desc("df"), "suggestion")
+        .orderBy(F.asc("token"), *out_order)
     )
 
 

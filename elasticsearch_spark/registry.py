@@ -4802,6 +4802,7 @@ cand AS (
   FROM dict CROSS JOIN toks
   WHERE abs(length(term) - length(token)) <= 2
     AND levenshtein(term, token) BETWEEN 1 AND 2
+    AND substr(term, 1, 1) = substr(token, 1, 1)  -- prefix_length 1 default
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY token ORDER BY distance ASC, df DESC, suggestion ASC) AS rank
