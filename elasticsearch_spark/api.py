@@ -122,7 +122,11 @@ def render_template(source: str, params: dict) -> str:
 _LEAF_FIELD_KINDS = frozenset({
     "term", "terms", "match", "match_phrase", "match_phrase_prefix",
     "match_bool_prefix", "prefix", "wildcard", "regexp", "fuzzy", "range",
-    "intervals", "distance_feature", "rank_feature", "terms_set",
+    "intervals", "terms_set",
+})
+# kinds whose body names the field under a "field" key, not as the first key
+_FIELD_KEY_KINDS = frozenset({
+    "exists", "distance_feature", "rank_feature", "collapse",
 })
 
 
@@ -142,11 +146,14 @@ def _query_fields(queries: list[dict]) -> set[str]:
         for kind, body in q.items():
             if kind in _LEAF_FIELD_KINDS and isinstance(body, dict) and body:
                 out.add(next(iter(body)))
-            elif kind == "exists" and isinstance(body, dict):
+            elif kind in _FIELD_KEY_KINDS and isinstance(body, dict):
                 out.add(body.get("field", ""))
-            elif kind in ("multi_match", "combined_fields") \
-                    and isinstance(body, dict):
-                out.update(f.split("^")[0] for f in body.get("fields", []))
+            elif kind in ("multi_match", "combined_fields", "query_string",
+                          "simple_query_string") and isinstance(body, dict):
+                out.update(str(f).split("^")[0]
+                           for f in body.get("fields", []))
+                if body.get("default_field"):
+                    out.add(body["default_field"])
             else:
                 walk(body)
 
@@ -1484,6 +1491,8 @@ class Engine:
             and "post_filter" not in body
             and not body.get("from")  # pagination falls to the DSL path
             and len(body["sort"]) == 1
+            and not (isinstance(body["sort"][0], dict)
+                     and len(body["sort"][0]) > 1)  # multi-key → DSL path
         ):
             s0 = body["sort"][0]
             if isinstance(s0, dict):
@@ -1794,7 +1803,10 @@ class Engine:
         import json as _json
 
         rows = fr.collect()
-        in_toks = text.lower().split()
+        # compare against the ANALYZED input tokens — suggestions are built
+        # from the analyzed stream, so whitespace-split raw text misaligns
+        meta = store.IndexMeta.load(self._dir(index))
+        in_toks = analysis.analyze(text, meta.analyzer)
         out = []
         for r in rows:
             rec = {"suggestion": r["suggestion"], "score": r["score"]}
@@ -1815,17 +1827,22 @@ class Engine:
                           "suggestion": r["suggestion"]}
                 q = _json.loads(render_template(src, params))
                 n = self.count(index, q if "query" not in q else q["query"])
-                rec["collate_match"] = n > 0
-                if not collate.get("prune", False) and n == 0:
-                    continue
+                if not collate.get("prune", False):
+                    if n == 0:
+                        continue  # prune=false: non-matching drop, no flag
+                else:
+                    rec["collate_match"] = n > 0
             out.append(rec)
+        prune = bool(collate and collate.get("prune", False))
         schema = "suggestion string, score double"
         if hl:
             schema += ", highlighted string"
-        if collate:
+        if prune:
+            # the collate_match flag exists only under prune=true
+            # (PhraseSuggester's response contract)
             schema += ", collate_match boolean"
         cols = ["suggestion", "score"] + (["highlighted"] if hl else []) \
-            + (["collate_match"] if collate else [])
+            + (["collate_match"] if prune else [])
         return self.spark.createDataFrame(
             [tuple(rec[c] for c in cols) for rec in out], schema)
 
@@ -1961,15 +1978,30 @@ class Engine:
         from pyspark.sql import Row
 
         keys = sorted({k for d in docs for k in d})
-        # explicit string typing for all-null fields (ES accepts explicit
-        # nulls in the candidate document; inference would refuse)
+
+        # explicit typing so all-null fields, arrays, and objects all
+        # construct (ES accepts explicit nulls; inference would refuse);
+        # dicts become STRUCT columns so dotted DSL paths (obj.a) resolve
+        def _sql_type(v):
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, int):
+                return "bigint"
+            if isinstance(v, float):
+                return "double"
+            if isinstance(v, (list, tuple)):
+                inner = _sql_type(v[0]) if v else "string"
+                return f"array<{inner}>"
+            if isinstance(v, dict):
+                inner = ", ".join(f"`{sk}`: {_sql_type(sv)}"
+                                  for sk, sv in v.items())
+                return f"struct<{inner}>"
+            return "string"
+
         types = {}
         for k in keys:
             vals = [d.get(k) for d in docs if d.get(k) is not None]
-            v = vals[0] if vals else ""
-            types[k] = ("boolean" if isinstance(v, bool) else
-                        "bigint" if isinstance(v, int) else
-                        "double" if isinstance(v, float) else "string")
+            types[k] = _sql_type(vals[0]) if vals else "string"
         doc_df = self.spark.createDataFrame(
             [Row(**{k: d.get(k) for k in keys}) for d in docs],
             ", ".join(f"`{k}` {types[k]}" for k in keys))
@@ -3866,12 +3898,27 @@ class Engine:
             return default_terms
         texts: list[str] = []
 
+        raw_terms: list[str] = []
+
         def walk(q):
             if isinstance(q, dict):
                 for k, v in q.items():
-                    if k in ("match", "match_phrase") and isinstance(v, dict):
+                    if k in ("match", "match_phrase", "match_phrase_prefix") \
+                            and isinstance(v, dict):
                         (fld, mv), = v.items()
                         texts.append(mv["query"] if isinstance(mv, dict) else mv)
+                    elif k == "term" and isinstance(v, dict):
+                        (fld, tv), = v.items()
+                        raw_terms.append(str(
+                            tv["value"] if isinstance(tv, dict) else tv))
+                    elif k == "terms" and isinstance(v, dict):
+                        (fld, tl), = ((fk, fv) for fk, fv in v.items()
+                                      if fk != "boost")
+                        if isinstance(tl, list):
+                            raw_terms.extend(str(t) for t in tl)
+                    elif k in ("query_string", "simple_query_string") \
+                            and isinstance(v, dict):
+                        texts.append(str(v.get("query", "")))
                     else:
                         walk(v)
             elif isinstance(q, list):
@@ -3879,7 +3926,7 @@ class Engine:
                     walk(x)
 
         walk(hq)
-        out: list[str] = []
+        out: list[str] = list(raw_terms)
         for t in texts:
             out.extend(analysis.analyze(str(t), analyzer))
         return list(dict.fromkeys(out)) or default_terms

@@ -1439,8 +1439,13 @@ def _jpow(base, exp):
     except ZeroDivisionError:
         return math.inf
     except OverflowError:
+        # a negative base with a non-integer exponent is NaN at ANY
+        # magnitude (Java Math.pow) — Python raises before producing the
+        # complex value here
+        if base < 0 and exp != int(exp):
+            return math.nan
         # sign: negative only for a negative base raised to an odd integer
-        if base < 0 and exp == int(exp) and int(exp) % 2:
+        if base < 0 and int(exp) % 2:
             return -math.inf
         return math.inf
     if isinstance(r, complex):

@@ -602,6 +602,11 @@ def highlight(
     # in SQL string literals (expr parses \ and ' inside '...')
     pat = "|".join(_re.escape(t) for t in sorted(terms, key=len, reverse=True))
     sqlpat = pat.replace("\\", "\\\\").replace("'", "\\'")
+    # HighlightBuilder.noMatchSize applies to every fragmentation mode:
+    # non-matching docs highlight as NULL by default, or a leading snippet
+    has_match = F.expr(f"lower({text_col}) rlike '(?i)(?:{sqlpat})'")
+    no_match = (F.col(text_col).substr(F.lit(1), F.lit(no_match_size))
+                if no_match_size > 0 else F.lit(None).cast("string"))
     if number_of_fragments == 0:
         # number_of_fragments: 0 (HighlightBuilder semantics): no
         # fragmentation — the ENTIRE field value returns with every match
@@ -609,7 +614,8 @@ def highlight(
         tagged0 = F.regexp_replace(
             F.col(text_col), f"(?i)({pat})", f"{pre_tag}$1{post_tag}"
         )
-        return df.withColumn("highlight", tagged0)
+        return df.withColumn(
+            "highlight", F.when(has_match, tagged0).otherwise(no_match))
     if number_of_fragments > 1:
         half = fragment_size // 2
         ctx = f"(?i)[^\\\\n]{{0,{half}}}(?:{sqlpat})[^\\\\n]{{0,{half}}}"
@@ -631,7 +637,11 @@ def highlight(
         tagged_arr = F.transform(
             frags, lambda fr: F.regexp_replace(fr, f"(?i)({pat})", f"{pre_tag}$1{post_tag}")
         )
-        return df.withColumn("highlight", tagged_arr)
+        return df.withColumn(
+            "highlight",
+            F.when(has_match, tagged_arr).otherwise(
+                F.array(no_match) if no_match_size > 0
+                else F.lit(None).cast("array<string>")))
     # guard the empty extract: locate('', s) = 1 would read as a match
     matched_term = F.expr(
         f"regexp_extract(lower({text_col}), '(?i)({sqlpat})', 1)")

@@ -2366,16 +2366,28 @@ def lexical_overlap_scorer(doc_col: Column, inference_text: str) -> Column:
     return hits.cast("double") / F.lit(float(len(qtoks)))
 
 
+def _flatten_sort(sort_spec) -> list:
+    """ES sort normalization shared by every consumer: a bare string/object
+    becomes a one-element list, and each key of a multi-key sort object is
+    its own sort entry (FieldSortBuilder parses them independently)."""
+    if isinstance(sort_spec, (str, dict)):
+        sort_spec = [sort_spec]
+    out = []
+    for s in sort_spec:
+        if isinstance(s, dict) and len(s) > 1:
+            out.extend({k: v} for k, v in s.items())
+        else:
+            out.append(s)
+    return out
+
+
 def _sort_cols(sort_spec, key: str) -> list[Column]:
     """ES sort list → Spark order columns (FieldSortBuilder semantics:
     missing last by default, deterministic key tie-break appended).
     Also `_geo_distance` (GeoDistanceSortBuilder.java: haversine to an
     origin over a struct<lat,lon> column) and `_script`
     (ScriptSortBuilder.java: SQL-expression sort key)."""
-    if isinstance(sort_spec, (str, dict)):
-        # ES accepts a bare string ("sort": "field") and a bare object —
-        # normalize so the loop never iterates a string char-by-char
-        sort_spec = [sort_spec]
+    sort_spec = _flatten_sort(sort_spec)
     order = []
     for s in sort_spec:
         if s == "_score":
@@ -2779,9 +2791,7 @@ def search(
             .drop("__crank")
         )
 
-    sort_spec = body.get("sort", [{"_score": {"order": "desc"}}])
-    if isinstance(sort_spec, (str, dict)):
-        sort_spec = [sort_spec]  # bare-string / bare-object ES spellings
+    sort_spec = _flatten_sort(body.get("sort", [{"_score": {"order": "desc"}}]))
     order = _sort_cols(sort_spec, key)
     if "rescore" in body:
         # the rescorer's window-first order IS the result order

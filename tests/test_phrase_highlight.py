@@ -211,7 +211,8 @@ def test_highlight_escapes_regex_and_sql_metacharacters(spark):
     assert "<em>c++</em>" in out and "<em>3.5</em>" in out
     # "3.5" is a literal, not a regex: it must NOT match "345"
     df2 = spark.createDataFrame([("y", "version 345 here")], "url string, text string")
-    assert highlight(df2, ["3.5"], number_of_fragments=2).collect()[0]["highlight"] == []
+    # no match → NULL highlight (ES omits the field; no_match_size opts in)
+    assert highlight(df2, ["3.5"], number_of_fragments=2).collect()[0]["highlight"] is None
     # a term containing a quote survives the expr-embedded (multi-fragment) path
     df3 = spark.createDataFrame([("z", "well don't stop me now")], "url string, text string")
     frags = highlight(df3, ["don't"], number_of_fragments=2).collect()[0]["highlight"]
