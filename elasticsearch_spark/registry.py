@@ -5723,11 +5723,13 @@ c1 AS (SELECT term, c, d FROM (
   SELECT term, c, levenshtein(term, 'sirt') AS d,
          row_number() OVER (ORDER BY levenshtein(term, 'sirt'), df DESC, term) AS rn
   FROM uni WHERE levenshtein(term, 'sirt') BETWEEN 1 AND 2 AND abs(len(term) - 4) <= 2
+    AND substr(term, 1, 1) = 's'  -- DirectSpellChecker prefix_length 1
 ) WHERE rn <= 3),
 c2 AS (SELECT term, c, d FROM (
   SELECT term, c, levenshtein(term, 'hasj') AS d,
          row_number() OVER (ORDER BY levenshtein(term, 'hasj'), df DESC, term) AS rn
   FROM uni WHERE levenshtein(term, 'hasj') BETWEEN 1 AND 2 AND abs(len(term) - 4) <= 2
+    AND substr(term, 1, 1) = 'h'  -- DirectSpellChecker prefix_length 1
 ) WHERE rn <= 3),
 combos AS (
   SELECT c1.term || ' ' || c2.term AS suggestion,
