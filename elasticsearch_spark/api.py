@@ -119,46 +119,8 @@ def render_template(source: str, params: dict) -> str:
     return re.sub(r"\{\{([\w.]+)\}\}", var_of(True), s)
 
 
-_LEAF_FIELD_KINDS = frozenset({
-    "term", "terms", "match", "match_phrase", "match_phrase_prefix",
-    "match_bool_prefix", "prefix", "wildcard", "regexp", "fuzzy", "range",
-    "intervals", "terms_set",
-})
-# kinds whose body names the field under a "field" key, not as the first key
-_FIELD_KEY_KINDS = frozenset({
-    "exists", "distance_feature", "rank_feature", "collapse",
-})
-
-
-def _query_fields(queries: list[dict]) -> set[str]:
-    """Field names a list of DSL query dicts references at their leaves —
-    the percolate candidate-doc padding set (a conservative superset is
-    fine: padded-but-unused null columns cost nothing)."""
-    out: set[str] = set()
-
-    def walk(q):
-        if isinstance(q, list):
-            for x in q:
-                walk(x)
-            return
-        if not isinstance(q, dict):
-            return
-        for kind, body in q.items():
-            if kind in _LEAF_FIELD_KINDS and isinstance(body, dict) and body:
-                out.add(next(iter(body)))
-            elif kind in _FIELD_KEY_KINDS and isinstance(body, dict):
-                out.add(body.get("field", ""))
-            elif kind in ("multi_match", "combined_fields", "query_string",
-                          "simple_query_string") and isinstance(body, dict):
-                out.update(str(f).split("^")[0]
-                           for f in body.get("fields", []))
-                if body.get("default_field"):
-                    out.add(body["default_field"])
-            else:
-                walk(body)
-
-    walk(queries)
-    return {f for f in out if f}
+# percolate candidate-doc padding lives with the percolator now
+from .operators.percolate import _query_fields  # noqa: E402
 
 
 def _tpl_get(params: dict, dotted: str):
@@ -1947,10 +1909,11 @@ class Engine:
         modules/percolator 10_basic.yml): a search against the QUERIES
         index returning the stored queries the candidate document matches.
         The document comes inline (``document``/``documents``) or by
-        reference (``index`` + ``id``). Reuses the one-scan percolate
-        operator with the cardinality inverted back: the queries index is
-        the small side (collected + compiled driver-side, the operator's
-        documented contract), the candidate docs frame has 1..N rows."""
+        reference (``index`` + ``id``). Routes through the PRUNED percolate
+        path (operators/percolate.py, the QueryAnalyzer analog): the
+        queries index is passed as a DataFrame — term-extracted on
+        executors, never collected wholesale — and only the candidate +
+        unanalyzable queries are compiled driver-side."""
         import json as _json
 
         from .operators.percolate import percolate as percolate_fn
@@ -1968,13 +1931,15 @@ class Engine:
                     f"percolate document not found: {spec['index']}/{spec['id']}")
             docs = [{k: v for k, v in ref.items()
                      if k not in ("doc_id", "dl", "norm", "seg_id")}]
-        stored = {}
+        qdf = None
         for ix in concrete:
-            for r in self._docs_view(ix).select("url", field).collect():
-                qv = r[field]
-                if qv is None:
-                    continue
-                stored[r["url"]] = _json.loads(qv) if isinstance(qv, str) else qv
+            part = (
+                self._docs_view(ix)
+                .where(F.col(field).isNotNull())
+                .select(F.col("url").alias("query_id"),
+                        F.col(field).cast("string").alias("query_json"))
+            )
+            qdf = part if qdf is None else qdf.unionByName(part)
         from pyspark.sql import Row
 
         keys = sorted({k for d in docs for k in d})
@@ -2008,13 +1973,10 @@ class Engine:
         if "url" not in doc_df.columns:
             doc_df = doc_df.withColumn("url", F.monotonically_increasing_id()
                                        .cast("string"))
-        # stored queries routinely reference fields the candidate doc lacks
-        # (they simply don't match) — give those fields null columns so the
-        # one-scan predicate projection resolves
-        for f in sorted(_query_fields(list(stored.values()))):
-            if f not in doc_df.columns and re.fullmatch(r"[\w.]+", f):
-                doc_df = doc_df.withColumn(f, F.lit(None).cast("string"))
-        matches = percolate_fn(doc_df, list(stored.items()), key="url")
+        # missing-field padding for the compiled remainder happens inside
+        # the pruned path (percolate._pad_fields); the candidate join
+        # simply yields no candidates for fields the doc lacks
+        matches = percolate_fn(doc_df, qdf, key="url", prune=True)
         matched_ids = {r["query_id"] for r in matches.collect()}
         hits = self._docs_view(concrete[0]).where(
             F.col("url").isin(list(matched_ids)) if matched_ids else F.lit(False))

@@ -1,67 +1,384 @@
 """Percolator: reverse search (alerting) — which STORED queries match each
 incoming document.
 
-The reference keeps queries indexed in a percolator field and, per incoming
-document, builds an in-memory index of that one document and runs the
-candidate queries against it
-(``modules/percolator/src/main/java/org/elasticsearch/percolator/
-PercolateQueryBuilder.java``, ``PercolatorFieldMapper.java``). The Spark-first
-shape inverts the cardinality: documents are the big side (a stream/batch
-frame), stored queries are the SMALL side — so the stored queries are
-compiled ONCE on the driver into predicate Columns (the DSL's filter-context
-compilation, ``plans/dsl.py``) and evaluated as a single wide projection over
-the documents frame: one scan, zero shuffle, every predicate JVM-side
-whole-stage-codegen. This is the broadcast-join analog of the reference's
-candidate-query pre-filtering (its MemoryIndex step is unnecessary — Spark
-already has the document columns in memory).
+The reference keeps queries indexed in a percolator field; at index time it
+EXTRACTS each query's terms into hidden fields (``modules/percolator/src/main/
+java/org/elasticsearch/percolator/QueryAnalyzer.java:445`` via
+``PercolatorFieldMapper.java:444``) and at percolate time pre-filters the
+stored queries with a covering candidate query built from the incoming
+document's terms (``PercolateQuery.java`` candidateQuery) — only candidates
+are run against the per-doc MemoryIndex, and extractions flagged *verified*
+skip even that (``verified_candidate_queries`` semantics).
 
-At 100 TB: cost is O(docs × matched-predicate-work) with no shuffle; tens of
-thousands of stored queries chunk into multiple projections (``chunk_size``)
-to keep codegen happy, still one pass per chunk over the cached frame.
+This module implements BOTH shapes Spark-first:
+
+- **small stored-query sets** (alerting rules): queries are compiled ONCE on
+  the driver into predicate Columns and evaluated as chunked wide projections
+  over the documents frame — one scan per chunk, zero shuffle, every
+  predicate JVM-side whole-stage-codegen. Also the only streaming-legal
+  shape (pure projection, no aggregation).
+- **large stored-query sets** (``prune=True`` / auto for DataFrame input):
+  the QueryAnalyzer analog. Stored queries are term-extracted DISTRIBUTED
+  (mapInPandas over the queries frame — never driver-collected wholesale)
+  into a ``(query_id, field, term, verified)`` table; candidate (doc, query)
+  pairs come from ONE join of the documents' analyzed tokens against that
+  table; *verified* extractions (term/terms/pure-OR match…) pass through as
+  matches with no evaluation at all; only the unverified candidates (bounded
+  by actual term collisions, independent of stored-query count) plus the
+  un-analyzable remainder are compiled and evaluated. Driver memory is
+  O(candidate queries), not O(stored queries); the doc frame is scanned
+  once for tokens plus once per 200 compiled candidates (vs Q/200 passes
+  before).
+
+At 100 TB: the candidate join is docs-tokens (big, one pass, no shuffle with
+the broadcast qterms side) → shuffle only over the collision pairs.
 """
 
 from __future__ import annotations
 
 import json
+import re
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..plans import dsl
 
+# introspection for tests/bench: stats of the last pruned percolate call
+PRUNE_STATS: dict = {}
 
-def percolate(
-    docs: DataFrame,
-    stored_queries: list[tuple[str, dict]] | DataFrame,
-    key: str = "doc_id",
-    text_col: str = "text",
-    chunk_size: int = 200,
-    keep_cols: list[str] | None = None,
-) -> DataFrame:
-    """(query_id, doc key [, keep_cols...]) pairs for every stored query
-    matching each doc. ``keep_cols`` ride through the projection (needed
-    by streaming callers, where a post-hoc join back to the stream would
-    be a stream-stream join).
+# column types whose CAST(x AS STRING) does not round-trip the DSL literal
+# (timestamp formats, binary, decimal trailing zeros): term extractions on
+# these fields are demoted to evaluate-against-all-docs
+_UNPRUNABLE_TYPE = re.compile(r"^(timestamp|date|binary|decimal)")
 
-    stored_queries: [(query_id, query_dict)] or a DataFrame(query_id,
-    query_json) — the stored-query side is small by design (alerting
-    rules), so it is collected and compiled driver-side; the documents
-    side is never collected.
 
-    Queries evaluate in FILTER context (unscored), the percolator's
-    matching semantics."""
-    if isinstance(stored_queries, DataFrame):
-        rows = [
-            (r["query_id"], json.loads(r["query_json"]))
-            for r in stored_queries.collect()
-        ]
-    else:
-        rows = [(qid, q if isinstance(q, dict) else json.loads(q)) for qid, q in stored_queries]
+# --------------------------------------------------------------------------
+# QueryAnalyzer analog: extract the necessary-condition term disjunction
+# --------------------------------------------------------------------------
 
+@dataclass(frozen=True)
+class Extraction:
+    """Necessary-condition disjunction: a doc matching the query MUST
+    contain at least one ``(field, term)`` from ``terms`` (term = the raw
+    value's canonical string for term-level queries, an analyzed token for
+    match-family queries). ``verified`` = the converse also holds (any
+    extraction term present ⟹ the query matches), so candidate pairs are
+    matches with no evaluation — QueryAnalyzer.Result.verified."""
+
+    terms: tuple  # ((field, term), ...)
+    verified: bool
+
+
+_NOTHING = Extraction((), True)  # clause can match no document
+
+
+def _term_str(v) -> str | None:
+    """Canonical string of a term-level literal, matching Spark's
+    CAST(col AS STRING) for the column types we prune on; None = not
+    canonicalizable (non-integral float …) → caller goes unanalyzable."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return v
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return str(int(v)) if v.is_integer() else None
+    return None
+
+
+def _union(subs: list[Extraction | None]) -> Extraction | None:
+    """Disjunction of clauses: any unanalyzable branch poisons the whole."""
+    if any(s is None for s in subs):
+        return None
+    terms: list = []
+    for s in subs:
+        terms.extend(s.terms)
+    return Extraction(tuple(dict.fromkeys(terms)), all(s.verified for s in subs))
+
+
+def _best(pool: list[Extraction]) -> Extraction:
+    """Conjunction clause selection (QueryAnalyzer.selectBestResult): the
+    fewest-terms clause wins (a matches-nothing clause short-circuits);
+    ties prefer longer minimum terms (rarer, better pruning)."""
+    for r in pool:
+        if not r.terms:
+            return _NOTHING
+    return min(pool, key=lambda r: (len(r.terms), -min(len(t[1]) for t in r.terms)))
+
+
+def extract(node, analyze, key: str) -> Extraction | None:
+    """QueryAnalyzer.analyze analog over the parsed DSL AST. ``analyze`` is
+    the text-analysis function (query-side tokens for match-family leaves);
+    ``key`` names the doc-key column (``ids`` queries extract onto it).
+    Returns None when no sound extraction exists (range/wildcard/script/
+    match_all/fuzzy…) — those queries are evaluated against every doc, the
+    reference's UnsupportedQueryException → MatchAllDocs candidate path."""
+    d = dsl
+    if isinstance(node, d.MatchNone):
+        return _NOTHING
+    if isinstance(node, d.TermQ):
+        t = _term_str(node.value)
+        if node.case_insensitive or t is None:
+            return None
+        return Extraction(((node.fld, t),), True)
+    if isinstance(node, d.TermsQ):
+        ts = [_term_str(v) for v in node.values]
+        if any(t is None for t in ts):
+            return None
+        return Extraction(tuple((node.fld, t) for t in dict.fromkeys(ts)), True)
+    if isinstance(node, d.TermsSetQ):
+        ts = [_term_str(v) for v in node.values]
+        if any(t is None for t in ts):
+            return None
+        return Extraction(tuple((node.fld, t) for t in dict.fromkeys(ts)),
+                          node.min_match <= 1)
+    if isinstance(node, d.IdsQ):
+        ts = [_term_str(v) for v in node.values]
+        if any(t is None for t in ts):
+            return None
+        return Extraction(tuple((key, t) for t in dict.fromkeys(ts)), True)
+    if isinstance(node, d.MatchQ):
+        toks = list(dict.fromkeys(analyze(node.query)))
+        if not toks:
+            return _NOTHING  # zero_terms_query: none — predicate is False
+        need = (len(toks) if node.operator == "and"
+                else d.resolve_msm(node.minimum_should_match, len(toks)))
+        if need <= 0:
+            return None  # msm 0 ⇒ every doc matches
+        return Extraction(tuple((node.fld, t) for t in toks), need == 1)
+    if isinstance(node, d.MatchPhraseQ):
+        toks = analyze(node.query)
+        if not toks:
+            return _NOTHING
+        uniq = list(dict.fromkeys(toks))
+        return Extraction(tuple((node.fld, t) for t in uniq),
+                          len(toks) == 1)  # 1-token phrase ≡ containment
+    if isinstance(node, d.MatchPhrasePrefixQ):
+        toks = analyze(node.query)
+        if not toks:
+            return _NOTHING
+        fixed = list(dict.fromkeys(toks[:-1]))
+        if not fixed:
+            return None  # prefix-only: no exact-term requirement
+        return Extraction(tuple((node.fld, t) for t in fixed), False)
+    if isinstance(node, d.CommonTermsQ):
+        toks = list(dict.fromkeys(analyze(node.query)))
+        if not toks:
+            return _NOTHING
+        return Extraction(tuple((node.fld, t) for t in toks), False)
+    if isinstance(node, (d.MultiMatchQ, d.CombinedFieldsQ)):
+        toks = list(dict.fromkeys(analyze(node.query)))
+        if not toks:
+            return _NOTHING
+        flds = [str(f).split("^")[0] for f in node.flds]
+        return Extraction(tuple((f, t) for f in flds for t in toks), False)
+    if isinstance(node, d.ConstantScoreQ):
+        return extract(node.filter_q, analyze, key) if node.filter_q else None
+    if isinstance(node, d.DisMaxQ):
+        return _union([extract(q, analyze, key) for q in node.queries])
+    if isinstance(node, d.PinnedQ):
+        org = extract(node.organic, analyze, key) if node.organic else None
+        if org is None:
+            return None
+        ids = [_term_str(v) for v in node.ids]
+        if any(t is None for t in ids):
+            return None
+        return Extraction(tuple(dict.fromkeys(
+            [(key, t) for t in ids] + list(org.terms))), org.verified)
+    if isinstance(node, d.BoostingQ):
+        # negative only demotes score; the match set is the positive's
+        pos = extract(node.positive, analyze, key) if node.positive else None
+        return Extraction(pos.terms, pos.verified) if pos else None
+    if isinstance(node, d.FunctionScoreQ):
+        # functions rescale; matching is the wrapped query's (min_score can
+        # shrink it, so never verified)
+        inner = extract(node.query, analyze, key) if node.query else None
+        return Extraction(inner.terms, False) if inner else None
+    if isinstance(node, d.BoolQ):
+        must = [extract(c, analyze, key) for c in node.must + node.filter]
+        msm = node._msm()
+        should_ex = None
+        should_required = bool(node.should) and msm >= 1
+        if should_required:
+            if msm > len(node.should):
+                return _NOTHING  # unsatisfiable minimum_should_match
+            subs = [extract(c, analyze, key) for c in node.should]
+            should_ex = _union(subs)
+            if should_ex is not None and msm > 1:
+                should_ex = Extraction(should_ex.terms, False)
+        pool = [x for x in must if x is not None]
+        if should_ex is not None:
+            pool.append(should_ex)
+        if not pool:
+            return None  # nothing analyzable (or pure must_not)
+        best = _best(pool)
+        if not best.terms:
+            return _NOTHING
+        verified = False
+        if not node.must_not:
+            n_conj = len(node.must) + len(node.filter)
+            if n_conj == 1 and not should_required and must[0] is not None:
+                verified = must[0].verified
+            elif n_conj == 0 and should_ex is not None and len(pool) == 1:
+                verified = should_ex.verified
+        return Extraction(best.terms, verified)
+    return None  # range/exists/prefix/wildcard/regexp/fuzzy/script/geo/…
+
+
+# --------------------------------------------------------------------------
+# term tables (distributed)
+# --------------------------------------------------------------------------
+
+_QX_SCHEMA = ("query_id string, field string, term string, "
+              "verified boolean, unanalyzable boolean")
+
+
+def _extract_one(qid: str, q: dict, analyze, key: str):
+    """Rows for one stored query: its extraction terms, or one
+    unanalyzable marker row. A matches-nothing extraction yields no rows
+    (the query can never match, so it never appears)."""
+    try:
+        ex = extract(dsl.parse(q), analyze, key)
+    except Exception:
+        ex = None
+    if ex is None:
+        return [(qid, None, None, False, True)]
+    return [(qid, f, t, ex.verified, False) for f, t in ex.terms]
+
+
+def _qterms_from_df(stored: DataFrame, analyzer_regex: str, key: str) -> DataFrame:
+    """(query_id, field, term, verified, unanalyzable) built on executors —
+    the stored-query frame is never collected to the driver."""
+    import pandas as pd
+
+    def run(batches):
+        def analyze(text):
+            return re.findall(analyzer_regex, str(text).lower())
+
+        for pdf in batches:
+            rows: list = []
+            for qid, qj in zip(pdf["query_id"], pdf["query_json"]):
+                if qj is None:
+                    continue
+                q = json.loads(qj) if isinstance(qj, str) else qj
+                rows.extend(_extract_one(qid, q, analyze, key))
+            yield pd.DataFrame(rows, columns=[
+                "query_id", "field", "term", "verified", "unanalyzable"])
+
+    return stored.mapInPandas(run, _QX_SCHEMA)
+
+
+def _doc_terms(docs: DataFrame, key: str, fields: list[str],
+               analyzer_regex: str) -> tuple[DataFrame, list[str]]:
+    """One-pass (doc key, field, term) token table over the referenced
+    fields: raw CAST-to-STRING values (term-level equality side) plus the
+    analyzed tokens (match-family side); array columns contribute their
+    elements. Returns the frame and the UNPRUNABLE field subset (types
+    whose string cast can't mirror DSL literals — extractions on those
+    fields are demoted to full evaluation by the caller)."""
+    entries = []
+    unprunable: list[str] = []
+    for f in fields:
+        try:
+            dt = docs.select(F.col(f)).schema[0].dataType.simpleString()
+        except Exception:
+            continue  # field absent from the doc frame → no candidates
+        if _UNPRUNABLE_TYPE.match(dt):
+            unprunable.append(f)
+            continue
+        if dt.startswith("array<"):
+            raws = F.col(f).cast("array<string>")
+            text = F.array_join(raws, " ")
+        else:
+            raws = F.array(F.col(f).cast("string"))
+            text = F.col(f).cast("string")
+        toks = F.regexp_extract_all(F.lower(text), F.lit(analyzer_regex), F.lit(0))
+        parts = [raws, toks]
+        if dt in ("double", "float"):
+            # 3.0 must also surface as "3" so integer DSL literals hit
+            parts.append(F.array(F.col(f).cast("bigint").cast("string")))
+        entries.append(F.struct(
+            F.lit(f).alias("field"),
+            F.array_distinct(F.array_compact(F.concat(*parts))).alias("terms"),
+        ))
+    if not entries:
+        empty = docs.where(F.lit(False))
+        return (empty.select(F.col(key), F.lit("").alias("field"),
+                             F.lit("").alias("term")), unprunable)
+    return (
+        docs.select(F.col(key), F.explode(F.array(*entries)).alias("e"))
+        .select(F.col(key), F.col("e.field").alias("field"),
+                F.explode("e.terms").alias("term")),
+        unprunable,
+    )
+
+
+# --------------------------------------------------------------------------
+# evaluation (shared by both paths)
+# --------------------------------------------------------------------------
+
+def _query_fields(queries: list[dict]) -> set[str]:
+    """Field names a list of DSL query dicts references at their leaves —
+    the candidate-doc padding set (a conservative superset is fine:
+    padded-but-unused null columns cost nothing)."""
+    leaf_kinds = frozenset({
+        "term", "terms", "match", "match_phrase", "match_phrase_prefix",
+        "match_bool_prefix", "prefix", "wildcard", "regexp", "fuzzy",
+        "range", "intervals", "terms_set",
+    })
+    field_key_kinds = frozenset({
+        "exists", "distance_feature", "rank_feature", "collapse",
+    })
+    out: set[str] = set()
+
+    def walk(q):
+        if isinstance(q, list):
+            for x in q:
+                walk(x)
+            return
+        if not isinstance(q, dict):
+            return
+        for kind, body in q.items():
+            if kind in leaf_kinds and isinstance(body, dict) and body:
+                out.add(next(iter(body)))
+            elif kind in field_key_kinds and isinstance(body, dict):
+                out.add(body.get("field", ""))
+            elif kind in ("multi_match", "combined_fields", "query_string",
+                          "simple_query_string") and isinstance(body, dict):
+                out.update(str(f).split("^")[0]
+                           for f in body.get("fields", []))
+                if body.get("default_field"):
+                    out.add(body["default_field"])
+            else:
+                walk(body)
+
+    walk(queries)
+    return {f for f in out if f}
+
+
+def _pad_fields(docs: DataFrame, queries: list[dict]) -> DataFrame:
+    """Null string columns for fields the queries reference but the doc
+    frame lacks (stored queries routinely reference fields a candidate doc
+    simply doesn't have — they must compile and not match)."""
+    have = set(docs.columns)
+    for f in sorted(_query_fields(queries)):
+        if f not in have and re.fullmatch(r"[\w.]+", f):
+            docs = docs.withColumn(f, F.lit(None).cast("string"))
+    return docs
+
+
+def _eval_chunked(docs: DataFrame, rows: list[tuple[str, dict]], key: str,
+                  text_col: str, chunk_size: int,
+                  keep_cols: list[str] | None) -> DataFrame | None:
+    """Compile ``rows`` driver-side and evaluate as chunked wide
+    projections (filter context). Returns None for an empty query list."""
     ctx = dsl.SearchContext(docs, key, text_col=text_col)
     out: DataFrame | None = None
     for i in range(0, len(rows), chunk_size):
-        chunk = rows[i : i + chunk_size]
+        chunk = rows[i: i + chunk_size]
         hit_ids = F.array_compact(F.array(*[
             F.when(F.coalesce(dsl.parse(q).predicate(ctx), F.lit(False)), F.lit(qid))
             for qid, q in chunk
@@ -73,12 +390,161 @@ def percolate(
             .select(F.explode("__qids").alias("query_id"), F.col(key), *extra)
         )
         out = part if out is None else out.unionByName(part)
-    if out is None:
-        # empty stored-query list → empty result with the same schema;
-        # where(lit(False)) instead of limit(0) because limit is not
-        # supported on STREAMING frames (percolate_stream/run_watch hit
-        # this branch whenever a watch list is currently empty)
-        return docs.where(F.lit(False)).select(
-            F.lit("").alias("query_id"), F.col(key), *[F.col(c) for c in (keep_cols or [])]
-        )
     return out
+
+
+def _empty_result(docs: DataFrame, key: str,
+                  keep_cols: list[str] | None) -> DataFrame:
+    # where(lit(False)) instead of limit(0) because limit is not supported
+    # on STREAMING frames (percolate_stream/run_watch hit this whenever a
+    # watch list is currently empty)
+    return docs.where(F.lit(False)).select(
+        F.lit("").alias("query_id"), F.col(key),
+        *[F.col(c) for c in (keep_cols or [])])
+
+
+# --------------------------------------------------------------------------
+# entry points
+# --------------------------------------------------------------------------
+
+def percolate(
+    docs: DataFrame,
+    stored_queries: list[tuple[str, dict]] | DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 200,
+    keep_cols: list[str] | None = None,
+    prune: bool | None = None,
+) -> DataFrame:
+    """(query_id, doc key [, keep_cols...]) pairs for every stored query
+    matching each doc. Queries evaluate in FILTER context (unscored), the
+    percolator's matching semantics.
+
+    ``prune`` selects the QueryAnalyzer-analog candidate path
+    (``percolate_pruned``): default on for DataFrame(query_id, query_json)
+    input and for lists larger than 2×chunk_size, off for streaming doc
+    frames (the pruned path aggregates, which a stream projection cannot).
+    ``keep_cols`` ride through (needed by streaming callers, where a
+    post-hoc join back to the stream would be a stream-stream join)."""
+    is_df = isinstance(stored_queries, DataFrame)
+    if prune is None:
+        prune = not docs.isStreaming and (
+            is_df or len(stored_queries) > 2 * chunk_size)
+    if prune:
+        if not is_df:
+            spark = docs.sparkSession
+            stored_queries = spark.createDataFrame(
+                [(qid, json.dumps(q) if isinstance(q, dict) else q)
+                 for qid, q in stored_queries],
+                "query_id string, query_json string")
+        return percolate_pruned(docs, stored_queries, key=key,
+                                text_col=text_col, chunk_size=chunk_size,
+                                keep_cols=keep_cols)
+    if is_df:
+        rows = [
+            (r["query_id"], json.loads(r["query_json"]))
+            for r in stored_queries.collect()
+        ]
+    else:
+        rows = [(qid, q if isinstance(q, dict) else json.loads(q))
+                for qid, q in stored_queries]
+    # fields a query references but the doc frame lacks read as null —
+    # the query compiles and simply doesn't match (reference semantics)
+    docs = _pad_fields(docs, [q for _, q in rows])
+    out = _eval_chunked(docs, rows, key, text_col, chunk_size, keep_cols)
+    return out if out is not None else _empty_result(docs, key, keep_cols)
+
+
+def percolate_pruned(
+    docs: DataFrame,
+    stored_queries: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 200,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """The QueryAnalyzer-analog path (see module docstring): term-extract
+    stored queries distributed, shortlist (doc, query) candidates with one
+    token join, pass verified candidates straight through, compile and
+    evaluate ONLY the unverified candidates + the unanalyzable remainder.
+
+    Driver memory: O(distinct candidate queries + unanalyzable queries) —
+    independent of the stored-query count. ``stored_queries`` must be a
+    DataFrame(query_id string, query_json string)."""
+    regex = dsl.SearchContext(docs, key, text_col=text_col).analyzer_regex
+    qx = _qterms_from_df(stored_queries, regex, key).persist()
+    try:
+        fields = sorted({r["field"] for r in
+                         qx.select("field").distinct().collect()
+                         if r["field"] is not None})
+        doc_terms, unprunable = _doc_terms(docs, key, fields, regex)
+
+        qterms = qx.where(~F.col("unanalyzable"))
+        if unprunable:
+            # extractions touching non-canonicalizable columns → full eval
+            demoted = qterms.where(F.col("field").isin(unprunable)) \
+                .select("query_id").distinct()
+            qterms = qterms.join(demoted, "query_id", "left_anti")
+        else:
+            demoted = None
+
+        cand = (
+            doc_terms.join(F.broadcast(qterms.select("field", "term",
+                                                     "query_id", "verified")),
+                           ["field", "term"])
+            .select(F.col(key), "query_id", "verified")
+            .distinct()
+        )
+
+        verified_pairs = cand.where(F.col("verified")).select("query_id", key)
+        need = cand.where(~F.col("verified")).select("query_id").distinct()
+        una = qx.where(F.col("unanalyzable")).select("query_id").distinct()
+        if demoted is not None:
+            una = una.unionByName(demoted).distinct()
+
+        # driver-side collection is bounded by actual candidates, never Q
+        need_rows = [
+            (r["query_id"], json.loads(r["query_json"]))
+            for r in stored_queries.join(need, "query_id").collect()]
+        una_rows = [
+            (r["query_id"], json.loads(r["query_json"]))
+            for r in stored_queries.join(una, "query_id").collect()]
+
+        keep = keep_cols or []
+        parts: list[DataFrame] = []
+        if keep:
+            verified_pairs = verified_pairs.join(
+                docs.select(F.col(key), *[F.col(c) for c in keep]), key)
+        parts.append(verified_pairs.select("query_id", key,
+                                           *[F.col(c) for c in keep]))
+
+        eval_chunks = 0
+        if need_rows:
+            sub = docs.join(cand.where(~F.col("verified"))
+                            .select(key).distinct(), key, "left_semi")
+            sub = _pad_fields(sub, [q for _, q in need_rows])
+            part = _eval_chunked(sub, need_rows, key, text_col, chunk_size, keep)
+            if part is not None:
+                parts.append(part)
+            eval_chunks += -(-len(need_rows) // chunk_size)
+        if una_rows:
+            full = _pad_fields(docs, [q for _, q in una_rows])
+            part = _eval_chunked(full, una_rows, key, text_col, chunk_size, keep)
+            if part is not None:
+                parts.append(part)
+            eval_chunks += -(-len(una_rows) // chunk_size)
+
+        PRUNE_STATS.clear()
+        PRUNE_STATS.update({
+            "compiled": len(need_rows) + len(una_rows),
+            "unanalyzable": len(una_rows),
+            "eval_chunks": eval_chunks,
+        })
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    finally:
+        # the returned plan re-derives qx lazily if an action runs after
+        # unpersist; the persist only serves the collects above
+        qx.unpersist()

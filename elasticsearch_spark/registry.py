@@ -1831,6 +1831,26 @@ def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percolate(_docs(spark, sf_dir), stored, key="doc_id").orderBy("query_id", "doc_id")
 
 
+def q_percolate_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percolator via the QueryAnalyzer-analog candidate path
+    (operators/percolate.percolate_pruned, ref modules/percolator/.../
+    QueryAnalyzer.java:445): stored queries term-extracted distributed,
+    candidates from one token join, verified extractions skip evaluation,
+    only the unanalyzable remainder compiles driver-side. Same result set
+    as percolate_queries — the two paths must agree."""
+    from .operators.percolate import percolate
+
+    stored = [
+        ("p_lang_range", {"bool": {"filter": [
+            {"term": {"lang": "en"}},
+            {"range": {"n_chars": {"gte": 100, "lte": 400}}}]}}),
+        ("p_match_spark", {"match": {"text": "spark"}}),
+        ("p_src_wild", {"wildcard": {"source": {"value": "src1*"}}}),
+    ]
+    return percolate(_docs(spark, sf_dir), stored, key="doc_id",
+                     prune=True).orderBy("query_id", "doc_id")
+
+
 def q_cross_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multi_match cross_fields (MultiMatchQueryBuilder.java →
     BlendedTermQuery): term-centric blended-df scoring across text+source."""
@@ -5633,6 +5653,17 @@ SELECT query_id, doc_id FROM (
   SELECT 'p_src_wild', doc_id FROM documents WHERE source LIKE 'src1%'
 ) ORDER BY query_id, doc_id
 """,
+    "percolate_pruned": f"""
+SELECT query_id, doc_id FROM (
+  SELECT 'p_lang_range' AS query_id, doc_id FROM documents
+  WHERE lang = 'en' AND n_chars BETWEEN 100 AND 400
+  UNION ALL
+  SELECT 'p_match_spark', doc_id FROM documents
+  WHERE list_contains({_TOK_SQL}, 'spark')
+  UNION ALL
+  SELECT 'p_src_wild', doc_id FROM documents WHERE source LIKE 'src1%'
+) ORDER BY query_id, doc_id
+""",
     "multi_match_cross_fields": f"""
 WITH t1 AS (
   SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
@@ -6650,6 +6681,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsl_script_score": dsl_script_score,
     "dsl_script_score_query": dsl_script_score_query,
     "percolate_queries": q_percolate,
+    "percolate_pruned": q_percolate_pruned,
     "multi_match_cross_fields": q_cross_fields,
     "agg_sibling_buckets": a_sibling_buckets,
     "agg_diversified_sampler": a_diversified_sampler,

@@ -84,3 +84,74 @@ def test_percolate_query_kind(spark, tmp_path):
     out = es.search("queries_index", {"query": {"percolate": {
         "field": "query", "index": "documents_index", "id": "d1"}}})
     assert sorted(r["url"] for r in out["hits"].collect()) == ["q1", "q2"]
+
+
+# --------------------------------------------------------------------------
+# QueryAnalyzer-analog candidate pruning (percolate_pruned)
+# --------------------------------------------------------------------------
+
+def _pairs(df):
+    return {(r["query_id"], r["doc_id"]) for r in df.collect()}
+
+
+def test_pruned_equivalence_all_shapes(spark, corpus):
+    """The pruned path returns EXACTLY what the compile-everything path
+    returns, across verified, unverified, and unanalyzable query shapes."""
+    stored = [
+        ("t_term", {"term": {"lang": "en"}}),                      # verified
+        ("t_terms", {"terms": {"lang": ["de", "fr"]}}),            # verified
+        ("t_term_num", {"term": {"doc_id": 3}}),                   # verified, numeric
+        ("t_match_or", {"match": {"text": "spark batch"}}),        # verified
+        ("t_match_and", {"match": {"text": {"query": "spark data",
+                                            "operator": "and"}}}),  # candidate+verify
+        ("t_phrase", {"match_phrase": {"text": "spark streaming"}}),
+        ("t_ids", {"ids": {"values": [2, 4]}}),                    # verified on key
+        ("t_range", {"range": {"n_chars": {"gte": 200}}}),         # unanalyzable
+        ("t_wild", {"wildcard": {"text": {"value": "*stream*"}}}),  # unanalyzable
+        ("t_bool", {"bool": {"filter": [
+            {"term": {"lang": "en"}},
+            {"range": {"n_chars": {"gte": 200}}}]}}),              # cand + verify
+        ("t_dismax", {"dis_max": {"queries": [
+            {"term": {"lang": "fr"}}, {"match": {"text": "joins"}}]}}),
+        ("t_cs", {"constant_score": {"filter": {"term": {"lang": "de"}}}}),
+        ("t_none", {"match_none": {}}),
+        ("t_missing_field", {"term": {"nosuchfield": "x"}}),       # no candidates
+    ]
+    legacy = _pairs(percolate(corpus, stored, prune=False))
+    pruned = _pairs(percolate(corpus, stored, prune=True))
+    assert pruned == legacy
+    # sanity on a few known answers
+    assert ("t_term_num", 3) in pruned
+    assert ("t_phrase", 3) in pruned and ("t_phrase", 1) not in pruned
+    assert ("t_ids", 2) in pruned and ("t_ids", 1) not in pruned
+    assert not any(q == "t_none" or q == "t_missing_field" for q, _ in pruned)
+
+
+def test_pruned_10k_queries_driver_bounded(spark, corpus):
+    """10k+ stored queries: driver compiles only the candidate/unanalyzable
+    remainder (independent of the stored-query count), verified candidates
+    never compile, and the doc frame is scanned once for tokens plus one
+    chunk pass for the tiny remainder — the QueryAnalyzer-analog contract
+    (ref modules/percolator/.../QueryAnalyzer.java:445,
+    PercolatorFieldMapper.java:444)."""
+    import json as _json
+
+    from elasticsearch_spark.operators import percolate as perc
+
+    n = 10_000
+    rows = [(f"q{i}", _json.dumps({"match": {"text": f"nomatch{i}"}}))
+            for i in range(n - 3)]
+    rows += [
+        ("q_hit", _json.dumps({"match": {"text": "spark"}})),       # verified
+        ("q_and", _json.dumps({"match": {"text": {
+            "query": "spark data", "operator": "and"}}})),          # verify-needed
+        ("q_rng", _json.dumps({"range": {"n_chars": {"gte": 300}}})),  # unanalyzable
+    ]
+    qdf = spark.createDataFrame(rows, "query_id string, query_json string")
+    got = {(r["query_id"], r["doc_id"])
+           for r in percolate(corpus, qdf, prune=True).collect()}
+    assert got == {("q_hit", 1), ("q_hit", 3), ("q_and", 1), ("q_rng", 2)}
+    # driver-side compilation bounded by actual candidates, NOT by n
+    assert perc.PRUNE_STATS["compiled"] == 2       # q_and + q_rng only
+    assert perc.PRUNE_STATS["unanalyzable"] == 1   # q_rng
+    assert perc.PRUNE_STATS["eval_chunks"] == 2    # one chunk per remainder class
