@@ -2648,13 +2648,22 @@ class Engine:
         self._async_meta[sid] = {"index": index, "body": body, "snap": None}
 
         def run():
-            out = self.search(index, body)
-            return {
-                "hits": out["hits"].collect(),
-                "aggregations": {
-                    k: v.collect() for k, v in out.get("aggregations", {}).items()
-                },
-            }
+            # job groups are THREAD-LOCAL in Spark: every job this search
+            # submits lands in group `sid`, so async_search_delete can
+            # cancel the running work (the reference's task cancellation,
+            # x-pack/plugin/async-search TransportDeleteAsyncSearchAction)
+            sc = self.spark.sparkContext
+            sc.setJobGroup(sid, f"async_search {sid}", interruptOnCancel=True)
+            try:
+                out = self.search(index, body)
+                return {
+                    "hits": out["hits"].collect(),
+                    "aggregations": {
+                        k: v.collect() for k, v in out.get("aggregations", {}).items()
+                    },
+                }
+            finally:
+                sc.setJobGroup(None, None)
 
         self._async_searches[sid] = self._async_pool.submit(run)
         return {"id": sid, "is_running": True}
@@ -2731,12 +2740,17 @@ class Engine:
                 "response": fut.result()}
 
     def async_search_delete(self, sid: str) -> dict:
-        """DELETE /_async_search/{id}: cancel if running, drop the result."""
+        """DELETE /_async_search/{id}: cancel if running, drop the result.
+        A search whose jobs are already on the cluster is cancelled through
+        its Spark JOB GROUP (= the async id, set thread-locally at submit),
+        so the backing stages stop rather than running to completion —
+        the reference's async-task cancellation."""
         fut = self._async_searches.pop(sid, None)
         if fut is None:
             raise KeyError(f"unknown async search id: {sid}")
         getattr(self, "_async_meta", {}).pop(sid, None)
-        fut.cancel()
+        if not fut.cancel():  # already running → kill its job group
+            self.spark.sparkContext.cancelJobGroup(sid)
         return {"acknowledged": True}
 
     def tasks_list(self) -> dict:

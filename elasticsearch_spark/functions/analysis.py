@@ -630,6 +630,39 @@ def make_simple_pattern_split_tokenizer(pattern: str = ""):
     return fn
 
 
+def make_kuromoji_tokenizer(user_dictionary_rules: list[str] | None = None,
+                            discard_punctuation: bool = True, **_):
+    """kuromoji_tokenizer factory (KuromojiTokenizerFactory):
+    user_dictionary_rules in the reference's CSV form
+    ("surface,segmentation,reading,pos"); mode/nbest options are accepted
+    and ignored (the lattice emits the single best path)."""
+    def fn(text: str) -> list[str]:
+        from .cjk import kuromoji_tokenize_rich
+
+        return [t.surface for t in kuromoji_tokenize_rich(
+            text, user_rules=user_dictionary_rules,
+            discard_punctuation=discard_punctuation)]
+
+    return fn
+
+
+def make_nori_tokenizer(user_dictionary_rules: list[str] | None = None,
+                        decompound_mode: str = "discard",
+                        discard_punctuation: bool = True, **_):
+    """nori_tokenizer factory (NoriTokenizerFactory): user_dictionary_rules
+    ("surface" / "surface seg1 seg2 ..."), decompound_mode
+    none|discard|mixed, discard_punctuation."""
+    def fn(text: str) -> list[str]:
+        from .cjk import nori_tokenize_rich
+
+        return [t.surface for t in nori_tokenize_rich(
+            text, user_rules=user_dictionary_rules,
+            decompound_mode=decompound_mode,
+            discard_punctuation=discard_punctuation)]
+
+    return fn
+
+
 TOKENIZER_FACTORIES = {
     "pattern": make_pattern_tokenizer,
     "char_group": make_char_group_tokenizer,
@@ -638,6 +671,8 @@ TOKENIZER_FACTORIES = {
     "edge_ngram": make_edge_ngram_tokenizer,
     "simple_pattern": make_simple_pattern_tokenizer,
     "simple_pattern_split": make_simple_pattern_split_tokenizer,
+    "kuromoji_tokenizer": make_kuromoji_tokenizer,
+    "nori_tokenizer": make_nori_tokenizer,
 }
 
 
@@ -677,11 +712,16 @@ def make_pattern_replace_char_filter(pattern: str, replacement: str = ""):
     return lambda text: rx.sub(replacement, text)
 
 
-def _iteration_mark_char_filter(text: str) -> str:
-    """kuromoji_iteration_mark char filter (functions/cjk.py)."""
-    from .cjk import iteration_mark_normalize
+def make_iteration_mark_char_filter(normalize_kanji: bool = True,
+                                    normalize_kana: bool = True, **_):
+    """kuromoji_iteration_mark char filter (functions/cjk.py) with the
+    reference factory's normalize_kanji / normalize_kana flags."""
+    def fn(text: str) -> str:
+        from .cjk import iteration_mark_normalize
 
-    return iteration_mark_normalize(text)
+        return iteration_mark_normalize(text, normalize_kanji, normalize_kana)
+
+    return fn
 
 
 CHAR_FILTER_FACTORIES = {
@@ -690,7 +730,7 @@ CHAR_FILTER_FACTORIES = {
         kw["pattern"], kw.get("replacement", "")
     ),
     "html_strip": lambda **kw: html_strip,
-    "kuromoji_iteration_mark": lambda **kw: _iteration_mark_char_filter,
+    "kuromoji_iteration_mark": make_iteration_mark_char_filter,
 }
 
 
@@ -1413,7 +1453,7 @@ def _icu_analyzer_analyze(text: str) -> list[str]:
 
 
 # CJK segmentation analyzers (plugins/analysis-smartcn, analysis-icu):
-# dictionary-light FMM over an embedded lexicon — functions/cjk.py
+# unigram-Viterbi lattice over an embedded lexicon — functions/cjk.py
 ANALYZERS["smartcn"] = _smartcn_analyze
 ANALYZERS["icu_analyzer"] = _icu_analyzer_analyze
 
@@ -1444,11 +1484,40 @@ def _nori_tokenize(text: str) -> list[str]:
 
 def _filter_ja_stop(toks: list[str], stopwords: list[str] | str = "_japanese_", **_) -> list[str]:
     """ja_stop (analysis-kuromoji JapaneseStopTokenFilterFactory): the
-    Lucene Japanese stopword set, or an explicit list."""
+    Lucene Japanese stopword set, an explicit list, or a list CONTAINING
+    ``_japanese_`` plus extra words (the reference's stopword-list merge —
+    KuromojiAnalysisTests pins ["_japanese_", "スピード"])."""
     from .cjk import JA_STOPWORDS
 
-    stops = JA_STOPWORDS if stopwords == "_japanese_" else set(stopwords)
+    if stopwords == "_japanese_":
+        stops: set = set(JA_STOPWORDS)
+    else:
+        stops = set()
+        for w in stopwords:
+            if w == "_japanese_":
+                stops |= JA_STOPWORDS
+            else:
+                stops.add(w)
     return [t for t in toks if t not in stops]
+
+
+def _filter_kuromoji_baseform(toks: list[str], **_) -> list[str]:
+    """kuromoji_baseform (JapaneseBaseFormFilter): conjugated surfaces →
+    dictionary base form via the lattice lexicon (話し → 話す)."""
+    from .cjk import ja_lookup
+
+    return [ja_lookup(t).base or t for t in toks]
+
+
+def _filter_kuromoji_pos(toks: list[str], stoptags: list[str] | None = None, **_) -> list[str]:
+    """kuromoji_part_of_speech (JapanesePartOfSpeechStopFilter): drop
+    tokens whose lexicon POS matches a stop tag (hierarchical prefix
+    match; ``#``-prefixed entries are comments). Default stoptags = the
+    JapaneseAnalyzer set."""
+    from .cjk import DEFAULT_JA_STOPTAGS, ja_lookup, pos_matches
+
+    tags = DEFAULT_JA_STOPTAGS if stoptags is None else stoptags
+    return [t for t in toks if not pos_matches(ja_lookup(t).pos, tags)]
 
 
 def _filter_kuromoji_stemmer(toks: list[str], minimum_length: int = 4, **_) -> list[str]:
@@ -1459,12 +1528,15 @@ def _filter_kuromoji_stemmer(toks: list[str], minimum_length: int = 4, **_) -> l
 
 
 def _filter_kuromoji_readingform(toks: list[str], use_romaji: bool = False, **_) -> list[str]:
-    """kuromoji_readingform: dictionary-light — kana tokens romanize when
-    use_romaji (Hepburn, functions/cjk.py); kanji readings need the lattice
-    dictionary and pass through (documented subset)."""
-    from .cjk import kana_to_romaji
+    """kuromoji_readingform (JapaneseReadingFormFilter): tokens → their
+    katakana readings from the lattice lexicon (kana surfaces katakana-ize,
+    unknown kanji pass through); use_romaji adds the Lucene ToStringUtil
+    ascii romanization (コンヤ → kon'ya, ロバート → robato — the reference
+    vectors in KuromojiAnalysisTests testReadingFormFilterFactory)."""
+    from .cjk import ja_reading, reading_to_romaji
 
-    return [kana_to_romaji(t) for t in toks] if use_romaji else list(toks)
+    readings = [ja_reading(t) for t in toks]
+    return [reading_to_romaji(r) for r in readings] if use_romaji else readings
 
 
 def _filter_kuromoji_number(toks: list[str], **_) -> list[str]:
@@ -1479,22 +1551,64 @@ def _filter_nori_number(toks: list[str], **_) -> list[str]:
     return [ko_normalize_number(t) for t in toks]
 
 
-def _filter_nori_pos(toks: list[str], **_) -> list[str]:
-    """nori_part_of_speech analog: dictionary-light josa strip on Hangul
-    tokens (functions/cjk.py documents the unambiguous-particle subset)."""
-    from .cjk import _is_hangul, _strip_josa
+def _filter_nori_pos(toks: list[str], stoptags: list[str] | None = None, **_) -> list[str]:
+    """nori_part_of_speech (KoreanPartOfSpeechStopFilter): drop tokens
+    whose lexicon POS is in the stop-tag set (default = Lucene's
+    DEFAULT_STOP_TAGS). Unknown hangul tokens get the documented
+    josa-strip fallback (a noun outside the embedded lexicon glued to its
+    particle)."""
+    from .cjk import (DEFAULT_KO_STOPTAGS, KO_LEXICON, _is_hangul,
+                      _strip_josa, ko_lookup, pos_matches)
 
+    tags = DEFAULT_KO_STOPTAGS if stoptags is None else stoptags
     out = []
     for t in toks:
-        if t and _is_hangul(t[0]):
+        if t in KO_LEXICON:
+            if pos_matches(ko_lookup(t).pos, tags):
+                continue
+        elif t and _is_hangul(t[0]):
             t = _strip_josa(t)
         if t:
             out.append(t)
     return out
 
 
+def _filter_icu_collation(toks: list[str], language: str = "",
+                          country: str = "", variant: str = "",
+                          strength: str = "tertiary", numeric: bool = False,
+                          case_first: str = "lower", **_) -> list[str]:
+    """icu_collation_keyword token filter (analysis-icu
+    IcuCollationTokenFilterFactory): tokens → locale collation sort keys
+    (hex-encoded UCA keys, functions/collation.py) so that lexical order
+    of the emitted terms is the locale's linguistic order."""
+    from .collation import sort_key_hex
+
+    locale = language
+    if country:
+        locale += "_" + country
+    if variant:
+        locale += "__" + variant
+    return [sort_key_hex(t, locale=locale, strength=strength,
+                         numeric=numeric, case_first=case_first)
+            for t in toks]
+
+
+def _filter_nori_readingform(toks: list[str], **_) -> list[str]:
+    """nori_readingform (KoreanReadingFormFilter): hanja tokens → hangul
+    readings (鄕歌 → 향가, NoriAnalysisTests testNoriReadingForm)."""
+    from .cjk import ko_lookup
+
+    out = []
+    for t in toks:
+        e = ko_lookup(t)
+        out.append(e.reading if e.pos == "SH" and e.reading else t)
+    return out
+
+
 # Japanese/Korean analyzer presets (plugins/analysis-kuromoji,
-# analysis-nori) — dictionary-light, functions/cjk.py
+# analysis-nori) — unigram-Viterbi lattice + POS/reading lexicon,
+# functions/cjk.py (reference test vectors pinned in
+# tests/test_cjk_reference_vectors.py)
 ANALYZERS["kuromoji"] = _kuromoji_analyze
 ANALYZERS["nori"] = _nori_analyze
 TOKENIZERS["kuromoji_tokenizer"] = _kuromoji_tokenize
@@ -2426,8 +2540,12 @@ TOKEN_FILTERS = {
     "kuromoji_stemmer": _filter_kuromoji_stemmer,
     "kuromoji_readingform": _filter_kuromoji_readingform,
     "kuromoji_number": _filter_kuromoji_number,
+    "kuromoji_baseform": _filter_kuromoji_baseform,
+    "kuromoji_part_of_speech": _filter_kuromoji_pos,
     "nori_number": _filter_nori_number,
     "nori_part_of_speech": _filter_nori_pos,
+    "nori_readingform": _filter_nori_readingform,
+    "icu_collation_keyword": _filter_icu_collation,
 }
 
 # stemming filters that honor the keyword-protected set threaded through a

@@ -33,8 +33,9 @@ Scope (the subset, chosen from the yaml test corpus
   - ``try``/``catch`` (trap grammar, Exception/RuntimeException catch-all,
     mapped Java exception types) and ``throw new <Type>(msg)``.
 
-NOT implemented (documented out of scope): varargs, generics beyond
-parse-and-ignore.
+Varargs statics (String.format / String.join / Arrays.asList), ``new
+T[] {...}`` array-literal varargs calls, and the Stream/Collectors subset
+the whitelist exposes are implemented; generics parse-and-ignore.
 
 Execution model: ``compile_painless`` caches the AST per source;
 ``script_column`` walks the AST for referenced doc fields so the UDF ships
@@ -622,15 +623,29 @@ class _Parser:
         if k == "null":
             return ("lit", None)
         if k == "new":
-            tname = self.expect("id")[1]
+            # `def` is a keyword token but a legal array element type
+            # (new def[] {...} — the varargs-call array literal)
+            if self.peek()[0] == "def":
+                tname = self.next()[0]
+            else:
+                tname = self.expect("id")[1]
             if self.accept("<"):
                 depth = 1
                 while depth:
                     t = self.next()[0]
                     depth += (t == "<") - (t == ">")
-            if self.peek()[0] == "[":  # new int[3]
+            if self.peek()[0] == "[":
                 self.next()
-                size = self.expression()
+                if self.accept("]"):  # new T[] { e1, e2, ... } initializer
+                    self.expect("{")
+                    items = []
+                    while self.peek()[0] != "}":
+                        items.append(self.expression())
+                        if not self.accept(","):
+                            break
+                    self.expect("}")
+                    return ("list", items)
+                size = self.expression()  # new int[3]
                 self.expect("]")
                 return ("newarr", tname, size)
             return ("new", tname, self._args())
@@ -1785,7 +1800,22 @@ class _Stream:
     def toList(self):  # noqa: N802
         return list(self.items)
 
-    def collect(self, *_):
+    def collect(self, *a):
+        # honor the Collectors.* marker when one is passed; a bare
+        # collect() (or an unrecognized collector) keeps the toList default
+        if a and isinstance(a[0], tuple) and a[0][:1] == ("collector",):
+            kind, args = a[0][1], a[0][2]
+            if kind == "toSet":
+                return _JSet(self.items)
+            if kind == "joining":
+                sep = args[0] if args else ""
+                pre = args[1] if len(args) > 1 else ""
+                post = args[2] if len(args) > 2 else ""
+                return pre + sep.join(str(x) for x in self.items) + post
+            if kind == "counting":
+                return len(self.items)
+            if kind == "toMap":
+                return {args[0](x): args[1](x) for x in self.items}
         return list(self.items)
 
     def mapToDouble(self, fn):  # noqa: N802
@@ -1900,6 +1930,14 @@ _STATICS: dict[str, dict] = {
                              ("MINUTES", 60_000), ("HOURS", 3_600_000),
                              ("DAYS", 86_400_000)]
     },
+    # java.util.stream.Collectors — markers consumed by _Stream.collect
+    "Collectors": {
+        "toList": lambda *a: ("collector", "toList", a),
+        "toSet": lambda *a: ("collector", "toSet", a),
+        "joining": lambda *a: ("collector", "joining", a),
+        "counting": lambda *a: ("collector", "counting", a),
+        "toMap": lambda *a: ("collector", "toMap", a),
+    },
     # java.util.regex.Pattern statics (whitelist exposes compile/matches/quote)
     "Pattern": {
         "compile": lambda p, flags=0: JPattern(re.compile(p)),
@@ -1912,7 +1950,11 @@ _STATICS: dict[str, dict] = {
 def _jformat(fmt: str, args):
     """java String.format → printf subset (%s %d %f %.Nf %x). Python's %
     shares Java's %% escape — pre-substituting it would corrupt formats
-    that mix %% with real conversions ('%d%%' must yield '5%')."""
+    that mix %% with real conversions ('%d%%' must yield '5%'). A single
+    list argument is the Object... ARRAY form (new def[] {...}) and
+    spreads, Java's varargs-array rule."""
+    if len(args) == 1 and isinstance(args[0], list):
+        args = args[0]
     return fmt % tuple(args)
 
 
@@ -2507,7 +2549,7 @@ _PAINLESS_RE = re.compile(
     r"|\bfield\s*\('"
     r"|\$\s*\('"
     r"|\bnew\s+[A-Z]\w*\s*\("
-    r"|\b(?:Math|Integer|Long|Double|Float|Boolean|Collections|Arrays|Objects|Character|Pattern|MovingFunctions|Instant|ChronoUnit)\s*\."
+    r"|\b(?:Math|Integer|Long|Double|Float|Boolean|Collections|Arrays|Collectors|Objects|Character|Pattern|MovingFunctions|Instant|ChronoUnit)\s*\."
     r"|\?\."
     r"|==?~"
 )

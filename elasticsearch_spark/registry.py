@@ -1831,6 +1831,37 @@ def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percolate(_docs(spark, sf_dir), stored, key="doc_id").orderBy("query_id", "doc_id")
 
 
+def field_collation_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """icu_collation_keyword (plugins/analysis-icu
+    IcuCollationTokenFilterFactory / ICUCollationKeywordFieldMapper):
+    locale-aware binary sort keys (functions/collation.py, PyICU-free UCA
+    subset) as an Arrow-batched UDF; ordering by the BinaryType key column
+    reproduces the collator order. The oracle pins non-ASCII orderings for
+    four locales: Swedish (å ä ö after z), Danish (æ ø å after z), German
+    DIN 5007-1 (Ü = u at primary), traditional Spanish (ñ between n and o)."""
+    from pyspark.sql import Window
+
+    from .functions.collation import collation_key_udf
+
+    cases = {
+        "sv": ["zebra", "åker", "ängel", "öl", "apple", "orm", "Örn"],
+        "da": ["zebra", "æble", "øl", "århus", "abe"],
+        "de": ["Arm", "Ärmel", "Arzt", "Zebra", "Übung", "ufer"],
+        "es__traditional": ["nube", "ñandú", "noche", "obra", "llama", "luz"],
+    }
+    out = None
+    for loc, words in cases.items():
+        df = spark.createDataFrame([(loc, w) for w in words],
+                                   "locale string, word string")
+        key = collation_key_udf(locale=loc)
+        part = df.withColumn("__k", key("word")).withColumn(
+            "rank", F.row_number().over(
+                Window.partitionBy("locale").orderBy("__k")).cast("long")
+        ).select("locale", "rank", "word")
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("locale", "rank")
+
+
 def q_percolate_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percolator via the QueryAnalyzer-analog candidate path
     (operators/percolate.percolate_pruned, ref modules/percolator/.../
@@ -3053,7 +3084,7 @@ def dsl_geo_shape_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def analysis_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CJK segmentation (icu_tokenizer / smartcn analog, functions/cjk.py:
-    script-run split + forward-maximum-matching over the embedded lexicon,
+    script-run split + unigram-Viterbi over the embedded word lexicon,
     kana runs by sub-script, non-CJK through UAX#29). Deterministic by
     construction — the oracle pins every (token, count) of a fixed
     six-sentence zh/ja/mixed corpus. Engine side runs the real analyzer
@@ -3085,12 +3116,13 @@ def analysis_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def analysis_kuromoji(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Japanese analysis (kuromoji analog, functions/cjk.py): iteration-mark
-    expansion, nakaguro compound split, ja_stop, katakana stemming —
-    the dictionary-free filters are exact ports of the reference's
-    plugins/analysis-kuromoji; segmentation is the documented
-    dictionary-light FMM. Deterministic — the oracle pins every
-    (token, count) of a fixed five-sentence corpus."""
+    """Japanese analysis (kuromoji analog, functions/cjk.py): the
+    JapaneseAnalyzer chain — unigram-Viterbi lattice tokenizer, baseform,
+    part-of-speech stop, cjk_width, ja_stop, katakana stem, lowercase —
+    over the embedded POS/reading lexicon. The reference's published test
+    vectors are matched exactly (tests/test_cjk_reference_vectors.py);
+    this oracle pins every (token, count) of a fixed five-sentence
+    corpus."""
     from pyspark.sql.functions import pandas_udf
 
     corpus = [
@@ -3117,9 +3149,11 @@ def analysis_kuromoji(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def analysis_nori(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Korean analysis (nori analog, functions/cjk.py): UAX#29 word split +
-    dictionary-light josa strip (the unambiguous-particle subset of
-    nori_part_of_speech's default J* stop tags). Oracle pins every
+    """Korean analysis (nori analog, functions/cjk.py): the KoreanAnalyzer
+    chain — unigram-Viterbi lattice with decompound, default
+    part-of-speech stop tags, hanja readingform, lowercase. The
+    reference's published test vectors are matched exactly
+    (tests/test_cjk_reference_vectors.py); this oracle pins every
     (token, count) of a fixed four-sentence corpus."""
     from pyspark.sql.functions import pandas_udf
 
@@ -5653,6 +5687,20 @@ SELECT query_id, doc_id FROM (
   SELECT 'p_src_wild', doc_id FROM documents WHERE source LIKE 'src1%'
 ) ORDER BY query_id, doc_id
 """,
+    "field_collation_sort": """
+SELECT locale, rank::BIGINT AS rank, word FROM (VALUES
+    ('da', 1, 'abe'), ('da', 2, 'zebra'), ('da', 3, 'æble'),
+    ('da', 4, 'øl'), ('da', 5, 'århus'),
+    ('de', 1, 'Arm'), ('de', 2, 'Ärmel'), ('de', 3, 'Arzt'),
+    ('de', 4, 'Übung'), ('de', 5, 'ufer'), ('de', 6, 'Zebra'),
+    ('es__traditional', 1, 'llama'), ('es__traditional', 2, 'luz'),
+    ('es__traditional', 3, 'noche'), ('es__traditional', 4, 'nube'),
+    ('es__traditional', 5, 'ñandú'), ('es__traditional', 6, 'obra'),
+    ('sv', 1, 'apple'), ('sv', 2, 'orm'), ('sv', 3, 'zebra'),
+    ('sv', 4, 'åker'), ('sv', 5, 'ängel'), ('sv', 6, 'öl'),
+    ('sv', 7, 'Örn')
+) AS t(locale, rank, word) ORDER BY locale, rank
+""",
     "percolate_pruned": f"""
 SELECT query_id, doc_id FROM (
   SELECT 'p_lang_range' AS query_id, doc_id FROM documents
@@ -6464,17 +6512,15 @@ SELECT token, cnt::BIGINT AS cnt FROM (VALUES
 """,
     "analysis_kuromoji": """
 SELECT token, cnt::BIGINT AS cnt FROM (VALUES
-    ('きです', 1), ('しました', 1), ('をしています', 2), ('ゲイツ', 1),
-    ('コンピュータ', 1), ('サッカ', 1), ('ビル', 1), ('三', 1), ('二', 1),
-    ('五', 1), ('人', 3), ('仕事', 1), ('加', 1), ('勉強', 2), ('十', 1),
-    ('参', 1), ('合', 1), ('好', 1), ('日本語', 1), ('東京', 1), ('百', 1),
-    ('試', 1)
+    ('ゲイツ', 1), ('コンピュータ', 1), ('サッカ', 1), ('ビル', 1),
+    ('二百三十五', 1), ('人', 1), ('人々', 1), ('仕事', 1), ('勉強', 2),
+    ('参加', 1), ('好き', 1), ('日本語', 1), ('東京', 1), ('試合', 1)
 ) AS t(token, cnt) ORDER BY token
 """,
     "analysis_nori": """
 SELECT token, cnt::BIGINT AS cnt FROM (VALUES
-    ('간다', 1), ('갔다', 1), ('검색', 1), ('기차로', 1), ('바나나', 1),
-    ('부산', 1), ('사과', 1), ('사용한다', 1), ('샀다', 1), ('서울', 1),
+    ('간다', 1), ('갔다', 1), ('검색', 1), ('기차', 1), ('바나나', 1),
+    ('부산', 1), ('사과', 1), ('사용', 1), ('샀다', 1), ('서울', 1),
     ('아버지', 1), ('엔진', 1), ('역색인', 1), ('포도', 1), ('학교', 1)
 ) AS t(token, cnt) ORDER BY token
 """,
@@ -6682,6 +6728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsl_script_score_query": dsl_script_score_query,
     "percolate_queries": q_percolate,
     "percolate_pruned": q_percolate_pruned,
+    "field_collation_sort": field_collation_sort,
     "multi_match_cross_fields": q_cross_fields,
     "agg_sibling_buckets": a_sibling_buckets,
     "agg_diversified_sampler": a_diversified_sampler,

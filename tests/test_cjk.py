@@ -105,19 +105,23 @@ def test_ko_numbers():
 def test_nori_josa_strip():
     assert nori_analyze("아버지가 학교에 갔다") == ["아버지", "학교", "갔다"]
     assert nori_analyze("서울에서 부산까지") == ["서울", "부산"]
-    # ambiguous codas (과/도/나) are NOT stripped — 사과 stays a whole noun
+    # ambiguous codas (과/도/나) are NOT stripped — the lattice keeps 사과
+    # whole because the dictionary noun beats the 사+과 particle path
     assert nori_analyze("사과 포도") == ["사과", "포도"]
-    # bare single-char word never stripped to empty
-    assert nori_analyze("가") == ["가"]
+    # a bare particle is tagged J and dropped by the default stop tags
+    # (KoreanPartOfSpeechStopFilter.DEFAULT_STOP_TAGS)
+    assert nori_analyze("가") == []
 
 
 def test_kuromoji_analyzer_chain():
     # stopword particles dropped, katakana stemmed, kanji through FMM
     toks = kuromoji_analyze("コンピューターの勉強")
     assert toks == ["コンピュータ", "勉強"]
-    # iteration mark expands before tokenization
-    assert kuromoji_analyze("人々") == ["人", "人"]
-    # nakaguro splits katakana compounds
+    # 人々 is a dictionary word (ヒトビト) — one token, like IPADIC; the
+    # iteration-mark CHAR FILTER is a separate opt-in stage as in the
+    # reference (JapaneseAnalyzer has no char filter by default)
+    assert kuromoji_analyze("人々") == ["人々"]
+    # nakaguro is punctuation — the lattice splits loanword compounds there
     assert kuromoji_analyze("ビル・ゲイツ") == ["ビル", "ゲイツ"]
 
 

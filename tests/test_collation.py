@@ -1,0 +1,93 @@
+"""icu_collation_keyword (functions/collation.py): UCA sort keys whose
+byte order is the locale's linguistic order — the PyICU-free analog of
+plugins/analysis-icu IcuCollationTokenFilterFactory /
+ICUCollationKeywordFieldMapper (RuleBasedCollator.getSortKey)."""
+
+from __future__ import annotations
+
+from elasticsearch_spark.functions.collation import collation_key as K
+
+
+def _order(words, **kw):
+    return sorted(words, key=lambda w: K(w, **kw))
+
+
+def test_root_accent_secondary_case_tertiary():
+    # primary = base letter, accents secondary, case tertiary (lower first)
+    assert _order(["Zebra", "apfel", "Äpfel", "Apfel", "über", "ol", "Öl"]) == [
+        "apfel", "Apfel", "Äpfel", "ol", "Öl", "über", "Zebra"]
+    assert _order(["B", "a", "A", "b"]) == ["a", "A", "b", "B"]
+    assert _order(["B", "a", "A", "b"], case_first="upper") == [
+        "A", "a", "B", "b"]
+
+
+def test_swedish_trailing_vowels():
+    # å < ä < ö AFTER z — the Scandinavian tailoring
+    assert _order(["zebra", "åker", "ängel", "öl", "apple", "orm"],
+                  locale="sv") == [
+        "apple", "orm", "zebra", "åker", "ängel", "öl"]
+
+
+def test_danish_ae_o_aa():
+    assert _order(["zebra", "æble", "øl", "århus", "abe"], locale="da") == [
+        "abe", "zebra", "æble", "øl", "århus"]
+
+
+def test_german_standard_vs_phonebook():
+    words = ["Arm", "Ärmel", "Arzt"]
+    # DIN 5007-1: ä = a (umlaut only secondary) → Arm < Ärmel < Arzt
+    assert _order(words, locale="de") == ["Arm", "Ärmel", "Arzt"]
+    # DIN 5007-2 (phonebook): ä → ae → Ärmel (Aermel) sorts first
+    assert _order(words, locale="de__phonebook") == ["Ärmel", "Arm", "Arzt"]
+
+
+def test_spanish_traditional_enye():
+    assert _order(["nube", "ñandú", "noche", "obra"],
+                  locale="es__traditional") == [
+        "noche", "nube", "ñandú", "obra"]
+    # modern Spanish keeps ñ as a distinct letter too (the 1994 RAE
+    # reform only demoted the ch/ll digraphs)
+    assert _order(["nube", "ñandú", "noche"], locale="es") == [
+        "noche", "nube", "ñandú"]
+
+
+def test_strength_primary_folds_accents_and_case():
+    assert K("Äpfel", strength="primary") == K("apfel", strength="primary")
+    assert K("Äpfel") != K("apfel")
+    assert K("resume", strength="secondary") != K("résumé", strength="secondary")
+    assert K("Resume", strength="secondary") == K("resume", strength="secondary")
+
+
+def test_numeric_collation():
+    assert _order(["item2", "item10", "item1"], numeric=True) == [
+        "item1", "item2", "item10"]
+    assert _order(["item2", "item10", "item1"]) == ["item1", "item10", "item2"]
+    # leading zeros equal at primary strength
+    assert K("007", numeric=True, strength="primary") == K(
+        "7", numeric=True, strength="primary")
+
+
+def test_key_prefix_free_ordering():
+    # "ab" < "abc" (shorter string that is a prefix sorts first)
+    assert _order(["abc", "ab", "a"]) == ["a", "ab", "abc"]
+
+
+def test_token_filter_registration():
+    from elasticsearch_spark.functions.analysis import TOKEN_FILTERS
+
+    keys = TOKEN_FILTERS["icu_collation_keyword"](
+        ["öl", "apple"], language="sv")
+    assert keys == sorted(keys, reverse=True)  # öl after apple in sv
+
+
+def test_spark_binary_sort(spark):
+    """BinaryType ordering in Spark reproduces the collator order — the
+    doc-values sort the reference field type provides."""
+    from elasticsearch_spark.functions.collation import collation_key_udf
+
+    df = spark.createDataFrame(
+        [("zebra",), ("åker",), ("apple",), ("öl",)], "word string")
+    key = collation_key_udf(locale="sv")
+    got = [r["word"] for r in
+           df.withColumn("k", key("word")).orderBy("k").collect()]
+    assert got == ["apple", "zebra", "åker", "öl"]

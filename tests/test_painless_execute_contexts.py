@@ -625,3 +625,38 @@ def test_parent_join_field_shape_multi_level(spark):
                                       "query": {"term": {"id": {"value": "1"}}}}}}
     out2 = dsl.search(spark, df, body2, key="url")
     assert sorted(r["url"] for r in out2.collect()) == ["3", "4"]
+
+
+def test_varargs_and_collectors_whitelist_tail():
+    """The whitelist varargs statics and the Stream/Collectors subset
+    (modules/lang-painless painless-common.json whitelist:
+    String.format(String, Object...), Arrays.asList(Object...),
+    String.join, java.util.stream.Collectors): the array-literal varargs
+    form `new def[] {...}` spreads like Java's Object... rule."""
+    from elasticsearch_spark.functions.painless import compile_painless, execute
+
+    def run(src, **env):
+        return execute(compile_painless(src), dict(env))
+
+    # String.format with the Object... array form and literal %% escape
+    assert run("return String.format('%03d-%s', new def[] {5, 'x'});") == "005-x"
+    assert run("return String.format('%.2f', new def[] {3.14159});") == "3.14"
+    assert run("return String.format('%d%%', new def[] {5});") == "5%"
+    # direct varargs statics
+    assert run("return Arrays.asList(1, 2, 3);") == [1, 2, 3]
+    assert run("return String.join('-', 'a', 'b', 'c');") == "a-b-c"
+    # typed array literals
+    assert run("def a = new int[] {1, 2, 3}; return a[2];") == 3
+    assert run("def a = new String[] {'x', 'y'}; return a.length;") == 2
+    # Stream + Collectors
+    assert run("def l = [1,2,3]; return l.stream().map(x -> x * 2)"
+               ".collect(Collectors.toList());") == [2, 4, 6]
+    assert run("def l = ['a','b']; return l.stream()"
+               ".collect(Collectors.joining(','));") == "a,b"
+    assert run("def l = ['a','b','a']; return l.stream()"
+               ".collect(Collectors.toSet()).size();") == 2
+    assert run("def l = ['ab','c']; return l.stream().collect("
+               "Collectors.toMap(x -> x, x -> x.length()));") == {
+        "ab": 2, "c": 1}
+    assert run("def l = [1,2,3,4]; return l.stream()"
+               ".filter(x -> x % 2 == 0).count();") == 2

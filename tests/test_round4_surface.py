@@ -158,3 +158,42 @@ def test_data_stream_create_write_rollover(es, spark):
     out = es.search("metrics-web", {"query": {"match": {"text": "cpu"}}, "size": 10})
     urls = {r["url"] for r in out["hits"].collect()}
     assert urls == {"m1", "m3"}
+
+
+def test_async_search_delete_cancels_running_jobs(es, spark, monkeypatch):
+    """DELETE of a RUNNING async search cancels the backing Spark job group
+    (the x-pack async-search task-cancellation contract): the worker's jobs
+    stop within a bound instead of running to completion, observed via
+    sc.statusTracker."""
+    import time
+
+    from pyspark.sql.functions import udf
+
+    sleep_row = udf(lambda x: (time.sleep(1.0), x)[1], "long")
+    # 320 rows / 32 partitions × 1s per row ≈ 10s of task time per slot —
+    # far longer than the cancellation bound asserted below
+    slow_df = spark.range(320).repartition(32).select(
+        sleep_row("id").alias("v"))
+    monkeypatch.setattr(es, "search",
+                        lambda index, body: {"hits": slow_df})
+    sub = es.async_search_submit("left", {"query": {"match_all": {}}})
+    sid = sub["id"]
+    fut = es._async_searches[sid]
+    deadline = time.time() + 10
+    while not fut.running() and time.time() < deadline:
+        time.sleep(0.05)  # wait until the worker thread actually started
+    time.sleep(0.5)       # let the first job reach the scheduler
+    t0 = time.time()
+    assert es.async_search_delete(sid)["acknowledged"]
+    # the future must finish (with a cancellation error) well before the
+    # ~10s the uncancelled job would need
+    with pytest.raises(Exception):
+        fut.result(timeout=8)
+    assert time.time() - t0 < 8
+    # and the scheduler drains: no active jobs left within the bound
+    st = spark.sparkContext.statusTracker()
+    deadline = time.time() + 5
+    while st.getActiveJobsIds() and time.time() < deadline:
+        time.sleep(0.1)
+    assert not st.getActiveJobsIds()
+    assert sid not in es._async_searches
