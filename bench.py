@@ -149,6 +149,30 @@ def main() -> None:
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # --- phase 4: percolator at stored-query scale -------------------------
+    # 10k stored queries against the documents table through the
+    # QueryAnalyzer-analog candidate path (operators/percolate.py): one
+    # token pass + bounded driver compile, NOT Q/200 projection passes.
+    percolate_pairs = 0
+    if not scaling_only:
+        from pyspark.sql import functions as F
+
+        from elasticsearch_spark.operators.percolate import percolate
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        # deterministic query set: mostly non-matching terms + a matching
+        # tail, the alerting-rules shape at 10k-rule scale
+        qrows = [(f"q{i}", json.dumps({"match": {"text": f"zzqx{i}"}}))
+                 for i in range(9_900)]
+        qrows += [(f"m{i}", json.dumps({"match": {"text": w}}))
+                  for i, w in enumerate(
+                      ["spark", "data", "search", "index", "query",
+                       "cluster", "shard", "node", "text", "engine"] * 10)]
+        qdf = spark.createDataFrame(qrows, "query_id string, query_json string")
+        t0 = time.perf_counter()
+        percolate_pairs = percolate(docs, qdf, key="doc_id", prune=True).count()
+        timings["percolate_10k_queries"] = round(time.perf_counter() - t0, 3)
+
     total = time.perf_counter() - t_all
 
     # measurement-hygiene telemetry: this VM shares a host, and noisy
@@ -181,6 +205,7 @@ def main() -> None:
                 "index_postings_mb": round(info["postings_bytes"] / 1e6, 2),
                 "merges": merge_info.get("merges", 0),
                 "segments_after_merge": merge_info.get("segments_after", 0),
+                "percolate_pairs": percolate_pairs,
             }
         )
     )

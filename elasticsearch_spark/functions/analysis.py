@@ -1573,6 +1573,28 @@ def _filter_nori_pos(toks: list[str], stoptags: list[str] | None = None, **_) ->
     return out
 
 
+def _filter_kuromoji_completion(toks: list[str], mode: str = "index", **_) -> list[str]:
+    """kuromoji_completion (JapaneseCompletionFilter): each token emits its
+    surface AND the wapuro romaji of its reading; mode=query concatenates
+    the tokens into one prefix unit (functions/cjk.py, reference vectors in
+    KuromojiAnalysisTests testCompletionFilterFactory)."""
+    from .cjk import ja_reading, kana_to_romaji
+
+    def romaji(s: str) -> str:
+        return kana_to_romaji(ja_reading(s), long_vowel="keep")
+
+    if mode == "query":
+        whole = "".join(toks)
+        return [whole, romaji(whole)] if whole else []
+    out: list[str] = []
+    for t in toks:
+        out.append(t)
+        r = romaji(t)
+        if r != t:
+            out.append(r)
+    return out
+
+
 def _filter_icu_collation(toks: list[str], language: str = "",
                           country: str = "", variant: str = "",
                           strength: str = "tertiary", numeric: bool = False,
@@ -2542,6 +2564,7 @@ TOKEN_FILTERS = {
     "kuromoji_number": _filter_kuromoji_number,
     "kuromoji_baseform": _filter_kuromoji_baseform,
     "kuromoji_part_of_speech": _filter_kuromoji_pos,
+    "kuromoji_completion": _filter_kuromoji_completion,
     "nori_number": _filter_nori_number,
     "nori_part_of_speech": _filter_nori_pos,
     "nori_readingform": _filter_nori_readingform,

@@ -34,7 +34,8 @@ __all__ = [
     "icu_tokenize", "smartcn_analyze", "icu_analyzer_analyze", "CJK_LEXICON",
     "kuromoji_tokenize", "kuromoji_analyze", "nori_tokenize", "nori_analyze",
     "kuromoji_tokenize_rich", "nori_tokenize_rich",
-    "kana_to_romaji", "reading_to_romaji", "ja_normalize_number",
+    "kana_to_romaji", "reading_to_romaji", "kuromoji_completion",
+    "ja_normalize_number",
     "ko_normalize_number", "iteration_mark_normalize", "katakana_stem",
     "JA_STOPWORDS", "DEFAULT_JA_STOPTAGS", "DEFAULT_KO_STOPTAGS",
     "ja_lookup", "ko_lookup", "pos_matches",
@@ -357,6 +358,14 @@ _JA_TABLE = """
 研究 名詞 ケンキュウ -
 技術 名詞 ギジュツ -
 情報 名詞 ジョウホウ -
+ソース 名詞 ソース -
+コード 名詞 コード -
+データ 名詞 データ -
+システム 名詞 システム -
+サービス 名詞 サービス -
+インターネット 名詞 インターネット -
+コンピュータ 名詞 コンピュータ -
+プログラム 名詞 プログラム -
 検索 名詞 ケンサク -
 解析 名詞 カイセキ -
 試合 名詞 シアイ -
@@ -877,6 +886,8 @@ def kana_to_romaji(token: str, long_vowel: str = "double",
                 prev = out[-1] if out else ""
                 if prev and prev[-1] in _VOWELS:
                     out.append(prev[-1])
+            elif long_vowel == "keep":
+                out.append("ー")  # completion romaji keeps it (soーsu)
             i += 1
             continue
         two = _ROMAJI.get(hira[i:i + 2])
@@ -897,6 +908,42 @@ def reading_to_romaji(reading: str) -> str:
     """The readingform use_romaji romanization (Lucene ToStringUtil ascii
     form pinned by the reference vectors): ー dropped, n' before vowels/y."""
     return kana_to_romaji(reading, long_vowel="drop", n_apostrophe=True)
+
+
+def kuromoji_completion(text: str, mode: str = "index") -> list[str]:
+    """kuromoji_completion filter + analyzer
+    (``JapaneseCompletionFilter``/``JapaneseCompletionAnalyzer``): each
+    token emits its surface AND the wapuro-style romaji of its reading
+    (東京 → 東京, toukyou; ー kept literally: ソース → soーsu — the
+    reference vectors in testCompletionFilterFactory/testCompletionAnalyzer).
+    ``mode="query"``: trailing tokens concatenate into ONE prefix unit
+    (ｿｰｽｺｰﾄﾞ → ソースコード, soーsukoーdo; サッk → サッk, sakk)."""
+    import unicodedata
+
+    from .analysis import TOKEN_FILTERS
+
+    # width-fold halfwidth kana then NFC-compose the voiced marks the
+    # fold leaves combining (ﾄﾞ → ト+゙ → ド)
+    norm = text
+    if text:
+        norm = unicodedata.normalize("NFC", TOKEN_FILTERS["cjk_width"]([text])[0])
+    toks = [t.surface for t in kuromoji_tokenize_rich(norm)]
+    if not toks:
+        return []
+
+    def romaji(surface: str) -> str:
+        return kana_to_romaji(ja_reading(surface), long_vowel="keep")
+
+    if mode == "query":
+        whole = "".join(toks)
+        return [whole, romaji(whole)]
+    out: list[str] = []
+    for t in toks:
+        out.append(t)
+        r = romaji(t)
+        if r != t:
+            out.append(r)
+    return out
 
 
 _JA_DIGITS = {"〇": 0, "零": 0, "一": 1, "二": 2, "三": 3, "四": 4,

@@ -177,3 +177,27 @@ def test_nori_number():
     toks = nori_tokenize("오늘 십만이천오백원짜리 와인 구입")
     assert TOKEN_FILTERS["nori_number"](toks) == [
         "오늘", "102500", "원", "짜리", "와인", "구입"]
+
+
+def test_kuromoji_completion_filter():
+    # testCompletionFilterFactory: index mode emits surface + wapuro
+    # romaji of the reading; query mode keeps the input as one prefix unit
+    from elasticsearch_spark.functions.cjk import kuromoji_completion
+
+    assert kuromoji_completion("東京都", "index") == [
+        "東京", "toukyou", "都", "to"]
+    assert kuromoji_completion("サッk", "query") == ["サッk", "sakk"]
+
+
+def test_kuromoji_completion_analyzer():
+    # testCompletionAnalyzer: halfwidth input width-folds, ー survives in
+    # the romaji (soーsu), query mode concatenates
+    from elasticsearch_spark.functions.cjk import kuromoji_completion
+
+    assert kuromoji_completion("ｿｰｽｺｰﾄﾞ", "index") == [
+        "ソース", "soーsu", "コード", "koーdo"]
+    assert kuromoji_completion("ｿｰｽｺｰﾄﾞ", "query") == [
+        "ソースコード", "soーsukoーdo"]
+    # the TOKEN_FILTERS registration drives the same path token-wise
+    assert TOKEN_FILTERS["kuromoji_completion"](["東京", "都"]) == [
+        "東京", "toukyou", "都", "to"]
