@@ -475,6 +475,85 @@ _JA_TABLE = """
 音 名詞 オト -
 光 名詞 ヒカリ -
 力 名詞 チカラ -
+旅館 名詞 リョカン -
+空港 名詞 クウコウ -
+病気 名詞 ビョウキ -
+薬局 名詞 ヤッキョク -
+警察 名詞 ケイサツ -
+消防 名詞 ショウボウ -
+政府 名詞 セイフ -
+選挙 名詞 センキョ -
+法律 名詞 ホウリツ -
+裁判 名詞 サイバン -
+契約 名詞 ケイヤク -
+会計 名詞 カイケイ -
+給料 名詞 キュウリョウ -
+貯金 名詞 チョキン -
+保険 名詞 ホケン -
+株式 名詞 カブシキ -
+貿易 名詞 ボウエキ -
+輸出 名詞 ユシュツ -
+輸入 名詞 ユニュウ -
+工場 名詞 コウジョウ -
+機械 名詞 キカイ -
+設備 名詞 セツビ -
+材料 名詞 ザイリョウ -
+製品 名詞 セイヒン -
+品質 名詞 ヒンシツ -
+価格 名詞 カカク -
+販売 名詞 ハンバイ -
+宣伝 名詞 センデン -
+広告 名詞 コウコク -
+放送 名詞 ホウソウ -
+番組 名詞 バングミ -
+記事 名詞 キジ -
+取材 名詞 シュザイ -
+出版 名詞 シュッパン -
+小説 名詞 ショウセツ -
+物語 名詞 モノガタリ -
+芝居 名詞 シバイ -
+舞台 名詞 ブタイ -
+俳優 名詞 ハイユウ -
+監督 名詞 カントク -
+観客 名詞 カンキャク -
+切手 名詞 キッテ -
+手紙 名詞 テガミ -
+葉書 名詞 ハガキ -
+荷物 名詞 ニモツ -
+送る 動詞-自立 オクル 送る
+送っ 動詞-自立 オクッ 送る
+届く 動詞-自立 トドク 届く
+届い 動詞-自立 トドイ 届く
+運ぶ 動詞-自立 ハコブ 運ぶ
+運ん 動詞-自立 ハコン 運ぶ
+帰る 動詞-自立 カエル 帰る
+帰っ 動詞-自立 カエッ 帰る
+休む 動詞-自立 ヤスム 休む
+休ん 動詞-自立 ヤスン 休む
+遊ぶ 動詞-自立 アソブ 遊ぶ
+遊ん 動詞-自立 アソン 遊ぶ
+歩く 動詞-自立 アルク 歩く
+歩い 動詞-自立 アルイ 歩く
+走る 動詞-自立 ハシル 走る
+走っ 動詞-自立 ハシッ 走る
+泳ぐ 動詞-自立 オヨグ 泳ぐ
+泳い 動詞-自立 オヨイ 泳ぐ
+教える 動詞-自立 オシエル 教える
+教え 動詞-自立 オシエ 教える
+習う 動詞-自立 ナラウ 習う
+習っ 動詞-自立 ナラッ 習う
+覚える 動詞-自立 オボエル 覚える
+覚え 動詞-自立 オボエ 覚える
+忘れる 動詞-自立 ワスレル 忘れる
+忘れ 動詞-自立 ワスレ 忘れる
+始める 動詞-自立 ハジメル 始める
+始め 動詞-自立 ハジメ 始める
+終わる 動詞-自立 オワル 終わる
+終わっ 動詞-自立 オワッ 終わる
+開く 動詞-自立 ヒラク 開く
+開い 動詞-自立 ヒライ 開く
+閉める 動詞-自立 シメル 閉める
+閉め 動詞-自立 シメ 閉める
 """
 
 
@@ -654,6 +733,20 @@ CJK_LEXICON: frozenset[str] = frozenset("""
 分布式 倒排索引 使用 进行 实现 支持 提供 包括 需要 通过 根据 主要 重要 基本 基础 功能 性能 速度 内存 存储
 日本語 東京 大阪 京都 会社 仕事 学校 先生 学生 電車 電話 時間 今日 明日 昨日 天気 映画 音楽 料理
 野球 漢字 言葉 世界 日本 中国 韓国 勉強 研究 技術 情報 検索 解析
+东西 事情 觉得 认为 应该 能够 或者 然后 于是 不过 而且 其实 当然 突然 马上 刚才 后来 最近 将来 过去 未来
+每天 每年 星期 月份 年代 世纪 分钟 小时 晚上 早上 中午 下午 上午 白天 房间 房子 大楼 建筑 工厂 农村
+国家 政府 人民 群众 组织 单位 部门 领导 干部 职工 工人 农民 商人 老板 经理 同事 同学 邻居 亲戚 兄弟
+姐妹 爸爸 妈妈 爷爷 奶奶 叔叔 阿姨 儿子 女儿 丈夫 妻子 身体 眼睛 耳朵 鼻子 嘴巴 头发 手指 衣服 裤子
+鞋子 帽子 颜色 红色 黄色 蓝色 绿色 白色 黑色 声音 味道 感情 爱情 友谊 婚姻 家人 生命 生日 节日 春天
+夏天 秋天 冬天 季节 温度 空气 阳光 地球 宇宙 粮食 面包 食物 饮料 茶叶 糖果 盐巴 酱油 醋酸 味精 厨房
+卧室 客厅 阳台 花盆 桌子 椅子 沙发 床铺 柜子 抽屉 镜子 窗户 门口 楼梯 电梯 车站 机场 码头 桥梁 隧道
+红绿灯 人行道 停车场 加油站 图纸 工具 机械 设备 仪器 零件 材料 钢铁 塑料 玻璃 木头 石头 泥土 沙子
+价格 成本 利润 工资 奖金 税收 贷款 投资 股票 保险 合同 协议 规定 法律 法院 警察 军队 武器 战争 和平
+胜利 冠军 比赛 运动员 教练 球场 观众 门票 表演 舞台 演员 导演 剧本 小说 诗歌 散文 故事 传说 神话 童话
+杂志 报纸 广告 广播 电视 频道 节目 主持人 记者 编辑 出版 印刷 书店 课本 作业 笔记 铅笔 钢笔 橡皮 尺子
+书包 黑板 教室 操场 宿舍 食堂 实验室 办公室 会议室 礼堂 体育馆 游泳池 公园 广场 博物馆 电影院 剧院
+动物园 植物园 游乐场 名胜 古迹 风俗 习惯 礼貌 道德 精神 思想 观念 态度 性格 脾气 爱好 兴趣 特点 优点
+缺点 错误 正确 真实 虚假 简单 复杂 容易 困难 方便 麻烦 干净 整齐 混乱 安静 热闹 凉快 温暖 寒冷 炎热
 """.split())
 
 # Viterbi costs: one class for all lexicon words — a 4-char word (300) then
@@ -1214,6 +1307,65 @@ _KO_TABLE = """
 짧 VA - -
 빠르 VA - -
 아름답 VA - -
+병원 NNG - -
+약국 NNG - -
+경찰 NNG - -
+소방서 NNG - -
+정부 NNG - -
+선거 NNG - -
+법률 NNG - -
+재판 NNG - -
+계약 NNG - -
+회계 NNG - -
+월급 NNG - -
+저금 NNG - -
+보험 NNG - -
+주식 NNG - -
+무역 NNG - -
+수출 NNG - -
+수입 NNG - -
+공장 NNG - -
+기계 NNG - -
+설비 NNG - -
+재료 NNG - -
+제품 NNG - -
+품질 NNG - -
+가격 NNG - -
+판매 NNG - -
+광고 NNG - -
+방송 NNG - -
+기사 NNG - -
+출판 NNG - -
+소설 NNG - -
+이야기 NNG - -
+무대 NNG - -
+배우 NNG - -
+감독 NNG - -
+관객 NNG - -
+우표 NNG - -
+편지 NNG - -
+짐 NNG - -
+공항 NNG - -
+호텔 NNG - -
+식당 NNG - -
+시장 NNG - -
+가게 NNG - -
+거리 NNG - -
+동네 NNG - -
+마을 NNG - -
+지역 NNG - -
+주소 NNG - -
+번호 NNG - -
+지도 NNG - -
+사전 NNG - -
+단어 NNG - -
+문장 NNG - -
+문법 NNG - -
+발음 NNG - -
+번역 NNG - -
+의미 NNG - -
+질문 NNG - -
+대답 NNG - -
 """
 
 # compound nouns with decompound splits (the nori decompound_mode surface)
