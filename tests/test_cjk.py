@@ -142,3 +142,39 @@ def test_ja_ko_filter_registration():
     assert TOKENIZERS["nori_tokenizer"]("한국어 공부") == ["한국어", "공부"]
     assert ANALYZERS["nori"]("학교에 갔다") == ["학교", "갔다"]
     assert ANALYZERS["kuromoji"]("日本語の勉強") != []
+
+
+# --- lattice robustness fuzz ------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ANY_TEXT = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0x20, max_codepoint=0x7E),       # ascii
+        st.characters(min_codepoint=0x3040, max_codepoint=0x30FF),   # kana
+        st.characters(min_codepoint=0x4E00, max_codepoint=0x4FFF),   # han
+        st.characters(min_codepoint=0xAC00, max_codepoint=0xACFF),   # hangul
+        st.sampled_from("ー々ゝゞ・。、０９ＡＺ"),
+    ),
+    max_size=40,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_ANY_TEXT)
+def test_lattice_total_and_lossless(s):
+    """Every position has a candidate (no unreachable lattice nodes) and
+    segmentation is LOSSLESS: the concatenated token surfaces are exactly
+    the input minus whitespace (punctuation included when not discarded)."""
+    from elasticsearch_spark.functions.cjk import (
+        icu_tokenize, kuromoji_tokenize_rich, nori_tokenize_rich,
+    )
+
+    stripped = "".join(c for c in s if not c.isspace())
+    ja = kuromoji_tokenize_rich(s, discard_punctuation=False)
+    assert "".join(t.surface for t in ja) == stripped
+    ko = nori_tokenize_rich(s, discard_punctuation=False,
+                            decompound_mode="none")
+    assert "".join(t.surface for t in ko) == stripped
+    icu_tokenize(s)  # must not crash (its own lossy lowercasing is fine)
