@@ -119,8 +119,8 @@ def render_template(source: str, params: dict) -> str:
     return re.sub(r"\{\{([\w.]+)\}\}", var_of(True), s)
 
 
-# percolate candidate-doc padding lives with the percolator now
-from .operators.percolate import _query_fields  # noqa: E402
+# (percolate candidate-doc padding lives with the percolator now —
+# operators/percolate._query_fields / _pad_fields)
 
 
 def _tpl_get(params: dict, dotted: str):
@@ -1931,14 +1931,21 @@ class Engine:
                     f"percolate document not found: {spec['index']}/{spec['id']}")
             docs = [{k: v for k, v in ref.items()
                      if k not in ("doc_id", "dl", "norm", "seg_id")}]
+        if not concrete:
+            # pattern resolved to no indices (allow_no_indices): no stored
+            # queries, so nothing can match — empty hits, same as before
+            empty = self.spark.createDataFrame([], "url string")
+            return {"hits": empty}
         qdf = None
         for ix in concrete:
-            part = (
-                self._docs_view(ix)
-                .where(F.col(field).isNotNull())
-                .select(F.col("url").alias("query_id"),
-                        F.col(field).cast("string").alias("query_json"))
-            )
+            view = self._docs_view(ix).where(F.col(field).isNotNull())
+            qcol = F.col(field)
+            if dict(view.dtypes).get(field, "string") != "string":
+                # percolator query stored as a struct/map column — render
+                # REAL JSON (cast-to-string gives Spark's {v1, v2} form)
+                qcol = F.to_json(qcol)
+            part = view.select(F.col("url").alias("query_id"),
+                               qcol.cast("string").alias("query_json"))
             qdf = part if qdf is None else qdf.unionByName(part)
         from pyspark.sql import Row
 

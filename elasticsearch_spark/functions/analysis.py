@@ -1576,23 +1576,12 @@ def _filter_nori_pos(toks: list[str], stoptags: list[str] | None = None, **_) ->
 def _filter_kuromoji_completion(toks: list[str], mode: str = "index", **_) -> list[str]:
     """kuromoji_completion (JapaneseCompletionFilter): each token emits its
     surface AND the wapuro romaji of its reading; mode=query concatenates
-    the tokens into one prefix unit (functions/cjk.py, reference vectors in
+    the tokens into one prefix unit — one shared emit step with the
+    analyzer path (functions/cjk.py completion_emit; reference vectors in
     KuromojiAnalysisTests testCompletionFilterFactory)."""
-    from .cjk import ja_reading, kana_to_romaji
+    from .cjk import completion_emit
 
-    def romaji(s: str) -> str:
-        return kana_to_romaji(ja_reading(s), long_vowel="keep")
-
-    if mode == "query":
-        whole = "".join(toks)
-        return [whole, romaji(whole)] if whole else []
-    out: list[str] = []
-    for t in toks:
-        out.append(t)
-        r = romaji(t)
-        if r != t:
-            out.append(r)
-    return out
+    return completion_emit(toks, mode)
 
 
 def _filter_icu_collation(toks: list[str], language: str = "",

@@ -519,7 +519,6 @@ _JA_TABLE = """
 切手 名詞 キッテ -
 手紙 名詞 テガミ -
 葉書 名詞 ハガキ -
-荷物 名詞 ニモツ -
 送る 動詞-自立 オクル 送る
 送っ 動詞-自立 オクッ 送る
 届く 動詞-自立 トドク 届く
@@ -1021,6 +1020,14 @@ def kuromoji_completion(text: str, mode: str = "index") -> list[str]:
     if text:
         norm = unicodedata.normalize("NFC", TOKEN_FILTERS["cjk_width"]([text])[0])
     toks = [t.surface for t in kuromoji_tokenize_rich(norm)]
+    return completion_emit(toks, mode)
+
+
+def completion_emit(toks: list[str], mode: str = "index") -> list[str]:
+    """The JapaneseCompletionFilter emit step shared by the analyzer path
+    above and the token-filter registration (analysis.py): surface +
+    wapuro romaji per token, or one concatenated prefix unit in query
+    mode."""
     if not toks:
         return []
 
@@ -1029,7 +1036,8 @@ def kuromoji_completion(text: str, mode: str = "index") -> list[str]:
 
     if mode == "query":
         whole = "".join(toks)
-        return [whole, romaji(whole)]
+        r = romaji(whole)
+        return [whole, r] if r != whole else [whole]
     out: list[str] = []
     for t in toks:
         out.append(t)
@@ -1285,7 +1293,6 @@ _KO_TABLE = """
 산다 VV - -
 먹다 VV - -
 먹는다 VV - -
-보다 VV - -
 본다 VV - -
 봤다 VV - -
 있다 VV - -
@@ -1303,11 +1310,9 @@ _KO_TABLE = """
 작 VA - -
 많 VA - -
 적 VA - -
-길 VA - -
 짧 VA - -
 빠르 VA - -
 아름답 VA - -
-병원 NNG - -
 약국 NNG - -
 경찰 NNG - -
 소방서 NNG - -
@@ -1347,9 +1352,6 @@ _KO_TABLE = """
 짐 NNG - -
 공항 NNG - -
 호텔 NNG - -
-식당 NNG - -
-시장 NNG - -
-가게 NNG - -
 거리 NNG - -
 동네 NNG - -
 마을 NNG - -
@@ -1364,8 +1366,6 @@ _KO_TABLE = """
 발음 NNG - -
 번역 NNG - -
 의미 NNG - -
-질문 NNG - -
-대답 NNG - -
 """
 
 # compound nouns with decompound splits (the nori decompound_mode surface)

@@ -130,6 +130,9 @@ def _elements(text: str, tailor: dict, numeric: bool):
             sec = 0
             for m in marks:
                 sec = sec * 0x100 + (ord(m) & 0xFF)
+            # accents add ABOVE the common weight 0x20 so the unaccented
+            # letter sorts first at secondary strength (UCA direction)
+            sec = 0x20 + (sec & 0x7F00) // 4 + (sec & 0xFF) if sec else 0
             out.append((_GROUP_LATIN + _LATIN_RANK[blo], sec & 0x7FFF,
                         2 if base != blo else 1))
         elif base.isdigit() and base.isascii():
@@ -157,8 +160,13 @@ def collation_key(text: str, locale: str = "", strength: str = "tertiary",
         key += p.to_bytes(2, "big")
     if strength in ("secondary", "tertiary", "quaternary", "identical"):
         key += b"\x00\x00"
-        for _, s, _ in els:
-            if s:
+        for p, s, _ in els:
+            # letters carry UCA's COMMON secondary weight (0x20) when
+            # unaccented so accent POSITION distinguishes (aá ≠ áa);
+            # non-letter elements skip zero weights like UCA key build
+            if _GROUP_LATIN <= p < _GROUP_OTHER:
+                key += (s or 0x20).to_bytes(2, "big")
+            elif s:
                 key += s.to_bytes(2, "big")
     if strength in ("tertiary", "quaternary", "identical"):
         key += b"\x00\x00"

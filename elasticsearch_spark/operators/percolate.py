@@ -61,13 +61,16 @@ _UNPRUNABLE_TYPE = re.compile(r"^(timestamp|date|binary|decimal)")
 @dataclass(frozen=True)
 class Extraction:
     """Necessary-condition disjunction: a doc matching the query MUST
-    contain at least one ``(field, term)`` from ``terms`` (term = the raw
-    value's canonical string for term-level queries, an analyzed token for
-    match-family queries). ``verified`` = the converse also holds (any
+    contain at least one ``(field, term, kind)`` from ``terms`` — kind
+    ``"raw"`` for term-level equality semantics (the value's canonical
+    string must equal the doc's raw value) vs ``"tok"`` for match-family
+    containment (an analyzed token). The candidate join matches kinds, so
+    a term query for ``en`` can NEVER collide with the analyzed token
+    ``en`` inside ``en-US``. ``verified`` = the converse also holds (any
     extraction term present ⟹ the query matches), so candidate pairs are
     matches with no evaluation — QueryAnalyzer.Result.verified."""
 
-    terms: tuple  # ((field, term), ...)
+    terms: tuple  # ((field, term, kind), ...)
     verified: bool
 
 
@@ -123,23 +126,28 @@ def extract(node, analyze, key: str) -> Extraction | None:
         t = _term_str(node.value)
         if node.case_insensitive or t is None:
             return None
-        return Extraction(((node.fld, t),), True)
+        return Extraction(((node.fld, t, "raw"),), True)
     if isinstance(node, d.TermsQ):
         ts = [_term_str(v) for v in node.values]
         if any(t is None for t in ts):
             return None
-        return Extraction(tuple((node.fld, t) for t in dict.fromkeys(ts)), True)
+        return Extraction(tuple((node.fld, t, "raw")
+                                for t in dict.fromkeys(ts)), True)
     if isinstance(node, d.TermsSetQ):
+        if node.min_match < 1:
+            return None  # min_match 0 matches everything — unanalyzable
         ts = [_term_str(v) for v in node.values]
         if any(t is None for t in ts):
             return None
-        return Extraction(tuple((node.fld, t) for t in dict.fromkeys(ts)),
+        return Extraction(tuple((node.fld, t, "raw")
+                                for t in dict.fromkeys(ts)),
                           node.min_match <= 1)
     if isinstance(node, d.IdsQ):
         ts = [_term_str(v) for v in node.values]
         if any(t is None for t in ts):
             return None
-        return Extraction(tuple((key, t) for t in dict.fromkeys(ts)), True)
+        return Extraction(tuple((key, t, "raw")
+                                for t in dict.fromkeys(ts)), True)
     if isinstance(node, d.MatchQ):
         toks = list(dict.fromkeys(analyze(node.query)))
         if not toks:
@@ -148,13 +156,13 @@ def extract(node, analyze, key: str) -> Extraction | None:
                 else d.resolve_msm(node.minimum_should_match, len(toks)))
         if need <= 0:
             return None  # msm 0 ⇒ every doc matches
-        return Extraction(tuple((node.fld, t) for t in toks), need == 1)
+        return Extraction(tuple((node.fld, t, "tok") for t in toks), need == 1)
     if isinstance(node, d.MatchPhraseQ):
         toks = analyze(node.query)
         if not toks:
             return _NOTHING
         uniq = list(dict.fromkeys(toks))
-        return Extraction(tuple((node.fld, t) for t in uniq),
+        return Extraction(tuple((node.fld, t, "tok") for t in uniq),
                           len(toks) == 1)  # 1-token phrase ≡ containment
     if isinstance(node, d.MatchPhrasePrefixQ):
         toks = analyze(node.query)
@@ -163,18 +171,19 @@ def extract(node, analyze, key: str) -> Extraction | None:
         fixed = list(dict.fromkeys(toks[:-1]))
         if not fixed:
             return None  # prefix-only: no exact-term requirement
-        return Extraction(tuple((node.fld, t) for t in fixed), False)
+        return Extraction(tuple((node.fld, t, "tok") for t in fixed), False)
     if isinstance(node, d.CommonTermsQ):
         toks = list(dict.fromkeys(analyze(node.query)))
         if not toks:
             return _NOTHING
-        return Extraction(tuple((node.fld, t) for t in toks), False)
+        return Extraction(tuple((node.fld, t, "tok") for t in toks), False)
     if isinstance(node, (d.MultiMatchQ, d.CombinedFieldsQ)):
         toks = list(dict.fromkeys(analyze(node.query)))
         if not toks:
             return _NOTHING
         flds = [str(f).split("^")[0] for f in node.flds]
-        return Extraction(tuple((f, t) for f in flds for t in toks), False)
+        return Extraction(tuple((f, t, "tok")
+                                for f in flds for t in toks), False)
     if isinstance(node, d.ConstantScoreQ):
         return extract(node.filter_q, analyze, key) if node.filter_q else None
     if isinstance(node, d.DisMaxQ):
@@ -187,7 +196,7 @@ def extract(node, analyze, key: str) -> Extraction | None:
         if any(t is None for t in ids):
             return None
         return Extraction(tuple(dict.fromkeys(
-            [(key, t) for t in ids] + list(org.terms))), org.verified)
+            [(key, t, "raw") for t in ids] + list(org.terms))), org.verified)
     if isinstance(node, d.BoostingQ):
         # negative only demotes score; the match set is the positive's
         pos = extract(node.positive, analyze, key) if node.positive else None
@@ -232,7 +241,7 @@ def extract(node, analyze, key: str) -> Extraction | None:
 # term tables (distributed)
 # --------------------------------------------------------------------------
 
-_QX_SCHEMA = ("query_id string, field string, term string, "
+_QX_SCHEMA = ("query_id string, field string, term string, kind string, "
               "verified boolean, unanalyzable boolean")
 
 
@@ -245,8 +254,8 @@ def _extract_one(qid: str, q: dict, analyze, key: str):
     except Exception:
         ex = None
     if ex is None:
-        return [(qid, None, None, False, True)]
-    return [(qid, f, t, ex.verified, False) for f, t in ex.terms]
+        return [(qid, None, None, None, False, True)]
+    return [(qid, f, t, k, ex.verified, False) for f, t, k in ex.terms]
 
 
 def _qterms_from_df(stored: DataFrame, analyzer_regex: str, key: str) -> DataFrame:
@@ -266,19 +275,23 @@ def _qterms_from_df(stored: DataFrame, analyzer_regex: str, key: str) -> DataFra
                 q = json.loads(qj) if isinstance(qj, str) else qj
                 rows.extend(_extract_one(qid, q, analyze, key))
             yield pd.DataFrame(rows, columns=[
-                "query_id", "field", "term", "verified", "unanalyzable"])
+                "query_id", "field", "term", "kind", "verified",
+                "unanalyzable"])
 
     return stored.mapInPandas(run, _QX_SCHEMA)
 
 
 def _doc_terms(docs: DataFrame, key: str, fields: list[str],
                analyzer_regex: str) -> tuple[DataFrame, list[str]]:
-    """One-pass (doc key, field, term) token table over the referenced
-    fields: raw CAST-to-STRING values (term-level equality side) plus the
-    analyzed tokens (match-family side); array columns contribute their
-    elements. Returns the frame and the UNPRUNABLE field subset (types
-    whose string cast can't mirror DSL literals — extractions on those
-    fields are demoted to full evaluation by the caller)."""
+    """One-pass (doc key, field, term, kind) token table over the
+    referenced fields: kind ``raw`` = CAST-to-STRING values (term-level
+    equality side; array columns contribute their elements, integral
+    doubles also surface their integer form) vs kind ``tok`` = analyzed
+    tokens (match-family side) — matching the Extraction kinds so exact
+    and containment semantics never cross. Returns the frame and the
+    UNPRUNABLE field subset (types whose string cast can't mirror DSL
+    literals — extractions on those fields are demoted to full evaluation
+    by the caller)."""
     entries = []
     unprunable: list[str] = []
     for f in fields:
@@ -296,21 +309,29 @@ def _doc_terms(docs: DataFrame, key: str, fields: list[str],
             raws = F.array(F.col(f).cast("string"))
             text = F.col(f).cast("string")
         toks = F.regexp_extract_all(F.lower(text), F.lit(analyzer_regex), F.lit(0))
-        parts = [raws, toks]
         if dt in ("double", "float"):
-            # 3.0 must also surface as "3" so integer DSL literals hit
-            parts.append(F.array(F.col(f).cast("bigint").cast("string")))
+            # 3.0 must also surface as "3" so integer DSL literals hit —
+            # but ONLY when the value is integral (3.7 must never alias 3)
+            c = F.col(f)
+            raws = F.concat(raws, F.when(
+                c == c.cast("bigint").cast(dt),
+                F.array(c.cast("bigint").cast("string"))
+            ).otherwise(F.array()))
         entries.append(F.struct(
-            F.lit(f).alias("field"),
-            F.array_distinct(F.array_compact(F.concat(*parts))).alias("terms"),
-        ))
+            F.lit(f).alias("field"), F.lit("raw").alias("kind"),
+            F.array_distinct(F.array_compact(raws)).alias("terms")))
+        entries.append(F.struct(
+            F.lit(f).alias("field"), F.lit("tok").alias("kind"),
+            F.array_distinct(F.array_compact(toks)).alias("terms")))
     if not entries:
         empty = docs.where(F.lit(False))
         return (empty.select(F.col(key), F.lit("").alias("field"),
-                             F.lit("").alias("term")), unprunable)
+                             F.lit("").alias("term"),
+                             F.lit("").alias("kind")), unprunable)
     return (
         docs.select(F.col(key), F.explode(F.array(*entries)).alias("e"))
         .select(F.col(key), F.col("e.field").alias("field"),
+                F.col("e.kind").alias("kind"),
                 F.explode("e.terms").alias("term")),
         unprunable,
     )
@@ -489,9 +510,9 @@ def percolate_pruned(
             demoted = None
 
         cand = (
-            doc_terms.join(F.broadcast(qterms.select("field", "term",
-                                                     "query_id", "verified")),
-                           ["field", "term"])
+            doc_terms.join(F.broadcast(qterms.select(
+                "field", "term", "kind", "query_id", "verified")),
+                ["field", "term", "kind"])
             .select(F.col(key), "query_id", "verified")
             .distinct()
         )

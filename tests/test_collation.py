@@ -91,3 +91,11 @@ def test_spark_binary_sort(spark):
     got = [r["word"] for r in
            df.withColumn("k", key("word")).orderBy("k").collect()]
     assert got == ["apple", "zebra", "åker", "öl"]
+
+
+def test_accent_position_distinguishes():
+    """UCA common secondary weights: strings differing only in WHICH
+    character carries the accent get distinct keys, unaccented-first."""
+    assert K("aá") != K("áa")
+    assert sorted(["áa", "aá"], key=K) == ["aá", "áa"]
+    assert sorted(["résume", "resumé"], key=K) == ["resumé", "résume"]

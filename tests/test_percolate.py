@@ -155,3 +155,35 @@ def test_pruned_10k_queries_driver_bounded(spark, corpus):
     assert perc.PRUNE_STATS["compiled"] == 2       # q_and + q_rng only
     assert perc.PRUNE_STATS["unanalyzable"] == 1   # q_rng
     assert perc.PRUNE_STATS["eval_chunks"] == 2    # one chunk per remainder class
+
+
+def test_pruned_kind_separation_no_false_positives(spark):
+    """Raw (term-level equality) and tok (analyzed containment) candidate
+    kinds never cross: a verified term query must not match via an
+    analyzed-token collision, integral aliasing of non-integral doubles
+    must not occur, and case differences don't leak through the pruned
+    passthrough — prune=True agrees with prune=False on all of them."""
+    docs = spark.createDataFrame(
+        [(1, "en-US", "Spark is great", 3.7, ["a"]),
+         (2, "en", "plain text", 3.0, ["b"]),
+         (3, "de", "spark spark", 2.0, ["c"])],
+        "doc_id long, lang string, text string, price double, "
+        "tags array<string>")
+    stored = [
+        ("t_en", {"term": {"lang": "en"}}),        # must NOT hit doc 1
+        ("t_price3", {"term": {"price": 3}}),      # hits doc 2 only (3.0)
+        ("t_spark", {"term": {"text": "spark"}}),  # raw equality: no doc
+        ("m_spark", {"match": {"text": "spark"}}),  # analyzed: docs 1, 3
+        ("i_2", {"ids": {"values": [2]}}),
+        ("ts_zero", {"terms_set": {"tags": {
+            "terms": ["zz"], "minimum_should_match_field_value": 0}}}),
+    ]
+    legacy = _pairs(percolate(docs, stored, prune=False))
+    pruned = _pairs(percolate(docs, stored, prune=True))
+    assert pruned == legacy
+    assert ("t_en", 1) not in pruned and ("t_en", 2) in pruned
+    assert ("t_price3", 2) in pruned and ("t_price3", 1) not in pruned
+    assert not any(q == "t_spark" for q, _ in pruned)
+    assert {d for q, d in pruned if q == "m_spark"} == {1, 3}
+    # min_match 0 matches EVERY doc (unanalyzable, fully evaluated)
+    assert {d for q, d in pruned if q == "ts_zero"} == {1, 2, 3}
