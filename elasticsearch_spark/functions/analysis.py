@@ -631,17 +631,21 @@ def make_simple_pattern_split_tokenizer(pattern: str = ""):
 
 
 def make_kuromoji_tokenizer(user_dictionary_rules: list[str] | None = None,
-                            discard_punctuation: bool = True, **_):
+                            discard_punctuation: bool = True,
+                            nbest_cost: int = 0,
+                            nbest_examples: str | None = None, **_):
     """kuromoji_tokenizer factory (KuromojiTokenizerFactory):
     user_dictionary_rules in the reference's CSV form
-    ("surface,segmentation,reading,pos"); mode/nbest options are accepted
-    and ignored (the lattice emits the single best path)."""
+    ("surface,segmentation,reading,pos"); nbest_cost / nbest_examples emit
+    the within-window dictionary sub-paths (reference vectors in
+    KuromojiAnalysisTests testNbest*); mode is accepted and ignored."""
     def fn(text: str) -> list[str]:
         from .cjk import kuromoji_tokenize_rich
 
         return [t.surface for t in kuromoji_tokenize_rich(
             text, user_rules=user_dictionary_rules,
-            discard_punctuation=discard_punctuation)]
+            discard_punctuation=discard_punctuation,
+            nbest_cost=int(nbest_cost), nbest_examples=nbest_examples)]
 
     return fn
 

@@ -144,6 +144,59 @@ def _viterbi(seg: str, lexicon: dict, max_word: int, unknown_fn) -> list[Token]:
     return toks
 
 
+
+
+def _viterbi_nbest(seg: str, lexicon: dict, max_word: int, unknown_fn,
+                   nbest_cost: int) -> list[Token]:
+    """kuromoji's nbest emission (KuromojiTokenizerFactory nbest_cost):
+    besides the best path, emit every DICTIONARY word whose cheapest path
+    through it costs at most ``nbest_cost`` more than the global best —
+    computed with forward (F) and backward (B) lattice costs, the standard
+    n-best-lattice criterion F[i] + cost(w) + B[j] ≤ best + Δ. Output is
+    ordered by (start, end) like the reference's offset-ordered stream."""
+    n = len(seg)
+    INF = float("inf")
+    F_ = [INF] * (n + 1)
+    F_[0] = 0
+    B_ = [INF] * (n + 1)
+    B_[n] = 0
+    cands: list = []  # (i, j, Token) dictionary candidates
+    for i in range(n):
+        hi = min(max_word, n - i)
+        for ln in range(1, hi + 1):
+            e = lexicon.get(seg[i:i + ln])
+            if e is not None:
+                cands.append((i, i + ln, e))
+        for ln, cost, e in unknown_fn(seg, i):
+            cands.append((i, i + ln, e))
+    for i, j, e in sorted(cands, key=lambda c: c[0]):
+        if F_[i] + e.cost < F_[j]:
+            F_[j] = F_[i] + e.cost
+    for i, j, e in sorted(cands, key=lambda c: -c[1]):
+        if e.cost + B_[j] < B_[i]:
+            B_[i] = e.cost + B_[j]
+    best = F_[n]
+    # the best path carries the unknown-word tokens; extra DICTIONARY
+    # words within the Δ window join it (kuromoji emits sub-path words,
+    # not alternative unknown groupings)
+    spans = []
+    p = 0
+    for t in _viterbi(seg, lexicon, max_word, unknown_fn):
+        spans.append((p, p + len(t.surface), t))
+        p += len(t.surface)
+    span_keys = {(i, j) for i, j, _ in spans}
+    extra = []
+    for i, j, e in cands:
+        if (i, j) in span_keys or lexicon.get(seg[i:j]) is not e:
+            continue
+        if F_[i] + e.cost + B_[j] <= best + nbest_cost:
+            extra.append((i, j, Token(seg[i:j], e.pos, e.reading, e.base,
+                                      e.splits, e.pos in ("記号", "SP"),
+                                      True)))
+    merged = sorted(spans + extra, key=lambda s: (s[0], s[1]))
+    return [t for _, _, t in merged]
+
+
 def _lattice_tokens(text: str, lexicon: dict, max_word: int,
                     unknown_fn) -> list[Token]:
     out: list[Token] = []
@@ -475,6 +528,10 @@ _JA_TABLE = """
 音 名詞 オト -
 光 名詞 ヒカリ -
 力 名詞 チカラ -
+鳩 名詞 ハト -
+鳩山 名詞-固有 ハトヤマ -
+山積み 名詞 ヤマヅミ -
+積み 名詞 ツミ -
 旅館 名詞 リョカン -
 空港 名詞 クウコウ -
 病気 名詞 ビョウキ -
@@ -642,16 +699,58 @@ def _ja_user_lexicon(user_rules) -> dict:
 
 
 def kuromoji_tokenize_rich(text: str, user_rules=None,
-                           discard_punctuation: bool = True) -> list[Token]:
+                           discard_punctuation: bool = True,
+                           nbest_cost: int = 0,
+                           nbest_examples: str | None = None) -> list[Token]:
     """kuromoji_tokenizer analog: the Japanese lattice (module docstring).
     Long-vowel and iteration-mark NORMALIZATION is not applied here — as in
-    the reference, ``kuromoji_iteration_mark`` is a separate char filter."""
+    the reference, ``kuromoji_iteration_mark`` is a separate char filter.
+
+    ``nbest_cost`` (KuromojiTokenizerFactory): also emit dictionary words
+    whose path lies within the cost window of the best segmentation —
+    given in the REFERENCE's IPADIC cost units (≈10× this lattice's
+    scale, divided down here). ``nbest_examples`` ("/text-token/…")
+    derives the window as the smallest cost that surfaces every listed
+    token, exactly the reference's calcNBestCost; both given → max."""
     lex = _ja_user_lexicon(user_rules) if user_rules else JA_LEXICON
     mw = max(_JA_MAX_WORD, max((len(w) for w in lex), default=1))
-    toks = _lattice_tokens(text, lex, mw, _ja_unknown)
+    delta = int(nbest_cost) // 10
+    if nbest_examples:
+        delta = max(delta, _nbest_cost_from_examples(nbest_examples, lex, mw))
+    if int(nbest_cost) > 0 or nbest_examples:  # Δ=0 still emits ties
+        toks: list[Token] = []
+        i, n = 0, len(text)
+        while i < n:
+            if text[i].isspace():
+                i += 1
+                continue
+            j = i
+            while j < n and not text[j].isspace():
+                j += 1
+            toks.extend(_viterbi_nbest(text[i:j], lex, mw, _ja_unknown, delta))
+            i = j
+    else:
+        toks = _lattice_tokens(text, lex, mw, _ja_unknown)
     if discard_punctuation:
         toks = [t for t in toks if not t.punct]
     return toks
+
+
+def _nbest_cost_from_examples(examples: str, lex: dict, mw: int) -> int:
+    """JapaneseTokenizer.calcNBestCost analog: for each /text-token/ pair,
+    the smallest Δ that makes ``token`` appear in the nbest stream of
+    ``text``; the answer is the max over examples."""
+    best_delta = 0
+    for part in examples.strip("/").split("/"):
+        txt, _, want = part.partition("-")
+        if not txt or not want:
+            continue
+        for delta in range(0, 2001, 10):
+            toks = _viterbi_nbest(txt, lex, mw, _ja_unknown, delta)
+            if any(t.surface == want for t in toks):
+                best_delta = max(best_delta, delta)
+                break
+    return best_delta
 
 
 def kuromoji_tokenize(text: str, user_rules=None) -> list[str]:

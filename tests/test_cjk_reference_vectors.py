@@ -201,3 +201,26 @@ def test_kuromoji_completion_analyzer():
     # the TOKEN_FILTERS registration drives the same path token-wise
     assert TOKEN_FILTERS["kuromoji_completion"](["東京", "都"]) == [
         "東京", "toukyou", "都", "to"]
+
+
+def test_kuromoji_nbest_cost():
+    # testNbestCost: nbest_cost 2000 (reference IPADIC cost units)
+    tk = TOKENIZER_FACTORIES["kuromoji_tokenizer"](nbest_cost="2000")
+    assert tk("鳩山積み") == ["鳩", "鳩山", "山積み", "積み"]
+
+
+def test_kuromoji_nbest_examples():
+    # testNbestExample: window derived from /text-token/ examples
+    tk = TOKENIZER_FACTORIES["kuromoji_tokenizer"](
+        nbest_examples="/鳩山積み-鳩山/鳩山積み-鳩/")
+    assert tk("鳩山積み") == ["鳩", "鳩山", "山積み", "積み"]
+
+
+def test_kuromoji_nbest_both_options():
+    # testNbestBothOptions: examples + cost 1000 → max of the two windows
+    tk = TOKENIZER_FACTORIES["kuromoji_tokenizer"](
+        nbest_examples="/鳩山積み-鳩山/鳩山積み-鳩/", nbest_cost="1000")
+    assert tk("鳩山積み") == ["鳩", "鳩山", "山積み", "積み"]
+    # without nbest the best path alone comes out
+    plain = TOKENIZER_FACTORIES["kuromoji_tokenizer"]()
+    assert plain("鳩山積み") == ["鳩", "山積み"]
