@@ -1591,20 +1591,36 @@ def _filter_kuromoji_completion(toks: list[str], mode: str = "index", **_) -> li
 def _filter_icu_collation(toks: list[str], language: str = "",
                           country: str = "", variant: str = "",
                           strength: str = "tertiary", numeric: bool = False,
-                          case_first: str = "lower", **_) -> list[str]:
-    """icu_collation_keyword token filter (analysis-icu
+                          case_first: str = "lower",
+                          alternate: str = "non-ignorable",
+                          case_level: bool = False,
+                          variable_top: str | None = None,
+                          **kw) -> list[str]:
+    """icu_collation_keyword / icu_collation token filter (analysis-icu
     IcuCollationTokenFilterFactory): tokens → locale collation sort keys
     (hex-encoded UCA keys, functions/collation.py) so that lexical order
-    of the emitted terms is the locale's linguistic order."""
+    of the emitted terms is the locale's linguistic order. The factory's
+    camelCase option names (caseFirst/caseLevel/variableTop) are accepted
+    alongside the snake_case forms; ``decomposition`` is accepted (input
+    is always NFD-decomposed here)."""
     from .collation import sort_key_hex
 
+    case_first = kw.get("caseFirst", case_first)
+    case_level = bool(kw.get("caseLevel", case_level))
+    variable_top = kw.get("variableTop", variable_top)
+    if isinstance(numeric, str):
+        numeric = numeric == "true"
+    if isinstance(case_level, str):
+        case_level = case_level == "true"
     locale = language
     if country:
         locale += "_" + country
     if variant:
         locale += "__" + variant
     return [sort_key_hex(t, locale=locale, strength=strength,
-                         numeric=numeric, case_first=case_first)
+                         numeric=numeric, case_first=case_first,
+                         alternate=alternate, case_level=case_level,
+                         variable_top=variable_top)
             for t in toks]
 
 

@@ -107,6 +107,16 @@ def _elements(text: str, tailor: dict, numeric: bool):
                 out.append((_GROUP_DIGIT + 0x100 + int(d), 0, 1))
             i = j
             continue
+        if unicodedata.combining(ch) and out:
+            # freestanding combining mark (NFD input like I + U+0307):
+            # fold into the previous letter's secondary, same as the
+            # precomposed form decomposing here
+            p, s, t = out[-1]
+            if _GROUP_LATIN <= p < _GROUP_OTHER:
+                add = (ord(ch) & 0xFF)
+                out[-1] = (p, ((s or 0x20) + add) & 0x7FFF, t)
+                i += 1
+                continue
         lo = ch.lower()
         tert = 2 if ch != lo else 1  # lowercase-first (ICU default)
         tailored = tailor.get(lo)
@@ -149,12 +159,24 @@ def _elements(text: str, tailor: dict, numeric: bool):
 
 
 def collation_key(text: str, locale: str = "", strength: str = "tertiary",
-                  numeric: bool = False, case_first: str = "lower") -> bytes:
+                  numeric: bool = False, case_first: str = "lower",
+                  alternate: str = "non-ignorable",
+                  variable_top: str | None = None,
+                  case_level: bool = False) -> bytes:
     """UCA sort key for ``text``: byte order == collation order (the
-    RuleBasedCollator.getSortKey analog). See module docstring."""
+    RuleBasedCollator.getSortKey analog). ``alternate="shifted"`` makes
+    VARIABLE elements (punctuation/space, or only those up to
+    ``variable_top``) ignorable — the icu_collation factory's alternate /
+    variableTop options; ``case_level`` inserts a case level so
+    strength=primary can still distinguish case while folding accents
+    (the caseLevel option). See module docstring."""
     if text is None:
         return b""
     els = _elements(str(text), _tailoring(locale), numeric)
+    if alternate == "shifted":
+        thr = (_GROUP_PUNCT + (ord(variable_top[0]) & 0xFF) + 1
+               if variable_top else _GROUP_DIGIT)
+        els = [e for e in els if e[0] >= thr]
     key = bytearray()
     for p, _, _ in els:
         key += p.to_bytes(2, "big")
@@ -168,6 +190,10 @@ def collation_key(text: str, locale: str = "", strength: str = "tertiary",
                 key += (s or 0x20).to_bytes(2, "big")
             elif s:
                 key += s.to_bytes(2, "big")
+    if case_level and strength not in ("tertiary", "quaternary", "identical"):
+        key += b"\x00\x00"
+        for _, _, t in els:
+            key.append(t if case_first != "upper" else (3 - t))
     if strength in ("tertiary", "quaternary", "identical"):
         key += b"\x00\x00"
         for _, _, t in els:

@@ -99,3 +99,75 @@ def test_accent_position_distinguishes():
     assert K("aá") != K("áa")
     assert sorted(["áa", "aá"], key=K) == ["aá", "áa"]
     assert sorted(["résume", "resumé"], key=K) == ["resumé", "résume"]
+
+
+# ---- reference vectors: plugins/analysis-icu SimpleIcuCollationTokenFilterTests
+
+
+def _same(a, b, **kw):
+    return K(a, **kw) == K(b, **kw)
+
+
+def test_icu_vectors_basic_and_turkish_primary():
+    # testBasicUsage / testNormalization (primary folds case; Turkish
+    # dotted/dotless İ-ı fold to the same primary, incl. the DECOMPOSED
+    # I + U+0307 form)
+    assert _same("FOO", "foo", strength="primary")
+    assert _same("I WİLL USE TURKİSH CASING",
+                 "ı will use turkish casıng", locale="tr", strength="primary")
+    assert _same("I WİLL USE TURKİSH CASING",
+                 "ı will use turkish casıng", locale="tr", strength="primary")
+
+
+def test_icu_vectors_secondary_strength():
+    # testSecondaryStrength: case folds at secondary
+    assert _same("TESTING", "testing", locale="en", strength="secondary")
+
+
+def test_icu_vectors_ignore_punctuation_shifted():
+    # testIgnorePunctuation: alternate=shifted makes punctuation/space
+    # ignorable at primary
+    kw = dict(locale="en", strength="primary", alternate="shifted")
+    assert _same("foo-bar", "foo bar", **kw)
+
+
+def test_icu_vectors_ignore_whitespace_variable_top():
+    # testIgnoreWhitespace: variableTop=' ' shifts only chars up to space —
+    # space ignorable, hyphen kept (foo-bar sorts before foo bar)
+    kw = dict(locale="en", strength="primary", alternate="shifted",
+              variable_top=" ")
+    assert _same("foo bar", "foobar", **kw)
+    assert K("foo-bar", **kw) < K("foo bar", **kw)
+
+
+def test_icu_vectors_numerics():
+    # testNumerics: foobar-9 < foobar-10
+    kw = dict(locale="en", numeric=True)
+    assert K("foobar-9", **kw) < K("foobar-10", **kw)
+
+
+def test_icu_vectors_ignore_accents_but_not_case():
+    # testIgnoreAccentsButNotCase: primary + caseLevel
+    kw = dict(locale="en", strength="primary", case_level=True)
+    assert _same("résumé", "resume", **kw)
+    assert _same("Résumé", "Resume", **kw)
+    assert K("resume", **kw) < K("Resume", **kw)
+
+
+def test_icu_vectors_upper_case_first():
+    # testUpperCaseFirst
+    kw = dict(locale="en", strength="tertiary", case_first="upper")
+    assert K("Resume", **kw) < K("resume", **kw)
+
+
+def test_icu_filter_registration_options():
+    from elasticsearch_spark.functions.analysis import TOKEN_FILTERS
+
+    a, b = TOKEN_FILTERS["icu_collation_keyword"](
+        ["foo-bar", "foo bar"], language="en", strength="primary",
+        alternate="shifted")
+    assert a == b
+    a, b = TOKEN_FILTERS["icu_collation_keyword"](
+        ["resume", "Resume"], language="en", strength="primary",
+        caseLevel="true")
+    assert a < b
