@@ -1846,16 +1846,137 @@ def _metaphone(word: str) -> str:  # noqa: C901
     return "".join(out)
 
 
+# Daitch-Mokotoff soundex coding table (the published 1985 standard the
+# reference's daitch_mokotoff encoder implements): pattern → (code at word
+# start, code before a vowel, code otherwise); None = not coded; a list of
+# tuples = BRANCHING alternatives (ambiguous groups like CH produce
+# multiple codes). Longest pattern wins.
+_DM_VOWELS = set("aeiouy")
+_DM_RULES: dict = {
+    "schtsch": [("2", "4", "4")], "schtsh": [("2", "4", "4")],
+    "schtch": [("2", "4", "4")],
+    "shtch": [("2", "4", "4")], "shtsh": [("2", "4", "4")],
+    "stsch": [("2", "4", "4")], "szcz": [("2", "4", "4")],
+    "szcs": [("2", "4", "4")], "stch": [("2", "4", "4")],
+    "shch": [("2", "4", "4")], "strz": [("2", "4", "4")],
+    "strs": [("2", "4", "4")], "stsh": [("2", "4", "4")],
+    "schd": [("2", "43", "43")], "scht": [("2", "43", "43")],
+    "zhdzh": [("2", "4", "4")], "zdzh": [("2", "4", "4")],
+    "zdz": [("2", "4", "4")],
+    "ttsch": [("4", "4", "4")], "ttch": [("4", "4", "4")],
+    "tsch": [("4", "4", "4")], "ttsz": [("4", "4", "4")],
+    "tch": [("4", "4", "4")], "trz": [("4", "4", "4")],
+    "trs": [("4", "4", "4")], "tsh": [("4", "4", "4")],
+    "tts": [("4", "4", "4")], "ttz": [("4", "4", "4")],
+    "tzs": [("4", "4", "4")], "tsz": [("4", "4", "4")],
+    "csz": [("4", "4", "4")], "czs": [("4", "4", "4")],
+    "drz": [("4", "4", "4")], "drs": [("4", "4", "4")],
+    "dsh": [("4", "4", "4")], "dsz": [("4", "4", "4")],
+    "dzh": [("4", "4", "4")], "dzs": [("4", "4", "4")],
+    "zsch": [("4", "4", "4")], "zsh": [("4", "4", "4")],
+    "sch": [("4", "4", "4")], "sht": [("2", "43", "43")],
+    "szt": [("2", "43", "43")], "shd": [("2", "43", "43")],
+    "szd": [("2", "43", "43")],
+    "chs": [("5", "54", "54")],
+    "ch": [("5", "5", "5"), ("4", "4", "4")],
+    "ck": [("5", "5", "5"), ("45", "45", "45")],
+    "cz": [("4", "4", "4")], "cs": [("4", "4", "4")],
+    "dt": [("3", "3", "3")], "ds": [("4", "4", "4")],
+    "dz": [("4", "4", "4")],
+    "fb": [("7", "7", "7")], "ks": [("5", "54", "54")],
+    "mn": [("66", "66", "66")], "nm": [("66", "66", "66")],
+    "pf": [("7", "7", "7")], "ph": [("7", "7", "7")],
+    "rz": [("94", "94", "94"), ("4", "4", "4")],
+    "rs": [("94", "94", "94"), ("4", "4", "4")],
+    "sh": [("4", "4", "4")], "sc": [("2", "4", "4")],
+    "st": [("2", "43", "43")], "sd": [("2", "43", "43")],
+    "sz": [("4", "4", "4")],
+    "th": [("3", "3", "3")], "ts": [("4", "4", "4")],
+    "tc": [("4", "4", "4")], "tz": [("4", "4", "4")],
+    "zd": [("2", "43", "43")], "zhd": [("2", "43", "43")],
+    "zh": [("4", "4", "4")], "zs": [("4", "4", "4")],
+    "ai": [("0", "1", None)], "aj": [("0", "1", None)],
+    "ay": [("0", "1", None)],
+    "ei": [("0", "1", None)], "ej": [("0", "1", None)],
+    "ey": [("0", "1", None)],
+    "oi": [("0", "1", None)], "oj": [("0", "1", None)],
+    "oy": [("0", "1", None)],
+    "ui": [("0", "1", None)], "uj": [("0", "1", None)],
+    "uy": [("0", "1", None)],
+    "au": [("0", "7", None)], "ia": [("1", None, None)],
+    "ie": [("1", None, None)], "io": [("1", None, None)],
+    "iu": [("1", None, None)], "ue": [("0", None, None)],
+    "a": [("0", None, None)], "b": [("7", "7", "7")],
+    "c": [("5", "5", "5"), ("4", "4", "4")],
+    "d": [("3", "3", "3")], "e": [("0", None, None)],
+    "f": [("7", "7", "7")], "g": [("5", "5", "5")],
+    "h": [("5", "5", None)], "i": [("0", None, None)],
+    "j": [("1", None, None), ("4", "4", "4")],
+    "k": [("5", "5", "5")], "l": [("8", "8", "8")],
+    "m": [("6", "6", "6")], "n": [("6", "6", "6")],
+    "o": [("0", None, None)], "p": [("7", "7", "7")],
+    "q": [("5", "5", "5")], "r": [("9", "9", "9")],
+    "s": [("4", "4", "4")], "t": [("3", "3", "3")],
+    "u": [("0", None, None)], "v": [("7", "7", "7")],
+    "w": [("7", "7", "7")], "x": [("5", "54", "54")],
+    "y": [("1", None, None)], "z": [("4", "4", "4")],
+}
+_DM_MAX = max(len(p) for p in _DM_RULES)
+
+
+def daitch_mokotoff(word: str) -> list[str]:
+    """Daitch-Mokotoff soundex: 6-digit codes with BRANCHING on the
+    ambiguous groups (CH/CK/C/J/RZ/RS), adjacent identical codes coded
+    once — the reference plugin's daitch_mokotoff encoder
+    (SimplePhoneticAnalysisTests pins chauptman → 473660, 573660).
+    Returns the sorted distinct code set."""
+    w = "".join(c for c in word.lower() if c.isalpha())
+    if not w:
+        return []
+    codes: set = {("", None)}  # (digits so far, last emitted code)
+    i, n = 0, len(w)
+    while i < n:
+        for ln in range(min(_DM_MAX, n - i), 0, -1):
+            alts = _DM_RULES.get(w[i : i + ln])
+            if alts is not None:
+                break
+        else:
+            i += 1
+            continue
+        nxt_vowel = (i + ln < n and w[i + ln] in _DM_VOWELS)
+        ctx = 0 if i == 0 else (1 if nxt_vowel else 2)
+        new: set = set()
+        for digits, last in codes:
+            for alt in alts:
+                code = alt[ctx]
+                if code is None:
+                    new.add((digits, None))  # vowel breaks the dedup chain
+                elif code == last:
+                    new.add((digits, last))  # adjacent same code: once
+                else:
+                    new.add((digits + code, code))
+        codes = new
+        i += ln
+    return sorted({(d + "000000")[:6] for d, _ in codes})
+
+
 def _filter_phonetic(
     toks: list[str], encoder: str = "metaphone", replace: bool = True,
     max_code_len: int = 4, **_,
 ) -> list[str]:
     """phonetic token filter (``plugins/analysis-phonetic``): soundex /
-    metaphone encoding; ``replace=False`` keeps the original token next to
-    its code (the plugin's inject mode)."""
-    enc = _soundex if encoder == "soundex" else _metaphone
+    metaphone / daitch_mokotoff encoding; ``replace=False`` keeps the
+    original token next to its code (the plugin's inject mode)."""
     out: list[str] = []
     for t in toks:
+        if encoder == "daitch_mokotoff":
+            cs = daitch_mokotoff(t)
+            if not cs:
+                out.append(t)
+            else:
+                out.extend(cs if replace else [t, *cs])
+            continue
+        enc = _soundex if encoder == "soundex" else _metaphone
         code = enc(t)
         if encoder == "metaphone":
             code = code[:max_code_len]

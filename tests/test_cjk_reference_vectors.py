@@ -224,3 +224,19 @@ def test_kuromoji_nbest_both_options():
     # without nbest the best path alone comes out
     plain = TOKENIZER_FACTORIES["kuromoji_tokenizer"]()
     assert plain("鳩山積み") == ["鳩", "山積み"]
+
+
+# ---- analysis-phonetic (SimplePhoneticAnalysisTests) -----------------------
+
+def test_phonetic_daitch_mokotoff():
+    # testPhoneticTokenFilterDaitchMotokoff: chauptman → 473660 / 573660
+    # (branching on the ambiguous CH group)
+    out = TOKEN_FILTERS["phonetic"](["chauptman"], encoder="daitch_mokotoff")
+    assert out == ["473660", "573660"]
+    # published DM examples
+    from elasticsearch_spark.functions.analysis import daitch_mokotoff
+
+    assert daitch_mokotoff("Moskowitz") == ["645740"]
+    assert daitch_mokotoff("GOLDEN") == ["583600"]
+    assert daitch_mokotoff("Mintz") == ["664000"]
+    assert daitch_mokotoff("Peters") == ["734000", "739400"]
