@@ -1606,12 +1606,13 @@ def _filter_icu_collation(toks: list[str], language: str = "",
     from .collation import sort_key_hex
 
     case_first = kw.get("caseFirst", case_first)
-    case_level = bool(kw.get("caseLevel", case_level))
+    case_level = kw.get("caseLevel", case_level)
     variable_top = kw.get("variableTop", variable_top)
     if isinstance(numeric, str):
         numeric = numeric == "true"
     if isinstance(case_level, str):
         case_level = case_level == "true"
+    case_level = bool(case_level)
     locale = language
     if country:
         locale += "_" + country
@@ -1851,7 +1852,7 @@ def _metaphone(word: str) -> str:  # noqa: C901
 # start, code before a vowel, code otherwise); None = not coded; a list of
 # tuples = BRANCHING alternatives (ambiguous groups like CH produce
 # multiple codes). Longest pattern wins.
-_DM_VOWELS = set("aeiouy")
+_DM_VOWELS = set("aeioujy")
 _DM_RULES: dict = {
     "schtsch": [("2", "4", "4")], "schtsh": [("2", "4", "4")],
     "schtch": [("2", "4", "4")],
@@ -1903,7 +1904,8 @@ _DM_RULES: dict = {
     "oy": [("0", "1", None)],
     "ui": [("0", "1", None)], "uj": [("0", "1", None)],
     "uy": [("0", "1", None)],
-    "au": [("0", "7", None)], "ia": [("1", None, None)],
+    "au": [("0", "7", None)], "eu": [("1", "1", "1")],
+    "ia": [("1", None, None)],
     "ie": [("1", None, None)], "io": [("1", None, None)],
     "iu": [("1", None, None)], "ue": [("0", None, None)],
     "a": [("0", None, None)], "b": [("7", "7", "7")],

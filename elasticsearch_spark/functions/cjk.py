@@ -146,21 +146,17 @@ def _viterbi(seg: str, lexicon: dict, max_word: int, unknown_fn) -> list[Token]:
 
 
 
-def _viterbi_nbest(seg: str, lexicon: dict, max_word: int, unknown_fn,
-                   nbest_cost: int) -> list[Token]:
-    """kuromoji's nbest emission (KuromojiTokenizerFactory nbest_cost):
-    besides the best path, emit every DICTIONARY word whose cheapest path
-    through it costs at most ``nbest_cost`` more than the global best —
-    computed with forward (F) and backward (B) lattice costs, the standard
-    n-best-lattice criterion F[i] + cost(w) + B[j] ≤ best + Δ. Output is
-    ordered by (start, end) like the reference's offset-ordered stream."""
+def _lattice_costs(seg: str, lexicon: dict, max_word: int, unknown_fn):
+    """Forward (F) and backward (B) best path costs plus the candidate
+    edge list — shared by the n-best emission and the nbest_examples
+    window derivation."""
     n = len(seg)
     INF = float("inf")
     F_ = [INF] * (n + 1)
     F_[0] = 0
     B_ = [INF] * (n + 1)
     B_[n] = 0
-    cands: list = []  # (i, j, Token) dictionary candidates
+    cands: list = []  # (i, j, entry)
     for i in range(n):
         hi = min(max_word, n - i)
         for ln in range(1, hi + 1):
@@ -175,7 +171,19 @@ def _viterbi_nbest(seg: str, lexicon: dict, max_word: int, unknown_fn,
     for i, j, e in sorted(cands, key=lambda c: -c[1]):
         if e.cost + B_[j] < B_[i]:
             B_[i] = e.cost + B_[j]
-    best = F_[n]
+    return F_, B_, cands
+
+
+def _viterbi_nbest(seg: str, lexicon: dict, max_word: int, unknown_fn,
+                   nbest_cost: int) -> list[Token]:
+    """kuromoji's nbest emission (KuromojiTokenizerFactory nbest_cost):
+    besides the best path, emit every DICTIONARY word whose cheapest path
+    through it costs at most ``nbest_cost`` more than the global best —
+    computed with forward (F) and backward (B) lattice costs, the standard
+    n-best-lattice criterion F[i] + cost(w) + B[j] ≤ best + Δ. Output is
+    ordered by (start, end) like the reference's offset-ordered stream."""
+    F_, B_, cands = _lattice_costs(seg, lexicon, max_word, unknown_fn)
+    best = F_[len(seg)]
     # the best path carries the unknown-word tokens; extra DICTIONARY
     # words within the Δ window join it (kuromoji emits sub-path words,
     # not alternative unknown groupings)
@@ -198,7 +206,12 @@ def _viterbi_nbest(seg: str, lexicon: dict, max_word: int, unknown_fn,
 
 
 def _lattice_tokens(text: str, lexicon: dict, max_word: int,
-                    unknown_fn) -> list[Token]:
+                    unknown_fn, seg_fn=None) -> list[Token]:
+    """Whitespace-span split + per-span segmentation (``seg_fn`` overrides
+    the default single-best Viterbi — the nbest path plugs in here)."""
+    if seg_fn is None:
+        def seg_fn(s):
+            return _viterbi(s, lexicon, max_word, unknown_fn)
     out: list[Token] = []
     i, n = 0, len(text)
     while i < n:
@@ -208,7 +221,7 @@ def _lattice_tokens(text: str, lexicon: dict, max_word: int,
         j = i
         while j < n and not text[j].isspace():
             j += 1
-        out.extend(_viterbi(text[i:j], lexicon, max_word, unknown_fn))
+        out.extend(seg_fn(text[i:j]))
         i = j
     return out
 
@@ -718,17 +731,9 @@ def kuromoji_tokenize_rich(text: str, user_rules=None,
     if nbest_examples:
         delta = max(delta, _nbest_cost_from_examples(nbest_examples, lex, mw))
     if int(nbest_cost) > 0 or nbest_examples:  # Δ=0 still emits ties
-        toks: list[Token] = []
-        i, n = 0, len(text)
-        while i < n:
-            if text[i].isspace():
-                i += 1
-                continue
-            j = i
-            while j < n and not text[j].isspace():
-                j += 1
-            toks.extend(_viterbi_nbest(text[i:j], lex, mw, _ja_unknown, delta))
-            i = j
+        toks = _lattice_tokens(
+            text, lex, mw, _ja_unknown,
+            seg_fn=lambda s: _viterbi_nbest(s, lex, mw, _ja_unknown, delta))
     else:
         toks = _lattice_tokens(text, lex, mw, _ja_unknown)
     if discard_punctuation:
@@ -738,18 +743,27 @@ def kuromoji_tokenize_rich(text: str, user_rules=None,
 
 def _nbest_cost_from_examples(examples: str, lex: dict, mw: int) -> int:
     """JapaneseTokenizer.calcNBestCost analog: for each /text-token/ pair,
-    the smallest Δ that makes ``token`` appear in the nbest stream of
-    ``text``; the answer is the max over examples."""
+    the smallest Δ that surfaces ``token`` in the nbest stream of ``text``
+    — computed EXACTLY in one lattice pass per example as
+    min over occurrences of F[i] + cost + B[j] − best (no scan)."""
     best_delta = 0
     for part in examples.strip("/").split("/"):
         txt, _, want = part.partition("-")
-        if not txt or not want:
+        e = lex.get(want)
+        if not txt or not want or e is None:
             continue
-        for delta in range(0, 2001, 10):
-            toks = _viterbi_nbest(txt, lex, mw, _ja_unknown, delta)
-            if any(t.surface == want for t in toks):
-                best_delta = max(best_delta, delta)
-                break
+        F_, B_, _ = _lattice_costs(txt, lex, mw, _ja_unknown)
+        best = F_[len(txt)]
+        need = None
+        start = txt.find(want)
+        while start >= 0:
+            j = start + len(want)
+            if F_[start] != float("inf") and B_[j] != float("inf"):
+                d = int(F_[start] + e.cost + B_[j] - best)
+                need = d if need is None else min(need, d)
+            start = txt.find(want, start + 1)
+        if need is not None:
+            best_delta = max(best_delta, max(0, need))
     return best_delta
 
 

@@ -172,11 +172,13 @@ def collation_key(text: str, locale: str = "", strength: str = "tertiary",
     (the caseLevel option). See module docstring."""
     if text is None:
         return b""
-    els = _elements(str(text), _tailoring(locale), numeric)
+    all_els = _elements(str(text), _tailoring(locale), numeric)
+    els = all_els
+    shifted_thr = None
     if alternate == "shifted":
-        thr = (_GROUP_PUNCT + (ord(variable_top[0]) & 0xFF) + 1
-               if variable_top else _GROUP_DIGIT)
-        els = [e for e in els if e[0] >= thr]
+        shifted_thr = (_GROUP_PUNCT + (ord(variable_top[0]) & 0xFF) + 1
+                       if variable_top else _GROUP_DIGIT)
+        els = [e for e in all_els if e[0] >= shifted_thr]
     key = bytearray()
     for p, _, _ in els:
         key += p.to_bytes(2, "big")
@@ -199,6 +201,13 @@ def collation_key(text: str, locale: str = "", strength: str = "tertiary",
         for _, _, t in els:
             tt = t if case_first != "upper" else (3 - t)
             key.append(tt)
+    if strength in ("quaternary", "identical") and shifted_thr is not None:
+        # UCA shifted mode: variables reappear at the QUATERNARY level
+        # (non-variables weigh 0xFFFF), so punctuation-only differences
+        # still order deterministically at full strength
+        key += b"\x00\x00"
+        for p, _, _ in all_els:
+            key += (p if p < shifted_thr else 0xFFFF).to_bytes(2, "big")
     return bytes(key)
 
 

@@ -240,3 +240,6 @@ def test_phonetic_daitch_mokotoff():
     assert daitch_mokotoff("GOLDEN") == ["583600"]
     assert daitch_mokotoff("Mintz") == ["664000"]
     assert daitch_mokotoff("Peters") == ["734000", "739400"]
+    # the EU digraph and J-as-vowel context (1985 table)
+    assert daitch_mokotoff("Breuer") == ["791900"]
+    assert daitch_mokotoff("Neumann") == ["616600"]

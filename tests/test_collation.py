@@ -171,3 +171,28 @@ def test_icu_filter_registration_options():
         ["resume", "Resume"], language="en", strength="primary",
         caseLevel="true")
     assert a < b
+
+
+def test_shifted_quaternary_keeps_variable_distinction():
+    """UCA shifted mode moves variables to the QUATERNARY level rather
+    than deleting them: primary strength ignores punctuation, full
+    strength still orders punctuation-only differences deterministically."""
+    kw = dict(alternate="shifted")
+    assert _same("foo-bar", "foobar", strength="primary", **kw)
+    assert K("foo-bar", strength="quaternary", **kw) != K(
+        "foobar", strength="quaternary", **kw)
+    # UCA: variables take LOW quaternary weights, non-variables 0xFFFF —
+    # so the punctuated string sorts first at full strength
+    assert K("foo-bar", strength="quaternary", **kw) < K(
+        "foobar", strength="quaternary", **kw)
+
+
+def test_case_level_string_forms():
+    from elasticsearch_spark.functions.analysis import TOKEN_FILTERS
+
+    off = TOKEN_FILTERS["icu_collation_keyword"](
+        ["resume", "Resume"], strength="primary", caseLevel="false")
+    assert off[0] == off[1]
+    on = TOKEN_FILTERS["icu_collation_keyword"](
+        ["resume", "Resume"], strength="primary", caseLevel="true")
+    assert on[0] < on[1]
