@@ -1595,6 +1595,7 @@ def _filter_icu_collation(toks: list[str], language: str = "",
                           alternate: str = "non-ignorable",
                           case_level: bool = False,
                           variable_top: str | None = None,
+                          rules: str | None = None,
                           **kw) -> list[str]:
     """icu_collation_keyword / icu_collation token filter (analysis-icu
     IcuCollationTokenFilterFactory): tokens → locale collation sort keys
@@ -1602,7 +1603,8 @@ def _filter_icu_collation(toks: list[str], language: str = "",
     of the emitted terms is the locale's linguistic order. The factory's
     camelCase option names (caseFirst/caseLevel/variableTop) are accepted
     alongside the snake_case forms; ``decomposition`` is accepted (input
-    is always NFD-decomposed here)."""
+    is always NFD-decomposed here); ``rules`` is the RuleBasedCollator
+    tailoring-grammar subset (functions/collation.py)."""
     from .collation import sort_key_hex
 
     case_first = kw.get("caseFirst", case_first)
@@ -1621,7 +1623,7 @@ def _filter_icu_collation(toks: list[str], language: str = "",
     return [sort_key_hex(t, locale=locale, strength=strength,
                          numeric=numeric, case_first=case_first,
                          alternate=alternate, case_level=case_level,
-                         variable_top=variable_top)
+                         variable_top=variable_top, rules=rules)
             for t in toks]
 
 

@@ -1837,26 +1837,38 @@ def field_collation_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     locale-aware binary sort keys (functions/collation.py, PyICU-free UCA
     subset) as an Arrow-batched UDF; ordering by the BinaryType key column
     reproduces the collator order. The oracle pins non-ASCII orderings for
-    four locales: Swedish (å ä ö after z), Danish (æ ø å after z), German
-    DIN 5007-1 (Ü = u at primary), traditional Spanish (ñ between n and o)."""
+    six locales plus a custom-rules case: Swedish (å ä ö after z), Danish
+    (æ ø å after z), German DIN 5007-1 (Ü = u at primary), traditional
+    Spanish (ñ between n and o), Russian (alphabet order — ё ties е at
+    primary and follows at secondary, where codepoint order puts ё after
+    я), Greek (alphabet order, tonos folds), and German DIN 5007-2 via
+    the RuleBasedCollator ``rules`` grammar (ä→ae as a tertiary
+    difference, the testCustomRules tailoring)."""
     from pyspark.sql import Window
 
     from .functions.collation import collation_key_udf
 
+    _DIN2 = "& ae , ä & AE , Ä & oe , ö & OE , Ö & ue , ü & UE , ü"
     cases = {
         "sv": ["zebra", "åker", "ängel", "öl", "apple", "orm", "Örn"],
         "da": ["zebra", "æble", "øl", "århus", "abe"],
         "de": ["Arm", "Ärmel", "Arzt", "Zebra", "Übung", "ufer"],
+        "de__din2": ["Tondern", "Töne", "Tofu", "Mueller", "Müller", "Muffe"],
+        "el": ["βήτα", "άλφα", "ωμέγα", "γάμμα", "ζήτα", "σίγμα"],
         "es__traditional": ["nube", "ñandú", "noche", "obra", "llama", "luz"],
+        "ru": ["ёлка", "елка", "жук", "яблоко", "ель", "Москва"],
     }
     out = None
     for loc, words in cases.items():
         df = spark.createDataFrame([(loc, w) for w in words],
                                    "locale string, word string")
-        key = collation_key_udf(locale=loc)
+        key = (collation_key_udf(rules=_DIN2) if loc == "de__din2"
+               else collation_key_udf(locale=loc))
+        # word tie-break: tertiary-collapsed rule targets (Müller/Mueller
+        # under DIN 5007-2) produce byte-identical keys
         part = df.withColumn("__k", key("word")).withColumn(
             "rank", F.row_number().over(
-                Window.partitionBy("locale").orderBy("__k")).cast("long")
+                Window.partitionBy("locale").orderBy("__k", "word")).cast("long")
         ).select("locale", "rank", "word")
         out = part if out is None else out.unionByName(part)
     return out.orderBy("locale", "rank")
@@ -5693,6 +5705,13 @@ SELECT locale, rank::BIGINT AS rank, word FROM (VALUES
     ('da', 4, 'øl'), ('da', 5, 'århus'),
     ('de', 1, 'Arm'), ('de', 2, 'Ärmel'), ('de', 3, 'Arzt'),
     ('de', 4, 'Übung'), ('de', 5, 'ufer'), ('de', 6, 'Zebra'),
+    ('de__din2', 1, 'Mueller'), ('de__din2', 2, 'Müller'),
+    ('de__din2', 3, 'Muffe'), ('de__din2', 4, 'Töne'),
+    ('de__din2', 5, 'Tofu'), ('de__din2', 6, 'Tondern'),
+    ('el', 1, 'άλφα'), ('el', 2, 'βήτα'), ('el', 3, 'γάμμα'),
+    ('el', 4, 'ζήτα'), ('el', 5, 'σίγμα'), ('el', 6, 'ωμέγα'),
+    ('ru', 1, 'елка'), ('ru', 2, 'ёлка'), ('ru', 3, 'ель'),
+    ('ru', 4, 'жук'), ('ru', 5, 'Москва'), ('ru', 6, 'яблоко'),
     ('es__traditional', 1, 'llama'), ('es__traditional', 2, 'luz'),
     ('es__traditional', 3, 'noche'), ('es__traditional', 4, 'nube'),
     ('es__traditional', 5, 'ñandú'), ('es__traditional', 6, 'obra'),

@@ -196,3 +196,97 @@ def test_case_level_string_forms():
     on = TOKEN_FILTERS["icu_collation_keyword"](
         ["resume", "Resume"], strength="primary", caseLevel="true")
     assert on[0] < on[1]
+
+
+# ---- round 5: full-codepoint punctuation, custom rules, Greek/Cyrillic
+
+
+def test_punctuation_full_codepoint_fidelity():
+    """Distinct punctuation never collides (U+2020 dagger aliased U+0020
+    space when only the low codepoint byte carried weight)."""
+    assert K("a†b") != K("a b")
+    assert K("a†b", strength="primary") != K("a b", strength="primary")
+    assert K("a!") != K("a.")
+    assert K("a!", strength="primary") != K("a.", strength="primary")
+    # codepoint order within the punctuation band
+    assert K("!") < K(".") < K("†")
+
+
+def test_variable_top_still_character_scoped():
+    # the two-element punct scheme must not break variableTop semantics:
+    # space (U+0020) variable, dagger (U+2020) NOT under variableTop=' '
+    kw = dict(strength="primary", alternate="shifted", variable_top=" ")
+    assert _same("foo bar", "foobar", **kw)
+    assert not _same("foo†bar", "foobar", **kw)
+
+
+def test_custom_rules_basic():
+    # SimpleIcuCollationTokenFilterTests.testBasicCustomRules:
+    # rules "&a < g" => "green" collates before "bird"
+    r = "&a < g"
+    assert K("green", rules=r) < K("bird", rules=r)
+    assert K("bird") < K("green")  # without rules, natural order
+
+
+def test_custom_rules_din5007_2_phonebook():
+    # SimpleIcuCollationTokenFilterTests.testCustomRules: DIN 5007-2
+    # (phonebook) tailorings "& ae , ä & AE , Ä ..." => Töne == Toene
+    din = ("& ae , ä & AE , Ä"
+           "& oe , ö & OE , Ö"
+           "& ue , ü & UE , ü")
+    kw = dict(strength="primary", rules=din)
+    assert _same("Töne", "Toene", **kw)
+    assert _same("Müller", "Mueller", **kw)
+    # DIN 5007-1 (no rules): ö = o at primary (umlaut is secondary)
+    assert _same("Töne", "Tone", strength="primary")
+    assert not _same("Töne", "Toene", strength="primary")
+
+
+def test_custom_rules_chain_and_secondary():
+    r = "&b < q < x"
+    # q between b and c, x just after q
+    assert K("b", rules=r) < K("q", rules=r) < K("x", rules=r) < K("c", rules=r)
+    r2 = "&e << y"
+    assert _same("y", "e", strength="primary", rules=r2)
+    assert K("e", rules=r2) < K("y", rules=r2)
+
+
+def test_custom_rules_filter_registration():
+    from elasticsearch_spark.functions.analysis import TOKEN_FILTERS
+
+    a, b = TOKEN_FILTERS["icu_collation_keyword"](
+        ["Töne", "Toene"], strength="primary",
+        rules="& ae , ä & oe , ö & ue , ü")
+    assert a == b
+
+
+def test_cyrillic_linguistic_order():
+    """Russian collation is alphabet order, not codepoint order: ё (U+0451,
+    above я U+044F in codepoints) ties е at primary and follows it at
+    secondary — codepoint order would sort ёлка LAST."""
+    words = ["ёлка", "елка", "жук", "яблоко", "ель"]
+    assert _order(words, locale="ru") == [
+        "елка", "ёлка", "ель", "жук", "яблоко"]
+    assert sorted(words)[-1] == "ёлка"  # codepoint order is wrong
+    # primary tie е=ё, secondary breaks it
+    assert _same("ёлка", "елка", strength="primary", locale="ru")
+    assert not _same("ёлка", "елка", strength="secondary", locale="ru")
+    # case is tertiary: Москва vs москва
+    assert _same("Москва", "москва", strength="secondary", locale="ru")
+    assert not _same("Москва", "москва", locale="ru")
+
+
+def test_greek_linguistic_order():
+    # Greek alphabet order (η θ ι κ λ μ ν ξ ο π ρ σ τ υ φ χ ψ ω), accents
+    # fold at primary (ά = α + tonos), final sigma ς = σ + secondary
+    words = ["βήτα", "άλφα", "ωμέγα", "γάμμα", "ζήτα", "σίγμα"]
+    assert _order(words, locale="el") == [
+        "άλφα", "βήτα", "γάμμα", "ζήτα", "σίγμα", "ωμέγα"]
+    assert _same("άλφα", "αλφα", strength="primary", locale="el")
+    assert _same("ς", "σ", strength="primary")
+    assert K("ς") != K("σ")
+
+
+def test_script_order_latin_greek_cyrillic():
+    # UCA script order: Latin < Greek < Cyrillic < Han
+    assert K("zebra") < K("αλφα") < K("москва") < K("漢字")
