@@ -1933,7 +1933,11 @@ class Engine:
                      if k not in ("doc_id", "dl", "norm", "seg_id")}]
         if not concrete:
             # pattern resolved to no indices (allow_no_indices): no stored
-            # queries, so nothing can match — empty hits, same as before
+            # queries, so nothing can match. With no concrete index there
+            # is no docs-view schema to mirror, so the empty hits frame
+            # carries the minimal `url string` schema by contract —
+            # schema-dependent consumers must treat the empty-pattern
+            # case as schemaless beyond `url`.
             empty = self.spark.createDataFrame([], "url string")
             return {"hits": empty}
         qdf = None

@@ -534,13 +534,40 @@ class _Parser:
             self.next()
             tgt = self._unary()
             return ("incr", tgt, 1 if k == "++" else -1, True)
-        # cast: (int) expr — only when parens wrap a bare type word
+        # cast: (int) expr / (List) expr / (List<String>) expr /
+        # (int[]) expr — parens wrapping a type word, optionally with
+        # generic arguments (erased to the raw type: the reference
+        # grammar has no generics, PainlessParser.g4 `type`; accepting
+        # and erasing them is a documented extension) or array suffixes
         if k == "(" and self.peek(1)[0] == "id" and \
-                self.peek(1)[1] in _TYPE_WORDS and self.peek(2)[0] == ")":
-            self.next()
-            tname = self.next()[1]
-            self.next()
-            return ("cast", tname, self._unary())
+                self.peek(1)[1] in _TYPE_WORDS:
+            j = self.i + 2
+            nt = len(self.toks)
+            ok = True
+            if j < nt and self.toks[j][0] == "<":
+                depth, j = 1, j + 1
+                while depth > 0 and j < nt:
+                    tk = self.toks[j][0]
+                    if tk == "<":
+                        depth += 1
+                    elif tk == ">":
+                        depth -= 1
+                    elif tk == ">>":
+                        depth -= 2
+                    elif tk == "eof":
+                        ok = False
+                        break
+                    j += 1
+                ok = ok and depth <= 0
+            arr = 0
+            while ok and j + 1 < nt and self.toks[j][0] == "[" \
+                    and self.toks[j + 1][0] == "]":
+                arr += 1
+                j += 2
+            if ok and j < nt and self.toks[j][0] == ")":
+                tname = self.peek(1)[1] + "[]" * arr
+                self.i = j + 1
+                return ("cast", tname, self._unary())
         return self._postfix()
 
     def _postfix(self):
@@ -2286,6 +2313,27 @@ class _Interp:
             return _jstr(v)
         if tname in ("boolean", "Boolean"):
             return bool(v)
+        # reference-type casts check the RAW (erased) type and throw like
+        # Java's ClassCastException — `(List<String>) 5` must not pass
+        # (generic arguments were erased at parse; DefCastTests-style
+        # def-to-reference cast semantics)
+        raw_checks = {
+            "List": list, "ArrayList": list, "Collection": list,
+            "Map": dict, "HashMap": dict,
+            "Number": (int, float),
+        }
+        if tname.endswith("[]"):
+            if not isinstance(v, list):
+                raise PainlessError(
+                    f"ClassCastException: cannot cast "
+                    f"{type(v).__name__} to {tname}")
+            return v
+        want = raw_checks.get(tname)
+        if want is not None and (not isinstance(v, want)
+                                 or isinstance(v, bool)):
+            raise PainlessError(
+                f"ClassCastException: cannot cast "
+                f"{type(v).__name__} to {tname}")
         return v
 
     def _binop(self, op, le, re_, env):

@@ -45,8 +45,18 @@ from pyspark.sql import functions as F
 
 from ..plans import dsl
 
-# introspection for tests/bench: stats of the last pruned percolate call
+# introspection for tests/bench: stats of the LAST COMPLETED pruned
+# percolate call — concurrent percolates (async-search pool) each replace
+# it atomically under _PRUNE_LOCK, so a reader sees one call's stats,
+# whole, though which call wins is scheduling order
 PRUNE_STATS: dict = {}
+_PRUNE_LOCK = __import__("threading").Lock()
+
+# broadcast the extracted-terms table only under this row count —
+# extraction terms are O(stored queries × terms/query), and at ~10M
+# stored queries the broadcast would exceed sensible driver/executor
+# limits; above it the candidate join falls back to a shuffle join
+BROADCAST_QTERMS_MAX = 1_000_000
 
 # column types whose CAST(x AS STRING) does not round-trip the DSL literal
 # (timestamp formats, binary, decimal trailing zeros): term extractions on
@@ -62,34 +72,39 @@ _UNPRUNABLE_TYPE = re.compile(r"^(timestamp|date|binary|decimal)")
 class Extraction:
     """Necessary-condition disjunction: a doc matching the query MUST
     contain at least one ``(field, term, kind)`` from ``terms`` — kind
-    ``"raw"`` for term-level equality semantics (the value's canonical
-    string must equal the doc's raw value) vs ``"tok"`` for match-family
-    containment (an analyzed token). The candidate join matches kinds, so
-    a term query for ``en`` can NEVER collide with the analyzed token
-    ``en`` inside ``en-US``. ``verified`` = the converse also holds (any
-    extraction term present ⟹ the query matches), so candidate pairs are
-    matches with no evaluation — QueryAnalyzer.Result.verified."""
+    ``"raw"`` for STRING-literal term-level equality (byte equality with
+    the doc's raw value), ``"num"`` for NON-string term literals (the
+    literal's canonical integer/bool string vs the doc value's canonical
+    form — term 3 must hit double 3.0 and scalar-string "3.0", which
+    compare equal through Spark's numeric casts, but string literal "3"
+    must NOT), ``"tok"`` for match-family containment (an analyzed
+    token). The candidate join matches kinds, so a term query for ``en``
+    can NEVER collide with the analyzed token ``en`` inside ``en-US``,
+    and numeric aliasing never leaks into string equality. ``verified`` =
+    the converse also holds (any extraction term present ⟹ the query
+    matches), so candidate pairs are matches with no evaluation —
+    QueryAnalyzer.Result.verified."""
 
     terms: tuple  # ((field, term, kind), ...)
     verified: bool
+
+
+def _lit_kind(v) -> str:
+    """Extraction kind of a term-level literal: string literals compare
+    by byte equality (``raw``), everything else through the canonical
+    numeric/bool form (``num``)."""
+    return "raw" if isinstance(v, str) else "num"
 
 
 _NOTHING = Extraction((), True)  # clause can match no document
 
 
 def _term_str(v) -> str | None:
-    """Canonical string of a term-level literal, matching Spark's
-    CAST(col AS STRING) for the column types we prune on; None = not
-    canonicalizable (non-integral float …) → caller goes unanalyzable."""
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, str):
-        return v
-    if isinstance(v, int):
-        return str(v)
-    if isinstance(v, float):
-        return str(int(v)) if v.is_integer() else None
-    return None
+    """Canonical string of a term-level literal; None = not
+    canonicalizable (non-integral float …) → caller goes unanalyzable.
+    Shared with the compile path (plans/dsl.term_lit_str) so pruned
+    candidates and compiled predicates agree on the same form."""
+    return dsl.term_lit_str(v)
 
 
 def _union(subs: list[Extraction | None]) -> Extraction | None:
@@ -126,28 +141,28 @@ def extract(node, analyze, key: str) -> Extraction | None:
         t = _term_str(node.value)
         if node.case_insensitive or t is None:
             return None
-        return Extraction(((node.fld, t, "raw"),), True)
+        return Extraction(((node.fld, t, _lit_kind(node.value)),), True)
     if isinstance(node, d.TermsQ):
-        ts = [_term_str(v) for v in node.values]
-        if any(t is None for t in ts):
+        ts = [(_term_str(v), _lit_kind(v)) for v in node.values]
+        if any(t is None for t, _ in ts):
             return None
-        return Extraction(tuple((node.fld, t, "raw")
-                                for t in dict.fromkeys(ts)), True)
+        return Extraction(tuple((node.fld, t, k)
+                                for t, k in dict.fromkeys(ts)), True)
     if isinstance(node, d.TermsSetQ):
         if node.min_match < 1:
             return None  # min_match 0 matches everything — unanalyzable
-        ts = [_term_str(v) for v in node.values]
-        if any(t is None for t in ts):
+        ts = [(_term_str(v), _lit_kind(v)) for v in node.values]
+        if any(t is None for t, _ in ts):
             return None
-        return Extraction(tuple((node.fld, t, "raw")
-                                for t in dict.fromkeys(ts)),
+        return Extraction(tuple((node.fld, t, k)
+                                for t, k in dict.fromkeys(ts)),
                           node.min_match <= 1)
     if isinstance(node, d.IdsQ):
-        ts = [_term_str(v) for v in node.values]
-        if any(t is None for t in ts):
+        ts = [(_term_str(v), _lit_kind(v)) for v in node.values]
+        if any(t is None for t, _ in ts):
             return None
-        return Extraction(tuple((key, t, "raw")
-                                for t in dict.fromkeys(ts)), True)
+        return Extraction(tuple((key, t, k)
+                                for t, k in dict.fromkeys(ts)), True)
     if isinstance(node, d.MatchQ):
         toks = list(dict.fromkeys(analyze(node.query)))
         if not toks:
@@ -192,11 +207,11 @@ def extract(node, analyze, key: str) -> Extraction | None:
         org = extract(node.organic, analyze, key) if node.organic else None
         if org is None:
             return None
-        ids = [_term_str(v) for v in node.ids]
-        if any(t is None for t in ids):
+        ids = [(_term_str(v), _lit_kind(v)) for v in node.ids]
+        if any(t is None for t, _ in ids):
             return None
         return Extraction(tuple(dict.fromkeys(
-            [(key, t, "raw") for t in ids] + list(org.terms))), org.verified)
+            [(key, t, k) for t, k in ids] + list(org.terms))), org.verified)
     if isinstance(node, d.BoostingQ):
         # negative only demotes score; the match set is the positive's
         pos = extract(node.positive, analyze, key) if node.positive else None
@@ -284,14 +299,26 @@ def _qterms_from_df(stored: DataFrame, analyzer_regex: str, key: str) -> DataFra
 def _doc_terms(docs: DataFrame, key: str, fields: list[str],
                analyzer_regex: str) -> tuple[DataFrame, list[str]]:
     """One-pass (doc key, field, term, kind) token table over the
-    referenced fields: kind ``raw`` = CAST-to-STRING values (term-level
-    equality side; array columns contribute their elements, integral
-    doubles also surface their integer form) vs kind ``tok`` = analyzed
-    tokens (match-family side) — matching the Extraction kinds so exact
-    and containment semantics never cross. Returns the frame and the
-    UNPRUNABLE field subset (types whose string cast can't mirror DSL
-    literals — extractions on those fields are demoted to full evaluation
-    by the caller)."""
+    referenced fields, kinds mirroring the Extraction kinds so exact,
+    numeric-equality, and containment semantics never cross:
+
+    - ``raw`` (string-literal equality): CAST-to-STRING values verbatim
+      (array columns contribute their elements); numeric/bool columns
+      also surface canonical integer forms, because the compile path's
+      ``doublecol == lit("3")`` compares numerically (string literal "3"
+      hits double 3.0);
+    - ``num`` (non-string literal equality): the values' canonical
+      integer/bool forms — scalar STRING columns surface the canonical
+      form of numeric-looking values ("3.0"/"1e3" → "3"/"1000", matching
+      the compile path's implicit string→double cast), numeric columns
+      surface both forms; array<string> columns surface NOTHING here
+      (the compile path compares elements byte-exactly, dsl._term_lit);
+    - ``tok``: analyzed tokens (match-family containment).
+
+    Non-integral values never alias (3.7 is skipped, never "3"). Returns
+    the frame and the UNPRUNABLE field subset (types whose string cast
+    can't mirror DSL literals — extractions on those fields are demoted
+    to full evaluation by the caller)."""
     entries = []
     unprunable: list[str] = []
     for f in fields:
@@ -302,24 +329,36 @@ def _doc_terms(docs: DataFrame, key: str, fields: list[str],
         if _UNPRUNABLE_TYPE.match(dt):
             unprunable.append(f)
             continue
-        if dt.startswith("array<"):
+        is_arr = dt.startswith("array<")
+        elem = dt[6:-1] if is_arr else dt
+        if is_arr:
             raws = F.col(f).cast("array<string>")
             text = F.array_join(raws, " ")
         else:
             raws = F.array(F.col(f).cast("string"))
             text = F.col(f).cast("string")
         toks = F.regexp_extract_all(F.lower(text), F.lit(analyzer_regex), F.lit(0))
-        if dt in ("double", "float"):
-            # 3.0 must also surface as "3" so integer DSL literals hit —
-            # but ONLY when the value is integral (3.7 must never alias 3)
-            c = F.col(f)
-            raws = F.concat(raws, F.when(
-                c == c.cast("bigint").cast(dt),
-                F.array(c.cast("bigint").cast("string"))
-            ).otherwise(F.array()))
+        # canonical integer form of every integral-numeric value
+        # (try_cast: ANSI mode must not throw on non-numeric strings,
+        # and int64-overflowing doubles drop out as null)
+        canon = F.array_compact(F.transform(
+            raws, lambda x: F.when(
+                x.try_cast("double").isNotNull()
+                & (x.try_cast("double")
+                   == x.try_cast("double").try_cast("bigint")
+                      .try_cast("double")),
+                x.try_cast("double").try_cast("bigint").cast("string"))))
+        if elem == "string":
+            raw_terms = raws
+            num_terms = F.array().cast("array<string>") if is_arr else canon
+        else:
+            raw_terms = num_terms = F.concat(raws, canon)
         entries.append(F.struct(
             F.lit(f).alias("field"), F.lit("raw").alias("kind"),
-            F.array_distinct(F.array_compact(raws)).alias("terms")))
+            F.array_distinct(F.array_compact(raw_terms)).alias("terms")))
+        entries.append(F.struct(
+            F.lit(f).alias("field"), F.lit("num").alias("kind"),
+            F.array_distinct(F.array_compact(num_terms)).alias("terms")))
         entries.append(F.struct(
             F.lit(f).alias("field"), F.lit("tok").alias("kind"),
             F.array_distinct(F.array_compact(toks)).alias("terms")))
@@ -509,10 +548,13 @@ def percolate_pruned(
         else:
             demoted = None
 
+        # size-gate the broadcast: qx is persisted, so the count is cheap;
+        # beyond the threshold the candidate join shuffles both sides
+        qsel = qterms.select("field", "term", "kind", "query_id", "verified")
+        if qx.count() <= BROADCAST_QTERMS_MAX:
+            qsel = F.broadcast(qsel)
         cand = (
-            doc_terms.join(F.broadcast(qterms.select(
-                "field", "term", "kind", "query_id", "verified")),
-                ["field", "term", "kind"])
+            doc_terms.join(qsel, ["field", "term", "kind"])
             .select(F.col(key), "query_id", "verified")
             .distinct()
         )
@@ -555,12 +597,13 @@ def percolate_pruned(
                 parts.append(part)
             eval_chunks += -(-len(una_rows) // chunk_size)
 
-        PRUNE_STATS.clear()
-        PRUNE_STATS.update({
-            "compiled": len(need_rows) + len(una_rows),
-            "unanalyzable": len(una_rows),
-            "eval_chunks": eval_chunks,
-        })
+        with _PRUNE_LOCK:
+            PRUNE_STATS.clear()
+            PRUNE_STATS.update({
+                "compiled": len(need_rows) + len(una_rows),
+                "unanalyzable": len(una_rows),
+                "eval_chunks": eval_chunks,
+            })
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

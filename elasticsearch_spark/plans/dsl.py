@@ -60,6 +60,70 @@ def _check_expensive(kind: str) -> None:
             "'search.allow_expensive_queries' is set to false."
         )
 
+
+def term_lit_str(v) -> str | None:
+    """Canonical string of a term-level literal, matching Spark's
+    CAST(col AS STRING) for the column types term queries prune/compare
+    on; None = not canonicalizable (non-integral float). Shared by the
+    percolator's term extraction (operators/percolate.py) and the
+    array-field compile path below so both agree on the same form."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return v
+    if isinstance(v, int):
+        return str(v) if abs(v) < 2 ** 63 else None
+    if isinstance(v, float):
+        # beyond int64, bigint casts overflow to null — not canonicalizable
+        return (str(int(v)) if v.is_integer() and abs(v) < 2 ** 63
+                else None)
+    return None
+
+
+def _array_elem_type(ctx, fld: str) -> str | None:
+    """Element type name when ``fld`` is an array column of the search
+    frame, else None (term-level queries switch to any-element
+    semantics on multi-value fields, like ES array fields)."""
+    try:
+        dt = ctx.df.select(F.col(fld)).schema[0].dataType
+    except Exception:
+        return None
+    return (dt.elementType.simpleString()
+            if dt.typeName() == "array" else None)
+
+
+def _term_lit(v, elem_type: str):
+    """Literal for an array-element comparison: non-string literals on a
+    string-element array take the canonical term string (so the compile
+    path matches the extraction term the pruned percolator surfaces);
+    string literals on numeric elements try_cast (unparseable → null →
+    no match, never an ANSI runtime error)."""
+    if elem_type == "string" and not isinstance(v, str):
+        s = term_lit_str(v)
+        return F.lit(s if s is not None else str(v))
+    if isinstance(v, str) and elem_type != "string":
+        return F.lit(v).try_cast(elem_type)
+    return F.lit(v).cast(elem_type)
+
+
+def _scalar_term_eq(ctx, fld: str, c, v):
+    """Type-mismatch-safe scalar term equality: numeric literal vs STRING
+    column compares numerically via try_cast (ES long-field semantics;
+    ANSI mode must not throw on non-numeric values), string literal vs
+    numeric column try_casts the literal (unparseable → no match),
+    same-type compares exactly."""
+    try:
+        dt = ctx.df.select(c).schema[0].dataType.simpleString()
+    except Exception:
+        dt = None
+    if dt == "string" and isinstance(v, bool):
+        return c.try_cast("boolean") == F.lit(v)
+    if dt == "string" and isinstance(v, (int, float)):
+        return c.try_cast("double") == F.lit(float(v))
+    if dt is not None and dt != "string" and isinstance(v, str):
+        return c == F.lit(v).try_cast(dt)
+    return c == F.lit(v)
+
 _QDL = (
     "case when dl < 8 then dl else "
     "(dl >> (cast(floor(log2(dl)) as int) - 3)) << (cast(floor(log2(dl)) as int) - 3) end"
@@ -228,10 +292,21 @@ class TermQ(Leaf):
     case_insensitive: bool = False  # the 7.10+ flag on term-level queries
 
     def predicate(self, ctx):  # TermQueryBuilder.java
+        # array-typed fields: a term matches if ANY element equals it
+        # (ES multi-value field semantics) — and the pruned percolate
+        # path's raw-term extraction agrees with this shape
+        et = _array_elem_type(ctx, self.fld)
+        if et is not None:
+            if self.case_insensitive and isinstance(self.value, str):
+                v = self.value.lower()
+                return F.exists(F.col(self.fld),
+                                lambda x: F.lower(x) == F.lit(v))
+            return F.array_contains(F.col(self.fld),
+                                    _term_lit(self.value, et))
         c, v = ctx.kw_pair(self.fld, F.col(self.fld), self.value)
         if self.case_insensitive and isinstance(v, str):
             return F.lower(c) == F.lit(v.lower())
-        return c == F.lit(v)
+        return _scalar_term_eq(ctx, self.fld, c, v)
 
 
 @dataclass
@@ -247,7 +322,30 @@ class TermsQ(Leaf):
                 [normalize_str(v, filters) if isinstance(v, str) else v
                  for v in self.values]
             )
-        return F.col(self.fld).isin(self.values)
+        et = _array_elem_type(ctx, self.fld)
+        if et is not None:  # multi-value field: any-element-in semantics
+            return F.arrays_overlap(
+                F.col(self.fld),
+                F.array(*[_term_lit(v, et) for v in self.values]))
+        try:
+            dt = ctx.df.select(F.col(self.fld)).schema[0] \
+                .dataType.simpleString()
+        except Exception:
+            dt = None
+        homogeneous = (
+            dt is None
+            or (dt == "string" and all(isinstance(v, str)
+                                       for v in self.values))
+            or (dt != "string" and not any(isinstance(v, str)
+                                           for v in self.values)))
+        if homogeneous:
+            return F.col(self.fld).isin(self.values)
+        # mixed literal/column types: per-value try_cast equality (ANSI
+        # mode must not throw on unparseable values)
+        pred = F.lit(False)
+        for v in self.values:
+            pred = pred | _scalar_term_eq(ctx, self.fld, F.col(self.fld), v)
+        return pred
 
 
 @dataclass
@@ -256,7 +354,9 @@ class TermsSetQ(Leaf):
     min_match: int = 1
 
     def predicate(self, ctx):  # TermsSetQueryBuilder.java — field is array
-        arr = F.array(*[F.lit(v) for v in self.values])
+        et = _array_elem_type(ctx, self.fld)
+        arr = F.array(*[_term_lit(v, et) if et else F.lit(v)
+                        for v in self.values])
         return F.size(F.array_intersect(F.col(self.fld), arr)) >= self.min_match
 
 

@@ -660,3 +660,38 @@ def test_varargs_and_collectors_whitelist_tail():
         "ab": 2, "c": 1}
     assert run("def l = [1,2,3,4]; return l.stream()"
                ".filter(x -> x % 2 == 0).count();") == 2
+
+
+# ---- round 5: generic casts are erasure-correct ----------------------------
+
+
+def test_generic_casts_check_raw_type():
+    """Reference-type casts check the RAW (erased) type like Java
+    (AnalyzerCasterTests/DefCastTests ClassCastException semantics);
+    generic type arguments are accepted-and-erased (the reference grammar
+    PainlessParser.g4 `type` has no generics — accepting them is a
+    documented extension, but the raw type must still be enforced)."""
+    import pytest
+
+    from elasticsearch_spark.functions.painless import (
+        PainlessError, compile_painless, execute)
+
+    def run(src):
+        return execute(compile_painless(src), {})
+
+    assert run("List x = [1,2,3]; return ((List<String>) x).size()") == 3
+    assert run("def m = [:]; m.put('a', 1); "
+               "return ((Map<String,def>) m).size()") == 1
+    assert run("def x = new int[3]; return ((int[]) x).length") == 3
+    assert run("Map<String, List<String>> m = new HashMap(); "
+               "m.put('k', ['v']); return m['k'][0]") == "v"
+    for src in ["def x = 5; return (List<String>) x",
+                "def x = 5; return (List) x",
+                "def x = [1]; return (Map) x",
+                "def x = true; return (Number) x",
+                "def x = 5; return (String[]) x"]:
+        with pytest.raises(PainlessError, match="ClassCastException"):
+            run(src)
+    # numeric/def casts keep their conversion semantics
+    assert run("return (int) 3.7") == 3
+    assert run("def x = 4; return (double) x") == 4.0

@@ -187,3 +187,75 @@ def test_pruned_kind_separation_no_false_positives(spark):
     assert {d for q, d in pruned if q == "m_spark"} == {1, 3}
     # min_match 0 matches EVERY doc (unanalyzable, fully evaluated)
     assert {d for q, d in pruned if q == "ts_zero"} == {1, 2, 3}
+
+
+def test_array_field_term_agreement(spark):
+    """term/terms/terms_set on ARRAY columns agree between pruned and
+    unpruned paths (TermQ/TermsQ are array-aware: any-element semantics,
+    ES multi-value fields) — previously prune=False threw
+    AnalysisException from `col == lit(v)` on the array column."""
+    docs = spark.createDataFrame(
+        [(1, ["red", "blue"], [3, 5]),
+         (2, ["green"], [7]),
+         (3, ["blue", "green"], [3])],
+        "doc_id long, tags array<string>, nums array<bigint>")
+    stored = [
+        ("t_blue", {"term": {"tags": "blue"}}),
+        ("ts_rg", {"terms": {"tags": ["red", "green"]}}),
+        ("t_n3", {"term": {"nums": 3}}),
+        ("ts_37", {"terms": {"nums": [3, 7]}}),
+    ]
+    legacy = _pairs(percolate(docs, stored, prune=False))
+    pruned = _pairs(percolate(docs, stored, prune=True))
+    assert pruned == legacy
+    assert {d for q, d in pruned if q == "t_blue"} == {1, 3}
+    assert {d for q, d in pruned if q == "ts_rg"} == {1, 2, 3}
+    assert {d for q, d in pruned if q == "t_n3"} == {1, 3}
+    assert {d for q, d in pruned if q == "ts_37"} == {1, 2, 3}
+
+
+def test_numeric_vs_string_literal_kinds(spark):
+    """num/raw extraction-kind separation: numeric literals match through
+    Spark's numeric casts (3 hits scalar-string "3.0" and "1e3"→1000),
+    string literals stay byte-exact ("3" must NOT hit "3.0") — and the
+    pruned path agrees with the compile path on every combination."""
+    docs = spark.createDataFrame(
+        [(1, "3.0", 3.0), (2, "3", 3.5), (3, "3.5", 4.0),
+         (4, "abc", None), (5, "1e3", 1000.0)],
+        "doc_id long, sval string, dval double")
+    stored = [
+        ("f3_s", {"term": {"sval": 3.0}}),     # float lit on string col
+        ("i3_s", {"term": {"sval": 3}}),       # int lit on string col
+        ("s3_s", {"term": {"sval": "3"}}),     # string lit: byte-exact
+        ("i1000_s", {"term": {"sval": 1000}}),
+        ("i3_d", {"term": {"dval": 3}}),       # int lit on double col
+        ("s3_d", {"term": {"dval": "3"}}),     # string lit on double col
+        ("s30_d", {"term": {"dval": "3.0"}}),
+    ]
+    legacy = _pairs(percolate(docs, stored, prune=False))
+    pruned = _pairs(percolate(docs, stored, prune=True))
+    assert pruned == legacy
+    assert {d for q, d in pruned if q == "f3_s"} == {1, 2}
+    assert {d for q, d in pruned if q == "i3_s"} == {1, 2}
+    assert {d for q, d in pruned if q == "s3_s"} == {2}      # NOT doc 1
+    assert {d for q, d in pruned if q == "i1000_s"} == {5}   # "1e3" == 1000
+    assert {d for q, d in pruned if q == "i3_d"} == {1}
+    assert {d for q, d in pruned if q == "s3_d"} == {1}
+    assert {d for q, d in pruned if q == "s30_d"} == {1}
+
+
+def test_qterms_broadcast_size_gate(spark, corpus, monkeypatch):
+    """Above BROADCAST_QTERMS_MAX the candidate join falls back to a
+    shuffle join (the extracted-terms table is O(Q × terms/query) and
+    must not be broadcast unconditionally); results are identical."""
+    from elasticsearch_spark.operators import percolate as perc
+
+    stored = [
+        ("q_spark", {"match": {"text": "spark"}}),
+        ("q_en", {"term": {"lang": "en"}}),
+    ]
+    want = _pairs(percolate(corpus, stored, prune=True))
+    monkeypatch.setattr(perc, "BROADCAST_QTERMS_MAX", 0)
+    got = _pairs(percolate(corpus, stored, prune=True))
+    assert got == want == {("q_spark", 1), ("q_spark", 3),
+                           ("q_en", 1), ("q_en", 2)}
