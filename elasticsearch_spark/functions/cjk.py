@@ -645,7 +645,33 @@ def _parse_ja_table() -> dict:
     return lex
 
 
-JA_LEXICON: dict = _parse_ja_table()
+def _ja_extension() -> dict:
+    """Scaled-up frequency lexicon (cjk_data.py): IPADIC-style conjugated
+    verb/adjective surfaces, common nouns with readings, katakana
+    loanwords, single-kanji nouns. Extension costs sit ABOVE the base
+    table's class costs (content nouns 340 vs 300, verbs 270 vs 250,
+    single-kanji 480 — still far below the unknown-word fallbacks at
+    700/900 per char) and the base table overwrites on collision, so
+    every pinned reference-vector path stays byte-identical."""
+    from .cjk_data import expand_ja
+
+    cost_of = {"動詞-自立": 270, "形容詞-自立": 270}
+    lex: dict = {}
+    for surface, pos, reading, base in expand_ja():
+        if surface in lex:
+            continue  # first (most frequent) listing wins
+        cost = cost_of.get(pos, 480 if len(surface) == 1 else 340)
+        lex[surface] = _Entry(cost, pos, reading, base)
+    return lex
+
+
+def _merged_ja() -> dict:
+    lex = _ja_extension()
+    lex.update(_parse_ja_table())   # base table wins on collision
+    return lex
+
+
+JA_LEXICON: dict = _merged_ja()
 _JA_MAX_WORD = max(len(w) for w in JA_LEXICON)
 
 # JapaneseAnalyzer's default stoptags (Lucene ja/stoptags.txt, hierarchical
@@ -864,8 +890,20 @@ CJK_LEXICON: frozenset[str] = frozenset("""
 # Viterbi costs: one class for all lexicon words — a 4-char word (300) then
 # beats its 2-char halves (600), preserving longest-match preference while
 # letting cheaper paths win on real ambiguity (the FMM upgrade).
-_ZH_LEXICON: dict = {w: _Entry(300, "WORD") for w in CJK_LEXICON}
-_ZH_MAX_WORD = max(len(w) for w in CJK_LEXICON)
+def _merged_zh() -> dict:
+    """Base words (300) + the scaled-up frequency tiers (cjk_data.py:
+    tier1 280 / tier2 320 / tier3 360, common single-character words 520
+    — base table wins on collision; all far below the 800/char unknown
+    fallback, and a longer word still beats its parts)."""
+    from .cjk_data import zh_extra
+
+    lex = {w: _Entry(c, "WORD") for w, c in zh_extra().items()}
+    lex.update({w: _Entry(300, "WORD") for w in CJK_LEXICON})
+    return lex
+
+
+_ZH_LEXICON: dict = _merged_zh()
+_ZH_MAX_WORD = max(len(w) for w in _ZH_LEXICON)
 
 
 def _zh_unknown(seg: str, i: int):
@@ -1521,7 +1559,31 @@ def _parse_ko_table() -> dict:
     return lex
 
 
-KO_LEXICON: dict = _parse_ko_table()
+def _ko_extension() -> dict:
+    """Scaled-up Korean lexicon (cjk_data.py): common nouns, verb stems
+    with the mecab-ko-dic-style fused contractions (갔/했/마셨 …), extra
+    endings. Costs above the base classes; base table wins collisions."""
+    from .cjk_data import expand_ko
+
+    # single-syllable extension endings cost 180 so two of them can
+    # never beat a real two-syllable noun (340) mid-word — the unigram
+    # lattice has no connection matrix, so cost classes carry that role
+    def cost(surface, pos):
+        if pos == "E":
+            return 180 if len(surface) == 1 else 120
+        return {"VV": 290, "VA": 290, "J": 90, "MAG": 250,
+                "MM": 200}.get(pos, 340)
+
+    return {s: _Entry(cost(s, p), p) for s, p in expand_ko()}
+
+
+def _merged_ko() -> dict:
+    lex = _ko_extension()
+    lex.update(_parse_ko_table())
+    return lex
+
+
+KO_LEXICON: dict = _merged_ko()
 _KO_MAX_WORD = max(len(w) for w in KO_LEXICON)
 
 # KoreanPartOfSpeechStopFilter.DEFAULT_STOP_TAGS (Lucene)

@@ -33,8 +33,10 @@ def test_korean_through_uax29():
 
 
 def test_mixed_latin_cjk():
+    # 一个 and 搜索引擎 are dictionary words in the scaled-up lexicon
+    # (round 5) — the lattice now matches real CJK dictionaries
     assert icu_tokenize("Elasticsearch是一个分布式搜索引擎") == [
-        "elasticsearch", "是", "一", "个", "分布式", "搜索", "引擎"]
+        "elasticsearch", "是", "一个", "分布式", "搜索引擎"]
     assert icu_tokenize("用Spark做分词 v2.0") == [
         "用", "spark", "做", "分词", "v2.0"]
 
@@ -43,7 +45,7 @@ def test_analyzer_registration():
     from elasticsearch_spark.functions.analysis import ANALYZERS, TOKENIZERS
 
     assert TOKENIZERS["icu_tokenizer"]("机器学习很好") == ["机器学习", "很", "好"]
-    assert ANALYZERS["smartcn"]("搜索引擎") == ["搜索", "引擎"]
+    assert ANALYZERS["smartcn"]("搜索引擎") == ["搜索引擎"]
     # icu_analyzer adds icu_folding on top
     assert ANALYZERS["icu_analyzer"]("Café机器学习") == ["cafe", "机器学习"]
 
