@@ -6522,10 +6522,10 @@ FROM d
     "analysis_cjk": """
 SELECT token, cnt::BIGINT AS cnt FROM (VALUES
     ('elasticsearch', 1), ('で', 1), ('の', 1), ('をしています', 2),
-    ('一', 1), ('一起', 1), ('个', 1), ('人工智能', 1), ('今天', 1),
+    ('一个', 1), ('一起', 1), ('人工智能', 1), ('今天', 1),
     ('仕事', 1), ('使用', 1), ('倒排索引', 1), ('分布式', 1), ('勉強', 1),
     ('和', 1), ('喜欢', 1), ('天气', 1), ('好', 1), ('学习', 1),
-    ('引擎', 2), ('很', 1), ('我们', 2), ('搜索', 2), ('日本語', 1),
+    ('很', 1), ('我们', 2), ('搜索引擎', 2), ('日本語', 1),
     ('是', 1), ('机器学习', 1), ('東京', 1), ('查询', 1), ('进行', 1)
 ) AS t(token, cnt) ORDER BY token
 """,
