@@ -11,9 +11,15 @@ module implements the same METHOD — a word lattice with per-morpheme costs
 solved by Viterbi (min total cost), unknown-word candidates generated per
 character class exactly like kuromoji's UnknownDictionary, user-dictionary
 rules, part-of-speech tags, readings, compound decomposition — over an
-embedded frequency lexicon (hundreds of morphemes per language, POS-tagged,
-with readings and base forms). Dictionary COVERAGE is the delta vs the
-reference (and ``user_dictionary_rules`` is the standard extension hook);
+embedded frequency lexicon (ja ~13.7k / ko ~4.9k / zh ~14.9k entries —
+base tables here plus the scaled-up ``cjk_data.py`` extension: IPADIC-style
+conjugated-surface rows, mecab-ko-dic-style fused contractions, frequency
+tiers — POS-tagged, with readings and base forms; ≥80% of Han/kana/hangul
+tokens on held-out web text resolve from the dictionary, pinned by
+``tests/test_cjk_lexicon_coverage.py`` and the ``analysis_cjk_coverage``
+oracle). The remaining delta vs the reference's multi-hundred-thousand-entry
+dictionaries is tail vocabulary (and ``user_dictionary_rules`` is the
+standard extension hook);
 the segmentation algorithm, the filter semantics (part-of-speech stop,
 baseform, readingform, katakana stem, ja_stop, number normalization,
 iteration marks, decompound modes), and the published reference test

@@ -3191,6 +3191,70 @@ def analysis_nori(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def analysis_cjk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary coverage of the scaled-up embedded CJK lexicons
+    (functions/cjk_data.py, the MeCab-IPADIC / mecab-ko-dic / smartcn
+    dictionary analog — KuromojiTokenizerFactory.java,
+    NoriTokenizerFactory.java:47): per language, the count of Han/kana/
+    hangul tokens on a fixed held-out web-style corpus and how many
+    resolve from the DICTIONARY (Token.known) rather than the
+    unknown-word char-class rules. Deterministic by construction; the
+    coverage gate (>=80%) is also pytest-pinned
+    (tests/test_cjk_lexicon_coverage.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    corpus = [
+        ("ja", "政府は新しい経済政策を発表しました。専門家によると、"
+               "この政策は中小企業の支援を目的としています。"),
+        ("ja", "電車が遅れたので、会社に遅刻してしまいました。"
+               "駅のホームは通勤客でいっぱいでした。"),
+        ("zh", "今年夏天气温特别高，很多城市都发布了高温警报。"
+               "医生提醒大家多喝水，避免长时间在阳光下活动。"),
+        ("zh", "公司最近招聘了几名新员工，人事部门正在组织培训。"
+               "新同事们对工作环境很满意。"),
+        ("ko", "정부가 새 경제 정책을 발표했습니다. 전문가들은 이 정책이 "
+               "중소기업 지원에 도움이 된다고 말했습니다."),
+        ("ko", "지난 주말에 시장에 가서 과일과 채소를 샀습니다."),
+    ]
+    df = spark.createDataFrame(corpus, "lang string, sentence string")
+
+    @pandas_udf("struct<total: long, known: long>")
+    def cov(lang: pd.Series, s: pd.Series) -> pd.DataFrame:
+        from elasticsearch_spark.functions.cjk import (
+            _ZH_LEXICON, _ZH_MAX_WORD, _is_han, _is_hangul, _kana_script,
+            _viterbi, _zh_unknown, kuromoji_tokenize_rich,
+            nori_tokenize_rich)
+
+        totals, knowns = [], []
+        for lg, text in zip(lang, s):
+            if lg == "ja":
+                toks = [t for t in kuromoji_tokenize_rich(text)
+                        if any(_is_han(c) or _kana_script(c)
+                               for c in t.surface)]
+            elif lg == "ko":
+                toks = [t for t in nori_tokenize_rich(text)
+                        if any(_is_hangul(c) or _is_han(c)
+                               for c in t.surface)]
+            else:
+                toks = []
+                for run in text.split():
+                    seg = "".join(c for c in run if _is_han(c))
+                    if seg:
+                        toks.extend(_viterbi(seg, _ZH_LEXICON,
+                                             _ZH_MAX_WORD, _zh_unknown))
+            totals.append(len(toks))
+            knowns.append(sum(t.known for t in toks))
+        return pd.DataFrame({"total": totals, "known": knowns})
+
+    return (
+        df.select("lang", cov("lang", "sentence").alias("c"))
+        .groupBy("lang")
+        .agg(F.sum("c.total").cast("long").alias("tokens"),
+             F.sum("c.known").cast("long").alias("known"))
+        .orderBy("lang")
+    )
+
+
 def dsl_scripted_metric_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """scripted_metric with REAL Painless state maps
     (``ScriptedMetricAggregator.java`` init/map/combine/reduce lifecycle,
@@ -6536,6 +6600,11 @@ SELECT token, cnt::BIGINT AS cnt FROM (VALUES
     ('参加', 1), ('好き', 1), ('日本語', 1), ('東京', 1), ('試合', 1)
 ) AS t(token, cnt) ORDER BY token
 """,
+    "analysis_cjk_coverage": """
+SELECT lang, tokens::BIGINT AS tokens, known::BIGINT AS known FROM (VALUES
+    ('ja', 56, 52), ('ko', 37, 34), ('zh', 48, 46)
+) AS t(lang, tokens, known) ORDER BY lang
+""",
     "analysis_nori": """
 SELECT token, cnt::BIGINT AS cnt FROM (VALUES
     ('간다', 1), ('갔다', 1), ('검색', 1), ('기차', 1), ('바나나', 1),
@@ -6817,6 +6886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_percentiles_hdr": agg_percentiles_hdr,
     "dsl_geo_shape_stored": dsl_geo_shape_stored,
     "analysis_cjk": analysis_cjk,
+    "analysis_cjk_coverage": analysis_cjk_coverage,
     "analysis_kuromoji": analysis_kuromoji,
     "analysis_nori": analysis_nori,
     "dsl_scripted_metric_state": dsl_scripted_metric_state,
