@@ -80,16 +80,33 @@ def term_lit_str(v) -> str | None:
     return None
 
 
+def _field_dtype(ctx, fld: str):
+    """Resolved Spark DataType of a (possibly dotted) field, cached per
+    SearchContext — term-level predicates consult types per clause, and
+    an analysis round-trip per clause would dominate wide percolator
+    chunks."""
+    cache = getattr(ctx, "_ftype_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            ctx._ftype_cache = cache
+        except Exception:
+            pass
+    if fld not in cache:
+        try:
+            cache[fld] = ctx.df.select(F.col(fld)).schema[0].dataType
+        except Exception:
+            cache[fld] = None
+    return cache[fld]
+
+
 def _array_elem_type(ctx, fld: str) -> str | None:
     """Element type name when ``fld`` is an array column of the search
     frame, else None (term-level queries switch to any-element
     semantics on multi-value fields, like ES array fields)."""
-    try:
-        dt = ctx.df.select(F.col(fld)).schema[0].dataType
-    except Exception:
-        return None
+    dt = _field_dtype(ctx, fld)
     return (dt.elementType.simpleString()
-            if dt.typeName() == "array" else None)
+            if dt is not None and dt.typeName() == "array" else None)
 
 
 def _term_lit(v, elem_type: str):
@@ -112,10 +129,10 @@ def _scalar_term_eq(ctx, fld: str, c, v):
     ANSI mode must not throw on non-numeric values), string literal vs
     numeric column try_casts the literal (unparseable → no match),
     same-type compares exactly."""
-    try:
-        dt = ctx.df.select(c).schema[0].dataType.simpleString()
-    except Exception:
-        dt = None
+    base = _field_dtype(ctx, fld)
+    dt = base.simpleString() if base is not None else None
+    if dt is not None and fld in getattr(ctx, "kw_norm", {}):
+        dt = "string"  # normalizer chains emit string expressions
     if dt == "string" and isinstance(v, bool):
         return c.try_cast("boolean") == F.lit(v)
     if dt == "string" and isinstance(v, (int, float)):
@@ -327,11 +344,8 @@ class TermsQ(Leaf):
             return F.arrays_overlap(
                 F.col(self.fld),
                 F.array(*[_term_lit(v, et) for v in self.values]))
-        try:
-            dt = ctx.df.select(F.col(self.fld)).schema[0] \
-                .dataType.simpleString()
-        except Exception:
-            dt = None
+        base = _field_dtype(ctx, self.fld)
+        dt = base.simpleString() if base is not None else None
         homogeneous = (
             dt is None
             or (dt == "string" and all(isinstance(v, str)
