@@ -1577,8 +1577,12 @@ def _ko_extension() -> dict:
     def cost(surface, pos):
         if pos == "E":
             return 180 if len(surface) == 1 else 120
-        return {"VV": 290, "VA": 290, "J": 90, "MAG": 250,
-                "MM": 200}.get(pos, 340)
+        if pos in ("VV", "VA"):
+            # multi-syllable stems must undercut a base-table
+            # particle+suffix misparse of their first syllables
+            # (만+들 J+XSN = 200 < a flat 290): 만들+어 must win
+            return 290 if len(surface) == 1 else 180
+        return {"J": 90, "MAG": 250, "MM": 200}.get(pos, 340)
 
     return {s: _Entry(cost(s, p), p) for s, p in expand_ko()}
 
