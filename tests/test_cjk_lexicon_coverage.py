@@ -94,3 +94,57 @@ def test_extension_never_changes_pinned_paths():
     assert kuromoji_tokenize("私は制限スピードを超える。") == [
         "私", "は", "制限", "スピード", "を", "超える"]
     assert nori_tokenize("뿌리가 깊은 나무") == ["뿌리", "가", "깊", "은", "나무"]
+
+
+# ---- second register: news/formal text (added after probe cycles) ----------
+
+JA_NEWS = """
+半導体の需要が世界的に高まり、国内でも工場の新設が相次いでいます。政府は補助金で企業を後押しする構えです。
+人工知能の発達により、翻訳や文章作成の精度が飛躍的に向上しました。一方で雇用への影響を懸念する声も上がっています。
+再生可能エネルギーの導入が進む中、送電網の整備が課題となっています。電力会社は蓄電池の活用を検討しています。
+サイバー攻撃による情報漏洩が相次ぎ、企業はセキュリティ対策の強化を迫られています。
+"""
+
+ZH_NEWS = """
+芯片需求旺盛，各地纷纷新建晶圆厂。政府出台补贴政策，扶持半导体产业发展。
+人工智能技术突飞猛进，机器翻译和文本生成的准确率大幅提升，但也引发了对就业的担忧。
+随着可再生能源装机容量增加，电网改造成为当务之急。电力公司正在研究储能电池的应用方案。
+网络攻击导致的数据泄露事件频发，企业不得不加大网络安全投入。
+"""
+
+KO_NEWS = """
+반도체 수요가 급증하면서 국내에서도 공장 신설이 잇따르고 있습니다. 정부는 보조금으로 기업을 지원할 방침입니다.
+인공지능의 발달로 번역과 글쓰기의 정확도가 크게 높아졌습니다. 한편 일자리에 미칠 영향을 걱정하는 목소리도 나옵니다.
+재생에너지 도입이 확대되면서 송전망 정비가 과제로 떠올랐습니다. 전력회사는 배터리 활용을 검토하고 있습니다.
+사이버 공격으로 인한 정보 유출이 잇따라 기업들은 보안 강화에 나서고 있습니다.
+"""
+
+
+def test_ja_news_register_oov_rate():
+    toks = [t for t in kuromoji_tokenize_rich(JA_NEWS)
+            if any(_is_han(c) or _kana_script(c) for c in t.surface)]
+    r = _rate(sum(t.known for t in toks), len(toks))
+    assert r >= 0.80, (r, [t.surface for t in toks if not t.known])
+
+
+def test_zh_news_register_oov_rate():
+    known = total = 0
+    unk = []
+    for line in ZH_NEWS.split():
+        seg = "".join(c for c in line if _is_han(c))
+        if not seg:
+            continue
+        for t in _viterbi(seg, _ZH_LEXICON, _ZH_MAX_WORD, _zh_unknown):
+            total += 1
+            known += t.known
+            if not t.known:
+                unk.append(t.surface)
+    r = _rate(known, total)
+    assert r >= 0.80, (r, unk)
+
+
+def test_ko_news_register_oov_rate():
+    toks = [t for t in nori_tokenize_rich(KO_NEWS)
+            if any(_is_hangul(c) or _is_han(c) for c in t.surface)]
+    r = _rate(sum(t.known for t in toks), len(toks))
+    assert r >= 0.80, (r, [t.surface for t in toks if not t.known])
